@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the engine.
+  *
+  * Mirrors the reference server's startup configuration surface
+  * (`/root/reference/src/common/gizmosql_library.cpp:497-1142`: UTC handling,
+  * memory limit passthrough) re-expressed as Spark conf. Designed for a real
+  * cluster: everything here is also valid under `spark-submit` with a YARN/K8s
+  * master — local[] is only the test harness default.
+  */
+object GraftSession {
+
+  /** Conf applied to any session the engine owns. AQE is on so the same plan
+    * adapts at 100 TB (skew-join splitting, dynamic coalescing) without code
+    * changes; shuffle.partitions=32 matches the local harness and is expected
+    * to be overridden (or AQE-coalesced) on a real cluster.
+    */
+  def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.warehouse.dir", sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-warehouse")
+      .config("spark.ui.enabled", "false")
+
+  def local(): SparkSession = builder().getOrCreate()
+}
+
+/** Catalog registration: one Parquet file/dir per table, registered under its
+  * bare name, mirroring the reference's replacement-scan behavior
+  * (`/root/reference/src/duckdb/admin_command_guard.cpp:81-103` — `FROM
+  * 'x.parquet'`) and its information_schema-backed catalog.
+  *
+  * Scale note: these are plain Parquet scans, so Catalyst's filter/column
+  * pushdown and partition pruning apply unchanged when the paths point at a
+  * partitioned 100 TB dataset on object storage instead of a local file.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  private val registered = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Idempotently register every test table in `dir` as a temp view. */
+  def ensure(spark: SparkSession, dir: String): Unit = {
+    val key = System.identityHashCode(spark) + "|" + dir
+    if (!registered.contains(key)) {
+      // events.ts is parquet TIMESTAMP(NANOS) which Spark's reader rejects;
+      // read it as long and truncate to micros (the reference's own Arrow
+      // export truncates ns->us the same way, SURVEY.md §1.2).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      all.foreach { n =>
+        val raw = spark.read.parquet(s"$dir/$n.parquet")
+        val df =
+          if (n == "events")
+            raw.withColumn("ts", org.apache.spark.sql.functions.expr(
+              "cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+          else raw
+        df.createOrReplaceTempView(n)
+      }
+      registered.add(key)
+    }
+  }
+}

@@ -1,13 +1,37 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 is exposed here as a named
+  * query; `oracleSql` carries the DuckDB-equivalent SQL for the driver's
+  * value-level differential check (column aliases match exactly — the
+  * comparator sorts columns by name before hashing).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** The full operator registry, one `Op` per SURVEY §2 inventory row. */
+  val allOps: Seq[Op] =
+    Relational.ops ++ Aggregates.ops ++ Windows.ops ++ SetsSortsCtes.ops ++
+      ScalarFns.ops ++ TextPipeline.ops ++ Embeddings.ops ++ Events.ops
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * TPC-H h03 shape: broadcast + shuffle join, aggregate, top-k.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val byName = allOps.map(op => op.name -> op).toMap
+    byName("join_inner_h03").run(spark, "/root/testdata/sf0.001")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    allOps.map(op => op.name -> op.run).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    allOps.flatMap(op => op.oracle.map(op.name -> _)).toMap
 }

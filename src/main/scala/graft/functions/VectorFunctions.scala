@@ -1,0 +1,34 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector similarity primitives over `ArrayType(Float|Double)` embedding
+  * columns, built from codegen-friendly higher-order functions
+  * (`zip_with`/`aggregate`) — no UDFs, so they stay inside WholeStageCodegen
+  * and distribute trivially (pure per-row expressions; the only shuffles in a
+  * similarity-search plan come from the join/top-k around them).
+  *
+  * Reference has no vector ops (absence, SURVEY.md §2.B) — this is the
+  * additive training-data-pipeline scope.
+  */
+object VectorFunctions {
+
+  /** Left-to-right dot product; fold order matches DuckDB's
+    * list_cosine_similarity loop so cross-engine doubles agree bit-for-bit.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity in double precision. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Euclidean (L2) distance. */
+  def l2(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v))
+
+  /** Cast a float embedding to double once, up front (exact widening). */
+  def asDouble(a: Column): Column = a.cast("array<double>")
+}

@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import Relational.ts
+
+/** Aggregation operators (SURVEY.md §2.B "Aggregations"): hash aggregates with
+  * automatic partial (map-side) + final phases, COUNT(DISTINCT), HAVING,
+  * global aggregates, ROLLUP/CUBE/GROUPING SETS, order statistics.
+  *
+  * Double-typed money columns are rounded to 2dp at the output (per
+  * SURVEY.md §7.3.1) so cross-engine summation order cannot flip the hash.
+  */
+object Aggregates {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    Tables.ensure(spark, dir)
+    spark.table(name)
+  }
+
+  val ops: Seq[Op] = Seq(
+    // TPC-H h01: the pricing-summary report.
+    Op("agg_h01",
+      "SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity),2) AS sum_qty, ROUND(SUM(l_extendedprice),2) AS sum_base_price, " +
+      "ROUND(SUM(l_extendedprice*(1-l_discount)),2) AS sum_disc_price, ROUND(SUM(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge, " +
+      "ROUND(AVG(l_quantity),2) AS avg_qty, ROUND(AVG(l_extendedprice),2) AS avg_price, ROUND(AVG(l_discount),2) AS avg_disc, COUNT(*) AS count_order " +
+      "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus") { (s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= ts("1998-09-02T00:00"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg("l_quantity"), 2).as("avg_qty"),
+          round(avg("l_extendedprice"), 2).as("avg_price"),
+          round(avg("l_discount"), 2).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    Op("agg_distinct",
+      "SELECT COUNT(DISTINCT l_suppkey) AS s, COUNT(DISTINCT l_partkey) AS p FROM lineitem") { (s, d) =>
+      t(s, d, "lineitem")
+        .agg(countDistinct(col("l_suppkey")).as("s"), countDistinct(col("l_partkey")).as("p"))
+    },
+
+    Op("agg_having",
+      "SELECT o_custkey, COUNT(*) AS c FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 20 ORDER BY c DESC, o_custkey LIMIT 50") { (s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_custkey").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 20)
+        .orderBy(col("c").desc, col("o_custkey")).limit(50)
+    },
+
+    // TPC-H h06: global aggregate over a selective filter — at scale the
+    // filter and the two read columns push down into the parquet scan.
+    Op("agg_global_h06",
+      "SELECT ROUND(SUM(l_extendedprice*l_discount),2) AS revenue FROM lineitem " +
+      "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' " +
+      "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24") { (s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= ts("1996-01-01T00:00") && col("l_shipdate") < ts("1997-01-01T00:00") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+    },
+
+    Op("agg_minmax",
+      "SELECT ROUND(MIN(o_totalprice),2) AS mn, ROUND(MAX(o_totalprice),2) AS mx, COUNT(*) AS n FROM orders") { (s, d) =>
+      t(s, d, "orders")
+        .agg(round(min("o_totalprice"), 2).as("mn"), round(max("o_totalprice"), 2).as("mx"), count(lit(1)).as("n"))
+    },
+
+    Op("agg_rollup",
+      "SELECT c_nationkey, c_mktsegment, COUNT(*) AS c, ROUND(SUM(c_acctbal),2) AS bal FROM customer " +
+      "GROUP BY ROLLUP(c_nationkey, c_mktsegment) ORDER BY c_nationkey NULLS FIRST, c_mktsegment NULLS FIRST") { (s, d) =>
+      t(s, d, "customer")
+        .rollup("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("c"), round(sum("c_acctbal"), 2).as("bal"))
+        .orderBy(col("c_nationkey").asc_nulls_first, col("c_mktsegment").asc_nulls_first)
+    },
+
+    Op("agg_cube",
+      "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS c FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) " +
+      "ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST") { (s, d) =>
+      t(s, d, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    },
+
+    Op("agg_grouping_sets",
+      "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS c, CAST(GROUPING(o_orderstatus) AS INTEGER) AS g1, " +
+      "CAST(GROUPING(o_orderpriority) AS INTEGER) AS g2 FROM orders " +
+      "GROUP BY GROUPING SETS ((o_orderstatus),(o_orderpriority),()) " +
+      "ORDER BY g1, g2, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST") { (s, d) =>
+      Tables.ensure(s, d)
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS c, CAST(GROUPING(o_orderstatus) AS INT) AS g1,
+          |CAST(GROUPING(o_orderpriority) AS INT) AS g2 FROM orders
+          |GROUP BY GROUPING SETS ((o_orderstatus),(o_orderpriority),())
+          |ORDER BY g1, g2, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+    },
+
+    Op("agg_stats",
+      "SELECT ROUND(STDDEV_SAMP(l_quantity),2) AS sd, ROUND(VAR_SAMP(l_quantity),2) AS vr, " +
+      "ROUND(CORR(l_quantity,l_extendedprice),2) AS cr FROM lineitem") { (s, d) =>
+      t(s, d, "lineitem")
+        .agg(round(stddev_samp(col("l_quantity")), 2).as("sd"),
+          round(var_samp(col("l_quantity")), 2).as("vr"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 2).as("cr"))
+    },
+
+    Op("agg_median",
+      "SELECT ROUND(MEDIAN(l_quantity),2) AS med, ROUND(QUANTILE_CONT(l_quantity,0.9),2) AS p90 FROM lineitem") { (s, d) =>
+      t(s, d, "lineitem")
+        .agg(round(median(col("l_quantity")), 2).as("med"),
+          round(percentile(col("l_quantity"), lit(0.9)), 2).as("p90"))
+    },
+
+    // Sketch-based distinct: not oracle-comparable (Spark HLL++ vs DuckDB HLL
+    // produce different estimates) — exactness asserted in ScalaTest instead.
+    Op.rowsOnly("agg_approx_distinct") { (s, d) =>
+      t(s, d, "lineitem")
+        .agg(approx_count_distinct(col("l_suppkey")).as("approx_s"),
+          approx_count_distinct(col("l_partkey")).as("approx_p"))
+    }
+  )
+}

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorFunctions._
+
+/** Similarity search over the `embeddings` table (additive training-pipeline
+  * scope; the reference has no vector ops).
+  *
+  * Scale design: brute-force top-k is a single codegen'd projection + a
+  * distributed TakeOrdered — linear in corpus size, the right baseline. The
+  * batch-kNN variant broadcasts the (small) query set so the corpus is
+  * scanned once with no corpus-side shuffle. The IVF variant prunes the scan
+  * to one centroid's partition — the 100x-scale path where brute force stops
+  * being acceptable.
+  */
+object Embeddings {
+
+  private def emb(spark: SparkSession, dir: String): DataFrame = {
+    Tables.ensure(spark, dir)
+    spark.table("embeddings")
+  }
+
+  /** Brute-force cosine top-k against a single query vector (driver-side
+    * literal — it is the query parameter, not data).
+    */
+  def cosineTopK(corpus: DataFrame, query: Seq[Double], k: Int): DataFrame = {
+    val cos = round(cosine(asDouble(col("embedding")), typedLit(query)), 6).as("cos")
+    corpus.select(col("vec_id"), cos).orderBy(col("cos").desc, col("vec_id")).limit(k)
+  }
+
+  /** Batch kNN: top-n neighbors for every query row, via broadcast join +
+    * per-query window top-n.
+    */
+  def knnJoin(queries: DataFrame, corpus: DataFrame, n: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
+    val c = corpus.select(col("vec_id").as("cid"), asDouble(col("embedding")).as("cv"))
+    val scored = broadcast(q).join(c, col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), round(cosine(col("qv"), col("cv")), 6).as("cos"))
+    val rn = row_number().over(Window.partitionBy("qid").orderBy(col("cos").desc, col("cid")))
+    scored.withColumn("rn", rn).filter(col("rn") <= n).drop("rn")
+  }
+
+  /** IVF-style pruned search: assign every corpus vector to its nearest
+    * centroid (a broadcast argmax), then search only the probe's cluster.
+    * Deterministic centroids: the first `nCentroids` vectors.
+    */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val c = centroids.select(col("vec_id").as("cent_id"), asDouble(col("embedding")).as("cent"))
+    val scored = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .crossJoin(broadcast(c))
+      .select(col("vec_id"), col("v"), col("cent_id"), cosine(col("v"), col("cent")).as("sim"))
+    val best = row_number().over(Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cent_id")))
+    scored.withColumn("rn", best).filter(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id"), col("v"))
+  }
+
+  def ivfSearch(corpus: DataFrame, centroids: DataFrame, query: Seq[Double], k: Int): DataFrame = {
+    val assigned = ivfAssign(corpus, centroids)
+    // Probe cluster = centroid nearest to the query vector, computed on the
+    // centroid set itself (tiny, broadcast).
+    assigned
+      .join(broadcast(
+        centroids.select(col("vec_id").as("cent_id"), asDouble(col("embedding")).as("cent"))
+          .select(col("cent_id"), cosine(col("cent"), typedLit(query)).as("qsim"))
+          .orderBy(col("qsim").desc, col("cent_id")).limit(1).select("cent_id")), "cent_id")
+      .select(col("vec_id"), round(cosine(col("v"), typedLit(query)), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(k)
+  }
+
+  val ops: Seq[Op] = Seq(
+    Op("embed_cosine_topk",
+      "SELECT vec_id, ROUND(LIST_COSINE_SIMILARITY(CAST(embedding AS DOUBLE[]), " +
+      "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id=0)),6) AS cos " +
+      "FROM embeddings WHERE vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 10") { (s, d) =>
+      val e = emb(s, d)
+      val query = e.filter(col("vec_id") === 0)
+        .select(asDouble(col("embedding"))).first().getSeq[Double](0)
+      cosineTopK(e.filter(col("vec_id") =!= 0), query, 10)
+    },
+
+    Op("embed_knn",
+      "WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10), " +
+      "c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings) " +
+      "SELECT qid, cid, cos FROM (SELECT qid, cid, ROUND(LIST_COSINE_SIMILARITY(qv,cv),6) AS cos, " +
+      "ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ROUND(LIST_COSINE_SIMILARITY(qv,cv),6) DESC, cid) AS rn " +
+      "FROM q JOIN c ON qid <> cid) t WHERE rn <= 3 ORDER BY qid, cid") { (s, d) =>
+      val e = emb(s, d)
+      knnJoin(e.filter(col("vec_id") < 10), e, 3).orderBy("qid", "cid")
+    },
+
+    Op.rowsOnly("embed_ivf_topk") { (s, d) =>
+      val e = emb(s, d)
+      val query = e.filter(col("vec_id") === 0)
+        .select(asDouble(col("embedding"))).first().getSeq[Double](0)
+      ivfSearch(e.filter(col("vec_id") =!= 0), e.filter(col("vec_id") < 8), query, 10)
+    }
+  )
+}

@@ -1,0 +1,211 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Core relational operators: scans, projections, filters, joins, subqueries.
+  *
+  * Covers SURVEY.md §2.B "Scans / Projections / Filters / Joins": the SQL
+  * surface the reference delegates to DuckDB (evidence: TPC-H corpus
+  * `/root/reference/queries/h01-h22.sql`, capability flags
+  * `/root/reference/src/duckdb/duckdb_sql_info.cpp:193-388`), re-expressed as
+  * declarative DataFrame plans so Catalyst handles pushdown, join selection
+  * (broadcast for the dimension tables here) and AQE at scale.
+  */
+object Relational {
+
+  /** Timestamp-NTZ literal — the test data's timestamps are parquet
+    * isAdjustedToUTC=false, which Spark reads as TIMESTAMP_NTZ.
+    */
+  private[operators] def ts(s: String): Column = lit(java.time.LocalDateTime.parse(s))
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    Tables.ensure(spark, dir)
+    spark.table(name)
+  }
+
+  val ops: Seq[Op] = Seq(
+    Op("scan_count", "SELECT COUNT(*) AS n FROM lineitem") { (s, d) =>
+      t(s, d, "lineitem").agg(count(lit(1)).as("n"))
+    },
+
+    Op("scan_region", "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey") { (s, d) =>
+      t(s, d, "region").select("r_regionkey", "r_name").orderBy("r_regionkey")
+    },
+
+    Op("proj_arith",
+      "SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice*(1-l_discount),2) AS disc_price " +
+      "FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100") { (s, d) =>
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("disc_price"))
+        .orderBy("l_orderkey", "l_linenumber").limit(100)
+    },
+
+    Op("filter_between",
+      "SELECT COUNT(*) AS n FROM lineitem WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24") { (s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(count(lit(1)).as("n"))
+    },
+
+    Op("filter_in_like",
+      "SELECT COUNT(*) AS n_like, CAST(SUM(CASE WHEN p_type NOT LIKE '%E%' THEN 1 ELSE 0 END) AS BIGINT) AS n_notlike " +
+      "FROM part WHERE p_brand IN ('Brand#1','Brand#2','Brand#33') AND p_type LIKE '%A%'") { (s, d) =>
+      t(s, d, "part")
+        .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#33") && col("p_type").like("%A%"))
+        .agg(count(lit(1)).as("n_like"),
+          sum(when(!col("p_type").like("%E%"), 1).otherwise(0)).cast("long").as("n_notlike"))
+    },
+
+    Op("filter_case",
+      "SELECT o_orderstatus, CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS hi, COUNT(*) AS n " +
+      "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus") { (s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)).cast("long").as("hi"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    },
+
+    // TPC-H h03 shape: 3-way join; customer is small -> Catalyst broadcasts it,
+    // lineitem-orders is the only shuffle (on the join key) at scale.
+    Op("join_inner_h03",
+      "SELECT o_orderkey, ROUND(SUM(l_extendedprice*(1-l_discount)),2) AS revenue, CAST(o_orderdate AS DATE) AS odate " +
+      "FROM customer JOIN orders ON c_custkey=o_custkey JOIN lineitem ON l_orderkey=o_orderkey " +
+      "WHERE c_mktsegment='BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate > TIMESTAMP '1997-01-01' " +
+      "GROUP BY o_orderkey, o_orderdate ORDER BY revenue DESC, o_orderkey LIMIT 10") { (s, d) =>
+      val customer = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val orders = t(s, d, "orders").filter(col("o_orderdate") < ts("1998-01-01T00:00"))
+      val lineitem = t(s, d, "lineitem").filter(col("l_shipdate") > ts("1997-01-01T00:00"))
+      broadcast(customer)
+        .join(orders, col("c_custkey") === col("o_custkey"))
+        .join(lineitem, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .select(col("o_orderkey"), col("revenue"), col("o_orderdate").cast("date").as("odate"))
+        .orderBy(col("revenue").desc, col("o_orderkey")).limit(10)
+    },
+
+    // TPC-H h13: left outer join + agg-of-agg histogram.
+    Op("join_left_hist",
+      "SELECT c_count, COUNT(*) AS custdist FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count " +
+      "FROM customer LEFT JOIN orders ON c_custkey=o_custkey GROUP BY c_custkey) t " +
+      "GROUP BY c_count ORDER BY custdist DESC, c_count DESC") { (s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    Op("join_right",
+      "SELECT n_name, COUNT(c_custkey) AS c FROM customer RIGHT JOIN nation ON c_nationkey=n_nationkey " +
+      "GROUP BY n_name ORDER BY n_name") { (s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "nation"), col("c_nationkey") === col("n_nationkey"), "right")
+        .groupBy("n_name").agg(count(col("c_custkey")).as("c"))
+        .orderBy("n_name")
+    },
+
+    Op("join_full",
+      "SELECT COALESCE(a.k,b.k) AS k, cust_cnt, supp_cnt FROM " +
+      "(SELECT c_nationkey AS k, COUNT(*) AS cust_cnt FROM customer GROUP BY 1) a FULL JOIN " +
+      "(SELECT s_nationkey AS k, COUNT(*) AS supp_cnt FROM supplier GROUP BY 1) b ON a.k=b.k ORDER BY k") { (s, d) =>
+      val a = t(s, d, "customer").groupBy(col("c_nationkey").as("ka")).agg(count(lit(1)).as("cust_cnt"))
+      val b = t(s, d, "supplier").groupBy(col("s_nationkey").as("kb")).agg(count(lit(1)).as("supp_cnt"))
+      a.join(b, col("ka") === col("kb"), "full")
+        .select(coalesce(col("ka"), col("kb")).as("k"), col("cust_cnt"), col("supp_cnt"))
+        .orderBy("k")
+    },
+
+    Op("join_cross",
+      "SELECT r1.r_name AS a, r2.r_name AS b FROM region r1 CROSS JOIN region r2 ORDER BY a, b") { (s, d) =>
+      val r = t(s, d, "region")
+      r.select(col("r_name").as("a")).crossJoin(r.select(col("r_name").as("b"))).orderBy("a", "b")
+    },
+
+    // EXISTS -> left semi join (h04 shape).
+    Op("join_semi",
+      "SELECT o_orderpriority, COUNT(*) AS c FROM orders WHERE EXISTS " +
+      "(SELECT 1 FROM lineitem WHERE l_orderkey=o_orderkey AND l_shipdate > o_orderdate) " +
+      "GROUP BY o_orderpriority ORDER BY o_orderpriority") { (s, d) =>
+      t(s, d, "orders")
+        .join(t(s, d, "lineitem"),
+          col("l_orderkey") === col("o_orderkey") && col("l_shipdate") > col("o_orderdate"),
+          "left_semi")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("c"))
+        .orderBy("o_orderpriority")
+    },
+
+    // NOT EXISTS -> left anti join.
+    Op("join_anti",
+      "SELECT COUNT(*) AS n FROM customer WHERE NOT EXISTS " +
+      "(SELECT 1 FROM orders WHERE o_custkey=c_custkey AND o_orderdate >= TIMESTAMP '2001-01-01')") { (s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders").filter(col("o_orderdate") >= ts("2001-01-01T00:00")),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // Non-equi self join (h21 shape: same order, different supplier).
+    Op("join_theta",
+      "SELECT COUNT(*) AS n FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey=l2.l_orderkey AND l1.l_suppkey <> l2.l_suppkey") { (s, d) =>
+      val l1 = t(s, d, "lineitem").select(col("l_orderkey").as("k1"), col("l_suppkey").as("s1"))
+      val l2 = t(s, d, "lineitem").select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+      // Equi key carries the shuffle; the <> predicate stays a post-join filter,
+      // so this remains a sort-merge/hash join (not a nested loop) at scale.
+      l1.join(l2, col("k1") === col("k2") && col("s1") =!= col("s2"))
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // h07 shape: 6-way join with aliased nation self-join.
+    Op("join_self_nation",
+      "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS l_year, " +
+      "ROUND(SUM(l_extendedprice*(1-l_discount)),2) AS revenue " +
+      "FROM supplier JOIN lineitem ON s_suppkey=l_suppkey JOIN orders ON o_orderkey=l_orderkey " +
+      "JOIN customer ON c_custkey=o_custkey JOIN nation n1 ON s_nationkey=n1.n_nationkey " +
+      "JOIN nation n2 ON c_nationkey=n2.n_nationkey " +
+      "WHERE n1.n_name IN ('NATION_1','NATION_2') AND n2.n_name IN ('NATION_1','NATION_2') AND n1.n_name <> n2.n_name " +
+      "GROUP BY 1,2,3 ORDER BY 1,2,3") { (s, d) =>
+      val n1 = t(s, d, "nation").filter(col("n_name").isin("NATION_1", "NATION_2"))
+        .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+      val n2 = t(s, d, "nation").filter(col("n_name").isin("NATION_1", "NATION_2"))
+        .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+      t(s, d, "supplier")
+        .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+        .join(t(s, d, "lineitem"), col("s_suppkey") === col("l_suppkey"))
+        .join(t(s, d, "orders"), col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, d, "customer"), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+
+    // Correlated scalar subquery (h17 shape) — expressed via spark.sql so
+    // Catalyst's decorrelation rewrites it into an aggregate + join.
+    Op("subq_scalar",
+      "SELECT ROUND(SUM(l_extendedprice)/7.0,2) AS avg_yearly FROM lineitem JOIN part ON p_partkey=l_partkey " +
+      "WHERE p_brand='Brand#1' AND l_quantity < (SELECT 0.2*AVG(l_quantity) FROM lineitem l2 WHERE l2.l_partkey=p_partkey)") { (s, d) =>
+      Tables.ensure(s, d)
+      s.sql(
+        """SELECT ROUND(SUM(l_extendedprice)/7.0,2) AS avg_yearly FROM lineitem JOIN part ON p_partkey=l_partkey
+          |WHERE p_brand='Brand#1' AND l_quantity < (SELECT 0.2*AVG(l_quantity) FROM lineitem l2 WHERE l2.l_partkey=p_partkey)""".stripMargin)
+    },
+
+    Op("subq_in",
+      "SELECT COUNT(*) AS n FROM orders WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment='BUILDING')") { (s, d) =>
+      Tables.ensure(s, d)
+      s.sql("SELECT COUNT(*) AS n FROM orders WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment='BUILDING')")
+    },
+
+    Op("subq_notin",
+      "SELECT COUNT(*) AS n FROM supplier WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_regionkey=0)") { (s, d) =>
+      Tables.ensure(s, d)
+      s.sql("SELECT COUNT(*) AS n FROM supplier WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_regionkey=0)")
+    }
+  )
+}

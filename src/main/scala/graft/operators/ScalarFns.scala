@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Scalar function library (SURVEY.md §2.B "Scalar function library"):
+  * string, math, date/time, array/list, struct/map, JSON — the intersection
+  * of the reference's declared surface (`duckdb_sql_info.cpp:96-186`) with
+  * Spark built-ins. Everything here is a codegen'd Catalyst expression; no
+  * UDFs.
+  *
+  * Cross-engine type notes baked into the oracle SQL: DuckDB LENGTH/
+  * LEVENSHTEIN/ROW_NUMBER return BIGINT where Spark returns INT (oracle
+  * casts); DuckDB EXTRACT(DOW) is 0=Sunday where Spark dayofweek is
+  * 1=Sunday (Spark side subtracts 1).
+  */
+object ScalarFns {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    Tables.ensure(spark, dir)
+    spark.table(name)
+  }
+
+  val ops: Seq[Op] = Seq(
+    Op("fn_string",
+      "SELECT p_partkey, UPPER(p_brand) AS up, LOWER(p_type) AS lo, SUBSTRING(p_type,1,4) AS t4, " +
+      "CAST(LENGTH(p_name) AS INTEGER) AS len, CONCAT(p_brand,'-',p_type) AS ct, REPLACE(p_type,'A','_') AS rp, " +
+      "LPAD(CAST(p_size AS VARCHAR),5,'0') AS pd, TRIM(CONCAT(' ',p_name,' ')) AS tr, REVERSE(p_brand) AS rv " +
+      "FROM part ORDER BY p_partkey LIMIT 100") { (s, d) =>
+      t(s, d, "part").select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("up"),
+        lower(col("p_type")).as("lo"),
+        substring(col("p_type"), 1, 4).as("t4"),
+        length(col("p_name")).as("len"),
+        concat(col("p_brand"), lit("-"), col("p_type")).as("ct"),
+        regexp_replace(col("p_type"), "A", "_").as("rp"),
+        lpad(col("p_size").cast("string"), 5, "0").as("pd"),
+        trim(concat(lit(" "), col("p_name"), lit(" "))).as("tr"),
+        reverse(col("p_brand")).as("rv")
+      ).orderBy("p_partkey").limit(100)
+    },
+
+    Op("fn_string2",
+      "SELECT p_partkey, LEFT(p_name,4) AS lf, RIGHT(p_name,3) AS rt, REPEAT(p_brand,2) AS rp2, MD5(p_name) AS h, " +
+      "CAST(LEVENSHTEIN(p_type,'SMALL') AS INTEGER) AS lev, CAST(POSITION('a' IN p_name) AS INTEGER) AS pos, " +
+      "CONTAINS(p_name,'ring') AS has_ring, SPLIT_PART(p_name,' ',1) AS w1 FROM part ORDER BY p_partkey LIMIT 100") { (s, d) =>
+      t(s, d, "part").select(
+        col("p_partkey"),
+        expr("left(p_name, 4)").as("lf"),
+        expr("right(p_name, 3)").as("rt"),
+        repeat(col("p_brand"), 2).as("rp2"),
+        md5(col("p_name")).as("h"),
+        levenshtein(col("p_type"), lit("SMALL")).as("lev"),
+        instr(col("p_name"), "a").as("pos"),
+        col("p_name").contains("ring").as("has_ring"),
+        expr("split_part(p_name, ' ', 1)").as("w1")
+      ).orderBy("p_partkey").limit(100)
+    },
+
+    Op("fn_math",
+      "SELECT l_orderkey, l_linenumber, ROUND(SQRT(l_quantity),6) AS sq, CAST(CEIL(l_discount*100) AS BIGINT) AS ce, " +
+      "CAST(FLOOR(l_tax*100) AS BIGINT) AS fl, ROUND(LN(l_extendedprice),6) AS ln_p, ROUND(LOG10(l_extendedprice),6) AS lg10, " +
+      "ROUND(POWER(l_quantity,2),4) AS pw, CAST(MOD(l_linenumber,3) AS INTEGER) AS md, CAST(SIGN(l_discount-0.05) AS DOUBLE) AS sg, " +
+      "ROUND(EXP(l_discount),6) AS ex, CAST(GREATEST(l_quantity,l_discount*100) AS DOUBLE) AS gr, " +
+      "CAST(LEAST(l_tax,l_discount) AS DOUBLE) AS ls FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100") { (s, d) =>
+      t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(sqrt(col("l_quantity")), 6).as("sq"),
+        ceil(col("l_discount") * 100).as("ce"),
+        floor(col("l_tax") * 100).as("fl"),
+        round(log(col("l_extendedprice")), 6).as("ln_p"),
+        round(log10(col("l_extendedprice")), 6).as("lg10"),
+        round(pow(col("l_quantity"), 2), 4).as("pw"),
+        (col("l_linenumber") % 3).as("md"),
+        signum(col("l_discount") - 0.05).cast("double").as("sg"),
+        round(exp(col("l_discount")), 6).as("ex"),
+        greatest(col("l_quantity"), col("l_discount") * 100).cast("double").as("gr"),
+        least(col("l_tax"), col("l_discount")).cast("double").as("ls")
+      ).orderBy("l_orderkey", "l_linenumber").limit(100)
+    },
+
+    Op("fn_datetime",
+      "SELECT o_orderkey, CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS y, CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS mo, " +
+      "CAST(EXTRACT(DAY FROM o_orderdate) AS INTEGER) AS d, CAST(DATE_TRUNC('MONTH',o_orderdate) AS DATE) AS mstart, " +
+      "CAST(o_orderdate + INTERVAL 1 YEAR AS DATE) AS plus1y, CAST(LAST_DAY(CAST(o_orderdate AS DATE)) AS DATE) AS eom, " +
+      "CAST(EXTRACT(DOW FROM o_orderdate) AS INTEGER) AS dow, CAST(EXTRACT(WEEK FROM o_orderdate) AS INTEGER) AS wk, " +
+      "CAST(EXTRACT(DOY FROM o_orderdate) AS INTEGER) AS doy, " +
+      "CAST(DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INTEGER) AS days_to_y2k, " +
+      "STRFTIME(o_orderdate, '%Y-%m') AS ym FROM orders ORDER BY o_orderkey LIMIT 200") { (s, d) =>
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("mstart"),
+        expr("CAST(o_orderdate + INTERVAL '1' YEAR AS DATE)").as("plus1y"),
+        last_day(col("o_orderdate").cast("date")).as("eom"),
+        (dayofweek(col("o_orderdate")) - 1).as("dow"),
+        weekofyear(col("o_orderdate")).as("wk"),
+        dayofyear(col("o_orderdate")).as("doy"),
+        datediff(lit(java.sql.Date.valueOf("2000-01-01")), col("o_orderdate").cast("date")).as("days_to_y2k"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym")
+      ).orderBy("o_orderkey").limit(200)
+    },
+
+    Op("fn_array",
+      "SELECT o_orderkey, SPLIT_PART(o_orderpriority,'-',1) AS pri_num, CAST(LEN(STRING_SPLIT(o_orderpriority,'-')) AS INTEGER) AS ntok, " +
+      "STRING_SPLIT(o_orderpriority,'-')[2] AS pri_word FROM orders ORDER BY o_orderkey LIMIT 100") { (s, d) =>
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        expr("split_part(o_orderpriority, '-', 1)").as("pri_num"),
+        size(split(col("o_orderpriority"), "-")).as("ntok"),
+        element_at(split(col("o_orderpriority"), "-"), 2).as("pri_word")
+      ).orderBy("o_orderkey").limit(100)
+    },
+
+    Op("fn_explode",
+      "SELECT CAST(n_nationkey AS INTEGER) AS nk, CAST(UNNEST(GENERATE_SERIES(1,3)) AS INTEGER) AS i " +
+      "FROM nation WHERE n_nationkey < 3 ORDER BY nk, i") { (s, d) =>
+      t(s, d, "nation")
+        .filter(col("n_nationkey") < 3)
+        .select(col("n_nationkey").as("nk"), explode(sequence(lit(1), lit(3))).as("i"))
+        .orderBy("nk", "i")
+    },
+
+    Op("fn_json",
+      "SELECT event_id, CAST(JSON_EXTRACT_STRING(props,'$.k') AS INTEGER) AS k FROM events ORDER BY event_id LIMIT 200") { (s, d) =>
+      t(s, d, "events")
+        .select(col("event_id"), get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .orderBy("event_id").limit(200)
+    },
+
+    Op("fn_struct",
+      "SELECT n_nationkey, STRUCT_PACK(key := n_nationkey, name := n_name).name AS sname, " +
+      "MAP_EXTRACT(MAP([n_name],[n_nationkey]), n_name)[1] AS mval FROM nation ORDER BY n_nationkey") { (s, d) =>
+      t(s, d, "nation").select(
+        col("n_nationkey"),
+        struct(col("n_nationkey").as("key"), col("n_name").as("name")).getField("name").as("sname"),
+        element_at(map(col("n_name"), col("n_nationkey")), col("n_name")).as("mval")
+      ).orderBy("n_nationkey")
+    }
+  )
+}

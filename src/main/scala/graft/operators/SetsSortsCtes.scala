@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import Relational.ts
+
+/** Set operations, sorts/top-k, and CTEs (SURVEY.md §2.B "Set operations",
+  * "Sorts / limits / top-k", "CTEs, derived tables, subqueries").
+  *
+  * NULL-ordering parity: the reference declares NULLS SORTED AT END
+  * (`duckdb_sql_info.cpp:226-227`) while Spark's ascending default is NULLS
+  * FIRST — every sort over nullable keys here states its null order
+  * explicitly on both sides.
+  */
+object SetsSortsCtes {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    Tables.ensure(spark, dir)
+    spark.table(name)
+  }
+
+  val ops: Seq[Op] = Seq(
+    // ORDER BY + LIMIT compiles to TakeOrderedAndProject (distributed top-k:
+    // per-partition heaps, no global sort).
+    Op("topk",
+      "SELECT s_name, ROUND(s_acctbal,2) AS bal FROM supplier ORDER BY bal DESC, s_name LIMIT 10") { (s, d) =>
+      t(s, d, "supplier")
+        .select(col("s_name"), round(col("s_acctbal"), 2).as("bal"))
+        .orderBy(col("bal").desc, col("s_name")).limit(10)
+    },
+
+    Op("sort_nulls",
+      "SELECT c_custkey, NULLIF(c_mktsegment,'BUILDING') AS seg FROM customer ORDER BY seg NULLS FIRST, c_custkey LIMIT 100") { (s, d) =>
+      t(s, d, "customer")
+        .select(col("c_custkey"), nullif(col("c_mktsegment"), lit("BUILDING")).as("seg"))
+        .orderBy(col("seg").asc_nulls_first, col("c_custkey")).limit(100)
+    },
+
+    Op("set_intersect",
+      "SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey FROM supplier ORDER BY k") { (s, d) =>
+      t(s, d, "customer").select(col("c_nationkey").as("k"))
+        .intersect(t(s, d, "supplier").select(col("s_nationkey").as("k")))
+        .orderBy("k")
+    },
+
+    Op("set_union",
+      "SELECT c_nationkey AS k FROM customer UNION SELECT s_nationkey FROM supplier ORDER BY k") { (s, d) =>
+      t(s, d, "customer").select(col("c_nationkey").as("k"))
+        .union(t(s, d, "supplier").select(col("s_nationkey").as("k")))
+        .distinct()
+        .orderBy("k")
+    },
+
+    Op("set_union_all",
+      "SELECT COUNT(*) AS n FROM (SELECT c_nationkey AS k FROM customer UNION ALL SELECT s_nationkey FROM supplier) t") { (s, d) =>
+      t(s, d, "customer").select(col("c_nationkey").as("k"))
+        .union(t(s, d, "supplier").select(col("s_nationkey").as("k")))
+        .agg(count(lit(1)).as("n"))
+    },
+
+    Op("set_except",
+      "SELECT k FROM (SELECT DISTINCT c_nationkey AS k FROM customer EXCEPT SELECT n_nationkey FROM nation WHERE n_regionkey=0) t ORDER BY k") { (s, d) =>
+      t(s, d, "customer").select(col("c_nationkey").as("k")).distinct()
+        .except(t(s, d, "nation").filter(col("n_regionkey") === 0).select(col("n_nationkey").as("k")))
+        .orderBy("k")
+    },
+
+    // TPC-H h15: CTE reused both as join input and inside a scalar subquery.
+    Op("cte_h15",
+      "WITH revenue AS (SELECT l_suppkey AS supplier_no, ROUND(SUM(l_extendedprice*(1-l_discount)),2) AS total_revenue " +
+      "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY l_suppkey) " +
+      "SELECT s_suppkey, s_name, total_revenue FROM supplier JOIN revenue ON s_suppkey=supplier_no " +
+      "WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue) ORDER BY s_suppkey") { (s, d) =>
+      val revenue = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= ts("1996-01-01T00:00") && col("l_shipdate") < ts("1996-04-01T00:00"))
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("total_revenue"))
+      val maxRev = revenue.agg(max("total_revenue").as("m"))
+      t(s, d, "supplier")
+        .join(revenue, col("s_suppkey") === col("supplier_no"))
+        .join(broadcast(maxRev), col("total_revenue") === col("m"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    }
+  )
+}

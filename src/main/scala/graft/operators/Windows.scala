@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Window functions (SURVEY.md §2.B "Window functions"): ranking, analytic,
+  * and frame-based aggregates over `Window.partitionBy(..).orderBy(..)`.
+  * Partitioned windows parallelize across executors (one shuffle on the
+  * partition key); only a window with no PARTITION BY (win_ntile here)
+  * degenerates to a single-partition sort — acceptable for ntile's semantics,
+  * flagged for scale.
+  */
+object Windows {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    Tables.ensure(spark, dir)
+    spark.table(name)
+  }
+
+  private val byCust = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+  private val byNationBal = Window.partitionBy("s_nationkey").orderBy(col("s_acctbal").desc)
+
+  val ops: Seq[Op] = Seq(
+    Op("win_rownum",
+      "SELECT o_custkey, o_orderkey, CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS rn " +
+      "FROM orders ORDER BY o_custkey, rn LIMIT 100") { (s, d) =>
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), row_number().over(byCust).as("rn"))
+        .orderBy("o_custkey", "rn").limit(100)
+    },
+
+    Op("win_rank",
+      "SELECT s_nationkey, s_suppkey, CAST(RANK() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS INTEGER) AS rk, " +
+      "CAST(DENSE_RANK() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS INTEGER) AS drk " +
+      "FROM supplier ORDER BY s_nationkey, rk, s_suppkey") { (s, d) =>
+      t(s, d, "supplier")
+        .select(col("s_nationkey"), col("s_suppkey"),
+          rank().over(byNationBal).as("rk"), dense_rank().over(byNationBal).as("drk"))
+        .orderBy("s_nationkey", "rk", "s_suppkey")
+    },
+
+    Op("win_lag_lead",
+      "SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d, " +
+      "CAST(LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DATE) AS prev_d, " +
+      "CAST(LEAD(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DATE) AS next_d " +
+      "FROM orders ORDER BY o_custkey, o_orderkey LIMIT 200") { (s, d) =>
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate").cast("date").as("d"),
+          lag(col("o_orderdate"), 1).over(byCust).cast("date").as("prev_d"),
+          lead(col("o_orderdate"), 1).over(byCust).cast("date").as("next_d"))
+        .orderBy("o_custkey", "o_orderkey").limit(200)
+    },
+
+    Op("win_running_sum",
+      "SELECT o_custkey, o_orderkey, ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS run_total FROM orders ORDER BY o_custkey, o_orderkey LIMIT 200") { (s, d) =>
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(sum("o_totalprice").over(byCust.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2).as("run_total"))
+        .orderBy("o_custkey", "o_orderkey").limit(200)
+    },
+
+    Op("win_ntile",
+      "SELECT o_orderkey, CAST(NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS tile " +
+      "FROM orders ORDER BY o_orderkey LIMIT 200") { (s, d) =>
+      t(s, d, "orders")
+        .select(col("o_orderkey"),
+          ntile(4).over(Window.orderBy("o_totalprice", "o_orderkey")).as("tile"))
+        .orderBy("o_orderkey").limit(200)
+    },
+
+    Op("win_first_last",
+      "SELECT s_nationkey, s_suppkey, " +
+      "FIRST_VALUE(s_name) OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_s, " +
+      "LAST_VALUE(s_name) OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_s " +
+      "FROM supplier ORDER BY s_nationkey, s_suppkey") { (s, d) =>
+      val full = byNationBal.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, d, "supplier")
+        .select(col("s_nationkey"), col("s_suppkey"),
+          first(col("s_name")).over(full).as("first_s"),
+          last(col("s_name")).over(full).as("last_s"))
+        .orderBy("s_nationkey", "s_suppkey")
+    }
+  )
+}
