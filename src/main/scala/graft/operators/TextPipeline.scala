@@ -59,12 +59,24 @@ object TextPipeline {
     */
   def minhashCandidates(d: DataFrame, numHashes: Int = 16, bands: Int = 8): DataFrame = {
     val rowsPer = numHashes / bands
-    val sig = d.select(col("doc_id"),
-      minhashSignature(array_distinct(wordShingles(col("text"), 3)), numHashes).as("sig"))
-    val buckets = sig.select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(col("sig"), b * lit(rowsPer) + 1, lit(rowsPer))))))
-      .toDF("doc_id", "band", "bucket")
+    val spark = d.sparkSession
+    // Stay codegen-friendly: higher-order lambdas (transform/aggregate) fall
+    // back to interpreted eval, so the hot path hashes each shingle ONCE with
+    // a codegen'd xxhash64 and derives the `numHashes` permutations by
+    // re-hashing (hash, pos) — never a nested lambda over the gram list.
+    val gramHash = d
+      .select(col("doc_id"), explode(array_distinct(wordShingles(col("text"), 3))).as("gram"))
+      .select(col("doc_id"), xxhash64(col("gram")).as("h"))
+    val idx = spark.range(0, numHashes).select(col("id").cast("int").as("pos"))
+    // (doc, gram) x numHashes rows; the groupBy below map-side-combines down
+    // to docs x numHashes before the shuffle, so scale cost is linear in
+    // corpus size with a tiny shuffle.
+    val sig = gramHash.join(broadcast(idx))
+      .select(col("doc_id"), col("pos"), xxhash64(col("h"), col("pos")).as("hj"))
+      .groupBy("doc_id", "pos").agg(min("hj").as("mh"))
+    val buckets = sig
+      .groupBy(col("doc_id"), (col("pos") / lit(rowsPer)).cast("int").as("band"))
+      .agg(xxhash64(sort_array(collect_list(struct(col("pos"), col("mh"))))).as("bucket"))
     buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
