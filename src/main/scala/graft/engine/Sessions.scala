@@ -1,0 +1,87 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.StructType
+import java.util.UUID
+import java.util.concurrent.ConcurrentHashMap
+import scala.jdk.CollectionConverters._
+
+/** Per-client session state: an isolated `SparkSession.newSession()` (own
+  * temp views, conf, UDFs — the Spark analogue of the reference's dedicated
+  * engine connection per session,
+  * `/root/reference/src/common/include/detail/session_context.h:64-113`),
+  * session settings, prepared statements, and a kill flag.
+  */
+final class SessionState(
+    val id: String,
+    val user: String,
+    val role: String,
+    val spark: SparkSession,
+    val settings: SessionSettings) {
+
+  final case class Prepared(handle: String, sql: String, schema: StructType)
+
+  private val prepared = new ConcurrentHashMap[String, Prepared]()
+  @volatile var killRequested: Boolean = false
+
+  /** Job-group tag for everything this session runs — the cancellation hook. */
+  def jobGroup: String = s"graft-session-$id"
+
+  def prepare(sql: String): Prepared = {
+    // Analysis only — no execution (reference computes the schema from the
+    // prepared statement without running it, duckdb_statement.cpp:2456-2467).
+    val schema = spark.sql(sql).schema
+    val p = Prepared(UUID.randomUUID().toString, sql, schema)
+    prepared.put(p.handle, p)
+    p
+  }
+
+  def lookupPrepared(handle: String): Option[Prepared] = Option(prepared.get(handle))
+  def closePrepared(handle: String): Boolean = prepared.remove(handle) != null
+  def preparedCount: Int = prepared.size()
+
+  def isAdmin: Boolean = role == "admin"
+  def isReadOnly: Boolean = role == "readonly"
+}
+
+/** Session registry with killed-session tombstones — `KILL SESSION` stays
+  * idempotent across the two-phase GetFlightInfo/DoGet exchange
+  * (`/root/reference/src/duckdb/duckdb_server.cpp:1231-1263`).
+  */
+final class SessionManager(root: SparkSession, global: GlobalSettings) {
+  private val sessions = new ConcurrentHashMap[String, SessionState]()
+  private val killedTombstones = ConcurrentHashMap.newKeySet[String]()
+
+  def getOrCreate(sessionId: String, user: String, role: String): SessionState = {
+    if (killedTombstones.contains(sessionId))
+      throw new IllegalStateException(s"session $sessionId was killed")
+    sessions.computeIfAbsent(sessionId, _ =>
+      new SessionState(sessionId, user, role, root.newSession(), new SessionSettings(global)))
+  }
+
+  /** Non-creating lookup (reference `:917-955` — liveness probes must not
+    * resurrect sessions).
+    */
+  def lookup(sessionId: String): Option[SessionState] = Option(sessions.get(sessionId))
+
+  /** Kill: cancel in-flight jobs, flag the session, tombstone the id.
+    * Idempotent — killing an already-killed or unknown session succeeds.
+    */
+  def kill(sessionId: String): Boolean = {
+    killedTombstones.add(sessionId)
+    Option(sessions.remove(sessionId)) match {
+      case Some(s) =>
+        s.killRequested = true
+        root.sparkContext.cancelJobGroup(s.jobGroup)
+        true
+      case None => false
+    }
+  }
+
+  def close(sessionId: String): Unit = Option(sessions.remove(sessionId)).foreach { s =>
+    root.sparkContext.cancelJobGroup(s.jobGroup)
+  }
+
+  def isKilled(sessionId: String): Boolean = killedTombstones.contains(sessionId)
+  def active: Seq[String] = sessions.keySet().asScala.toSeq
+}

@@ -1,0 +1,144 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import java.util.concurrent.{Executors, TimeUnit, TimeoutException}
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+import scala.jdk.CollectionConverters._
+
+/** The SQL front door — re-implements the reference's statement-creation
+  * pipeline (`DuckDBStatement::Create`,
+  * `/root/reference/src/duckdb/duckdb_statement.cpp:744-1182`) in order:
+  * gating walk → pseudo-function registration → `gizmosql_settings()` view →
+  * KILL SESSION intercept → `SET gizmosql.*` intercept → analyze → execute
+  * with timeout + cancellation.
+  *
+  * Differences by design: pseudo-functions are real session-scoped UDFs
+  * (Catalyst constant-folds them) instead of the reference's quote-aware
+  * textual substitution (`:242-587`); cancellation is Spark's
+  * `cancelJobGroup` instead of `connection.Interrupt()` (`:2142-2192`).
+  */
+object Statement {
+
+  val Version = "graft-0.1.0"
+
+  private val KillSessionRe =
+    """(?is)^\s*KILL\s+SESSION\s+'([0-9a-zA-Z-]+)'\s*;?\s*$""".r
+  private val SetSettingRe =
+    """(?is)^\s*SET\s+(?:(SESSION|GLOBAL)\s+)?(gizmosql\.[a-z_]+)\s*=\s*'?([^';]*?)'?\s*;?\s*$""".r
+
+  private val pool = ExecutionContext.fromExecutorService(
+    Executors.newCachedThreadPool(r => {
+      val t = new Thread(r, "graft-statement")
+      t.setDaemon(true)
+      t
+    }))
+
+  /** Register the GIZMOSQL_* pseudo-functions as session-scoped UDFs
+    * (reference list at `duckdb_statement.cpp:242-587`).
+    */
+  def registerPseudoFunctions(s: SessionState, instanceId: String, clusterId: String): Unit = {
+    val spark = s.spark
+    // Capture plain strings: UDF closures ship to executors and must not drag
+    // the (non-serializable) session state along.
+    val (sid, user, role) = (s.id, s.user, s.role)
+    spark.udf.register("gizmosql_current_session", () => sid)
+    spark.udf.register("gizmosql_current_instance", () => instanceId)
+    spark.udf.register("gizmosql_current_cluster", () => clusterId)
+    spark.udf.register("gizmosql_version", () => Version)
+    spark.udf.register("gizmosql_user", () => user)
+    spark.udf.register("gizmosql_role", () => role)
+    spark.udf.register("gizmosql_edition", () => "community")
+  }
+
+  /** Refresh the `gizmosql_settings` session view (the reference rewrites the
+    * table function into a bind-parameterized VALUES, `:1636-1704`; here it
+    * is a LocalRelation temp view).
+    */
+  def refreshSettingsView(s: SessionState): Unit = {
+    val rows = s.settings.rows.map { case (n, v, sc) => Row(n, v, sc) }
+    val schema = StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("value", StringType, nullable = true),
+      StructField("scope", StringType, nullable = false)))
+    s.spark.createDataFrame(rows.asJava, schema).createOrReplaceTempView("gizmosql_settings")
+  }
+
+  private def oneRowResult(spark: SparkSession, colName: String, value: String): DataFrame = {
+    val schema = StructType(Seq(StructField(colName, StringType, nullable = false)))
+    spark.createDataFrame(List(Row(value)).asJava, schema)
+  }
+
+  /** Full pipeline: returns the result DataFrame (synthetic one-row results
+    * for intercepted commands, mirroring the reference's behavior).
+    */
+  def create(
+      sessions: SessionManager,
+      session: SessionState,
+      global: GlobalSettings,
+      sql: String): DataFrame = {
+    sql match {
+      case KillSessionRe(target) =>
+        // duckdb_statement.cpp:178-193 / :933-986
+        sessions.kill(target)
+        oneRowResult(session.spark, "result", s"session $target killed")
+
+      case SetSettingRe(scope, name, value) =>
+        val result =
+          if (scope != null && scope.equalsIgnoreCase("GLOBAL"))
+            global.set(name, value, session.isAdmin)
+          else session.settings.set(name, value)
+        result match {
+          case Left(err) => throw new IllegalArgumentException(err)
+          case Right(_) =>
+            refreshSettingsView(session)
+            oneRowResult(session.spark, "result", s"$name = $value")
+        }
+
+      case _ =>
+        StatementGuard.check(session.spark, sql, session.isAdmin, session.isReadOnly) match {
+          case StatementGuard.Blocked(reason) => throw new SecurityException(reason)
+          case StatementGuard.Allowed => session.spark.sql(sql)
+        }
+    }
+  }
+
+  /** Execute an action with the reference's timeout + interrupt semantics
+    * (`duckdb_statement.cpp:2046-2192`): the action runs on a worker thread
+    * tagged with the session's job group; on timeout the job group is
+    * cancelled and a timeout error surfaces.
+    */
+  def executeWithTimeout[A](session: SessionState, timeoutSeconds: Long)(action: => A): A = {
+    val spark = session.spark
+    val fut = Future {
+      spark.sparkContext.setJobGroup(session.jobGroup, "graft statement", interruptOnCancel = true)
+      try action finally spark.sparkContext.clearJobGroup()
+    }(pool)
+    val timeout = if (timeoutSeconds <= 0) Duration.Inf else Duration(timeoutSeconds, TimeUnit.SECONDS)
+    try Await.result(fut, timeout)
+    catch {
+      case _: TimeoutException =>
+        spark.sparkContext.cancelJobGroup(session.jobGroup)
+        throw new TimeoutException(s"query exceeded timeout of ${timeoutSeconds}s and was cancelled")
+    }
+  }
+
+  /** Convenience: run a statement end-to-end under admission control with the
+    * session's configured timeout.
+    */
+  def run(
+      sessions: SessionManager,
+      session: SessionState,
+      global: GlobalSettings,
+      admission: AdmissionController,
+      sql: String): Array[Row] = {
+    val df = create(sessions, session, global, sql)
+    val timeout = session.settings.get("gizmosql.query_timeout").flatMap(_.toLongOption).getOrElse(0L)
+    val bypass = session.isAdmin &&
+      session.settings.get("gizmosql.bypass_queue").contains("true")
+    admission.withSlot(bypass, () => session.killRequested) {
+      executeWithTimeout(session, timeout)(df.collect())
+    }
+  }
+}

@@ -1,0 +1,69 @@
+package graft.tools
+
+import graft.{GraftSession, Tables}
+import graft.engine._
+
+/** Executable end-to-end example of the engine-management layer: the same
+  * lifecycle a Flight SQL client would drive against the reference server —
+  * authenticate (Basic→JWT), open a session, set settings, run gated
+  * statements, use pseudo-functions and metadata endpoints, kill a session.
+  */
+object EngineDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    Tables.ensure(spark, dir)
+
+    val secret = "demo-secret"
+    val instanceId = "demo-instance"
+    val global = new GlobalSettings
+    val sessions = new SessionManager(spark, global)
+    val admission = new AdmissionController(4, 32, 300)
+
+    // 1. Basic auth -> JWT -> session binding, as in the reference middleware.
+    val stored = Auth.hashPassword(secret, "gizmosql_password")
+    require(Auth.checkBasic(secret, "gizmosql_password", stored))
+    val token = Auth.mintToken(secret, "gizmosql_username", "admin", instanceId)
+    val id = Auth.validate(secret, token, instanceId).fold(e => sys.error(e), identity)
+    println(s"[demo] authenticated ${id.username} role=${id.role} session=${id.sessionId}")
+
+    val session = sessions.getOrCreate(id.sessionId, id.username, id.role)
+    Statement.registerPseudoFunctions(session, instanceId, "demo-cluster")
+    Statement.refreshSettingsView(session)
+    SystemCatalog.install(session.spark)
+    Tables.ensure(session.spark, dir)
+
+    // 2. Settings via the SQL front door.
+    Statement.run(sessions, session, global, admission, "SET gizmosql.query_tag = 'demo'")
+    val tag = Statement.run(sessions, session, global, admission,
+      "SELECT value FROM gizmosql_settings WHERE name = 'gizmosql.query_tag'")
+    println(s"[demo] query_tag = ${tag.head.getString(0)}")
+
+    // 3. A real query with pseudo-functions mixed in.
+    val rows = Statement.run(sessions, session, global, admission,
+      "SELECT gizmosql_user() AS who, COUNT(*) AS n FROM lineitem GROUP BY 1")
+    println(s"[demo] lineitem count by ${rows.head.getString(0)}: ${rows.head.getLong(1)}")
+
+    // 4. Metadata endpoints.
+    println(s"[demo] table_types: " +
+      SystemCatalog.tableTypes(session.spark).collect().map(_.getString(0)).mkString(", "))
+    println(s"[demo] tables: " +
+      SystemCatalog.tables(session.spark, tablePattern = Some("li%")).collect()
+        .map(_.getAs[String]("table_name")).mkString(", "))
+
+    // 5. Gating: a readonly session is refused writes.
+    val ro = sessions.getOrCreate("ro-1", "bob", "readonly")
+    Tables.ensure(ro.spark, dir)
+    val refused =
+      try { Statement.run(sessions, ro, global, admission, "CREATE TABLE x(i INT) USING parquet"); "NOT BLOCKED" }
+      catch { case e: SecurityException => s"blocked: ${e.getMessage}" }
+    println(s"[demo] readonly write attempt -> $refused")
+
+    // 6. KILL SESSION is idempotent and tombstones the victim.
+    Statement.run(sessions, session, global, admission, "KILL SESSION 'ro-1'")
+    println(s"[demo] ro-1 killed=${sessions.isKilled("ro-1")} active=${sessions.active.sorted.mkString(",")}")
+
+    spark.stop()
+  }
+}

@@ -1,0 +1,14 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One shared local session for the whole test run (suites share the forked
+  * test JVM; building SparkSession per suite would dominate test time).
+  */
+object SparkTestHarness {
+  lazy val spark: SparkSession = GraftSession.builder("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .getOrCreate()
+
+  val sfDir = "/root/testdata/sf0.001"
+}

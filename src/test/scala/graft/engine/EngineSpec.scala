@@ -1,0 +1,265 @@
+package graft.engine
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestHarness
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+
+class SettingsSpec extends AnyFunSuite {
+  test("defaults come from the registry") {
+    val g = new GlobalSettings
+    assert(g.get("gizmosql.query_timeout").contains("0"))
+    assert(g.get("gizmosql.max_queue_wait").contains("300"))
+    assert(g.get("no.such.setting").isEmpty)
+  }
+
+  test("GLOBAL writes require admin; session overlays global") {
+    val g = new GlobalSettings
+    assert(g.set("gizmosql.query_timeout", "60", isAdmin = false).isLeft)
+    assert(g.set("gizmosql.query_timeout", "60", isAdmin = true).isRight)
+    val s = new SessionSettings(g)
+    assert(s.get("gizmosql.query_timeout").contains("60"))
+    assert(s.set("gizmosql.query_timeout", "5").isRight)
+    assert(s.get("gizmosql.query_timeout").contains("5"))
+    assert(g.get("gizmosql.query_timeout").contains("60"))
+  }
+
+  test("type validation and scope restrictions") {
+    val g = new GlobalSettings
+    val s = new SessionSettings(g)
+    assert(s.set("gizmosql.query_timeout", "abc").isLeft)
+    assert(s.set("gizmosql.capture_query_profile", "TRUE").isRight)
+    // GLOBAL-only settings reject session scope (as in the reference registry)
+    assert(s.set("gizmosql.max_concurrent_statements", "4").isLeft)
+  }
+
+  test("settings rows expose scope provenance") {
+    val g = new GlobalSettings
+    val s = new SessionSettings(g)
+    s.set("gizmosql.query_tag", "t1")
+    val rows = s.rows.map(r => r._1 -> r).toMap
+    assert(rows("gizmosql.query_tag")._3 == "SESSION")
+    assert(rows("gizmosql.query_timeout")._3 == "GLOBAL")
+  }
+}
+
+class AdmissionSpec extends AnyFunSuite {
+  test("slots bound concurrency; queue admits when a slot frees") {
+    val ac = new AdmissionController(maxConcurrent = 2, maxQueued = 4, maxQueueWaitSeconds = 10)
+    val a = ac.acquire(); val b = ac.acquire()
+    assert(a == ac.Admitted && b == ac.Admitted)
+    val started = new CountDownLatch(1)
+    val pool = Executors.newSingleThreadExecutor()
+    val fut = pool.submit(new java.util.concurrent.Callable[ac.Admission] {
+      def call(): ac.Admission = { started.countDown(); ac.acquire() }
+    })
+    started.await()
+    Thread.sleep(200)
+    assert(!fut.isDone) // queued
+    ac.release(a)
+    assert(fut.get(5, TimeUnit.SECONDS) == ac.Admitted)
+    pool.shutdown()
+  }
+
+  test("queue wait times out") {
+    val ac = new AdmissionController(1, 2, maxQueueWaitSeconds = 1)
+    val a = ac.acquire()
+    val r = ac.acquire()
+    assert(r.isInstanceOf[ac.Rejected])
+    ac.release(a)
+  }
+
+  test("abort predicate stops waiting (killed session)") {
+    val ac = new AdmissionController(1, 2, maxQueueWaitSeconds = 30)
+    val a = ac.acquire()
+    @volatile var killed = false
+    val t0 = System.nanoTime()
+    val pool = Executors.newSingleThreadExecutor()
+    val fut = pool.submit(new java.util.concurrent.Callable[ac.Admission] {
+      def call(): ac.Admission = ac.acquire(aborted = () => killed)
+    })
+    Thread.sleep(300); killed = true
+    val r = fut.get(5, TimeUnit.SECONDS)
+    assert(r.isInstanceOf[ac.Rejected])
+    assert((System.nanoTime() - t0) < TimeUnit.SECONDS.toNanos(10))
+    ac.release(a)
+    pool.shutdown()
+  }
+
+  test("bypass and unlimited modes fail open") {
+    val ac = new AdmissionController(1, 1, 1)
+    val a = ac.acquire()
+    assert(ac.acquire(bypass = true) == ac.Bypassed)
+    ac.release(a)
+    val unlimited = new AdmissionController(0, 0, 1)
+    assert(unlimited.acquire() == unlimited.Admitted)
+  }
+}
+
+class AuthSpec extends AnyFunSuite {
+  private val secret = "test-secret"
+  private val instance = "instance-1"
+
+  test("basic credential check via HMAC hash") {
+    val stored = Auth.hashPassword(secret, "hunter2")
+    assert(Auth.checkBasic(secret, "hunter2", stored))
+    assert(!Auth.checkBasic(secret, "wrong", stored))
+  }
+
+  test("mint + validate round-trips identity claims") {
+    val tok = Auth.mintToken(secret, "alice", "admin", instance, sessionId = "sess-1")
+    val id = Auth.validate(secret, tok, instance)
+    assert(id == Right(Auth.Identity("alice", "admin", "basic", instance, "sess-1")))
+  }
+
+  test("wrong secret and cross-instance tokens are rejected") {
+    val tok = Auth.mintToken(secret, "alice", "admin", instance)
+    assert(Auth.validate("other-secret", tok, instance).isLeft)
+    assert(Auth.validate(secret, tok, "instance-2").isLeft)
+  }
+
+  test("expired tokens are rejected") {
+    val past = java.time.Instant.now().minusSeconds(Auth.TokenLifetimeSeconds + 60)
+    val tok = Auth.mintToken(secret, "alice", "admin", instance, now = past)
+    assert(Auth.validate(secret, tok, instance).isLeft)
+  }
+}
+
+class SessionAndStatementSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+  private lazy val global = new GlobalSettings
+  private lazy val sessions = new SessionManager(spark, global)
+  private lazy val admission = new AdmissionController(4, 8, 30)
+
+  test("sessions isolate temp views") {
+    val s1 = sessions.getOrCreate("s1", "alice", "admin")
+    val s2 = sessions.getOrCreate("s2", "bob", "readonly")
+    s1.spark.sql("SELECT 1 AS x").createOrReplaceTempView("mine")
+    assert(s1.spark.catalog.tableExists("mine"))
+    assert(!s2.spark.catalog.tableExists("mine"))
+  }
+
+  test("KILL SESSION is intercepted and idempotent") {
+    val killer = sessions.getOrCreate("killer", "alice", "admin")
+    sessions.getOrCreate("victim", "bob", "user")
+    val r1 = Statement.create(sessions, killer, global, "KILL SESSION 'victim'")
+    assert(r1.collect().head.getString(0).contains("victim"))
+    // idempotent second kill; victim cannot be resurrected
+    Statement.create(sessions, killer, global, "KILL SESSION 'victim'")
+    intercept[IllegalStateException](sessions.getOrCreate("victim", "bob", "user"))
+    assert(sessions.isKilled("victim"))
+  }
+
+  test("SET gizmosql.* is intercepted; settings view reflects it") {
+    val s = sessions.getOrCreate("setter", "alice", "admin")
+    Statement.create(sessions, s, global, "SET gizmosql.query_tag = 'etl-1'")
+    Statement.refreshSettingsView(s)
+    val v = s.spark.sql("SELECT value FROM gizmosql_settings WHERE name = 'gizmosql.query_tag'")
+      .collect().head.getString(0)
+    assert(v == "etl-1")
+    assert(s.settings.get("gizmosql.query_tag").contains("etl-1"))
+    intercept[IllegalArgumentException](
+      Statement.create(sessions, s, global, "SET gizmosql.query_timeout = 'NaN'"))
+  }
+
+  test("pseudo-functions resolve as session UDFs") {
+    val s = sessions.getOrCreate("pseudo", "carol", "user")
+    Statement.registerPseudoFunctions(s, "inst-1", "clus-1")
+    val row = s.spark.sql(
+      "SELECT gizmosql_current_session() AS s, gizmosql_user() AS u, gizmosql_role() AS r, gizmosql_version() AS v")
+      .collect().head
+    assert(row.getString(0) == "pseudo")
+    assert(row.getString(1) == "carol")
+    assert(row.getString(2) == "user")
+    assert(row.getString(3) == Statement.Version)
+  }
+
+  test("readonly sessions cannot write; queries still run") {
+    val ro = sessions.getOrCreate("ro", "bob", "readonly")
+    intercept[SecurityException](
+      Statement.create(sessions, ro, global, "CREATE TABLE t_forbidden(x INT) USING parquet"))
+    assert(Statement.create(sessions, ro, global, "SELECT 1 AS x").collect().head.getInt(0) == 1)
+  }
+
+  test("non-admin local path scans and SET conf are blocked; remote allowed shape") {
+    val u = sessions.getOrCreate("u1", "bob", "user")
+    intercept[SecurityException](
+      Statement.create(sessions, u, global, "SELECT * FROM parquet.`/etc/passwd`"))
+    intercept[SecurityException](
+      Statement.create(sessions, u, global, "SET spark.sql.shuffle.partitions = 1"))
+    val admin = sessions.getOrCreate("a1", "alice", "admin")
+    val df = Statement.create(sessions, admin, global,
+      s"SELECT COUNT(*) AS n FROM parquet.`${graft.SparkTestHarness.sfDir}/region.parquet`")
+    assert(df.collect().head.getLong(0) == 5)
+  }
+
+  test("system catalog views are write-protected for everyone") {
+    val admin = sessions.getOrCreate("a2", "alice", "admin")
+    SystemCatalog.install(admin.spark)
+    intercept[SecurityException](
+      Statement.create(sessions, admin, global, "INSERT INTO gizmosql_index_info VALUES ('a','b','c','d',true,true,'e')"))
+  }
+
+  test("prepared statements: analysis-only schema, lookup, close") {
+    val s = sessions.getOrCreate("prep", "alice", "admin")
+    val p = s.prepare("SELECT 1 AS one, 'x' AS s")
+    assert(p.schema.fieldNames.toSeq == Seq("one", "s"))
+    assert(s.lookupPrepared(p.handle).isDefined)
+    assert(s.closePrepared(p.handle))
+    assert(s.lookupPrepared(p.handle).isEmpty)
+  }
+
+  test("query timeout cancels the job group and the session survives") {
+    val s = sessions.getOrCreate("slow", "alice", "admin")
+    s.spark.udf.register("graft_sleep", (x: Long) => { Thread.sleep(200); x })
+    val df = s.spark.sql("SELECT SUM(graft_sleep(id)) FROM RANGE(0, 200, 1, 4)")
+    intercept[java.util.concurrent.TimeoutException](
+      Statement.executeWithTimeout(s, timeoutSeconds = 2)(df.collect()))
+    // session still usable after cancellation
+    assert(s.spark.sql("SELECT 41 + 1").collect().head.get(0) == 42)
+  }
+
+  test("run() composes admission + timeout") {
+    val s = sessions.getOrCreate("runner", "alice", "admin")
+    val rows = Statement.run(sessions, s, global, admission, "SELECT 2 + 2 AS four")
+    assert(rows.head.getInt(0) == 4)
+  }
+}
+
+class SystemCatalogSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+
+  test("LIKE pattern translation") {
+    assert("information_schema".matches(SystemCatalog.likeToRegex("info%")))
+    assert("abc".matches(SystemCatalog.likeToRegex("A_C"))) // case-insensitive like the reference
+    assert(!"abd".matches(SystemCatalog.likeToRegex("a_c")))
+    assert(!"axc".matches(SystemCatalog.likeToRegex("a.c"))) // regex metachars escaped
+  }
+
+  test("tables listing includes temp views as LOCAL TEMPORARY with LIKE filter") {
+    spark.sql("SELECT 1 AS x").createOrReplaceTempView("syscat_probe_one")
+    spark.sql("SELECT 1 AS x").createOrReplaceTempView("syscat_probe_two")
+    val all = SystemCatalog.tables(spark, tablePattern = Some("syscat_probe%")).collect()
+    assert(all.length == 2)
+    assert(all.forall(_.getAs[String]("table_type") == "LOCAL TEMPORARY"))
+    val one = SystemCatalog.tables(spark, tablePattern = Some("syscat_probe_o%")).collect()
+    assert(one.map(_.getAs[String]("table_name")).toSeq == Seq("syscat_probe_one"))
+  }
+
+  test("table types and xdbc type info are constant-shaped") {
+    assert(SystemCatalog.tableTypes(spark).collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("BASE TABLE", "LOCAL TEMPORARY", "VIEW"))
+    val ti = SystemCatalog.xdbcTypeInfo(spark)
+    assert(ti.count() == 14)
+    assert(SystemCatalog.xdbcTypeInfo(spark, Some(4)).collect().map(_.getString(0)).toSeq == Seq("integer"))
+  }
+
+  test("catalogs and schemata endpoints return the spark catalog") {
+    assert(SystemCatalog.catalogs(spark).collect().map(_.getString(0)).contains("spark_catalog"))
+    assert(SystemCatalog.dbSchemas(spark).collect().map(_.getAs[String]("db_schema_name")).contains("default"))
+  }
+
+  test("constraint endpoints are empty-but-shaped (declared limitation)") {
+    assert(SystemCatalog.primaryKeys(spark).count() == 0)
+    assert(SystemCatalog.indexInfo(spark).columns.contains("is_unique"))
+  }
+}

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.{SparkEntry, SparkTestHarness, Tables}
+
+/** Operator-level assertions beyond the driver's DuckDB differential check:
+  * properties the oracle can't express (LSH recall, sketch accuracy,
+  * streaming-batch parity live in StreamingSpec).
+  */
+class OperatorSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+  private val dir = SparkTestHarness.sfDir
+
+  test("flagship entry returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every op runs and every oracle key has a query") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    // names are unique
+    assert(SparkEntry.allOps.map(_.name).distinct.size == SparkEntry.allOps.size)
+  }
+
+  test("MinHash LSH candidates are a superset of true Jaccard pairs") {
+    Tables.ensure(spark, dir)
+    val docs = spark.table("documents")
+    val truePairs = TextPipeline.jaccardPairs(docs, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val candidates = TextPipeline.minhashCandidates(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truePairs.nonEmpty, "fixture should contain near-duplicates")
+    val recall = truePairs.intersect(candidates).size.toDouble / truePairs.size
+    assert(recall >= 0.9, s"LSH recall $recall too low; missed ${truePairs -- candidates}")
+  }
+
+  test("SimHash: near-duplicate pairs have small hamming distance") {
+    Tables.ensure(spark, dir)
+    val docs = spark.table("documents")
+    val sh = TextPipeline.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nearDups = TextPipeline.jaccardPairs(docs, 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(nearDups.nonEmpty)
+    val hd = nearDups.map { case (a, b) => java.lang.Long.bitCount(sh(a) ^ sh(b)) }
+    assert(hd.max <= 16, s"hamming distances of near-dups too large: ${hd.toSeq}")
+  }
+
+  test("approx_count_distinct is within 5% of exact") {
+    Tables.ensure(spark, dir)
+    val li = spark.table("lineitem")
+    val exact = li.select(countDistinct(col("l_suppkey"))).collect().head.getLong(0)
+    val approx = li.select(approx_count_distinct(col("l_suppkey"))).collect().head.getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact <= 0.05)
+  }
+
+  test("IVF search returns vectors from the probe cluster, ranked by cosine") {
+    Tables.ensure(spark, dir)
+    val e = spark.table("embeddings")
+    val query = e.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).first().getSeq[Double](0)
+    val res = Embeddings.ivfSearch(e.filter(col("vec_id") =!= 0), e.filter(col("vec_id") < 8), query, 5)
+      .collect()
+    assert(res.length == 5)
+    val scores = res.map(_.getAs[Double]("cos"))
+    assert(scores.sameElements(scores.sortBy(-_.asInstanceOf[Double])))
+  }
+
+  test("exact dedup keeps one representative per distinct text") {
+    Tables.ensure(spark, dir)
+    val docs = spark.table("documents")
+    val distinctTexts = docs.select("text").distinct().count()
+    val kept = SparkEntry.queries("dedup_exact")(spark, dir).count()
+    assert(kept == distinctTexts)
+  }
+}
