@@ -64,6 +64,18 @@ object EngineDemo {
     Statement.run(sessions, session, global, admission, "KILL SESSION 'ro-1'")
     println(s"[demo] ro-1 killed=${sessions.isKilled("ro-1")} active=${sessions.active.sorted.mkString(",")}")
 
+    // 7. Result stream as Arrow IPC (the reference's wire format) and bulk
+    // ingest of that stream back under each if-exists mode.
+    val result = session.spark.sql(
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")
+    val ipc = graft.sources.ArrowIO.toArrowStream(result)
+    println(s"[demo] arrow ipc stream: ${ipc.length} bytes")
+    val imported = graft.sources.ArrowIO.fromArrowStream(session.spark, ipc)
+    val ing = graft.sources.Ingest.ingest(session.spark, imported, "demo_regions",
+      graft.sources.Ingest.IfExists.Replace)
+    println(s"[demo] ingested ${ing.rowsIngested} rows into ${ing.table} " +
+      s"(count=${session.spark.table("demo_regions").count()})")
+
     spark.stop()
   }
 }

@@ -1,0 +1,116 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.SparkTestHarness
+import scala.jdk.CollectionConverters._
+
+class IngestSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+  import Ingest._
+
+  private def df(rows: (Long, String)*) = {
+    val schema = StructType(Seq(StructField("id", LongType), StructField("name", StringType)))
+    spark.createDataFrame(rows.map(r => Row(r._1, r._2)).asJava, schema)
+  }
+
+  private def fresh(name: String): String = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    name
+  }
+
+  test("create if missing; FAIL if if_not_exist=FAIL") {
+    val t = fresh("ing_create")
+    val r = ingest(spark, df(1L -> "a"), t)
+    assert(r.created && r.rowsIngested == 1)
+    val t2 = fresh("ing_nocreate")
+    intercept[IllegalStateException](
+      ingest(spark, df(1L -> "a"), t2, createIfMissing = false))
+  }
+
+  test("if_exists=FAIL refuses; APPEND aligns by name; REPLACE drops") {
+    val t = fresh("ing_modes")
+    ingest(spark, df(1L -> "a"), t)
+    intercept[IllegalStateException](ingest(spark, df(2L -> "b"), t, IfExists.Fail))
+    // by-name append with reordered + missing columns
+    val reordered = spark.createDataFrame(
+      List(Row("c", 3L)).asJava,
+      StructType(Seq(StructField("name", StringType), StructField("id", LongType))))
+    ingest(spark, reordered, t, IfExists.Append)
+    assert(spark.table(t).count() == 2)
+    val missingCol = spark.createDataFrame(List(Row(4L)).asJava,
+      StructType(Seq(StructField("id", LongType))))
+    ingest(spark, missingCol, t, IfExists.Append)
+    assert(spark.table(t).filter(col("name").isNull).count() == 1)
+    // unknown columns are an error
+    val extraCol = spark.createDataFrame(List(Row(5L, "x", 1)).asJava,
+      StructType(Seq(StructField("id", LongType), StructField("name", StringType),
+        StructField("bogus", IntegerType))))
+    intercept[IllegalArgumentException](ingest(spark, extraCol, t, IfExists.Append))
+    // replace
+    ingest(spark, df(9L -> "z"), t, IfExists.Replace)
+    assert(spark.table(t).collect().map(_.getLong(0)).toSeq == Seq(9L))
+  }
+
+  test("temporary ingest is session-scoped") {
+    val r = ingest(spark, df(1L -> "tmp"), "ing_temp_view", temporary = true)
+    assert(r.created)
+    assert(spark.table("ing_temp_view").count() == 1)
+    assert(spark.newSession().catalog.tableExists("ing_temp_view") == false)
+  }
+}
+
+class ArrowIOSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+
+  test("atomic types round-trip DataFrame -> Arrow IPC -> DataFrame with nulls") {
+    val schema = StructType(Seq(
+      StructField("b", BooleanType), StructField("i", IntegerType),
+      StructField("l", LongType), StructField("f", FloatType),
+      StructField("d", DoubleType), StructField("s", StringType),
+      StructField("bin", BinaryType), StructField("dt", DateType),
+      StructField("dec", DecimalType(15, 2))))
+    val rows = List(
+      Row(true, 1, 2L, 1.5f, 2.5, "hello", Array[Byte](1, 2), java.sql.Date.valueOf("2024-01-15"),
+        new java.math.BigDecimal("123.45")),
+      Row(null, null, null, null, null, null, null, null, null))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val bytes = ArrowIO.toArrowStream(df)
+    val back = ArrowIO.fromArrowStream(spark, bytes)
+    assert(back.schema.map(f => (f.name, f.dataType)) == df.schema.map(f => (f.name, f.dataType)))
+    val (orig, rt) = (df.collect(), back.collect())
+    assert(rt.length == 2)
+    assert(rt(0).getBoolean(0) == true && rt(0).getInt(1) == 1 && rt(0).getString(5) == "hello")
+    assert(rt(0).getAs[Array[Byte]](6).toSeq == Seq[Byte](1, 2))
+    assert(rt(0).getDate(7) == orig(0).getDate(7))
+    assert(rt(0).getDecimal(8).compareTo(orig(0).getDecimal(8)) == 0)
+    assert((0 until 9).forall(rt(1).isNullAt))
+  }
+
+  test("array columns and real table data round-trip") {
+    graft.Tables.ensure(spark, SparkTestHarness.sfDir)
+    val emb = spark.table("embeddings").limit(5)
+    val back = ArrowIO.fromArrowStream(spark, ArrowIO.toArrowStream(emb))
+    assert(back.count() == 5)
+    val a = emb.orderBy("vec_id").collect().map(_.getSeq[Float](1))
+    val b = back.orderBy("vec_id").collect().map(_.getSeq[Float](1))
+    assert(a.zip(b).forall { case (x, y) => x == y })
+  }
+
+  test("timestamps round-trip at microsecond precision") {
+    val schema = StructType(Seq(StructField("ts", TimestampNTZType)))
+    val t = java.time.LocalDateTime.of(2024, 1, 15, 10, 30, 5, 123456000)
+    val df = spark.createDataFrame(List(Row(t)).asJava, schema)
+    val back = ArrowIO.fromArrowStream(spark, ArrowIO.toArrowStream(df))
+    assert(back.collect().head.getAs[java.time.LocalDateTime](0) == t)
+  }
+
+  test("batching splits large results without losing rows") {
+    val df = spark.range(0, 10000).select(col("id"), (col("id") * 2).as("dbl"))
+    val back = ArrowIO.fromArrowStream(spark, ArrowIO.toArrowStream(df, batchSize = 512))
+    assert(back.count() == 10000)
+    assert(back.agg(sum("dbl")).collect().head.getLong(0) == (0L until 10000L).map(_ * 2).sum)
+  }
+}

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.{SparkTestHarness, Tables}
+import java.time.LocalDateTime
+
+/** Top-level so Spark can derive an encoder. */
+case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** Streaming-batch parity: the same EventStreams transforms over (a) the
+  * driver `events` fixture as a batch DataFrame and (b) a MemoryStream replay
+  * of the same rows must agree (FIXTURES.md B.5).
+  *
+  * Append-mode streams only emit windows the watermark has passed, so each
+  * replay appends a far-future sentinel event (user_id=FlushUser) that closes
+  * every fixture window; the sentinel's own (still-open) windows are excluded
+  * from the comparison.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+  private val FlushUser = 999999L
+
+  private def fixtureEvents = {
+    Tables.ensure(spark, SparkTestHarness.sfDir)
+    spark.table("events")
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+  }
+
+  private def flushEvent(rows: Seq[Ev]): Ev = {
+    val maxTs = rows.map(_.ts.getTime).max
+    Ev(-1L, new java.sql.Timestamp(maxTs + 7L * 24 * 3600 * 1000), FlushUser, "flush", 0.0)
+  }
+
+  private def streamOf(rows: Seq[Ev],
+      transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      name: String) = {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    ms.addData(rows :+ flushEvent(rows))
+    EventStreams.runToMemory(spark, ms.toDF(), transform, name)
+  }
+
+  test("tumbling window: streaming result equals batch result on the fixture") {
+    import spark.implicits._
+    val rows = fixtureEvents.as[Ev].collect().toSeq
+    val streamed = streamOf(rows, EventStreams.tumblingAgg(_, "1 hour", "1 minute"), "t_tumbling")
+      .filter(col("event_type") =!= "flush").orderBy("h", "event_type").collect()
+    val batch = EventStreams.tumblingAgg(fixtureEvents, "1 hour", "1 minute")
+      .orderBy("h", "event_type").collect()
+    assert(streamed.length == batch.length)
+    assert(streamed.sameElements(batch))
+  }
+
+  test("session windows: streaming equals batch; sessions respect the gap") {
+    val base = LocalDateTime.of(2024, 3, 1, 0, 0)
+    def ev(id: Long, minutes: Long, user: Long) =
+      Ev(id, java.sql.Timestamp.valueOf(base.plusMinutes(minutes)), user, "click", 1.0)
+    // user 1: two sessions (45-minute gap > 30); user 2: one session
+    val rows = Seq(ev(1, 0, 1), ev(2, 10, 1), ev(3, 55, 1), ev(4, 0, 2), ev(5, 29, 2))
+    val streamed = streamOf(rows, EventStreams.sessionAgg(_, "30 minutes", "1 minute"), "t_sessions")
+      .filter(col("user_id") =!= FlushUser).orderBy("user_id", "session_start").collect()
+    assert(streamed.map(r => (r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((1L, 2L), (1L, 1L), (2L, 2L)))
+    val batch = EventStreams.sessionAgg(spark.createDataFrame(rows), "30 minutes", "1 minute")
+      .orderBy("user_id", "session_start").collect()
+    assert(streamed.sameElements(batch))
+  }
+
+  test("dedup within watermark removes replayed event_ids") {
+    val base = LocalDateTime.of(2024, 3, 1, 0, 0)
+    val rows = Seq(
+      Ev(1, java.sql.Timestamp.valueOf(base), 1, "click", 1.0),
+      Ev(1, java.sql.Timestamp.valueOf(base.plusMinutes(1)), 1, "click", 1.0), // dup id
+      Ev(2, java.sql.Timestamp.valueOf(base.plusMinutes(2)), 1, "view", 2.0))
+    val out = streamOf(rows, EventStreams.dedup(_, "1 hour"), "t_dedup")
+      .filter(col("user_id") =!= FlushUser)
+    assert(out.select("event_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("sliding windows emit one row per covering window") {
+    val base = LocalDateTime.of(2024, 3, 1, 1, 45)
+    val rows = Seq(Ev(1, java.sql.Timestamp.valueOf(base), 1, "click", 1.0))
+    val out = streamOf(rows, EventStreams.slidingAgg(_, "1 hour", "30 minutes", "1 minute"), "t_sliding")
+      .filter(col("event_type") =!= "flush")
+    // one event at 01:45 falls into the windows starting 01:00 and 01:30
+    assert(out.select("ws").collect().map(_.getTimestamp(0).toLocalDateTime).sorted.toSeq ==
+      Seq(LocalDateTime.of(2024, 3, 1, 1, 0), LocalDateTime.of(2024, 3, 1, 1, 30)))
+  }
+}
