@@ -1,0 +1,45 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+import java.util.concurrent.ConcurrentLinkedQueue
+import scala.jdk.CollectionConverters._
+
+/** Query instrumentation, re-implementing the reference's observability layer
+  * (`/root/reference/src/common/gizmosql_telemetry.cpp` metrics,
+  * `gizmosql_logging.cpp` structured logs with SQL redaction, and the
+  * per-execution profile capture `duckdb_statement.cpp:2210-2221`) on
+  * Spark's native hooks: a `QueryExecutionListener` records per-statement
+  * rows/duration/status, and profile capture stores the executed physical
+  * plan (`df.queryExecution`) when `gizmosql.capture_query_profile` is on.
+  */
+final class Observability(captureProfile: () => Boolean) extends QueryExecutionListener {
+
+  final case class QueryRecord(
+      name: String, durationNs: Long, status: String,
+      outputRows: Option[Long], profile: Option[String])
+
+  private val records = new ConcurrentLinkedQueue[QueryRecord]()
+
+  /** Redact literals from logged SQL, as the reference's logger does. */
+  def redact(sql: String): String =
+    sql.replaceAll("'[^']*'", "'?'").replaceAll("(?<=[=<>(,\\s])\\d+(\\.\\d+)?", "?")
+
+  override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
+    val rows = qe.executedPlan.metrics.get("numOutputRows").map(_.value)
+    val profile = if (captureProfile()) Some(qe.executedPlan.toString) else None
+    records.add(QueryRecord(funcName, durationNs, "success", rows, profile))
+  }
+
+  override def onFailure(funcName: String, qe: QueryExecution, error: Exception): Unit =
+    records.add(QueryRecord(funcName, 0L, s"error: ${error.getMessage}", None, None))
+
+  def snapshot: Seq[QueryRecord] = records.asScala.toSeq
+  def clear(): Unit = records.clear()
+
+  def install(spark: SparkSession): this.type = {
+    spark.listenerManager.register(this)
+    this
+  }
+}

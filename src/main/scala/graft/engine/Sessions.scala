@@ -19,7 +19,7 @@ final class SessionState(
     val spark: SparkSession,
     val settings: SessionSettings) {
 
-  final case class Prepared(handle: String, sql: String, schema: StructType)
+  final case class Prepared(handle: String, sql: String, schema: Option[StructType])
 
   private val prepared = new ConcurrentHashMap[String, Prepared]()
   @volatile var killRequested: Boolean = false
@@ -27,14 +27,30 @@ final class SessionState(
   /** Job-group tag for everything this session runs — the cancellation hook. */
   def jobGroup: String = s"graft-session-$id"
 
+  /** Analysis only — no execution (reference computes the schema from the
+    * prepared statement without running it, duckdb_statement.cpp:2456-2467).
+    * Parameterized statements (`:name` placeholders) defer schema to
+    * execution time, like the reference's parameter schema path.
+    */
   def prepare(sql: String): Prepared = {
-    // Analysis only — no execution (reference computes the schema from the
-    // prepared statement without running it, duckdb_statement.cpp:2456-2467).
-    val schema = spark.sql(sql).schema
+    val schema = try Some(spark.sql(sql).schema) catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition != null && e.getCondition.contains("UNBOUND_SQL_PARAMETER") => None
+    }
     val p = Prepared(UUID.randomUUID().toString, sql, schema)
     prepared.put(p.handle, p)
     p
   }
+
+  /** Execute a prepared statement with typed named parameters via Spark's
+    * parameterized SQL — typed binding, unlike the reference's stringified
+    * scalars (`duckdb_server.cpp:747-772`).
+    */
+  def executePrepared(handle: String, params: Map[String, Any] = Map.empty) =
+    lookupPrepared(handle) match {
+      case None => throw new IllegalArgumentException(s"unknown prepared statement $handle")
+      case Some(p) => spark.sql(p.sql, params)
+    }
 
   def lookupPrepared(handle: String): Option[Prepared] = Option(prepared.get(handle))
   def closePrepared(handle: String): Boolean = prepared.remove(handle) != null

@@ -76,6 +76,24 @@ object EngineDemo {
     println(s"[demo] ingested ${ing.rowsIngested} rows into ${ing.table} " +
       s"(count=${session.spark.table("demo_regions").count()})")
 
+    // 8. Prepared statement with typed named parameters.
+    val prep = session.prepare("SELECT COUNT(*) AS n FROM lineitem WHERE l_quantity < :q")
+    val bound = session.executePrepared(prep.handle, Map("q" -> 10)).collect().head.getLong(0)
+    println(s"[demo] prepared(q<10) -> $bound rows")
+
+    // 9. Transactions (wire lifecycle; eager execution is a declared limitation).
+    val txns = new Transactions
+    val txn = txns.begin(session.id)
+    println(s"[demo] txn $txn commit=${txns.commit(txn).isRight}")
+
+    // 10. Health + graceful drain.
+    val health = new Health(spark).start()
+    println(s"[demo] health=${health.status}")
+    health.close()
+    val sd = new ShutdownState(30)
+    sd.signal()
+    println(s"[demo] drain: new work admitted=${sd.admitNew().isRight} drained=${sd.drained}")
+
     spark.stop()
   }
 }

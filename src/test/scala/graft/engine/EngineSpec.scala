@@ -202,10 +202,73 @@ class SessionAndStatementSpec extends AnyFunSuite {
   test("prepared statements: analysis-only schema, lookup, close") {
     val s = sessions.getOrCreate("prep", "alice", "admin")
     val p = s.prepare("SELECT 1 AS one, 'x' AS s")
-    assert(p.schema.fieldNames.toSeq == Seq("one", "s"))
+    assert(p.schema.get.fieldNames.toSeq == Seq("one", "s"))
     assert(s.lookupPrepared(p.handle).isDefined)
     assert(s.closePrepared(p.handle))
     assert(s.lookupPrepared(p.handle).isEmpty)
+  }
+
+  test("prepared statements bind typed named parameters") {
+    val s = sessions.getOrCreate("prep2", "alice", "admin")
+    val p = s.prepare("SELECT :a + :b AS total, :name AS who")
+    assert(p.schema.isEmpty) // parameter schema deferred, like the reference's named_param_map path
+    val row = s.executePrepared(p.handle, Map("a" -> 40, "b" -> 2, "name" -> "carol")).collect().head
+    assert(row.getInt(0) == 42 && row.getString(1) == "carol")
+    // re-execution with different binds reuses the handle
+    assert(s.executePrepared(p.handle, Map("a" -> 1, "b" -> 1, "name" -> "d")).collect().head.getInt(0) == 2)
+  }
+
+  test("transaction handles: begin/commit/rollback lifecycle and limitations") {
+    val txns = new Transactions
+    val id = txns.begin("sess-1")
+    assert(txns.openCount == 1)
+    assert(txns.commit(id).isRight)
+    assert(txns.commit(id).isLeft) // double-end rejected
+    val id2 = txns.begin("sess-1")
+    assert(txns.rollback(id2).isRight) // no writes -> clean rollback
+    val id3 = txns.begin("sess-1")
+    txns.markWrite(id3)
+    assert(txns.rollback(id3).isLeft) // declared limitation surfaces as error
+    assert(txns.lookup("nope").isEmpty)
+  }
+
+  test("health prober reports Serving after success and NotServing when stale") {
+    val h = new Health(spark, intervalSeconds = 3600, stalenessSeconds = 1)
+    try {
+      assert(h.probe())
+      assert(h.status == h.Serving)
+      Thread.sleep(1200)
+      assert(h.status == h.NotServing) // no probe within staleness window
+    } finally h.close()
+  }
+
+  test("graceful shutdown: drain rejects new work, lets in-flight finish, second signal stops") {
+    val sd = new ShutdownState(gracePeriodSeconds = 60)
+    assert(sd.admitNew().isRight) // one in-flight
+    assert(sd.signal() == sd.Draining)
+    assert(sd.admitNew().isLeft) // retriable UNAVAILABLE
+    assert(!sd.drained)
+    sd.finishWork()
+    assert(sd.drained)
+    assert(sd.signal() == sd.Stopped)
+  }
+
+  test("observability listener records rows, duration, and optional profile") {
+    @volatile var capture = false
+    val obs = new Observability(() => capture).install(spark)
+    try {
+      obs.clear()
+      spark.sql("SELECT id FROM RANGE(5)").collect()
+      Thread.sleep(500) // listener delivery is async
+      val recs = obs.snapshot
+      assert(recs.exists(_.status == "success"))
+      capture = true
+      spark.sql("SELECT id FROM RANGE(7)").collect()
+      Thread.sleep(500)
+      assert(obs.snapshot.exists(_.profile.exists(_.contains("Range"))))
+      assert(obs.redact("SELECT * FROM t WHERE name = 'bob' AND x > 42") ==
+        "SELECT * FROM t WHERE name = '?' AND x > ?")
+    } finally spark.listenerManager.unregister(obs)
   }
 
   test("query timeout cancels the job group and the session survives") {
