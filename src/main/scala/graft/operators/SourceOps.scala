@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** File-format sources and DDL/DML (SURVEY.md §2.B "Scans / sources / sinks"
+  * and "DDL / DML"): CSV and JSON scans (the reference's `read_csv_auto` /
+  * `read_json_auto` surface, gated-function list
+  * `admin_command_guard.cpp:107-115`) and CTAS/INSERT through the SQL door.
+  *
+  * The CSV/JSON ops first materialize a deterministic file under /tmp (sink
+  * direction — `COPY ... TO` equivalent) then scan it back, so one op
+  * exercises both the writer and the reader; the DuckDB oracle reads the
+  * same files.
+  */
+object SourceOps {
+
+  private val ioDir = "/tmp/graft_io"
+
+  private def deleteManagedTable(s: SparkSession, table: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    // a stale location from a previous JVM would fail CREATE (the in-memory
+    // catalog resets but the filesystem does not)
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    val p = new org.apache.hadoop.fs.Path(wh, table)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
+  val ops: Seq[Op] = Seq(
+    Op("scan_csv",
+      s"SELECT CAST(r_regionkey AS INTEGER) AS k, r_name AS name " +
+      s"FROM read_csv_auto('$ioDir/region_csv/*.csv', header=true) ORDER BY k") { (s, d) =>
+      Tables.ensure(s, d)
+      s.table("region").orderBy("r_regionkey")
+        .coalesce(1).write.mode("overwrite").option("header", "true").csv(s"$ioDir/region_csv")
+      s.read.schema("r_regionkey INT, r_name STRING").option("header", "true")
+        .csv(s"$ioDir/region_csv")
+        .select(col("r_regionkey").as("k"), col("r_name").as("name"))
+        .orderBy("k")
+    },
+
+    Op("scan_json",
+      s"SELECT CAST(n_nationkey AS INTEGER) AS k, n_name AS name, CAST(n_regionkey AS INTEGER) AS rk " +
+      s"FROM read_json_auto('$ioDir/nation_json/*.json') ORDER BY k") { (s, d) =>
+      Tables.ensure(s, d)
+      s.table("nation").orderBy("n_nationkey")
+        .coalesce(1).write.mode("overwrite").json(s"$ioDir/nation_json")
+      s.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .json(s"$ioDir/nation_json")
+        .select(col("n_nationkey").as("k"), col("n_name").as("name"), col("n_regionkey").as("rk"))
+        .orderBy("k")
+    },
+
+    // CTAS through the SQL front door (temporary view flavor — the
+    // reference's `CREATE TABLE ... AS` on its temp catalog).
+    Op("ddl_ctas",
+      "SELECT s_nationkey, COUNT(*) AS big FROM (SELECT * FROM supplier WHERE s_acctbal > 5000) t " +
+      "GROUP BY s_nationkey ORDER BY s_nationkey") { (s, d) =>
+      Tables.ensure(s, d)
+      s.sql("CREATE OR REPLACE TEMPORARY VIEW big_suppliers AS SELECT * FROM supplier WHERE s_acctbal > 5000")
+      s.sql("SELECT s_nationkey, COUNT(*) AS big FROM big_suppliers GROUP BY s_nationkey ORDER BY s_nationkey")
+    },
+
+    // Managed-table DDL + INSERT INTO (affected-row DML path,
+    // SURVEY.md §2.A rows 7-8), read back in full.
+    Op("dml_insert",
+      "SELECT k, name FROM (SELECT r_regionkey AS k, r_name AS name FROM region " +
+      "UNION ALL SELECT 99, 'ATLANTIS') t ORDER BY k") { (s, d) =>
+      Tables.ensure(s, d)
+      deleteManagedTable(s, "graft_dml_target")
+      s.table("region")
+        .select(col("r_regionkey").as("k"), col("r_name").as("name"))
+        .write.saveAsTable("graft_dml_target")
+      s.sql("INSERT INTO graft_dml_target VALUES (99, 'ATLANTIS')")
+      s.table("graft_dml_target").orderBy("k")
+    }
+  )
+}
