@@ -21,6 +21,7 @@ object GraftSession {
     SparkSession.builder()
       .master(master)
       .appName("graft")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

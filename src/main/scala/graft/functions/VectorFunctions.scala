@@ -14,16 +14,28 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Left-to-right dot product; fold order matches DuckDB's
-    * list_cosine_similarity loop so cross-engine doubles agree bit-for-bit.
+  /** Dot product via the native codegen expression (graft.plans.DotProduct,
+    * registered by GraftExtensions). Left-to-right accumulation matches
+    * DuckDB's list functions so cross-engine doubles agree bit-for-bit.
     */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity in double precision. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity in double precision — single fused codegen loop
+    * (graft.plans.CosineSimilarity).
+    */
+  def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
+
+  /** Composable (built-ins only) formulations, kept as the reference
+    * implementation the codegen expressions are tested against. Higher-order
+    * functions are CodegenFallback, so these are the slow path.
+    */
+  def dotComposable(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def cosineComposable(a: Column, b: Column): Column =
+    dotComposable(a, b) / (sqrt(dotComposable(a, a)) * sqrt(dotComposable(b, b)))
 
   /** Euclidean (L2) distance. */
   def l2(a: Column, b: Column): Column =

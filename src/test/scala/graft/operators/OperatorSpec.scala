@@ -65,6 +65,28 @@ class OperatorSpec extends AnyFunSuite {
     assert(scores.sameElements(scores.sortBy(-_.asInstanceOf[Double])))
   }
 
+  test("codegen cosine/dot expressions match the composable formulation bit-for-bit") {
+    import graft.functions.VectorFunctions._
+    Tables.ensure(spark, dir)
+    val e = spark.table("embeddings").select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val pairs = e.filter(col("vec_id") < 40).as("a")
+      .crossJoin(e.filter(col("vec_id") < 40).as("b"))
+      .select(
+        cosine(col("a.v"), col("b.v")).as("native"),
+        cosineComposable(col("a.v"), col("b.v")).as("composable"),
+        dot(col("a.v"), col("b.v")).as("ndot"),
+        dotComposable(col("a.v"), col("b.v")).as("cdot"))
+    val rows = pairs.collect()
+    assert(rows.length == 1600)
+    assert(rows.forall(r => r.getDouble(0) == r.getDouble(1)), "cosine mismatch")
+    assert(rows.forall(r => r.getDouble(2) == r.getDouble(3)), "dot mismatch")
+  }
+
+  test("graft_cosine is callable from SQL (SparkSessionExtensions registration)") {
+    val r = spark.sql("SELECT graft_cosine(array(1.0d, 0.0d), array(1.0d, 1.0d)) AS c").collect().head
+    assert(math.abs(r.getDouble(0) - 1.0 / math.sqrt(2)) < 1e-15)
+  }
+
   test("exact dedup keeps one representative per distinct text") {
     Tables.ensure(spark, dir)
     val docs = spark.table("documents")
