@@ -15,7 +15,7 @@ object SparkEntry {
   /** The full operator registry, one `Op` per SURVEY §2 inventory row. */
   val allOps: Seq[Op] =
     Relational.ops ++ Aggregates.ops ++ Windows.ops ++ SetsSortsCtes.ops ++
-      ScalarFns.ops ++ TpchSuite.ops ++ SourceOps.ops ++
+      ScalarFns.ops ++ TpchSuite.ops ++ SourceOps.ops ++ ExtensibilityOps.ops ++
       TextPipeline.ops ++ Embeddings.ops ++ Events.ops
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,103 @@
+package graft.client
+
+import graft.{GraftSession, Tables}
+import graft.engine._
+import org.apache.spark.sql.DataFrame
+import scala.io.StdIn
+
+/** Interactive SQL shell, re-implementing the reference CLI's core surface
+  * (`/root/reference/src/client/command_processor.cpp:124-912`): dot-commands
+  * (.tables .schema .catalogs .timer .maxrows .mode), SQL statements through
+  * the full engine pipeline (guard, intercepts, admission, timeout), and
+  * aligned-column or CSV rendering.
+  *
+  * Run: sbt "runMain graft.client.Shell [sfDir]"   (reads stdin; EOF exits)
+  */
+object Shell {
+
+  private var timer = false
+  private var maxRows = 40
+  private var mode = "table" // table | csv
+
+  def render(df: DataFrame): String = {
+    val rows = df.limit(maxRows + 1).collect()
+    val truncated = rows.length > maxRows
+    val shown = rows.take(maxRows)
+    val headers = df.columns
+    val cells = shown.map(r => headers.indices.map(i =>
+      Option(r.get(i)).map(_.toString).getOrElse("NULL")).toArray)
+    mode match {
+      case "csv" =>
+        (headers.mkString(",") +: cells.map(_.mkString(","))).mkString("\n") +
+          (if (truncated) s"\n-- truncated at $maxRows rows" else "")
+      case _ =>
+        val widths = headers.indices.map(i =>
+          (headers(i).length +: cells.map(_(i).length)).max)
+        def line(vals: Seq[String]) =
+          vals.zip(widths).map { case (v, w) => v.padTo(w, ' ') }.mkString("| ", " | ", " |")
+        val sep = widths.map("-" * _).mkString("+-", "-+-", "-+")
+        (Seq(sep, line(headers.toIndexedSeq), sep) ++ cells.map(c => line(c.toIndexedSeq)) :+ sep)
+          .mkString("\n") + (if (truncated) s"\n-- truncated at $maxRows rows" else "")
+    }
+  }
+
+  def handleDot(cmd: String, session: SessionState): String = {
+    val parts = cmd.trim.split("\\s+")
+    parts.head match {
+      case ".tables" =>
+        render(SystemCatalog.tables(session.spark,
+          tablePattern = parts.lift(1)))
+      case ".catalogs" => render(SystemCatalog.catalogs(session.spark))
+      case ".schemas" => render(SystemCatalog.dbSchemas(session.spark))
+      case ".schema" if parts.length > 1 =>
+        session.spark.table(parts(1)).schema.treeString
+      case ".timer" => timer = parts.lift(1).forall(_ == "on"); s"timer ${if (timer) "on" else "off"}"
+      case ".maxrows" => maxRows = parts.lift(1).flatMap(_.toIntOption).getOrElse(40); s"maxrows $maxRows"
+      case ".mode" => mode = parts.lift(1).getOrElse("table"); s"mode $mode"
+      case ".settings" => render(session.spark.table("gizmosql_settings"))
+      case ".help" =>
+        ".tables [pattern] | .schema <table> | .catalogs | .schemas | .settings | " +
+          ".timer on|off | .maxrows N | .mode table|csv | .quit"
+      case ".quit" | ".exit" => null
+      case other => s"unknown command: $other (try .help)"
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+
+    val global = new GlobalSettings
+    val sessions = new SessionManager(spark, global)
+    val admission = new AdmissionController(4, 32, 300)
+    val session = sessions.getOrCreate(java.util.UUID.randomUUID().toString,
+      sys.env.getOrElse("USER", "local"), "admin")
+    Tables.ensure(session.spark, dir)
+    Statement.registerPseudoFunctions(session, "local-instance", "local-cluster")
+    Statement.refreshSettingsView(session)
+    SystemCatalog.install(session.spark)
+
+    println(s"graft shell (${Statement.Version}) — tables from $dir — .help for commands")
+    var line: String = null
+    while ({ line = StdIn.readLine("graft> "); line != null }) {
+      val input = line.trim
+      if (input.nonEmpty) {
+        try {
+          if (input.startsWith(".")) {
+            val out = handleDot(input, session)
+            if (out == null) return
+            println(out)
+          } else {
+            val t0 = System.nanoTime()
+            val df = Statement.create(sessions, session, global, input.stripSuffix(";"))
+            println(render(df))
+            if (timer) println(f"-- ${(System.nanoTime() - t0) / 1e9}%.3f s")
+          }
+        } catch {
+          case e: Exception => println(s"error: ${e.getMessage}")
+        }
+      }
+    }
+  }
+}

@@ -24,13 +24,31 @@ object TextPipeline {
   private def shingled(d: DataFrame): DataFrame =
     d.select(col("doc_id"), explode(wordShingles(col("text"), 3)).as("gram")).distinct()
 
+  /** Distinct 3-gram *identities* per doc as 64-bit hashes: (doc_id, gram).
+    * Fully codegen path: posexplode the word list (one interpreted `split`
+    * only), then form each trigram's hash from (word, lead1, lead2) via a
+    * window — avoiding the interpreted `transform`+`concat_ws` lambda that
+    * costs ~1 ms/doc. Hash identity stands in for string identity
+    * (64-bit collisions are negligible at any realistic gram count).
+    */
+  private def shingleHashes(d: DataFrame): DataFrame = {
+    val byPos = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    d.select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
+      .select(col("doc_id"), col("pos"), col("w"),
+        lead(col("w"), 1).over(byPos).as("w1"), lead(col("w"), 2).over(byPos).as("w2"))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), xxhash64(col("w"), col("w1"), col("w2")).as("gram"))
+      .distinct()
+  }
+
   /** Exact n-gram Jaccard similarity for all pairs above `threshold`.
     * Shuffles on `gram` (the inverted index) then on the pair — both standard
     * equi-joins; at 100 TB you'd pre-filter with MinHash banding (below) and
     * feed only candidate pairs through this exact verifier.
     */
   def jaccardPairs(d: DataFrame, threshold: Double): DataFrame = {
-    val g = shingled(d)
+    val g = shingleHashes(d)
     val sz = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = g.as("a").join(g.as("b"),
         col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
@@ -64,9 +82,7 @@ object TextPipeline {
     // back to interpreted eval, so the hot path hashes each shingle ONCE with
     // a codegen'd xxhash64 and derives the `numHashes` permutations by
     // re-hashing (hash, pos) — never a nested lambda over the gram list.
-    val gramHash = d
-      .select(col("doc_id"), explode(array_distinct(wordShingles(col("text"), 3))).as("gram"))
-      .select(col("doc_id"), xxhash64(col("gram")).as("h"))
+    val gramHash = shingleHashes(d).withColumnRenamed("gram", "h")
     val idx = spark.range(0, numHashes).select(col("id").cast("int").as("pos"))
     // (doc, gram) x numHashes rows; the groupBy below map-side-combines down
     // to docs x numHashes before the shuffle, so scale cost is linear in
