@@ -13,6 +13,7 @@ object Bench {
   val headline: Seq[String] = Seq(
     "agg_h01", "agg_global_h06", "agg_distinct",
     "join_inner_h03", "join_left_hist", "join_self_nation", "join_theta",
+    "tpch_h05", "tpch_h09", "tpch_h18", "tpch_h21",
     "subq_scalar", "cte_h15",
     "win_rownum", "win_running_sum", "topk",
     "dedup_exact", "dedup_minhash_lsh", "dedup_jaccard", "dedup_simhash",
