@@ -62,6 +62,56 @@ object ExtensibilityOps {
       ).orderBy("p_partkey").limit(100)
     },
 
+    Op("fn_math2",
+      "SELECT l_orderkey, l_linenumber, ROUND(SIN(l_discount),6) AS sn, ROUND(COS(l_tax),6) AS cs, " +
+      "ROUND(ATAN2(l_discount, l_tax+0.01),6) AS at2, ROUND(RADIANS(l_quantity),6) AS rad, " +
+      "ROUND(DEGREES(l_discount),6) AS deg, ROUND(CBRT(l_quantity),6) AS cb, " +
+      "CAST(FACTORIAL(l_linenumber) AS BIGINT) AS fact FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100") { (s, d) =>
+      Tables.ensure(s, d)
+      s.table("lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(sin(col("l_discount")), 6).as("sn"),
+        round(cos(col("l_tax")), 6).as("cs"),
+        round(atan2(col("l_discount"), col("l_tax") + 0.01), 6).as("at2"),
+        round(radians(col("l_quantity")), 6).as("rad"),
+        round(degrees(col("l_discount")), 6).as("deg"),
+        round(cbrt(col("l_quantity")), 6).as("cb"),
+        expr("CAST(factorial(l_linenumber) AS BIGINT)").as("fact")
+      ).orderBy("l_orderkey", "l_linenumber").limit(100)
+    },
+
+    Op("fn_string3",
+      "SELECT p_partkey, TO_BASE64(CAST(p_brand AS BLOB)) AS b64, FORMAT('{}|{}', p_brand, p_size) AS fmt, " +
+      "CAST(ASCII(p_name) AS INTEGER) AS a, CHR(65 + CAST(p_size % 26 AS INTEGER)) AS ch, " +
+      "CONCAT_WS('-', p_brand, p_type) AS cw FROM part ORDER BY p_partkey LIMIT 100") { (s, d) =>
+      Tables.ensure(s, d)
+      s.table("part").select(
+        col("p_partkey"),
+        base64(col("p_brand").cast("binary")).as("b64"),
+        format_string("%s|%d", col("p_brand"), col("p_size")).as("fmt"),
+        ascii(col("p_name")).as("a"),
+        chr(lit(65) + (col("p_size") % 26)).as("ch"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("cw")
+      ).orderBy("p_partkey").limit(100)
+    },
+
+    // L2 (Euclidean) distance nearest neighbors — the metric counterpart of
+    // embed_cosine_topk; ordering by the rounded distance for determinism.
+    Op("embed_l2",
+      "SELECT vec_id, ROUND(LIST_DISTANCE(CAST(embedding AS DOUBLE[]), " +
+      "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id=0)),6) AS dist " +
+      "FROM embeddings WHERE vec_id <> 0 ORDER BY dist ASC, vec_id LIMIT 10") { (s, d) =>
+      Tables.ensure(s, d)
+      val e = s.table("embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).first().getSeq[Double](0)
+      e.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          round(graft.functions.VectorFunctions.l2(
+            col("embedding").cast("array<double>"), typedLit(q)), 6).as("dist"))
+        .orderBy(col("dist").asc, col("vec_id")).limit(10)
+    },
+
     // Sliding-window aggregate, batch face of EventStreams.slidingAgg
     // (1h window / 30min slide -> each event lands in exactly two windows).
     Op("events_sliding",

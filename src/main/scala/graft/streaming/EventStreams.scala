@@ -48,6 +48,25 @@ object EventStreams {
   def dedup(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates("event_id")
 
+  /** Custom stateful processing via `flatMapGroupsWithState`: cumulative
+    * per-user event count + value total that survives across micro-batches
+    * (the escape hatch for state machines `session_window` can't express).
+    */
+  def statefulUserTotals(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.selectExpr("user_id", "value").as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) =>
+          var (n, total) = state.getOption.getOrElse((0L, 0.0))
+          rows.foreach { r => n += 1; total += r._2 }
+          state.update((n, total))
+          Iterator((user, n, math.rint(total * 100) / 100))
+      }
+      .toDF("user_id", "n", "total")
+  }
+
   /** Wire a streaming source through a transform into a memory sink and run
     * it to completion (test/demo harness for the above).
     */

@@ -281,6 +281,30 @@ class SessionAndStatementSpec extends AnyFunSuite {
     assert(s.spark.sql("SELECT 41 + 1").collect().head.get(0) == 42)
   }
 
+  test("10 concurrent clients run queries with zero failures under admission control") {
+    // Mirrors the reference's concurrency CI test
+    // (test_tpch_benchmark.cpp:1078-1254: 10 clients x queries, 0 failures).
+    graft.Tables.ensure(spark, graft.SparkTestHarness.sfDir)
+    val ac = new AdmissionController(4, 64, 60)
+    val pool = Executors.newFixedThreadPool(10)
+    val results = (1 to 10).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = {
+          val sess = sessions.getOrCreate(s"conc-$i", s"user$i", "user")
+          graft.Tables.ensure(sess.spark, graft.SparkTestHarness.sfDir)
+          (1 to 3).map { _ =>
+            Statement.run(sessions, sess, global, ac,
+              "SELECT o_orderpriority, COUNT(*) AS c FROM orders GROUP BY o_orderpriority").length.toLong
+          }.sum
+        }
+      })
+    }
+    val counts = results.map(_.get(120, TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(counts.forall(_ == 15L)) // 3 runs x 5 priority groups each
+    assert(ac.running == 0 && ac.waiting == 0)
+  }
+
   test("run() composes admission + timeout") {
     val s = sessions.getOrCreate("runner", "alice", "admin")
     val rows = Statement.run(sessions, s, global, admission, "SELECT 2 + 2 AS four")

@@ -82,6 +82,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.select("event_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("flatMapGroupsWithState accumulates per-user state across micro-batches") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val base = LocalDateTime.of(2024, 3, 1, 0, 0)
+    def ev(id: Long, user: Long, v: Double) =
+      Ev(id, java.sql.Timestamp.valueOf(base.plusMinutes(id)), user, "click", v)
+    val ms = MemoryStream[Ev]
+    val q = EventStreams.statefulUserTotals(ms.toDF()).writeStream
+      .format("memory").queryName("t_stateful").outputMode("append").start()
+    ms.addData(Seq(ev(1, 1, 1.0), ev(2, 1, 2.0), ev(3, 2, 5.0)))
+    q.processAllAvailable()
+    ms.addData(Seq(ev(4, 1, 3.0))) // second batch: user 1 state must carry over
+    q.processAllAvailable()
+    q.stop()
+    val byBatch = spark.table("t_stateful").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(byBatch.contains((1L, 2L, 3.0)))  // after batch 1
+    assert(byBatch.contains((1L, 3L, 6.0)))  // cumulative after batch 2
+    assert(byBatch.contains((2L, 1L, 5.0)))
+  }
+
   test("sliding windows emit one row per covering window") {
     val base = LocalDateTime.of(2024, 3, 1, 1, 45)
     val rows = Seq(Ev(1, java.sql.Timestamp.valueOf(base), 1, "click", 1.0))
