@@ -25,8 +25,9 @@ object Statement {
 
   private val KillSessionRe =
     """(?is)^\s*KILL\s+SESSION\s+'([0-9a-zA-Z-]+)'\s*;?\s*$""".r
+  // value is either quoted (may contain ; ) or a bare token
   private val SetSettingRe =
-    """(?is)^\s*SET\s+(?:(SESSION|GLOBAL)\s+)?(gizmosql\.[a-z_]+)\s*=\s*'?([^';]*?)'?\s*;?\s*$""".r
+    """(?is)^\s*SET\s+(?:(SESSION|GLOBAL)\s+)?(gizmosql\.[a-z_]+)\s*=\s*(?:'([^']*)'|([^;'\s]+))\s*;?\s*$""".r
 
   private val pool = ExecutionContext.fromExecutorService(
     Executors.newCachedThreadPool(r => {
@@ -84,7 +85,8 @@ object Statement {
         sessions.kill(target)
         oneRowResult(session.spark, "result", s"session $target killed")
 
-      case SetSettingRe(scope, name, value) =>
+      case SetSettingRe(scope, name, quoted, bare) =>
+        val value = Option(quoted).getOrElse(bare)
         val result =
           if (scope != null && scope.equalsIgnoreCase("GLOBAL"))
             global.set(name, value, session.isAdmin)

@@ -112,6 +112,39 @@ object ExtensibilityOps {
         .orderBy(col("dist").asc, col("vec_id")).limit(10)
     },
 
+    // SQL PIVOT clause (the reference handles PIVOT via its direct-execution
+    // fallback, duckdb_statement.cpp:1100-1133; Spark parses it natively —
+    // oracle expresses the same result as CASE aggregation).
+    Op("pivot_status",
+      "SELECT o_orderpriority, CAST(SUM(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS BIGINT) AS F, " +
+      "CAST(SUM(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END) AS BIGINT) AS O, " +
+      "CAST(SUM(CASE WHEN o_orderstatus='P' THEN 1 ELSE 0 END) AS BIGINT) AS P " +
+      "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority") { (s, d) =>
+      Tables.ensure(s, d)
+      s.sql("SELECT * FROM (SELECT o_orderpriority, o_orderstatus FROM orders) " +
+        "PIVOT (COUNT(*) FOR o_orderstatus IN ('F' AS F, 'O' AS O, 'P' AS P)) " +
+        "ORDER BY o_orderpriority")
+    },
+
+    Op("set_except_all",
+      "SELECT seg, COUNT(*) AS c FROM (SELECT c_mktsegment AS seg FROM customer " +
+      "EXCEPT ALL SELECT c_mktsegment FROM customer WHERE c_custkey < 750) t GROUP BY seg ORDER BY seg") { (s, d) =>
+      Tables.ensure(s, d)
+      val c = s.table("customer")
+      c.select(col("c_mktsegment").as("seg"))
+        .exceptAll(c.filter(col("c_custkey") < 750).select(col("c_mktsegment").as("seg")))
+        .groupBy("seg").agg(count(lit(1)).as("c")).orderBy("seg")
+    },
+
+    Op("set_intersect_all",
+      "SELECT COUNT(*) AS n FROM (SELECT c_nationkey AS k FROM customer " +
+      "INTERSECT ALL SELECT CAST(o_custkey % 25 AS INTEGER) FROM orders) t") { (s, d) =>
+      Tables.ensure(s, d)
+      s.table("customer").select(col("c_nationkey").as("k"))
+        .intersectAll(s.table("orders").select((col("o_custkey") % 25).cast("int").as("k")))
+        .agg(count(lit(1)).as("n"))
+    },
+
     // Sliding-window aggregate, batch face of EventStreams.slidingAgg
     // (1h window / 30min slide -> each event lands in exactly two windows).
     Op("events_sliding",

@@ -281,6 +281,33 @@ class SessionAndStatementSpec extends AnyFunSuite {
     assert(s.spark.sql("SELECT 41 + 1").collect().head.get(0) == 42)
   }
 
+  test("session options: catalog/schema set + non-creating get") {
+    val s = sessions.getOrCreate("opts", "alice", "admin")
+    assert(SessionOptions.set(s, "schema", "default").isRight)
+    assert(SessionOptions.set(s, "schema", "no such; DROP").isLeft) // sanitized
+    assert(SessionOptions.set(s, "bogus", "x").isLeft)
+    val got = SessionOptions.get(sessions, "opts")
+    assert(got.exists(o => o.catalog == "spark_catalog" && o.schema == "default"))
+    assert(SessionOptions.get(sessions, "never-created").isLeft) // must not create
+    assert(sessions.lookup("never-created").isEmpty)
+  }
+
+  test("init-SQL splitter is quote- and comment-aware; run() executes each") {
+    val script =
+      """SET gizmosql.session_tag = 'a;b';
+        |-- a comment; with a semicolon
+        |SELECT 1 AS x;
+        |SELECT 'lit;eral' AS s""".stripMargin
+    val stmts = InitSql.split(script)
+    assert(stmts.length == 3)
+    assert(stmts.head == "SET gizmosql.session_tag = 'a;b'")
+    assert(stmts(2) == "SELECT 'lit;eral' AS s")
+    val s = sessions.getOrCreate("init", "alice", "admin")
+    val ran = InitSql.run(sessions, s, global, script)
+    assert(ran.length == 3)
+    assert(s.settings.get("gizmosql.session_tag").contains("a;b"))
+  }
+
   test("10 concurrent clients run queries with zero failures under admission control") {
     // Mirrors the reference's concurrency CI test
     // (test_tpch_benchmark.cpp:1078-1254: 10 clients x queries, 0 failures).
