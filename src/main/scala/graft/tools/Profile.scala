@@ -1,7 +1,6 @@
 package graft.tools
 
-import graft.{GraftSession, Tables}
-import graft.operators.TextPipeline
+import graft.{GraftSession, SparkEntry, Tables}
 
 /** Scratch profiler for operator hotspots (not part of the driver contract). */
 object Profile {
@@ -10,18 +9,14 @@ object Profile {
     spark.sparkContext.setLogLevel("WARN")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     Tables.ensure(spark, dir)
-    val docs = spark.table("documents")
+    spark.table("lineitem").count()
     def time[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f
       println(f"[profile] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
-    time("warm")(docs.count())
-    val n = time("minhash candidates")(TextPipeline.minhashCandidates(docs).count())
-    println(s"[profile] candidate pairs: $n")
-    val n2 = time("minhash candidates (2nd)")(TextPipeline.minhashCandidates(docs).count())
-    val j = time("jaccard pairs")(TextPipeline.jaccardPairs(docs, 0.12).count())
-    println(s"[profile] jaccard pairs: $j")
-    val sh = time("simhash")(TextPipeline.simhash(docs).count())
+    val q = SparkEntry.queries
+    for (name <- Seq("join_inner_h03", "agg_h01", "dedup_minhash_lsh"); i <- 1 to 3)
+      time(s"$name run$i")(q(name)(spark, dir).count())
     spark.stop()
   }
 }
