@@ -42,4 +42,24 @@ final class Observability(captureProfile: () => Boolean) extends QueryExecutionL
     spark.listenerManager.register(this)
     this
   }
+
+  /** Instrumentation view (the enterprise `gizmosql_statements` table shape,
+    * reference dir `src/enterprise/instrumentation`): recorded executions as
+    * a queryable DataFrame.
+    */
+  def statementsView(spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("operation", StringType), StructField("duration_ms", DoubleType),
+      StructField("status", StringType), StructField("output_rows", LongType),
+      StructField("has_profile", BooleanType)))
+    val rows = snapshot.map(r => Row(r.name, r.durationNs / 1e6, r.status,
+      r.outputRows.map(Long.box).orNull, r.profile.isDefined))
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
+  def installView(spark: SparkSession): Unit =
+    statementsView(spark).createOrReplaceTempView("gizmosql_statements")
 }

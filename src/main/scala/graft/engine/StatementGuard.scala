@@ -56,6 +56,20 @@ object StatementGuard {
     } else false
   }
 
+  /** Every node of the plan, including expression subqueries AND CTE bodies:
+    * `UnresolvedWith.cteRelations` are innerChildren (not children), so
+    * `collectWithSubqueries` alone would let `WITH c AS (SELECT * FROM
+    * parquet.\`/x\`) ...` slip past the gate.
+    */
+  private def allNodes(plan: LogicalPlan): Seq[LogicalPlan] = {
+    val direct = plan.collectWithSubqueries { case p => p }
+    direct.flatMap {
+      case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+        w.cteRelations.flatMap(r => allNodes(r._2))
+      case _ => Nil
+    } ++ direct
+  }
+
   /** Walk the full plan including subqueries and CTEs (the reference
     * recurses into PREPARE/CTE/subquery nodes, `admin_command_guard.cpp:182-246`).
     */
@@ -64,7 +78,7 @@ object StatementGuard {
       try spark.sessionState.sqlParser.parsePlan(sql)
       catch { case e: Exception => return Blocked(s"parse error: ${e.getMessage}") }
 
-    val nodes = plan.collectWithSubqueries { case p => p }
+    val nodes = allNodes(plan)
 
     if (readOnly) {
       nodes.find(p => writeCommandNames.exists(simpleName(p).startsWith) ||

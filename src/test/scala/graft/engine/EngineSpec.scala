@@ -339,6 +339,92 @@ class SessionAndStatementSpec extends AnyFunSuite {
   }
 }
 
+class TokenAuthSpec extends AnyFunSuite {
+  private val kp = {
+    val g = java.security.KeyPairGenerator.getInstance("RSA")
+    g.initialize(2048)
+    g.generateKeyPair()
+  }
+  private val cfg = TokenAuth.Config(
+    issuer = "https://idp.example.com", audience = "graft",
+    publicKey = kp.getPublic, allowedEmails = Set("alice@example.com"))
+
+  private def externalToken(email: String, role: Option[String] = None,
+      issuer: String = cfg.issuer, audience: String = cfg.audience): String = {
+    val b = io.jsonwebtoken.Jwts.builder()
+      .issuer(issuer).audience().add(audience).and()
+      .subject(email).claim("email", email)
+      .issuedAt(new java.util.Date())
+      .expiration(java.util.Date.from(java.time.Instant.now().plusSeconds(600)))
+    role.foreach(r => b.claim("role", r))
+    b.signWith(kp.getPrivate).compact()
+  }
+
+  test("external IdP token bootstraps an internal session token") {
+    val r = TokenAuth.bootstrap(cfg, "server-secret", externalToken("alice@example.com", Some("admin")), "inst-1")
+    assert(r.isRight)
+    val (id, internal) = r.toOption.get
+    assert(id.username == "alice@example.com" && id.role == "admin" && id.authMethod == "oidc")
+    // the minted internal token validates like any basic-auth session token
+    assert(Auth.validate("server-secret", internal, "inst-1").exists(_.sessionId == id.sessionId))
+  }
+
+  test("missing role claim falls back to the default role") {
+    val r = TokenAuth.authenticate(cfg, externalToken("alice@example.com"), "inst-1")
+    assert(r.exists(_.role == "user"))
+  }
+
+  test("wrong issuer, wrong audience, unlisted email, bad signature are rejected") {
+    assert(TokenAuth.authenticate(cfg, externalToken("alice@example.com", issuer = "https://evil"), "i").isLeft)
+    assert(TokenAuth.authenticate(cfg, externalToken("alice@example.com", audience = "other"), "i").isLeft)
+    assert(TokenAuth.authenticate(cfg, externalToken("bob@example.com"), "i").isLeft)
+    val otherKey = { val g = java.security.KeyPairGenerator.getInstance("RSA"); g.initialize(2048); g.generateKeyPair() }
+    val forged = io.jsonwebtoken.Jwts.builder()
+      .issuer(cfg.issuer).audience().add(cfg.audience).and().subject("alice@example.com")
+      .expiration(java.util.Date.from(java.time.Instant.now().plusSeconds(600)))
+      .signWith(otherKey.getPrivate).compact()
+    assert(TokenAuth.authenticate(cfg, forged, "i").isLeft)
+  }
+}
+
+class GuardHardeningSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+
+  test("path scans hidden in subqueries, CTEs, and set ops are still caught") {
+    def blocked(sql: String) =
+      StatementGuard.check(spark, sql, isAdmin = false, readOnly = false)
+        .isInstanceOf[StatementGuard.Blocked]
+    assert(blocked("SELECT * FROM (SELECT * FROM parquet.`/etc/passwd`) t"))
+    assert(blocked("WITH c AS (SELECT * FROM csv.`/tmp/x.csv`) SELECT * FROM c"))
+    assert(blocked("SELECT 1 WHERE EXISTS (SELECT 1 FROM json.`/var/log/x.json`)"))
+    assert(blocked("SELECT 1 AS x UNION ALL SELECT COUNT(*) FROM parquet.`/data/f`"))
+    // remote schemes stay allowed for everyone (admin_command_guard.cpp:68-76)
+    assert(StatementGuard.check(spark, "SELECT * FROM parquet.`s3a://bucket/key`",
+      isAdmin = false, readOnly = false) == StatementGuard.Allowed)
+  }
+
+  test("readonly blocks writes nested under EXPLAIN-free paths but allows SHOW/DESCRIBE") {
+    def check(sql: String, ro: Boolean = true) =
+      StatementGuard.check(spark, sql, isAdmin = true, readOnly = ro)
+    assert(check("INSERT INTO t VALUES (1)").isInstanceOf[StatementGuard.Blocked])
+    assert(check("DROP TABLE t").isInstanceOf[StatementGuard.Blocked])
+    assert(check("SHOW TABLES") == StatementGuard.Allowed)
+    assert(check("DESCRIBE region") == StatementGuard.Allowed)
+  }
+
+  test("observability statements view is queryable") {
+    @volatile var capture = false
+    val obs = new Observability(() => capture).install(spark)
+    try {
+      spark.sql("SELECT 1").collect()
+      Thread.sleep(500)
+      obs.installView(spark)
+      val df = spark.sql("SELECT operation, status FROM gizmosql_statements WHERE status = 'success'")
+      assert(df.count() >= 1)
+    } finally spark.listenerManager.unregister(obs)
+  }
+}
+
 class SystemCatalogSpec extends AnyFunSuite {
   private lazy val spark = SparkTestHarness.spark
 
