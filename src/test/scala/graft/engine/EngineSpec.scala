@@ -339,6 +339,46 @@ class SessionAndStatementSpec extends AnyFunSuite {
   }
 }
 
+class FlightSurfaceSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+  private lazy val global = new GlobalSettings
+  private lazy val sessions = new SessionManager(spark, global)
+
+  test("two-phase statement flow: analysis-only flight info, ticketed re-execution") {
+    val s = sessions.getOrCreate("flight", "alice", "admin")
+    graft.Tables.ensure(s.spark, graft.SparkTestHarness.sfDir)
+    val (schema, ticket) = FlightSurface.flightInfo(s, "txn-1", "SELECT r_regionkey, r_name FROM region")
+    assert(schema.fieldNames.toSeq == Seq("r_regionkey", "r_name"))
+    assert(FlightSurface.Ticket.decode(ticket) == ("txn-1", "SELECT r_regionkey, r_name FROM region"))
+    // DoGet may land on a different session (reference re-prepares) — same result
+    val s2 = sessions.getOrCreate("flight2", "alice", "admin")
+    graft.Tables.ensure(s2.spark, graft.SparkTestHarness.sfDir)
+    assert(FlightSurface.doGet(s2, ticket).count() == 5)
+    // sql containing ':' survives the codec
+    val t2 = FlightSurface.Ticket.encode("t", "SELECT ':x' AS c")
+    assert(FlightSurface.Ticket.decode(t2)._2 == "SELECT ':x' AS c")
+  }
+
+  test("GetTables include_schema carries per-table Arrow schemas") {
+    graft.Tables.ensure(spark, graft.SparkTestHarness.sfDir)
+    val t = FlightSurface.tablesWithSchema(spark, Some("region")).collect()
+    assert(t.length == 1)
+    val json = t.head.getAs[String]("table_schema")
+    assert(json.contains("r_regionkey") && json.contains("r_name"))
+  }
+
+  test("executeUpdate returns affected-row counts for DML") {
+    val s = sessions.getOrCreate("dmlcount", "alice", "admin")
+    s.spark.sql("DROP TABLE IF EXISTS dml_count_t")
+    val wh = s.spark.conf.get("spark.sql.warehouse.dir")
+    val p = new org.apache.hadoop.fs.Path(wh, "dml_count_t")
+    p.getFileSystem(s.spark.sparkContext.hadoopConfiguration).delete(p, true)
+    s.spark.sql("CREATE TABLE dml_count_t (x INT) USING parquet")
+    assert(FlightSurface.executeUpdate(s, "INSERT INTO dml_count_t VALUES (1), (2), (3)") == 3L)
+    assert(s.spark.table("dml_count_t").count() == 3)
+  }
+}
+
 class TokenAuthSpec extends AnyFunSuite {
   private val kp = {
     val g = java.security.KeyPairGenerator.getInstance("RSA")
