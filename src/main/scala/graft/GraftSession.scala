@@ -47,12 +47,15 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  private val registered = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // session -> currently-registered dir. Views are global per name within a
+  // session, so switching dirs must re-register (a per-(session,dir) cache
+  // would silently keep views pointed at the previous dir).
+  private val registered = new java.util.concurrent.ConcurrentHashMap[Integer, String]()
 
   /** Idempotently register every test table in `dir` as a temp view. */
   def ensure(spark: SparkSession, dir: String): Unit = {
-    val key = System.identityHashCode(spark) + "|" + dir
-    if (!registered.contains(key)) {
+    val key = Integer.valueOf(System.identityHashCode(spark))
+    if (registered.get(key) != dir) {
       // events.ts is parquet TIMESTAMP(NANOS) which Spark's reader rejects;
       // read it as long and truncate to micros (the reference's own Arrow
       // export truncates ns->us the same way, SURVEY.md §1.2).
@@ -66,7 +69,7 @@ object Tables {
           else raw
         df.createOrReplaceTempView(n)
       }
-      registered.add(key)
+      registered.put(key, dir)
     }
   }
 }
