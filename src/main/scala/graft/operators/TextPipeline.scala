@@ -77,22 +77,23 @@ object TextPipeline {
     */
   def minhashCandidates(d: DataFrame, numHashes: Int = 16, bands: Int = 8): DataFrame = {
     val rowsPer = numHashes / bands
-    val spark = d.sparkSession
     // Stay codegen-friendly: higher-order lambdas (transform/aggregate) fall
     // back to interpreted eval, so the hot path hashes each shingle ONCE with
     // a codegen'd xxhash64 and derives the `numHashes` permutations by
-    // re-hashing (hash, pos) — never a nested lambda over the gram list.
+    // re-hashing (hash, k) — never a nested lambda over the gram list.
+    // All permutations are computed as parallel min-aggregates in ONE
+    // hash aggregation over the (doc, gram-hash) rows: no row explosion, one
+    // shuffle of docs x numHashes minima, fully whole-stage-codegen.
     val gramHash = shingleHashes(d).withColumnRenamed("gram", "h")
-    val idx = spark.range(0, numHashes).select(col("id").cast("int").as("pos"))
-    // (doc, gram) x numHashes rows; the groupBy below map-side-combines down
-    // to docs x numHashes before the shuffle, so scale cost is linear in
-    // corpus size with a tiny shuffle.
-    val sig = gramHash.join(broadcast(idx))
-      .select(col("doc_id"), col("pos"), xxhash64(col("h"), col("pos")).as("hj"))
-      .groupBy("doc_id", "pos").agg(min("hj").as("mh"))
-    val buckets = sig
-      .groupBy(col("doc_id"), (col("pos") / lit(rowsPer)).cast("int").as("band"))
-      .agg(xxhash64(sort_array(collect_list(struct(col("pos"), col("mh"))))).as("bucket"))
+    val sigCols = (0 until numHashes).map(j => min(xxhash64(col("h"), lit(j))).as(s"m$j"))
+    val sig = gramHash.groupBy("doc_id").agg(sigCols.head, sigCols.drop(1): _*)
+    val bandCols = (0 until bands).map { b =>
+      xxhash64((b * rowsPer until (b + 1) * rowsPer).map(j => col(s"m$j")): _*).as(s"band$b")
+    }
+    val buckets = sig.select(col("doc_id") +: bandCols: _*)
+      .select(col("doc_id"),
+        posexplode(array((0 until bands).map(b => col(s"band$b")): _*)))
+      .toDF("doc_id", "band", "bucket")
     buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
