@@ -17,6 +17,7 @@ object Bench {
     "subq_scalar", "cte_h15",
     "win_rownum", "win_running_sum", "topk",
     "dedup_exact", "dedup_minhash_lsh", "dedup_jaccard", "dedup_simhash",
+    "pipeline_clean_corpus",
     "embed_cosine_topk", "embed_knn",
     "text_stats", "text_fingerprint",
     "events_hourly", "events_sessions")

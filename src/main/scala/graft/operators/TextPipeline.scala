@@ -117,7 +117,34 @@ object TextPipeline {
       .agg(sum(expr("CASE WHEN v > 0 THEN shiftleft(1L, bit) ELSE 0L END")).as("simhash"))
   }
 
+  /** End-to-end corpus cleaning — the composition a training-data pipeline
+    * actually runs: quality gate (token count + stopword ratio) → exact
+    * near-dup detection on the survivors → drop the higher doc_id of each
+    * confirmed pair → surviving corpus. Every stage is the distributed
+    * operator defined above; nothing touches the driver.
+    */
+  def cleanCorpus(d: DataFrame, minTokens: Int, minStopRatio: Double,
+      dupThreshold: Double): DataFrame = {
+    val quality = d.filter(size(tokens(col("text"))) >= minTokens &&
+      stopwordRatio(col("text"), Seq("the", "a", "of", "and", "in")) >= minStopRatio)
+    val dups = jaccardPairs(quality, dupThreshold).select(col("id_b").as("doc_id")).distinct()
+    quality.join(dups, Seq("doc_id"), "left_anti").select("doc_id")
+  }
+
   val ops: Seq[Op] = Seq(
+    Op("pipeline_clean_corpus",
+      "WITH q AS (SELECT doc_id, text FROM documents WHERE LEN(STRING_SPLIT(text,' ')) >= 20 " +
+      "AND CAST(LEN(LIST_FILTER(STRING_SPLIT(text,' '), w -> w IN ('the','a','of','and','in'))) AS DOUBLE)/LEN(STRING_SPLIT(text,' ')) >= 0.02), " +
+      "w AS (SELECT doc_id, STRING_SPLIT(text,' ') AS words FROM q), " +
+      "g AS (SELECT DISTINCT doc_id, UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, CAST(LEN(words) AS INTEGER)-2), i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS gram FROM w), " +
+      "sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id), " +
+      "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter FROM g a JOIN g b ON a.gram=b.gram AND a.doc_id < b.doc_id GROUP BY 1,2), " +
+      "dups AS (SELECT DISTINCT id_b FROM pairs JOIN sz sa ON sa.doc_id=id_a JOIN sz sb ON sb.doc_id=id_b " +
+      "WHERE CAST(inter AS DOUBLE)/(sa.n+sb.n-inter) >= 0.5) " +
+      "SELECT doc_id FROM q WHERE doc_id NOT IN (SELECT id_b FROM dups) ORDER BY doc_id") { (s, d) =>
+      cleanCorpus(docs(s, d), 20, 0.02, 0.5).orderBy("doc_id")
+    },
+
     Op("dedup_exact",
       "SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id, COUNT(*) AS copies FROM documents GROUP BY text ORDER BY keep_id") { (s, d) =>
       docs(s, d).groupBy("text")
