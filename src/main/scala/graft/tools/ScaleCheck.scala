@@ -1,0 +1,54 @@
+package graft.tools
+
+import graft.{GraftSession, SparkEntry, Tables}
+import org.apache.spark.sql.functions._
+
+/** Scale experiment: replicate the sf0.1 fixture N times (union of re-keyed
+  * copies, repartitioned so scans parallelize like a real multi-file
+  * dataset) and measure how the headline plans scale. Linear-or-better
+  * wall-time growth with unchanged plan shapes is the evidence that the
+  * partitioning/broadcast choices hold at larger SFs.
+  *
+  * Run: sbt "runMain graft.tools.ScaleCheck [N]"  (default 10 ≈ SF1)
+  */
+object ScaleCheck {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.flatMap(_.toIntOption).getOrElse(10)
+    val spark = GraftSession.local()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.1"
+    Tables.ensure(spark, dir)
+
+    // Re-key each copy so join/group cardinalities scale realistically
+    // (orders/lineitem keys shifted per copy; dimension tables stay as-is,
+    // mirroring how TPC-H scales facts but not nations/regions).
+    val copies = spark.range(n).select(col("id").as("copy"))
+    def scaled(table: String, keyCols: Seq[String], shift: Long): Unit = {
+      val base = spark.table(table)
+      val big = base.crossJoin(copies)
+      val rekeyed = keyCols.foldLeft(big) { (df, k) =>
+        df.withColumn(k, col(k) + col("copy") * shift)
+      }
+      rekeyed.drop("copy").repartition(32).createOrReplaceTempView(table)
+    }
+    scaled("lineitem", Seq("l_orderkey"), 100000000L)
+    scaled("orders", Seq("o_orderkey", "o_custkey"), 100000000L)
+    scaled("customer", Seq("c_custkey"), 100000000L)
+
+    println(s"[scale] lineitem rows: ${spark.table("lineitem").count()}")
+
+    val queries = SparkEntry.queries
+    val names = Seq("agg_h01", "agg_global_h06", "join_inner_h03", "join_left_hist",
+      "join_theta", "tpch_h18", "win_rownum", "topk")
+    names.foreach { name =>
+      // warm codegen once, then measure
+      try {
+        queries(name)(spark, dir).count()
+        val t0 = System.nanoTime()
+        queries(name)(spark, dir).count()
+        println(f"[scale] $name at ${n}x: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      } catch { case e: Throwable => println(s"[scale] $name FAILED: ${e.getMessage}") }
+    }
+    spark.stop()
+  }
+}
