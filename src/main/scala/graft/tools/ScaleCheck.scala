@@ -49,6 +49,22 @@ object ScaleCheck {
         println(f"[scale] $name at ${n}x: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       } catch { case e: Throwable => println(s"[scale] $name FAILED: ${e.getMessage}") }
     }
+
+    // Bucketed co-located join: pay the shuffle once at write time, join
+    // shuffle-free afterwards — the pre-partitioning strategy for repeated
+    // fact-fact joins at scale.
+    spark.sql("DROP TABLE IF EXISTS sc_orders"); spark.sql("DROP TABLE IF EXISTS sc_lineitem")
+    graft.operators.ScaleTechniques.writeBucketed(
+      spark.table("orders").select("o_orderkey", "o_totalprice"), "sc_orders", "o_orderkey", 32)
+    graft.operators.ScaleTechniques.writeBucketed(
+      spark.table("lineitem").select("l_orderkey", "l_quantity"), "sc_lineitem", "l_orderkey", 32)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val bucketed = spark.table("sc_orders")
+      .join(spark.table("sc_lineitem"), col("o_orderkey") === col("l_orderkey"))
+    val t0 = System.nanoTime()
+    val cnt = bucketed.count()
+    val shuffleFree = !bucketed.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+    println(f"[scale] bucketed ${n}x fact-fact join: $cnt%d rows in ${(System.nanoTime() - t0) / 1e9}%.2f s, shuffle-free=$shuffleFree")
     spark.stop()
   }
 }
