@@ -103,6 +103,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(byBatch.contains((2L, 1L, 5.0)))
   }
 
+  test("file source -> windowed agg -> parquet sink: full streaming pipeline") {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-stream-src").toString
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft-stream-sink").toString
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-stream-ckpt").toString
+    // two "arriving" files of events
+    val base = LocalDateTime.of(2024, 3, 1, 0, 0)
+    def ev(id: Long, minutes: Long, typ: String) =
+      Ev(id, java.sql.Timestamp.valueOf(base.plusMinutes(minutes)), 1L, typ, 1.0)
+    Seq(ev(1, 0, "click"), ev(2, 10, "view")).toDF().coalesce(1).write.mode("append").parquet(srcDir)
+    Seq(ev(3, 20, "click"), ev(4, 200, "flush")).toDF().coalesce(1).write.mode("append").parquet(srcDir)
+
+    val stream = spark.readStream.schema(Seq.empty[Ev].toDF().schema).parquet(srcDir)
+    val q = EventStreams.tumblingAgg(stream, "1 hour", "1 minute")
+      .writeStream.format("parquet")
+      .option("path", sinkDir).option("checkpointLocation", ckptDir)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.read.parquet(sinkDir).filter(col("event_type") =!= "flush")
+      .orderBy("h", "event_type").collect()
+    // hour window 00:00 closed by the fresh file's 03:20 event
+    assert(out.map(r => (r.getAs[Any]("event_type").toString, r.getLong(2))).toSeq ==
+      Seq(("click", 2L), ("view", 1L)))
+  }
+
   test("sliding windows emit one row per covering window") {
     val base = LocalDateTime.of(2024, 3, 1, 1, 45)
     val rows = Seq(Ev(1, java.sql.Timestamp.valueOf(base), 1, "click", 1.0))
