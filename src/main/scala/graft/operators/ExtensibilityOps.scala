@@ -62,6 +62,25 @@ object ExtensibilityOps {
       ).orderBy("p_partkey").limit(100)
     },
 
+    Op("fn_bitwise",
+      "SELECT n_nationkey, CAST(n_nationkey & 12 AS INTEGER) AS band, CAST(n_nationkey | 3 AS INTEGER) AS bor, " +
+      "CAST(XOR(n_nationkey, 21) AS INTEGER) AS bxor, CAST(n_nationkey << 2 AS INTEGER) AS shl, " +
+      "CAST(n_nationkey >> 1 AS INTEGER) AS shr FROM nation ORDER BY n_nationkey") { (s, d) =>
+      Tables.ensure(s, d)
+      s.table("nation").select(
+        col("n_nationkey"),
+        col("n_nationkey").bitwiseAND(12).as("band"),
+        col("n_nationkey").bitwiseOR(3).as("bor"),
+        col("n_nationkey").bitwiseXOR(21).as("bxor"),
+        expr("shiftleft(n_nationkey, 2)").as("shl"),
+        expr("shiftright(n_nationkey, 1)").as("shr")
+      ).orderBy("n_nationkey")
+    },
+
+    Op("meta_catalogs", "SELECT 'spark_catalog' AS catalog_name") { (s, _) =>
+      SystemCatalog.catalogs(s)
+    },
+
     Op("fn_math2",
       "SELECT l_orderkey, l_linenumber, ROUND(SIN(l_discount),6) AS sn, ROUND(COS(l_tax),6) AS cs, " +
       "ROUND(ATAN2(l_discount, l_tax+0.01),6) AS at2, ROUND(RADIANS(l_quantity),6) AS rad, " +
