@@ -18,6 +18,11 @@ import scala.jdk.CollectionConverters._
   *
   * Batched via `toLocalIterator` so only `batchSize` rows are resident on the
   * driver at a time — the executors stream partitions sequentially.
+  *
+  * Value coverage: all atomic types + arrays of atomics (schema mapping in
+  * [[graft.types.TypeMapping]] additionally covers struct/map both ways;
+  * struct/map VALUE serialization is not wired here yet — declared gap,
+  * results containing them should be restructured or exported as JSON).
   */
 object ArrowIO {
 
