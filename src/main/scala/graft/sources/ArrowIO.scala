@@ -3,7 +3,7 @@ package graft.sources
 import graft.types.TypeMapping
 import org.apache.arrow.memory.RootAllocator
 import org.apache.arrow.vector._
-import org.apache.arrow.vector.complex.ListVector
+import org.apache.arrow.vector.complex.{ListVector, MapVector, StructVector}
 import org.apache.arrow.vector.ipc.{ArrowStreamReader, ArrowStreamWriter}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
@@ -19,10 +19,9 @@ import scala.jdk.CollectionConverters._
   * Batched via `toLocalIterator` so only `batchSize` rows are resident on the
   * driver at a time — the executors stream partitions sequentially.
   *
-  * Value coverage: all atomic types + arrays of atomics (schema mapping in
-  * [[graft.types.TypeMapping]] additionally covers struct/map both ways;
-  * struct/map VALUE serialization is not wired here yet — declared gap,
-  * results containing them should be restructured or exported as JSON).
+  * Value coverage: all atomic types, arrays of atomics, structs of atomics,
+  * and maps with atomic keys/values (schema mapping in
+  * [[graft.types.TypeMapping]]; deeper nesting throws a clear error).
   */
 object ArrowIO {
 
@@ -61,51 +60,74 @@ object ArrowIO {
     schema.fields.zipWithIndex.foreach { case (f, c) =>
       val vec = root.getVector(c)
       if (row.isNullAt(c)) vec.asInstanceOf[FieldVector].setNull(i)
-      else writeValue(vec, f.dataType, row, c, i)
+      else writeAny(vec, f.dataType, row.get(c), i)
     }
   }
 
-  private def writeValue(vec: FieldVector, dt: DataType, row: Row, c: Int, i: Int): Unit =
+  private def writeAny(vec: FieldVector, dt: DataType, value: Any, i: Int): Unit =
     (vec, dt) match {
-      case (v: BitVector, BooleanType) => v.setSafe(i, if (row.getBoolean(c)) 1 else 0)
-      case (v: TinyIntVector, ByteType) => v.setSafe(i, row.getByte(c))
-      case (v: SmallIntVector, ShortType) => v.setSafe(i, row.getShort(c))
-      case (v: IntVector, IntegerType) => v.setSafe(i, row.getInt(c))
-      case (v: BigIntVector, LongType) => v.setSafe(i, row.getLong(c))
-      case (v: Float4Vector, FloatType) => v.setSafe(i, row.getFloat(c))
-      case (v: Float8Vector, DoubleType) => v.setSafe(i, row.getDouble(c))
-      case (v: DecimalVector, _: DecimalType) => v.setSafe(i, row.getDecimal(c))
+      case (v: BitVector, BooleanType) => v.setSafe(i, if (value.asInstanceOf[Boolean]) 1 else 0)
+      case (v: TinyIntVector, ByteType) => v.setSafe(i, value.asInstanceOf[Byte])
+      case (v: SmallIntVector, ShortType) => v.setSafe(i, value.asInstanceOf[Short])
+      case (v: IntVector, IntegerType) => v.setSafe(i, value.asInstanceOf[Int])
+      case (v: BigIntVector, LongType) => v.setSafe(i, value.asInstanceOf[Long])
+      case (v: Float4Vector, FloatType) => v.setSafe(i, value.asInstanceOf[Float])
+      case (v: Float8Vector, DoubleType) => v.setSafe(i, value.asInstanceOf[Double])
+      case (v: DecimalVector, _: DecimalType) =>
+        v.setSafe(i, value.asInstanceOf[java.math.BigDecimal])
       case (v: VarCharVector, StringType) =>
-        v.setSafe(i, row.getString(c).getBytes("UTF-8"))
-      case (v: VarBinaryVector, BinaryType) => v.setSafe(i, row.getAs[Array[Byte]](c))
+        v.setSafe(i, value.asInstanceOf[String].getBytes("UTF-8"))
+      case (v: VarBinaryVector, BinaryType) => v.setSafe(i, value.asInstanceOf[Array[Byte]])
       case (v: DateDayVector, DateType) =>
-        v.setSafe(i, row.getDate(c).toLocalDate.toEpochDay.toInt)
+        v.setSafe(i, value.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay.toInt)
       case (v: TimeStampMicroVector, TimestampNTZType) =>
-        val ldt = row.getAs[java.time.LocalDateTime](c)
+        val ldt = value.asInstanceOf[java.time.LocalDateTime]
         v.setSafe(i, ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L)
       case (v: TimeStampMicroTZVector, TimestampType) =>
-        val ts = row.getTimestamp(c)
+        val ts = value.asInstanceOf[java.sql.Timestamp]
         v.setSafe(i, ts.getTime * 1000L + (ts.getNanos % 1000000) / 1000L)
+      case (v: MapVector, MapType(kt, vt, _)) =>
+        val entries = value.asInstanceOf[scala.collection.Map[Any, Any]]
+        val w = v.getWriter
+        w.setPosition(i)
+        w.startMap()
+        entries.foreach { case (k, mv) =>
+          w.startEntry()
+          writeScalar(w.key(), kt, k)
+          writeScalar(w.value(), vt, mv)
+          w.endEntry()
+        }
+        w.endMap()
+      case (v: StructVector, StructType(fields)) =>
+        val struct = value.asInstanceOf[Row]
+        fields.zipWithIndex.foreach { case (f, j) =>
+          val child = v.getChild(f.name)
+          if (struct.isNullAt(j)) child.setNull(i)
+          else writeAny(child, f.dataType, struct.get(j), i)
+        }
+        v.setIndexDefined(i)
       case (v: ListVector, ArrayType(elem, _)) =>
-        val values = row.getSeq[Any](c)
+        val values = value.asInstanceOf[scala.collection.Seq[Any]]
         val w = v.getWriter
         w.setPosition(i)
         w.startList()
-        values.foreach { x => writeListElement(w, elem, x) }
+        values.foreach { x => writeScalar(w, elem, x) }
         w.endList()
       case other =>
         throw new IllegalArgumentException(s"Arrow export unsupported for $dt -> ${other._1.getClass}")
     }
 
-  private def writeListElement(w: org.apache.arrow.vector.complex.impl.UnionListWriter,
+  /** Scalar write through any BaseWriter (list elements, map keys/values). */
+  private def writeScalar(w: org.apache.arrow.vector.complex.writer.BaseWriter.ListWriter,
       dt: DataType, x: Any): Unit = dt match {
+    case BooleanType => w.bit().writeBit(if (x.asInstanceOf[Boolean]) 1 else 0)
     case IntegerType => w.integer().writeInt(x.asInstanceOf[Int])
     case LongType => w.bigInt().writeBigInt(x.asInstanceOf[Long])
     case FloatType => w.float4().writeFloat4(x.asInstanceOf[Float])
     case DoubleType => w.float8().writeFloat8(x.asInstanceOf[Double])
     case StringType =>
       w.varChar().writeVarChar(new org.apache.arrow.vector.util.Text(x.asInstanceOf[String]))
-    case other => throw new IllegalArgumentException(s"Arrow list export unsupported for $other")
+    case other => throw new IllegalArgumentException(s"Arrow nested-scalar export unsupported for $other")
   }
 
   /** Import an Arrow IPC stream into a DataFrame (the ingest direction):
@@ -151,12 +173,24 @@ object ArrowIO {
         val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000L))
         ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
         ts
-      case (v: ListVector, ArrayType(_, _)) =>
-        v.getObject(i).asScala.toSeq.map {
-          case t: org.apache.arrow.vector.util.Text => t.toString
-          case x => x
-        }
+      case (v: MapVector, MapType(kt, vt, _)) =>
+        v.getObject(i).asInstanceOf[java.util.List[_]].asScala.map { e =>
+          val m = e.asInstanceOf[java.util.Map[String, AnyRef]]
+          fromArrowObject(m.get(MapVector.KEY_NAME), kt) -> fromArrowObject(m.get(MapVector.VALUE_NAME), vt)
+        }.toMap
+      case (v: StructVector, StructType(fields)) =>
+        val m = v.getObject(i).asInstanceOf[java.util.Map[String, AnyRef]]
+        Row.fromSeq(fields.toSeq.map(f => fromArrowObject(m.get(f.name), f.dataType)))
+      case (v: ListVector, ArrayType(elem, _)) =>
+        v.getObject(i).asScala.toSeq.map(x => fromArrowObject(x.asInstanceOf[AnyRef], elem))
       case other => throw new IllegalArgumentException(s"Arrow import unsupported for $dt")
     }
+  }
+
+  /** Convert a raw Arrow getObject value to the Spark-facing value. */
+  private def fromArrowObject(x: AnyRef, dt: DataType): Any = x match {
+    case null => null
+    case t: org.apache.arrow.vector.util.Text => t.toString
+    case other => other
   }
 }

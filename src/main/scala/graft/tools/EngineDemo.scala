@@ -67,7 +67,8 @@ object EngineDemo {
     // 7. Result stream as Arrow IPC (the reference's wire format) and bulk
     // ingest of that stream back under each if-exists mode.
     val result = session.spark.sql(
-      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")
+      "SELECT r_regionkey, r_name, named_struct('k', r_regionkey, 'n', r_name) AS st, " +
+      "map(r_name, r_regionkey) AS mp FROM region ORDER BY r_regionkey")
     val ipc = graft.sources.ArrowIO.toArrowStream(result)
     println(s"[demo] arrow ipc stream: ${ipc.length} bytes")
     val imported = graft.sources.ArrowIO.fromArrowStream(session.spark, ipc)

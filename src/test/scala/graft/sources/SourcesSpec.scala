@@ -99,6 +99,23 @@ class ArrowIOSpec extends AnyFunSuite {
     assert(a.zip(b).forall { case (x, y) => x == y })
   }
 
+  test("struct and map columns round-trip") {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("st", StructType(Seq(StructField("x", IntegerType), StructField("y", StringType)))),
+      StructField("mp", MapType(StringType, IntegerType))))
+    val rows = List(
+      Row(1L, Row(7, "seven"), Map("a" -> 1, "b" -> 2)),
+      Row(2L, Row(8, null), Map("c" -> 3)),
+      Row(3L, null, null))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val back = ArrowIO.fromArrowStream(spark, ArrowIO.toArrowStream(df)).orderBy("id").collect()
+    assert(back(0).getStruct(1) == Row(7, "seven"))
+    assert(back(0).getMap[String, Int](2) == Map("a" -> 1, "b" -> 2))
+    assert(back(1).getStruct(1).isNullAt(1))
+    assert(back(2).isNullAt(1) && back(2).isNullAt(2))
+  }
+
   test("timestamps round-trip at microsecond precision") {
     val schema = StructType(Seq(StructField("ts", TimestampNTZType)))
     val t = java.time.LocalDateTime.of(2024, 1, 15, 10, 30, 5, 123456000)
