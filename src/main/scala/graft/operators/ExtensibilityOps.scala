@@ -85,9 +85,13 @@ object ExtensibilityOps {
       "SELECT l_orderkey, l_linenumber, ROUND(SIN(l_discount),6) AS sn, ROUND(COS(l_tax),6) AS cs, " +
       "ROUND(ATAN2(l_discount, l_tax+0.01),6) AS at2, ROUND(RADIANS(l_quantity),6) AS rad, " +
       "ROUND(DEGREES(l_discount),6) AS deg, ROUND(CBRT(l_quantity),6) AS cb, " +
-      "CAST(FACTORIAL(l_linenumber) AS BIGINT) AS fact FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100") { (s, d) =>
+      "CAST(FACTORIAL(l_linenumber) AS BIGINT) AS fact FROM lineitem " +
+      "ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax LIMIT 100") { (s, d) =>
       Tables.ensure(s, d)
-      s.table("lineitem").select(
+      s.table("lineitem")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .limit(100)
+        .select(
         col("l_orderkey"), col("l_linenumber"),
         round(sin(col("l_discount")), 6).as("sn"),
         round(cos(col("l_tax")), 6).as("cs"),
@@ -96,7 +100,7 @@ object ExtensibilityOps {
         round(degrees(col("l_discount")), 6).as("deg"),
         round(cbrt(col("l_quantity")), 6).as("cb"),
         expr("CAST(factorial(l_linenumber) AS BIGINT)").as("fact")
-      ).orderBy("l_orderkey", "l_linenumber").limit(100)
+      )
     },
 
     Op("fn_string3",

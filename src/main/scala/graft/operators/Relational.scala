@@ -34,13 +34,15 @@ object Relational {
       t(s, d, "region").select("r_regionkey", "r_name").orderBy("r_regionkey")
     },
 
+    // (l_orderkey, l_linenumber) is NOT unique in the fixture — disc_price
+    // joins the sort key so any residual ties are fully identical rows.
     Op("proj_arith",
       "SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice*(1-l_discount),2) AS disc_price " +
-      "FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100") { (s, d) =>
+      "FROM lineitem ORDER BY l_orderkey, l_linenumber, disc_price LIMIT 100") { (s, d) =>
       t(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"),
           round(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("disc_price"))
-        .orderBy("l_orderkey", "l_linenumber").limit(100)
+        .orderBy("l_orderkey", "l_linenumber", "disc_price").limit(100)
     },
 
     Op("filter_between",

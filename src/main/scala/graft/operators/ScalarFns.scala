@@ -64,8 +64,14 @@ object ScalarFns {
       "CAST(FLOOR(l_tax*100) AS BIGINT) AS fl, ROUND(LN(l_extendedprice),6) AS ln_p, ROUND(LOG10(l_extendedprice),6) AS lg10, " +
       "ROUND(POWER(l_quantity,2),4) AS pw, CAST(MOD(l_linenumber,3) AS INTEGER) AS md, CAST(SIGN(l_discount-0.05) AS DOUBLE) AS sg, " +
       "ROUND(EXP(l_discount),6) AS ex, CAST(GREATEST(l_quantity,l_discount*100) AS DOUBLE) AS gr, " +
-      "CAST(LEAST(l_tax,l_discount) AS DOUBLE) AS ls FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100") { (s, d) =>
-      t(s, d, "lineitem").select(
+      "CAST(LEAST(l_tax,l_discount) AS DOUBLE) AS ls FROM lineitem " +
+      // (l_orderkey, l_linenumber) is not unique: extend the sort with every
+      // source column the outputs derive from so ties are identical rows
+      "ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax LIMIT 100") { (s, d) =>
+      t(s, d, "lineitem")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .limit(100)
+        .select(
         col("l_orderkey"), col("l_linenumber"),
         round(sqrt(col("l_quantity")), 6).as("sq"),
         ceil(col("l_discount") * 100).as("ce"),
@@ -78,7 +84,7 @@ object ScalarFns {
         round(exp(col("l_discount")), 6).as("ex"),
         greatest(col("l_quantity"), col("l_discount") * 100).cast("double").as("gr"),
         least(col("l_tax"), col("l_discount")).cast("double").as("ls")
-      ).orderBy("l_orderkey", "l_linenumber").limit(100)
+      )
     },
 
     Op("fn_datetime",
