@@ -51,6 +51,17 @@ object Statement {
     spark.udf.register("gizmosql_user", () => user)
     spark.udf.register("gizmosql_role", () => role)
     spark.udf.register("gizmosql_edition", () => "community")
+    // Publish the values so the PseudoFunctionFold optimizer rule can
+    // constant-fold these UDFs at plan time (the reference substitutes them
+    // textually before prepare; we do it inside Catalyst).
+    graft.plans.PseudoFunctionValues.publish(spark, Map(
+      "gizmosql_current_session" -> sid,
+      "gizmosql_current_instance" -> instanceId,
+      "gizmosql_current_cluster" -> clusterId,
+      "gizmosql_version" -> Version,
+      "gizmosql_user" -> user,
+      "gizmosql_role" -> role,
+      "gizmosql_edition" -> "community"))
   }
 
   /** Refresh the `gizmosql_settings` session view (the reference rewrites the

@@ -15,6 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[CosineSimilarity].getName, null, name, usage, "")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(PseudoFunctionFold)
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       info("graft_cosine", "graft_cosine(a, b) - single-pass cosine similarity of two double arrays"),

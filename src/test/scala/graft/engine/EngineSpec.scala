@@ -173,6 +173,20 @@ class SessionAndStatementSpec extends AnyFunSuite {
     assert(row.getString(3) == Statement.Version)
   }
 
+  test("pseudo-functions constant-fold to literals in the optimized plan") {
+    val s = sessions.getOrCreate("fold", "dana", "admin")
+    Statement.registerPseudoFunctions(s, "inst-f", "clus-f")
+    val df = s.spark.sql("SELECT gizmosql_user() AS u FROM RANGE(3)")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("gizmosql_user"), s"UDF not folded:\n$optimized")
+    assert(optimized.contains("dana"))
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("dana", "dana", "dana"))
+    // folding cascades: a role predicate prunes the whole scan at plan time
+    val pruned = s.spark.sql("SELECT id FROM RANGE(5) WHERE gizmosql_role() = 'nonexistent'")
+    assert(pruned.queryExecution.optimizedPlan.toString.contains("LocalRelation"))
+    assert(pruned.count() == 0)
+  }
+
   test("readonly sessions cannot write; queries still run") {
     val ro = sessions.getOrCreate("ro", "bob", "readonly")
     intercept[SecurityException](
