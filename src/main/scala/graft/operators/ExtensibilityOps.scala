@@ -81,6 +81,22 @@ object ExtensibilityOps {
       SystemCatalog.catalogs(s)
     },
 
+    Op("fn_array2",
+      "SELECT n_nationkey, LIST_SORT([CAST(n_regionkey AS INTEGER), CAST(n_nationkey % 7 AS INTEGER), 3]) AS arr_sorted, " +
+      "LIST_SORT(LIST_DISTINCT([CAST(n_regionkey AS INTEGER), CAST(n_nationkey % 5 AS INTEGER)])) AS arr_dedup, " +
+      "LIST_CONTAINS([1,3,5], CAST(n_nationkey % 7 AS INTEGER)) AS has_k, " +
+      "[CAST(n_nationkey AS INTEGER), CAST(n_regionkey AS INTEGER), 9][1:2] AS sliced " +
+      "FROM nation ORDER BY n_nationkey") { (s, d) =>
+      Tables.ensure(s, d)
+      s.table("nation").select(
+        col("n_nationkey"),
+        array_sort(array(col("n_regionkey"), col("n_nationkey") % 7, lit(3))).as("arr_sorted"),
+        array_sort(array_distinct(array(col("n_regionkey"), col("n_nationkey") % 5))).as("arr_dedup"),
+        array_contains(array(lit(1), lit(3), lit(5)), col("n_nationkey") % 7).as("has_k"),
+        slice(array(col("n_nationkey"), col("n_regionkey"), lit(9)), 1, 2).as("sliced")
+      ).orderBy("n_nationkey")
+    },
+
     Op("fn_math2",
       "SELECT l_orderkey, l_linenumber, ROUND(SIN(l_discount),6) AS sn, ROUND(COS(l_tax),6) AS cs, " +
       "ROUND(ATAN2(l_discount, l_tax+0.01),6) AS at2, ROUND(RADIANS(l_quantity),6) AS rad, " +
