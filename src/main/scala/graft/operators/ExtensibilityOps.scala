@@ -81,6 +81,24 @@ object ExtensibilityOps {
       SystemCatalog.catalogs(s)
     },
 
+    Op("fn_datetime2",
+      "SELECT o_orderkey, CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m, " +
+      "CAST(o_orderdate - INTERVAL 10 DAY AS DATE) AS minus10d, " +
+      "CAST(DATE_DIFF('month', CAST(o_orderdate AS DATE), DATE '2000-06-15') AS INTEGER) AS months_to, " +
+      "CAST(GREATEST(CAST(o_orderdate AS DATE), DATE '1999-01-01') AS DATE) AS clamped " +
+      "FROM orders ORDER BY o_orderkey LIMIT 100") { (s, d) =>
+      Tables.ensure(s, d)
+      s.table("orders").select(
+        col("o_orderkey"),
+        add_months(col("o_orderdate").cast("date"), 3).as("plus3m"),
+        date_sub(col("o_orderdate").cast("date"), 10).as("minus10d"),
+        // DuckDB date_diff('month') counts month boundaries: (y2-y1)*12+(m2-m1)
+        ((lit(2000) - year(col("o_orderdate"))) * 12 + (lit(6) - month(col("o_orderdate"))))
+          .cast("int").as("months_to"),
+        greatest(col("o_orderdate").cast("date"), lit(java.sql.Date.valueOf("1999-01-01"))).as("clamped")
+      ).orderBy("o_orderkey").limit(100)
+    },
+
     Op("fn_array2",
       "SELECT n_nationkey, LIST_SORT([CAST(n_regionkey AS INTEGER), CAST(n_nationkey % 7 AS INTEGER), 3]) AS arr_sorted, " +
       "LIST_SORT(LIST_DISTINCT([CAST(n_regionkey AS INTEGER), CAST(n_nationkey % 5 AS INTEGER)])) AS arr_dedup, " +
