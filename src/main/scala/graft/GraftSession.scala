@@ -49,13 +49,15 @@ object Tables {
 
   // session -> currently-registered dir. Views are global per name within a
   // session, so switching dirs must re-register (a per-(session,dir) cache
-  // would silently keep views pointed at the previous dir).
-  private val registered = new java.util.concurrent.ConcurrentHashMap[Integer, String]()
+  // would silently keep views pointed at the previous dir). Weak identity
+  // keys: SparkSession doesn't override equals, and identityHashCode keys
+  // could collide across session lifetimes.
+  private val registered = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
 
   /** Idempotently register every test table in `dir` as a temp view. */
   def ensure(spark: SparkSession, dir: String): Unit = {
-    val key = Integer.valueOf(System.identityHashCode(spark))
-    if (registered.get(key) != dir) {
+    if (registered.get(spark) != dir) {
       // events.ts is parquet TIMESTAMP(NANOS) which Spark's reader rejects;
       // read it as long and truncate to micros (the reference's own Arrow
       // export truncates ns->us the same way, SURVEY.md §1.2).
@@ -69,7 +71,7 @@ object Tables {
           else raw
         df.createOrReplaceTempView(n)
       }
-      registered.put(key, dir)
+      registered.put(spark, dir)
     }
   }
 }

@@ -19,11 +19,12 @@ object Shell {
   private var maxRows = 40
   private var mode = "table" // table | csv
 
-  def render(df: DataFrame): String = {
-    val rows = df.limit(maxRows + 1).collect()
+  def render(df: DataFrame): String =
+    renderRows(df.columns, df.limit(maxRows + 1).collect())
+
+  def renderRows(headers: Array[String], rows: Array[org.apache.spark.sql.Row]): String = {
     val truncated = rows.length > maxRows
     val shown = rows.take(maxRows)
-    val headers = df.columns
     val cells = shown.map(r => headers.indices.map(i =>
       Option(r.get(i)).map(_.toString).getOrElse("NULL")).toArray)
     mode match {
@@ -90,8 +91,15 @@ object Shell {
             println(out)
           } else {
             val t0 = System.nanoTime()
+            // Full pipeline: guard + intercepts (create), then admission slot
+            // and gizmosql.query_timeout around the collection.
             val df = Statement.create(sessions, session, global, input.stripSuffix(";"))
-            println(render(df))
+            val timeout = session.settings.get("gizmosql.query_timeout")
+              .flatMap(_.toLongOption).getOrElse(0L)
+            val rows = admission.withSlot(bypass = false, () => session.killRequested) {
+              Statement.executeWithTimeout(session, timeout)(df.limit(maxRows + 1).collect())
+            }
+            println(renderRows(df.columns, rows))
             if (timer) println(f"-- ${(System.nanoTime() - t0) / 1e9}%.3f s")
           }
         } catch {

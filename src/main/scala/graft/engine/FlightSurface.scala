@@ -23,9 +23,24 @@ object FlightSurface {
     }
   }
 
-  /** GetFlightInfo(statement): analysis-only schema + ticket. */
-  def flightInfo(session: SessionState, txnId: String, sql: String): (org.apache.spark.sql.types.StructType, String) =
-    (session.spark.sql(sql).schema, Ticket.encode(txnId, sql))
+  /** Affected-rows result shape for deferred commands. */
+  private val updateSchema =
+    new org.apache.spark.sql.types.StructType()
+      .add("affected_rows", org.apache.spark.sql.types.LongType, nullable = false)
+
+  /** GetFlightInfo(statement): analysis-only schema + ticket. Commands and
+    * DML must NOT run here — Spark executes commands eagerly inside
+    * `spark.sql`, which would double-execute them across the two-phase
+    * GetFlightInfo/DoGet exchange; they defer entirely to DoGet and report
+    * the affected-rows schema.
+    */
+  def flightInfo(session: SessionState, txnId: String, sql: String): (org.apache.spark.sql.types.StructType, String) = {
+    val parsed = session.spark.sessionState.sqlParser.parsePlan(sql)
+    val schema =
+      if (StatementGuard.isCommandLike(parsed)) updateSchema
+      else session.spark.sql(sql).schema
+    (schema, Ticket.encode(txnId, sql))
+  }
 
   /** DoGet(statement): decode and (re-)execute. */
   def doGet(session: SessionState, ticket: String): DataFrame = {
@@ -60,14 +75,13 @@ object FlightSurface {
     val df = session.spark.sql(sql)
     val rows = df.collect()
     // Executed commands hide their physical plan (and its metrics) behind
-    // CommandResultExec; unwrap before scanning for numOutputRows.
+    // CommandResultExec; read numOutputRows from the command node ITSELF —
+    // scanning the whole plan would pick up scan/filter row counts and
+    // inflate the result (e.g. INSERT ... SELECT with a selective WHERE).
     val plan = df.queryExecution.executedPlan match {
       case c: org.apache.spark.sql.execution.CommandResultExec => c.commandPhysicalPlan
       case p => p
     }
-    val metrics = plan.collectWithSubqueries {
-      case p if p.metrics.contains("numOutputRows") => p.metrics("numOutputRows").value
-    }
-    metrics.maxOption.getOrElse(rows.length.toLong)
+    plan.metrics.get("numOutputRows").map(_.value).getOrElse(rows.length.toLong)
   }
 }

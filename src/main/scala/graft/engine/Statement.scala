@@ -25,9 +25,11 @@ object Statement {
 
   private val KillSessionRe =
     """(?is)^\s*KILL\s+SESSION\s+'([0-9a-zA-Z-]+)'\s*;?\s*$""".r
-  // value is either quoted (may contain ; ) or a bare token
+  // value is either quoted (may contain ; ) or bare (may contain spaces but
+  // not quotes/semicolons — a narrower bare pattern would silently fall
+  // through to Spark's conf SET without updating the settings registry)
   private val SetSettingRe =
-    """(?is)^\s*SET\s+(?:(SESSION|GLOBAL)\s+)?(gizmosql\.[a-z_]+)\s*=\s*(?:'([^']*)'|([^;'\s]+))\s*;?\s*$""".r
+    """(?is)^\s*SET\s+(?:(SESSION|GLOBAL)\s+)?(gizmosql\.[a-z_]+)\s*=\s*(?:'([^']*)'|([^;']+?))\s*;?\s*$""".r
 
   private val pool = ExecutionContext.fromExecutorService(
     Executors.newCachedThreadPool(r => {

@@ -39,6 +39,13 @@ object StatementGuard {
   case object Allowed extends Verdict
   final case class Blocked(reason: String) extends Verdict
 
+  /** True for plans that execute eagerly under `spark.sql` (commands) or
+    * write statements — anything the two-phase flight flow must defer.
+    */
+  def isCommandLike(plan: LogicalPlan): Boolean =
+    plan.isInstanceOf[Command] ||
+      writeCommandNames.exists(simpleName(plan).startsWith)
+
   private def simpleName(p: LogicalPlan): String = {
     val n = p.getClass.getSimpleName
     if (n.endsWith("$")) n.dropRight(1) else n

@@ -39,7 +39,11 @@ object TokenAuth {
         .getPayload
     }.toEither.left.map(e => s"invalid bootstrap token: ${e.getMessage}").flatMap { c =>
       val email = Option(c.get("email", classOf[String])).getOrElse(c.getSubject)
-      if (cfg.allowedEmails.nonEmpty && !cfg.allowedEmails.contains(email))
+      // jjwt only enforces expiry when the claim exists — a token without
+      // `exp` would otherwise be a permanent credential.
+      if (c.getExpiration == null)
+        Left("bootstrap token has no expiration claim")
+      else if (cfg.allowedEmails.nonEmpty && !cfg.allowedEmails.contains(email))
         Left(s"user '$email' is not on the allow-list")
       else {
         val role = Option(c.get(cfg.roleClaim, classOf[String])).getOrElse(cfg.defaultRole)

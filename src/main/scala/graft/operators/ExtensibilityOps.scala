@@ -178,8 +178,11 @@ object ExtensibilityOps {
       "CAST(SUM(CASE WHEN o_orderstatus='P' THEN 1 ELSE 0 END) AS BIGINT) AS P " +
       "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority") { (s, d) =>
       Tables.ensure(s, d)
-      s.sql("SELECT * FROM (SELECT o_orderpriority, o_orderstatus FROM orders) " +
-        "PIVOT (COUNT(*) FOR o_orderstatus IN ('F' AS F, 'O' AS O, 'P' AS P)) " +
+      // COALESCE: Spark's pivot yields NULL for absent combinations where
+      // the oracle's SUM(CASE) yields 0.
+      s.sql("SELECT o_orderpriority, COALESCE(F, 0) AS F, COALESCE(O, 0) AS O, COALESCE(P, 0) AS P " +
+        "FROM (SELECT * FROM (SELECT o_orderpriority, o_orderstatus FROM orders) " +
+        "PIVOT (COUNT(*) FOR o_orderstatus IN ('F' AS F, 'O' AS O, 'P' AS P))) " +
         "ORDER BY o_orderpriority")
     },
 

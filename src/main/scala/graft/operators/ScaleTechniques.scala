@@ -20,16 +20,22 @@ object ScaleTechniques {
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(table)
 
-  /** Deterministic salted equi-join for a skewed LEFT side: left rows get a
-    * content-derived salt in [0, n); the (small or uniform) right side is
-    * replicated n ways so every (key, salt) partner exists. Result set is
-    * identical to the plain join; the skewed key's rows now spread across n
-    * reducers instead of one.
+  /** Row-unique salt in [0, n): derived from the row's physical position so
+    * even fully duplicate rows (the classic skew shape — millions of copies
+    * of one (key, value) pair) spread across all n buckets. Content-derived
+    * hashing would give duplicates identical salts, defeating the spread.
+    */
+  private def rowSalt(saltBuckets: Int): Column =
+    pmod(monotonically_increasing_id(), lit(saltBuckets.toLong)).cast("int")
+
+  /** Salted equi-join for a skewed LEFT side: left rows get a row-unique salt
+    * in [0, n); the (small or uniform) right side is replicated n ways so
+    * every (key, salt) partner exists. Result set is identical to the plain
+    * join; the skewed key's rows now spread across n reducers instead of one.
     */
   def saltedEquiJoin(left: DataFrame, right: DataFrame, leftKey: String,
       rightKey: String, saltBuckets: Int): DataFrame = {
-    val saltedLeft = left.withColumn("_salt",
-      pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*), lit(saltBuckets)).cast("int"))
+    val saltedLeft = left.withColumn("_salt", rowSalt(saltBuckets))
     val explodedRight = right.withColumn("_salt",
       explode(sequence(lit(0), lit(saltBuckets - 1))))
     saltedLeft.join(explodedRight,
@@ -43,7 +49,7 @@ object ScaleTechniques {
     * re-aggregatable pair (partialAgg over rows, finalAgg over partials).
     */
   def saltedAgg(df: DataFrame, key: String, valueCol: String, saltBuckets: Int): DataFrame =
-    df.withColumn("_salt", pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(saltBuckets)))
+    df.withColumn("_salt", rowSalt(saltBuckets))
       .groupBy(col(key), col("_salt"))
       .agg(sum(valueCol).as("_partial_sum"), count(lit(1)).as("_partial_cnt"))
       .groupBy(col(key))

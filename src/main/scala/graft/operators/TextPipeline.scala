@@ -20,10 +20,6 @@ object TextPipeline {
     spark.table("documents")
   }
 
-  /** Distinct word-3-gram shingles per doc: (doc_id, gram). */
-  private def shingled(d: DataFrame): DataFrame =
-    d.select(col("doc_id"), explode(wordShingles(col("text"), 3)).as("gram")).distinct()
-
   /** Distinct 3-gram *identities* per doc as 64-bit hashes: (doc_id, gram).
     * Fully codegen path: posexplode the word list (one interpreted `split`
     * only), then form each trigram's hash from (word, lead1, lead2) via a

@@ -29,12 +29,17 @@ case class PseudoFunctionFold(spark: SparkSession) extends Rule[LogicalPlan] {
 }
 
 object PseudoFunctionValues {
-  private val bySession = new ConcurrentHashMap[Integer, Map[String, String]]()
+  // Weak identity keying: SparkSession does not override equals, so
+  // WeakHashMap compares by identity; weak keys mean a closed session's
+  // entry is collectable (identityHashCode keys could collide across a
+  // session's lifetime and would leak).
+  private val bySession =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, Map[String, String]]())
 
   def publish(spark: SparkSession, values: Map[String, String]): Unit =
-    bySession.put(Integer.valueOf(System.identityHashCode(spark)), values)
+    bySession.put(spark, values)
 
   def forSession(spark: SparkSession): Map[String, String] =
-    Option(bySession.get(Integer.valueOf(System.identityHashCode(spark))))
-      .getOrElse(Map.empty)
+    Option(bySession.get(spark)).getOrElse(Map.empty)
 }

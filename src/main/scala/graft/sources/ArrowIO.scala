@@ -117,18 +117,30 @@ object ArrowIO {
         throw new IllegalArgumentException(s"Arrow export unsupported for $dt -> ${other._1.getClass}")
     }
 
-  /** Scalar write through any BaseWriter (list elements, map keys/values). */
+  /** Scalar write through any BaseWriter (list elements, map keys/values).
+    * Nulls must be written explicitly — casting null to a primitive would
+    * silently corrupt the wire value to 0.
+    */
   private def writeScalar(w: org.apache.arrow.vector.complex.writer.BaseWriter.ListWriter,
-      dt: DataType, x: Any): Unit = dt match {
-    case BooleanType => w.bit().writeBit(if (x.asInstanceOf[Boolean]) 1 else 0)
-    case IntegerType => w.integer().writeInt(x.asInstanceOf[Int])
-    case LongType => w.bigInt().writeBigInt(x.asInstanceOf[Long])
-    case FloatType => w.float4().writeFloat4(x.asInstanceOf[Float])
-    case DoubleType => w.float8().writeFloat8(x.asInstanceOf[Double])
-    case StringType =>
-      w.varChar().writeVarChar(new org.apache.arrow.vector.util.Text(x.asInstanceOf[String]))
-    case other => throw new IllegalArgumentException(s"Arrow nested-scalar export unsupported for $other")
-  }
+      dt: DataType, x: Any): Unit =
+    if (x == null) dt match {
+      case BooleanType => w.bit().writeNull()
+      case IntegerType => w.integer().writeNull()
+      case LongType => w.bigInt().writeNull()
+      case FloatType => w.float4().writeNull()
+      case DoubleType => w.float8().writeNull()
+      case StringType => w.varChar().writeNull()
+      case other => throw new IllegalArgumentException(s"Arrow nested null unsupported for $other")
+    } else dt match {
+      case BooleanType => w.bit().writeBit(if (x.asInstanceOf[Boolean]) 1 else 0)
+      case IntegerType => w.integer().writeInt(x.asInstanceOf[Int])
+      case LongType => w.bigInt().writeBigInt(x.asInstanceOf[Long])
+      case FloatType => w.float4().writeFloat4(x.asInstanceOf[Float])
+      case DoubleType => w.float8().writeFloat8(x.asInstanceOf[Double])
+      case StringType =>
+        w.varChar().writeVarChar(new org.apache.arrow.vector.util.Text(x.asInstanceOf[String]))
+      case other => throw new IllegalArgumentException(s"Arrow nested-scalar export unsupported for $other")
+    }
 
   /** Import an Arrow IPC stream into a DataFrame (the ingest direction):
     * schema via TypeMapping, values batch-by-batch.

@@ -152,6 +152,9 @@ class SessionAndStatementSpec extends AnyFunSuite {
   test("SET gizmosql.* is intercepted; settings view reflects it") {
     val s = sessions.getOrCreate("setter", "alice", "admin")
     Statement.create(sessions, s, global, "SET gizmosql.query_tag = 'etl-1'")
+    // bare values with spaces must still hit the intercept, not Spark's SET
+    Statement.create(sessions, s, global, "SET gizmosql.session_tag = two words")
+    assert(s.settings.get("gizmosql.session_tag").contains("two words"))
     Statement.refreshSettingsView(s)
     val v = s.spark.sql("SELECT value FROM gizmosql_settings WHERE name = 'gizmosql.query_tag'")
       .collect().head.getString(0)
@@ -390,6 +393,25 @@ class FlightSurfaceSpec extends AnyFunSuite {
     s.spark.sql("CREATE TABLE dml_count_t (x INT) USING parquet")
     assert(FlightSurface.executeUpdate(s, "INSERT INTO dml_count_t VALUES (1), (2), (3)") == 3L)
     assert(s.spark.table("dml_count_t").count() == 3)
+    // the count must come from the WRITE, not from upstream scans/filters
+    // (a selective INSERT ... SELECT reads more rows than it writes)
+    assert(FlightSurface.executeUpdate(s,
+      "INSERT INTO dml_count_t SELECT CAST(id AS INT) FROM RANGE(100) WHERE id < 7") == 7L)
+    assert(s.spark.table("dml_count_t").count() == 10)
+  }
+
+  test("flightInfo defers commands: DML is not executed during the schema phase") {
+    val s = sessions.getOrCreate("flightdml", "alice", "admin")
+    s.spark.sql("DROP TABLE IF EXISTS flight_dml_t")
+    val wh = s.spark.conf.get("spark.sql.warehouse.dir")
+    val p = new org.apache.hadoop.fs.Path(wh, "flight_dml_t")
+    p.getFileSystem(s.spark.sparkContext.hadoopConfiguration).delete(p, true)
+    s.spark.sql("CREATE TABLE flight_dml_t (x INT) USING parquet")
+    val (schema, ticket) = FlightSurface.flightInfo(s, "txn", "INSERT INTO flight_dml_t VALUES (1)")
+    assert(schema.fieldNames.toSeq == Seq("affected_rows"))
+    assert(s.spark.table("flight_dml_t").count() == 0) // NOT executed yet
+    FlightSurface.doGet(s, ticket).collect()
+    assert(s.spark.table("flight_dml_t").count() == 1) // executed exactly once
   }
 }
 
@@ -426,6 +448,15 @@ class TokenAuthSpec extends AnyFunSuite {
   test("missing role claim falls back to the default role") {
     val r = TokenAuth.authenticate(cfg, externalToken("alice@example.com"), "inst-1")
     assert(r.exists(_.role == "user"))
+  }
+
+  test("tokens without an expiration claim are rejected") {
+    val noExp = io.jsonwebtoken.Jwts.builder()
+      .issuer(cfg.issuer).audience().add(cfg.audience).and()
+      .subject("alice@example.com").claim("email", "alice@example.com")
+      .signWith(kp.getPrivate).compact()
+    val r = TokenAuth.authenticate(cfg, noExp, "i")
+    assert(r.isLeft && r.left.exists(_.contains("expiration")))
   }
 
   test("wrong issuer, wrong audience, unlisted email, bad signature are rejected") {

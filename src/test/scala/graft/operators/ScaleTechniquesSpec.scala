@@ -33,14 +33,23 @@ class ScaleTechniquesSpec extends AnyFunSuite {
 
   test("salted equi-join returns exactly the plain join result on skewed data") {
     import spark.implicits._
-    // 90% of left rows share one key — the classic skew shape.
-    val left = (1 to 2000).map(i => (if (i <= 1800) 1L else i.toLong, s"v$i")).toDF("k", "v")
+    // 90% of left rows share one key, and the hot rows are exact DUPLICATES
+    // (content-derived salting would collapse them into one bucket).
+    val left = (1 to 2000).map(i => (if (i <= 1800) 1L else i.toLong, if (i <= 1800) "hot" else s"v$i")).toDF("k", "v")
     val right = (1 to 2000).map(i => (i.toLong, s"r$i")).toDF("rk", "rv")
     val plain = left.join(right, col("k") === col("rk"))
       .select("k", "v", "rv").collect().map(_.toString).sorted
     val salted = ScaleTechniques.saltedEquiJoin(left, right, "k", "rk", 8)
       .select("k", "v", "rv").collect().map(_.toString).sorted
     assert(salted.sameElements(plain))
+  }
+
+  test("row-position salting spreads duplicate hot rows across buckets") {
+    import spark.implicits._
+    val dupes = Seq.fill(1000)((1L, 1.0)).toDF("k", "v").repartition(4)
+    val salted = ScaleTechniques.saltedAgg(dupes, "k", "v", 8)
+    val out = salted.collect()
+    assert(out.length == 1 && out.head.getDouble(1) == 1000.0 && out.head.getLong(2) == 1000L)
   }
 
   test("salted aggregation equals direct aggregation") {

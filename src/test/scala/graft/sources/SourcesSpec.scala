@@ -106,13 +106,14 @@ class ArrowIOSpec extends AnyFunSuite {
       StructField("mp", MapType(StringType, IntegerType))))
     val rows = List(
       Row(1L, Row(7, "seven"), Map("a" -> 1, "b" -> 2)),
-      Row(2L, Row(8, null), Map("c" -> 3)),
+      Row(2L, Row(8, null), Map("c" -> 3, "nullv" -> null)),
       Row(3L, null, null))
     val df = spark.createDataFrame(rows.asJava, schema)
     val back = ArrowIO.fromArrowStream(spark, ArrowIO.toArrowStream(df)).orderBy("id").collect()
     assert(back(0).getStruct(1) == Row(7, "seven"))
     assert(back(0).getMap[String, Int](2) == Map("a" -> 1, "b" -> 2))
     assert(back(1).getStruct(1).isNullAt(1))
+    assert(back(1).getMap[String, Any](2) == Map("c" -> 3, "nullv" -> null)) // null map value preserved
     assert(back(2).isNullAt(1) && back(2).isNullAt(2))
   }
 
