@@ -99,19 +99,21 @@ object ExtensibilityOps {
       ).orderBy("o_orderkey").limit(100)
     },
 
+    // Array results are serialized to CSV strings: the driver's pandas-based
+    // comparator cannot sort/hash raw array cells (round-1 fn_array2 failure).
     Op("fn_array2",
-      "SELECT n_nationkey, LIST_SORT([CAST(n_regionkey AS INTEGER), CAST(n_nationkey % 7 AS INTEGER), 3]) AS arr_sorted, " +
-      "LIST_SORT(LIST_DISTINCT([CAST(n_regionkey AS INTEGER), CAST(n_nationkey % 5 AS INTEGER)])) AS arr_dedup, " +
+      "SELECT n_nationkey, ARRAY_TO_STRING(LIST_SORT([CAST(n_regionkey AS INTEGER), CAST(n_nationkey % 7 AS INTEGER), 3]), ',') AS arr_sorted, " +
+      "ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT([CAST(n_regionkey AS INTEGER), CAST(n_nationkey % 5 AS INTEGER)])), ',') AS arr_dedup, " +
       "LIST_CONTAINS([1,3,5], CAST(n_nationkey % 7 AS INTEGER)) AS has_k, " +
-      "[CAST(n_nationkey AS INTEGER), CAST(n_regionkey AS INTEGER), 9][1:2] AS sliced " +
+      "ARRAY_TO_STRING([CAST(n_nationkey AS INTEGER), CAST(n_regionkey AS INTEGER), 9][1:2], ',') AS sliced " +
       "FROM nation ORDER BY n_nationkey") { (s, d) =>
       Tables.ensure(s, d)
       s.table("nation").select(
         col("n_nationkey"),
-        array_sort(array(col("n_regionkey"), col("n_nationkey") % 7, lit(3))).as("arr_sorted"),
-        array_sort(array_distinct(array(col("n_regionkey"), col("n_nationkey") % 5))).as("arr_dedup"),
+        array_join(array_sort(array(col("n_regionkey"), col("n_nationkey") % 7, lit(3))).cast("array<string>"), ",").as("arr_sorted"),
+        array_join(array_sort(array_distinct(array(col("n_regionkey"), col("n_nationkey") % 5))).cast("array<string>"), ",").as("arr_dedup"),
         array_contains(array(lit(1), lit(3), lit(5)), col("n_nationkey") % 7).as("has_k"),
-        slice(array(col("n_nationkey"), col("n_regionkey"), lit(9)), 1, 2).as("sliced")
+        array_join(slice(array(col("n_nationkey"), col("n_regionkey"), lit(9)), 1, 2).cast("array<string>"), ",").as("sliced")
       ).orderBy("n_nationkey")
     },
 
