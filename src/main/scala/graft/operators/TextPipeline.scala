@@ -58,34 +58,78 @@ object TextPipeline {
       .select(col("id_a"), col("id_b"), round(jac, 4).as("jaccard"))
   }
 
-  /** MinHash signatures: `numHashes` permutations approximated by seeded
-    * xxhash64 over each shingle; signature[j] = min_g hash(j, g). Pure
-    * higher-order expressions — one codegen'd projection per row.
+  /** Cross-engine deterministic 60-bit text hash: the first 15 hex digits of
+    * md5 as an integer. Any SQL engine can reproduce it (DuckDB: per-digit
+    * strpos arithmetic; Spark: codegen'd `conv`), which makes MinHash and
+    * SimHash results oracle-checkable value-for-value — unlike seeded
+    * xxhash64, which is Spark-private.
     */
-  def minhashSignature(gramsCol: Column, numHashes: Int): Column =
-    transform(sequence(lit(1), lit(numHashes)),
-      j => array_min(transform(gramsCol, g => xxhash64(j, g))))
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** LSH candidate pairs: split the signature into `bands` bands of `rowsPer`
-    * hashes, bucket docs by (band, hash-of-band), and equi-join buckets.
+  /** The same 60-bit hash in DuckDB SQL, for oracle generation. */
+  private def hex60Sql(s: String): String =
+    (1 to 15).map { i =>
+      s"(strpos('0123456789abcdef', substr(md5($s), $i, 1)) - 1) * ${1L << (4 * (15 - i))}"
+    }.mkString("(", " + ", ")")
+
+  /** MinHash parameters shared by the Spark implementation and the DuckDB
+    * oracle: universal-hash permutations perm_j(h) = (A(j)*h + B(j)) mod P
+    * over the md5-derived gram hash reduced mod P. P = 2^31-1 keeps every
+    * intermediate product below 2^62 (no 64-bit overflow in either engine).
+    */
+  object MinHashParams {
+    val P: Long = 2147483647L
+    val numHashes = 16
+    val bands = 8
+    // Fixed LCG-generated coefficients: linearly *independent* permutations.
+    // (A naive A(j)=c*(j+1) family correlates the minima — measured 4.4x more
+    // false-positive candidate pairs at sf0.1: 5653 vs 1277 with these.)
+    val A: IndexedSeq[Long] = IndexedSeq(
+      1841962177L, 1405420216L, 689956914L, 338660119L, 1082726617L, 1304088089L,
+      2016955880L, 989403634L, 1473008852L, 926531526L, 1231432999L, 442685692L,
+      1596948335L, 1019864796L, 889982900L, 1059442058L)
+    val B: IndexedSeq[Long] = IndexedSeq(
+      1153133631L, 735456649L, 1223727458L, 1965559370L, 1032945195L, 827293170L,
+      846822692L, 1941681807L, 196031681L, 1512537298L, 345654340L, 506068084L,
+      27904399L, 120955663L, 821083705L, 1534231075L)
+  }
+
+  /** Distinct (doc_id, gram-hash mod P) rows for word trigrams, built with the
+    * codegen-friendly posexplode + window-lead shape (no interpreted lambdas).
+    * Distinct on the hash rather than the gram string is safe for MinHash:
+    * a 60-bit collision maps two grams to the same permuted values, leaving
+    * every min-aggregate unchanged.
+    */
+  private def gramHashesModP(d: DataFrame): DataFrame = {
+    import MinHashParams.P
+    val byPos = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    d.select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
+      .select(col("doc_id"), col("pos"), col("w"),
+        lead(col("w"), 1).over(byPos).as("w1"), lead(col("w"), 2).over(byPos).as("w2"))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"),
+        (md5Hash60(concat_ws(" ", col("w"), col("w1"), col("w2"))) % P).as("hm"))
+      .distinct()
+  }
+
+  /** LSH candidate pairs: `numHashes` permutation minima computed as parallel
+    * min-aggregates in ONE hash aggregation (no row explosion), packed into
+    * `bands` band buckets (2 minima per band, bucket = m0*P + m1 — exact, no
+    * re-hash), then an equi-join on (band, bucket).
     * This is the 100 TB path: cost is O(docs x bands) + a shuffle on bucket id,
     * never O(docs^2).
     */
-  def minhashCandidates(d: DataFrame, numHashes: Int = 16, bands: Int = 8): DataFrame = {
+  def minhashCandidates(d: DataFrame): DataFrame = {
+    import MinHashParams._
     val rowsPer = numHashes / bands
-    // Stay codegen-friendly: higher-order lambdas (transform/aggregate) fall
-    // back to interpreted eval, so the hot path hashes each shingle ONCE with
-    // a codegen'd xxhash64 and derives the `numHashes` permutations by
-    // re-hashing (hash, k) — never a nested lambda over the gram list.
-    // All permutations are computed as parallel min-aggregates in ONE
-    // hash aggregation over the (doc, gram-hash) rows: no row explosion, one
-    // shuffle of docs x numHashes minima, fully whole-stage-codegen.
-    val gramHash = shingleHashes(d).withColumnRenamed("gram", "h")
-    val sigCols = (0 until numHashes).map(j => min(xxhash64(col("h"), lit(j))).as(s"m$j"))
-    val sig = gramHash.groupBy("doc_id").agg(sigCols.head, sigCols.drop(1): _*)
-    val bandCols = (0 until bands).map { b =>
-      xxhash64((b * rowsPer until (b + 1) * rowsPer).map(j => col(s"m$j")): _*).as(s"band$b")
-    }
+    require(rowsPer == 2, "band bucket packing assumes 2 minima per band")
+    val sigCols = (0 until numHashes).map(j =>
+      min((lit(A(j)) * col("hm") + lit(B(j))) % P).as(s"m$j"))
+    val sig = gramHashesModP(d).groupBy("doc_id").agg(sigCols.head, sigCols.drop(1): _*)
+    val bandCols = (0 until bands).map(b =>
+      (col(s"m${2 * b}") * P + col(s"m${2 * b + 1}")).as(s"band$b"))
     val buckets = sig.select(col("doc_id") +: bandCols: _*)
       .select(col("doc_id"),
         posexplode(array((0 until bands).map(b => col(s"band$b")): _*)))
@@ -97,21 +141,52 @@ object TextPipeline {
       .distinct()
   }
 
-  /** 64-bit SimHash over whitespace tokens: per-bit majority vote of
-    * xxhash64(token) signs. Distributed as two hash aggregations
+  /** DuckDB oracle for `minhashCandidates` — same trigrams, same md5-derived
+    * hash, same permutations; band sharing expressed as an OR-join (equivalent
+    * to the bucket equi-join up to DISTINCT, and fine at oracle scale).
+    */
+  private def minhashOracle: String = {
+    import MinHashParams._
+    val mins = (0 until numHashes)
+      .map(j => s"MIN((${A(j)}*hm+${B(j)})%$P) AS m$j").mkString(", ")
+    val bandCols = (0 until bands).map(b => s"m${2 * b}*$P+m${2 * b + 1} AS band$b").mkString(", ")
+    val orJoin = (0 until bands).map(b => s"a.band$b=b.band$b").mkString(" OR ")
+    "WITH w AS (SELECT doc_id, STRING_SPLIT(text,' ') AS words FROM documents), " +
+      "g AS (SELECT DISTINCT doc_id, UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, CAST(LEN(words) AS INTEGER)-2), " +
+      "i -> words[i]||' '||words[i+1]||' '||words[i+2])) AS gram FROM w), " +
+      s"h AS (SELECT doc_id, ${hex60Sql("gram")} % $P AS hm FROM g), " +
+      s"sig AS (SELECT doc_id, $mins FROM h GROUP BY doc_id), " +
+      s"band AS (SELECT doc_id, $bandCols FROM sig) " +
+      "SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM band a JOIN band b " +
+      s"ON a.doc_id < b.doc_id AND ($orJoin) ORDER BY id_a, id_b"
+  }
+
+  /** 60-bit SimHash over whitespace tokens: per-bit majority vote of the
+    * md5-derived token-hash bits. Distributed as two hash aggregations
     * (doc_id x bit, then doc_id) — no driver involvement, scales linearly.
+    * Distinct is on the token *string* (pre-hash) so vote multiplicities
+    * match the oracle exactly even under hash collisions.
     */
   def simhash(d: DataFrame): DataFrame = {
     val tok = d.select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .select(col("doc_id"), md5Hash60(col("tok")).as("h"))
     tok
-      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(63))).as("bit"))
+      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(59))).as("bit"))
       .select(col("doc_id"), col("bit"),
         expr("CASE WHEN (shiftright(h, bit) & 1) = 1 THEN 1 ELSE -1 END").as("vote"))
       .groupBy("doc_id", "bit").agg(sum("vote").as("v"))
       .groupBy("doc_id")
       .agg(sum(expr("CASE WHEN v > 0 THEN shiftleft(1L, bit) ELSE 0L END")).as("simhash"))
   }
+
+  /** DuckDB oracle for `simhash`. */
+  private def simhashOracle: String =
+    "WITH t AS (SELECT DISTINCT doc_id, UNNEST(STRING_SPLIT(text,' ')) AS tok FROM documents), " +
+      s"h AS (SELECT doc_id, ${hex60Sql("tok")} AS h FROM t), " +
+      "v AS (SELECT doc_id, bit, SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v " +
+      "FROM h, (SELECT UNNEST(GENERATE_SERIES(0,59)) AS bit) bits GROUP BY doc_id, bit) " +
+      "SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash " +
+      "FROM v GROUP BY doc_id ORDER BY doc_id"
 
   /** End-to-end corpus cleaning — the composition a training-data pipeline
     * actually runs: quality gate (token count + stopword ratio) → exact
@@ -160,11 +235,11 @@ object TextPipeline {
       jaccardPairs(docs(s, d), 0.12).orderBy("id_a", "id_b")
     },
 
-    Op.rowsOnly("dedup_minhash_lsh") { (s, d) =>
+    Op("dedup_minhash_lsh", minhashOracle) { (s, d) =>
       minhashCandidates(docs(s, d)).orderBy("id_a", "id_b")
     },
 
-    Op.rowsOnly("dedup_simhash") { (s, d) =>
+    Op("dedup_simhash", simhashOracle) { (s, d) =>
       simhash(docs(s, d)).orderBy("doc_id")
     },
 
