@@ -45,13 +45,16 @@ object Embeddings {
 
   /** IVF-style pruned search: assign every corpus vector to its nearest
     * centroid (a broadcast argmax), then search only the probe's cluster.
-    * Deterministic centroids: the first `nCentroids` vectors.
+    * Deterministic centroids: the first `nCentroids` vectors. Similarities in
+    * the argmax are rounded to 6dp so cross-engine FP near-ties resolve
+    * identically (by cent_id) — the property the DuckDB oracle relies on.
     */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
     val c = centroids.select(col("vec_id").as("cent_id"), asDouble(col("embedding")).as("cent"))
     val scored = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .crossJoin(broadcast(c))
-      .select(col("vec_id"), col("v"), col("cent_id"), cosine(col("v"), col("cent")).as("sim"))
+      .select(col("vec_id"), col("v"), col("cent_id"),
+        round(cosine(col("v"), col("cent")), 6).as("sim"))
     val best = row_number().over(Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cent_id")))
     scored.withColumn("rn", best).filter(col("rn") === 1)
       .select(col("vec_id"), col("cent_id"), col("v"))
@@ -64,7 +67,7 @@ object Embeddings {
     assigned
       .join(broadcast(
         centroids.select(col("vec_id").as("cent_id"), asDouble(col("embedding")).as("cent"))
-          .select(col("cent_id"), cosine(col("cent"), typedLit(query)).as("qsim"))
+          .select(col("cent_id"), round(cosine(col("cent"), typedLit(query)), 6).as("qsim"))
           .orderBy(col("qsim").desc, col("cent_id")).limit(1).select("cent_id")), "cent_id")
       .select(col("vec_id"), round(cosine(col("v"), typedLit(query)), 6).as("cos"))
       .orderBy(col("cos").desc, col("vec_id")).limit(k)
@@ -91,7 +94,18 @@ object Embeddings {
       knnJoin(e.filter(col("vec_id") < 10), e, 3).orderBy("qid", "cid")
     },
 
-    Op.rowsOnly("embed_ivf_topk") { (s, d) =>
+    Op("embed_ivf_topk",
+      "WITH cent AS (SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cent FROM embeddings WHERE vec_id < 8), " +
+      "q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0), " +
+      "corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> 0), " +
+      "assigned AS (SELECT vec_id, v, cent_id FROM (" +
+      "SELECT c.vec_id, c.v, ct.cent_id, ROW_NUMBER() OVER (PARTITION BY c.vec_id " +
+      "ORDER BY ROUND(LIST_COSINE_SIMILARITY(c.v, ct.cent),6) DESC, ct.cent_id) AS rn " +
+      "FROM corpus c CROSS JOIN cent ct) t WHERE rn = 1), " +
+      "probe AS (SELECT cent_id FROM cent, q ORDER BY ROUND(LIST_COSINE_SIMILARITY(cent, qv),6) DESC, cent_id LIMIT 1) " +
+      "SELECT a.vec_id, ROUND(LIST_COSINE_SIMILARITY(a.v, q.qv),6) AS cos " +
+      "FROM assigned a JOIN probe p ON a.cent_id = p.cent_id, q " +
+      "ORDER BY cos DESC, a.vec_id LIMIT 10") { (s, d) =>
       val e = emb(s, d)
       val query = e.filter(col("vec_id") === 0)
         .select(asDouble(col("embedding"))).first().getSeq[Double](0)
