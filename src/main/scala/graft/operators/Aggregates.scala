@@ -126,6 +126,79 @@ object Aggregates {
       t(s, d, "lineitem")
         .agg(approx_count_distinct(col("l_suppkey")).as("approx_s"),
           approx_count_distinct(col("l_partkey")).as("approx_p"))
+    },
+
+    // Exact order statistics per group: Spark's percentile() interpolates at
+    // p*(n-1) exactly like DuckDB QUANTILE_CONT; percentile_disc matches
+    // QUANTILE_DISC (both verified value-for-value on this data).
+    Op("agg_percentiles",
+      "SELECT l_returnflag, ROUND(QUANTILE_CONT(l_quantity,0.25),2) AS q25, " +
+      "ROUND(QUANTILE_CONT(l_quantity,0.5),2) AS q50, ROUND(QUANTILE_CONT(l_quantity,0.75),2) AS q75, " +
+      "ROUND(QUANTILE_DISC(l_quantity,0.9),2) AS d90 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag") { (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(percentile(col("l_quantity"), lit(0.25)), 2).as("q25"),
+          round(percentile(col("l_quantity"), lit(0.5)), 2).as("q50"),
+          round(percentile(col("l_quantity"), lit(0.75)), 2).as("q75"),
+          round(expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity)"), 2).as("d90"))
+        .orderBy("l_returnflag")
+    },
+
+    // Higher central moments. Spark's skewness/kurtosis are the *population*
+    // definitions (m3/m2^1.5, m4/m2^2-3); DuckDB's built-ins apply sample
+    // corrections, so the oracle computes the raw moments explicitly.
+    Op("agg_stats2",
+      "WITH s AS (SELECT AVG(l_quantity) AS mu FROM lineitem) " +
+      "SELECT ROUND(AVG(POWER(l_quantity-mu,3))/POWER(AVG(POWER(l_quantity-mu,2)),1.5),4) AS skew, " +
+      "ROUND(AVG(POWER(l_quantity-mu,4))/POWER(AVG(POWER(l_quantity-mu,2)),2)-3,4) AS kurt, " +
+      "ROUND(COVAR_POP(l_quantity,l_extendedprice),2) AS cvp, ROUND(COVAR_SAMP(l_quantity,l_extendedprice),2) AS cvs, " +
+      "ROUND(STDDEV_POP(l_quantity),4) AS sdp, ROUND(VAR_POP(l_quantity),4) AS vp FROM lineitem, s") { (s, d) =>
+      t(s, d, "lineitem")
+        .agg(round(skewness(col("l_quantity")), 4).as("skew"),
+          round(kurtosis(col("l_quantity")), 4).as("kurt"),
+          round(covar_pop(col("l_quantity"), col("l_extendedprice")), 2).as("cvp"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("cvs"),
+          round(stddev_pop(col("l_quantity")), 4).as("sdp"),
+          round(var_pop(col("l_quantity")), 4).as("vp"))
+    },
+
+    // Conditional + boolean + bitwise aggregates.
+    Op("agg_condagg",
+      "SELECT l_returnflag, CAST(COUNT_IF(l_quantity>25) AS BIGINT) AS big_qty, " +
+      "BOOL_AND(l_quantity>0) AS all_pos, BOOL_OR(l_discount>0.09) AS any_hi_disc, " +
+      "BIT_AND(l_linenumber) AS b_and, BIT_OR(l_linenumber) AS b_or, BIT_XOR(l_linenumber) AS b_xor " +
+      "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag") { (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count_if(col("l_quantity") > 25).as("big_qty"),
+          bool_and(col("l_quantity") > 0).as("all_pos"),
+          bool_or(col("l_discount") > 0.09).as("any_hi_disc"),
+          bit_and(col("l_linenumber")).as("b_and"),
+          bit_or(col("l_linenumber")).as("b_or"),
+          bit_xor(col("l_linenumber")).as("b_xor"))
+        .orderBy("l_returnflag")
+    },
+
+    // Ordered string aggregation (LISTAGG/STRING_AGG): expressed as
+    // sort_array(collect_list) + array_join — deterministic on both engines.
+    Op("agg_listagg",
+      "SELECT n_regionkey, STRING_AGG(n_name, ',' ORDER BY n_name) AS names FROM nation " +
+      "GROUP BY n_regionkey ORDER BY n_regionkey") { (s, d) =>
+      t(s, d, "nation")
+        .groupBy("n_regionkey")
+        .agg(array_join(sort_array(collect_list(col("n_name"))), ",").as("names"))
+        .orderBy("n_regionkey")
+    },
+
+    // mode(): deterministic here — the max frequency is unique per group in
+    // this data (verified at sf0.01 and sf0.1).
+    Op("agg_mode",
+      "SELECT l_returnflag, MODE(l_linenumber) AS common_line FROM lineitem " +
+      "GROUP BY l_returnflag ORDER BY l_returnflag") { (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(mode(col("l_linenumber")).as("common_line"))
+        .orderBy("l_returnflag")
     }
   )
 }

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational surface beyond the core families: inline VALUES relations,
+  * UNPIVOT (wide→long reshaping), explicit EXISTS subqueries, and
+  * deterministic hash sampling.
+  *
+  * Hash sampling is the 100 TB-scale technique of note here: unlike
+  * TABLESAMPLE it is reproducible across engines and runs, pushes down as an
+  * ordinary filter (no reservoir state), and samples consistently for the
+  * same key — exactly what a training-data pipeline needs for held-out
+  * splits.
+  */
+object CoverageOps {
+
+  val ops: Seq[Op] = Seq(
+    Op("values_inline",
+      "SELECT v.k AS k, v.lab AS lab, r_name FROM (VALUES (0,'amer'),(1,'emea'),(2,'apac')) AS v(k,lab) " +
+      "JOIN region ON r_regionkey = v.k ORDER BY k") { (s, d) =>
+      Tables.ensure(s, d)
+      s.sql("SELECT v.k AS k, v.lab AS lab, r_name FROM VALUES (0,'amer'),(1,'emea'),(2,'apac') AS v(k,lab) " +
+        "JOIN region ON r_regionkey = v.k ORDER BY k")
+    },
+
+    Op("unpivot_metrics",
+      "WITH a AS (SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS cnt, CAST(MIN(n_nationkey) AS BIGINT) AS mn, " +
+      "CAST(MAX(n_nationkey) AS BIGINT) AS mx FROM nation GROUP BY n_regionkey) " +
+      "SELECT n_regionkey, metric, val FROM a UNPIVOT (val FOR metric IN (cnt, mn, mx)) " +
+      "ORDER BY n_regionkey, metric") { (s, d) =>
+      Tables.ensure(s, d)
+      s.table("nation")
+        .groupBy("n_regionkey")
+        .agg(count(lit(1)).as("cnt"),
+          min("n_nationkey").cast("long").as("mn"),
+          max("n_nationkey").cast("long").as("mx"))
+        .unpivot(Array(col("n_regionkey")), Array(col("cnt"), col("mn"), col("mx")), "metric", "val")
+        .orderBy("n_regionkey", "metric")
+    },
+
+    Op("subq_exists",
+      "SELECT r_regionkey, r_name FROM region WHERE EXISTS " +
+      "(SELECT 1 FROM nation WHERE n_regionkey = r_regionkey AND n_nationkey >= 20) ORDER BY r_regionkey") { (s, d) =>
+      Tables.ensure(s, d)
+      s.sql("SELECT r_regionkey, r_name FROM region WHERE EXISTS " +
+        "(SELECT 1 FROM nation WHERE n_regionkey = r_regionkey AND n_nationkey >= 20) ORDER BY r_regionkey")
+    },
+
+    // 5% deterministic sample of orders by key hash; aggregate over the
+    // sample. The md5-derived hash makes the very same rows land in the
+    // sample in any engine.
+    Op("sample_hash",
+      s"SELECT CAST(COUNT(*) AS BIGINT) AS n, ROUND(AVG(o_totalprice),2) AS avg_price FROM orders " +
+      s"WHERE ${TextPipeline.hex60Sql("CAST(o_orderkey AS VARCHAR)")} % 20 = 0") { (s, d) =>
+      Tables.ensure(s, d)
+      s.table("orders")
+        .filter(TextPipeline.md5Hash60(col("o_orderkey").cast("string")) % 20 === 0)
+        .agg(count(lit(1)).as("n"), round(avg("o_totalprice"), 2).as("avg_price"))
+    }
+  )
+}

@@ -146,6 +146,37 @@ object ScalarFns {
         struct(col("n_nationkey").as("key"), col("n_name").as("name")).getField("name").as("sname"),
         element_at(map(col("n_name"), col("n_nationkey")), col("n_name")).as("mval")
       ).orderBy("n_nationkey")
+    },
+
+    // Edit distance, character translation, delimited-field extraction,
+    // code-point construction/search (DuckDB LEVENSHTEIN/STRPOS → BIGINT;
+    // oracle casts to Spark's INT).
+    Op("fn_string4",
+      "SELECT n_nationkey, CAST(LEVENSHTEIN(n_name,'NATION_1') AS INTEGER) AS lev, " +
+      "TRANSLATE(n_name,'AT0','@+o') AS tr, SPLIT_PART(n_name,'_',2) AS num_part, " +
+      "CHR(65+n_nationkey%26) AS ch, CAST(STRPOS(n_name,'1') AS INTEGER) AS pos1 " +
+      "FROM nation ORDER BY n_nationkey") { (s, d) =>
+      t(s, d, "nation").select(
+        col("n_nationkey"),
+        levenshtein(col("n_name"), lit("NATION_1")).as("lev"),
+        translate(col("n_name"), "AT0", "@+o").as("tr"),
+        split_part(col("n_name"), lit("_"), lit(2)).as("num_part"),
+        expr("chr(65 + n_nationkey % 26)").as("ch"),
+        instr(col("n_name"), "1").as("pos1")
+      ).orderBy("n_nationkey")
+    },
+
+    // Global regex extraction (all matches, serialized — the driver comparator
+    // cannot hash raw array cells) and match counting.
+    Op("fn_regex2",
+      "SELECT doc_id, COALESCE(ARRAY_TO_STRING(REGEXP_EXTRACT_ALL(text,'[0-9]+'),','),'') AS nums, " +
+      "CAST(LEN(REGEXP_EXTRACT_ALL(text,'[a-z]{7,}')) AS INTEGER) AS longwords " +
+      "FROM documents ORDER BY doc_id LIMIT 200") { (s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        array_join(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)), ",").as("nums"),
+        size(regexp_extract_all(col("text"), lit("[a-z]{7,}"), lit(0))).as("longwords")
+      ).orderBy("doc_id").limit(200)
     }
   )
 }

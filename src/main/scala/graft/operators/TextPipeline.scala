@@ -68,7 +68,7 @@ object TextPipeline {
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** The same 60-bit hash in DuckDB SQL, for oracle generation. */
-  private def hex60Sql(s: String): String =
+  def hex60Sql(s: String): String =
     (1 to 15).map { i =>
       s"(strpos('0123456789abcdef', substr(md5($s), $i, 1)) - 1) * ${1L << (4 * (15 - i))}"
     }.mkString("(", " + ", ")")

@@ -127,6 +127,36 @@ object TpchSuite {
       "(SELECT SUBSTRING(c_name,10,2) AS cntrycode, c_acctbal FROM customer " +
       "WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0) " +
       "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey=c_custkey AND o_orderdate >= NTZTS '2000-01-01')) t " +
-      "GROUP BY cntrycode ORDER BY cntrycode")
+      "GROUP BY cntrycode ORDER BY cntrycode"),
+
+    // h02 shape without partsupp (absent from fixtures): per-nation best
+    // supplier via a correlated scalar subquery over the joined dims, with
+    // h02's mixed-direction final sort.
+    both("tpch_h02",
+      "SELECT ROUND(s_acctbal,2) AS s_acctbal, s_name, n_name, r_name " +
+      "FROM supplier JOIN nation ON s_nationkey=n_nationkey JOIN region ON n_regionkey=r_regionkey " +
+      "WHERE r_name IN ('ASIA','EUROPE') " +
+      "AND s_acctbal = (SELECT MAX(s2.s_acctbal) FROM supplier s2 WHERE s2.s_nationkey = n_nationkey) " +
+      "ORDER BY s_acctbal DESC, n_name, s_name LIMIT 10"),
+
+    // h07 volume shipping, full shape (all columns exist in the fixtures).
+    both("tpch_h07",
+      "SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume),2) AS revenue FROM (" +
+      "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, " +
+      "CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS l_year, l_extendedprice*(1-l_discount) AS volume " +
+      "FROM supplier JOIN lineitem ON s_suppkey=l_suppkey JOIN orders ON o_orderkey=l_orderkey " +
+      "JOIN customer ON c_custkey=o_custkey JOIN nation n1 ON s_nationkey=n1.n_nationkey " +
+      "JOIN nation n2 ON c_nationkey=n2.n_nationkey " +
+      "WHERE ((n1.n_name='NATION_1' AND n2.n_name='NATION_2') OR (n1.n_name='NATION_2' AND n2.n_name='NATION_1')) " +
+      "AND l_shipdate BETWEEN NTZTS '1995-01-01' AND NTZTS '1996-12-31') shipping " +
+      "GROUP BY supp_nation, cust_nation, l_year ORDER BY supp_nation, cust_nation, l_year"),
+
+    // h11 shape without partsupp: suppliers whose lineitem value exceeds 1.1x
+    // the average supplier value (scalar subquery inside HAVING).
+    both("tpch_h11",
+      "SELECT l_suppkey, ROUND(SUM(l_extendedprice*l_quantity),2) AS value FROM lineitem " +
+      "GROUP BY l_suppkey HAVING SUM(l_extendedprice*l_quantity) > " +
+      "(SELECT 1.1*SUM(l_extendedprice*l_quantity)/COUNT(DISTINCT l_suppkey) FROM lineitem) " +
+      "ORDER BY value DESC, l_suppkey")
   )
 }

@@ -71,6 +71,58 @@ object Windows {
         .orderBy("o_orderkey").limit(200)
     },
 
+    // Explicit ROWS frames: trailing window, forward-looking window, and the
+    // whole-partition frame — deterministic because (o_orderdate, o_orderkey)
+    // totally orders each partition.
+    Op("win_frames",
+      "SELECT o_custkey, o_orderkey, " +
+      "ROUND(AVG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),2) AS avg3, " +
+      "ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING),2) AS next2, " +
+      "ROUND(MAX(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),2) AS mx " +
+      "FROM orders ORDER BY o_custkey, o_orderkey LIMIT 200") { (s, d) =>
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(avg("o_totalprice").over(byCust.rowsBetween(-2, Window.currentRow)), 2).as("avg3"),
+          round(sum("o_totalprice").over(byCust.rowsBetween(1, 2)), 2).as("next2"),
+          round(max("o_totalprice").over(
+            byCust.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)), 2).as("mx"))
+        .orderBy("o_custkey", "o_orderkey").limit(200)
+    },
+
+    Op("win_rank2",
+      "SELECT s_nationkey, s_suppkey, ROUND(PERCENT_RANK() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey),6) AS pr, " +
+      "ROUND(CUME_DIST() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey),6) AS cd, " +
+      "NTH_VALUE(s_name, 2) OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_s " +
+      "FROM supplier ORDER BY s_nationkey, s_suppkey") { (s, d) =>
+      val w = Window.partitionBy("s_nationkey").orderBy(col("s_acctbal").desc, col("s_suppkey"))
+      t(s, d, "supplier")
+        .select(col("s_nationkey"), col("s_suppkey"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"),
+          nth_value(col("s_name"), 2)
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("second_s"))
+        .orderBy("s_nationkey", "s_suppkey")
+    },
+
+    // Time-interval RANGE frame over the events stream: a trailing one-hour
+    // sliding aggregate per user — the windowed-analytics shape a 100 TB event
+    // pipeline runs constantly. RANGE semantics make ties on ts well-defined;
+    // (user_id, ts) is unique in this data and event_id orders the output.
+    Op("win_range_interval",
+      "SELECT event_id, user_id, ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts " +
+      "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW),2) AS hr_sum, " +
+      "CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts " +
+      "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS BIGINT) AS hr_cnt " +
+      "FROM events ORDER BY event_id LIMIT 500") { (s, d) =>
+      Tables.ensure(s, d)
+      s.sql(
+        """SELECT event_id, user_id, ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts
+          |RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW),2) AS hr_sum,
+          |COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+          |RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW) AS hr_cnt
+          |FROM events ORDER BY event_id LIMIT 500""".stripMargin)
+    },
+
     Op("win_first_last",
       "SELECT s_nationkey, s_suppkey, " +
       "FIRST_VALUE(s_name) OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_s, " +
