@@ -20,23 +20,30 @@ object TextPipeline {
     spark.table("documents")
   }
 
-  /** Distinct 3-gram *identities* per doc as 64-bit hashes: (doc_id, gram).
-    * Fully codegen path: posexplode the word list (one interpreted `split`
-    * only), then form each trigram's hash from (word, lead1, lead2) via a
-    * window — avoiding the interpreted `transform`+`concat_ws` lambda that
-    * costs ~1 ms/doc. Hash identity stands in for string identity
-    * (64-bit collisions are negligible at any realistic gram count).
+  /** One row per word trigram: (doc_id, w, w1, w2). Shuffle-free and fully
+    * codegen: zip the token array with its two shifted slices and explode —
+    * no window (which would shuffle+sort by doc) and no interpreted
+    * `transform` lambda (which costs ~1 ms/doc). The generator input is
+    * evaluated once per document, not once per gram.
     */
-  private def shingleHashes(d: DataFrame): DataFrame = {
-    val byPos = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
-    d.select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
-      .select(col("doc_id"), col("pos"), col("w"),
-        lead(col("w"), 1).over(byPos).as("w1"), lead(col("w"), 2).over(byPos).as("w2"))
-      .filter(col("w2").isNotNull)
+  private def triRows(d: DataFrame): DataFrame = {
+    val ws = tokens(col("text"))
+    d.select(col("doc_id"), ws.as("w0"),
+        slice(ws, lit(2), greatest(size(ws) - 1, lit(0))).as("s1"),
+        slice(ws, lit(3), greatest(size(ws) - 2, lit(0))).as("s2"))
+      .select(col("doc_id"), explode(arrays_zip(col("w0"), col("s1"), col("s2"))).as("t"))
+      .filter(col("t.s2").isNotNull)
+      .select(col("doc_id"), col("t.w0").as("w"), col("t.s1").as("w1"), col("t.s2").as("w2"))
+  }
+
+  /** Distinct 3-gram *identities* per doc as 64-bit hashes: (doc_id, gram).
+    * Hash identity stands in for string identity (64-bit collisions are
+    * negligible at any realistic gram count).
+    */
+  private def shingleHashes(d: DataFrame): DataFrame =
+    triRows(d)
       .select(col("doc_id"), xxhash64(col("w"), col("w1"), col("w2")).as("gram"))
       .distinct()
-  }
 
   /** Exact n-gram Jaccard similarity for all pairs above `threshold`.
     * Shuffles on `gram` (the inverted index) then on the pair — both standard
@@ -103,12 +110,7 @@ object TextPipeline {
     */
   private def gramHashesModP(d: DataFrame): DataFrame = {
     import MinHashParams.P
-    val byPos = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
-    d.select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
-      .select(col("doc_id"), col("pos"), col("w"),
-        lead(col("w"), 1).over(byPos).as("w1"), lead(col("w"), 2).over(byPos).as("w2"))
-      .filter(col("w2").isNotNull)
+    triRows(d)
       .select(col("doc_id"),
         (md5Hash60(concat_ws(" ", col("w"), col("w1"), col("w2"))) % P).as("hm"))
       .distinct()
