@@ -190,6 +190,26 @@ object Aggregates {
         .orderBy("n_regionkey")
     },
 
+    // Aggregate FILTER clause — per-aggregate predicates in one pass.
+    Op("agg_filter_clause",
+      "SELECT l_returnflag, CAST(COUNT(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_big, " +
+      "ROUND(SUM(l_extendedprice) FILTER (WHERE l_discount > 0.05),2) AS disc_rev, " +
+      "ROUND(AVG(l_quantity) FILTER (WHERE l_tax = 0),2) AS avg_untaxed " +
+      "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag") { (s, d) =>
+      Tables.ensure(s, d)
+      s.sql("SELECT l_returnflag, COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big, " +
+        "ROUND(SUM(l_extendedprice) FILTER (WHERE l_discount > 0.05),2) AS disc_rev, " +
+        "ROUND(AVG(l_quantity) FILTER (WHERE l_tax = 0),2) AS avg_untaxed " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")
+    },
+
+    // GROUP BY ALL / ORDER BY ALL — identical syntax in both engines.
+    Op("agg_group_by_all",
+      "SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS c FROM lineitem GROUP BY ALL ORDER BY ALL") { (s, d) =>
+      Tables.ensure(s, d)
+      s.sql("SELECT l_returnflag, l_linestatus, COUNT(*) AS c FROM lineitem GROUP BY ALL ORDER BY ALL")
+    },
+
     // mode(): deterministic here — the max frequency is unique per group in
     // this data (verified at sf0.01 and sf0.1).
     Op("agg_mode",

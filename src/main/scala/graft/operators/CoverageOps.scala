@@ -47,6 +47,14 @@ object CoverageOps {
         "(SELECT 1 FROM nation WHERE n_regionkey = r_regionkey AND n_nationkey >= 20) ORDER BY r_regionkey")
     },
 
+    Op("join_using",
+      "SELECT rk, n_name, r_name FROM (SELECT n_regionkey AS rk, n_name FROM nation) a " +
+      "JOIN (SELECT r_regionkey AS rk, r_name FROM region) b USING (rk) ORDER BY n_name") { (s, d) =>
+      Tables.ensure(s, d)
+      s.sql("SELECT rk, n_name, r_name FROM (SELECT n_regionkey AS rk, n_name FROM nation) a " +
+        "JOIN (SELECT r_regionkey AS rk, r_name FROM region) b USING (rk) ORDER BY n_name")
+    },
+
     // 5% deterministic sample of orders by key hash; aggregate over the
     // sample. The md5-derived hash makes the very same rows land in the
     // sample in any engine.

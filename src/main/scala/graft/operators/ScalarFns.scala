@@ -166,6 +166,73 @@ object ScalarFns {
       ).orderBy("n_nationkey")
     },
 
+    // Casts incl. TRY_CAST null-on-failure semantics. (Double→int is omitted
+    // deliberately: DuckDB rounds while Spark truncates — a real dialect
+    // difference, documented here rather than papered over.)
+    Op("fn_cast",
+      "SELECT n_nationkey, CAST(n_nationkey AS VARCHAR) AS s, CAST(n_nationkey AS DOUBLE) AS dbl, " +
+      "TRY_CAST(SPLIT_PART(n_name,'_',2) AS INTEGER) AS num_ok, TRY_CAST(n_name AS INTEGER) AS num_fail, " +
+      "CAST('1997-03-05' AS DATE) AS dt, TRY_CAST('nope' AS DATE) AS dt_fail " +
+      "FROM nation ORDER BY n_nationkey") { (s, d) =>
+      t(s, d, "nation").select(
+        col("n_nationkey"),
+        col("n_nationkey").cast("string").as("s"),
+        col("n_nationkey").cast("double").as("dbl"),
+        expr("try_cast(split_part(n_name,'_',2) AS INT)").as("num_ok"),
+        expr("try_cast(n_name AS INT)").as("num_fail"),
+        lit("1997-03-05").cast("date").as("dt"),
+        expr("try_cast('nope' AS DATE)").as("dt_fail")
+      ).orderBy("n_nationkey")
+    },
+
+    // Null handling: COALESCE/IFNULL/NULLIF, null-safe comparison
+    // (IS [NOT] DISTINCT FROM = Spark's <=>).
+    Op("fn_cond",
+      "SELECT n_nationkey, NULLIF(n_regionkey, 2) AS maybe_null, IFNULL(NULLIF(n_regionkey,2), -1) AS backfilled, " +
+      "COALESCE(NULLIF(n_regionkey,2), NULLIF(n_regionkey,0), 99) AS chain, " +
+      "NULLIF(n_regionkey,2) IS NOT DISTINCT FROM NULL AS was_two, " +
+      "n_regionkey IS DISTINCT FROM 2 AS not_two FROM nation ORDER BY n_nationkey") { (s, d) =>
+      t(s, d, "nation").select(
+        col("n_nationkey"),
+        nullif(col("n_regionkey"), lit(2)).as("maybe_null"),
+        ifnull(nullif(col("n_regionkey"), lit(2)), lit(-1)).as("backfilled"),
+        coalesce(nullif(col("n_regionkey"), lit(2)), nullif(col("n_regionkey"), lit(0)), lit(99)).as("chain"),
+        (nullif(col("n_regionkey"), lit(2)) <=> lit(null)).as("was_two"),
+        (!(col("n_regionkey") <=> lit(2))).as("not_two")
+      ).orderBy("n_nationkey")
+    },
+
+    // Higher-order list functions (transform/filter/aggregate/zip_with ↔
+    // DuckDB list lambdas). Interpreted (CodegenFallback) in Spark — fine on
+    // short arrays, never used on hot 100 TB paths (see TextPipeline).
+    Op("fn_hof",
+      "SELECT n_nationkey, ARRAY_TO_STRING(LIST_TRANSFORM([n_nationkey, n_regionkey, 7], x -> x*2),',') AS doubled, " +
+      "ARRAY_TO_STRING(LIST_FILTER([n_nationkey, n_regionkey, 7], x -> x > 3),',') AS big, " +
+      "CAST(LIST_SUM(LIST_TRANSFORM([n_nationkey, n_regionkey, 7], x -> x*x)) AS BIGINT) AS sumsq, " +
+      "ARRAY_TO_STRING(LIST_TRANSFORM(LIST_ZIP([n_nationkey, n_regionkey], [10, 20]), x -> x[1]*x[2]),',') AS zipped " +
+      "FROM nation ORDER BY n_nationkey") { (s, d) =>
+      t(s, d, "nation").select(
+        col("n_nationkey"),
+        array_join(transform(array(col("n_nationkey"), col("n_regionkey"), lit(7)), x => x * 2).cast("array<string>"), ",").as("doubled"),
+        array_join(filter(array(col("n_nationkey"), col("n_regionkey"), lit(7)), x => x > 3).cast("array<string>"), ",").as("big"),
+        aggregate(array(col("n_nationkey"), col("n_regionkey"), lit(7)), lit(0L), (acc, x) => acc + (x * x).cast("long")).as("sumsq"),
+        array_join(zip_with(array(col("n_nationkey"), col("n_regionkey")), array(lit(10), lit(20)), (x, y) => x * y).cast("array<string>"), ",").as("zipped")
+      ).orderBy("n_nationkey")
+    },
+
+    // JSON arrays: length + indexed extraction from a constructed document.
+    Op("fn_json2",
+      "SELECT n_nationkey, CAST(JSON_ARRAY_LENGTH(CONCAT('[', n_nationkey, ',', n_regionkey, ',9]')) AS INTEGER) AS alen, " +
+      "CAST(JSON_EXTRACT(CONCAT('[', n_nationkey, ',', n_regionkey, ',9]'), '$[1]') AS INTEGER) AS second " +
+      "FROM nation ORDER BY n_nationkey") { (s, d) =>
+      val doc = concat(lit("["), col("n_nationkey"), lit(","), col("n_regionkey"), lit(",9]"))
+      t(s, d, "nation").select(
+        col("n_nationkey"),
+        json_array_length(doc).cast("int").as("alen"),
+        get_json_object(doc, "$[1]").cast("int").as("second")
+      ).orderBy("n_nationkey")
+    },
+
     // Global regex extraction (all matches, serialized — the driver comparator
     // cannot hash raw array cells) and match counting.
     Op("fn_regex2",

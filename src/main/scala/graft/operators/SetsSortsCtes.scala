@@ -82,6 +82,27 @@ object SetsSortsCtes {
         .join(broadcast(maxRev), col("total_revenue") === col("m"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
+    },
+
+    // Position-independent union: Spark unionByName ↔ DuckDB UNION ALL BY NAME.
+    Op("set_union_byname",
+      "SELECT k, v FROM (SELECT r_regionkey AS k, r_name AS v FROM region " +
+      "UNION ALL BY NAME SELECT n_name AS v, n_nationkey+100 AS k FROM nation) t ORDER BY k") { (s, d) =>
+      val a = t(s, d, "region").select(col("r_regionkey").as("k"), col("r_name").as("v"))
+      val b = t(s, d, "nation").select(col("n_name").as("v"), (col("n_nationkey") + 100).as("k"))
+      a.unionByName(b).orderBy("k")
+    },
+
+    // Recursive CTE (Spark 4 + DuckDB, same syntax): expand each region into
+    // a numbered series and aggregate it back.
+    Op("cte_recursive",
+      "WITH RECURSIVE r(k, n) AS (SELECT r_regionkey, 1 FROM region " +
+      "UNION ALL SELECT k, n+1 FROM r WHERE n < k+2) " +
+      "SELECT k, CAST(COUNT(*) AS BIGINT) AS steps, CAST(SUM(n) AS BIGINT) AS total FROM r GROUP BY k ORDER BY k") { (s, d) =>
+      Tables.ensure(s, d)
+      s.sql("WITH RECURSIVE r(k, n) AS (SELECT r_regionkey, 1 FROM region " +
+        "UNION ALL SELECT k, n+1 FROM r WHERE n < k+2) " +
+        "SELECT k, COUNT(*) AS steps, SUM(n) AS total FROM r GROUP BY k ORDER BY k")
     }
   )
 }

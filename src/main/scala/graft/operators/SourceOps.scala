@@ -62,6 +62,25 @@ object SourceOps {
       s.sql("SELECT s_nationkey, COUNT(*) AS big FROM big_suppliers GROUP BY s_nationkey ORDER BY s_nationkey")
     },
 
+    // Hive-partitioned parquet sink + pruned scan: the write lays out
+    // o_orderstatus=<v>/ directories and the filtered read-back prunes to one
+    // partition (PartitionFilters in the plan) — the layout/pruning pair that
+    // carries a 100 TB dataset. DuckDB reads the same files with
+    // hive_partitioning.
+    Op("scan_partitioned",
+      s"SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(o_totalprice),2) AS total " +
+      s"FROM read_parquet('$ioDir/orders_part/*/*.parquet', hive_partitioning=1) " +
+      s"WHERE o_orderstatus='F' GROUP BY o_orderstatus ORDER BY o_orderstatus") { (s, d) =>
+      Tables.ensure(s, d)
+      s.table("orders")
+        .write.mode("overwrite").partitionBy("o_orderstatus").parquet(s"$ioDir/orders_part")
+      s.read.parquet(s"$ioDir/orders_part")
+        .filter(col("o_orderstatus") === "F")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("o_orderstatus")
+    },
+
     // Managed-table DDL + INSERT INTO (affected-row DML path,
     // SURVEY.md §2.A rows 7-8), read back in full.
     Op("dml_insert",
