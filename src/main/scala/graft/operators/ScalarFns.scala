@@ -166,6 +166,68 @@ object ScalarFns {
       ).orderBy("n_nationkey")
     },
 
+    // Calendar parts, epoch seconds, date construction, strftime-style
+    // formatting, day arithmetic. (DuckDB EPOCH→DOUBLE and parts→BIGINT;
+    // oracle casts to Spark's BIGINT/INT.)
+    Op("fn_datetime3",
+      "SELECT o_orderkey, CAST(QUARTER(o_orderdate) AS INTEGER) AS q, " +
+      "CAST(WEEKOFYEAR(o_orderdate) AS INTEGER) AS wk, CAST(DAYOFYEAR(o_orderdate) AS INTEGER) AS doy, " +
+      "CAST(EPOCH(o_orderdate) AS BIGINT) AS ep, " +
+      "MAKE_DATE(2000, CAST(MONTH(o_orderdate) AS INTEGER), 15) AS md, " +
+      "STRFTIME(o_orderdate, '%Y/%m/%d') AS fmt, " +
+      "CAST(DATE_DIFF('day', DATE '1997-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS dd, " +
+      "LAST_DAY(CAST(o_orderdate AS DATE)) AS ld " +
+      "FROM orders ORDER BY o_orderkey LIMIT 100") { (s, d) =>
+      t(s, d, "orders").orderBy("o_orderkey").limit(100).select(
+        col("o_orderkey"),
+        quarter(col("o_orderdate")).as("q"),
+        weekofyear(col("o_orderdate")).as("wk"),
+        dayofyear(col("o_orderdate")).as("doy"),
+        unix_timestamp(col("o_orderdate")).as("ep"),
+        make_date(lit(2000), month(col("o_orderdate")), lit(15)).as("md"),
+        date_format(col("o_orderdate"), "yyyy/MM/dd").as("fmt"),
+        datediff(col("o_orderdate").cast("date"), lit("1997-01-01").cast("date")).as("dd"),
+        last_day(col("o_orderdate").cast("date")).as("ld")
+      )
+    },
+
+    // Map construction/introspection beyond fn_struct's single-key extract.
+    Op("fn_map",
+      "SELECT n_nationkey, ARRAY_TO_STRING(MAP_KEYS(MAP(['a','b'],[n_nationkey, n_regionkey])),',') AS ks, " +
+      "ARRAY_TO_STRING(MAP_VALUES(MAP(['a','b'],[n_nationkey, n_regionkey])),',') AS vs, " +
+      "CAST(CARDINALITY(MAP(['a','b'],[n_nationkey, n_regionkey])) AS INTEGER) AS n, " +
+      "MAP_EXTRACT(MAP(['a','b'],[n_nationkey, n_regionkey]), 'b')[1] AS vb " +
+      "FROM nation ORDER BY n_nationkey") { (s, d) =>
+      val m = map(lit("a"), col("n_nationkey"), lit("b"), col("n_regionkey"))
+      t(s, d, "nation").select(
+        col("n_nationkey"),
+        array_join(map_keys(m), ",").as("ks"),
+        array_join(map_values(m).cast("array<string>"), ",").as("vs"),
+        size(m).as("n"),
+        element_at(m, "b").as("vb")
+      ).orderBy("n_nationkey")
+    },
+
+    // Array search/flatten/set-intersection/overlap. LIST_INTERSECT is
+    // unordered in DuckDB — both sides sort before serializing.
+    Op("fn_array3",
+      "SELECT n_nationkey, CAST(LIST_POSITION([n_regionkey+10, n_nationkey+30, n_nationkey], n_nationkey) AS INTEGER) AS pos, " +
+      "ARRAY_TO_STRING(FLATTEN([[n_nationkey],[n_regionkey, 7]]),',') AS flat, " +
+      "ARRAY_TO_STRING(LIST_SORT(LIST_INTERSECT([n_nationkey, n_regionkey, 7],[7, n_regionkey])),',') AS inter, " +
+      "LIST_HAS_ANY([n_nationkey, 3],[n_regionkey, 8]) AS overlap " +
+      "FROM nation ORDER BY n_nationkey") { (s, d) =>
+      t(s, d, "nation").select(
+        col("n_nationkey"),
+        array_position(array(col("n_regionkey") + 10, col("n_nationkey") + 30, col("n_nationkey")),
+          col("n_nationkey")).cast("int").as("pos"),
+        array_join(flatten(array(array(col("n_nationkey")), array(col("n_regionkey"), lit(7))))
+          .cast("array<string>"), ",").as("flat"),
+        array_join(sort_array(array_intersect(array(col("n_nationkey"), col("n_regionkey"), lit(7)),
+          array(lit(7), col("n_regionkey")))).cast("array<string>"), ",").as("inter"),
+        arrays_overlap(array(col("n_nationkey"), lit(3)), array(col("n_regionkey"), lit(8))).as("overlap")
+      ).orderBy("n_nationkey")
+    },
+
     // Casts incl. TRY_CAST null-on-failure semantics. (Double→int is omitted
     // deliberately: DuckDB rounds while Spark truncates — a real dialect
     // difference, documented here rather than papered over.)
