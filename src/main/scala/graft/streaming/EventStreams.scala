@@ -67,6 +67,36 @@ object EventStreams {
       .toDF("user_id", "n", "total")
   }
 
+  /** Stream-stream inner join with an event-time range condition: each
+    * purchase joined to the same user's views in the preceding `lookback`.
+    * Watermarks on both sides + the time-range predicate let Spark expire
+    * join state — the requirement for running this on unbounded streams.
+    */
+  def viewToPurchaseJoin(events: DataFrame, lookback: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .withWatermark("ts", watermark)
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"), col("event_id").as("view_id"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .withWatermark("ts", watermark)
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    purchases.join(views,
+      col("p_user") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr(s"INTERVAL $lookback"))
+      .select(col("purchase_id"), col("view_id"), col("p_user").as("user_id"))
+  }
+
+  /** Stream-static join: enrich the event stream with a broadcast dimension
+    * table (re-read per micro-batch; no stream state). At 100 TB the static
+    * side stays a broadcast as long as the dim fits an executor — the same
+    * plan shape Catalyst picks for the batch flavor.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), col("user_id") === col("dim_key"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("dim_label"))
+
   /** Wire a streaming source through a transform into a memory sink and run
     * it to completion (test/demo harness for the above).
     */

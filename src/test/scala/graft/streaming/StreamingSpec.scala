@@ -139,4 +139,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.select("ws").collect().map(_.getTimestamp(0).toLocalDateTime).sorted.toSeq ==
       Seq(LocalDateTime.of(2024, 3, 1, 1, 0), LocalDateTime.of(2024, 3, 1, 1, 30)))
   }
+
+  test("stream-stream interval join: streaming equals batch on the fixture") {
+    import spark.implicits._
+    val rows = fixtureEvents.as[Ev].collect().toSeq
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("purchase_id", "view_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val streamed = pairs(streamOf(rows, EventStreams.viewToPurchaseJoin(_), "t_ssjoin"))
+    val batch = pairs(EventStreams.viewToPurchaseJoin(fixtureEvents))
+    assert(batch.nonEmpty, "fixture should contain view->purchase pairs within 30 minutes")
+    assert(streamed == batch)
+  }
+
+  test("stream-static broadcast join: streaming equals batch on the fixture") {
+    import spark.implicits._
+    val rows = fixtureEvents.as[Ev].collect().toSeq
+    val dim = spark.range(0, 150).select(col("id").as("dim_key"),
+      concat(lit("grp_"), (col("id") % 7).cast("string")).as("dim_label"))
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(3))).toMap
+    val streamed = keyed(streamOf(rows, EventStreams.enrichWithDim(_, dim), "t_stjoin")
+      .filter(col("user_id") =!= FlushUser))
+    val batch = keyed(EventStreams.enrichWithDim(fixtureEvents, dim))
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
+  }
 }
