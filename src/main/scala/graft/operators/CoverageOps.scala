@@ -47,6 +47,30 @@ object CoverageOps {
         "(SELECT 1 FROM nation WHERE n_regionkey = r_regionkey AND n_nationkey >= 20) ORDER BY r_regionkey")
     },
 
+    // Pagination: ORDER BY ... LIMIT ... OFFSET (deterministic tie-break).
+    Op("topk_offset",
+      "SELECT s_suppkey, ROUND(s_acctbal,2) AS bal FROM supplier " +
+      "ORDER BY s_acctbal DESC, s_suppkey LIMIT 10 OFFSET 10") { (s, d) =>
+      Tables.ensure(s, d)
+      s.table("supplier")
+        .select(col("s_suppkey"), round(col("s_acctbal"), 2).as("bal"))
+        .orderBy(col("s_acctbal").desc, col("s_suppkey"))
+        .offset(10).limit(10)
+    },
+
+    // arg-max/arg-min aggregates (MAX_BY/MIN_BY); the max balance is unique
+    // per nation in this data (verified at sf0.01 and sf0.1).
+    Op("agg_argmax",
+      "SELECT s_nationkey, MAX_BY(s_name, s_acctbal) AS richest, MIN_BY(s_name, s_acctbal) AS poorest " +
+      "FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey") { (s, d) =>
+      Tables.ensure(s, d)
+      s.table("supplier")
+        .groupBy("s_nationkey")
+        .agg(max_by(col("s_name"), col("s_acctbal")).as("richest"),
+          min_by(col("s_name"), col("s_acctbal")).as("poorest"))
+        .orderBy("s_nationkey")
+    },
+
     Op("join_using",
       "SELECT rk, n_name, r_name FROM (SELECT n_regionkey AS rk, n_name FROM nation) a " +
       "JOIN (SELECT r_regionkey AS rk, r_name FROM region) b USING (rk) ORDER BY n_name") { (s, d) =>
