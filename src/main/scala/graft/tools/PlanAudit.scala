@@ -28,7 +28,8 @@ object PlanAudit {
         s"shuffles=$exchanges",
         s"codegenSpans=${"\\*\\(\\d+\\)".r.findAllIn(plan).map(identity).toSet.size}",
         s"pushedFilters=${if (plan.contains("PushedFilters: [")) !plan.contains("PushedFilters: []") else false}",
-        s"sorts=${"(?m)^\\s*[+:]?-? *Sort ".r.findAllIn(plan).length}"
+        s"sorts=${"(?m)^\\s*[+:]?-? *Sort ".r.findAllIn(plan).length}",
+        s"partitionPruned=${"PartitionFilters: \\[[^\\]]".r.findAllIn(plan).nonEmpty}"
       ).mkString(" ")
       println(s"== $name: $summary")
       if (sys.env.contains("PLAN_FULL")) {
