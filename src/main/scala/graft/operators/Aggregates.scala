@@ -210,6 +210,20 @@ object Aggregates {
       s.sql("SELECT l_returnflag, l_linestatus, COUNT(*) AS c FROM lineitem GROUP BY ALL ORDER BY ALL")
     },
 
+    // Linear-regression aggregates (both engines implement the SQL standard
+    // REGR_* family; rounding absorbs FP accumulation-order differences).
+    Op("agg_regr",
+      "SELECT ROUND(REGR_SLOPE(l_extendedprice, l_quantity),6) AS slope, " +
+      "ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity),2) AS icept, " +
+      "ROUND(REGR_R2(l_extendedprice, l_quantity),8) AS r2, " +
+      "CAST(REGR_COUNT(l_extendedprice, l_quantity) AS BIGINT) AS n FROM lineitem") { (s, d) =>
+      t(s, d, "lineitem")
+        .agg(round(regr_slope(col("l_extendedprice"), col("l_quantity")), 6).as("slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 2).as("icept"),
+          round(regr_r2(col("l_extendedprice"), col("l_quantity")), 8).as("r2"),
+          regr_count(col("l_extendedprice"), col("l_quantity")).as("n"))
+    },
+
     // mode(): deterministic here — the max frequency is unique per group in
     // this data (verified at sf0.01 and sf0.1).
     Op("agg_mode",

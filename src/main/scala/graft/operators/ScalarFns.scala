@@ -228,6 +228,16 @@ object ScalarFns {
       ).orderBy("n_nationkey")
     },
 
+    // Cryptographic digests (hex-identical across engines).
+    Op("fn_hash",
+      "SELECT n_nationkey, MD5(n_name) AS m, SHA256(n_name) AS sh FROM nation ORDER BY n_nationkey") { (s, d) =>
+      t(s, d, "nation").select(
+        col("n_nationkey"),
+        md5(col("n_name")).as("m"),
+        sha2(col("n_name"), 256).as("sh")
+      ).orderBy("n_nationkey")
+    },
+
     // Casts incl. TRY_CAST null-on-failure semantics. (Double→int is omitted
     // deliberately: DuckDB rounds while Spark truncates — a real dialect
     // difference, documented here rather than papered over.)

@@ -123,6 +123,23 @@ object Windows {
           |FROM events ORDER BY event_id LIMIT 500""".stripMargin)
     },
 
+    // IGNORE NULLS navigation (dialects place the modifier differently:
+    // DuckDB inside the call, Spark after it).
+    Op("win_ignore_nulls",
+      "SELECT o_orderkey, LAG(NULLIF(o_custkey % 5, 2) IGNORE NULLS) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey) AS prev_nn, " +
+      "FIRST_VALUE(NULLIF(o_custkey % 5, 2) IGNORE NULLS) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_nn " +
+      "FROM orders ORDER BY o_orderkey LIMIT 300") { (s, d) =>
+      val w = Window.partitionBy("o_orderpriority").orderBy("o_orderkey")
+      val nn = nullif(col("o_custkey") % 5, lit(2))
+      t(s, d, "orders")
+        .select(col("o_orderkey"),
+          lag(nn, 1, null, ignoreNulls = true).over(w).as("prev_nn"),
+          first(nn, ignoreNulls = true)
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("first_nn"))
+        .orderBy("o_orderkey").limit(300)
+    },
+
     Op("win_first_last",
       "SELECT s_nationkey, s_suppkey, " +
       "FIRST_VALUE(s_name) OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_s, " +
