@@ -313,7 +313,9 @@ object ScalarFns {
       "FROM documents ORDER BY doc_id LIMIT 200") { (s, d) =>
       t(s, d, "documents").select(
         col("doc_id"),
-        array_join(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)), ",").as("nums"),
+        // coalesce matches the oracle's COALESCE(...,''): symmetric if a
+        // future fixture ever contains NULL text
+        coalesce(array_join(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)), ","), lit("")).as("nums"),
         size(regexp_extract_all(col("text"), lit("[a-z]{7,}"), lit(0))).as("longwords")
       ).orderBy("doc_id").limit(200)
     }

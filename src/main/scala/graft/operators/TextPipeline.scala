@@ -102,8 +102,8 @@ object TextPipeline {
       27904399L, 120955663L, 821083705L, 1534231075L)
   }
 
-  /** Distinct (doc_id, gram-hash mod P) rows for word trigrams, built with the
-    * codegen-friendly posexplode + window-lead shape (no interpreted lambdas).
+  /** Distinct (doc_id, gram-hash mod P) rows for word trigrams, built on the
+    * shuffle-free `triRows` shape (no window, no interpreted lambdas).
     * Distinct on the hash rather than the gram string is safe for MinHash:
     * a 60-bit collision maps two grams to the same permuted values, leaving
     * every min-aggregate unchanged.
