@@ -44,6 +44,22 @@ object Events {
       "SELECT user_id, CAST(SUM(CASE WHEN prev IS NULL OR EPOCH_US(ts)-EPOCH_US(prev) > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS sessions " +
       "FROM o GROUP BY user_id ORDER BY user_id") { (s, d) =>
       sessionCounts(ev(s, d), 1800000000L).orderBy("user_id")
+    },
+
+    // Day-over-day retention: users active on day d who return on d+1.
+    // Self-join on the distinct (user, day) activity set — the cohort shape
+    // every event pipeline computes; distributes as one shuffle on user_id.
+    Op("events_retention",
+      "WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events) " +
+      "SELECT a.day AS day, CAST(COUNT(*) AS BIGINT) AS retained " +
+      "FROM d a JOIN d b ON b.user_id = a.user_id AND b.day = a.day + 1 " +
+      "GROUP BY a.day ORDER BY a.day") { (s, d) =>
+      val act = ev(s, d).select(col("user_id"), col("ts").cast("date").as("day")).distinct()
+      act.as("a").join(act.as("b"),
+          col("b.user_id") === col("a.user_id") && col("b.day") === date_add(col("a.day"), 1))
+        .groupBy(col("a.day").as("day"))
+        .agg(count(lit(1)).as("retained"))
+        .orderBy("day")
     }
   )
 }
