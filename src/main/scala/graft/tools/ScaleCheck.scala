@@ -35,11 +35,22 @@ object ScaleCheck {
     scaled("orders", Seq("o_orderkey", "o_custkey"), 100000000L)
     scaled("customer", Seq("c_custkey"), 100000000L)
 
-    println(s"[scale] lineitem rows: ${spark.table("lineitem").count()}")
+    // Documents: re-key AND salt the text per copy (a copy token between
+    // every word rewrites every trigram) so the corpus grows n-fold while
+    // the near-duplicate *rate* stays constant — scaling dup pairs linearly,
+    // not quadratically, like a real crawl.
+    spark.table("documents").crossJoin(copies)
+      .withColumn("doc_id", col("doc_id") + col("copy") * 1000000L)
+      .withColumn("text", regexp_replace(col("text"), lit(" "), concat(lit(" c"), col("copy"), lit(" "))))
+      .drop("copy").repartition(32).createOrReplaceTempView("documents")
+
+    println(s"[scale] lineitem rows: ${spark.table("lineitem").count()}, " +
+      s"documents rows: ${spark.table("documents").count()}")
 
     val queries = SparkEntry.queries
     val names = Seq("agg_h01", "agg_global_h06", "join_inner_h03", "join_left_hist",
-      "join_theta", "tpch_h18", "win_rownum", "topk")
+      "join_theta", "tpch_h18", "win_rownum", "topk",
+      "dedup_minhash_lsh", "dedup_simhash", "text_stats")
     names.foreach { name =>
       // warm codegen once, then measure
       try {
