@@ -53,7 +53,11 @@ object TextPipeline {
   def jaccardPairs(d: DataFrame, threshold: Double): DataFrame = {
     val g = shingleHashes(d)
     val sz = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pairs = g.as("a").join(g.as("b"),
+    // shuffle_hash: the gram index is ~docs*grams rows — broadcasting it
+    // serializes a 1M-row hashed relation on the driver; a shuffled hash
+    // join builds per-partition in parallel and is the only viable shape
+    // once the corpus outgrows any single executor.
+    val pairs = g.as("a").hint("shuffle_hash").join(g.as("b"),
         col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
