@@ -47,6 +47,18 @@ object CoverageOps {
         "(SELECT 1 FROM nation WHERE n_regionkey = r_regionkey AND n_nationkey >= 20) ORDER BY r_regionkey")
     },
 
+    // LATERAL correlated derived table (per-row subquery; Catalyst
+    // decorrelates it into a join).
+    Op("subq_lateral",
+      "SELECT r_regionkey, r_name, t.c FROM region, LATERAL " +
+      "(SELECT CAST(COUNT(*) AS BIGINT) AS c FROM nation WHERE n_regionkey = r_regionkey) t " +
+      "ORDER BY r_regionkey") { (s, d) =>
+      Tables.ensure(s, d)
+      s.sql("SELECT r_regionkey, r_name, t.c FROM region, LATERAL " +
+        "(SELECT COUNT(*) AS c FROM nation WHERE n_regionkey = r_regionkey) t " +
+        "ORDER BY r_regionkey")
+    },
+
     // Pagination: ORDER BY ... LIMIT ... OFFSET (deterministic tie-break).
     Op("topk_offset",
       "SELECT s_suppkey, ROUND(s_acctbal,2) AS bal FROM supplier " +
