@@ -45,6 +45,32 @@ class OperatorSpec extends AnyFunSuite {
     assert(hd.max <= 16, s"hamming distances of near-dups too large: ${hd.toSeq}")
   }
 
+  test("md5Hash60 matches a reference MessageDigest implementation") {
+    import spark.implicits._
+    val vals = Seq("hello world", "", "a b c", "NATION_7", "日本語 text")
+    val got = vals.toDF("s").select(TextPipeline.md5Hash60(col("s"))).as[Long].collect()
+    val exp = vals.map { s =>
+      val hex = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    assert(got.toSeq == exp)
+  }
+
+  test("hash sampling partitions the table into disjoint exhaustive classes") {
+    Tables.ensure(spark, dir)
+    val orders = spark.table("orders")
+    val total = orders.count()
+    val cls = TextPipeline.md5Hash60(col("o_orderkey").cast("string")) % 20
+    val counts = orders.groupBy(cls.as("c")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts.keys.forall(k => k >= 0 && k < 20))
+    assert(counts.values.sum == total)
+    val fair = total.toDouble / 20
+    assert(counts.values.forall(v => v > fair / 3 && v < fair * 3),
+      s"sampling classes should be roughly uniform: $counts")
+  }
+
   test("approx_count_distinct is within 5% of exact") {
     Tables.ensure(spark, dir)
     val li = spark.table("lineitem")
