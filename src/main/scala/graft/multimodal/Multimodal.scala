@@ -31,16 +31,28 @@ object Multimodal {
   /** STUB codec: deterministic stand-ins for decode/resize/frame ops.
     * Replace with a real codec (JavaCPP/FFmpeg/ImageIO) in production; every
     * function is pure bytes→value so the distribution story is unchanged.
+    *
+    * The stub hash is the engine's cross-engine 60-bit md5 hash over the
+    * UPPERCASE hex of the bytes — i.e. exactly `hex60(HEX(bytes))` in SQL —
+    * so the decode stage is value-checkable by the DuckDB oracle
+    * (`multimodal_decode` in SparkEntry).
     */
   object FakeCodec {
+    /** First 15 hex digits of md5(hex(bytes)) as a 60-bit Long. */
+    def h60(bytes: Array[Byte]): Long = {
+      val hex = bytes.map("%02X".format(_)).mkString
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(hex.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(digest.take(15), 16)
+    }
     def decodeDims(bytes: Array[Byte]): (Int, Int) = {
-      val h = java.util.Arrays.hashCode(bytes)
-      (math.abs(h % 1920) + 1, math.abs((h / 1920) % 1080) + 1)
+      val h = h60(bytes)
+      ((h % 1920).toInt + 1, ((h / 1920) % 1080).toInt + 1)
     }
     /** 8-float "embedding" of the media content. */
     def features(bytes: Array[Byte]): Array[Float] = {
-      val h = java.util.Arrays.hashCode(bytes).toLong
-      Array.tabulate(8)(i => (((h * (i * 2 + 1) + i) % 1000).toFloat) / 1000f)
+      val hm = h60(bytes) % 1000000007L
+      Array.tabulate(8)(i => (((hm * (i * 2 + 1) + i) % 1000).toFloat) / 1000f)
     }
     def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] =
       (s"resized:${w}x$h:".getBytes ++ bytes.take(16))

@@ -47,6 +47,24 @@ object CoverageOps {
         "(SELECT 1 FROM nation WHERE n_regionkey = r_regionkey AND n_nationkey >= 20) ORDER BY r_regionkey")
     },
 
+    // Multimodal decode stage, oracle-checked: synthetic media written as a
+    // binary-column parquet, decoded via the distributed mapPartitions codec
+    // (stubbed as hex60(HEX(bytes)) arithmetic — SQL-expressible, so DuckDB
+    // recomputes the dims from the same bytes). A real codec keeps the same
+    // Spark plumbing but loses the oracle, by design.
+    Op("multimodal_decode",
+      "WITH m AS (SELECT media_id, kind, " +
+      s"${TextPipeline.hex60Sql("HEX(bytes)")} AS h FROM read_parquet('/tmp/graft_io/media/*.parquet')) " +
+      "SELECT media_id, kind, CAST(h % 1920 + 1 AS INTEGER) AS width, " +
+      "CAST((h // 1920) % 1080 + 1 AS INTEGER) AS height FROM m ORDER BY media_id") { (s, d) =>
+      val media = graft.multimodal.Multimodal.syntheticMedia(s, 200)
+      media.select("media_id", "kind", "bytes")
+        .write.mode("overwrite").parquet("/tmp/graft_io/media")
+      graft.multimodal.Multimodal.decode(s.read.parquet("/tmp/graft_io/media").withColumn("meta", lit(null).cast(graft.multimodal.Multimodal.metaType)))
+        .select(col("media_id"), col("kind"), col("meta.width").as("width"), col("meta.height").as("height"))
+        .orderBy("media_id")
+    },
+
     // LATERAL correlated derived table (per-row subquery; Catalyst
     // decorrelates it into a join).
     Op("subq_lateral",
