@@ -191,6 +191,22 @@ object ScalarFns {
       )
     },
 
+    // The parse direction: strptime/to_timestamp_ntz round-trip through a
+    // formatted string, epoch milliseconds, component-wise construction.
+    Op("fn_parse",
+      "SELECT o_orderkey, STRPTIME(STRFTIME(o_orderdate, '%d/%m/%Y %H:%M'), '%d/%m/%Y %H:%M') AS parsed, " +
+      "CAST(EPOCH_MS(o_orderdate) AS BIGINT) AS ems, " +
+      "MAKE_TIMESTAMP(CAST(YEAR(o_orderdate) AS INTEGER), CAST(MONTH(o_orderdate) AS INTEGER), 15, 6, 30, 0.0) AS mts " +
+      "FROM orders ORDER BY o_orderkey LIMIT 100") { (s, d) =>
+      t(s, d, "orders").orderBy("o_orderkey").limit(100).select(
+        col("o_orderkey"),
+        to_timestamp_ntz(date_format(col("o_orderdate"), "dd/MM/yyyy HH:mm"),
+          lit("dd/MM/yyyy HH:mm")).as("parsed"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("ems"),
+        expr("make_timestamp_ntz(year(o_orderdate), month(o_orderdate), 15, 6, 30, 0)").as("mts")
+      )
+    },
+
     // Map construction/introspection beyond fn_struct's single-key extract.
     Op("fn_map",
       "SELECT n_nationkey, ARRAY_TO_STRING(MAP_KEYS(MAP(['a','b'],[n_nationkey, n_regionkey])),',') AS ks, " +
