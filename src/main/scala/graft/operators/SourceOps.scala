@@ -81,6 +81,22 @@ object SourceOps {
         .orderBy("o_orderstatus")
     },
 
+    // UPDATE-equivalent on immutable storage: INSERT OVERWRITE with a
+    // CASE-rewritten projection — the pattern plain-parquet deployments use
+    // where the reference delegates UPDATE to DuckDB (row-level UPDATE/MERGE
+    // proper is a declared Delta/Iceberg-only limitation).
+    Op("dml_overwrite",
+      "SELECT k, name FROM (SELECT r_regionkey AS k, " +
+      "CASE WHEN r_regionkey = 2 THEN 'ASIA-PACIFIC' ELSE r_name END AS name FROM region) t ORDER BY k") { (s, d) =>
+      Tables.ensure(s, d)
+      deleteManagedTable(s, "graft_upd_target")
+      s.table("region").write.saveAsTable("graft_upd_target")
+      s.sql("INSERT OVERWRITE TABLE graft_upd_target " +
+        "SELECT r_regionkey, CASE WHEN r_regionkey = 2 THEN 'ASIA-PACIFIC' ELSE r_name END FROM region")
+      s.table("graft_upd_target")
+        .select(col("r_regionkey").as("k"), col("r_name").as("name")).orderBy("k")
+    },
+
     // Managed-table DDL + INSERT INTO (affected-row DML path,
     // SURVEY.md §2.A rows 7-8), read back in full.
     Op("dml_insert",
