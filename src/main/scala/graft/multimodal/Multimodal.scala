@@ -38,12 +38,32 @@ object Multimodal {
     * (`multimodal_decode` in SparkEntry).
     */
   object FakeCodec {
-    /** First 15 hex digits of md5(hex(bytes)) as a 60-bit Long. */
+    private val hexUpper = "0123456789ABCDEF".toCharArray
+    // One digest per thread, reset per call — the per-partition amortization
+    // the mapPartitions shape exists for (no per-row provider lookup).
+    private val md5Local: ThreadLocal[java.security.MessageDigest] =
+      ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+    /** First 15 hex digits of md5(HEX(bytes)) as a 60-bit Long — i.e. the
+      * first 8 digest bytes big-endian, dropped low nibble. Lookup-table hex
+      * encoding; no per-byte Formatter allocation.
+      */
     def h60(bytes: Array[Byte]): Long = {
-      val hex = bytes.map("%02X".format(_)).mkString
-      val digest = java.security.MessageDigest.getInstance("MD5")
-        .digest(hex.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(digest.take(15), 16)
+      val hex = new Array[Byte](bytes.length * 2)
+      var i = 0
+      while (i < bytes.length) {
+        val b = bytes(i) & 0xff
+        hex(2 * i) = hexUpper(b >> 4).toByte
+        hex(2 * i + 1) = hexUpper(b & 15).toByte
+        i += 1
+      }
+      val md = md5Local.get()
+      md.reset()
+      val digest = md.digest(hex)
+      var v = 0L
+      var j = 0
+      while (j < 8) { v = (v << 8) | (digest(j) & 0xffL); j += 1 }
+      v >>> 4
     }
     def decodeDims(bytes: Array[Byte]): (Int, Int) = {
       val h = h60(bytes)

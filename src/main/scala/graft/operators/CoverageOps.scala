@@ -54,13 +54,14 @@ object CoverageOps {
     // Spark plumbing but loses the oracle, by design.
     Op("multimodal_decode",
       "WITH m AS (SELECT media_id, kind, " +
-      s"${TextPipeline.hex60Sql("HEX(bytes)")} AS h FROM read_parquet('/tmp/graft_io/media/*.parquet')) " +
+      s"${TextPipeline.hex60Sql("HEX(bytes)")} AS h FROM read_parquet('${SourceOps.ioDir}/media/*.parquet')) " +
       "SELECT media_id, kind, CAST(h % 1920 + 1 AS INTEGER) AS width, " +
       "CAST((h // 1920) % 1080 + 1 AS INTEGER) AS height FROM m ORDER BY media_id") { (s, d) =>
+      val mediaDir = s"${SourceOps.ioDir}/media"
       val media = graft.multimodal.Multimodal.syntheticMedia(s, 200)
       media.select("media_id", "kind", "bytes")
-        .write.mode("overwrite").parquet("/tmp/graft_io/media")
-      graft.multimodal.Multimodal.decode(s.read.parquet("/tmp/graft_io/media").withColumn("meta", lit(null).cast(graft.multimodal.Multimodal.metaType)))
+        .write.mode("overwrite").parquet(mediaDir)
+      graft.multimodal.Multimodal.decode(s.read.parquet(mediaDir).withColumn("meta", lit(null).cast(graft.multimodal.Multimodal.metaType)))
         .select(col("media_id"), col("kind"), col("meta.width").as("width"), col("meta.height").as("height"))
         .orderBy("media_id")
     },

@@ -16,7 +16,8 @@ import graft.Tables
   */
 object SourceOps {
 
-  private val ioDir = "/tmp/graft_io"
+  /** Shared scratch dir for sink-then-scan ops (also `multimodal_decode`). */
+  val ioDir = "/tmp/graft_io"
 
   private def deleteManagedTable(s: SparkSession, table: String): Unit = {
     s.sql(s"DROP TABLE IF EXISTS $table")

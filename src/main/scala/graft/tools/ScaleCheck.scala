@@ -23,26 +23,23 @@ object ScaleCheck {
     // (orders/lineitem keys shifted per copy; dimension tables stay as-is,
     // mirroring how TPC-H scales facts but not nations/regions).
     val copies = spark.range(n).select(col("id").as("copy"))
-    def scaled(table: String, keyCols: Seq[String], shift: Long): Unit = {
-      val base = spark.table(table)
-      val big = base.crossJoin(copies)
+    def scaled(table: String, keyCols: Seq[String], shift: Long,
+        withCopy: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = identity): Unit = {
+      val big = spark.table(table).crossJoin(copies)
       val rekeyed = keyCols.foldLeft(big) { (df, k) =>
         df.withColumn(k, col(k) + col("copy") * shift)
       }
-      rekeyed.drop("copy").repartition(32).createOrReplaceTempView(table)
+      withCopy(rekeyed).drop("copy").repartition(32).createOrReplaceTempView(table)
     }
     scaled("lineitem", Seq("l_orderkey"), 100000000L)
     scaled("orders", Seq("o_orderkey", "o_custkey"), 100000000L)
     scaled("customer", Seq("c_custkey"), 100000000L)
-
     // Documents: re-key AND salt the text per copy (a copy token between
     // every word rewrites every trigram) so the corpus grows n-fold while
     // the near-duplicate *rate* stays constant — scaling dup pairs linearly,
     // not quadratically, like a real crawl.
-    spark.table("documents").crossJoin(copies)
-      .withColumn("doc_id", col("doc_id") + col("copy") * 1000000L)
-      .withColumn("text", regexp_replace(col("text"), lit(" "), concat(lit(" c"), col("copy"), lit(" "))))
-      .drop("copy").repartition(32).createOrReplaceTempView("documents")
+    scaled("documents", Seq("doc_id"), 1000000L, _.withColumn("text",
+      regexp_replace(col("text"), lit(" "), concat(lit(" c"), col("copy"), lit(" ")))))
 
     println(s"[scale] lineitem rows: ${spark.table("lineitem").count()}, " +
       s"documents rows: ${spark.table("documents").count()}")
