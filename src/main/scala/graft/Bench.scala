@@ -44,15 +44,24 @@ object Bench {
     // Re-point the views at the timed scale factor before measuring.
     Tables.ensure(spark, sfDir)
 
-    val results = headline.filter(queries.contains).map { name =>
+    def timedPass(): Seq[(String, Double)] = headline.filter(queries.contains).map { name =>
       val t0 = System.nanoTime()
       try { queries(name)(spark, sfDir).count() }
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // Primary metric: first pass at the bench SF (protocol identical to
+    // round 1 for comparability). The second pass reports steady-state —
+    // what a long-lived server (the reference's deployment model) serves
+    // once AQE-final-plan codegen is amortized.
+    val results = timedPass()
+    val steady = timedPass()
+    def toJson(rs: Seq[(String, Double)]) =
+      rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val steadyTotal = steady.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},""" +
+      s""""steady_total":$steadyTotal,"queries_steady":${toJson(steady)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
