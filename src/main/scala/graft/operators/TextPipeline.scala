@@ -39,11 +39,17 @@ object TextPipeline {
   /** Distinct 3-gram *identities* per doc as 64-bit hashes: (doc_id, gram).
     * Hash identity stands in for string identity (64-bit collisions are
     * negligible at any realistic gram count).
+    *
+    * Partitioned by `gram` BEFORE the distinct: HashPartitioning(gram)
+    * satisfies the distinct's (doc_id, gram) clustering requirement AND the
+    * downstream pair self-join's gram clustering — one shuffle serves both,
+    * instead of distinct-by-(doc,gram) followed by a re-shuffle on gram.
     */
   private def shingleHashes(d: DataFrame): DataFrame =
     triRows(d)
       .select(col("doc_id"), xxhash64(col("w"), col("w1"), col("w2")).as("gram"))
-      .distinct()
+      .repartition(col("gram"))
+      .dropDuplicates("doc_id", "gram")
 
   /** Exact n-gram Jaccard similarity for all pairs above `threshold`.
     * Shuffles on `gram` (the inverted index) then on the pair — both standard
@@ -114,6 +120,9 @@ object TextPipeline {
     */
   private def gramHashesModP(d: DataFrame): DataFrame = {
     import MinHashParams.P
+    // Plain distinct: the partial (map-side) dedup before the shuffle beats
+    // a pre-repartition-by-doc_id variant here (measured 0.8s vs 1.3s at
+    // sf0.1 — the signature aggregation's second shuffle is only 5k rows).
     triRows(d)
       .select(col("doc_id"),
         (md5Hash60(concat_ws(" ", col("w"), col("w1"), col("w2"))) % P).as("hm"))
