@@ -45,6 +45,20 @@ class OperatorSpec extends AnyFunSuite {
     assert(hd.max <= 16, s"hamming distances of near-dups too large: ${hd.toSeq}")
   }
 
+  test("8 concurrent mixed operators complete with zero failures") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Tables.ensure(spark, dir)
+    val names = Seq("agg_h01", "join_inner_h03", "dedup_simhash", "tpch_h07",
+      "win_frames", "embed_cosine_topk", "fn_datetime3", "set_union_byname")
+    val queries = SparkEntry.queries
+    val counts = Await.result(
+      Future.sequence(names.map(n => Future(n -> queries(n)(spark, dir).count()))),
+      5.minutes)
+    assert(counts.forall(_._2 > 0), s"all ops should return rows: $counts")
+  }
+
   test("md5Hash60 matches a reference MessageDigest implementation") {
     import spark.implicits._
     val vals = Seq("hello world", "", "a b c", "NATION_7", "日本語 text")
