@@ -50,7 +50,9 @@ class OperatorSpec extends AnyFunSuite {
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
     Tables.ensure(spark, dir)
-    val names = Seq("agg_h01", "join_inner_h03", "dedup_simhash", "tpch_h07",
+    // tpch_h05 not h07: the h07 nation-pair filter is legitimately empty at
+    // the harness's sf0.001.
+    val names = Seq("agg_h01", "join_inner_h03", "dedup_simhash", "tpch_h05",
       "win_frames", "embed_cosine_topk", "fn_datetime3", "set_union_byname")
     val queries = SparkEntry.queries
     val counts = Await.result(
