@@ -94,6 +94,27 @@ object Embeddings {
       knnJoin(e.filter(col("vec_id") < 10), e, 3).orderBy("qid", "cid")
     },
 
+    // Embedding-cosine near-dup detection: all pairs above the similarity
+    // threshold (threshold 0.45 chosen against the fixture's cosine
+    // distribution; nearest pair sits 1e-4 off the boundary at both SFs).
+    // Brute-force all-pairs is the exact verifier shape — at 100 TB the
+    // candidate set comes from IVF buckets or LSH banding (both implemented
+    // here) and only candidates flow through this exact check.
+    Op("dedup_embed",
+      "SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+      "ROUND(LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])),6) AS cos " +
+      "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
+      "WHERE ROUND(LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])),6) >= 0.45 " +
+      "ORDER BY id_a, id_b") { (s, d) =>
+      val e = emb(s, d)
+      val a = e.select(col("vec_id").as("id_a"), asDouble(col("embedding")).as("va"))
+      val b = e.select(col("vec_id").as("id_b"), asDouble(col("embedding")).as("vb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), round(cosine(col("va"), col("vb")), 6).as("cos"))
+        .filter(col("cos") >= 0.45)
+        .orderBy("id_a", "id_b")
+    },
+
     Op("embed_ivf_topk",
       "WITH cent AS (SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cent FROM embeddings WHERE vec_id < 8), " +
       "q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0), " +
