@@ -22,6 +22,18 @@ class OperatorSpec extends AnyFunSuite {
     assert(SparkEntry.allOps.map(_.name).distinct.size == SparkEntry.allOps.size)
   }
 
+  test("every registered query analyzes (plan-time smoke for the whole inventory)") {
+    // .schema forces full analysis (resolution, type-checking) without
+    // executing — catches broken column refs / SQL syntax across all ops in
+    // seconds. Side-effecting ops (DDL/sinks) execute their setup, which is
+    // fine at sf0.001.
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try { fn(spark, dir).schema; None }
+      catch { case e: Throwable => Some(s"$name: ${e.getMessage.take(120)}") }
+    }
+    assert(failures.isEmpty, s"ops failed analysis:\n${failures.mkString("\n")}")
+  }
+
   test("MinHash LSH candidates are a superset of true Jaccard pairs") {
     Tables.ensure(spark, dir)
     val docs = spark.table("documents")
