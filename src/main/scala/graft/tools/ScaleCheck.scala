@@ -61,7 +61,13 @@ object ScaleCheck {
     // Bucketed co-located join: pay the shuffle once at write time, join
     // shuffle-free afterwards — the pre-partitioning strategy for repeated
     // fact-fact joins at scale.
-    spark.sql("DROP TABLE IF EXISTS sc_orders"); spark.sql("DROP TABLE IF EXISTS sc_lineitem")
+    // DROP alone is not enough: a stale location from a previous JVM fails
+    // the CREATE (the in-memory catalog resets, the filesystem does not).
+    Seq("sc_orders", "sc_lineitem").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val p = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"), t)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
     graft.operators.ScaleTechniques.writeBucketed(
       spark.table("orders").select("o_orderkey", "o_totalprice"), "sc_orders", "o_orderkey", 32)
     graft.operators.ScaleTechniques.writeBucketed(
