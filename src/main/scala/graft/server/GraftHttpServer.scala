@@ -1,0 +1,183 @@
+package graft.server
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer => JdkHttpServer}
+import graft.engine._
+import graft.sources.ArrowIO
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.Base64
+import java.util.concurrent.TimeoutException
+import org.apache.spark.sql.SparkSession
+
+/** A real wire for the engine stack — the reference's server lifecycle
+  * (Basic→JWT handshake, bearer-bound sessions, statement pipeline with
+  * guard/admission/timeout, Arrow IPC result streams, health endpoint,
+  * graceful drain) over the JDK's built-in HTTP server.
+  *
+  * The reference speaks Arrow Flight SQL over gRPC
+  * (`/root/reference/src/duckdb/duckdb_server.h:47-48`); no Flight/gRPC jars
+  * exist in this environment, so this transport carries the same lifecycle
+  * over HTTP — `engine.FlightSurface` documents the 1:1 RPC mapping a Flight
+  * binding would use instead. Zero new dependencies.
+  *
+  * Endpoints:
+  *  - POST /auth     Authorization: Basic … → `{"token":"…"}` (HS256 bearer)
+  *  - POST /sql      Authorization: Bearer …; body = SQL text.
+  *                   Default: Arrow IPC stream; `Accept: application/json`
+  *                   returns a JSON row array.
+  *  - GET  /healthz  200 SERVING / 503 NOT_SERVING (background prober)
+  *  - POST /close    close the caller's session
+  */
+final class GraftHttpServer(
+    spark: SparkSession,
+    secret: String,
+    storedPasswordHash: String,
+    username: String = "gizmosql_username",
+    instanceId: String = "graft-instance",
+    clusterId: String = "graft-cluster",
+    // Catalog bootstrap per isolated client session (newSession() has its own
+    // temp-view namespace — the reference's per-connection catalog attach).
+    onSessionCreate: SparkSession => Unit = _ => ()) extends AutoCloseable {
+
+  val global = new GlobalSettings
+  val sessions = new SessionManager(spark, global)
+  val admission = new AdmissionController(maxConcurrent = 4, maxQueued = 32, maxQueueWaitSeconds = 300)
+  val health = new Health(spark).start()
+  val shutdown = new ShutdownState(gracePeriodSeconds = 10)
+
+  private var server: JdkHttpServer = _
+
+  /** Start on `port` (0 = ephemeral); returns the bound port. */
+  def start(port: Int = 0): Int = {
+    server = JdkHttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    server.createContext("/auth", exchange(handleAuth))
+    server.createContext("/sql", exchange(handleSql))
+    server.createContext("/healthz", exchange(handleHealth))
+    server.createContext("/close", exchange(handleClose))
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+    server.start()
+    server.getAddress.getPort
+  }
+
+  override def close(): Unit = {
+    if (server != null) server.stop(0)
+    health.close()
+  }
+
+  // ---- handlers ----
+
+  private def exchange(f: HttpExchange => (Int, String, Array[Byte])): com.sun.net.httpserver.HttpHandler =
+    (ex: HttpExchange) =>
+      try {
+        val (code, contentType, body) = f(ex)
+        ex.getResponseHeaders.set("Content-Type", contentType)
+        ex.sendResponseHeaders(code, if (body.isEmpty) -1 else body.length.toLong)
+        if (body.nonEmpty) ex.getResponseBody.write(body)
+        ex.close()
+      } catch {
+        case e: Throwable =>
+          val msg = jsonError(e.getMessage)
+          ex.getResponseHeaders.set("Content-Type", "application/json")
+          ex.sendResponseHeaders(500, msg.length.toLong)
+          ex.getResponseBody.write(msg)
+          ex.close()
+      }
+
+  private def jsonError(msg: String): Array[Byte] =
+    s"""{"error":${quote(Option(msg).getOrElse("internal error"))}}""".getBytes(StandardCharsets.UTF_8)
+
+  private def quote(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"; case '\r' => "\\r"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+
+  /** Basic→JWT handshake (`gizmosql_security.cpp:500-557`, mint `:262-294`). */
+  private def handleAuth(ex: HttpExchange): (Int, String, Array[Byte]) = {
+    val header = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
+    if (!header.startsWith("Basic "))
+      return (401, "application/json", jsonError("Basic credentials required"))
+    val decoded = new String(Base64.getDecoder.decode(header.drop(6).trim), StandardCharsets.UTF_8)
+    decoded.split(":", 2) match {
+      case Array(user, pass) if user == username && Auth.checkBasic(secret, pass, storedPasswordHash) =>
+        shutdown.admitNew() match {
+          case Left(reason) => (503, "application/json", jsonError(reason))
+          case Right(_) =>
+            shutdown.finishWork()
+            val token = Auth.mintToken(secret, user, "admin", instanceId)
+            (200, "application/json",
+              s"""{"token":${quote(token)}}""".getBytes(StandardCharsets.UTF_8))
+        }
+      case _ => (401, "application/json", jsonError("invalid credentials"))
+    }
+  }
+
+  private def bearer(ex: HttpExchange): Either[(Int, String, Array[Byte]), Auth.Identity] = {
+    val header = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
+    if (!header.startsWith("Bearer "))
+      Left((401, "application/json", jsonError("Bearer token required")))
+    else Auth.validate(secret, header.drop(7).trim, instanceId) match {
+      case Left(err) => Left((401, "application/json", jsonError(err)))
+      case Right(id) if sessions.isKilled(id.sessionId) =>
+        Left((403, "application/json", jsonError("session has been killed")))
+      case Right(id) => Right(id)
+    }
+  }
+
+  /** Statement execution: guard → intercepts → admission → timeout → Arrow. */
+  private def handleSql(ex: HttpExchange): (Int, String, Array[Byte]) = {
+    bearer(ex) match {
+      case Left(resp) => resp
+      case Right(id) =>
+        shutdown.admitNew() match {
+          case Left(reason) => return (503, "application/json", jsonError(reason))
+          case Right(_) =>
+        }
+        try {
+          val sql = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8).trim
+          if (sql.isEmpty) return (400, "application/json", jsonError("empty SQL body"))
+          val session = sessions.getOrCreate(id.sessionId, id.username, id.role)
+          onSessionCreate(session.spark)
+          Statement.registerPseudoFunctions(session, instanceId, clusterId)
+          val wantJson =
+            Option(ex.getRequestHeaders.getFirst("Accept")).exists(_.contains("application/json"))
+          try {
+            val df = Statement.create(sessions, session, global, sql)
+            val timeout = session.settings.get("gizmosql.query_timeout")
+              .flatMap(_.toLongOption).getOrElse(0L)
+            val bypass = session.isAdmin &&
+              session.settings.get("gizmosql.bypass_queue").contains("true")
+            val body = admission.withSlot(bypass, () => session.killRequested) {
+              Statement.executeWithTimeout(session, timeout) {
+                if (wantJson) df.toJSON.collect().mkString("[", ",", "]").getBytes(StandardCharsets.UTF_8)
+                else ArrowIO.toArrowStream(df)
+              }
+            }
+            val contentType =
+              if (wantJson) "application/json" else "application/vnd.apache.arrow.stream"
+            (200, contentType, body)
+          } catch {
+            case e: SecurityException => (403, "application/json", jsonError(e.getMessage))
+            case e: IllegalArgumentException => (400, "application/json", jsonError(e.getMessage))
+            case e: TimeoutException => (408, "application/json", jsonError(e.getMessage))
+            case e: org.apache.spark.sql.AnalysisException =>
+              (400, "application/json", jsonError(e.getMessage))
+          }
+        } finally shutdown.finishWork()
+    }
+  }
+
+  private def handleHealth(ex: HttpExchange): (Int, String, Array[Byte]) =
+    if (health.status == health.Serving)
+      (200, "application/json", """{"status":"SERVING"}""".getBytes(StandardCharsets.UTF_8))
+    else
+      (503, "application/json", """{"status":"NOT_SERVING"}""".getBytes(StandardCharsets.UTF_8))
+
+  private def handleClose(ex: HttpExchange): (Int, String, Array[Byte]) =
+    bearer(ex) match {
+      case Left(resp) => resp
+      case Right(id) =>
+        sessions.close(id.sessionId)
+        (200, "application/json", """{"closed":true}""".getBytes(StandardCharsets.UTF_8))
+    }
+}

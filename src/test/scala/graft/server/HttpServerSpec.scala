@@ -1,0 +1,103 @@
+package graft.server
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{SparkTestHarness, Tables}
+import graft.engine.Auth
+import graft.sources.ArrowIO
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+import java.util.Base64
+
+/** End-to-end over a real socket: auth handshake, bearer-bound statement
+  * execution, Arrow IPC and JSON result encodings, guard rejections, health.
+  */
+class HttpServerSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+  private val secret = "server-spec-secret"
+  private val password = "pw"
+
+  private lazy val (server, port) = {
+    Tables.ensure(spark, SparkTestHarness.sfDir)
+    val s = new GraftHttpServer(spark, secret, Auth.hashPassword(secret, password),
+      onSessionCreate = Tables.ensure(_, SparkTestHarness.sfDir))
+    (s, s.start())
+  }
+  private lazy val client = HttpClient.newHttpClient()
+
+  private def post(path: String, body: String, headers: (String, String)*): HttpResponse[Array[Byte]] = {
+    val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+      .POST(HttpRequest.BodyPublishers.ofString(body))
+    headers.foreach { case (k, v) => b.header(k, v) }
+    client.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
+  }
+
+  private def basic(user: String, pass: String): String =
+    "Basic " + Base64.getEncoder.encodeToString(s"$user:$pass".getBytes(StandardCharsets.UTF_8))
+
+  private lazy val token: String = {
+    val resp = post("/auth", "", "Authorization" -> basic("gizmosql_username", password))
+    assert(resp.statusCode() == 200)
+    val body = new String(resp.body(), StandardCharsets.UTF_8)
+    body.split("\"token\":\"")(1).split("\"")(0)
+  }
+
+  test("auth rejects bad credentials and missing header") {
+    assert(post("/auth", "", "Authorization" -> basic("gizmosql_username", "wrong")).statusCode() == 401)
+    assert(post("/auth", "").statusCode() == 401)
+  }
+
+  test("bearer query returns Arrow IPC that round-trips to the right rows") {
+    val resp = post("/sql", "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+      "Authorization" -> s"Bearer $token")
+    assert(resp.statusCode() == 200)
+    assert(resp.headers().firstValue("Content-Type").orElse("") == "application/vnd.apache.arrow.stream")
+    val df = ArrowIO.fromArrowStream(spark, resp.body())
+    val rows = df.collect().map(r => (r.getInt(0), r.getString(1))).sortBy(_._1)
+    assert(rows.length == 5 && rows.head == (0 -> "AFRICA"))
+  }
+
+  test("Accept: application/json returns a JSON row array") {
+    val resp = post("/sql", "SELECT COUNT(*) AS n FROM region",
+      "Authorization" -> s"Bearer $token", "Accept" -> "application/json")
+    assert(resp.statusCode() == 200)
+    assert(new String(resp.body(), StandardCharsets.UTF_8) == """[{"n":5}]""")
+  }
+
+  test("garbage bearer token is rejected") {
+    assert(post("/sql", "SELECT 1", "Authorization" -> "Bearer not-a-jwt").statusCode() == 401)
+  }
+
+  test("readonly role cannot execute writes through the wire") {
+    val roToken = Auth.mintToken(secret, "reader", "readonly", "graft-instance")
+    val resp = post("/sql", "CREATE TABLE wire_spec_t AS SELECT 1 AS x",
+      "Authorization" -> s"Bearer $roToken")
+    assert(resp.statusCode() == 403)
+  }
+
+  test("guard blocks local-path scans for non-admin roles over the wire") {
+    val roToken = Auth.mintToken(secret, "reader", "readonly", "graft-instance")
+    val resp = post("/sql", "SELECT * FROM parquet.`/etc/passwd`",
+      "Authorization" -> s"Bearer $roToken")
+    assert(resp.statusCode() == 403)
+  }
+
+  test("analysis errors surface as 400 with a JSON error body") {
+    val resp = post("/sql", "SELECT no_such_column FROM region",
+      "Authorization" -> s"Bearer $token")
+    assert(resp.statusCode() == 400)
+    assert(new String(resp.body(), StandardCharsets.UTF_8).contains("error"))
+  }
+
+  test("healthz reports SERVING") {
+    val resp = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/healthz")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(resp.statusCode() == 200 && resp.body().contains("SERVING"))
+  }
+
+  test("close ends the session") {
+    val resp = post("/close", "", "Authorization" -> s"Bearer $token")
+    assert(resp.statusCode() == 200)
+  }
+}
