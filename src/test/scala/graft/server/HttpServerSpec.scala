@@ -96,6 +96,31 @@ class HttpServerSpec extends AnyFunSuite {
     assert(resp.statusCode() == 200 && resp.body().contains("SERVING"))
   }
 
+  test("10 concurrent wire clients execute queries with zero failures") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val queries = Seq(
+      "SELECT COUNT(*) AS n FROM lineitem",
+      "SELECT n_name FROM nation ORDER BY n_nationkey LIMIT 3",
+      "SELECT o_orderpriority, COUNT(*) AS c FROM orders GROUP BY o_orderpriority ORDER BY 1",
+      "SELECT MAX(s_acctbal) AS m FROM supplier",
+      "SELECT r_name FROM region ORDER BY r_regionkey")
+    val codes = Await.result(
+      Future.sequence((0 until 10).map { i =>
+        Future {
+          // each client gets its own token => its own isolated session
+          val t = {
+            val resp = post("/auth", "", "Authorization" -> basic("gizmosql_username", password))
+            new String(resp.body(), StandardCharsets.UTF_8).split("\"token\":\"")(1).split("\"")(0)
+          }
+          post("/sql", queries(i % queries.length),
+            "Authorization" -> s"Bearer $t", "Accept" -> "application/json").statusCode()
+        }
+      }), 5.minutes)
+    assert(codes.forall(_ == 200), s"all wire clients should succeed: $codes")
+  }
+
   test("close ends the session") {
     val resp = post("/close", "", "Authorization" -> s"Bearer $token")
     assert(resp.statusCode() == 200)
