@@ -64,7 +64,43 @@ object Shell {
     }
   }
 
+  /** Remote mode: `Shell --http <url> <user> <password>` — authenticates via
+    * the server's Basic→JWT handshake, then streams SQL lines over the wire
+    * (JSON row arrays back), like the reference CLI against its Flight server.
+    */
+  private def httpMain(url: String, user: String, password: String): Unit = {
+    val client = java.net.http.HttpClient.newHttpClient()
+    def post(path: String, body: String, headers: (String, String)*) = {
+      val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url + path))
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+      headers.foreach { case (k, v) => b.header(k, v) }
+      client.send(b.build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+    }
+    val creds = java.util.Base64.getEncoder.encodeToString(
+      s"$user:$password".getBytes("UTF-8"))
+    val auth = post("/auth", "", "Authorization" -> s"Basic $creds")
+    if (auth.statusCode() != 200) { println(s"auth failed: ${auth.body()}"); return }
+    val token = auth.body().split("\"token\":\"")(1).split("\"")(0)
+    println(s"graft shell — connected to $url")
+    var line: String = null
+    while ({ line = StdIn.readLine("graft> "); line != null }) {
+      val input = line.trim
+      if (input == ".quit" || input == ".exit") return
+      else if (input.nonEmpty) {
+        val resp = post("/sql", input.stripSuffix(";"),
+          "Authorization" -> s"Bearer $token", "Accept" -> "application/json")
+        println(if (resp.statusCode() == 200) resp.body()
+        else s"error ${resp.statusCode()}: ${resp.body()}")
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("--http")) {
+      httpMain(args(1), args.lift(2).getOrElse("gizmosql_username"),
+        args.lift(3).getOrElse("gizmosql_password"))
+      return
+    }
     val spark = GraftSession.local()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
