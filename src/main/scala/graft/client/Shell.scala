@@ -82,23 +82,30 @@ object Shell {
     if (auth.statusCode() != 200) { println(s"auth failed: ${auth.body()}"); return }
     val token = auth.body().split("\"token\":\"")(1).split("\"")(0)
     println(s"graft shell — connected to $url")
-    var line: String = null
-    while ({ line = StdIn.readLine("graft> "); line != null }) {
-      val input = line.trim
-      if (input == ".quit" || input == ".exit") return
-      else if (input.nonEmpty) {
-        val resp = post("/sql", input.stripSuffix(";"),
-          "Authorization" -> s"Bearer $token", "Accept" -> "application/json")
-        println(if (resp.statusCode() == 200) resp.body()
-        else s"error ${resp.statusCode()}: ${resp.body()}")
+    try {
+      var line: String = null
+      while ({ line = StdIn.readLine("graft> "); line != null }) {
+        val input = line.trim
+        if (input == ".quit" || input == ".exit") return
+        else if (input.nonEmpty) {
+          val resp = post("/sql", input.stripSuffix(";"),
+            "Authorization" -> s"Bearer $token", "Accept" -> "application/json")
+          println(if (resp.statusCode() == 200) resp.body()
+          else s"error ${resp.statusCode()}: ${resp.body()}")
+        }
       }
-    }
+    } finally
+      // release the server-side session (isolated SparkSession + views)
+      post("/close", "", "Authorization" -> s"Bearer $token")
   }
 
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("--http")) {
-      httpMain(args(1), args.lift(2).getOrElse("gizmosql_username"),
-        args.lift(3).getOrElse("gizmosql_password"))
+      args.lift(1) match {
+        case None => println("usage: Shell --http <url> [user] [password]")
+        case Some(url) => httpMain(url, args.lift(2).getOrElse("gizmosql_username"),
+          args.lift(3).getOrElse("gizmosql_password"))
+      }
       return
     }
     val spark = GraftSession.local()

@@ -46,6 +46,9 @@ final class GraftHttpServer(
   val shutdown = new ShutdownState(gracePeriodSeconds = 10)
 
   private var server: JdkHttpServer = _
+  private var executor: java.util.concurrent.ExecutorService = _
+  // sessions that already ran catalog bootstrap + pseudo-function registration
+  private val bootstrapped = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Start on `port` (0 = ephemeral); returns the bound port. */
   def start(port: Int = 0): Int = {
@@ -54,13 +57,24 @@ final class GraftHttpServer(
     server.createContext("/sql", exchange(handleSql))
     server.createContext("/healthz", exchange(handleHealth))
     server.createContext("/close", exchange(handleClose))
-    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+    executor = java.util.concurrent.Executors.newFixedThreadPool(8)
+    server.setExecutor(executor)
     server.start()
     server.getAddress.getPort
   }
 
+  /** Graceful drain (`duckdb_server.cpp:806-818`): stop admitting, let
+    * in-flight statements finish within the grace period, then stop.
+    */
   override def close(): Unit = {
-    if (server != null) server.stop(0)
+    if (server != null) {
+      shutdown.signal()
+      val deadline = System.currentTimeMillis() + 10 * 1000L
+      while (!shutdown.drained && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      server.stop(0)
+    }
+    if (executor != null) executor.shutdown()
     health.close()
   }
 
@@ -69,19 +83,25 @@ final class GraftHttpServer(
   private def exchange(f: HttpExchange => (Int, String, Array[Byte])): com.sun.net.httpserver.HttpHandler =
     (ex: HttpExchange) =>
       try {
-        val (code, contentType, body) = f(ex)
-        ex.getResponseHeaders.set("Content-Type", contentType)
-        ex.sendResponseHeaders(code, if (body.isEmpty) -1 else body.length.toLong)
-        if (body.nonEmpty) ex.getResponseBody.write(body)
-        ex.close()
-      } catch {
-        case e: Throwable =>
-          val msg = jsonError(e.getMessage)
-          ex.getResponseHeaders.set("Content-Type", "application/json")
-          ex.sendResponseHeaders(500, msg.length.toLong)
-          ex.getResponseBody.write(msg)
-          ex.close()
-      }
+        var headersSent = false
+        try {
+          val (code, contentType, body) = f(ex)
+          ex.getResponseHeaders.set("Content-Type", contentType)
+          headersSent = true
+          ex.sendResponseHeaders(code, if (body.isEmpty) -1 else body.length.toLong)
+          if (body.nonEmpty) ex.getResponseBody.write(body)
+        } catch {
+          // Only attempt an error response if headers were not yet sent (a
+          // mid-body client disconnect otherwise triggers a secondary
+          // "headers already sent" failure).
+          case e: Throwable if !headersSent =>
+            val msg = jsonError(e.getMessage)
+            ex.getResponseHeaders.set("Content-Type", "application/json")
+            ex.sendResponseHeaders(500, msg.length.toLong)
+            ex.getResponseBody.write(msg)
+          case _: Throwable => // body write failed after 200; nothing to send
+        }
+      } finally ex.close()
 
   private def jsonError(msg: String): Array[Byte] =
     s"""{"error":${quote(Option(msg).getOrElse("internal error"))}}""".getBytes(StandardCharsets.UTF_8)
@@ -97,7 +117,11 @@ final class GraftHttpServer(
     val header = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
     if (!header.startsWith("Basic "))
       return (401, "application/json", jsonError("Basic credentials required"))
-    val decoded = new String(Base64.getDecoder.decode(header.drop(6).trim), StandardCharsets.UTF_8)
+    val decoded =
+      try new String(Base64.getDecoder.decode(header.drop(6).trim), StandardCharsets.UTF_8)
+      catch { case _: IllegalArgumentException =>
+        return (401, "application/json", jsonError("malformed Basic credentials"))
+      }
     decoded.split(":", 2) match {
       case Array(user, pass) if user == username && Auth.checkBasic(secret, pass, storedPasswordHash) =>
         shutdown.admitNew() match {
@@ -137,8 +161,11 @@ final class GraftHttpServer(
           val sql = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8).trim
           if (sql.isEmpty) return (400, "application/json", jsonError("empty SQL body"))
           val session = sessions.getOrCreate(id.sessionId, id.username, id.role)
-          onSessionCreate(session.spark)
-          Statement.registerPseudoFunctions(session, instanceId, clusterId)
+          // once per session, not per statement
+          if (bootstrapped.add(id.sessionId)) {
+            onSessionCreate(session.spark)
+            Statement.registerPseudoFunctions(session, instanceId, clusterId)
+          }
           val wantJson =
             Option(ex.getRequestHeaders.getFirst("Accept")).exists(_.contains("application/json"))
           try {
@@ -162,6 +189,8 @@ final class GraftHttpServer(
             case e: TimeoutException => (408, "application/json", jsonError(e.getMessage))
             case e: org.apache.spark.sql.AnalysisException =>
               (400, "application/json", jsonError(e.getMessage))
+            // admission-queue rejection / wait timeout: retriable overload
+            case e: IllegalStateException => (503, "application/json", jsonError(e.getMessage))
           }
         } finally shutdown.finishWork()
     }
@@ -178,6 +207,7 @@ final class GraftHttpServer(
       case Left(resp) => resp
       case Right(id) =>
         sessions.close(id.sessionId)
+        bootstrapped.remove(id.sessionId)
         (200, "application/json", """{"closed":true}""".getBytes(StandardCharsets.UTF_8))
     }
 }

@@ -29,7 +29,7 @@ class OperatorSpec extends AnyFunSuite {
     // fine at sf0.001.
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try { fn(spark, dir).schema; None }
-      catch { case e: Throwable => Some(s"$name: ${e.getMessage.take(120)}") }
+      catch { case e: Throwable => Some(s"$name: ${e.toString.take(160)}") }
     }
     assert(failures.isEmpty, s"ops failed analysis:\n${failures.mkString("\n")}")
   }
