@@ -2,7 +2,7 @@ package graft.server
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer => JdkHttpServer}
 import graft.engine._
-import graft.sources.ArrowIO
+import graft.sources.{ArrowIO, Ingest}
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets
 import java.util.Base64
@@ -55,6 +55,10 @@ final class GraftHttpServer(
     server = JdkHttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/auth", exchange(handleAuth))
     server.createContext("/sql", exchange(handleSql))
+    server.createContext("/prepare", exchange(handlePrepare))
+    server.createContext("/execute", exchange(handleExecute))
+    server.createContext("/prepared/close", exchange(handlePreparedClose))
+    server.createContext("/ingest", exchange(handleIngest))
     server.createContext("/healthz", exchange(handleHealth))
     server.createContext("/close", exchange(handleClose))
     executor = java.util.concurrent.Executors.newFixedThreadPool(8)
@@ -195,6 +199,117 @@ final class GraftHttpServer(
         } finally shutdown.finishWork()
     }
   }
+
+  /** Session resolution shared by the statement-shaped endpoints. */
+  private def withSession(ex: HttpExchange)(
+      f: (Auth.Identity, SessionState) => (Int, String, Array[Byte])): (Int, String, Array[Byte]) =
+    bearer(ex) match {
+      case Left(resp) => resp
+      case Right(id) =>
+        val session = sessions.getOrCreate(id.sessionId, id.username, id.role)
+        if (bootstrapped.add(id.sessionId)) {
+          onSessionCreate(session.spark)
+          Statement.registerPseudoFunctions(session, instanceId, clusterId)
+        }
+        f(id, session)
+    }
+
+  /** CreatePreparedStatement (`duckdb_server.cpp:1354-1409`): guard, then
+    * analysis-only schema; returns the server-side handle.
+    */
+  private def handlePrepare(ex: HttpExchange): (Int, String, Array[Byte]) =
+    withSession(ex) { (_, session) =>
+      val sql = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8).trim
+      if (sql.isEmpty) return (400, "application/json", jsonError("empty SQL body"))
+      StatementGuard.check(session.spark, sql, session.isAdmin, session.isReadOnly) match {
+        case StatementGuard.Blocked(reason) => (403, "application/json", jsonError(reason))
+        case StatementGuard.Allowed =>
+          try {
+            val p = session.prepare(sql)
+            val cols = p.schema.map(_.fieldNames.mkString("[\"", "\",\"", "\"]")).getOrElse("null")
+            (200, "application/json",
+              s"""{"handle":${quote(p.handle)},"columns":$cols}""".getBytes(StandardCharsets.UTF_8))
+          } catch {
+            case e: org.apache.spark.sql.AnalysisException =>
+              (400, "application/json", jsonError(e.getMessage))
+          }
+      }
+    }
+
+  /** Execute a prepared statement. Handle via `X-Graft-Handle`; typed named
+    * parameters as `name=value` lines in the body (long → double → string).
+    */
+  private def handleExecute(ex: HttpExchange): (Int, String, Array[Byte]) =
+    withSession(ex) { (_, session) =>
+      val handle = Option(ex.getRequestHeaders.getFirst("X-Graft-Handle")).getOrElse("")
+      val params: Map[String, Any] =
+        new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+          .linesIterator.map(_.trim).filter(_.nonEmpty).flatMap { line =>
+            line.split("=", 2) match {
+              case Array(k, v) =>
+                val typed: Any = v.toLongOption.getOrElse(
+                  v.toDoubleOption.getOrElse[Any](v))
+                Some(k -> typed)
+              case _ => None
+            }
+          }.toMap
+      val wantJson =
+        Option(ex.getRequestHeaders.getFirst("Accept")).exists(_.contains("application/json"))
+      try {
+        val df = session.executePrepared(handle, params)
+        val body = admission.withSlot(session.isAdmin, () => session.killRequested) {
+          Statement.executeWithTimeout(session, 0) {
+            if (wantJson) df.toJSON.collect().mkString("[", ",", "]").getBytes(StandardCharsets.UTF_8)
+            else ArrowIO.toArrowStream(df)
+          }
+        }
+        (200, if (wantJson) "application/json" else "application/vnd.apache.arrow.stream", body)
+      } catch {
+        case e: IllegalArgumentException => (400, "application/json", jsonError(e.getMessage))
+        case e: IllegalStateException => (503, "application/json", jsonError(e.getMessage))
+        case e: org.apache.spark.sql.AnalysisException =>
+          (400, "application/json", jsonError(e.getMessage))
+      }
+    }
+
+  private def handlePreparedClose(ex: HttpExchange): (Int, String, Array[Byte]) =
+    withSession(ex) { (_, session) =>
+      val handle = Option(ex.getRequestHeaders.getFirst("X-Graft-Handle")).getOrElse("")
+      val closed = session.closePrepared(handle)
+      (if (closed) 200 else 404, "application/json",
+        s"""{"closed":$closed}""".getBytes(StandardCharsets.UTF_8))
+    }
+
+  /** Bulk ingest (`duckdb_server.cpp:1804-1985`): Arrow IPC stream in the
+    * body, target table via `X-Graft-Table`, if-exists mode via
+    * `X-Graft-Mode` (fail | append | replace).
+    */
+  private def handleIngest(ex: HttpExchange): (Int, String, Array[Byte]) =
+    withSession(ex) { (_, session) =>
+      if (session.isReadOnly)
+        return (403, "application/json", jsonError("role readonly cannot ingest"))
+      val table = Option(ex.getRequestHeaders.getFirst("X-Graft-Table")).getOrElse("")
+      if (table.isEmpty || !table.matches("[A-Za-z_][A-Za-z0-9_]*"))
+        return (400, "application/json", jsonError("X-Graft-Table must be a bare identifier"))
+      val mode = Option(ex.getRequestHeaders.getFirst("X-Graft-Mode")).getOrElse("") match {
+        case "fail" => Ingest.IfExists.Fail
+        case "append" => Ingest.IfExists.Append
+        case "replace" => Ingest.IfExists.Replace
+        case _ => Ingest.IfExists.Unspecified
+      }
+      try {
+        val data = ArrowIO.fromArrowStream(session.spark, ex.getRequestBody.readAllBytes())
+        val result = Ingest.ingest(session.spark, data, table, mode)
+        (200, "application/json",
+          (s"""{"table":${quote(result.table)},"rows":${result.rowsIngested},""" +
+            s""""created":${result.created}}""").getBytes(StandardCharsets.UTF_8))
+      } catch {
+        case e: IllegalArgumentException => (400, "application/json", jsonError(e.getMessage))
+        case e: IllegalStateException => (409, "application/json", jsonError(e.getMessage))
+        case e: org.apache.spark.sql.AnalysisException =>
+          (400, "application/json", jsonError(e.getMessage))
+      }
+    }
 
   private def handleHealth(ex: HttpExchange): (Int, String, Array[Byte]) =
     if (health.status == health.Serving)

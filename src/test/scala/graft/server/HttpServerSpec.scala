@@ -121,6 +121,54 @@ class HttpServerSpec extends AnyFunSuite {
     assert(codes.forall(_ == 200), s"all wire clients should succeed: $codes")
   }
 
+  test("prepared statement round-trip: prepare, execute with typed params, close") {
+    val prep = post("/prepare", "SELECT n_name FROM nation WHERE n_nationkey = :k",
+      "Authorization" -> s"Bearer $token")
+    assert(prep.statusCode() == 200)
+    val handle = new String(prep.body(), StandardCharsets.UTF_8)
+      .split("\"handle\":\"")(1).split("\"")(0)
+
+    val exec = post("/execute", "k=3", "Authorization" -> s"Bearer $token",
+      "X-Graft-Handle" -> handle, "Accept" -> "application/json")
+    assert(exec.statusCode() == 200)
+    assert(new String(exec.body(), StandardCharsets.UTF_8) == """[{"n_name":"NATION_3"}]""")
+
+    assert(post("/prepared/close", "", "Authorization" -> s"Bearer $token",
+      "X-Graft-Handle" -> handle).statusCode() == 200)
+    // executing a closed handle fails
+    assert(post("/execute", "k=3", "Authorization" -> s"Bearer $token",
+      "X-Graft-Handle" -> handle).statusCode() == 400)
+  }
+
+  test("bulk ingest over the wire: create, then append doubles the rows") {
+    val payload = ArrowIO.toArrowStream(
+      spark.sql("SELECT r_regionkey AS k, r_name AS name FROM region"))
+    val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/ingest"))
+      .POST(HttpRequest.BodyPublishers.ofByteArray(payload))
+      .header("Authorization", s"Bearer $token")
+      .header("X-Graft-Table", "wire_ingest_t").header("X-Graft-Mode", "replace")
+    val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+    assert(resp.statusCode() == 200, resp.body())
+    assert(resp.body().contains("\"rows\":5"))
+
+    val b2 = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/ingest"))
+      .POST(HttpRequest.BodyPublishers.ofByteArray(payload))
+      .header("Authorization", s"Bearer $token")
+      .header("X-Graft-Table", "wire_ingest_t").header("X-Graft-Mode", "append")
+    assert(client.send(b2.build(), HttpResponse.BodyHandlers.ofString()).statusCode() == 200)
+
+    val count = post("/sql", "SELECT COUNT(*) AS n FROM wire_ingest_t",
+      "Authorization" -> s"Bearer $token", "Accept" -> "application/json")
+    assert(new String(count.body(), StandardCharsets.UTF_8) == """[{"n":10}]""")
+  }
+
+  test("readonly role cannot ingest") {
+    val roToken = Auth.mintToken(secret, "reader", "readonly", "graft-instance")
+    val resp = post("/ingest", "", "Authorization" -> s"Bearer $roToken",
+      "X-Graft-Table" -> "wire_ingest_t2")
+    assert(resp.statusCode() == 403)
+  }
+
   test("close ends the session") {
     val resp = post("/close", "", "Authorization" -> s"Bearer $token")
     assert(resp.statusCode() == 200)
