@@ -153,65 +153,62 @@ final class GraftHttpServer(
   }
 
   /** Statement execution: guard → intercepts → admission → timeout → Arrow. */
-  private def handleSql(ex: HttpExchange): (Int, String, Array[Byte]) = {
-    bearer(ex) match {
-      case Left(resp) => resp
-      case Right(id) =>
-        shutdown.admitNew() match {
-          case Left(reason) => return (503, "application/json", jsonError(reason))
-          case Right(_) =>
+  private def handleSql(ex: HttpExchange): (Int, String, Array[Byte]) =
+    withSession(ex) { (_, session) =>
+      val sql = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8).trim
+      if (sql.isEmpty) return (400, "application/json", jsonError("empty SQL body"))
+      val wantJson =
+        Option(ex.getRequestHeaders.getFirst("Accept")).exists(_.contains("application/json"))
+      statementErrors {
+        val df = Statement.create(sessions, session, global, sql)
+        val bypass = session.isAdmin &&
+          session.settings.get("gizmosql.bypass_queue").contains("true")
+        val body = admission.withSlot(bypass, () => session.killRequested) {
+          Statement.executeWithTimeout(session, sessionTimeout(session)) {
+            if (wantJson) df.toJSON.collect().mkString("[", ",", "]").getBytes(StandardCharsets.UTF_8)
+            else ArrowIO.toArrowStream(df)
+          }
         }
-        try {
-          val sql = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8).trim
-          if (sql.isEmpty) return (400, "application/json", jsonError("empty SQL body"))
-          val session = sessions.getOrCreate(id.sessionId, id.username, id.role)
-          // once per session, not per statement
-          if (bootstrapped.add(id.sessionId)) {
-            onSessionCreate(session.spark)
-            Statement.registerPseudoFunctions(session, instanceId, clusterId)
-          }
-          val wantJson =
-            Option(ex.getRequestHeaders.getFirst("Accept")).exists(_.contains("application/json"))
-          try {
-            val df = Statement.create(sessions, session, global, sql)
-            val timeout = session.settings.get("gizmosql.query_timeout")
-              .flatMap(_.toLongOption).getOrElse(0L)
-            val bypass = session.isAdmin &&
-              session.settings.get("gizmosql.bypass_queue").contains("true")
-            val body = admission.withSlot(bypass, () => session.killRequested) {
-              Statement.executeWithTimeout(session, timeout) {
-                if (wantJson) df.toJSON.collect().mkString("[", ",", "]").getBytes(StandardCharsets.UTF_8)
-                else ArrowIO.toArrowStream(df)
-              }
-            }
-            val contentType =
-              if (wantJson) "application/json" else "application/vnd.apache.arrow.stream"
-            (200, contentType, body)
-          } catch {
-            case e: SecurityException => (403, "application/json", jsonError(e.getMessage))
-            case e: IllegalArgumentException => (400, "application/json", jsonError(e.getMessage))
-            case e: TimeoutException => (408, "application/json", jsonError(e.getMessage))
-            case e: org.apache.spark.sql.AnalysisException =>
-              (400, "application/json", jsonError(e.getMessage))
-            // admission-queue rejection / wait timeout: retriable overload
-            case e: IllegalStateException => (503, "application/json", jsonError(e.getMessage))
-          }
-        } finally shutdown.finishWork()
+        (200, if (wantJson) "application/json" else "application/vnd.apache.arrow.stream", body)
+      }
     }
-  }
 
-  /** Session resolution shared by the statement-shaped endpoints. */
+  private def sessionTimeout(session: SessionState): Long =
+    session.settings.get("gizmosql.query_timeout").flatMap(_.toLongOption).getOrElse(0L)
+
+  /** Shared HTTP status mapping for statement-shaped work. */
+  private def statementErrors(
+      f: => (Int, String, Array[Byte])): (Int, String, Array[Byte]) =
+    try f catch {
+      case e: SecurityException => (403, "application/json", jsonError(e.getMessage))
+      case e: IllegalArgumentException => (400, "application/json", jsonError(e.getMessage))
+      case e: TimeoutException => (408, "application/json", jsonError(e.getMessage))
+      case e: org.apache.spark.sql.AnalysisException =>
+        (400, "application/json", jsonError(e.getMessage))
+      // admission-queue rejection / wait timeout: retriable overload
+      case e: IllegalStateException => (503, "application/json", jsonError(e.getMessage))
+    }
+
+  /** Session resolution + graceful-drain gating shared by the
+    * statement-shaped endpoints.
+    */
   private def withSession(ex: HttpExchange)(
       f: (Auth.Identity, SessionState) => (Int, String, Array[Byte])): (Int, String, Array[Byte]) =
     bearer(ex) match {
       case Left(resp) => resp
       case Right(id) =>
-        val session = sessions.getOrCreate(id.sessionId, id.username, id.role)
-        if (bootstrapped.add(id.sessionId)) {
-          onSessionCreate(session.spark)
-          Statement.registerPseudoFunctions(session, instanceId, clusterId)
+        shutdown.admitNew() match {
+          case Left(reason) => (503, "application/json", jsonError(reason))
+          case Right(_) =>
+            try {
+              val session = sessions.getOrCreate(id.sessionId, id.username, id.role)
+              if (bootstrapped.add(id.sessionId)) {
+                onSessionCreate(session.spark)
+                Statement.registerPseudoFunctions(session, instanceId, clusterId)
+              }
+              f(id, session)
+            } finally shutdown.finishWork()
         }
-        f(id, session)
     }
 
   /** CreatePreparedStatement (`duckdb_server.cpp:1354-1409`): guard, then
@@ -255,20 +252,17 @@ final class GraftHttpServer(
           }.toMap
       val wantJson =
         Option(ex.getRequestHeaders.getFirst("Accept")).exists(_.contains("application/json"))
-      try {
+      statementErrors {
         val df = session.executePrepared(handle, params)
-        val body = admission.withSlot(session.isAdmin, () => session.killRequested) {
-          Statement.executeWithTimeout(session, 0) {
+        val bypass = session.isAdmin &&
+          session.settings.get("gizmosql.bypass_queue").contains("true")
+        val body = admission.withSlot(bypass, () => session.killRequested) {
+          Statement.executeWithTimeout(session, sessionTimeout(session)) {
             if (wantJson) df.toJSON.collect().mkString("[", ",", "]").getBytes(StandardCharsets.UTF_8)
             else ArrowIO.toArrowStream(df)
           }
         }
         (200, if (wantJson) "application/json" else "application/vnd.apache.arrow.stream", body)
-      } catch {
-        case e: IllegalArgumentException => (400, "application/json", jsonError(e.getMessage))
-        case e: IllegalStateException => (503, "application/json", jsonError(e.getMessage))
-        case e: org.apache.spark.sql.AnalysisException =>
-          (400, "application/json", jsonError(e.getMessage))
       }
     }
 
