@@ -44,6 +44,7 @@ final class GraftHttpServer(
   val admission = new AdmissionController(maxConcurrent = 4, maxQueued = 32, maxQueueWaitSeconds = 300)
   val health = new Health(spark).start()
   val shutdown = new ShutdownState(gracePeriodSeconds = 10)
+  val observability = new Observability(() => false).install(spark)
 
   private var server: JdkHttpServer = _
   private var executor: java.util.concurrent.ExecutorService = _
@@ -60,6 +61,7 @@ final class GraftHttpServer(
     server.createContext("/prepared/close", exchange(handlePreparedClose))
     server.createContext("/ingest", exchange(handleIngest))
     server.createContext("/healthz", exchange(handleHealth))
+    server.createContext("/metrics", exchange(handleMetrics))
     server.createContext("/close", exchange(handleClose))
     executor = java.util.concurrent.Executors.newFixedThreadPool(8)
     server.setExecutor(executor)
@@ -205,6 +207,9 @@ final class GraftHttpServer(
               if (bootstrapped.add(id.sessionId)) {
                 onSessionCreate(session.spark)
                 Statement.registerPseudoFunctions(session, instanceId, clusterId)
+                // each newSession() has its own listener manager; one shared
+                // Observability instance aggregates across all sessions
+                observability.install(session.spark)
               }
               f(id, session)
             } finally shutdown.finishWork()
@@ -310,6 +315,25 @@ final class GraftHttpServer(
       (200, "application/json", """{"status":"SERVING"}""".getBytes(StandardCharsets.UTF_8))
     else
       (503, "application/json", """{"status":"NOT_SERVING"}""".getBytes(StandardCharsets.UTF_8))
+
+  /** Per-statement execution metrics (the reference's OTel counters +
+    * instrumentation tables, `gizmosql_telemetry.cpp`): recent executions
+    * with durations and output-row counts, admin only.
+    */
+  private def handleMetrics(ex: HttpExchange): (Int, String, Array[Byte]) =
+    bearer(ex) match {
+      case Left(resp) => resp
+      case Right(id) if id.role != "admin" =>
+        (403, "application/json", jsonError("metrics require role admin"))
+      case Right(_) =>
+        val recent = observability.snapshot.takeRight(100)
+        val items = recent.map { r =>
+          s"""{"name":${quote(r.name)},"duration_ms":${r.durationNs / 1000000},""" +
+            s""""status":${quote(r.status)},"output_rows":${r.outputRows.getOrElse(-1L)}}"""
+        }.mkString("[", ",", "]")
+        (200, "application/json",
+          s"""{"executions":${recent.length},"recent":$items}""".getBytes(StandardCharsets.UTF_8))
+    }
 
   private def handleClose(ex: HttpExchange): (Int, String, Array[Byte]) =
     bearer(ex) match {

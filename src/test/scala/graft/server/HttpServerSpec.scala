@@ -169,6 +169,25 @@ class HttpServerSpec extends AnyFunSuite {
     assert(resp.statusCode() == 403)
   }
 
+  test("metrics endpoint reports executions to admins only") {
+    // ensure at least one statement has executed through the wire
+    post("/sql", "SELECT COUNT(*) AS n FROM region",
+      "Authorization" -> s"Bearer $token", "Accept" -> "application/json")
+    val resp = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/metrics"))
+        .GET().header("Authorization", s"Bearer $token").build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(resp.statusCode() == 200)
+    assert(resp.body().contains("\"executions\":") && resp.body().contains("duration_ms"))
+
+    val roToken = Auth.mintToken(secret, "reader", "readonly", "graft-instance")
+    val denied = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/metrics"))
+        .GET().header("Authorization", s"Bearer $roToken").build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(denied.statusCode() == 403)
+  }
+
   test("close ends the session") {
     val resp = post("/close", "", "Authorization" -> s"Bearer $token")
     assert(resp.statusCode() == 200)
