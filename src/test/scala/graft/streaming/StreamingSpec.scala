@@ -130,6 +130,42 @@ class StreamingSpec extends AnyFunSuite {
       Seq(("click", 2L), ("view", 1L)))
   }
 
+  test("checkpoint recovery: a restarted query resumes exactly-once, no duplicate windows") {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-ckpt-src").toString
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft-ckpt-sink").toString
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-ckpt-ckpt").toString
+    val base = LocalDateTime.of(2024, 3, 1, 0, 0)
+    def ev(id: Long, minutes: Long, typ: String) =
+      Ev(id, java.sql.Timestamp.valueOf(base.plusMinutes(minutes)), 1L, typ, 1.0)
+    def startQuery() = {
+      val stream = spark.readStream.schema(Seq.empty[Ev].toDF().schema).parquet(srcDir)
+      EventStreams.tumblingAgg(stream, "1 hour", "1 minute")
+        .writeStream.format("parquet")
+        .option("path", sinkDir).option("checkpointLocation", ckptDir)
+        .outputMode("append").start()
+    }
+    // first run: hour 00 events + an hour-02 event that closes hour 00
+    Seq(ev(1, 0, "click"), ev(2, 10, "view"), ev(3, 125, "late")).toDF()
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    // second run, SAME checkpoint: new files close hour 02 as well
+    Seq(ev(4, 130, "late"), ev(5, 400, "flush")).toDF()
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+
+    val out = spark.read.parquet(sinkDir).filter(col("event_type") =!= "flush")
+      .select(col("h"), col("event_type"), col("c")).collect()
+      .map(r => (r.getTimestamp(0).toLocalDateTime, r.getString(1), r.getLong(2))).sorted.toSeq
+    // exactly one row per (window, type) despite the restart — hour-00 windows
+    // emitted by run 1 are NOT re-emitted by run 2; the hour-02 'late' count
+    // includes events from both runs (state recovered from the checkpoint).
+    assert(out == Seq(
+      (LocalDateTime.of(2024, 3, 1, 0, 0), "click", 1L),
+      (LocalDateTime.of(2024, 3, 1, 0, 0), "view", 1L),
+      (LocalDateTime.of(2024, 3, 1, 2, 0), "late", 2L)))
+  }
+
   test("sliding windows emit one row per covering window") {
     val base = LocalDateTime.of(2024, 3, 1, 1, 45)
     val rows = Seq(Ev(1, java.sql.Timestamp.valueOf(base), 1, "click", 1.0))
