@@ -78,6 +78,42 @@ object CoverageOps {
         "ORDER BY r_regionkey")
     },
 
+    // grouping_id bitmask over ROLLUP levels (Spark grouping_id(a,b) ==
+    // DuckDB GROUPING(a,b): first key is the high bit in both).
+    Op("agg_grouping_id",
+      "SELECT COALESCE(CAST(n_regionkey AS VARCHAR),'ALL') AS rk, COALESCE(n_name,'ALL') AS nm, " +
+      "CAST(GROUPING(n_regionkey, n_name) AS BIGINT) AS gid, CAST(COUNT(*) AS BIGINT) AS c " +
+      "FROM nation GROUP BY ROLLUP(n_regionkey, n_name) ORDER BY gid, rk, nm") { (s, d) =>
+      Tables.ensure(s, d)
+      s.sql("SELECT COALESCE(CAST(n_regionkey AS STRING),'ALL') AS rk, COALESCE(n_name,'ALL') AS nm, " +
+        "grouping_id(n_regionkey, n_name) AS gid, COUNT(*) AS c " +
+        "FROM nation GROUP BY ROLLUP(n_regionkey, n_name) ORDER BY gid, rk, nm")
+    },
+
+    // Explicit SEMI JOIN syntax (Spark: LEFT SEMI JOIN; DuckDB: SEMI JOIN).
+    Op("join_semi_sql",
+      "SELECT r_regionkey, r_name FROM region SEMI JOIN nation " +
+      "ON n_regionkey = r_regionkey AND n_nationkey >= 20 ORDER BY r_regionkey") { (s, d) =>
+      Tables.ensure(s, d)
+      s.sql("SELECT r_regionkey, r_name FROM region LEFT SEMI JOIN nation " +
+        "ON n_regionkey = r_regionkey AND n_nationkey >= 20 ORDER BY r_regionkey")
+    },
+
+    // PIVOT with multiple aggregates per pivot value.
+    Op("pivot_multi",
+      "SELECT o_orderpriority, CAST(SUM(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS BIGINT) AS f_c, " +
+      "ROUND(SUM(CASE WHEN o_orderstatus='F' THEN o_totalprice ELSE 0 END),2) AS f_t, " +
+      "CAST(SUM(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END) AS BIGINT) AS o_c, " +
+      "ROUND(SUM(CASE WHEN o_orderstatus='O' THEN o_totalprice ELSE 0 END),2) AS o_t " +
+      "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority") { (s, d) =>
+      Tables.ensure(s, d)
+      s.sql("SELECT o_orderpriority, COALESCE(f_c, 0) AS f_c, ROUND(COALESCE(f_t, 0),2) AS f_t, " +
+        "COALESCE(o_c, 0) AS o_c, ROUND(COALESCE(o_t, 0),2) AS o_t " +
+        "FROM (SELECT * FROM (SELECT o_orderpriority, o_orderstatus, o_totalprice FROM orders) " +
+        "PIVOT (COUNT(*) AS c, SUM(o_totalprice) AS t FOR o_orderstatus IN ('F' AS f, 'O' AS o))) " +
+        "ORDER BY o_orderpriority")
+    },
+
     // Pagination: ORDER BY ... LIMIT ... OFFSET (deterministic tie-break).
     Op("topk_offset",
       "SELECT s_suppkey, ROUND(s_acctbal,2) AS bal FROM supplier " +
