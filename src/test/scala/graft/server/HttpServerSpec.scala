@@ -188,6 +188,20 @@ class HttpServerSpec extends AnyFunSuite {
     assert(denied.statusCode() == 403)
   }
 
+  test("nested types survive the Arrow wire: arrays, structs, maps") {
+    val resp = post("/sql",
+      "SELECT n_nationkey, array(n_nationkey, n_regionkey) AS arr, " +
+      "named_struct('k', n_nationkey, 'nm', n_name) AS st, map(n_name, n_regionkey) AS mp " +
+      "FROM nation WHERE n_nationkey < 3 ORDER BY n_nationkey",
+      "Authorization" -> s"Bearer $token")
+    assert(resp.statusCode() == 200)
+    val rows = ArrowIO.fromArrowStream(spark, resp.body()).orderBy("n_nationkey").collect()
+    assert(rows.length == 3)
+    assert(rows(1).getSeq[Int](1).head == 1)
+    assert(rows(2).getStruct(2).getAs[String]("nm") == "NATION_2")
+    assert(rows(0).getMap[String, Int](3).contains("NATION_0"))
+  }
+
   test("close ends the session") {
     val resp = post("/close", "", "Authorization" -> s"Bearer $token")
     assert(resp.statusCode() == 200)
