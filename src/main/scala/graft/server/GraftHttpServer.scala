@@ -37,7 +37,11 @@ final class GraftHttpServer(
     clusterId: String = "graft-cluster",
     // Catalog bootstrap per isolated client session (newSession() has its own
     // temp-view namespace — the reference's per-connection catalog attach).
-    onSessionCreate: SparkSession => Unit = _ => ()) extends AutoCloseable {
+    onSessionCreate: SparkSession => Unit = _ => (),
+    // Optional OIDC bootstrap-token config: Basic auth with username "token"
+    // and an external JWT as the password routes through TokenAuth
+    // (`gizmosql_security.cpp:533-557`).
+    oidc: Option[TokenAuth.Config] = None) extends AutoCloseable {
 
   val global = new GlobalSettings
   val sessions = new SessionManager(spark, global)
@@ -128,15 +132,21 @@ final class GraftHttpServer(
       catch { case _: IllegalArgumentException =>
         return (401, "application/json", jsonError("malformed Basic credentials"))
       }
+    def minted(token: String): (Int, String, Array[Byte]) =
+      shutdown.admitNew() match {
+        case Left(reason) => (503, "application/json", jsonError(reason))
+        case Right(_) =>
+          shutdown.finishWork()
+          (200, "application/json",
+            s"""{"token":${quote(token)}}""".getBytes(StandardCharsets.UTF_8))
+      }
     decoded.split(":", 2) match {
       case Array(user, pass) if user == username && Auth.checkBasic(secret, pass, storedPasswordHash) =>
-        shutdown.admitNew() match {
-          case Left(reason) => (503, "application/json", jsonError(reason))
-          case Right(_) =>
-            shutdown.finishWork()
-            val token = Auth.mintToken(secret, user, "admin", instanceId)
-            (200, "application/json",
-              s"""{"token":${quote(token)}}""".getBytes(StandardCharsets.UTF_8))
+        minted(Auth.mintToken(secret, user, "admin", instanceId))
+      case Array(TokenAuth.TokenUsername, externalJwt) if oidc.isDefined =>
+        TokenAuth.bootstrap(oidc.get, secret, externalJwt, instanceId) match {
+          case Left(err) => (401, "application/json", jsonError(err))
+          case Right((_, token)) => minted(token)
         }
       case _ => (401, "application/json", jsonError("invalid credentials"))
     }

@@ -17,10 +17,26 @@ class HttpServerSpec extends AnyFunSuite {
   private val secret = "server-spec-secret"
   private val password = "pw"
 
+  private val idpKeys = {
+    val g = java.security.KeyPairGenerator.getInstance("RSA")
+    g.initialize(2048)
+    g.generateKeyPair()
+  }
+  private def externalToken(email: String): String =
+    io.jsonwebtoken.Jwts.builder()
+      .issuer("https://idp.example.com").audience().add("graft").and()
+      .subject(email).claim("email", email)
+      .issuedAt(new java.util.Date())
+      .expiration(java.util.Date.from(java.time.Instant.now().plusSeconds(600)))
+      .signWith(idpKeys.getPrivate).compact()
+
   private lazy val (server, port) = {
     Tables.ensure(spark, SparkTestHarness.sfDir)
     val s = new GraftHttpServer(spark, secret, Auth.hashPassword(secret, password),
-      onSessionCreate = Tables.ensure(_, SparkTestHarness.sfDir))
+      onSessionCreate = Tables.ensure(_, SparkTestHarness.sfDir),
+      oidc = Some(graft.engine.TokenAuth.Config(
+        issuer = "https://idp.example.com", audience = "graft",
+        publicKey = idpKeys.getPublic)))
     (s, s.start())
   }
   private lazy val client = HttpClient.newHttpClient()
@@ -200,6 +216,41 @@ class HttpServerSpec extends AnyFunSuite {
     assert(rows(1).getSeq[Int](1).head == 1)
     assert(rows(2).getStruct(2).getAs[String]("nm") == "NATION_2")
     assert(rows(0).getMap[String, Int](3).contains("NATION_0"))
+  }
+
+  test("OIDC bootstrap: username 'token' with an external JWT authenticates; forgeries fail") {
+    val resp = post("/auth", "", "Authorization" -> basic("token", externalToken("alice@example.com")))
+    assert(resp.statusCode() == 200)
+    val t = new String(resp.body(), StandardCharsets.UTF_8).split("\"token\":\"")(1).split("\"")(0)
+    val q = post("/sql", "SELECT COUNT(*) AS n FROM region",
+      "Authorization" -> s"Bearer $t", "Accept" -> "application/json")
+    assert(q.statusCode() == 200)
+    assert(post("/auth", "", "Authorization" -> basic("token", "not.a.jwt")).statusCode() == 401)
+  }
+
+  test("SET intercept and settings table function work over the wire") {
+    val set = post("/sql", "SET SESSION gizmosql.query_tag = 'wire-test'",
+      "Authorization" -> s"Bearer $token", "Accept" -> "application/json")
+    assert(set.statusCode() == 200, new String(set.body(), StandardCharsets.UTF_8))
+    val read = post("/sql",
+      "SELECT value FROM gizmosql_settings WHERE name = 'gizmosql.query_tag'",
+      "Authorization" -> s"Bearer $token", "Accept" -> "application/json")
+    assert(new String(read.body(), StandardCharsets.UTF_8) == """[{"value":"wire-test"}]""")
+  }
+
+  test("KILL SESSION over the wire tombstones the target") {
+    // victim = a fresh OIDC session
+    val vResp = post("/auth", "", "Authorization" -> basic("token", externalToken("victim@example.com")))
+    val vTok = new String(vResp.body(), StandardCharsets.UTF_8).split("\"token\":\"")(1).split("\"")(0)
+    assert(post("/sql", "SELECT 1 AS x", "Authorization" -> s"Bearer $vTok",
+      "Accept" -> "application/json").statusCode() == 200)
+    // extract the victim's session id from its JWT claims via the server's validator
+    val vId = Auth.validate(secret, vTok, "graft-instance").toOption.get.sessionId
+    val kill = post("/sql", s"KILL SESSION '$vId'",
+      "Authorization" -> s"Bearer $token", "Accept" -> "application/json")
+    assert(kill.statusCode() == 200)
+    // the killed token is now rejected
+    assert(post("/sql", "SELECT 1 AS x", "Authorization" -> s"Bearer $vTok").statusCode() == 403)
   }
 
   test("close ends the session") {
