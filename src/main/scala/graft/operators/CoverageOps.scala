@@ -78,6 +78,29 @@ object CoverageOps {
         "ORDER BY r_regionkey")
     },
 
+    // ANY_VALUE — deterministic here because each group holds exactly one
+    // distinct value (n_name is functionally dependent on n_nationkey).
+    Op("agg_any_value",
+      "SELECT n_nationkey, ANY_VALUE(n_name) AS nm, CAST(COUNT(*) AS BIGINT) AS c " +
+      "FROM nation GROUP BY n_nationkey ORDER BY n_nationkey") { (s, d) =>
+      Tables.ensure(s, d)
+      s.table("nation").groupBy("n_nationkey")
+        .agg(any_value(col("n_name")).as("nm"), count(lit(1)).as("c"))
+        .orderBy("n_nationkey")
+    },
+
+    // Prefix/suffix/containment predicates.
+    Op("fn_string5",
+      "SELECT p_partkey, STARTS_WITH(p_type,'STA') AS sw, ENDS_WITH(p_brand,'1') AS ew, " +
+      "CONTAINS(p_name,'red') AS ct FROM part ORDER BY p_partkey LIMIT 100") { (s, d) =>
+      Tables.ensure(s, d)
+      s.table("part").orderBy("p_partkey").limit(100).select(
+        col("p_partkey"),
+        startswith(col("p_type"), lit("STA")).as("sw"),
+        endswith(col("p_brand"), lit("1")).as("ew"),
+        contains(col("p_name"), lit("red")).as("ct"))
+    },
+
     // grouping_id bitmask over ROLLUP levels (Spark grouping_id(a,b) ==
     // DuckDB GROUPING(a,b): first key is the high bit in both).
     Op("agg_grouping_id",
