@@ -52,12 +52,13 @@ object Auth {
   /** Mint an HS256 bearer token for an authenticated user. */
   def mintToken(secret: String, username: String, role: String, instanceId: String,
       sessionId: String = UUID.randomUUID().toString,
-      now: Instant = Instant.now()): String =
+      now: Instant = Instant.now(),
+      authMethod: String = "basic"): String =
     Jwts.builder()
       .issuer(Issuer)
       .subject(username)
       .claim("role", role)
-      .claim("auth_method", "basic")
+      .claim("auth_method", authMethod)
       .claim("instance_id", instanceId)
       .claim("session_id", sessionId)
       .issuedAt(Date.from(now))

@@ -94,7 +94,12 @@ object Statement {
       sql: String): DataFrame = {
     sql match {
       case KillSessionRe(target) =>
-        // duckdb_statement.cpp:178-193 / :933-986
+        // duckdb_statement.cpp:178-193 / :933-986; admin-only + no self-kill
+        // per the reference handler (kill_session_handler.cpp:66-81)
+        if (!session.isAdmin)
+          throw new SecurityException("Only admin users can execute KILL SESSION")
+        if (target == session.id)
+          throw new IllegalArgumentException("cannot kill the current session")
         sessions.kill(target)
         oneRowResult(session.spark, "result", s"session $target killed")
 

@@ -57,6 +57,7 @@ object TokenAuth {
   def bootstrap(cfg: Config, serverSecret: String, externalJwt: String,
       instanceId: String): Either[String, (Auth.Identity, String)] =
     authenticate(cfg, externalJwt, instanceId).map { id =>
-      (id, Auth.mintToken(serverSecret, id.username, id.role, instanceId, id.sessionId))
+      (id, Auth.mintToken(serverSecret, id.username, id.role, instanceId, id.sessionId,
+        authMethod = "oidc"))
     }
 }

@@ -122,33 +122,37 @@ final class GraftHttpServer(
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
 
-  /** Basic→JWT handshake (`gizmosql_security.cpp:500-557`, mint `:262-294`). */
+  /** Basic→JWT handshake (`gizmosql_security.cpp:500-557`, mint `:262-294`).
+    * The drain gate runs before any credential verification — no crypto work
+    * for requests a draining server will refuse anyway.
+    */
   private def handleAuth(ex: HttpExchange): (Int, String, Array[Byte]) = {
     val header = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
     if (!header.startsWith("Basic "))
       return (401, "application/json", jsonError("Basic credentials required"))
-    val decoded =
-      try new String(Base64.getDecoder.decode(header.drop(6).trim), StandardCharsets.UTF_8)
-      catch { case _: IllegalArgumentException =>
-        return (401, "application/json", jsonError("malformed Basic credentials"))
-      }
-    def minted(token: String): (Int, String, Array[Byte]) =
-      shutdown.admitNew() match {
-        case Left(reason) => (503, "application/json", jsonError(reason))
-        case Right(_) =>
-          shutdown.finishWork()
-          (200, "application/json",
-            s"""{"token":${quote(token)}}""".getBytes(StandardCharsets.UTF_8))
-      }
-    decoded.split(":", 2) match {
-      case Array(user, pass) if user == username && Auth.checkBasic(secret, pass, storedPasswordHash) =>
-        minted(Auth.mintToken(secret, user, "admin", instanceId))
-      case Array(TokenAuth.TokenUsername, externalJwt) if oidc.isDefined =>
-        TokenAuth.bootstrap(oidc.get, secret, externalJwt, instanceId) match {
-          case Left(err) => (401, "application/json", jsonError(err))
-          case Right((_, token)) => minted(token)
-        }
-      case _ => (401, "application/json", jsonError("invalid credentials"))
+    shutdown.admitNew() match {
+      case Left(reason) => (503, "application/json", jsonError(reason))
+      case Right(_) =>
+        try {
+          val decoded =
+            try new String(Base64.getDecoder.decode(header.drop(6).trim), StandardCharsets.UTF_8)
+            catch { case _: IllegalArgumentException =>
+              return (401, "application/json", jsonError("malformed Basic credentials"))
+            }
+          def minted(token: String): (Int, String, Array[Byte]) =
+            (200, "application/json",
+              s"""{"token":${quote(token)}}""".getBytes(StandardCharsets.UTF_8))
+          decoded.split(":", 2) match {
+            case Array(user, pass) if user == username && Auth.checkBasic(secret, pass, storedPasswordHash) =>
+              minted(Auth.mintToken(secret, user, "admin", instanceId))
+            case Array(TokenAuth.TokenUsername, externalJwt) if oidc.isDefined =>
+              TokenAuth.bootstrap(oidc.get, secret, externalJwt, instanceId) match {
+                case Left(err) => (401, "application/json", jsonError(err))
+                case Right((_, token)) => minted(token)
+              }
+            case _ => (401, "application/json", jsonError("invalid credentials"))
+          }
+        } finally shutdown.finishWork()
     }
   }
 
@@ -159,6 +163,7 @@ final class GraftHttpServer(
     else Auth.validate(secret, header.drop(7).trim, instanceId) match {
       case Left(err) => Left((401, "application/json", jsonError(err)))
       case Right(id) if sessions.isKilled(id.sessionId) =>
+        bootstrapped.remove(id.sessionId) // dead session; drop its bootstrap marker
         Left((403, "application/json", jsonError("session has been killed")))
       case Right(id) => Right(id)
     }

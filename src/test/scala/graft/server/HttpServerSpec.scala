@@ -51,11 +51,13 @@ class HttpServerSpec extends AnyFunSuite {
   private def basic(user: String, pass: String): String =
     "Basic " + Base64.getEncoder.encodeToString(s"$user:$pass".getBytes(StandardCharsets.UTF_8))
 
+  private def tokenOf(resp: HttpResponse[Array[Byte]]): String =
+    new String(resp.body(), StandardCharsets.UTF_8).split("\"token\":\"")(1).split("\"")(0)
+
   private lazy val token: String = {
     val resp = post("/auth", "", "Authorization" -> basic("gizmosql_username", password))
     assert(resp.statusCode() == 200)
-    val body = new String(resp.body(), StandardCharsets.UTF_8)
-    body.split("\"token\":\"")(1).split("\"")(0)
+    tokenOf(resp)
   }
 
   test("auth rejects bad credentials and missing header") {
@@ -128,7 +130,7 @@ class HttpServerSpec extends AnyFunSuite {
           // each client gets its own token => its own isolated session
           val t = {
             val resp = post("/auth", "", "Authorization" -> basic("gizmosql_username", password))
-            new String(resp.body(), StandardCharsets.UTF_8).split("\"token\":\"")(1).split("\"")(0)
+            tokenOf(resp)
           }
           post("/sql", queries(i % queries.length),
             "Authorization" -> s"Bearer $t", "Accept" -> "application/json").statusCode()
@@ -221,11 +223,31 @@ class HttpServerSpec extends AnyFunSuite {
   test("OIDC bootstrap: username 'token' with an external JWT authenticates; forgeries fail") {
     val resp = post("/auth", "", "Authorization" -> basic("token", externalToken("alice@example.com")))
     assert(resp.statusCode() == 200)
-    val t = new String(resp.body(), StandardCharsets.UTF_8).split("\"token\":\"")(1).split("\"")(0)
+    val t = tokenOf(resp)
     val q = post("/sql", "SELECT COUNT(*) AS n FROM region",
       "Authorization" -> s"Bearer $t", "Accept" -> "application/json")
     assert(q.statusCode() == 200)
     assert(post("/auth", "", "Authorization" -> basic("token", "not.a.jwt")).statusCode() == 401)
+    // a structurally valid JWT signed by the WRONG key must also be rejected
+    val attacker = { val g = java.security.KeyPairGenerator.getInstance("RSA"); g.initialize(2048); g.generateKeyPair() }
+    val forged = io.jsonwebtoken.Jwts.builder()
+      .issuer("https://idp.example.com").audience().add("graft").and()
+      .subject("alice@example.com").claim("email", "alice@example.com")
+      .expiration(java.util.Date.from(java.time.Instant.now().plusSeconds(600)))
+      .signWith(attacker.getPrivate).compact()
+    assert(post("/auth", "", "Authorization" -> basic("token", forged)).statusCode() == 401)
+  }
+
+  test("non-admin roles cannot KILL SESSION; self-kill is rejected") {
+    val vResp = post("/auth", "", "Authorization" -> basic("token", externalToken("lowpriv@example.com")))
+    val vTok = tokenOf(vResp)
+    // default OIDC role is 'user' — denied
+    assert(post("/sql", "KILL SESSION 'any-id'",
+      "Authorization" -> s"Bearer $vTok").statusCode() == 403)
+    // admin killing itself — rejected as a bad request
+    val selfId = Auth.validate(secret, token, "graft-instance").toOption.get.sessionId
+    assert(post("/sql", s"KILL SESSION '$selfId'",
+      "Authorization" -> s"Bearer $token").statusCode() == 400)
   }
 
   test("SET intercept and settings table function work over the wire") {
@@ -241,7 +263,7 @@ class HttpServerSpec extends AnyFunSuite {
   test("KILL SESSION over the wire tombstones the target") {
     // victim = a fresh OIDC session
     val vResp = post("/auth", "", "Authorization" -> basic("token", externalToken("victim@example.com")))
-    val vTok = new String(vResp.body(), StandardCharsets.UTF_8).split("\"token\":\"")(1).split("\"")(0)
+    val vTok = tokenOf(vResp)
     assert(post("/sql", "SELECT 1 AS x", "Authorization" -> s"Bearer $vTok",
       "Accept" -> "application/json").statusCode() == 200)
     // extract the victim's session id from its JWT claims via the server's validator
