@@ -50,18 +50,26 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // Primary metric: first pass at the bench SF (protocol identical to
-    // round 1 for comparability). The second pass reports steady-state —
-    // what a long-lived server (the reference's deployment model) serves
-    // once AQE-final-plan codegen is amortized.
-    val results = timedPass()
-    val steady = timedPass()
+    // Protocol: three timed passes at the bench SF, report the PER-QUERY
+    // MEDIAN — mirroring the reference's 3-iteration benchmark
+    // (`/root/reference/tests/integration/test_tpch_benchmark.cpp:913-1075`).
+    // Round 2 showed single-pass noise swamping round deltas (the "steady"
+    // second pass measured *slower* than the cold first); the median drops
+    // the cold AQE-final-plan-codegen pass and one-off scheduler hiccups.
+    val passes = Seq(timedPass(), timedPass(), timedPass())
+    val names = passes.head.map(_._1)
+    def median3(a: Double, b: Double, c: Double): Double =
+      Seq(a, b, c).sorted.apply(1)
+    val medians = names.zipWithIndex.map { case (n, i) =>
+      n -> median3(passes(0)(i)._2, passes(1)(i)._2, passes(2)(i)._2)
+    }
     def toJson(rs: Seq[(String, Double)]) =
       rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val steadyTotal = steady.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},""" +
-      s""""steady_total":$steadyTotal,"queries_steady":${toJson(steady)},"sf":"$sfDir"}""")
+    val total = medians.map(_._2).sum
+    val passTotals = passes.map(_.map(_._2).sum)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(medians)},""" +
+      s""""pass_totals":[${passTotals.mkString(",")}],""" +
+      s""""queries_cold":${toJson(passes.head)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

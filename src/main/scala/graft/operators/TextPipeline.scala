@@ -136,13 +136,26 @@ object TextPipeline {
     * This is the 100 TB path: cost is O(docs x bands) + a shuffle on bucket id,
     * never O(docs^2).
     */
-  def minhashCandidates(d: DataFrame): DataFrame = {
+  def minhashCandidates(d: DataFrame): DataFrame =
+    candidatesFromHm(gramHashesModP(d), col("hm"))
+
+  /** The banding core of `minhashCandidates`, over (doc_id, hmExpr) where
+    * `hmExpr` evaluates to the gram hash mod P. Duplicate (doc_id, hm) rows
+    * are harmless (min-aggregates are multiset-insensitive), which lets
+    * callers feed hashes distinct'd at a coarser granularity. The hash is
+    * taken as an EXPRESSION (not a pre-projected column) so a caller sharing
+    * its gram relation with other stages keeps a canonically identical
+    * pre-exchange subtree — a Project between the shared repartition and
+    * this aggregate would be pushed below the exchange and defeat
+    * ReusedExchange.
+    */
+  private def candidatesFromHm(grams: DataFrame, hmExpr: Column): DataFrame = {
     import MinHashParams._
     val rowsPer = numHashes / bands
     require(rowsPer == 2, "band bucket packing assumes 2 minima per band")
     val sigCols = (0 until numHashes).map(j =>
-      min((lit(A(j)) * col("hm") + lit(B(j))) % P).as(s"m$j"))
-    val sig = gramHashesModP(d).groupBy("doc_id").agg(sigCols.head, sigCols.drop(1): _*)
+      min((lit(A(j)) * hmExpr + lit(B(j))) % P).as(s"m$j"))
+    val sig = grams.groupBy("doc_id").agg(sigCols.head, sigCols.drop(1): _*)
     val bandCols = (0 until bands).map(b =>
       (col(s"m${2 * b}") * P + col(s"m${2 * b + 1}")).as(s"band$b"))
     val buckets = sig.select(col("doc_id") +: bandCols: _*)
@@ -154,6 +167,27 @@ object TextPipeline {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
+  }
+
+  /** Exact Jaccard restricted to an explicit candidate pair set — the
+    * verification stage of the LSH dedup pipeline. `grams` is distinct
+    * (doc_id, g) rows; cost is O(|cand| x grams/doc) through two equi-joins
+    * (candidate pairs expand to their grams, then probe the inverted index),
+    * never all-pairs. Candidate pairs with zero shared grams have Jaccard 0
+    * and drop out with the aggregate — correct for any threshold > 0.
+    */
+  def verifyJaccard(grams: DataFrame, cand: DataFrame, threshold: Double): DataFrame = {
+    val sz = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(grams.select(col("doc_id").as("id_a"), col("g")), "id_a")
+      .join(grams.select(col("doc_id").as("id_b"), col("g")), Seq("id_b", "g"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    val jac = col("inter").cast("double") / (col("na") + col("nb") - col("inter"))
+    inter
+      .join(sz.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sz.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+      .filter(jac >= threshold)
+      .select(col("id_a"), col("id_b"), round(jac, 4).as("jaccard"))
   }
 
   /** DuckDB oracle for `minhashCandidates` — same trigrams, same md5-derived
@@ -204,30 +238,78 @@ object TextPipeline {
       "FROM v GROUP BY doc_id ORDER BY doc_id"
 
   /** End-to-end corpus cleaning — the composition a training-data pipeline
-    * actually runs: quality gate (token count + stopword ratio) → exact
-    * near-dup detection on the survivors → drop the higher doc_id of each
-    * confirmed pair → surviving corpus. Every stage is the distributed
-    * operator defined above; nothing touches the driver.
+    * actually runs: quality gate (token count + stopword ratio) → MinHash-LSH
+    * candidate generation on the survivors → exact Jaccard verification of
+    * the candidates only → drop the higher doc_id of each confirmed pair →
+    * surviving corpus.
+    *
+    * Scale shape: the only super-linear step is the LSH bucket equi-join,
+    * O(docs x bands) — the all-pairs exact Jaccard never runs. One gram
+    * distinct (the md5-derived 60-bit gram identity) feeds the MinHash
+    * signatures (mod P), the inverted-index verify probes, AND the per-doc
+    * set sizes, so the shingle exchange is computed once and reused.
+    * The DuckDB oracle replicates the same LSH-then-verify algorithm, so the
+    * check is value-exact by construction, not by luck of recall (on these
+    * fixtures recall is total anyway: every jaccard>=0.5 pair sits at >=0.9,
+    * where the 8-band miss probability is ~2e-7).
     */
   def cleanCorpus(d: DataFrame, minTokens: Int, minStopRatio: Double,
       dupThreshold: Double): DataFrame = {
+    import MinHashParams.P
     val quality = d.filter(size(tokens(col("text"))) >= minTokens &&
       stopwordRatio(col("text"), Seq("the", "a", "of", "and", "in")) >= minStopRatio)
-    val dups = jaccardPairs(quality, dupThreshold).select(col("id_b").as("doc_id")).distinct()
+    // The explicit repartition BELOW the distinct is what makes the
+    // scan+shingle+md5 work run ONCE: hashpartitioning(g) satisfies the
+    // (doc_id, g) distinct's clustering, so the distinct needs no exchange of
+    // its own, and every consumer (MinHash signatures, both verify probes,
+    // per-doc sizes) embeds the *same* exchange subtree -> ReusedExchange.
+    // (A plain .distinct() per branch re-derives branch-specific aggregates
+    // that defeat exchange reuse — measured 3x the shingle work.)
+    // The isNotNull filter is semantically a no-op (md5 of a non-null string)
+    // but keeps this subtree canonically identical to the verify-join
+    // branches, where InferFiltersFromConstraints adds the same predicate
+    // from the equi-join on g — without it the signature branch gets its own
+    // scan+shingle+md5 pass instead of a ReusedExchange.
+    val g60 = triRows(quality)
+      .select(col("doc_id"), md5Hash60(concat_ws(" ", col("w"), col("w1"), col("w2"))).as("g"))
+      .filter(col("g").isNotNull)
+      .repartition(col("g"))
+      .dropDuplicates("doc_id", "g")
+    val cand = candidatesFromHm(g60, col("g") % P)
+    val dups = verifyJaccard(g60, cand, dupThreshold)
+      .select(col("id_b").as("doc_id")).distinct()
     quality.join(dups, Seq("doc_id"), "left_anti").select("doc_id")
   }
 
-  val ops: Seq[Op] = Seq(
-    Op("pipeline_clean_corpus",
-      "WITH q AS (SELECT doc_id, text FROM documents WHERE LEN(STRING_SPLIT(text,' ')) >= 20 " +
+  /** DuckDB oracle for `cleanCorpus` — the same quality gate, the same
+    * MinHash-LSH banding (shared CTEs with `minhashOracle`), the same
+    * candidate-restricted exact verification.
+    */
+  private def cleanCorpusOracle: String = {
+    import MinHashParams._
+    val mins = (0 until numHashes)
+      .map(j => s"MIN((${A(j)}*hm+${B(j)})%$P) AS m$j").mkString(", ")
+    val bandCols = (0 until bands).map(b => s"m${2 * b}*$P+m${2 * b + 1} AS band$b").mkString(", ")
+    val orJoin = (0 until bands).map(b => s"a.band$b=b.band$b").mkString(" OR ")
+    "WITH q AS (SELECT doc_id, text FROM documents WHERE LEN(STRING_SPLIT(text,' ')) >= 20 " +
       "AND CAST(LEN(LIST_FILTER(STRING_SPLIT(text,' '), w -> w IN ('the','a','of','and','in'))) AS DOUBLE)/LEN(STRING_SPLIT(text,' ')) >= 0.02), " +
       "w AS (SELECT doc_id, STRING_SPLIT(text,' ') AS words FROM q), " +
-      "g AS (SELECT DISTINCT doc_id, UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, CAST(LEN(words) AS INTEGER)-2), i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS gram FROM w), " +
+      "g AS (SELECT DISTINCT doc_id, UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, CAST(LEN(words) AS INTEGER)-2), " +
+      "i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS gram FROM w), " +
+      s"h AS (SELECT doc_id, ${hex60Sql("gram")} % $P AS hm FROM g), " +
+      s"sig AS (SELECT doc_id, $mins FROM h GROUP BY doc_id), " +
+      s"band AS (SELECT doc_id, $bandCols FROM sig), " +
+      s"cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM band a JOIN band b ON a.doc_id < b.doc_id AND ($orJoin)), " +
       "sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id), " +
-      "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter FROM g a JOIN g b ON a.gram=b.gram AND a.doc_id < b.doc_id GROUP BY 1,2), " +
-      "dups AS (SELECT DISTINCT id_b FROM pairs JOIN sz sa ON sa.doc_id=id_a JOIN sz sb ON sb.doc_id=id_b " +
+      "inter AS (SELECT id_a, id_b, COUNT(*) AS inter FROM cand JOIN g ga ON ga.doc_id=id_a " +
+      "JOIN g gb ON gb.doc_id=id_b AND gb.gram=ga.gram GROUP BY 1,2), " +
+      "dups AS (SELECT DISTINCT id_b FROM inter JOIN sz sa ON sa.doc_id=id_a JOIN sz sb ON sb.doc_id=id_b " +
       "WHERE CAST(inter AS DOUBLE)/(sa.n+sb.n-inter) >= 0.5) " +
-      "SELECT doc_id FROM q WHERE doc_id NOT IN (SELECT id_b FROM dups) ORDER BY doc_id") { (s, d) =>
+      "SELECT doc_id FROM q WHERE doc_id NOT IN (SELECT id_b FROM dups) ORDER BY doc_id"
+  }
+
+  val ops: Seq[Op] = Seq(
+    Op("pipeline_clean_corpus", cleanCorpusOracle) { (s, d) =>
       cleanCorpus(docs(s, d), 20, 0.02, 0.5).orderBy("doc_id")
     },
 

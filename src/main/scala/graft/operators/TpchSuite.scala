@@ -1,6 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** The remaining TPC-H query shapes (reference corpus
@@ -115,12 +117,54 @@ object TpchSuite {
       "(SELECT l_suppkey FROM lineitem WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'blue%') " +
       "GROUP BY l_suppkey HAVING SUM(l_quantity) > 300) ORDER BY s_name"),
 
-    both("tpch_h21",
+    // h21: the oracle keeps the reference's verbatim EXISTS/NOT EXISTS shape;
+    // the Spark implementation is a single-pass rewrite (below) — the naive
+    // decorrelation scans lineitem three times (l1 + semi l2 + anti l3, two
+    // extra shuffles on l_orderkey), while every per-row predicate here is an
+    // order-level fact computable from ONE pass over the order's lines:
+    //   exists-other-supplier      <=> min(suppkey) <> max(suppkey) per order
+    //   no-other-supplier-later    <=> l_shipdate >= max(shipdate over rows of
+    //                                  OTHER suppliers)
+    // The "other-supplier max" per row resolves by case: if >=2 distinct
+    // suppliers attain the order max shipdate, it IS the order max for every
+    // row; if exactly one supplier attains it, that supplier's other-max is
+    // the max over the remaining suppliers' rows and everyone else's is the
+    // order max (which exceeds their own dates). All of it is min/max window
+    // aggregates over ONE hash-clustering on l_orderkey — the orders join
+    // already hash-partitions by the same key, so the whole query is one
+    // lineitem scan, one shuffle, and a broadcast supplier lookup.
+    Op("tpch_h21",
       "SELECT s_name, COUNT(*) AS numwait FROM supplier JOIN lineitem l1 ON s_suppkey=l1.l_suppkey " +
       "JOIN orders ON o_orderkey=l1.l_orderkey WHERE o_orderstatus='F' " +
       "AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey=l1.l_orderkey AND l2.l_suppkey<>l1.l_suppkey) " +
       "AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey=l1.l_orderkey AND l3.l_suppkey<>l1.l_suppkey " +
-      "AND l3.l_shipdate > l1.l_shipdate) GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20"),
+      "AND l3.l_shipdate > l1.l_shipdate) GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20") { (s, d) =>
+      Tables.ensure(s, d)
+      val lines = s.table("lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(s.table("orders").filter(col("o_orderstatus") === "F").select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .drop("o_orderkey")
+      val w = Window.partitionBy("l_orderkey")
+      // Three chained Window nodes share one partitioning: a single exchange.
+      val topSupp = when(col("l_shipdate") === col("m1"), col("l_suppkey"))
+      val staged = lines
+        .withColumn("m1", max("l_shipdate").over(w))
+        .withColumn("min_supp", min("l_suppkey").over(w))
+        .withColumn("max_supp", max("l_suppkey").over(w))
+        .select(col("*"), min(topSupp).over(w).as("min_top"), max(topSupp).over(w).as("max_top"))
+      val withSecond = staged
+        .withColumn("other_max", max(when(col("l_suppkey") =!= col("max_top"), col("l_shipdate"))).over(w))
+      val qualifying = withSecond.filter(
+        col("min_supp") =!= col("max_supp") && (
+          (col("min_top") =!= col("max_top") && col("l_shipdate") === col("m1")) ||
+          (col("min_top") === col("max_top") && col("l_suppkey") === col("max_top") &&
+            col("l_shipdate") >= col("other_max"))))
+      qualifying
+        .join(broadcast(s.table("supplier").select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name")).limit(20)
+    },
 
     both("tpch_h22",
       "SELECT cntrycode, COUNT(*) AS numcust, ROUND(SUM(c_acctbal),2) AS totacctbal FROM " +
