@@ -27,11 +27,20 @@ object ArrowIO {
 
   /** Export a DataFrame as one Arrow IPC stream (schema + record batches). */
   def toArrowStream(df: DataFrame, batchSize: Int = 4096): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    writeArrowStream(df, out, batchSize)
+    out.toByteArray
+  }
+
+  /** Stream a DataFrame as an Arrow IPC stream directly onto `out` — the
+    * transport path for results larger than driver memory: only one
+    * `batchSize` batch is resident at a time, written as it fills.
+    */
+  def writeArrowStream(df: DataFrame, out: java.io.OutputStream, batchSize: Int = 4096): Unit = {
     val schema = df.schema
     val arrowSchema = TypeMapping.toArrowSchema(schema)
     val allocator = new RootAllocator()
     val root = VectorSchemaRoot.create(arrowSchema, allocator)
-    val out = new ByteArrayOutputStream()
     val writer = new ArrowStreamWriter(root, null, out)
     try {
       writer.start()
@@ -50,7 +59,6 @@ object ArrowIO {
       }
       flush()
       writer.end()
-      out.toByteArray
     } finally {
       writer.close(); root.close(); allocator.close()
     }
