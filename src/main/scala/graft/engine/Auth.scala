@@ -22,7 +22,10 @@ object Auth {
 
   final case class Identity(
       username: String, role: String, authMethod: String,
-      instanceId: String, sessionId: String)
+      instanceId: String, sessionId: String,
+      // None = unrestricted; Some(set) = the enterprise catalog_access claim
+      // (duckdb_statement.cpp:859-884) limiting visible/queryable stores.
+      catalogAccess: Option[Set[String]] = None)
 
   /** Derive a 256-bit HS256 key from the shared secret (jjwt enforces the
     * RFC 7518 minimum key size, so short secrets are stretched via SHA-256).
@@ -53,8 +56,9 @@ object Auth {
   def mintToken(secret: String, username: String, role: String, instanceId: String,
       sessionId: String = UUID.randomUUID().toString,
       now: Instant = Instant.now(),
-      authMethod: String = "basic"): String =
-    Jwts.builder()
+      authMethod: String = "basic",
+      catalogAccess: Option[Seq[String]] = None): String = {
+    val builder = Jwts.builder()
       .issuer(Issuer)
       .subject(username)
       .claim("role", role)
@@ -63,8 +67,11 @@ object Auth {
       .claim("session_id", sessionId)
       .issuedAt(Date.from(now))
       .expiration(Date.from(now.plusSeconds(TokenLifetimeSeconds)))
-      .signWith(hmacKey(secret))
-      .compact()
+    // Absent claim = unrestricted; an empty grant ("") round-trips to an
+    // empty set (the session sees nothing) rather than to unrestricted.
+    catalogAccess.foreach(cs => builder.claim("catalog_access", cs.mkString(",")))
+    builder.signWith(hmacKey(secret)).compact()
+  }
 
   /** Validate a bearer token: signature, issuer, expiry, instance binding. */
   def validate(secret: String, token: String, instanceId: String): Either[String, Identity] =
@@ -86,6 +93,8 @@ object Auth {
           c.get("role", classOf[String]),
           c.get("auth_method", classOf[String]),
           tokenInstance,
-          c.get("session_id", classOf[String])))
+          c.get("session_id", classOf[String]),
+          Option(c.get("catalog_access", classOf[String]))
+            .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)))
     }
 }

@@ -17,7 +17,9 @@ final class SessionState(
     val user: String,
     val role: String,
     val spark: SparkSession,
-    val settings: SessionSettings) {
+    val settings: SessionSettings,
+    // None = unrestricted; Some(set) = catalog_access claim from the token.
+    val catalogAccess: Option[Set[String]] = None) {
 
   final case class Prepared(handle: String, sql: String, schema: Option[StructType])
 
@@ -68,11 +70,18 @@ final class SessionManager(root: SparkSession, global: GlobalSettings) {
   private val sessions = new ConcurrentHashMap[String, SessionState]()
   private val killedTombstones = ConcurrentHashMap.newKeySet[String]()
 
-  def getOrCreate(sessionId: String, user: String, role: String): SessionState = {
+  /** Engine-global attachments (ATTACH/DETACH) — shared across sessions like
+    * the reference's attached catalogs.
+    */
+  val attachments = new AttachManager
+
+  def getOrCreate(sessionId: String, user: String, role: String,
+      catalogAccess: Option[Set[String]] = None): SessionState = {
     if (killedTombstones.contains(sessionId))
       throw new IllegalStateException(s"session $sessionId was killed")
     sessions.computeIfAbsent(sessionId, _ =>
-      new SessionState(sessionId, user, role, root.newSession(), new SessionSettings(global)))
+      new SessionState(sessionId, user, role, root.newSession(),
+        new SessionSettings(global), catalogAccess))
   }
 
   /** Non-creating lookup (reference `:917-955` — liveness probes must not

@@ -30,6 +30,12 @@ object Statement {
   // through to Spark's conf SET without updating the settings registry)
   private val SetSettingRe =
     """(?is)^\s*SET\s+(?:(SESSION|GLOBAL)\s+)?(gizmosql\.[a-z_]+)\s*=\s*(?:'([^']*)'|([^;']+?))\s*;?\s*$""".r
+  // Reference multi-catalog statements (`duckdb_server.cpp:700-717`): ATTACH
+  // maps to a namespace of external parquet tables, DETACH drops it.
+  private val AttachRe =
+    """(?is)^\s*ATTACH\s+(?:DATABASE\s+)?'([^']+)'\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
+  private val DetachRe =
+    """(?is)^\s*DETACH\s+(?:DATABASE\s+)?([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
 
   private val pool = ExecutionContext.fromExecutorService(
     Executors.newCachedThreadPool(r => {
@@ -103,6 +109,21 @@ object Statement {
         sessions.kill(target)
         oneRowResult(session.spark, "result", s"session $target killed")
 
+      case AttachRe(path, name) =>
+        // Local-path attach is engine management: admin-only, like the
+        // guard's local-scan rule (admin_command_guard.cpp:68-76).
+        if (!session.isAdmin)
+          throw new SecurityException("ATTACH requires the admin role")
+        val n = sessions.attachments.attach(session.spark, name, path)
+        oneRowResult(session.spark, "result", s"attached '$name' ($n tables)")
+
+      case DetachRe(name) =>
+        if (!session.isAdmin)
+          throw new SecurityException("DETACH requires the admin role")
+        if (!sessions.attachments.detach(session.spark, name))
+          throw new IllegalArgumentException(s"no attachment named '$name'")
+        oneRowResult(session.spark, "result", s"detached '$name'")
+
       case SetSettingRe(scope, name, quoted, bare) =>
         val value = Option(quoted).getOrElse(bare)
         val result =
@@ -119,7 +140,9 @@ object Statement {
       case _ =>
         StatementGuard.check(session.spark, sql, session.isAdmin, session.isReadOnly) match {
           case StatementGuard.Blocked(reason) => throw new SecurityException(reason)
-          case StatementGuard.Allowed => session.spark.sql(sql)
+          case StatementGuard.Allowed =>
+            CatalogAccess.enforce(session, session.spark, sql, sessions.attachments.names)
+            session.spark.sql(sql)
         }
     }
   }

@@ -68,7 +68,7 @@ object StatementGuard {
     * `collectWithSubqueries` alone would let `WITH c AS (SELECT * FROM
     * parquet.\`/x\`) ...` slip past the gate.
     */
-  private def allNodes(plan: LogicalPlan): Seq[LogicalPlan] = {
+  private[engine] def allNodes(plan: LogicalPlan): Seq[LogicalPlan] = {
     val direct = plan.collectWithSubqueries { case p => p }
     direct.flatMap {
       case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>

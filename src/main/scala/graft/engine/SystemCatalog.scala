@@ -29,44 +29,82 @@ object SystemCatalog {
   private def likeFilter(c: org.apache.spark.sql.Column, pattern: Option[String]) =
     pattern.map(p => c.rlike(likeToRegex(p))).getOrElse(lit(true))
 
-  /** `SELECT DISTINCT catalog_name ... ORDER BY 1` (`duckdb_server.cpp:1310-1319`). */
-  def catalogs(spark: SparkSession): DataFrame = {
-    val names = spark.catalog.listCatalogs().select("name").distinct()
-    names.withColumnRenamed("name", "catalog_name").orderBy("catalog_name")
+  private def visibleFilter(c: org.apache.spark.sql.Column, visible: Option[Set[String]]) =
+    visible.map(v => if (v.isEmpty) lit(false) else c.isin(v.toSeq: _*)).getOrElse(lit(true))
+
+  /** `SELECT DISTINCT catalog_name ... ORDER BY 1` (`duckdb_server.cpp:1310-1319`).
+    * Attached stores surface as catalogs — the reference's model, where each
+    * ATTACH adds a catalog (`duckdb_server.cpp:700-717`). `visible` is the
+    * session's catalog_access grant (None = unrestricted).
+    */
+  def catalogs(spark: SparkSession, attached: Set[String] = Set.empty,
+      visible: Option[Set[String]] = None): DataFrame = {
+    val schema = StructType(Seq(StructField("name", StringType, nullable = false)))
+    val extra = spark.createDataFrame(
+      attached.toSeq.sorted.map(Row(_)).asJava, schema)
+    spark.catalog.listCatalogs().select("name").union(extra).distinct()
+      .filter(visibleFilter(col("name"), visible))
+      .withColumnRenamed("name", "catalog_name").orderBy("catalog_name")
   }
 
-  /** Schemata filtered by catalog + LIKE pattern (`duckdb_server.cpp:1327-1352`). */
-  def dbSchemas(spark: SparkSession, schemaPattern: Option[String] = None): DataFrame = {
+  /** Schemata filtered by catalog + LIKE pattern (`duckdb_server.cpp:1327-1352`).
+    * An attached store reports as (catalog_name = attachment, db_schema_name
+    * = "main"), the reference's attached-catalog shape.
+    */
+  def dbSchemas(spark: SparkSession, schemaPattern: Option[String] = None,
+      attached: Set[String] = Set.empty, visible: Option[Set[String]] = None): DataFrame = {
     val dbs = spark.catalog.listDatabases()
       .select(col("catalog").as("catalog_name"), col("name").as("db_schema_name"))
-    dbs.filter(likeFilter(col("db_schema_name"), schemaPattern))
+      .collect().toSeq.map { r =>
+        val (cat, db) = (Option(r.getString(0)).getOrElse("spark_catalog"), r.getString(1))
+        if (attached.contains(db)) Row(db, "main") else Row(cat, db)
+      }
+    val schema = StructType(Seq(
+      StructField("catalog_name", StringType), StructField("db_schema_name", StringType)))
+    spark.createDataFrame(dbs.asJava, schema)
+      .filter(likeFilter(col("db_schema_name"), schemaPattern))
+      .filter(visibleFilter(col("catalog_name"), visible))
       .orderBy("catalog_name", "db_schema_name")
   }
 
   /** information_schema.tables-shaped listing with LIKE + type filters;
     * temp views surface as LOCAL TEMPORARY like the reference's
-    * `temp.main` catalog (`duckdb_server.cpp:309-314`).
+    * `temp.main` catalog (`duckdb_server.cpp:309-314`). Spans every
+    * database, so attached stores appear alongside the default namespace
+    * (as catalog_name = attachment, db_schema_name = "main").
     */
   def tables(
       spark: SparkSession,
       schemaPattern: Option[String] = None,
       tablePattern: Option[String] = None,
-      tableTypes: Seq[String] = Nil): DataFrame = {
+      tableTypes: Seq[String] = Nil,
+      attached: Set[String] = Set.empty,
+      visible: Option[Set[String]] = None): DataFrame = {
     import spark.implicits._
-    val rows = spark.catalog.listTables().collect().toSeq.map { t =>
+    val dbs = spark.catalog.listDatabases().collect().map(_.name).toSeq
+    val listed = spark.catalog.listTables().collect().toSeq ++
+      dbs.filterNot(_ == spark.catalog.currentDatabase).flatMap { db =>
+        try spark.catalog.listTables(db).collect().toSeq.filterNot(_.isTemporary)
+        catch { case _: org.apache.spark.sql.AnalysisException => Nil }
+      }
+    val rows = listed.map { t =>
       val typ = t.tableType match {
         case "TEMPORARY" | "TEMP" => "LOCAL TEMPORARY"
         case "VIEW" => "VIEW"
         case _ => if (t.isTemporary) "LOCAL TEMPORARY" else "BASE TABLE"
       }
-      (Option(t.catalog).getOrElse("spark_catalog"),
-        Option(t.namespace).map(_.mkString(".")).filter(_.nonEmpty).getOrElse("default"),
-        t.name, typ)
-    }
+      val ns = Option(t.namespace).map(_.mkString(".")).filter(_.nonEmpty).getOrElse("default")
+      if (attached.contains(ns)) (ns, "main", t.name, typ)
+      else (Option(t.catalog).getOrElse("spark_catalog"), ns, t.name, typ)
+    }.distinct
     val df = rows.toDF("catalog_name", "db_schema_name", "table_name", "table_type")
     df.filter(likeFilter(col("db_schema_name"), schemaPattern))
       .filter(likeFilter(col("table_name"), tablePattern))
       .filter(if (tableTypes.nonEmpty) col("table_type").isin(tableTypes: _*) else lit(true))
+      // Session-local temp views stay visible under any grant (the
+      // reference's temp catalog is never filtered).
+      .filter(visibleFilter(col("catalog_name"), visible) ||
+        col("table_type") === "LOCAL TEMPORARY")
       .orderBy("catalog_name", "db_schema_name", "table_name")
   }
 

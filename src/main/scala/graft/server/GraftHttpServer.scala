@@ -53,7 +53,10 @@ final class GraftHttpServer(
     // (`gizmosql_security.cpp:533-557`).
     oidc: Option[TokenAuth.Config] = None,
     // Optional TLS material; when set the server speaks HTTPS only.
-    tls: Option[GraftHttpServer.Tls] = None) extends AutoCloseable {
+    tls: Option[GraftHttpServer.Tls] = None,
+    // username -> catalog_access grant minted into that user's tokens (the
+    // enterprise catalog_permissions config; absent = unrestricted).
+    catalogGrants: Map[String, Seq[String]] = Map.empty) extends AutoCloseable {
 
   import GraftHttpServer.{Full, Resp, Streamed}
 
@@ -232,7 +235,8 @@ final class GraftHttpServer(
               s"""{"token":${quote(token)}}""".getBytes(StandardCharsets.UTF_8))
           decoded.split(":", 2) match {
             case Array(user, pass) if user == username && Auth.checkBasic(secret, pass, storedPasswordHash) =>
-              minted(Auth.mintToken(secret, user, "admin", instanceId))
+              minted(Auth.mintToken(secret, user, "admin", instanceId,
+                catalogAccess = catalogGrants.get(user)))
             case Array(TokenAuth.TokenUsername, externalJwt) if oidc.isDefined =>
               TokenAuth.bootstrap(oidc.get, secret, externalJwt, instanceId) match {
                 case Left(err) => (401, "application/json", jsonError(err))
@@ -306,7 +310,7 @@ final class GraftHttpServer(
           case Left(reason) => (503, "application/json", jsonError(reason))
           case Right(_) =>
             try {
-              val session = sessions.getOrCreate(id.sessionId, id.username, id.role)
+              val session = sessions.getOrCreate(id.sessionId, id.username, id.role, id.catalogAccess)
               if (bootstrapped.add(id.sessionId)) {
                 onSessionCreate(session.spark)
                 Statement.registerPseudoFunctions(session, instanceId, clusterId)

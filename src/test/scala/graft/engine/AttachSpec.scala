@@ -1,0 +1,130 @@
+package graft.engine
+
+import graft.SparkTestHarness
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Multi-catalog ATTACH/DETACH/USE plus the catalog_access visibility claim
+  * (`/root/reference/src/duckdb/duckdb_server.cpp:700-717`,
+  * `duckdb_statement.cpp:859-884`).
+  */
+class AttachSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+  private lazy val global = new GlobalSettings
+  private lazy val sessions = new SessionManager(spark, global)
+
+  private lazy val admin = sessions.getOrCreate("attspec-admin", "alice", "admin")
+  private lazy val user = sessions.getOrCreate("attspec-user", "bob", "user")
+  private lazy val restricted = sessions.getOrCreate(
+    "attspec-restr", "carol", "user", Some(Set("attspec_a")))
+
+  private def run(s: SessionState, sql: String) =
+    Statement.create(sessions, s, global, sql)
+
+  // Second store: a temp directory holding one parquet table.
+  private lazy val storeB: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-attach-b").toFile
+    spark.read.parquet(s"${SparkTestHarness.sfDir}/nation.parquet")
+      .limit(10).coalesce(1).write.mode("overwrite")
+      .parquet(new java.io.File(dir, "tiny_nation.parquet").getAbsolutePath)
+    dir.getAbsolutePath
+  }
+
+  private lazy val attachedBoth: Unit = {
+    run(admin, s"ATTACH '${SparkTestHarness.sfDir}' AS attspec_a")
+    run(admin, s"ATTACH DATABASE '$storeB' AS attspec_b")
+  }
+
+  test("ATTACH registers every parquet table and is admin-only") {
+    attachedBoth
+    assert(sessions.attachments.names == Set("attspec_a", "attspec_b"))
+    intercept[SecurityException](run(user, s"ATTACH '$storeB' AS attspec_c"))
+    // invalid path is a client error
+    intercept[IllegalArgumentException](run(admin, "ATTACH '/does/not/exist' AS nope"))
+  }
+
+  test("attached stores are queryable with 2-part names, across stores") {
+    attachedBoth
+    assert(run(admin, "SELECT COUNT(*) AS n FROM attspec_a.region").collect()(0).getLong(0) == 5)
+    val joined = run(admin,
+      "SELECT COUNT(*) AS n FROM attspec_a.nation a JOIN attspec_b.tiny_nation b ON a.n_nationkey = b.n_nationkey")
+      .collect()(0).getLong(0)
+    assert(joined == 10)
+  }
+
+  test("GetCatalogs / GetDbSchemas / GetTables span attachments") {
+    attachedBoth
+    val att = sessions.attachments.names
+    val cats = SystemCatalog.catalogs(spark, att).collect().map(_.getString(0)).toSet
+    assert(Set("spark_catalog", "attspec_a", "attspec_b").subsetOf(cats))
+    val schemas = SystemCatalog.dbSchemas(spark, attached = att).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(schemas.contains(("attspec_a", "main")) && schemas.contains(("attspec_b", "main")))
+    val tbl = SystemCatalog.tables(spark, attached = att).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(tbl.contains(("attspec_a", "main", "region")))
+    assert(tbl.contains(("attspec_b", "main", "tiny_nation")))
+  }
+
+  test("USE switches into an attachment; bare names resolve there") {
+    attachedBoth
+    run(admin, "USE attspec_a")
+    try {
+      assert(run(admin, "SELECT COUNT(*) AS n FROM region").collect()(0).getLong(0) == 5)
+    } finally run(admin, "USE default")
+  }
+
+  test("catalog_access claim round-trips through the token") {
+    val t = Auth.mintToken("s3cret", "carol", "user", "inst-1",
+      catalogAccess = Some(Seq("attspec_a", "spark_catalog")))
+    val id = Auth.validate("s3cret", t, "inst-1").toOption.get
+    assert(id.catalogAccess.contains(Set("attspec_a", "spark_catalog")))
+    // no claim = unrestricted
+    val t2 = Auth.mintToken("s3cret", "alice", "admin", "inst-1")
+    assert(Auth.validate("s3cret", t2, "inst-1").toOption.get.catalogAccess.isEmpty)
+  }
+
+  test("restricted session queries only granted stores") {
+    attachedBoth
+    assert(run(restricted, "SELECT COUNT(*) AS n FROM attspec_a.region")
+      .collect()(0).getLong(0) == 5)
+    intercept[SecurityException](
+      run(restricted, "SELECT * FROM attspec_b.tiny_nation"))
+    intercept[SecurityException](
+      run(restricted, "SELECT * FROM spark_catalog.default.anything"))
+    intercept[SecurityException](run(restricted, "USE attspec_b"))
+    // CTE bodies are walked too
+    intercept[SecurityException](run(restricted,
+      "WITH x AS (SELECT * FROM attspec_b.tiny_nation) SELECT * FROM x"))
+    // unqualified temp-view references stay allowed
+    spark.range(3).createOrReplaceTempView("attspec_probe")
+    restricted.spark.range(3).toDF("v").createOrReplaceTempView("attspec_probe")
+    assert(run(restricted, "SELECT COUNT(*) AS n FROM attspec_probe")
+      .collect()(0).getLong(0) == 3)
+  }
+
+  test("restricted metadata listings filter to the grant; temp views stay") {
+    attachedBoth
+    val att = sessions.attachments.names
+    val visible = Some(Set("attspec_a"))
+    val cats = SystemCatalog.catalogs(spark, att, visible).collect().map(_.getString(0)).toSet
+    assert(cats == Set("attspec_a"))
+    val tbl = SystemCatalog.tables(spark, attached = att, visible = visible).collect()
+    val catsSeen = tbl.map(_.getString(0)).toSet
+    assert(tbl.exists(r => r.getString(0) == "attspec_a" && r.getString(2) == "region"))
+    assert(!catsSeen.contains("attspec_b"))
+    assert(tbl.filter(_.getString(3) != "LOCAL TEMPORARY").forall(_.getString(0) == "attspec_a"))
+  }
+
+  test("DETACH removes the attachment; admin-only; unknown name errors") {
+    attachedBoth
+    intercept[SecurityException](run(user, "DETACH attspec_b"))
+    run(admin, "DETACH DATABASE attspec_b")
+    assert(!sessions.attachments.names.contains("attspec_b"))
+    intercept[org.apache.spark.sql.AnalysisException](
+      run(admin, "SELECT * FROM attspec_b.tiny_nation").collect())
+    intercept[IllegalArgumentException](run(admin, "DETACH attspec_b"))
+    val cats = SystemCatalog.catalogs(spark, sessions.attachments.names)
+      .collect().map(_.getString(0)).toSet
+    assert(!cats.contains("attspec_b"))
+  }
+}
