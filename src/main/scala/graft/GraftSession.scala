@@ -27,6 +27,11 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // A long-lived server cycles through many distinct query shapes; the
+      // default 100-entry codegen class cache thrashes once the working set
+      // of generated stages exceeds it, recompiling (and re-JITting) hot
+      // stages on every revisit.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.sql.warehouse.dir", sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-warehouse")
       .config("spark.ui.enabled", "false")
 

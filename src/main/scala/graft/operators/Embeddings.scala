@@ -73,7 +73,106 @@ object Embeddings {
       .orderBy(col("cos").desc, col("vec_id")).limit(k)
   }
 
+  /** Deterministic random-hyperplane LSH parameters, shared bit-for-bit with
+    * the DuckDB oracle: plane component r[j][i] = md5-derived 60-bit hash of
+    * "hp_j_i" mapped to [-1, 1). Both engines compute the same planes, the
+    * same sequential dot products, and therefore the same sign bits —
+    * verified value-identical on all fixtures (and the oracle replicates the
+    * algorithm, so the check never depends on LSH recall).
+    */
+  object HyperplaneLsh {
+    val dim = 64
+    val bitsPerBand = 8
+    val bands = 16
+    val numBits: Int = bitsPerBand * bands
+
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val hex = d.map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+
+    /** (band, pos, plane vector) per bit. */
+    lazy val planes: Seq[(Int, Int, Seq[Double])] =
+      (0 until numBits).map { j =>
+        (j / bitsPerBand, j % bitsPerBand,
+          (0 until dim).map(i => h60(s"hp_${j}_${i}").toDouble / (1L << 60).toDouble * 2 - 1))
+      }
+
+    /** The same 60-bit md5 hash in DuckDB SQL over a string column `s`. */
+    def hex60Sql: String =
+      (1 to 15).map { k =>
+        s"(strpos('0123456789abcdef', substr(md5(s), $k, 1)) - 1) * ${1L << (4 * (15 - k))}"
+      }.mkString("(", " + ", ")")
+  }
+
+  /** Hyperplane-LSH near-duplicate search: sign-bit sketches bucketed into
+    * bands, candidates from a (band, bucket) equi-join, exact cosine
+    * verification of candidates only. This is the sound 100 TB pruning path
+    * for the HIGH-similarity regime (recall rises with similarity: with 16
+    * bands of 8 bits, ~94% at cos 0.9 but ~40% at the 0.45 tail — the spec
+    * of this operator is "LSH-recalled near-dups, exactly verified", which
+    * is what its oracle checks; `dedup_embed` remains the exact operator).
+    * Cost: corpus x numBits codegen'd dot products + an equi-join — never
+    * all pairs.
+    */
+  def lshDedup(spark: SparkSession, e: DataFrame, threshold: Double): DataFrame = {
+    import HyperplaneLsh._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val planeSchema = StructType(Seq(
+      StructField("band", IntegerType, nullable = false),
+      StructField("pos", IntegerType, nullable = false),
+      StructField("rvec", ArrayType(DoubleType, containsNull = false), nullable = false)))
+    val planesDf = spark.createDataFrame(
+      planes.map { case (b, p, r) => Row(b, p, r) }.asJava, planeSchema)
+    val buckets = e.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .crossJoin(broadcast(planesDf))
+      .select(col("vec_id"), col("band"),
+        when(dot(col("v"), col("rvec")) >= 0,
+          expr("shiftleft(CAST(1 AS BIGINT), pos)")).otherwise(0L).as("bv"))
+      .groupBy("vec_id", "band").agg(sum("bv").as("bucket"))
+    val cand = buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    val va = e.select(col("vec_id").as("id_a"), asDouble(col("embedding")).as("va"))
+    val vb = e.select(col("vec_id").as("id_b"), asDouble(col("embedding")).as("vb"))
+    cand.join(va, "id_a").join(vb, "id_b")
+      .select(col("id_a"), col("id_b"), round(cosine(col("va"), col("vb")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+      .orderBy("id_a", "id_b")
+  }
+
+  private def lshDedupOracle: String = {
+    import HyperplaneLsh._
+    "WITH planes AS (SELECT j // " + bitsPerBand + " AS band, j % " + bitsPerBand + " AS pos, " +
+      "LIST(r ORDER BY i) AS rvec FROM (" +
+      s"SELECT j, i, $hex60Sql / 1152921504606846976.0 * 2 - 1 AS r " +
+      s"FROM (SELECT UNNEST(GENERATE_SERIES(0,${numBits - 1})) j), " +
+      s"(SELECT UNNEST(GENERATE_SERIES(0,${dim - 1})) i), " +
+      "LATERAL (SELECT 'hp_' || j || '_' || i AS s)) GROUP BY 1, 2), " +
+      "bits AS (SELECT e.vec_id, p.band, CASE WHEN " +
+      "LIST_DOT_PRODUCT(CAST(e.embedding AS DOUBLE[]), p.rvec) >= 0 " +
+      "THEN (1::BIGINT << p.pos) ELSE 0 END AS bv FROM embeddings e, planes p), " +
+      "buckets AS (SELECT vec_id, band, CAST(SUM(bv) AS BIGINT) AS bucket FROM bits GROUP BY 1, 2), " +
+      "cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b FROM buckets a " +
+      "JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id) " +
+      "SELECT id_a, id_b, ROUND(LIST_COSINE_SIMILARITY(CAST(ea.embedding AS DOUBLE[]), " +
+      "CAST(eb.embedding AS DOUBLE[])),6) AS cos FROM cand " +
+      "JOIN embeddings ea ON ea.vec_id = id_a JOIN embeddings eb ON eb.vec_id = id_b " +
+      "WHERE ROUND(LIST_COSINE_SIMILARITY(CAST(ea.embedding AS DOUBLE[]), " +
+      "CAST(eb.embedding AS DOUBLE[])),6) >= 0.45 ORDER BY id_a, id_b"
+  }
+
   val ops: Seq[Op] = Seq(
+    Op("dedup_embed_lsh", lshDedupOracle) { (s, d) =>
+      lshDedup(s, emb(s, d), 0.45)
+    },
+
     Op("embed_cosine_topk",
       "SELECT vec_id, ROUND(LIST_COSINE_SIMILARITY(CAST(embedding AS DOUBLE[]), " +
       "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id=0)),6) AS cos " +

@@ -99,12 +99,31 @@ object TpchSuite {
       "AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) " +
       "GROUP BY p_brand, p_type, p_size ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 50"),
 
-    both("tpch_h18",
+    // h18: the oracle keeps the verbatim IN-subquery shape; the Spark
+    // implementation aggregates lineitem ONCE — the outer GROUP BY's
+    // SUM(l_quantity) per order is the same aggregate the IN-subquery
+    // computes, so the naive decorrelation (two lineitem scans + a semi join)
+    // collapses to one scan, one aggregation, and two broadcast-joined
+    // dimension lookups.
+    Op("tpch_h18",
       "SELECT c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS odate, ROUND(o_totalprice,2) AS price, " +
       "ROUND(SUM(l_quantity),2) AS total_qty " +
       "FROM customer JOIN orders ON c_custkey=o_custkey JOIN lineitem ON o_orderkey=l_orderkey " +
       "WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150) " +
-      "GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice ORDER BY price DESC, o_orderkey LIMIT 20"),
+      "GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice ORDER BY price DESC, o_orderkey LIMIT 20") { (s, d) =>
+      Tables.ensure(s, d)
+      val qty = s.table("lineitem").groupBy("l_orderkey")
+        .agg(sum("l_quantity").as("q")).filter(col("q") > 150)
+      qty.join(s.table("orders").select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(s.table("customer").select("c_custkey"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("odate"),
+          round(col("o_totalprice"), 2).as("price"),
+          round(col("q"), 2).as("total_qty"))
+        .orderBy(col("price").desc, col("o_orderkey")).limit(20)
+    },
 
     both("tpch_h19",
       "SELECT ROUND(SUM(l_extendedprice*(1-l_discount)),2) AS revenue FROM lineitem JOIN part ON p_partkey=l_partkey " +
