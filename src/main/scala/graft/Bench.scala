@@ -28,21 +28,25 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // Warm-up outside the timings: view registration, then one run of every
-    // headline query against the smallest scale factor. Identical query
-    // shapes generate identical code, so this fills the codegen/JIT caches
-    // (~50% of cold first-run time) and the timed sf runs below measure the
-    // engine's steady-state throughput — the number that matters for a
-    // long-lived cluster.
+    // headline query at the TIMED scale factor. AQE final plans (and thus
+    // the generated code) depend on measured sizes, so warming at a smaller
+    // SF leaves the big queries' sf-specific stages cold — measured 6.6 s
+    // vs 1.5 s steady on the clean-corpus pipeline. One full warm pass fills
+    // the codegen/JIT caches for exactly the plans the timed passes run,
+    // so the medians below measure the engine's steady-state throughput —
+    // the number that matters for a long-lived cluster.
     Tables.ensure(spark, sfDir)
     spark.table("lineitem").count()
     val queries = SparkEntry.queries
-    val warmDir = "/root/testdata/sf0.001"
-    headline.filter(queries.contains).foreach { name =>
-      try queries(name)(spark, warmDir).count()
-      catch { case _: Throwable => }
+    // Two warm passes: the first compiles the sf-specific generated code,
+    // the second lets HotSpot's C2 finish promoting the hot loops (pass
+    // totals kept falling 16 -> 10 -> 8 s with a single warm pass).
+    (1 to 2).foreach { _ =>
+      headline.filter(queries.contains).foreach { name =>
+        try queries(name)(spark, sfDir).count()
+        catch { case _: Throwable => }
+      }
     }
-    // Re-point the views at the timed scale factor before measuring.
-    Tables.ensure(spark, sfDir)
 
     def timedPass(): Seq[(String, Double)] = headline.filter(queries.contains).map { name =>
       val t0 = System.nanoTime()
@@ -57,6 +61,11 @@ object Bench {
     // second pass measured *slower* than the cold first); the median drops
     // the cold AQE-final-plan-codegen pass and one-off scheduler hiccups.
     val passes = Seq(timedPass(), timedPass(), timedPass())
+    if (sys.env.contains("SPARK_GRAFT_BENCH_DEBUG"))
+      passes.zipWithIndex.foreach { case (p, i) =>
+        System.err.println(s"[bench] pass$i: " +
+          p.sortBy(-_._2).take(8).map { case (n, t) => f"$n=$t%.2f" }.mkString(" "))
+      }
     val names = passes.head.map(_._1)
     def median3(a: Double, b: Double, c: Double): Double =
       Seq(a, b, c).sorted.apply(1)

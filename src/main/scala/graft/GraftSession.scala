@@ -17,16 +17,29 @@ object GraftSession {
     * changes; shuffle.partitions=32 matches the local harness and is expected
     * to be overridden (or AQE-coalesced) on a real cluster.
     */
-  def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"): SparkSession.Builder =
-    SparkSession.builder()
+  def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"): SparkSession.Builder = {
+    val b = SparkSession.builder()
       .master(master)
       .appName("graft")
+    // Local masters only: put shuffle/spill files on tmpfs when available.
+    // Shuffle writes are the hot disk path in local mode; on a real cluster
+    // the resource manager provides spark.local.dir (often NVMe) and this
+    // branch never fires.
+    if (master.startsWith("local") && new java.io.File("/dev/shm").isDirectory)
+      b.config("spark.local.dir", "/dev/shm/graft-spark")
+    b
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Runtime SMJ->SHJ: when AQE measures every shuffle partition of a
+      // join input under this threshold, build a hash table instead of
+      // sorting both sides. Decided from measured sizes per query, so the
+      // same conf is safe at 100 TB (big joins keep sort-merge and its
+      // graceful spill path; only provably small ones skip the sorts).
+      .config("spark.sql.adaptive.shuffledHashJoinLocalMapThreshold", "128m")
       // A long-lived server cycles through many distinct query shapes; the
       // default 100-entry codegen class cache thrashes once the working set
       // of generated stages exceeds it, recompiling (and re-JITting) hot
@@ -34,6 +47,7 @@ object GraftSession {
       .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.sql.warehouse.dir", sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-warehouse")
       .config("spark.ui.enabled", "false")
+  }
 
   def local(): SparkSession = builder().getOrCreate()
 }
