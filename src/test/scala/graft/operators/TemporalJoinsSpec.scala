@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestHarness
+
+/** Edge semantics of the as-of join the DuckDB oracle can't isolate:
+  * inclusive bounds, same-timestamp tie-breaks, and the no-prior-match case.
+  */
+class TemporalJoinsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+  import spark.implicits._
+
+  private def run(left: Seq[(Long, Long, Double)], right: Seq[(Long, Long, Double)]) = {
+    val l = left.toDF("user_id", "ts", "value")
+    val r = right.toDF("user_id", "ts", "value")
+    TemporalJoins.asofBackward(l, r, key = "user_id", tsCol = "ts", payload = Seq("value"))
+      .select("user_id", "ts", "value", "matched_ts", "matched_value")
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2),
+        Option(x.get(3)).map(_.asInstanceOf[Long]),
+        Option(x.get(4)).map(_.asInstanceOf[Double])))
+      .sortBy(t => (t._1, t._2))
+  }
+
+  test("as-of picks the latest right row at-or-before each left row") {
+    val out = run(
+      left = Seq((1L, 10L, 1.0), (1L, 20L, 2.0)),
+      right = Seq((1L, 5L, 50.0), (1L, 15L, 150.0), (1L, 25L, 250.0)))
+    assert(out === Seq(
+      (1L, 10L, 1.0, Some(5L), Some(50.0)),
+      (1L, 20L, 2.0, Some(15L), Some(150.0))))
+  }
+
+  test("bound is inclusive: a right row AT the left timestamp matches") {
+    val out = run(left = Seq((1L, 10L, 1.0)), right = Seq((1L, 10L, 99.0)))
+    assert(out === Seq((1L, 10L, 1.0, Some(10L), Some(99.0))))
+  }
+
+  test("no prior right row yields null match; keys never cross") {
+    val out = run(
+      left = Seq((1L, 10L, 1.0), (2L, 10L, 2.0)),
+      right = Seq((1L, 20L, 50.0), (2L, 5L, 60.0)))
+    assert(out === Seq(
+      (1L, 10L, 1.0, None, None),
+      (2L, 10L, 2.0, Some(5L), Some(60.0))))
+  }
+
+  test("ties on the right timestamp resolve to the payload-max row (the oracle's tie-break)") {
+    val out = run(
+      left = Seq((1L, 10L, 1.0)),
+      right = Seq((1L, 5L, 3.0), (1L, 5L, 7.0), (1L, 5L, 5.0)))
+    assert(out === Seq((1L, 10L, 1.0, Some(5L), Some(7.0))))
+  }
+
+  test("left columns beyond the key/ts survive and payload name collisions do not clobber them") {
+    val l = Seq((1L, 10L, 123.0, "keep")).toDF("user_id", "ts", "value", "tag")
+    val r = Seq((1L, 5L, 9.0)).toDF("user_id", "ts", "value")
+    val row = TemporalJoins.asofBackward(l, r, "user_id", "ts", Seq("value"))
+      .select("value", "tag", "matched_value").collect().head
+    assert(row.getDouble(0) === 123.0) // left's own `value`, not the right's
+    assert(row.getString(1) === "keep")
+    assert(row.getDouble(2) === 9.0)
+  }
+}
