@@ -17,28 +17,85 @@ object Shell {
 
   private var timer = false
   private var maxRows = 40
-  private var mode = "table" // table | csv
+  private var mode = "table" // table | csv | json | jsonl | markdown | line
+  private var headers = true
+  private var nullValue = "NULL"
+  private var output: Option[java.io.PrintWriter] = None
+
+  val modes: Set[String] = Set("table", "csv", "json", "jsonl", "markdown", "line")
 
   def render(df: DataFrame): String =
     renderRows(df.columns, df.limit(maxRows + 1).collect())
 
-  def renderRows(headers: Array[String], rows: Array[org.apache.spark.sql.Row]): String = {
+  private def csvQuote(v: String): String =
+    if (v.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+      "\"" + v.replace("\"", "\"\"") + "\""
+    else v
+
+  private def jsonQuote(v: String): String =
+    "\"" + v.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** One JSON field: raw for numbers/booleans, quoted otherwise. */
+  private def jsonField(r: org.apache.spark.sql.Row, i: Int): String =
+    r.get(i) match {
+      case null => "null"
+      case b: Boolean => b.toString
+      case n: Byte => n.toString
+      case n: Short => n.toString
+      case n: Int => n.toString
+      case n: Long => n.toString
+      case n: Float => n.toString
+      case n: Double => n.toString
+      case n: java.math.BigDecimal => n.toString
+      case v => jsonQuote(v.toString)
+    }
+
+  def renderRows(cols: Array[String], rows: Array[org.apache.spark.sql.Row]): String = {
     val truncated = rows.length > maxRows
     val shown = rows.take(maxRows)
-    val cells = shown.map(r => headers.indices.map(i =>
-      Option(r.get(i)).map(_.toString).getOrElse("NULL")).toArray)
+    val cells = shown.map(r => cols.indices.map(i =>
+      Option(r.get(i)).map(_.toString).getOrElse(nullValue)).toArray)
+    val note = if (truncated) s"\n-- truncated at $maxRows rows" else ""
     mode match {
       case "csv" =>
-        (headers.mkString(",") +: cells.map(_.mkString(","))).mkString("\n") +
-          (if (truncated) s"\n-- truncated at $maxRows rows" else "")
+        val body = cells.map(_.map(csvQuote).mkString(","))
+        ((if (headers) Seq(cols.map(csvQuote).mkString(",")) else Seq.empty) ++ body)
+          .mkString("\n") + note
+      case "json" =>
+        shown.map(r => cols.indices.map(i =>
+            jsonQuote(cols(i)) + ":" + jsonField(r, i)).mkString("{", ",", "}"))
+          .mkString("[", ",", "]") + note
+      case "jsonl" =>
+        shown.map(r => cols.indices.map(i =>
+            jsonQuote(cols(i)) + ":" + jsonField(r, i)).mkString("{", ",", "}"))
+          .mkString("\n") + note
+      case "markdown" =>
+        val widths = cols.indices.map(i => (cols(i).length +: cells.map(_(i).length)).max)
+        def line(vals: Seq[String]) =
+          vals.zip(widths).map { case (v, w) => v.padTo(w, ' ') }.mkString("| ", " | ", " |")
+        (Seq(line(cols.toIndexedSeq),
+          widths.map("-" * _).mkString("| ", " | ", " |")) ++
+          cells.map(c => line(c.toIndexedSeq))).mkString("\n") + note
+      case "line" =>
+        val w = if (cols.isEmpty) 0 else cols.map(_.length).max
+        cells.map(c => cols.indices.map(i =>
+            cols(i).reverse.padTo(w, ' ').reverse + " = " + c(i)).mkString("\n"))
+          .mkString("\n\n") + note
       case _ =>
-        val widths = headers.indices.map(i =>
-          (headers(i).length +: cells.map(_(i).length)).max)
+        val widths = cols.indices.map(i => (cols(i).length +: cells.map(_(i).length)).max)
         def line(vals: Seq[String]) =
           vals.zip(widths).map { case (v, w) => v.padTo(w, ' ') }.mkString("| ", " | ", " |")
         val sep = widths.map("-" * _).mkString("+-", "-+-", "-+")
-        (Seq(sep, line(headers.toIndexedSeq), sep) ++ cells.map(c => line(c.toIndexedSeq)) :+ sep)
-          .mkString("\n") + (if (truncated) s"\n-- truncated at $maxRows rows" else "")
+        ((if (headers) Seq(sep, line(cols.toIndexedSeq), sep) else Seq(sep)) ++
+          cells.map(c => line(c.toIndexedSeq)) :+ sep).mkString("\n") + note
     }
   }
 
@@ -54,11 +111,22 @@ object Shell {
         session.spark.table(parts(1)).schema.treeString
       case ".timer" => timer = parts.lift(1).forall(_ == "on"); s"timer ${if (timer) "on" else "off"}"
       case ".maxrows" => maxRows = parts.lift(1).flatMap(_.toIntOption).getOrElse(40); s"maxrows $maxRows"
-      case ".mode" => mode = parts.lift(1).getOrElse("table"); s"mode $mode"
+      case ".mode" =>
+        val m = parts.lift(1).getOrElse("table")
+        if (modes.contains(m)) { mode = m; s"mode $mode" }
+        else s"unknown mode '$m' (${modes.toSeq.sorted.mkString("|")})"
+      case ".headers" => headers = parts.lift(1).forall(_ == "on"); s"headers ${if (headers) "on" else "off"}"
+      case ".nullvalue" => nullValue = parts.lift(1).getOrElse("NULL"); s"nullvalue $nullValue"
+      case ".output" =>
+        output.foreach(_.close())
+        output = parts.lift(1).filter(_ != "stdout").map(f =>
+          new java.io.PrintWriter(new java.io.FileWriter(f)))
+        s"output ${parts.lift(1).getOrElse("stdout")}"
       case ".settings" => render(session.spark.table("gizmosql_settings"))
       case ".help" =>
         ".tables [pattern] | .schema <table> | .catalogs | .schemas | .settings | " +
-          ".timer on|off | .maxrows N | .mode table|csv | .quit"
+          ".timer on|off | .maxrows N | .mode table|csv|json|jsonl|markdown|line | " +
+          ".headers on|off | .nullvalue S | .output FILE|stdout | .quit"
       case ".quit" | ".exit" => null
       case other => s"unknown command: $other (try .help)"
     }
@@ -142,7 +210,11 @@ object Shell {
             val rows = admission.withSlot(bypass = false, () => session.killRequested) {
               Statement.executeWithTimeout(session, timeout)(df.limit(maxRows + 1).collect())
             }
-            println(renderRows(df.columns, rows))
+            val rendered = renderRows(df.columns, rows)
+            output match {
+              case Some(w) => w.println(rendered); w.flush(); println(s"-- ${rows.length} rows written")
+              case None => println(rendered)
+            }
             if (timer) println(f"-- ${(System.nanoTime() - t0) / 1e9}%.3f s")
           }
         } catch {

@@ -36,6 +36,12 @@ object Statement {
     """(?is)^\s*ATTACH\s+(?:DATABASE\s+)?'([^']+)'\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
   private val DetachRe =
     """(?is)^\s*DETACH\s+(?:DATABASE\s+)?([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
+  // DuckDB-shaped whole-database export/import (the reference delegates these
+  // verbatim to its backend; DuckDB docs: EXPORT DATABASE 'dir' (FORMAT ...)).
+  private val ExportDbRe =
+    """(?is)^\s*EXPORT\s+DATABASE\s+'([^']+)'\s*(?:\(\s*FORMAT\s+'?(PARQUET|CSV)'?\s*\))?\s*;?\s*$""".r
+  private val ImportDbRe =
+    """(?is)^\s*IMPORT\s+DATABASE\s+'([^']+)'\s*;?\s*$""".r
 
   private val pool = ExecutionContext.fromExecutorService(
     Executors.newCachedThreadPool(r => {
@@ -123,6 +129,20 @@ object Statement {
         if (!sessions.attachments.detach(session.spark, name))
           throw new IllegalArgumentException(s"no attachment named '$name'")
         oneRowResult(session.spark, "result", s"detached '$name'")
+
+      case ExportDbRe(path, fmt) =>
+        // Local-path write — engine management, admin-only like ATTACH.
+        if (!session.isAdmin)
+          throw new SecurityException("EXPORT DATABASE requires the admin role")
+        val n = DatabaseExport.exportDatabase(session.spark, path,
+          Option(fmt).getOrElse("parquet"))
+        oneRowResult(session.spark, "result", s"exported $n tables to '$path'")
+
+      case ImportDbRe(path) =>
+        if (!session.isAdmin)
+          throw new SecurityException("IMPORT DATABASE requires the admin role")
+        val n = DatabaseExport.importDatabase(session.spark, path)
+        oneRowResult(session.spark, "result", s"imported $n tables from '$path'")
 
       case SetSettingRe(scope, name, quoted, bare) =>
         val value = Option(quoted).getOrElse(bare)

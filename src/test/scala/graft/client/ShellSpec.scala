@@ -28,4 +28,43 @@ class ShellSpec extends AnyFunSuite {
     assert(Shell.handleDot(".bogus", null).contains("unknown command"))
     assert(Shell.handleDot(".quit", null) == null)
   }
+
+  test("csv mode quotes embedded delimiters and quotes") {
+    Shell.handleDot(".mode csv", null)
+    val out = Shell.render(spark.sql("""SELECT 'a,b' AS x, 'he said "hi"' AS y"""))
+    assert(out == "x,y\n\"a,b\",\"he said \"\"hi\"\"\"")
+    Shell.handleDot(".mode table", null)
+  }
+
+  test("json mode emits typed fields; jsonl one object per line") {
+    Shell.handleDot(".mode json", null)
+    val out = Shell.render(spark.sql("SELECT 1 AS n, 'x' AS s, CAST(NULL AS INT) AS z"))
+    assert(out == """[{"n":1,"s":"x","z":null}]""")
+    Shell.handleDot(".mode jsonl", null)
+    val lines = Shell.render(spark.range(0, 2).toDF("id")).split("\n")
+    assert(lines.toSeq == Seq("""{"id":0}""", """{"id":1}"""))
+    Shell.handleDot(".mode table", null)
+  }
+
+  test("markdown and line modes render; unknown mode rejected") {
+    Shell.handleDot(".mode markdown", null)
+    val md = Shell.render(spark.sql("SELECT 1 AS a"))
+    assert(md.startsWith("| a") && md.contains("| -"))
+    Shell.handleDot(".mode line", null)
+    val ln = Shell.render(spark.sql("SELECT 1 AS a, 'x' AS bb"))
+    assert(ln.contains(" a = 1") && ln.contains("bb = x"))
+    assert(Shell.handleDot(".mode nope", null).contains("unknown mode"))
+    Shell.handleDot(".mode table", null)
+  }
+
+  test(".headers off and .nullvalue apply to rendering") {
+    Shell.handleDot(".mode csv", null)
+    Shell.handleDot(".headers off", null)
+    Shell.handleDot(".nullvalue -", null)
+    val out = Shell.render(spark.sql("SELECT CAST(NULL AS INT) AS a, 2 AS b"))
+    assert(out == "-,2")
+    Shell.handleDot(".headers on", null)
+    Shell.handleDot(".nullvalue NULL", null)
+    Shell.handleDot(".mode table", null)
+  }
 }
