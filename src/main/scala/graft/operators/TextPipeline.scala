@@ -26,7 +26,7 @@ object TextPipeline {
     * `transform` lambda (which costs ~1 ms/doc). The generator input is
     * evaluated once per document, not once per gram.
     */
-  private def triRows(d: DataFrame): DataFrame = {
+  private[operators] def triRows(d: DataFrame): DataFrame = {
     val ws = tokens(col("text"))
     d.select(col("doc_id"), ws.as("w0"),
         slice(ws, lit(2), greatest(size(ws) - 1, lit(0))).as("s1"),

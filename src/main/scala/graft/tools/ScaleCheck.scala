@@ -40,6 +40,10 @@ object ScaleCheck {
     // not quadratically, like a real crawl.
     scaled("documents", Seq("doc_id"), 1000000L, _.withColumn("text",
       regexp_replace(col("text"), lit(" "), concat(lit(" c"), col("copy"), lit(" ")))))
+    // Events: new users per copy (user_id shifted) so per-user event density
+    // — and thus per-partition window/as-of work — stays constant while the
+    // user population scales, like a growing product.
+    scaled("events", Seq("event_id", "user_id"), 100000000L)
 
     println(s"[scale] lineitem rows: ${spark.table("lineitem").count()}, " +
       s"documents rows: ${spark.table("documents").count()}")
@@ -47,7 +51,8 @@ object ScaleCheck {
     val queries = SparkEntry.queries
     val names = Seq("agg_h01", "agg_global_h06", "join_inner_h03", "join_left_hist",
       "join_theta", "tpch_h18", "win_rownum", "topk",
-      "dedup_minhash_lsh", "dedup_simhash", "text_stats")
+      "dedup_minhash_lsh", "dedup_simhash", "text_stats",
+      "pipeline_clean_corpus", "text_contamination", "join_asof", "join_time_range")
     names.foreach { name =>
       // warm codegen once, then measure
       try {
