@@ -34,12 +34,17 @@ object ScaleCheck {
     scaled("lineitem", Seq("l_orderkey"), 100000000L)
     scaled("orders", Seq("o_orderkey", "o_custkey"), 100000000L)
     scaled("customer", Seq("c_custkey"), 100000000L)
-    // Documents: re-key AND salt the text per copy (a copy token between
-    // every word rewrites every trigram) so the corpus grows n-fold while
-    // the near-duplicate *rate* stays constant — scaling dup pairs linearly,
-    // not quadratically, like a real crawl.
+    // Documents: re-key AND salt the text per copy by RENAMING each token
+    // with a copy suffix. This preserves every intra-copy similarity exactly
+    // (trigram sets are isomorphic to the originals) while making copies
+    // pairwise disjoint — so the near-duplicate *rate* stays constant and
+    // dup pairs scale linearly, like a real crawl. (An earlier version
+    // inserted a shared copy token between words; that made every same-copy
+    // doc pair ~50% similar — trigrams of the form (c7, w, c7) — and blew
+    // the LSH candidate set up quadratically: 299 s vs 13 s at 10x.)
     scaled("documents", Seq("doc_id"), 1000000L, _.withColumn("text",
-      regexp_replace(col("text"), lit(" "), concat(lit(" c"), col("copy"), lit(" ")))))
+      array_join(transform(split(col("text"), " "),
+        x => concat(x, lit("c"), col("copy"))), " ")))
     // Events: new users per copy (user_id shifted) so per-user event density
     // — and thus per-partition window/as-of work — stays constant while the
     // user population scales, like a growing product.
