@@ -21,12 +21,15 @@ object GraftSession {
     val b = SparkSession.builder()
       .master(master)
       .appName("graft")
-    // Local masters only: put shuffle/spill files on tmpfs when available.
-    // Shuffle writes are the hot disk path in local mode; on a real cluster
-    // the resource manager provides spark.local.dir (often NVMe) and this
-    // branch never fires.
+    // Local masters only: put shuffle/spill files on tmpfs when available,
+    // and skip shuffle compression — compressing bytes that never leave RAM
+    // burns CPU for nothing. On a real cluster the resource manager provides
+    // spark.local.dir (often NVMe) and compression earns its keep on the
+    // network, so neither override fires there.
     if (master.startsWith("local") && new java.io.File("/dev/shm").isDirectory)
       b.config("spark.local.dir", "/dev/shm/graft-spark")
+        .config("spark.shuffle.compress", "false")
+        .config("spark.shuffle.spill.compress", "false")
     b
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "32")
