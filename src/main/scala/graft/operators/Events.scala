@@ -46,6 +46,37 @@ object Events {
       sessionCounts(ev(s, d), 1800000000L).orderBy("user_id")
     },
 
+    // Ordered conversion funnel signup -> click -> purchase: each stage's
+    // first event must follow the user's previous stage strictly in time.
+    // Three aggregations + two joins, all keyed on user_id — one logical
+    // shuffle key end-to-end, so the funnel runs at cluster width with no
+    // per-user state on the driver.
+    Op("events_funnel",
+      "WITH s AS (SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type='signup' GROUP BY user_id), " +
+      "c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN s ON s.user_id=e.user_id AND e.ts > s.t1 " +
+      "WHERE e.event_type='click' GROUP BY e.user_id), " +
+      "p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN c ON c.user_id=e.user_id AND e.ts > c.t2 " +
+      "WHERE e.event_type='purchase' GROUP BY e.user_id) " +
+      "SELECT stage_no, stage, users FROM (" +
+      "SELECT 1 AS stage_no, 'signup' AS stage, COUNT(*) AS users FROM s " +
+      "UNION ALL SELECT 2, 'click', COUNT(*) FROM c " +
+      "UNION ALL SELECT 3, 'purchase', COUNT(*) FROM p) t ORDER BY stage_no") { (s, d) =>
+      val e = ev(s, d)
+      val s1 = e.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val c1 = e.filter(col("event_type") === "click").as("e")
+        .join(s1.as("s"), col("e.user_id") === col("s.user_id") && col("e.ts") > col("s.t1"))
+        .groupBy(col("e.user_id")).agg(min(col("e.ts")).as("t2"))
+      val p1 = e.filter(col("event_type") === "purchase").as("e")
+        .join(c1.as("c"), col("e.user_id") === col("c.user_id") && col("e.ts") > col("c.t2"))
+        .groupBy(col("e.user_id")).agg(min(col("e.ts")).as("t3"))
+      def stage(no: Int, name: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("users"))
+          .select(lit(no).as("stage_no"), lit(name).as("stage"), col("users"))
+      stage(1, "signup", s1).unionAll(stage(2, "click", c1))
+        .unionAll(stage(3, "purchase", p1)).orderBy("stage_no")
+    },
+
     // Day-over-day retention: users active on day d who return on d+1.
     // Self-join on the distinct (user, day) activity set — the cohort shape
     // every event pipeline computes; distributes as one shuffle on user_id.
