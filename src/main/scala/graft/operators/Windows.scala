@@ -8,15 +8,40 @@ import graft.Tables
 /** Window functions (SURVEY.md §2.B "Window functions"): ranking, analytic,
   * and frame-based aggregates over `Window.partitionBy(..).orderBy(..)`.
   * Partitioned windows parallelize across executors (one shuffle on the
-  * partition key); only a window with no PARTITION BY (win_ntile here)
-  * degenerates to a single-partition sort — acceptable for ntile's semantics,
-  * flagged for scale.
+  * partition key). A window with no PARTITION BY would collapse to a
+  * single-partition sort; `win_ntile` instead uses the two-phase
+  * [[globalNtile]] so even global-order ranking stays distributed.
   */
 object Windows {
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     Tables.ensure(spark, dir)
     spark.table(name)
+  }
+
+  /** Exact global NTILE without a single-partition WindowExec: range-
+    * partitioned sort (distributed), then `zipWithIndex` for exact global
+    * ranks (one extra pass to size partitions — the unavoidable cost of an
+    * exact total order), then SQL NTILE's arithmetic (the first `total % n`
+    * tiles get one extra row). This is the scalable form of
+    * `NTILE(n) OVER (ORDER BY ...)`; the window version moves the whole
+    * table onto one task.
+    */
+  def globalNtile(df: DataFrame, n: Int, sortCols: Seq[org.apache.spark.sql.Column],
+      out: String): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.orderBy(sortCols: _*)
+    val total = df.count()
+    val base = total / n
+    val rem = total % n
+    val tiled = sorted.rdd.zipWithIndex().map { case (row, idx) =>
+      val tile =
+        if (idx < rem * (base + 1)) idx / (base + 1)
+        else (idx - rem * (base + 1)) / base + rem
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (tile + 1).toInt)
+    }
+    spark.createDataFrame(tiled,
+      sorted.schema.add(out, org.apache.spark.sql.types.IntegerType, nullable = false))
   }
 
   private val byCust = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
@@ -65,9 +90,9 @@ object Windows {
     Op("win_ntile",
       "SELECT o_orderkey, CAST(NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS tile " +
       "FROM orders ORDER BY o_orderkey LIMIT 200") { (s, d) =>
-      t(s, d, "orders")
-        .select(col("o_orderkey"),
-          ntile(4).over(Window.orderBy("o_totalprice", "o_orderkey")).as("tile"))
+      globalNtile(t(s, d, "orders").select("o_orderkey", "o_totalprice"), 4,
+          Seq(col("o_totalprice"), col("o_orderkey")), "tile")
+        .select("o_orderkey", "tile")
         .orderBy("o_orderkey").limit(200)
     },
 

@@ -53,6 +53,19 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(out === Seq((1L, 10L, 1.0, Some(5L), Some(7.0))))
   }
 
+  test("globalNtile matches the windowed NTILE for every remainder case") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    for (total <- Seq(1, 5, 7, 12); n <- Seq(1, 3, 4)) {
+      val df = spark.range(total.toLong).toDF("v")
+      val expected = df.select($"v",
+          ntile(n).over(W.orderBy("v")).as("tile"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).sorted
+      val got = Windows.globalNtile(df, n, Seq($"v"), "tile")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).sorted
+      assert(got.toSeq === expected.toSeq, s"total=$total n=$n")
+    }
+  }
+
   test("left columns beyond the key/ts survive and payload name collisions do not clobber them") {
     val l = Seq((1L, 10L, 123.0, "keep")).toDF("user_id", "ts", "value", "tag")
     val r = Seq((1L, 5L, 9.0)).toDF("user_id", "ts", "value")
