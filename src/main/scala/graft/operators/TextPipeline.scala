@@ -149,23 +149,31 @@ object TextPipeline {
     * this aggregate would be pushed below the exchange and defeat
     * ReusedExchange.
     */
-  private def candidatesFromHm(grams: DataFrame, hmExpr: Column): DataFrame = {
+  private def candidatesFromHm(grams: DataFrame, hmExpr: Column,
+      withSizes: Boolean = false): DataFrame = {
     import MinHashParams._
     val rowsPer = numHashes / bands
     require(rowsPer == 2, "band bucket packing assumes 2 minima per band")
+    // With `withSizes`, the per-doc distinct-gram count rides along as a
+    // 17th aggregate in the SAME signature pass, so the downstream exact
+    // verifier needs no size re-aggregation and no size joins of its own.
     val sigCols = (0 until numHashes).map(j =>
-      min((lit(A(j)) * hmExpr + lit(B(j))) % P).as(s"m$j"))
+      min((lit(A(j)) * hmExpr + lit(B(j))) % P).as(s"m$j")) ++
+      (if (withSizes) Seq(count(lit(1)).as("n")) else Nil)
     val sig = grams.groupBy("doc_id").agg(sigCols.head, sigCols.drop(1): _*)
     val bandCols = (0 until bands).map(b =>
       (col(s"m${2 * b}") * P + col(s"m${2 * b + 1}")).as(s"band$b"))
-    val buckets = sig.select(col("doc_id") +: bandCols: _*)
-      .select(col("doc_id"),
-        posexplode(array((0 until bands).map(b => col(s"band$b")): _*)))
-      .toDF("doc_id", "band", "bucket")
+    val carry = if (withSizes) Seq(col("n")) else Nil
+    val buckets = sig.select(col("doc_id") +: bandCols ++: carry: _*)
+      .select(col("doc_id") +: posexplode(
+        array((0 until bands).map(b => col(s"band$b")): _*)) +: carry: _*)
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val outCols = Seq(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b")) ++
+      (if (withSizes) Seq(col("a.n").as("na"), col("b.n").as("nb")) else Nil)
     buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .select(outCols: _*)
       .distinct()
   }
 
@@ -176,6 +184,20 @@ object TextPipeline {
     * never all-pairs. Candidate pairs with zero shared grams have Jaccard 0
     * and drop out with the aggregate — correct for any threshold > 0.
     */
+  /** [[verifyJaccard]] for candidates that already carry both docs' set
+    * sizes (`na`/`nb` from the signature pass): same two probe joins for the
+    * intersection, but no size re-aggregation and no size joins.
+    */
+  def verifyJaccardSized(grams: DataFrame, candSized: DataFrame, threshold: Double): DataFrame = {
+    val inter = candSized
+      .join(grams.select(col("doc_id").as("id_a"), col("g")), "id_a")
+      .join(grams.select(col("doc_id").as("id_b"), col("g")), Seq("id_b", "g"))
+      .groupBy("id_a", "id_b", "na", "nb").agg(count(lit(1)).as("inter"))
+    val jac = col("inter").cast("double") / (col("na") + col("nb") - col("inter"))
+    inter.filter(jac >= threshold)
+      .select(col("id_a"), col("id_b"), round(jac, 4).as("jaccard"))
+  }
+
   def verifyJaccard(grams: DataFrame, cand: DataFrame, threshold: Double): DataFrame = {
     val sz = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
@@ -275,8 +297,8 @@ object TextPipeline {
       .filter(col("g").isNotNull)
       .repartition(col("g"))
       .dropDuplicates("doc_id", "g")
-    val cand = candidatesFromHm(g60, col("g") % P)
-    val dups = verifyJaccard(g60, cand, dupThreshold)
+    val cand = candidatesFromHm(g60, col("g") % P, withSizes = true)
+    val dups = verifyJaccardSized(g60, cand, dupThreshold)
       .select(col("id_b").as("doc_id")).distinct()
     quality.join(dups, Seq("doc_id"), "left_anti").select("doc_id")
   }
