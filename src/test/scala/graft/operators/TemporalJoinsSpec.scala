@@ -53,6 +53,25 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(out === Seq((1L, 10L, 1.0, Some(5L), Some(7.0))))
   }
 
+  test("as-of join matches a brute-force reference on randomized data") {
+    val rnd = new scala.util.Random(42)
+    val left = Seq.fill(300)((rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong, rnd.nextInt(100).toDouble))
+    val right = Seq.fill(300)((rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong, rnd.nextInt(100).toDouble))
+    val out = run(left, right)
+    assert(out.length === left.length)
+    // Brute force: per left row, the right rows at-or-before its ts on the
+    // key; match ts = their max ts; match value = max value at that ts.
+    val expected = left.map { case (k, ts, v) =>
+      val prior = right.filter(r => r._1 == k && r._2 <= ts)
+      val mts = prior.map(_._2).maxOption
+      val mv = mts.map(t => prior.filter(_._2 == t).map(_._3).max)
+      (k, ts, v, mts, mv)
+    }.sortBy(t => (t._1, t._2))
+    // Both sides may contain duplicate (key, ts, value) left rows; compare as
+    // sorted multisets.
+    assert(out.toSeq.sorted === expected.sorted)
+  }
+
   test("globalNtile matches the windowed NTILE for every remainder case") {
     import org.apache.spark.sql.expressions.{Window => W}
     for (total <- Seq(1, 5, 7, 12); n <- Seq(1, 3, 4)) {
