@@ -25,8 +25,16 @@ object GraftSession {
     // and skip shuffle compression — compressing bytes that never leave RAM
     // burns CPU for nothing. On a real cluster the resource manager provides
     // spark.local.dir (often NVMe) and compression earns its keep on the
-    // network, so neither override fires there.
-    if (master.startsWith("local") && new java.io.File("/dev/shm").isDirectory)
+    // network, so neither override fires there. tmpfs is RAM-backed, so the
+    // override is gated on free capacity (a big spill onto a small /dev/shm
+    // would ENOSPC where disk would have succeeded); SPARK_GRAFT_TMPFS=0/1
+    // forces it off/on regardless.
+    val shm = new java.io.File("/dev/shm")
+    val tmpfsOk = sys.env.get("SPARK_GRAFT_TMPFS") match {
+      case Some(v) => v == "1" || v.equalsIgnoreCase("true")
+      case None => shm.isDirectory && shm.getUsableSpace >= 16L * 1024 * 1024 * 1024
+    }
+    if (master.startsWith("local") && shm.isDirectory && tmpfsOk)
       b.config("spark.local.dir", "/dev/shm/graft-spark")
         .config("spark.shuffle.compress", "false")
         .config("spark.shuffle.spill.compress", "false")

@@ -43,7 +43,10 @@ object Shell {
       case c => c.toString
     } + "\""
 
-  /** One JSON field: raw for numbers/booleans, quoted otherwise. */
+  /** One JSON field: raw for numbers/booleans, quoted otherwise. Non-finite
+    * floats (NaN/Infinity) are quoted — bare they would make the document
+    * invalid JSON.
+    */
   private def jsonField(r: org.apache.spark.sql.Row, i: Int): String =
     r.get(i) match {
       case null => "null"
@@ -52,8 +55,8 @@ object Shell {
       case n: Short => n.toString
       case n: Int => n.toString
       case n: Long => n.toString
-      case n: Float => n.toString
-      case n: Double => n.toString
+      case n: Float if java.lang.Float.isFinite(n) => n.toString
+      case n: Double if java.lang.Double.isFinite(n) => n.toString
       case n: java.math.BigDecimal => n.toString
       case v => jsonQuote(v.toString)
     }
@@ -69,14 +72,16 @@ object Shell {
         val body = cells.map(_.map(csvQuote).mkString(","))
         ((if (headers) Seq(cols.map(csvQuote).mkString(",")) else Seq.empty) ++ body)
           .mkString("\n") + note
+      // json/jsonl omit the truncation note: appended after the closing ']'
+      // (or as a bare line in jsonl) it would make the output invalid JSON.
       case "json" =>
         shown.map(r => cols.indices.map(i =>
             jsonQuote(cols(i)) + ":" + jsonField(r, i)).mkString("{", ",", "}"))
-          .mkString("[", ",", "]") + note
+          .mkString("[", ",", "]")
       case "jsonl" =>
         shown.map(r => cols.indices.map(i =>
             jsonQuote(cols(i)) + ":" + jsonField(r, i)).mkString("{", ",", "}"))
-          .mkString("\n") + note
+          .mkString("\n")
       case "markdown" =>
         val widths = cols.indices.map(i => (cols(i).length +: cells.map(_(i).length)).max)
         def line(vals: Seq[String]) =
@@ -212,7 +217,13 @@ object Shell {
             }
             val rendered = renderRows(df.columns, rows)
             output match {
-              case Some(w) => w.println(rendered); w.flush(); println(s"-- ${rows.length} rows written")
+              // rows holds up to maxRows+1 (the truncation probe); only
+              // maxRows of them were rendered.
+              case Some(w) =>
+                w.println(rendered); w.flush()
+                val written = math.min(rows.length, maxRows)
+                val more = if (rows.length > maxRows) " (truncated)" else ""
+                println(s"-- $written rows written$more")
               case None => println(rendered)
             }
             if (timer) println(f"-- ${(System.nanoTime() - t0) / 1e9}%.3f s")

@@ -53,10 +53,15 @@ object DatabaseExport {
           .option("header", "true").csv(path)
       }
       schemaSql.append(s"CREATE TABLE $t (${df.schema.toDDL});\n")
-      val options =
-        if (fmt == "parquet") s"path '$path'"
-        else s"path '$path', header 'true', inferSchema 'true'"
-      loadSql.append(s"CREATE OR REPLACE TEMPORARY VIEW $t USING $fmt OPTIONS ($options);\n")
+      // CSV views carry the recorded schema explicitly (nested columns were
+      // JSON-stringified by csvSafe, so the view schema is the written one).
+      // inferSchema would degrade types on re-import — '001' becomes INT,
+      // decimals widen to double — where DuckDB's IMPORT DATABASE replays
+      // schema.sql first and keeps exact types.
+      val (viewSchema, options) =
+        if (fmt == "parquet") ("", s"path '$path'")
+        else (s" (${csvSafe(df).schema.toDDL})", s"path '$path', header 'true'")
+      loadSql.append(s"CREATE OR REPLACE TEMPORARY VIEW $t$viewSchema USING $fmt OPTIONS ($options);\n")
     }
     Files.write(Paths.get(s"$dir/schema.sql"),
       schemaSql.toString.getBytes(StandardCharsets.UTF_8))

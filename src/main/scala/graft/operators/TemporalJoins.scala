@@ -50,14 +50,18 @@ object TemporalJoins {
     val w = Window.partitionBy(key)
       .orderBy(col(tsCol) +: col("__side") +: payload.map(p => col(s"__r_$p")): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(tagged) { (df, p) =>
-      df.withColumn(s"__m_$p",
-        last(when(col("__side") === 0, col(s"__r_$p")), ignoreNulls = true).over(w))
-    }.withColumn("__m_ts",
-      last(when(col("__side") === 0, col(tsCol)), ignoreNulls = true).over(w))
+    // ONE carried struct per match: all matched fields come from the same
+    // right row. Per-column last(..., ignoreNulls) aggregates would skip a
+    // null payload for its column while still advancing the matched
+    // timestamp, pairing fields from different right rows; the struct is
+    // non-null whenever the row is a right row, so a null payload on the
+    // latest right row surfaces as (its ts, null) — the row's actual content.
+    val matchStruct = struct(col(tsCol).as("ts") +: payload.map(p => col(s"__r_$p").as(p)): _*)
+    val carried = tagged.withColumn("__m",
+      last(when(col("__side") === 0, matchStruct), ignoreNulls = true).over(w))
     carried.filter(col("__side") === 1)
-      .select(leftCols.map(col) ++ Seq(col("__m_ts").as("matched_ts")) ++
-        payload.map(p => col(s"__m_$p").as(s"matched_$p")): _*)
+      .select(leftCols.map(col) ++ Seq(col("__m.ts").as("matched_ts")) ++
+        payload.map(p => col(s"__m.$p").as(s"matched_$p")): _*)
   }
 
   val ops: Seq[Op] = Seq(

@@ -46,6 +46,20 @@ class ShellSpec extends AnyFunSuite {
     Shell.handleDot(".mode table", null)
   }
 
+  test("json mode stays valid JSON under truncation and non-finite doubles") {
+    Shell.handleDot(".mode json", null)
+    Shell.handleDot(".maxrows 2", null)
+    // Truncated result: no note after the closing bracket — still valid JSON.
+    val out = Shell.render(spark.range(0, 5).toDF("id"))
+    assert(out == """[{"id":0},{"id":1}]""")
+    Shell.handleDot(".maxrows 40", null)
+    // NaN / Infinity are not JSON literals; they must be quoted.
+    val nan = Shell.render(spark.sql(
+      "SELECT CAST('NaN' AS DOUBLE) AS a, CAST('Infinity' AS DOUBLE) AS b, 1.5 AS c"))
+    assert(nan == """[{"a":"NaN","b":"Infinity","c":1.5}]""")
+    Shell.handleDot(".mode table", null)
+  }
+
   test("markdown and line modes render; unknown mode rejected") {
     Shell.handleDot(".mode markdown", null)
     val md = Shell.render(spark.sql("SELECT 1 AS a"))

@@ -50,6 +50,26 @@ class ExportSpec extends AnyFunSuite {
     assert(row.getString(0) == "[1,2,3]")
   }
 
+  test("CSV round trip preserves exact types (no inference drift)") {
+    val src = admin.spark
+    // '001' must stay VARCHAR (inference would read it back as INT), the
+    // decimal must keep its precision/scale, and the timestamp its type.
+    src.sql("SELECT '001' AS code, CAST(1.50 AS DECIMAL(10,2)) AS amt, " +
+        "TIMESTAMP '2024-03-01 12:34:56' AS ts")
+      .createOrReplaceTempView("expspec_types")
+    val dir = java.nio.file.Files.createTempDirectory("graft-export-types").toString
+    run(admin, s"EXPORT DATABASE '$dir' (FORMAT CSV)")
+    val fresh = sessions.getOrCreate("expspec-typesr", "alice", "admin")
+    run(fresh, s"IMPORT DATABASE '$dir'")
+    val re = fresh.spark.table("expspec_types")
+    assert(re.schema("code").dataType === org.apache.spark.sql.types.StringType)
+    assert(re.schema("amt").dataType === org.apache.spark.sql.types.DecimalType(10, 2))
+    assert(re.schema("ts").dataType === org.apache.spark.sql.types.TimestampType)
+    val row = re.collect().head
+    assert(row.getString(0) === "001")
+    assert(row.getDecimal(1).toPlainString === "1.50")
+  }
+
   test("EXPORT/IMPORT are admin-only; bad import path is a client error") {
     intercept[SecurityException](run(user, "EXPORT DATABASE '/tmp/x'"))
     intercept[SecurityException](run(user, "IMPORT DATABASE '/tmp/x'"))

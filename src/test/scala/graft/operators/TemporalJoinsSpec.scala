@@ -85,6 +85,16 @@ class TemporalJoinsSpec extends AnyFunSuite {
     }
   }
 
+  test("a latest right row with a NULL payload reports (its ts, null) — not an older row's payload") {
+    val l = Seq((1L, 10L, 1.0)).toDF("user_id", "ts", "value")
+    val r = Seq((1L, 3L, Some(30.0)), (1L, 8L, Option.empty[Double]))
+      .toDF("user_id", "ts", "value")
+    val row = TemporalJoins.asofBackward(l, r, "user_id", "ts", Seq("value"))
+      .select("matched_ts", "matched_value").collect().head
+    assert(row.getLong(0) === 8L)   // the latest row's ts...
+    assert(row.isNullAt(1))         // ...and ITS payload, which is null
+  }
+
   test("left columns beyond the key/ts survive and payload name collisions do not clobber them") {
     val l = Seq((1L, 10L, 123.0, "keep")).toDF("user_id", "ts", "value", "tag")
     val r = Seq((1L, 5L, 9.0)).toDF("user_id", "ts", "value")
