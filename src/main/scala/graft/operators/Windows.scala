@@ -19,29 +19,49 @@ object Windows {
     spark.table(name)
   }
 
-  /** Exact global NTILE without a single-partition WindowExec: range-
-    * partitioned sort (distributed), then `zipWithIndex` for exact global
-    * ranks (one extra pass to size partitions — the unavoidable cost of an
-    * exact total order), then SQL NTILE's arithmetic (the first `total % n`
-    * tiles get one extra row). This is the scalable form of
+  /** Exact global NTILE without a single-partition WindowExec AND without
+    * leaving Tungsten: range-partitioned sort (distributed), then
+    * `monotonically_increasing_id` — which encodes (partition id << 33 |
+    * local offset) — turned into an exact global rank by adding each
+    * partition's cumulative row offset, then SQL NTILE's arithmetic (the
+    * first `total % n` tiles get one extra row).
+    *
+    * The per-partition counts come from a second branch over the SAME range
+    * exchange (ReusedExchange — one shuffle, sampled once, so both branches
+    * see identical partition bounds); the offsets relation is one row per
+    * partition, broadcast back onto the rows. Everything stays codegen'd
+    * columnar — no RDD[Row] conversion, no driver-side count job, and the
+    * plan keeps AQE/codegen downstream (the previous `rdd.zipWithIndex`
+    * formulation ran 3 jobs and deserialized every row). The nondeterministic
+    * id project also pins the sort: EliminateSorts cannot recurse past it
+    * into the aggregate branch. This is the scalable form of
     * `NTILE(n) OVER (ORDER BY ...)`; the window version moves the whole
     * table onto one task.
     */
   def globalNtile(df: DataFrame, n: Int, sortCols: Seq[org.apache.spark.sql.Column],
       out: String): DataFrame = {
-    val spark = df.sparkSession
-    val sorted = df.orderBy(sortCols: _*)
-    val total = df.count()
-    val base = total / n
-    val rem = total % n
-    val tiled = sorted.rdd.zipWithIndex().map { case (row, idx) =>
-      val tile =
-        if (idx < rem * (base + 1)) idx / (base + 1)
-        else (idx - rem * (base + 1)) / base + rem
-      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (tile + 1).toInt)
-    }
-    spark.createDataFrame(tiled,
-      sorted.schema.add(out, org.apache.spark.sql.types.IntegerType, nullable = false))
+    val inCols = df.columns
+    val mid = df.orderBy(sortCols: _*).withColumn("__mid", monotonically_increasing_id())
+    def pid(c: org.apache.spark.sql.Column) = shiftright(c, 33)
+    // Cumulative offsets + grand total over one row per partition — the
+    // single-partition window here is over ~hundreds of rows, not the data.
+    val wOff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offs = mid.groupBy(pid(col("__mid")).as("__pid")).agg(count(lit(1)).as("__cnt"))
+      .select(col("__pid"),
+        coalesce(sum("__cnt").over(wOff), lit(0L)).as("__off"),
+        sum("__cnt").over(wTot).as("__total"))
+    mid.join(broadcast(offs), pid(col("__mid")) === col("__pid"))
+      .withColumn("__idx", col("__off") + col("__mid").bitwiseAND(lit((1L << 33) - 1)))
+      // Integer-exact tile arithmetic (`div` stays in longs); the else
+      // branch's divisor is only zero when total < n, in which case every
+      // row satisfies the when-branch and the else never evaluates.
+      .withColumn(out, expr(
+        s"cast(case when __idx < (__total % $n) * (__total div $n + 1) " +
+        s"then __idx div (__total div $n + 1) " +
+        s"else (__idx - (__total % $n) * (__total div $n + 1)) div (__total div $n) + __total % $n " +
+        s"end + 1 as int)"))
+      .select(inCols.map(col) :+ col(out): _*)
   }
 
   private val byCust = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")

@@ -34,6 +34,26 @@ class OperatorSpec extends AnyFunSuite {
     assert(failures.isEmpty, s"ops failed analysis:\n${failures.mkString("\n")}")
   }
 
+  test("shareable-gram-restricted Jaccard join is lossless vs a brute-force all-pairs reference") {
+    Tables.ensure(spark, dir)
+    val texts = spark.table("documents").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    def grams(s: String): Set[String] =
+      s.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    val sets = texts.map { case (id, t) => id -> grams(t) }
+    for (t <- Seq(0.12, 0.5, 0.8)) {
+      val expected = (for {
+        (ia, ga) <- sets; (ib, gb) <- sets if ia < ib
+        inter = (ga & gb).size
+        jac = inter.toDouble / (ga.size + gb.size - inter)
+        if jac >= t
+      } yield (ia, ib)).toSet
+      val got = TextPipeline.jaccardPairs(spark.table("documents"), t)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === expected, s"threshold $t: prefix filter dropped or invented pairs")
+    }
+  }
+
   test("MinHash LSH candidates are a superset of true Jaccard pairs") {
     Tables.ensure(spark, dir)
     val docs = spark.table("documents")

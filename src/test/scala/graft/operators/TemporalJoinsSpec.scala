@@ -85,6 +85,26 @@ class TemporalJoinsSpec extends AnyFunSuite {
     }
   }
 
+  test("globalNtile is exact on shuffled multi-partition data and never leaves Tungsten") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    // Random keys across many partitions: if the offsets branch saw different
+    // range bounds than the row branch (exchange not reused), tiles would be
+    // wrong here with near-certainty.
+    val df = spark.range(20000).select(
+      (hash($"id") % 1000000).as("v"), $"id".as("k"))
+      .repartition(17)
+    val expected = df.select($"k",
+        ntile(7).over(W.orderBy($"v", $"k")).as("tile"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted
+    val out = Windows.globalNtile(df, 7, Seq($"v", $"k"), "tile")
+    val got = out.select($"k", $"tile")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted
+    assert(got.toSeq === expected.toSeq)
+    // Stays in the DataFrame world: no RDD round trip in the plan.
+    assert(!out.queryExecution.optimizedPlan.toString.contains("LogicalRDD"),
+      "globalNtile must not convert to RDD[Row]")
+  }
+
   test("a latest right row with a NULL payload reports (its ts, null) — not an older row's payload") {
     val l = Seq((1L, 10L, 1.0)).toDF("user_id", "ts", "value")
     val r = Seq((1L, 3L, Some(30.0)), (1L, 8L, Option.empty[Double]))
