@@ -59,6 +59,14 @@ object Settings {
 /** Global (server-wide) settings store. */
 final class GlobalSettings {
   private val values = new ConcurrentHashMap[String, String]()
+  // Components sized from global settings (e.g. the admission controller,
+  // `gizmosql_library.h:42-44`) subscribe here so a successful SET GLOBAL
+  // actually re-governs the engine, mirroring the reference where the
+  // setting writes through to the live AdmissionController
+  // (`duckdb_statement.cpp:1540-1570`).
+  private val listeners = new java.util.concurrent.CopyOnWriteArrayList[(String, String) => Unit]()
+
+  def onChange(f: (String, String) => Unit): Unit = listeners.add(f)
 
   def get(name: String): Option[String] =
     Settings.byName.get(name).map(d => Option(values.get(name)).getOrElse(Settings.defaultFor(d)))
@@ -68,7 +76,10 @@ final class GlobalSettings {
       case None => Left(s"unknown setting '$name'")
       case Some(d) if !d.globalScoped => Left(s"setting '$name' has no GLOBAL scope")
       case Some(_) if !isAdmin => Left("GLOBAL settings require the admin role")
-      case Some(d) => d.typ.validate(value).map(v => values.put(name, v)).map(_ => ())
+      case Some(d) => d.typ.validate(value).map { v =>
+        values.put(name, v)
+        listeners.forEach(_.apply(name, v))
+      }.map(_ => ())
     }
 
   def snapshot: Map[String, String] =

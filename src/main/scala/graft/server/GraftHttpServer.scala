@@ -62,7 +62,27 @@ final class GraftHttpServer(
 
   val global = new GlobalSettings
   val sessions = new SessionManager(spark, global)
-  val admission = new AdmissionController(maxConcurrent = 4, maxQueued = 32, maxQueueWaitSeconds = 300)
+  // Admission sizing comes from the settings registry (env-var defaults per
+  // SettingDef), not constants: `gizmosql.max_concurrent_statements` (0 =
+  // unlimited), `max_queued_statements` (<=0 = auto 8x concurrency,
+  // `gizmosql_library.h:42-44`), `max_queue_wait`. A SET GLOBAL on any of
+  // them swaps in a freshly-sized controller; statements in flight hold a
+  // reference to the instance they acquired from, so their release is
+  // always paired with the right semaphore.
+  @volatile private var admissionCtl: AdmissionController = buildAdmission()
+  global.onChange { (name, _) =>
+    if (name.startsWith("gizmosql.max_")) admissionCtl = buildAdmission()
+  }
+  def admission: AdmissionController = admissionCtl
+
+  private def buildAdmission(): AdmissionController = {
+    def intOf(name: String, dflt: Int) =
+      global.get(name).flatMap(_.toIntOption).getOrElse(dflt)
+    new AdmissionController(
+      maxConcurrent = intOf("gizmosql.max_concurrent_statements", 0),
+      maxQueued = intOf("gizmosql.max_queued_statements", 0),
+      maxQueueWaitSeconds = intOf("gizmosql.max_queue_wait", 300).toLong)
+  }
   val health = new Health(spark).start()
   val shutdown = new ShutdownState(gracePeriodSeconds = 10)
   val observability = new Observability(() => false).install(spark)
@@ -80,7 +100,13 @@ final class GraftHttpServer(
     server = tls match {
       case Some(t) =>
         val s = HttpsServer.create(new InetSocketAddress("127.0.0.1", port), 0)
-        s.setHttpsConfigurator(new HttpsConfigurator(t.context))
+        s.setHttpsConfigurator(new HttpsConfigurator(t.context) {
+          override def configure(params: com.sun.net.httpserver.HttpsParameters): Unit = {
+            val ssl = t.context.getDefaultSSLParameters
+            ssl.setNeedClientAuth(t.needClientAuth)
+            params.setSSLParameters(ssl)
+          }
+        })
         s
       case None => JdkHttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     }
@@ -465,19 +491,27 @@ object GraftHttpServer {
     * keystore or the reference-style PEM pair (X.509 certificate chain +
     * unencrypted PKCS#8 private key). Protocol versions/ciphers are the
     * JDK defaults (TLS 1.3 first on Java 17).
+    *
+    * With `needClientAuth` (set via the `mtlsCaCert` parameter — the
+    * reference's `--mtls-ca-cert-path`, `gizmosql_library.cpp:569,716-720`:
+    * `verify_client = true` against the CA bundle), the handshake REQUIRES a
+    * client certificate chaining to the configured CA; a certless or
+    * wrong-CA client is refused at the handshake, before any HTTP bytes.
     */
-  final case class Tls(context: SSLContext)
+  final case class Tls(context: SSLContext, needClientAuth: Boolean = false)
 
   object Tls {
 
-    def fromKeystore(path: String, password: Array[Char]): Tls = {
+    def fromKeystore(path: String, password: Array[Char],
+        mtlsCaCert: Option[String] = None): Tls = {
       val ks = java.security.KeyStore.getInstance("PKCS12")
       val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path))
       try ks.load(in, password) finally in.close()
-      fromKeyStore(ks, password)
+      fromKeyStore(ks, password, mtlsCaCert)
     }
 
-    def fromPem(certPath: String, keyPath: String): Tls = {
+    def fromPem(certPath: String, keyPath: String,
+        mtlsCaCert: Option[String] = None): Tls = {
       import scala.jdk.CollectionConverters._
       val cf = java.security.cert.CertificateFactory.getInstance("X.509")
       val certIn = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(certPath))
@@ -503,15 +537,35 @@ object GraftHttpServer {
       val ks = java.security.KeyStore.getInstance("PKCS12")
       ks.load(null, null)
       ks.setKeyEntry("server", key, Array.emptyCharArray, certs)
-      fromKeyStore(ks, Array.emptyCharArray)
+      fromKeyStore(ks, Array.emptyCharArray, mtlsCaCert)
     }
 
-    private def fromKeyStore(ks: java.security.KeyStore, password: Array[Char]): Tls = {
+    private def fromKeyStore(ks: java.security.KeyStore, password: Array[Char],
+        mtlsCaCert: Option[String]): Tls = {
       val kmf = KeyManagerFactory.getInstance(KeyManagerFactory.getDefaultAlgorithm)
       kmf.init(ks, password)
       val ctx = SSLContext.getInstance("TLS")
-      ctx.init(kmf.getKeyManagers, null, null)
-      Tls(ctx)
+      ctx.init(kmf.getKeyManagers, mtlsCaCert.map(clientCaTrust).orNull, null)
+      Tls(ctx, needClientAuth = mtlsCaCert.isDefined)
+    }
+
+    /** Trust managers over a PEM CA bundle — the verification side of mTLS
+      * (`gizmosql_library.cpp:716-720`: CA file → `root_certificates` +
+      * `verify_client`). Only certificates chaining to these CAs pass.
+      */
+    private def clientCaTrust(caCertPath: String): Array[javax.net.ssl.TrustManager] = {
+      import scala.jdk.CollectionConverters._
+      val cf = java.security.cert.CertificateFactory.getInstance("X.509")
+      val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(caCertPath))
+      val cas = try cf.generateCertificates(in).asScala.toSeq finally in.close()
+      if (cas.isEmpty) throw new IllegalArgumentException(s"no CA certificates in $caCertPath")
+      val ts = java.security.KeyStore.getInstance("PKCS12")
+      ts.load(null, null)
+      cas.zipWithIndex.foreach { case (c, i) => ts.setCertificateEntry(s"ca$i", c) }
+      val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+        javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+      tmf.init(ts)
+      tmf.getTrustManagers
     }
   }
 }

@@ -275,6 +275,44 @@ class HttpServerSpec extends AnyFunSuite {
     assert(post("/sql", "SELECT 1 AS x", "Authorization" -> s"Bearer $vTok").statusCode() == 403)
   }
 
+  test("SET GLOBAL admission settings govern the live controller") {
+    // Default path: registry default max_concurrent_statements=0 = unlimited,
+    // matching the reference (`gizmosql_library.h:42` DEFAULT_MAX_CONCURRENT
+    // _STATEMENTS = 0) — acquire never blocks and holds no slot.
+    val before = server.admission
+    assert(before.running == 0)
+    // Resize through the actual wire path (admin SET GLOBAL), mirroring the
+    // reference's settings write-through (`duckdb_statement.cpp:1540-1570`).
+    assert(post("/sql", "SET GLOBAL gizmosql.max_concurrent_statements = 1",
+      "Authorization" -> s"Bearer $token", "Accept" -> "application/json")
+      .statusCode() == 200)
+    assert(post("/sql", "SET GLOBAL gizmosql.max_queue_wait = 0",
+      "Authorization" -> s"Bearer $token", "Accept" -> "application/json")
+      .statusCode() == 200)
+    val ctl = server.admission
+    assert(ctl ne before)
+    try {
+      // Occupy the single slot as an in-flight statement would: the next
+      // wire statement cannot wait (max_queue_wait=0) and is turned away
+      // as retriable overload.
+      val held = ctl.acquire()
+      assert(ctl.running == 1)
+      val rejected = post("/sql", "SELECT COUNT(*) AS n FROM region",
+        "Authorization" -> s"Bearer $token", "Accept" -> "application/json")
+      assert(rejected.statusCode() == 503)
+      ctl.release(held)
+      val ok = post("/sql", "SELECT COUNT(*) AS n FROM region",
+        "Authorization" -> s"Bearer $token", "Accept" -> "application/json")
+      assert(ok.statusCode() == 200)
+    } finally {
+      // Restore the defaults so later tests see the unlimited path.
+      post("/sql", "SET GLOBAL gizmosql.max_concurrent_statements = 0",
+        "Authorization" -> s"Bearer $token", "Accept" -> "application/json")
+      post("/sql", "SET GLOBAL gizmosql.max_queue_wait = 300",
+        "Authorization" -> s"Bearer $token", "Accept" -> "application/json")
+    }
+  }
+
   test("close ends the session") {
     val resp = post("/close", "", "Authorization" -> s"Bearer $token")
     assert(resp.statusCode() == 200)
