@@ -38,15 +38,32 @@ object Bench {
     Tables.ensure(spark, sfDir)
     spark.table("lineitem").count()
     val queries = SparkEntry.queries
-    // Two warm passes: the first compiles the sf-specific generated code,
-    // the second lets HotSpot's C2 finish promoting the hot loops (pass
-    // totals kept falling 16 -> 10 -> 8 s with a single warm pass).
-    (1 to 2).foreach { _ =>
+    // Adaptive warm-up: keep running full passes until the pass total stops
+    // improving (>10% pass-over-pass), so the timed passes measure steady
+    // state. A fixed 2-pass warm-up left HotSpot C2 compiling 5-9 s of code
+    // DURING every timed pass (measured via CompilationMXBean round 4), with
+    // pass totals still falling 14 -> 8 -> 6 s — the entire round-3 "2x
+    // pass-to-pass variance" was unfinished warm-up, not GC (14-68 ms/pass).
+    var prev = Double.MaxValue
+    var warmPasses = 0
+    while (warmPasses < 6 && {
+      val t0 = System.nanoTime()
       headline.filter(queries.contains).foreach { name =>
         try queries(name)(spark, sfDir).count()
         catch { case _: Throwable => }
       }
-    }
+      val t = (System.nanoTime() - t0) / 1e9
+      val improving = t < prev * 0.9
+      prev = t
+      warmPasses += 1
+      improving || warmPasses < 2
+    }) ()
+
+    import scala.jdk.CollectionConverters._
+    def gcMs: Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    def jitMs: Long = java.lang.management.ManagementFactory
+      .getCompilationMXBean.getTotalCompilationTime
 
     def timedPass(): Seq[(String, Double)] = headline.filter(queries.contains).map { name =>
       val t0 = System.nanoTime()
@@ -60,7 +77,18 @@ object Bench {
     // Round 2 showed single-pass noise swamping round deltas (the "steady"
     // second pass measured *slower* than the cold first); the median drops
     // the cold AQE-final-plan-codegen pass and one-off scheduler hiccups.
-    val passes = Seq(timedPass(), timedPass(), timedPass())
+    // Per-pass GC/JIT deltas ride along in the output JSON: round-over-round
+    // variance diagnosis needs to distinguish collector pressure and late C2
+    // compilation from genuine plan regressions (round 3's pass totals swung
+    // 7.8-14.9 s on identical work with no way to tell which it was).
+    val passMeters = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def meteredPass(): Seq[(String, Double)] = {
+      val (g0, j0) = (gcMs, jitMs)
+      val p = timedPass()
+      passMeters += ((gcMs - g0, jitMs - j0))
+      p
+    }
+    val passes = Seq(meteredPass(), meteredPass(), meteredPass())
     if (sys.env.contains("SPARK_GRAFT_BENCH_DEBUG"))
       passes.zipWithIndex.foreach { case (p, i) =>
         System.err.println(s"[bench] pass$i: " +
@@ -76,9 +104,24 @@ object Bench {
       rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = medians.map(_._2).sum
     val passTotals = passes.map(_.map(_._2).sum)
+    // Same-session DuckDB comparator, if tools/comparator.py has been run
+    // against this SF: carries the other engine's per-query medians so the
+    // gate ratio is computed from two same-machine measurements instead of a
+    // doc citation. (DuckDB is driver-side tooling only — the engine itself
+    // never links it, so the numbers arrive via this file.)
+    val comparator = {
+      val sfName = new java.io.File(sfDir).getName
+      val f = new java.io.File(s"tools/comparator_$sfName.json")
+      if (f.isFile) "," + "\"comparator\":" +
+        new String(java.nio.file.Files.readAllBytes(f.toPath),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+      else ""
+    }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(medians)},""" +
       s""""pass_totals":[${passTotals.mkString(",")}],""" +
-      s""""queries_cold":${toJson(passes.head)},"sf":"$sfDir"}""")
+      s""""pass_gc_ms":[${passMeters.map(_._1).mkString(",")}],""" +
+      s""""pass_jit_ms":[${passMeters.map(_._2).mkString(",")}],""" +
+      s""""queries_cold":${toJson(passes.head)},"sf":"$sfDir"$comparator}""")
     spark.stop()
   }
 }
