@@ -154,11 +154,17 @@ object Relational {
     // Non-equi self join (h21 shape: same order, different supplier).
     Op("join_theta",
       "SELECT COUNT(*) AS n FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey=l2.l_orderkey AND l1.l_suppkey <> l2.l_suppkey") { (s, d) =>
-      val l1 = t(s, d, "lineitem").select(col("l_orderkey").as("k1"), col("l_suppkey").as("s1"))
-      val l2 = t(s, d, "lineitem").select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
       // Equi key carries the shuffle; the <> predicate stays a post-join filter,
       // so this remains a sort-merge/hash join (not a nested loop) at scale.
-      l1.join(l2, col("k1") === col("k2") && col("s1") =!= col("s2"))
+      // Both sides are the SAME pre-partitioned relation (renamed above the
+      // exchange), so ReuseExchange serves the join from one shuffle write +
+      // two local reads — a self-join scans and shuffles lineitem once, not
+      // twice. Alias tracking preserves hashpartitioning(k) through the
+      // renames, so the join adds no exchange of its own.
+      val base = t(s, d, "lineitem").select(col("l_orderkey").as("k"), col("l_suppkey").as("v"))
+        .repartition(col("k"))
+      base.toDF("k1", "s1").join(base.toDF("k2", "s2"),
+          col("k1") === col("k2") && col("s1") =!= col("s2"))
         .agg(count(lit(1)).as("n"))
     },
 

@@ -21,15 +21,31 @@ object TextPipeline {
     spark.table("documents")
   }
 
-  /** One row per word trigram: (doc_id, w, w1, w2). Shuffle-free and fully
-    * codegen: zip the token array with its two shifted slices and explode —
-    * no window (which would shuffle+sort by doc) and no interpreted
-    * `transform` lambda (which costs ~1 ms/doc). The generator input is
-    * evaluated once per document, not once per gram.
+  /** One row per word trigram: (doc_id, w, w1, w2). Fully codegen: zip the
+    * token array with its two shifted slices and explode — no window (which
+    * would shuffle+sort by doc) and no interpreted `transform` lambda (which
+    * costs ~1 ms/doc). The generator input is evaluated once per document,
+    * not once per gram.
+    *
+    * The doc_id repartition BEFORE the explode decouples the CPU-heavy part
+    * (explode + per-gram hashing downstream, ~15-50x the input rows) from
+    * the input file layout: it costs one exchange of the *pre-explosion*
+    * bytes — the cheapest point in the pipeline — and spreads the gram work
+    * evenly across the cluster even when the scan has fewer splits than
+    * cores (single-row-group parquet: measured 1.7 s single-task vs 0.1 s
+    * spread at sf0.1) or skewed file sizes. Hash-on-doc_id, not round-robin:
+    * deterministic under retry with no local sort.
     */
   private[operators] def triRows(d: DataFrame): DataFrame = {
     val ws = tokens(col("text"))
-    d.select(col("doc_id"), ws.as("w0"),
+    // Explicit partition count: a column-only repartition is an AQE
+    // coalesce target, and the pre-explosion shuffle is tiny by design —
+    // bytes-based coalescing would fold it back to one task and re-serialize
+    // the gram work (measured). The count is the session's shuffle
+    // parallelism, not a constant.
+    val n = d.sparkSession.sessionState.conf.numShufflePartitions
+    d.repartition(n, col("doc_id"))
+      .select(col("doc_id"), ws.as("w0"),
         slice(ws, lit(2), greatest(size(ws) - 1, lit(0))).as("s1"),
         slice(ws, lit(3), greatest(size(ws) - 2, lit(0))).as("s2"))
       .select(col("doc_id"), explode(arrays_zip(col("w0"), col("s1"), col("s2"))).as("t"))
@@ -259,7 +275,10 @@ object TextPipeline {
     * match the oracle exactly even under hash collisions.
     */
   def simhash(d: DataFrame): DataFrame = {
-    val tok = d.select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+    // Same input-side spread as triRows: the 60-bit explode multiplies rows
+    // 60x, so per-token work must not be pinned to the scan's split count.
+    val tok = d.repartition(d.sparkSession.sessionState.conf.numShufflePartitions, col("doc_id"))
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
       .select(col("doc_id"), md5Hash60(col("tok")).as("h"))
     tok
       .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(59))).as("bit"))
