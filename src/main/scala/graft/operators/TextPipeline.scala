@@ -43,8 +43,15 @@ object TextPipeline {
     // bytes-based coalescing would fold it back to one task and re-serialize
     // the gram work (measured). The count is the session's shuffle
     // parallelism, not a constant.
+    // The explicit isNotNull is a semantic no-op on real corpora but keeps
+    // every consumer's copy of this subtree canonically identical: branches
+    // that join/group on doc_id get the same predicate INFERRED onto the
+    // scan, and a branch without it (e.g. a gram-frequency aggregate) would
+    // otherwise compile its own scan+explode instead of a ReusedExchange —
+    // measured as a duplicated 2.5 s CPU stage in the Jaccard pair join.
     val n = d.sparkSession.sessionState.conf.numShufflePartitions
-    d.repartition(n, col("doc_id"))
+    d.filter(col("doc_id").isNotNull)
+      .repartition(n, col("doc_id"))
       .select(col("doc_id"), ws.as("w0"),
         slice(ws, lit(2), greatest(size(ws) - 1, lit(0))).as("s1"),
         slice(ws, lit(3), greatest(size(ws) - 2, lit(0))).as("s2"))
