@@ -48,9 +48,13 @@ object Events {
 
     // Ordered conversion funnel signup -> click -> purchase: each stage's
     // first event must follow the user's previous stage strictly in time.
-    // Three aggregations + two joins, all keyed on user_id — one logical
-    // shuffle key end-to-end, so the funnel runs at cluster width with no
-    // per-user state on the driver.
+    // ONE scan and ONE shuffle: every stage keys on user_id, so the three
+    // stage thresholds chain as full-partition window aggregates over a
+    // single hash-clustering of events (t2's predicate reads t1, t3's reads
+    // t2 — Catalyst stacks the three Window nodes on one exchange), and the
+    // per-user collapse reuses that clustering with no further exchange.
+    // The r3 form (3 aggregations + 2 joins, 16 shuffles) re-clustered the
+    // same key five times; at 100 TB that is four redundant full-corpus shuffles.
     Op("events_funnel",
       "WITH s AS (SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type='signup' GROUP BY user_id), " +
       "c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN s ON s.user_id=e.user_id AND e.ts > s.t1 " +
@@ -61,20 +65,20 @@ object Events {
       "SELECT 1 AS stage_no, 'signup' AS stage, COUNT(*) AS users FROM s " +
       "UNION ALL SELECT 2, 'click', COUNT(*) FROM c " +
       "UNION ALL SELECT 3, 'purchase', COUNT(*) FROM p) t ORDER BY stage_no") { (s, d) =>
-      val e = ev(s, d)
-      val s1 = e.filter(col("event_type") === "signup")
-        .groupBy("user_id").agg(min("ts").as("t1"))
-      val c1 = e.filter(col("event_type") === "click").as("e")
-        .join(s1.as("s"), col("e.user_id") === col("s.user_id") && col("e.ts") > col("s.t1"))
-        .groupBy(col("e.user_id")).agg(min(col("e.ts")).as("t2"))
-      val p1 = e.filter(col("event_type") === "purchase").as("e")
-        .join(c1.as("c"), col("e.user_id") === col("c.user_id") && col("e.ts") > col("c.t2"))
-        .groupBy(col("e.user_id")).agg(min(col("e.ts")).as("t3"))
-      def stage(no: Int, name: String, df: DataFrame) =
-        df.agg(count(lit(1)).as("users"))
-          .select(lit(no).as("stage_no"), lit(name).as("stage"), col("users"))
-      stage(1, "signup", s1).unionAll(stage(2, "click", c1))
-        .unionAll(stage(3, "purchase", p1)).orderBy("stage_no")
+      val w = Window.partitionBy("user_id")
+      ev(s, d)
+        .filter(col("event_type").isin("signup", "click", "purchase"))
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .withColumn("t1", min(when(col("event_type") === "signup", col("ts"))).over(w))
+        .withColumn("t2", min(when(col("event_type") === "click" && col("ts") > col("t1"),
+          col("ts"))).over(w))
+        .withColumn("t3", min(when(col("event_type") === "purchase" && col("ts") > col("t2"),
+          col("ts"))).over(w))
+        .groupBy("user_id").agg(max("t1").as("t1"), max("t2").as("t2"), max("t3").as("t3"))
+        .agg(count("t1").as("u1"), count("t2").as("u2"), count("t3").as("u3"))
+        .select(expr("stack(3, 1, 'signup', u1, 2, 'click', u2, 3, 'purchase', u3) " +
+          "AS (stage_no, stage, users)"))
+        .orderBy("stage_no")
     },
 
     // Day-over-day retention: users active on day d who return on d+1.

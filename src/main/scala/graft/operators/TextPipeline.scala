@@ -60,20 +60,25 @@ object TextPipeline {
       .select(col("doc_id"), col("t.w0").as("w"), col("t.s1").as("w1"), col("t.s2").as("w2"))
   }
 
-  /** Distinct 3-gram *identities* per doc as 64-bit hashes: (doc_id, gram).
-    * Hash identity stands in for string identity (64-bit collisions are
-    * negligible at any realistic gram count).
+  /** Distinct 3-gram *identities* per doc as 64-bit hashes, with the per-doc
+    * distinct-gram count riding along: (doc_id, gram, n). Hash identity
+    * stands in for string identity (64-bit collisions are negligible at any
+    * realistic gram count).
     *
-    * Partitioned by `gram` BEFORE the distinct: HashPartitioning(gram)
-    * satisfies the distinct's (doc_id, gram) clustering requirement AND the
-    * downstream pair self-join's gram clustering — one shuffle serves both,
-    * instead of distinct-by-(doc,gram) followed by a re-shuffle on gram.
+    * Both the (doc_id, gram) distinct and the per-doc size complete on the
+    * doc_id clustering `triRows` already established — HashPartitioning on a
+    * subset of the keys satisfies the aggregate's clustering, and the window
+    * count re-uses the same partitioning — so `n` costs one in-partition
+    * sort, not the gram-set re-shuffle + two pair-side joins the previous
+    * separate size aggregate paid (r3 bench: 3 extra exchanges of which one
+    * moved the whole inverted index).
     */
   private def shingleHashes(d: DataFrame): DataFrame =
     triRows(d)
       .select(col("doc_id"), xxhash64(col("w"), col("w1"), col("w2")).as("gram"))
-      .repartition(col("gram"))
       .dropDuplicates("doc_id", "gram")
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .repartition(col("gram"))
 
   /** Exact n-gram Jaccard similarity for all pairs above `threshold`.
     * Shuffles on `gram` (the inverted index, pre-shrunk to shareable grams)
@@ -92,28 +97,28 @@ object TextPipeline {
     */
   def jaccardPairs(d: DataFrame, threshold: Double): DataFrame = {
     val g = shingleHashes(d)
-    val sz = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // Only grams appearing in >=2 docs can contribute to any intersection;
     // df=1 grams — the bulk of a mostly-unique corpus — are dropped from
     // BOTH join sides. Lossless: every shared gram has df >= 2, and union
-    // sizes still come from the unfiltered per-doc counts. The df aggregate
-    // and the semi-filtering join are both on the gram-partitioned exchange
-    // the distinct produced — no extra shuffle of the index.
+    // sizes still ride along from the unfiltered per-doc counts. The df
+    // aggregate and the semi-filtering join are both on the gram-partitioned
+    // exchange — no extra shuffle of the index.
     val dup = g.groupBy("gram").agg(count(lit(1)).as("df")).filter(col("df") >= 2)
       .select("gram")
     val g2 = g.join(dup, "gram")
     // shuffle_hash: the gram index is ~docs*grams rows — broadcasting it
     // serializes a 1M-row hashed relation on the driver; a shuffled hash
     // join builds per-partition in parallel and is the only viable shape
-    // once the corpus outgrows any single executor.
+    // once the corpus outgrows any single executor. The carried sizes land
+    // in the pair aggregate's keys (constant within a pair), so no size
+    // joins follow — the aggregate output is already filterable.
     val pairs = g2.as("a").hint("shuffle_hash").join(g2.as("b"),
         col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
       .agg(count(lit(1)).as("inter"))
     val jac = col("inter").cast("double") / (col("na") + col("nb") - col("inter"))
     pairs
-      .join(sz.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
-      .join(sz.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
       .filter(jac >= threshold)
       .select(col("id_a"), col("id_b"), round(jac, 4).as("jaccard"))
   }
@@ -185,62 +190,38 @@ object TextPipeline {
   /** The banding core of `minhashCandidates`, over (doc_id, hmExpr) where
     * `hmExpr` evaluates to the gram hash mod P. Duplicate (doc_id, hm) rows
     * are harmless (min-aggregates are multiset-insensitive), which lets
-    * callers feed hashes distinct'd at a coarser granularity. The hash is
-    * taken as an EXPRESSION (not a pre-projected column) so a caller sharing
-    * its gram relation with other stages keeps a canonically identical
-    * pre-exchange subtree — a Project between the shared repartition and
-    * this aggregate would be pushed below the exchange and defeat
-    * ReusedExchange.
+    * callers feed hashes distinct'd at a coarser granularity.
     */
-  private def candidatesFromHm(grams: DataFrame, hmExpr: Column,
-      withSizes: Boolean = false): DataFrame = {
+  private def candidatesFromHm(grams: DataFrame, hmExpr: Column): DataFrame = {
     import MinHashParams._
     val rowsPer = numHashes / bands
     require(rowsPer == 2, "band bucket packing assumes 2 minima per band")
-    // With `withSizes`, the per-doc distinct-gram count rides along as a
-    // 17th aggregate in the SAME signature pass, so the downstream exact
-    // verifier needs no size re-aggregation and no size joins of its own.
     val sigCols = (0 until numHashes).map(j =>
-      min((lit(A(j)) * hmExpr + lit(B(j))) % P).as(s"m$j")) ++
-      (if (withSizes) Seq(count(lit(1)).as("n")) else Nil)
+      min((lit(A(j)) * hmExpr + lit(B(j))) % P).as(s"m$j"))
     val sig = grams.groupBy("doc_id").agg(sigCols.head, sigCols.drop(1): _*)
     val bandCols = (0 until bands).map(b =>
       (col(s"m${2 * b}") * P + col(s"m${2 * b + 1}")).as(s"band$b"))
-    val carry = if (withSizes) Seq(col("n")) else Nil
-    val buckets = sig.select(col("doc_id") +: bandCols ++: carry: _*)
-      .select(col("doc_id") +: posexplode(
-        array((0 until bands).map(b => col(s"band$b")): _*)) +: carry: _*)
+    val buckets = sig.select(col("doc_id") +: bandCols: _*)
+      .select(col("doc_id"), posexplode(
+        array((0 until bands).map(b => col(s"band$b")): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val outCols = Seq(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b")) ++
-      (if (withSizes) Seq(col("a.n").as("na"), col("b.n").as("nb")) else Nil)
     buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(outCols: _*)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
   }
 
   /** Exact Jaccard restricted to an explicit candidate pair set — the
-    * verification stage of the LSH dedup pipeline. `grams` is distinct
-    * (doc_id, g) rows; cost is O(|cand| x grams/doc) through two equi-joins
-    * (candidate pairs expand to their grams, then probe the inverted index),
-    * never all-pairs. Candidate pairs with zero shared grams have Jaccard 0
-    * and drop out with the aggregate — correct for any threshold > 0.
+    * inverted-index verification shape for LSH candidates. `grams` is
+    * distinct (doc_id, g) rows; cost is O(|cand| x grams/doc) through two
+    * equi-joins (candidate pairs expand to their grams, then probe the
+    * index), never all-pairs. Candidate pairs with zero shared grams have
+    * Jaccard 0 and drop out with the aggregate — correct for any
+    * threshold > 0. `cleanCorpus` verifies inline on per-doc gram arrays
+    * instead (cheaper while per-doc state fits a row); this shape is the
+    * fallback when single documents are pathologically large.
     */
-  /** [[verifyJaccard]] for candidates that already carry both docs' set
-    * sizes (`na`/`nb` from the signature pass): same two probe joins for the
-    * intersection, but no size re-aggregation and no size joins.
-    */
-  def verifyJaccardSized(grams: DataFrame, candSized: DataFrame, threshold: Double): DataFrame = {
-    val inter = candSized
-      .join(grams.select(col("doc_id").as("id_a"), col("g")), "id_a")
-      .join(grams.select(col("doc_id").as("id_b"), col("g")), Seq("id_b", "g"))
-      .groupBy("id_a", "id_b", "na", "nb").agg(count(lit(1)).as("inter"))
-    val jac = col("inter").cast("double") / (col("na") + col("nb") - col("inter"))
-    inter.filter(jac >= threshold)
-      .select(col("id_a"), col("id_b"), round(jac, 4).as("jaccard"))
-  }
-
   def verifyJaccard(grams: DataFrame, cand: DataFrame, threshold: Double): DataFrame = {
     val sz = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
@@ -312,10 +293,20 @@ object TextPipeline {
     * surviving corpus.
     *
     * Scale shape: the only super-linear step is the LSH bucket equi-join,
-    * O(docs x bands) — the all-pairs exact Jaccard never runs. One gram
-    * distinct (the md5-derived 60-bit gram identity) feeds the MinHash
-    * signatures (mod P), the inverted-index verify probes, AND the per-doc
-    * set sizes, so the shingle exchange is computed once and reused.
+    * O(docs x bands) — the all-pairs exact Jaccard never runs. ONE
+    * aggregation on the doc_id clustering `triRows` established produces
+    * everything the pipeline needs per doc — the distinct gram-id array (for
+    * the exact verify), its size, and all 16 permutation minima (the MinHash
+    * signature) — so no gram-keyed exchange exists at all: the arrays ride
+    * the band-bucket self-join and candidate verification is an inline
+    * `array_intersect`, not a pair of inverted-index probe joins. (The r3
+    * probe-join form re-read its shared shingle exchange four times and
+    * chained 11 stages; this shape is 3 exchanges — docs, buckets, dup ids —
+    * and the bucket shuffle carries bands x gram-array bytes, comparable to
+    * the two probe shuffles it replaces.) Per-row state is O(grams/doc) —
+    * bounded by document length, never by corpus size; for a corpus of
+    * pathologically huge single documents the inverted-index verifier
+    * (`verifyJaccard`) remains the fallback shape.
     * The DuckDB oracle replicates the same LSH-then-verify algorithm, so the
     * check is value-exact by construction, not by luck of recall (on these
     * fixtures recall is total anyway: every jaccard>=0.5 pair sits at >=0.9,
@@ -323,29 +314,40 @@ object TextPipeline {
     */
   def cleanCorpus(d: DataFrame, minTokens: Int, minStopRatio: Double,
       dupThreshold: Double): DataFrame = {
-    import MinHashParams.P
+    import MinHashParams._
+    val rowsPer = numHashes / bands
+    require(rowsPer == 2, "band bucket packing assumes 2 minima per band")
     val quality = d.filter(size(tokens(col("text"))) >= minTokens &&
       stopwordRatio(col("text"), Seq("the", "a", "of", "and", "in")) >= minStopRatio)
-    // The explicit repartition BELOW the distinct is what makes the
-    // scan+shingle+md5 work run ONCE: hashpartitioning(g) satisfies the
-    // (doc_id, g) distinct's clustering, so the distinct needs no exchange of
-    // its own, and every consumer (MinHash signatures, both verify probes,
-    // per-doc sizes) embeds the *same* exchange subtree -> ReusedExchange.
-    // (A plain .distinct() per branch re-derives branch-specific aggregates
-    // that defeat exchange reuse — measured 3x the shingle work.)
-    // The isNotNull filter is semantically a no-op (md5 of a non-null string)
-    // but keeps this subtree canonically identical to the verify-join
-    // branches, where InferFiltersFromConstraints adds the same predicate
-    // from the equi-join on g — without it the signature branch gets its own
-    // scan+shingle+md5 pass instead of a ReusedExchange.
-    val g60 = triRows(quality)
+    val tri = triRows(quality)
       .select(col("doc_id"), md5Hash60(concat_ws(" ", col("w"), col("w1"), col("w2"))).as("g"))
-      .filter(col("g").isNotNull)
-      .repartition(col("g"))
       .dropDuplicates("doc_id", "g")
-    val cand = candidatesFromHm(g60, col("g") % P, withSizes = true)
-    val dups = verifyJaccardSized(g60, cand, dupThreshold)
-      .select(col("id_b").as("doc_id")).distinct()
+    val sigCols = (0 until numHashes).map(j =>
+      min((lit(A(j)) * (col("g") % P) + lit(B(j))) % P).as(s"m$j")) ++
+      Seq(count(lit(1)).as("n"))
+    val doc = tri.groupBy("doc_id")
+      .agg(collect_list(col("g")).as("gs"), sigCols: _*)
+    val bandCols = (0 until bands).map(b =>
+      (col(s"m${2 * b}") * P + col(s"m${2 * b + 1}")).as(s"band$b"))
+    val buckets = doc.select(col("doc_id") +: col("gs") +: col("n") +: bandCols: _*)
+      .select(col("doc_id") +: posexplode(
+        array((0 until bands).map(b => col(s"band$b")): _*)) +: Seq(col("gs"), col("n")): _*)
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    // Pairs sharing several bands surface several times; every copy computes
+    // the same intersection, so the >=threshold filter precedes a plain
+    // distinct on the surviving ids — no pair-level dedup stage needed.
+    // shuffle_hash, NOT broadcast: the two sides are the same relation, so a
+    // shuffle join makes the whole gram pipeline a single ReusedExchange;
+    // broadcasting would compute the scan+shingle+signature work twice
+    // (measured: AQE broadcast the 33 MB bucket side and doubled the CPU).
+    val jac = col("inter").cast("double") / (col("na") + col("nb") - col("inter"))
+    val dups = buckets.as("a").hint("shuffle_hash").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("b.doc_id").as("doc_id"), col("a.n").as("na"), col("b.n").as("nb"),
+        size(array_intersect(col("a.gs"), col("b.gs"))).as("inter"))
+      .filter(jac >= dupThreshold)
+      .select("doc_id").distinct()
     quality.join(dups, Seq("doc_id"), "left_anti").select("doc_id")
   }
 
