@@ -100,12 +100,17 @@ object TextPipeline {
     // Only grams appearing in >=2 docs can contribute to any intersection;
     // df=1 grams — the bulk of a mostly-unique corpus — are dropped from
     // BOTH join sides. Lossless: every shared gram has df >= 2, and union
-    // sizes still ride along from the unfiltered per-doc counts. The df
-    // aggregate and the semi-filtering join are both on the gram-partitioned
-    // exchange — no extra shuffle of the index.
-    val dup = g.groupBy("gram").agg(count(lit(1)).as("df")).filter(col("df") >= 2)
-      .select("gram")
-    val g2 = g.join(dup, "gram")
+    // sizes still ride along from the unfiltered per-doc counts. Document
+    // frequency is a window count over the gram clustering the exchange
+    // already provides — NOT a separate aggregate branch + semi-join: the
+    // aggregate branch's copy of the exchange subtree gets column-pruned
+    // differently (no `n`), which defeats ReusedExchange and re-runs the
+    // whole scan+explode+hash pipeline (measured: two parallel 3+ s stages
+    // computing identical grams).
+    val g2 = g
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("gram")))
+      .filter(col("df") >= 2)
+      .drop("df")
     // shuffle_hash: the gram index is ~docs*grams rows — broadcasting it
     // serializes a 1M-row hashed relation on the driver; a shuffled hash
     // join builds per-partition in parallel and is the only viable shape
