@@ -112,9 +112,11 @@ object Bench {
     val comparator = {
       val sfName = new java.io.File(sfDir).getName
       val f = new java.io.File(s"tools/comparator_$sfName.json")
+      // Newlines stripped defensively: the output contract is ONE JSON line,
+      // so a pretty-printed comparator file must not break it.
       if (f.isFile) "," + "\"comparator\":" +
         new String(java.nio.file.Files.readAllBytes(f.toPath),
-          java.nio.charset.StandardCharsets.UTF_8).trim
+          java.nio.charset.StandardCharsets.UTF_8).replaceAll("[\r\n]", " ").trim
       else ""
     }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(medians)},""" +

@@ -352,7 +352,10 @@ object TextPipeline {
       .select(col("b.doc_id").as("doc_id"), col("a.n").as("na"), col("b.n").as("nb"),
         size(array_intersect(col("a.gs"), col("b.gs"))).as("inter"))
       .filter(jac >= dupThreshold)
-      .select("doc_id").distinct()
+      .select("doc_id")
+    // No distinct on the dup ids: left_anti probes a hash set, so duplicate
+    // build-side keys are already idempotent — a distinct would only add a
+    // partial+final aggregate round before the broadcast.
     quality.join(dups, Seq("doc_id"), "left_anti").select("doc_id")
   }
 

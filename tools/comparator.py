@@ -62,7 +62,7 @@ def main():
     dest = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         f'comparator_{os.path.basename(sf.rstrip("/"))}.json')
     with open(dest, 'w') as f:
-        json.dump(out, f, indent=1)
+        json.dump(out, f, separators=(',', ':'))  # single line: graft.Bench embeds this verbatim in its one-line JSON contract
     print(f'wrote {dest}: total={out["total"]:.3f}s pass_totals={out["pass_totals"]}')
     return 0
 
