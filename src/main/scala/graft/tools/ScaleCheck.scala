@@ -56,8 +56,9 @@ object ScaleCheck {
     val queries = SparkEntry.queries
     val names = Seq("agg_h01", "agg_global_h06", "join_inner_h03", "join_left_hist",
       "join_theta", "tpch_h18", "win_rownum", "topk",
-      "dedup_minhash_lsh", "dedup_simhash", "text_stats",
-      "pipeline_clean_corpus", "text_contamination", "join_asof", "join_time_range")
+      "dedup_minhash_lsh", "dedup_simhash", "dedup_jaccard", "text_stats",
+      "pipeline_clean_corpus", "text_contamination", "join_asof", "join_time_range",
+      "events_funnel")
     names.foreach { name =>
       // warm codegen once, then measure
       try {
