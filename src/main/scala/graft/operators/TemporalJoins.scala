@@ -64,6 +64,34 @@ object TemporalJoins {
         payload.map(p => col(s"__m.$p").as(s"matched_$p")): _*)
   }
 
+  /** Forward as-of join: for each `left` row, the EARLIEST `right` row with
+    * `right.tsCol >= left.tsCol` on the same `key` — the "next event"
+    * lookup (e.g. click → next purchase for conversion attribution).
+    * Same union + one-window shape as [[asofBackward]], mirrored: left rows
+    * sort before right rows at equal timestamps so the inclusive bound
+    * holds under a [current, unbounded following] frame, and ties on the
+    * right timestamp resolve to the payload-min row (first in sort order).
+    */
+  def asofForward(left: DataFrame, right: DataFrame, key: String, tsCol: String,
+      payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    val tagged = left.withColumn("__side", lit(1))
+      .unionByName(
+        right.select(col(key) +: col(tsCol) +: payload.map(p => col(p).as(s"__r_$p")): _*)
+          .withColumn("__side", lit(0)),
+        allowMissingColumns = true)
+    val w = Window.partitionBy(key)
+      .orderBy(col(tsCol) +: when(col("__side") === 1, 0).otherwise(1) +:
+        payload.map(p => col(s"__r_$p")): _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val matchStruct = struct(col(tsCol).as("ts") +: payload.map(p => col(s"__r_$p").as(p)): _*)
+    val carried = tagged.withColumn("__m",
+      first(when(col("__side") === 0, matchStruct), ignoreNulls = true).over(w))
+    carried.filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ Seq(col("__m.ts").as("matched_ts")) ++
+        payload.map(p => col(s"__m.$p").as(s"matched_$p")): _*)
+  }
+
   val ops: Seq[Op] = Seq(
     // As-of join: each purchase matched to the user's latest click at-or-before
     // the purchase time. Oracle expresses the same semantics relationally
@@ -89,6 +117,32 @@ object TemporalJoins {
           round(col("value"), 2).as("value"),
           unix_micros(col("matched_ts").cast("timestamp")).as("click_ts_us"),
           round(col("matched_value"), 2).as("click_value"))
+        .orderBy("event_id")
+    },
+
+    // Forward as-of: each click matched to the user's NEXT purchase at-or-after
+    // the click — conversion attribution, the mirrored oracle (min next ts,
+    // min value among ties at that ts).
+    Op("join_asof_fwd",
+      "WITH c AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type='click'), " +
+      "p AS (SELECT user_id, ts, value FROM events WHERE event_type='purchase'), " +
+      "m AS (SELECT c.event_id, c.user_id, c.ts, c.value, MIN(p.ts) AS p_ts " +
+      "FROM c LEFT JOIN p ON p.user_id=c.user_id AND p.ts>=c.ts GROUP BY c.event_id, c.user_id, c.ts, c.value) " +
+      "SELECT m.event_id, EPOCH_US(m.ts) AS ts_us, ROUND(m.value,2) AS value, " +
+      "EPOCH_US(m.p_ts) AS purchase_ts_us, ROUND(MIN(p2.value),2) AS purchase_value " +
+      "FROM m LEFT JOIN p p2 ON p2.user_id=m.user_id AND p2.ts=m.p_ts " +
+      "GROUP BY m.event_id, m.ts, m.value, m.p_ts ORDER BY event_id") { (s, d) =>
+      val e = ev(s, d)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      asofForward(clicks, purchases, key = "user_id", tsCol = "ts", payload = Seq("value"))
+        .select(col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+          round(col("value"), 2).as("value"),
+          unix_micros(col("matched_ts").cast("timestamp")).as("purchase_ts_us"),
+          round(col("matched_value"), 2).as("purchase_value"))
         .orderBy("event_id")
     },
 

@@ -72,6 +72,50 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(out.toSeq.sorted === expected.sorted)
   }
 
+  private def runFwd(left: Seq[(Long, Long, Double)], right: Seq[(Long, Long, Double)]) = {
+    val l = left.toDF("user_id", "ts", "value")
+    val r = right.toDF("user_id", "ts", "value")
+    TemporalJoins.asofForward(l, r, key = "user_id", tsCol = "ts", payload = Seq("value"))
+      .select("user_id", "ts", "value", "matched_ts", "matched_value")
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2),
+        Option(x.get(3)).map(_.asInstanceOf[Long]),
+        Option(x.get(4)).map(_.asInstanceOf[Double])))
+      .sortBy(t => (t._1, t._2))
+  }
+
+  test("forward as-of picks the earliest right row at-or-after each left row, inclusive") {
+    val out = runFwd(
+      left = Seq((1L, 10L, 1.0), (1L, 20L, 2.0), (1L, 30L, 3.0)),
+      right = Seq((1L, 15L, 150.0), (1L, 20L, 200.0)))
+    assert(out === Seq(
+      (1L, 10L, 1.0, Some(15L), Some(150.0)),
+      (1L, 20L, 2.0, Some(20L), Some(200.0)),  // inclusive: same-ts right matches
+      (1L, 30L, 3.0, None, None)))             // nothing follows
+  }
+
+  test("forward as-of ties on the right timestamp resolve to the payload-min row") {
+    val out = runFwd(
+      left = Seq((1L, 10L, 1.0)),
+      right = Seq((1L, 15L, 7.0), (1L, 15L, 3.0), (1L, 15L, 5.0)))
+    assert(out === Seq((1L, 10L, 1.0, Some(15L), Some(3.0))))
+  }
+
+  test("forward as-of matches a brute-force reference on randomized data") {
+    val rnd = new scala.util.Random(7)
+    val left = Seq.fill(300)((rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong, rnd.nextInt(100).toDouble))
+    val right = Seq.fill(300)((rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong, rnd.nextInt(100).toDouble))
+    val out = runFwd(left, right)
+    assert(out.length === left.length)
+    val expected = left.map { case (k, ts, v) =>
+      val next = right.filter(r => r._1 == k && r._2 >= ts)
+      val mts = next.map(_._2).minOption
+      val mv = mts.map(t => next.filter(_._2 == t).map(_._3).min)
+      (k, ts, v, mts, mv)
+    }.sortBy(t => (t._1, t._2))
+    assert(out.toSeq.sorted === expected.sorted)
+  }
+
   test("globalNtile matches the windowed NTILE for every remainder case") {
     import org.apache.spark.sql.expressions.{Window => W}
     for (total <- Seq(1, 5, 7, 12); n <- Seq(1, 3, 4)) {
