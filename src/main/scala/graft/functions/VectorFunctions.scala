@@ -41,6 +41,12 @@ object VectorFunctions {
   def l2(a: Column, b: Column): Column =
     sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v))
 
+  /** Symmetric absmax int8 scalar quantization (graft.plans.Sq8Quantize):
+    * codes in [-127, 127], zero vector -> all zeros. Integer outputs stay
+    * exactly reproducible across engines.
+    */
+  def sq8(a: Column): Column = call_function("graft_sq8", a)
+
   /** Cast a float embedding to double once, up front (exact widening). */
   def asDouble(a: Column): Column = a.cast("array<double>")
 }

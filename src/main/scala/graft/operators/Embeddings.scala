@@ -244,6 +244,27 @@ object Embeddings {
         .orderBy("id_a", "id_b")
     },
 
+    // Int8 scalar quantization (the memory-compression step of an ANN index
+    // at scale: 4x smaller than float32). Pure per-row codegen expression —
+    // no shuffle, the scan streams through WholeStageCodegen. Integer codes
+    // are exactly reproducible cross-engine (the absmax is an order-
+    // independent max, not a float sum), so the oracle compares value-exact.
+    Op("embed_sq8",
+      "SELECT vec_id, " +
+      "ROUND(list_aggregate(list_transform(embedding, x -> ABS(CAST(x AS DOUBLE))), 'max') / 127, 6) AS scale, " +
+      "CASE WHEN list_aggregate(list_transform(embedding, x -> ABS(CAST(x AS DOUBLE))), 'max') = 0 " +
+      "THEN list_transform(embedding, x -> 0) " +
+      "ELSE list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) / " +
+      "list_aggregate(list_transform(embedding, y -> ABS(CAST(y AS DOUBLE))), 'max') * 127) AS INTEGER)) " +
+      "END AS codes " +
+      "FROM embeddings WHERE vec_id < 200 ORDER BY vec_id") { (s, d) =>
+      val v = asDouble(col("embedding"))
+      val am = aggregate(transform(v, x => abs(x)), lit(0.0), (a, b) => greatest(a, b))
+      emb(s, d).filter(col("vec_id") < 200)
+        .select(col("vec_id"), round(am / 127, 6).as("scale"), sq8(v).as("codes"))
+        .orderBy("vec_id")
+    },
+
     Op("embed_ivf_topk",
       "WITH cent AS (SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cent FROM embeddings WHERE vec_id < 8), " +
       "q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0), " +

@@ -24,5 +24,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       info("graft_dot", "graft_dot(a, b) - dot product of two double arrays"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_sq8"),
+      info("graft_sq8", "graft_sq8(a) - symmetric absmax int8 scalar quantization of a double array"),
+      (children: Seq[Expression]) => Sq8Quantize(children.head)))
   }
 }

@@ -1,10 +1,10 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 
 /** Single-pass cosine similarity over two `array<double>` columns as a native
   * codegen'd Catalyst expression.
@@ -105,6 +105,78 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)
+}
+
+/** Symmetric absmax int8 scalar quantization of an `array<double>` embedding:
+  * code_i = round_half_away_from_zero(x_i / max|x| * 127), codes in
+  * [-127, 127]; a zero vector quantizes to all zeros. One fused codegen loop
+  * (two passes over the row's array, no allocation beyond the code array) —
+  * the memory-compression step of a large-scale ANN index (4x smaller than
+  * float32, 8x than double). Integer outputs are exactly reproducible in any
+  * engine, which keeps the operator oracle-checkable (unlike float
+  * aggregates, whose summation order varies).
+  *
+  * Rounding is half-away-from-zero explicitly (DuckDB ROUND semantics);
+  * `Math.round` is half-toward-positive-infinity and would differ on
+  * negative midpoints.
+  */
+case class Sq8Quantize(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<double>, got $t")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_sq8"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var am = 0.0
+    var i = 0
+    while (i < n) { val v = math.abs(x.getDouble(i)); if (v > am) am = v; i += 1 }
+    val out = new Array[Int](n)
+    if (am > 0.0) {
+      i = 0
+      while (i < n) {
+        val s = x.getDouble(i) / am * 127.0
+        out(i) = (if (s >= 0) math.floor(s + 0.5) else math.ceil(s - 0.5)).toInt
+        i += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val am = ctx.freshName("am")
+      val v = ctx.freshName("v")
+      val s = ctx.freshName("s")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $x.numElements();
+         |double $am = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $v = java.lang.Math.abs($x.getDouble($i));
+         |  if ($v > $am) $am = $v;
+         |}
+         |int[] $out = new int[$n];
+         |if ($am > 0.0) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $s = $x.getDouble($i) / $am * 127.0;
+         |    $out[$i] = (int) ($s >= 0 ? java.lang.Math.floor($s + 0.5)
+         |                              : java.lang.Math.ceil($s - 0.5));
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Sq8Quantize =
+    copy(child = newChild)
 }
 
 object VectorExpressions {

@@ -161,6 +161,33 @@ class OperatorSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(0) - 1.0 / math.sqrt(2)) < 1e-15)
   }
 
+  test("sq8 quantization: absmax scaling, half-away-from-zero rounding, zero vector") {
+    // -0.5/1.0*127 = -63.5 exactly (no FP noise): away-from-zero gives -64;
+    // Math.round-style half-up would give -63.
+    val rows = spark.sql(
+      "SELECT graft_sq8(array(1.0d, -0.5d)) AS a, graft_sq8(array(0.0d, 0.0d)) AS z, " +
+      "graft_sq8(array(-2.0d)) AS n").collect().head
+    assert(rows.getSeq[Int](0) === Seq(127, -64))
+    assert(rows.getSeq[Int](1) === Seq(0, 0))
+    assert(rows.getSeq[Int](2) === Seq(-127))
+  }
+
+  test("sq8 codegen matches the interpreted eval on fixture embeddings") {
+    import graft.functions.VectorFunctions._
+    Tables.ensure(spark, dir)
+    def run(): Seq[Seq[Int]] = spark.table("embeddings").filter(col("vec_id") < 50)
+      .orderBy("vec_id").select(sq8(asDouble(col("embedding"))).as("c"))
+      .collect().toSeq.map(_.getSeq[Int](0))
+    val gen = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interp = try run() finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+    assert(gen.nonEmpty && gen === interp)
+  }
+
   test("exact dedup keeps one representative per distinct text") {
     Tables.ensure(spark, dir)
     val docs = spark.table("documents")
