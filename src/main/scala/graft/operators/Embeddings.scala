@@ -265,6 +265,35 @@ object Embeddings {
         .orderBy("vec_id")
     },
 
+    // Quantized search: coarse top-40 by int8-code dot product (4x less
+    // memory traffic than float32 — the pass that matters when the index
+    // exceeds RAM), then exact cosine re-rank of the survivors. Integer
+    // dot products are exact in double arithmetic (|codes| <= 127, far
+    // under 2^53), so the coarse ranking — and therefore the oracle — is
+    // deterministic cross-engine, unlike a float-valued coarse score.
+    Op("embed_sq8_rerank",
+      "WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, " +
+      "list_aggregate(list_transform(embedding, x -> ABS(CAST(x AS DOUBLE))), 'max') AS am FROM embeddings), " +
+      "codes AS (SELECT vec_id, v, CASE WHEN am = 0 THEN list_transform(v, x -> CAST(0 AS DOUBLE)) " +
+      "ELSE list_transform(v, x -> CAST(CAST(ROUND(x / am * 127) AS INTEGER) AS DOUBLE)) END AS c FROM base), " +
+      "qc AS (SELECT c AS qcodes, v AS qv FROM codes WHERE vec_id = 0), " +
+      "cand AS (SELECT b.vec_id, b.v, list_dot_product(b.c, q.qcodes) AS qd FROM codes b, qc q " +
+      "WHERE b.vec_id <> 0 ORDER BY qd DESC, b.vec_id LIMIT 40) " +
+      "SELECT c.vec_id, ROUND(LIST_COSINE_SIMILARITY(c.v, q.qv), 6) AS cos FROM cand c, qc q " +
+      "ORDER BY cos DESC, c.vec_id LIMIT 10") { (s, d) =>
+      val e = emb(s, d)
+      val v = asDouble(col("embedding"))
+      val qRow = e.filter(col("vec_id") === 0).select(sq8(v).as("qc"), v.as("qv")).first()
+      val qcodes = qRow.getSeq[Int](0).map(_.toDouble)
+      val qv = qRow.getSeq[Double](1)
+      val cand = e.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), v.as("v"),
+          dot(sq8(v).cast("array<double>"), typedLit(qcodes)).as("qd"))
+        .orderBy(col("qd").desc, col("vec_id")).limit(40)
+      cand.select(col("vec_id"), round(cosine(col("v"), typedLit(qv)), 6).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id")).limit(10)
+    },
+
     Op("embed_ivf_topk",
       "WITH cent AS (SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cent FROM embeddings WHERE vec_id < 8), " +
       "q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0), " +
