@@ -87,6 +87,19 @@ final class GraftHttpServer(
   val shutdown = new ShutdownState(gracePeriodSeconds = 10)
   val observability = new Observability(() => false).install(spark)
   val accessLog = new AccessLog()
+  // OTLP/HTTP export (reference `gizmosql_telemetry.cpp`; disabled unless
+  // GIZMOSQL_OTEL_ENABLED) — periodic flush like the SDK's 60 s metric
+  // reader, interval overridable for tests.
+  val otlp: Option[OtlpExporter] = OtlpExporter.fromEnv(observability)
+  private val otlpTimer: Option[java.util.Timer] = otlp.map { e =>
+    val interval = sys.env.get("GIZMOSQL_OTEL_FLUSH_MS").flatMap(_.toLongOption)
+      .getOrElse(60000L)
+    val t = new java.util.Timer("graft-otlp", true)
+    t.scheduleAtFixedRate(new java.util.TimerTask {
+      override def run(): Unit = e.flush()
+    }, interval, interval)
+    t
+  }
 
   private var server: JdkHttpServer = _
   private var executor: java.util.concurrent.ExecutorService = _
@@ -137,6 +150,8 @@ final class GraftHttpServer(
       server.stop(0)
     }
     if (executor != null) executor.shutdown()
+    otlpTimer.foreach(_.cancel())
+    otlp.foreach(_.flush()) // final export, like the SDK's shutdown flush
     health.close()
   }
 
