@@ -21,6 +21,8 @@ object Shell {
   private var headers = true
   private var nullValue = "NULL"
   private var output: Option[java.io.PrintWriter] = None
+  private var color = false     // .color on: ANSI header/null/keyword styling
+  private var pagerSize = 0     // .pager N: page stdout every N lines (0 = off)
 
   val modes: Set[String] = Set("table", "csv", "json", "jsonl", "markdown", "line")
 
@@ -96,13 +98,56 @@ object Shell {
           .mkString("\n\n") + note
       case _ =>
         val widths = cols.indices.map(i => (cols(i).length +: cells.map(_(i).length)).max)
-        def line(vals: Seq[String]) =
-          vals.zip(widths).map { case (v, w) => v.padTo(w, ' ') }.mkString("| ", " | ", " |")
+        // ANSI wrapping happens AFTER width computation so alignment is on
+        // visible characters, not escape bytes.
+        def paint(v: String, w: Int, code: String) = {
+          val padded = v.padTo(w, ' ')
+          if (color) s"\u001b[${code}m$padded\u001b[0m" else padded
+        }
+        def line(vals: Seq[String], code: String) =
+          vals.zip(widths).map { case (v, w) => paint(v, w, code) }.mkString("| ", " | ", " |")
+        def bodyLine(vals: Seq[String]) =
+          vals.zip(widths).map { case (v, w) =>
+            paint(v, w, if (v == nullValue) "2" else "0")
+          }.mkString("| ", " | ", " |")
         val sep = widths.map("-" * _).mkString("+-", "-+-", "-+")
-        ((if (headers) Seq(sep, line(cols.toIndexedSeq), sep) else Seq(sep)) ++
-          cells.map(c => line(c.toIndexedSeq)) :+ sep).mkString("\n") + note
+        ((if (headers) Seq(sep, line(cols.toIndexedSeq, "1"), sep) else Seq(sep)) ++
+          cells.map(c => bodyLine(c.toIndexedSeq)) :+ sep).mkString("\n") + note
     }
   }
+
+  /** ANSI SQL syntax highlighting for echoed statements (reference CLI's
+    * renderer, `src/client/output_renderer.cpp` — keywords/strings/numbers/
+    * comments). Pure string → string, so the coloring is unit-testable; the
+    * shell applies it only when `.color on` and stdout is a terminal.
+    */
+  private val sqlKeywords = Set(
+    "select", "from", "where", "group", "by", "order", "having", "limit",
+    "offset", "join", "inner", "left", "right", "full", "cross", "on", "using",
+    "union", "intersect", "except", "all", "distinct", "as", "and", "or",
+    "not", "in", "exists", "between", "like", "is", "null", "case", "when",
+    "then", "else", "end", "cast", "with", "insert", "into", "values",
+    "update", "set", "delete", "create", "table", "view", "drop", "describe",
+    "explain", "show", "attach", "detach", "use", "copy", "export", "import")
+
+  def highlightSql(sql: String): String = {
+    val token = "(?s)('(?:[^']|'')*')|(--[^\n]*)|(\\b\\d+(?:\\.\\d+)?\\b)|(\\b[A-Za-z_][A-Za-z_0-9]*\\b)".r
+    token.replaceAllIn(sql, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        if (m.group(1) != null) s"\u001b[32m${m.group(1)}\u001b[0m"            // string: green
+        else if (m.group(2) != null) s"\u001b[2m${m.group(2)}\u001b[0m"        // comment: dim
+        else if (m.group(3) != null) s"\u001b[36m${m.group(3)}\u001b[0m"       // number: cyan
+        else if (sqlKeywords.contains(m.group(4).toLowerCase))
+          s"\u001b[1;34m${m.group(4)}\u001b[0m"                                // keyword: bold blue
+        else m.group(4)))
+  }
+
+  /** Split rendered output into pager pages of `pageSize` lines (reference
+    * CLI's pager, `src/client/shell_loop.cpp`). Pure, for testability; the
+    * interactive loop prompts between pages.
+    */
+  def paginate(text: String, pageSize: Int): Seq[String] =
+    text.split("\n", -1).grouped(math.max(1, pageSize)).map(_.mkString("\n")).toSeq
 
   def handleDot(cmd: String, session: SessionState): String = {
     val parts = cmd.trim.split("\\s+")
@@ -122,6 +167,14 @@ object Shell {
         else s"unknown mode '$m' (${modes.toSeq.sorted.mkString("|")})"
       case ".headers" => headers = parts.lift(1).forall(_ == "on"); s"headers ${if (headers) "on" else "off"}"
       case ".nullvalue" => nullValue = parts.lift(1).getOrElse("NULL"); s"nullvalue $nullValue"
+      case ".color" => color = parts.lift(1).forall(_ == "on"); s"color ${if (color) "on" else "off"}"
+      case ".pager" =>
+        pagerSize = parts.lift(1) match {
+          case Some("off") | None => 0
+          case Some("on") => 40
+          case Some(n) => n.toIntOption.getOrElse(0)
+        }
+        if (pagerSize > 0) s"pager $pagerSize lines" else "pager off"
       case ".output" =>
         output.foreach(_.close())
         output = parts.lift(1).filter(_ != "stdout").map(f =>
@@ -131,7 +184,8 @@ object Shell {
       case ".help" =>
         ".tables [pattern] | .schema <table> | .catalogs | .schemas | .settings | " +
           ".timer on|off | .maxrows N | .mode table|csv|json|jsonl|markdown|line | " +
-          ".headers on|off | .nullvalue S | .output FILE|stdout | .quit"
+          ".headers on|off | .nullvalue S | .color on|off | .pager N|on|off | " +
+          ".output FILE|stdout | .quit"
       case ".quit" | ".exit" => null
       case other => s"unknown command: $other (try .help)"
     }
@@ -206,6 +260,9 @@ object Shell {
             if (out == null) return
             println(out)
           } else {
+            // With color on, echo the statement back highlighted (the
+            // no-line-editor stand-in for as-you-type highlighting).
+            if (color) println(highlightSql(input))
             val t0 = System.nanoTime()
             // Full pipeline: guard + intercepts (create), then admission slot
             // and gizmosql.query_timeout around the collection.
@@ -224,7 +281,14 @@ object Shell {
                 val written = math.min(rows.length, maxRows)
                 val more = if (rows.length > maxRows) " (truncated)" else ""
                 println(s"-- $written rows written$more")
-              case None => println(rendered)
+              case None =>
+                if (pagerSize > 0) {
+                  val pages = paginate(rendered, pagerSize)
+                  pages.zipWithIndex.foreach { case (p, i) =>
+                    println(p)
+                    if (i < pages.size - 1) StdIn.readLine(s"-- more (${i + 1}/${pages.size}, enter) --")
+                  }
+                } else println(rendered)
             }
             if (timer) println(f"-- ${(System.nanoTime() - t0) / 1e9}%.3f s")
           }

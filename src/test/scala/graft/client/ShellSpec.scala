@@ -81,4 +81,33 @@ class ShellSpec extends AnyFunSuite {
     Shell.handleDot(".nullvalue NULL", null)
     Shell.handleDot(".mode table", null)
   }
+  test(".color on styles table headers and nulls with ANSI; off leaves output plain") {
+    Shell.handleDot(".color on", null)
+    val out = Shell.render(spark.sql("SELECT 1 AS a, CAST(NULL AS INT) AS b"))
+    assert(out.contains("\u001b[1m"))           // bold header
+    assert(out.contains("\u001b[2mNULL"))       // dim null cell
+    Shell.handleDot(".color off", null)
+    val plain = Shell.render(spark.sql("SELECT 1 AS a"))
+    assert(!plain.contains("\u001b["))
+  }
+
+  test("highlightSql colors keywords, strings, numbers, comments; identifiers untouched") {
+    val h = Shell.highlightSql("SELECT a, 'x''y' FROM t WHERE n = 42 -- note")
+    assert(h.contains("\u001b[1;34mSELECT\u001b[0m"))
+    assert(h.contains("\u001b[1;34mFROM\u001b[0m"))
+    assert(h.contains("\u001b[32m'x''y'\u001b[0m"))   // string incl. escaped quote
+    assert(h.contains("\u001b[36m42\u001b[0m"))
+    assert(h.contains("\u001b[2m-- note\u001b[0m"))
+    assert(h.contains(" a,"))                           // identifier uncolored
+  }
+
+  test("paginate splits on line count and .pager parses on/off/N") {
+    val pages = Shell.paginate((1 to 10).map(_.toString).mkString("\n"), 4)
+    assert(pages.size == 3 && pages.head == "1\n2\n3\n4" && pages.last == "9\n10")
+    assert(Shell.paginate("one line", 40) == Seq("one line"))
+    assert(Shell.handleDot(".pager 25", null) == "pager 25 lines")
+    assert(Shell.handleDot(".pager off", null) == "pager off")
+    assert(Shell.handleDot(".pager on", null) == "pager 40 lines")
+    assert(Shell.handleDot(".pager off", null) == "pager off")
+  }
 }
