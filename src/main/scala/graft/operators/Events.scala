@@ -28,6 +28,33 @@ object Events {
       .groupBy("user_id").agg(sum("is_new").cast("long").as("sessions"))
   }
 
+  /** Ordered signup → click → purchase funnel over an events frame with
+    * (user_id, event_type, ts). One scan, one shuffle: the three stage
+    * thresholds chain as full-partition window aggregates over a single
+    * user_id clustering, and the per-user collapse reuses that clustering
+    * with no further exchange (the relational form pays 3 aggregations +
+    * 2 joins on the same key).
+    */
+  def funnel(e: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    e.filter(col("event_type").isin("signup", "click", "purchase"))
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("t1", min(when(col("event_type") === "signup", col("ts"))).over(w))
+      // user_id.isNotNull on the later stages only: the relational form's
+      // stage-2/3 equi-joins drop a NULL user (NULL never equals NULL),
+      // while its stage-1 GROUP BY keeps the NULL group — the window
+      // partition would otherwise carry NULL users through every stage.
+      .withColumn("t2", min(when(col("user_id").isNotNull &&
+        col("event_type") === "click" && col("ts") > col("t1"), col("ts"))).over(w))
+      .withColumn("t3", min(when(col("event_type") === "purchase" && col("ts") > col("t2"),
+        col("ts"))).over(w))
+      .groupBy("user_id").agg(max("t1").as("t1"), max("t2").as("t2"), max("t3").as("t3"))
+      .agg(count("t1").as("u1"), count("t2").as("u2"), count("t3").as("u3"))
+      .select(expr("stack(3, 1, 'signup', u1, 2, 'click', u2, 3, 'purchase', u3) " +
+        "AS (stage_no, stage, users)"))
+      .orderBy("stage_no")
+  }
+
   val ops: Seq[Op] = Seq(
     // Tumbling 1h aggregate (batch face of groupBy(window($"ts", "1 hour"))).
     Op("events_hourly",
@@ -65,20 +92,7 @@ object Events {
       "SELECT 1 AS stage_no, 'signup' AS stage, COUNT(*) AS users FROM s " +
       "UNION ALL SELECT 2, 'click', COUNT(*) FROM c " +
       "UNION ALL SELECT 3, 'purchase', COUNT(*) FROM p) t ORDER BY stage_no") { (s, d) =>
-      val w = Window.partitionBy("user_id")
-      ev(s, d)
-        .filter(col("event_type").isin("signup", "click", "purchase"))
-        .select(col("user_id"), col("event_type"), col("ts"))
-        .withColumn("t1", min(when(col("event_type") === "signup", col("ts"))).over(w))
-        .withColumn("t2", min(when(col("event_type") === "click" && col("ts") > col("t1"),
-          col("ts"))).over(w))
-        .withColumn("t3", min(when(col("event_type") === "purchase" && col("ts") > col("t2"),
-          col("ts"))).over(w))
-        .groupBy("user_id").agg(max("t1").as("t1"), max("t2").as("t2"), max("t3").as("t3"))
-        .agg(count("t1").as("u1"), count("t2").as("u2"), count("t3").as("u3"))
-        .select(expr("stack(3, 1, 'signup', u1, 2, 'click', u2, 3, 'purchase', u3) " +
-          "AS (stage_no, stage, users)"))
-        .orderBy("stage_no")
+      funnel(ev(s, d))
     },
 
     // Day-over-day retention: users active on day d who return on d+1.

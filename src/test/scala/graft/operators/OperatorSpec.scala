@@ -161,6 +161,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(0) - 1.0 / math.sqrt(2)) < 1e-15)
   }
 
+  test("funnel matches the relational form's NULL-user semantics: stage 1 yes, stages 2-3 no") {
+    import spark.implicits._
+    // Confirmed against DuckDB on the oracle SQL: a NULL user's signup
+    // counts (GROUP BY keeps the NULL group) but its click/purchase never
+    // join through (NULL never equals NULL).
+    val e = Seq(
+      (Option.empty[Long], "signup", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (Option.empty[Long], "click", java.sql.Timestamp.valueOf("2024-01-01 01:00:00")),
+      (Option.empty[Long], "purchase", java.sql.Timestamp.valueOf("2024-01-01 02:00:00")),
+      (Some(7L), "signup", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (Some(7L), "click", java.sql.Timestamp.valueOf("2024-01-01 01:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    val out = Events.funnel(e).collect().map(r => (r.getInt(0), r.getLong(2)))
+    assert(out.toSeq === Seq((1, 2L), (2, 1L), (3, 0L)))
+  }
+
   test("sq8 quantization: absmax scaling, half-away-from-zero rounding, zero vector") {
     // -0.5/1.0*127 = -63.5 exactly (no FP noise): away-from-zero gives -64;
     // Math.round-style half-up would give -63.
