@@ -80,9 +80,13 @@ object TemporalJoins {
         right.select(col(key) +: col(tsCol) +: payload.map(p => col(p).as(s"__r_$p")): _*)
           .withColumn("__side", lit(0)),
         allowMissingColumns = true)
+    // asc_nulls_last on the payload tie-break: the relational oracle's
+    // MIN(payload) ignores NULLs, so a null-payload right row must lose a
+    // same-timestamp tie to any non-null one (Spark's default ASC sorts
+    // nulls first, which would win it).
     val w = Window.partitionBy(key)
       .orderBy(col(tsCol) +: when(col("__side") === 1, 0).otherwise(1) +:
-        payload.map(p => col(s"__r_$p")): _*)
+        payload.map(p => col(s"__r_$p").asc_nulls_last): _*)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val matchStruct = struct(col(tsCol).as("ts") +: payload.map(p => col(s"__r_$p").as(p)): _*)
     val carried = tagged.withColumn("__m",

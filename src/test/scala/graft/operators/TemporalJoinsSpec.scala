@@ -101,6 +101,16 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(out === Seq((1L, 10L, 1.0, Some(15L), Some(3.0))))
   }
 
+  test("forward as-of: a null payload loses a same-timestamp tie to a non-null one") {
+    val l = Seq((1L, 10L, 1.0)).toDF("user_id", "ts", "value")
+    val r = Seq((1L, 15L, Option.empty[Double]), (1L, 15L, Some(5.0)))
+      .toDF("user_id", "ts", "value")
+    val row = TemporalJoins.asofForward(l, r, "user_id", "ts", Seq("value"))
+      .select("matched_ts", "matched_value").collect().head
+    assert(row.getLong(0) === 15L)
+    assert(row.getDouble(1) === 5.0) // MIN-ignoring-nulls, like the oracle
+  }
+
   test("forward as-of matches a brute-force reference on randomized data") {
     val rnd = new scala.util.Random(7)
     val left = Seq.fill(300)((rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong, rnd.nextInt(100).toDouble))
