@@ -399,6 +399,39 @@ object TextPipeline {
         .orderBy("keep_id")
     },
 
+    // Normalized exact dedup: case-fold, strip punctuation, collapse
+    // whitespace, THEN group — catches trivially-reformatted copies that
+    // byte-exact dedup misses. Same groupBy shape as `dedup_exact`, so it
+    // distributes identically; the normalization is per-row codegen.
+    Op("dedup_exact_norm",
+      "SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id, COUNT(*) AS copies FROM (" +
+      "SELECT doc_id, TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g')) AS norm " +
+      "FROM documents) GROUP BY norm ORDER BY keep_id") { (s, d) =>
+      docs(s, d)
+        .select(col("doc_id"),
+          trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")).as("norm"))
+        .groupBy("norm")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("copies"))
+        .select(col("keep_id"), col("copies"))
+        .orderBy("keep_id")
+    },
+
+    // Stratified sampling: N docs per source, selection order = md5 of the
+    // doc id — deterministic pseudo-randomness any engine reproduces, unlike
+    // rand(). The per-stratum window distributes as one shuffle on source;
+    // at 100 TB this is the balanced-mixture sampler a training run uses.
+    Op("sample_stratified",
+      "SELECT source, doc_id FROM (SELECT source, doc_id, " +
+      "ROW_NUMBER() OVER (PARTITION BY source ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id) AS rk " +
+      "FROM documents) t WHERE rk <= 5 ORDER BY source, doc_id") { (s, d) =>
+      val w = Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      docs(s, d)
+        .select(col("source"), col("doc_id"), row_number().over(w).as("rk"))
+        .filter(col("rk") <= 5).select("source", "doc_id")
+        .orderBy("source", "doc_id")
+    },
+
     Op("dedup_jaccard",
       "WITH w AS (SELECT doc_id, STRING_SPLIT(text,' ') AS words FROM documents), " +
       "g AS (SELECT DISTINCT doc_id, UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, CAST(LEN(words) AS INTEGER)-2), i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS gram FROM w), " +
