@@ -67,6 +67,61 @@ object EventStreams {
       .toDF("user_id", "n", "total")
   }
 
+  /** Streaming funnel: per-user signup → click → purchase thresholds,
+    * finalized by EVENT-TIME TIMEOUT. Stage-2/3 thresholds depend on the
+    * group's full multiset (a late click can lower t2 and thereby change
+    * t3), so events buffer in group state until the watermark passes the
+    * user's horizon; then the same order-insensitive computation as the
+    * batch `Events.funnel` runs once and the state is freed — the
+    * buffer-within-watermark pattern for logic windowed aggregates can't
+    * express, with state bounded by the horizon, not the stream. Emits one
+    * (user_id, t1, t2, t3) row per finalized user (epoch millis, null =
+    * stage never reached).
+    */
+  def statefulFunnel(events: DataFrame, horizonSeconds: Long = 3600L): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val stages = Set("signup", "click", "purchase")
+    // No event-type pre-filter: a micro-batch whose rows are all filtered
+    // out upstream gives this operator an EMPTY input, and flatMapGroups-
+    // WithState does not process timed-out groups on an empty batch
+    // (measured: groups finalize only in batches where rows reach the
+    // operator). Every event flows through; non-funnel types just refresh
+    // the user's activity horizon without entering the buffer.
+    events
+      .withWatermark("ts", s"$horizonSeconds seconds")
+      .selectExpr("user_id", "event_type", "ts")
+      .as[(Long, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, String, java.sql.Timestamp)],
+            state: GroupState[Seq[(String, Long)]]) =>
+          if (state.hasTimedOut) {
+            val evs = state.get
+            state.remove()
+            def minOf(tpe: String, after: Option[Long]): Option[Long] = {
+              val c = evs.collect { case (t, ts) if t == tpe && after.forall(ts > _) => ts }
+              if (c.isEmpty) None else Some(c.min)
+            }
+            val t1 = minOf("signup", None)
+            val t2 = t1.flatMap(a => minOf("click", Some(a)))
+            val t3 = t2.flatMap(a => minOf("purchase", Some(a)))
+            // Users with zero funnel events produce no row (they only ever
+            // refreshed the horizon) — matches the batch form's universe.
+            if (evs.isEmpty) Iterator.empty else Iterator((user, t1, t2, t3))
+          } else {
+            val incoming = rows.map(r => (r._2, r._3.getTime)).toSeq
+            val buf = state.getOption.getOrElse(Seq.empty) ++
+              incoming.filter(e => stages(e._1))
+            state.update(buf)
+            val horizonFrom = (buf.map(_._2) ++ incoming.map(_._2)).max
+            state.setTimeoutTimestamp(horizonFrom + horizonSeconds * 1000)
+            Iterator.empty
+          }
+      }
+      .toDF("user_id", "t1", "t2", "t3")
+  }
+
   /** Stream-stream inner join with an event-time range condition: each
     * purchase joined to the same user's views in the preceding `lookback`.
     * Watermarks on both sides + the time-range predicate let Spark expire

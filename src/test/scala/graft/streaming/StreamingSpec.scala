@@ -103,6 +103,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(byBatch.contains((2L, 1L, 5.0)))
   }
 
+  test("stateful funnel: streaming thresholds equal a brute-force batch reference") {
+    import spark.implicits._
+    val rows = fixtureEvents.as[Ev].collect().toSeq
+    // Out-of-order replay WITHIN the watermark contract: all rows arrive
+    // reversed in one batch (so nothing is >1h late), then the sentinel
+    // advances the watermark past every user's horizon and the event-time
+    // timeouts finalize the groups.
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = EventStreams.statefulFunnel(ms.toDF(), horizonSeconds = 3600L).writeStream
+      .format("memory").queryName("t_funnel").outputMode("append").start()
+    ms.addData(rows.reverse); q.processAllAvailable()
+    // Two sentinel batches: the first advances the watermark past every
+    // user's horizon; the second delivers rows to the stateful operator
+    // UNDER that watermark so the event-time timeouts fire (timed-out
+    // groups are only processed in batches whose rows reach the operator).
+    val f1 = flushEvent(rows)
+    ms.addData(Seq(f1)); q.processAllAvailable()
+    ms.addData(Seq(f1.copy(event_id = -2L,
+      ts = new java.sql.Timestamp(f1.ts.getTime + 7L * 24 * 3600 * 1000))))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("t_funnel").collect()
+      .map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))
+      .sortBy(_._1)
+    // Brute force over the same rows.
+    val expected = rows.filter(e => Set("signup", "click", "purchase")(e.event_type))
+      .groupBy(_.user_id).toSeq.map { case (u, es) =>
+        def minOf(tpe: String, after: Option[Long]) = {
+          val c = es.filter(e => e.event_type == tpe && after.forall(e.ts.getTime > _))
+            .map(_.ts.getTime)
+          if (c.isEmpty) None else Some(c.min)
+        }
+        val t1 = minOf("signup", None)
+        val t2 = t1.flatMap(x => minOf("click", Some(x)))
+        val t3 = t2.flatMap(x => minOf("purchase", Some(x)))
+        (u, t1, t2, t3)
+      }.sortBy(_._1)
+    val missing = expected.map(_._1).toSet -- streamed.map(_._1).toSet
+    assert(streamed.length === expected.length,
+      s"missing users: $missing; extra: ${streamed.map(_._1).toSet -- expected.map(_._1).toSet}")
+    assert(streamed.toSeq === expected)
+  }
+
   test("file source -> windowed agg -> parquet sink: full streaming pipeline") {
     import spark.implicits._
     val srcDir = java.nio.file.Files.createTempDirectory("graft-stream-src").toString
