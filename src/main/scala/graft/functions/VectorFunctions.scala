@@ -41,6 +41,17 @@ object VectorFunctions {
   def l2(a: Column, b: Column): Column =
     sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v))
 
+  /** Hyperplane-LSH band buckets (graft.plans.HyperplaneBuckets): all sign
+    * bits of the fixed plane set in one fused codegen pass, packed per band.
+    * The parameterized overload widens the band shape for larger corpora
+    * (bucket space must track ~log2(corpus) or random collisions go
+    * quadratic).
+    */
+  def lshBuckets(a: Column): Column = call_function("graft_lsh_buckets", a)
+
+  def lshBuckets(a: Column, bitsPerBand: Int, bands: Int): Column =
+    call_function("graft_lsh_buckets", a, lit(bitsPerBand), lit(bands))
+
   /** Symmetric absmax int8 scalar quantization (graft.plans.Sq8Quantize):
     * codes in [-127, 127], zero vector -> all zeros. Integer outputs stay
     * exactly reproducible across engines.

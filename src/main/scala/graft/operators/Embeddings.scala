@@ -73,40 +73,6 @@ object Embeddings {
       .orderBy(col("cos").desc, col("vec_id")).limit(k)
   }
 
-  /** Deterministic random-hyperplane LSH parameters, shared bit-for-bit with
-    * the DuckDB oracle: plane component r[j][i] = md5-derived 60-bit hash of
-    * "hp_j_i" mapped to [-1, 1). Both engines compute the same planes, the
-    * same sequential dot products, and therefore the same sign bits —
-    * verified value-identical on all fixtures (and the oracle replicates the
-    * algorithm, so the check never depends on LSH recall).
-    */
-  object HyperplaneLsh {
-    val dim = 64
-    val bitsPerBand = 8
-    val bands = 16
-    val numBits: Int = bitsPerBand * bands
-
-    def h60(s: String): Long = {
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      val hex = d.map("%02x".format(_)).mkString.take(15)
-      java.lang.Long.parseLong(hex, 16)
-    }
-
-    /** (band, pos, plane vector) per bit. */
-    lazy val planes: Seq[(Int, Int, Seq[Double])] =
-      (0 until numBits).map { j =>
-        (j / bitsPerBand, j % bitsPerBand,
-          (0 until dim).map(i => h60(s"hp_${j}_${i}").toDouble / (1L << 60).toDouble * 2 - 1))
-      }
-
-    /** The same 60-bit md5 hash in DuckDB SQL over a string column `s`. */
-    def hex60Sql: String =
-      (1 to 15).map { k =>
-        s"(strpos('0123456789abcdef', substr(md5(s), $k, 1)) - 1) * ${1L << (4 * (15 - k))}"
-      }.mkString("(", " + ", ")")
-  }
-
   /** Hyperplane-LSH near-duplicate search: sign-bit sketches bucketed into
     * bands, candidates from a (band, bucket) equi-join, exact cosine
     * verification of candidates only. This is the sound 100 TB pruning path
@@ -114,26 +80,18 @@ object Embeddings {
     * bands of 8 bits, ~94% at cos 0.9 but ~40% at the 0.45 tail — the spec
     * of this operator is "LSH-recalled near-dups, exactly verified", which
     * is what its oracle checks; `dedup_embed` remains the exact operator).
-    * Cost: corpus x numBits codegen'd dot products + an equi-join — never
-    * all pairs.
+    * All 128 sign bits come from ONE fused codegen pass over each vector
+    * (`graft.plans.HyperplaneBuckets` — the earlier broadcast-plane
+    * crossJoin replicated every vector row 128x; measured 25 s -> ~2 s at
+    * the 10x scale fixture), then bands posexplode 16 rows per vector into
+    * the bucket equi-join — never all pairs.
     */
-  def lshDedup(spark: SparkSession, e: DataFrame, threshold: Double): DataFrame = {
-    import HyperplaneLsh._
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types._
-    import scala.jdk.CollectionConverters._
-    val planeSchema = StructType(Seq(
-      StructField("band", IntegerType, nullable = false),
-      StructField("pos", IntegerType, nullable = false),
-      StructField("rvec", ArrayType(DoubleType, containsNull = false), nullable = false)))
-    val planesDf = spark.createDataFrame(
-      planes.map { case (b, p, r) => Row(b, p, r) }.asJava, planeSchema)
+  def lshDedup(spark: SparkSession, e: DataFrame, threshold: Double,
+      bitsPerBand: Int = graft.plans.HyperplaneLsh.bitsPerBand,
+      bands: Int = graft.plans.HyperplaneLsh.bands): DataFrame = {
     val buckets = e.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .crossJoin(broadcast(planesDf))
-      .select(col("vec_id"), col("band"),
-        when(dot(col("v"), col("rvec")) >= 0,
-          expr("shiftleft(CAST(1 AS BIGINT), pos)")).otherwise(0L).as("bv"))
-      .groupBy("vec_id", "band").agg(sum("bv").as("bucket"))
+      .select(col("vec_id"), posexplode(lshBuckets(col("v"), bitsPerBand, bands)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val cand = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
@@ -148,7 +106,7 @@ object Embeddings {
   }
 
   private def lshDedupOracle: String = {
-    import HyperplaneLsh._
+    import graft.plans.HyperplaneLsh._
     "WITH planes AS (SELECT j // " + bitsPerBand + " AS band, j % " + bitsPerBand + " AS pos, " +
       "LIST(r ORDER BY i) AS rvec FROM (" +
       s"SELECT j, i, $hex60Sql / 1152921504606846976.0 * 2 - 1 AS r " +

@@ -28,5 +28,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_sq8"),
       info("graft_sq8", "graft_sq8(a) - symmetric absmax int8 scalar quantization of a double array"),
       (children: Seq[Expression]) => Sq8Quantize(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_lsh_buckets"),
+      info("graft_lsh_buckets",
+        "graft_lsh_buckets(a[, bitsPerBand, bands]) - hyperplane-LSH band buckets of a double array"),
+      (children: Seq[Expression]) => children match {
+        case Seq(v) => HyperplaneBuckets(v)
+        case Seq(v, b, n) => HyperplaneBuckets(v,
+          b.eval().asInstanceOf[Number].intValue(), n.eval().asInstanceOf[Number].intValue())
+        case _ => throw new IllegalArgumentException("graft_lsh_buckets takes 1 or 3 arguments")
+      }))
   }
 }

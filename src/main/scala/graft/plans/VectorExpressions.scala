@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /** Single-pass cosine similarity over two `array<double>` columns as a native
   * codegen'd Catalyst expression.
@@ -176,6 +176,115 @@ case class Sq8Quantize(child: Expression) extends UnaryExpression {
     })
 
   override protected def withNewChildInternal(newChild: Expression): Sq8Quantize =
+    copy(child = newChild)
+}
+
+/** Deterministic random-hyperplane LSH parameters, shared bit-for-bit with
+  * the DuckDB oracle: plane component r[j][i] = md5-derived 60-bit hash of
+  * "hp_j_i" mapped to [-1, 1). Both engines compute the same planes, the
+  * same sequential dot products, and therefore the same sign bits.
+  */
+object HyperplaneLsh {
+  val dim = 64
+  // Oracle-pinned defaults. The bucket space (2^bitsPerBand per band) must
+  // grow ~log2 with corpus size or random collisions make the candidate set
+  // quadratic — callers at larger scales widen the bands (the fused
+  // expression makes extra bits nearly free) and raise the threshold to the
+  // high-similarity regime wide bands are selective for.
+  val bitsPerBand = 8
+  val bands = 16
+  val numBits: Int = bitsPerBand * bands
+
+  def h60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = d.map("%02x".format(_)).mkString.take(15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  /** Plane matrices keyed by bit count — one md5-derived plane family, a
+    * prefix of which is every narrower configuration.
+    */
+  private val matrices = scala.collection.concurrent.TrieMap.empty[Int, Array[Array[Double]]]
+  def matrixFor(bits: Int): Array[Array[Double]] =
+    matrices.getOrElseUpdate(bits, Array.tabulate(bits, dim)((j, i) =>
+      h60(s"hp_${j}_${i}").toDouble / (1L << 60).toDouble * 2 - 1))
+
+  /** The same 60-bit md5 hash in DuckDB SQL over a string column `s`. */
+  def hex60Sql: String =
+    (1 to 15).map { k =>
+      s"(strpos('0123456789abcdef', substr(md5(s), $k, 1)) - 1) * ${1L << (4 * (15 - k))}"
+    }.mkString("(", " + ", ")")
+}
+
+/** All `HyperplaneLsh.numBits` sign-bit dot products of one embedding against
+  * the fixed plane matrix, packed into the band buckets, in ONE fused codegen
+  * loop: `array<long>` of `bands` entries. The composable form — crossJoin
+  * against a broadcast plane table — replicates every vector row once per
+  * PLANE (x128) through a join, a projection, and a re-aggregation; this
+  * expression reads each vector exactly once (measured on the 10x scale
+  * fixture: 25 s -> ~2 s for the LSH dedup). Accumulation order matches the
+  * per-plane `graft_dot` (ascending index), so buckets — and the oracle
+  * comparison — are bit-identical.
+  */
+case class HyperplaneBuckets(child: Expression,
+    bitsPerBand: Int = HyperplaneLsh.bitsPerBand,
+    bands: Int = HyperplaneLsh.bands) extends UnaryExpression {
+  import HyperplaneLsh.{dim, matrixFor}
+
+  private def numBits: Int = bitsPerBand * bands
+  require(bitsPerBand >= 1 && bitsPerBand <= 62 && bands >= 1,
+    s"invalid LSH band shape ${bitsPerBand}x$bands")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<double>, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_lsh_buckets"
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val planes = matrixFor(numBits)
+    val n = math.min(v.numElements(), dim)
+    val out = new Array[Long](bands)
+    var j = 0
+    while (j < numBits) {
+      val row = planes(j)
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += v.getDouble(i) * row(i); i += 1 }
+      if (dot >= 0) out(j / bitsPerBand) |= 1L << (j % bitsPerBand)
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planes = ctx.addReferenceObj("planes", matrixFor(numBits), "double[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val dot = ctx.freshName("dot")
+      val row = ctx.freshName("row")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = java.lang.Math.min($v.numElements(), $dim);
+         |long[] $out = new long[$bands];
+         |for (int $j = 0; $j < $numBits; $j++) {
+         |  double[] $row = $planes[$j];
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) { $dot += $v.getDouble($i) * $row[$i]; }
+         |  if ($dot >= 0) $out[$j / $bitsPerBand] |= 1L << ($j % $bitsPerBand);
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBuckets =
     copy(child = newChild)
 }
 

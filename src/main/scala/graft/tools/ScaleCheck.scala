@@ -49,16 +49,27 @@ object ScaleCheck {
     // — and thus per-partition window/as-of work — stays constant while the
     // user population scales, like a growing product.
     scaled("events", Seq("event_id", "user_id"), 100000000L)
+    // Embeddings: per-copy sign-flip pattern on the components (the text
+    // salting lesson, vector edition): copies of the same vector must be
+    // mutually DISSIMILAR, or cross-copy near-dup clusters grow with N and
+    // the LSH candidate set blows up quadratically. Flipping a hash-chosen
+    // half of the signs makes cross-copy cosine ~0 while every intra-copy
+    // similarity is preserved exactly (|x| and pairwise angles within a copy
+    // are sign-pattern invariant), so dup pairs scale linearly.
+    scaled("embeddings", Seq("vec_id"), 1000000L, _.withColumn("embedding",
+      expr("transform(embedding, (x, i) -> x * (1 - 2 * cast(abs(hash(copy, i)) % 2 as int)))")))
 
     println(s"[scale] lineitem rows: ${spark.table("lineitem").count()}, " +
-      s"documents rows: ${spark.table("documents").count()}")
+      s"documents rows: ${spark.table("documents").count()}, " +
+      s"embeddings rows: ${spark.table("embeddings").count()}")
 
     val queries = SparkEntry.queries
     val names = Seq("agg_h01", "agg_global_h06", "join_inner_h03", "join_left_hist",
       "join_theta", "tpch_h18", "win_rownum", "topk",
       "dedup_minhash_lsh", "dedup_simhash", "dedup_jaccard", "text_stats",
       "pipeline_clean_corpus", "text_contamination", "join_asof", "join_time_range",
-      "events_funnel")
+      "events_funnel",
+      "dedup_embed_lsh", "embed_cosine_topk", "embed_knn", "embed_sq8_rerank")
     names.foreach { name =>
       // warm codegen once, then measure
       try {
@@ -67,6 +78,20 @@ object ScaleCheck {
         queries(name)(spark, dir).count()
         println(f"[scale] $name at ${n}x: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       } catch { case e: Throwable => println(s"[scale] $name FAILED: ${e.getMessage}") }
+    }
+
+    // The fixed 8-bit-band LSH above collides randomly once the corpus
+    // outgrows its 256-value bucket space (candidates ~ n^2/2^bits). The
+    // scale posture is the parameterized band shape: wider bands + the
+    // high-similarity threshold they are selective for. Measure it.
+    {
+      val wide = graft.operators.Embeddings.lshDedup(
+        spark, spark.table("embeddings"), 0.9, bitsPerBand = 16, bands = 32)
+      wide.count() // warm codegen
+      val t0 = System.nanoTime()
+      val rows = wide.count()
+      println(f"[scale] dedup_embed_lsh 16x32-band thr=0.9 at ${n}x: " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s ($rows pairs)")
     }
 
     // Bucketed co-located join: pay the shuffle once at write time, join
