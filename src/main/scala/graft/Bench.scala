@@ -114,10 +114,16 @@ object Bench {
       val f = new java.io.File(s"tools/comparator_$sfName.json")
       // Newlines stripped defensively: the output contract is ONE JSON line,
       // so a pretty-printed comparator file must not break it.
-      if (f.isFile) "," + "\"comparator\":" +
-        new String(java.nio.file.Files.readAllBytes(f.toPath),
+      if (f.isFile) {
+        val content = new String(java.nio.file.Files.readAllBytes(f.toPath),
           java.nio.charset.StandardCharsets.UTF_8).replaceAll("[\r\n]", " ").trim
-      else ""
+        // The comparator script hand-lists the headline queries; if this
+        // bench's set drifted from it, flag the embed so the gate ratio is
+        // never silently computed over different query sets.
+        val stale = headline.exists(q => !content.contains("\"" + q + "\""))
+        "," + "\"comparator\":" + content +
+          (if (stale) ",\"comparator_stale\":true" else "")
+      } else ""
     }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(medians)},""" +
       s""""pass_totals":[${passTotals.mkString(",")}],""" +

@@ -261,8 +261,9 @@ object Shell {
             println(out)
           } else {
             // With color on, echo the statement back highlighted (the
-            // no-line-editor stand-in for as-you-type highlighting).
-            if (color) println(highlightSql(input))
+            // no-line-editor stand-in for as-you-type highlighting);
+            // terminal sessions only — piped input stays clean.
+            if (color && System.console() != null) println(highlightSql(input))
             val t0 = System.nanoTime()
             // Full pipeline: guard + intercepts (create), then admission slot
             // and gizmosql.query_timeout around the collection.
@@ -272,7 +273,12 @@ object Shell {
             val rows = admission.withSlot(bypass = false, () => session.killRequested) {
               Statement.executeWithTimeout(session, timeout)(df.limit(maxRows + 1).collect())
             }
-            val rendered = renderRows(df.columns, rows)
+            // Never write ANSI codes into a redirected output file.
+            val rendered = {
+              val c0 = color
+              if (output.isDefined) color = false
+              try renderRows(df.columns, rows) finally color = c0
+            }
             output match {
               // rows holds up to maxRows+1 (the truncation probe); only
               // maxRows of them were rendered.
@@ -282,7 +288,10 @@ object Shell {
                 val more = if (rows.length > maxRows) " (truncated)" else ""
                 println(s"-- $written rows written$more")
               case None =>
-                if (pagerSize > 0) {
+                // Prompt between pages only on a real terminal: with piped
+                // input the readLine would consume the NEXT SQL statements
+                // as page-continue keypresses.
+                if (pagerSize > 0 && System.console() != null) {
                   val pages = paginate(rendered, pagerSize)
                   pages.zipWithIndex.foreach { case (p, i) =>
                     println(p)

@@ -18,7 +18,8 @@ final class Observability(captureProfile: () => Boolean) extends QueryExecutionL
 
   final case class QueryRecord(
       name: String, durationNs: Long, status: String,
-      outputRows: Option[Long], profile: Option[String])
+      outputRows: Option[Long], profile: Option[String],
+      completedAtMs: Long = System.currentTimeMillis())
 
   private val records = new ConcurrentLinkedQueue[QueryRecord]()
 

@@ -30,9 +30,19 @@ import java.util.concurrent.ThreadLocalRandom
 final class OtlpExporter(obs: Observability, endpoint: String, serviceName: String,
     headers: Map[String, String] = Map.empty, environment: Option[String] = None) {
 
-  private val client = HttpClient.newHttpClient()
+  // Bounded I/O everywhere: a collector that accepts TCP but never answers
+  // must not wedge the flush timer or server shutdown.
+  private val client = HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(5)).build()
   private val startNano = System.currentTimeMillis() * 1000000L
-  private var exported = 0 // span cursor into obs.snapshot
+  private var exported = 0 // record cursor into obs.snapshot
+  // Cumulative counters maintained incrementally: a long-lived server's
+  // record history is unbounded, and re-summing it every flush would make
+  // the 60 s flush O(total statements ever).
+  private var nStatements = 0L
+  private var nErrors = 0L
+  private var nRows = 0L
+  private var nsDuration = 0L
 
   private def esc(s: String): String =
     s.flatMap {
@@ -56,14 +66,12 @@ final class OtlpExporter(obs: Observability, endpoint: String, serviceName: Stri
       s""""isMonotonic":true,"dataPoints":[{"startTimeUnixNano":"$startNano",""" +
       s""""timeUnixNano":"$now","asInt":"$value"}]}}"""
 
-  private def metricsJson(rs: Seq[Observability#QueryRecord], now: Long): String = {
+  private def metricsJson(now: Long): String = {
     val metrics = Seq(
-      sumMetric("gizmosql.statements", "1", rs.size.toLong, now),
-      sumMetric("gizmosql.statement.errors", "1",
-        rs.count(_.status.startsWith("error")).toLong, now),
-      sumMetric("gizmosql.statement.output_rows", "1",
-        rs.flatMap(_.outputRows).sum, now),
-      sumMetric("gizmosql.statement.duration", "ns", rs.map(_.durationNs).sum, now))
+      sumMetric("gizmosql.statements", "1", nStatements, now),
+      sumMetric("gizmosql.statement.errors", "1", nErrors, now),
+      sumMetric("gizmosql.statement.output_rows", "1", nRows, now),
+      sumMetric("gizmosql.statement.duration", "ns", nsDuration, now))
     s"""{"resourceMetrics":[{"resource":$resourceJson,"scopeMetrics":[{""" +
       s""""scope":{"name":"graft"},"metrics":[${metrics.mkString(",")}]}]}]}"""
   }
@@ -74,11 +82,12 @@ final class OtlpExporter(obs: Observability, endpoint: String, serviceName: Stri
     b.map(x => f"$x%02x").mkString
   }
 
-  private def tracesJson(rs: Seq[Observability#QueryRecord], now: Long): String = {
+  private def tracesJson(rs: Seq[Observability#QueryRecord]): String = {
     val spans = rs.map { r =>
       val code = if (r.status == "success") 1 else 2
+      val end = r.completedAtMs * 1000000L
       s"""{"traceId":"${hex(16)}","spanId":"${hex(8)}","name":"${esc(r.name)}",""" +
-        s""""kind":2,"startTimeUnixNano":"${now - r.durationNs}","endTimeUnixNano":"$now",""" +
+        s""""kind":2,"startTimeUnixNano":"${end - r.durationNs}","endTimeUnixNano":"$end",""" +
         s""""status":{"code":$code}}"""
     }
     s"""{"resourceSpans":[{"resource":$resourceJson,"scopeSpans":[{""" +
@@ -88,6 +97,7 @@ final class OtlpExporter(obs: Observability, endpoint: String, serviceName: Stri
   private def post(path: String, body: String): Unit =
     try {
       val builder = HttpRequest.newBuilder(URI.create(endpoint + path))
+        .timeout(java.time.Duration.ofSeconds(10))
         .header("Content-Type", "application/json")
         .POST(HttpRequest.BodyPublishers.ofString(body))
       headers.foreach { case (k, v) => builder.header(k, v) }
@@ -101,9 +111,15 @@ final class OtlpExporter(obs: Observability, endpoint: String, serviceName: Stri
     val all = obs.snapshot
     val fresh = all.drop(exported)
     exported = all.size
+    fresh.foreach { r =>
+      nStatements += 1
+      if (r.status.startsWith("error")) nErrors += 1
+      nRows += r.outputRows.getOrElse(0L)
+      nsDuration += r.durationNs
+    }
     val now = System.currentTimeMillis() * 1000000L
-    post("/v1/metrics", metricsJson(all, now))
-    if (fresh.nonEmpty) post("/v1/traces", tracesJson(fresh, now))
+    post("/v1/metrics", metricsJson(now))
+    if (fresh.nonEmpty) post("/v1/traces", tracesJson(fresh))
   }
 }
 

@@ -57,11 +57,20 @@ object TemporalJoins {
     // non-null whenever the row is a right row, so a null payload on the
     // latest right row surfaces as (its ts, null) — the row's actual content.
     val matchStruct = struct(col(tsCol).as("ts") +: payload.map(p => col(s"__r_$p").as(p)): _*)
+    // NULL parity with the relational oracle: its equi-join never matches a
+    // NULL key and its ts comparison is never true against a NULL timestamp,
+    // while the window partition would group NULL keys together and a NULL
+    // left ts would sort into a frame. Right rows with a NULL key or ts
+    // therefore never provide a match, and a left row with a NULL ts
+    // reports no match.
+    val matchable = col("__side") === 0 && col(key).isNotNull && col(tsCol).isNotNull
     val carried = tagged.withColumn("__m",
-      last(when(col("__side") === 0, matchStruct), ignoreNulls = true).over(w))
+      last(when(matchable, matchStruct), ignoreNulls = true).over(w))
+    val validLeft = col(tsCol).isNotNull
     carried.filter(col("__side") === 1)
-      .select(leftCols.map(col) ++ Seq(col("__m.ts").as("matched_ts")) ++
-        payload.map(p => col(s"__m.$p").as(s"matched_$p")): _*)
+      .select(leftCols.map(col) ++
+        Seq(when(validLeft, col("__m.ts")).as("matched_ts")) ++
+        payload.map(p => when(validLeft, col(s"__m.$p")).as(s"matched_$p")): _*)
   }
 
   /** Forward as-of join: for each `left` row, the EARLIEST `right` row with
@@ -89,11 +98,17 @@ object TemporalJoins {
         payload.map(p => col(s"__r_$p").asc_nulls_last): _*)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val matchStruct = struct(col(tsCol).as("ts") +: payload.map(p => col(s"__r_$p").as(p)): _*)
+    // Same NULL parity as asofBackward: NULL-key/NULL-ts right rows never
+    // match, NULL-ts left rows report no match (they sort nulls-first, so
+    // their following frame would otherwise contain every right row).
+    val matchable = col("__side") === 0 && col(key).isNotNull && col(tsCol).isNotNull
     val carried = tagged.withColumn("__m",
-      first(when(col("__side") === 0, matchStruct), ignoreNulls = true).over(w))
+      first(when(matchable, matchStruct), ignoreNulls = true).over(w))
+    val validLeft = col(tsCol).isNotNull
     carried.filter(col("__side") === 1)
-      .select(leftCols.map(col) ++ Seq(col("__m.ts").as("matched_ts")) ++
-        payload.map(p => col(s"__m.$p").as(s"matched_$p")): _*)
+      .select(leftCols.map(col) ++
+        Seq(when(validLeft, col("__m.ts")).as("matched_ts")) ++
+        payload.map(p => when(validLeft, col(s"__m.$p")).as(s"matched_$p")): _*)
   }
 
   val ops: Seq[Op] = Seq(

@@ -66,22 +66,25 @@ final class GraftHttpServer(
   // SettingDef), not constants: `gizmosql.max_concurrent_statements` (0 =
   // unlimited), `max_queued_statements` (<=0 = auto 8x concurrency,
   // `gizmosql_library.h:42-44`), `max_queue_wait`. A SET GLOBAL on any of
-  // them swaps in a freshly-sized controller; statements in flight hold a
-  // reference to the instance they acquired from, so their release is
-  // always paired with the right semaphore.
-  @volatile private var admissionCtl: AdmissionController = buildAdmission()
-  global.onChange { (name, _) =>
-    if (name.startsWith("gizmosql.max_")) admissionCtl = buildAdmission()
-  }
-  def admission: AdmissionController = admissionCtl
-
-  private def buildAdmission(): AdmissionController = {
+  // them RESIZES the live controller in place — the running count carries
+  // over, so lowering the limit under load admits nothing new until
+  // in-flight statements drain below it.
+  private def admissionLimits: (Int, Int, Long) = {
     def intOf(name: String, dflt: Int) =
       global.get(name).flatMap(_.toIntOption).getOrElse(dflt)
-    new AdmissionController(
-      maxConcurrent = intOf("gizmosql.max_concurrent_statements", 0),
-      maxQueued = intOf("gizmosql.max_queued_statements", 0),
-      maxQueueWaitSeconds = intOf("gizmosql.max_queue_wait", 300).toLong)
+    (intOf("gizmosql.max_concurrent_statements", 0),
+      intOf("gizmosql.max_queued_statements", 0),
+      intOf("gizmosql.max_queue_wait", 300).toLong)
+  }
+  val admission: AdmissionController = {
+    val (mc, mq, wait) = admissionLimits
+    new AdmissionController(mc, mq, wait)
+  }
+  global.onChange { (name, _) =>
+    if (name.startsWith("gizmosql.max_")) {
+      val (mc, mq, wait) = admissionLimits
+      admission.resize(mc, mq, wait)
+    }
   }
   val health = new Health(spark).start()
   val shutdown = new ShutdownState(gracePeriodSeconds = 10)

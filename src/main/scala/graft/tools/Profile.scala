@@ -39,6 +39,7 @@ object Profile {
     }
     spark.sparkContext.addSparkListener(listener)
 
+    val cores = spark.sparkContext.defaultParallelism.toDouble
     names.filter(queries.contains).foreach { name =>
       // warm
       (1 to 2).foreach(_ => queries(name)(spark, sfDir).count())
@@ -54,7 +55,7 @@ object Profile {
       val med = walls.sortBy(_._1).apply(passes / 2)
       println(f"[profile] $name%-24s wall=${med._1}%7.1f ms  stages=${med._2}%3d  " +
         f"tasks=${med._3}%4d  taskTime=${med._4}%6d ms  " +
-        f"serialFloor=${med._4 / 32.0}%6.1f ms  gap=${med._1 - med._4 / 32.0}%7.1f ms")
+        f"serialFloor=${med._4 / cores}%6.1f ms  gap=${med._1 - med._4 / cores}%7.1f ms")
     }
     spark.stop()
   }

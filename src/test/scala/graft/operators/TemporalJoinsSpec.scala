@@ -111,6 +111,34 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(row.getDouble(1) === 5.0) // MIN-ignoring-nulls, like the oracle
   }
 
+  test("both as-of directions: NULL keys and NULL timestamps never match (oracle join semantics)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("user_id", LongType, nullable = true),
+      StructField("ts", LongType, nullable = true), StructField("value", DoubleType, nullable = true)))
+    def df(rows: Seq[(Option[Long], Option[Long], Double)]) =
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows.map(r =>
+          Row(r._1.map(Long.box).orNull, r._2.map(Long.box).orNull, r._3)): _*), schema)
+    // NULL-key left + NULL-key right at matching times; NULL-ts left; NULL-ts right.
+    val l = df(Seq((None, Some(10L), 1.0), (Some(1L), None, 2.0), (Some(1L), Some(10L), 3.0)))
+    val r = df(Seq((None, Some(5L), 50.0), (None, Some(15L), 60.0),
+      (Some(1L), None, 70.0), (Some(1L), Some(8L), 80.0), (Some(1L), Some(12L), 90.0)))
+    def collectMatches(out: org.apache.spark.sql.DataFrame) =
+      out.select("value", "matched_ts", "matched_value").collect()
+        .map(x => (x.getDouble(0), Option(x.get(1)), Option(x.get(2)))).sortBy(_._1)
+    val back = collectMatches(TemporalJoins.asofBackward(l, r, "user_id", "ts", Seq("value")))
+    assert(back === Seq(
+      (1.0, None, None),             // NULL-key left: no match despite NULL-key rights
+      (2.0, None, None),             // NULL-ts left: no match
+      (3.0, Some(8L), Some(80.0)))) // normal row unaffected (NULL-ts right skipped)
+    val fwd = collectMatches(TemporalJoins.asofForward(l, r, "user_id", "ts", Seq("value")))
+    assert(fwd === Seq(
+      (1.0, None, None),
+      (2.0, None, None),
+      (3.0, Some(12L), Some(90.0))))
+  }
+
   test("forward as-of matches a brute-force reference on randomized data") {
     val rnd = new scala.util.Random(7)
     val left = Seq.fill(300)((rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong, rnd.nextInt(100).toDouble))

@@ -281,34 +281,49 @@ class HttpServerSpec extends AnyFunSuite {
     // _STATEMENTS = 0) — acquire never blocks and holds no slot.
     val before = server.admission
     assert(before.running == 0)
-    // Resize through the actual wire path (admin SET GLOBAL), mirroring the
-    // reference's settings write-through (`duckdb_statement.cpp:1540-1570`).
-    assert(post("/sql", "SET GLOBAL gizmosql.max_concurrent_statements = 1",
+    // Acquire BEFORE the resize: the in-flight count must survive a SET
+    // GLOBAL (a swapped-in controller would forget it and transiently
+    // over-admit — the exact load-shedding case the setting exists for).
+    val held = before.acquire()
+    // The admin retunes via the bypass path (gizmosql.bypass_queue — the
+    // reference's admin escape hatch): an intercept executes in statement
+    // CREATE, so once max_concurrent=1 lands, the SET's own result fetch
+    // would otherwise queue behind the held slot it just legislated.
+    assert(post("/sql", "SET SESSION gizmosql.bypass_queue = true",
       "Authorization" -> s"Bearer $token", "Accept" -> "application/json")
       .statusCode() == 200)
     assert(post("/sql", "SET GLOBAL gizmosql.max_queue_wait = 0",
       "Authorization" -> s"Bearer $token", "Accept" -> "application/json")
       .statusCode() == 200)
+    assert(post("/sql", "SET GLOBAL gizmosql.max_concurrent_statements = 1",
+      "Authorization" -> s"Bearer $token", "Accept" -> "application/json")
+      .statusCode() == 200)
     val ctl = server.admission
-    assert(ctl ne before)
+    assert(ctl eq before) // resized in place, not swapped
+    // Non-bypass session: a fresh OIDC viewer feels the limit.
+    val vResp = post("/auth", "", "Authorization" -> basic("token", externalToken("queued@example.com")))
+    val vTok = tokenOf(vResp)
     try {
-      // Occupy the single slot as an in-flight statement would: the next
-      // wire statement cannot wait (max_queue_wait=0) and is turned away
-      // as retriable overload.
-      val held = ctl.acquire()
+      // The slot acquired pre-resize (under the unlimited default) still
+      // occupies the single slot after the resize: the next non-bypass
+      // statement cannot wait (max_queue_wait=0) and is turned away as
+      // retriable overload. A swapped-in controller would have forgotten
+      // the in-flight count and admitted it.
       assert(ctl.running == 1)
       val rejected = post("/sql", "SELECT COUNT(*) AS n FROM region",
-        "Authorization" -> s"Bearer $token", "Accept" -> "application/json")
+        "Authorization" -> s"Bearer $vTok", "Accept" -> "application/json")
       assert(rejected.statusCode() == 503)
-      ctl.release(held)
+      before.release(held) // path-dependent type: held is before.Admission
       val ok = post("/sql", "SELECT COUNT(*) AS n FROM region",
-        "Authorization" -> s"Bearer $token", "Accept" -> "application/json")
+        "Authorization" -> s"Bearer $vTok", "Accept" -> "application/json")
       assert(ok.statusCode() == 200)
     } finally {
       // Restore the defaults so later tests see the unlimited path.
       post("/sql", "SET GLOBAL gizmosql.max_concurrent_statements = 0",
         "Authorization" -> s"Bearer $token", "Accept" -> "application/json")
       post("/sql", "SET GLOBAL gizmosql.max_queue_wait = 300",
+        "Authorization" -> s"Bearer $token", "Accept" -> "application/json")
+      post("/sql", "SET SESSION gizmosql.bypass_queue = false",
         "Authorization" -> s"Bearer $token", "Accept" -> "application/json")
     }
   }
