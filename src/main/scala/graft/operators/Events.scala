@@ -109,6 +109,27 @@ object Events {
         .groupBy(col("a.day").as("day"))
         .agg(count(lit(1)).as("retained"))
         .orderBy("day")
+    },
+
+    // Rolling weekly-active-users per day (the DAU/WAU/MAU staple). COUNT
+    // (DISTINCT) over a RANGE frame isn't a window Spark (or most engines)
+    // supports, so the rolling set is an interval join: distinct (user, day)
+    // activity against the (small) day spine, re-counted per anchor day.
+    // Shuffles on the activity day; the spine broadcasts. Exact integers —
+    // deterministic cross-engine.
+    Op("events_wau",
+      "WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), " +
+      "spine AS (SELECT DISTINCT day FROM act) " +
+      "SELECT s.day, CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS wau " +
+      "FROM spine s JOIN act a ON a.day BETWEEN s.day - 6 AND s.day " +
+      "GROUP BY s.day ORDER BY s.day") { (s, d) =>
+      val act = ev(s, d).select(col("user_id"), col("ts").cast("date").as("day")).distinct()
+      val spine = act.select(col("day").as("anchor")).distinct()
+      act.join(broadcast(spine),
+          col("day").between(date_sub(col("anchor"), 6), col("anchor")))
+        .groupBy(col("anchor").as("day"))
+        .agg(countDistinct("user_id").as("wau"))
+        .orderBy("day")
     }
   )
 }

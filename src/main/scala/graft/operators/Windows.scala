@@ -196,6 +196,39 @@ object Windows {
           first(col("s_name")).over(full).as("first_s"),
           last(col("s_name")).over(full).as("last_s"))
         .orderBy("s_nationkey", "s_suppkey")
+    },
+
+    // RFM segmentation (recency / frequency / monetary quartiles) — the
+    // customer-analytics staple, built on THREE chained `globalNtile` passes
+    // so every global quartile ranking runs distributed (the naive
+    // `NTILE(4) OVER (ORDER BY ...)` would move all customers onto one
+    // task). Ties break on o_custkey so both engines rank identically.
+    Op("win_rfm",
+      "WITH cust AS (SELECT o_custkey, " +
+      "CAST(DATE_DIFF('day', CAST(MAX(o_orderdate) AS DATE), " +
+      "(SELECT CAST(MAX(o_orderdate) AS DATE) FROM orders)) AS BIGINT) AS r_days, " +
+      "COUNT(*) AS freq, ROUND(SUM(o_totalprice),2) AS monetary FROM orders GROUP BY o_custkey) " +
+      "SELECT o_custkey, r_days, freq, monetary, " +
+      "CAST(NTILE(4) OVER (ORDER BY r_days, o_custkey) AS INTEGER) AS r_q, " +
+      "CAST(NTILE(4) OVER (ORDER BY freq DESC, o_custkey) AS INTEGER) AS f_q, " +
+      "CAST(NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS INTEGER) AS m_q " +
+      "FROM cust ORDER BY o_custkey") { (s, d) =>
+      val o = t(s, d, "orders")
+      // The anchor date is a scalar query parameter (like the embedding
+      // query vectors), not distributed state.
+      val anchor = o.agg(max(col("o_orderdate").cast("date"))).first().getDate(0)
+      val cust = o.groupBy("o_custkey").agg(
+        datediff(lit(anchor), max(col("o_orderdate").cast("date"))).cast("long").as("r_days"),
+        count(lit(1)).as("freq"),
+        round(sum("o_totalprice"), 2).as("monetary"))
+      val ranked = globalNtile(
+        globalNtile(
+          globalNtile(cust, 4, Seq(col("r_days"), col("o_custkey")), "r_q"),
+          4, Seq(col("freq").desc, col("o_custkey")), "f_q"),
+        4, Seq(col("monetary").desc, col("o_custkey")), "m_q")
+      ranked.select(col("o_custkey"), col("r_days"), col("freq"), col("monetary"),
+          col("r_q"), col("f_q"), col("m_q"))
+        .orderBy("o_custkey")
     }
   )
 }
