@@ -139,6 +139,38 @@ object TemporalJoins {
         .orderBy("event_id")
     },
 
+    // As-of with tolerance: the latest click at-or-before the purchase AND
+    // within the lookback hour (merge_asof-style bounded staleness). The
+    // tolerance is a post-filter on the unbounded as-of: the latest right
+    // row <= ts IS the latest inside any trailing window when it qualifies,
+    // and when it's too old nothing in the window exists — so no second
+    // join shape is needed and the one-shuffle plan is unchanged.
+    Op("join_asof_tol",
+      "WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type='purchase'), " +
+      "c AS (SELECT user_id, ts, value FROM events WHERE event_type='click'), " +
+      "m AS (SELECT p.event_id, p.user_id, p.ts, p.value, MAX(c.ts) AS click_ts " +
+      "FROM p LEFT JOIN c ON c.user_id=p.user_id AND c.ts<=p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR " +
+      "GROUP BY p.event_id, p.user_id, p.ts, p.value) " +
+      "SELECT m.event_id, EPOCH_US(m.ts) AS ts_us, ROUND(m.value,2) AS value, " +
+      "EPOCH_US(m.click_ts) AS click_ts_us, ROUND(MAX(c2.value),2) AS click_value " +
+      "FROM m LEFT JOIN c c2 ON c2.user_id=m.user_id AND c2.ts=m.click_ts " +
+      "GROUP BY m.event_id, m.ts, m.value, m.click_ts ORDER BY event_id") { (s, d) =>
+      val e = ev(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value"))
+      val raw = asofBackward(purchases, clicks, key = "user_id", tsCol = "ts", payload = Seq("value"))
+      val within = col("matched_ts").isNotNull &&
+        col("matched_ts") >= col("ts") - expr("INTERVAL 1 HOUR")
+      raw.select(col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+          round(col("value"), 2).as("value"),
+          when(within, unix_micros(col("matched_ts").cast("timestamp"))).as("click_ts_us"),
+          when(within, round(col("matched_value"), 2)).as("click_value"))
+        .orderBy("event_id")
+    },
+
     // Forward as-of: each click matched to the user's NEXT purchase at-or-after
     // the click — conversion attribution, the mirrored oracle (min next ts,
     // min value among ties at that ts).

@@ -229,6 +229,29 @@ object Windows {
       ranked.select(col("o_custkey"), col("r_days"), col("freq"), col("monetary"),
           col("r_q"), col("f_q"), col("m_q"))
         .orderBy("o_custkey")
+    },
+
+    // Inter-order gap analysis: per customer, count of gaps plus min/max/avg
+    // days between consecutive orders — one LAG window over the per-customer
+    // clustering. Day diffs are integers, so even the average is exact
+    // cross-engine (integer sums are order-independent; one division at
+    // the end, rounded).
+    Op("win_order_gap",
+      "WITH g AS (SELECT o_custkey, DATE_DIFF('day', " +
+      "CAST(LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DATE), " +
+      "CAST(o_orderdate AS DATE)) AS gap FROM orders) " +
+      "SELECT o_custkey, CAST(COUNT(gap) AS BIGINT) AS n_gaps, CAST(MIN(gap) AS BIGINT) AS min_gap, " +
+      "CAST(MAX(gap) AS BIGINT) AS max_gap, ROUND(AVG(gap), 2) AS avg_gap " +
+      "FROM g WHERE gap IS NOT NULL GROUP BY o_custkey ORDER BY o_custkey") { (s, d) =>
+      val gap = datediff(col("o_orderdate").cast("date"),
+        lag(col("o_orderdate"), 1).over(byCust).cast("date"))
+      t(s, d, "orders")
+        .select(col("o_custkey"), gap.as("gap"))
+        .filter(col("gap").isNotNull)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_gaps"), min("gap").cast("long").as("min_gap"),
+          max("gap").cast("long").as("max_gap"), round(avg("gap"), 2).as("avg_gap"))
+        .orderBy("o_custkey")
     }
   )
 }
