@@ -45,16 +45,25 @@ object Profile {
       (1 to 2).foreach(_ => queries(name)(spark, sfDir).count())
       val walls = (1 to passes).map { _ =>
         stages = 0; tasks = 0; taskMs = 0L
+        // Split driver-side query preparation (DataFrame construction +
+        // analysis + optimization + physical planning) from execution: the
+        // per-query floor decomposition in ARCHITECTURE.md rests on knowing
+        // how much of a 0.4 s six-way join is Catalyst CPU that amortizes
+        // to noise at the 100 TB design point.
+        val tp0 = System.nanoTime()
+        val df = queries(name)(spark, sfDir)
+        df.queryExecution.executedPlan // forces analysis->physical planning
+        val plan = (System.nanoTime() - tp0) / 1e6
         val t0 = System.nanoTime()
-        queries(name)(spark, sfDir).count()
+        df.count()
         val w = (System.nanoTime() - t0) / 1e6
         // listener events are async; give the bus a beat before reading
         Thread.sleep(120)
-        (w, stages, tasks, taskMs)
+        (w, stages, tasks, taskMs, plan)
       }
       val med = walls.sortBy(_._1).apply(passes / 2)
-      println(f"[profile] $name%-24s wall=${med._1}%7.1f ms  stages=${med._2}%3d  " +
-        f"tasks=${med._3}%4d  taskTime=${med._4}%6d ms  " +
+      println(f"[profile] $name%-24s wall=${med._1}%7.1f ms  plan=${med._5}%6.1f ms  " +
+        f"stages=${med._2}%3d  tasks=${med._3}%4d  taskTime=${med._4}%6d ms  " +
         f"serialFloor=${med._4 / cores}%6.1f ms  gap=${med._1 - med._4 / cores}%7.1f ms")
     }
     spark.stop()
