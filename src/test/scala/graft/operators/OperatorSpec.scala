@@ -22,6 +22,16 @@ class OperatorSpec extends AnyFunSuite {
     assert(SparkEntry.allOps.map(_.name).distinct.size == SparkEntry.allOps.size)
   }
 
+  test("every bench headline query exists and is oracle-checked") {
+    // The comparator tool and the driver's per-round bench both key on this
+    // list; a headline entry without an oracle would make the same-window
+    // gate ratio silently incomparable.
+    val missingQuery = graft.Bench.headline.filterNot(SparkEntry.queries.contains)
+    val missingOracle = graft.Bench.headline.filterNot(SparkEntry.oracleSql.contains)
+    assert(missingQuery.isEmpty, s"headline without query impl: $missingQuery")
+    assert(missingOracle.isEmpty, s"headline without oracle: $missingOracle")
+  }
+
   test("every registered query analyzes (plan-time smoke for the whole inventory)") {
     // .schema forces full analysis (resolution, type-checking) without
     // executing — catches broken column refs / SQL syntax across all ops in
