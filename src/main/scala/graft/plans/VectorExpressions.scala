@@ -127,13 +127,20 @@ case class Sq8Quantize(child: Expression) extends UnaryExpression {
     case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<double>, got $t")
   }
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  // A null ELEMENT nulls the whole result (the output array is
+  // containsNull=false, so a per-element null cannot be represented; DuckDB's
+  // list_transform would propagate it). Hence nullable even over a
+  // non-nullable child.
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_sq8"
 
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val n = x.numElements()
-    var am = 0.0
     var i = 0
+    while (i < n) { if (x.isNullAt(i)) return null; i += 1 }
+    var am = 0.0
+    i = 0
     while (i < n) { val v = math.abs(x.getDouble(i)); if (v > am) am = v; i += 1 }
     val out = new Array[Int](n)
     if (am > 0.0) {
@@ -155,23 +162,32 @@ case class Sq8Quantize(child: Expression) extends UnaryExpression {
       val v = ctx.freshName("v")
       val s = ctx.freshName("s")
       val out = ctx.freshName("out")
+      val hasNull = ctx.freshName("hasNull")
       s"""
          |int $n = $x.numElements();
-         |double $am = 0.0;
+         |boolean $hasNull = false;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $v = java.lang.Math.abs($x.getDouble($i));
-         |  if ($v > $am) $am = $v;
+         |  if ($x.isNullAt($i)) { $hasNull = true; break; }
          |}
-         |int[] $out = new int[$n];
-         |if ($am > 0.0) {
+         |if ($hasNull) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $am = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    double $s = $x.getDouble($i) / $am * 127.0;
-         |    $out[$i] = (int) ($s >= 0 ? java.lang.Math.floor($s + 0.5)
-         |                              : java.lang.Math.ceil($s - 0.5));
+         |    double $v = java.lang.Math.abs($x.getDouble($i));
+         |    if ($v > $am) $am = $v;
          |  }
+         |  int[] $out = new int[$n];
+         |  if ($am > 0.0) {
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      double $s = $x.getDouble($i) / $am * 127.0;
+         |      $out[$i] = (int) ($s >= 0 ? java.lang.Math.floor($s + 0.5)
+         |                                : java.lang.Math.ceil($s - 0.5));
+         |    }
+         |  }
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |    .fromPrimitiveArray($out);
          |}
-         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-         |  .fromPrimitiveArray($out);
        """.stripMargin
     })
 
@@ -241,12 +257,18 @@ case class HyperplaneBuckets(child: Expression,
     case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<double>, got $t")
   }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // Null ELEMENT => null result (cannot represent per-element nulls in the
+  // containsNull=false bucket array, and a sign bit over garbage would
+  // silently mis-bucket the vector).
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_lsh_buckets"
 
   override def nullSafeEval(a: Any): Any = {
     val v = a.asInstanceOf[ArrayData]
     val planes = matrixFor(numBits)
     val n = math.min(v.numElements(), dim)
+    var k = 0
+    while (k < v.numElements()) { if (v.isNullAt(k)) return null; k += 1 }
     val out = new Array[Long](bands)
     var j = 0
     while (j < numBits) {
@@ -269,17 +291,26 @@ case class HyperplaneBuckets(child: Expression,
       val dot = ctx.freshName("dot")
       val row = ctx.freshName("row")
       val out = ctx.freshName("out")
+      val hasNull = ctx.freshName("hasNull")
       s"""
          |int $n = java.lang.Math.min($v.numElements(), $dim);
-         |long[] $out = new long[$bands];
-         |for (int $j = 0; $j < $numBits; $j++) {
-         |  double[] $row = $planes[$j];
-         |  double $dot = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) { $dot += $v.getDouble($i) * $row[$i]; }
-         |  if ($dot >= 0) $out[$j / $bitsPerBand] |= 1L << ($j % $bitsPerBand);
+         |boolean $hasNull = false;
+         |for (int $i = 0; $i < $v.numElements(); $i++) {
+         |  if ($v.isNullAt($i)) { $hasNull = true; break; }
          |}
-         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-         |  .fromPrimitiveArray($out);
+         |if ($hasNull) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long[] $out = new long[$bands];
+         |  for (int $j = 0; $j < $numBits; $j++) {
+         |    double[] $row = $planes[$j];
+         |    double $dot = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) { $dot += $v.getDouble($i) * $row[$i]; }
+         |    if ($dot >= 0) $out[$j / $bitsPerBand] |= 1L << ($j % $bitsPerBand);
+         |  }
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |    .fromPrimitiveArray($out);
+         |}
        """.stripMargin
     })
   }
