@@ -120,12 +120,21 @@ object Aggregates {
           round(percentile(col("l_quantity"), lit(0.9)), 2).as("p90"))
     },
 
-    // Sketch-based distinct: not oracle-comparable (Spark HLL++ vs DuckDB HLL
-    // produce different estimates) — exactness asserted in ScalaTest instead.
-    Op.rowsOnly("agg_approx_distinct") { (s, d) =>
+    // Sketch-based distinct: the ESTIMATES are engine-specific (Spark HLL++
+    // vs DuckDB HLL), so the oracle checks the error-bound PROPERTY instead:
+    // Spark emits 1 iff its estimate lands within 5% of the exact distinct
+    // (HLL++ default rsd = 0.05), and the oracle — which knows only the
+    // exact answer — emits the constant 1 the property guarantees. A sketch
+    // regression (or a broken rsd config) flips the Spark side to 0 and the
+    // hash check goes red.
+    Op("agg_approx_distinct",
+      "SELECT 1 AS s_within_5pct, 1 AS p_within_5pct") { (s, d) =>
       t(s, d, "lineitem")
-        .agg(approx_count_distinct(col("l_suppkey")).as("approx_s"),
-          approx_count_distinct(col("l_partkey")).as("approx_p"))
+        .agg(
+          when(abs(approx_count_distinct(col("l_suppkey")) - countDistinct(col("l_suppkey")))
+            / countDistinct(col("l_suppkey")) <= 0.05, 1).otherwise(0).as("s_within_5pct"),
+          when(abs(approx_count_distinct(col("l_partkey")) - countDistinct(col("l_partkey")))
+            / countDistinct(col("l_partkey")) <= 0.05, 1).otherwise(0).as("p_within_5pct"))
     },
 
     // Exact order statistics per group: Spark's percentile() interpolates at

@@ -206,20 +206,30 @@ object Embeddings {
     // at scale: 4x smaller than float32). Pure per-row codegen expression —
     // no shuffle, the scan streams through WholeStageCodegen. Integer codes
     // are exactly reproducible cross-engine (the absmax is an order-
-    // independent max, not a float sum), so the oracle compares value-exact.
+    // independent max, not a float sum). The oracle compares the codes
+    // through md5(comma-joined text): the driver comparator sorts result
+    // columns with pandas, which cannot hash a raw array cell — the digest
+    // is value-exact over the same integer text on both engines, and the
+    // ScalaTest suite checks the raw arrays ("sq8 quantization" specs).
+    // graft_sq8 nulls the WHOLE result on any null element (its output array
+    // is containsNull=false); the oracle mirrors that with the list_filter
+    // guard so a null element yields NULL codes_md5 on both sides.
     Op("embed_sq8",
       "SELECT vec_id, " +
       "ROUND(list_aggregate(list_transform(embedding, x -> ABS(CAST(x AS DOUBLE))), 'max') / 127, 6) AS scale, " +
+      "CASE WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN NULL " +
+      "ELSE md5(array_to_string(" +
       "CASE WHEN list_aggregate(list_transform(embedding, x -> ABS(CAST(x AS DOUBLE))), 'max') = 0 " +
       "THEN list_transform(embedding, x -> 0) " +
       "ELSE list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) / " +
       "list_aggregate(list_transform(embedding, y -> ABS(CAST(y AS DOUBLE))), 'max') * 127) AS INTEGER)) " +
-      "END AS codes " +
+      "END, ',')) END AS codes_md5 " +
       "FROM embeddings WHERE vec_id < 200 ORDER BY vec_id") { (s, d) =>
       val v = asDouble(col("embedding"))
       val am = aggregate(transform(v, x => abs(x)), lit(0.0), (a, b) => greatest(a, b))
       emb(s, d).filter(col("vec_id") < 200)
-        .select(col("vec_id"), round(am / 127, 6).as("scale"), sq8(v).as("codes"))
+        .select(col("vec_id"), round(am / 127, 6).as("scale"),
+          md5(array_join(sq8(v).cast("array<string>"), ",")).as("codes_md5"))
         .orderBy("vec_id")
     },
 

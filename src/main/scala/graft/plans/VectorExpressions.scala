@@ -26,12 +26,23 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def checkInputDataTypes(): TypeCheckResult =
     VectorExpressions.checkDoubleArrays(prettyName, left, right)
   override def dataType: DataType = DoubleType
+  // Null ELEMENT within the read prefix => null result, same policy as
+  // graft_sq8/graft_lsh_buckets: getDouble over a null slot reads garbage
+  // and would silently mis-score. Nullable only when an input can actually
+  // carry a null element, so the common containsNull=false scan keeps the
+  // original fused non-null code.
+  override def nullable: Boolean =
+    left.nullable || right.nullable || VectorExpressions.elemsNullable(left, right)
   override def prettyName: String = "graft_cosine"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
+    if (VectorExpressions.elemsNullable(left, right)) {
+      var k = 0
+      while (k < n) { if (x.isNullAt(k) || y.isNullAt(k)) return null; k += 1 }
+    }
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
@@ -51,15 +62,20 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val ny = ctx.freshName("ny")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
+      val compute =
+        s"""
+           |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $xi = $x.getDouble($i);
+           |  double $yi = $y.getDouble($i);
+           |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+           |}
+           |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         """.stripMargin
       s"""
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = $x.getDouble($i);
-         |  double $yi = $y.getDouble($i);
-         |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
-         |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |${VectorExpressions.nullScanGen(VectorExpressions.elemsNullable(left, right),
+              ctx, ev, s"$x.isNullAt($i) || $y.isNullAt($i)", n, i, compute)}
        """.stripMargin
     })
 
@@ -75,12 +91,19 @@ case class DotProduct(left: Expression, right: Expression)
   override def checkInputDataTypes(): TypeCheckResult =
     VectorExpressions.checkDoubleArrays(prettyName, left, right)
   override def dataType: DataType = DoubleType
+  // Same null-element => null policy as graft_cosine (see there).
+  override def nullable: Boolean =
+    left.nullable || right.nullable || VectorExpressions.elemsNullable(left, right)
   override def prettyName: String = "graft_dot"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
+    if (VectorExpressions.elemsNullable(left, right)) {
+      var k = 0
+      while (k < n) { if (x.isNullAt(k) || y.isNullAt(k)) return null; k += 1 }
+    }
     var dot = 0.0
     var i = 0
     while (i < n) { dot += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -92,13 +115,18 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val dot = ctx.freshName("dot")
+      val compute =
+        s"""
+           |double $dot = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $dot += $x.getDouble($i) * $y.getDouble($i);
+           |}
+           |${ev.value} = $dot;
+         """.stripMargin
       s"""
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $dot = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += $x.getDouble($i) * $y.getDouble($i);
-         |}
-         |${ev.value} = $dot;
+         |${VectorExpressions.nullScanGen(VectorExpressions.elemsNullable(left, right),
+              ctx, ev, s"$x.isNullAt($i) || $y.isNullAt($i)", n, i, compute)}
        """.stripMargin
     })
 
@@ -129,16 +157,20 @@ case class Sq8Quantize(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   // A null ELEMENT nulls the whole result (the output array is
   // containsNull=false, so a per-element null cannot be represented; DuckDB's
-  // list_transform would propagate it). Hence nullable even over a
-  // non-nullable child.
-  override def nullable: Boolean = true
+  // list_transform would propagate it). Nullable — and null-scanned — only
+  // when the input can actually carry one, so the common
+  // containsNull=false scan keeps the original two-pass code.
+  override def nullable: Boolean =
+    child.nullable || VectorExpressions.elemsNullable(child)
   override def prettyName: String = "graft_sq8"
 
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val n = x.numElements()
     var i = 0
-    while (i < n) { if (x.isNullAt(i)) return null; i += 1 }
+    if (VectorExpressions.elemsNullable(child)) {
+      while (i < n) { if (x.isNullAt(i)) return null; i += 1 }
+    }
     var am = 0.0
     i = 0
     while (i < n) { val v = math.abs(x.getDouble(i)); if (v > am) am = v; i += 1 }
@@ -162,32 +194,28 @@ case class Sq8Quantize(child: Expression) extends UnaryExpression {
       val v = ctx.freshName("v")
       val s = ctx.freshName("s")
       val out = ctx.freshName("out")
-      val hasNull = ctx.freshName("hasNull")
+      val compute =
+        s"""
+           |double $am = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $v = java.lang.Math.abs($x.getDouble($i));
+           |  if ($v > $am) $am = $v;
+           |}
+           |int[] $out = new int[$n];
+           |if ($am > 0.0) {
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    double $s = $x.getDouble($i) / $am * 127.0;
+           |    $out[$i] = (int) ($s >= 0 ? java.lang.Math.floor($s + 0.5)
+           |                              : java.lang.Math.ceil($s - 0.5));
+           |  }
+           |}
+           |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+           |  .fromPrimitiveArray($out);
+         """.stripMargin
       s"""
          |int $n = $x.numElements();
-         |boolean $hasNull = false;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($x.isNullAt($i)) { $hasNull = true; break; }
-         |}
-         |if ($hasNull) {
-         |  ${ev.isNull} = true;
-         |} else {
-         |  double $am = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    double $v = java.lang.Math.abs($x.getDouble($i));
-         |    if ($v > $am) $am = $v;
-         |  }
-         |  int[] $out = new int[$n];
-         |  if ($am > 0.0) {
-         |    for (int $i = 0; $i < $n; $i++) {
-         |      double $s = $x.getDouble($i) / $am * 127.0;
-         |      $out[$i] = (int) ($s >= 0 ? java.lang.Math.floor($s + 0.5)
-         |                                : java.lang.Math.ceil($s - 0.5));
-         |    }
-         |  }
-         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-         |    .fromPrimitiveArray($out);
-         |}
+         |${VectorExpressions.nullScanGen(VectorExpressions.elemsNullable(child),
+              ctx, ev, s"$x.isNullAt($i)", n, i, compute)}
        """.stripMargin
     })
 
@@ -259,16 +287,21 @@ case class HyperplaneBuckets(child: Expression,
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   // Null ELEMENT => null result (cannot represent per-element nulls in the
   // containsNull=false bucket array, and a sign bit over garbage would
-  // silently mis-bucket the vector).
-  override def nullable: Boolean = true
+  // silently mis-bucket the vector). The scan covers only the read prefix
+  // min(numElements, dim) — a null in the unread tail cannot affect any
+  // bucket — and is skipped entirely for containsNull=false inputs.
+  override def nullable: Boolean =
+    child.nullable || VectorExpressions.elemsNullable(child)
   override def prettyName: String = "graft_lsh_buckets"
 
   override def nullSafeEval(a: Any): Any = {
     val v = a.asInstanceOf[ArrayData]
     val planes = matrixFor(numBits)
     val n = math.min(v.numElements(), dim)
-    var k = 0
-    while (k < v.numElements()) { if (v.isNullAt(k)) return null; k += 1 }
+    if (VectorExpressions.elemsNullable(child)) {
+      var k = 0
+      while (k < n) { if (v.isNullAt(k)) return null; k += 1 }
+    }
     val out = new Array[Long](bands)
     var j = 0
     while (j < numBits) {
@@ -291,26 +324,22 @@ case class HyperplaneBuckets(child: Expression,
       val dot = ctx.freshName("dot")
       val row = ctx.freshName("row")
       val out = ctx.freshName("out")
-      val hasNull = ctx.freshName("hasNull")
+      val compute =
+        s"""
+           |long[] $out = new long[$bands];
+           |for (int $j = 0; $j < $numBits; $j++) {
+           |  double[] $row = $planes[$j];
+           |  double $dot = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) { $dot += $v.getDouble($i) * $row[$i]; }
+           |  if ($dot >= 0) $out[$j / $bitsPerBand] |= 1L << ($j % $bitsPerBand);
+           |}
+           |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+           |  .fromPrimitiveArray($out);
+         """.stripMargin
       s"""
          |int $n = java.lang.Math.min($v.numElements(), $dim);
-         |boolean $hasNull = false;
-         |for (int $i = 0; $i < $v.numElements(); $i++) {
-         |  if ($v.isNullAt($i)) { $hasNull = true; break; }
-         |}
-         |if ($hasNull) {
-         |  ${ev.isNull} = true;
-         |} else {
-         |  long[] $out = new long[$bands];
-         |  for (int $j = 0; $j < $numBits; $j++) {
-         |    double[] $row = $planes[$j];
-         |    double $dot = 0.0;
-         |    for (int $i = 0; $i < $n; $i++) { $dot += $v.getDouble($i) * $row[$i]; }
-         |    if ($dot >= 0) $out[$j / $bitsPerBand] |= 1L << ($j % $bitsPerBand);
-         |  }
-         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-         |    .fromPrimitiveArray($out);
-         |}
+         |${VectorExpressions.nullScanGen(VectorExpressions.elemsNullable(child),
+              ctx, ev, s"$v.isNullAt($i)", n, i, compute)}
        """.stripMargin
     })
   }
@@ -329,4 +358,39 @@ object VectorExpressions {
       case (l, r) => TypeCheckResult.TypeCheckFailure(
         s"$name requires (array<double>, array<double>), got ($l, $r)")
     }
+
+  /** Whether any input's ELEMENTS can be null. Unresolved/unexpected types
+    * answer true (scan defensively until analysis pins the type down).
+    */
+  def elemsNullable(inputs: Expression*): Boolean = inputs.exists { e =>
+    !e.resolved || (e.dataType match {
+      case ArrayType(_, containsNull) => containsNull
+      case _ => true
+    })
+  }
+
+  /** Shared codegen shape for the null-element => null-result policy: when
+    * the input can carry a null element, scan the read prefix [0, n) for one
+    * and null the result; otherwise emit `compute` bare so the
+    * containsNull=false hot path keeps the original fused loop with no
+    * per-row scan.
+    */
+  def nullScanGen(elemsNullable: Boolean, ctx: CodegenContext, ev: ExprCode,
+      nullCond: String, n: String, i: String, compute: String): String = {
+    if (!elemsNullable) compute
+    else {
+      val hasNull = ctx.freshName("hasNull")
+      s"""
+         |boolean $hasNull = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($nullCond) { $hasNull = true; break; }
+         |}
+         |if ($hasNull) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |$compute
+         |}
+       """.stripMargin
+    }
+  }
 }

@@ -214,6 +214,30 @@ class OperatorSpec extends AnyFunSuite {
     assert(gen.nonEmpty && gen === interp)
   }
 
+  test("null element nulls sq8/lsh_buckets/cosine/dot under codegen AND interpreted") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions._
+    // containsNull=true input: the gated null scan must run and null the
+    // whole result; the clean row must still compute through the same path.
+    val df = Seq(
+      (1L, Seq(Option(1.0), Option.empty[Double])),
+      (2L, Seq(Option(1.0), Option(2.0)))).toDF("id", "v")
+    def run(): Seq[(Boolean, Boolean, Boolean, Boolean)] = df
+      .select(col("id"), sq8(col("v")).as("s"), lshBuckets(col("v"), 8, 16).as("b"),
+        cosine(col("v"), col("v")).as("c"), dot(col("v"), col("v")).as("d"))
+      .orderBy("id").collect().toSeq
+      .map(r => (r.isNullAt(1), r.isNullAt(2), r.isNullAt(3), r.isNullAt(4)))
+    val gen = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interp = try run() finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+    assert(gen === Seq((true, true, true, true), (false, false, false, false)))
+    assert(interp === gen)
+  }
+
   test("exact dedup keeps one representative per distinct text") {
     Tables.ensure(spark, dir)
     val docs = spark.table("documents")
