@@ -27,9 +27,21 @@ object SparkEntry {
     byName("join_inner_h03").run(spark, "/root/testdata/sf0.001")
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2. Pure operators
+    * route through the engine's prepared-plan cache ([[graft.engine
+    * .PlanCache]]): a repeated (operator, data dir) pair reuses its analyzed
+    * plan instead of re-paying parse+analysis per call, exactly like a
+    * re-executed prepared statement on the wire path. Side-effecting
+    * operators (`Op.effectful`) rebuild every call.
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    allOps.map(op => op.name -> op.run).toMap
+    allOps.map { op =>
+      val run: (SparkSession, String) => DataFrame =
+        if (op.cacheable)
+          (s, d) => graft.engine.PlanCache.get(s, s"op:${op.name}:$d")(op.run(s, d))
+        else op.run
+      op.name -> run
+    }.toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.

@@ -121,6 +121,7 @@ object Statement {
         if (!session.isAdmin)
           throw new SecurityException("ATTACH requires the admin role")
         val n = sessions.attachments.attach(session.spark, name, path)
+        PlanCache.invalidate(session.spark)
         oneRowResult(session.spark, "result", s"attached '$name' ($n tables)")
 
       case DetachRe(name) =>
@@ -128,6 +129,7 @@ object Statement {
           throw new SecurityException("DETACH requires the admin role")
         if (!sessions.attachments.detach(session.spark, name))
           throw new IllegalArgumentException(s"no attachment named '$name'")
+        PlanCache.invalidate(session.spark)
         oneRowResult(session.spark, "result", s"detached '$name'")
 
       case ExportDbRe(path, fmt) =>
@@ -142,6 +144,7 @@ object Statement {
         if (!session.isAdmin)
           throw new SecurityException("IMPORT DATABASE requires the admin role")
         val n = DatabaseExport.importDatabase(session.spark, path)
+        PlanCache.invalidate(session.spark)
         oneRowResult(session.spark, "result", s"imported $n tables from '$path'")
 
       case SetSettingRe(scope, name, quoted, bare) =>
@@ -154,6 +157,9 @@ object Statement {
           case Left(err) => throw new IllegalArgumentException(err)
           case Right(_) =>
             refreshSettingsView(session)
+            // Settings feed GIZMOSQL_* pseudo-function folding and the
+            // settings view — cached plans may embed pre-SET literals.
+            PlanCache.invalidate(session.spark)
             oneRowResult(session.spark, "result", s"$name = $value")
         }
 
@@ -162,7 +168,9 @@ object Statement {
           case StatementGuard.Blocked(reason) => throw new SecurityException(reason)
           case StatementGuard.Allowed =>
             CatalogAccess.enforce(session, session.spark, sql, sessions.attachments.names)
-            session.spark.sql(sql)
+            // Repeated pure statements reuse their analyzed plan; commands
+            // bypass and flush the cache (PlanCache's contract).
+            PlanCache.sql(session.spark, sql)
         }
     }
   }

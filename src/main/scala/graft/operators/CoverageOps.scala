@@ -52,7 +52,7 @@ object CoverageOps {
     // (stubbed as hex60(HEX(bytes)) arithmetic — SQL-expressible, so DuckDB
     // recomputes the dims from the same bytes). A real codec keeps the same
     // Spark plumbing but loses the oracle, by design.
-    Op("multimodal_decode",
+    Op.effectful("multimodal_decode",
       "WITH m AS (SELECT media_id, kind, " +
       s"${TextPipeline.hex60Sql("HEX(bytes)")} AS h FROM read_parquet('${SourceOps.ioDir}/media/*.parquet')) " +
       "SELECT media_id, kind, CAST(h % 1920 + 1 AS INTEGER) AS width, " +

@@ -10,12 +10,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class Op(
     name: String,
     run: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    /** False for operators whose `run` has eager side effects (DDL/DML,
+      * file writes): the prepared-plan cache must rebuild them every call.
+      */
+    cacheable: Boolean = true)
 
 object Op {
   /** Operator with a DuckDB-checkable oracle. */
   def apply(name: String, oracle: String)(run: (SparkSession, String) => DataFrame): Op =
     Op(name, run, Some(oracle))
+
+  /** Operator with a side-effecting `run` (writes data or catalog state
+    * before returning its result) — excluded from the prepared-plan cache.
+    */
+  def effectful(name: String, oracle: String)(run: (SparkSession, String) => DataFrame): Op =
+    Op(name, run, Some(oracle), cacheable = false)
 
   /** Operator whose semantics are not expressible in portable SQL
     * (rows-only check by the driver; value-checked in our own ScalaTest).

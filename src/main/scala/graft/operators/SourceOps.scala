@@ -29,7 +29,7 @@ object SourceOps {
   }
 
   val ops: Seq[Op] = Seq(
-    Op("scan_csv",
+    Op.effectful("scan_csv",
       s"SELECT CAST(r_regionkey AS INTEGER) AS k, r_name AS name " +
       s"FROM read_csv_auto('$ioDir/region_csv/*.csv', header=true) ORDER BY k") { (s, d) =>
       Tables.ensure(s, d)
@@ -41,7 +41,7 @@ object SourceOps {
         .orderBy("k")
     },
 
-    Op("scan_json",
+    Op.effectful("scan_json",
       s"SELECT CAST(n_nationkey AS INTEGER) AS k, n_name AS name, CAST(n_regionkey AS INTEGER) AS rk " +
       s"FROM read_json_auto('$ioDir/nation_json/*.json') ORDER BY k") { (s, d) =>
       Tables.ensure(s, d)
@@ -55,7 +55,7 @@ object SourceOps {
 
     // CTAS through the SQL front door (temporary view flavor — the
     // reference's `CREATE TABLE ... AS` on its temp catalog).
-    Op("ddl_ctas",
+    Op.effectful("ddl_ctas",
       "SELECT s_nationkey, COUNT(*) AS big FROM (SELECT * FROM supplier WHERE s_acctbal > 5000) t " +
       "GROUP BY s_nationkey ORDER BY s_nationkey") { (s, d) =>
       Tables.ensure(s, d)
@@ -68,7 +68,7 @@ object SourceOps {
     // partition (PartitionFilters in the plan) — the layout/pruning pair that
     // carries a 100 TB dataset. DuckDB reads the same files with
     // hive_partitioning.
-    Op("scan_partitioned",
+    Op.effectful("scan_partitioned",
       s"SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(o_totalprice),2) AS total " +
       s"FROM read_parquet('$ioDir/orders_part/*/*.parquet', hive_partitioning=1) " +
       s"WHERE o_orderstatus='F' GROUP BY o_orderstatus ORDER BY o_orderstatus") { (s, d) =>
@@ -86,7 +86,7 @@ object SourceOps {
     // CASE-rewritten projection — the pattern plain-parquet deployments use
     // where the reference delegates UPDATE to DuckDB (row-level UPDATE/MERGE
     // proper is a declared Delta/Iceberg-only limitation).
-    Op("dml_overwrite",
+    Op.effectful("dml_overwrite",
       "SELECT k, name FROM (SELECT r_regionkey AS k, " +
       "CASE WHEN r_regionkey = 2 THEN 'ASIA-PACIFIC' ELSE r_name END AS name FROM region) t ORDER BY k") { (s, d) =>
       Tables.ensure(s, d)
@@ -100,7 +100,7 @@ object SourceOps {
 
     // Managed-table DDL + INSERT INTO (affected-row DML path,
     // SURVEY.md §2.A rows 7-8), read back in full.
-    Op("dml_insert",
+    Op.effectful("dml_insert",
       "SELECT k, name FROM (SELECT r_regionkey AS k, r_name AS name FROM region " +
       "UNION ALL SELECT 99, 'ATLANTIS') t ORDER BY k") { (s, d) =>
       Tables.ensure(s, d)
