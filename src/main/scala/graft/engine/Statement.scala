@@ -163,6 +163,20 @@ object Statement {
             oneRowResult(session.spark, "result", s"$name = $value")
         }
 
+      case _ if graft.sources.RowDml.handles(sql) =>
+        // Row-level UPDATE/DELETE/MERGE: Spark's file sources have no native
+        // execution for these, so after the same guard/catalog checks as any
+        // write, the engine's copy-on-write path runs them and returns the
+        // affected count (reference: duckdb_statement.cpp:2365-2379).
+        StatementGuard.check(session.spark, sql, session.isAdmin, session.isReadOnly) match {
+          case StatementGuard.Blocked(reason) => throw new SecurityException(reason)
+          case StatementGuard.Allowed =>
+            CatalogAccess.enforce(session, session.spark, sql, sessions.attachments.names)
+            val res = graft.sources.RowDml.execute(session.spark, sql)
+            PlanCache.invalidate(session.spark)
+            res
+        }
+
       case _ =>
         StatementGuard.check(session.spark, sql, session.isAdmin, session.isReadOnly) match {
           case StatementGuard.Blocked(reason) => throw new SecurityException(reason)

@@ -83,9 +83,9 @@ object SourceOps {
     },
 
     // UPDATE-equivalent on immutable storage: INSERT OVERWRITE with a
-    // CASE-rewritten projection — the pattern plain-parquet deployments use
-    // where the reference delegates UPDATE to DuckDB (row-level UPDATE/MERGE
-    // proper is a declared Delta/Iceberg-only limitation).
+    // CASE-rewritten projection — the explicit form of what the engine's
+    // RowDml copy-on-write path (dml_update/dml_delete/dml_merge below) now
+    // does for real UPDATE/DELETE/MERGE statements.
     Op.effectful("dml_overwrite",
       "SELECT k, name FROM (SELECT r_regionkey AS k, " +
       "CASE WHEN r_regionkey = 2 THEN 'ASIA-PACIFIC' ELSE r_name END AS name FROM region) t ORDER BY k") { (s, d) =>
@@ -110,6 +110,57 @@ object SourceOps {
         .write.saveAsTable("graft_dml_target")
       s.sql("INSERT INTO graft_dml_target VALUES (99, 'ATLANTIS')")
       s.table("graft_dml_target").orderBy("k")
+    },
+
+    // Row-level UPDATE via the engine's copy-on-write path (RowDml): parsed
+    // by Spark's parser, executed as read -> CASE projection -> partition-
+    // scoped INSERT OVERWRITE; affected count checked in DmlSpec. The oracle
+    // recomputes the post-state from the immutable fixture.
+    Op.effectful("dml_update",
+      "SELECT s_suppkey, CASE WHEN s_nationkey = 3 THEN s_name || '_ADJ' ELSE s_name END AS s_name, " +
+      "s_nationkey, CASE WHEN s_nationkey = 3 THEN s_acctbal + 100 ELSE s_acctbal END AS s_acctbal " +
+      "FROM supplier ORDER BY s_suppkey") { (s, d) =>
+      Tables.ensure(s, d)
+      deleteManagedTable(s, "graft_cow_upd")
+      s.table("supplier").write.saveAsTable("graft_cow_upd")
+      graft.sources.RowDml.execute(s,
+        "UPDATE graft_cow_upd SET s_name = CONCAT(s_name, '_ADJ'), s_acctbal = s_acctbal + 100 " +
+        "WHERE s_nationkey = 3")
+      s.table("graft_cow_upd").orderBy("s_suppkey")
+    },
+
+    // Row-level DELETE via copy-on-write (kept rows rewritten, affected
+    // partitions only on partitioned targets; see DmlSpec).
+    Op.effectful("dml_delete",
+      "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer " +
+      "WHERE NOT (c_acctbal < 0 AND c_mktsegment = 'BUILDING') ORDER BY c_custkey") { (s, d) =>
+      Tables.ensure(s, d)
+      deleteManagedTable(s, "graft_cow_del")
+      s.table("customer").write.saveAsTable("graft_cow_del")
+      graft.sources.RowDml.execute(s,
+        "DELETE FROM graft_cow_del WHERE c_acctbal < 0 AND c_mktsegment = 'BUILDING'")
+      s.table("graft_cow_del").orderBy("c_custkey")
+    },
+
+    // MERGE (upsert): matched rows take the source's name, unmatched source
+    // rows insert — the full-outer-join copy-on-write form.
+    Op.effectful("dml_merge",
+      "SELECT n_nationkey, CASE WHEN n_nationkey = 0 THEN 'N_ZERO' WHEN n_nationkey = 24 THEN 'N_LAST' " +
+      "ELSE n_name END AS n_name, n_regionkey FROM nation " +
+      "UNION ALL SELECT 99, 'N_NEW', 2 ORDER BY n_nationkey") { (s, d) =>
+      import s.implicits._
+      Tables.ensure(s, d)
+      deleteManagedTable(s, "graft_cow_tgt")
+      s.table("nation").write.saveAsTable("graft_cow_tgt")
+      Seq((0, "N_ZERO", 0), (24, "N_LAST", 4), (99, "N_NEW", 2))
+        .toDF("n_nationkey", "n_name", "n_regionkey")
+        .createOrReplaceTempView("graft_cow_src")
+      graft.sources.RowDml.execute(s,
+        "MERGE INTO graft_cow_tgt t USING graft_cow_src s ON t.n_nationkey = s.n_nationkey " +
+        "WHEN MATCHED THEN UPDATE SET n_name = s.n_name " +
+        "WHEN NOT MATCHED THEN INSERT (n_nationkey, n_name, n_regionkey) " +
+        "VALUES (s.n_nationkey, s.n_name, s.n_regionkey)")
+      s.table("graft_cow_tgt").orderBy("n_nationkey")
     }
   )
 }

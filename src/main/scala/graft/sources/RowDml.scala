@@ -1,0 +1,255 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.functions._
+
+/** Row-level UPDATE / DELETE / MERGE on plain Parquet tables via
+  * copy-on-write, returning affected-row counts like the reference backend
+  * (`/root/reference/src/duckdb/duckdb_statement.cpp:2365-2379`, exercised by
+  * `/root/reference/tests/test_v1_22_features.py:51-55`). Spark's file
+  * sources have no native row-level ops (that is a table-format feature), so
+  * the engine implements the standard copy-on-write contract itself:
+  *
+  *   read table -> apply the row change as a projection/filter/merge-join ->
+  *   rewrite ONLY the affected partitions (dynamic partition overwrite);
+  *   unpartitioned tables rewrite fully.
+  *
+  * Scale posture: the rewrite is a distributed scan+write of the affected
+  * partitions only — the same cost model every copy-on-write lakehouse
+  * format pays. Statements are PARSED BY SPARK'S OWN PARSER (UpdateTable /
+  * DeleteFromTable / MergeIntoTable logical plans), so the SQL surface is
+  * exactly Spark's; this module only supplies the execution the file source
+  * lacks. Unresolved expressions are carried over by their SQL text into
+  * DataFrame expressions against the same relations.
+  *
+  * MERGE supports WHEN MATCHED [AND c] THEN UPDATE SET/DELETE and WHEN NOT
+  * MATCHED [AND c] THEN INSERT, first-matching-action-wins; the source must
+  * be a named table/view (materialize a subquery into a temp view first).
+  * WHEN NOT MATCHED BY SOURCE is not supported. A source row matching
+  * multiple target rows follows join semantics (all matches update) rather
+  * than raising the standard's cardinality error.
+  */
+object RowDml {
+
+  private val Prefix = "(?is)^\\s*(UPDATE|DELETE|MERGE)\\b.*".r
+
+  def handles(sql: String): Boolean = Prefix.matches(sql)
+
+  /** Execute a row-level DML statement; returns a one-row `affected` count
+    * DataFrame (the reference's update-statement result shape).
+    */
+  def execute(spark: SparkSession, sql: String): DataFrame = {
+    spark.sessionState.sqlParser.parsePlan(sql) match {
+      case u: UpdateTable =>
+        val (name, alias) = relationOf(u.table)
+        update(spark, name, alias, u.assignments, u.condition)
+      case d: DeleteFromTable =>
+        val (name, alias) = relationOf(d.table)
+        delete(spark, name, alias, Option(d.condition))
+      case m: MergeIntoTable =>
+        merge(spark, m)
+      case other =>
+        throw new IllegalArgumentException(
+          s"not a row-level DML statement: ${other.getClass.getSimpleName}")
+    }
+  }
+
+  // ---- plumbing ----------------------------------------------------------
+
+  private def relationOf(plan: LogicalPlan): (String, String) = plan match {
+    case SubqueryAlias(id, child) => (relationOf(child)._1, id.name)
+    case r: UnresolvedRelation => (r.multipartIdentifier.mkString("."), r.multipartIdentifier.last)
+    case other => throw new IllegalArgumentException(
+      s"DML target must be a named table, got ${other.getClass.getSimpleName}")
+  }
+
+  private def exprCol(e: Expression): Column = expr(e.sql)
+
+  private def lastName(e: Expression): String =
+    e.sql.split("\\.").last.stripPrefix("`").stripSuffix("`")
+
+  /** Partition columns if `name` is a partitioned catalog table. */
+  private def partitionCols(spark: SparkSession, name: String): Seq[String] =
+    try {
+      val id = spark.sessionState.sqlParser.parseTableIdentifier(name)
+      spark.sessionState.catalog.getTableMetadata(id).partitionColumnNames
+    } catch { case _: Exception => Seq.empty }
+
+  /** Copy-on-write rewrite: stage the new rows (a table cannot be read and
+    * overwritten in one plan), then INSERT OVERWRITE. With `parts` nonEmpty
+    * the staged frame holds only the affected partitions' rows and dynamic
+    * partition overwrite leaves every other partition's files untouched.
+    */
+  private def rewrite(spark: SparkSession, name: String, newRows: DataFrame,
+      partitionScoped: Boolean): Unit = {
+    val cols = spark.table(name).columns
+    val stage = s"${System.getProperty("java.io.tmpdir")}/graft-dml-stage/" +
+      java.util.UUID.randomUUID().toString
+    newRows.select(cols.map(col).toIndexedSeq: _*).write.parquet(stage)
+    val staged = spark.read.parquet(stage)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    try {
+      if (partitionScoped)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      staged.write.mode("overwrite").insertInto(name)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+
+  private def affectedResult(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    Seq(n).toDF("affected")
+  }
+
+  // ---- UPDATE ------------------------------------------------------------
+
+  private def update(spark: SparkSession, name: String, alias: String,
+      assignments: Seq[Assignment], condition: Option[Expression]): DataFrame = {
+    val df = spark.table(name).alias(alias)
+    val cond = coalesce(condition.map(exprCol).getOrElse(lit(true)).cast("boolean"), lit(false))
+    val affected = df.filter(cond).count()
+    val assign: Map[String, Column] =
+      assignments.map(a => lastName(a.key) -> exprCol(a.value)).toMap
+    val schema = spark.table(name).schema
+    val updated = df.select(schema.fields.map { f =>
+      assign.get(f.name) match {
+        case Some(v) => when(cond, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+        case None => col(f.name)
+      }
+    }.toIndexedSeq: _*)
+    val parts = partitionCols(spark, name)
+    if (parts.nonEmpty) {
+      // Updates keep every row, so an affected partition can never empty out:
+      // rewriting just those partitions is always sound. (An update to a
+      // partition COLUMN moves rows across partitions — rewrite both sides.)
+      val partitionsTouched = assign.keySet.intersect(parts.toSet).nonEmpty
+      if (partitionsTouched) rewrite(spark, name, updated, partitionScoped = false)
+      else {
+        val affectedParts = df.filter(cond).select(parts.map(col).toIndexedSeq: _*).distinct()
+        val scoped = updated.join(broadcast(affectedParts), parts, "left_semi")
+        rewrite(spark, name, scoped, partitionScoped = true)
+      }
+    } else rewrite(spark, name, updated, partitionScoped = false)
+    affectedResult(spark, affected)
+  }
+
+  // ---- DELETE ------------------------------------------------------------
+
+  private def delete(spark: SparkSession, name: String, alias: String,
+      condition: Option[Expression]): DataFrame = {
+    val df = spark.table(name).alias(alias)
+    val cond = coalesce(condition.map(exprCol).getOrElse(lit(true)).cast("boolean"), lit(false))
+    val affected = df.filter(cond).count()
+    val kept = df.filter(!cond)
+    val parts = partitionCols(spark, name)
+    if (parts.nonEmpty) {
+      val affectedParts = df.filter(cond).select(parts.map(col).toIndexedSeq: _*).distinct()
+      val keptInAffected = kept.join(broadcast(affectedParts), parts, "left_semi")
+      // Dynamic overwrite only rewrites partitions PRESENT in the written
+      // data: a fully-deleted partition would survive untouched. Fall back
+      // to a full rewrite when any affected partition ends up empty.
+      val survivors = keptInAffected.select(parts.map(col).toIndexedSeq: _*).distinct().count()
+      if (survivors < affectedParts.count())
+        rewrite(spark, name, kept, partitionScoped = false)
+      else
+        rewrite(spark, name, keptInAffected, partitionScoped = true)
+    } else rewrite(spark, name, kept, partitionScoped = false)
+    affectedResult(spark, affected)
+  }
+
+  // ---- MERGE -------------------------------------------------------------
+
+  private val TMark = "__graft_merge_t"
+  private val SMark = "__graft_merge_s"
+
+  private def merge(spark: SparkSession, m: MergeIntoTable): DataFrame = {
+    if (m.notMatchedBySourceActions.nonEmpty)
+      throw new UnsupportedOperationException(
+        "MERGE ... WHEN NOT MATCHED BY SOURCE is not supported on Parquet tables")
+    val (tName, tAlias) = relationOf(m.targetTable)
+    val (sName, sAlias) = relationOf(m.sourceTable)
+    val schema = spark.table(tName).schema
+
+    val t = spark.table(tName).alias(tAlias).withColumn(TMark, lit(1))
+    val s = spark.table(sName).alias(sAlias).withColumn(SMark, lit(1))
+    val j = t.join(s, exprCol(m.mergeCondition), "full_outer").cache()
+    try {
+      val matched = col(TMark) === 1 && col(SMark) === 1
+
+      def actionCond(c: Option[Expression]): Column =
+        coalesce(c.map(exprCol).getOrElse(lit(true)).cast("boolean"), lit(false))
+
+      // First matching WHEN MATCHED action wins: a per-row action index.
+      val mIdx = m.matchedActions.zipWithIndex
+        .foldLeft(when(lit(false), lit(-1))) { case (acc, (a, i)) =>
+          val c = a match {
+            case UpdateAction(cond, _, _) => actionCond(cond)
+            case DeleteAction(cond) => actionCond(cond)
+            case other => throw new UnsupportedOperationException(
+              s"unsupported WHEN MATCHED action: ${other.getClass.getSimpleName}")
+          }
+          acc.when(matched && c, lit(i))
+        }.otherwise(lit(-1))
+      val deleteIdx = m.matchedActions.zipWithIndex.collect { case (_: DeleteAction, i) => i }
+      val updates: Seq[(Int, Map[String, Column])] = m.matchedActions.zipWithIndex.collect {
+        case (UpdateAction(_, assigns, _), i) =>
+          i -> assigns.map(a => lastName(a.key) -> exprCol(a.value)).toMap
+      }
+
+      // Surviving target rows: apply update assignments, drop deleted rows.
+      val withIdx = j.filter(col(TMark) === 1).withColumn("__midx", mIdx)
+      val survivors = withIdx
+        .filter(deleteIdx.foldLeft(lit(true))((acc, i) => acc && col("__midx") =!= i))
+        .select(schema.fields.map { f =>
+          val base = col(s"$tAlias.${f.name}")
+          val v = updates.foldLeft(when(lit(false), base)) { case (acc, (i, assigns)) =>
+            assigns.get(f.name) match {
+              case Some(value) => acc.when(col("__midx") === i, value.cast(f.dataType))
+              case None => acc
+            }
+          }.otherwise(base)
+          v.as(f.name)
+        }.toIndexedSeq: _*)
+
+      // First matching WHEN NOT MATCHED action wins, on source-only rows.
+      val notMatched = col(TMark).isNull && col(SMark) === 1
+      val iIdx = m.notMatchedActions.zipWithIndex
+        .foldLeft(when(lit(false), lit(-1))) { case (acc, (a, i)) =>
+          val c = a match {
+            case InsertAction(cond, _) => actionCond(cond)
+            case other => throw new UnsupportedOperationException(
+              s"unsupported WHEN NOT MATCHED action: ${other.getClass.getSimpleName}")
+          }
+          acc.when(notMatched && c, lit(i))
+        }.otherwise(lit(-1))
+      val insertMaps: Seq[(Int, Map[String, Column])] = m.notMatchedActions.zipWithIndex.collect {
+        case (InsertAction(_, assigns), i) =>
+          i -> assigns.map(a => lastName(a.key) -> exprCol(a.value)).toMap
+      }
+      val inserts = j.withColumn("__iidx", iIdx).filter(col("__iidx") >= 0)
+        .select(schema.fields.map { f =>
+          insertMaps.foldLeft(when(lit(false), lit(null).cast(f.dataType))) {
+            case (acc, (i, assigns)) =>
+              assigns.get(f.name) match {
+                case Some(value) => acc.when(col("__iidx") === i, value.cast(f.dataType))
+                case None => acc
+              }
+          }.otherwise(lit(null).cast(f.dataType)).as(f.name)
+        }.toIndexedSeq: _*)
+
+      val affected = withIdx.filter(col("__midx") >= 0).count() +
+        j.withColumn("__iidx", iIdx).filter(col("__iidx") >= 0).count()
+
+      // MERGE can insert into any partition, so the rewrite is table-scoped.
+      rewrite(spark, tName, survivors.unionByName(inserts), partitionScoped = false)
+      affectedResult(spark, affected)
+    } finally j.unpersist()
+  }
+}

@@ -1,0 +1,128 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.GraftSession
+
+/** Copy-on-write row-level DML: affected counts, partition-scoped rewrites,
+  * the empty-partition delete fallback, and merge action semantics.
+  */
+class DmlSpec extends AnyFunSuite {
+  private lazy val spark: SparkSession = GraftSession.local()
+
+  private def freshTable(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+  }
+
+  private def dataFiles(table: String): Map[String, Long] = {
+    val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $table").collect()
+      .find(_.getString(0) == "Location").get.getString(1).stripPrefix("file:")
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Seq.empty
+    walk(new java.io.File(loc)).map(f => f.getAbsolutePath -> f.lastModified()).toMap
+  }
+
+  test("UPDATE returns the affected count and rewrites matching rows only") {
+    import spark.implicits._
+    freshTable("dml_u1")
+    Seq((1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0))
+      .toDF("id", "grp", "v").write.saveAsTable("dml_u1")
+    val affected = RowDml.execute(spark,
+      "UPDATE dml_u1 SET v = v * 2 WHERE grp = 'a'").collect().head.getLong(0)
+    assert(affected == 2)
+    val rows = spark.table("dml_u1").orderBy("id").select("v").as[Double].collect().toSeq
+    assert(rows == Seq(20.0, 20.0, 60.0))
+  }
+
+  test("DELETE keeps non-matching rows (NULL condition keeps the row)") {
+    import spark.implicits._
+    freshTable("dml_d1")
+    Seq((1, Some(5)), (2, None), (3, Some(-1)))
+      .toDF("id", "v").write.saveAsTable("dml_d1")
+    val affected = RowDml.execute(spark,
+      "DELETE FROM dml_d1 WHERE v < 0").collect().head.getLong(0)
+    assert(affected == 1)
+    assert(spark.table("dml_d1").select("id").as[Int].collect().toSet == Set(1, 2))
+  }
+
+  test("partition-scoped UPDATE leaves untouched partitions' files alone") {
+    import spark.implicits._
+    freshTable("dml_p1")
+    Seq((1, "p0", 1.0), (2, "p0", 2.0), (3, "p1", 3.0), (4, "p2", 4.0))
+      .toDF("id", "part", "v").write.partitionBy("part").saveAsTable("dml_p1")
+    val before = dataFiles("dml_p1")
+    Thread.sleep(1100) // mtime granularity
+    val affected = RowDml.execute(spark,
+      "UPDATE dml_p1 SET v = 0 WHERE part = 'p1'").collect().head.getLong(0)
+    assert(affected == 1)
+    val after = dataFiles("dml_p1")
+    val untouchedBefore = before.filter(!_._1.contains("part=p1"))
+    val untouchedAfter = after.filter(!_._1.contains("part=p1"))
+    assert(untouchedAfter == untouchedBefore,
+      "files outside the affected partition must be byte-identical (same path+mtime)")
+    assert(after.keySet.filter(_.contains("part=p1")) !=
+      before.keySet.filter(_.contains("part=p1")) ||
+      after.filter(_._1.contains("part=p1")) != before.filter(_._1.contains("part=p1")))
+    assert(spark.table("dml_p1").filter(col("part") === "p1").select("v")
+      .as[Double].collect().toSeq == Seq(0.0))
+  }
+
+  test("DELETE that empties a partition still removes its rows (full-rewrite fallback)") {
+    import spark.implicits._
+    freshTable("dml_p2")
+    Seq((1, "p0"), (2, "p1"), (3, "p1"))
+      .toDF("id", "part").write.partitionBy("part").saveAsTable("dml_p2")
+    val affected = RowDml.execute(spark,
+      "DELETE FROM dml_p2 WHERE part = 'p1'").collect().head.getLong(0)
+    assert(affected == 2)
+    assert(spark.table("dml_p2").select("id").as[Int].collect().toSeq == Seq(1))
+  }
+
+  test("MERGE applies conditional update, delete, and insert actions in order") {
+    import spark.implicits._
+    freshTable("dml_m1")
+    Seq((1, "keep", 10), (2, "upd", 20), (3, "del", 30))
+      .toDF("id", "tag", "v").write.saveAsTable("dml_m1")
+    Seq((2, "updated", 200), (3, "whatever", 0), (9, "new", 900))
+      .toDF("id", "tag", "v").createOrReplaceTempView("dml_m1_src")
+    val affected = RowDml.execute(spark,
+      "MERGE INTO dml_m1 t USING dml_m1_src s ON t.id = s.id " +
+      "WHEN MATCHED AND t.tag = 'del' THEN DELETE " +
+      "WHEN MATCHED THEN UPDATE SET tag = s.tag, v = s.v " +
+      "WHEN NOT MATCHED THEN INSERT (id, tag, v) VALUES (s.id, s.tag, s.v)")
+      .collect().head.getLong(0)
+    assert(affected == 3, "one update + one delete + one insert")
+    val out = spark.table("dml_m1").orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSeq
+    assert(out == Seq((1, "keep", 10), (2, "updated", 200), (9, "new", 900)))
+  }
+
+  test("MERGE WHEN NOT MATCHED BY SOURCE is rejected, as is a subquery source") {
+    import spark.implicits._
+    freshTable("dml_m2")
+    Seq((1, 1)).toDF("id", "v").write.saveAsTable("dml_m2")
+    Seq((1, 1)).toDF("id", "v").createOrReplaceTempView("dml_m2_src")
+    assertThrows[UnsupportedOperationException](RowDml.execute(spark,
+      "MERGE INTO dml_m2 t USING dml_m2_src s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET v = s.v " +
+      "WHEN NOT MATCHED BY SOURCE THEN DELETE"))
+    assertThrows[IllegalArgumentException](RowDml.execute(spark,
+      "MERGE INTO dml_m2 t USING (SELECT 1 AS id, 2 AS v) s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET v = s.v"))
+  }
+
+  test("the statement guard classifies row-level DML as writes (read-only blocked)") {
+    import graft.engine.StatementGuard
+    Seq("UPDATE dml_u1 SET v = 1",
+        "DELETE FROM dml_u1 WHERE v = 1",
+        "MERGE INTO dml_u1 t USING dml_u1 s ON t.id = s.id WHEN MATCHED THEN UPDATE SET v = 1")
+      .foreach { sql =>
+        StatementGuard.check(spark, sql, isAdmin = false, readOnly = true) match {
+          case StatementGuard.Blocked(_) => ()
+          case StatementGuard.Allowed => fail(s"read-only session must not run: $sql")
+        }
+      }
+  }
+}
