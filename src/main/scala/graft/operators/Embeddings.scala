@@ -87,10 +87,16 @@ object Embeddings {
     * the bucket equi-join — never all pairs.
     */
   def lshDedup(spark: SparkSession, e: DataFrame, threshold: Double,
-      bitsPerBand: Int = graft.plans.HyperplaneLsh.bitsPerBand,
-      bands: Int = graft.plans.HyperplaneLsh.bands): DataFrame = {
+      bitsPerBand: Int = -1, bands: Int = -1): DataFrame = {
+    // No explicit band shape => derive it from the corpus count (one cheap
+    // count — metadata-only on parquet). The auto rule serves the
+    // high-similarity near-dup contract; low-threshold exact-verifier uses
+    // pin their shape explicitly (recall at wide bands falls with cos).
+    val (bpb, nb) =
+      if (bitsPerBand > 0 && bands > 0) (bitsPerBand, bands)
+      else graft.plans.HyperplaneLsh.autoShape(e.count())
     val buckets = e.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .select(col("vec_id"), posexplode(lshBuckets(col("v"), bitsPerBand, bands)))
+      .select(col("vec_id"), posexplode(lshBuckets(col("v"), bpb, nb)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val cand = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -128,7 +134,10 @@ object Embeddings {
 
   val ops: Seq[Op] = Seq(
     Op("dedup_embed_lsh", lshDedupOracle) { (s, d) =>
-      lshDedup(s, emb(s, d), 0.45)
+      // Oracle-pinned fixture shape (the DuckDB SQL derives the same 8x16
+      // plane family); the library default auto-sizes instead.
+      lshDedup(s, emb(s, d), 0.45,
+        graft.plans.HyperplaneLsh.bitsPerBand, graft.plans.HyperplaneLsh.bands)
     },
 
     Op("embed_cosine_topk",

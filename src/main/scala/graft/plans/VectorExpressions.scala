@@ -259,6 +259,22 @@ object HyperplaneLsh {
     (1 to 15).map { k =>
       s"(strpos('0123456789abcdef', substr(md5(s), $k, 1)) - 1) * ${1L << (4 * (15 - k))}"
     }.mkString("(", " + ", ")")
+
+  /** Corpus-derived band shape. The bucket space must track corpus size:
+    * random collisions contribute ~n^2/2^bits candidate pairs per band, so
+    * bits >= ~log2(n) keeps the candidate set linear (measured on the 10x
+    * scale fixture: 8-bit bands 26 s, 16-bit 1.1 s). Bands scale with bits
+    * to hold recall in the high-similarity regime this operator serves
+    * (cos 0.9: ~97% at 13x26, ~92% at 17x34; recall falls toward ~70% at
+    * the 24-bit cost cap — extreme corpora trade recall or add bands
+    * explicitly). Below the pinned fixture default the shape stays 8x16.
+    */
+  def autoShape(n: Long): (Int, Int) = {
+    val log2ceil = 64 - java.lang.Long.numberOfLeadingZeros(math.max(n - 1, 1))
+    val bits = math.max(bitsPerBand, math.min(24, log2ceil + 2))
+    val autoBands = if (bits <= bitsPerBand) bands else math.min(64, 2 * bits)
+    (bits, autoBands)
+  }
 }
 
 /** All `HyperplaneLsh.numBits` sign-bit dot products of one embedding against

@@ -82,15 +82,19 @@ object ScaleCheck {
 
     // The fixed 8-bit-band LSH above collides randomly once the corpus
     // outgrows its 256-value bucket space (candidates ~ n^2/2^bits). The
-    // scale posture is the parameterized band shape: wider bands + the
-    // high-similarity threshold they are selective for. Measure it.
+    // scale posture is the NO-KNOB path: lshDedup with no explicit shape
+    // derives bits >= log2(corpus) from a cheap count (HyperplaneLsh
+    // .autoShape) and scales bands to hold recall in the high-similarity
+    // regime. Measure it.
     {
-      val wide = graft.operators.Embeddings.lshDedup(
-        spark, spark.table("embeddings"), 0.9, bitsPerBand = 16, bands = 32)
-      wide.count() // warm codegen
+      val auto = graft.operators.Embeddings.lshDedup(
+        spark, spark.table("embeddings"), 0.9)
+      auto.count() // warm codegen
       val t0 = System.nanoTime()
-      val rows = wide.count()
-      println(f"[scale] dedup_embed_lsh 16x32-band thr=0.9 at ${n}x: " +
+      val rows = auto.count()
+      val (bits, bands) = graft.plans.HyperplaneLsh.autoShape(
+        spark.table("embeddings").count())
+      println(f"[scale] dedup_embed_lsh auto(${bits}x$bands) thr=0.9 at ${n}x: " +
         f"${(System.nanoTime() - t0) / 1e9}%.2f s ($rows pairs)")
     }
 

@@ -238,6 +238,17 @@ class OperatorSpec extends AnyFunSuite {
     assert(interp === gen)
   }
 
+  test("hyperplane-LSH auto shape: pinned floor, log2 growth, cost cap") {
+    import graft.plans.HyperplaneLsh.autoShape
+    assert(autoShape(1) == (8, 16) && autoShape(64) == (8, 16),
+      "tiny corpora keep the pinned fixture shape")
+    assert(autoShape(20000) == (17, 34),
+      "bits ~ log2(n)+2 with bands = 2x bits at the 10x-fixture scale")
+    assert(autoShape(Long.MaxValue / 2)._1 == 24, "bit width is cost-capped")
+    val shapes = Seq(1L, 1000L, 100000L, 10000000L).map(autoShape)
+    assert(shapes == shapes.sortBy(_._1), "bits grow monotonically with n")
+  }
+
   test("exact dedup keeps one representative per distinct text") {
     Tables.ensure(spark, dir)
     val docs = spark.table("documents")
