@@ -161,9 +161,14 @@ object Relational {
       // two local reads — a self-join scans and shuffles lineitem once, not
       // twice. Alias tracking preserves hashpartitioning(k) through the
       // renames, so the join adds no exchange of its own.
+      // shuffle_hash pins the join against broadcast conversion (static or
+      // AQE): a broadcast build of a self-join side cannot reuse the shared
+      // exchange, so it would re-scan + driver-hash-build the whole relation
+      // (measured 0.38 s vs 0.15 s at sf0.1 when the 64 MB threshold made
+      // this side "broadcastable").
       val base = t(s, d, "lineitem").select(col("l_orderkey").as("k"), col("l_suppkey").as("v"))
         .repartition(col("k"))
-      base.toDF("k1", "s1").join(base.toDF("k2", "s2"),
+      base.toDF("k1", "s1").join(base.toDF("k2", "s2").hint("shuffle_hash"),
           col("k1") === col("k2") && col("s1") =!= col("s2"))
         .agg(count(lit(1)).as("n"))
     },

@@ -213,6 +213,58 @@ class StreamingSpec extends AnyFunSuite {
       (LocalDateTime.of(2024, 3, 1, 2, 0), "late", 2L)))
   }
 
+  test("funnel checkpoint recovery: state survives a restart, finalization is exactly-once") {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-funnel-src").toString
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft-funnel-sink").toString
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-funnel-ckpt").toString
+    val base = LocalDateTime.of(2024, 3, 1, 0, 0)
+    def ev(id: Long, minutes: Long, user: Long, typ: String) =
+      Ev(id, java.sql.Timestamp.valueOf(base.plusMinutes(minutes)), user, typ, 1.0)
+    def at(minutes: Long) =
+      java.sql.Timestamp.valueOf(base.plusMinutes(minutes)).getTime
+    def startQuery() = {
+      val stream = spark.readStream.schema(Seq.empty[Ev].toDF().schema).parquet(srcDir)
+      EventStreams.statefulFunnel(stream, horizonSeconds = 3600L)
+        .writeStream.format("parquet")
+        .option("path", sinkDir).option("checkpointLocation", ckptDir)
+        .outputMode("append").start()
+    }
+    // Run 1: user 1 signs up; user 2 signs up and clicks. Nothing finalizes
+    // (no watermark movement past any horizon) — all of it is in-flight
+    // group state when the query stops.
+    Seq(ev(1, 0, 1, "signup"), ev(2, 0, 2, "signup"), ev(3, 5, 2, "click")).toDF()
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    // Run 2, SAME checkpoint: user 1's click and purchase arrive. The final
+    // thresholds depend on run-1 state (the signup) having been recovered.
+    val q2 = startQuery()
+    Seq(ev(4, 10, 1, "click"), ev(5, 20, 1, "purchase")).toDF()
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    q2.processAllAvailable()
+    // Two flush batches, as the in-memory funnel test: the first advances
+    // the watermark past every horizon, the second delivers operator-visible
+    // rows under that watermark so the event-time timeouts fire.
+    Seq(ev(6, 7L * 24 * 60, FlushUser, "flush")).toDF()
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    q2.processAllAvailable()
+    Seq(ev(7, 14L * 24 * 60, FlushUser, "flush")).toDF()
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    q2.processAllAvailable(); q2.stop()
+
+    val out = spark.read.parquet(sinkDir).collect()
+      .map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))
+      .sortBy(_._1).toSeq
+    // Exactly one finalized row per funnel user despite the restart; user 1's
+    // thresholds combine run-1 state (signup) with run-2 events.
+    assert(out == Seq(
+      (1L, Some(at(0)), Some(at(10)), Some(at(20))),
+      (2L, Some(at(0)), Some(at(5)), None)))
+  }
+
   test("sliding windows emit one row per covering window") {
     val base = LocalDateTime.of(2024, 3, 1, 1, 45)
     val rows = Seq(Ev(1, java.sql.Timestamp.valueOf(base), 1, "click", 1.0))
