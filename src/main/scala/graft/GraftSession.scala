@@ -38,6 +38,10 @@ object GraftSession {
       b.config("spark.local.dir", "/dev/shm/graft-spark")
         .config("spark.shuffle.compress", "false")
         .config("spark.shuffle.spill.compress", "false")
+        // Same reasoning for broadcast blocks: in one JVM the torrent
+        // never crosses a wire, so compressing the build side only adds
+        // CPU between "hash relation ready" and "probe stage starts".
+        .config("spark.broadcast.compress", "false")
     b
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "32")

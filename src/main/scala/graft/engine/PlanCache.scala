@@ -6,10 +6,14 @@ import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
 import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
 
-/** Session-scoped prepared-plan cache: repeated statement texts reuse the
-  * analyzed DataFrame instead of re-running parse + analysis + (first)
-  * optimization, the fixed per-statement Catalyst cost (~15-120 ms/statement
-  * measured on the TPC-H shapes at sf0.1 — `graft.tools.CacheProbe`). The
+/** Session-scoped prepared-plan cache: repeated statement texts reuse a
+  * DataFrame rooted at the OPTIMIZED logical plan instead of re-running
+  * parse + analysis + full optimization, the fixed per-statement Catalyst
+  * cost (~15-120 ms/statement measured on the TPC-H shapes at sf0.1 —
+  * `graft.tools.CacheProbe`). The optimized root matters beyond the first
+  * call: any action that re-wraps the plan (`count()` adds an aggregate,
+  * `write` a command) re-runs the optimizer over the whole tree per call,
+  * and over a pre-converged tree that run is one cheap fixpoint. The
   * reference engine gets the same effect from its prepared-statement reuse
   * (`/root/reference/src/duckdb/duckdb_statement.cpp` re-prepare path); on a
   * 100 TB cluster the win is latency-per-statement for the dashboard/repeat
@@ -27,7 +31,11 @@ import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoin
   *     weakly so closed sessions collect.
   */
 object PlanCache {
-  private val MaxEntries = 256
+  // An executed plan can pin its broadcast relations (up to
+  // autoBroadcastJoinThreshold each) until evicted, so the bound is heap
+  // protection as much as plan bookkeeping; eviction drops the reference
+  // and the ContextCleaner reclaims the blocks.
+  private val MaxEntries = 64
 
   private def newLru(): java.util.Map[String, DataFrame] =
     java.util.Collections.synchronizedMap(
@@ -75,13 +83,21 @@ object PlanCache {
     * longer pipelines keep AQE's between-stage coalescing), where adaptivity
     * only buys coalescing of already-small outputs.
     *
+    * Scope: the pin lives on THIS dataset's QueryExecution, so it serves the
+    * direct-action paths — the server's collect/Arrow fetch of a prepared
+    * statement, `Verify`'s writes. An action that re-wraps the plan in a new
+    * operator (`count()`) plans its wrapper fresh under the session conf and
+    * runs adaptive as usual.
+    *
     * The probe is size-based, so it self-scales: the same query over 1000x
     * the data exceeds `autoBroadcastJoinThreshold`, plans a shuffled join,
-    * and keeps full adaptive execution. The one trade: the allowed shuffles
-    * are not runtime-coalesced and run at the configured
-    * `spark.sql.shuffle.partitions` — the knob a real deployment sizes
-    * anyway, and map-side partial aggregation has already shrunk what moves
-    * through them.
+    * and keeps full adaptive execution. Two trades: the allowed shuffles are
+    * not runtime-coalesced and run at the configured
+    * `spark.sql.shuffle.partitions` (the knob a real deployment sizes
+    * anyway, with map-side partial aggregation shrinking what moves), and
+    * the probe briefly flips the session's adaptive flag — a statement
+    * planned concurrently in the same session during that window would pin
+    * static too (slower, never wrong).
     */
   private def prepare(spark: SparkSession, build: => DataFrame): DataFrame = {
     val built = build

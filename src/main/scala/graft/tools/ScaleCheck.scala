@@ -69,7 +69,12 @@ object ScaleCheck {
       "dedup_minhash_lsh", "dedup_simhash", "dedup_jaccard", "text_stats",
       "pipeline_clean_corpus", "text_contamination", "join_asof", "join_time_range",
       "events_funnel",
-      "dedup_embed_lsh", "embed_cosine_topk", "embed_knn", "embed_sq8_rerank")
+      "embed_cosine_topk", "embed_knn", "embed_sq8_rerank") ++
+      // The ORACLE op pins the fixture's 8x16 band shape, whose candidate
+      // set grows ~n^2/2^8 — at 30x (60k vectors, ~2e8 candidate pairs) it
+      // OOMs the JVM by design. Past 10x only the auto-sized library path
+      // below is the supported shape.
+      (if (n <= 10) Seq("dedup_embed_lsh") else Seq.empty)
     names.foreach { name =>
       // warm codegen once, then measure
       try {

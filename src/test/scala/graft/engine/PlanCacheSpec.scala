@@ -54,4 +54,41 @@ class PlanCacheSpec extends AnyFunSuite {
     assert(Set("ddl_ctas", "dml_insert", "dml_overwrite", "scan_csv",
       "scan_json", "scan_partitioned", "multimodal_decode").subsetOf(effectful))
   }
+
+  test("cached plans root at the optimized tree") {
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    val s = spark.newSession()
+    s.range(10).createOrReplaceTempView("pc_opt")
+    // 1+1 folds at optimize time: the cached dataset's own logical plan must
+    // already carry the folded literal (it IS the optimized tree), so
+    // per-call actions re-optimize a converged plan.
+    val df = PlanCache.sql(s, "SELECT id, 1 + 1 AS two FROM pc_opt WHERE id < 5")
+    val folded = df.queryExecution.logical.collectFirst {
+      case p: Project => p.projectList.exists(_.toString.contains("2 AS two"))
+    }
+    assert(folded.contains(true),
+      s"expected folded literal in cached root, got:\n${df.queryExecution.logical}")
+    assert(df.count() == 5)
+  }
+
+  test("broadcast-only plans pin a static plan; shuffled-join plans stay adaptive") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val s = GraftSession.local().newSession()
+    graft.Tables.ensure(s, graft.SparkTestHarness.sfDir)
+    // All joins broadcast (leaf dims under the threshold) => static plan.
+    val bcast = PlanCache.sql(s,
+      "SELECT n_name, COUNT(*) AS c FROM nation JOIN region ON n_regionkey = r_regionkey GROUP BY n_name")
+    assert(!bcast.queryExecution.executedPlan.isInstanceOf[AdaptiveSparkPlanExec],
+      "broadcast-only plan should bypass adaptive execution")
+    assert(bcast.count() > 0)
+    // A merge/hash-shuffle join (broadcast disabled) => keeps AQE.
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val shuffled = PlanCache.sql(s,
+        "SELECT COUNT(*) AS c FROM orders JOIN customer ON o_custkey = c_custkey")
+      assert(shuffled.queryExecution.executedPlan.isInstanceOf[AdaptiveSparkPlanExec],
+        "shuffled-join plan must keep adaptive execution")
+      assert(shuffled.count() == 1)
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+  }
 }
