@@ -53,6 +53,21 @@ object TextFunctions {
       (acc, i) => acc + i.cast("long") * ascii(substr(text, i, lit(1)))
     ) % 1000000007L).cast("long")
 
+  /** Fraction of word trigrams that are repeats of an earlier trigram in the
+    * same document — the classic intra-document repetition quality filter
+    * for LLM corpora (boilerplate, scraper loops, and degenerate generations
+    * score high). Counting (total - distinct) over the shingle array keeps
+    * it one codegen'd pass per row: no explode, no shuffle, linear at any
+    * corpus size. Docs under n tokens have no n-grams and score 0.
+    */
+  def dupShingleCounts(text: Column, n: Int): (Column, Column) = {
+    val toks = tokens(text)
+    val tri = wordShingles(text, n)
+    val nGram = when(size(toks) >= n, size(toks) - (n - 1)).otherwise(0)
+    val nDup = when(size(toks) >= n, size(tri) - size(array_distinct(tri))).otherwise(0)
+    (nGram, nDup)
+  }
+
   /** Per-language stopword marker sets for the language-ID heuristic. */
   val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "and", "of"),

@@ -499,6 +499,29 @@ object TextPipeline {
       "SELECT doc_id, CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, CAST(LENGTH(text) AS INTEGER)), i -> i * ASCII(text[i]))) % 1000000007 AS BIGINT) AS fp " +
       "FROM documents ORDER BY doc_id") { (s, d) =>
       docs(s, d).select(col("doc_id"), fingerprint(col("text")).as("fp")).orderBy("doc_id")
+    },
+
+    // Gopher/C4-style intra-document repetition filter: the fraction of word
+    // trigrams that repeat an earlier trigram in the SAME document flags
+    // boilerplate, scraper loops, and degenerate text. One codegen'd pass per
+    // row (array distinct over the shingle array — no explode, no shuffle);
+    // dup_frac is a single integer division, so the oracle compares
+    // value-exact.
+    Op("text_repetition",
+      "WITH t AS (SELECT doc_id, STRING_SPLIT(text,' ') AS w FROM documents), " +
+      "g AS (SELECT doc_id, CASE WHEN LEN(w) >= 3 THEN CAST(LEN(w) - 2 AS INTEGER) ELSE 0 END AS n_tri, " +
+      "CASE WHEN LEN(w) >= 3 THEN CAST(LEN(w) - 2 - LEN(LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, CAST(LEN(w) AS INTEGER) - 2), " +
+      "i -> CONCAT_WS(' ', w[i], w[i+1], w[i+2])))) AS INTEGER) ELSE 0 END AS n_dup FROM t) " +
+      "SELECT doc_id, n_tri, n_dup, " +
+      "CASE WHEN n_tri > 0 THEN ROUND(CAST(n_dup AS DOUBLE) / n_tri, 4) ELSE 0.0 END AS dup_frac " +
+      "FROM g ORDER BY doc_id") { (s, d) =>
+      val (nTri, nDup) = dupShingleCounts(col("text"), 3)
+      docs(s, d).select(
+        col("doc_id"),
+        nTri.as("n_tri"),
+        nDup.as("n_dup"),
+        when(nTri > 0, round(nDup.cast("double") / nTri, 4)).otherwise(0.0).as("dup_frac")
+      ).orderBy("doc_id")
     }
   )
 }

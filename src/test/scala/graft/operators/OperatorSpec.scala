@@ -256,4 +256,20 @@ class OperatorSpec extends AnyFunSuite {
     val kept = SparkEntry.queries("dedup_exact")(spark, dir).count()
     assert(kept == distinctTexts)
   }
+
+  test("repetition filter: dup-trigram fraction on constructed documents") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.dupShingleCounts
+    val rows = Seq(
+      (1L, "a b c a b c a b c"),      // 7 trigrams, 3 distinct -> 4 dup
+      (2L, "all words are different"), // 2 trigrams, both unique
+      (3L, "one two"),                // no trigram
+      (4L, "x x x x"))                // 2 trigrams, 1 distinct -> 1 dup
+      .toDF("doc_id", "text")
+    val (nTri, nDup) = dupShingleCounts(col("text"), 3)
+    val out = rows.select(col("doc_id"), nTri.as("t"), nDup.as("d"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(out == Seq((1L, 7, 4), (2L, 2, 0), (3L, 0, 0), (4L, 2, 1)))
+  }
 }
