@@ -359,6 +359,46 @@ object TextPipeline {
     quality.join(dups, Seq("doc_id"), "left_anti").select("doc_id")
   }
 
+  /** Near-duplicate cluster assignment: every document labeled with the
+    * canonical representative of its cluster — the minimum doc_id reachable
+    * through pairwise near-duplicate links. This is the TRANSITIVE step a
+    * real dedup pipeline needs: greedy pairwise survivor selection (as in
+    * `cleanCorpus`) treats A~B and B~C independently, while chains must
+    * collapse to one representative. Pairs come from the exact Jaccard
+    * verifier; components from GraphX's connectedComponents — Pregel
+    * min-label propagation, O(component diameter) supersteps of
+    * co-partitioned joins, the standard distributed CC at corpus scale
+    * (the one operator here where the graph API beats a hand-rolled
+    * DataFrame fixpoint loop: it caches and re-partitions the edge relation
+    * across supersteps instead of re-shuffling per iteration).
+    */
+  def dedupClusters(d: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.graphx.{Edge, Graph}
+    val spark = d.sparkSession
+    val edges = jaccardPairs(d, threshold).select("id_a", "id_b").rdd
+      .map(r => Edge(r.getLong(0), r.getLong(1), ()))
+    // Isolated docs are their own clusters, so seed every doc_id as a vertex.
+    val vertices = d.select("doc_id").rdd.map(r => (r.getLong(0), ()))
+    val cc = Graph(vertices, edges).connectedComponents().vertices
+    spark.createDataFrame(cc).toDF("doc_id", "rep_id")
+  }
+
+  /** DuckDB oracle for `dedupClusters`: the exact-Jaccard pair CTEs from
+    * `dedup_jaccard`, symmetrized into an edge list, transitively closed
+    * with a recursive CTE, then min-reachable-id per document.
+    */
+  private def dedupClustersOracle: String =
+    "WITH RECURSIVE w AS (SELECT doc_id, STRING_SPLIT(text,' ') AS words FROM documents), " +
+    "g AS (SELECT DISTINCT doc_id, UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, CAST(LEN(words) AS INTEGER)-2), i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS gram FROM w), " +
+    "sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id), " +
+    "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter FROM g a JOIN g b ON a.gram=b.gram AND a.doc_id < b.doc_id GROUP BY 1,2), " +
+    "jp AS (SELECT id_a, id_b FROM pairs JOIN sz sa ON sa.doc_id=id_a JOIN sz sb ON sb.doc_id=id_b " +
+    "WHERE CAST(inter AS DOUBLE)/(sa.n+sb.n-inter) >= 0.5), " +
+    "e AS (SELECT id_a AS a, id_b AS b FROM jp UNION SELECT id_b AS a, id_a AS b FROM jp), " +
+    "r(a, b) AS (SELECT a, b FROM e UNION SELECT r.a, e.b FROM r JOIN e ON e.a = r.b) " +
+    "SELECT d.doc_id, CAST(LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS BIGINT) AS rep_id " +
+    "FROM documents d LEFT JOIN r ON r.a = d.doc_id GROUP BY d.doc_id ORDER BY d.doc_id"
+
   /** DuckDB oracle for `cleanCorpus` — the same quality gate, the same
     * MinHash-LSH banding (shared CTEs with `minhashOracle`), the same
     * candidate-restricted exact verification.
@@ -445,6 +485,10 @@ object TextPipeline {
 
     Op("dedup_minhash_lsh", minhashOracle) { (s, d) =>
       minhashCandidates(docs(s, d)).orderBy("id_a", "id_b")
+    },
+
+    Op("dedup_clusters", dedupClustersOracle) { (s, d) =>
+      dedupClusters(docs(s, d), 0.5).orderBy("doc_id")
     },
 
     Op("dedup_simhash", simhashOracle) { (s, d) =>

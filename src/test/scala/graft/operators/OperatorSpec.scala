@@ -257,6 +257,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(kept == distinctTexts)
   }
 
+  test("dedup clusters: transitive chains collapse to one representative") {
+    import spark.implicits._
+    // A~B and B~C at jaccard >= 0.5, but A~C only 0.33 — a greedy pairwise
+    // drop sees two independent pairs; the component must still be ONE
+    // cluster labeled with the minimum doc_id. Doc 9 is isolated.
+    val docsDf = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "c d e f g h i j k l"),
+      (3L, "e f g h i j k l m n"),
+      (9L, "totally different words here entirely"))
+      .toDF("doc_id", "text")
+    val out = TextPipeline.dedupClusters(docsDf, 0.5)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L)))
+  }
+
   test("repetition filter: dup-trigram fraction on constructed documents") {
     import spark.implicits._
     import graft.functions.TextFunctions.dupShingleCounts
