@@ -27,6 +27,15 @@ object Op {
   def effectful(name: String, oracle: String)(run: (SparkSession, String) => DataFrame): Op =
     Op(name, run, Some(oracle), cacheable = false)
 
+  /** Operator whose `run` computes eagerly at build time (iterative
+    * algorithms like Pregel, which drive jobs to convergence before the
+    * result DataFrame exists). Also excluded from the prepared-plan cache:
+    * a cached instance would hand back the materialized result instead of
+    * recomputing, silently turning a query into a snapshot.
+    */
+  def eager(name: String, oracle: String)(run: (SparkSession, String) => DataFrame): Op =
+    Op(name, run, Some(oracle), cacheable = false)
+
   /** Operator whose semantics are not expressible in portable SQL
     * (rows-only check by the driver; value-checked in our own ScalaTest).
     */

@@ -487,7 +487,7 @@ object TextPipeline {
       minhashCandidates(docs(s, d)).orderBy("id_a", "id_b")
     },
 
-    Op("dedup_clusters", dedupClustersOracle) { (s, d) =>
+    Op.eager("dedup_clusters", dedupClustersOracle) { (s, d) =>
       dedupClusters(docs(s, d), 0.5).orderBy("doc_id")
     },
 
@@ -543,6 +543,25 @@ object TextPipeline {
       "SELECT doc_id, CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, CAST(LENGTH(text) AS INTEGER)), i -> i * ASCII(text[i]))) % 1000000007 AS BIGINT) AS fp " +
       "FROM documents ORDER BY doc_id") { (s, d) =>
       docs(s, d).select(col("doc_id"), fingerprint(col("text")).as("fp")).orderBy("doc_id")
+    },
+
+    // Corpus mixture table: per (source, lang) document/token/char totals —
+    // the weighting a training-data mixture is balanced from. Pure two-key
+    // aggregation with map-side partial combine; all outputs are integer
+    // sums or single divisions of them, so the oracle compares value-exact.
+    Op("corpus_mixture",
+      "SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+      "CAST(SUM(LEN(STRING_SPLIT(text,' '))) AS BIGINT) AS n_tokens, " +
+      "CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars, " +
+      "ROUND(CAST(SUM(LEN(STRING_SPLIT(text,' '))) AS DOUBLE) / COUNT(*), 2) AS avg_tokens " +
+      "FROM documents GROUP BY source, lang ORDER BY source, lang") { (s, d) =>
+      docs(s, d).groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(tokens(col("text"))).cast("long")).as("n_tokens"),
+          sum(length(col("text")).cast("long")).as("n_chars"))
+        .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"), col("n_chars"),
+          round(col("n_tokens").cast("double") / col("n_docs"), 2).as("avg_tokens"))
+        .orderBy("source", "lang")
     },
 
     // Gopher/C4-style intra-document repetition filter: the fraction of word
