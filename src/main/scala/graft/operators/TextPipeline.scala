@@ -383,11 +383,12 @@ object TextPipeline {
     spark.createDataFrame(cc).toDF("doc_id", "rep_id")
   }
 
-  /** DuckDB oracle for `dedupClusters`: the exact-Jaccard pair CTEs from
-    * `dedup_jaccard`, symmetrized into an edge list, transitively closed
-    * with a recursive CTE, then min-reachable-id per document.
+  /** Shared DuckDB CTE chain ending in `cl(doc_id, rep_id)`: the
+    * exact-Jaccard pair CTEs from `dedup_jaccard`, symmetrized into an edge
+    * list, transitively closed with a recursive CTE, then min-reachable-id
+    * per document. Both cluster oracles build on it.
     */
-  private def dedupClustersOracle: String =
+  private def clusterCte: String =
     "WITH RECURSIVE w AS (SELECT doc_id, STRING_SPLIT(text,' ') AS words FROM documents), " +
     "g AS (SELECT DISTINCT doc_id, UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, CAST(LEN(words) AS INTEGER)-2), i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS gram FROM w), " +
     "sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id), " +
@@ -395,9 +396,33 @@ object TextPipeline {
     "jp AS (SELECT id_a, id_b FROM pairs JOIN sz sa ON sa.doc_id=id_a JOIN sz sb ON sb.doc_id=id_b " +
     "WHERE CAST(inter AS DOUBLE)/(sa.n+sb.n-inter) >= 0.5), " +
     "e AS (SELECT id_a AS a, id_b AS b FROM jp UNION SELECT id_b AS a, id_a AS b FROM jp), " +
-    "r(a, b) AS (SELECT a, b FROM e UNION SELECT r.a, e.b FROM r JOIN e ON e.a = r.b) " +
-    "SELECT d.doc_id, CAST(LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS BIGINT) AS rep_id " +
-    "FROM documents d LEFT JOIN r ON r.a = d.doc_id GROUP BY d.doc_id ORDER BY d.doc_id"
+    "r(a, b) AS (SELECT a, b FROM e UNION SELECT r.a, e.b FROM r JOIN e ON e.a = r.b), " +
+    "cl AS (SELECT d.doc_id, CAST(LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS BIGINT) AS rep_id " +
+    "FROM documents d LEFT JOIN r ON r.a = d.doc_id GROUP BY d.doc_id) "
+
+  private def dedupClustersOracle: String =
+    clusterCte + "SELECT doc_id, rep_id FROM cl ORDER BY doc_id"
+
+  private def keepBestOracle: String =
+    clusterCte +
+    "SELECT cl.doc_id, cl.rep_id, CAST(CASE WHEN ROW_NUMBER() OVER " +
+    "(PARTITION BY cl.rep_id ORDER BY d.n_chars DESC, cl.doc_id) = 1 THEN 1 ELSE 0 END AS INTEGER) AS keep " +
+    "FROM cl JOIN documents d ON d.doc_id = cl.doc_id ORDER BY cl.doc_id"
+
+  /** Cluster-representative selection — the step that turns a near-dup
+    * clustering into an actual deduplicated corpus: within each cluster keep
+    * the single "best" document (longest text, ties to the smallest id — a
+    * stand-in for any quality score). One window pass over the cluster id;
+    * the rank distributes on the rep_id clustering, so the whole selection
+    * is a join plus one shuffle regardless of corpus size.
+    */
+  def dedupKeepBest(d: DataFrame, threshold: Double): DataFrame = {
+    val w = Window.partitionBy("rep_id").orderBy(col("n_chars").desc, col("doc_id"))
+    dedupClusters(d, threshold)
+      .join(d.select("doc_id", "n_chars"), "doc_id")
+      .withColumn("keep", when(row_number().over(w) === 1, 1).otherwise(0))
+      .select("doc_id", "rep_id", "keep")
+  }
 
   /** DuckDB oracle for `cleanCorpus` — the same quality gate, the same
     * MinHash-LSH banding (shared CTEs with `minhashOracle`), the same
@@ -491,6 +516,10 @@ object TextPipeline {
       dedupClusters(docs(s, d), 0.5).orderBy("doc_id")
     },
 
+    Op.eager("dedup_keep_best", keepBestOracle) { (s, d) =>
+      dedupKeepBest(docs(s, d), 0.5).orderBy("doc_id")
+    },
+
     Op("dedup_simhash", simhashOracle) { (s, d) =>
       simhash(docs(s, d)).orderBy("doc_id")
     },
@@ -562,6 +591,48 @@ object TextPipeline {
         .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"), col("n_chars"),
           round(col("n_tokens").cast("double") / col("n_docs"), 2).as("avg_tokens"))
         .orderBy("source", "lang")
+    },
+
+    // Boilerplate mining: word trigrams shared across many documents
+    // (headers, footers, scraper templates) — the inter-document complement
+    // of `text_repetition`. Reuses the shared `triRows` explode subtree, so
+    // the gram generation is one scan; the df/tf aggregate partial-combines
+    // map-side and shuffles only distinct grams. df ties at the LIMIT
+    // boundary break on (tf, gram), so the top-20 is fully deterministic.
+    Op("text_boilerplate",
+      "WITH w AS (SELECT doc_id, STRING_SPLIT(text,' ') AS words FROM documents), " +
+      "g AS (SELECT doc_id, UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, CAST(LEN(words) AS INTEGER)-2), i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS gram FROM w) " +
+      "SELECT gram, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS tf FROM g GROUP BY gram " +
+      "HAVING COUNT(DISTINCT doc_id) >= 3 ORDER BY df DESC, tf DESC, gram LIMIT 20") { (s, d) =>
+      triRows(docs(s, d))
+        .select(concat_ws(" ", col("w"), col("w1"), col("w2")).as("gram"), col("doc_id"))
+        .groupBy("gram")
+        .agg(countDistinct("doc_id").as("df"), count(lit(1)).as("tf"))
+        .filter(col("df") >= 3)
+        .orderBy(col("df").desc, col("tf").desc, col("gram")).limit(20)
+    },
+
+    // Sequence packing: assign documents to fixed token-budget training
+    // chunks greedily in doc_id order WITHIN each source — chunk_id is the
+    // exclusive prefix-sum of token counts divided by the budget. The window
+    // partitions on source, so packing distributes across the mixture's
+    // strata; a single giant stratum would salt the partition key by id
+    // range (each range packs independently, budgets still respected).
+    // All-integer inputs keep the oracle value-exact.
+    Op("pipeline_pack_sequences",
+      "SELECT doc_id, source, CAST(LEN(STRING_SPLIT(text,' ')) AS INTEGER) AS n_tok, " +
+      "CAST(FLOOR((SUM(LEN(STRING_SPLIT(text,' '))) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) " +
+      "- LEN(STRING_SPLIT(text,' '))) / 512.0) AS BIGINT) AS chunk_id " +
+      "FROM documents ORDER BY doc_id") { (s, d) =>
+      val nTok = size(tokens(col("text")))
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, d)
+        .select(col("doc_id"), col("source"), nTok.as("n_tok"),
+          sum(nTok.cast("long")).over(w).as("cum"))
+        .select(col("doc_id"), col("source"), col("n_tok"),
+          floor((col("cum") - col("n_tok")) / lit(512.0)).as("chunk_id"))
+        .orderBy("doc_id")
     },
 
     // Gopher/C4-style intra-document repetition filter: the fraction of word

@@ -67,7 +67,8 @@ object ScaleCheck {
     val names = Seq("agg_h01", "agg_global_h06", "join_inner_h03", "join_left_hist",
       "join_theta", "tpch_h18", "win_rownum", "topk",
       "dedup_minhash_lsh", "dedup_simhash", "dedup_jaccard", "dedup_clusters",
-      "text_stats", "text_repetition", "corpus_mixture",
+      "text_stats", "text_repetition", "corpus_mixture", "text_boilerplate",
+      "pipeline_pack_sequences",
       "pipeline_clean_corpus", "text_contamination", "join_asof", "join_time_range",
       "events_funnel",
       "embed_cosine_topk", "embed_knn", "embed_sq8_rerank") ++

@@ -273,6 +273,25 @@ class OperatorSpec extends AnyFunSuite {
     assert(out == Seq((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L)))
   }
 
+  test("keep-best selects exactly one representative per cluster, the longest text") {
+    import spark.implicits._
+    // Docs 1-3 form one cluster (chained near-dups); doc 2 has the longest
+    // text so it is the keeper even though the cluster is labeled rep_id=1.
+    // Isolated doc 9 keeps itself.
+    val docsDf = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "c d e f g h i j k l extra"),
+      (3L, "e f g h i j k l m n"),
+      (9L, "totally different words here entirely"))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val out = TextPipeline.dedupKeepBest(docsDf, 0.5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(out == Seq((1L, 1L, 0), (2L, 1L, 1), (3L, 1L, 0), (9L, 9L, 1)))
+    assert(out.groupBy(_._2).values.forall(_.map(_._3).sum == 1))
+  }
+
   test("repetition filter: dup-trigram fraction on constructed documents") {
     import spark.implicits._
     import graft.functions.TextFunctions.dupShingleCounts
