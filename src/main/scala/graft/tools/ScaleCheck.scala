@@ -68,7 +68,7 @@ object ScaleCheck {
       "join_theta", "tpch_h18", "win_rownum", "topk",
       "dedup_minhash_lsh", "dedup_simhash", "dedup_jaccard", "dedup_clusters",
       "text_stats", "text_repetition", "corpus_mixture", "text_boilerplate",
-      "pipeline_pack_sequences",
+      "pipeline_pack_sequences", "dedup_keep_best",
       "pipeline_clean_corpus", "text_contamination", "join_asof", "join_time_range",
       "events_funnel",
       "embed_cosine_topk", "embed_knn", "embed_sq8_rerank") ++

@@ -292,6 +292,49 @@ class OperatorSpec extends AnyFunSuite {
     assert(out.groupBy(_._2).values.forall(_.map(_._3).sum == 1))
   }
 
+  test("sequence packing: exclusive prefix-sum chunking per source") {
+    import spark.implicits._
+    // Budget is 512 tokens. Source s1: 300+300 tokens -> doc 2 starts at
+    // cumulative 300 (chunk 0), doc 3 at 600 (chunk 1). A single doc larger
+    // than the budget (doc 4, 600 tokens) owns its own chunk and shifts the
+    // next doc to the boundary AFTER it. Chunk ids restart per source.
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val docsDf = Seq(
+      (1L, "s1", words(300)), (2L, "s1", words(300)), (3L, "s1", words(300)),
+      (4L, "s2", words(600)), (5L, "s2", words(100)))
+      .toDF("doc_id", "source", "text")
+    docsDf.createOrReplaceTempView("documents")
+    try {
+      val out = SparkEntry.allOps.find(_.name == "pipeline_pack_sequences").get.run(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+      assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 0L, 5L -> 1L))
+    } finally {
+      spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+    }
+  }
+
+  test("boilerplate mining: df counts documents, tf counts occurrences") {
+    import spark.implicits._
+    // The template trigram "copyright acme corp" appears in 3 docs (df=3),
+    // twice in doc 1 (tf=4); "unique words here" appears in only one doc
+    // and must be filtered by the df >= 3 gate.
+    val docsDf = Seq(
+      (1L, "copyright acme corp x copyright acme corp"),
+      (2L, "copyright acme corp other text"),
+      (3L, "more copyright acme corp"),
+      (4L, "unique words here"))
+      .toDF("doc_id", "text")
+    docsDf.createOrReplaceTempView("documents")
+    try {
+      val out = SparkEntry.allOps.find(_.name == "text_boilerplate").get.run(spark, dir)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(out.head == (("copyright acme corp", 3L, 4L)))
+      assert(!out.exists(_._1 == "unique words here"))
+    } finally {
+      spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+    }
+  }
+
   test("repetition filter: dup-trigram fraction on constructed documents") {
     import spark.implicits._
     import graft.functions.TextFunctions.dupShingleCounts
