@@ -34,7 +34,28 @@ object GraftSession {
       case Some(v) => v == "1" || v.equalsIgnoreCase("true")
       case None => shm.isDirectory && shm.getUsableSpace >= 16L * 1024 * 1024 * 1024
     }
-    if (master.startsWith("local") && shm.isDirectory && tmpfsOk)
+    if (master.startsWith("local") && shm.isDirectory && tmpfsOk) {
+      // A SIGKILLed JVM (OOM killer) never runs its shutdown hooks, so its
+      // shuffle dirs stay pinned in tmpfs — i.e. in RAM — and shrink every
+      // later run's budget until the machine OOMs on queries that would
+      // otherwise fit (observed: a leaked 98 GB blockmgr dir). Reap scratch
+      // dirs idle for >30 min at builder time; live runs touch their
+      // shuffle files far more often than that.
+      val root = new java.io.File("/dev/shm/graft-spark")
+      val cutoff = System.currentTimeMillis() - 30L * 60 * 1000
+      // Liveness = newest mtime of the dir or any immediate child: shuffle
+      // writes update the hashed bucket subdir (blockmgr-*/XX/) even when
+      // the top-level dir's own mtime stays at creation time.
+      def newest(d: java.io.File): Long =
+        (d.lastModified +: Option(d.listFiles()).getOrElse(Array.empty).map(_.lastModified)).max
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(): Unit
+      }
+      Option(root.listFiles()).getOrElse(Array.empty)
+        .filter(d => (d.getName.startsWith("blockmgr-") || d.getName.startsWith("spark-")) &&
+          newest(d) < cutoff)
+        .foreach(rm)
       b.config("spark.local.dir", "/dev/shm/graft-spark")
         .config("spark.shuffle.compress", "false")
         .config("spark.shuffle.spill.compress", "false")
@@ -42,6 +63,7 @@ object GraftSession {
         // never crosses a wire, so compressing the build side only adds
         // CPU between "hash relation ready" and "probe stage starts".
         .config("spark.broadcast.compress", "false")
+    }
     b
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "32")

@@ -111,7 +111,11 @@ object Embeddings {
       .orderBy("id_a", "id_b")
   }
 
-  private def lshDedupOracle: String = {
+  /** Shared DuckDB CTE chain ending in `buckets(vec_id, band, bucket)` —
+    * the same md5-derived plane family and sign-bit packing as
+    * `graft_lsh_buckets`, bit-identical across engines.
+    */
+  private def bucketsCte: String = {
     import graft.plans.HyperplaneLsh._
     "WITH planes AS (SELECT j // " + bitsPerBand + " AS band, j % " + bitsPerBand + " AS pos, " +
       "LIST(r ORDER BY i) AS rvec FROM (" +
@@ -122,7 +126,11 @@ object Embeddings {
       "bits AS (SELECT e.vec_id, p.band, CASE WHEN " +
       "LIST_DOT_PRODUCT(CAST(e.embedding AS DOUBLE[]), p.rvec) >= 0 " +
       "THEN (1::BIGINT << p.pos) ELSE 0 END AS bv FROM embeddings e, planes p), " +
-      "buckets AS (SELECT vec_id, band, CAST(SUM(bv) AS BIGINT) AS bucket FROM bits GROUP BY 1, 2), " +
+      "buckets AS (SELECT vec_id, band, CAST(SUM(bv) AS BIGINT) AS bucket FROM bits GROUP BY 1, 2)"
+  }
+
+  private def lshDedupOracle: String =
+    bucketsCte + ", " +
       "cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b FROM buckets a " +
       "JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id) " +
       "SELECT id_a, id_b, ROUND(LIST_COSINE_SIMILARITY(CAST(ea.embedding AS DOUBLE[]), " +
@@ -130,7 +138,6 @@ object Embeddings {
       "JOIN embeddings ea ON ea.vec_id = id_a JOIN embeddings eb ON eb.vec_id = id_b " +
       "WHERE ROUND(LIST_COSINE_SIMILARITY(CAST(ea.embedding AS DOUBLE[]), " +
       "CAST(eb.embedding AS DOUBLE[])),6) >= 0.45 ORDER BY id_a, id_b"
-  }
 
   val ops: Seq[Op] = Seq(
     Op("dedup_embed_lsh", lshDedupOracle) { (s, d) =>
@@ -138,6 +145,28 @@ object Embeddings {
       // plane family); the library default auto-sizes instead.
       lshDedup(s, emb(s, d), 0.45,
         graft.plans.HyperplaneLsh.bitsPerBand, graft.plans.HyperplaneLsh.bands)
+    },
+
+    // ANN index health: per-band bucket-occupancy summary for the hyperplane
+    // LSH index — used/max/singleton bucket counts predict the candidate-set
+    // growth (max_bucket^2 bounds a band's pair contribution) and are the
+    // numbers the `autoShape` band rule is derived from. Two cheap integer
+    // aggregations after the fused bucket expression; all outputs exact.
+    Op("embed_bucket_stats",
+      bucketsCte + ", occ AS (SELECT band, bucket, COUNT(*) AS cnt FROM buckets GROUP BY 1, 2) " +
+      "SELECT CAST(band AS INTEGER) AS band, COUNT(*) AS n_buckets, " +
+      "CAST(MAX(cnt) AS BIGINT) AS max_bucket, " +
+      "CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS singletons " +
+      "FROM occ GROUP BY band ORDER BY band") { (s, d) =>
+      emb(s, d)
+        .select(col("vec_id"), posexplode(lshBuckets(asDouble(col("embedding")))))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+        .groupBy("band", "bucket").agg(count(lit(1)).as("cnt"))
+        .groupBy("band").agg(
+          count(lit(1)).as("n_buckets"),
+          max("cnt").as("max_bucket"),
+          sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("singletons"))
+        .orderBy("band")
     },
 
     Op("embed_cosine_topk",

@@ -635,6 +635,32 @@ object TextPipeline {
         .orderBy("doc_id")
     },
 
+    // Sliding-window chunking with overlap (RAG / long-context training
+    // prep): 256-token windows at stride 192 (64-token overlap), final
+    // window clamped to the document end. Pure per-row explode — the chunk
+    // table is ~n_tok/stride rows per doc with no shuffle until the output
+    // sort, so it scales with the corpus scan. All-integer outputs.
+    Op("pipeline_chunk_overlap",
+      "WITH t AS (SELECT doc_id, CAST(LEN(STRING_SPLIT(text,' ')) AS INTEGER) AS n_tok FROM documents), " +
+      "c AS (SELECT doc_id, n_tok, UNNEST(GENERATE_SERIES(0, CASE WHEN n_tok <= 256 THEN 0 " +
+      "ELSE CAST(CEIL((n_tok - 256) / 192.0) AS INTEGER) END)) AS chunk_idx FROM t) " +
+      "SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx, " +
+      "CAST(chunk_idx * 192 AS INTEGER) AS start_tok, " +
+      "CAST(LEAST(chunk_idx * 192 + 256, n_tok) AS INTEGER) AS end_tok " +
+      "FROM c ORDER BY doc_id, chunk_idx") { (s, d) =>
+      val nTok = size(tokens(col("text")))
+      val nChunks = when(nTok <= 256, lit(1))
+        .otherwise(ceil((nTok - 256).cast("double") / 192.0).cast("int") + 1)
+      docs(s, d)
+        .select(col("doc_id"), nTok.as("n_tok"), nChunks.as("n_chunks"))
+        .select(col("doc_id"), col("n_tok"),
+          explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+          (col("chunk_idx") * 192).as("start_tok"),
+          least(col("chunk_idx") * 192 + 256, col("n_tok")).as("end_tok"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
     // Gopher/C4-style intra-document repetition filter: the fraction of word
     // trigrams that repeat an earlier trigram in the SAME document flags
     // boilerplate, scraper loops, and degenerate text. One codegen'd pass per
