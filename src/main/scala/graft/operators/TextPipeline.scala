@@ -424,6 +424,15 @@ object TextPipeline {
       .select("doc_id", "rep_id", "keep")
   }
 
+  /** First 4 hex digits of md5(doc_id) as an integer, in DuckDB 1.0 SQL
+    * (no from_hex there) — the split-bucket hash `pipeline_train_split`
+    * shares bit-for-bit with Spark's `conv(substring(md5(..),1,4),16,10)`.
+    */
+  private def hex4Sql: String =
+    (1 to 4).map { k =>
+      s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $k, 1)) - 1) * ${1 << (4 * (4 - k))}"
+    }.mkString("(", " + ", ")")
+
   /** DuckDB oracle for `cleanCorpus` — the same quality gate, the same
     * MinHash-LSH banding (shared CTEs with `minhashOracle`), the same
     * candidate-restricted exact verification.
@@ -667,6 +676,136 @@ object TextPipeline {
     // row (array distinct over the shingle array — no explode, no shuffle);
     // dup_frac is a single integer division, so the oracle compares
     // value-exact.
+    // Deterministic train/val/test split: bucket = first 4 hex digits of
+    // md5(doc_id) mod 100, 90/5/5. Hash-based (not modulo-id or positional)
+    // so membership is stable under corpus growth, re-partitioning, and
+    // re-ordering — the property a 100 TB incremental pipeline needs: a doc
+    // keeps its split forever, new docs land i.i.d. Pure per-row projection,
+    // no shuffle before the output sort.
+    Op("pipeline_train_split",
+      "SELECT doc_id, CAST((" + hex4Sql + ") % 100 AS INTEGER) AS bucket, " +
+      "CASE WHEN (" + hex4Sql + ") % 100 < 90 THEN 'train' " +
+      "WHEN (" + hex4Sql + ") % 100 < 95 THEN 'val' ELSE 'test' END AS split " +
+      "FROM documents ORDER BY doc_id") { (s, d) =>
+      val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 100).cast("int")
+      docs(s, d)
+        .select(col("doc_id"), bucket.as("bucket"),
+          when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test").as("split"))
+        .orderBy("doc_id")
+    },
+
+    // Token-budget mixture sampling: within each source, take docs in
+    // deterministic md5 order until the running token total crosses the
+    // budget (greedy-include: the crossing doc is kept, so every stratum
+    // reaches its budget). This is how a training mixture's per-source
+    // weights become an actual document selection. One window per source
+    // stratum — identical distribution shape to pipeline_pack_sequences.
+    Op("pipeline_budget_sample",
+      "WITH t AS (SELECT doc_id, source, CAST(LEN(STRING_SPLIT(text,' ')) AS INTEGER) AS n_tok FROM documents), " +
+      "c AS (SELECT doc_id, source, n_tok, CAST(SUM(n_tok) OVER (PARTITION BY source " +
+      "ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM t) " +
+      "SELECT doc_id, source, n_tok, cum FROM c WHERE cum - n_tok < 600 ORDER BY source, doc_id") { (s, d) =>
+      val nTok = size(tokens(col("text")))
+      val w = Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, d)
+        .select(col("doc_id"), col("source"), nTok.as("n_tok"))
+        .withColumn("cum", sum(col("n_tok").cast("long")).over(w))
+        .filter(col("cum") - col("n_tok") < 600)
+        .orderBy("source", "doc_id")
+    },
+
+    // Quality gate with REASONS: a per-doc bitmask of which filters fired
+    // (1 = too short, 2 = low stopword ratio, 4 = high non-alpha ratio,
+    // 8 = high intra-doc repetition) — the auditable form of the C4/Gopher
+    // gate `pipeline_clean_corpus` applies. Real pipelines keep this table
+    // to tune thresholds and report *why* documents were dropped, not just
+    // how many. All comparisons are on exact integer-ratio doubles, so the
+    // bitmask is value-exact cross-engine; one codegen'd pass per row.
+    Op("text_quality_flags",
+      "WITH t AS (SELECT doc_id, text, STRING_SPLIT(text,' ') AS w FROM documents), " +
+      "s AS (SELECT doc_id, CAST(LEN(w) AS INTEGER) AS n_tok, " +
+      "CAST(LEN(LIST_FILTER(w, x -> x IN ('the','a','of','and','in'))) AS DOUBLE)/LEN(w) AS stop_ratio, " +
+      "CAST(LENGTH(REGEXP_REPLACE(text,'[a-z ]','','g')) AS DOUBLE)/LENGTH(text) AS nonalpha_ratio, " +
+      "CASE WHEN LEN(w) >= 3 THEN CAST(LEN(w)-2-LEN(LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, CAST(LEN(w) AS INTEGER)-2), " +
+      "i -> CONCAT_WS(' ', w[i], w[i+1], w[i+2])))) AS DOUBLE) / (LEN(w)-2) ELSE 0.0 END AS dup_frac FROM t) " +
+      "SELECT doc_id, n_tok, CAST((CASE WHEN n_tok < 20 THEN 1 ELSE 0 END) + (CASE WHEN stop_ratio < 0.02 THEN 2 ELSE 0 END) " +
+      "+ (CASE WHEN nonalpha_ratio > 0.5 THEN 4 ELSE 0 END) + (CASE WHEN dup_frac > 0.2 THEN 8 ELSE 0 END) AS INTEGER) AS flags " +
+      "FROM s ORDER BY doc_id") { (s, d) =>
+      val nTok = size(tokens(col("text")))
+      val (nTri, nDup) = dupShingleCounts(col("text"), 3)
+      val dupFrac = when(nTri > 0, nDup.cast("double") / nTri).otherwise(0.0)
+      docs(s, d)
+        .select(col("doc_id"), nTok.as("n_tok"),
+          (when(nTok < 20, 1).otherwise(0) +
+            when(stopwordRatio(col("text"), Seq("the", "a", "of", "and", "in")) < 0.02, 2).otherwise(0) +
+            when(nonAlphaRatio(col("text")) > 0.5, 4).otherwise(0) +
+            when(dupFrac > 0.2, 8).otherwise(0)).cast("int").as("flags"))
+        .orderBy("doc_id")
+    },
+
+    // Top-3 characteristic terms per document by tf-idf. df rides on the tf
+    // aggregate (tf rows are already (doc, term)-distinct), so the corpus is
+    // tokenized ONCE; the corpus size joins in as a broadcast single-row
+    // aggregate, not a driver-side collect. The tf–df join shuffles on term
+    // (vocabulary-sized — the inverted index shape that distributes at any
+    // corpus size). Scores round to 4dp before ranking so cross-engine FP
+    // near-ties resolve identically via the term tiebreak.
+    Op("text_tfidf_topk",
+      "WITH n AS (SELECT COUNT(*) AS n_docs FROM documents), " +
+      "w AS (SELECT doc_id, UNNEST(STRING_SPLIT(text,' ')) AS term FROM documents), " +
+      "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY 1,2), " +
+      "df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1), " +
+      "sc AS (SELECT tf.doc_id, tf.term, ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE)/df.df), 4) AS score " +
+      "FROM tf JOIN df USING (term), n) " +
+      "SELECT doc_id, term, score FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id " +
+      "ORDER BY score DESC, term) AS rk FROM sc) WHERE rk <= 3 ORDER BY doc_id, score DESC, term") { (s, d) =>
+      val tf = docs(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs(s, d).agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(df, "term").crossJoin(broadcast(n))
+        .select(col("doc_id"), col("term"),
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4).as("score"))
+      val rk = row_number().over(Window.partitionBy("doc_id").orderBy(col("score").desc, col("term")))
+      scored.withColumn("rk", rk).filter(col("rk") <= 3)
+        .select("doc_id", "term", "score")
+        .orderBy(col("doc_id"), col("score").desc, col("term"))
+    },
+
+    // Cross-source contamination matrix: trigram-set Jaccard between every
+    // source pair — the corpus-level view of sharing (mirror sites, syndicated
+    // text, template reuse) that decides which sources can't be mixed at full
+    // weight. Distinct (source, gram) is the per-source gram set; the pair
+    // join shuffles on gram (inverted index), never on pairs of documents.
+    Op("corpus_source_overlap",
+      "WITH w AS (SELECT source, STRING_SPLIT(text,' ') AS words FROM documents), " +
+      "g AS (SELECT DISTINCT source, UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, CAST(LEN(words) AS INTEGER)-2), " +
+      "i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS gram FROM w), " +
+      "sz AS (SELECT source, COUNT(*) AS n FROM g GROUP BY 1), " +
+      "pairs AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS inter FROM g a " +
+      "JOIN g b ON a.gram=b.gram AND a.source < b.source GROUP BY 1,2) " +
+      "SELECT src_a, src_b, inter, ROUND(CAST(inter AS DOUBLE)/(sa.n+sb.n-inter), 6) AS jaccard " +
+      "FROM pairs JOIN sz sa ON sa.source=src_a JOIN sz sb ON sb.source=src_b ORDER BY src_a, src_b") { (s, d) =>
+      val g = docs(s, d)
+        .select(col("source"), explode(wordShingles(col("text"), 3)).as("gram"))
+        .dropDuplicates("source", "gram")
+      val sz = g.groupBy("source").agg(count(lit(1)).as("n"))
+      val pairs = g.as("a").hint("shuffle_hash").join(g.as("b"),
+          col("a.gram") === col("b.gram") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("inter"))
+      pairs
+        .join(sz.select(col("source").as("src_a"), col("n").as("na")), "src_a")
+        .join(sz.select(col("source").as("src_b"), col("n").as("nb")), "src_b")
+        .select(col("src_a"), col("src_b"), col("inter"),
+          round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
+        .orderBy("src_a", "src_b")
+    },
+
     Op("text_repetition",
       "WITH t AS (SELECT doc_id, STRING_SPLIT(text,' ') AS w FROM documents), " +
       "g AS (SELECT doc_id, CASE WHEN LEN(w) >= 3 THEN CAST(LEN(w) - 2 AS INTEGER) ELSE 0 END AS n_tri, " +

@@ -350,4 +350,150 @@ class OperatorSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
     assert(out == Seq((1L, 7, 4), (2L, 2, 0), (3L, 0, 0), (4L, 2, 1)))
   }
+
+  test("train split: bucket is the md5-prefix hash, thresholds are 90/95") {
+    import spark.implicits._
+    // Expected buckets computed independently of either engine: first 4 hex
+    // digits of md5(id) as an int, mod 100. Pins both the hash family and
+    // the stable-under-growth membership property (bucket depends only on
+    // the id, never on corpus contents or row order).
+    def bucket(id: Long): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      (Integer.parseInt(d.take(2).map("%02x".format(_)).mkString, 16) % 100)
+    }
+    val docsDf = (0L to 49L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    docsDf.createOrReplaceTempView("documents")
+    try {
+      val out = SparkEntry.allOps.find(_.name == "pipeline_train_split").get.run(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      assert(out.length == 50)
+      out.foreach { case (id, b, split) =>
+        assert(b == bucket(id), s"doc $id bucket")
+        val expected = if (b < 90) "train" else if (b < 95) "val" else "test"
+        assert(split == expected, s"doc $id split")
+      }
+    } finally {
+      spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+    }
+  }
+
+  test("budget sample: greedy-include stops each stratum at the token budget") {
+    import spark.implicits._
+    // 10 docs of 200 tokens each in one source: exclusive prefix sums are
+    // 0, 200, 400, 600, ... — exactly three docs start under the 600-token
+    // budget, whatever the md5 selection order is.
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val docsDf = (1L to 10L).map(i => (i, "s1", words(200))).toDF("doc_id", "source", "text")
+    docsDf.createOrReplaceTempView("documents")
+    try {
+      val out = SparkEntry.allOps.find(_.name == "pipeline_budget_sample").get.run(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3)))
+      assert(out.length == 3)
+      assert(out.map(_._2).sum == 600)
+      assert(out.map(_._3).max == 600L)
+    } finally {
+      spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+    }
+  }
+
+  test("quality flags: each filter sets its own bit") {
+    import spark.implicits._
+    val stop20 = (1 to 10).map(_ => "the of").mkString(" ")           // 20 toks, all stopwords
+    val nostop = (1 to 25).map(i => s"word$i").mkString(" ")          // 25 toks, no stopwords
+    val symbols = "!@# $%^ &*( )_+ []{ }|; ??? !!! ###"               // all non [a-z ]
+    val repeat = "the of " + (1 to 10).map(_ => "x y z").mkString(" ") // dup trigrams
+    val docsDf = Seq(
+      (1L, "the of and in a"),  // 5 tokens, all stopwords: short only -> 1
+      (2L, nostop),             // 25 tokens, no stopwords -> 2
+      (3L, symbols),            // 9 tokens, no stopwords, all symbols -> 1+2+4
+      (4L, repeat),             // 32 toks, stop_ratio 2/32 >= 0.02, dup trigrams -> 8
+      (5L, stop20))             // 20 toks all stopwords, "the of the" repeats -> 8
+      .toDF("doc_id", "text")
+    docsDf.createOrReplaceTempView("documents")
+    try {
+      val out = SparkEntry.allOps.find(_.name == "text_quality_flags").get.run(spark, dir)
+        .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+      assert(out(1L) == 1)
+      assert(out(2L) == 2)
+      assert(out(3L) == 7)
+      assert(out(4L) == 8)
+      assert((out(5L) & 8) == 8) // alternating stopword pairs repeat trigrams
+    } finally {
+      spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+    }
+  }
+
+  test("tf-idf: corpus-wide terms score zero, rare repeated terms win") {
+    import spark.implicits._
+    // "common" is in all 3 docs -> idf ln(1) = 0; "rare" appears twice in
+    // doc 1 only -> score 2*ln(3) and must rank first for doc 1.
+    val docsDf = Seq(
+      (1L, "common rare rare alpha"),
+      (2L, "common beta gamma delta"),
+      (3L, "common epsilon zeta eta"))
+      .toDF("doc_id", "text")
+    docsDf.createOrReplaceTempView("documents")
+    try {
+      val out = SparkEntry.allOps.find(_.name == "text_tfidf_topk").get.run(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      val doc1 = out.filter(_._1 == 1L)
+      assert(doc1.head._2 == "rare")
+      assert(doc1.head._3 == BigDecimal(2 * math.log(3.0))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(out.filter(_._2 == "common").forall(_._3 == 0.0))
+    } finally {
+      spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+    }
+  }
+
+  test("semantic dedup: prunes within cells only, keeps the most-central id") {
+    import spark.implicits._
+    // 8 near-orthogonal "centroid" vectors (ids 0-7) plus two near-copies of
+    // vector 3's direction (ids 10, 11). Cell 3 = {3, 10, 11}: both copies
+    // are removed with kept_id 3 (the min id among their in-cell neighbors).
+    // Vectors in other cells have no >= 0.4 neighbor and survive.
+    def unit(i: Int): Array[Float] = {
+      val v = new Array[Float](8); v(i) = 1.0f; v
+    }
+    def near3(eps: Float): Array[Float] = {
+      val v = new Array[Float](8); v(3) = 1.0f; v(0) = eps; v
+    }
+    val rows = (0 to 7).map(i => (i.toLong, unit(i), 0)) ++
+      Seq((10L, near3(0.1f), 0), (11L, near3(0.2f), 0))
+    val embDf = rows.toDF("vec_id", "embedding", "label")
+    embDf.createOrReplaceTempView("embeddings")
+    try {
+      val out = SparkEntry.allOps.find(_.name == "dedup_semantic").get.run(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(out.toSeq == Seq((3L, 10L, 3L), (3L, 11L, 3L)))
+    } finally {
+      spark.read.parquet(s"$dir/embeddings.parquet").createOrReplaceTempView("embeddings")
+    }
+  }
+
+  test("source overlap: shared trigrams count once per source pair") {
+    import spark.implicits._
+    // Sources A and B share exactly the trigram "x y z" (A has it in two
+    // docs — distinct per source, so inter = 1). A: 4 distinct grams,
+    // B: 5 -> jaccard 1/8. C shares nothing, so its pairs are absent.
+    val docsDf = Seq(
+      (1L, "A", "x y z w"),     // grams: xyz, yzw
+      (2L, "A", "x y z q r"),   // grams: xyz, yzq, zqr
+      (3L, "B", "p x y z"),     // grams: pxy, xyz
+      (4L, "B", "m n o p q"),   // grams: mno, nop, opq  (B total 5 w/ doc3... )
+      (5L, "C", "a b c d"))
+      .toDF("doc_id", "source", "text")
+    docsDf.createOrReplaceTempView("documents")
+    try {
+      val out = SparkEntry.allOps.find(_.name == "corpus_source_overlap").get.run(spark, dir)
+        .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3)))).toMap
+      // A grams: {xyz, yzw, yzq, zqr} (4); B grams: {pxy, xyz, mno, nop, opq} (5)
+      assert(out(("A", "B")) == ((1L, BigDecimal(1.0 / 8)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+      assert(!out.contains(("A", "C")) && !out.contains(("B", "C")))
+    } finally {
+      spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+    }
+  }
 }
