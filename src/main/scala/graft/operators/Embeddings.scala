@@ -73,6 +73,47 @@ object Embeddings {
       .orderBy(col("cos").desc, col("vec_id")).limit(k)
   }
 
+  /** SemDeDup-style semantic deduplication: partition the corpus into IVF
+    * cells (nearest-centroid assignment — `ivfAssign`'s broadcast argmax),
+    * then prune within each cell only: a vector is removed when a lower-id
+    * neighbor in ITS OWN cell sits at cosine >= `tau`. The cell partition
+    * bounds the quadratic — all-pairs runs per cell, never across the
+    * corpus — and the centroid count balances the two costs: assignment is
+    * n*k cosines, in-cell pairing ~n^2/k, so k ~ sqrt(n) makes both n^1.5
+    * (the ScaleCheck rule); at extreme scale assignment itself goes through
+    * a coarse quantizer (hierarchical IVF) instead of one flat broadcast.
+    */
+  def semanticDedup(e: DataFrame, centroids: DataFrame, tau: Double): DataFrame = {
+    val assigned = ivfAssign(e, centroids)
+    val a = assigned.select(col("cent_id"), col("vec_id").as("id_a"), col("v").as("va"))
+    val b = assigned.select(col("cent_id").as("cent_b"), col("vec_id").as("id_b"), col("v").as("vb"))
+    // shuffle_hash: both sides are the same derived argmax subtree —
+    // broadcasting one would hash-build a derived relation on the driver
+    // (the round-6 self-join trap); a shuffled hash join keeps the build
+    // per-partition and lets ReusedExchange share the assignment scan.
+    a.hint("shuffle_hash").join(b,
+        col("cent_id") === col("cent_b") && col("id_a") < col("id_b"))
+      .filter(round(cosine(col("va"), col("vb")), 6) >= tau)
+      .groupBy(col("cent_id"), col("id_b"))
+      .agg(min("id_a").as("kept_id"))
+      .select(col("cent_id"), col("id_b").as("removed_id"), col("kept_id"))
+  }
+
+  /** Oracle tail shared with the `cent` CTE head: assignment, in-cell pairs
+    * at the op's tau=0.4, removal listing.
+    */
+  private def semanticDedupOracleTail: String =
+    "corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      "assigned AS (SELECT vec_id, v, cent_id FROM (" +
+      "SELECT c.vec_id, c.v, ct.cent_id, ROW_NUMBER() OVER (PARTITION BY c.vec_id " +
+      "ORDER BY ROUND(LIST_COSINE_SIMILARITY(c.v, ct.cent),6) DESC, ct.cent_id) AS rn " +
+      "FROM corpus c CROSS JOIN cent ct) t WHERE rn = 1), " +
+      "pairs AS (SELECT a.cent_id, a.vec_id AS id_a, b.vec_id AS id_b FROM assigned a " +
+      "JOIN assigned b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id " +
+      "WHERE ROUND(LIST_COSINE_SIMILARITY(a.v, b.v),6) >= 0.4) " +
+      "SELECT CAST(cent_id AS BIGINT) AS cent_id, id_b AS removed_id, " +
+      "CAST(MIN(id_a) AS BIGINT) AS kept_id FROM pairs GROUP BY cent_id, id_b ORDER BY removed_id"
+
   /** Hyperplane-LSH near-duplicate search: sign-bit sketches bucketed into
     * bands, candidates from a (band, bucket) equi-join, exact cosine
     * verification of candidates only. This is the sound 100 TB pruning path
@@ -312,31 +353,9 @@ object Embeddings {
     // the form used on embedding-deduped LLM corpora.
     Op("dedup_semantic",
       "WITH cent AS (SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cent FROM embeddings WHERE vec_id < 8), " +
-      "corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
-      "assigned AS (SELECT vec_id, v, cent_id FROM (" +
-      "SELECT c.vec_id, c.v, ct.cent_id, ROW_NUMBER() OVER (PARTITION BY c.vec_id " +
-      "ORDER BY ROUND(LIST_COSINE_SIMILARITY(c.v, ct.cent),6) DESC, ct.cent_id) AS rn " +
-      "FROM corpus c CROSS JOIN cent ct) t WHERE rn = 1), " +
-      "pairs AS (SELECT a.cent_id, a.vec_id AS id_a, b.vec_id AS id_b FROM assigned a " +
-      "JOIN assigned b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id " +
-      "WHERE ROUND(LIST_COSINE_SIMILARITY(a.v, b.v),6) >= 0.4) " +
-      "SELECT CAST(cent_id AS BIGINT) AS cent_id, id_b AS removed_id, " +
-      "CAST(MIN(id_a) AS BIGINT) AS kept_id FROM pairs GROUP BY cent_id, id_b ORDER BY removed_id") { (s, d) =>
+      semanticDedupOracleTail) { (s, d) =>
       val e = emb(s, d)
-      val assigned = ivfAssign(e, e.filter(col("vec_id") < 8))
-      val a = assigned.select(col("cent_id"), col("vec_id").as("id_a"), col("v").as("va"))
-      val b = assigned.select(col("cent_id").as("cent_b"), col("vec_id").as("id_b"), col("v").as("vb"))
-      // shuffle_hash: both sides are the same derived argmax subtree —
-      // broadcasting one would hash-build a derived relation on the driver
-      // (the round-6 self-join trap); a shuffled hash join keeps the build
-      // per-partition and lets ReusedExchange share the assignment scan.
-      a.hint("shuffle_hash").join(b,
-          col("cent_id") === col("cent_b") && col("id_a") < col("id_b"))
-        .filter(round(cosine(col("va"), col("vb")), 6) >= 0.4)
-        .groupBy(col("cent_id"), col("id_b"))
-        .agg(min("id_a").as("kept_id"))
-        .select(col("cent_id"), col("id_b").as("removed_id"), col("kept_id"))
-        .orderBy("removed_id")
+      semanticDedup(e, e.filter(col("vec_id") < 8), 0.4).orderBy("removed_id")
     },
 
     Op("embed_ivf_topk",

@@ -71,7 +71,9 @@ object ScaleCheck {
       "pipeline_pack_sequences", "dedup_keep_best",
       "pipeline_clean_corpus", "text_contamination", "join_asof", "join_time_range",
       "events_funnel",
-      "embed_cosine_topk", "embed_knn", "embed_sq8_rerank") ++
+      "pipeline_train_split", "pipeline_budget_sample", "pipeline_chunk_overlap",
+      "text_quality_flags", "text_tfidf_topk", "corpus_source_overlap",
+      "embed_cosine_topk", "embed_knn", "embed_sq8_rerank", "embed_bucket_stats") ++
       // The ORACLE op pins the fixture's 8x16 band shape, whose candidate
       // set grows ~n^2/2^8 — at 30x (60k vectors, ~2e8 candidate pairs) it
       // OOMs the JVM by design. Past 10x only the auto-sized library path
@@ -103,6 +105,24 @@ object ScaleCheck {
         spark.table("embeddings").count())
       println(f"[scale] dedup_embed_lsh auto(${bits}x$bands) thr=0.9 at ${n}x: " +
         f"${(System.nanoTime() - t0) / 1e9}%.2f s ($rows pairs)")
+    }
+
+    // Semantic dedup's scale path: the ORACLE op pins 8 centroids (cells
+    // grow with the corpus => in-cell pair work ~n^2/8); the library rule is
+    // k ~ sqrt(n) centroids sampled evenly across the id space, which makes
+    // assignment (n*k) and in-cell pairing (n^2/k) BOTH ~n^1.5. Measure it.
+    {
+      val e = spark.table("embeddings")
+      val cnt = e.count()
+      val k = math.max(8, math.sqrt(cnt.toDouble).toInt)
+      val step = math.max(1, cnt / k)
+      val cent = e.filter(pmod(col("vec_id"), lit(step)) === 0)
+      val sd = graft.operators.Embeddings.semanticDedup(e, cent, 0.4)
+      sd.count() // warm codegen
+      val t0 = System.nanoTime()
+      val removed = sd.count()
+      println(f"[scale] dedup_semantic auto(k=$k) at ${n}x: " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s ($removed removed)")
     }
 
     // Bucketed co-located join: pay the shuffle once at write time, join
