@@ -746,13 +746,16 @@ object TextPipeline {
         .orderBy("doc_id")
     },
 
-    // Top-3 characteristic terms per document by tf-idf. df rides on the tf
-    // aggregate (tf rows are already (doc, term)-distinct), so the corpus is
-    // tokenized ONCE; the corpus size joins in as a broadcast single-row
-    // aggregate, not a driver-side collect. The tf–df join shuffles on term
-    // (vocabulary-sized — the inverted index shape that distributes at any
-    // corpus size). Scores round to 4dp before ranking so cross-engine FP
-    // near-ties resolve identically via the term tiebreak.
+    // Top-3 characteristic terms per document by tf-idf, tokenizing the
+    // corpus ONCE: the (doc, term) aggregate completes on the pre-explosion
+    // doc_id clustering (subset rule), then document frequency is a window
+    // count over the term clustering the score needs anyway — NOT a
+    // separate df-aggregate branch + join, which re-runs the whole
+    // scan+explode pipeline (the dedup_jaccard lesson; measured there as a
+    // duplicated multi-second stage). The corpus size joins in as a
+    // broadcast single-row aggregate, not a driver-side collect. Scores
+    // round to 4dp before ranking so cross-engine FP near-ties resolve
+    // identically via the term tiebreak.
     Op("text_tfidf_topk",
       "WITH n AS (SELECT COUNT(*) AS n_docs FROM documents), " +
       "w AS (SELECT doc_id, UNNEST(STRING_SPLIT(text,' ')) AS term FROM documents), " +
@@ -762,12 +765,15 @@ object TextPipeline {
       "FROM tf JOIN df USING (term), n) " +
       "SELECT doc_id, term, score FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id " +
       "ORDER BY score DESC, term) AS rk FROM sc) WHERE rk <= 3 ORDER BY doc_id, score DESC, term") { (s, d) =>
+      val nPart = s.sessionState.conf.numShufflePartitions
       val tf = docs(s, d)
+        .repartition(nPart, col("doc_id"))
         .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        .repartition(col("term"))
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
       val n = docs(s, d).agg(count(lit(1)).as("n_docs"))
-      val scored = tf.join(df, "term").crossJoin(broadcast(n))
+      val scored = tf.crossJoin(broadcast(n))
         .select(col("doc_id"), col("term"),
           round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4).as("score"))
       val rk = row_number().over(Window.partitionBy("doc_id").orderBy(col("score").desc, col("term")))
@@ -779,8 +785,16 @@ object TextPipeline {
     // Cross-source contamination matrix: trigram-set Jaccard between every
     // source pair — the corpus-level view of sharing (mirror sites, syndicated
     // text, template reuse) that decides which sources can't be mixed at full
-    // weight. Distinct (source, gram) is the per-source gram set; the pair
-    // join shuffles on gram (inverted index), never on pairs of documents.
+    // weight. One gram explosion total (the jaccardPairs shape, source-keyed):
+    // the explode spreads on doc_id (full cluster width — partitioning by
+    // source alone would cap the heavy CPU at the source count; measured 7.1
+    // vs 4.3 s at 10x on the 20-source fixture — and the original
+    // three-explosion aggregate-branch shape was 6.2 s), the (source, gram)
+    // distinct
+    // shuffles once, the per-source set size windows over only the DEDUPED
+    // grams, and both pair-join sides read the SAME gram-clustered subtree
+    // via ReusedExchange; sizes travel in the aggregate keys (constant per
+    // source), so no size joins follow.
     Op("corpus_source_overlap",
       "WITH w AS (SELECT source, STRING_SPLIT(text,' ') AS words FROM documents), " +
       "g AS (SELECT DISTINCT source, UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, CAST(LEN(words) AS INTEGER)-2), " +
@@ -790,17 +804,18 @@ object TextPipeline {
       "JOIN g b ON a.gram=b.gram AND a.source < b.source GROUP BY 1,2) " +
       "SELECT src_a, src_b, inter, ROUND(CAST(inter AS DOUBLE)/(sa.n+sb.n-inter), 6) AS jaccard " +
       "FROM pairs JOIN sz sa ON sa.source=src_a JOIN sz sb ON sb.source=src_b ORDER BY src_a, src_b") { (s, d) =>
+      val nPart = s.sessionState.conf.numShufflePartitions
       val g = docs(s, d)
+        .repartition(nPart, col("doc_id"))
         .select(col("source"), explode(wordShingles(col("text"), 3)).as("gram"))
         .dropDuplicates("source", "gram")
-      val sz = g.groupBy("source").agg(count(lit(1)).as("n"))
-      val pairs = g.as("a").hint("shuffle_hash").join(g.as("b"),
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+        .repartition(col("gram"))
+      g.as("a").hint("shuffle_hash").join(g.as("b"),
           col("a.gram") === col("b.gram") && col("a.source") < col("b.source"))
-        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"),
+          col("a.n").as("na"), col("b.n").as("nb"))
         .agg(count(lit(1)).as("inter"))
-      pairs
-        .join(sz.select(col("source").as("src_a"), col("n").as("na")), "src_a")
-        .join(sz.select(col("source").as("src_b"), col("n").as("nb")), "src_b")
         .select(col("src_a"), col("src_b"), col("inter"),
           round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
         .orderBy("src_a", "src_b")
