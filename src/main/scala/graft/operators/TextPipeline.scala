@@ -317,14 +317,18 @@ object TextPipeline {
     * fixtures recall is total anyway: every jaccard>=0.5 pair sits at >=0.9,
     * where the 8-band miss probability is ~2e-7).
     */
-  def cleanCorpus(d: DataFrame, minTokens: Int, minStopRatio: Double,
-      dupThreshold: Double): DataFrame = {
+  /** Per-doc LSH state in one aggregation on the `triRows` clustering, then
+    * band-bucket rows: (doc_id, band, bucket, gs, n) where `gs` is the
+    * distinct gram-id array (for inline exact verification) and `n` its
+    * size. Shared by `cleanCorpus` and `incrementalDedup` — both verify
+    * candidates with `array_intersect` on the riding arrays, so no
+    * gram-keyed exchange exists anywhere in either pipeline.
+    */
+  private def sigBuckets(d: DataFrame): DataFrame = {
     import MinHashParams._
     val rowsPer = numHashes / bands
     require(rowsPer == 2, "band bucket packing assumes 2 minima per band")
-    val quality = d.filter(size(tokens(col("text"))) >= minTokens &&
-      stopwordRatio(col("text"), Seq("the", "a", "of", "and", "in")) >= minStopRatio)
-    val tri = triRows(quality)
+    val tri = triRows(d)
       .select(col("doc_id"), md5Hash60(concat_ws(" ", col("w"), col("w1"), col("w2"))).as("g"))
       .dropDuplicates("doc_id", "g")
     val sigCols = (0 until numHashes).map(j =>
@@ -334,10 +338,17 @@ object TextPipeline {
       .agg(collect_list(col("g")).as("gs"), sigCols: _*)
     val bandCols = (0 until bands).map(b =>
       (col(s"m${2 * b}") * P + col(s"m${2 * b + 1}")).as(s"band$b"))
-    val buckets = doc.select(col("doc_id") +: col("gs") +: col("n") +: bandCols: _*)
+    doc.select(col("doc_id") +: col("gs") +: col("n") +: bandCols: _*)
       .select(col("doc_id") +: posexplode(
         array((0 until bands).map(b => col(s"band$b")): _*)) +: Seq(col("gs"), col("n")): _*)
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+  }
+
+  def cleanCorpus(d: DataFrame, minTokens: Int, minStopRatio: Double,
+      dupThreshold: Double): DataFrame = {
+    val quality = d.filter(size(tokens(col("text"))) >= minTokens &&
+      stopwordRatio(col("text"), Seq("the", "a", "of", "and", "in")) >= minStopRatio)
+    val buckets = sigBuckets(quality)
     // Pairs sharing several bands surface several times; every copy computes
     // the same intersection, so the >=threshold filter precedes a plain
     // distinct on the surviving ids — no pair-level dedup stage needed.
@@ -357,6 +368,70 @@ object TextPipeline {
     // build-side keys are already idempotent — a distinct would only add a
     // partial+final aggregate round before the broadcast.
     quality.join(dups, Seq("doc_id"), "left_anti").select("doc_id")
+  }
+
+  /** Incremental ingestion dedup — the production shape: dedup an INCOMING
+    * batch against the EXISTING corpus without ever re-deduping the corpus
+    * itself. Two gates, cheap first: (1) exact — anti-join on text against
+    * the existing side; (2) near — MinHash-LSH band buckets on each side,
+    * candidates only from CROSS-side bucket collisions, verified inline via
+    * `array_intersect` Jaccard >= threshold. Existing always wins (the
+    * direction is fixed), and incoming docs are NOT deduped against each
+    * other — intra-batch dedup is the batch's own `cleanCorpus` run.
+    *
+    * Scale shape: at 100 TB the existing side's signatures are computed
+    * once at ingest time and stored (a bucket table bucketed by (band,
+    * bucket)); each day's batch computes only ITS signatures and equi-joins
+    * the stored buckets — the per-batch cost is O(batch x bands), never
+    * O(corpus). Here both sides derive from one table split by id parity
+    * (the fixture convention for "already ingested" vs "arriving"), and
+    * the side filters push below each signature aggregation so each half
+    * is scanned and aggregated once.
+    */
+  def incrementalDedup(d: DataFrame, dupThreshold: Double): DataFrame = {
+    val existing = d.filter(col("doc_id") % 2 === 0)
+    val incoming = d.filter(col("doc_id") % 2 === 1)
+    val jac = col("inter").cast("double") / (col("na") + col("nb") - col("inter"))
+    val nearDups = sigBuckets(existing).as("a").hint("shuffle_hash")
+      .join(sigBuckets(incoming).as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("b.doc_id").as("doc_id"), col("a.n").as("na"), col("b.n").as("nb"),
+        size(array_intersect(col("a.gs"), col("b.gs"))).as("inter"))
+      .filter(jac >= dupThreshold)
+      .select("doc_id")
+    incoming
+      .join(existing.select("text"), Seq("text"), "left_anti")
+      .join(nearDups, Seq("doc_id"), "left_anti")
+      .select("doc_id")
+  }
+
+  /** DuckDB oracle for `incrementalDedup` — same split, same gates, same
+    * LSH-then-verify algorithm (band sharing as an OR-join at oracle scale).
+    */
+  private def incrementalDedupOracle: String = {
+    import MinHashParams._
+    val mins = (0 until numHashes)
+      .map(j => s"MIN((${A(j)}*hm+${B(j)})%$P) AS m$j").mkString(", ")
+    val bandCols = (0 until bands).map(b => s"m${2 * b}*$P+m${2 * b + 1} AS band$b").mkString(", ")
+    val orJoin = (0 until bands).map(b => s"a.band$b=b.band$b").mkString(" OR ")
+    "WITH inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1), " +
+      "exact AS (SELECT DISTINCT doc_id FROM inc WHERE text IN " +
+      "(SELECT text FROM documents WHERE doc_id % 2 = 0)), " +
+      "w AS (SELECT doc_id, STRING_SPLIT(text,' ') AS words FROM documents), " +
+      "g AS (SELECT DISTINCT doc_id, UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, CAST(LEN(words) AS INTEGER)-2), " +
+      "i -> words[i]||' '||words[i+1]||' '||words[i+2])) AS gram FROM w), " +
+      s"h AS (SELECT doc_id, ${hex60Sql("gram")} % $P AS hm FROM g), " +
+      s"sig AS (SELECT doc_id, $mins FROM h GROUP BY doc_id), " +
+      s"band AS (SELECT doc_id, $bandCols FROM sig), " +
+      "cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM band a JOIN band b " +
+      s"ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1 AND ($orJoin)), " +
+      "sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id), " +
+      "inter AS (SELECT id_a, id_b, COUNT(*) AS inter FROM cand JOIN g ga ON ga.doc_id=id_a " +
+      "JOIN g gb ON gb.doc_id=id_b AND gb.gram=ga.gram GROUP BY 1,2), " +
+      "neardup AS (SELECT DISTINCT id_b FROM inter JOIN sz sa ON sa.doc_id=id_a JOIN sz sb ON sb.doc_id=id_b " +
+      "WHERE CAST(inter AS DOUBLE)/(sa.n+sb.n-inter) >= 0.5) " +
+      "SELECT doc_id FROM inc WHERE doc_id NOT IN (SELECT doc_id FROM exact) " +
+      "AND doc_id NOT IN (SELECT id_b FROM neardup) ORDER BY doc_id"
   }
 
   /** Near-duplicate cluster assignment: every document labeled with the
@@ -523,6 +598,10 @@ object TextPipeline {
 
     Op.eager("dedup_clusters", dedupClustersOracle) { (s, d) =>
       dedupClusters(docs(s, d), 0.5).orderBy("doc_id")
+    },
+
+    Op("pipeline_incremental_dedup", incrementalDedupOracle) { (s, d) =>
+      incrementalDedup(docs(s, d), 0.5).orderBy("doc_id")
     },
 
     Op.eager("dedup_keep_best", keepBestOracle) { (s, d) =>

@@ -71,6 +71,7 @@ object ScaleCheck {
       "pipeline_pack_sequences", "dedup_keep_best",
       "pipeline_clean_corpus", "text_contamination", "join_asof", "join_time_range",
       "events_funnel",
+      "pipeline_incremental_dedup",
       "pipeline_train_split", "pipeline_budget_sample", "pipeline_chunk_overlap",
       "text_quality_flags", "text_tfidf_topk", "corpus_source_overlap",
       "embed_cosine_topk", "embed_knn", "embed_sq8_rerank", "embed_bucket_stats") ++

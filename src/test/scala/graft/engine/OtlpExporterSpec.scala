@@ -69,7 +69,13 @@ class OtlpExporterSpec extends AnyFunSuite {
   test("spans export once per record; metrics stay cumulative") {
     val collector = new Collector
     try {
-      val obs = recordedObservability()
+      // NOT installed on the shared session: suites run in parallel against
+      // one SparkContext, so a listener-fed instance can pick up a
+      // concurrent suite's query between the two flushes (observed flake:
+      // a Health.scala collect span landed in flush #2). Feeding the
+      // listener callback directly keeps the record set exact.
+      val obs = new Observability(() => false)
+      obs.onSuccess("count", spark.range(1).queryExecution, 1000000L)
       val exporter = new OtlpExporter(obs, collector.endpoint, "graft-test")
       exporter.flush()
       val firstTraces = collector.traceBodies.size

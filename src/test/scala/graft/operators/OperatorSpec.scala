@@ -351,6 +351,31 @@ class OperatorSpec extends AnyFunSuite {
     assert(out == Seq((1L, 7, 4), (2L, 2, 0), (3L, 0, 0), (4L, 2, 1)))
   }
 
+  test("incremental dedup: exact gate, near gate, and fixed direction") {
+    import spark.implicits._
+    // Existing corpus = even ids, incoming = odd. Doc 1 is an exact copy of
+    // existing doc 2 (exact gate). Doc 3 is a near-dup of doc 2 (one token
+    // appended -> jaccard 8/9; near gate). Docs 5 and 7 are identical to
+    // EACH OTHER but both incoming — the direction is fixed, so intra-batch
+    // dups survive. Doc 9 is unrelated and survives.
+    val base = "a b c d e f g h i j"
+    val batch = "p q r s t u v w x y"
+    val docsDf = Seq(
+      (2L, base), (4L, "k l m n o p q r s t"),
+      (1L, base), (3L, base + " extra"),
+      (5L, batch), (7L, batch),
+      (9L, "unrelated words entirely different from everything"))
+      .toDF("doc_id", "text")
+    docsDf.createOrReplaceTempView("documents")
+    try {
+      val out = TextPipeline.incrementalDedup(spark.table("documents"), 0.5)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(out == Seq(5L, 7L, 9L))
+    } finally {
+      spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+    }
+  }
+
   test("train split: bucket is the md5-prefix hash, thresholds are 90/95") {
     import spark.implicits._
     // Expected buckets computed independently of either engine: first 4 hex
