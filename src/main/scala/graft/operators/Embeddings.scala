@@ -210,6 +210,30 @@ object Embeddings {
         .orderBy("band")
     },
 
+    // IVF index health: per-cell population of the nearest-centroid
+    // assignment. max/min cell sizes predict probe cost and dedup_semantic's
+    // per-cell pair work (the k ~ sqrt(n) rule's inputs); a dominant cell
+    // means the centroids don't span the corpus. One aggregation after the
+    // shared broadcast-argmax assignment.
+    Op("embed_centroid_stats",
+      "WITH cent AS (SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cent FROM embeddings WHERE vec_id < 8), " +
+      "corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      "assigned AS (SELECT vec_id, cent_id FROM (" +
+      "SELECT c.vec_id, ct.cent_id, ROW_NUMBER() OVER (PARTITION BY c.vec_id " +
+      "ORDER BY ROUND(LIST_COSINE_SIMILARITY(c.v, ct.cent),6) DESC, ct.cent_id) AS rn " +
+      "FROM corpus c CROSS JOIN cent ct) t WHERE rn = 1) " +
+      "SELECT CAST(cent_id AS BIGINT) AS cent_id, COUNT(*) AS n_vectors, " +
+      "CAST(MIN(vec_id) AS BIGINT) AS min_id, CAST(MAX(vec_id) AS BIGINT) AS max_id " +
+      "FROM assigned GROUP BY cent_id ORDER BY cent_id") { (s, d) =>
+      val e = emb(s, d)
+      ivfAssign(e, e.filter(col("vec_id") < 8))
+        .groupBy("cent_id").agg(
+          count(lit(1)).as("n_vectors"),
+          min("vec_id").as("min_id"),
+          max("vec_id").as("max_id"))
+        .orderBy("cent_id")
+    },
+
     Op("embed_cosine_topk",
       "SELECT vec_id, ROUND(LIST_COSINE_SIMILARITY(CAST(embedding AS DOUBLE[]), " +
       "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id=0)),6) AS cos " +

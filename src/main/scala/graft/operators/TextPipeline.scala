@@ -825,6 +825,44 @@ object TextPipeline {
         .orderBy("doc_id")
     },
 
+    // Per-source quality report: how many documents each filter would drop,
+    // per stratum — the table a corpus owner reads before tuning thresholds
+    // or re-weighting the mixture (a source that is 40% repetitive needs a
+    // crawler fix, not a lower mixture weight). Same filter expressions as
+    // text_quality_flags, one codegen pass + one two-phase aggregation.
+    Op("corpus_quality_report",
+      "WITH t AS (SELECT doc_id, source, text, STRING_SPLIT(text,' ') AS w FROM documents), " +
+      "s AS (SELECT doc_id, source, CAST(LEN(w) AS INTEGER) AS n_tok, " +
+      "CAST(LEN(LIST_FILTER(w, x -> x IN ('the','a','of','and','in'))) AS DOUBLE)/LEN(w) AS stop_ratio, " +
+      "CAST(LENGTH(REGEXP_REPLACE(text,'[a-z ]','','g')) AS DOUBLE)/LENGTH(text) AS nonalpha_ratio, " +
+      "CASE WHEN LEN(w) >= 3 THEN CAST(LEN(w)-2-LEN(LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, CAST(LEN(w) AS INTEGER)-2), " +
+      "i -> CONCAT_WS(' ', w[i], w[i+1], w[i+2])))) AS DOUBLE) / (LEN(w)-2) ELSE 0.0 END AS dup_frac FROM t) " +
+      "SELECT source, COUNT(*) AS n_docs, " +
+      "CAST(SUM(CASE WHEN n_tok < 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_short, " +
+      "CAST(SUM(CASE WHEN stop_ratio < 0.02 THEN 1 ELSE 0 END) AS BIGINT) AS n_lowstop, " +
+      "CAST(SUM(CASE WHEN nonalpha_ratio > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_symbol, " +
+      "CAST(SUM(CASE WHEN dup_frac > 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive, " +
+      "CAST(SUM(CASE WHEN n_tok >= 20 AND stop_ratio >= 0.02 AND nonalpha_ratio <= 0.5 AND dup_frac <= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean " +
+      "FROM s GROUP BY source ORDER BY source") { (s, d) =>
+      val nTok = size(tokens(col("text")))
+      val stopR = stopwordRatio(col("text"), Seq("the", "a", "of", "and", "in"))
+      val nonA = nonAlphaRatio(col("text"))
+      val (nTri, nDup) = dupShingleCounts(col("text"), 3)
+      val dupFrac = when(nTri > 0, nDup.cast("double") / nTri).otherwise(0.0)
+      docs(s, d)
+        .select(col("source"), nTok.as("n_tok"), stopR.as("stop_ratio"),
+          nonA.as("nonalpha_ratio"), dupFrac.as("dup_frac"))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("n_tok") < 20, 1L).otherwise(0L)).as("n_short"),
+          sum(when(col("stop_ratio") < 0.02, 1L).otherwise(0L)).as("n_lowstop"),
+          sum(when(col("nonalpha_ratio") > 0.5, 1L).otherwise(0L)).as("n_symbol"),
+          sum(when(col("dup_frac") > 0.2, 1L).otherwise(0L)).as("n_repetitive"),
+          sum(when(col("n_tok") >= 20 && col("stop_ratio") >= 0.02 &&
+            col("nonalpha_ratio") <= 0.5 && col("dup_frac") <= 0.2, 1L).otherwise(0L)).as("n_clean"))
+        .orderBy("source")
+    },
+
     // Top-3 characteristic terms per document by tf-idf, tokenizing the
     // corpus ONCE: the (doc, term) aggregate completes on the pre-explosion
     // doc_id clustering (subset rule), then document frequency is a window
