@@ -234,6 +234,35 @@ object Embeddings {
         .orderBy("cent_id")
     },
 
+    // One distributed Lloyd (k-means) iteration: nearest-centroid assignment
+    // (the shared broadcast argmax), then the centroid update as an
+    // element-wise mean. posexplode turns the mean into a plain two-phase
+    // (cent_id, dim) aggregation — map-side partial sums, one shuffle of
+    // partials, never a vector collect. Cross-engine determinism: doubles
+    // sum in shuffle order, so each element is quantized to an integer
+    // 1e-4 grid first — the BIGINT sum is order-independent and the single
+    // final division is exact IEEE on both engines.
+    Op("embed_kmeans_iter",
+      "WITH cent AS (SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cent FROM embeddings WHERE vec_id < 8), " +
+      "corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      "assigned AS (SELECT vec_id, v, cent_id FROM (" +
+      "SELECT c.vec_id, c.v, ct.cent_id, ROW_NUMBER() OVER (PARTITION BY c.vec_id " +
+      "ORDER BY ROUND(LIST_COSINE_SIMILARITY(c.v, ct.cent),6) DESC, ct.cent_id) AS rn " +
+      "FROM corpus c CROSS JOIN cent ct) t WHERE rn = 1), " +
+      "ex AS (SELECT cent_id, UNNEST(v) AS x, UNNEST(GENERATE_SERIES(1, CAST(LEN(v) AS INTEGER))) AS i FROM assigned) " +
+      "SELECT CAST(cent_id AS BIGINT) AS cent_id, CAST(i - 1 AS INTEGER) AS idx, " +
+      "CAST(SUM(CAST(ROUND(x * 10000) AS BIGINT)) AS BIGINT) / (COUNT(*) * 10000.0) AS mean_val " +
+      "FROM ex GROUP BY cent_id, i ORDER BY cent_id, idx") { (s, d) =>
+      val e = emb(s, d)
+      ivfAssign(e, e.filter(col("vec_id") < 8))
+        .select(col("cent_id"), posexplode(col("v")))
+        .withColumnRenamed("pos", "idx").withColumnRenamed("col", "x")
+        .groupBy("cent_id", "idx")
+        .agg((sum(round(col("x") * 10000).cast("long")) /
+          (count(lit(1)) * 10000.0)).as("mean_val"))
+        .orderBy("cent_id", "idx")
+    },
+
     Op("embed_cosine_topk",
       "SELECT vec_id, ROUND(LIST_COSINE_SIMILARITY(CAST(embedding AS DOUBLE[]), " +
       "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id=0)),6) AS cos " +

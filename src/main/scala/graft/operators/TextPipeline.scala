@@ -197,13 +197,24 @@ object TextPipeline {
     * are harmless (min-aggregates are multiset-insensitive), which lets
     * callers feed hashes distinct'd at a coarser granularity.
     */
-  private def candidatesFromHm(grams: DataFrame, hmExpr: Column): DataFrame = {
+  private def candidatesFromHm(grams: DataFrame, hmExpr: Column): DataFrame =
+    bandPairs(signatureOf(grams, hmExpr))
+
+  /** The 16-column MinHash signature: all permutation minima in ONE hash
+    * aggregation over (doc_id, hm) rows.
+    */
+  private def signatureOf(grams: DataFrame, hmExpr: Column): DataFrame = {
+    import MinHashParams._
+    val sigCols = (0 until numHashes).map(j =>
+      min((lit(A(j)) * hmExpr + lit(B(j))) % P).as(s"m$j"))
+    grams.groupBy("doc_id").agg(sigCols.head, sigCols.drop(1): _*)
+  }
+
+  /** Band-bucket candidate pairs from a signature frame (m0..m15). */
+  private def bandPairs(sig: DataFrame): DataFrame = {
     import MinHashParams._
     val rowsPer = numHashes / bands
     require(rowsPer == 2, "band bucket packing assumes 2 minima per band")
-    val sigCols = (0 until numHashes).map(j =>
-      min((lit(A(j)) * hmExpr + lit(B(j))) % P).as(s"m$j"))
-    val sig = grams.groupBy("doc_id").agg(sigCols.head, sigCols.drop(1): _*)
     val bandCols = (0 until bands).map(b =>
       (col(s"m${2 * b}") * P + col(s"m${2 * b + 1}")).as(s"band$b"))
     val buckets = sig.select(col("doc_id") +: bandCols: _*)
@@ -245,7 +256,12 @@ object TextPipeline {
     * hash, same permutations; band sharing expressed as an OR-join (equivalent
     * to the bucket equi-join up to DISTINCT, and fine at oracle scale).
     */
-  private def minhashOracle: String = {
+  /** Shared DuckDB CTE chain: trigrams -> hm -> 16-min signature -> band
+    * ids -> `cand(id_a, id_b)` — the same hash family as the Spark side;
+    * band sharing expressed as an OR-join (equivalent to the bucket
+    * equi-join up to DISTINCT, and fine at oracle scale).
+    */
+  private def minhashCandCte: String = {
     import MinHashParams._
     val mins = (0 until numHashes)
       .map(j => s"MIN((${A(j)}*hm+${B(j)})%$P) AS m$j").mkString(", ")
@@ -256,10 +272,13 @@ object TextPipeline {
       "i -> words[i]||' '||words[i+1]||' '||words[i+2])) AS gram FROM w), " +
       s"h AS (SELECT doc_id, ${hex60Sql("gram")} % $P AS hm FROM g), " +
       s"sig AS (SELECT doc_id, $mins FROM h GROUP BY doc_id), " +
-      s"band AS (SELECT doc_id, $bandCols FROM sig) " +
-      "SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM band a JOIN band b " +
-      s"ON a.doc_id < b.doc_id AND ($orJoin) ORDER BY id_a, id_b"
+      s"band AS (SELECT doc_id, $bandCols FROM sig), " +
+      "cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM band a JOIN band b " +
+      s"ON a.doc_id < b.doc_id AND ($orJoin))"
   }
+
+  private def minhashOracle: String =
+    minhashCandCte + " SELECT id_a, id_b FROM cand ORDER BY id_a, id_b"
 
   /** 60-bit SimHash over whitespace tokens: per-bit majority vote of the
     * md5-derived token-hash bits. Distributed as two hash aggregations
@@ -596,6 +615,61 @@ object TextPipeline {
       minhashCandidates(docs(s, d)).orderBy("id_a", "id_b")
     },
 
+    // Sketch-accuracy report: for every LSH candidate pair, the MinHash
+    // estimate (matching minima / 16) next to the exact trigram Jaccard and
+    // the absolute error — the measurement that tells a corpus owner whether
+    // the configured signature width is trustworthy before they raise the
+    // dedup threshold (E[est] = J, sd = sqrt(J(1-J)/16) ~ 0.12: a 16-hash
+    // sketch ranks pairs but cannot certify a 0.8-vs-0.9 cut). Cost is the
+    // candidate set, never all pairs: signatures come from the ONE shared
+    // aggregation, the match count is a 16-column comparison on the pair
+    // rows, and the exact intersection probes the (doc_id, hm) index through
+    // equi-joins (the verifyJaccard shape, kept LEFT so zero-overlap false
+    // positives — the pairs that MEASURE the false-positive rate — stay in
+    // the report with jaccard 0).
+    Op("dedup_minhash_error",
+      minhashCandCte + ", " +
+      "sz AS (SELECT doc_id, COUNT(*) AS n FROM h GROUP BY 1), " +
+      "inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS inter FROM cand c " +
+      "JOIN h x ON x.doc_id = c.id_a JOIN h y ON y.doc_id = c.id_b AND y.hm = x.hm GROUP BY 1, 2), " +
+      "m AS (SELECT c.id_a, c.id_b, (" +
+      (0 until MinHashParams.numHashes)
+        .map(j => s"CASE WHEN sa.m$j = sb.m$j THEN 1 ELSE 0 END").mkString(" + ") +
+      ") AS n_match FROM cand c JOIN sig sa ON sa.doc_id = c.id_a JOIN sig sb ON sb.doc_id = c.id_b) " +
+      "SELECT m.id_a, m.id_b, CAST(m.n_match AS BIGINT) AS n_match, " +
+      "m.n_match/16.0 AS est_jaccard, " +
+      "ROUND(COALESCE(i.inter,0)/(sza.n+szb.n-COALESCE(i.inter,0)), 4) AS jaccard, " +
+      "ROUND(ABS(m.n_match/16.0 - COALESCE(i.inter,0)/(sza.n+szb.n-COALESCE(i.inter,0))), 4) AS abs_err " +
+      "FROM m LEFT JOIN inter i ON i.id_a = m.id_a AND i.id_b = m.id_b " +
+      "JOIN sz sza ON sza.doc_id = m.id_a JOIN sz szb ON szb.doc_id = m.id_b " +
+      "ORDER BY m.id_a, m.id_b") { (s, d) =>
+      import MinHashParams._
+      val g = gramHashesModP(docs(s, d))
+      val sig = signatureOf(g, col("hm"))
+      val cand = bandPairs(sig)
+      val matchCount = (0 until numHashes)
+        .map(j => when(col(s"a.m$j") === col(s"b.m$j"), 1).otherwise(0))
+        .reduce(_ + _)
+      val m = cand.join(sig.as("a"), col("id_a") === col("a.doc_id"))
+        .join(sig.as("b"), col("id_b") === col("b.doc_id"))
+        .select(col("id_a"), col("id_b"), matchCount.cast("long").as("n_match"))
+      val sz = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = cand
+        .join(g.select(col("doc_id").as("id_a"), col("hm")), "id_a")
+        .join(g.select(col("doc_id").as("id_b"), col("hm")), Seq("id_b", "hm"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      val jac = col("inter") / (col("na") + col("nb") - col("inter"))
+      m.join(inter, Seq("id_a", "id_b"), "left")
+        .na.fill(0L, Seq("inter"))
+        .join(sz.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+        .join(sz.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+        .select(col("id_a"), col("id_b"), col("n_match"),
+          (col("n_match") / 16.0).as("est_jaccard"),
+          round(jac, 4).as("jaccard"),
+          round(abs(col("n_match") / 16.0 - jac), 4).as("abs_err"))
+        .orderBy("id_a", "id_b")
+    },
+
     Op.eager("dedup_clusters", dedupClustersOracle) { (s, d) =>
       dedupClusters(docs(s, d), 0.5).orderBy("doc_id")
     },
@@ -897,6 +971,41 @@ object TextPipeline {
       scored.withColumn("rk", rk).filter(col("rk") <= 3)
         .select("doc_id", "term", "score")
         .orderBy(col("doc_id"), col("score").desc, col("term"))
+    },
+
+    // Unigram language-model quality score: each document scored by the mean
+    // log10-probability of its tokens under the corpus's own unigram
+    // distribution — the classic cheap proxy for "typical vs garbage" text
+    // (gibberish and boilerplate sit in the tails). Scale shape: token counts
+    // aggregate with map-side combine (only (term, partial) rows shuffle),
+    // then broadcast back onto the exploded stream so the corpus itself never
+    // shuffles by term (hot stopword keys would skew any term-keyed
+    // exchange); recomputing the explode for the probe side is the cheap
+    // price. Cross-engine determinism: doubles sum in shuffle order, so each
+    // token's logprob is quantized to an integer milli-grid first — the
+    // BIGINT per-doc sum is order-independent, and the two final divisions
+    // are exact IEEE on both engines.
+    Op("text_lm_score",
+      "WITH w AS (SELECT doc_id, UNNEST(STRING_SPLIT(text,' ')) AS term FROM documents), " +
+      "c AS (SELECT term, COUNT(*) AS cnt FROM w GROUP BY 1), " +
+      "t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c), " +
+      "q AS (SELECT w.doc_id, CAST(ROUND(LOG10(CAST(c.cnt AS DOUBLE)/t.total)*1000) AS BIGINT) AS logq " +
+      "FROM w JOIN c USING (term), t) " +
+      "SELECT doc_id, COUNT(*) AS n_tok, " +
+      "(CAST(SUM(logq) AS BIGINT)/1000.0)/COUNT(*) AS lm_score " +
+      "FROM q GROUP BY doc_id ORDER BY doc_id") { (s, d) =>
+      val nPart = s.sessionState.conf.numShufflePartitions
+      val w = docs(s, d).repartition(nPart, col("doc_id"))
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      val cnts = w.groupBy("term").agg(count(lit(1)).as("cnt"))
+      val total = cnts.agg(sum("cnt").as("total"))
+      w.join(broadcast(cnts.crossJoin(total)), "term")
+        .select(col("doc_id"),
+          round(log10(col("cnt").cast("double") / col("total")) * 1000).cast("long").as("logq"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          ((sum("logq") / 1000.0) / count(lit(1))).as("lm_score"))
+        .orderBy("doc_id")
     },
 
     // Cross-source contamination matrix: trigram-set Jaccard between every
