@@ -74,7 +74,9 @@ object ScaleCheck {
       "pipeline_incremental_dedup",
       "pipeline_train_split", "pipeline_budget_sample", "pipeline_chunk_overlap",
       "text_quality_flags", "text_tfidf_topk", "corpus_source_overlap",
-      "embed_cosine_topk", "embed_knn", "embed_sq8_rerank", "embed_bucket_stats") ++
+      "corpus_quality_report", "text_lm_score", "dedup_minhash_error",
+      "embed_cosine_topk", "embed_knn", "embed_sq8_rerank", "embed_bucket_stats",
+      "embed_centroid_stats", "embed_kmeans_iter") ++
       // The ORACLE op pins the fixture's 8x16 band shape, whose candidate
       // set grows ~n^2/2^8 — at 30x (60k vectors, ~2e8 candidate pairs) it
       // OOMs the JVM by design. Past 10x only the auto-sized library path
