@@ -848,6 +848,51 @@ object TextPipeline {
         .orderBy("doc_id")
     },
 
+    // Deterministic output sharding: the final step before a training corpus
+    // is written — shard by content-stable md5 hash (membership survives
+    // corpus growth and re-runs, unlike round-robin), then report per-shard
+    // balance. In production the shard column feeds
+    // `repartition(col("shard")).write` so each shard lands as one file
+    // family; this op is the balance check a pipeline owner reads first
+    // (a skewed shard means a skewed training stream). One codegen pass +
+    // one two-phase aggregation; all outputs exact integers.
+    Op("pipeline_shard",
+      "WITH s AS (SELECT doc_id, CAST((" + hex4Sql + ") % 16 AS INTEGER) AS shard, " +
+      "CAST(LEN(STRING_SPLIT(text,' ')) AS BIGINT) AS n_tok FROM documents) " +
+      "SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens, " +
+      "MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc FROM s GROUP BY shard ORDER BY shard") { (s, d) =>
+      val shard = (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 16).cast("int")
+      docs(s, d)
+        .select(shard.as("shard"), col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_tok"))
+        .groupBy("shard").agg(
+          count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        .orderBy("shard")
+    },
+
+    // Token-length histogram per source: log2-bucketed document lengths —
+    // the distribution a sequence-packing or curriculum schedule is tuned
+    // against (a source whose mass sits below the context window packs
+    // densely; a long tail forces chunking). floor(log2(n)) is exact for
+    // powers of two in both engines, so bucket edges agree cross-engine.
+    // One codegen pass + one two-phase aggregation.
+    Op("corpus_length_hist",
+      "WITH t AS (SELECT source, CAST(LEN(STRING_SPLIT(text,' ')) AS BIGINT) AS n_tok FROM documents) " +
+      "SELECT source, CAST(FLOOR(LOG2(n_tok)) AS INTEGER) AS len_bucket, COUNT(*) AS n_docs, " +
+      "MIN(n_tok) AS min_tok, MAX(n_tok) AS max_tok " +
+      "FROM t GROUP BY source, len_bucket ORDER BY source, len_bucket") { (s, d) =>
+      docs(s, d)
+        .select(col("source"), size(tokens(col("text"))).cast("long").as("n_tok"))
+        .select(col("source"), col("n_tok"),
+          floor(log2(col("n_tok"))).cast("int").as("len_bucket"))
+        .groupBy("source", "len_bucket").agg(
+          count(lit(1)).as("n_docs"),
+          min("n_tok").as("min_tok"), max("n_tok").as("max_tok"))
+        .orderBy("source", "len_bucket")
+    },
+
     // Token-budget mixture sampling: within each source, take docs in
     // deterministic md5 order until the running token total crosses the
     // budget (greedy-include: the crossing doc is kept, so every stratum
