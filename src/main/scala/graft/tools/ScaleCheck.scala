@@ -75,6 +75,7 @@ object ScaleCheck {
       "pipeline_train_split", "pipeline_budget_sample", "pipeline_chunk_overlap",
       "text_quality_flags", "text_tfidf_topk", "corpus_source_overlap",
       "corpus_quality_report", "text_lm_score", "dedup_minhash_error",
+      "pipeline_shard", "corpus_length_hist",
       "embed_cosine_topk", "embed_knn", "embed_sq8_rerank", "embed_bucket_stats",
       "embed_centroid_stats", "embed_kmeans_iter") ++
       // The ORACLE op pins the fixture's 8x16 band shape, whose candidate
