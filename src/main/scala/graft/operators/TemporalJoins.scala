@@ -111,6 +111,55 @@ object TemporalJoins {
         payload.map(p => when(validLeft, col(s"__m.$p")).as(s"matched_$p")): _*)
   }
 
+  /** Nearest as-of join: for each `left` row, the `right` row on the same
+    * `key` whose `tsCol` is closest in EITHER direction (pandas
+    * `merge_asof(direction='nearest')`). Equal gaps resolve backward.
+    *
+    * Still one union + ONE shuffle on the key: the backward carry-forward
+    * and the forward carry-back are two window passes over the same
+    * partitioning, so the exchange is shared and each direction adds only
+    * an in-partition sort. `tsCol` must be numeric (pass epoch micros for
+    * timestamps) so the gap comparison is exact integer arithmetic — the
+    * oracle compares EPOCH_US values and a floating-point gap could flip a
+    * near-tie.
+    */
+  def asofNearest(left: DataFrame, right: DataFrame, key: String, tsCol: String,
+      payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    val tagged = left.withColumn("__side", lit(1))
+      .unionByName(
+        right.select(col(key) +: col(tsCol) +: payload.map(p => col(p).as(s"__r_$p")): _*)
+          .withColumn("__side", lit(0)),
+        allowMissingColumns = true)
+    // Same per-direction sort orders and tie-breaks as asofBackward /
+    // asofForward: backward ties take the payload-max right row, forward
+    // ties the payload-min — matching the oracle's MAX/MIN at the chosen ts.
+    val wb = Window.partitionBy(key)
+      .orderBy(col(tsCol) +: col("__side") +: payload.map(p => col(s"__r_$p")): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(key)
+      .orderBy(col(tsCol) +: when(col("__side") === 1, 0).otherwise(1) +:
+        payload.map(p => col(s"__r_$p").asc_nulls_last): _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val matchStruct = struct(col(tsCol).as("ts") +: payload.map(p => col(s"__r_$p").as(p)): _*)
+    val matchable = col("__side") === 0 && col(key).isNotNull && col(tsCol).isNotNull
+    val carried = tagged
+      .withColumn("__mb", last(when(matchable, matchStruct), ignoreNulls = true).over(wb))
+      .withColumn("__mf", first(when(matchable, matchStruct), ignoreNulls = true).over(wf))
+    val validLeft = col(tsCol).isNotNull
+    val pick = when(col("__mb").isNull, col("__mf"))
+      .when(col("__mf").isNull, col("__mb"))
+      .when(col("__mf.ts") - col(tsCol) < col(tsCol) - col("__mb.ts"), col("__mf"))
+      .otherwise(col("__mb"))
+    carried.filter(col("__side") === 1)
+      .withColumn("__m", when(validLeft, pick))
+      .select(leftCols.map(col) ++
+        Seq(col("__m.ts").as("matched_ts"),
+          when(col("__m").isNotNull,
+            when(col("__m.ts") <= col(tsCol), "b").otherwise("f")).as("matched_dir")) ++
+        payload.map(p => col(s"__m.$p").as(s"matched_$p")): _*)
+  }
+
   val ops: Seq[Op] = Seq(
     // As-of join: each purchase matched to the user's latest click at-or-before
     // the purchase time. Oracle expresses the same semantics relationally
@@ -226,6 +275,46 @@ object TemporalJoins {
           col("tb") <= col("ta") + expr("INTERVAL 60 SECOND"))
         .groupBy("event_type").agg(count(lit(1)).as("n"))
         .orderBy("event_type")
+    },
+
+    // Nearest as-of: each purchase matched to the user's click closest in
+    // time in EITHER direction (merge_asof direction='nearest'); equal gaps
+    // resolve backward. The oracle builds both directional candidates
+    // relationally, picks the nearer by exact EPOCH_US arithmetic, and
+    // resolves same-ts ties with the per-direction MAX/MIN rule — the
+    // timestamps travel as epoch micros through the Spark plan so the gap
+    // comparison is the same integer arithmetic on both sides.
+    Op("join_asof_nearest",
+      "WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type='purchase'), " +
+      "c AS (SELECT user_id, ts, value FROM events WHERE event_type='click'), " +
+      "m AS (SELECT p.event_id, p.user_id, p.ts, p.value, " +
+      "MAX(CASE WHEN c.ts <= p.ts THEN c.ts END) AS bts, " +
+      "MIN(CASE WHEN c.ts >= p.ts THEN c.ts END) AS fts " +
+      "FROM p LEFT JOIN c ON c.user_id = p.user_id GROUP BY p.event_id, p.user_id, p.ts, p.value), " +
+      "n AS (SELECT event_id, user_id, ts, value, " +
+      "CASE WHEN bts IS NULL THEN fts WHEN fts IS NULL THEN bts " +
+      "WHEN EPOCH_US(fts) - EPOCH_US(ts) < EPOCH_US(ts) - EPOCH_US(bts) THEN fts " +
+      "ELSE bts END AS mts FROM m) " +
+      "SELECT n.event_id, EPOCH_US(n.ts) AS ts_us, ROUND(n.value, 2) AS value, " +
+      "EPOCH_US(n.mts) AS match_ts_us, " +
+      "CASE WHEN n.mts IS NULL THEN NULL WHEN n.mts <= n.ts THEN 'b' ELSE 'f' END AS dir, " +
+      "CASE WHEN n.mts <= n.ts THEN ROUND(MAX(c2.value), 2) ELSE ROUND(MIN(c2.value), 2) END AS match_value " +
+      "FROM n LEFT JOIN c c2 ON c2.user_id = n.user_id AND c2.ts = n.mts " +
+      "GROUP BY n.event_id, n.ts, n.value, n.mts ORDER BY n.event_id") { (s, d) =>
+      val e = ev(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"), col("value"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"), col("value"))
+      asofNearest(purchases, clicks, key = "user_id", tsCol = "ts_us", payload = Seq("value"))
+        .select(col("event_id"), col("ts_us"),
+          round(col("value"), 2).as("value"),
+          col("matched_ts").as("match_ts_us"),
+          col("matched_dir").as("dir"),
+          round(col("matched_value"), 2).as("match_value"))
+        .orderBy("event_id")
     }
   )
 }

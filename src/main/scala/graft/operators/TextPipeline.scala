@@ -1107,6 +1107,103 @@ object TextPipeline {
         nDup.as("n_dup"),
         when(nTri > 0, round(nDup.cast("double") / nTri, 4)).otherwise(0.0).as("dup_frac")
       ).orderBy("doc_id")
+    },
+
+    // Exact repeated-substring mining (the ExactSubstr dedup family: find
+    // every k-token span that occurs verbatim in >=2 documents — boilerplate
+    // headers, license blocks, syndicated passages — so a downstream pass
+    // can cut the spans rather than whole docs). Every 10-token window at
+    // stride 1 is hashed and aggregated: linear in corpus tokens, one
+    // shuffle on the span hash, no pairwise comparison anywhere — the shape
+    // that holds at 100 TB (suffix automata don't distribute; stride-1
+    // window hashing is the standard cluster formulation). The pre-explosion
+    // doc_id repartition spreads the window CPU like triRows does.
+    Op("dedup_substring",
+      "WITH w AS (SELECT doc_id, STRING_SPLIT(text,' ') AS words FROM documents WHERE LEN(STRING_SPLIT(text,' ')) >= 10), " +
+      "s AS (SELECT doc_id, UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, CAST(LEN(words) AS INTEGER)-9), i -> " +
+      (0 until 10).map(j => s"words[i+$j]").mkString("CONCAT_WS(' ', ", ", ", ")") + ")) AS span FROM w) " +
+      "SELECT MD5(span) AS span_md5, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS occ, " +
+      "MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc " +
+      "FROM s GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2 ORDER BY span_md5") { (s, d) =>
+      val n = s.sessionState.conf.numShufflePartitions
+      docs(s, d)
+        .filter(col("doc_id").isNotNull)
+        .repartition(n, col("doc_id"))
+        .select(col("doc_id"), tokens(col("text")).as("words"))
+        .filter(size(col("words")) >= 10)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("words")) - 9),
+          i => array_join(slice(col("words"), i, lit(10)), " "))).as("span"))
+        .groupBy(md5(col("span")).as("span_md5"))
+        .agg(countDistinct("doc_id").as("df"), count(lit(1)).as("occ"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        .filter(col("df") >= 2)
+        .orderBy("span_md5")
+    },
+
+    // Out-of-vocabulary rate per document against the corpus's own top-200
+    // document-frequency vocabulary — the cheap proxy for "how well does a
+    // fixed tokenizer/embedding vocab cover this doc" that flags
+    // transliterated, templated, or wrong-language text. The vocab is a
+    // top-k aggregate (TakeOrdered, no global sort) broadcast back onto the
+    // exploded corpus, so the probe side never shuffles by term: one doc_id
+    // clustering in, per-doc counts complete on it.
+    Op("text_oov_rate",
+      "WITH tok AS (SELECT doc_id, UNNEST(STRING_SPLIT(text,' ')) AS tok FROM documents), " +
+      "df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS tf FROM tok GROUP BY 1), " +
+      "v AS (SELECT tok FROM df ORDER BY df DESC, tf DESC, tok LIMIT 200) " +
+      "SELECT t.doc_id, COUNT(*) AS n_tok, " +
+      "CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, " +
+      "ROUND(CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(*), 4) AS oov_rate " +
+      "FROM tok t LEFT JOIN v ON t.tok = v.tok GROUP BY t.doc_id ORDER BY t.doc_id") { (s, d) =>
+      val n = s.sessionState.conf.numShufflePartitions
+      val w = docs(s, d).repartition(n, col("doc_id"))
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      val vocab = w.groupBy("tok")
+        .agg(countDistinct("doc_id").as("df"), count(lit(1)).as("tf"))
+        .orderBy(col("df").desc, col("tf").desc, col("tok")).limit(200)
+        .select(col("tok"), lit(1).as("in_v"))
+      w.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          sum(when(col("in_v").isNull, 1).otherwise(0)).as("n_oov"),
+          round(sum(when(col("in_v").isNull, 1).otherwise(0)).cast("double") /
+            count(lit(1)), 4).as("oov_rate"))
+        .orderBy("doc_id")
+    },
+
+    // Curriculum phase assignment: exact global decile over (token count,
+    // doc_id) — the short-to-long schedule curriculum training reads. Uses
+    // the distributed globalNtile (range-partitioned sort + offset join),
+    // NOT `NTILE() OVER (ORDER BY ...)`, which would move the corpus onto
+    // one task.
+    Op("pipeline_curriculum",
+      "WITH t AS (SELECT doc_id, CAST(LEN(STRING_SPLIT(text,' ')) AS BIGINT) AS n_tok FROM documents) " +
+      "SELECT doc_id, n_tok, CAST(NTILE(10) OVER (ORDER BY n_tok, doc_id) AS INTEGER) AS phase " +
+      "FROM t ORDER BY doc_id") { (s, d) =>
+      Windows.globalNtile(
+        docs(s, d).select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok")),
+        10, Seq(col("n_tok"), col("doc_id")), "phase")
+        .orderBy("doc_id")
+    },
+
+    // Dataset card: the one-row release summary (doc/token/char totals,
+    // source and language breadth, exact-dup count) every corpus drop ships
+    // with. Exact COUNT(DISTINCT) triples the aggregation input via Expand —
+    // fine for a release gate; an advisory dashboard at 100 TB would swap
+    // them for approx_count_distinct and keep the same shape.
+    Op("pipeline_dataset_card",
+      "SELECT COUNT(*) AS n_docs, CAST(SUM(LEN(STRING_SPLIT(text,' '))) AS BIGINT) AS n_tokens, " +
+      "CAST(SUM(n_chars) AS BIGINT) AS n_chars, COUNT(DISTINCT source) AS n_sources, " +
+      "COUNT(DISTINCT lang) AS n_langs, COUNT(*) - COUNT(DISTINCT text) AS n_exact_dups " +
+      "FROM documents") { (s, d) =>
+      docs(s, d).agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text")))).as("n_tokens"),
+        sum("n_chars").as("n_chars"),
+        countDistinct("source").as("n_sources"),
+        countDistinct("lang").as("n_langs"),
+        (count(lit(1)) - countDistinct("text")).as("n_exact_dups"))
     }
   )
 }
