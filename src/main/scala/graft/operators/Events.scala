@@ -130,6 +130,29 @@ object Events {
         .groupBy(col("anchor").as("day"))
         .agg(countDistinct("user_id").as("wau"))
         .orderBy("day")
+    },
+
+    // Hourly volume anomaly flag: |count - mean| > 2·stddev over the hourly
+    // series, evaluated entirely in BIGINT so it is bit-exact cross-engine —
+    // z² > 4 rearranges to (n·cnt − total)² > 4·(n·sumsq − total²), no
+    // floating-point mean/stddev anywhere. The stats row broadcasts back
+    // onto the hourly counts; monitoring at 100 TB keeps this exact shape
+    // (the per-hour aggregate is the only data-sized pass).
+    Op("events_anomaly",
+      "WITH hc AS (SELECT DATE_TRUNC('HOUR', ts) AS h, COUNT(*) AS cnt FROM events GROUP BY 1), " +
+      "st AS (SELECT COUNT(*) AS n, CAST(SUM(cnt) AS BIGINT) AS total, " +
+      "CAST(SUM(cnt*cnt) AS BIGINT) AS sumsq FROM hc) " +
+      "SELECT h, cnt, CAST(CASE WHEN (n*cnt - total)*(n*cnt - total) > 4*(n*sumsq - total*total) " +
+      "THEN 1 ELSE 0 END AS INTEGER) AS is_anomaly FROM hc, st ORDER BY h") { (s, d) =>
+      val hc = ev(s, d).groupBy(date_trunc("hour", col("ts")).as("h")).agg(count(lit(1)).as("cnt"))
+      val st = hc.agg(count(lit(1)).as("n"), sum("cnt").as("total"),
+        sum(col("cnt") * col("cnt")).as("sumsq"))
+      val dev = col("n") * col("cnt") - col("total")
+      hc.crossJoin(broadcast(st))
+        .select(col("h"), col("cnt"),
+          when(dev * dev > lit(4) * (col("n") * col("sumsq") - col("total") * col("total")), 1)
+            .otherwise(0).cast("int").as("is_anomaly"))
+        .orderBy("h")
     }
   )
 }

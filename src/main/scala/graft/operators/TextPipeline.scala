@@ -1187,6 +1187,40 @@ object TextPipeline {
         .orderBy("doc_id")
     },
 
+    // Per-doc unigram Shannon entropy (bits) — low entropy flags templated/
+    // repetitive text, high flags noise; a standard quality feature next to
+    // `text_stats` and `text_lm_score`. Cross-engine float policy (the
+    // lm_score pattern): each term's -p*log2(p) is quantized to integer
+    // milli-bits BEFORE the sum, so the per-doc reduction is
+    // order-independent BIGINT arithmetic and the final /1000.0 is one IEEE
+    // division both engines perform identically. One doc_id clustering in:
+    // the (doc,term) counts, both per-doc window totals, and the final
+    // collapse all complete on it — a single shuffle end-to-end.
+    Op("text_entropy",
+      "WITH w AS (SELECT doc_id, UNNEST(STRING_SPLIT(text,' ')) AS term FROM documents), " +
+      "g AS (SELECT doc_id, term, COUNT(*) AS c FROM w GROUP BY 1, 2), " +
+      "t AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS n_terms FROM g GROUP BY 1), " +
+      "q AS (SELECT g.doc_id, t.n, t.n_terms, " +
+      "CAST(ROUND(-(CAST(g.c AS DOUBLE)/t.n)*LOG2(CAST(g.c AS DOUBLE)/t.n)*1000) AS BIGINT) AS e " +
+      "FROM g JOIN t USING (doc_id)) " +
+      "SELECT doc_id, n AS n_tok, n_terms, CAST(SUM(e) AS BIGINT)/1000.0 AS entropy " +
+      "FROM q GROUP BY 1, 2, 3 ORDER BY doc_id") { (s, d) =>
+      val nPart = s.sessionState.conf.numShufflePartitions
+      val byDoc = Window.partitionBy("doc_id")
+      val g = docs(s, d).repartition(nPart, col("doc_id"))
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+        .withColumn("n", sum("c").over(byDoc))
+        .withColumn("n_terms", count(lit(1)).over(byDoc))
+      val p = col("c").cast("double") / col("n")
+      g.select(col("doc_id"), col("n"), col("n_terms"),
+          round(-p * log2(p) * 1000).cast("long").as("e"))
+        .groupBy("doc_id", "n", "n_terms")
+        .agg((sum("e") / 1000.0).as("entropy"))
+        .select(col("doc_id"), col("n").as("n_tok"), col("n_terms"), col("entropy"))
+        .orderBy("doc_id")
+    },
+
     // Dataset card: the one-row release summary (doc/token/char totals,
     // source and language breadth, exact-dup count) every corpus drop ships
     // with. Exact COUNT(DISTINCT) triples the aggregation input via Expand —

@@ -76,6 +76,8 @@ object ScaleCheck {
       "text_quality_flags", "text_tfidf_topk", "corpus_source_overlap",
       "corpus_quality_report", "text_lm_score", "dedup_minhash_error",
       "pipeline_shard", "corpus_length_hist",
+      "dedup_substring", "text_oov_rate", "pipeline_curriculum",
+      "pipeline_dataset_card", "join_asof_nearest",
       "embed_cosine_topk", "embed_knn", "embed_sq8_rerank", "embed_bucket_stats",
       "embed_centroid_stats", "embed_kmeans_iter") ++
       // The ORACLE op pins the fixture's 8x16 band shape, whose candidate

@@ -521,4 +521,26 @@ class OperatorSpec extends AnyFunSuite {
       spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
     }
   }
+
+  test("substring mining: only cross-document 10-token spans survive the df>=2 gate") {
+    import spark.implicits._
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")   // one shared 10-token span
+    val rep = (1 to 10).map(i => s"p$i").mkString(" ")      // repeats within ONE doc only
+    val docsDf = Seq(
+      (1L, "A", s"x $shared y"),     // span at offset 2 of 12 tokens
+      (2L, "A", s"$shared z q r"),   // span at offset 1 of 13 tokens
+      (3L, "B", s"$rep $rep"),       // same span twice, df=1 -> excluded
+      (4L, "B", "too short here"))   // < 10 tokens -> no windows
+      .toDF("doc_id", "source", "text")
+    docsDf.createOrReplaceTempView("documents")
+    try {
+      val out = SparkEntry.allOps.find(_.name == "dedup_substring").get.run(spark, dir)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(shared.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(out.toSeq === Seq((md5, 2L, 2L, 1L, 2L)))
+    } finally {
+      spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+    }
+  }
 }

@@ -197,6 +197,69 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(row.isNullAt(1))         // ...and ITS payload, which is null
   }
 
+  private def runNearest(left: Seq[(Long, Long, Double)], right: Seq[(Long, Long, Double)]) = {
+    val l = left.toDF("user_id", "ts", "value")
+    val r = right.toDF("user_id", "ts", "value")
+    TemporalJoins.asofNearest(l, r, key = "user_id", tsCol = "ts", payload = Seq("value"))
+      .select("user_id", "ts", "value", "matched_ts", "matched_dir", "matched_value")
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2),
+        Option(x.get(3)).map(_.asInstanceOf[Long]),
+        Option(x.get(4)).map(_.asInstanceOf[String]),
+        Option(x.get(5)).map(_.asInstanceOf[Double])))
+      .sortBy(t => (t._1, t._2))
+  }
+
+  test("nearest as-of picks the closer direction; equal gaps resolve backward") {
+    val out = runNearest(
+      left = Seq((1L, 10L, 1.0), (1L, 20L, 2.0), (1L, 30L, 3.0)),
+      right = Seq((1L, 7L, 70.0), (1L, 21L, 210.0), (1L, 40L, 400.0)))
+    assert(out === Seq(
+      (1L, 10L, 1.0, Some(7L), Some("b"), Some(70.0)),    // 3 back vs 11 fwd
+      (1L, 20L, 2.0, Some(21L), Some("f"), Some(210.0)),  // 13 back vs 1 fwd
+      (1L, 30L, 3.0, Some(21L), Some("b"), Some(210.0)))) // 9 back vs 10 fwd
+    val tie = runNearest(
+      left = Seq((1L, 10L, 1.0)),
+      right = Seq((1L, 5L, 50.0), (1L, 15L, 150.0)))       // gap 5 both ways
+    assert(tie === Seq((1L, 10L, 1.0, Some(5L), Some("b"), Some(50.0))))
+  }
+
+  test("nearest as-of falls back to the only populated direction, null when neither") {
+    val out = runNearest(
+      left = Seq((1L, 10L, 1.0), (2L, 10L, 2.0), (3L, 10L, 3.0)),
+      right = Seq((1L, 50L, 500.0), (2L, 4L, 40.0)))
+    assert(out === Seq(
+      (1L, 10L, 1.0, Some(50L), Some("f"), Some(500.0)),
+      (2L, 10L, 2.0, Some(4L), Some("b"), Some(40.0)),
+      (3L, 10L, 3.0, None, None, None)))
+  }
+
+  test("nearest as-of matches a brute-force reference on randomized data") {
+    val rnd = new scala.util.Random(13)
+    val left = Seq.fill(300)((rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong, rnd.nextInt(100).toDouble))
+    val right = Seq.fill(300)((rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong, rnd.nextInt(100).toDouble))
+    val out = runNearest(left, right)
+    assert(out.length === left.length)
+    val expected = left.map { case (k, ts, v) =>
+      val prior = right.filter(r => r._1 == k && r._2 <= ts)
+      val next = right.filter(r => r._1 == k && r._2 >= ts)
+      val bts = prior.map(_._2).maxOption
+      val fts = next.map(_._2).minOption
+      val mts = (bts, fts) match {
+        case (None, f) => f
+        case (b, None) => b
+        case (Some(b), Some(f)) => if (f - ts < ts - b) Some(f) else Some(b)
+      }
+      val dir = mts.map(t => if (t <= ts) "b" else "f")
+      val mv = mts.map { t =>
+        if (t <= ts) prior.filter(_._2 == t).map(_._3).max
+        else next.filter(_._2 == t).map(_._3).min
+      }
+      (k, ts, v, mts, dir, mv)
+    }.sortBy(t => (t._1, t._2))
+    assert(out.toSeq.sorted === expected.sorted)
+  }
+
   test("left columns beyond the key/ts survive and payload name collisions do not clobber them") {
     val l = Seq((1L, 10L, 123.0, "keep")).toDF("user_id", "ts", "value", "tag")
     val r = Seq((1L, 5L, 9.0)).toDF("user_id", "ts", "value")
