@@ -554,9 +554,77 @@ object TextPipeline {
       "SELECT doc_id FROM q WHERE doc_id NOT IN (SELECT id_b FROM dups) ORDER BY doc_id"
   }
 
+  /** DuckDB oracle for `corpus_dedup_funnel` — the cleanCorpusOracle CTE
+    * chain with an exact-dedup stage in front and a per-source stage-count
+    * rollup at the end.
+    */
+  private def funnelOracle: String = {
+    import MinHashParams._
+    val mins = (0 until numHashes)
+      .map(j => s"MIN((${A(j)}*hm+${B(j)})%$P) AS m$j").mkString(", ")
+    val bandCols = (0 until bands).map(b => s"m${2 * b}*$P+m${2 * b + 1} AS band$b").mkString(", ")
+    val orJoin = (0 until bands).map(b => s"a.band$b=b.band$b").mkString(" OR ")
+    "WITH k AS (SELECT doc_id, source, text, " +
+      "CASE WHEN ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1 THEN 1 ELSE 0 END AS ke FROM documents), " +
+      "q AS (SELECT doc_id, source, text, ke, " +
+      "CASE WHEN ke = 1 AND LEN(STRING_SPLIT(text,' ')) >= 20 " +
+      "AND CAST(LEN(LIST_FILTER(STRING_SPLIT(text,' '), w -> w IN ('the','a','of','and','in'))) AS DOUBLE)/LEN(STRING_SPLIT(text,' ')) >= 0.02 " +
+      "THEN 1 ELSE 0 END AS kq FROM k), " +
+      "w AS (SELECT doc_id, STRING_SPLIT(text,' ') AS words FROM q WHERE kq = 1), " +
+      "g AS (SELECT DISTINCT doc_id, UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, CAST(LEN(words) AS INTEGER)-2), " +
+      "i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS gram FROM w), " +
+      s"h AS (SELECT doc_id, ${hex60Sql("gram")} % $P AS hm FROM g), " +
+      s"sig AS (SELECT doc_id, $mins FROM h GROUP BY doc_id), " +
+      s"band AS (SELECT doc_id, $bandCols FROM sig), " +
+      s"cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM band a JOIN band b ON a.doc_id < b.doc_id AND ($orJoin)), " +
+      "sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id), " +
+      "inter AS (SELECT id_a, id_b, COUNT(*) AS inter FROM cand JOIN g ga ON ga.doc_id=id_a " +
+      "JOIN g gb ON gb.doc_id=id_b AND gb.gram=ga.gram GROUP BY 1,2), " +
+      "dups AS (SELECT DISTINCT id_b FROM inter JOIN sz sa ON sa.doc_id=id_a JOIN sz sb ON sb.doc_id=id_b " +
+      "WHERE CAST(inter AS DOUBLE)/(sa.n+sb.n-inter) >= 0.5) " +
+      "SELECT source, COUNT(*) AS n_total, CAST(SUM(ke) AS BIGINT) AS n_exact, " +
+      "CAST(SUM(kq) AS BIGINT) AS n_quality, " +
+      "CAST(SUM(CASE WHEN kq = 1 AND doc_id NOT IN (SELECT id_b FROM dups) THEN 1 ELSE 0 END) AS BIGINT) AS n_near " +
+      "FROM q GROUP BY source ORDER BY source"
+  }
+
   val ops: Seq[Op] = Seq(
     Op("pipeline_clean_corpus", cleanCorpusOracle) { (s, d) =>
       cleanCorpus(docs(s, d), 20, 0.02, 0.5).orderBy("doc_id")
+    },
+
+    // Per-source dedup funnel: how many docs survive each pipeline stage —
+    // exact dedup (corpus-wide min-doc_id keeper), the C4-style quality
+    // gate, then MinHash-LSH near-dup removal — the table a pipeline owner
+    // reads to see WHERE each source's volume went. The stage flags ride
+    // one pass (a window over the text clustering, then per-row
+    // predicates); only the quality survivors enter the signature pipeline
+    // (same sigBuckets + inline-verify shape as cleanCorpus); the dup set
+    // is distinct-ed so the left join cannot duplicate rows. At 100 TB each
+    // stage's output would be materialized once and the funnel read from
+    // the stage tables — the aggregation shape is the same.
+    Op("corpus_dedup_funnel", funnelOracle) { (s, d) =>
+      val flagged = docs(s, d)
+        .select(col("doc_id"), col("source"), col("text"),
+          when(row_number().over(Window.partitionBy("text").orderBy("doc_id")) === 1, 1)
+            .otherwise(0).as("ke"))
+        .withColumn("kq", when(col("ke") === 1 && size(tokens(col("text"))) >= 20 &&
+          stopwordRatio(col("text"), Seq("the", "a", "of", "and", "in")) >= 0.02, 1)
+          .otherwise(0))
+      val buckets = sigBuckets(flagged.filter(col("kq") === 1).select("doc_id", "text"))
+      val jac = col("inter").cast("double") / (col("na") + col("nb") - col("inter"))
+      val dups = buckets.as("a").hint("shuffle_hash").join(buckets.as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("b.doc_id").as("doc_id"), col("a.n").as("na"), col("b.n").as("nb"),
+          size(array_intersect(col("a.gs"), col("b.gs"))).as("inter"))
+        .filter(jac >= 0.5)
+        .select(col("doc_id"), lit(1).as("is_dup")).distinct()
+      flagged.join(dups, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_total"), sum("ke").as("n_exact"), sum("kq").as("n_quality"),
+          sum(when(col("kq") === 1 && col("is_dup").isNull, 1).otherwise(0)).as("n_near"))
+        .orderBy("source")
     },
 
     Op("dedup_exact",
