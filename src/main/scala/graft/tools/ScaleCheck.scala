@@ -78,7 +78,7 @@ object ScaleCheck {
       "pipeline_shard", "corpus_length_hist",
       "dedup_substring", "text_oov_rate", "pipeline_curriculum",
       "pipeline_dataset_card", "join_asof_nearest",
-      "text_entropy", "events_anomaly",
+      "text_entropy", "events_anomaly", "corpus_dedup_funnel",
       "embed_cosine_topk", "embed_knn", "embed_sq8_rerank", "embed_bucket_stats",
       "embed_centroid_stats", "embed_kmeans_iter") ++
       // The ORACLE op pins the fixture's 8x16 band shape, whose candidate
