@@ -522,6 +522,33 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup funnel: stage counts drop at the stage that removes each doc") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog while the sun sets behind " +
+      "distant hills and the river flows quietly toward the sea"
+    val docsDf = Seq(
+      (1L, "A", s"$base tonight"),            // survives every stage
+      (2L, "A", s"$base tonight"),            // exact copy -> dropped at exact
+      (3L, "A", s"$base today"),              // 1 gram differs -> near-dup, dropped last
+      (4L, "A", "too short"),                 // fails the quality gate
+      (5L, "B", "a calm morning breeze drifts across the open field as birds gather " +
+        "near a quiet pond and light spreads slowly over the meadow grass"))
+      .toDF("doc_id", "source", "text")
+    // Register the fixture dir FIRST: Tables.ensure is per-(session, dir)
+    // idempotent, so ensuring before the override keeps the op's own
+    // ensure() call from re-registering the real table over the test view
+    // (matters when this test runs alone).
+    graft.Tables.ensure(spark, dir)
+    docsDf.createOrReplaceTempView("documents")
+    try {
+      val out = SparkEntry.allOps.find(_.name == "corpus_dedup_funnel").get.run(spark, dir)
+        .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      assert(out === Map("A" -> ((4L, 3L, 2L, 1L)), "B" -> ((1L, 1L, 1L, 1L))))
+    } finally {
+      spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+    }
+  }
+
   test("substring mining: only cross-document 10-token spans survive the df>=2 gate") {
     import spark.implicits._
     val shared = (1 to 10).map(i => s"s$i").mkString(" ")   // one shared 10-token span
