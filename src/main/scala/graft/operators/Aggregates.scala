@@ -137,6 +137,26 @@ object Aggregates {
             / countDistinct(col("l_partkey")) <= 0.05, 1).otherwise(0).as("p_within_5pct"))
     },
 
+    // The other scale sketch next to HLL: quantile estimation
+    // (Greenwald-Khanna `approx_percentile` — mergeable partials, bounded
+    // memory, the way percentiles are computed at 100 TB where exact
+    // `percentile` would sort-collect each group). Same error-bound oracle
+    // pattern as `agg_approx_distinct`: the sketch estimate must land within
+    // 1% of the exact quantile computed in the same pass; the oracle emits
+    // the constant the property guarantees, so a sketch regression flips
+    // the Spark side to 0 and the hash check goes red.
+    Op("agg_approx_quantiles",
+      "SELECT 1 AS q50_within_1pct, 1 AS q90_within_1pct, 1 AS q99_within_1pct") { (s, d) =>
+      val ep = col("l_extendedprice")
+      def within(p: Double) =
+        when(abs(approx_percentile(ep, lit(p), lit(10000)) - percentile(ep, lit(p)))
+          / percentile(ep, lit(p)) <= 0.01, 1).otherwise(0)
+      t(s, d, "lineitem")
+        .agg(within(0.5).as("q50_within_1pct"),
+          within(0.9).as("q90_within_1pct"),
+          within(0.99).as("q99_within_1pct"))
+    },
+
     // Exact order statistics per group: Spark's percentile() interpolates at
     // p*(n-1) exactly like DuckDB QUANTILE_CONT; percentile_disc matches
     // QUANTILE_DISC (both verified value-for-value on this data).
