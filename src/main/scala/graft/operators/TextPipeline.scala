@@ -364,9 +364,10 @@ object TextPipeline {
   }
 
   def cleanCorpus(d: DataFrame, minTokens: Int, minStopRatio: Double,
-      dupThreshold: Double): DataFrame = {
+      dupThreshold: Double,
+      stopwords: Seq[String] = Seq("the", "a", "of", "and", "in")): DataFrame = {
     val quality = d.filter(size(tokens(col("text"))) >= minTokens &&
-      stopwordRatio(col("text"), Seq("the", "a", "of", "and", "in")) >= minStopRatio)
+      stopwordRatio(col("text"), stopwords) >= minStopRatio)
     val buckets = sigBuckets(quality)
     // Pairs sharing several bands surface several times; every copy computes
     // the same intersection, so the >=threshold filter precedes a plain
@@ -554,6 +555,43 @@ object TextPipeline {
       "SELECT doc_id FROM q WHERE doc_id NOT IN (SELECT id_b FROM dups) ORDER BY doc_id"
   }
 
+  /** Per-source dedup funnel — the library path behind `corpus_dedup_funnel`:
+    * doc counts surviving exact dedup (corpus-wide min-doc_id keeper), the
+    * C4-style quality gate, then MinHash-LSH near-dup removal. The stage
+    * flags ride one pass (a window over the text clustering, then per-row
+    * predicates); only the quality survivors enter the signature pipeline
+    * (same sigBuckets + inline-verify shape as cleanCorpus); the dup set is
+    * distinct-ed so the left join cannot duplicate rows. At 100 TB each
+    * stage's output would be materialized once and the funnel read from the
+    * stage tables — the aggregation shape is the same. `stopwords` is a
+    * parameter (default = the oracle-pinned gate) so scale fixtures with
+    * rewritten vocabularies can keep the gate's pass rate realistic.
+    */
+  def dedupFunnel(d: DataFrame,
+      stopwords: Seq[String] = Seq("the", "a", "of", "and", "in")): DataFrame = {
+    val flagged = d
+      .select(col("doc_id"), col("source"), col("text"),
+        when(row_number().over(Window.partitionBy("text").orderBy("doc_id")) === 1, 1)
+          .otherwise(0).as("ke"))
+      .withColumn("kq", when(col("ke") === 1 && size(tokens(col("text"))) >= 20 &&
+        stopwordRatio(col("text"), stopwords) >= 0.02, 1)
+        .otherwise(0))
+    val buckets = sigBuckets(flagged.filter(col("kq") === 1).select("doc_id", "text"))
+    val jac = col("inter").cast("double") / (col("na") + col("nb") - col("inter"))
+    val dups = buckets.as("a").hint("shuffle_hash").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("b.doc_id").as("doc_id"), col("a.n").as("na"), col("b.n").as("nb"),
+        size(array_intersect(col("a.gs"), col("b.gs"))).as("inter"))
+      .filter(jac >= 0.5)
+      .select(col("doc_id"), lit(1).as("is_dup")).distinct()
+    flagged.join(dups, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_total"), sum("ke").as("n_exact"), sum("kq").as("n_quality"),
+        sum(when(col("kq") === 1 && col("is_dup").isNull, 1).otherwise(0)).as("n_near"))
+      .orderBy("source")
+  }
+
   /** DuckDB oracle for `corpus_dedup_funnel` — the cleanCorpusOracle CTE
     * chain with an exact-dedup stage in front and a per-source stage-count
     * rollup at the end.
@@ -593,38 +631,10 @@ object TextPipeline {
       cleanCorpus(docs(s, d), 20, 0.02, 0.5).orderBy("doc_id")
     },
 
-    // Per-source dedup funnel: how many docs survive each pipeline stage —
-    // exact dedup (corpus-wide min-doc_id keeper), the C4-style quality
-    // gate, then MinHash-LSH near-dup removal — the table a pipeline owner
-    // reads to see WHERE each source's volume went. The stage flags ride
-    // one pass (a window over the text clustering, then per-row
-    // predicates); only the quality survivors enter the signature pipeline
-    // (same sigBuckets + inline-verify shape as cleanCorpus); the dup set
-    // is distinct-ed so the left join cannot duplicate rows. At 100 TB each
-    // stage's output would be materialized once and the funnel read from
-    // the stage tables — the aggregation shape is the same.
+    // Per-source staged survival counts — the where-did-the-volume-go table
+    // a pipeline owner reads first; see [[dedupFunnel]] for the shape.
     Op("corpus_dedup_funnel", funnelOracle) { (s, d) =>
-      val flagged = docs(s, d)
-        .select(col("doc_id"), col("source"), col("text"),
-          when(row_number().over(Window.partitionBy("text").orderBy("doc_id")) === 1, 1)
-            .otherwise(0).as("ke"))
-        .withColumn("kq", when(col("ke") === 1 && size(tokens(col("text"))) >= 20 &&
-          stopwordRatio(col("text"), Seq("the", "a", "of", "and", "in")) >= 0.02, 1)
-          .otherwise(0))
-      val buckets = sigBuckets(flagged.filter(col("kq") === 1).select("doc_id", "text"))
-      val jac = col("inter").cast("double") / (col("na") + col("nb") - col("inter"))
-      val dups = buckets.as("a").hint("shuffle_hash").join(buckets.as("b"),
-          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("b.doc_id").as("doc_id"), col("a.n").as("na"), col("b.n").as("nb"),
-          size(array_intersect(col("a.gs"), col("b.gs"))).as("inter"))
-        .filter(jac >= 0.5)
-        .select(col("doc_id"), lit(1).as("is_dup")).distinct()
-      flagged.join(dups, Seq("doc_id"), "left")
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_total"), sum("ke").as("n_exact"), sum("kq").as("n_quality"),
-          sum(when(col("kq") === 1 && col("is_dup").isNull, 1).otherwise(0)).as("n_near"))
-        .orderBy("source")
+      dedupFunnel(docs(s, d))
     },
 
     Op("dedup_exact",

@@ -96,6 +96,41 @@ object ScaleCheck {
       } catch { case e: Throwable => println(s"[scale] $name FAILED: ${e.getMessage}") }
     }
 
+    // The document salt rewrites EVERY token with a copy suffix, so the
+    // oracle-pinned quality gate's stopword list ('the' etc.) matches
+    // nothing at scale: the `pipeline_clean_corpus` / `corpus_dedup_funnel`
+    // measurements above run an EMPTY-gate pipeline (view generation +
+    // predicates only; measured: 0 of 50k docs pass at 10x). The honest
+    // scale measurement passes the salted stopword variants to the library
+    // path, which restores the fixture's ~80% pass rate — every copy's docs
+    // match their own 5 variants — without breaking copy-disjointness (no
+    // cross-copy gram sharing is introduced, so LSH candidates stay linear).
+    // Fresh DataFrame per action (the named loop's protocol): measuring a
+    // second count() on the SAME instance under-reports by an order of
+    // magnitude here. Note the harness artifact in these two numbers: the
+    // scaled corpus is a VIRTUAL view (crossJoin + per-token salt), so each
+    // plan pays view regeneration once per consumer branch — cleanCorpus's
+    // quality filter feeds two branches (signatures + anti-join probe) and
+    // pays it twice, while dedupFunnel's text-clustering window materializes
+    // the view into one reused exchange. On stored data both shapes pay one
+    // cheap scan; the signature+verify work itself is the ~0.5-1.5 s part.
+    {
+      val stops = for (w <- Seq("the", "a", "of", "and", "in"); c <- 0 until n)
+        yield s"${w}c$c"
+      val d = spark.table("documents")
+      def cc() = graft.operators.TextPipeline.cleanCorpus(d, 20, 0.02, 0.5, stops)
+      cc().count() // warm codegen + page cache
+      var t0 = System.nanoTime()
+      val ccRows = cc().count()
+      println(f"[scale] cleanCorpus salted-gate at ${n}x: " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s ($ccRows survivors)")
+      def fn() = graft.operators.TextPipeline.dedupFunnel(d, stops)
+      fn().count() // warm codegen
+      t0 = System.nanoTime()
+      fn().count()
+      println(f"[scale] dedupFunnel salted-gate at ${n}x: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+
     // The fixed 8-bit-band LSH above collides randomly once the corpus
     // outgrows its 256-value bucket space (candidates ~ n^2/2^bits). The
     // scale posture is the NO-KNOB path: lshDedup with no explicit shape
