@@ -35,7 +35,14 @@ object Bench {
     // the codegen/JIT caches for exactly the plans the timed passes run,
     // so the medians below measure the engine's steady-state throughput —
     // the number that matters for a long-lived cluster.
-    Tables.ensure(spark, sfDir)
+    try Tables.ensure(spark, sfDir)
+    catch { case e: Throwable =>
+      // Same loud-drift contract as Verify: one schema report, nonzero exit.
+      System.err.println(s"[bench] FIXTURE DRIFT: table registration failed for $sfDir: ${e.getMessage}")
+      System.err.println(Tables.schemaReport(spark, sfDir))
+      spark.stop()
+      sys.exit(2)
+    }
     spark.table("lineitem").count()
     val queries = SparkEntry.queries
     // Adaptive warm-up: keep running full passes until the pass total stops

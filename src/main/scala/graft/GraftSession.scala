@@ -129,23 +129,61 @@ object Tables {
   private val registered = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession, String]())
 
-  /** Idempotently register every test table in `dir` as a temp view. */
+  /** Idempotently register every test table in `dir` as a temp view.
+    *
+    * Normalizations here branch on the OBSERVED parquet schema, never on an
+    * assumed fixture dtype: the driver regenerates the fixtures between
+    * rounds and has already switched `events.ts` from TIMESTAMP(NANOS) to
+    * timestamp[us] once. Hard-coding the old dtype made registration throw
+    * for every table-backed query — so each case below keys off
+    * `raw.schema(...).dataType` and leaves already-normal columns alone.
+    */
   def ensure(spark: SparkSession, dir: String): Unit = {
     if (registered.get(spark) != dir) {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark's reader rejects;
-      // read it as long and truncate to micros (the reference's own Arrow
-      // export truncates ns->us the same way, SURVEY.md §1.2).
+      import org.apache.spark.sql.functions.expr
+      import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
+      // Inert on micros/ntz files; lets a TIMESTAMP(NANOS) fixture load as
+      // long instead of failing in the reader.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       all.foreach { n =>
         val raw = spark.read.parquet(s"$dir/$n.parquet")
         val df =
-          if (n == "events")
-            raw.withColumn("ts", org.apache.spark.sql.functions.expr(
-              "cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
-          else raw
+          if (n == "events") {
+            raw.schema("ts").dataType match {
+              // TIMESTAMP(NANOS) read as long: truncate to micros (the
+              // reference's own Arrow export truncates ns->us the same way,
+              // SURVEY.md §1.2) and store timezone-free.
+              case LongType => raw.withColumn("ts",
+                expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+              // Instant-typed micros: align to the NTZ semantics every
+              // downstream oracle assumes (session tz is UTC, so values are
+              // unchanged — only the type adjusts).
+              case TimestampType => raw.withColumn("ts",
+                expr("cast(ts as timestamp_ntz)"))
+              // Already timestamp_ntz (timestamp[us], isAdjustedToUTC=false):
+              // nothing to normalize.
+              case TimestampNTZType => raw
+              case other => throw new IllegalStateException(
+                s"events.ts has unexpected dtype $other in $dir/events.parquet")
+            }
+          } else raw
         df.createOrReplaceTempView(n)
       }
       registered.put(spark, dir)
     }
   }
+
+  /** One line per table: the OBSERVED parquet column dtypes. Printed by
+    * Verify/Bench when registration throws, so a future fixture regeneration
+    * is diagnosed from one schema report in the artifact instead of 190
+    * identical per-query stack traces (the round-6 failure mode).
+    */
+  def schemaReport(spark: SparkSession, dir: String): String =
+    all.map { n =>
+      val cols =
+        try spark.read.parquet(s"$dir/$n.parquet").schema
+          .map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", ")
+        catch { case e: Throwable => s"<unreadable: ${e.getMessage}>" }
+      s"  $n: $cols"
+    }.mkString("\n")
 }
