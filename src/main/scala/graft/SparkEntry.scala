@@ -48,4 +48,22 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     allOps.flatMap(op => op.oracle.map(op.name -> _)).toMap
+
+  /** COUNT(*)-action per operator through the plan cache's repeated-action
+    * path ([[graft.engine.PlanCache.count]]): each call executes the FULL
+    * query on a fresh physical plan (fresh shuffle dependencies — no work
+    * reuse across calls) but skips per-call re-optimization and, for
+    * statically-pinned shapes, the adaptive stage rounds. This is the
+    * latency profile a repeated prepared statement gets on the server wire
+    * path; the bench times it. Side-effecting operators fall back to a
+    * plain rebuild + count.
+    */
+  def countQueries: Map[String, (SparkSession, String) => Long] =
+    allOps.map { op =>
+      val f: (SparkSession, String) => Long =
+        if (op.cacheable)
+          (s, d) => graft.engine.PlanCache.count(s, s"op:${op.name}:$d")(op.run(s, d))
+        else (s, d) => op.run(s, d).count()
+      op.name -> f
+    }.toMap
 }

@@ -48,6 +48,46 @@ object PlanCache {
   private val bySession = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession, java.util.Map[String, DataFrame]]())
 
+  // Adaptive-off clone for the static-plan probe in [[prepare]] and the
+  // static branch of [[count]]. Probing under a clone (copied conf, shared
+  // SparkContext) instead of flipping the LIVE session's
+  // `spark.sql.adaptive.enabled` means a statement planned concurrently in
+  // the same session can never observe the probe's flag — the race the
+  // flip-and-restore version tolerated as "slower, never wrong" is gone
+  // entirely.
+  //
+  // The clone is CACHED per live session and re-validated by conf
+  // fingerprint on every use: cloneSession() builds a whole SessionState
+  // (catalog, analyzer, optimizer, extension re-injection — measured
+  // 200-300 ms via graft.tools.CountPathProbe), far too hot for a per-call
+  // path, while a stale cached clone would keep planning under whatever
+  // the conf was at first prepare (a live `SET autoBroadcastJoinThreshold`
+  // would silently not reach it — caught by PlanCacheSpec). Comparing the
+  // live session's set-conf overlay (a few dozen entries) costs ~µs and
+  // re-clones exactly when planning inputs actually changed. Plans handed
+  // to the probe are already optimized (views resolved), so the clone's
+  // catalog snapshot going stale is irrelevant.
+  private case class Probe(session: SparkSession, fingerprint: Map[String, String])
+
+  private val probeBySession = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, Probe]())
+
+  private def confFingerprint(spark: SparkSession): Map[String, String] =
+    spark.conf.getAll - "spark.sql.adaptive.enabled"
+
+  private def probeSession(spark: SparkSession): SparkSession =
+    probeBySession.synchronized {
+      val fp = confFingerprint(spark)
+      val cur = probeBySession.get(spark)
+      if (cur != null && cur.fingerprint == fp) cur.session
+      else {
+        val p = org.apache.spark.sql.GraftDatasetShim.cloneSession(spark)
+        p.conf.set("spark.sql.adaptive.enabled", "false")
+        probeBySession.put(spark, Probe(p, fp))
+        p
+      }
+    }
+
   private def store(spark: SparkSession): java.util.Map[String, DataFrame] =
     bySession.synchronized {
       var m = bySession.get(spark)
@@ -81,7 +121,10 @@ object PlanCache {
     * plan and skips the per-stage rounds entirely. Its remaining shuffles
     * are aggregation/sort/window exchanges (capped at 3 per fragment —
     * longer pipelines keep AQE's between-stage coalescing), where adaptivity
-    * only buys coalescing of already-small outputs.
+    * only buys coalescing of already-small outputs. Shuffled-join shapes
+    * also pin static when the plan's total file-scan input is under
+    * `spark.graft.planCache.staticMaxInputBytes` (default 256 MB) — see the
+    * size-bounded rule at the eligibility check below.
     *
     * Scope: the pin lives on THIS dataset's QueryExecution, so it serves the
     * direct-action paths — the server's collect/Arrow fetch of a prepared
@@ -91,13 +134,13 @@ object PlanCache {
     *
     * The probe is size-based, so it self-scales: the same query over 1000x
     * the data exceeds `autoBroadcastJoinThreshold`, plans a shuffled join,
-    * and keeps full adaptive execution. Two trades: the allowed shuffles are
-    * not runtime-coalesced and run at the configured
+    * and keeps full adaptive execution. One trade remains: the allowed
+    * shuffles are not runtime-coalesced and run at the configured
     * `spark.sql.shuffle.partitions` (the knob a real deployment sizes
-    * anyway, with map-side partial aggregation shrinking what moves), and
-    * the probe briefly flips the session's adaptive flag — a statement
-    * planned concurrently in the same session during that window would pin
-    * static too (slower, never wrong).
+    * anyway, with map-side partial aggregation shrinking what moves). The
+    * probe itself runs under a per-session adaptive-off CLONE
+    * ([[probeSession]]) — the live session's conf is never touched, so
+    * concurrent planning in the same session cannot observe it.
     */
   private def prepare(spark: SparkSession, build: => DataFrame): DataFrame = {
     val built = build
@@ -110,15 +153,25 @@ object PlanCache {
     // a re-executed prepared statement should pay. Rules are idempotent by
     // Catalyst's own contract (enforced for Once-batches in its test
     // harness), and the full DuckDB oracle runs against the cached form.
-    val optimized = built.queryExecution.optimizedPlan
+    prepareOptimized(spark, built.queryExecution.optimizedPlan)._1
+  }
+
+  /** Build the dataset for an already-OPTIMIZED plan, probing static-plan
+    * eligibility. Returns the dataset plus whether it was pinned static.
+    */
+  private def prepareOptimized(
+      spark: SparkSession,
+      optimized: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): (DataFrame, Boolean) = {
     def snapped: DataFrame =
       org.apache.spark.sql.GraftDatasetShim.ofRows(spark, optimized)
-    val df = snapped
-    if (spark.conf.get("spark.sql.adaptive.enabled", "true") != "true") return df
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    // Forcing executedPlan under adaptive-off pins the static plan on this
-    // QueryExecution (plans are cached per Dataset), so the eligible branch
-    // returns `df` as-is and every later action runs the static plan.
+    if (spark.conf.get("spark.sql.adaptive.enabled", "true") != "true") return (snapped, false)
+    // Plan the candidate on the adaptive-off clone: forcing executedPlan
+    // there pins the STATIC plan on that QueryExecution (plans are cached
+    // per Dataset), so the eligible branch returns the clone-rooted dataset
+    // and every later action runs the static plan. Execution is identical —
+    // the clone shares the SparkContext, executors, and cached blocks; only
+    // its session conf differs, and only in the adaptive flag.
+    val df = org.apache.spark.sql.GraftDatasetShim.ofRows(probeSession(spark), optimized)
     val eligible = try {
       def fragments(p: SparkPlan): Seq[SparkPlan] = p +: p.subqueries.flatMap(fragments)
       val all = fragments(df.queryExecution.executedPlan)
@@ -146,14 +199,91 @@ object PlanCache {
         }
         case _ => false
       })
-      !shuffledJoin && !derivedBuild && all.forall(
-        _.collect { case e: ShuffleExchangeExec => e }.size <= 3)
+      // Size-bounded static pin for shuffled-join shapes: when EVERY leaf is
+      // a file scan and the summed input is tiny (default 256 MB — a few
+      // partitions of work), AQE's runtime re-decisions cannot pay for their
+      // stage rounds: skew is bounded by the input, coalescing saves a few
+      // ms of task launch, and join re-strategy was already decided from
+      // honest leaf sizes. Measured on the bench join family at sf0.1:
+      // static is 15-160 ms FASTER per query (graft.tools.ConfExperiment,
+      // adaptive=false A/B). The bound self-scales exactly like
+      // autoBroadcastJoinThreshold: the same query over 100x the data blows
+      // the bound and keeps full adaptive execution — so this never
+      // sacrifices scale safety, it only stops paying adaptivity tax on
+      // provably small inputs. The derivedBuild guard stays unconditional
+      // (join_theta's 600k-row derived broadcast regression was a
+      // small-input plan).
+      val leaves = all.flatMap(_.collectLeaves())
+      val allFileLeaves = leaves.nonEmpty && leaves.forall {
+        case _: org.apache.spark.sql.execution.FileSourceScanExec => true
+        case _: org.apache.spark.sql.execution.LocalTableScanExec => true
+        case _ => false
+      }
+      val totalInputBytes = leaves.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.sizeInBytes
+      }.sum
+      val maxStaticInput = spark.conf.get(
+        "spark.graft.planCache.staticMaxInputBytes", (256L * 1024 * 1024).toString).toLong
+      val smallInput = allFileLeaves && totalInputBytes <= maxStaticInput
+      !derivedBuild && (smallInput || (!shuffledJoin && all.forall(
+        _.collect { case e: ShuffleExchangeExec => e }.size <= 3)))
     } catch { case scala.util.control.NonFatal(_) => false }
-    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
-    // Ineligible: this df's physical plan is already pinned adaptive-off, so
-    // hand back a sibling over the same optimized tree — its executedPlan is
-    // still unforced and resolves adaptive at first use.
-    if (eligible) df else snapped
+    // Ineligible: discard the clone-rooted probe dataset and hand back one
+    // rooted on the LIVE session — its executedPlan is still unforced and
+    // resolves adaptive at first use.
+    if (eligible) (df, true) else (snapped, false)
+  }
+
+  // ---- repeated count actions --------------------------------------------
+
+  private case class CountPlan(
+      optimized: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      static: Boolean)
+
+  private val countBySession = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.util.Map[String, CountPlan]]())
+
+  private def countStore(spark: SparkSession): java.util.Map[String, CountPlan] =
+    countBySession.synchronized {
+      var m = countBySession.get(spark)
+      if (m == null) {
+        m = java.util.Collections.synchronizedMap(new java.util.HashMap[String, CountPlan]())
+        countBySession.put(spark, m)
+      }
+      m
+    }
+
+  /** Execute COUNT(*) over the plan cached at `key` — the repeated-action
+    * path a server's prepared statements and the bench both take.
+    *
+    * `df.count()` wraps the dataset's logical plan in a fresh aggregate and
+    * re-pays optimizer fixpoint + adaptive stage rounds on EVERY call. Here
+    * the count-wrapped OPTIMIZED plan is memoized per (session, key)
+    * (logical plans are immutable), and each call roots a NEW dataset over
+    * it: fresh physical plan, fresh shuffle dependencies — so every call
+    * re-executes the full query (no stage or broadcast-result reuse across
+    * calls; this is a latency optimization, never a work-elision) — while
+    * skipping re-optimization, and skipping adaptive stage rounds when the
+    * wrapped shape passed the same static-pin probe as [[prepare]].
+    */
+  def count(spark: SparkSession, key: String)(build: => DataFrame): Long = {
+    val m = countStore(spark)
+    val cp = m.get(key)
+    val df = if (cp == null) {
+      val wrapped = get(spark, key)(build).groupBy().count()
+      val optimized = wrapped.queryExecution.optimizedPlan
+      val (probed, static) = prepareOptimized(spark, optimized)
+      m.put(key, CountPlan(optimized, static))
+      probed
+    } else if (cp.static) {
+      // Re-probe-session per call: forcing executedPlan under the
+      // adaptive-off clone pins the static plan on this fresh instance.
+      val d = org.apache.spark.sql.GraftDatasetShim.ofRows(probeSession(spark), cp.optimized)
+      d.queryExecution.executedPlan
+      d
+    } else org.apache.spark.sql.GraftDatasetShim.ofRows(spark, cp.optimized)
+    df.collect()(0).getLong(0)
   }
 
   /** Run a SQL text through the cache. Commands execute eagerly in
@@ -180,5 +310,9 @@ object PlanCache {
     }
   }
 
-  def invalidate(spark: SparkSession): Unit = bySession.remove(spark)
+  def invalidate(spark: SparkSession): Unit = {
+    bySession.remove(spark)
+    countBySession.remove(spark)
+    ()
+  }
 }

@@ -15,4 +15,21 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object GraftDatasetShim {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Fork an isolated session over the same SparkContext: copied conf +
+    * session state, shared executors/caches. The prepared-plan cache probes
+    * plan shapes under a clone with adaptive off, so the probe can never be
+    * observed by statements planned concurrently in the live session.
+    */
+  def cloneSession(spark: SparkSession): SparkSession =
+    spark.asInstanceOf[classic.SparkSession].cloneSession()
+
+  /** Wrap an already-parsed catalyst Expression as a Column. Row-level DML
+    * carries the parser's expressions (assignment values, conditions) into
+    * DataFrame transformations with this, instead of round-tripping through
+    * `e.sql` text — whose rendering is not guaranteed re-parseable (quoted
+    * identifiers, string literals containing quotes).
+    */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
 }

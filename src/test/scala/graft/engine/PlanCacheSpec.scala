@@ -81,14 +81,110 @@ class PlanCacheSpec extends AnyFunSuite {
     assert(!bcast.queryExecution.executedPlan.isInstanceOf[AdaptiveSparkPlanExec],
       "broadcast-only plan should bypass adaptive execution")
     assert(bcast.count() > 0)
-    // A merge/hash-shuffle join (broadcast disabled) => keeps AQE.
+    // A merge/hash-shuffle join (broadcast disabled) over a SMALL total
+    // input pins static too (the size-bounded rule): AQE has nothing
+    // worth re-deciding under 256 MB of scan.
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
+      val smallShuffled = PlanCache.sql(s,
+        "SELECT COUNT(*) AS c FROM orders JOIN customer ON o_custkey = c_custkey")
+      assert(!smallShuffled.queryExecution.executedPlan.isInstanceOf[AdaptiveSparkPlanExec],
+        "small-input shuffled-join plan should pin static under the size bound")
+      assert(smallShuffled.count() == 1)
+      // Same query with the size bound off => models the at-scale posture:
+      // shuffled joins keep adaptive execution.
+      s.conf.set("spark.graft.planCache.staticMaxInputBytes", "0")
+      PlanCache.invalidate(s)
       val shuffled = PlanCache.sql(s,
         "SELECT COUNT(*) AS c FROM orders JOIN customer ON o_custkey = c_custkey")
       assert(shuffled.queryExecution.executedPlan.isInstanceOf[AdaptiveSparkPlanExec],
-        "shuffled-join plan must keep adaptive execution")
+        "shuffled-join plan must keep adaptive execution beyond the size bound")
       assert(shuffled.count() == 1)
-    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+      s.conf.unset("spark.graft.planCache.staticMaxInputBytes")
+    }
+  }
+
+  test("static-plan probe never leaks into concurrent planning in the same session") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val s = GraftSession.local().newSession()
+    graft.Tables.ensure(s, graft.SparkTestHarness.sfDir)
+    // One thread hammers prepare() (whose probe plans adaptive-off); the
+    // other keeps planning fresh statements on the live session. With the
+    // old flip-and-restore probe this raced (a statement planned in the
+    // window pinned static); under the clone-based probe every live-session
+    // plan must stay adaptive. 40 rounds made the old race fire reliably.
+    val rounds = 40
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(2)
+    val leaked = new java.util.concurrent.atomic.AtomicInteger(0)
+    pool.submit(new Runnable { def run(): Unit = {
+      start.await()
+      (0 until rounds).foreach { i =>
+        PlanCache.invalidate(s) // force a fresh probe every round
+        PlanCache.sql(s,
+          s"SELECT n_name, COUNT(*) AS c FROM nation JOIN region ON n_regionkey = r_regionkey GROUP BY n_name HAVING COUNT(*) > $i")
+      }
+    }})
+    pool.submit(new Runnable { def run(): Unit = {
+      start.await()
+      (0 until rounds).foreach { i =>
+        // Planned directly on the live session, NOT through the cache: must
+        // always resolve adaptive. Distinct literal per round defeats any
+        // Catalyst-level reuse.
+        val df = s.sql(s"SELECT o_orderpriority, COUNT(*) AS c FROM orders WHERE o_shippriority >= -$i GROUP BY o_orderpriority")
+        if (!df.queryExecution.executedPlan.isInstanceOf[AdaptiveSparkPlanExec])
+          leaked.incrementAndGet(): Unit
+      }
+    }})
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS), "concurrent planning timed out")
+    assert(leaked.get == 0,
+      s"${leaked.get}/$rounds live-session plans lost adaptive execution during probes")
+  }
+
+  test("count path returns the same value as count() and re-executes full work per call") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+    val s = GraftSession.local().newSession()
+    graft.Tables.ensure(s, graft.SparkTestHarness.sfDir)
+    val q = "SELECT o_orderpriority, COUNT(*) AS c FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY o_orderpriority"
+    val expected = s.sql(q).count()
+    val stages = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
+        stages.incrementAndGet(): Unit
+    }
+    def measured(body: => Long): (Long, Int) = {
+      s.sparkContext.addSparkListener(listener)
+      stages.set(0)
+      try {
+        val v = body
+        // listener events are async: wait until the stage count stops moving
+        var last = -1
+        var same = 0
+        while (same < 3) { // 3 quiet polls = 300 ms with no new events
+          Thread.sleep(100)
+          val now = stages.get
+          if (now == last) same += 1 else { same = 0; last = now }
+        }
+        (v, stages.get)
+      } finally s.sparkContext.removeSparkListener(listener)
+    }
+    val (v1, stages1) = measured(PlanCache.count(s, "cnt:test")(s.sql(q)))
+    val (v2, stages2) = measured(PlanCache.count(s, "cnt:test")(s.sql(q)))
+    assert(v1 == expected && v2 == expected)
+    // A fresh physical plan per call means fresh shuffle dependencies: the
+    // second call must run the SAME stages, not skip map stages via shuffle
+    // output reuse (that would make the repeated-action path elide work).
+    assert(stages1 > 0)
+    assert(stages2 == stages1,
+      s"second count ran $stages2 stages vs $stages1 — work was reused, not re-executed")
+    // Commands invalidate the memoized count plan alongside the plan cache.
+    PlanCache.invalidate(s)
+    val (v3, _) = measured(PlanCache.count(s, "cnt:test")(s.sql(q)))
+    assert(v3 == expected)
   }
 }

@@ -113,6 +113,33 @@ class DmlSpec extends AnyFunSuite {
       "WHEN MATCHED THEN UPDATE SET v = s.v"))
   }
 
+  test("expressions survive without a SQL-text round-trip: quoted identifiers, quotes in literals") {
+    import spark.implicits._
+    freshTable("dml_q1")
+    // A column name needing backquotes and values containing single quotes:
+    // under the old expr(e.sql) round-trip either could re-parse wrongly.
+    Seq((1, "it's a", 1.0), (2, "plain", 2.0))
+      .toDF("id", "odd name", "v").write.saveAsTable("dml_q1")
+    val affected = RowDml.execute(spark,
+      "UPDATE dml_q1 SET `odd name` = concat(`odd name`, ' — isn''t it'), v = v + 0.5 " +
+      "WHERE `odd name` = 'it''s a'").collect().head.getLong(0)
+    assert(affected == 1)
+    val got = spark.table("dml_q1").orderBy("id")
+      .select(col("odd name"), col("v")).as[(String, Double)].collect().toSeq
+    assert(got == Seq(("it's a — isn't it", 1.5), ("plain", 2.0)))
+    // Same through MERGE assignments on the quoted column.
+    Seq((2, "wasn't"), (3, "new'un")).toDF("id", "nv").createOrReplaceTempView("dml_q1_src")
+    val m = RowDml.execute(spark,
+      "MERGE INTO dml_q1 t USING dml_q1_src s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET `odd name` = s.nv " +
+      "WHEN NOT MATCHED THEN INSERT (id, `odd name`, v) VALUES (s.id, s.nv, 9.0)")
+      .collect().head.getLong(0)
+    assert(m == 2)
+    val after = spark.table("dml_q1").orderBy("id")
+      .select(col("odd name")).as[String].collect().toSeq
+    assert(after == Seq("it's a — isn't it", "wasn't", "new'un"))
+  }
+
   test("the statement guard classifies row-level DML as writes (read-only blocked)") {
     import graft.engine.StatementGuard
     Seq("UPDATE dml_u1 SET v = 1",

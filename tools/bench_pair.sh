@@ -1,0 +1,63 @@
+#!/usr/bin/env bash
+# Paired same-window bench protocol: comparator / bench / comparator.
+#
+# The gate ratio (Spark total vs DuckDB total) has repeatedly moved 0.1-0.2x
+# with machine state between rounds, so a bench number is only meaningful
+# when its comparator was measured in the SAME window. This script pairs
+# them by construction:
+#
+#   1. DuckDB comparator  -> tools/comparator_<sf>.json  (A)
+#   2. graft.Bench        -> tools/bench_last.json       (B, embeds A)
+#   3. DuckDB comparator re-run, printed for drift check (A')
+#
+# If A and A' disagree by >10% the window was noisy — rerun. Usage:
+#   tools/bench_pair.sh [sfDir] [oracleSqlJson]
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+SF_DIR="${1:-/root/testdata/sf0.1}"
+ORACLE="${2:-/tmp/verify_out/oracle_sql.json}"
+SF_NAME="$(basename "$SF_DIR")"
+
+if [ ! -f "$ORACLE" ]; then
+  echo "oracle json not found at $ORACLE — run graft.Verify first" >&2
+  exit 1
+fi
+
+echo "== [A] comparator @$SF_DIR =="
+python3 tools/comparator.py "$SF_DIR" "$ORACLE"
+A_TOTAL=$(python3 -c "import json;print(json.load(open('tools/comparator_${SF_NAME}.json'))['total'])")
+
+echo "== [B] graft.Bench @$SF_DIR =="
+SPARK_GRAFT_SF_DIR="$SF_DIR" java \
+  --add-opens=java.base/java.lang=ALL-UNNAMED \
+  --add-opens=java.base/java.lang.invoke=ALL-UNNAMED \
+  --add-opens=java.base/java.lang.reflect=ALL-UNNAMED \
+  --add-opens=java.base/java.io=ALL-UNNAMED \
+  --add-opens=java.base/java.net=ALL-UNNAMED \
+  --add-opens=java.base/java.nio=ALL-UNNAMED \
+  --add-opens=java.base/java.util=ALL-UNNAMED \
+  --add-opens=java.base/java.util.concurrent=ALL-UNNAMED \
+  --add-opens=java.base/java.util.concurrent.atomic=ALL-UNNAMED \
+  --add-opens=java.base/sun.nio.ch=ALL-UNNAMED \
+  --add-opens=java.base/sun.nio.cs=ALL-UNNAMED \
+  --add-opens=java.base/sun.security.action=ALL-UNNAMED \
+  --add-opens=java.base/sun.util.calendar=ALL-UNNAMED \
+  -cp "target/scala-2.13/classes:/opt/spark/jars/*" graft.Bench \
+  2> >(grep -E "\[bench\]" >&2 || true) | grep '{"metric"'
+
+echo "== [A'] comparator drift check =="
+python3 tools/comparator.py "$SF_DIR" "$ORACLE" >/dev/null
+A2_TOTAL=$(python3 -c "import json;print(json.load(open('tools/comparator_${SF_NAME}.json'))['total'])")
+
+B_TOTAL=$(python3 -c "import json;print(json.load(open('tools/bench_last.json'))['value'])")
+python3 - "$A_TOTAL" "$A2_TOTAL" "$B_TOTAL" <<'EOF'
+import sys
+a, a2, b = map(float, sys.argv[1:4])
+drift = abs(a - a2) / min(a, a2)
+ratio = b / min(a, a2)
+print(f"duckdb A={a:.3f}s A'={a2:.3f}s (drift {drift*100:.1f}%)  spark B={b:.3f}s  ratio={ratio:.2f}x")
+if drift > 0.10:
+    print("WINDOW NOISY (comparator drifted >10%) — rerun", file=sys.stderr)
+    sys.exit(3)
+EOF
