@@ -69,21 +69,29 @@ object PlanCache {
   // catalog snapshot going stale is irrelevant.
   private case class Probe(session: SparkSession, fingerprint: Map[String, String])
 
+  // Clones are keyed by shuffle-partition override (0 = live default, used
+  // for the eligibility probe; N = the size-scaled partition count a
+  // small-input static plan runs with).
   private val probeBySession = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession, Probe]())
+    new java.util.WeakHashMap[SparkSession, java.util.HashMap[Integer, Probe]]())
 
   private def confFingerprint(spark: SparkSession): Map[String, String] =
-    spark.conf.getAll - "spark.sql.adaptive.enabled"
+    spark.conf.getAll - "spark.sql.adaptive.enabled" - "spark.sql.shuffle.partitions"
 
-  private def probeSession(spark: SparkSession): SparkSession =
+  private def probeSession(spark: SparkSession, parts: Int): SparkSession =
     probeBySession.synchronized {
-      val fp = confFingerprint(spark)
-      val cur = probeBySession.get(spark)
+      var m = probeBySession.get(spark)
+      if (m == null) { m = new java.util.HashMap[Integer, Probe](); probeBySession.put(spark, m) }
+      val fp = confFingerprint(spark) +
+        ("spark.graft.probe.liveShufflePartitions" ->
+          (if (parts == 0) spark.conf.get("spark.sql.shuffle.partitions", "200") else ""))
+      val cur = m.get(Integer.valueOf(parts))
       if (cur != null && cur.fingerprint == fp) cur.session
       else {
         val p = org.apache.spark.sql.GraftDatasetShim.cloneSession(spark)
         p.conf.set("spark.sql.adaptive.enabled", "false")
-        probeBySession.put(spark, Probe(p, fp))
+        if (parts > 0) p.conf.set("spark.sql.shuffle.partitions", parts.toString)
+        m.put(Integer.valueOf(parts), Probe(p, fp))
         p
       }
     }
@@ -157,62 +165,43 @@ object PlanCache {
   }
 
   /** Build the dataset for an already-OPTIMIZED plan, probing static-plan
-    * eligibility. Returns the dataset plus whether it was pinned static.
+    * eligibility. Returns (dataset, pinned-static?, shuffle-partition
+    * override used — 0 when none).
     */
   private def prepareOptimized(
       spark: SparkSession,
-      optimized: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): (DataFrame, Boolean) = {
+      optimized: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): (DataFrame, Boolean, Int) = {
     def snapped: DataFrame =
       org.apache.spark.sql.GraftDatasetShim.ofRows(spark, optimized)
-    if (spark.conf.get("spark.sql.adaptive.enabled", "true") != "true") return (snapped, false)
+    if (spark.conf.get("spark.sql.adaptive.enabled", "true") != "true") return (snapped, false, 0)
     // Plan the candidate on the adaptive-off clone: forcing executedPlan
     // there pins the STATIC plan on that QueryExecution (plans are cached
     // per Dataset), so the eligible branch returns the clone-rooted dataset
     // and every later action runs the static plan. Execution is identical —
     // the clone shares the SparkContext, executors, and cached blocks; only
-    // its session conf differs, and only in the adaptive flag.
-    val df = org.apache.spark.sql.GraftDatasetShim.ofRows(probeSession(spark), optimized)
-    val eligible = try {
+    // its session conf differs, and only in the adaptive flag (plus, for
+    // small-input pins, a size-scaled shuffle partition count).
+    val df = org.apache.spark.sql.GraftDatasetShim.ofRows(probeSession(spark, 0), optimized)
+    val (eligible, staticParts) = try {
       def fragments(p: SparkPlan): Seq[SparkPlan] = p +: p.subqueries.flatMap(fragments)
       val all = fragments(df.queryExecution.executedPlan)
       val shuffledJoin = all.exists(_.exists {
         case _: SortMergeJoinExec | _: ShuffledHashJoinExec => true
         case _ => false
       })
-      // Broadcast builds must be LEAF dimensions: scan + filter/project only,
-      // nothing derived. A derived build side (aggregate, explode, join, or
-      // an exchange feeding it) marks a plan where the static planner is
-      // about to hash-build a computed relation on the driver — the shapes
-      // where adaptive execution earns its rounds (measured: join_theta
-      // 0.15 s adaptive vs 0.41 s static when the planner broadcast a
-      // 600k-row pre-shuffled side; dedup_minhash_lsh recomputed its whole
-      // minhash aggregation as a broadcast build). Small file scans are the
-      // one thing the static planner can size honestly.
-      val derivedBuild = all.exists(_.exists {
-        case b: BroadcastExchangeExec => b.child.exists {
-          case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
-          case _: org.apache.spark.sql.execution.GenerateExec => true
-          case _: org.apache.spark.sql.execution.joins.BaseJoinExec => true
-          case _: org.apache.spark.sql.execution.exchange.Exchange => true
-          case _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => true
-          case _ => false
-        }
-        case _ => false
-      })
-      // Size-bounded static pin for shuffled-join shapes: when EVERY leaf is
-      // a file scan and the summed input is tiny (default 256 MB — a few
-      // partitions of work), AQE's runtime re-decisions cannot pay for their
-      // stage rounds: skew is bounded by the input, coalescing saves a few
-      // ms of task launch, and join re-strategy was already decided from
-      // honest leaf sizes. Measured on the bench join family at sf0.1:
-      // static is 15-160 ms FASTER per query (graft.tools.ConfExperiment,
-      // adaptive=false A/B). The bound self-scales exactly like
-      // autoBroadcastJoinThreshold: the same query over 100x the data blows
-      // the bound and keeps full adaptive execution — so this never
-      // sacrifices scale safety, it only stops paying adaptivity tax on
-      // provably small inputs. The derivedBuild guard stays unconditional
-      // (join_theta's 600k-row derived broadcast regression was a
-      // small-input plan).
+      // Size-bounded static pin for shuffled-join shapes (computed first —
+      // the derived-build rule below keys off it): when EVERY leaf is a
+      // file scan and the summed input is tiny (default 256 MB — a few
+      // partitions of work), AQE's runtime re-decisions cannot pay for
+      // their stage rounds: skew is bounded by the input, coalescing saves
+      // a few ms of task launch, and join re-strategy was already decided
+      // from honest leaf sizes. Measured on the bench join family at
+      // sf0.1: static is 15-160 ms FASTER per query
+      // (graft.tools.ConfExperiment, adaptive=false A/B). The bound
+      // self-scales exactly like autoBroadcastJoinThreshold: the same
+      // query over 100x the data blows the bound and keeps full adaptive
+      // execution — so this never sacrifices scale safety, it only stops
+      // paying adaptivity tax on provably small inputs.
       val leaves = all.flatMap(_.collectLeaves())
       val allFileLeaves = leaves.nonEmpty && leaves.forall {
         case _: org.apache.spark.sql.execution.FileSourceScanExec => true
@@ -226,20 +215,80 @@ object PlanCache {
       val maxStaticInput = spark.conf.get(
         "spark.graft.planCache.staticMaxInputBytes", (256L * 1024 * 1024).toString).toLong
       val smallInput = allFileLeaves && totalInputBytes <= maxStaticInput
-      !derivedBuild && (smallInput || (!shuffledJoin && all.forall(
+
+      // Broadcast builds should be dimensions the static planner can size
+      // honestly. A derived build containing a join or generate (explode)
+      // can exceed every estimate (measured: join_theta 0.15 s adaptive vs
+      // 0.41 s static when the planner broadcast a 600k-row pre-shuffled
+      // side), and a pre-shuffled build that does NOT shrink through an
+      // aggregate hash-builds an input-sized relation on the driver — both
+      // stay blockers always. An AGGREGATE-topped build under the small-
+      // input bound is allowed: group-by output is bounded by its key
+      // count and its input is provably tiny (this is the TPC-H q17
+      // scalar-correlation shape — measured 127 ms faster static). Beyond
+      // the bound the original strict rule applies unchanged.
+      val derivedBuild = all.exists(_.exists {
+        case b: BroadcastExchangeExec =>
+          val joinOrGen = b.child.exists {
+            case _: org.apache.spark.sql.execution.GenerateExec => true
+            case _: org.apache.spark.sql.execution.joins.BaseJoinExec => true
+            case _ => false
+          }
+          val agg = b.child.exists {
+            case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
+            case _ => false
+          }
+          val exchange = b.child.exists {
+            case _: org.apache.spark.sql.execution.exchange.Exchange => true
+            case _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => true
+            case _ => false
+          }
+          if (smallInput) joinOrGen || (exchange && !agg)
+          else joinOrGen || agg || exchange
+        case _ => false
+      })
+      val ok = !derivedBuild && (smallInput || (!shuffledJoin && all.forall(
         _.collect { case e: ShuffleExchangeExec => e }.size <= 3)))
-    } catch { case scala.util.control.NonFatal(_) => false }
+      // Size-scaled shuffle partitions for small-input pins: AQE would
+      // coalesce these exchanges down to a handful of partitions at
+      // runtime; the static plan sizes them the same way from the same
+      // bound (~16 MB of input per partition, floor 4, never above the
+      // live setting) — measured 60-380 ms faster per query on the bench
+      // join family (graft.tools.SmallPartProbe, 32 vs 8 partitions at
+      // sf0.1). Values cannot depend on the partition count: sampling here
+      // is md5-deterministic, and the global-ntile id arithmetic corrects
+      // per-partition offsets by construction.
+      val live =
+        try spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+        catch { case _: java.lang.NumberFormatException => 200 }
+      val parts =
+        if (ok && smallInput) {
+          val sized = (totalInputBytes + (16L << 20) - 1) / (16L << 20)
+          val p = math.max(4L, math.min(live.toLong, sized)).toInt
+          if (p < live) p else 0
+        } else 0
+      (ok, parts)
+    } catch { case scala.util.control.NonFatal(_) => (false, 0) }
     // Ineligible: discard the clone-rooted probe dataset and hand back one
     // rooted on the LIVE session — its executedPlan is still unforced and
     // resolves adaptive at first use.
-    if (eligible) (df, true) else (snapped, false)
+    if (!eligible) (snapped, false, 0)
+    else if (staticParts > 0) {
+      // Re-plan under the size-scaled clone and force: pins the static
+      // plan with right-sized exchanges.
+      val d = org.apache.spark.sql.GraftDatasetShim.ofRows(
+        probeSession(spark, staticParts), optimized)
+      d.queryExecution.executedPlan
+      (d, true, staticParts)
+    } else (df, true, 0)
   }
 
   // ---- repeated count actions --------------------------------------------
 
   private case class CountPlan(
       optimized: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-      static: Boolean)
+      static: Boolean,
+      parts: Int)
 
   private val countBySession = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession, java.util.Map[String, CountPlan]]())
@@ -273,13 +322,15 @@ object PlanCache {
     val df = if (cp == null) {
       val wrapped = get(spark, key)(build).groupBy().count()
       val optimized = wrapped.queryExecution.optimizedPlan
-      val (probed, static) = prepareOptimized(spark, optimized)
-      m.put(key, CountPlan(optimized, static))
+      val (probed, static, parts) = prepareOptimized(spark, optimized)
+      m.put(key, CountPlan(optimized, static, parts))
       probed
     } else if (cp.static) {
       // Re-probe-session per call: forcing executedPlan under the
-      // adaptive-off clone pins the static plan on this fresh instance.
-      val d = org.apache.spark.sql.GraftDatasetShim.ofRows(probeSession(spark), cp.optimized)
+      // adaptive-off clone pins the static plan on this fresh instance,
+      // at the same partition override the first probe chose.
+      val d = org.apache.spark.sql.GraftDatasetShim.ofRows(
+        probeSession(spark, cp.parts), cp.optimized)
       d.queryExecution.executedPlan
       d
     } else org.apache.spark.sql.GraftDatasetShim.ofRows(spark, cp.optimized)
