@@ -1,0 +1,258 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+
+/** Second-wave corpus preparation + retrieval operators (additive
+  * training-pipeline scope): BM25 ranked retrieval, hybrid lexical+vector
+  * fusion, line-level dedup, tokenizer-training pair counts, and
+  * perplexity-bucket curriculum assignment.
+  *
+  * Scale design notes per op inline; the common float policy is the
+  * `text_lm_score` one — every per-term double contribution is quantized to
+  * an integer micro/milli grid BEFORE any order-dependent sum, so
+  * cross-engine reductions are BIGINT arithmetic.
+  */
+object CorpusPrep {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame = {
+    Tables.ensure(spark, dir)
+    spark.table("documents")
+  }
+  private def emb(spark: SparkSession, dir: String): DataFrame = {
+    Tables.ensure(spark, dir)
+    spark.table("embeddings")
+  }
+
+  /** The fixed demo query for the retrieval ops: terms drawn from the
+    * fixture vocabulary. A production call parameterizes these; the oracle
+    * needs one concrete instance.
+    */
+  private val queryTerms = Seq("vector", "query", "join", "stream")
+
+  /** Okapi BM25 (k1=1.2, b=0.75) per-document scores for [[queryTerms]] over
+    * `d` (doc_id, text), as integer micro-units: (doc_id, c) where
+    * bm25 = c / 1e6. Shape: doc length rides the explode as a grouping key
+    * (no separate length join); document frequency of the <=4 query terms is
+    * a tiny broadcast; corpus stats (avgdl, N) are a broadcast single-row
+    * aggregate. The corpus-side explode filters to query terms BEFORE the
+    * aggregate, so the shuffled slice is O(matching tokens), not O(corpus).
+    * Per-term contributions quantize to micro-units before the per-doc sum
+    * (order-independent BIGINT reduction, the lm_score float policy).
+    */
+  private[operators] def bm25Micro(d: DataFrame): DataFrame = {
+    val nPart = d.sparkSession.sessionState.conf.numShufflePartitions
+    val ws = tokens(col("text"))
+    val tf = d.repartition(nPart, col("doc_id"))
+      .select(col("doc_id"), size(ws).cast("long").as("dl"), explode(ws).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = d.select(size(ws).cast("long").as("dl"))
+      .agg((sum("dl").cast("double") / count(lit(1))).as("avgdl"),
+        count(lit(1)).as("n_docs"))
+    // Exactly the oracle's double expression tree: every operand cast to
+    // double before it meets another, identical association on both engines.
+    val idf = log(lit(1.0) +
+      ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val norm = lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl"))
+    val den = col("tf").cast("double") + lit(1.2) * norm
+    val c = round(idf * ((col("tf").cast("double") * lit(2.2)) / den) * lit(1000000.0))
+      .cast("long")
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), c.as("c"))
+      .groupBy("doc_id").agg(sum("c").as("c"))
+  }
+
+  /** The oracle-side rendering of [[bm25Micro]] as DuckDB CTEs (`tf`/`sc`
+    * bound to the given source relation). Kept next to the Scala so the two
+    * expression trees stay in lock-step.
+    */
+  private def bm25OracleCtes(rel: String): String =
+    s"d AS (SELECT doc_id, STRING_SPLIT(text,' ') AS ws FROM $rel), " +
+    "st AS (SELECT CAST(SUM(LEN(ws)) AS DOUBLE)/COUNT(*) AS avgdl, COUNT(*) AS n_docs FROM d), " +
+    "w AS (SELECT doc_id, CAST(LEN(ws) AS BIGINT) AS dl, UNNEST(ws) AS term FROM d), " +
+    "tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM w " +
+    "WHERE term IN ('vector','query','join','stream') GROUP BY 1,2,3), " +
+    "dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1), " +
+    "sc AS (SELECT tf.doc_id, CAST(ROUND(" +
+    "LN(1.0 + (CAST(st.n_docs - dfreq.df AS DOUBLE) + 0.5)/(CAST(dfreq.df AS DOUBLE) + 0.5)) * " +
+    "((CAST(tf.tf AS DOUBLE) * 2.2) / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(tf.dl AS DOUBLE)/st.avgdl)))) " +
+    "* 1000000.0) AS BIGINT) AS c FROM tf JOIN dfreq USING (term), st), " +
+    "bm AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS c FROM sc GROUP BY doc_id)"
+
+  /** Per-document line-dedup accounting over (doc_id, text): the corpus cut
+    * into fixed 8-token lines, each line's first occurrence (by doc_id,
+    * then position) kept, repeats counted per document. Two exchanges:
+    * doc_id (pre-explode spread) and line content (the occurrence window).
+    */
+  private[operators] def lineDedupStats(d: DataFrame): DataFrame = {
+    val nPart = d.sparkSession.sessionState.conf.numShufflePartitions
+    val ws = tokens(col("text"))
+    val lines = d.filter(size(ws) > 0)
+      .repartition(nPart, col("doc_id"))
+      .select(col("doc_id"), ws.as("ws"))
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0), ceil(size(col("ws")) / lit(8.0)).cast("int") - 1)).as("i"))
+      .select(col("doc_id"), col("i").cast("long").as("line_no"),
+        array_join(slice(col("ws"), col("i") * 8 + 1, lit(8)), " ").as("line"))
+    val occ = row_number().over(Window.partitionBy("line").orderBy("doc_id", "line_no"))
+    lines.withColumn("occ", occ)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("occ") > 1, 1L).otherwise(0L)).as("n_dup_lines"))
+  }
+
+  /** Adjacent token-pair frequencies over (doc_id, text) — the count table
+    * one BPE merge iteration ranks. The triRows zip-with-shifted-slice shape
+    * (codegen, no window, no lambda); the count is map-side combined so only
+    * (pair, partial) rows shuffle.
+    */
+  private[operators] def bpePairs(d: DataFrame): DataFrame = {
+    val nPart = d.sparkSession.sessionState.conf.numShufflePartitions
+    val ws = tokens(col("text"))
+    d.filter(size(ws) >= 2)
+      .repartition(nPart, col("doc_id"))
+      .select(ws.as("w0"), slice(ws, lit(2), greatest(size(ws) - 1, lit(0))).as("s1"))
+      .select(explode(arrays_zip(col("w0"), col("s1"))).as("t"))
+      .filter(col("t.s1").isNotNull)
+      .select(col("t.w0").as("w1"), col("t.s1").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+  }
+
+  val ops: Seq[Op] = Seq(
+
+    // BM25 ranked retrieval: the lexical half of every retrieval/RAG stack
+    // and the standard relevance filter for query-targeted corpus slices.
+    // Top-10 documents for the fixed query-term set.
+    Op("text_bm25_topk",
+      s"WITH ${bm25OracleCtes("documents")} " +
+      "SELECT doc_id, CAST(c AS BIGINT)/1000000.0 AS bm25 FROM bm " +
+      "ORDER BY bm25 DESC, doc_id LIMIT 10") { (s, d) =>
+      bm25Micro(docs(s, d).select("doc_id", "text"))
+        .select(col("doc_id"), (col("c") / 1000000.0).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(10)
+    },
+
+    // Hybrid retrieval via reciprocal rank fusion (k=60): BM25 lexical
+    // ranking fused with cosine vector ranking over the embedded slice of
+    // the corpus (documents joined to embeddings on doc_id = vec_id; at
+    // sf0.1 only a subset of docs is embedded — the universe is that
+    // subset, the realistic hybrid-index shape). Each ranking contributes
+    // its top-100 list; RRF = sum of 1/(60+rank) over the lists containing
+    // the doc. Scale: each top-100 is a distributed TakeOrdered (no global
+    // window over data — ranks are assigned on the 100-row result), the
+    // fusion is a tiny full-outer join. The 1/(60+r) divisions are exact
+    // same-operand IEEE on both engines; ranks are integers.
+    Op("embed_hybrid_rrf",
+      "WITH u AS (SELECT d.doc_id, d.text, CAST(e.embedding AS DOUBLE[]) AS v " +
+      "FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id WHERE d.doc_id <> 0), " +
+      bm25OracleCtes("u") + ", " +
+      "q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0), " +
+      "rb AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY c DESC, doc_id) AS r FROM bm QUALIFY r <= 100), " +
+      "rc AS (SELECT u.doc_id, ROW_NUMBER() OVER (ORDER BY ROUND(LIST_COSINE_SIMILARITY(u.v, q.qv), 6) DESC, u.doc_id) AS r " +
+      "FROM u, q QUALIFY r <= 100), " +
+      "f AS (SELECT COALESCE(rb.doc_id, rc.doc_id) AS doc_id, " +
+      "CAST(COALESCE(rb.r, 0) AS INTEGER) AS r_bm25, CAST(COALESCE(rc.r, 0) AS INTEGER) AS r_cos, " +
+      "COALESCE(1.0/(60+rb.r), 0) + COALESCE(1.0/(60+rc.r), 0) AS rrf FROM rb FULL JOIN rc ON rb.doc_id = rc.doc_id) " +
+      "SELECT doc_id, r_bm25, r_cos, ROUND(rrf, 6) AS rrf FROM f " +
+      "ORDER BY rrf DESC, doc_id LIMIT 10") { (s, d) =>
+      val u = docs(s, d).filter(col("doc_id") =!= 0)
+        .join(emb(s, d).select(col("vec_id"), asDouble(col("embedding")).as("v")),
+          col("doc_id") === col("vec_id"))
+      val qv = emb(s, d).filter(col("vec_id") === 0)
+        .select(asDouble(col("embedding"))).first().getSeq[Double](0)
+      // Ranks via distributed top-k then row_number over the 100-row result
+      // (same ordering => the global ranks), not a global window over data.
+      val rb = bm25Micro(u.select("doc_id", "text"))
+        .orderBy(col("c").desc, col("doc_id")).limit(100)
+        .select(col("doc_id"),
+          row_number().over(Window.orderBy(col("c").desc, col("doc_id"))).as("r"))
+      val rc = u.select(col("doc_id"), round(cosine(col("v"), typedLit(qv)), 6).as("cos"))
+        .orderBy(col("cos").desc, col("doc_id")).limit(100)
+        .select(col("doc_id"),
+          row_number().over(Window.orderBy(col("cos").desc, col("doc_id"))).as("r"))
+      rb.as("rb").join(rc.as("rc"), col("rb.doc_id") === col("rc.doc_id"), "full")
+        .select(
+          coalesce(col("rb.doc_id"), col("rc.doc_id")).as("doc_id"),
+          coalesce(col("rb.r"), lit(0)).cast("int").as("r_bm25"),
+          coalesce(col("rc.r"), lit(0)).cast("int").as("r_cos"),
+          (coalesce(lit(1.0) / (lit(60) + col("rb.r")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("rc.r")), lit(0.0))).as("rrf"))
+        .select(col("doc_id"), col("r_bm25"), col("r_cos"), round(col("rrf"), 6).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+    },
+
+    // C4-style line-level dedup accounting: the corpus cut into fixed
+    // 8-token lines (the fixture text has no newlines; on real data the
+    // splitter is `split(text, '\n')` and everything downstream is
+    // unchanged), each line's first occurrence (by doc_id, then position)
+    // kept, repeats counted per document. Scale: one groupBy-free explode
+    // keyed on doc_id, a window over the `line` clustering (distributes by
+    // line content), and a per-doc collapse — two exchanges end-to-end,
+    // both on unskewed keys.
+    Op("dedup_lines",
+      "WITH d AS (SELECT doc_id, STRING_SPLIT(text,' ') AS ws FROM documents WHERE LEN(STRING_SPLIT(text,' ')) > 0), " +
+      "e AS (SELECT doc_id, ws, UNNEST(RANGE(0, CAST(CEIL(LEN(ws)/8.0) AS BIGINT))) AS i FROM d), " +
+      "l AS (SELECT doc_id, i AS line_no, ARRAY_TO_STRING(LIST_SLICE(ws, i*8+1, i*8+8), ' ') AS line FROM e), " +
+      "k AS (SELECT doc_id, line_no, ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS occ FROM l) " +
+      "SELECT doc_id, COUNT(*) AS n_lines, CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lines " +
+      "FROM k GROUP BY doc_id ORDER BY doc_id") { (s, d) =>
+      lineDedupStats(docs(s, d)).orderBy("doc_id")
+    },
+
+    // One BPE-merge candidate scan: adjacent token-pair frequencies across
+    // the corpus, top-20 — the inner loop of tokenizer training (each BPE
+    // iteration merges the most frequent pair and recounts). Scale: the
+    // pair explode is the triRows shape (zip the token array with its own
+    // shifted slice — codegen, no window, no lambda) feeding one
+    // map-side-combined count; only (pair, partial-count) rows shuffle.
+    Op("pipeline_bpe_pairs",
+      "WITH d AS (SELECT doc_id, STRING_SPLIT(text,' ') AS ws FROM documents WHERE LEN(STRING_SPLIT(text,' ')) >= 2), " +
+      "p AS (SELECT UNNEST(LIST_ZIP(LIST_SLICE(ws, 1, LEN(ws)-1), LIST_SLICE(ws, 2, LEN(ws)))) AS z FROM d) " +
+      "SELECT z[1] AS w1, z[2] AS w2, COUNT(*) AS cnt FROM p " +
+      "GROUP BY 1, 2 ORDER BY cnt DESC, w1, w2 LIMIT 20") { (s, d) =>
+      bpePairs(docs(s, d)).orderBy(col("cnt").desc, col("w1"), col("w2")).limit(20)
+    },
+
+    // CCNet-style perplexity bucketing: documents split into head/middle/
+    // tail terciles of unigram LM score WITHIN each language — the
+    // filtering signal CCNet feeds from its LM. Exact per-language NTILE at
+    // scale via [[Windows.groupedNtile]]: a plain partitioned window puts
+    // each language on one task (a dominant language = most of the corpus
+    // on one core); the grouped form range-partitions over (lang, score)
+    // so big languages span partitions. LM scores are the text_lm_score
+    // integer-milli quantization, so ordering keys are cross-engine exact.
+    Op("text_ppl_buckets",
+      "WITH w AS (SELECT doc_id, UNNEST(STRING_SPLIT(text,' ')) AS term FROM documents), " +
+      "c AS (SELECT term, COUNT(*) AS cnt FROM w GROUP BY 1), " +
+      "t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c), " +
+      "q AS (SELECT w.doc_id, CAST(ROUND(LOG10(CAST(c.cnt AS DOUBLE)/t.total)*1000) AS BIGINT) AS logq " +
+      "FROM w JOIN c USING (term), t), " +
+      "lm AS (SELECT doc_id, (CAST(SUM(logq) AS BIGINT)/1000.0)/COUNT(*) AS lm_score FROM q GROUP BY doc_id) " +
+      "SELECT doc_id, d.lang, CAST(NTILE(3) OVER (PARTITION BY d.lang ORDER BY lm.lm_score, doc_id) AS INTEGER) AS ppl_bucket " +
+      "FROM lm JOIN documents d USING (doc_id) ORDER BY doc_id") { (s, d) =>
+      val nPart = s.sessionState.conf.numShufflePartitions
+      val w = docs(s, d).repartition(nPart, col("doc_id"))
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      val cnts = w.groupBy("term").agg(count(lit(1)).as("cnt"))
+      val total = cnts.agg(sum("cnt").as("total"))
+      val lm = w.join(broadcast(cnts.crossJoin(total)), "term")
+        .select(col("doc_id"),
+          round(log10(col("cnt").cast("double") / col("total")) * 1000).cast("long").as("logq"))
+        .groupBy("doc_id")
+        .agg(((sum("logq") / 1000.0) / count(lit(1))).as("lm_score"))
+      val withLang = lm.join(docs(s, d).select("doc_id", "lang"), "doc_id")
+      Windows.groupedNtile(withLang, 3, Seq("lang"),
+          Seq(col("lm_score"), col("doc_id")), "ppl_bucket")
+        .select("doc_id", "lang", "ppl_bucket")
+        .orderBy("doc_id")
+    }
+  )
+}

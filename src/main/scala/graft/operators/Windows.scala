@@ -64,6 +64,53 @@ object Windows {
       .select(inCols.map(col) :+ col(out): _*)
   }
 
+  /** Exact per-group NTILE — `NTILE(n) OVER (PARTITION BY group ORDER BY
+    * sort)` — without per-group single-task windows. A plain partitioned
+    * window puts each group on ONE task, so a billion-row group (one
+    * dominant language in a corpus) serializes; here the sort is a
+    * range-partitioned exchange over (group, sort) — a big group simply
+    * spans several partitions — and ranks-within-group come from the same
+    * id arithmetic as [[globalNtile]] plus one extra per-(partition, group)
+    * aggregate column: the block's minimum local id, which anchors each
+    * row's offset inside its block. Per-group cumulative offsets and totals
+    * are a window over one row per (partition, group) — hundreds of rows —
+    * broadcast back. Same single data shuffle as globalNtile.
+    */
+  def groupedNtile(df: DataFrame, n: Int, groupCols: Seq[String],
+      sortCols: Seq[org.apache.spark.sql.Column], out: String): DataFrame = {
+    val inCols = df.columns
+    val keys = groupCols.map(col) ++ sortCols
+    val mid = df.orderBy(keys: _*).withColumn("__mid", monotonically_increasing_id())
+    def pid(c: org.apache.spark.sql.Column) = shiftright(c, 33)
+    def local(c: org.apache.spark.sql.Column) = c.bitwiseAND(lit((1L << 33) - 1))
+    // One row per (partition, group) block: its size and where it starts
+    // locally. Rows of a block are contiguous after the (group, sort)-keyed
+    // range sort, so local-id minus the block's min local id is the row's
+    // offset inside the block.
+    val wOff = Window.partitionBy(groupCols.map(col): _*).orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(groupCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // Group columns renamed on the offsets side: offs derives from `mid`, so
+    // the join is a self-join by lineage and unqualified names are ambiguous.
+    val offs = mid.groupBy((pid(col("__mid")).as("__pid") +: groupCols.map(col)): _*)
+      .agg(count(lit(1)).as("__cnt"), min(local(col("__mid"))).as("__lmin"))
+      .select((groupCols.map(g => col(g).as(s"__g_$g")) :+ col("__pid") :+ col("__lmin") :+
+        coalesce(sum("__cnt").over(wOff), lit(0L)).as("__off") :+
+        sum("__cnt").over(wTot).as("__total")): _*)
+    val joinCond = (pid(col("__mid")) === col("__pid")) &&
+      groupCols.map(g => mid(g) <=> col(s"__g_$g")).reduce(_ && _)
+    mid.join(broadcast(offs), joinCond)
+      .withColumn("__idx", col("__off") + (local(col("__mid")) - col("__lmin")))
+      .withColumn("__t", col("__total"))
+      .withColumn(out, expr(
+        s"cast(case when __idx < (__t % $n) * (__t div $n + 1) " +
+        s"then __idx div (__t div $n + 1) " +
+        s"else (__idx - (__t % $n) * (__t div $n + 1)) div (__t div $n) + __t % $n " +
+        s"end + 1 as int)"))
+      .select(inCols.map(mid(_)) :+ col(out): _*)
+  }
+
   private val byCust = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
   private val byNationBal = Window.partitionBy("s_nationkey").orderBy(col("s_acctbal").desc)
 

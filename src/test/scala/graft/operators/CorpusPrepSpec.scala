@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestHarness
+
+/** Properties of the second-wave corpus ops the DuckDB oracle can't express:
+  * groupedNtile's exact equivalence to the per-partition window form, and
+  * structural invariants of the retrieval/dedup outputs.
+  */
+class CorpusPrepSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+  private val dir = SparkTestHarness.sfDir
+  import spark.implicits._
+
+  private def op(name: String) =
+    graft.SparkEntry.queries(name)(spark, dir)
+
+  test("groupedNtile matches windowed per-group NTILE for every remainder case") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    for (n <- Seq(1, 3, 4)) {
+      // Uneven group sizes: 1, 5, 7, 12 rows — hits every total%n case.
+      val rows = for {
+        (g, total) <- Seq(("a", 1), ("b", 5), ("c", 7), ("d", 12))
+        i <- 0 until total
+      } yield (g, i.toLong)
+      val df = rows.toDF("g", "v")
+      val expected = df.select($"g", $"v",
+          ntile(n).over(W.partitionBy("g").orderBy("v")).as("tile"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).sorted
+      val got = Windows.groupedNtile(df, n, Seq("g"), Seq($"v"), "tile")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).sorted
+      assert(got.toSeq === expected.toSeq, s"n=$n")
+    }
+  }
+
+  test("groupedNtile is exact when one dominant group spans many partitions") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    // 90% of rows in one group (the dominant-language shape the operator
+    // exists for), shuffled input; plus several small groups, one of which
+    // will share range partitions with its neighbors.
+    val df = spark.range(20000).select(
+        when($"id" % 10 =!= 0, lit("big")).otherwise(concat(lit("s"), $"id" % 7)).as("g"),
+        (hash($"id") % 1000000).cast("long").as("v"),
+        $"id".as("k"))
+      .repartition(17)
+    val expected = df.select($"g", $"k",
+        ntile(5).over(W.partitionBy("g").orderBy($"v", $"k")).as("tile"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).sorted
+    val out = Windows.groupedNtile(df, 5, Seq("g"), Seq($"v", $"k"), "tile")
+    val got = out.select($"g", $"k", $"tile")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).sorted
+    assert(got.toSeq === expected.toSeq)
+    assert(!out.queryExecution.optimizedPlan.toString.contains("LogicalRDD"),
+      "groupedNtile must not convert to RDD[Row]")
+  }
+
+  test("dedup_lines charges repeats to later docs and keeps first occurrences clean") {
+    // Constructed corpus: doc 20 is an exact copy of doc 10 (every line a
+    // repeat); doc 30 shares only its first 8-token line with doc 10; doc 40
+    // is unique. Lines are 8 tokens, so each text below is 2 lines.
+    val a = "t1 t2 t3 t4 t5 t6 t7 t8 u1 u2 u3 u4 u5 u6 u7 u8"
+    val c = "t1 t2 t3 t4 t5 t6 t7 t8 x1 x2 x3 x4 x5 x6 x7 x8"
+    val d = Seq((10L, a), (20L, a), (30L, c), (40L, "y1 y2 y3"))
+      .toDF("doc_id", "text")
+    val got = CorpusPrep.lineDedupStats(d)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(10L -> ((2L, 0L)), 20L -> ((2L, 2L)),
+      30L -> ((2L, 1L)), 40L -> ((1L, 0L))), s"got $got")
+    // Fixture smoke: dup counts bounded by line counts.
+    val fx = op("dedup_lines").collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(fx.nonEmpty && fx.forall { case (n, dd) => dd >= 0 && dd <= n })
+  }
+
+  test("embed_hybrid_rrf scores decompose into the published rank formula") {
+    val rows = op("embed_hybrid_rrf")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    assert(rows.length == 10)
+    rows.foreach { case (id, rb, rc, rrf) =>
+      assert(rb >= 0 && rb <= 100 && rc >= 0 && rc <= 100)
+      assert(rb > 0 || rc > 0, s"doc $id in fused output but in neither list")
+      val want = (if (rb > 0) 1.0 / (60 + rb) else 0.0) +
+        (if (rc > 0) 1.0 / (60 + rc) else 0.0)
+      assert(math.abs(rrf - want) < 1e-6, s"doc $id rrf $rrf != $want")
+    }
+    // Descending fusion order.
+    assert(rows.map(_._4).toSeq == rows.map(_._4).sortBy(-_).toSeq)
+  }
+
+  test("bm25 scoring: more query-term mass outranks less; absent terms score nothing") {
+    // Monotonicity probe on a constructed corpus via the reusable scorer:
+    // doc 1 (all four query terms, twice) > doc 2 (one term, once); doc 3
+    // (no query terms) must not appear at all.
+    val d = Seq(
+      (1L, "vector query join stream vector query join stream"),
+      (2L, "vector table table table table table table table"),
+      (3L, "table part region nation order line item scan")).toDF("doc_id", "text")
+    val scores = CorpusPrep.bm25Micro(d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(scores.keySet == Set(1L, 2L))
+    assert(scores(1L) > scores(2L))
+    assert(scores(2L) > 0)
+    // Fixture smoke: the op's output is sorted by score descending.
+    val top = op("text_bm25_topk").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(top.map(_._2).toSeq == top.map(_._2).sortBy(-_).toSeq)
+    assert(top.forall(_._2 > 0))
+  }
+
+  test("bpePairs counts adjacent pairs exactly (constructed corpus)") {
+    // "a b" appears 2+1 = 3 times, "b a" 2, "b c" 1; the 1-token doc
+    // contributes nothing.
+    val d = Seq((1L, "a b a b a"), (2L, "a b c"), (3L, "c")).toDF("doc_id", "text")
+    val got = CorpusPrep.bpePairs(d)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(got == Map(("a", "b") -> 3L, ("b", "a") -> 2L, ("b", "c") -> 1L))
+  }
+
+  test("text_ppl_buckets covers every doc once with buckets 1..3 per language") {
+    val out = op("text_ppl_buckets")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val nDocs = spark.table("documents").count()
+    assert(out.length.toLong == nDocs)
+    assert(out.map(_._1).distinct.length == out.length)
+    assert(out.forall(t => t._3 >= 1 && t._3 <= 3))
+    // Within each language the tercile sizes differ by at most 1 (NTILE's
+    // contract) — the property the grouped two-phase arithmetic must keep.
+    out.groupBy(_._2).foreach { case (lang, rows) =>
+      val sizes = rows.groupBy(_._3).values.map(_.size)
+      assert(sizes.max - sizes.min <= 1, s"lang $lang tercile sizes $sizes")
+    }
+  }
+}
