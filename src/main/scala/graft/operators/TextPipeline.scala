@@ -408,9 +408,19 @@ object TextPipeline {
     * the side filters push below each signature aggregation so each half
     * is scanned and aggregated once.
     */
-  def incrementalDedup(d: DataFrame, dupThreshold: Double): DataFrame = {
-    val existing = d.filter(col("doc_id") % 2 === 0)
-    val incoming = d.filter(col("doc_id") % 2 === 1)
+  def incrementalDedup(d: DataFrame, dupThreshold: Double): DataFrame =
+    dedupGate(
+      d.filter(col("doc_id") % 2 === 0),
+      d.filter(col("doc_id") % 2 === 1),
+      dupThreshold)
+
+  /** The reusable two-sided gate behind [[incrementalDedup]] (and the
+    * streaming ingestion face, [[graft.streaming.StreamingDedup]]): ids of
+    * `incoming` docs that survive both the exact-text and the
+    * MinHash-LSH near-dup gates against `existing`.
+    */
+  def dedupGate(existing: DataFrame, incoming: DataFrame,
+      dupThreshold: Double): DataFrame = {
     val jac = col("inter").cast("double") / (col("na") + col("nb") - col("inter"))
     val nearDups = sigBuckets(existing).as("a").hint("shuffle_hash")
       .join(sigBuckets(incoming).as("b"),
