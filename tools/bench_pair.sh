@@ -24,6 +24,22 @@ if [ ! -f "$ORACLE" ]; then
   exit 1
 fi
 
+# Back up the last accepted pair: a noisy window must never clobber a
+# banked measurement (it did, twice — the restore commit c8ca81c). On a
+# >10% drift verdict the backups are restored and the noisy artifacts kept
+# aside as *_noisy.json for inspection.
+for f in "tools/bench_last.json" "tools/comparator_${SF_NAME}.json"; do
+  [ -f "$f" ] && cp "$f" "$f.bak"
+done
+restore_on_noise() {
+  for f in "tools/bench_last.json" "tools/comparator_${SF_NAME}.json"; do
+    if [ -f "$f.bak" ]; then
+      mv "$f" "${f%.json}_noisy.json" || true
+      mv "$f.bak" "$f"
+    fi
+  done
+}
+
 echo "== [A] comparator @$SF_DIR =="
 python3 tools/comparator.py "$SF_DIR" "$ORACLE"
 A_TOTAL=$(python3 -c "import json;print(json.load(open('tools/comparator_${SF_NAME}.json'))['total'])")
@@ -51,13 +67,19 @@ python3 tools/comparator.py "$SF_DIR" "$ORACLE" >/dev/null
 A2_TOTAL=$(python3 -c "import json;print(json.load(open('tools/comparator_${SF_NAME}.json'))['total'])")
 
 B_TOTAL=$(python3 -c "import json;print(json.load(open('tools/bench_last.json'))['value'])")
-python3 - "$A_TOTAL" "$A2_TOTAL" "$B_TOTAL" <<'EOF'
+if python3 - "$A_TOTAL" "$A2_TOTAL" "$B_TOTAL" <<'EOF'
 import sys
 a, a2, b = map(float, sys.argv[1:4])
 drift = abs(a - a2) / min(a, a2)
 ratio = b / min(a, a2)
 print(f"duckdb A={a:.3f}s A'={a2:.3f}s (drift {drift*100:.1f}%)  spark B={b:.3f}s  ratio={ratio:.2f}x")
 if drift > 0.10:
-    print("WINDOW NOISY (comparator drifted >10%) — rerun", file=sys.stderr)
+    print("WINDOW NOISY (comparator drifted >10%) — artifacts restored, rerun", file=sys.stderr)
     sys.exit(3)
 EOF
+then
+  rm -f "tools/bench_last.json.bak" "tools/comparator_${SF_NAME}.json.bak"
+else
+  restore_on_noise
+  exit 3
+fi
