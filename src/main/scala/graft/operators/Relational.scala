@@ -81,8 +81,16 @@ object Relational {
       val customer = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
       val orders = t(s, d, "orders").filter(col("o_orderdate") < ts("1998-01-01T00:00"))
       val lineitem = t(s, d, "lineitem").filter(col("l_shipdate") > ts("1997-01-01T00:00"))
+      // Fact joins fact by SHUFFLE: without the hint the planner broadcasts
+      // the (column-pruned) LINEITEM scan — a 300k-row single-threaded
+      // driver hash build per execution (DriverHotspots: LongToUnsafeRowMap
+      // .append dominated the repeated-count path; 120 ms/call at sf0.1) —
+      // and broadcasting a fact is exactly what cannot scale. The hint on
+      // the LEFT makes the smaller, filtered customer*orders side the
+      // per-partition build; dims stay broadcast.
       broadcast(customer)
         .join(orders, col("c_custkey") === col("o_custkey"))
+        .hint("shuffle_hash")
         .join(lineitem, col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderkey", "o_orderdate")
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
@@ -186,9 +194,16 @@ object Relational {
         .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
       val n2 = t(s, d, "nation").filter(col("n_name").isin("NATION_1", "NATION_2"))
         .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
-      t(s, d, "supplier")
+      // Star shape: the FACT (lineitem) streams and dimension SCANS build —
+      // the previous supplier-first chain put lineitem on the build side of
+      // its join, i.e. a 600k-row single-threaded driver broadcast build
+      // per execution (and an unscalable fact broadcast). Probed in
+      // graft.tools.BuildSideProbe: 0.27 vs 0.39 s at sf0.1, identical
+      // results. orders/customer keep planner-chosen strategies (broadcast
+      // here, shuffle once they outgrow the threshold).
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "supplier")), col("s_suppkey") === col("l_suppkey"))
         .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
-        .join(t(s, d, "lineitem"), col("s_suppkey") === col("l_suppkey"))
         .join(t(s, d, "orders"), col("o_orderkey") === col("l_orderkey"))
         .join(t(s, d, "customer"), col("c_custkey") === col("o_custkey"))
         .join(broadcast(n2), col("c_nationkey") === col("n2_key"))

@@ -45,8 +45,16 @@ object TpchSuite {
       "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey=o_orderkey AND l_shipdate > o_orderdate) " +
       "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
 
+    // SHUFFLE_MERGE(lineitem): fact joins fact by shuffle — the unhinted
+    // plan broadcast the column-pruned LINEITEM scan (600k-row
+    // single-threaded driver hash build per execution, the DriverHotspots
+    // finding; ~150 ms/call at sf0.1) which also cannot scale. Sort-merge
+    // keeps both fact sides streaming with no per-partition hash build —
+    // the 100 TB-safe strategy regardless of which side is bigger. DuckDB
+    // reads the hint as a plain block comment, so one template serves both
+    // engines.
     both("tpch_h05",
-      "SELECT n_name, ROUND(SUM(l_extendedprice*(1-l_discount)),2) AS revenue " +
+      "SELECT /*+ SHUFFLE_MERGE(lineitem) */ n_name, ROUND(SUM(l_extendedprice*(1-l_discount)),2) AS revenue " +
       "FROM customer JOIN orders ON c_custkey=o_custkey JOIN lineitem ON l_orderkey=o_orderkey " +
       "JOIN supplier ON l_suppkey=s_suppkey AND c_nationkey=s_nationkey " +
       "JOIN nation ON s_nationkey=n_nationkey JOIN region ON n_regionkey=r_regionkey " +
@@ -63,8 +71,14 @@ object TpchSuite {
       "JOIN nation n2 ON s_nationkey=n2.n_nationkey " +
       "WHERE r_name='ASIA' AND p_type='ECONOMY' GROUP BY 1 ORDER BY 1"),
 
+    // SHUFFLE_HASH(orders): the unhinted plan broadcast BOTH full facts
+    // (lineitem and orders) as driver-side hash builds. Hinting orders —
+    // the smaller fact at every scale — makes lineitem*orders a shuffled
+    // hash join building the smaller side per partition in parallel, the
+    // textbook SHJ choice. Probed −107 ms/call at sf0.1 (HintProbe,
+    // static-path A/B); dims (part, supplier, nation) stay broadcast.
     both("tpch_h09",
-      "SELECT n_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year, " +
+      "SELECT /*+ SHUFFLE_HASH(orders) */ n_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year, " +
       "ROUND(SUM(l_extendedprice*(1-l_discount)),2) AS profit " +
       "FROM part JOIN lineitem ON p_partkey=l_partkey JOIN supplier ON l_suppkey=s_suppkey " +
       "JOIN orders ON o_orderkey=l_orderkey JOIN nation ON s_nationkey=n_nationkey " +
