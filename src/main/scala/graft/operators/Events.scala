@@ -153,6 +153,31 @@ object Events {
           when(dev * dev > lit(4) * (col("n") * col("sumsq") - col("total") * col("total")), 1)
             .otherwise(0).cast("int").as("is_anomaly"))
         .orderBy("h")
+    },
+
+    // Event-transition (Markov) matrix: per-user next-event pairs counted
+    // into (from, to, cnt, p) — the behavioral-flow table funnels and
+    // recommendation priors start from. One user_id-keyed window (the
+    // sessionization exchange) then a tiny aggregate; the conditional
+    // probability is one double division of exact BIGINTs, identical on
+    // both engines.
+    Op("events_markov",
+      "WITH nxt AS (SELECT event_type AS from_type, " +
+      "LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type FROM events), " +
+      "c AS (SELECT from_type, to_type, COUNT(*) AS cnt FROM nxt WHERE to_type IS NOT NULL GROUP BY 1,2), " +
+      "t AS (SELECT from_type, CAST(SUM(cnt) AS BIGINT) AS total FROM c GROUP BY 1) " +
+      "SELECT c.from_type, c.to_type, c.cnt, ROUND(CAST(c.cnt AS DOUBLE)/t.total, 4) AS p " +
+      "FROM c JOIN t USING (from_type) ORDER BY from_type, to_type") { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val nxt = ev(s, d).select(col("event_type").as("from_type"),
+        lead(col("event_type"), 1).over(w).as("to_type"))
+      val c = nxt.filter(col("to_type").isNotNull)
+        .groupBy("from_type", "to_type").agg(count(lit(1)).as("cnt"))
+      val t = c.groupBy("from_type").agg(sum("cnt").as("total"))
+      c.join(broadcast(t), "from_type")
+        .select(col("from_type"), col("to_type"), col("cnt"),
+          round(col("cnt").cast("double") / col("total"), 4).as("p"))
+        .orderBy("from_type", "to_type")
     }
   )
 }

@@ -128,6 +128,35 @@ object TextPipeline {
       .select(col("id_a"), col("id_b"), round(jac, 4).as("jaccard"))
   }
 
+  /** Directed near-superset detection: gram-set containment
+    * C(A in B) = |A∩B| / |A|. Jaccard misses a short doc quoted verbatim
+    * inside a long one (the union is dominated by the long side); the
+    * containment of the SHORT side is ~1 there — the quote/boilerplate-
+    * inclusion dedup case. Same inverted-index pair shape as
+    * [[jaccardPairs]] (df>=2 prefilter, one gram clustering, shuffled hash
+    * self-join), with both per-side set sizes riding the pair keys; a
+    * min-gram floor on the contained side keeps trivial tiny docs out.
+    */
+  def containmentPairs(d: DataFrame, threshold: Double, minGrams: Int): DataFrame = {
+    val g = shingleHashes(d)
+    val g2 = g
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("gram")))
+      .filter(col("df") >= 2)
+      .drop("df")
+    val pairs = g2.as("a").hint("shuffle_hash").join(g2.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+    val contA = col("inter").cast("double") / col("na")
+    val contB = col("inter").cast("double") / col("nb")
+    pairs
+      .filter((col("na") >= minGrams && contA >= threshold) ||
+        (col("nb") >= minGrams && contB >= threshold))
+      .select(col("id_a"), col("id_b"),
+        round(contA, 4).as("cont_a"), round(contB, 4).as("cont_b"))
+  }
+
   /** Cross-engine deterministic 60-bit text hash: the first 15 hex digits of
     * md5 as an integer. Any SQL engine can reproduce it (DuckDB: per-digit
     * strpos arithmetic; Spark: codegen'd `conv`), which makes MinHash and
@@ -697,6 +726,20 @@ object TextPipeline {
       "JOIN sz sa ON sa.doc_id=id_a JOIN sz sb ON sb.doc_id=id_b " +
       "WHERE CAST(inter AS DOUBLE)/(sa.n+sb.n-inter) >= 0.12 ORDER BY id_a, id_b") { (s, d) =>
       jaccardPairs(docs(s, d), 0.12).orderBy("id_a", "id_b")
+    },
+
+    // Directed containment pairs: which docs are near-SUPERSETS of others —
+    // the quote/boilerplate-inclusion case symmetric Jaccard under-scores.
+    Op("dedup_containment",
+      "WITH w AS (SELECT doc_id, STRING_SPLIT(text,' ') AS words FROM documents), " +
+      "g AS (SELECT DISTINCT doc_id, UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, CAST(LEN(words) AS INTEGER)-2), i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS gram FROM w), " +
+      "sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id), " +
+      "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter FROM g a JOIN g b ON a.gram=b.gram AND a.doc_id < b.doc_id GROUP BY 1,2) " +
+      "SELECT id_a, id_b, ROUND(CAST(inter AS DOUBLE)/sa.n,4) AS cont_a, ROUND(CAST(inter AS DOUBLE)/sb.n,4) AS cont_b " +
+      "FROM pairs JOIN sz sa ON sa.doc_id=id_a JOIN sz sb ON sb.doc_id=id_b " +
+      "WHERE (sa.n >= 5 AND CAST(inter AS DOUBLE)/sa.n >= 0.5) OR (sb.n >= 5 AND CAST(inter AS DOUBLE)/sb.n >= 0.5) " +
+      "ORDER BY id_a, id_b") { (s, d) =>
+      containmentPairs(docs(s, d), 0.5, 5).orderBy("id_a", "id_b")
     },
 
     Op("dedup_minhash_lsh", minhashOracle) { (s, d) =>

@@ -115,6 +115,33 @@ class CorpusPrepSpec extends AnyFunSuite {
     assert(got == Map(("a", "b") -> 3L, ("b", "a") -> 2L, ("b", "c") -> 1L))
   }
 
+  test("containmentPairs flags a quoted short doc that Jaccard under-scores") {
+    // Doc 2 is doc 1's first 12 tokens verbatim (10 trigrams, all inside
+    // doc 1's 38): containment of the short side = 1.0 while Jaccard is
+    // 10/38 ~ 0.26 — the directed metric catches what the symmetric one
+    // misses. Doc 3 shares nothing.
+    val long = (1 to 40).map(i => s"w$i").mkString(" ")
+    val short = (1 to 12).map(i => s"w$i").mkString(" ")
+    val other = (1 to 40).map(i => s"v$i").mkString(" ")
+    val d = Seq((1L, long), (2L, short), (3L, other)).toDF("doc_id", "text")
+    val got = TextPipeline.containmentPairs(d, 0.5, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 2L, math.rint(10.0 / 38 * 10000) / 10000, 1.0)), s"got ${got.toSeq}")
+    assert(TextPipeline.jaccardPairs(d, 0.5).collect().isEmpty,
+      "Jaccard at the same threshold must miss the quoted pair")
+  }
+
+  test("events_markov probabilities are conditional distributions per from_type") {
+    val rows = op("events_markov")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (from, ts) =>
+      val pSum = ts.map(_._4).sum
+      assert(math.abs(pSum - 1.0) < 0.01, s"$from p-sum $pSum") // 4dp rounding slack
+      ts.foreach { case (_, _, cnt, p) => assert(cnt > 0 && p > 0) }
+    }
+  }
+
   test("text_ppl_buckets covers every doc once with buckets 1..3 per language") {
     val out = op("text_ppl_buckets")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
