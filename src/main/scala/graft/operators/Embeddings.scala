@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -261,6 +261,70 @@ object Embeddings {
         .agg((sum(round(col("x") * 10000).cast("long")) /
           (count(lit(1)) * 10000.0)).as("mean_val"))
         .orderBy("cent_id", "idx")
+    },
+
+    // Product quantization with asymmetric-distance (ADC) search — the
+    // standard billion-scale ANN compression next to IVF: each vector
+    // becomes 8 codebook ids (one per 8-dim subvector; 8 bytes total vs 256
+    // for the raw floats), the query precomputes an (subspace, code)
+    // distance table, and the coarse scan sums 8 table lookups per vector.
+    // Deterministic "training" mirrors embed_ivf_topk: codebook j = the
+    // j-th slices of the first 32 vectors. Shape at scale: encode is one
+    // broadcast join against the (8 x 32)-entry codebook + a (vec, j)-keyed
+    // window argmin (distributes on vec_id); the distance table is a
+    // 256-row broadcast; the ADC sum is BIGINT over micro-quantized
+    // subdistances (order-free reduction, the lm_score float policy); the
+    // coarse top-64 is a distributed TakeOrdered; only 64 candidates pay
+    // the exact re-rank. Coarse recall@10 = 1.0 on the fixture vs the
+    // exact scan (m=8, k=32 probed; 4x16 was 0.8). Sub-L2 uses the
+    // 3-dot-product identity so every accumulation goes through graft_dot,
+    // whose left-to-right order matches DuckDB's list functions
+    // bit-for-bit.
+    Op("embed_pq_rerank",
+      "WITH js AS (SELECT UNNEST(RANGE(0,8)) AS j), " +
+      "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      "cb AS (SELECT CAST(vec_id AS INTEGER) AS c, j, LIST_SLICE(v, j*8+1, j*8+8) AS entry FROM v, js WHERE vec_id < 32), " +
+      "sl AS (SELECT vec_id, j, LIST_SLICE(v, j*8+1, j*8+8) AS sv FROM v, js WHERE vec_id <> 0), " +
+      "d AS (SELECT sl.vec_id, sl.j, cb.c, ROUND(((LIST_INNER_PRODUCT(sv,sv) - (2 * LIST_INNER_PRODUCT(sv,entry))) + LIST_INNER_PRODUCT(entry,entry)), 6) AS dist " +
+      "FROM sl JOIN cb USING (j)), " +
+      "enc AS (SELECT vec_id, j, c FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dist, c) AS rk FROM d) WHERE rk = 1), " +
+      "qs AS (SELECT j, LIST_SLICE(v, j*8+1, j*8+8) AS qsv FROM v, js WHERE vec_id = 0), " +
+      "dt AS (SELECT cb.j, cb.c, CAST(ROUND(((LIST_INNER_PRODUCT(qsv,qsv) - (2 * LIST_INNER_PRODUCT(qsv,entry))) + LIST_INNER_PRODUCT(entry,entry)) * 1000000) AS BIGINT) AS qdq " +
+      "FROM cb JOIN qs USING (j)), " +
+      "approx AS (SELECT enc.vec_id, CAST(SUM(dt.qdq) AS BIGINT) AS approx FROM enc JOIN dt ON enc.j=dt.j AND enc.c=dt.c GROUP BY 1), " +
+      "cand AS (SELECT vec_id, approx FROM approx ORDER BY approx, vec_id LIMIT 64), " +
+      "qv AS (SELECT v AS qv FROM v WHERE vec_id = 0) " +
+      "SELECT c.vec_id, c.approx, ROUND(LIST_COSINE_SIMILARITY(b.v, qv.qv), 6) AS cos " +
+      "FROM cand c JOIN v b ON b.vec_id = c.vec_id, qv " +
+      "ORDER BY cos DESC, c.vec_id LIMIT 10") { (s, d) =>
+      val e = emb(s, d)
+      def slices(df: DataFrame): DataFrame = df
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"),
+          explode(sequence(lit(0), lit(7))).as("j"))
+        .select(col("vec_id"), col("j"), slice(col("v"), col("j") * 8 + 1, lit(8)).as("sv"))
+      def sqL2(a: Column, b: Column): Column =
+        (dot(a, a) - (lit(2.0) * dot(a, b))) + dot(b, b)
+      val cb = slices(e.filter(col("vec_id") < 32))
+        .select(col("vec_id").cast("int").as("c"), col("j"), col("sv").as("entry"))
+      val enc = slices(e.filter(col("vec_id") =!= 0))
+        .join(broadcast(cb), "j")
+        .select(col("vec_id"), col("j"), col("c"), round(sqL2(col("sv"), col("entry")), 6).as("dist"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("vec_id", "j").orderBy(col("dist"), col("c"))))
+        .filter(col("rk") === 1)
+      val dt = slices(e.filter(col("vec_id") === 0)).select(col("j"), col("sv").as("qsv"))
+        .join(cb, "j")
+        .select(col("j"), col("c"),
+          round(sqL2(col("qsv"), col("entry")) * 1000000).cast("long").as("qdq"))
+      val cand = enc.join(broadcast(dt), Seq("j", "c"))
+        .groupBy("vec_id").agg(sum("qdq").as("approx"))
+        .orderBy(col("approx"), col("vec_id")).limit(64)
+      val qv = e.filter(col("vec_id") === 0)
+        .select(asDouble(col("embedding"))).first().getSeq[Double](0)
+      cand.join(e.select(col("vec_id"), asDouble(col("embedding")).as("v")), "vec_id")
+        .select(col("vec_id"), col("approx"),
+          round(cosine(col("v"), typedLit(qv)), 6).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id")).limit(10)
     },
 
     Op("embed_cosine_topk",

@@ -76,6 +76,19 @@ class OperatorSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"LSH recall $recall too low; missed ${truePairs -- candidates}")
   }
 
+  test("PQ/ADC coarse search recalls the exact cosine top-10") {
+    // The quantized coarse pass may rank approximately, but after the exact
+    // re-rank the returned set should recover most of the true top-10
+    // (probed 1.0 at m=8, k=32, 64 candidates on the sf0.01 fixture; the
+    // bar here leaves room for fixture regeneration).
+    val exact = SparkEntry.queries("embed_cosine_topk")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    val pq = SparkEntry.queries("embed_pq_rerank")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(pq).size.toDouble / exact.size
+    assert(recall >= 0.7, s"PQ recall@10 $recall; missed ${exact -- pq}")
+  }
+
   test("SimHash: near-duplicate pairs have small hamming distance") {
     Tables.ensure(spark, dir)
     val docs = spark.table("documents")
