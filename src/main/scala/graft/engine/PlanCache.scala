@@ -214,7 +214,22 @@ object PlanCache {
       }.sum
       val maxStaticInput = spark.conf.get(
         "spark.graft.planCache.staticMaxInputBytes", (256L * 1024 * 1024).toString).toLong
-      val smallInput = allFileLeaves && totalInputBytes <= maxStaticInput
+      // Leaf bytes only bound the plan's data volume when nothing between
+      // the leaves and the joins MULTIPLIES rows: a cross/nested-loop join
+      // or a generator (explode) can blow a 10 MB scan into gigabytes that
+      // the size-scaled partition count would then funnel through 4 tasks
+      // (found at 10x by ScaleCheck, whose replicated views cross-join a
+      // copies range: tpch_h18 went 6.3 s -> 22 s under the pin). Such
+      // plans keep full adaptive execution, whose runtime sizes see the
+      // true volume.
+      val rowMultiplier = all.exists(_.exists {
+        case _: org.apache.spark.sql.execution.joins.CartesianProductExec => true
+        case _: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => true
+        case _: org.apache.spark.sql.execution.GenerateExec => true
+        case _: org.apache.spark.sql.execution.ExpandExec => true
+        case _ => false
+      })
+      val smallInput = allFileLeaves && !rowMultiplier && totalInputBytes <= maxStaticInput
 
       // Broadcast builds should be dimensions the static planner can size
       // honestly. A derived build containing a join or generate (explode)

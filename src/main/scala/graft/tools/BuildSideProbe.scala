@@ -71,7 +71,28 @@ object BuildSideProbe {
         .orderBy("supp_nation", "cust_nation", "l_year")
     }
 
+    def h18(v: Int): DataFrame = {
+      val qty0 = t("lineitem").groupBy("l_orderkey")
+        .agg(sum("l_quantity").as("q")).filter(col("q") > 150)
+      val qty = v match {
+        case 1 => qty0.hint("shuffle_hash") // build the tiny HAVING side per partition
+        case 2 => broadcast(qty0)
+        case _ => qty0
+      }
+      qty.join(t("orders").select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t("customer").select("c_custkey"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("odate"),
+          round(col("o_totalprice"), 2).as("price"),
+          round(col("q"), 2).as("total_qty"))
+        .orderBy(col("price").desc, col("o_orderkey")).limit(20)
+    }
+
     val variants: Seq[(String, () => DataFrame)] = Seq(
+      "h18 plain" -> (() => h18(0)),
+      "h18 shj qty" -> (() => h18(1)),
+      "h18 bcast qty" -> (() => h18(2)),
       "sn star" -> (() => selfNationStar()),
       "h03 plain" -> (() => h03(false, false)),
       "h03 build=lineitem" -> (() => h03(true, false)),

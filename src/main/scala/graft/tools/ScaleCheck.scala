@@ -80,7 +80,8 @@ object ScaleCheck {
       "pipeline_dataset_card", "join_asof_nearest",
       "text_entropy", "events_anomaly", "corpus_dedup_funnel",
       "dedup_lines", "pipeline_bpe_pairs", "text_bm25_topk",
-      "embed_hybrid_rrf", "text_ppl_buckets",
+      "embed_hybrid_rrf", "text_ppl_buckets", "dedup_containment",
+      "embed_pq_rerank", "events_markov",
       "embed_cosine_topk", "embed_knn", "embed_sq8_rerank", "embed_bucket_stats",
       "embed_centroid_stats", "embed_kmeans_iter") ++
       // The ORACLE op pins the fixture's 8x16 band shape, whose candidate
@@ -88,7 +89,9 @@ object ScaleCheck {
       // OOMs the JVM by design. Past 10x only the auto-sized library path
       // below is the supported shape.
       (if (n <= 10) Seq("dedup_embed_lsh") else Seq.empty)
-    names.foreach { name =>
+    // Optional args after N: restrict to the named ops (fast re-check).
+    val only = args.drop(1).toSet
+    names.filter(n => only.isEmpty || only.contains(n)).foreach { name =>
       // warm codegen once, then measure
       try {
         queries(name)(spark, dir).count()

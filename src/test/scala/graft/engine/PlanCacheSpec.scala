@@ -106,6 +106,36 @@ class PlanCacheSpec extends AnyFunSuite {
     }
   }
 
+  test("row-multiplying plans never take the small-input static pin") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val s = GraftSession.local().newSession()
+    graft.Tables.ensure(s, graft.SparkTestHarness.sfDir)
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // A cross join multiplies rows far beyond the leaf file bytes the
+      // size bound reads (the ScaleCheck replicated-view shape: 10 MB of
+      // scan becomes 10x the rows mid-plan). Such plans must keep adaptive
+      // execution, whose runtime stage sizes see the true volume —
+      // pinning them ran tpch_h18 at 4 partitions for a 6M-row join.
+      val multiplied = PlanCache.sql(s,
+        "SELECT COUNT(*) AS c FROM orders CROSS JOIN (SELECT * FROM region LIMIT 3) r " +
+        "JOIN customer ON o_custkey = c_custkey")
+      assert(multiplied.queryExecution.executedPlan.isInstanceOf[AdaptiveSparkPlanExec],
+        "cross-join-multiplied plan must keep adaptive execution")
+      assert(multiplied.count() == 1)
+      // An exploded (Generate) plan under the bound is likewise excluded.
+      val exploded = PlanCache.sql(s,
+        "SELECT COUNT(*) AS c FROM (SELECT explode(split(p_name, ' ')) AS w, p_partkey FROM part) t " +
+        "JOIN part ON t.p_partkey = part.p_partkey")
+      assert(exploded.queryExecution.executedPlan.isInstanceOf[AdaptiveSparkPlanExec],
+        "generator-multiplied plan must keep adaptive execution")
+      assert(exploded.count() == 1)
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+      PlanCache.invalidate(s)
+    }
+  }
+
   test("static-plan probe never leaks into concurrent planning in the same session") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
