@@ -128,7 +128,14 @@ object TpchSuite {
       Tables.ensure(s, d)
       val qty = s.table("lineitem").groupBy("l_orderkey")
         .agg(sum("l_quantity").as("q")).filter(col("q") > 150)
-      qty.join(s.table("orders").select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+      // shuffle_hash on the HAVING-filtered aggregate: the planner
+      // otherwise broadcasts full ORDERS (driver hash build of 150k rows
+      // per execution — the fact-broadcast pathology) because the tiny
+      // filtered side's post-agg cardinality is invisible to static
+      // estimates. SHJ builds the small side per partition in parallel;
+      // orders streams. Probed -59 ms at sf0.1 (BuildSideProbe).
+      qty.hint("shuffle_hash")
+        .join(s.table("orders").select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
           col("l_orderkey") === col("o_orderkey"))
         .join(s.table("customer").select("c_custkey"),
           col("o_custkey") === col("c_custkey"))
