@@ -103,7 +103,11 @@ object Relational {
       "SELECT c_count, COUNT(*) AS custdist FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count " +
       "FROM customer LEFT JOIN orders ON c_custkey=o_custkey GROUP BY c_custkey) t " +
       "GROUP BY c_count ORDER BY custdist DESC, c_count DESC") { (s, d) =>
-      t(s, d, "customer")
+      // shuffle_hash on the customer (dim) side: the planner otherwise
+      // broadcasts the ORDERS fact (driver hash build per execution,
+      // scale-wrong); the hinted shape shuffles on custkey and builds the
+      // smaller preserved side per partition — the 100 TB plan.
+      t(s, d, "customer").hint("shuffle_hash")
         .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
         .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))
         .groupBy("c_count").agg(count(lit(1)).as("custdist"))
