@@ -76,6 +76,38 @@ class OperatorSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"LSH recall $recall too low; missed ${truePairs -- candidates}")
   }
 
+  test("no fact table is ever a broadcast build in the TPC-H join family") {
+    // Round-7 regression guard: the planner used to broadcast full or
+    // lightly-filtered LINEITEM scans (a 300-600k-row single-threaded
+    // driver hash build per execution). The fixed shapes keep the big fact
+    // on shuffle/stream sides everywhere; dimension scans, HAVING-shrunk
+    // aggregates, and planner-chosen under-threshold orders builds (which
+    // self-revert to shuffle once orders outgrows the threshold) remain
+    // legal.
+    Tables.ensure(spark, dir)
+    val factFiles = Seq("lineitem.parquet")
+    for (name <- Seq("join_inner_h03", "tpch_h05", "tpch_h09", "tpch_h18",
+        "join_self_nation", "join_left_hist")) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.collect() // finalize AQE so the executed plan is the real one
+      val plan = df.queryExecution.executedPlan
+      def offenders(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+        (p +: p.subqueries.flatMap(sub => Seq(sub))).flatMap(_.collect {
+          case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
+            b.child.collect {
+              case f: org.apache.spark.sql.execution.FileSourceScanExec
+                  // An aggregate between the scan and the build shrinks the
+                  // relation to its key count — allowed.
+                  if factFiles.exists(f.relation.location.rootPaths.mkString.contains) &&
+                    !b.child.exists(_.isInstanceOf[org.apache.spark.sql.execution.aggregate.BaseAggregateExec]) =>
+                f.relation.location.rootPaths.mkString
+            }
+        }.flatten)
+      val bad = offenders(plan)
+      assert(bad.isEmpty, s"$name broadcasts a fact scan: $bad")
+    }
+  }
+
   test("PQ/ADC coarse search recalls the exact cosine top-10") {
     // The quantized coarse pass may rank approximately, but after the exact
     // re-rank the returned set should recover most of the true top-10
