@@ -25,6 +25,8 @@ final class SessionState(
 
   private val prepared = new ConcurrentHashMap[String, Prepared]()
   @volatile var killRequested: Boolean = false
+  /** Open SQL-path transaction handle, if any (BEGIN ... COMMIT/ROLLBACK). */
+  @volatile var activeTxn: Option[String] = None
 
   /** Job-group tag for everything this session runs — the cancellation hook. */
   def jobGroup: String = s"graft-session-$id"
@@ -74,6 +76,11 @@ final class SessionManager(root: SparkSession, global: GlobalSettings) {
     * the reference's attached catalogs.
     */
   val attachments = new AttachManager
+
+  /** Transaction handles for both the wire RPC surface and the SQL
+    * BEGIN/COMMIT/ROLLBACK intercepts ([[TxnDml]]).
+    */
+  val transactions = new Transactions
 
   def getOrCreate(sessionId: String, user: String, role: String,
       catalogAccess: Option[Set[String]] = None): SessionState = {

@@ -42,6 +42,11 @@ object Statement {
     """(?is)^\s*EXPORT\s+DATABASE\s+'([^']+)'\s*(?:\(\s*FORMAT\s+'?(PARQUET|CSV)'?\s*\))?\s*;?\s*$""".r
   private val ImportDbRe =
     """(?is)^\s*IMPORT\s+DATABASE\s+'([^']+)'\s*;?\s*$""".r
+  // SQL transaction lifecycle (the statement-level face of the wire's
+  // Begin/EndTransaction RPCs). START TRANSACTION is the ANSI spelling.
+  private val BeginTxnRe = """(?is)^\s*(?:BEGIN|START)(?:\s+TRANSACTION)?\s*;?\s*$""".r
+  private val CommitRe = """(?is)^\s*COMMIT(?:\s+TRANSACTION)?\s*;?\s*$""".r
+  private val RollbackRe = """(?is)^\s*ROLLBACK(?:\s+TRANSACTION)?\s*;?\s*$""".r
 
   private val pool = ExecutionContext.fromExecutorService(
     Executors.newCachedThreadPool(r => {
@@ -163,16 +168,58 @@ object Statement {
             oneRowResult(session.spark, "result", s"$name = $value")
         }
 
+      case BeginTxnRe() =>
+        if (session.activeTxn.nonEmpty)
+          throw new IllegalStateException(
+            s"transaction ${session.activeTxn.get} already open (no nesting)")
+        val id = sessions.transactions.begin(session.id)
+        session.activeTxn = Some(id)
+        oneRowResult(session.spark, "result", s"transaction $id started")
+
+      case CommitRe() =>
+        val id = session.activeTxn.getOrElse(
+          throw new IllegalStateException("COMMIT without an open transaction"))
+        val txn = sessions.transactions.lookup(id).get
+        val applied = TxnDml.commitApply(session.spark, txn)
+        sessions.transactions.commit(id) match {
+          case Left(err) => throw new IllegalStateException(err)
+          case Right(_) =>
+            session.activeTxn = None
+            PlanCache.invalidate(session.spark)
+            oneRowResult(session.spark, "result",
+              s"transaction $id committed (${applied.size} tables)")
+        }
+
+      case RollbackRe() =>
+        val id = session.activeTxn.getOrElse(
+          throw new IllegalStateException("ROLLBACK without an open transaction"))
+        val txn = sessions.transactions.lookup(id).get
+        TxnDml.rollbackDiscard(session.spark, txn)
+        session.activeTxn = None
+        PlanCache.invalidate(session.spark)
+        sessions.transactions.rollback(id) match {
+          case Left(err) => throw new IllegalStateException(err)
+          case Right(_) =>
+            oneRowResult(session.spark, "result", s"transaction $id rolled back")
+        }
+
       case _ if graft.sources.RowDml.handles(sql) =>
         // Row-level UPDATE/DELETE/MERGE: Spark's file sources have no native
         // execution for these, so after the same guard/catalog checks as any
         // write, the engine's copy-on-write path runs them and returns the
-        // affected count (reference: duckdb_statement.cpp:2365-2379).
+        // affected count (reference: duckdb_statement.cpp:2365-2379). Inside
+        // an open transaction the same computation lands in a staged
+        // snapshot + shadow view instead of the table (TxnDml).
         StatementGuard.check(session.spark, sql, session.isAdmin, session.isReadOnly) match {
           case StatementGuard.Blocked(reason) => throw new SecurityException(reason)
           case StatementGuard.Allowed =>
             CatalogAccess.enforce(session, session.spark, sql, sessions.attachments.names)
-            val res = graft.sources.RowDml.execute(session.spark, sql)
+            val res = session.activeTxn match {
+              case Some(txnId) => graft.sources.RowDml.execute(session.spark, sql,
+                sink = TxnDml.stagedSink(sessions.transactions, txnId),
+                allowPartitionScope = false)
+              case None => graft.sources.RowDml.execute(session.spark, sql)
+            }
             PlanCache.invalidate(session.spark)
             res
         }
@@ -182,6 +229,20 @@ object Statement {
           case StatementGuard.Blocked(reason) => throw new SecurityException(reason)
           case StatementGuard.Allowed =>
             CatalogAccess.enforce(session, session.spark, sql, sessions.attachments.names)
+            // Inside a transaction only row-level DML is transactional: any
+            // other catalog/data-changing command would apply eagerly and
+            // make ROLLBACK a lie — reject it BEFORE execution (spark.sql
+            // runs commands at creation, so this must gate on an
+            // analyze-only pass; QueryExecution.analyzed does not execute).
+            if (session.activeTxn.nonEmpty) {
+              import org.apache.spark.sql.catalyst.plans.logical.Command
+              val parsed = session.spark.sessionState.sqlParser.parsePlan(sql)
+              val analyzed = session.spark.sessionState.executePlan(parsed).analyzed
+              if (analyzed.exists(_.isInstanceOf[Command]))
+                throw new IllegalStateException(
+                  "only row-level UPDATE/DELETE/MERGE are transactional inside " +
+                  "BEGIN ... COMMIT; COMMIT or ROLLBACK first")
+            }
             // Repeated pure statements reuse their analyzed plan; commands
             // bypass and flush the cache (PlanCache's contract).
             PlanCache.sql(session.spark, sql)

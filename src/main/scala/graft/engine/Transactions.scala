@@ -8,11 +8,18 @@ import java.util.concurrent.ConcurrentHashMap
   * UUID handle per session, COMMIT/ROLLBACK end it, bulk ingest joins an open
   * transaction instead of nesting (`:1864-1869`).
   *
-  * DECLARED LIMITATION (SURVEY.md §7.3.4): Spark over plain Parquet has no
-  * multi-statement ACID. Handles here give the wire-compatible lifecycle and
-  * run statements eagerly; on a Delta/Iceberg catalog the same handle would
-  * carry a real table transaction. ROLLBACK on already-executed writes
-  * reports the limitation as an error rather than silently succeeding.
+  * Two write modes coexist per handle:
+  *   - STAGED (the SQL path, [[TxnDml]]): row-level UPDATE/DELETE/MERGE
+  *     inside `BEGIN ... COMMIT/ROLLBACK` write full post-image snapshots to
+  *     staging and shadow the table with a session temp view; COMMIT applies
+  *     each table's final snapshot, ROLLBACK discards everything — real
+  *     multi-statement atomicity-per-table with read-your-writes inside the
+  *     session (other sessions read the committed table throughout).
+  *   - EAGER (the wire bulk-ingest path): writes apply immediately and set
+  *     `sawWrites`; ROLLBACK after an eager write reports the limitation as
+  *     an error rather than silently succeeding (SURVEY.md §7.3.4 — on a
+  *     Delta/Iceberg catalog the same handle would carry a real table
+  *     transaction covering ingest too).
   */
 final class Transactions {
 
@@ -22,7 +29,12 @@ final class Transactions {
   case object RolledBack extends TxnState
 
   final case class Txn(id: String, sessionId: String, var state: TxnState,
-      var sawWrites: Boolean = false)
+      var sawWrites: Boolean = false) {
+    // table name -> staging dir of its LATEST full post-image, insertion
+    // ordered so commit applies tables in first-touch order.
+    val staged: java.util.LinkedHashMap[String, String] =
+      new java.util.LinkedHashMap[String, String]()
+  }
 
   private val txns = new ConcurrentHashMap[String, Txn]()
 
@@ -35,6 +47,10 @@ final class Transactions {
   def lookup(id: String): Option[Txn] = Option(txns.get(id))
 
   def markWrite(id: String): Unit = lookup(id).foreach(_.sawWrites = true)
+
+  /** Record table's latest staged post-image (replacing any earlier one). */
+  def stage(id: String, table: String, dir: String): Unit =
+    lookup(id).foreach(t => t.staged.synchronized { t.staged.put(table, dir); () })
 
   def commit(id: String): Either[String, Unit] = end(id, Committed)
 

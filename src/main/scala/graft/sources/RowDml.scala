@@ -38,19 +38,31 @@ object RowDml {
 
   def handles(sql: String): Boolean = Prefix.matches(sql)
 
+  /** Where a DML statement's result rows land: (table, full-or-partition
+    * frame, partitionScoped). The default sink is the live copy-on-write
+    * [[rewrite]]; a transaction substitutes a staging sink that shadows the
+    * table instead ([[graft.engine.TxnDml]]).
+    */
+  type Sink = (SparkSession, String, DataFrame, Boolean) => Unit
+
   /** Execute a row-level DML statement; returns a one-row `affected` count
     * DataFrame (the reference's update-statement result shape).
+    *
+    * `allowPartitionScope = false` forces full-table frames through the
+    * sink — staging sinks need the complete post-image, not just the
+    * affected partitions.
     */
-  def execute(spark: SparkSession, sql: String): DataFrame = {
+  def execute(spark: SparkSession, sql: String,
+      sink: Sink = rewrite, allowPartitionScope: Boolean = true): DataFrame = {
     spark.sessionState.sqlParser.parsePlan(sql) match {
       case u: UpdateTable =>
         val (name, alias) = relationOf(u.table)
-        update(spark, name, alias, u.assignments, u.condition)
+        update(spark, name, alias, u.assignments, u.condition, sink, allowPartitionScope)
       case d: DeleteFromTable =>
         val (name, alias) = relationOf(d.table)
-        delete(spark, name, alias, Option(d.condition))
+        delete(spark, name, alias, Option(d.condition), sink, allowPartitionScope)
       case m: MergeIntoTable =>
-        merge(spark, m)
+        merge(spark, m, sink)
       case other =>
         throw new IllegalArgumentException(
           s"not a row-level DML statement: ${other.getClass.getSimpleName}")
@@ -118,7 +130,8 @@ object RowDml {
   // ---- UPDATE ------------------------------------------------------------
 
   private def update(spark: SparkSession, name: String, alias: String,
-      assignments: Seq[Assignment], condition: Option[Expression]): DataFrame = {
+      assignments: Seq[Assignment], condition: Option[Expression],
+      sink: Sink, allowPartitionScope: Boolean): DataFrame = {
     val df = spark.table(name).alias(alias)
     val cond = coalesce(condition.map(exprCol).getOrElse(lit(true)).cast("boolean"), lit(false))
     val affected = df.filter(cond).count()
@@ -132,31 +145,32 @@ object RowDml {
       }
     }.toIndexedSeq: _*)
     val parts = partitionCols(spark, name)
-    if (parts.nonEmpty) {
+    if (parts.nonEmpty && allowPartitionScope) {
       // Updates keep every row, so an affected partition can never empty out:
       // rewriting just those partitions is always sound. (An update to a
       // partition COLUMN moves rows across partitions — rewrite both sides.)
       val partitionsTouched = assign.keySet.intersect(parts.toSet).nonEmpty
-      if (partitionsTouched) rewrite(spark, name, updated, partitionScoped = false)
+      if (partitionsTouched) sink(spark, name, updated, false)
       else {
         val affectedParts = df.filter(cond).select(parts.map(col).toIndexedSeq: _*).distinct()
         val scoped = updated.join(broadcast(affectedParts), parts, "left_semi")
-        rewrite(spark, name, scoped, partitionScoped = true)
+        sink(spark, name, scoped, true)
       }
-    } else rewrite(spark, name, updated, partitionScoped = false)
+    } else sink(spark, name, updated, false)
     affectedResult(spark, affected)
   }
 
   // ---- DELETE ------------------------------------------------------------
 
   private def delete(spark: SparkSession, name: String, alias: String,
-      condition: Option[Expression]): DataFrame = {
+      condition: Option[Expression],
+      sink: Sink, allowPartitionScope: Boolean): DataFrame = {
     val df = spark.table(name).alias(alias)
     val cond = coalesce(condition.map(exprCol).getOrElse(lit(true)).cast("boolean"), lit(false))
     val affected = df.filter(cond).count()
     val kept = df.filter(!cond)
     val parts = partitionCols(spark, name)
-    if (parts.nonEmpty) {
+    if (parts.nonEmpty && allowPartitionScope) {
       val affectedParts = df.filter(cond).select(parts.map(col).toIndexedSeq: _*).distinct()
       val keptInAffected = kept.join(broadcast(affectedParts), parts, "left_semi")
       // Dynamic overwrite only rewrites partitions PRESENT in the written
@@ -164,10 +178,10 @@ object RowDml {
       // to a full rewrite when any affected partition ends up empty.
       val survivors = keptInAffected.select(parts.map(col).toIndexedSeq: _*).distinct().count()
       if (survivors < affectedParts.count())
-        rewrite(spark, name, kept, partitionScoped = false)
+        sink(spark, name, kept, false)
       else
-        rewrite(spark, name, keptInAffected, partitionScoped = true)
-    } else rewrite(spark, name, kept, partitionScoped = false)
+        sink(spark, name, keptInAffected, true)
+    } else sink(spark, name, kept, false)
     affectedResult(spark, affected)
   }
 
@@ -176,7 +190,7 @@ object RowDml {
   private val TMark = "__graft_merge_t"
   private val SMark = "__graft_merge_s"
 
-  private def merge(spark: SparkSession, m: MergeIntoTable): DataFrame = {
+  private def merge(spark: SparkSession, m: MergeIntoTable, sink: Sink): DataFrame = {
     if (m.notMatchedBySourceActions.nonEmpty)
       throw new UnsupportedOperationException(
         "MERGE ... WHEN NOT MATCHED BY SOURCE is not supported on Parquet tables")
@@ -255,7 +269,7 @@ object RowDml {
         j.withColumn("__iidx", iIdx).filter(col("__iidx") >= 0).count()
 
       // MERGE can insert into any partition, so the rewrite is table-scoped.
-      rewrite(spark, tName, survivors.unionByName(inserts), partitionScoped = false)
+      sink(spark, tName, survivors.unionByName(inserts), false)
       affectedResult(spark, affected)
     } finally j.unpersist()
   }
