@@ -82,10 +82,23 @@ object EngineDemo {
     val bound = session.executePrepared(prep.handle, Map("q" -> 10)).collect().head.getLong(0)
     println(s"[demo] prepared(q<10) -> $bound rows")
 
-    // 9. Transactions (wire lifecycle; eager execution is a declared limitation).
-    val txns = new Transactions
-    val txn = txns.begin(session.id)
-    println(s"[demo] txn $txn commit=${txns.commit(txn).isRight}")
+    // 9. Staged multi-statement transaction: UPDATE inside BEGIN is
+    // session-visible, ROLLBACK restores the table untouched.
+    Statement.run(sessions, session, global, admission, "DROP TABLE IF EXISTS demo_txn")
+    Statement.run(sessions, session, global, admission,
+      "CREATE TABLE demo_txn USING parquet AS SELECT l_orderkey, l_quantity FROM lineitem LIMIT 100")
+    Statement.run(sessions, session, global, admission, "BEGIN")
+    val aff = Statement.run(sessions, session, global, admission,
+      "UPDATE demo_txn SET l_quantity = 0").head.getLong(0)
+    val zeroed = Statement.run(sessions, session, global, admission,
+      "SELECT SUM(l_quantity) AS s FROM demo_txn").head.get(0)
+    Statement.run(sessions, session, global, admission, "ROLLBACK")
+    val restored = Statement.run(sessions, session, global, admission,
+      "SELECT SUM(l_quantity) AS s FROM demo_txn").head.get(0)
+    println(s"[demo] txn: updated=$aff inTxnSum=$zeroed afterRollbackSum=$restored")
+    // Wire-lifecycle handles (the RPC surface) still work standalone.
+    val txn = sessions.transactions.begin(session.id)
+    println(s"[demo] wire txn $txn commit=${sessions.transactions.commit(txn).isRight}")
 
     // 10. Health + graceful drain.
     val health = new Health(spark).start()
