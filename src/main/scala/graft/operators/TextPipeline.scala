@@ -728,6 +728,43 @@ object TextPipeline {
       jaccardPairs(docs(s, d), 0.12).orderBy("id_a", "id_b")
     },
 
+    // Bloom-filter ingest gate: the cheap membership pre-filter in front of
+    // exact dedup at ingest time — a corpus-side Bloom filter answers "seen
+    // this text before?" in O(1) per incoming doc with NO false negatives,
+    // so only bloom-positive docs pay the exact anti-join. Build is
+    // Spark's distributed treeAggregate of partial filters; the filter
+    // broadcasts once per batch (at 100 TB: ~1.2 GB/1B items at 1% fpp,
+    // sharded per source in practice). Sketch BITS are engine-specific, so
+    // the oracle checks the PROPERTIES instead (the agg_approx_distinct
+    // pattern): exact incoming/true-dup counts, missed-dups must be 0
+    // (Bloom's contract), false-positive rate within 5x the configured 1%
+    // fpp. A regression flips the Spark side and the hash check goes red.
+    Op.eager("pipeline_bloom_gate",
+      "WITH inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1), " +
+      "ex AS (SELECT DISTINCT text FROM documents WHERE doc_id % 2 = 0) " +
+      "SELECT COUNT(*) AS n_incoming, " +
+      "CAST(SUM(CASE WHEN text IN (SELECT text FROM ex) THEN 1 ELSE 0 END) AS BIGINT) AS n_true_dups, " +
+      "CAST(0 AS BIGINT) AS n_missed, 1 AS fp_within_bound FROM inc") { (s, d) =>
+      val existing = docs(s, d).filter(col("doc_id") % 2 === 0)
+      val incoming = docs(s, d).filter(col("doc_id") % 2 === 1)
+      val bf = existing.stat.bloomFilter("text", math.max(existing.count(), 1L), 0.01)
+      val bfB = s.sparkContext.broadcast(bf)
+      val hit = udf((t: String) => t != null && bfB.value.mightContain(t))
+      val truth = incoming
+        .join(existing.select("text").distinct(), Seq("text"), "left_semi")
+        .select(col("doc_id")).withColumn("is_dup", lit(1))
+      val probed = incoming.select(col("doc_id"), hit(col("text")).as("bloom_hit"))
+        .join(truth, Seq("doc_id"), "left")
+        .na.fill(0, Seq("is_dup"))
+      val fpRate = sum(when(col("bloom_hit") && col("is_dup") === 0, 1).otherwise(0))
+        .cast("double") / sum(when(col("is_dup") === 0, 1).otherwise(0))
+      probed.agg(
+        count(lit(1)).as("n_incoming"),
+        sum(col("is_dup")).cast("long").as("n_true_dups"),
+        sum(when(col("is_dup") === 1 && !col("bloom_hit"), 1L).otherwise(0L)).as("n_missed"),
+        when(fpRate <= 0.05, 1).otherwise(0).as("fp_within_bound"))
+    },
+
     // Directed containment pairs: which docs are near-SUPERSETS of others —
     // the quote/boilerplate-inclusion case symmetric Jaccard under-scores.
     Op("dedup_containment",
