@@ -179,6 +179,28 @@ object CoverageOps {
       s.table("orders")
         .filter(TextPipeline.md5Hash60(col("o_orderkey").cast("string")) % 20 === 0)
         .agg(count(lit(1)).as("n"), round(avg("o_totalprice"), 2).as("avg_price"))
+    },
+
+    // Dialect-compat proof: ONE SQL text, spelled in the reference engine's
+    // DuckDB dialect (string_split / list_* / regexp_matches), runs verbatim
+    // on BOTH engines — Spark resolves the spellings through the
+    // DuckDbCompat alias table (plans/DuckDbCompat.scala: pure Catalyst
+    // expressions, no UDFs, so the whole row stays codegen'd). This is the
+    // migration contract made executable: a reference user's query text
+    // works unchanged.
+    {
+      val sameText =
+        "SELECT doc_id, " +
+        "list_contains(string_split(text, ' '), 'vector') AS has_vector, " +
+        "list_slice(string_split(text, ' '), 1, 3) AS first3, " +
+        "CAST(list_unique(string_split(text, ' ')) AS INTEGER) AS n_unique, " +
+        "list_sort(list_distinct(list_slice(string_split(text, ' '), 1, 5))) AS first5_sorted, " +
+        "regexp_matches(text, 'vector|stream') AS mentions " +
+        "FROM documents WHERE doc_id < 20 ORDER BY doc_id"
+      Op("compat_duckdb_sql", sameText) { (s, d) =>
+        Tables.ensure(s, d)
+        s.sql(sameText)
+      }
     }
   )
 }

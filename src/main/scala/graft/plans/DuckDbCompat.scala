@@ -1,0 +1,78 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+
+/** DuckDB-dialect function aliases, so queries written against the
+  * reference engine run VERBATIM here (the migration contract: "a user of
+  * the reference could switch and run every query they run today"). Each
+  * alias maps a DuckDB spelling onto the equivalent Catalyst expression —
+  * no UDFs, so everything stays codegen'd and optimizable.
+  *
+  * Dialect notes, honestly stated:
+  *   - `string_split(s, sep)` splits on a LITERAL separator in DuckDB;
+  *     Spark's split takes a regex, so the separator is regex-quoted
+  *     (\Q...\E) — byte-for-byte literal semantics for any separator.
+  *   - `list_slice(l, a, b)` is the inclusive [a, b] form (positive
+  *     indices; DuckDB's negative-index extension is not mapped).
+  *   - `list_unique` returns BIGINT-ish counts in DuckDB; cast in SQL when
+  *     an exact cross-engine dtype is needed.
+  *   - Vector functions map onto the native codegen expressions
+  *     (`graft_dot`/`graft_cosine`), whose left-to-right accumulation
+  *     matches DuckDB's list functions bit-for-bit on double arrays.
+  */
+object DuckDbCompat {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[CosineSimilarity].getName, null, name, usage, "")
+
+  private def lit(s: String) = Literal.create(s, org.apache.spark.sql.types.StringType)
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("string_split"),
+      info("string_split", "string_split(s, sep) - split on a literal separator (DuckDB dialect)"),
+      (c: Seq[Expression]) => StringSplit(c(0), Concat(Seq(lit("\\Q"), c(1), lit("\\E"))), Literal(-1))),
+    (FunctionIdentifier("list_contains"),
+      info("list_contains", "list_contains(l, v) - DuckDB alias of array_contains"),
+      (c: Seq[Expression]) => ArrayContains(c(0), c(1))),
+    (FunctionIdentifier("list_transform"),
+      info("list_transform", "list_transform(l, x -> e) - DuckDB alias of transform"),
+      (c: Seq[Expression]) => ArrayTransform(c(0), c(1))),
+    (FunctionIdentifier("list_filter"),
+      info("list_filter", "list_filter(l, x -> p) - DuckDB alias of filter"),
+      (c: Seq[Expression]) => ArrayFilter(c(0), c(1))),
+    (FunctionIdentifier("list_slice"),
+      info("list_slice", "list_slice(l, a, b) - inclusive [a, b] slice (DuckDB dialect)"),
+      (c: Seq[Expression]) => Slice(c(0), c(1), Add(Subtract(c(2), c(1)), Literal(1)))),
+    (FunctionIdentifier("list_distinct"),
+      info("list_distinct", "list_distinct(l) - DuckDB alias of array_distinct"),
+      (c: Seq[Expression]) => ArrayDistinct(c(0))),
+    (FunctionIdentifier("list_unique"),
+      info("list_unique", "list_unique(l) - number of distinct elements"),
+      (c: Seq[Expression]) => Size(ArrayDistinct(c(0)))),
+    (FunctionIdentifier("list_sort"),
+      info("list_sort", "list_sort(l) - ascending sort (DuckDB default)"),
+      (c: Seq[Expression]) => SortArray(c(0), Literal(true))),
+    (FunctionIdentifier("list_value"),
+      info("list_value", "list_value(x1, ...) - DuckDB alias of array(...)"),
+      (c: Seq[Expression]) => CreateArray(c)),
+    (FunctionIdentifier("list_append"),
+      info("list_append", "list_append(l, v) - append one element"),
+      (c: Seq[Expression]) => Concat(Seq(c(0), CreateArray(Seq(c(1)))))),
+    (FunctionIdentifier("regexp_matches"),
+      info("regexp_matches", "regexp_matches(s, p) - DuckDB alias of rlike"),
+      (c: Seq[Expression]) => RLike(c(0), c(1))),
+    (FunctionIdentifier("list_dot_product"),
+      info("list_dot_product", "list_dot_product(a, b) - native codegen dot product"),
+      (c: Seq[Expression]) => DotProduct(c(0), c(1))),
+    (FunctionIdentifier("list_inner_product"),
+      info("list_inner_product", "list_inner_product(a, b) - native codegen dot product"),
+      (c: Seq[Expression]) => DotProduct(c(0), c(1))),
+    (FunctionIdentifier("list_cosine_similarity"),
+      info("list_cosine_similarity", "list_cosine_similarity(a, b) - native codegen cosine"),
+      (c: Seq[Expression]) => CosineSimilarity(c(0), c(1))),
+    (FunctionIdentifier("list_distance"),
+      info("list_distance", "list_distance(a, b) - Euclidean distance via the 3-dot identity"),
+      (c: Seq[Expression]) => Sqrt(Add(Subtract(DotProduct(c(0), c(0)),
+        Multiply(Literal(2.0), DotProduct(c(0), c(1)))), DotProduct(c(1), c(1))))))
+}

@@ -38,5 +38,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           b.eval().asInstanceOf[Number].intValue(), n.eval().asInstanceOf[Number].intValue())
         case _ => throw new IllegalArgumentException("graft_lsh_buckets takes 1 or 3 arguments")
       }))
+    // DuckDB-dialect aliases (string_split, list_*, regexp_matches) so
+    // reference-dialect SQL runs verbatim — see DuckDbCompat.
+    DuckDbCompat.functions.foreach(ext.injectFunction)
   }
 }

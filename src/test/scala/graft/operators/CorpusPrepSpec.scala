@@ -142,6 +142,32 @@ class CorpusPrepSpec extends AnyFunSuite {
     }
   }
 
+  test("DuckDB-dialect aliases: literal split semantics and vector parity") {
+    // string_split must split on the LITERAL separator even when it is a
+    // regex metacharacter (the \\Q...\\E quoting in DuckDbCompat).
+    val r = spark.sql("SELECT string_split('a.b|c.d', '.') AS s, " +
+      "string_split('a.b|c.d', '|') AS p").collect().head
+    assert(r.getSeq[String](0) == Seq("a", "b|c", "d"))
+    assert(r.getSeq[String](1) == Seq("a.b", "c.d"))
+    // list_* aliases resolve and agree with the Spark-native spellings.
+    val r2 = spark.sql(
+      "SELECT list_contains(list_value(1, 2, 3), 2) AS c, " +
+      "list_slice(list_value(1, 2, 3, 4), 2, 3) AS sl, " +
+      "list_transform(list_value(1, 2), x -> x * 10) AS t, " +
+      "list_append(list_value(1), 9) AS ap, " +
+      "regexp_matches('graft', 'gr.ft') AS m").collect().head
+    assert(r2.getBoolean(0) && r2.getSeq[Int](1) == Seq(2, 3))
+    assert(r2.getSeq[Int](2) == Seq(10, 20) && r2.getSeq[Int](3) == Seq(1, 9))
+    assert(r2.getBoolean(4))
+    // Vector aliases ride the native codegen expressions bit-for-bit.
+    val v = spark.sql(
+      "SELECT list_cosine_similarity(array(1.0d, 2.0d), array(2.0d, 1.0d)) = " +
+      "graft_cosine(array(1.0d, 2.0d), array(2.0d, 1.0d)) AS ceq, " +
+      "list_inner_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS ip, " +
+      "list_distance(array(0.0d, 3.0d), array(4.0d, 0.0d)) AS d").collect().head
+    assert(v.getBoolean(0) && v.getDouble(1) == 11.0 && v.getDouble(2) == 5.0)
+  }
+
   test("text_ppl_buckets covers every doc once with buckets 1..3 per language") {
     val out = op("text_ppl_buckets")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
