@@ -170,7 +170,7 @@ object Statement {
 
       case BeginTxnRe() =>
         if (session.activeTxn.nonEmpty)
-          throw new IllegalStateException(
+          throw new IllegalArgumentException(
             s"transaction ${session.activeTxn.get} already open (no nesting)")
         val id = sessions.transactions.begin(session.id)
         session.activeTxn = Some(id)
@@ -178,11 +178,11 @@ object Statement {
 
       case CommitRe() =>
         val id = session.activeTxn.getOrElse(
-          throw new IllegalStateException("COMMIT without an open transaction"))
+          throw new IllegalArgumentException("COMMIT without an open transaction"))
         val txn = sessions.transactions.lookup(id).get
         val applied = TxnDml.commitApply(session.spark, txn)
         sessions.transactions.commit(id) match {
-          case Left(err) => throw new IllegalStateException(err)
+          case Left(err) => throw new IllegalArgumentException(err)
           case Right(_) =>
             session.activeTxn = None
             PlanCache.invalidate(session.spark)
@@ -192,13 +192,13 @@ object Statement {
 
       case RollbackRe() =>
         val id = session.activeTxn.getOrElse(
-          throw new IllegalStateException("ROLLBACK without an open transaction"))
+          throw new IllegalArgumentException("ROLLBACK without an open transaction"))
         val txn = sessions.transactions.lookup(id).get
         TxnDml.rollbackDiscard(session.spark, txn)
         session.activeTxn = None
         PlanCache.invalidate(session.spark)
         sessions.transactions.rollback(id) match {
-          case Left(err) => throw new IllegalStateException(err)
+          case Left(err) => throw new IllegalArgumentException(err)
           case Right(_) =>
             oneRowResult(session.spark, "result", s"transaction $id rolled back")
         }
@@ -239,7 +239,7 @@ object Statement {
               val parsed = session.spark.sessionState.sqlParser.parsePlan(sql)
               val analyzed = session.spark.sessionState.executePlan(parsed).analyzed
               if (analyzed.exists(_.isInstanceOf[Command]))
-                throw new IllegalStateException(
+                throw new IllegalArgumentException(
                   "only row-level UPDATE/DELETE/MERGE are transactional inside " +
                   "BEGIN ... COMMIT; COMMIT or ROLLBACK first")
             }

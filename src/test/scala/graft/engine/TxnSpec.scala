@@ -74,12 +74,12 @@ class TxnSpec extends AnyFunSuite {
     val s = sessions.getOrCreate("txn-s4", "alice", "admin")
     fresh(s, "txn_t4")
     run(s, "BEGIN")
-    val e = intercept[IllegalStateException](
+    val e = intercept[IllegalArgumentException](
       run(s, "INSERT INTO txn_t4 VALUES (9, 90.0)"))
     assert(e.getMessage.contains("transactional"))
     // The rejected INSERT must not have applied.
     assert(vs(s, "txn_t4") == Seq(10.0, 20.0, 30.0))
-    val e2 = intercept[IllegalStateException](
+    val e2 = intercept[IllegalArgumentException](
       run(s, "CREATE TABLE txn_t4b(x INT) USING parquet"))
     assert(e2.getMessage.contains("transactional"))
     assert(!s.spark.catalog.tableExists("txn_t4b"))
@@ -90,10 +90,10 @@ class TxnSpec extends AnyFunSuite {
 
   test("lifecycle errors: nesting, commit/rollback without a transaction") {
     val s = sessions.getOrCreate("txn-s5", "alice", "admin")
-    intercept[IllegalStateException](run(s, "COMMIT"))
-    intercept[IllegalStateException](run(s, "ROLLBACK"))
+    intercept[IllegalArgumentException](run(s, "COMMIT"))
+    intercept[IllegalArgumentException](run(s, "ROLLBACK"))
     run(s, "BEGIN")
-    intercept[IllegalStateException](run(s, "BEGIN"))
+    intercept[IllegalArgumentException](run(s, "BEGIN"))
     run(s, "ROLLBACK")
   }
 }

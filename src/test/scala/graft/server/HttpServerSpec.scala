@@ -86,6 +86,26 @@ class HttpServerSpec extends AnyFunSuite {
     assert(post("/sql", "SELECT 1", "Authorization" -> "Bearer not-a-jwt").statusCode() == 401)
   }
 
+  test("staged transaction over the wire: update, read-your-writes, rollback") {
+    def sql(s: String): String = {
+      val r = post("/sql", s, "Authorization" -> s"Bearer $token",
+        "Accept" -> "application/json")
+      assert(r.statusCode() == 200, s"$s -> ${r.statusCode()}")
+      new String(r.body(), StandardCharsets.UTF_8)
+    }
+    sql("DROP TABLE IF EXISTS wire_txn")
+    sql("CREATE TABLE wire_txn USING parquet AS SELECT 1 AS id, 10 AS v")
+    sql("BEGIN")
+    assert(sql("UPDATE wire_txn SET v = 99").contains("\"affected\":1"))
+    assert(sql("SELECT v FROM wire_txn").contains("99"))
+    // Non-DML commands are refused while the transaction is open.
+    val refused = post("/sql", "CREATE TABLE wire_txn2(x INT) USING parquet",
+      "Authorization" -> s"Bearer $token")
+    assert(refused.statusCode() == 400)
+    sql("ROLLBACK")
+    assert(sql("SELECT v FROM wire_txn").contains("10"))
+  }
+
   test("readonly role cannot execute writes through the wire") {
     val roToken = Auth.mintToken(secret, "reader", "readonly", "graft-instance")
     val resp = post("/sql", "CREATE TABLE wire_spec_t AS SELECT 1 AS x",
