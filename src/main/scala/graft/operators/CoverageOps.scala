@@ -181,6 +181,33 @@ object CoverageOps {
         .agg(count(lit(1)).as("n"), round(avg("o_totalprice"), 2).as("avg_price"))
     },
 
+    // The multimodal FEATURE stage end-to-end: binary media -> fixed-width
+    // float vector through the real mapPartitions pipeline (the shape a
+    // real codec amortizes per-JVM init in), oracle-checked because the
+    // stub featurizer is hex60 arithmetic any SQL engine can recompute.
+    // Features surface as exact integer milli-values (each stored float is
+    // k/1000 with k < 1000, so round(f*1000) recovers k exactly) — the
+    // float-vs-double division ulp trap never arises.
+    Op.effectful("multimodal_features", {
+      val hm = s"(${TextPipeline.hex60Sql("HEX(bytes)")} % 1000000007)"
+      "WITH m AS (SELECT media_id, " + hm + " AS hm " +
+      s"FROM read_parquet('${SourceOps.ioDir}/media_f/*.parquet')) " +
+      "SELECT media_id, " +
+      (0 until 8).map(i => s"CAST((hm * ${i * 2 + 1} + $i) % 1000 AS INTEGER) AS f$i").mkString(", ") +
+      " FROM m ORDER BY media_id"
+    }) { (s, d) =>
+      val mediaDir = s"${SourceOps.ioDir}/media_f"
+      graft.multimodal.Multimodal.syntheticMedia(s, 200)
+        .select("media_id", "kind", "bytes")
+        .write.mode("overwrite").parquet(mediaDir)
+      val media = s.read.parquet(mediaDir)
+        .withColumn("meta", lit(null).cast(graft.multimodal.Multimodal.metaType))
+      graft.multimodal.Multimodal.extractFeatures(media)
+        .select(col("media_id") +:
+          (0 until 8).map(i => round(col("features")(i) * 1000).cast("int").as(s"f$i")): _*)
+        .orderBy("media_id")
+    },
+
     // Dialect-compat proof: ONE SQL text, spelled in the reference engine's
     // DuckDB dialect (string_split / list_* / regexp_matches), runs verbatim
     // on BOTH engines — Spark resolves the spellings through the
