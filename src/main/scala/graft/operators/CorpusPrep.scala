@@ -89,8 +89,9 @@ object CorpusPrep {
 
   /** Per-document line-dedup accounting over (doc_id, text): the corpus cut
     * into fixed 8-token lines, each line's first occurrence (by doc_id,
-    * then position) kept, repeats counted per document. Two exchanges:
-    * doc_id (pre-explode spread) and line content (the occurrence window).
+    * then position) kept, repeats counted per document. Three exchanges:
+    * doc_id (pre-explode spread), line content (the occurrence window),
+    * and the per-doc collapse.
     */
   private[operators] def lineDedupStats(d: DataFrame): DataFrame = {
     val nPart = d.sparkSession.sessionState.conf.numShufflePartitions
@@ -195,8 +196,8 @@ object CorpusPrep {
     // unchanged), each line's first occurrence (by doc_id, then position)
     // kept, repeats counted per document. Scale: one groupBy-free explode
     // keyed on doc_id, a window over the `line` clustering (distributes by
-    // line content), and a per-doc collapse — two exchanges end-to-end,
-    // both on unskewed keys.
+    // line content), and a per-doc collapse — three exchanges end-to-end,
+    // all on unskewed keys.
     Op("dedup_lines",
       "WITH d AS (SELECT doc_id, STRING_SPLIT(text,' ') AS ws FROM documents WHERE LEN(STRING_SPLIT(text,' ')) > 0), " +
       "e AS (SELECT doc_id, ws, UNNEST(RANGE(0, CAST(CEIL(LEN(ws)/8.0) AS BIGINT))) AS i FROM d), " +

@@ -81,7 +81,7 @@ object ScaleCheck {
       "text_entropy", "events_anomaly", "corpus_dedup_funnel",
       "dedup_lines", "pipeline_bpe_pairs", "text_bm25_topk",
       "embed_hybrid_rrf", "text_ppl_buckets", "dedup_containment",
-      "embed_pq_rerank", "events_markov",
+      "embed_pq_rerank", "events_markov", "pipeline_bloom_gate",
       "embed_cosine_topk", "embed_knn", "embed_sq8_rerank", "embed_bucket_stats",
       "embed_centroid_stats", "embed_kmeans_iter") ++
       // The ORACLE op pins the fixture's 8x16 band shape, whose candidate
