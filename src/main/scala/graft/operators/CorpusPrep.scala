@@ -127,6 +127,49 @@ object CorpusPrep {
       .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
   }
 
+  /** Distributed Misra-Gries heavy-hitters summary over a token RDD: at most
+    * `k` counters per partition, merged with the mergeable-summaries rule
+    * (Agarwal et al., PODS'12): sum counters, then subtract the (k+1)-th
+    * largest count and drop non-positives. Guarantees after any merge tree:
+    * every term with true count > N/k survives, and every surviving estimate
+    * underestimates by at most N/k. One pass, O(k) memory per partition,
+    * treeAggregate merge — the 100 TB frequent-items path (exact top-k by
+    * groupBy is a full vocabulary shuffle; this never shuffles tokens at
+    * all).
+    */
+  private[operators] def misraGries(
+      toks: org.apache.spark.rdd.RDD[String], k: Int): Map[String, Long] = {
+    import scala.collection.mutable
+    def seqOp(m: mutable.HashMap[String, Long], t: String): mutable.HashMap[String, Long] = {
+      m.get(t) match {
+        case Some(c) => m.update(t, c + 1L)
+        case None if m.size < k => m.update(t, 1L)
+        case None =>
+          // Classic MG decrement: all k counters drop by 1 (the arriving
+          // token's implicit counter included), zeros evicted. Each O(k)
+          // decrement is paid for by k+1 prior arrivals — amortized O(1).
+          m.keys.toList.foreach { key =>
+            val nv = m(key) - 1L
+            if (nv > 0L) m.update(key, nv) else m.remove(key)
+          }
+      }
+      m
+    }
+    def combOp(a: mutable.HashMap[String, Long],
+        b: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
+      b.foreach { case (t, c) => a.update(t, a.getOrElse(t, 0L) + c) }
+      if (a.size > k) {
+        val cut = a.values.toIndexedSeq.sorted(Ordering[Long].reverse).apply(k)
+        a.keys.toList.foreach { key =>
+          val nv = a(key) - cut
+          if (nv > 0L) a.update(key, nv) else a.remove(key)
+        }
+      }
+      a
+    }
+    toks.treeAggregate(mutable.HashMap.empty[String, Long])(seqOp, combOp).toMap
+  }
+
   val ops: Seq[Op] = Seq(
 
     // BM25 ranked retrieval: the lexical half of every retrieval/RAG stack
@@ -254,6 +297,136 @@ object CorpusPrep {
           Seq(col("lm_score"), col("doc_id")), "ppl_bucket")
         .select("doc_id", "lang", "ppl_bucket")
         .orderBy("doc_id")
+    },
+
+    // Z-order (Morton) multi-dimensional clustering stats: lineitem keyed by
+    // the interleaved bits of (l_partkey, l_suppkey) via the native codegen
+    // `graft_zorder` expression, bucketed into 256 curve segments. Each
+    // segment's min/max on BOTH keys stays tight — the per-file range
+    // property behind lakehouse Z-order layout (a 2-D selective scan prunes
+    // segments a single-key sort can only prune on its leading column; the
+    // pruning win is measured in ZOrderSpec). Scale: the z-value is one
+    // per-row codegen expression; the bucket aggregate is one map-side-
+    // combined shuffle; a real layout pass follows it with
+    // repartitionByRange(zv).write — no extra exchange beyond the write's.
+    // Oracle: the same binary-magic-numbers interleave (public-domain bit
+    // hack) spelled in portable SQL.
+    Op("pipeline_zorder", {
+      "WITH a AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, " +
+      "l_partkey % 65536 AS x, l_suppkey % 65536 AS y FROM lineitem), " +
+      "b AS (SELECT *, (x | (x << 8)) & 16711935 AS xa, (y | (y << 8)) & 16711935 AS ya FROM a), " +
+      "c AS (SELECT *, (xa | (xa << 4)) & 252645135 AS xb, (ya | (ya << 4)) & 252645135 AS yb FROM b), " +
+      "e AS (SELECT *, (xb | (xb << 2)) & 858993459 AS xc, (yb | (yb << 2)) & 858993459 AS yc FROM c), " +
+      "f AS (SELECT *, (xc | (xc << 1)) & 1431655765 AS xd, (yc | (yc << 1)) & 1431655765 AS yd FROM e), " +
+      "z AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, (xd | (yd << 1)) AS zv FROM f), " +
+      "g AS (SELECT *, CAST(NTILE(64) OVER (ORDER BY zv, l_orderkey, l_linenumber) AS INTEGER) AS z_seg FROM z) " +
+      "SELECT z_seg, CAST(COUNT(*) AS BIGINT) AS n, " +
+      "MIN(l_partkey) AS min_pk, MAX(l_partkey) AS max_pk, " +
+      "MIN(l_suppkey) AS min_sk, MAX(l_suppkey) AS max_sk " +
+      "FROM g GROUP BY 1 ORDER BY 1"
+    }) { (s, d) =>
+      Tables.ensure(s, d)
+      val zdf = s.table("lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"),
+          graft.plans.ZOrderValue.zorder(
+            col("l_partkey") % 65536, col("l_suppkey") % 65536).as("zv"))
+      // 64 equal-count curve segments — exactly the file boundaries a
+      // Z-ordered `repartitionByRange(zv).write` would produce, via the
+      // distributed globalNtile (no single-task window).
+      Windows.globalNtile(zdf, 64,
+          Seq(col("zv"), col("l_orderkey"), col("l_linenumber")), "z_seg")
+        .groupBy("z_seg")
+        .agg(count(lit(1)).as("n"),
+          min("l_partkey").as("min_pk"), max("l_partkey").as("max_pk"),
+          min("l_suppkey").as("min_sk"), max("l_suppkey").as("max_sk"))
+        .orderBy("z_seg")
+    },
+
+    // Interpolated bigram language-model scoring (the CCNet-style LM signal
+    // one order up from `text_lm_score`'s unigram): per-document mean log10
+    // of p(w2|w1) = 0.9·c(w1 w2)/c(w1) + 0.1·c(w2)/N. Scale: bigrams come
+    // from the zip-with-shifted-slice explode (codegen, no window); the
+    // bigram-count join shuffles on the bigram key — the bigram table is
+    // O(vocab²) and must NOT be broadcast, unlike the bounded unigram vocab,
+    // which is — so the probe side shuffles once by bigram and never by the
+    // (hot) unigram keys. Per-bigram contributions quantize to integer
+    // milli-units before the per-doc sum (the lm_score float policy).
+    Op("text_lm_bigram",
+      "WITH s AS (SELECT doc_id, STRING_SPLIT(text,' ') AS ws FROM documents), " +
+      "b AS (SELECT doc_id, UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, CAST(LEN(ws) AS INTEGER)-1), " +
+      "i -> ws[i] || ' ' || ws[i+1])) AS bg FROM s), " +
+      "w AS (SELECT doc_id, UNNEST(ws) AS wd FROM s), " +
+      "c1 AS (SELECT wd, CAST(COUNT(*) AS BIGINT) AS c FROM w GROUP BY 1), " +
+      "t AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM c1), " +
+      "c2 AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY 1), " +
+      "q AS (SELECT b.doc_id, CAST(ROUND(LOG10(0.9*CAST(c2.c AS DOUBLE)/u1.c + 0.1*CAST(u2.c AS DOUBLE)/t.total)*1000) AS BIGINT) AS lq " +
+      "FROM b JOIN c2 USING (bg) " +
+      "JOIN c1 u1 ON u1.wd = SPLIT_PART(b.bg, ' ', 1) " +
+      "JOIN c1 u2 ON u2.wd = SPLIT_PART(b.bg, ' ', 2), t) " +
+      "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, " +
+      "(CAST(SUM(lq) AS BIGINT)/1000.0)/COUNT(*) AS lm2_score " +
+      "FROM q GROUP BY 1 ORDER BY doc_id") { (s, d) =>
+      val nPart = s.sessionState.conf.numShufflePartitions
+      val sdf = docs(s, d).repartition(nPart, col("doc_id"))
+        .select(col("doc_id"), tokens(col("text")).as("ws"))
+      val bigrams = sdf.filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), explode(arrays_zip(
+          slice(col("ws"), lit(1), size(col("ws")) - 1).as("w0"),
+          slice(col("ws"), lit(2), size(col("ws")) - 1).as("s1"))).as("t"))
+        .select(col("doc_id"), col("t.w0").as("w1"), col("t.s1").as("w2"),
+          concat_ws(" ", col("t.w0"), col("t.s1")).as("bg"))
+      val w = sdf.select(col("doc_id"), explode(col("ws")).as("wd"))
+      val c1 = w.groupBy("wd").agg(count(lit(1)).as("c"))
+      val total = c1.agg(sum("c").cast("long").as("total"))
+      val c2 = bigrams.groupBy("bg").agg(count(lit(1)).as("c2"))
+      bigrams.join(c2, "bg")
+        .join(broadcast(c1.select(col("wd").as("w1"), col("c").as("cu1"))), "w1")
+        .join(broadcast(c1.select(col("wd").as("w2"), col("c").as("cu2"))), "w2")
+        .crossJoin(broadcast(total))
+        .select(col("doc_id"),
+          round(log10(lit(0.9) * col("c2").cast("double") / col("cu1") +
+            lit(0.1) * col("cu2").cast("double") / col("total")) * 1000)
+            .cast("long").as("lq"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          ((sum("lq") / 1000.0) / count(lit(1))).as("lm2_score"))
+        .orderBy("doc_id")
+    },
+
+    // Misra-Gries heavy hitters: the sketch side of frequent-terms (exact
+    // top-k by df is `text_vocab`; this is the one-pass bounded-memory path
+    // that needs NO token shuffle at any corpus size). Error-bound oracle
+    // (the agg_approx_distinct pattern): the sketch must (a) retain every
+    // term with true count > N/k and (b) underestimate any retained term by
+    // at most N/k — both checked here against exact counts (the exact side
+    // is the verification harness, driver-collected over the fixture's
+    // bounded vocabulary; the SKETCH never shuffles or collects tokens).
+    // k=16 < the fixture's 31-term vocabulary, so the decrement/merge path
+    // genuinely exercises; N/16.0 is a power-of-two division, exact in both
+    // engines. The oracle recomputes n_exact_heavy from scratch in SQL.
+    Op.eager("text_heavy_hitters",
+      "WITH w AS (SELECT UNNEST(STRING_SPLIT(text,' ')) AS wd FROM documents), " +
+      "c AS (SELECT wd, CAST(COUNT(*) AS BIGINT) AS c FROM w GROUP BY 1), " +
+      "t AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM c) " +
+      "SELECT 1 AS all_heavy_present, 1 AS underest_within_bound, " +
+      "(SELECT CAST(COUNT(*) AS BIGINT) FROM c, t WHERE c.c > t.n/16.0) AS n_exact_heavy") { (s, d) =>
+      val k = 16
+      val toks = docs(s, d).select(explode(tokens(col("text"))).as("wd"))
+      val sketch = misraGries(toks.rdd.map(_.getString(0)), k)
+      val exact = toks.groupBy("wd").agg(count(lit(1)).as("c")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val n = exact.values.sum
+      val bound = n.toDouble / k
+      val heavy = exact.collect { case (t, c) if c > bound => t }.toSet
+      val allPresent = if (heavy.forall(sketch.contains)) 1 else 0
+      val withinBound = if (sketch.forall { case (t, est) =>
+        val ex = exact.getOrElse(t, 0L)
+        est <= ex && (ex - est) <= bound
+      }) 1 else 0
+      import s.implicits._
+      Seq((allPresent, withinBound, heavy.size.toLong))
+        .toDF("all_heavy_present", "underest_within_bound", "n_exact_heavy")
     }
   )
 }

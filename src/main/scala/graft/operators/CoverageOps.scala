@@ -208,6 +208,64 @@ object CoverageOps {
         .orderBy("media_id")
     },
 
+    // The multimodal RESIZE stage end-to-end (same contract as
+    // multimodal_decode/features): binary media through the real
+    // mapPartitions resize, value-checked because the stub transform is
+    // byte-arithmetic any SQL engine can recompute — output length is
+    // prefix + min(16, input length), the prefix itself round-trips as the
+    // exact 14-byte ASCII tag, and the meta struct carries the target dims.
+    Op.effectful("multimodal_resize",
+      "SELECT media_id, 64 AS width, 48 AS height, " +
+      "CAST(14 + LEAST(OCTET_LENGTH(bytes), 16) AS INTEGER) AS out_len, " +
+      "'resized:64x48:' AS prefix " +
+      s"FROM read_parquet('${SourceOps.ioDir}/media_r/*.parquet') ORDER BY media_id") { (s, d) =>
+      val mediaDir = s"${SourceOps.ioDir}/media_r"
+      graft.multimodal.Multimodal.syntheticMedia(s, 200)
+        .select("media_id", "kind", "bytes")
+        .write.mode("overwrite").parquet(mediaDir)
+      val media = s.read.parquet(mediaDir)
+        .withColumn("meta", lit(null).cast(graft.multimodal.Multimodal.metaType))
+      graft.multimodal.Multimodal.resize(media, 64, 48)
+        .select(col("media_id"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          length(col("bytes")).cast("int").as("out_len"),
+          substring(col("bytes"), 1, 14).cast("string").as("prefix"))
+        .orderBy("media_id")
+    },
+
+    // The multimodal FRAME-SAMPLE stage end-to-end (video semantics: one
+    // output row per sampled frame through the real flatMap-shaped
+    // mapPartitions). The stub samples 4 evenly-sized chunks; each frame is
+    // a byte-slice of the input, so the oracle recomputes every frame's
+    // length and 60-bit content hash by slicing the HEX string (2 hex chars
+    // per byte — DuckDB has no blob substring, the hex round-trip is the
+    // portable spelling).
+    Op.effectful("multimodal_frames", {
+      val flen = "LEAST(sz, len - frame_no*sz)"
+      "WITH m AS (SELECT media_id, bytes, OCTET_LENGTH(bytes) AS len, " +
+      "GREATEST(OCTET_LENGTH(bytes) // 4, 1) AS sz " +
+      s"FROM read_parquet('${SourceOps.ioDir}/media_s/*.parquet')), " +
+      "f AS (SELECT media_id, UNNEST(GENERATE_SERIES(0, 3)) AS frame_no, len, sz, bytes FROM m), " +
+      "g AS (SELECT media_id, CAST(frame_no AS INTEGER) AS frame_no, " +
+      s"CAST($flen AS INTEGER) AS frame_len, " +
+      s"SUBSTRING(HEX(bytes), CAST(frame_no*sz*2 + 1 AS INTEGER), CAST($flen*2 AS INTEGER)) AS fh " +
+      "FROM f WHERE frame_no*sz < len) " +
+      s"SELECT media_id, frame_no, frame_len, ${TextPipeline.hex60Sql("fh")} AS frame_h60 " +
+      "FROM g ORDER BY media_id, frame_no"
+    }) { (s, d) =>
+      val mediaDir = s"${SourceOps.ioDir}/media_s"
+      graft.multimodal.Multimodal.syntheticMedia(s, 200)
+        .select("media_id", "kind", "bytes")
+        .write.mode("overwrite").parquet(mediaDir)
+      val media = s.read.parquet(mediaDir)
+        .withColumn("meta", lit(null).cast(graft.multimodal.Multimodal.metaType))
+      graft.multimodal.Multimodal.sampleFrames(media, 4)
+        .select(col("media_id"), col("frame_no"),
+          length(col("frame")).cast("int").as("frame_len"),
+          TextPipeline.md5Hash60(hex(col("frame"))).as("frame_h60"))
+        .orderBy("media_id", "frame_no")
+    },
+
     // Dialect-compat proof: ONE SQL text, spelled in the reference engine's
     // DuckDB dialect (string_split / list_* / regexp_matches), runs verbatim
     // on BOTH engines — Spark resolves the spellings through the

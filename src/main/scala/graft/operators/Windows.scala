@@ -26,22 +26,25 @@ object Windows {
     * partition's cumulative row offset, then SQL NTILE's arithmetic (the
     * first `total % n` tiles get one extra row).
     *
-    * The per-partition counts come from a second branch over the SAME range
-    * exchange (ReusedExchange — one shuffle, sampled once, so both branches
-    * see identical partition bounds); the offsets relation is one row per
+    * The per-partition counts come from a second branch over the SAME
+    * sorted-with-ids dataset; the offsets relation is one row per
     * partition, broadcast back onto the rows. Everything stays codegen'd
-    * columnar — no RDD[Row] conversion, no driver-side count job, and the
-    * plan keeps AQE/codegen downstream (the previous `rdd.zipWithIndex`
-    * formulation ran 3 jobs and deserialized every row). The nondeterministic
-    * id project also pins the sort: EliminateSorts cannot recurse past it
-    * into the aggregate branch. This is the scalable form of
-    * `NTILE(n) OVER (ORDER BY ...)`; the window version moves the whole
-    * table onto one task.
+    * columnar — no RDD[Row] conversion, no driver-side count job (the
+    * previous `rdd.zipWithIndex` formulation ran 3 jobs and deserialized
+    * every row). The id project is CACHED before fanning out: both branches
+    * must read the SAME materialized ids — relying on exchange reuse is not
+    * enough, because AQE may re-plan the two subtree copies with different
+    * coalesced layouts, skewing the offsets against the join side (observed
+    * as ragged tiles on 60k rows under a default-conf session; the cache
+    * pins one id assignment the way a layout pass would persist its sorted
+    * output). MEMORY_AND_DISK, so evicted partitions spill rather than
+    * recompute. This is the scalable form of `NTILE(n) OVER (ORDER BY ...)`;
+    * the window version moves the whole table onto one task.
     */
   def globalNtile(df: DataFrame, n: Int, sortCols: Seq[org.apache.spark.sql.Column],
       out: String): DataFrame = {
     val inCols = df.columns
-    val mid = df.orderBy(sortCols: _*).withColumn("__mid", monotonically_increasing_id())
+    val mid = df.orderBy(sortCols: _*).withColumn("__mid", monotonically_increasing_id()).cache()
     def pid(c: org.apache.spark.sql.Column) = shiftright(c, 33)
     // Cumulative offsets + grand total over one row per partition — the
     // single-partition window here is over ~hundreds of rows, not the data.
@@ -80,7 +83,8 @@ object Windows {
       sortCols: Seq[org.apache.spark.sql.Column], out: String): DataFrame = {
     val inCols = df.columns
     val keys = groupCols.map(col) ++ sortCols
-    val mid = df.orderBy(keys: _*).withColumn("__mid", monotonically_increasing_id())
+    // Cached for the same both-branches-must-agree reason as globalNtile.
+    val mid = df.orderBy(keys: _*).withColumn("__mid", monotonically_increasing_id()).cache()
     def pid(c: org.apache.spark.sql.Column) = shiftright(c, 33)
     def local(c: org.apache.spark.sql.Column) = c.bitwiseAND(lit((1L << 33) - 1))
     // One row per (partition, group) block: its size and where it starts

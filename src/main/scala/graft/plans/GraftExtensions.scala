@@ -38,6 +38,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           b.eval().asInstanceOf[Number].intValue(), n.eval().asInstanceOf[Number].intValue())
         case _ => throw new IllegalArgumentException("graft_lsh_buckets takes 1 or 3 arguments")
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_zorder"),
+      info("graft_zorder",
+        "graft_zorder(x, y) - Morton/Z-order interleave of the low 16 bits of two integral keys"),
+      (children: Seq[Expression]) => ZOrderValue(children(0), children(1))))
     // DuckDB-dialect aliases (string_split, list_*, regexp_matches) so
     // reference-dialect SQL runs verbatim — see DuckDbCompat.
     DuckDbCompat.functions.foreach(ext.injectFunction)

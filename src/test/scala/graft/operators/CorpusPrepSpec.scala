@@ -168,6 +168,28 @@ class CorpusPrepSpec extends AnyFunSuite {
     assert(v.getBoolean(0) && v.getDouble(1) == 11.0 && v.getDouble(2) == 5.0)
   }
 
+  test("misraGries retains every heavy hitter within bound on a skewed corpus") {
+    // Constructed Zipf-ish skew: term_i appears ~40000/i times over a
+    // 500-term vocabulary — unlike the near-uniform fixture, several terms
+    // exceed N/k, so the PRESENCE guarantee is exercised non-vacuously
+    // (the fixture-backed oracle exercises the decrement/merge and bound).
+    val k = 20
+    val toks = spark.sparkContext.parallelize(
+      (1 to 500).flatMap(i => Seq.fill(40000 / i)(s"t$i")), 8)
+    val sketch = CorpusPrep.misraGries(toks, k)
+    val exact = (1 to 500).map(i => s"t$i" -> (40000 / i).toLong).toMap
+    val n = exact.values.sum
+    val bound = n.toDouble / k
+    val heavy = exact.collect { case (t, c) if c > bound => t }.toSet
+    assert(heavy.nonEmpty && heavy.size < k, s"want a non-trivial heavy set, got ${heavy.size}")
+    assert(sketch.size <= k)
+    heavy.foreach(t => assert(sketch.contains(t), s"heavy term $t evicted"))
+    sketch.foreach { case (t, est) =>
+      val ex = exact(t)
+      assert(est <= ex && ex - est <= bound, s"$t: est=$est exact=$ex bound=$bound")
+    }
+  }
+
   test("text_ppl_buckets covers every doc once with buckets 1..3 per language") {
     val out = op("text_ppl_buckets")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
