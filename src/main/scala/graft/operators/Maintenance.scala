@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Dataset maintenance + operability diagnostics: the jobs a pipeline team
+  * runs AROUND the data rather than on it — small-file compaction planning,
+  * join-key skew measurement, and telemetry event dedup. Each is
+  * oracle-checked like every other op.
+  */
+object Maintenance {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame = {
+    Tables.ensure(spark, dir)
+    spark.table("documents")
+  }
+
+  val ops: Seq[Op] = Seq(
+
+    // Small-file compaction planning: per-file row counts of a real
+    // multi-file parquet dataset (written here, then listed back via
+    // input_file_name), greedily packed into target-size bins by cumulative
+    // count in filename order — the plan an OPTIMIZE/rewrite job executes
+    // with one `repartition`-per-bin write. Scale: the per-FILE aggregate
+    // distributes over the data; the prefix-sum window runs over the file
+    // LISTING (one row per file — metadata-sized, like a catalog's file
+    // manifest), not over rows. Oracle: DuckDB lists the same directory
+    // with read_parquet(..., filename=true) and replays the same binning.
+    Op.effectful("pipeline_compact_plan", {
+      val dir = s"${SourceOps.ioDir}/compact_src"
+      "WITH f AS (SELECT REGEXP_EXTRACT(filename, '([^/]+)$', 1) AS fname, " +
+      s"CAST(COUNT(*) AS BIGINT) AS cnt FROM read_parquet('$dir/*.parquet', filename=true) GROUP BY 1), " +
+      "o AS (SELECT fname, cnt, COALESCE(SUM(cnt) OVER " +
+      "(ORDER BY fname ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM f) " +
+      "SELECT CAST(cum // 120 AS INTEGER) AS bin, CAST(COUNT(*) AS BIGINT) AS n_files, " +
+      "CAST(SUM(cnt) AS BIGINT) AS n_rows FROM o GROUP BY 1 ORDER BY 1"
+    }) { (s, d) =>
+      val dir = s"${SourceOps.ioDir}/compact_src"
+      docs(s, d).select("doc_id", "source", "text")
+        .repartition(13, col("doc_id"))
+        .write.mode("overwrite").parquet(dir)
+      val perFile = s.read.parquet(dir)
+        .withColumn("fname", regexp_extract(input_file_name(), "([^/]+)$", 1))
+        .groupBy("fname").agg(count(lit(1)).as("cnt"))
+      val wCum = Window.orderBy("fname").rowsBetween(Window.unboundedPreceding, -1)
+      perFile
+        .withColumn("cum", coalesce(sum("cnt").over(wCum), lit(0L)))
+        .select(expr("cast(cum div 120 as int)").as("bin"), col("cnt"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_files"), sum("cnt").cast("long").as("n_rows"))
+        .orderBy("bin")
+    },
+
+    // Join-key skew report: the diagnostic run BEFORE choosing between a
+    // plain shuffle join, AQE skew splitting, and explicit salting
+    // (ScaleTechniques.saltedEquiJoin). One row: key cardinality, max and
+    // quantile per-key counts, and max/avg ratio in integer milli-units
+    // (1000 = perfectly uniform). Scale: one map-side-combined count per
+    // key, then a single-row aggregate — nothing driver-side.
+    Op("agg_key_skew",
+      "WITH c AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS cnt FROM orders GROUP BY 1) " +
+      "SELECT CAST(COUNT(*) AS BIGINT) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS total, " +
+      "CAST(MAX(cnt) AS BIGINT) AS max_cnt, " +
+      "CAST(QUANTILE_DISC(cnt, 0.5) AS BIGINT) AS p50_cnt, " +
+      "CAST(QUANTILE_DISC(cnt, 0.99) AS BIGINT) AS p99_cnt, " +
+      "CAST(MAX(cnt) * 1000 * COUNT(*) // SUM(cnt) AS BIGINT) AS skew_milli " +
+      "FROM c") { (s, d) =>
+      Tables.ensure(s, d)
+      s.table("orders").groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
+        .agg(count(lit(1)).as("n_keys"), sum("cnt").cast("long").as("total"),
+          max("cnt").as("max_cnt"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cnt)").cast("long").as("p50_cnt"),
+          expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY cnt)").cast("long").as("p99_cnt"))
+        .select(col("n_keys"), col("total"), col("max_cnt"), col("p50_cnt"), col("p99_cnt"),
+          expr("max_cnt * 1000L * n_keys div total").as("skew_milli"))
+    },
+
+    // Telemetry event dedup over tumbling 5-minute windows: keep the first
+    // event per (user, type, window) — the standard at-least-once-ingest
+    // repair before event analytics. Exact micros arithmetic (EPOCH_US ↔
+    // unix_micros, the as-of join policy) so the window assignment is
+    // bit-identical cross-engine. Scale: one exchange — the dedup window
+    // partitions on (user_id, event_type, win), unskewed keys; the
+    // per-type collapse rides a second tiny aggregate.
+    Op("events_dedup_window",
+      "WITH e AS (SELECT event_type, user_id, ts, event_id, " +
+      "EPOCH_US(ts) // 300000000 AS win FROM events), " +
+      "k AS (SELECT event_type, ROW_NUMBER() OVER " +
+      "(PARTITION BY user_id, event_type, win ORDER BY ts, event_id) AS rn FROM e) " +
+      "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events, " +
+      "CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept " +
+      "FROM k GROUP BY 1 ORDER BY 1") { (s, d) =>
+      Tables.ensure(s, d)
+      val w = Window.partitionBy("user_id", "event_type", "win")
+        .orderBy(col("ts"), col("event_id"))
+      s.table("events")
+        .withColumn("win", expr("unix_micros(cast(ts as timestamp)) div 300000000"))
+        .withColumn("rn", row_number().over(w))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).cast("long").as("n_kept"))
+        .orderBy("event_type")
+    }
+  )
+}
