@@ -178,6 +178,40 @@ object Events {
         .select(col("from_type"), col("to_type"), col("cnt"),
           round(col("cnt").cast("double") / col("total"), 4).as("p"))
         .orderBy("from_type", "to_type")
+    },
+
+    // Time-series gap filling / densification: each user's sparse daily
+    // event counts expanded to EVERY day in their [first, last] activity
+    // range — zero-filled holes plus a running cumulative — the regular
+    // grid that downstream resampling/forecasting expects (missing days are
+    // silently absent from a plain groupBy, which biases any average-over-
+    // days). Scale: the grid explodes per user from a 2-column (user,
+    // range) aggregate — output is Σ per-user span days, never a users ×
+    // global-calendar cross join; the join and window both key on user_id.
+    // The user_id < 20 slice keeps the oracle result bounded; the shape is
+    // slice-independent.
+    Op("events_gapfill",
+      "WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c " +
+      "FROM events WHERE user_id < 20 GROUP BY 1, 2), " +
+      "r AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM d GROUP BY 1), " +
+      "g AS (SELECT user_id, CAST(UNNEST(GENERATE_SERIES(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM r) " +
+      "SELECT g.user_id, g.day, CAST(COALESCE(d.c, 0) AS BIGINT) AS cnt, " +
+      "CAST(SUM(COALESCE(d.c, 0)) OVER (PARTITION BY g.user_id ORDER BY g.day) AS BIGINT) AS cum_cnt " +
+      "FROM g LEFT JOIN d ON g.user_id = d.user_id AND g.day = d.day " +
+      "ORDER BY g.user_id, g.day") { (s, d) =>
+      val daily = ev(s, d).filter(col("user_id") < 20)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val ranges = daily.groupBy("user_id")
+        .agg(min("day").as("d0"), max("day").as("d1"))
+      val grid = ranges.select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+      val w = Window.partitionBy("user_id").orderBy("day")
+      grid.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          coalesce(col("c"), lit(0L)).as("cnt"),
+          sum(coalesce(col("c"), lit(0L))).over(w).as("cum_cnt"))
+        .orderBy("user_id", "day")
     }
   )
 }

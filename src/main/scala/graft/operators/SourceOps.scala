@@ -41,6 +41,22 @@ object SourceOps {
         .orderBy("k")
     },
 
+    // ORC sink + scan (the other columnar format Spark ships natively).
+    // DuckDB has no ORC reader, so the oracle reads the SOURCE parquet
+    // table instead: the check is a write→read ROUND-TRIP — any value the
+    // ORC path corrupts or retypes diverges from the parquet original.
+    Op.effectful("scan_orc",
+      "SELECT n_nationkey AS k, n_name AS name, n_regionkey AS rk " +
+      "FROM nation ORDER BY k") { (s, d) =>
+      Tables.ensure(s, d)
+      s.table("nation")
+        .write.mode("overwrite").orc(s"$ioDir/nation_orc")
+      s.read.orc(s"$ioDir/nation_orc")
+        .select(col("n_nationkey").as("k"), col("n_name").as("name"),
+          col("n_regionkey").as("rk"))
+        .orderBy("k")
+    },
+
     Op.effectful("scan_json",
       s"SELECT CAST(n_nationkey AS INTEGER) AS k, n_name AS name, CAST(n_regionkey AS INTEGER) AS rk " +
       s"FROM read_json_auto('$ioDir/nation_json/*.json') ORDER BY k") { (s, d) =>
