@@ -136,20 +136,53 @@ object Embeddings {
     val (bpb, nb) =
       if (bitsPerBand > 0 && bands > 0) (bitsPerBand, bands)
       else graft.plans.HyperplaneLsh.autoShape(e.count())
-    val buckets = e.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .select(col("vec_id"), posexplode(lshBuckets(col("v"), bpb, nb)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val cand = buckets.as("a").join(buckets.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
-      .distinct()
+    val cand = lshCandidates(e, bpb, nb)
     val va = e.select(col("vec_id").as("id_a"), asDouble(col("embedding")).as("va"))
     val vb = e.select(col("vec_id").as("id_b"), asDouble(col("embedding")).as("vb"))
     cand.join(va, "id_a").join(vb, "id_b")
       .select(col("id_a"), col("id_b"), round(cosine(col("va"), col("vb")), 6).as("cos"))
       .filter(col("cos") >= threshold)
       .orderBy("id_a", "id_b")
+  }
+
+  /** Raw LSH candidate pairs (pre-verification): bucket equi-join on the
+    * fused band expression — the numerator of the index's candidate cost
+    * and the set whose exact-verification defines recall.
+    */
+  private[operators] def lshCandidates(e: DataFrame, bpb: Int, nb: Int): DataFrame = {
+    val buckets = e.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), posexplode(lshBuckets(col("v"), bpb, nb)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+  }
+
+  /** Block-partitioned exact all-pairs cosine >= threshold: the classic
+    * distributed cross kernel (see the `dedup_embed` op comment for the
+    * full design rationale) — B blocks, each unordered block pair one join
+    * key, a shuffled-hash equi-join evaluates only within-block-pair rows.
+    * No full-corpus broadcast, bounded build side, shuffle ~ (B+1)*n rows.
+    */
+  private[operators] def blockedPairs(e0: DataFrame, threshold: Double,
+      B: Int = 16): DataFrame = {
+    val e = e0.select(col("vec_id"), asDouble(col("embedding")).as("v"),
+      pmod(col("vec_id"), lit(B)).as("blk"))
+    val aSide = e.select(col("vec_id").as("id_l"), col("v").as("vl"), col("blk").as("blk_l"),
+      explode(transform(sequence(col("blk"), lit(B - 1)),
+        j => col("blk") * B + j)).as("pk"))
+    val bSide = e.select(col("vec_id").as("id_r"), col("v").as("vr"), col("blk").as("blk_r"),
+      explode(transform(sequence(lit(0), col("blk")),
+        i => i * lit(B) + col("blk"))).as("pk"))
+    aSide.hint("shuffle_hash").join(bSide,
+        aSide("pk") === bSide("pk") &&
+          (col("blk_l") < col("blk_r") || col("id_l") < col("id_r")))
+      .select(least(col("id_l"), col("id_r")).as("id_a"),
+        greatest(col("id_l"), col("id_r")).as("id_b"),
+        round(cosine(col("vl"), col("vr")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
   }
 
   /** Shared DuckDB CTE chain ending in `buckets(vec_id, band, bucket)` —
@@ -186,6 +219,42 @@ object Embeddings {
       // plane family); the library default auto-sizes instead.
       lshDedup(s, emb(s, d), 0.45,
         graft.plans.HyperplaneLsh.bitsPerBand, graft.plans.HyperplaneLsh.bands)
+    },
+
+    // ANN index health, the headline number: measured RECALL of the LSH
+    // candidate set against exact all-pairs ground truth at the operator's
+    // 0.45 threshold, plus the candidate-set size that recall was bought
+    // with. This is the accept/reject test for any band-shape change (the
+    // 8x16 fixture shape trades low-threshold recall for candidate count —
+    // the docs claim ~40% at cos 0.45; this op pins the measured value).
+    // Scale: candidates from the bucket equi-join (never all pairs); the
+    // ground-truth side is the block-partitioned exact kernel — the
+    // verification harness you run on a SAMPLE at 100 TB, not the corpus.
+    // recall_milli is integer arithmetic; no float crosses engines.
+    Op("embed_lsh_recall",
+      bucketsCte + ", " +
+      "cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b FROM buckets a " +
+      "JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id), " +
+      "tru AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a " +
+      "JOIN embeddings b ON a.vec_id < b.vec_id " +
+      "WHERE ROUND(LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]), " +
+      "CAST(b.embedding AS DOUBLE[])),6) >= 0.45), " +
+      "hit AS (SELECT tru.id_a, tru.id_b FROM tru JOIN cand " +
+      "ON tru.id_a = cand.id_a AND tru.id_b = cand.id_b) " +
+      "SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM tru) AS n_true, " +
+      "(SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_cand, " +
+      "(SELECT CAST(COUNT(*) AS BIGINT) FROM hit) AS n_hit, " +
+      "(SELECT CAST(COUNT(*) * 1000 // GREATEST((SELECT COUNT(*) FROM tru), 1) AS BIGINT) FROM hit) AS recall_milli") { (s, d) =>
+      import graft.plans.HyperplaneLsh
+      val e = emb(s, d)
+      val cand = lshCandidates(e, HyperplaneLsh.bitsPerBand, HyperplaneLsh.bands)
+      val tru = blockedPairs(e, 0.45).select("id_a", "id_b")
+      val hit = tru.join(cand, Seq("id_a", "id_b"), "left_semi")
+      tru.agg(count(lit(1)).as("n_true"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_true"), col("n_cand"), col("n_hit"),
+          expr("n_hit * 1000 div greatest(n_true, 1)").as("recall_milli"))
     },
 
     // ANN index health: per-band bucket-occupancy summary for the hyperplane
@@ -378,24 +447,7 @@ object Embeddings {
       "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
       "WHERE ROUND(LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])),6) >= 0.45 " +
       "ORDER BY id_a, id_b") { (s, d) =>
-      val B = 16
-      val e = emb(s, d)
-        .select(col("vec_id"), asDouble(col("embedding")).as("v"),
-          pmod(col("vec_id"), lit(B)).as("blk"))
-      val aSide = e.select(col("vec_id").as("id_l"), col("v").as("vl"), col("blk").as("blk_l"),
-        explode(transform(sequence(col("blk"), lit(B - 1)),
-          j => col("blk") * B + j)).as("pk"))
-      val bSide = e.select(col("vec_id").as("id_r"), col("v").as("vr"), col("blk").as("blk_r"),
-        explode(transform(sequence(lit(0), col("blk")),
-          i => i * lit(B) + col("blk"))).as("pk"))
-      aSide.hint("shuffle_hash").join(bSide,
-          aSide("pk") === bSide("pk") &&
-            (col("blk_l") < col("blk_r") || col("id_l") < col("id_r")))
-        .select(least(col("id_l"), col("id_r")).as("id_a"),
-          greatest(col("id_l"), col("id_r")).as("id_b"),
-          round(cosine(col("vl"), col("vr")), 6).as("cos"))
-        .filter(col("cos") >= 0.45)
-        .orderBy("id_a", "id_b")
+      blockedPairs(emb(s, d), 0.45).orderBy("id_a", "id_b")
     },
 
     // Int8 scalar quantization (the memory-compression step of an ANN index
