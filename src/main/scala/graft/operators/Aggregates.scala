@@ -157,6 +157,27 @@ object Aggregates {
           within(0.99).as("q99_within_1pct"))
     },
 
+    // Equi-width histogram — the profiling aggregate behind every column
+    // stats page. Prices quantized to integer cents FIRST (ROUND then cast:
+    // DuckDB CAST(double AS BIGINT) rounds while Spark's truncates, so the
+    // rounding must be explicit), then pure integer bucket arithmetic:
+    // bucket = (cents-lo)*20 div (hi-lo+1) lands every value in [0,20)
+    // with no float boundary anywhere. One map-side-combined aggregate plus
+    // a broadcast 1-row min/max.
+    Op("agg_histogram",
+      "WITH b AS (SELECT CAST(ROUND(l_extendedprice*100) AS BIGINT) AS cents FROM lineitem), " +
+      "m AS (SELECT MIN(cents) AS lo, MAX(cents) AS hi FROM b) " +
+      "SELECT CAST((cents - lo) * 20 // (hi - lo + 1) AS INTEGER) AS bucket, " +
+      "CAST(COUNT(*) AS BIGINT) AS n FROM b, m GROUP BY 1 ORDER BY 1") { (s, d) =>
+      val b = t(s, d, "lineitem")
+        .select(round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val m = b.agg(min("cents").as("lo"), max("cents").as("hi"))
+      b.crossJoin(broadcast(m))
+        .select(expr("cast((cents - lo) * 20 div (hi - lo + 1) as int)").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
+    },
+
     // Exact order statistics per group: Spark's percentile() interpolates at
     // p*(n-1) exactly like DuckDB QUANTILE_CONT; percentile_disc matches
     // QUANTILE_DISC (both verified value-for-value on this data).
