@@ -14,11 +14,13 @@ import scala.jdk.CollectionConverters._
   * rows/duration/status, and profile capture stores the executed physical
   * plan (`df.queryExecution`) when `gizmosql.capture_query_profile` is on.
   */
-final class Observability(captureProfile: () => Boolean) extends QueryExecutionListener {
+final class Observability(captureProfile: () => Boolean,
+    tagFor: SparkSession => String = _ => "") extends QueryExecutionListener {
 
   final case class QueryRecord(
       name: String, durationNs: Long, status: String,
       outputRows: Option[Long], profile: Option[String],
+      tag: String = "",
       completedAtMs: Long = System.currentTimeMillis())
 
   private val records = new ConcurrentLinkedQueue[QueryRecord]()
@@ -30,11 +32,13 @@ final class Observability(captureProfile: () => Boolean) extends QueryExecutionL
   override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
     val rows = qe.executedPlan.metrics.get("numOutputRows").map(_.value)
     val profile = if (captureProfile()) Some(qe.executedPlan.toString) else None
-    records.add(QueryRecord(funcName, durationNs, "success", rows, profile))
+    records.add(QueryRecord(funcName, durationNs, "success", rows, profile,
+      tagFor(qe.sparkSession)))
   }
 
   override def onFailure(funcName: String, qe: QueryExecution, error: Exception): Unit =
-    records.add(QueryRecord(funcName, 0L, s"error: ${error.getMessage}", None, None))
+    records.add(QueryRecord(funcName, 0L, s"error: ${error.getMessage}", None, None,
+      tagFor(qe.sparkSession)))
 
   def snapshot: Seq[QueryRecord] = records.asScala.toSeq
   def clear(): Unit = records.clear()
@@ -55,9 +59,12 @@ final class Observability(captureProfile: () => Boolean) extends QueryExecutionL
     val schema = StructType(Seq(
       StructField("operation", StringType), StructField("duration_ms", DoubleType),
       StructField("status", StringType), StructField("output_rows", LongType),
-      StructField("has_profile", BooleanType)))
+      StructField("has_profile", BooleanType),
+      // the reference's sql_statements.query_tag: the session's tag at
+      // execution time, '' when unset (test_instance_session_query_tags.cpp)
+      StructField("query_tag", StringType)))
     val rows = snapshot.map(r => Row(r.name, r.durationNs / 1e6, r.status,
-      r.outputRows.map(Long.box).orNull, r.profile.isDefined))
+      r.outputRows.map(Long.box).orNull, r.profile.isDefined, r.tag))
     spark.createDataFrame(rows.asJava, schema)
   }
 

@@ -88,7 +88,15 @@ final class GraftHttpServer(
   }
   val health = new Health(spark).start()
   val shutdown = new ShutdownState(gracePeriodSeconds = 10)
-  val observability = new Observability(() => false).install(spark)
+  // spark-session -> engine-session reverse map, so the (async) query
+  // listener can stamp each record with ITS session's query_tag — the
+  // reference's sql_statements.query_tag contract. Weak keys: a closed
+  // session's SparkSession must not be pinned by instrumentation.
+  private val sparkToSession = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, SessionState]())
+  val observability = new Observability(() => false,
+    s => Option(sparkToSession.get(s))
+      .flatMap(_.settings.get("gizmosql.query_tag")).getOrElse("")).install(spark)
   val accessLog = new AccessLog()
   // OTLP/HTTP export (reference `gizmosql_telemetry.cpp`; disabled unless
   // GIZMOSQL_OTEL_ENABLED) — periodic flush like the SDK's 60 s metric
@@ -360,6 +368,7 @@ final class GraftHttpServer(
                 Statement.registerPseudoFunctions(session, instanceId, clusterId)
                 // each newSession() has its own listener manager; one shared
                 // Observability instance aggregates across all sessions
+                sparkToSession.put(session.spark, session)
                 observability.install(session.spark)
               }
               f(id, session)

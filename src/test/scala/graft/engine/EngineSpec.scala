@@ -497,6 +497,31 @@ class GuardHardeningSpec extends AnyFunSuite {
     assert(check("DESCRIBE region") == StatementGuard.Allowed)
   }
 
+  test("observability stamps the session's query_tag on each record") {
+    val session = new SessionManager(spark, new GlobalSettings)
+      .getOrCreate("tagged", "alice", "admin")
+    val obs = new Observability(() => false,
+      s => if (s eq session.spark) session.settings.get("gizmosql.query_tag").getOrElse("")
+           else "").install(session.spark)
+    try {
+      session.settings.set("gizmosql.query_tag", """{"request_id":"abc-123"}""")
+      session.spark.sql("SELECT 1").collect()
+      val deadline = System.currentTimeMillis() + 5000
+      while (obs.snapshot.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(20)
+      assert(obs.snapshot.exists(_.tag.contains("abc-123")))
+      // clearing the tag (empty string) untags subsequent statements
+      session.settings.set("gizmosql.query_tag", "")
+      obs.clear()
+      session.spark.sql("SELECT 2").collect()
+      val d2 = System.currentTimeMillis() + 5000
+      while (obs.snapshot.isEmpty && System.currentTimeMillis() < d2) Thread.sleep(20)
+      assert(obs.snapshot.nonEmpty && obs.snapshot.forall(_.tag == ""))
+      obs.installView(session.spark)
+      val cols = session.spark.table("gizmosql_statements").columns
+      assert(cols.contains("query_tag"))
+    } finally session.spark.listenerManager.unregister(obs)
+  }
+
   test("observability statements view is queryable") {
     @volatile var capture = false
     val obs = new Observability(() => capture).install(spark)
