@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestHarness
+import graft.plans.ZOrderValue
+
+/** ScalaCheck properties for the bit-level primitives: randomized inputs
+  * with shrinking, complementing the example-based specs.
+  */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+
+  private def check(prop: Prop, n: Int = 300): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  /** Inverse of interleave16: gather even bits into x, odd bits into y. */
+  private def deinterleave(z: Long): (Long, Long) = {
+    var x = 0L; var y = 0L
+    var i = 0
+    while (i < 16) {
+      x |= ((z >> (2 * i)) & 1L) << i
+      y |= ((z >> (2 * i + 1)) & 1L) << i
+      i += 1
+    }
+    (x, y)
+  }
+
+  test("zorder interleave16 is a bijection on 16-bit pairs (round-trips)") {
+    check(Prop.forAll(Gen.chooseNum(0L, 65535L), Gen.chooseNum(0L, 65535L)) {
+      (x, y) => deinterleave(ZOrderValue.interleave16(x, y)) == ((x, y))
+    })
+  }
+
+  test("zorder truncation: only the low 16 bits of each key matter") {
+    check(Prop.forAll(Gen.chooseNum(0L, Long.MaxValue), Gen.chooseNum(0L, Long.MaxValue)) {
+      (x, y) =>
+        ZOrderValue.interleave16(x, y) ==
+          ZOrderValue.interleave16(x & 0xffffL, y & 0xffffL)
+    })
+  }
+
+  test("misraGries: presence + error bound hold for arbitrary skewed streams") {
+    // Small alphabet so heavy hitters actually occur; random partitioning so
+    // the mergeable-summaries combOp path is exercised, not just seqOp.
+    val genStream = for {
+      n <- Gen.chooseNum(200, 1500)
+      alpha <- Gen.chooseNum(3, 30)
+      toks <- Gen.listOfN(n, Gen.chooseNum(1, alpha).map(i => s"w${i * i % alpha}"))
+      parts <- Gen.chooseNum(1, 6)
+      k <- Gen.chooseNum(2, 12)
+    } yield (toks, parts, k)
+    check(Prop.forAll(genStream) { case (toks, parts, k) =>
+      val sketch = CorpusPrep.misraGries(
+        spark.sparkContext.parallelize(toks, parts), k)
+      val exact = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val bound = toks.size.toDouble / k
+      val heavyRetained = exact.forall { case (t, c) => c <= bound || sketch.contains(t) }
+      val withinBound = sketch.forall { case (t, est) =>
+        val ex = exact.getOrElse(t, 0L)
+        est <= ex && ex - est <= bound
+      }
+      heavyRetained && withinBound && sketch.size <= k
+    }, n = 25)
+  }
+}
