@@ -65,7 +65,8 @@ object ExtensibilityOps {
     Op("fn_bitwise",
       "SELECT n_nationkey, CAST(n_nationkey & 12 AS INTEGER) AS band, CAST(n_nationkey | 3 AS INTEGER) AS bor, " +
       "CAST(XOR(n_nationkey, 21) AS INTEGER) AS bxor, CAST(n_nationkey << 2 AS INTEGER) AS shl, " +
-      "CAST(n_nationkey >> 1 AS INTEGER) AS shr FROM nation ORDER BY n_nationkey") { (s, d) =>
+      "CAST(n_nationkey >> 1 AS INTEGER) AS shr, CAST(BIT_COUNT(n_nationkey) AS INTEGER) AS bc " +
+      "FROM nation ORDER BY n_nationkey") { (s, d) =>
       Tables.ensure(s, d)
       s.table("nation").select(
         col("n_nationkey"),
@@ -73,7 +74,8 @@ object ExtensibilityOps {
         col("n_nationkey").bitwiseOR(3).as("bor"),
         col("n_nationkey").bitwiseXOR(21).as("bxor"),
         expr("shiftleft(n_nationkey, 2)").as("shl"),
-        expr("shiftright(n_nationkey, 1)").as("shr")
+        expr("shiftright(n_nationkey, 1)").as("shr"),
+        bit_count(col("n_nationkey")).as("bc")
       ).orderBy("n_nationkey")
     },
 

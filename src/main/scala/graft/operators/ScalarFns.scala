@@ -59,27 +59,6 @@ object ScalarFns {
       ).orderBy("p_partkey").limit(100)
     },
 
-    // Bitwise operator surface (&, |, xor, shifts, popcount) — used by the
-    // engine's own Z-order/SimHash/LSH internals and part of the DuckDB SQL
-    // surface (same spellings both dialects except XOR: infix ^ in Spark,
-    // xor() in DuckDB; BIT_COUNT is TINYINT there, INT here — cast).
-    Op("fn_bitwise",
-      "SELECT n_nationkey, CAST(n_nationkey & 12 AS BIGINT) AS ba, " +
-      "CAST(n_nationkey | 3 AS BIGINT) AS bo, CAST(XOR(n_nationkey, 21) AS BIGINT) AS bx, " +
-      "CAST(n_nationkey << 2 AS BIGINT) AS shl, CAST(n_nationkey >> 1 AS BIGINT) AS shr, " +
-      "CAST(BIT_COUNT(n_nationkey) AS INTEGER) AS bc " +
-      "FROM nation ORDER BY n_nationkey") { (s, d) =>
-      t(s, d, "nation")
-        .select(col("n_nationkey"),
-          expr("n_nationkey & 12").as("ba"),
-          expr("n_nationkey | 3").as("bo"),
-          expr("n_nationkey ^ 21").as("bx"),
-          expr("shiftleft(n_nationkey, 2)").as("shl"),
-          expr("shiftright(n_nationkey, 1)").as("shr"),
-          bit_count(col("n_nationkey")).as("bc"))
-        .orderBy("n_nationkey")
-    },
-
     Op("fn_math",
       "SELECT l_orderkey, l_linenumber, ROUND(SQRT(l_quantity),6) AS sq, CAST(CEIL(l_discount*100) AS BIGINT) AS ce, " +
       "CAST(FLOOR(l_tax*100) AS BIGINT) AS fl, ROUND(LN(l_extendedprice),6) AS ln_p, ROUND(LOG10(l_extendedprice),6) AS lg10, " +
