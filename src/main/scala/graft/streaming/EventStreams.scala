@@ -143,6 +143,31 @@ object EventStreams {
       .select(col("purchase_id"), col("view_id"), col("p_user").as("user_id"))
   }
 
+  /** Stream-stream LEFT OUTER join with the same event-time range condition:
+    * purchases with NO view in the lookback still emit — with null view_id —
+    * once the watermark passes their join window, i.e. once the engine can
+    * PROVE no matching view can still arrive. This is the state-expiry
+    * semantics that makes outer joins sound on unbounded streams (an outer
+    * row emitted early would be retracted by a late match; Spark instead
+    * holds it in join state until the watermark closes the range).
+    */
+  def viewToPurchaseLeftJoin(events: DataFrame, lookback: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .withWatermark("ts", watermark)
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"), col("event_id").as("view_id"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .withWatermark("ts", watermark)
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    purchases.join(views,
+      col("p_user") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr(s"INTERVAL $lookback"),
+      "left_outer")
+      .select(col("purchase_id"), col("view_id"), col("p_user").as("user_id"))
+  }
+
   /** Stream-static join: enrich the event stream with a broadcast dimension
     * table (re-read per micro-batch; no stream state). At 100 TB the static
     * side stays a broadcast as long as the dim fits an executor — the same

@@ -286,6 +286,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("stream-stream LEFT OUTER interval join emits null-matched purchases after watermark") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val matched = Seq(
+      Ev(1, ts("2024-01-01 10:00:00"), 7, "view", 0.0),
+      Ev(2, ts("2024-01-01 10:10:00"), 7, "purchase", 5.0), // view 10 min before
+      Ev(3, ts("2024-01-01 10:05:00"), 8, "purchase", 9.0)) // user 8 never views
+    val ms = MemoryStream[Ev]
+    val q = EventStreams.viewToPurchaseLeftJoin(ms.toDF())
+      .writeStream.format("memory").queryName("t_ssleft").outputMode("append").start()
+    try {
+      ms.addData(matched)
+      q.processAllAvailable()
+      // The unmatched purchase cannot emit yet: a matching view could still
+      // arrive within the watermark. Far-future events on BOTH sides (the
+      // global watermark is the min across the two watermarked branches, so
+      // a view alone would not move the purchases side) close the window,
+      // and one more batch triggers the state eviction that emits the
+      // null-matched row.
+      ms.addData(Seq(Ev(98, ts("2024-01-02 10:00:00"), 999, "view", 0.0),
+        Ev(99, ts("2024-01-02 10:00:00"), 999, "purchase", 0.0)))
+      q.processAllAvailable()
+      ms.addData(Seq(Ev(96, ts("2024-01-02 12:00:00"), 999, "view", 0.0),
+        Ev(97, ts("2024-01-02 12:00:00"), 999, "purchase", 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("t_ssleft").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .filter(_._1 < 90).toSet
+    assert(out.contains((2L, 1L)), s"matched purchase missing: $out")
+    assert(out.contains((3L, -1L)), s"unmatched purchase should emit with null view after watermark: $out")
+    // and streaming equals the batch left join on the same rows
+    val batch = EventStreams.viewToPurchaseLeftJoin(matched.toDF())
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(out == batch)
+  }
+
   test("stream-static broadcast join: streaming equals batch on the fixture") {
     import spark.implicits._
     val rows = fixtureEvents.as[Ev].collect().toSeq
