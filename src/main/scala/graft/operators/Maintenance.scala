@@ -77,6 +77,61 @@ object Maintenance {
           expr("max_cnt * 1000L * n_keys div total").as("skew_milli"))
     },
 
+    // Corpus snapshot diff: what changed between two dataset versions, by
+    // content hash — the audit table a crawl-over-crawl pipeline publishes
+    // with every release (and the input to incremental reprocessing: only
+    // `changed`+`added` need re-embedding/re-scoring). The v2 snapshot is
+    // derived deterministically from the fixture (every 10th doc removed,
+    // every 7th rewritten, every 13th re-keyed in as new) so the oracle can
+    // rebuild it; the OPERATOR is the full-outer join + md5 compare, which
+    // scales as one doc_id-keyed exchange regardless of snapshot contents.
+    Op("corpus_delta_report",
+      "WITH v1 AS (SELECT doc_id, MD5(text) AS h FROM documents), " +
+      "v2 AS (SELECT doc_id, MD5(CASE WHEN doc_id % 7 = 0 THEN text || ' rev' ELSE text END) AS h " +
+      "FROM documents WHERE doc_id % 10 <> 0 " +
+      "UNION ALL SELECT doc_id + 1000000 AS doc_id, MD5(text) AS h FROM documents WHERE doc_id % 13 = 0) " +
+      "SELECT CAST(SUM(CASE WHEN v2.h IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed, " +
+      "CAST(SUM(CASE WHEN v1.h IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added, " +
+      "CAST(SUM(CASE WHEN v1.h IS NOT NULL AND v2.h IS NOT NULL AND v1.h <> v2.h THEN 1 ELSE 0 END) AS BIGINT) AS n_changed, " +
+      "CAST(SUM(CASE WHEN v1.h = v2.h THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged " +
+      "FROM v1 FULL JOIN v2 USING (doc_id)") { (s, d) =>
+      val v1 = docs(s, d).select(col("doc_id"), md5(col("text")).as("h1"))
+      val base = docs(s, d)
+      val v2 = base.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 7 === 0, concat(col("text"), lit(" rev")))
+            .otherwise(col("text"))).as("h2"))
+        .unionByName(base.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), md5(col("text")).as("h2")))
+      v1.join(v2, Seq("doc_id"), "full_outer")
+        .agg(
+          sum(when(col("h2").isNull, 1L).otherwise(0L)).as("n_removed"),
+          sum(when(col("h1").isNull, 1L).otherwise(0L)).as("n_added"),
+          sum(when(col("h1").isNotNull && col("h2").isNotNull && col("h1") =!= col("h2"), 1L)
+            .otherwise(0L)).as("n_changed"),
+          sum(when(col("h1") === col("h2"), 1L).otherwise(0L)).as("n_unchanged"))
+    },
+
+    // Quality-gate calibration sweep: survivor counts at each candidate
+    // min-token threshold in ONE corpus pass (docs cross-joined with the
+    // tiny broadcast threshold list, conditional sums per threshold) — the
+    // table a pipeline owner reads before picking the gate, instead of
+    // re-running the filter per candidate value.
+    Op("pipeline_quality_sweep",
+      "WITH d AS (SELECT LEN(STRING_SPLIT(text, ' ')) AS n_tok FROM documents), " +
+      "t AS (SELECT UNNEST([20, 40, 60, 80, 100]) AS thr) " +
+      "SELECT CAST(thr AS INTEGER) AS thr, " +
+      "CAST(SUM(CASE WHEN n_tok >= thr THEN 1 ELSE 0 END) AS BIGINT) AS survivors " +
+      "FROM d, t GROUP BY 1 ORDER BY 1") { (s, d) =>
+      import graft.functions.TextFunctions.tokens
+      val nt = docs(s, d).select(size(tokens(col("text"))).as("n_tok"))
+      val thr = s.range(1, 6).select((col("id") * 20).cast("int").as("thr"))
+      nt.crossJoin(broadcast(thr))
+        .groupBy("thr")
+        .agg(sum(when(col("n_tok") >= col("thr"), 1L).otherwise(0L)).as("survivors"))
+        .orderBy("thr")
+    },
+
     // Telemetry event dedup over tumbling 5-minute windows: keep the first
     // event per (user, type, window) — the standard at-least-once-ingest
     // repair before event analytics. Exact micros arithmetic (EPOCH_US ↔
