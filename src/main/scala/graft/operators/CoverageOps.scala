@@ -280,7 +280,11 @@ object CoverageOps {
         "list_slice(string_split(text, ' '), 1, 3) AS first3, " +
         "CAST(list_unique(string_split(text, ' ')) AS INTEGER) AS n_unique, " +
         "list_sort(list_distinct(list_slice(string_split(text, ' '), 1, 5))) AS first5_sorted, " +
-        "regexp_matches(text, 'vector|stream') AS mentions " +
+        "regexp_matches(text, 'vector|stream') AS mentions, " +
+        "CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok, " +
+        "CAST(strpos(text, 'vector') AS INTEGER) AS vec_pos, " +
+        "array_to_string(list_slice(string_split(text, ' '), 1, 3), '_') AS first3_joined, " +
+        "list_concat(list_slice(string_split(text, ' '), 1, 1), list_value('|')) AS head_bar " +
         "FROM documents WHERE doc_id < 20 ORDER BY doc_id"
       Op("compat_duckdb_sql", sameText) { (s, d) =>
         Tables.ensure(s, d)

@@ -74,5 +74,93 @@ object DuckDbCompat {
     (FunctionIdentifier("list_distance"),
       info("list_distance", "list_distance(a, b) - Euclidean distance via the 3-dot identity"),
       (c: Seq[Expression]) => Sqrt(Add(Subtract(DotProduct(c(0), c(0)),
-        Multiply(Literal(2.0), DotProduct(c(0), c(1)))), DotProduct(c(1), c(1))))))
+        Multiply(Literal(2.0), DotProduct(c(0), c(1)))), DotProduct(c(1), c(1))))),
+    (FunctionIdentifier("len"),
+      info("len", "len(x) - string length or list cardinality (DuckDB dialect)"),
+      (c: Seq[Expression]) => DuckLen(c(0))),
+    (FunctionIdentifier("array_to_string"),
+      info("array_to_string", "array_to_string(l, sep) - DuckDB alias of array_join"),
+      (c: Seq[Expression]) => ArrayJoin(c(0), c(1), None)),
+    (FunctionIdentifier("list_concat"),
+      info("list_concat", "list_concat(a, b, ...) - concatenate lists"),
+      (c: Seq[Expression]) => Concat(c)),
+    (FunctionIdentifier("list_reverse"),
+      info("list_reverse", "list_reverse(l) - DuckDB alias of reverse"),
+      (c: Seq[Expression]) => Reverse(c(0))),
+    (FunctionIdentifier("list_max"),
+      info("list_max", "list_max(l) - DuckDB alias of array_max"),
+      (c: Seq[Expression]) => ArrayMax(c(0))),
+    (FunctionIdentifier("list_min"),
+      info("list_min", "list_min(l) - DuckDB alias of array_min"),
+      (c: Seq[Expression]) => ArrayMin(c(0))),
+    (FunctionIdentifier("strpos"),
+      info("strpos", "strpos(s, sub) - 1-based position, 0 if absent (DuckDB dialect)"),
+      (c: Seq[Expression]) => StringLocate(c(1), c(0), Literal(1))),
+    (FunctionIdentifier("regexp_extract_all"),
+      info("regexp_extract_all",
+        "regexp_extract_all(s, p[, group]) - DuckDB defaults to group 0"),
+      (c: Seq[Expression]) => RegExpExtractAll(c(0), c(1),
+        if (c.length > 2) c(2) else Literal(0))),
+    (FunctionIdentifier("epoch_us"),
+      info("epoch_us", "epoch_us(ts) - microseconds since the epoch"),
+      (c: Seq[Expression]) => UnixMicros(Cast(c(0),
+        org.apache.spark.sql.types.TimestampType))),
+    (FunctionIdentifier("epoch_ms"),
+      info("epoch_ms", "epoch_ms(ts) - milliseconds since the epoch"),
+      (c: Seq[Expression]) => UnixMillis(Cast(c(0),
+        org.apache.spark.sql.types.TimestampType))),
+    (FunctionIdentifier("generate_series"),
+      info("generate_series",
+        "generate_series(a, b[, step]) - INCLUSIVE range, same as Spark sequence"),
+      (c: Seq[Expression]) => new Sequence(c(0), c(1),
+        if (c.length > 2) Some(c(2)) else None)),
+    (FunctionIdentifier("list_aggregate"),
+      info("list_aggregate",
+        "list_aggregate(l, 'sum'|'min'|'max'|'count') - the common reducers"),
+      (c: Seq[Expression]) => c(1) match {
+        case Literal(fn, _) => fn.toString.toLowerCase match {
+          case "sum" => {
+            val acc = NamedLambdaVariable("acc",
+              org.apache.spark.sql.types.DoubleType, nullable = true)
+            val x = NamedLambdaVariable("x",
+              org.apache.spark.sql.types.DoubleType, nullable = true)
+            ArrayAggregate(
+              ArrayTransform(c(0), {
+                val e = NamedLambdaVariable("e",
+                  org.apache.spark.sql.types.DoubleType, nullable = true)
+                LambdaFunction(Cast(e, org.apache.spark.sql.types.DoubleType), Seq(e))
+              }),
+              Literal(0.0),
+              LambdaFunction(Add(acc, x), Seq(acc, x)),
+              {
+                val r = NamedLambdaVariable("r",
+                  org.apache.spark.sql.types.DoubleType, nullable = true)
+                LambdaFunction(r, Seq(r))
+              })
+          }
+          case "min" => ArrayMin(c(0))
+          case "max" => ArrayMax(c(0))
+          case "count" => Size(c(0))
+          case other => throw new IllegalArgumentException(
+            s"list_aggregate: unsupported reducer '$other' (sum/min/max/count)")
+        }
+        case _ => throw new IllegalArgumentException(
+          "list_aggregate requires a literal function name")
+      }))
+}
+
+/** DuckDB `len`: string length on strings, cardinality on lists — the
+  * dispatch happens at resolution time through RuntimeReplaceable (the
+  * replacement reads the resolved child's dataType; ReplaceExpressions then
+  * swaps it in, so execution runs the plain built-in).
+  */
+case class DuckLen(child: Expression) extends RuntimeReplaceable
+    with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+  override lazy val replacement: Expression = child.dataType match {
+    case _: org.apache.spark.sql.types.ArrayType => Size(child)
+    case _ => Length(child)
+  }
+  override def prettyName: String = "len"
+  override protected def withNewChildInternal(newChild: Expression): DuckLen =
+    copy(child = newChild)
 }
