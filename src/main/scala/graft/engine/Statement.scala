@@ -225,10 +225,14 @@ object Statement {
         }
 
       case _ =>
-        StatementGuard.check(session.spark, sql, session.isAdmin, session.isReadOnly) match {
+        // DuckDB-dialect QUALIFY desugars to a filtered subquery BEFORE the
+        // guard, so the guard and every later stage see parseable Spark SQL
+        // (plans.QualifyRewrite; no-op when the clause is absent).
+        val sql2 = graft.plans.QualifyRewrite.rewrite(sql)
+        StatementGuard.check(session.spark, sql2, session.isAdmin, session.isReadOnly) match {
           case StatementGuard.Blocked(reason) => throw new SecurityException(reason)
           case StatementGuard.Allowed =>
-            CatalogAccess.enforce(session, session.spark, sql, sessions.attachments.names)
+            CatalogAccess.enforce(session, session.spark, sql2, sessions.attachments.names)
             // Inside a transaction only row-level DML is transactional: any
             // other catalog/data-changing command would apply eagerly and
             // make ROLLBACK a lie — reject it BEFORE execution (spark.sql
@@ -236,7 +240,7 @@ object Statement {
             // analyze-only pass; QueryExecution.analyzed does not execute).
             if (session.activeTxn.nonEmpty) {
               import org.apache.spark.sql.catalyst.plans.logical.Command
-              val parsed = session.spark.sessionState.sqlParser.parsePlan(sql)
+              val parsed = session.spark.sessionState.sqlParser.parsePlan(sql2)
               val analyzed = session.spark.sessionState.executePlan(parsed).analyzed
               if (analyzed.exists(_.isInstanceOf[Command]))
                 throw new IllegalArgumentException(
@@ -245,7 +249,7 @@ object Statement {
             }
             // Repeated pure statements reuse their analyzed plan; commands
             // bypass and flush the cache (PlanCache's contract).
-            PlanCache.sql(session.spark, sql)
+            PlanCache.sql(session.spark, sql2)
         }
     }
   }

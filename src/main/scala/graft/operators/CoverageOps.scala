@@ -290,6 +290,25 @@ object CoverageOps {
         Tables.ensure(s, d)
         s.sql(sameText)
       }
+    },
+
+    // QUALIFY, the DuckDB-dialect clause Spark's parser lacks: ONE text with
+    // both the inline-window and alias-referencing forms runs natively on
+    // DuckDB and through `plans.QualifyRewrite` here (the statement pipeline
+    // applies the same rewrite for server users, QualifyRewriteSpec). The
+    // desugared shape is the standard windowed-subquery filter, so the plan
+    // is identical to hand-written per-group top-k.
+    {
+      val sameText =
+        "SELECT source, doc_id, n_chars, " +
+        "CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS INTEGER) AS rn " +
+        "FROM documents " +
+        "QUALIFY rn <= 3 AND ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) >= 1 " +
+        "ORDER BY source, rn"
+      Op("compat_qualify", sameText) { (s, d) =>
+        Tables.ensure(s, d)
+        s.sql(graft.plans.QualifyRewrite.rewrite(sameText))
+      }
     }
   )
 }

@@ -1,0 +1,62 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{SparkTestHarness, Tables}
+
+class QualifyRewriteSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+
+  test("no-op without a top-level QUALIFY; literals and subqueries untouched") {
+    val plain = "SELECT 1 AS a FROM region"
+    assert(QualifyRewrite.rewrite(plain) == plain)
+    val inLiteral = "SELECT 'use QUALIFY here' AS s FROM region"
+    assert(QualifyRewrite.rewrite(inLiteral) == inLiteral)
+    val inSubquery = "SELECT * FROM (SELECT r_regionkey FROM region) t"
+    assert(QualifyRewrite.rewrite(inSubquery) == inSubquery)
+  }
+
+  test("inline window predicate: per-group top-k via QUALIFY") {
+    Tables.ensure(spark, SparkTestHarness.sfDir)
+    val sql = "SELECT n_regionkey, n_nationkey FROM nation " +
+      "QUALIFY ROW_NUMBER() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) <= 2 " +
+      "ORDER BY n_regionkey, n_nationkey"
+    val out = spark.sql(QualifyRewrite.rewrite(sql)).collect()
+      .map(r => (r.getAs[Number](0).longValue(), r.getAs[Number](1).longValue()))
+    assert(out.length == 10) // 5 regions x top 2
+    assert(out.groupBy(_._1).forall(_._2.length == 2))
+    // the marker column must not leak into the result
+    assert(!spark.sql(QualifyRewrite.rewrite(sql)).columns.contains("__qualify_p"))
+  }
+
+  test("alias-referencing predicate resolves through lateral column alias") {
+    Tables.ensure(spark, SparkTestHarness.sfDir)
+    val sql = "SELECT n_regionkey, n_nationkey, " +
+      "CAST(ROW_NUMBER() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey DESC) AS INTEGER) AS rn " +
+      "FROM nation QUALIFY rn = 1 ORDER BY n_regionkey"
+    val out = spark.sql(QualifyRewrite.rewrite(sql)).collect()
+    assert(out.length == 5)
+    assert(out.forall(_.getInt(2) == 1))
+  }
+
+  test("unsupported shapes fail loudly, not silently wrong") {
+    intercept[IllegalArgumentException] {
+      QualifyRewrite.rewrite("SELECT a FROM t UNION SELECT a FROM u QUALIFY a > 1")
+    }
+    intercept[IllegalArgumentException] {
+      QualifyRewrite.rewrite("SELECT DISTINCT a FROM t QUALIFY a > 1")
+    }
+  }
+
+  test("QUALIFY flows through the statement pipeline") {
+    import graft.engine._
+    val sessions = new SessionManager(spark, new GlobalSettings)
+    val session = sessions.getOrCreate("qualify-s", "alice", "admin")
+    Tables.ensure(session.spark, SparkTestHarness.sfDir)
+    val admission = new AdmissionController(4, 8, 30)
+    val rows = Statement.run(sessions, session, new GlobalSettings, admission,
+      "SELECT n_regionkey, n_nationkey FROM nation " +
+      "QUALIFY ROW_NUMBER() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) = 1 " +
+      "ORDER BY n_regionkey")
+    assert(rows.length == 5)
+  }
+}
