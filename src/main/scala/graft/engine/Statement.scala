@@ -47,6 +47,13 @@ object Statement {
   private val BeginTxnRe = """(?is)^\s*(?:BEGIN|START)(?:\s+TRANSACTION)?\s*;?\s*$""".r
   private val CommitRe = """(?is)^\s*COMMIT(?:\s+TRANSACTION)?\s*;?\s*$""".r
   private val RollbackRe = """(?is)^\s*ROLLBACK(?:\s+TRANSACTION)?\s*;?\s*$""".r
+  // DuckDB PRAGMA surface the reference leaves ungated
+  // (admin_command_guard tests: table_info, database_list, version).
+  private val PragmaVersionRe = """(?is)^\s*PRAGMA\s+version\s*;?\s*$""".r
+  private val PragmaDbListRe = """(?is)^\s*PRAGMA\s+database_list\s*;?\s*$""".r
+  private val PragmaShowTablesRe = """(?is)^\s*PRAGMA\s+show_tables\s*;?\s*$""".r
+  private val PragmaTableInfoRe =
+    """(?is)^\s*PRAGMA\s+table_info\s*\(\s*'([^']+)'\s*\)\s*;?\s*$""".r
 
   private val pool = ExecutionContext.fromExecutorService(
     Executors.newCachedThreadPool(r => {
@@ -152,6 +159,47 @@ object Statement {
         PlanCache.invalidate(session.spark)
         oneRowResult(session.spark, "result", s"imported $n tables from '$path'")
 
+      // DuckDB PRAGMA statements, reshaped onto Spark's catalog — the three
+      // forms the reference's guard explicitly leaves open to every role
+      // (admin_command_guard tests), plus show_tables.
+      case PragmaVersionRe() =>
+        val schema = StructType(Seq(
+          StructField("library_version", StringType, nullable = false),
+          StructField("source_id", StringType, nullable = false)))
+        session.spark.createDataFrame(
+          List(Row(Version, "spark")).asJava, schema)
+
+      case PragmaDbListRe() =>
+        val schema = StructType(Seq(
+          StructField("seq", org.apache.spark.sql.types.IntegerType, nullable = false),
+          StructField("name", StringType, nullable = false),
+          StructField("file", StringType, nullable = true)))
+        val rows = Row(0, "spark_catalog", null) +:
+          sessions.attachments.names.toSeq.sorted.zipWithIndex.map {
+            case (n, i) => Row(i + 1, n, null)
+          }
+        session.spark.createDataFrame(rows.asJava, schema)
+
+      case PragmaShowTablesRe() =>
+        val schema = StructType(Seq(StructField("name", StringType, nullable = false)))
+        val rows = session.spark.catalog.listTables().collect()
+          .map(_.name).sorted.map(Row(_)).toList
+        session.spark.createDataFrame(rows.asJava, schema)
+
+      case PragmaTableInfoRe(table) =>
+        val fields = session.spark.table(table).schema.fields
+        val schema = StructType(Seq(
+          StructField("cid", org.apache.spark.sql.types.IntegerType, nullable = false),
+          StructField("name", StringType, nullable = false),
+          StructField("type", StringType, nullable = false),
+          StructField("notnull", org.apache.spark.sql.types.BooleanType, nullable = false),
+          StructField("dflt_value", StringType, nullable = true),
+          StructField("pk", org.apache.spark.sql.types.BooleanType, nullable = false)))
+        val rows = fields.zipWithIndex.map { case (f, i) =>
+          Row(i, f.name, f.dataType.sql, !f.nullable, null, false)
+        }.toList
+        session.spark.createDataFrame(rows.asJava, schema)
+
       case SetSettingRe(scope, name, quoted, bare) =>
         val value = Option(quoted).getOrElse(bare)
         val result =
@@ -225,10 +273,12 @@ object Statement {
         }
 
       case _ =>
-        // DuckDB-dialect QUALIFY desugars to a filtered subquery BEFORE the
-        // guard, so the guard and every later stage see parseable Spark SQL
-        // (plans.QualifyRewrite; no-op when the clause is absent).
-        val sql2 = graft.plans.QualifyRewrite.rewrite(sql)
+        // DuckDB-dialect rewrites run BEFORE the guard, so the guard and
+        // every later stage see parseable Spark SQL: `* EXCLUDE` becomes
+        // `* EXCEPT` and QUALIFY desugars to a filtered subquery
+        // (plans.StarExclude / plans.QualifyRewrite; no-ops when absent).
+        val sql2 = graft.plans.QualifyRewrite.rewrite(
+          graft.plans.StarExclude.rewrite(sql))
         StatementGuard.check(session.spark, sql2, session.isAdmin, session.isReadOnly) match {
           case StatementGuard.Blocked(reason) => throw new SecurityException(reason)
           case StatementGuard.Allowed =>

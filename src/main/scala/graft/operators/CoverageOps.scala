@@ -309,6 +309,18 @@ object CoverageOps {
         Tables.ensure(s, d)
         s.sql(graft.plans.QualifyRewrite.rewrite(sameText))
       }
+    },
+
+    // DuckDB's star modifier spelling: `* EXCLUDE (...)` (the reference's
+    // own code emits it) — one text, DuckDB native, Spark via the
+    // StarExclude keyword rewrite (Spark spells it EXCEPT).
+    {
+      val sameText =
+        "SELECT * EXCLUDE (text) FROM documents WHERE doc_id < 10 ORDER BY doc_id"
+      Op("compat_exclude", sameText) { (s, d) =>
+        Tables.ensure(s, d)
+        s.sql(graft.plans.StarExclude.rewrite(sameText))
+      }
     }
   )
 }

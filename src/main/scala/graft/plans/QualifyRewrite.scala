@@ -68,7 +68,21 @@ object QualifyRewrite {
     val qs = topLevel(sql, "QUALIFY")
     if (qs.isEmpty) return sql
     val qIdx = qs.head
-    if (Seq("UNION", "INTERSECT", "EXCEPT").exists(k => topLevel(sql, k).nonEmpty))
+    // EXCEPT is also Spark's star modifier (`SELECT * EXCEPT (...)`) — only
+    // the set-operation form (followed by [ALL|DISTINCT] SELECT or a
+    // parenthesized query... which the star form also is; disambiguate on
+    // what FOLLOWS the parens-free path: a set-op EXCEPT is followed by
+    // SELECT, the star modifier by '(') counts as unsupported.
+    val setOp = topLevel(sql, "UNION").nonEmpty || topLevel(sql, "INTERSECT").nonEmpty ||
+      topLevel(sql, "EXCEPT").exists { i =>
+        val rest = sql.substring(i + "EXCEPT".length).dropWhile(_.isWhitespace)
+        val rest2 =
+          if (rest.toUpperCase.startsWith("ALL") || rest.toUpperCase.startsWith("DISTINCT"))
+            rest.dropWhile(!_.isWhitespace).dropWhile(_.isWhitespace)
+          else rest
+        rest2.toUpperCase.startsWith("SELECT")
+      }
+    if (setOp)
       throw new IllegalArgumentException(
         "QUALIFY on a set operation is not supported — qualify inside the branch subquery")
     if (topLevel(sql, "DISTINCT").exists(_ < qIdx))

@@ -47,6 +47,28 @@ class QualifyRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("star EXCLUDE rewrites to EXCEPT, parens added when absent") {
+    assert(StarExclude.rewrite("SELECT * EXCLUDE (a, b) FROM t") ==
+      "SELECT * EXCEPT (a, b) FROM t")
+    assert(StarExclude.rewrite("SELECT * EXCLUDE a FROM t") ==
+      "SELECT * EXCEPT (a) FROM t")
+    assert(StarExclude.rewrite("SELECT 'keep EXCLUDE here' AS s FROM t") ==
+      "SELECT 'keep EXCLUDE here' AS s FROM t")
+    Tables.ensure(spark, SparkTestHarness.sfDir)
+    val out = spark.sql(StarExclude.rewrite(
+      "SELECT * EXCLUDE (n_name) FROM nation ORDER BY n_nationkey LIMIT 1"))
+    assert(!out.columns.contains("n_name") && out.columns.contains("n_regionkey"))
+  }
+
+  test("EXCLUDE composes with QUALIFY (star-EXCEPT is not a set operation)") {
+    Tables.ensure(spark, SparkTestHarness.sfDir)
+    val sql = "SELECT * EXCLUDE (n_name) FROM nation " +
+      "QUALIFY ROW_NUMBER() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) = 1 " +
+      "ORDER BY n_regionkey"
+    val out = spark.sql(QualifyRewrite.rewrite(StarExclude.rewrite(sql)))
+    assert(out.count() == 5 && !out.columns.contains("n_name"))
+  }
+
   test("QUALIFY flows through the statement pipeline") {
     import graft.engine._
     val sessions = new SessionManager(spark, new GlobalSettings)
@@ -58,5 +80,24 @@ class QualifyRewriteSpec extends AnyFunSuite {
       "QUALIFY ROW_NUMBER() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) = 1 " +
       "ORDER BY n_regionkey")
     assert(rows.length == 5)
+  }
+
+  test("PRAGMA version / database_list / show_tables / table_info") {
+    import graft.engine._
+    val sessions = new SessionManager(spark, new GlobalSettings)
+    val session = sessions.getOrCreate("pragma-s", "alice", "user") // non-admin: ungated
+    Tables.ensure(session.spark, SparkTestHarness.sfDir)
+    val admission = new AdmissionController(4, 8, 30)
+    def run(sql: String) = Statement.run(sessions, session, new GlobalSettings, admission, sql)
+
+    val v = run("PRAGMA version")
+    assert(v.length == 1 && v(0).getString(0).nonEmpty)
+    val dbs = run("PRAGMA database_list")
+    assert(dbs.map(_.getString(1)).contains("spark_catalog"))
+    val tabs = run("PRAGMA show_tables").map(_.getString(0))
+    assert(tabs.contains("nation") && tabs.contains("lineitem"))
+    val ti = run("PRAGMA table_info('nation')")
+    assert(ti.map(_.getString(1)).contains("n_nationkey"))
+    assert(ti.forall(r => r.getString(2).nonEmpty))
   }
 }
