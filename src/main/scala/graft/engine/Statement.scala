@@ -54,6 +54,9 @@ object Statement {
   private val PragmaShowTablesRe = """(?is)^\s*PRAGMA\s+show_tables\s*;?\s*$""".r
   private val PragmaTableInfoRe =
     """(?is)^\s*PRAGMA\s+table_info\s*\(\s*'([^']+)'\s*\)\s*;?\s*$""".r
+  // DuckDB's profiling statement: SUMMARIZE <table>.
+  private val SummarizeRe =
+    """(?is)^\s*SUMMARIZE\s+([A-Za-z_][A-Za-z0-9_.]*)\s*;?\s*$""".r
 
   private val pool = ExecutionContext.fromExecutorService(
     Executors.newCachedThreadPool(r => {
@@ -199,6 +202,10 @@ object Statement {
           Row(i, f.name, f.dataType.sql, !f.nullable, null, false)
         }.toList
         session.spark.createDataFrame(rows.asJava, schema)
+
+      case SummarizeRe(table) =>
+        // One wide aggregation pass; DuckDB's exact report columns.
+        Summarize.summarize(session.spark, table)
 
       case SetSettingRe(scope, name, quoted, bare) =>
         val value = Option(quoted).getOrElse(bare)

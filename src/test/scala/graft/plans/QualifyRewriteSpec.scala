@@ -100,4 +100,24 @@ class QualifyRewriteSpec extends AnyFunSuite {
     assert(ti.map(_.getString(1)).contains("n_nationkey"))
     assert(ti.forall(r => r.getString(2).nonEmpty))
   }
+
+  test("SUMMARIZE produces DuckDB's report shape with sane statistics") {
+    import graft.engine._
+    val sessions = new SessionManager(spark, new GlobalSettings)
+    val session = sessions.getOrCreate("summarize-s", "alice", "user")
+    Tables.ensure(session.spark, SparkTestHarness.sfDir)
+    val admission = new AdmissionController(4, 8, 30)
+    val rows = Statement.run(sessions, session, new GlobalSettings, admission,
+      "SUMMARIZE documents")
+    val byName = rows.map(r => r.getString(0) -> r).toMap
+    assert(byName.keySet == Set("doc_id", "text", "lang", "source", "n_chars"))
+    val docId = byName("doc_id")
+    // columns: name, type, min, max, approx_unique, avg, std, q25, q50, q75, count, null%
+    assert(docId.getString(2) == "0")
+    assert(docId.getString(5) != null && docId.getString(7) != null) // numeric stats present
+    assert(docId.getDouble(11) == 0.0)
+    val text = byName("text")
+    assert(text.getString(5) == null) // no avg for strings, like DuckDB
+    assert(text.getLong(10) == session.spark.table("documents").count())
+  }
 }
