@@ -57,6 +57,13 @@ object Statement {
   // DuckDB's profiling statement: SUMMARIZE <table>.
   private val SummarizeRe =
     """(?is)^\s*SUMMARIZE\s+([A-Za-z_][A-Za-z0-9_.]*)\s*;?\s*$""".r
+  // DuckDB COPY ... TO: the per-query export statement (EXPORT DATABASE is
+  // the whole-catalog face). Greedy query group: the LAST ") TO '" wins, so
+  // nested parens inside the query survive.
+  private val CopyQueryToRe =
+    """(?is)^\s*COPY\s+\((.+)\)\s+TO\s+'([^']+)'\s*(?:\(([^)]*)\))?\s*;?\s*$""".r
+  private val CopyTableToRe =
+    """(?is)^\s*COPY\s+([A-Za-z_][A-Za-z0-9_.]*)\s+TO\s+'([^']+)'\s*(?:\(([^)]*)\))?\s*;?\s*$""".r
 
   private val pool = ExecutionContext.fromExecutorService(
     Executors.newCachedThreadPool(r => {
@@ -104,6 +111,35 @@ object Statement {
       StructField("value", StringType, nullable = true),
       StructField("scope", StringType, nullable = false)))
     s.spark.createDataFrame(rows.asJava, schema).createOrReplaceTempView("gizmosql_settings")
+  }
+
+  /** DuckDB `COPY ... TO 'path' (FORMAT ..)`: local-path write — engine
+    * management, admin-only like EXPORT DATABASE. Returns the copied row
+    * count (DuckDB's Count column). Formats: PARQUET (default), CSV
+    * (+HEADER), JSON.
+    */
+  private def copyTo(session: SessionState,
+      df: => org.apache.spark.sql.DataFrame, path: String, opts: String): DataFrame = {
+    // admin check BEFORE the by-name df evaluates: resolution errors must
+    // not preempt the authorization error
+    if (!session.isAdmin)
+      throw new SecurityException("COPY TO requires the admin role")
+    val o = Option(opts).getOrElse("").toUpperCase
+    val fmt =
+      if (o.contains("CSV")) "csv"
+      else if (o.contains("JSON")) "json"
+      else "parquet"
+    val data = df
+    val n = data.count()
+    val w = data.write.mode("overwrite")
+    fmt match {
+      case "csv" => w.option("header", o.contains("HEADER").toString).csv(path)
+      case "json" => w.json(path)
+      case _ => w.parquet(path)
+    }
+    val schema = StructType(Seq(StructField("Count",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+    session.spark.createDataFrame(List(Row(n)).asJava, schema)
   }
 
   private def oneRowResult(spark: SparkSession, colName: String, value: String): DataFrame = {
@@ -206,6 +242,14 @@ object Statement {
       case SummarizeRe(table) =>
         // One wide aggregation pass; DuckDB's exact report columns.
         Summarize.summarize(session.spark, table)
+
+      case CopyQueryToRe(query, path, opts) =>
+        copyTo(session, session.spark.sql(
+          graft.plans.QualifyRewrite.rewrite(graft.plans.StarExclude.rewrite(query))),
+          path, opts)
+
+      case CopyTableToRe(table, path, opts) =>
+        copyTo(session, session.spark.table(table), path, opts)
 
       case SetSettingRe(scope, name, quoted, bare) =>
         val value = Option(quoted).getOrElse(bare)

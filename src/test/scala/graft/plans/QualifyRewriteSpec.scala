@@ -101,6 +101,31 @@ class QualifyRewriteSpec extends AnyFunSuite {
     assert(ti.forall(r => r.getString(2).nonEmpty))
   }
 
+  test("COPY ... TO writes parquet/csv and returns the copied row count") {
+    import graft.engine._
+    val sessions = new SessionManager(spark, new GlobalSettings)
+    val admin = sessions.getOrCreate("copy-s", "alice", "admin")
+    Tables.ensure(admin.spark, SparkTestHarness.sfDir)
+    val admission = new AdmissionController(4, 8, 30)
+    def run(s: SessionState, sql: String) =
+      Statement.run(sessions, s, new GlobalSettings, admission, sql)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-copy").toString
+    val r1 = run(admin, s"COPY (SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 0) TO '$dir/af.parquet' (FORMAT PARQUET)")
+    assert(r1(0).getLong(0) == 5)
+    assert(spark.read.parquet(s"$dir/af.parquet").count() == 5)
+
+    val r2 = run(admin, s"COPY region TO '$dir/region_csv' (FORMAT CSV, HEADER)")
+    assert(r2(0).getLong(0) == 5)
+    val back = spark.read.option("header", "true").csv(s"$dir/region_csv")
+    assert(back.count() == 5 && back.columns.contains("r_name"))
+
+    val user = sessions.getOrCreate("copy-u", "bob", "user")
+    intercept[SecurityException] {
+      run(user, s"COPY region TO '$dir/nope' (FORMAT PARQUET)")
+    }
+  }
+
   test("SUMMARIZE produces DuckDB's report shape with sane statistics") {
     import graft.engine._
     val sessions = new SessionManager(spark, new GlobalSettings)
