@@ -329,7 +329,8 @@ object Statement {
         // `* EXCEPT` and QUALIFY desugars to a filtered subquery
         // (plans.StarExclude / plans.QualifyRewrite; no-ops when absent).
         val sql2 = graft.plans.QualifyRewrite.rewrite(
-          graft.plans.StarExclude.rewrite(sql))
+          graft.plans.StarExclude.rewrite(
+            graft.plans.TableFunctions.rewrite(sql)))
         StatementGuard.check(session.spark, sql2, session.isAdmin, session.isReadOnly) match {
           case StatementGuard.Blocked(reason) => throw new SecurityException(reason)
           case StatementGuard.Allowed =>

@@ -101,6 +101,31 @@ class QualifyRewriteSpec extends AnyFunSuite {
     assert(ti.forall(r => r.getString(2).nonEmpty))
   }
 
+  test("read_parquet table function rewrites to the path-scan form; guard intact") {
+    assert(TableFunctions.rewrite("SELECT * FROM read_parquet('/x/y.parquet')") ==
+      "SELECT * FROM parquet.`/x/y.parquet`")
+    assert(TableFunctions.rewrite("SELECT * FROM READ_CSV_AUTO('/d/*.csv')") ==
+      "SELECT * FROM csv.`/d/*.csv`")
+    // literal containing the text is untouched
+    val lit = "SELECT 'use read_parquet(''f'')' AS s"
+    assert(TableFunctions.rewrite(lit) == lit)
+
+    import graft.engine._
+    val sessions = new SessionManager(spark, new GlobalSettings)
+    val admission = new AdmissionController(4, 8, 30)
+    val admin = sessions.getOrCreate("rp-a", "alice", "admin")
+    val rows = Statement.run(sessions, admin, new GlobalSettings, admission,
+      s"SELECT COUNT(*) AS n FROM read_parquet('${SparkTestHarness.sfDir}/region.parquet')")
+    assert(rows(0).getLong(0) == 5)
+    // non-admin local-path scan stays blocked: the guard sees the rewritten
+    // parquet.`...` form and applies its existing rule
+    val user = sessions.getOrCreate("rp-u", "bob", "user")
+    intercept[SecurityException] {
+      Statement.run(sessions, user, new GlobalSettings, admission,
+        s"SELECT COUNT(*) AS n FROM read_parquet('${SparkTestHarness.sfDir}/region.parquet')")
+    }
+  }
+
   test("COPY ... TO writes parquet/csv and returns the copied row count") {
     import graft.engine._
     val sessions = new SessionManager(spark, new GlobalSettings)
