@@ -36,7 +36,11 @@ final class SessionState(
     * Parameterized statements (`:name` placeholders) defer schema to
     * execution time, like the reference's parameter schema path.
     */
-  def prepare(sql: String): Prepared = {
+  def prepare(sql0: String): Prepared = {
+    // Prepared statements speak the same dialect as direct ones (QUALIFY,
+    // * EXCLUDE, read_parquet): rewrite ONCE at prepare time and store the
+    // desugared text, so execution and re-prepare stay consistent.
+    val sql = graft.plans.Dialect.rewrite(sql0)
     val schema = try Some(spark.sql(sql).schema) catch {
       case e: org.apache.spark.sql.AnalysisException
           if e.getCondition != null && e.getCondition.contains("UNBOUND_SQL_PARAMETER") => None

@@ -244,8 +244,7 @@ object Statement {
         Summarize.summarize(session.spark, table)
 
       case CopyQueryToRe(query, path, opts) =>
-        copyTo(session, session.spark.sql(
-          graft.plans.QualifyRewrite.rewrite(graft.plans.StarExclude.rewrite(query))),
+        copyTo(session, session.spark.sql(graft.plans.Dialect.rewrite(query)),
           path, opts)
 
       case CopyTableToRe(table, path, opts) =>
@@ -328,9 +327,7 @@ object Statement {
         // every later stage see parseable Spark SQL: `* EXCLUDE` becomes
         // `* EXCEPT` and QUALIFY desugars to a filtered subquery
         // (plans.StarExclude / plans.QualifyRewrite; no-ops when absent).
-        val sql2 = graft.plans.QualifyRewrite.rewrite(
-          graft.plans.StarExclude.rewrite(
-            graft.plans.TableFunctions.rewrite(sql)))
+        val sql2 = graft.plans.Dialect.rewrite(sql)
         StatementGuard.check(session.spark, sql2, session.isAdmin, session.isReadOnly) match {
           case StatementGuard.Blocked(reason) => throw new SecurityException(reason)
           case StatementGuard.Allowed =>

@@ -151,6 +151,18 @@ class QualifyRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("prepared statements speak the dialect too") {
+    import graft.engine._
+    val sessions = new SessionManager(spark, new GlobalSettings)
+    val session = sessions.getOrCreate("prep-dialect", "alice", "admin")
+    Tables.ensure(session.spark, SparkTestHarness.sfDir)
+    val p = session.prepare(
+      "SELECT n_regionkey, n_nationkey FROM nation " +
+      "QUALIFY ROW_NUMBER() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) = 1")
+    assert(p.schema.exists(_.fieldNames.contains("n_nationkey")))
+    assert(session.executePrepared(p.handle).count() == 5)
+  }
+
   test("SUMMARIZE produces DuckDB's report shape with sane statistics") {
     import graft.engine._
     val sessions = new SessionManager(spark, new GlobalSettings)
