@@ -72,6 +72,14 @@ object EngineDemo {
     val ipc = graft.sources.ArrowIO.toArrowStream(result)
     println(s"[demo] arrow ipc stream: ${ipc.length} bytes")
     val imported = graft.sources.ArrowIO.fromArrowStream(session.spark, ipc)
+    // A previous JVM's managed-table location survives the in-memory
+    // catalog reset — clear it or Replace's CREATE fails (the ScaleCheck
+    // lesson, LOCATION_ALREADY_EXISTS).
+    session.spark.sql("DROP TABLE IF EXISTS demo_regions")
+    val whPath = new org.apache.hadoop.fs.Path(
+      session.spark.conf.get("spark.sql.warehouse.dir"), "demo_regions")
+    whPath.getFileSystem(session.spark.sparkContext.hadoopConfiguration)
+      .delete(whPath, true)
     val ing = graft.sources.Ingest.ingest(session.spark, imported, "demo_regions",
       graft.sources.Ingest.IfExists.Replace)
     println(s"[demo] ingested ${ing.rowsIngested} rows into ${ing.table} " +
@@ -85,6 +93,10 @@ object EngineDemo {
     // 9. Staged multi-statement transaction: UPDATE inside BEGIN is
     // session-visible, ROLLBACK restores the table untouched.
     Statement.run(sessions, session, global, admission, "DROP TABLE IF EXISTS demo_txn")
+    val txnPath = new org.apache.hadoop.fs.Path(
+      session.spark.conf.get("spark.sql.warehouse.dir"), "demo_txn")
+    txnPath.getFileSystem(session.spark.sparkContext.hadoopConfiguration)
+      .delete(txnPath, true)
     Statement.run(sessions, session, global, admission,
       "CREATE TABLE demo_txn USING parquet AS SELECT l_orderkey, l_quantity FROM lineitem LIMIT 100")
     Statement.run(sessions, session, global, admission, "BEGIN")
@@ -100,7 +112,26 @@ object EngineDemo {
     val txn = sessions.transactions.begin(session.id)
     println(s"[demo] wire txn $txn commit=${sessions.transactions.commit(txn).isRight}")
 
-    // 10. Health + graceful drain.
+    // 10. The DuckDB-dialect migration surface: QUALIFY, SUMMARIZE, PRAGMA,
+    // COPY TO, and read_parquet run verbatim through the same pipeline.
+    val topPerRegion = Statement.run(sessions, session, global, admission,
+      "SELECT n_regionkey, n_name FROM nation " +
+      "QUALIFY ROW_NUMBER() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) = 1 " +
+      "ORDER BY n_regionkey")
+    println(s"[demo] qualify top-per-region: ${topPerRegion.length} rows")
+    val summarized = Statement.run(sessions, session, global, admission, "SUMMARIZE nation")
+    println(s"[demo] summarize nation: ${summarized.length} column profiles")
+    val pragma = Statement.run(sessions, session, global, admission, "PRAGMA database_list")
+    println(s"[demo] pragma database_list: ${pragma.map(_.getString(1)).mkString(",")}")
+    val copyDir = java.nio.file.Files.createTempDirectory("graft-demo-copy").toString
+    val copied = Statement.run(sessions, session, global, admission,
+      s"COPY (SELECT * EXCLUDE (n_name) FROM nation) TO '$copyDir/n.parquet' (FORMAT PARQUET)")
+      .head.getLong(0)
+    val readBack = Statement.run(sessions, session, global, admission,
+      s"SELECT COUNT(*) AS n FROM read_parquet('$copyDir/n.parquet')").head.getLong(0)
+    println(s"[demo] copy-to/read_parquet round-trip: $copied written, $readBack read")
+
+    // 11. Health + graceful drain.
     val health = new Health(spark).start()
     println(s"[demo] health=${health.status}")
     health.close()
