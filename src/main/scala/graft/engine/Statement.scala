@@ -54,6 +54,9 @@ object Statement {
   private val PragmaShowTablesRe = """(?is)^\s*PRAGMA\s+show_tables\s*;?\s*$""".r
   private val PragmaTableInfoRe =
     """(?is)^\s*PRAGMA\s+table_info\s*\(\s*'([^']+)'\s*\)\s*;?\s*$""".r
+  // DuckDB's EXPLAIN ANALYZE: execute, then return the physical plan WITH
+  // runtime metrics (plain EXPLAIN stays native Spark).
+  private val ExplainAnalyzeRe = """(?is)^\s*EXPLAIN\s+ANALYZE\s+(.+)$""".r
   // DuckDB's profiling statement: SUMMARIZE <table>.
   private val SummarizeRe =
     """(?is)^\s*SUMMARIZE\s+([A-Za-z_][A-Za-z0-9_.]*)\s*;?\s*$""".r
@@ -238,6 +241,17 @@ object Statement {
           Row(i, f.name, f.dataType.sql, !f.nullable, null, false)
         }.toList
         session.spark.createDataFrame(rows.asJava, schema)
+
+      case ExplainAnalyzeRe(query) =>
+        // Run to completion so SQL metrics (rows, spill, timing) populate,
+        // then render the AQE-final plan — the engine's answer to the
+        // reference's per-query profile capture, inline in SQL.
+        val df = session.spark.sql(graft.plans.Dialect.rewrite(query.stripSuffix(";")))
+        df.collect()
+        val plan = df.queryExecution.executedPlan.toString
+        val schema = StructType(Seq(StructField("explain_analyze", StringType, nullable = false)))
+        session.spark.createDataFrame(
+          plan.linesIterator.map(Row(_)).toList.asJava, schema)
 
       case SummarizeRe(table) =>
         // One wide aggregation pass; DuckDB's exact report columns.

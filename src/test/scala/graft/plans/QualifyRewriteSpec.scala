@@ -151,6 +151,20 @@ class QualifyRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("EXPLAIN ANALYZE returns the executed plan with metrics") {
+    import graft.engine._
+    val sessions = new SessionManager(spark, new GlobalSettings)
+    val session = sessions.getOrCreate("ea-s", "alice", "user")
+    Tables.ensure(session.spark, SparkTestHarness.sfDir)
+    val admission = new AdmissionController(4, 8, 30)
+    val lines = Statement.run(sessions, session, new GlobalSettings, admission,
+      "EXPLAIN ANALYZE SELECT n_regionkey, COUNT(*) AS c FROM nation GROUP BY n_regionkey")
+      .map(_.getString(0))
+    assert(lines.exists(_.contains("HashAggregate")))
+    // executed (not just planned): AQE finalization marker present
+    assert(lines.mkString("\n").contains("AdaptiveSparkPlan isFinalPlan=true"))
+  }
+
   test("prepared statements speak the dialect too") {
     import graft.engine._
     val sessions = new SessionManager(spark, new GlobalSettings)
