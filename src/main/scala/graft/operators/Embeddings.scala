@@ -221,6 +221,36 @@ object Embeddings {
         graft.plans.HyperplaneLsh.bitsPerBand, graft.plans.HyperplaneLsh.bands)
     },
 
+    // Near-dup threshold calibration: verified-pair counts at every
+    // candidate cosine threshold from ONE LSH candidate pass (the embedding
+    // face of `pipeline_quality_sweep` — the table read before picking the
+    // dedup threshold, instead of re-running the dedup per candidate
+    // value). Scale: candidates generated and exactly verified once; the
+    // sweep is five conditional sums over the verified pairs.
+    Op("embed_threshold_sweep",
+      bucketsCte + ", " +
+      "cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b FROM buckets a " +
+      "JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id), " +
+      "v AS (SELECT ROUND(LIST_COSINE_SIMILARITY(CAST(ea.embedding AS DOUBLE[]), " +
+      "CAST(eb.embedding AS DOUBLE[])),6) AS cos FROM cand " +
+      "JOIN embeddings ea ON ea.vec_id = id_a JOIN embeddings eb ON eb.vec_id = id_b), " +
+      "t AS (SELECT UNNEST([0.5, 0.6, 0.7, 0.8, 0.9]) AS thr) " +
+      "SELECT thr, CAST(SUM(CASE WHEN cos >= thr THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs " +
+      "FROM v, t GROUP BY 1 ORDER BY 1") { (s, d) =>
+      import graft.plans.HyperplaneLsh
+      val e = emb(s, d)
+      val cand = lshCandidates(e, HyperplaneLsh.bitsPerBand, HyperplaneLsh.bands)
+      val va = e.select(col("vec_id").as("id_a"), asDouble(col("embedding")).as("va"))
+      val vb = e.select(col("vec_id").as("id_b"), asDouble(col("embedding")).as("vb"))
+      val v = cand.join(va, "id_a").join(vb, "id_b")
+        .select(round(cosine(col("va"), col("vb")), 6).as("cos"))
+      val thr = s.range(5, 10).select((col("id") / 10.0).as("thr"))
+      v.crossJoin(broadcast(thr))
+        .groupBy("thr")
+        .agg(sum(when(col("cos") >= col("thr"), 1L).otherwise(0L)).as("n_pairs"))
+        .orderBy("thr")
+    },
+
     // ANN index health, the headline number: measured RECALL of the LSH
     // candidate set against exact all-pairs ground truth at the operator's
     // 0.45 threshold, plus the candidate-set size that recall was bought
