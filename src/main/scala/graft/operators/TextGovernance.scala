@@ -23,6 +23,37 @@ object TextGovernance {
   private val PhoneRe = "\\+1-555-[0-9]+"
 
   val ops: Seq[Op] = Seq(
+
+    // HTML extraction — the FIRST stage of every web-crawl pipeline: strip
+    // markup, decode entities, collapse whitespace. The fixture has no HTML,
+    // so the op wraps each doc in a deterministic tag structure BOTH engines
+    // can rebuild, runs the real extraction chain (three chained codegen
+    // regex/replace projections — the text_pii_redact shape, one scan, no
+    // shuffle beyond the final sort), and value-checks the round trip:
+    // extracted text must equal the original, per row, with the tag count
+    // reported. A real crawl swaps the synthetic wrapper for the raw HTML
+    // column; the extraction chain is unchanged.
+    Op("text_html_extract",
+      "WITH h AS (SELECT doc_id, '<html><body><p class=\"doc\">' || " +
+      "REPLACE(text, ' ', '&nbsp;') || '</p><br/></body></html>' AS html, text FROM documents), " +
+      "x AS (SELECT doc_id, text, CAST(LEN(REGEXP_EXTRACT_ALL(html, '<[^>]*>')) AS INTEGER) AS n_tags, " +
+      "REPLACE(REGEXP_REPLACE(html, '<[^>]*>', '', 'g'), '&nbsp;', ' ') AS extracted FROM h) " +
+      "SELECT doc_id, n_tags, (extracted = text) AS round_trip, " +
+      "CAST(LENGTH(extracted) AS INTEGER) AS n_chars_out " +
+      "FROM x ORDER BY doc_id") { (s, d) =>
+      val html = concat(lit("<html><body><p class=\"doc\">"),
+        regexp_replace(col("text"), " ", "&nbsp;"), lit("</p><br/></body></html>"))
+      docs(s, d)
+        .select(col("doc_id"), col("text"), html.as("html"))
+        .select(col("doc_id"), col("text"),
+          size(expr("regexp_extract_all(html, '<[^>]*>', 0)")).as("n_tags"),
+          regexp_replace(regexp_replace(col("html"), "<[^>]*>", ""),
+            "&nbsp;", " ").as("extracted"))
+        .select(col("doc_id"), col("n_tags"),
+          (col("extracted") === col("text")).as("round_trip"),
+          length(col("extracted")).as("n_chars_out"))
+        .orderBy("doc_id")
+    },
     // PII detect + redact. The fixture corpus is synthetic (no PII), so the
     // op plants deterministic contact strings first — the same construction
     // on both engines — then counts and strips them. Redaction is two
