@@ -84,7 +84,7 @@ object ScaleCheck {
       "embed_pq_rerank", "events_markov", "pipeline_bloom_gate",
       "pipeline_zorder", "text_lm_bigram", "text_heavy_hitters",
       "agg_key_skew", "events_dedup_window", "events_gapfill",
-      "corpus_delta_report", "pipeline_quality_sweep",
+      "corpus_delta_report", "pipeline_quality_sweep", "embed_threshold_sweep", "text_html_extract",
       "embed_cosine_topk", "embed_knn", "embed_sq8_rerank", "embed_bucket_stats",
       "embed_centroid_stats", "embed_kmeans_iter") ++
       // The ORACLE op pins the fixture's 8x16 band shape, whose candidate

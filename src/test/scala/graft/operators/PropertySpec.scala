@@ -42,6 +42,22 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("dialect rewrites never touch string literals, for arbitrary literal content") {
+    // Any literal body (quotes escaped as '') must survive the full rewrite
+    // chain byte-for-byte — the property that keeps logged SQL, regexes,
+    // and prose safe from the keyword scanners.
+    val word = Gen.oneOf("QUALIFY", "EXCLUDE", "read_parquet('f')", "UNION",
+      "plain text", "FROM x QUALIFY y")
+    val gen = for {
+      ws <- Gen.listOfN(3, word)
+    } yield ws.mkString(" ")
+    check(Prop.forAll(gen) { body =>
+      val lit = body.replace("'", "''")
+      val sql = s"SELECT '$lit' AS s FROM region"
+      graft.plans.Dialect.rewrite(sql) == sql
+    }, n = 100)
+  }
+
   test("misraGries: presence + error bound hold for arbitrary skewed streams") {
     // Small alphabet so heavy hitters actually occur; random partitioning so
     // the mergeable-summaries combOp path is exercised, not just seqOp.
