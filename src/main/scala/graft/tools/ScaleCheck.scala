@@ -84,14 +84,14 @@ object ScaleCheck {
       "embed_pq_rerank", "events_markov", "pipeline_bloom_gate",
       "pipeline_zorder", "text_lm_bigram", "text_heavy_hitters",
       "agg_key_skew", "events_dedup_window", "events_gapfill",
-      "corpus_delta_report", "pipeline_quality_sweep", "embed_threshold_sweep", "text_html_extract",
+      "corpus_delta_report", "pipeline_quality_sweep", "text_html_extract",
       "embed_cosine_topk", "embed_knn", "embed_sq8_rerank", "embed_bucket_stats",
       "embed_centroid_stats", "embed_kmeans_iter") ++
       // The ORACLE op pins the fixture's 8x16 band shape, whose candidate
       // set grows ~n^2/2^8 — at 30x (60k vectors, ~2e8 candidate pairs) it
       // OOMs the JVM by design. Past 10x only the auto-sized library path
       // below is the supported shape.
-      (if (n <= 10) Seq("dedup_embed_lsh") else Seq.empty)
+      (if (n <= 10) Seq("dedup_embed_lsh", "embed_threshold_sweep") else Seq.empty)
     // Optional args after N: restrict to the named ops (fast re-check).
     val only = args.drop(1).toSet
     names.filter(n => only.isEmpty || only.contains(n)).foreach { name =>
