@@ -67,14 +67,28 @@ python3 tools/comparator.py "$SF_DIR" "$ORACLE" >/dev/null
 A2_TOTAL=$(python3 -c "import json;print(json.load(open('tools/comparator_${SF_NAME}.json'))['total'])")
 
 B_TOTAL=$(python3 -c "import json;print(json.load(open('tools/bench_last.json'))['value'])")
-if python3 - "$A_TOTAL" "$A2_TOTAL" "$B_TOTAL" <<'EOF'
+# Previous banked comparator total (from the backup), for the keep-best rule.
+PREV_A=$(python3 -c "
+import json
+try: print(json.load(open('tools/comparator_${SF_NAME}.json.bak'))['total'])
+except Exception: print('')" 2>/dev/null)
+if python3 - "$A_TOTAL" "$A2_TOTAL" "$B_TOTAL" "$PREV_A" <<'EOF'
 import sys
 a, a2, b = map(float, sys.argv[1:4])
+prev = float(sys.argv[4]) if len(sys.argv) > 4 and sys.argv[4] else None
 drift = abs(a - a2) / min(a, a2)
 ratio = b / min(a, a2)
 print(f"duckdb A={a:.3f}s A'={a2:.3f}s (drift {drift*100:.1f}%)  spark B={b:.3f}s  ratio={ratio:.2f}x")
 if drift > 0.10:
     print("WINDOW NOISY (comparator drifted >10%) — artifacts restored, rerun", file=sys.stderr)
+    sys.exit(3)
+# Keep-best: a drift-clean window on a meaningfully SLOWER host (comparator
+# >5% above the banked window's) must not replace the banked pair — both
+# engines slow proportionally under host capping, so the pair is valid but
+# less representative. A code regression on an equally-fast host still
+# banks (comparator unchanged, ratio moves).
+if prev is not None and min(a, a2) > prev * 1.05:
+    print(f"HOST SLOWER than banked window ({min(a,a2):.3f}s vs {prev:.3f}s comparator) — keeping banked pair", file=sys.stderr)
     sys.exit(3)
 EOF
 then
