@@ -195,5 +195,11 @@ class QualifyRewriteSpec extends AnyFunSuite {
     val text = byName("text")
     assert(text.getString(5) == null) // no avg for strings, like DuckDB
     assert(text.getLong(10) == session.spark.table("documents").count())
+    // array columns don't break the wide aggregate: min/max/avg are null
+    // (non-orderable), distinct-count and count still report
+    val emb = Statement.run(sessions, session, new GlobalSettings, admission,
+      "SUMMARIZE embeddings").map(r => r.getString(0) -> r).toMap
+    assert(emb.contains("embedding"))
+    assert(emb("embedding").getString(2) == null && emb("embedding").getLong(10) > 0)
   }
 }
