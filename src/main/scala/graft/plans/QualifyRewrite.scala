@@ -85,7 +85,15 @@ object QualifyRewrite {
     if (setOp)
       throw new IllegalArgumentException(
         "QUALIFY on a set operation is not supported — qualify inside the branch subquery")
-    if (topLevel(sql, "DISTINCT").exists(_ < qIdx))
+    // Only SELECT DISTINCT (the keyword directly after a top-level SELECT)
+    // conflicts with the injected predicate column; `IS [NOT] DISTINCT
+    // FROM` elsewhere at depth 0 must not false-trigger.
+    val selectDistinct = topLevel(sql, "SELECT").exists { si =>
+      val rest = sql.substring(si + "SELECT".length).dropWhile(_.isWhitespace)
+      rest.length >= 8 && rest.substring(0, 8).equalsIgnoreCase("DISTINCT") &&
+        (rest.length == 8 || !Character.isLetterOrDigit(rest.charAt(8)))
+    }
+    if (selectDistinct)
       throw new IllegalArgumentException(
         "QUALIFY with SELECT DISTINCT is not supported — wrap the DISTINCT in a subquery")
     val fromIdx = topLevel(sql, "FROM").headOption.getOrElse(

@@ -45,6 +45,12 @@ class QualifyRewriteSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       QualifyRewrite.rewrite("SELECT DISTINCT a FROM t QUALIFY a > 1")
     }
+    // but IS DISTINCT FROM elsewhere must not false-trigger
+    Tables.ensure(spark, SparkTestHarness.sfDir)
+    val ok = QualifyRewrite.rewrite(
+      "SELECT n_regionkey, n_nationkey FROM nation WHERE n_name IS DISTINCT FROM 'x' " +
+      "QUALIFY ROW_NUMBER() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) = 1")
+    assert(spark.sql(ok).count() == 5)
   }
 
   test("star EXCLUDE rewrites to EXCEPT, parens added when absent") {
