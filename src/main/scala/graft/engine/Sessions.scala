@@ -40,7 +40,7 @@ final class SessionState(
     // Prepared statements speak the same dialect as direct ones (QUALIFY,
     // * EXCLUDE, read_parquet): rewrite ONCE at prepare time and store the
     // desugared text, so execution and re-prepare stay consistent.
-    val sql = graft.plans.Dialect.rewrite(sql0)
+    val sql = graft.plans.Dialect.rewrite(sql0, spark)
     val schema = try Some(spark.sql(sql).schema) catch {
       case e: org.apache.spark.sql.AnalysisException
           if e.getCondition != null && e.getCondition.contains("UNBOUND_SQL_PARAMETER") => None

@@ -246,7 +246,8 @@ object Statement {
         // Run to completion so SQL metrics (rows, spill, timing) populate,
         // then render the AQE-final plan — the engine's answer to the
         // reference's per-query profile capture, inline in SQL.
-        val df = session.spark.sql(graft.plans.Dialect.rewrite(query.stripSuffix(";")))
+        val df = session.spark.sql(
+          graft.plans.Dialect.rewrite(query.stripSuffix(";"), session.spark))
         df.collect()
         val plan = df.queryExecution.executedPlan.toString
         val schema = StructType(Seq(StructField("explain_analyze", StringType, nullable = false)))
@@ -258,7 +259,7 @@ object Statement {
         Summarize.summarize(session.spark, table)
 
       case CopyQueryToRe(query, path, opts) =>
-        copyTo(session, session.spark.sql(graft.plans.Dialect.rewrite(query)),
+        copyTo(session, session.spark.sql(graft.plans.Dialect.rewrite(query, session.spark)),
           path, opts)
 
       case CopyTableToRe(table, path, opts) =>
@@ -341,7 +342,12 @@ object Statement {
         // every later stage see parseable Spark SQL: `* EXCLUDE` becomes
         // `* EXCEPT` and QUALIFY desugars to a filtered subquery
         // (plans.StarExclude / plans.QualifyRewrite; no-ops when absent).
-        val sql2 = graft.plans.Dialect.rewrite(sql)
+        val guardHook: String => Unit = s =>
+          StatementGuard.check(session.spark, s, session.isAdmin, session.isReadOnly) match {
+            case StatementGuard.Blocked(reason) => throw new SecurityException(reason)
+            case StatementGuard.Allowed => ()
+          }
+        val sql2 = graft.plans.Dialect.rewrite(sql, session.spark, guardHook)
         StatementGuard.check(session.spark, sql2, session.isAdmin, session.isReadOnly) match {
           case StatementGuard.Blocked(reason) => throw new SecurityException(reason)
           case StatementGuard.Allowed =>

@@ -321,6 +321,29 @@ object CoverageOps {
         Tables.ensure(s, d)
         s.sql(graft.plans.StarExclude.rewrite(sameText))
       }
+    },
+
+    // DuckDB's ASOF JOIN syntax: ONE text runs natively on DuckDB (which
+    // executes ASOF as a first-class operator) and on Spark through
+    // `plans.AsofJoinRewrite`, which desugars it into the canonical
+    // union + one-window carry-forward — the same single-shuffle shape as
+    // TemporalJoins.asofBackward, never a join-then-filter pair explosion.
+    // The right side is aggregated to unique (user_id, ts) so the match is
+    // well-defined on both engines (DuckDB's equal-ts tie pick is
+    // unspecified; ours is deterministic).
+    {
+      val sameText =
+        "SELECT p.event_id, EPOCH_US(p.ts) AS ts_us, ROUND(p.value, 2) AS pvalue, " +
+        "EPOCH_US(c.ts) AS click_ts_us, ROUND(c.cv, 2) AS click_value " +
+        "FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase') p " +
+        "ASOF LEFT JOIN (SELECT user_id, ts, MAX(value) AS cv FROM events " +
+        "WHERE event_type = 'click' GROUP BY user_id, ts) c " +
+        "ON p.user_id = c.user_id AND p.ts >= c.ts " +
+        "ORDER BY p.event_id"
+      Op("compat_asof_sql", sameText) { (s, d) =>
+        Tables.ensure(s, d)
+        s.sql(graft.plans.Dialect.rewrite(sameText, s))
+      }
     }
   )
 }

@@ -10,4 +10,19 @@ package graft.plans
 object Dialect {
   def rewrite(sql: String): String =
     QualifyRewrite.rewrite(StarExclude.rewrite(TableFunctions.rewrite(sql)))
+
+  /** Session-aware chain: adds the ASOF JOIN desugar, which needs the two
+    * operand schemas (analysis only — nothing executes, nothing registers).
+    * ASOF runs after the text-only stages (so `read_parquet` operands are
+    * already path scans) and before QUALIFY (so a QUALIFY tail on an ASOF
+    * statement desugars over the rewritten FROM clause). `preAnalyze` is
+    * invoked with each subquery operand's text before its schema is
+    * analyzed — the statement pipeline passes the guard here, so a blocked
+    * scan is rejected before even schema analysis touches it.
+    */
+  def rewrite(sql: String, spark: org.apache.spark.sql.SparkSession,
+      preAnalyze: String => Unit = _ => ()): String = {
+    val t = StarExclude.rewrite(TableFunctions.rewrite(sql))
+    QualifyRewrite.rewrite(AsofJoinRewrite.rewrite(t, spark, preAnalyze))
+  }
 }
