@@ -344,6 +344,21 @@ object CoverageOps {
         Tables.ensure(s, d)
         s.sql(graft.plans.Dialect.rewrite(sameText, s))
       }
+    },
+
+    // DuckDB's `* REPLACE (...)` star modifier, combined with EXCLUDE in one
+    // text: DuckDB executes both natively; Spark gets them via StarExclude +
+    // StarReplace (the replaced columns leave the star and re-enter as
+    // aliased expressions — name-identical output, order-insensitive
+    // comparator).
+    {
+      val sameText =
+        "SELECT * EXCLUDE (text) REPLACE (n_chars * 2 AS n_chars, upper(source) AS source) " +
+        "FROM documents WHERE doc_id < 10 ORDER BY doc_id"
+      Op("compat_replace", sameText) { (s, d) =>
+        Tables.ensure(s, d)
+        s.sql(graft.plans.Dialect.rewrite(sameText))
+      }
     }
   )
 }

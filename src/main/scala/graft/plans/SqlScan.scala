@@ -31,10 +31,13 @@ object SqlScan {
         case ')' => depth -= 1
         case c if depth == 0 && Character.toUpperCase(c) == w.charAt(0) =>
           val end = i + w.length
-          val before = i == 0 || !Character.isLetterOrDigit(sql.charAt(i - 1)) &&
+          // word-boundary checks only apply to word-like separators; a
+          // punctuation separator (e.g. ",") matches wherever it appears
+          val wordLike = Character.isLetterOrDigit(w.charAt(0)) || w.charAt(0) == '_'
+          val before = !wordLike || i == 0 || !Character.isLetterOrDigit(sql.charAt(i - 1)) &&
             sql.charAt(i - 1) != '_'
           if (before && end <= n && sql.substring(i, end).equalsIgnoreCase(w) &&
-              (end == n || (!Character.isLetterOrDigit(sql.charAt(end)) &&
+              (!wordLike || end == n || (!Character.isLetterOrDigit(sql.charAt(end)) &&
                 sql.charAt(end) != '_'))) {
             out += i
             i = end - 1
