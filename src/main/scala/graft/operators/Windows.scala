@@ -303,6 +303,55 @@ object Windows {
         .agg(count(lit(1)).as("n_gaps"), min("gap").cast("long").as("min_gap"),
           max("gap").cast("long").as("max_gap"), round(avg("gap"), 2).as("avg_gap"))
         .orderBy("o_custkey")
+    },
+
+    // Window frame EXCLUDE (SQL:2011; DuckDB executes it natively, Spark has
+    // no EXCLUDE clause). Composed from plain frames: EXCLUDE CURRENT ROW on
+    // a trailing frame is the same frame ending at 1 PRECEDING; over a whole
+    // partition it is (sum - current) / (count - 1); EXCLUDE GROUP subtracts
+    // the ORDER-BY-peer group's own aggregate (one extra window keyed on the
+    // peer value). Prices quantized to integer cents first so both engines
+    // divide the SAME exact integers — the one double division each side
+    // then lands on the same bits, and ROUND(...,2) can't straddle.
+    Op("win_frame_exclude",
+      "WITH o AS (SELECT o_orderkey, o_custkey, " +
+      "substr(CAST(o_orderdate AS VARCHAR), 1, 4) AS oyear, " +
+      "CAST(ROUND(o_totalprice*100) AS BIGINT) AS cents FROM orders WHERE o_custkey <= 200) " +
+      "SELECT o_orderkey, o_custkey, " +
+      "ROUND(SUM(cents) OVER (PARTITION BY o_custkey ORDER BY o_orderkey " +
+      "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW EXCLUDE CURRENT ROW) / 100.0, 2) AS roll2_excl, " +
+      // The excluded-frame averages stay in INTEGER milli-cents (exact sum,
+      // integer division): a float division + ROUND flips .005 boundaries
+      // differently per engine (measured — 9 rows at sf0.01 off by one
+      // cent), while BIGINT arithmetic is bit-exact on both.
+      "CAST(SUM(cents) OVER (PARTITION BY o_custkey " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE CURRENT ROW) * 1000 " +
+      "// NULLIF(COUNT(cents) OVER (PARTITION BY o_custkey " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE CURRENT ROW), 0) AS BIGINT) AS loo_avg_mc, " +
+      "CAST(SUM(cents) OVER (PARTITION BY o_custkey ORDER BY oyear " +
+      "RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE GROUP) * 1000 " +
+      "// NULLIF(COUNT(cents) OVER (PARTITION BY o_custkey ORDER BY oyear " +
+      "RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE GROUP), 0) AS BIGINT) AS nonyear_avg_mc " +
+      "FROM o ORDER BY o_custkey, o_orderkey") { (s, d) =>
+      val cents = expr("cast(round(o_totalprice*100) as bigint)")
+      val wRoll = Window.partitionBy("o_custkey").orderBy("o_orderkey").rowsBetween(-2, -1)
+      val wAll = Window.partitionBy("o_custkey")
+      val wYear = Window.partitionBy(col("o_custkey"), col("oyear"))
+      t(s, d, "orders").filter(col("o_custkey") <= 200)
+        .select(col("o_orderkey"), col("o_custkey"),
+          substring(col("o_orderdate").cast("string"), 1, 4).as("oyear"),
+          cents.as("cents"))
+        .withColumn("__s", sum("cents").over(wAll))
+        .withColumn("__c", count("cents").over(wAll))
+        .withColumn("__gs", sum("cents").over(wYear))
+        .withColumn("__gc", count("cents").over(wYear))
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(sum("cents").over(wRoll) / 100.0, 2).as("roll2_excl"),
+          when(col("__c") > 1,
+            expr("(__s - cents) * 1000L div (__c - 1)")).as("loo_avg_mc"),
+          when(col("__c") > col("__gc"),
+            expr("(__s - __gs) * 1000L div (__c - __gc)")).as("nonyear_avg_mc"))
+        .orderBy("o_custkey", "o_orderkey")
     }
   )
 }
