@@ -54,6 +54,19 @@ object Statement {
   private val PragmaShowTablesRe = """(?is)^\s*PRAGMA\s+show_tables\s*;?\s*$""".r
   private val PragmaTableInfoRe =
     """(?is)^\s*PRAGMA\s+table_info\s*\(\s*'([^']+)'\s*\)\s*;?\s*$""".r
+  // DuckDB's DESCRIBE/SHOW statement family: DESCRIBE <table|query> and
+  // SHOW <table> return DuckDB's exact 6-column report; SHOW [ALL] TABLES
+  // mirror PRAGMA show_tables / the catalog summary. SHOW of a Spark
+  // catalog keyword (DATABASES, FUNCTIONS, ...) falls through to Spark.
+  private val ShowAllTablesRe = """(?is)^\s*SHOW\s+ALL\s+TABLES\s*;?\s*$""".r
+  private val ShowTablesRe = """(?is)^\s*SHOW\s+TABLES\s*;?\s*$""".r
+  private val DescTableRe =
+    """(?is)^\s*(?:DESC(?:RIBE)?|SHOW)\s+((?:[A-Za-z_][\w.]*)|`[^`]+`)\s*;?\s*$""".r
+  private val DescQueryRe =
+    """(?is)^\s*DESC(?:RIBE)?\s+((?:SELECT|WITH|VALUES|FROM)\b.+)$""".r
+  private val SparkShowKeywords = Set("databases", "schemas", "functions",
+    "views", "columns", "partitions", "tblproperties", "catalogs",
+    "namespaces", "create", "table")
   // DuckDB's EXPLAIN ANALYZE: execute, then return the physical plan WITH
   // runtime metrics (plain EXPLAIN stays native Spark).
   private val ExplainAnalyzeRe = """(?is)^\s*EXPLAIN\s+ANALYZE\s+(.+)$""".r
@@ -150,6 +163,52 @@ object Statement {
     spark.createDataFrame(List(Row(value)).asJava, schema)
   }
 
+  /** Spark dtype rendered in DuckDB's spelling, for the DESCRIBE/SHOW
+    * reports (the same narrowings as `types.TypeMapping`: STRING is
+    * VARCHAR, instant timestamps carry the time zone, binary is BLOB).
+    */
+  private[engine] def duckTypeName(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType => "VARCHAR"
+      case LongType => "BIGINT"
+      case IntegerType => "INTEGER"
+      case ShortType => "SMALLINT"
+      case ByteType => "TINYINT"
+      case DoubleType => "DOUBLE"
+      case FloatType => "FLOAT"
+      case BooleanType => "BOOLEAN"
+      case DateType => "DATE"
+      case TimestampNTZType => "TIMESTAMP"
+      case TimestampType => "TIMESTAMP WITH TIME ZONE"
+      case BinaryType => "BLOB"
+      case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+      case ArrayType(e, _) => s"${duckTypeName(e)}[]"
+      case MapType(k, v, _) => s"MAP(${duckTypeName(k)}, ${duckTypeName(v)})"
+      case s: StructType =>
+        s.fields.map(f => s"${f.name} ${duckTypeName(f.dataType)}")
+          .mkString("STRUCT(", ", ", ")")
+      case other => other.sql
+    }
+  }
+
+  /** DuckDB's DESCRIBE report: exactly its six VARCHAR-shaped columns. */
+  private def describeReport(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val out = StructType(Seq(
+      StructField("column_name", StringType, nullable = false),
+      StructField("column_type", StringType, nullable = false),
+      StructField("null", StringType, nullable = false),
+      StructField("key", StringType, nullable = true),
+      StructField("default", StringType, nullable = true),
+      StructField("extra", StringType, nullable = true)))
+    val rows = schema.fields.map { f =>
+      Row(f.name, duckTypeName(f.dataType), if (f.nullable) "YES" else "NO",
+        null, null, null)
+    }.toList
+    spark.createDataFrame(rows.asJava, out)
+  }
+
   /** Full pipeline: returns the result DataFrame (synthetic one-row results
     * for intercepted commands, mirroring the reference's behavior).
     */
@@ -241,6 +300,43 @@ object Statement {
           Row(i, f.name, f.dataType.sql, !f.nullable, null, false)
         }.toList
         session.spark.createDataFrame(rows.asJava, schema)
+
+      case ShowAllTablesRe() =>
+        // DuckDB's catalog summary: one row per table with its column
+        // names/types inline.
+        val schema = StructType(Seq(
+          StructField("database", StringType, nullable = false),
+          StructField("schema", StringType, nullable = false),
+          StructField("name", StringType, nullable = false),
+          StructField("column_names", org.apache.spark.sql.types.ArrayType(StringType), nullable = false),
+          StructField("column_types", org.apache.spark.sql.types.ArrayType(StringType), nullable = false),
+          StructField("temporary", org.apache.spark.sql.types.BooleanType, nullable = false)))
+        val rows = session.spark.catalog.listTables().collect().sortBy(_.name).map { tb =>
+          val fs = session.spark.table(tb.name).schema.fields
+          Row("spark_catalog", Option(tb.database).getOrElse("main"), tb.name,
+            fs.map(_.name).toSeq, fs.map(f => duckTypeName(f.dataType)).toSeq,
+            tb.isTemporary)
+        }.toList
+        session.spark.createDataFrame(rows.asJava, schema)
+
+      case ShowTablesRe() =>
+        val schema = StructType(Seq(StructField("name", StringType, nullable = false)))
+        val rows = session.spark.catalog.listTables().collect()
+          .map(_.name).sorted.map(Row(_)).toList
+        session.spark.createDataFrame(rows.asJava, schema)
+
+      case DescTableRe(name) if !SparkShowKeywords.contains(name.toLowerCase) =>
+        describeReport(session.spark,
+          session.spark.table(name.stripPrefix("`").stripSuffix("`")).schema)
+
+      case DescQueryRe(query) =>
+        // schema from analysis only — the query never executes; the guard
+        // sees the (dialect-rewritten) text first, like any statement
+        val q = graft.plans.Dialect.rewrite(query.stripSuffix(";"), session.spark)
+        StatementGuard.check(session.spark, q, session.isAdmin, session.isReadOnly) match {
+          case StatementGuard.Blocked(reason) => throw new SecurityException(reason)
+          case StatementGuard.Allowed => describeReport(session.spark, session.spark.sql(q).schema)
+        }
 
       case ExplainAnalyzeRe(query) =>
         // Run to completion so SQL metrics (rows, spill, timing) populate,

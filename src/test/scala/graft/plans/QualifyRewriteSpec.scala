@@ -107,6 +107,43 @@ class QualifyRewriteSpec extends AnyFunSuite {
     assert(ti.forall(r => r.getString(2).nonEmpty))
   }
 
+  test("DESCRIBE / SHOW statement family returns DuckDB's shapes") {
+    import graft.engine._
+    val sessions = new SessionManager(spark, new GlobalSettings)
+    val session = sessions.getOrCreate("desc-s", "alice", "user") // non-admin: ungated metadata
+    Tables.ensure(session.spark, SparkTestHarness.sfDir)
+    val admission = new AdmissionController(4, 8, 30)
+    def run(sql: String) = Statement.run(sessions, session, new GlobalSettings, admission, sql)
+    def runDf(sql: String) = Statement.create(sessions, session, new GlobalSettings, sql)
+
+    // DESCRIBE <table>: DuckDB's six columns, VARCHAR spelling for strings
+    val d = runDf("DESCRIBE nation")
+    assert(d.columns.toSeq == Seq("column_name", "column_type", "null", "key", "default", "extra"))
+    val byName = d.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(byName("n_name") == "VARCHAR")
+    assert(Set("INTEGER", "BIGINT").contains(byName("n_nationkey")))
+    // SHOW <table> is the same report; DESC abbreviation works
+    assert(run("SHOW nation").length == run("DESC nation").length)
+
+    // DESCRIBE <query>: schema from analysis only (dialect-rewritten)
+    val dq = runDf("DESCRIBE SELECT n_nationkey + 1 AS k, upper(n_name) AS u FROM nation")
+    assert(dq.collect().map(_.getString(0)).toSeq == Seq("k", "u"))
+
+    // SHOW TABLES single-column; SHOW ALL TABLES carries column lists
+    val tabs = run("SHOW TABLES").map(_.getString(0))
+    assert(tabs.contains("nation") && tabs.contains("lineitem"))
+    val all = runDf("SHOW ALL TABLES").collect()
+    val nat = all.find(_.getAs[String]("name") == "nation").get
+    assert(nat.getAs[scala.collection.Seq[String]]("column_names").contains("n_name"))
+    assert(nat.getAs[scala.collection.Seq[String]]("column_types").contains("VARCHAR"))
+
+    // Spark's own SHOW keywords are NOT intercepted
+    assert(run("SHOW DATABASES").nonEmpty)
+    // non-admin DESCRIBE of a local path scan is blocked by the guard
+    intercept[SecurityException](
+      run("DESCRIBE SELECT * FROM parquet.`/root/testdata/sf0.001/nation.parquet`"))
+  }
+
   test("read_parquet table function rewrites to the path-scan form; guard intact") {
     assert(TableFunctions.rewrite("SELECT * FROM read_parquet('/x/y.parquet')") ==
       "SELECT * FROM parquet.`/x/y.parquet`")
