@@ -1221,6 +1221,50 @@ object TextPipeline {
         .orderBy("doc_id")
     },
 
+    // DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    // Language Models via Importance Resampling"): importance weight
+    // log(p_target/p_raw) over HASHED unigram features — here 256 md5
+    // buckets, target = the English slice, raw = the whole corpus, add-1
+    // smoothing. The hashing is the scale contract: the per-bucket
+    // log-ratio table is 256 rows at ANY corpus size, so it broadcasts and
+    // the exploded corpus never shuffles by term; the per-doc score is a
+    // BIGINT sum of integer micro-nat units (the lm_score float policy), so
+    // the reduction is order-independent and cross-engine exact. Top-50 by
+    // weight = the docs most target-like relative to the raw distribution.
+    Op("pipeline_dsir_weights", {
+      val bucketSql = "((strpos('0123456789abcdef', substr(md5(term), 1, 1)) - 1) * 16 + " +
+        "(strpos('0123456789abcdef', substr(md5(term), 2, 1)) - 1))"
+      "WITH w AS (SELECT doc_id, lang, UNNEST(STRING_SPLIT(text,' ')) AS term FROM documents), " +
+      s"b AS (SELECT doc_id, lang, $bucketSql AS bucket FROM w), " +
+      "r AS (SELECT bucket, COUNT(*) AS rc FROM b GROUP BY 1), " +
+      "tg AS (SELECT bucket, COUNT(*) AS tc FROM b WHERE lang = 'en' GROUP BY 1), " +
+      "n AS (SELECT (SELECT CAST(SUM(rc) AS BIGINT) FROM r) AS nr, " +
+      "(SELECT CAST(SUM(tc) AS BIGINT) FROM tg) AS nt), " +
+      "u AS (SELECT r.bucket, CAST(ROUND((LN((COALESCE(tg.tc, 0) + 1.0) / (n.nt + 256)) - " +
+      "LN((r.rc + 1.0) / (n.nr + 256))) * 1000000) AS BIGINT) AS unit " +
+      "FROM r LEFT JOIN tg USING (bucket), n) " +
+      "SELECT b.doc_id, b.lang, COUNT(*) AS n_tok, CAST(SUM(u.unit) AS BIGINT) AS dsir_micro " +
+      "FROM b JOIN u USING (bucket) GROUP BY 1, 2 " +
+      "ORDER BY dsir_micro DESC, doc_id LIMIT 50"
+    }) { (s, d) =>
+      val nPart = s.sessionState.conf.numShufflePartitions
+      val b = docs(s, d).repartition(nPart, col("doc_id"))
+        .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("term"))
+        .withColumn("bucket", conv(substring(md5(col("term")), 1, 2), 16, 10).cast("int"))
+      val r = b.groupBy("bucket").agg(count(lit(1)).as("rc"))
+      val tg = b.filter(col("lang") === "en").groupBy("bucket").agg(count(lit(1)).as("tc"))
+      val totals = r.agg(sum("rc").as("nr")).crossJoin(tg.agg(sum("tc").as("nt")))
+      val u = r.join(tg, Seq("bucket"), "left").crossJoin(totals)
+        .select(col("bucket"),
+          round((log((coalesce(col("tc"), lit(0)) + 1.0) / (col("nt") + 256)) -
+            log((col("rc") + 1.0) / (col("nr") + 256))) * 1e6).cast("long").as("unit"))
+      b.join(broadcast(u), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n_tok"), sum("unit").as("dsir_micro"))
+        .orderBy(col("dsir_micro").desc, col("doc_id"))
+        .limit(50)
+    },
+
     // Cross-source contamination matrix: trigram-set Jaccard between every
     // source pair — the corpus-level view of sharing (mirror sites, syndicated
     // text, template reuse) that decides which sources can't be mixed at full
