@@ -362,6 +362,84 @@ object Embeddings {
         .orderBy("cent_id", "idx")
     },
 
+    // Full Lloyd TRAINING loop — three chained iterations of the
+    // embed_kmeans_iter step, reporting per-iteration cluster population
+    // and total centroid movement (the convergence curve an IVF build
+    // watches). Every iteration is the same two distributed shapes: a
+    // broadcast-argmax assignment (centroids are k rows at any corpus
+    // size) and a (cent_id, dim) two-phase aggregation; nothing ever
+    // collects a vector to the driver. Cross-engine float policy: centroid
+    // elements are exact-integer sums divided once (identical doubles both
+    // engines), movement compares 1e-4-grid integer units (BIGINT, exact),
+    // and assignment orders by ROUND(cos, 6). The chain here is lazy plan
+    // composition; a production trainer persists each iteration's
+    // assignment to cut lineage — documented, not needed at k=8 x 3.
+    Op("embed_kmeans_train", {
+      def ex(src: String) = s"(SELECT cent_id, UNNEST(v) AS x, " +
+        s"UNNEST(GENERATE_SERIES(1, CAST(LEN(v) AS INTEGER))) AS i FROM $src)"
+      val iters = (1 to 3).map { k =>
+        val prevCent = if (k == 1) "cent0" else s"cent${k - 1}"
+        val prevU = s"u${k - 1}"
+        s"a$k AS (SELECT vec_id, v, cent_id FROM (SELECT c.vec_id, c.v, ct.cent_id, " +
+        s"ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY " +
+        s"ROUND(LIST_COSINE_SIMILARITY(c.v, ct.cent), 6) DESC, ct.cent_id) AS rn " +
+        s"FROM corpus c CROSS JOIN $prevCent ct) t WHERE rn = 1), " +
+        s"m$k AS (SELECT cent_id, i, CAST(SUM(CAST(ROUND(x * 10000) AS BIGINT)) AS BIGINT) AS sm, " +
+        s"COUNT(*) AS cnt FROM ${ex(s"(SELECT cent_id, v FROM a$k)")} GROUP BY 1, 2), " +
+        s"cent$k AS (SELECT cent_id, LIST(sm / (cnt * 10000.0) ORDER BY i) AS cent FROM m$k GROUP BY 1), " +
+        s"u$k AS (SELECT cent_id, i, CAST(ROUND(CAST(sm AS DOUBLE) / cnt) AS BIGINT) AS u FROM m$k), " +
+        s"r$k AS (SELECT $k AS iteration, s.cent_id, s.n_assigned, h.shift_units FROM " +
+        s"(SELECT cent_id, CAST(COUNT(*) AS BIGINT) AS n_assigned FROM a$k GROUP BY 1) s JOIN " +
+        s"(SELECT n.cent_id, CAST(SUM(ABS(n.u - p.u)) AS BIGINT) AS shift_units " +
+        s"FROM u$k n JOIN $prevU p ON n.cent_id = p.cent_id AND n.i = p.i GROUP BY 1) h USING (cent_id))"
+      }.mkString(", ")
+      "WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      "cent0 AS (SELECT CAST(vec_id AS BIGINT) AS cent_id, CAST(embedding AS DOUBLE[]) AS cent " +
+      "FROM embeddings WHERE vec_id < 8), " +
+      "u0 AS (SELECT cent_id, i, CAST(ROUND(x * 10000) AS BIGINT) AS u FROM " +
+      "(SELECT cent_id, UNNEST(cent) AS x, UNNEST(GENERATE_SERIES(1, CAST(LEN(cent) AS INTEGER))) AS i FROM cent0)), " +
+      s"$iters " +
+      "SELECT CAST(iteration AS INTEGER) AS iteration, cent_id, n_assigned, shift_units " +
+      "FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3) " +
+      "ORDER BY iteration, cent_id"
+    }) { (s, d) =>
+      val e = emb(s, d)
+      val corpus = e.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      var cent = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("long").as("cent_id"), asDouble(col("embedding")).as("cent"))
+      var prevUnits = cent.select(col("cent_id"), posexplode(col("cent")))
+        .select(col("cent_id"), col("pos").as("idx"),
+          round(col("col") * 10000).cast("long").as("u"))
+      var reports = Seq.empty[DataFrame]
+      for (it <- 1 to 3) {
+        val scored = corpus.crossJoin(broadcast(cent))
+          .select(col("vec_id"), col("v"), col("cent_id"),
+            round(cosine(col("v"), col("cent")), 6).as("sim"))
+        val assigned = scored.withColumn("rn", row_number().over(
+            Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cent_id"))))
+          .filter(col("rn") === 1).select("vec_id", "cent_id", "v")
+        val m = assigned.select(col("cent_id"), posexplode(col("v")))
+          .select(col("cent_id"), col("pos").as("idx"), col("col").as("x"))
+          .groupBy("cent_id", "idx")
+          .agg(sum(round(col("x") * 10000).cast("long")).as("sm"), count(lit(1)).as("cnt"))
+        val units = m.select(col("cent_id"), col("idx"),
+          round(col("sm").cast("double") / col("cnt")).cast("long").as("u"))
+        val sizes = assigned.groupBy("cent_id").agg(count(lit(1)).as("n_assigned"))
+        val shift = units.as("n").join(prevUnits.as("p"), Seq("cent_id", "idx"))
+          .groupBy("cent_id").agg(sum(abs(col("n.u") - col("p.u"))).as("shift_units"))
+        reports :+= sizes.join(shift, "cent_id").withColumn("iteration", lit(it))
+        cent = m.select(col("cent_id"), col("idx"),
+            (col("sm") / (col("cnt") * 10000.0)).as("mv"))
+          .groupBy("cent_id")
+          .agg(transform(array_sort(collect_list(struct(col("idx"), col("mv")))),
+            x => x("mv")).as("cent"))
+        prevUnits = units
+      }
+      reports.reduce(_ unionByName _)
+        .select(col("iteration"), col("cent_id"), col("n_assigned"), col("shift_units"))
+        .orderBy("iteration", "cent_id")
+    },
+
     // Product quantization with asymmetric-distance (ADC) search — the
     // standard billion-scale ANN compression next to IVF: each vector
     // becomes 8 codebook ids (one per 8-dim subvector; 8 bytes total vs 256
