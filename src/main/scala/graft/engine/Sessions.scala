@@ -24,6 +24,8 @@ final class SessionState(
   final case class Prepared(handle: String, sql: String, schema: Option[StructType])
 
   private val prepared = new ConcurrentHashMap[String, Prepared]()
+  /** Session-scoped SQL macros (DuckDB CREATE MACRO), expanded by inlining. */
+  val macros = new Macros.Registry
   @volatile var killRequested: Boolean = false
   /** Open SQL-path transaction handle, if any (BEGIN ... COMMIT/ROLLBACK). */
   @volatile var activeTxn: Option[String] = None
@@ -38,9 +40,10 @@ final class SessionState(
     */
   def prepare(sql0: String): Prepared = {
     // Prepared statements speak the same dialect as direct ones (QUALIFY,
-    // * EXCLUDE, read_parquet): rewrite ONCE at prepare time and store the
-    // desugared text, so execution and re-prepare stay consistent.
-    val sql = graft.plans.Dialect.rewrite(sql0, spark)
+    // * EXCLUDE, read_parquet, session macros): rewrite ONCE at prepare
+    // time and store the desugared text, so execution and re-prepare stay
+    // consistent.
+    val sql = graft.plans.Dialect.rewrite(Macros.expand(sql0, macros), spark)
     val schema = try Some(spark.sql(sql).schema) catch {
       case e: org.apache.spark.sql.AnalysisException
           if e.getCondition != null && e.getCondition.contains("UNBOUND_SQL_PARAMETER") => None

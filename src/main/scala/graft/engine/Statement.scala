@@ -412,6 +412,29 @@ object Statement {
             oneRowResult(session.spark, "result", s"transaction $id rolled back")
         }
 
+      case _ if Macros.handlesCreate(sql) =>
+        // Session-local DDL (DuckDB temp-macro scoping); a catalog change,
+        // so the read-only role is blocked like any write.
+        if (session.isReadOnly)
+          throw new SecurityException("read-only role cannot create macros")
+        val (m, orReplace) = Macros.parseCreate(sql)
+        // TABLE macro bodies are full queries: desugar their dialect
+        // constructs (QUALIFY, EXCLUDE, read_parquet) at definition time —
+        // after inlining they sit at subquery depth, where the
+        // statement-level rewrites no longer reach them.
+        val stored = if (m.isTable)
+          m.copy(body = graft.plans.Dialect.rewrite(m.body)) else m
+        session.macros.put(stored, orReplace)
+        oneRowResult(session.spark, "result", s"macro ${m.name} created")
+
+      case _ if Macros.handlesDrop(sql) =>
+        if (session.isReadOnly)
+          throw new SecurityException("read-only role cannot drop macros")
+        val name = Macros.parseDrop(sql)
+        oneRowResult(session.spark, "result",
+          if (session.macros.drop(name)) s"macro $name dropped"
+          else s"macro $name did not exist")
+
       case _ if graft.sources.RowDml.handles(sql) =>
         // Row-level UPDATE/DELETE/MERGE: Spark's file sources have no native
         // execution for these, so after the same guard/catalog checks as any
@@ -443,7 +466,10 @@ object Statement {
             case StatementGuard.Blocked(reason) => throw new SecurityException(reason)
             case StatementGuard.Allowed => ()
           }
-        val sql2 = graft.plans.Dialect.rewrite(sql, session.spark, guardHook)
+        // Session macros inline FIRST (their bodies may contain dialect
+        // constructs, and the expanded text must face the guard).
+        val sql2 = graft.plans.Dialect.rewrite(
+          Macros.expand(sql, session.macros), session.spark, guardHook)
         StatementGuard.check(session.spark, sql2, session.isAdmin, session.isReadOnly) match {
           case StatementGuard.Blocked(reason) => throw new SecurityException(reason)
           case StatementGuard.Allowed =>
