@@ -10,7 +10,7 @@ package graft.plans
 object Dialect {
   def rewrite(sql: String): String =
     QualifyRewrite.rewrite(StarReplace.rewrite(StarExclude.rewrite(
-      SampleRewrite.rewrite(TableFunctions.rewrite(sql)))))
+      SampleRewrite.rewrite(TableFunctions.rewrite(FromFirstRewrite.rewrite(sql))))))
 
   /** Session-aware chain: adds the ASOF JOIN desugar, which needs the two
     * operand schemas (analysis only — nothing executes, nothing registers).
@@ -24,7 +24,7 @@ object Dialect {
   def rewrite(sql: String, spark: org.apache.spark.sql.SparkSession,
       preAnalyze: String => Unit = _ => ()): String = {
     val t = StarReplace.rewrite(StarExclude.rewrite(
-      SampleRewrite.rewrite(TableFunctions.rewrite(sql))))
+      SampleRewrite.rewrite(TableFunctions.rewrite(FromFirstRewrite.rewrite(sql)))))
     QualifyRewrite.rewrite(AsofJoinRewrite.rewrite(t, spark, preAnalyze))
   }
 }
