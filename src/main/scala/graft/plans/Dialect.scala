@@ -25,6 +25,7 @@ object Dialect {
       preAnalyze: String => Unit = _ => ()): String = {
     val t = StarReplace.rewrite(StarExclude.rewrite(
       SampleRewrite.rewrite(TableFunctions.rewrite(FromFirstRewrite.rewrite(sql)))))
-    QualifyRewrite.rewrite(AsofJoinRewrite.rewrite(t, spark, preAnalyze))
+    QualifyRewrite.rewrite(InsertByName.rewrite(
+      AsofJoinRewrite.rewrite(t, spark, preAnalyze), spark, preAnalyze))
   }
 }
