@@ -1265,6 +1265,43 @@ object TextPipeline {
         .limit(50)
     },
 
+    // Vocabulary coverage curve: what fraction of corpus token OCCURRENCES
+    // the top-k most frequent terms cover, at the k values a tokenizer /
+    // vocab budget is sized against. Scale contract: only the top-5000
+    // terms are ever globally ordered — a distributed TakeOrdered over the
+    // partial-combined term counts — so no window ranks the full vocab
+    // (which a 100 TB corpus makes billions of rows); the cumulative sum
+    // then runs over 5000 rows. Coverage is integer micro-units
+    // (covered * 1e6 div total), exact on both engines.
+    Op("pipeline_vocab_coverage",
+      "WITH w AS (SELECT UNNEST(STRING_SPLIT(text,' ')) AS term FROM documents), " +
+      "c AS (SELECT term, COUNT(*) AS cnt FROM w GROUP BY 1), " +
+      "t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c), " +
+      "top AS (SELECT term, cnt FROM c ORDER BY cnt DESC, term LIMIT 5000), " +
+      "r AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS rk, " +
+      "CAST(SUM(cnt) OVER (ORDER BY cnt DESC, term ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM top) " +
+      "SELECT k, CAST(MAX(r.cum) AS BIGINT) AS covered, t.total, " +
+      "CAST(MAX(r.cum) * 1000000 // t.total AS BIGINT) AS coverage_micro " +
+      "FROM (VALUES (100), (500), (1000), (2000), (5000)) ks(k) " +
+      "JOIN r ON r.rk <= ks.k, t GROUP BY k, t.total ORDER BY k") { (s, d) =>
+      val c = docs(s, d)
+        .select(explode(tokens(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+      val total = c.agg(sum("cnt").cast("long").as("total"))
+      val wOrd = Window.orderBy(col("cnt").desc, col("term"))
+      val ranked = c.orderBy(col("cnt").desc, col("term")).limit(5000)
+        .withColumn("rk", row_number().over(wOrd).cast("long"))
+        .withColumn("cum", sum("cnt").over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+      s.sql("SELECT * FROM VALUES (100), (500), (1000), (2000), (5000) AS ks(k)")
+        .join(broadcast(ranked), col("rk") <= col("k"))
+        .crossJoin(broadcast(total))
+        .groupBy("k", "total").agg(max("cum").as("covered"))
+        .select(col("k"), col("covered"),
+          col("total"), expr("covered * 1000000L div total").as("coverage_micro"))
+        .orderBy("k")
+    },
+
     // Cross-source contamination matrix: trigram-set Jaccard between every
     // source pair — the corpus-level view of sharing (mirror sites, syndicated
     // text, template reuse) that decides which sources can't be mixed at full
