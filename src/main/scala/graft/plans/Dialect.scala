@@ -23,8 +23,9 @@ object Dialect {
     */
   def rewrite(sql: String, spark: org.apache.spark.sql.SparkSession,
       preAnalyze: String => Unit = _ => ()): String = {
+    val p = PivotRewrite.rewrite(sql, spark, preAnalyze)
     val t = StarReplace.rewrite(StarExclude.rewrite(
-      SampleRewrite.rewrite(TableFunctions.rewrite(FromFirstRewrite.rewrite(sql)))))
+      SampleRewrite.rewrite(TableFunctions.rewrite(FromFirstRewrite.rewrite(p)))))
     QualifyRewrite.rewrite(InsertByName.rewrite(
       AsofJoinRewrite.rewrite(t, spark, preAnalyze), spark, preAnalyze))
   }
