@@ -10,7 +10,8 @@ package graft.plans
 object Dialect {
   def rewrite(sql: String): String =
     QualifyRewrite.rewrite(StarReplace.rewrite(StarExclude.rewrite(
-      SampleRewrite.rewrite(TableFunctions.rewrite(FromFirstRewrite.rewrite(sql))))))
+      SampleRewrite.rewrite(TableFunctions.rewrite(FromFirstRewrite.rewrite(
+        UnpivotRewrite.rewrite(sql)))))))
 
   /** Session-aware chain: adds the ASOF JOIN desugar, which needs the two
     * operand schemas (analysis only — nothing executes, nothing registers).
@@ -23,7 +24,7 @@ object Dialect {
     */
   def rewrite(sql: String, spark: org.apache.spark.sql.SparkSession,
       preAnalyze: String => Unit = _ => ()): String = {
-    val p = PivotRewrite.rewrite(sql, spark, preAnalyze)
+    val p = PivotRewrite.rewrite(UnpivotRewrite.rewrite(sql), spark, preAnalyze)
     val t = StarReplace.rewrite(StarExclude.rewrite(
       SampleRewrite.rewrite(TableFunctions.rewrite(FromFirstRewrite.rewrite(p)))))
     QualifyRewrite.rewrite(InsertByName.rewrite(
