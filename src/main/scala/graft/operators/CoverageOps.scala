@@ -359,6 +359,22 @@ object CoverageOps {
         Tables.ensure(s, d)
         s.sql(graft.plans.Dialect.rewrite(sameText))
       }
+    },
+
+    // DuckDB's bracket list syntax: literals and comprehensions in ONE text
+    // — DuckDB parses them natively, Spark gets transform/filter via
+    // `plans.ListSyntax` (subscripts deliberately untouched: 1-based vs
+    // 0-based semantics must not silently flip).
+    {
+      val sameText =
+        "SELECT doc_id, [3, 1, 4] AS nums, " +
+        "[upper(t) FOR t IN string_split(text, ' ') IF strpos(t, 'a') > 0] AS a_words, " +
+        "[length(t) FOR t IN list_slice(string_split(text, ' '), 1, 5)] AS head_lens " +
+        "FROM documents WHERE doc_id < 20 ORDER BY doc_id"
+      Op("compat_list_syntax", sameText) { (s, d) =>
+        Tables.ensure(s, d)
+        s.sql(graft.plans.Dialect.rewrite(sameText))
+      }
     }
   )
 }

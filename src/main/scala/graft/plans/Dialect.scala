@@ -10,8 +10,8 @@ package graft.plans
 object Dialect {
   def rewrite(sql: String): String =
     QualifyRewrite.rewrite(StarReplace.rewrite(StarExclude.rewrite(
-      SampleRewrite.rewrite(TableFunctions.rewrite(FromFirstRewrite.rewrite(
-        UnpivotRewrite.rewrite(sql)))))))
+      SampleRewrite.rewrite(ListSyntax.rewrite(TableFunctions.rewrite(FromFirstRewrite.rewrite(
+        UnpivotRewrite.rewrite(sql))))))))
 
   /** Session-aware chain: adds the ASOF JOIN desugar, which needs the two
     * operand schemas (analysis only — nothing executes, nothing registers).
@@ -26,7 +26,7 @@ object Dialect {
       preAnalyze: String => Unit = _ => ()): String = {
     val p = PivotRewrite.rewrite(UnpivotRewrite.rewrite(sql), spark, preAnalyze)
     val t = StarReplace.rewrite(StarExclude.rewrite(
-      SampleRewrite.rewrite(TableFunctions.rewrite(FromFirstRewrite.rewrite(p)))))
+      SampleRewrite.rewrite(ListSyntax.rewrite(TableFunctions.rewrite(FromFirstRewrite.rewrite(p))))))
     QualifyRewrite.rewrite(InsertByName.rewrite(
       AsofJoinRewrite.rewrite(t, spark, preAnalyze), spark, preAnalyze))
   }

@@ -1,0 +1,128 @@
+package graft.plans
+
+/** DuckDB's bracket list syntax for Spark:
+  *
+  *   [1, 2, 3]                          -> array(1, 2, 3)
+  *   [expr FOR x IN list]               -> transform(list, x -> expr)
+  *   [expr FOR x IN list IF cond]       -> transform(filter(list, x -> cond), x -> expr)
+  *
+  * A '[' is a list constructor only in EXPRESSION position (preceded by an
+  * operator, comma, '(' or statement start); after an identifier, ')' or
+  * ']' it is subscript/slice syntax and stays untouched (deliberately:
+  * DuckDB subscripts are 1-based and Spark's are 0-based — a silent
+  * rewrite would flip valid Spark queries, so subscripts keep host
+  * semantics and the `list_*` function aliases carry the 1-based forms).
+  * Nested comprehensions recurse; strings and quoted identifiers are never
+  * scanned.
+  */
+object ListSyntax {
+
+  def rewrite(sql: String): String = {
+    if (!sql.contains('[')) return sql
+    rec(sql)
+  }
+
+  private def rec(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      c match {
+        case '\'' | '"' | '`' =>
+          val j = s.indexOf(c, i + 1)
+          val end = if (j < 0) n else j + 1
+          sb.append(s.substring(i, end)); i = end
+        case '[' =>
+          val close = matchingBracket(s, i)
+          val inner = s.substring(i + 1, close)
+          // subscript only when the bracket DIRECTLY follows its operand
+          // (no whitespace): arr[1], f(x)[2], 'ab'[1] — a space before the
+          // bracket puts it in expression position (SELECT [1, 2])
+          val p = if (i > 0) s.charAt(i - 1) else 0.toChar
+          val subscript = i > 0 &&
+            (Character.isLetterOrDigit(p) || p == '_' || p == ')' || p == ']' ||
+             p == '\'' || p == '"' || p == '`')
+          if (subscript) sb.append('[').append(rec(inner)).append(']')
+          else sb.append(construct(inner))
+          i = close + 1
+        case _ =>
+          sb.append(c); i += 1
+      }
+    }
+    sb.toString
+  }
+
+  /** Comprehension or plain list literal (contents already bracket-depth 0). */
+  private def construct(inner: String): String = {
+    topLevelWord(inner, "FOR") match {
+      case Some(forIdx) =>
+        val expr = rec(inner.substring(0, forIdx).trim)
+        val rest = inner.substring(forIdx + 3)
+        val inIdx = topLevelWord(rest, "IN").getOrElse(
+          throw new IllegalArgumentException(
+            s"list comprehension requires FOR <var> IN <list>: [$inner]"))
+        val v = rest.substring(0, inIdx).trim
+        if (!v.matches("""\w+""")) throw new IllegalArgumentException(
+          s"list comprehension variable must be an identifier, got '$v'")
+        val afterIn = rest.substring(inIdx + 2)
+        val (listPart, condPart) = topLevelWord(afterIn, "IF") match {
+          case Some(ifIdx) => (afterIn.substring(0, ifIdx), Some(afterIn.substring(ifIdx + 2)))
+          case None => (afterIn, None)
+        }
+        val listExpr = rec(listPart.trim)
+        condPart match {
+          case Some(cond) =>
+            s"transform(filter($listExpr, $v -> ${rec(cond.trim)}), $v -> $expr)"
+          case None => s"transform($listExpr, $v -> $expr)"
+        }
+      case None =>
+        if (inner.trim.isEmpty) "array()" else s"array(${rec(inner)})"
+    }
+  }
+
+  /** Index of a keyword at paren/bracket depth 0, outside literals. */
+  private def topLevelWord(s: String, w: String): Option[Int] = {
+    var depth = 0
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      s.charAt(i) match {
+        case c @ ('\'' | '"' | '`') =>
+          val j = s.indexOf(c, i + 1)
+          i = if (j < 0) n else j + 1
+        case '(' | '[' => depth += 1; i += 1
+        case ')' | ']' => depth -= 1; i += 1
+        case c if depth == 0 && Character.toUpperCase(c) == w.charAt(0) =>
+          val end = i + w.length
+          val before = i == 0 || (!Character.isLetterOrDigit(s.charAt(i - 1)) && s.charAt(i - 1) != '_')
+          if (before && end <= n && s.substring(i, end).equalsIgnoreCase(w) &&
+              (end == n || (!Character.isLetterOrDigit(s.charAt(end)) && s.charAt(end) != '_')))
+            return Some(i)
+          i += 1
+        case _ => i += 1
+      }
+    }
+    None
+  }
+
+  private def matchingBracket(s: String, open: Int): Int = {
+    var depth = 0
+    var i = open
+    val n = s.length
+    while (i < n) {
+      s.charAt(i) match {
+        case c @ ('\'' | '"' | '`') =>
+          val j = s.indexOf(c, i + 1)
+          i = if (j < 0) n else j
+        case '[' => depth += 1
+        case ']' =>
+          depth -= 1
+          if (depth == 0) return i
+        case _ =>
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException("unbalanced brackets in SQL text")
+  }
+}
