@@ -375,6 +375,18 @@ object CoverageOps {
         Tables.ensure(s, d)
         s.sql(graft.plans.Dialect.rewrite(sameText))
       }
+    },
+
+    // DuckDB's COLUMNS() star expression: one text, DuckDB native, Spark
+    // via `plans.ColumnsRewrite` (per-column expansion named after the
+    // column, matching DuckDB's own auto-naming).
+    {
+      val sameText =
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, MIN(COLUMNS('n_.*key')) FROM nation"
+      Op("compat_columns", sameText) { (s, d) =>
+        Tables.ensure(s, d)
+        s.sql(graft.plans.Dialect.rewrite(sameText, s))
+      }
     }
   )
 }

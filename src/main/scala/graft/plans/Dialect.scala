@@ -27,7 +27,7 @@ object Dialect {
     val p = PivotRewrite.rewrite(UnpivotRewrite.rewrite(sql), spark, preAnalyze)
     val t = StarReplace.rewrite(StarExclude.rewrite(
       SampleRewrite.rewrite(ListSyntax.rewrite(TableFunctions.rewrite(FromFirstRewrite.rewrite(p))))))
-    QualifyRewrite.rewrite(InsertByName.rewrite(
-      AsofJoinRewrite.rewrite(t, spark, preAnalyze), spark, preAnalyze))
+    QualifyRewrite.rewrite(ColumnsRewrite.rewrite(InsertByName.rewrite(
+      AsofJoinRewrite.rewrite(t, spark, preAnalyze), spark, preAnalyze), spark, preAnalyze))
   }
 }
