@@ -131,6 +131,37 @@ object EngineDemo {
       s"SELECT COUNT(*) AS n FROM read_parquet('$copyDir/n.parquet')").head.getLong(0)
     println(s"[demo] copy-to/read_parquet round-trip: $copied written, $readBack read")
 
+    // 10b. The round-7 dialect widening: FROM-first, DESCRIBE, PIVOT,
+    // ASOF JOIN, macros, list comprehensions, star REPLACE, USING SAMPLE.
+    val ff = Statement.run(sessions, session, global, admission,
+      "FROM nation SELECT n_name WHERE n_regionkey = 0 ORDER BY n_name")
+    println(s"[demo] from-first: ${ff.length} rows")
+    val described = Statement.run(sessions, session, global, admission, "DESCRIBE nation")
+    println(s"[demo] describe nation: ${described.map(_.getString(0)).mkString(",")}")
+    val pivoted = Statement.run(sessions, session, global, admission,
+      "PIVOT nation ON n_regionkey USING count(*)")
+    println(s"[demo] pivot statement: ${pivoted.length} rows wide-by-region")
+    Statement.run(sessions, session, global, admission,
+      "CREATE MACRO key_bucket(k, n := 4) AS k % n")
+    val macroRows = Statement.run(sessions, session, global, admission,
+      "SELECT key_bucket(n_nationkey) AS b, count(*) AS c FROM nation GROUP BY b ORDER BY b")
+    println(s"[demo] macro key_bucket: ${macroRows.length} buckets")
+    val asof = Statement.run(sessions, session, global, admission,
+      "SELECT p.event_id, c.ts AS click_ts FROM " +
+      "(SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p " +
+      "ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c " +
+      "ON p.user_id = c.user_id AND p.ts >= c.ts LIMIT 5")
+    println(s"[demo] asof join sql: ${asof.length} rows")
+    val compr = Statement.run(sessions, session, global, admission,
+      "SELECT [upper(t) FOR t IN string_split(n_name, ' ')] AS words FROM nation LIMIT 1")
+    println(s"[demo] list comprehension: ${compr.length} row")
+    val repl = Statement.run(sessions, session, global, admission,
+      "SELECT * EXCLUDE (n_name) REPLACE (n_regionkey + 100 AS n_regionkey) FROM nation LIMIT 1")
+    println(s"[demo] star replace: regionkey+100=${repl.head.getAs[Number]("n_regionkey")}")
+    val sampled = Statement.run(sessions, session, global, admission,
+      "SELECT count(*) AS c FROM lineitem USING SAMPLE 50 ROWS").head.getLong(0)
+    println(s"[demo] using sample: $sampled rows")
+
     // 11. Health + graceful drain.
     val health = new Health(spark).start()
     println(s"[demo] health=${health.status}")
