@@ -1302,6 +1302,48 @@ object TextPipeline {
         .orderBy("k")
     },
 
+    // Vocabulary growth curve (Heaps' law): distinct terms seen after the
+    // first N documents in a deterministic md5 order, at checkpoint sizes —
+    // the diagnostic that says whether a corpus is still contributing new
+    // vocabulary or has gone repetitive. Distributed shape: no running
+    // distinct — each term's FIRST-occurrence rank is a plain min
+    // aggregate over the exploded corpus (doc ranks are md5-derived
+    // integers, so the explode carries them for free), and the curve is a
+    // tiny bucket count over first-occurrence ranks. One explode, two
+    // aggregations, nothing ordered over the full corpus.
+    // "First N docs" is realized as md5-prefix thresholds (the train-split
+    // hash), NOT a global rank: per-doc inclusion is a pure projection, a
+    // term's first appearance is MIN(doc hash) — a plain aggregate — and
+    // the curve is a tiny threshold count. Nothing globally sorts at any
+    // corpus size, and growing the corpus extends each subset consistently
+    // (hash membership is content-stable, the property the train-split op
+    // relies on too).
+    Op("corpus_growth_curve", {
+      val h4 = (1 to 4).map { k =>
+        s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $k, 1)) - 1) * ${1 << (4 * (4 - k))}"
+      }.mkString("(", " + ", ")")
+      s"WITH d AS (SELECT doc_id, text, $h4 AS h FROM documents), " +
+      "w AS (SELECT h, UNNEST(STRING_SPLIT(text,' ')) AS term FROM d), " +
+      "f AS (SELECT term, MIN(h) AS first_h FROM w GROUP BY 1) " +
+      "SELECT t, CAST((SELECT COUNT(*) FROM d WHERE d.h < ks.t) AS BIGINT) AS n_docs, " +
+      "CAST((SELECT COUNT(*) FROM f WHERE f.first_h < ks.t) AS BIGINT) AS distinct_terms " +
+      "FROM (VALUES (4096), (16384), (65536)) ks(t) ORDER BY t"
+    }) { (s, d) =>
+      val h = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("long")
+      val withH = docs(s, d).select(col("text"), h.as("h"))
+      val first = withH
+        .select(col("h"), explode(tokens(col("text"))).as("term"))
+        .groupBy("term").agg(min("h").as("first_h"))
+      val ks = s.sql("SELECT * FROM VALUES (4096), (16384), (65536) AS ks(t)")
+      val docCounts = ks.crossJoin(withH.select("h"))
+        .groupBy("t").agg(sum(when(col("h") < col("t"), 1L).otherwise(0L)).as("n_docs"))
+      val termCounts = ks.crossJoin(first)
+        .groupBy("t").agg(sum(when(col("first_h") < col("t"), 1L).otherwise(0L)).as("distinct_terms"))
+      docCounts.join(termCounts, "t")
+        .select(col("t"), col("n_docs"), col("distinct_terms"))
+        .orderBy("t")
+    },
+
     // Cross-source contamination matrix: trigram-set Jaccard between every
     // source pair — the corpus-level view of sharing (mirror sites, syndicated
     // text, template reuse) that decides which sources can't be mixed at full
