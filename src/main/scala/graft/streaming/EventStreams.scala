@@ -122,6 +122,73 @@ object EventStreams {
       .toDF("user_id", "t1", "t2", "t3")
   }
 
+  /** Streaming AS-OF enrichment: each probe event (default purchase) is
+    * matched to the same user's LATEST build event (default click) with
+    * `build.ts <= probe.ts` — the streaming face of
+    * [[graft.operators.TemporalJoins.asofBackward]]. Out-of-order safety
+    * comes from the buffer-within-watermark pattern: a probe only
+    * finalizes once the watermark passes its event time (no earlier-ts
+    * build row can still arrive), so arrival order never changes the
+    * match. State is bounded: pending probes live only until the
+    * watermark passes them, and the build buffer prunes to the newest
+    * at-or-before-watermark row plus the in-flight tail — per-user state
+    * tracks the watermark lag, not the stream length. Equal-ts build ties
+    * resolve to the payload max, the batch operator's tie-break.
+    * Emits (event_id, user_id, ts_ms, matched_ts_ms, matched_value);
+    * unmatched probes emit with nulls (LEFT semantics).
+    */
+  def streamingAsof(events: DataFrame, probeType: String = "purchase",
+      buildType: String = "click", watermark: String = "1 hour"): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    // state: (builds as (tsMs, value), pending probes as (event_id, tsMs))
+    // No event-type pre-filter (the statefulFunnel lesson): timed-out
+    // groups only finalize in batches where rows reach the operator, so a
+    // watermark-advancing sentinel of any type must flow through; other
+    // types are ignored in-loop.
+    events.withWatermark("ts", watermark)
+      .selectExpr("event_id", "user_id", "event_type", "ts", "value")
+      .as[(Long, Long, String, java.sql.Timestamp, Option[Double])]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, String, java.sql.Timestamp, Option[Double])],
+            state: GroupState[(Seq[(Long, Option[Double])], Seq[(Long, Long)])]) =>
+          var (builds, probes) = state.getOption.getOrElse(
+            (Seq.empty[(Long, Option[Double])], Seq.empty[(Long, Long)]))
+          rows.foreach { r =>
+            val tsMs = r._4.getTime
+            if (r._3 == buildType) builds :+= ((tsMs, r._5))
+            else if (r._3 == probeType) probes :+= ((r._1, tsMs))
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val (ready, pending) = probes.partition(_._2 <= wm)
+          val out = ready.sortBy(p => (p._2, p._1)).map { case (id, ts) =>
+            val m = builds.filter(_._1 <= ts)
+            val best =
+              if (m.isEmpty) None
+              else Some(m.maxBy(b => (b._1, b._2.getOrElse(Double.NegativeInfinity))))
+            (id, user, ts, best.map(_._1), best.flatMap(_._2))
+          }
+          // prune: the newest finalized-range build still serves future
+          // probes (their ts > wm >= this build's ts); older ones cannot win
+          val cutoff = builds.filter(_._1 <= wm) match {
+            case s if s.isEmpty => Long.MinValue
+            case s => s.map(_._1).max
+          }
+          builds = builds.filter(_._1 >= cutoff)
+          if (pending.isEmpty && builds.isEmpty) state.remove()
+          else {
+            state.update((builds, pending))
+            // wake when the earliest pending probe can finalize; a
+            // build-only group re-arms a horizon past the watermark
+            val next = if (pending.nonEmpty) pending.map(_._2).min else wm + 3600000L
+            state.setTimeoutTimestamp(math.max(next, wm + 1))
+          }
+          out.iterator
+      }
+      .toDF("event_id", "user_id", "ts_ms", "matched_ts_ms", "matched_value")
+  }
+
   /** Stream-stream inner join with an event-time range condition: each
     * purchase joined to the same user's views in the preceding `lookback`.
     * Watermarks on both sides + the time-range predicate let Spark expire

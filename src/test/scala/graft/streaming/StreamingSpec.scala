@@ -338,3 +338,68 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 }
+
+/** Streaming as-of enrichment: the streaming face of
+  * TemporalJoins.asofBackward (buffer-within-watermark finalization).
+  */
+class StreamingAsofSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+
+  test("out-of-order arrival: a click arriving after its purchase still matches") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val base = LocalDateTime.of(2024, 3, 1, 12, 0)
+    def at(minutes: Long) = java.sql.Timestamp.valueOf(base.plusMinutes(minutes))
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
+    val q = EventStreams.streamingAsof(ms.toDF(), watermark = "1 hour").writeStream
+      .format("memory").queryName("t_asof_ooo").outputMode("append").start()
+    // batch 1: the purchase arrives FIRST (its matching click is still in flight)
+    ms.addData(Seq(Ev(10, at(30), 1, "purchase", 99.0))); q.processAllAvailable()
+    // batch 2: the earlier-ts click arrives late but inside the watermark
+    ms.addData(Seq(Ev(11, at(20), 1, "click", 5.0))); q.processAllAvailable()
+    // sentinel batches advance the watermark and fire the timeouts
+    ms.addData(Seq(Ev(-1, at(300), 999, "flush", 0.0))); q.processAllAvailable()
+    ms.addData(Seq(Ev(-2, at(600), 999, "flush", 0.0))); q.processAllAvailable()
+    q.stop()
+    val out = spark.table("t_asof_ooo").collect()
+      .map(r => (r.getLong(0), Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Double])))
+    assert(out.toSeq == Seq((10L, Some(at(20).getTime), Some(5.0))))
+  }
+
+  test("fixture parity with the batch as-of join (shuffled replay)") {
+    import spark.implicits._
+    Tables.ensure(spark, SparkTestHarness.sfDir)
+    val fixtureEvents = spark.table("events")
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    val rows = fixtureEvents.as[Ev].collect().toSeq
+    implicit val sql = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
+    val q = EventStreams.streamingAsof(ms.toDF(), watermark = "240 hours").writeStream
+      .format("memory").queryName("t_asof_parity").outputMode("append").start()
+    // reversed single-batch replay: everything is in-watermark out-of-order
+    ms.addData(rows.reverse); q.processAllAvailable()
+    val maxTs = rows.map(_.ts.getTime).max
+    def flush(id: Long, plusDays: Long) =
+      Ev(id, new java.sql.Timestamp(maxTs + plusDays * 24 * 3600 * 1000), 999999L, "flush", 0.0)
+    ms.addData(Seq(flush(-1, 30))); q.processAllAvailable()
+    ms.addData(Seq(flush(-2, 60))); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("t_asof_parity").collect()
+      .map(r => (r.getLong(0), Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Double]))).toSeq.sortBy(_._1)
+    val purchases = fixtureEvents.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = fixtureEvents.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value"))
+    val batch = graft.operators.TemporalJoins
+      .asofBackward(purchases, clicks, "user_id", "ts", Seq("value"))
+      .collect().map(r => (r.getLong(0),
+        Option(r.getAs[java.sql.Timestamp]("matched_ts")).map(_.getTime),
+        Option(r.get(r.fieldIndex("matched_value"))).map(_.asInstanceOf[Double])))
+      .toSeq.sortBy(_._1)
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) => assert(s == b, s"stream $s vs batch $b") }
+  }
+}
