@@ -47,14 +47,36 @@ class PropertySpec extends AnyFunSuite {
     // chain byte-for-byte — the property that keeps logged SQL, regexes,
     // and prose safe from the keyword scanners.
     val word = Gen.oneOf("QUALIFY", "EXCLUDE", "read_parquet('f')", "UNION",
-      "plain text", "FROM x QUALIFY y")
+      "plain text", "FROM x QUALIFY y",
+      // the round-7 statement surface: every new scanner must skip literals
+      "USING SAMPLE 10%", "a ASOF JOIN b ON x >= y", "REPLACE (a AS b)",
+      "PIVOT t ON c USING sum(x)", "UNPIVOT t ON a INTO NAME n VALUE v",
+      "[1, 2, 3]", "[x FOR x IN y IF x]", "COLUMNS('n_.*')",
+      "INSERT INTO t BY NAME SELECT 1", "CREATE MACRO f(x) AS x + 1",
+      "FROM t SELECT a")
     val gen = for {
       ws <- Gen.listOfN(3, word)
     } yield ws.mkString(" ")
     check(Prop.forAll(gen) { body =>
       val lit = body.replace("'", "''")
       val sql = s"SELECT '$lit' AS s FROM region"
-      graft.plans.Dialect.rewrite(sql) == sql
+      graft.plans.Dialect.rewrite(sql) == sql &&
+        graft.plans.Dialect.rewrite(sql, spark) == sql
+    }, n = 100)
+  }
+
+  test("macro expansion never touches literals or same-named function calls") {
+    val reg = new graft.engine.Macros.Registry
+    reg.put(graft.engine.Macros.MacroDef("m", Seq(("x", None)), "x + 1", isTable = false),
+      orReplace = true)
+    val word = Gen.oneOf("m(1)", "m (2)", "trim(s)", "plain")
+    check(Prop.forAll(Gen.listOfN(3, word)) { ws =>
+      val body = ws.mkString(" ").replace("'", "''")
+      val sql = s"SELECT '$body' AS s, trim(x) AS t FROM r"
+      // the literal and the non-macro call survive; only real m(...) calls
+      // outside literals expand
+      val out = graft.engine.Macros.expand(sql, reg)
+      out.contains(s"'$body'") && out.contains("trim(x)")
     }, n = 100)
   }
 

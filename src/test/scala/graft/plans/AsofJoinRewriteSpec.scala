@@ -161,6 +161,20 @@ class AsofJoinRewriteSpec extends AnyFunSuite {
     assert(asof.exceptAll(relational).isEmpty && relational.exceptAll(asof).isEmpty)
   }
 
+  test("keyed ASOF desugar plans ONE shuffle — union + window, no pair explosion") {
+    setup()
+    val df = spark.sql(AsofJoinRewrite.rewrite(
+      "SELECT l.k, l.t, r.v AS mv FROM asof_l l ASOF LEFT JOIN asof_r r " +
+      "ON l.k = r.k AND l.t >= r.t", spark))
+    df.collect()
+    // AQE's toString prints Final and Initial sections — count the final only
+    val full = df.queryExecution.executedPlan.toString
+    val plan = full.split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllMatchIn(plan).length
+    assert(exchanges == 1, s"expected exactly one shuffle, plan:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("declared-unsupported shapes fail loudly") {
     setup()
     def bad(sql: String): String =
