@@ -137,8 +137,12 @@ object Macros {
   /** Bind call arguments (positional, then `p := v` named, then declared
     * defaults) and substitute them into the body.
     */
+  private val NamedArgRe = """(?s)^\s*\w+\s*:=.*$""".r
+
   private def apply(m: MacroDef, args: Seq[String]): String = {
-    val (named, positional) = args.partition(_.contains(":="))
+    // named only when the arg ITSELF is `param := value` — a ':=' buried in
+    // a string literal or nested call keeps the arg positional
+    val (named, positional) = args.partition(a => NamedArgRe.matches(a))
     val bindings = scala.collection.mutable.Map.empty[String, String]
     positional.zipWithIndex.foreach { case (a, idx) =>
       if (idx >= m.params.length) throw new IllegalArgumentException(

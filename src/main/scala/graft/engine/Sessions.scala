@@ -42,8 +42,17 @@ final class SessionState(
     // Prepared statements speak the same dialect as direct ones (QUALIFY,
     // * EXCLUDE, read_parquet, session macros): rewrite ONCE at prepare
     // time and store the desugared text, so execution and re-prepare stay
-    // consistent.
-    val sql = graft.plans.Dialect.rewrite(Macros.expand(sql0, macros), spark)
+    // consistent. The guard runs here too — both as the rewrite hook (so
+    // operand schema probes are authorized before they analyze anything)
+    // and on the final text: executePrepared runs the stored SQL directly,
+    // so prepare time is where a blocked statement must be rejected.
+    val guard: String => Unit = s =>
+      StatementGuard.check(spark, s, isAdmin, isReadOnly) match {
+        case StatementGuard.Blocked(reason) => throw new SecurityException(reason)
+        case StatementGuard.Allowed => ()
+      }
+    val sql = graft.plans.Dialect.rewrite(Macros.expand(sql0, macros), spark, guard)
+    guard(sql)
     val schema = try Some(spark.sql(sql).schema) catch {
       case e: org.apache.spark.sql.AnalysisException
           if e.getCondition != null && e.getCondition.contains("UNBOUND_SQL_PARAMETER") => None

@@ -158,6 +158,17 @@ object Statement {
     session.spark.createDataFrame(List(Row(n)).asJava, schema)
   }
 
+  /** Guard check as a throwing hook — passed into the session-aware
+    * dialect rewrites so operand schema analysis / bind-time scans are
+    * authorized BEFORE they touch anything, and applied to rewritten
+    * statement text before execution.
+    */
+  private def guardOrThrow(session: SessionState)(s: String): Unit =
+    StatementGuard.check(session.spark, s, session.isAdmin, session.isReadOnly) match {
+      case StatementGuard.Blocked(reason) => throw new SecurityException(reason)
+      case StatementGuard.Allowed => ()
+    }
+
   private def oneRowResult(spark: SparkSession, colName: String, value: String): DataFrame = {
     val schema = StructType(Seq(StructField(colName, StringType, nullable = false)))
     spark.createDataFrame(List(Row(value)).asJava, schema)
@@ -312,7 +323,13 @@ object Statement {
           StructField("column_types", org.apache.spark.sql.types.ArrayType(StringType), nullable = false),
           StructField("temporary", org.apache.spark.sql.types.BooleanType, nullable = false)))
         val rows = session.spark.catalog.listTables().collect().sortBy(_.name).map { tb =>
-          val fs = session.spark.table(tb.name).schema.fields
+          // resolve QUALIFIED for non-current-database tables; a table whose
+          // schema can't resolve still lists (empty column arrays) instead
+          // of failing the whole statement
+          val ident = Option(tb.database).filter(_.nonEmpty)
+            .map(d => s"$d.${tb.name}").getOrElse(tb.name)
+          val fs = try session.spark.table(ident).schema.fields
+            catch { case _: Exception => Array.empty[org.apache.spark.sql.types.StructField] }
           Row("spark_catalog", Option(tb.database).getOrElse("main"), tb.name,
             fs.map(_.name).toSeq, fs.map(f => duckTypeName(f.dataType)).toSeq,
             tb.isTemporary)
@@ -331,19 +348,23 @@ object Statement {
 
       case DescQueryRe(query) =>
         // schema from analysis only — the query never executes; the guard
-        // sees the (dialect-rewritten) text first, like any statement
-        val q = graft.plans.Dialect.rewrite(query.stripSuffix(";"), session.spark)
-        StatementGuard.check(session.spark, q, session.isAdmin, session.isReadOnly) match {
-          case StatementGuard.Blocked(reason) => throw new SecurityException(reason)
-          case StatementGuard.Allowed => describeReport(session.spark, session.spark.sql(q).schema)
-        }
+        // hook authorizes rewrite-stage probes too (COLUMNS/PIVOT/ASOF
+        // operand analysis), not just the final text
+        val q = graft.plans.Dialect.rewrite(query.stripSuffix(";"),
+          session.spark, guardOrThrow(session))
+        guardOrThrow(session)(q)
+        describeReport(session.spark, session.spark.sql(q).schema)
 
       case ExplainAnalyzeRe(query) =>
         // Run to completion so SQL metrics (rows, spill, timing) populate,
         // then render the AQE-final plan — the engine's answer to the
-        // reference's per-query profile capture, inline in SQL.
-        val df = session.spark.sql(
-          graft.plans.Dialect.rewrite(query.stripSuffix(";"), session.spark))
+        // reference's per-query profile capture, inline in SQL. EXPLAIN
+        // ANALYZE EXECUTES the statement, so it faces the same guard as a
+        // direct run (read-only writes, non-admin local scans all blocked).
+        val qa = graft.plans.Dialect.rewrite(query.stripSuffix(";"),
+          session.spark, guardOrThrow(session))
+        guardOrThrow(session)(qa)
+        val df = session.spark.sql(qa)
         df.collect()
         val plan = df.queryExecution.executedPlan.toString
         val schema = StructType(Seq(StructField("explain_analyze", StringType, nullable = false)))
@@ -461,15 +482,10 @@ object Statement {
         // every later stage see parseable Spark SQL: `* EXCLUDE` becomes
         // `* EXCEPT` and QUALIFY desugars to a filtered subquery
         // (plans.StarExclude / plans.QualifyRewrite; no-ops when absent).
-        val guardHook: String => Unit = s =>
-          StatementGuard.check(session.spark, s, session.isAdmin, session.isReadOnly) match {
-            case StatementGuard.Blocked(reason) => throw new SecurityException(reason)
-            case StatementGuard.Allowed => ()
-          }
         // Session macros inline FIRST (their bodies may contain dialect
         // constructs, and the expanded text must face the guard).
         val sql2 = graft.plans.Dialect.rewrite(
-          Macros.expand(sql, session.macros), session.spark, guardHook)
+          Macros.expand(sql, session.macros), session.spark, guardOrThrow(session))
         StatementGuard.check(session.spark, sql2, session.isAdmin, session.isReadOnly) match {
           case StatementGuard.Blocked(reason) => throw new SecurityException(reason)
           case StatementGuard.Allowed =>

@@ -198,6 +198,14 @@ object AsofJoinRewrite {
     val lCols = left.schema.fields
     val rCols = right.schema.fields
     val lNames = lCols.map(_.name)
+    // the desugar introduces these working columns in the union; an operand
+    // already carrying one would make the window reference ambiguous — fail
+    // with a clear message instead of an AnalysisException
+    val reserved = Set("__side", "__tie", "__r", "__m")
+    (lNames ++ rCols.map(_.name)).find(n => reserved.contains(n.toLowerCase)).foreach { n =>
+      throw new IllegalArgumentException(
+        s"ASOF JOIN operands may not contain the reserved column name '$n'")
+    }
     // carried-match struct: every right column under a positional name
     val structTy = StructType(rCols.zipWithIndex.map { case (f, i) =>
       StructField(s"_$i", f.dataType) })

@@ -34,7 +34,13 @@ object ColumnsRewrite {
     preAnalyze(probe)
     val names = spark.sql(probe).schema.fields.map(_.name)
 
-    val selList = sql.substring(selIdx + 6, fromIdx)
+    // DISTINCT applies once to the whole select list, never per expansion
+    val selListRaw = sql.substring(selIdx + 6, fromIdx)
+    val distinctRe = """(?is)^\s*DISTINCT\b""".r
+    val (prefix, selList) = distinctRe.findFirstIn(selListRaw) match {
+      case Some(d) => ("DISTINCT ", selListRaw.substring(d.length))
+      case None => ("", selListRaw)
+    }
     val items = splitTopLevel(selList, ",").map { item =>
       findCall(item) match {
         case None => item.trim
@@ -49,12 +55,19 @@ object ColumnsRewrite {
               s"COLUMNS argument must be * or a 'regex' string, got '$arg'")
           if (matched.isEmpty) throw new IllegalArgumentException(
             s"COLUMNS($arg) matched no columns of the FROM relation")
+          // only lockstep expansion is defined: a SECOND call with a
+          // different argument in the same item has no column pairing
+          val leftover = findCall(item.replace(call, ""))
+          if (leftover.isDefined) throw new IllegalArgumentException(
+            s"multiple COLUMNS(...) with different arguments in one select " +
+            s"item are not supported: '${item.trim}'")
           matched.map { c =>
             s"${item.trim.replace(call, q(c))} AS ${q(c)}"
           }.mkString(", ")
       }
     }
-    sql.substring(0, selIdx) + "SELECT " + items.mkString(", ") + " " + sql.substring(fromIdx)
+    sql.substring(0, selIdx) + "SELECT " + prefix + items.mkString(", ") + " " +
+      sql.substring(fromIdx)
   }
 
   /** The full text of the first `COLUMNS(...)` call in `item`, if any. */

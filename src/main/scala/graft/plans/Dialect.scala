@@ -24,10 +24,15 @@ object Dialect {
     */
   def rewrite(sql: String, spark: org.apache.spark.sql.SparkSession,
       preAnalyze: String => Unit = _ => ()): String = {
-    val p = PivotRewrite.rewrite(UnpivotRewrite.rewrite(sql), spark, preAnalyze)
+    // text-only stages FIRST so every session-aware stage (whose probe
+    // queries run through spark.sql) sees desugared relation text — e.g.
+    // PIVOT over read_parquet(...) needs the path-scan spelling before its
+    // distinct-values scan can analyze
     val t = StarReplace.rewrite(StarExclude.rewrite(
-      SampleRewrite.rewrite(ListSyntax.rewrite(TableFunctions.rewrite(FromFirstRewrite.rewrite(p))))))
+      SampleRewrite.rewrite(ListSyntax.rewrite(TableFunctions.rewrite(FromFirstRewrite.rewrite(
+        UnpivotRewrite.rewrite(sql)))))))
+    val p = PivotRewrite.rewrite(t, spark, preAnalyze)
     QualifyRewrite.rewrite(ColumnsRewrite.rewrite(InsertByName.rewrite(
-      AsofJoinRewrite.rewrite(t, spark, preAnalyze), spark, preAnalyze), spark, preAnalyze))
+      AsofJoinRewrite.rewrite(p, spark, preAnalyze), spark, preAnalyze), spark, preAnalyze))
   }
 }

@@ -44,7 +44,7 @@ object PivotRewrite {
     }
     val aggs = body.substring(usingIdx + 5, groupIdx.getOrElse(body.length)).trim
     val groupCols = groupIdx.map(i =>
-      splitTopLevel(body.substring(i + 5).trim.stripPrefix("BY").stripPrefix("by"), ",")
+      splitTopLevel(body.substring(i + 5).trim.replaceFirst("(?i)^BY\\b", ""), ",")
         .map(_.trim))
 
     if (!col.matches("""[\w.]+""")) throw new IllegalArgumentException(
@@ -80,7 +80,11 @@ object PivotRewrite {
   }
 
   private def literal(v: Any): String = v match {
-    case s: String => "'" + s.replace("'", "''") + "'"
+    // backslash must escape too: Spark's default parser treats \' as an
+    // escaped quote, so a data value ending in '\' would swallow the
+    // closing quote and re-interpret the rest of the generated statement
+    // (data-driven injection). Escape backslash first, then the quote.
+    case s: String => "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
     case d: java.sql.Date => s"DATE '$d'"
     case t: java.sql.Timestamp => s"TIMESTAMP '$t'"
     case t: java.time.LocalDate => s"DATE '$t'"

@@ -17,10 +17,16 @@ package graft.plans
   */
 object SampleRewrite {
 
-  // number, optional % / PERCENT / ROWS, optional (method [, seed])
+  // Two explicit forms so the closing paren is only ever consumed when the
+  // METHOD form opened one — a lone optional \)? would eat an enclosing
+  // subquery's ')' after `... USING SAMPLE 10%)` and unbalance the text.
+  //   method form:  reservoir(10%)       groups (1 method, 2 num, 3 unit)
+  //   bare form:    10% | 100 [ROWS]     groups (4 num, 5 unit)
+  // optional trailing (method [, seed]) -> groups (6, 7)
   private val ClauseRe =
-    ("""(?is)USING\s+SAMPLE\s+(?:(\w+)\s*\(\s*)?(\d+(?:\.\d+)?)\s*""" +
-     """(%|PERCENT\b|ROWS\b)?\s*\)?\s*(?:\(\s*(\w+)\s*(?:,\s*(\d+)\s*)?\))?""").r
+    ("""(?is)USING\s+SAMPLE\s+(?:(\w+)\s*\(\s*(\d+(?:\.\d+)?)\s*(%|PERCENT\b|ROWS\b)?\s*\)""" +
+     """|(\d+(?:\.\d+)?)\s*(%|PERCENT\b|ROWS\b)?)""" +
+     """(?:\s*\(\s*(\w+)\s*(?:,\s*(\d+)\s*)?\))?""").r
 
   def rewrite(sql: String): String = {
     if (!sql.toUpperCase.contains("USING")) return sql
@@ -38,11 +44,11 @@ object SampleRewrite {
         case 'u' | 'U' =>
           ClauseRe.findPrefixMatchOf(sql.subSequence(i, n)) match {
             case Some(m) if i == 0 || !Character.isLetterOrDigit(sql.charAt(i - 1)) =>
-              val num = m.group(2)
-              val unit = Option(m.group(3)).map(_.trim.toUpperCase).getOrElse("")
+              val num = Option(m.group(2)).getOrElse(m.group(4))
+              val unit = Option(m.group(3)).orElse(Option(m.group(5)))
+                .map(_.trim.toUpperCase).getOrElse("")
               val pct = unit == "%" || unit == "PERCENT"
-              val seed = Option(m.group(5))
-              // method inside reservoir(10%) form carries the unit in group 3
+              val seed = Option(m.group(7))
               sb.append(if (pct) s"TABLESAMPLE ($num PERCENT)" else s"TABLESAMPLE ($num ROWS)")
               seed.foreach(s => sb.append(s" REPEATABLE ($s)"))
               i += m.end

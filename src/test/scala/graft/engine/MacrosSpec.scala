@@ -36,6 +36,12 @@ class MacrosSpec extends AnyFunSuite {
     assert(e.getMessage.contains("missing argument"))
   }
 
+  test("a positional argument containing ':=' in a literal stays positional") {
+    val (_, _, run) = mkSession()
+    run("CREATE MACRO taglen(s) AS length(s)")
+    assert(run("SELECT taglen('a := b') AS v").head.getAs[Number](0).longValue() == 6L)
+  }
+
   test("macros may call macros; expansion is depth-capped") {
     val (_, _, run) = mkSession()
     run("CREATE MACRO inc(x) AS x + 1")

@@ -188,5 +188,11 @@ class AsofJoinRewriteSpec extends AnyFunSuite {
     assert(bad("SELECT 1 FROM asof_l l ASOF RIGHT JOIN asof_r r ON l.k = r.k AND l.t >= r.t")
       .contains("ASOF LEFT JOIN"))
     assert(bad("SELECT 1 FROM a ASOF JOIN b USING (k, t)").contains("ON clause"))
+    // reserved working-column names in an operand: clear error, not an
+    // ambiguous-reference AnalysisException
+    import spark.implicits._
+    Seq((1L, 2L, 3L)).toDF("k", "t", "__r").createOrReplaceTempView("asof_res")
+    assert(bad("SELECT 1 FROM asof_res l ASOF JOIN asof_r r ON l.k = r.k AND l.t >= r.t")
+      .contains("reserved column name"))
   }
 }

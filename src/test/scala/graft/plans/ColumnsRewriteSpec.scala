@@ -42,6 +42,15 @@ class ColumnsRewriteSpec extends AnyFunSuite {
     assert(ColumnsRewrite.rewrite(plain, spark) == plain)
   }
 
+  test("DISTINCT applies once to the expanded list; mixed-arg COLUMNS rejected") {
+    Tables.ensure(spark, SparkTestHarness.sfDir)
+    val df = spark.sql(Dialect.rewrite(
+      "SELECT DISTINCT COLUMNS('n_regionkey') FROM nation ORDER BY n_regionkey", spark))
+    assert(df.columns.toSeq == Seq("n_regionkey") && df.count() == 5)
+    intercept[IllegalArgumentException](ColumnsRewrite.rewrite(
+      "SELECT COALESCE(COLUMNS('n_name'), COLUMNS('n_regionkey')) FROM nation", spark))
+  }
+
   test("no-match regex fails loudly") {
     Tables.ensure(spark, SparkTestHarness.sfDir)
     intercept[IllegalArgumentException](

@@ -51,6 +51,20 @@ class PivotRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("mixed-case GROUP By parses; quote/backslash data values escape safely") {
+    Tables.ensure(spark, SparkTestHarness.sfDir)
+    val df = spark.sql(PivotRewrite.rewrite(
+      "PIVOT orders ON o_orderstatus USING count(*) GROUP By o_orderpriority", spark))
+    assert(df.count() == 5)
+    // auto-IN over values containing a quote, a backslash, and a trailing
+    // backslash — each must round-trip into the generated literal
+    spark.sql("CREATE OR REPLACE TEMP VIEW pivot_esc AS SELECT * FROM VALUES " +
+      "(1, \"it's\"), (2, 'a\\\\b'), (3, 'trail\\\\'), (4, \"it's\") AS t(id, tag)")
+    val piv = spark.sql(Dialect.rewrite("PIVOT pivot_esc ON tag USING count(id)", spark))
+    assert(piv.columns.toSet == Set("it's", "a\\b", "trail\\"))
+    assert(piv.count() == 1)
+  }
+
   test("non-PIVOT statements and malformed forms") {
     val plain = "SELECT * FROM t"
     assert(PivotRewrite.rewrite(plain, spark) == plain)

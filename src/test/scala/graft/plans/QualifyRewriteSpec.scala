@@ -144,6 +144,29 @@ class QualifyRewriteSpec extends AnyFunSuite {
       run("DESCRIBE SELECT * FROM parquet.`/root/testdata/sf0.001/nation.parquet`"))
   }
 
+  test("EXPLAIN ANALYZE and prepared statements face the guard") {
+    import graft.engine._
+    val sessions = new SessionManager(spark, new GlobalSettings)
+    val session = sessions.getOrCreate("guard-s", "alice", "user")
+    Tables.ensure(session.spark, SparkTestHarness.sfDir)
+    val admission = new AdmissionController(4, 8, 30)
+    def run(sql: String) = Statement.run(sessions, session, new GlobalSettings, admission, sql)
+    // EXPLAIN ANALYZE executes — a non-admin local scan is blocked, not run
+    intercept[SecurityException](
+      run("EXPLAIN ANALYZE SELECT * FROM parquet.`/root/testdata/sf0.001/nation.parquet`"))
+    // read-only role: a write can't slip through the EXPLAIN ANALYZE arm
+    val ro = sessions.getOrCreate("guard-ro", "bob", "readonly")
+    Tables.ensure(ro.spark, SparkTestHarness.sfDir)
+    intercept[SecurityException](Statement.run(sessions, ro, new GlobalSettings, admission,
+      "EXPLAIN ANALYZE CREATE TABLE guard_t (x INT) USING parquet"))
+    // prepare rejects a blocked statement AT PREPARE TIME (executePrepared
+    // runs the stored text directly, so this is the enforcement point)
+    intercept[SecurityException](
+      session.prepare("SELECT * FROM parquet.`/root/testdata/sf0.001/nation.parquet`"))
+    // ordinary statements still prepare fine
+    assert(session.prepare("SELECT 1 AS x").schema.isDefined)
+  }
+
   test("read_parquet table function rewrites to the path-scan form; guard intact") {
     assert(TableFunctions.rewrite("SELECT * FROM read_parquet('/x/y.parquet')") ==
       "SELECT * FROM parquet.`/x/y.parquet`")

@@ -21,6 +21,13 @@ class SampleRewriteSpec extends AnyFunSuite {
       "SELECT * FROM t TABLESAMPLE (5 PERCENT) REPEATABLE (42) WHERE x > 1")
   }
 
+  test("a sample clause ending a subquery must not eat the closing paren") {
+    assert(SampleRewrite.rewrite("SELECT * FROM (SELECT * FROM t USING SAMPLE 10%) x") ==
+      "SELECT * FROM (SELECT * FROM t TABLESAMPLE (10 PERCENT)) x")
+    assert(SampleRewrite.rewrite("SELECT * FROM (SELECT * FROM t USING SAMPLE 50 ROWS) x") ==
+      "SELECT * FROM (SELECT * FROM t TABLESAMPLE (50 ROWS)) x")
+  }
+
   test("JOIN USING and literals are untouched") {
     val ju = "SELECT * FROM a JOIN b USING (k)"
     assert(SampleRewrite.rewrite(ju) == ju)
