@@ -124,13 +124,37 @@ object CatalogAccess {
 
   private val NamePattern = "[A-Za-z_][A-Za-z0-9_]*"
 
+  /** AWS IAM-style wildcard match for catalog_access grant patterns
+    * (`/root/reference/tests/integration/test_catalog_wildcards.cpp`):
+    * `*` matches any run including empty, `?` exactly one character, all
+    * other characters literal and case-sensitive; classic two-pointer
+    * backtracking so `*abc` matches `zzabcabc`.
+    */
+  def matchesCatalogPattern(pattern: String, name: String): Boolean = {
+    var p = 0; var n = 0
+    var starP = -1; var starN = -1
+    while (n < name.length) {
+      if (p < pattern.length && (pattern.charAt(p) == '?' || pattern.charAt(p) == name.charAt(n))) {
+        p += 1; n += 1
+      } else if (p < pattern.length && pattern.charAt(p) == '*') {
+        starP = p; starN = n; p += 1
+      } else if (starP >= 0) {
+        p = starP + 1; starN += 1; n = starN
+      } else return false
+    }
+    while (p < pattern.length && pattern.charAt(p) == '*') p += 1
+    p == pattern.length
+  }
+
   /** Throw if the session's grant (None = unrestricted) does not cover every
-    * store the statement references.
+    * store the statement references. Grant entries are wildcard PATTERNS
+    * (exact names are the no-wildcard case, backward-compatible).
     */
   def enforce(session: SessionState, spark: SparkSession, sql: String,
       attached: Set[String]): Unit =
     session.catalogAccess.foreach { allowed =>
-      val denied = referencedStores(spark, sql, attached).diff(allowed)
+      val denied = referencedStores(spark, sql, attached)
+        .filterNot(store => allowed.exists(p => matchesCatalogPattern(p, store)))
       if (denied.nonEmpty)
         throw new SecurityException(
           s"catalog '${denied.head}' is not in this session's catalog_access grant")

@@ -29,8 +29,23 @@ object SystemCatalog {
   private def likeFilter(c: org.apache.spark.sql.Column, pattern: Option[String]) =
     pattern.map(p => c.rlike(likeToRegex(p))).getOrElse(lit(true))
 
+  /** catalog_access grant entries are IAM-style glob patterns (`*`/`?`,
+    * everything else literal, case-sensitive) — the same matcher as
+    * `CatalogAccess.matchesCatalogPattern`, expressed as SQL LIKE so the
+    * listing filter stays a Column expression.
+    */
+  private def globToLike(p: String): String = p.flatMap {
+    case '*' => "%"
+    case '?' => "_"
+    case c @ ('%' | '_' | '\\') => "\\" + c
+    case c => c.toString
+  }
+
   private def visibleFilter(c: org.apache.spark.sql.Column, visible: Option[Set[String]]) =
-    visible.map(v => if (v.isEmpty) lit(false) else c.isin(v.toSeq: _*)).getOrElse(lit(true))
+    visible.map { v =>
+      if (v.isEmpty) lit(false)
+      else v.toSeq.map(p => c.like(globToLike(p))).reduce(_ || _)
+    }.getOrElse(lit(true))
 
   /** `SELECT DISTINCT catalog_name ... ORDER BY 1` (`duckdb_server.cpp:1310-1319`).
     * Attached stores surface as catalogs — the reference's model, where each

@@ -102,6 +102,53 @@ class AttachSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 3)
   }
 
+  test("catalog_access wildcard patterns: IAM-style * and ? semantics") {
+    import CatalogAccess.matchesCatalogPattern
+    // exact, case-sensitive, no implicit prefixing
+    assert(matchesCatalogPattern("production", "production"))
+    assert(!matchesCatalogPattern("prod", "production"))
+    assert(!matchesCatalogPattern("prod", "Prod"))
+    // bare star, empty strings
+    assert(matchesCatalogPattern("*", "") && matchesCatalogPattern("*", "anything"))
+    assert(matchesCatalogPattern("", "") && !matchesCatalogPattern("", "a"))
+    assert(!matchesCatalogPattern("?", ""))
+    // prefix / suffix / infix globs
+    assert(matchesCatalogPattern("prod_*", "prod_sales") &&
+      matchesCatalogPattern("prod_*", "prod_") && !matchesCatalogPattern("prod_*", "prod"))
+    assert(matchesCatalogPattern("*_west", "sales_west") &&
+      !matchesCatalogPattern("*_west", "sales_west_2"))
+    assert(matchesCatalogPattern("data_*_2025", "data__2025") &&
+      !matchesCatalogPattern("data_*_2025", "data_2025"))
+    assert(matchesCatalogPattern("*sales*", "prod_sales_eu") &&
+      matchesCatalogPattern("a**b", "axyzb"))
+    // ? exactly one; mixed
+    assert(matchesCatalogPattern("tenant_?", "tenant_a") &&
+      !matchesCatalogPattern("tenant_?", "tenant_") &&
+      !matchesCatalogPattern("tenant_?", "tenant_ab"))
+    assert(matchesCatalogPattern("t_?_*", "t_1_") && !matchesCatalogPattern("t_?_*", "t__x"))
+    // backtracking cases
+    assert(matchesCatalogPattern("*abc", "zzabcabc") && !matchesCatalogPattern("*abc", "zzabcx"))
+    assert(matchesCatalogPattern("a*c*e", "abcde") && !matchesCatalogPattern("a*c*e", "abcdx"))
+    // literal dots/dashes are not wildcards
+    assert(matchesCatalogPattern("my-bucket.v1", "my-bucket.v1") &&
+      !matchesCatalogPattern("my-bucket.v1", "my-bucketxv1"))
+  }
+
+  test("wildcard grant covers matching stores end-to-end; listings filter by glob") {
+    attachedBoth
+    val wild = sessions.getOrCreate("attspec-wild", "wilda", "user",
+      catalogAccess = Some(Set("attspec_*")))
+    assert(run(wild, "SELECT COUNT(*) AS n FROM attspec_a.region").collect()(0).getLong(0) == 5)
+    assert(run(wild, "SELECT COUNT(*) AS n FROM attspec_b.tiny_nation").collect()(0).getLong(0) > 0)
+    intercept[SecurityException](
+      run(wild, "SELECT * FROM spark_catalog.default.anything"))
+    val att = sessions.attachments.names
+    val cats = SystemCatalog.catalogs(spark, att, Some(Set("attspec_*")))
+      .collect().map(_.getString(0)).toSet
+    assert(cats.contains("attspec_a") && cats.contains("attspec_b") &&
+      !cats.contains("spark_catalog"))
+  }
+
   test("restricted metadata listings filter to the grant; temp views stay") {
     attachedBoth
     val att = sessions.attachments.names
