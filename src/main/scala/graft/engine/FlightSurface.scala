@@ -58,7 +58,7 @@ object FlightSurface {
     val rows = base.toSeq.map { r =>
       val name = r.getAs[String]("table_name")
       val arrowSchema =
-        try TypeMapping.toArrowSchema(spark.table(name).limit(0).schema).toJson
+        try TypeMapping.toArrowSchemaWithRemarks(spark.table(name).limit(0).schema).toJson
         catch { case _: Exception => "" }
       (r.getAs[String]("catalog_name"), r.getAs[String]("db_schema_name"),
         name, r.getAs[String]("table_type"), arrowSchema)

@@ -55,6 +55,29 @@ object TypeMapping {
   def toArrowSchema(schema: StructType): Schema =
     new Schema(schema.fields.map(f => toArrowField(f.name, f.dataType, f.nullable)).toList.asJava)
 
+  /** Schema export with the Flight SQL column-metadata contract
+    * (`/root/reference/tests/test_v1_22_1_features.py:102` — GetTables
+    * include_schema carries real NOT NULL and comments): a Spark column
+    * COMMENT surfaces as `ARROW:FLIGHT:SQL:REMARKS` on its Arrow field;
+    * columns without a comment get NO remarks key, matching the reference.
+    * (IS_AUTO_INCREMENT has no Spark counterpart — no sequences — and is
+    * deliberately never set.)
+    */
+  def toArrowSchemaWithRemarks(schema: StructType): Schema =
+    new Schema(schema.fields.map { f =>
+      val base = toArrowField(f.name, f.dataType, f.nullable)
+      val comment = if (f.metadata.contains("comment"))
+        Option(f.metadata.getString("comment")).filter(_.nonEmpty) else None
+      comment match {
+        case Some(c) =>
+          new Field(f.name,
+            new FieldType(base.isNullable, base.getType, null,
+              Map("ARROW:FLIGHT:SQL:REMARKS" -> c).asJava),
+            base.getChildren)
+        case None => base
+      }
+    }.toList.asJava)
+
   /** Arrow → Spark (the ingest direction). Mirrors the reference's widenings:
     * unsigned ints widen one step; uint64 narrows to long; ns truncates to µs.
     */

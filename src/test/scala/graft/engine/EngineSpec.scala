@@ -384,6 +384,25 @@ class FlightSurfaceSpec extends AnyFunSuite {
     assert(json.contains("r_regionkey") && json.contains("r_name"))
   }
 
+  test("include_schema column metadata: comments surface as Flight SQL REMARKS") {
+    spark.sql("DROP TABLE IF EXISTS meta_remarks_t")
+    spark.sql("CREATE TABLE meta_remarks_t (" +
+      "id INT NOT NULL, name STRING COMMENT 'employee name', note STRING) USING parquet")
+    val json = FlightSurface.tablesWithSchema(spark, Some("meta_remarks_t"))
+      .collect().head.getAs[String]("table_schema")
+    val schema = org.apache.arrow.vector.types.pojo.Schema.fromJSON(json)
+    val byName = schema.getFields.toArray.map(_.asInstanceOf[org.apache.arrow.vector.types.pojo.Field])
+      .map(f => f.getName -> f).toMap
+    // comment in REMARKS; no comment -> no key. (Field.nullable mirrors
+    // what Spark's catalog reports — file sources relax NOT NULL to
+    // nullable on read, a documented Spark behavior, so only the comment
+    // contract is asserted here.)
+    assert(byName("note").isNullable)
+    assert(byName("name").getMetadata.get("ARROW:FLIGHT:SQL:REMARKS") == "employee name")
+    assert(!byName("note").getMetadata.containsKey("ARROW:FLIGHT:SQL:REMARKS"))
+    spark.sql("DROP TABLE meta_remarks_t")
+  }
+
   test("executeUpdate returns affected-row counts for DML") {
     val s = sessions.getOrCreate("dmlcount", "alice", "admin")
     s.spark.sql("DROP TABLE IF EXISTS dml_count_t")
