@@ -309,6 +309,45 @@ object Embeddings {
         .orderBy("band")
     },
 
+    // Cluster-balanced curation (the DataComp/SemDeDup-family selection
+    // step): partition the embedded corpus into IVF cells, then keep the
+    // top-3 documents PER CELL by quality — balanced coverage of the
+    // embedding space instead of letting one dominant mode fill the whole
+    // budget. Quality here is the fixture's n_chars (the pipeline's
+    // quality-score ops slot in unchanged). Shape: broadcast-argmax
+    // assignment + one doc_id equi-join + a per-cell top-k window — the
+    // window partitions on cent_id, so cells spread across tasks; at
+    // extreme scale the same k ~ sqrt(n) centroid rule documented on
+    // semanticDedup keeps cells bounded.
+    Op("pipeline_cluster_sample",
+      "WITH cent AS (SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cent FROM embeddings WHERE vec_id < 8), " +
+      "corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      "assigned AS (SELECT vec_id, cent_id FROM (" +
+      "SELECT c.vec_id, ct.cent_id, ROW_NUMBER() OVER (PARTITION BY c.vec_id " +
+      "ORDER BY ROUND(LIST_COSINE_SIMILARITY(c.v, ct.cent), 6) DESC, ct.cent_id) AS rn " +
+      "FROM corpus c CROSS JOIN cent ct) t WHERE rn = 1) " +
+      "SELECT CAST(cent_id AS BIGINT) AS cent_id, d.doc_id, d.n_chars, " +
+      "CAST(rk AS INTEGER) AS rk FROM (" +
+      "SELECT a.vec_id, a.cent_id, ROW_NUMBER() OVER (PARTITION BY a.cent_id " +
+      "ORDER BY d0.n_chars DESC, a.vec_id) AS rk FROM assigned a " +
+      "JOIN documents d0 ON d0.doc_id = a.vec_id) s " +
+      "JOIN documents d ON d.doc_id = s.vec_id WHERE rk <= 3 " +
+      "ORDER BY cent_id, rk") { (s, d) =>
+      val e = emb(s, d)
+      Tables.ensure(s, d)
+      val quality = s.table("documents").select(col("doc_id"), col("n_chars"))
+      val byCell = Window.partitionBy("cent_id")
+        .orderBy(col("n_chars").desc, col("vec_id"))
+      ivfAssign(e, e.filter(col("vec_id") < 8))
+        .select(col("vec_id"), col("cent_id"))
+        .join(quality, col("doc_id") === col("vec_id"))
+        .withColumn("rk", row_number().over(byCell))
+        .filter(col("rk") <= 3)
+        .select(col("cent_id").cast("long"), col("doc_id"), col("n_chars"),
+          col("rk").cast("int").as("rk"))
+        .orderBy("cent_id", "rk")
+    },
+
     // IVF index health: per-cell population of the nearest-centroid
     // assignment. max/min cell sizes predict probe cost and dedup_semantic's
     // per-cell pair work (the k ~ sqrt(n) rule's inputs); a dominant cell
