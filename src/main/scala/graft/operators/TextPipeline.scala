@@ -1251,12 +1251,16 @@ object TextPipeline {
       val b = docs(s, d).repartition(nPart, col("doc_id"))
         .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("term"))
         .withColumn("bucket", conv(substring(md5(col("term")), 1, 2), 16, 10).cast("int"))
-      val r = b.groupBy("bucket").agg(count(lit(1)).as("rc"))
-      val tg = b.filter(col("lang") === "en").groupBy("bucket").agg(count(lit(1)).as("tc"))
-      val totals = r.agg(sum("rc").as("nr")).crossJoin(tg.agg(sum("tc").as("nt")))
-      val u = r.join(tg, Seq("bucket"), "left").crossJoin(totals)
+      // raw and target counts in ONE aggregation (a conditional sum rides
+      // the same map-side partials), so the corpus is scanned twice total:
+      // once for the bucket table, once for the scoring probe — separate
+      // r/tg/total branches re-planned the scan ~4x (PlanAudit-measured)
+      val counts = b.groupBy("bucket").agg(count(lit(1)).as("rc"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tc"))
+      val totals = counts.agg(sum("rc").as("nr"), sum("tc").as("nt"))
+      val u = counts.crossJoin(totals)
         .select(col("bucket"),
-          round((log((coalesce(col("tc"), lit(0)) + 1.0) / (col("nt") + 256)) -
+          round((log((col("tc") + 1.0) / (col("nt") + 256)) -
             log((col("rc") + 1.0) / (col("nr") + 256))) * 1e6).cast("long").as("unit"))
       b.join(broadcast(u), "bucket")
         .groupBy("doc_id", "lang")
