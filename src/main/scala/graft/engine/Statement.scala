@@ -80,6 +80,18 @@ object Statement {
     """(?is)^\s*COPY\s+\((.+)\)\s+TO\s+'([^']+)'\s*(?:\(([^)]*)\))?\s*;?\s*$""".r
   private val CopyTableToRe =
     """(?is)^\s*COPY\s+([A-Za-z_][A-Za-z0-9_.]*)\s+TO\s+'([^']+)'\s*(?:\(([^)]*)\))?\s*;?\s*$""".r
+  // DuckDB COPY ... FROM: the load direction (admin-gated like COPY TO —
+  // it reads a local path). The TABLE's schema drives the file parse, as
+  // in DuckDB; rows append positionally.
+  private val CopyTableFromRe =
+    """(?is)^\s*COPY\s+([A-Za-z_][A-Za-z0-9_.]*)\s+FROM\s+'([^']+)'\s*(?:\(([^)]*)\))?\s*;?\s*$""".r
+  // CREATE OR REPLACE TABLE: Spark's v1 catalog rejects REPLACE TABLE, so
+  // the engine desugars to DROP IF EXISTS + CREATE. NOT atomic (a reader
+  // between the two statements sees no table) — the atomic path needs a
+  // v2 table format (Delta/Iceberg), same caveat as cross-table
+  // transactions; declared.
+  private val CreateOrReplaceTableRe =
+    """(?is)^\s*CREATE\s+OR\s+REPLACE\s+TABLE\s+([A-Za-z_][\w.]*)\s+(.+?);?\s*$""".r
 
   private val pool = ExecutionContext.fromExecutorService(
     Executors.newCachedThreadPool(r => {
@@ -381,6 +393,30 @@ object Statement {
 
       case CopyTableToRe(table, path, opts) =>
         copyTo(session, session.spark.table(table), path, opts)
+
+      case CopyTableFromRe(table, path, opts) =>
+        if (!session.isAdmin)
+          throw new SecurityException("COPY FROM requires the admin role")
+        val o = Option(opts).getOrElse("").toUpperCase
+        val target = session.spark.table(table).schema
+        val reader = session.spark.read.schema(target)
+        val df =
+          if (o.contains("CSV"))
+            reader.option("header", o.contains("HEADER").toString).csv(path)
+          else if (o.contains("JSON")) reader.json(path)
+          else reader.parquet(path)
+        val n = df.count()
+        df.write.insertInto(table)
+        val schema = StructType(Seq(StructField("Count",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+        session.spark.createDataFrame(List(Row(n)).asJava, schema)
+
+      case CreateOrReplaceTableRe(table, rest) =>
+        guardOrThrow(session)(s"CREATE TABLE $table $rest") // write classification
+        session.spark.sql(s"DROP TABLE IF EXISTS $table")
+        session.spark.sql(graft.plans.Dialect.rewrite(
+          s"CREATE TABLE $table $rest", session.spark, guardOrThrow(session)))
+        oneRowResult(session.spark, "result", s"table $table replaced")
 
       case SetSettingRe(scope, name, quoted, bare) =>
         val value = Option(quoted).getOrElse(bare)

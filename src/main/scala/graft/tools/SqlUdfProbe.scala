@@ -40,3 +40,20 @@ object SqlUdfProbe {
     spark.stop()
   }
 }
+
+object CorProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.GraftSession.local()
+    try {
+      spark.sql("CREATE OR REPLACE TABLE cor_probe AS SELECT 1 AS a")
+      println("[probe] cor_table: ok")
+    } catch { case e: Throwable => println("[probe] cor_table FAILED: " + String.valueOf(e.getMessage).take(150)) }
+    try {
+      spark.sql("DROP TABLE IF EXISTS cor2")
+      spark.sql("CREATE TABLE cor2 (a INT) USING parquet")
+      spark.sql("TRUNCATE TABLE cor2")
+      println("[probe] truncate: ok")
+    } catch { case e: Throwable => println("[probe] truncate FAILED: " + String.valueOf(e.getMessage).take(150)) }
+    spark.stop()
+  }
+}

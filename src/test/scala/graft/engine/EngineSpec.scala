@@ -403,6 +403,33 @@ class FlightSurfaceSpec extends AnyFunSuite {
     spark.sql("DROP TABLE meta_remarks_t")
   }
 
+  test("CREATE OR REPLACE TABLE desugars to drop+create; COPY FROM loads back") {
+    val s = sessions.getOrCreate("cor-s", "alice", "admin")
+    val global = new GlobalSettings
+    def run(sql: String) = Statement.create(sessions, s, global, sql)
+    s.spark.sql("DROP TABLE IF EXISTS cor_t")
+    run("CREATE OR REPLACE TABLE cor_t AS SELECT 1 AS a, 'x' AS b")
+    assert(s.spark.table("cor_t").count() == 1)
+    // replace with different contents — the v1 catalog path that Spark's
+    // native REPLACE TABLE rejects
+    run("CREATE OR REPLACE TABLE cor_t AS SELECT * FROM VALUES (2, 'y'), (3, 'z') AS t(a, b)")
+    assert(s.spark.table("cor_t").count() == 2)
+    // COPY TO then COPY FROM doubles the rows (positional append, table
+    // schema drives the parse)
+    val dir = java.nio.file.Files.createTempDirectory("graft-copyfrom").toString
+    run(s"COPY cor_t TO '$dir/out.csv' (FORMAT CSV, HEADER)")
+    val n = run(s"COPY cor_t FROM '$dir/out.csv' (FORMAT CSV, HEADER)").collect().head.getLong(0)
+    assert(n == 2 && s.spark.table("cor_t").count() == 4)
+    // read-only cannot replace; non-admin cannot COPY FROM
+    val ro = sessions.getOrCreate("cor-ro", "bob", "readonly")
+    intercept[SecurityException](Statement.create(sessions, ro, global,
+      "CREATE OR REPLACE TABLE cor_t AS SELECT 1 AS a"))
+    val user = sessions.getOrCreate("cor-u", "carol", "user")
+    intercept[SecurityException](Statement.create(sessions, user, global,
+      s"COPY cor_t FROM '$dir/out.csv' (FORMAT CSV, HEADER)"))
+    s.spark.sql("DROP TABLE cor_t")
+  }
+
   test("executeUpdate returns affected-row counts for DML") {
     val s = sessions.getOrCreate("dmlcount", "alice", "admin")
     s.spark.sql("DROP TABLE IF EXISTS dml_count_t")
