@@ -331,7 +331,13 @@ object Windows {
       "CAST(SUM(cents) OVER (PARTITION BY o_custkey ORDER BY oyear " +
       "RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE GROUP) * 1000 " +
       "// NULLIF(COUNT(cents) OVER (PARTITION BY o_custkey ORDER BY oyear " +
-      "RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE GROUP), 0) AS BIGINT) AS nonyear_avg_mc " +
+      "RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE GROUP), 0) AS BIGINT) AS nonyear_avg_mc, " +
+      // EXCLUDE TIES: peers leave the frame but the current row stays —
+      // composed as (sum - groupSum + current) / (count - groupCount + 1)
+      "CAST(SUM(cents) OVER (PARTITION BY o_custkey ORDER BY oyear " +
+      "RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE TIES) * 1000 " +
+      "// NULLIF(COUNT(cents) OVER (PARTITION BY o_custkey ORDER BY oyear " +
+      "RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE TIES), 0) AS BIGINT) AS nonties_avg_mc " +
       "FROM o ORDER BY o_custkey, o_orderkey") { (s, d) =>
       val cents = expr("cast(round(o_totalprice*100) as bigint)")
       val wRoll = Window.partitionBy("o_custkey").orderBy("o_orderkey").rowsBetween(-2, -1)
@@ -350,7 +356,8 @@ object Windows {
           when(col("__c") > 1,
             expr("(__s - cents) * 1000L div (__c - 1)")).as("loo_avg_mc"),
           when(col("__c") > col("__gc"),
-            expr("(__s - __gs) * 1000L div (__c - __gc)")).as("nonyear_avg_mc"))
+            expr("(__s - __gs) * 1000L div (__c - __gc)")).as("nonyear_avg_mc"),
+          expr("(__s - __gs + cents) * 1000L div (__c - __gc + 1)").as("nonties_avg_mc"))
         .orderBy("o_custkey", "o_orderkey")
     }
   )
