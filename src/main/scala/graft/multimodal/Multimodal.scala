@@ -9,11 +9,14 @@ import org.apache.spark.sql.types._
   * with a typed metadata struct, plus decode / feature-extract / resize /
   * frame-sample stages as distributed `mapPartitions` transforms.
   *
-  * The actual codec work is STUBBED (no image/audio libraries in this
-  * container) behind `FakeCodec` — a deterministic pure function of the
-  * bytes — so the Spark-side contract (schema, partitioning, batch iteration,
-  * null handling) is real and tested, and a real codec drops in by replacing
-  * one function.
+  * IMAGES are handled by a REAL codec ([[Multimodal.ImageCodec]] —
+  * javax.imageio is part of the JDK, so PNG/JPEG/BMP/GIF decode, statistics
+  * and bilinear resize need no external library). Audio/video codec work
+  * stays STUBBED behind `FakeCodec` — a deterministic pure function of the
+  * bytes (no JDK codec exists and the container has no media libraries) —
+  * so the Spark-side contract (schema, partitioning, batch iteration, null
+  * handling) is identical across all modalities, and the oracle-checked ops
+  * keep the cross-engine-recomputable stub.
   */
 object Multimodal {
 
@@ -122,6 +125,109 @@ object Multimodal {
         val bytes = r.getAs[Array[Byte]]("bytes")
         if (bytes == null) Row(r.getLong(0), r.getString(1), null, null)
         else Row(r.getLong(0), r.getString(1), FakeCodec.resize(bytes, w, h), Row(w, h, "resized"))
+      }
+    }(enc)
+  }
+
+  /** REAL image codec — javax.imageio ships in the JDK, so PNG/JPEG/BMP/GIF
+    * decode, feature extraction, and resize need no external library at
+    * all. Audio/video stay behind [[FakeCodec]] (no JDK codec exists);
+    * images no longer do. Every function is pure bytes→value and total:
+    * undecodable bytes yield None, surfacing as NULL rows — the same
+    * contract as the stub.
+    */
+  object ImageCodec {
+    import java.awt.image.BufferedImage
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.ImageIO
+
+    private def read(bytes: Array[Byte]): Option[BufferedImage] =
+      try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+      catch { case _: Exception => None }
+
+    def decodeDims(bytes: Array[Byte]): Option[(Int, Int)] =
+      read(bytes).map(img => (img.getWidth, img.getHeight))
+
+    /** (width, height, meanR, meanG, meanB, meanLuma) — the deterministic
+      * per-image statistics a curation filter keys on (blank/over-dark
+      * detection, aspect gating) before any learned embedding.
+      */
+    def features(bytes: Array[Byte]): Option[Array[Float]] =
+      read(bytes).map { img =>
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (r, g, b) = (0L, 0L, 0L)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        val (mr, mg, mb) = (r.toFloat / n, g.toFloat / n, b.toFloat / n)
+        Array(w.toFloat, h.toFloat, mr, mg, mb, 0.299f * mr + 0.587f * mg + 0.114f * mb)
+      }
+
+    /** Bilinear resize via Graphics2D, re-encoded as PNG. */
+    def resize(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+      read(bytes).map { img =>
+        val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        val g2 = out.createGraphics()
+        g2.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g2.drawImage(img, 0, 0, w, h, null)
+        g2.dispose()
+        val bos = new ByteArrayOutputStream()
+        ImageIO.write(out, "png", bos)
+        bos.toByteArray
+      }
+  }
+
+  /** Real-decode stages: the image rows go through [[ImageCodec]]; the same
+    * mapPartitions shape as the stub stages, so the distribution story is
+    * identical — only the codec is now real.
+    */
+  def decodeImages(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    media.select("media_id", "kind", "bytes", "meta").mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]]("bytes")
+        val dims = if (bytes == null) None else ImageCodec.decodeDims(bytes)
+        dims match {
+          case Some((w, h)) => Row(r.getLong(0), r.getString(1), bytes, Row(w, h, "image/decoded"))
+          case None => Row(r.getLong(0), r.getString(1), bytes, null)
+        }
+      }
+    }(enc)
+  }
+
+  def imageFeatures(media: DataFrame): DataFrame = {
+    val featSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("features", ArrayType(FloatType), nullable = true)))
+    val enc = RowEncoder.encoderFor(featSchema)
+    media.select("media_id", "bytes").mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]]("bytes")
+        val f = if (bytes == null) None else ImageCodec.features(bytes)
+        Row(r.getLong(0), f.map(_.toSeq).orNull)
+      }
+    }(enc)
+  }
+
+  def resizeImages(media: DataFrame, w: Int, h: Int): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    media.select("media_id", "kind", "bytes", "meta").mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]]("bytes")
+        val out = if (bytes == null) None else ImageCodec.resize(bytes, w, h)
+        out match {
+          case Some(b) => Row(r.getLong(0), r.getString(1), b, Row(w, h, "image/png"))
+          case None => Row(r.getLong(0), r.getString(1), null, null)
+        }
       }
     }(enc)
   }

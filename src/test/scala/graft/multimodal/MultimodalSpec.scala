@@ -48,3 +48,67 @@ class MultimodalSpec extends AnyFunSuite {
     assert(m.map(r => (r.getInt(0), r.getInt(1))).toSeq == Seq((224, 224)))
   }
 }
+
+/** The REAL image path: javax.imageio decode/features/resize over PNGs and
+  * JPEGs generated in-test — no external library, exact expected values.
+  */
+class ImageCodecSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+
+  private def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, rgb)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def mediaDf(rows: Seq[(Long, Array[Byte])]) = {
+    val data = rows.map { case (id, b) =>
+      org.apache.spark.sql.Row(id, "image", b, null)
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters.SeqHasAsJava(data).asJava),
+      Multimodal.mediaSchema).repartition(3)
+  }
+
+  test("decodeImages reads real PNG dimensions; garbage bytes yield null meta") {
+    val df = mediaDf(Seq(
+      (1L, png(12, 8, 0xff0000)), (2L, png(3, 5, 0x00ff00)),
+      (3L, Array[Byte](1, 2, 3)))) // not an image
+    val out = Multimodal.decodeImages(df).collect().map(r => r.getLong(0) -> r.getStruct(3)).toMap
+    assert(out(1L).getInt(0) == 12 && out(1L).getInt(1) == 8)
+    assert(out(2L).getInt(0) == 3 && out(2L).getInt(1) == 5)
+    assert(out(3L) == null)
+  }
+
+  test("imageFeatures: exact means for solid-color images") {
+    val df = mediaDf(Seq((1L, png(10, 10, 0xff0000)), (2L, png(4, 4, 0x0000ff))))
+    val out = Multimodal.imageFeatures(df).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val red = out(1L)
+    assert(red(0) == 10f && red(1) == 10f && red(2) == 255f && red(3) == 0f && red(4) == 0f)
+    assert(math.abs(red(5) - 0.299f * 255) < 0.01)
+    val blue = out(2L)
+    assert(blue(2) == 0f && blue(4) == 255f)
+  }
+
+  test("resizeImages produces a real PNG at the target size, color preserved") {
+    val df = mediaDf(Seq((1L, png(16, 16, 0x00ff00))))
+    val out = Multimodal.resizeImages(df, 4, 4).collect().head
+    val bytes = out.getAs[Array[Byte]]("bytes")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img.getWidth == 4 && img.getHeight == 4)
+    assert((img.getRGB(2, 2) & 0xffffff) == 0x00ff00) // solid green survives bilinear
+    assert(out.getStruct(3).getString(2) == "image/png")
+  }
+
+  test("JPEG round-trips through the same codec") {
+    val img = new java.awt.image.BufferedImage(6, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 4).foreach(y => (0 until 6).foreach(x => img.setRGB(x, y, 0x808080)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val dims = Multimodal.ImageCodec.decodeDims(bos.toByteArray)
+    assert(dims.contains((6, 4)))
+  }
+}
