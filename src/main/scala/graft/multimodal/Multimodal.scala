@@ -232,6 +232,68 @@ object Multimodal {
     }(enc)
   }
 
+  /** Perceptual average-hash (aHash) over the REAL decoded image: bilinear
+    * 8x8 downsample, per-pixel luma, one bit per pixel against the mean —
+    * the standard cheap perceptual fingerprint (near-duplicate images keep
+    * small Hamming distance under re-encode/resize/brightness jitter).
+    */
+  def aHash(bytes: Array[Byte]): Option[Long] =
+    ImageCodec.resize(bytes, 8, 8).flatMap { small =>
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(small))
+        val lumas = new Array[Double](64)
+        var i = 0
+        while (i < 64) {
+          val p = img.getRGB(i % 8, i / 8)
+          lumas(i) = 0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) + 0.114 * (p & 0xff)
+          i += 1
+        }
+        val mean = lumas.sum / 64
+        var h = 0L
+        i = 0
+        while (i < 64) { if (lumas(i) >= mean) h |= (1L << i); i += 1 }
+        Some(h)
+      } catch { case _: Exception => None }
+    }
+
+  /** (media_id, ahash) for every decodable image. */
+  def imageHashes(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("ahash", LongType, nullable = true)))
+    val enc = RowEncoder.encoderFor(schema)
+    media.select("media_id", "bytes").mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]]("bytes")
+        Row(r.getLong(0), (if (bytes == null) None else aHash(bytes)).map(Long.box).orNull)
+      }
+    }(enc)
+  }
+
+  /** Near-duplicate image pairs by perceptual hash, at scale: the 64-bit
+    * aHash splits into FOUR 16-bit bands; by pigeonhole, any pair within
+    * Hamming distance 3 agrees on at least one band, so candidates come
+    * from four band-bucket equi-joins (O(images x 4), never all-pairs) and
+    * only candidates pay the exact popcount verify — the same
+    * banding-then-verify shape as MinHash-LSH and SimHash text dedup.
+    */
+  def nearDupImages(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-band pigeonhole guarantees recall only up to Hamming 3")
+    val hashes = imageHashes(media).filter(col("ahash").isNotNull)
+    val banded = hashes.select(col("media_id"), col("ahash"),
+        explode(expr("array(0, 1, 2, 3)")).as("band"))
+      .withColumn("bucket", expr("(ahash >> (band * 16)) & 65535"))
+    val pairs = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        col("a.ahash").as("ha"), col("b.ahash").as("hb"))
+      .distinct()
+    pairs.withColumn("hamming", expr("bit_count(ha ^ hb)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
+  }
+
   /** Frame sampling (video semantics): one output row per sampled frame. */
   def sampleFrames(media: DataFrame, frames: Int): DataFrame = {
     val frameSchema = StructType(Seq(

@@ -112,3 +112,47 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(dims.contains((6, 4)))
   }
 }
+
+/** Perceptual near-dup images: aHash + 4-band pigeonhole hamming join. */
+class ImageDedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+
+  /** Half-black/half-white split at column `split` (distinctive structure;
+    * jitter moves the boundary slightly for near-duplicates).
+    */
+  private def splitImg(w: Int, h: Int, split: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until h).foreach(y => (0 until w).foreach { x =>
+      img.setRGB(x, y, if (x < split) 0xffffff else 0x000000)
+    })
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def mediaDf(rows: Seq[(Long, Array[Byte])]) = {
+    val data = rows.map { case (id, b) => org.apache.spark.sql.Row(id, "image", b, null) }
+    spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters.SeqHasAsJava(data).asJava),
+      Multimodal.mediaSchema).repartition(3)
+  }
+
+  test("aHash is stable under tiny jitter and far for different structure") {
+    val base = Multimodal.aHash(splitImg(64, 64, 32)).get
+    val jitter = Multimodal.aHash(splitImg(64, 64, 33)).get // 1-px boundary move
+    val other = Multimodal.aHash(splitImg(64, 64, 8)).get   // very different split
+    assert(java.lang.Long.bitCount(base ^ jitter) <= 3)
+    assert(java.lang.Long.bitCount(base ^ other) > 3)
+  }
+
+  test("nearDupImages pairs jittered variants only, via the 4-band join") {
+    val df = mediaDf(Seq(
+      (1L, splitImg(64, 64, 32)), (2L, splitImg(64, 64, 33)), // near-dups
+      (3L, splitImg(64, 64, 8)),  (4L, splitImg(64, 64, 9)),  // near-dups
+      (5L, splitImg(64, 64, 56)),                             // singleton
+      (6L, Array[Byte](9, 9))))                               // undecodable
+    val pairs = Multimodal.nearDupImages(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (3L, 4L)))
+  }
+}
