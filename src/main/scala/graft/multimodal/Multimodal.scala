@@ -232,6 +232,67 @@ object Multimodal {
     }(enc)
   }
 
+  /** REAL audio codec — javax.sound.sampled is also JDK-built-in, so WAV
+    * (PCM) decode needs no external library either. Only compressed
+    * formats (mp3/aac) and video remain stubbed.
+    */
+  object AudioCodec {
+    import javax.sound.sampled.AudioSystem
+    import java.io.ByteArrayInputStream
+
+    /** (sampleRate, channels, nFrames, rms, zeroCrossings) from PCM WAV
+      * bytes; None when not decodable audio. RMS and zero-crossings are
+      * the standard silence/clipping gates a curation filter keys on.
+      */
+    def features(bytes: Array[Byte]): Option[(Float, Int, Long, Double, Long)] =
+      try {
+        val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+        val fmt = in.getFormat
+        val bytesPerSample = fmt.getSampleSizeInBits / 8
+        val data = in.readAllBytes()
+        val n = data.length / (bytesPerSample * fmt.getChannels)
+        var sumSq = 0.0
+        var crossings = 0L
+        var prevSign = 0
+        var i = 0
+        while (i < n) {
+          // first channel, 16-bit little-endian PCM (the WAV default)
+          val off = i * bytesPerSample * fmt.getChannels
+          val s = ((data(off + 1) << 8) | (data(off) & 0xff)).toShort.toDouble / 32768.0
+          sumSq += s * s
+          val sign = if (s > 0) 1 else if (s < 0) -1 else prevSign
+          if (prevSign != 0 && sign != prevSign) crossings += 1
+          prevSign = sign
+          i += 1
+        }
+        Some((fmt.getSampleRate, fmt.getChannels, n.toLong,
+          math.sqrt(sumSq / math.max(n, 1)), crossings))
+      } catch { case _: Exception => None }
+  }
+
+  /** (media_id, sample_rate, channels, n_frames, rms, zero_crossings) for
+    * every decodable WAV; NULLs otherwise. Same mapPartitions shape.
+    */
+  def audioFeatures(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("sample_rate", FloatType, nullable = true),
+      StructField("channels", IntegerType, nullable = true),
+      StructField("n_frames", LongType, nullable = true),
+      StructField("rms", DoubleType, nullable = true),
+      StructField("zero_crossings", LongType, nullable = true)))
+    val enc = RowEncoder.encoderFor(schema)
+    media.select("media_id", "bytes").mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]]("bytes")
+        (if (bytes == null) None else AudioCodec.features(bytes)) match {
+          case Some((sr, ch, nf, rms, zc)) => Row(r.getLong(0), sr, ch, nf, rms, zc)
+          case None => Row(r.getLong(0), null, null, null, null, null)
+        }
+      }
+    }(enc)
+  }
+
   /** Perceptual average-hash (aHash) over the REAL decoded image: bilinear
     * 8x8 downsample, per-pixel luma, one bit per pixel against the mean —
     * the standard cheap perceptual fingerprint (near-duplicate images keep

@@ -156,3 +156,45 @@ class ImageDedupSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L), (3L, 4L)))
   }
 }
+
+/** Real WAV decode via javax.sound: features from in-test-generated sines. */
+class AudioCodecSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+
+  /** Mono 16-bit PCM WAV of a sine at `hz` for `seconds`, amplitude 0.5. */
+  private def sineWav(hz: Double, seconds: Double, rate: Float = 8000f): Array[Byte] = {
+    val n = (rate * seconds).toInt
+    val pcm = new Array[Byte](n * 2)
+    (0 until n).foreach { i =>
+      val s = (0.5 * math.sin(2 * math.Pi * hz * i / rate) * 32767).toInt.toShort
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("WAV features: rate, frames, RMS ~ A/sqrt(2), zero-crossings ~ 2f*t") {
+    val (sr, ch, nf, rms, zc) = Multimodal.AudioCodec.features(sineWav(440, 1.0)).get
+    assert(sr == 8000f && ch == 1 && nf == 8000L)
+    assert(math.abs(rms - 0.5 / math.sqrt(2)) < 0.01)
+    assert(math.abs(zc - 880L) <= 4) // 2 crossings per cycle x 440 cycles
+  }
+
+  test("audioFeatures stage: distributed, NULLs for non-audio bytes") {
+    val rows = Seq(
+      org.apache.spark.sql.Row(1L, "audio", sineWav(220, 0.5), null),
+      org.apache.spark.sql.Row(2L, "audio", Array[Byte](1, 2, 3), null))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      Multimodal.mediaSchema).repartition(2)
+    val out = Multimodal.audioFeatures(df).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(3) == 4000L && math.abs(out(1L).getLong(5) - 220L) <= 4)
+    assert(out(2L).isNullAt(1) && out(2L).isNullAt(4))
+  }
+}
