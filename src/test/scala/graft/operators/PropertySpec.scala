@@ -65,6 +65,26 @@ class PropertySpec extends AnyFunSuite {
     }, n = 100)
   }
 
+  test("the text-only dialect rewrite is idempotent on its own output") {
+    // a rewrite that re-matches its own output would corrupt statements on
+    // any double application (prepare + execute paths both rewrite)
+    val stmt = Gen.oneOf(
+      "SELECT * EXCLUDE (a) FROM t",
+      "SELECT * REPLACE (a + 1 AS a) FROM t",
+      "SELECT a FROM t QUALIFY ROW_NUMBER() OVER (ORDER BY a) = 1",
+      "FROM t SELECT a WHERE a > 1",
+      "SELECT [x + 1 FOR x IN l] AS r FROM t",
+      "SELECT [1, 2] AS l FROM t",
+      "SELECT * FROM t USING SAMPLE 10%",
+      "SELECT * FROM read_parquet('/p/f.parquet')",
+      "UNPIVOT m ON a, b INTO NAME n VALUE v",
+      "SELECT a, b FROM t WHERE a IN (1, 2) ORDER BY b")
+    check(Prop.forAll(stmt) { sql =>
+      val once = graft.plans.Dialect.rewrite(sql)
+      graft.plans.Dialect.rewrite(once) == once
+    }, n = 50)
+  }
+
   test("macro expansion never touches literals or same-named function calls") {
     val reg = new graft.engine.Macros.Registry
     reg.put(graft.engine.Macros.MacroDef("m", Seq(("x", None)), "x + 1", isTable = false),
