@@ -78,8 +78,9 @@ object AsofJoinRewrite {
         Rel(name, Option(alias).getOrElse(bare.split('.').last),
           spark.table(bare).schema)
       case other => throw new IllegalArgumentException(
-        s"cannot parse ASOF JOIN relation: '$other' (CTE operands are not " +
-        "supported — inline the subquery)")
+        s"cannot parse ASOF JOIN relation: '$other' — each ASOF side must " +
+        "be a table name or a parenthesized subquery (wrap joins or CTE " +
+        "references in a subquery)")
     }
   }
 
@@ -158,6 +159,11 @@ object AsofJoinRewrite {
 
     val left = parseRel(spark, sql.substring(fromIdx + 4, aIdx), preAnalyze)
     val right = parseRel(spark, sql.substring(rightStart, onIdx), preAnalyze)
+    // identical aliases would make every ON conjunct classify as
+    // left-vs-left silently — reject up front
+    if (left.alias.equalsIgnoreCase(right.alias))
+      throw new IllegalArgumentException(
+        s"ASOF JOIN sides must have distinct aliases (both are '${left.alias}')")
 
     // ON conjuncts -> key pairs + ONE inequality
     var keys = Vector.empty[(String, String)] // (leftCol, rightCol)

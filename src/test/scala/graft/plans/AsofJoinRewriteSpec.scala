@@ -188,6 +188,10 @@ class AsofJoinRewriteSpec extends AnyFunSuite {
     assert(bad("SELECT 1 FROM asof_l l ASOF RIGHT JOIN asof_r r ON l.k = r.k AND l.t >= r.t")
       .contains("ASOF LEFT JOIN"))
     assert(bad("SELECT 1 FROM a ASOF JOIN b USING (k, t)").contains("ON clause"))
+    assert(bad("SELECT 1 FROM asof_l x ASOF JOIN asof_r x ON x.k = x.k AND x.t >= x.t")
+      .contains("distinct aliases"))
+    assert(bad("SELECT 1 FROM asof_l l JOIN asof_r q ON l.k = q.k ASOF JOIN asof_r r " +
+      "ON l.k = r.k AND l.t >= r.t").contains("parenthesized subquery"))
     // reserved working-column names in an operand: clear error, not an
     // ambiguous-reference AnalysisException
     import spark.implicits._
