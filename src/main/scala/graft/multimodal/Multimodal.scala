@@ -171,6 +171,26 @@ object Multimodal {
         Array(w.toFloat, h.toFloat, mr, mg, mb, 0.299f * mr + 0.587f * mg + 0.114f * mb)
       }
 
+    /** Frames of an animated GIF (or any multi-frame container ImageIO can
+      * read), each re-encoded as PNG — the real frame-sampling path for the
+      * web's most common animated format. Single-frame images yield one
+      * frame; undecodable bytes none.
+      */
+    def frames(bytes: Array[Byte], everyN: Int = 1): Seq[Array[Byte]] =
+      try {
+        val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return Seq.empty
+        val reader = readers.next()
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        (0 until n by math.max(everyN, 1)).map { i =>
+          val bos = new ByteArrayOutputStream()
+          ImageIO.write(reader.read(i), "png", bos)
+          bos.toByteArray
+        }
+      } catch { case _: Exception => Seq.empty }
+
     /** Bilinear resize via Graphics2D, re-encoded as PNG. */
     def resize(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
       read(bytes).map { img =>
@@ -353,6 +373,27 @@ object Multimodal {
     pairs.withColumn("hamming", expr("bit_count(ha ^ hb)"))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
+  }
+
+  /** REAL frame sampling for animated images: one output row per GIF frame
+    * (every `everyN`-th), each a standalone PNG — same exploded shape as
+    * the stub [[sampleFrames]], real bytes.
+    */
+  def sampleImageFrames(media: DataFrame, everyN: Int = 1): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_no", IntegerType, nullable = false),
+      StructField("frame_bytes", BinaryType, nullable = true)))
+    val enc = RowEncoder.encoderFor(schema)
+    media.select("media_id", "bytes").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]]("bytes")
+        if (bytes == null) Iterator.empty
+        else ImageCodec.frames(bytes, everyN).iterator.zipWithIndex.map {
+          case (f, i) => Row(r.getLong(0), i, f)
+        }
+      }
+    }(enc)
   }
 
   /** Frame sampling (video semantics): one output row per sampled frame. */

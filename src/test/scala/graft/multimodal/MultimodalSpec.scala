@@ -198,3 +198,47 @@ class AudioCodecSpec extends AnyFunSuite {
     assert(out(2L).isNullAt(1) && out(2L).isNullAt(4))
   }
 }
+
+/** Animated-GIF frame extraction through the real codec. */
+class GifFramesSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+
+  private def animatedGif(colors: Seq[Int]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    colors.foreach { rgb =>
+      val img = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 8).foreach(y => (0 until 8).foreach(x => img.setRGB(x, y, rgb)))
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null),
+        writer.getDefaultWriteParam)
+    }
+    writer.endWriteSequence()
+    ios.close()
+    bos.toByteArray
+  }
+
+  test("frames() extracts every GIF frame as a standalone PNG; everyN strides") {
+    val gif = animatedGif(Seq(0xff0000, 0x00ff00, 0x0000ff))
+    val all = Multimodal.ImageCodec.frames(gif)
+    assert(all.length == 3)
+    val f0 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(all.head))
+    assert(f0.getWidth == 8 && f0.getHeight == 8)
+    assert(Multimodal.ImageCodec.frames(gif, everyN = 2).length == 2)
+    assert(Multimodal.ImageCodec.frames(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("sampleImageFrames explodes one row per frame, distributed") {
+    val rows = Seq(
+      org.apache.spark.sql.Row(1L, "image", animatedGif(Seq(0xff0000, 0x00ff00)), null),
+      org.apache.spark.sql.Row(2L, "image", animatedGif(Seq(0x123456)), null))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      Multimodal.mediaSchema).repartition(2)
+    val out = Multimodal.sampleImageFrames(df).collect()
+    assert(out.count(_.getLong(0) == 1L) == 2 && out.count(_.getLong(0) == 2L) == 1)
+    assert(out.forall(r => r.getAs[Array[Byte]](2).nonEmpty))
+  }
+}
