@@ -10,6 +10,13 @@ import graft.plans.SqlScan
   * flows through the dialect chain, guard, and optimizer like any query,
   * and Catalyst constant-folds / prunes the inlined expression normally).
   *
+  * The reference engine ships DuckDB macros and its guard explicitly
+  * declares it does NOT inspect them ("A view or macro that wraps a gated
+  * function is not inspected",
+  * `/root/reference/src/duckdb/admin_command_guard.h:53`). Inlining closes
+  * that hole here: the EXPANDED text faces the statement guard, so a macro
+  * cannot smuggle a gated construct past it.
+  *
   * Scalar: `CREATE [OR REPLACE] [TEMP] MACRO add1(x) AS x + 1`
   * Table:  `CREATE MACRO topn(n) AS TABLE SELECT * FROM t LIMIT n`
   * Calls expand positionally, `p := v` named-call style and declared

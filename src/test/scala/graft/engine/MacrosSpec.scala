@@ -84,6 +84,15 @@ class MacrosSpec extends AnyFunSuite {
     intercept[Exception](runB("SELECT mine(2) AS v")) // other session: unknown
   }
 
+  test("a macro cannot smuggle a gated construct past the guard") {
+    // the reference guard declares it does NOT inspect macro bodies;
+    // inlining means the expanded text faces the guard here
+    val (_, _, run) = mkSession() // non-admin
+    run("CREATE MACRO sneaky() AS TABLE " +
+      "SELECT * FROM read_parquet('/root/testdata/sf0.001/nation.parquet')")
+    intercept[SecurityException](run("SELECT count(*) AS c FROM sneaky()"))
+  }
+
   test("read-only role blocked from create/drop") {
     val (_, _, run) = mkSession("readonly")
     intercept[SecurityException](run("CREATE MACRO m(x) AS x"))
