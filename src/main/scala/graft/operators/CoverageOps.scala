@@ -277,14 +277,18 @@ object CoverageOps {
       val sameText =
         "SELECT doc_id, " +
         "list_contains(string_split(text, ' '), 'vector') AS has_vector, " +
-        "list_slice(string_split(text, ' '), 1, 3) AS first3, " +
+        // Array-typed outputs are stringified (array_to_string on BOTH
+        // engines): the driver's comparator sorts result columns with
+        // pandas, which cannot hash a numpy.ndarray cell — the same harness
+        // rule embed_sq8 handles with an md5 digest (Embeddings.scala).
+        "array_to_string(list_slice(string_split(text, ' '), 1, 3), ',') AS first3, " +
         "CAST(list_unique(string_split(text, ' ')) AS INTEGER) AS n_unique, " +
-        "list_sort(list_distinct(list_slice(string_split(text, ' '), 1, 5))) AS first5_sorted, " +
+        "array_to_string(list_sort(list_distinct(list_slice(string_split(text, ' '), 1, 5))), ',') AS first5_sorted, " +
         "regexp_matches(text, 'vector|stream') AS mentions, " +
         "CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok, " +
         "CAST(strpos(text, 'vector') AS INTEGER) AS vec_pos, " +
         "array_to_string(list_slice(string_split(text, ' '), 1, 3), '_') AS first3_joined, " +
-        "list_concat(list_slice(string_split(text, ' '), 1, 1), list_value('|')) AS head_bar " +
+        "array_to_string(list_concat(list_slice(string_split(text, ' '), 1, 1), list_value('|')), ',') AS head_bar " +
         "FROM documents WHERE doc_id < 20 ORDER BY doc_id"
       Op("compat_duckdb_sql", sameText) { (s, d) =>
         Tables.ensure(s, d)
@@ -367,9 +371,12 @@ object CoverageOps {
     // 0-based semantics must not silently flip).
     {
       val sameText =
-        "SELECT doc_id, [3, 1, 4] AS nums, " +
-        "[upper(t) FOR t IN string_split(text, ' ') IF strpos(t, 'a') > 0] AS a_words, " +
-        "[length(t) FOR t IN list_slice(string_split(text, ' '), 1, 5)] AS head_lens " +
+        // Stringified outputs (comparator cannot sort array cells — see
+        // compat_duckdb_sql note); the bracket syntax itself is still the
+        // thing under test, now nested in call position.
+        "SELECT doc_id, array_to_string([3, 1, 4], ',') AS nums, " +
+        "array_to_string([upper(t) FOR t IN string_split(text, ' ') IF strpos(t, 'a') > 0], ',') AS a_words, " +
+        "array_to_string([length(t) FOR t IN list_slice(string_split(text, ' '), 1, 5)], ',') AS head_lens " +
         "FROM documents WHERE doc_id < 20 ORDER BY doc_id"
       Op("compat_list_syntax", sameText) { (s, d) =>
         Tables.ensure(s, d)

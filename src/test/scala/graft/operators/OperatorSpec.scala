@@ -44,6 +44,27 @@ class OperatorSpec extends AnyFunSuite {
     assert(failures.isEmpty, s"ops failed analysis:\n${failures.mkString("\n")}")
   }
 
+  test("no oracle-checked query returns a top-level array/map column (comparator can't hash them)") {
+    // The driver's comparator sorts result columns with pandas before
+    // hashing; an array cell is an unhashable numpy.ndarray and the row goes
+    // red regardless of value correctness (r7: compat_duckdb_sql,
+    // compat_list_syntax). Digest or array_to_string such columns in the
+    // same-text SQL — embed_sq8's md5 pattern — so this class of harness
+    // failure can't recur.
+    import org.apache.spark.sql.types.{ArrayType, MapType}
+    val offenders = SparkEntry.allOps.filter(_.oracle.isDefined).sortBy(_.name).flatMap { op =>
+      try {
+        val bad = op.run(spark, dir).schema.fields.collect {
+          case f if f.dataType.isInstanceOf[ArrayType] || f.dataType.isInstanceOf[MapType] =>
+            s"${op.name}.${f.name}: ${f.dataType.simpleString}"
+        }
+        bad
+      } catch { case _: Throwable => Nil } // analysis failures are the previous test's job
+    }
+    assert(offenders.isEmpty,
+      s"oracle-checked ops with unsortable result columns:\n${offenders.mkString("\n")}")
+  }
+
   test("shareable-gram-restricted Jaccard join is lossless vs a brute-force all-pairs reference") {
     Tables.ensure(spark, dir)
     val texts = spark.table("documents").select("doc_id", "text")
