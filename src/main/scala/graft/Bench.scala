@@ -59,54 +59,70 @@ object Bench {
     // still falling ~0.6 s pass-over-pass (r6 measured 5.81/5.68/5.49 TIMED
     // passes), so the first timed pass was part warm-up; each extra warm
     // pass costs ~6 s of untimed wall, cheap insurance.
-    var prev = Double.MaxValue
-    var warmPasses = 0
-    while (warmPasses < 8 && {
-      val t0 = System.nanoTime()
-      headline.filter(queries.contains).foreach { name =>
-        try queries(name)(spark, sfDir)
-        catch { case _: Throwable => }
-      }
-      val t = (System.nanoTime() - t0) / 1e9
-      // 2% bar (was 4%): at 4% the warm-up repeatedly exited while pass
-      // totals were still falling ~0.5 s pass-over-pass, shipping a
-      // part-cold first timed pass (r5/r6 pass totals: 9.9/6.9/5.9).
-      // Each extra warm pass costs ~6 s of untimed wall — cheap insurance.
-      val improving = t < prev * 0.98
-      prev = t
-      warmPasses += 1
-      improving || warmPasses < 2
-    }) ()
-
     import scala.jdk.CollectionConverters._
     def gcMs: Long = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
     def jitMs: Long = java.lang.management.ManagementFactory
       .getCompilationMXBean.getTotalCompilationTime
 
-    // Let HotSpot's background C2 queue drain before timing: the warm passes
-    // exit on wall-time convergence while 2-5 s of compilation per pass was
-    // still landing DURING the timed passes (visible in pass_jit_ms),
-    // stealing cores from tasks. Wait until compilation time stops growing
-    // (<50 ms per 250 ms window), capped at 10 s.
-    {
+    // Warm-up exit is gated on JIT QUIESCENCE, not wall time alone. The r7
+    // driver-window record showed why wall-convergence is not enough: under
+    // host contention a noisy slow pass reads as "stopped improving", the
+    // loop exits after 2 passes, and 1.6-4.8 s of C2 compilation then lands
+    // DURING every timed pass (pass_jit_ms 1642/2724/4848 while the DuckDB
+    // comparator in the same window was unaffected) — that alone is the gap
+    // between the 2.16x official record and the 1.43x banked clean-window
+    // pair. Compilation time is CPU time of the compiler threads and is
+    // workload-determined, so the JIT-delta gate is contention-robust where
+    // the wall gate is not: keep warming until a full pass triggers <500 ms
+    // of new compilation AND wall agrees within 2% of the best pass so far.
+    var bestWall = Double.MaxValue
+    var warmPasses = 0
+    var settled = false
+    while (!settled && warmPasses < 12) {
+      val j0 = jitMs
+      val t0 = System.nanoTime()
+      headline.filter(queries.contains).foreach { name =>
+        try queries(name)(spark, sfDir)
+        catch { case _: Throwable => }
+      }
+      val wall = (System.nanoTime() - t0) / 1e9
+      val jitDelta = jitMs - j0
+      warmPasses += 1
+      settled = warmPasses >= 3 && jitDelta < 500 && wall < bestWall * 1.02
+      bestWall = math.min(bestWall, wall)
+    }
+
+    // Let HotSpot's background C2 queue drain, then exercise the freshly
+    // compiled code with an untimed settle pass — and REPEAT until a settle
+    // pass itself triggers <300 ms of new compilation (cap 3 rounds). A
+    // single drain+settle proved insufficient in the r7 driver window: the
+    // settle pass exercises paths the warm passes' interpreter-profile had
+    // not yet tiered, queueing a fresh C2 batch that then landed in timed
+    // pass 1.
+    def drainC2(): Unit = {
       val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
       var last = jitMs
-      var settled = false
-      while (!settled && System.nanoTime() < deadline) {
+      var quiet = false
+      while (!quiet && System.nanoTime() < deadline) {
         Thread.sleep(250)
         val now = jitMs
-        settled = now - last < 50
+        quiet = now - last < 50
         last = now
       }
     }
-
-    // One mandatory settle pass AFTER the C2 drain: code the drain just
-    // finished compiling gets exercised once untimed, so the first timed
-    // pass starts truly hot (r6 still showed a ~30% part-cold first pass).
-    headline.filter(queries.contains).foreach { name =>
-      try { queries(name)(spark, sfDir); () } catch { case _: Throwable => }
+    var settleRounds = 0
+    var settleJit = Long.MaxValue
+    while (settleRounds < 3 && settleJit >= 300) {
+      drainC2()
+      val j0 = jitMs
+      headline.filter(queries.contains).foreach { name =>
+        try { queries(name)(spark, sfDir); () } catch { case _: Throwable => }
+      }
+      settleJit = jitMs - j0
+      settleRounds += 1
     }
+    drainC2()
 
     def timedPass(): Seq[(String, Double)] = headline.filter(queries.contains).map { name =>
       val t0 = System.nanoTime()
@@ -114,8 +130,8 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // Protocol: three timed passes at the bench SF, report the PER-QUERY
-    // MEDIAN — mirroring the reference's 3-iteration benchmark
+    // Protocol: repeated timed passes at the bench SF, report the PER-QUERY
+    // MEDIAN — derived from the reference's 3-iteration benchmark
     // (`/root/reference/tests/integration/test_tpch_benchmark.cpp:913-1075`).
     // Round 2 showed single-pass noise swamping round deltas (the "steady"
     // second pass measured *slower* than the cold first); the median drops
@@ -131,17 +147,21 @@ object Bench {
       passMeters += ((gcMs - g0, jitMs - j0))
       p
     }
-    val passes = Seq(meteredPass(), meteredPass(), meteredPass())
+    // Five timed passes, per-query median-of-5 (was 3): the reference's own
+    // protocol is 3 iterations, but its native process has no JIT and no
+    // noisy-neighbor exposure on this host; with 5 passes the median still
+    // stands when TWO passes are disturbed (r7's driver window had host
+    // load spikes disturbing consecutive passes). The DuckDB comparator
+    // stays median-of-3 warm — both sides report steady-state medians.
+    val passes = Seq.fill(5)(meteredPass())
     if (sys.env.contains("SPARK_GRAFT_BENCH_DEBUG"))
       passes.zipWithIndex.foreach { case (p, i) =>
         System.err.println(s"[bench] pass$i: " +
           p.sortBy(-_._2).take(8).map { case (n, t) => f"$n=$t%.2f" }.mkString(" "))
       }
     val names = passes.head.map(_._1)
-    def median3(a: Double, b: Double, c: Double): Double =
-      Seq(a, b, c).sorted.apply(1)
     val medians = names.zipWithIndex.map { case (n, i) =>
-      n -> median3(passes(0)(i)._2, passes(1)(i)._2, passes(2)(i)._2)
+      n -> passes.map(_(i)._2).sorted.apply(passes.size / 2)
     }
     def toJson(rs: Seq[(String, Double)]) =
       rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -169,6 +189,7 @@ object Bench {
       } else ""
     }
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(medians)},""" +
+      s""""warm_passes":$warmPasses,"settle_rounds":$settleRounds,"settle_jit_ms":$settleJit,""" +
       s""""pass_totals":[${passTotals.mkString(",")}],""" +
       s""""pass_gc_ms":[${passMeters.map(_._1).mkString(",")}],""" +
       s""""pass_jit_ms":[${passMeters.map(_._2).mkString(",")}],""" +

@@ -355,6 +355,11 @@ object Statement {
         session.spark.createDataFrame(rows.asJava, schema)
 
       case DescTableRe(name) if !SparkShowKeywords.contains(name.toLowerCase) =>
+        // Schema metadata is inside the catalog_access boundary too: a
+        // grant-restricted session must not read column names/types of
+        // stores outside its grant through DESCRIBE/SHOW.
+        CatalogAccess.enforce(session, session.spark, s"SELECT * FROM $name",
+          sessions.attachments.names)
         describeReport(session.spark,
           session.spark.table(name.stripPrefix("`").stripSuffix("`")).schema)
 
@@ -365,6 +370,7 @@ object Statement {
         val q = graft.plans.Dialect.rewrite(query.stripSuffix(";"),
           session.spark, guardOrThrow(session))
         guardOrThrow(session)(q)
+        CatalogAccess.enforce(session, session.spark, q, sessions.attachments.names)
         describeReport(session.spark, session.spark.sql(q).schema)
 
       case ExplainAnalyzeRe(query) =>
@@ -377,7 +383,12 @@ object Statement {
           session.spark, guardOrThrow(session))
         guardOrThrow(session)(qa)
         val df = session.spark.sql(qa)
-        df.collect()
+        // Execute on the executors WITHOUT materializing the result on the
+        // driver: profiling a wide query must not OOM the server. The
+        // iterator is drained so every operator runs and its SQL metrics
+        // (rows, spill, timing) populate; no row crosses to the driver.
+        df.foreachPartition((it: Iterator[org.apache.spark.sql.Row]) =>
+          it.foreach(_ => ()))
         val plan = df.queryExecution.executedPlan.toString
         val schema = StructType(Seq(StructField("explain_analyze", StringType, nullable = false)))
         session.spark.createDataFrame(
@@ -407,15 +418,40 @@ object Statement {
           else reader.parquet(path)
         val n = df.count()
         df.write.insertInto(table)
+        // Mutation outside PlanCache.sql: cached SELECT plans over this
+        // table would otherwise serve pre-COPY data in the same session.
+        PlanCache.invalidate(session.spark)
         val schema = StructType(Seq(StructField("Count",
           org.apache.spark.sql.types.LongType, nullable = false)))
         session.spark.createDataFrame(List(Row(n)).asJava, schema)
 
       case CreateOrReplaceTableRe(table, rest) =>
         guardOrThrow(session)(s"CREATE TABLE $table $rest") // write classification
-        session.spark.sql(s"DROP TABLE IF EXISTS $table")
-        session.spark.sql(graft.plans.Dialect.rewrite(
-          s"CREATE TABLE $table $rest", session.spark, guardOrThrow(session)))
+        if (!session.spark.catalog.tableExists(table)) {
+          session.spark.sql(graft.plans.Dialect.rewrite(
+            s"CREATE TABLE $table $rest", session.spark, guardOrThrow(session)))
+        } else {
+          // Build the replacement under a temp name FIRST: a CTAS that fails
+          // at execution time must leave the original table intact (the
+          // naive drop-then-create destroys it). Only after the new table
+          // exists do drop + rename run — the remaining non-atomic window is
+          // visibility between those two commands, the declared caveat.
+          val tmp = s"${table}__replace_pending"
+          session.spark.sql(s"DROP TABLE IF EXISTS $tmp")
+          session.spark.sql(graft.plans.Dialect.rewrite(
+            s"CREATE TABLE $tmp $rest", session.spark, guardOrThrow(session)))
+          try {
+            session.spark.sql(s"DROP TABLE $table")
+            session.spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+          } catch { case e: Throwable =>
+            // best effort: don't leave the pending table behind
+            try session.spark.sql(s"DROP TABLE IF EXISTS $tmp")
+            catch { case _: Throwable => }
+            throw e
+          }
+        }
+        // Cached plans may reference the dropped table's old files/schema.
+        PlanCache.invalidate(session.spark)
         oneRowResult(session.spark, "result", s"table $table replaced")
 
       case SetSettingRe(scope, name, quoted, bare) =>
@@ -475,6 +511,15 @@ object Statement {
         if (session.isReadOnly)
           throw new SecurityException("read-only role cannot create macros")
         val (m, orReplace) = Macros.parseCreate(sql)
+        // DuckDB rejects macros that shadow existing function names; textual
+        // expansion makes the hazard worse here (CREATE MACRO sum(x) would
+        // silently rewrite every SUM(...) in the session), so a name that
+        // resolves as a built-in/registered function is refused — unless it
+        // is OR REPLACE of a macro this session already owns.
+        if (session.macros.get(m.name).isEmpty &&
+            session.spark.catalog.functionExists(m.name))
+          throw new IllegalArgumentException(
+            s"macro name '${m.name}' collides with an existing function")
         // TABLE macro bodies are full queries: desugar their dialect
         // constructs (QUALIFY, EXCLUDE, read_parquet) at definition time —
         // after inlining they sit at subquery depth, where the

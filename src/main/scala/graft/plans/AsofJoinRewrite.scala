@@ -37,8 +37,10 @@ import org.apache.spark.sql.types.{StructField, StructType}
   * (backward) / min (forward) of the full right row — deterministic where
   * DuckDB's pick is unspecified, identical wherever (key, ts) is unique.
   *
-  * Declared unsupported (clear error, no silent misparse): more than one
-  * top-level ASOF join (nest in subqueries), USING syntax, CTE names as
+  * ASOF joins inside parenthesized subqueries rewrite recursively, so
+  * multiple ASOF joins compose by nesting. Declared unsupported (clear
+  * error, no silent misparse): more than one ASOF join in a single FROM
+  * clause (wrap all but one in a subquery), USING syntax, CTE names as
   * ASOF operands (inline the subquery — the rewrite resolves schemas and a
   * CTE name is not resolvable outside its statement), unqualified columns
   * in ON.
@@ -46,7 +48,20 @@ import org.apache.spark.sql.types.{StructField, StructType}
 object AsofJoinRewrite {
   import SqlScan._
 
-  def hasAsof(sql: String): Boolean = topLevel(sql, "ASOF").nonEmpty
+  def hasAsof(sql: String): Boolean = joinSites(sql).nonEmpty
+
+  /** Top-level ASOF positions that are actually JOIN keywords: followed by
+    * [LEFT] JOIN. A bare identifier spelled `asof` (SELECT t.asof FROM t) is
+    * a column/alias reference, not a join, and must not trigger the rewrite.
+    */
+  private val JoinKwRe =
+    """(?is)^\s*(?:(?:LEFT|RIGHT|FULL|INNER|OUTER)\s+){0,2}JOIN\b.*""".r
+  private def joinSites(sql: String): List[Int] =
+    topLevel(sql, "ASOF").filter { i =>
+      // any join-qualifier sequence counts as a site so that unsupported
+      // variants (ASOF RIGHT JOIN) still reach the loud error downstream
+      JoinKwRe.matches(sql.substring(i + 4))
+    }
 
   private val relPat =
     """(?s)^\s*((?:[\w.]+)|`[^`]+`)(?:\s+(?:(?i:AS)\s+)?(\w+))?\s*$""".r
@@ -128,11 +143,53 @@ object AsofJoinRewrite {
 
   def rewrite(sql: String, spark: SparkSession,
       preAnalyze: String => Unit = _ => ()): String = {
-    val asofs = topLevel(sql, "ASOF")
-    if (asofs.isEmpty) return sql
+    if (!sql.toUpperCase.contains("ASOF")) return sql // cheap bail for the common case
+    // Desugar parenthesized subqueries FIRST: nesting is the documented form
+    // for multiple ASOF joins in one statement, so inner occurrences must
+    // rewrite before the top level is examined.
+    val spliced = rewriteParens(sql, spark, preAnalyze)
+    val asofs = joinSites(spliced)
+    if (asofs.isEmpty) return spliced
     if (asofs.length > 1) throw new IllegalArgumentException(
-      "multiple top-level ASOF joins are not supported — nest one in a subquery")
-    val aIdx = asofs.head
+      "multiple ASOF joins in one FROM clause are not supported — wrap all " +
+      "but one in a parenthesized subquery")
+    rewriteOne(spliced, asofs.head, spark, preAnalyze)
+  }
+
+  /** Recursively rewrite ASOF joins inside parenthesized segments (outside
+    * string/identifier literals); other text passes through verbatim.
+    */
+  private def rewriteParens(sql: String, spark: SparkSession,
+      preAnalyze: String => Unit): String = {
+    if (!sql.toUpperCase.contains("ASOF")) return sql
+    val sb = new StringBuilder
+    var i = 0
+    val n = sql.length
+    while (i < n) {
+      sql.charAt(i) match {
+        case c @ ('\'' | '"' | '`') =>
+          val j = sql.indexOf(c, i + 1)
+          val end = if (j < 0) n else j + 1
+          sb.append(sql.substring(i, end)); i = end
+        case '(' =>
+          val close =
+            try matchingParen(sql, i)
+            catch { case _: Exception => -1 }
+          if (close < 0) { sb.append(sql.charAt(i)); i += 1 }
+          else {
+            val inner = sql.substring(i + 1, close)
+            sb.append('(').append(rewrite(inner, spark, preAnalyze)).append(')')
+            i = close + 1
+          }
+        case c =>
+          sb.append(c); i += 1
+      }
+    }
+    sb.toString
+  }
+
+  private def rewriteOne(sql: String, aIdx: Int, spark: SparkSession,
+      preAnalyze: String => Unit): String = {
     val fromIdx = topLevel(sql, "FROM").filter(_ < aIdx).lastOption.getOrElse(
       throw new IllegalArgumentException("ASOF JOIN requires a FROM clause"))
 

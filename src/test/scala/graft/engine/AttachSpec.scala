@@ -162,6 +162,20 @@ class AttachSpec extends AnyFunSuite {
     assert(tbl.filter(_.getString(3) != "LOCAL TEMPORARY").forall(_.getString(0) == "attspec_a"))
   }
 
+  test("DESCRIBE/SHOW respect the catalog_access grant (schema metadata is gated too)") {
+    attachedBoth
+    // grant covers attspec_a only: DESCRIBE of the granted store works,
+    // DESCRIBE/SHOW of any other attached store is refused — column
+    // names/types are inside the access boundary, not free metadata
+    assert(run(restricted, "DESCRIBE attspec_a.region").collect().nonEmpty)
+    intercept[SecurityException](run(restricted, "DESCRIBE attspec_b.tiny_nation"))
+    intercept[SecurityException](run(restricted, "SHOW attspec_b.tiny_nation"))
+    intercept[SecurityException](
+      run(restricted, "DESCRIBE SELECT * FROM attspec_b.tiny_nation"))
+    // unrestricted session: unaffected
+    assert(run(admin, "DESCRIBE attspec_b.tiny_nation").collect().nonEmpty)
+  }
+
   test("DETACH removes the attachment; admin-only; unknown name errors") {
     attachedBoth
     intercept[SecurityException](run(user, "DETACH attspec_b"))

@@ -430,6 +430,49 @@ class FlightSurfaceSpec extends AnyFunSuite {
     s.spark.sql("DROP TABLE cor_t")
   }
 
+  test("CREATE OR REPLACE TABLE: a failing CTAS leaves the original table intact") {
+    val s = sessions.getOrCreate("cor-fail", "alice", "admin")
+    val global = new GlobalSettings
+    def run(sql: String) = Statement.create(sessions, s, global, sql)
+    s.spark.sql("DROP TABLE IF EXISTS cor_keep")
+    run("CREATE OR REPLACE TABLE cor_keep AS SELECT 7 AS a")
+    // execution-time failure (divide by zero under ANSI off returns null —
+    // use an invalid cast under ANSI, or a missing-path scan, which always
+    // fails at execution)
+    intercept[Exception](run(
+      "CREATE OR REPLACE TABLE cor_keep AS SELECT * FROM parquet.`/no/such/path-cor`"))
+    assert(s.spark.table("cor_keep").collect().map(_.getInt(0)).toSeq == Seq(7),
+      "original table must survive a failed replacement")
+    // the pending temp table is not left behind
+    assert(!s.spark.catalog.tableExists("cor_keep__replace_pending"))
+    run("CREATE OR REPLACE TABLE cor_keep AS SELECT 8 AS a")
+    assert(s.spark.table("cor_keep").collect().map(_.getInt(0)).toSeq == Seq(8))
+    s.spark.sql("DROP TABLE cor_keep")
+  }
+
+  test("mutations via COPY FROM and CREATE OR REPLACE invalidate cached SELECT plans") {
+    val s = sessions.getOrCreate("cor-cache", "alice", "admin")
+    val global = new GlobalSettings
+    def run(sql: String) = Statement.create(sessions, s, global, sql)
+    s.spark.sql("DROP TABLE IF EXISTS cor_c")
+    run("CREATE OR REPLACE TABLE cor_c AS SELECT 1 AS a")
+    val q = "SELECT COUNT(*) AS n FROM cor_c"
+    assert(run(q).collect().head.getLong(0) == 1, "prime the plan cache")
+    // COPY FROM appends outside PlanCache.sql — the cached plan must not
+    // serve the pre-COPY file listing
+    val dir = java.nio.file.Files.createTempDirectory("graft-corcache").toString
+    run(s"COPY cor_c TO '$dir/out.parquet' (FORMAT PARQUET)")
+    run(s"COPY cor_c FROM '$dir/out.parquet'")
+    assert(run(q).collect().head.getLong(0) == 2,
+      "cached SELECT served stale data after COPY FROM")
+    // CREATE OR REPLACE drops + recreates — a cached plan would point at
+    // the dropped table's files
+    run("CREATE OR REPLACE TABLE cor_c AS SELECT * FROM VALUES 1, 2, 3 AS t(a)")
+    assert(run(q).collect().head.getLong(0) == 3,
+      "cached SELECT served stale data after CREATE OR REPLACE")
+    s.spark.sql("DROP TABLE cor_c")
+  }
+
   test("executeUpdate returns affected-row counts for DML") {
     val s = sessions.getOrCreate("dmlcount", "alice", "admin")
     s.spark.sql("DROP TABLE IF EXISTS dml_count_t")

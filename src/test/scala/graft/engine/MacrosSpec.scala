@@ -56,13 +56,29 @@ class MacrosSpec extends AnyFunSuite {
     assert(r.head.getAs[Number](0).longValue() == 5L)
   }
 
-  test("substitution hygiene: literals and same-named function calls untouched") {
+  test("substitution hygiene: literals untouched") {
     val (_, _, run) = mkSession()
-    run("CREATE MACRO abs(x) AS x") // shadows nothing: calls named abs( expand to macro
-    run("DROP MACRO abs")
     run("CREATE MACRO lbl(x) AS concat('x=', cast(x AS STRING))")
     // the literal 'x=' must not have its x substituted
     assert(run("SELECT lbl(7) AS s").head.getString(0) == "x=7")
+  }
+
+  test("a macro may not shadow an existing function name (DuckDB parity)") {
+    // textual expansion makes shadowing a silent-rewrite hazard: CREATE
+    // MACRO sum(x) would rewrite every SUM(...) in the session. DuckDB
+    // rejects the collision at creation; so does the engine.
+    val (_, _, run) = mkSession()
+    for (bad <- Seq("abs", "sum", "upper"))
+      assert(intercept[Exception](run(s"CREATE MACRO $bad(x) AS x"))
+        .getMessage.contains("collides"), bad)
+    // OR REPLACE of a macro this session owns still works (not a collision)
+    run("CREATE MACRO own1(x) AS x + 1")
+    run("CREATE OR REPLACE MACRO own1(x) AS x + 2")
+    assert(run("SELECT own1(1) AS v").head.getAs[Number](0).longValue() == 3L)
+    // OR REPLACE does not bypass the builtin check
+    assert(intercept[Exception](run("CREATE OR REPLACE MACRO abs(x) AS x"))
+      .getMessage.contains("collides"))
+    run("DROP MACRO own1")
   }
 
   test("OR REPLACE, DROP, and unknown-name passthrough") {

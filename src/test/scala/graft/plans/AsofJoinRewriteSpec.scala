@@ -34,6 +34,44 @@ class AsofJoinRewriteSpec extends AnyFunSuite {
     assert(AsofJoinRewrite.rewrite(lit, spark) == lit)
   }
 
+  test("'asof' as a plain identifier is not a join keyword") {
+    import spark.implicits._
+    Seq((1L, 2L)).toDF("asof", "v").createOrReplaceTempView("asof_ident")
+    // column reference, qualified reference, and alias spelled 'asof': all
+    // valid SQL, none may trigger (or crash) the rewrite
+    for (sql <- Seq(
+        "SELECT asof FROM asof_ident",
+        "SELECT t.asof FROM asof_ident t",
+        "SELECT v AS asof FROM asof_ident",
+        "SELECT asof + 1 AS a1 FROM asof_ident WHERE asof > 0")) {
+      assert(AsofJoinRewrite.rewrite(sql, spark) == sql, sql)
+      assert(spark.sql(AsofJoinRewrite.rewrite(sql, spark)).count() == 1L, sql)
+    }
+  }
+
+  test("ASOF JOIN nested in a parenthesized subquery rewrites (multi-ASOF composes)") {
+    setup()
+    // inner ASOF resolves each left row's latest right value, outer ASOF
+    // joins that result against the right side again — the documented way to
+    // run two ASOF joins in one statement
+    val sql =
+      "SELECT x.k, x.t, x.v, r2.v AS v2 " +
+      "FROM (SELECT l.k, l.t, r.v FROM asof_l l ASOF LEFT JOIN asof_r r " +
+      "ON l.k = r.k AND l.t >= r.t) x " +
+      "ASOF LEFT JOIN asof_r r2 ON x.k = r2.k AND x.t >= r2.t " +
+      "ORDER BY x.k, x.t"
+    val out = spark.sql(AsofJoinRewrite.rewrite(sql, spark))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getAs[String](2)), Option(r.getAs[String](3))))
+    // k=1: t=10 -> struct-max tie 'z'; t=20 -> latest at-or-before is t=10 'z'
+    // k=2: t=15 has no right at-or-before (right is t=30); k=3 unmatched
+    assert(out.toSeq == Seq(
+      (1L, 10L, Some("z"), Some("z")),
+      (1L, 20L, Some("z"), Some("z")),
+      (2L, 15L, None, None),
+      (3L, 7L, None, None)))
+  }
+
   test("backward inclusive LEFT: latest right at-or-before; struct-max tie; unmatched kept") {
     setup()
     val out = run("SELECT l.k, l.t, r.t AS mt, r.v AS mv " +
