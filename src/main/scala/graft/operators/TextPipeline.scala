@@ -458,8 +458,12 @@ object TextPipeline {
         size(array_intersect(col("a.gs"), col("b.gs"))).as("inter"))
       .filter(jac >= dupThreshold)
       .select("doc_id")
-    incoming
-      .join(existing.select("text"), Seq("text"), "left_anti")
+    // Exact gate joins on the md5 digest, not the text: both sides shuffle
+    // 32-byte keys instead of whole documents (same digest-key rationale as
+    // dedup_exact — at corpus scale the anti-join's wire cost drops from
+    // the full corpus to ~0.05% of it).
+    incoming.select(col("doc_id"), md5(col("text")).as("__th"))
+      .join(existing.select(md5(col("text")).as("__th")), Seq("__th"), "left_anti")
       .join(nearDups, Seq("doc_id"), "left_anti")
       .select("doc_id")
   }
@@ -676,9 +680,16 @@ object TextPipeline {
       dedupFunnel(docs(s, d))
     },
 
+    // Grouping key is the md5 DIGEST of the text, not the text: the
+    // partial aggregate combines map-side either way, but the shuffle rows
+    // that do cross the wire carry a 32-byte key instead of the whole
+    // document — at 100 TB that's the difference between shuffling ~0.05%
+    // of the corpus and shuffling all of it. md5 exists verbatim in DuckDB,
+    // so the oracle stays same-algorithm (collision risk 2^-64-ish at any
+    // realistic corpus: accepted, as every production exact-dedup does).
     Op("dedup_exact",
-      "SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id, COUNT(*) AS copies FROM documents GROUP BY text ORDER BY keep_id") { (s, d) =>
-      docs(s, d).groupBy("text")
+      "SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id, COUNT(*) AS copies FROM documents GROUP BY md5(text) ORDER BY keep_id") { (s, d) =>
+      docs(s, d).groupBy(md5(col("text")))
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("copies"))
         .select(col("keep_id"), col("copies"))
         .orderBy("keep_id")
@@ -686,16 +697,17 @@ object TextPipeline {
 
     // Normalized exact dedup: case-fold, strip punctuation, collapse
     // whitespace, THEN group — catches trivially-reformatted copies that
-    // byte-exact dedup misses. Same groupBy shape as `dedup_exact`, so it
-    // distributes identically; the normalization is per-row codegen.
+    // byte-exact dedup misses. Same digest-key shape as `dedup_exact`
+    // (normalize per-row in codegen, shuffle only the 32-byte md5 of the
+    // normalized form), so it distributes identically.
     Op("dedup_exact_norm",
       "SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id, COUNT(*) AS copies FROM (" +
-      "SELECT doc_id, TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g')) AS norm " +
-      "FROM documents) GROUP BY norm ORDER BY keep_id") { (s, d) =>
+      "SELECT doc_id, MD5(TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g'))) AS norm_h " +
+      "FROM documents) GROUP BY norm_h ORDER BY keep_id") { (s, d) =>
       docs(s, d)
         .select(col("doc_id"),
-          trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")).as("norm"))
-        .groupBy("norm")
+          md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))).as("norm_h"))
+        .groupBy("norm_h")
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("copies"))
         .select(col("keep_id"), col("copies"))
         .orderBy("keep_id")
@@ -750,8 +762,9 @@ object TextPipeline {
       val bf = existing.stat.bloomFilter("text", math.max(existing.count(), 1L), 0.01)
       val bfB = s.sparkContext.broadcast(bf)
       val hit = udf((t: String) => t != null && bfB.value.mightContain(t))
-      val truth = incoming
-        .join(existing.select("text").distinct(), Seq("text"), "left_semi")
+      val truth = incoming.select(col("doc_id"), md5(col("text")).as("__th"))
+        .join(existing.select(md5(col("text")).as("__th")).distinct(),
+          Seq("__th"), "left_semi")
         .select(col("doc_id")).withColumn("is_dup", lit(1))
       val probed = incoming.select(col("doc_id"), hit(col("text")).as("bloom_hit"))
         .join(truth, Seq("doc_id"), "left")

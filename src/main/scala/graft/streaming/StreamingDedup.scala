@@ -37,7 +37,11 @@ object StreamingDedup {
       threshold: Double): DataFrame = {
     val distinctBatch = batch
       .withColumn("__rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("text").orderBy("doc_id")))
+        // partition key = md5(text): the rows must shuffle whole either
+        // way (they survive into the corpus), but the window's partition/
+        // sort key is 32 bytes instead of the document
+        org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))
+          .orderBy("doc_id")))
       .filter(col("__rk") === 1).drop("__rk")
     val existing = readCorpus(spark, corpusDir, batch.schema)
     val surviving = TextPipeline.dedupGate(existing, distinctBatch, threshold)
