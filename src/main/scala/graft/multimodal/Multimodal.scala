@@ -41,6 +41,40 @@ object Multimodal {
     * (`multimodal_decode` in SparkEntry).
     */
   object FakeCodec {
+    /** The stub is for SYNTHETIC fixture bytes only. Real media arrives
+      * with a container magic number; if one shows up here the caller has
+      * routed genuine media into the stub path — fail loudly with the
+      * right redirection instead of returning plausible-looking fake
+      * dims/features nobody would ever know were fake.
+      */
+    private val magics: Seq[(Array[Int], String, String)] = Seq(
+      (Array(0x89, 0x50, 0x4E, 0x47), "PNG", "ImageCodec (real JDK decode)"),
+      (Array(0xFF, 0xD8, 0xFF), "JPEG", "ImageCodec (real JDK decode)"),
+      (Array(0x47, 0x49, 0x46, 0x38), "GIF", "ImageCodec (real JDK decode)"),
+      (Array(0x42, 0x4D), "BMP", "ImageCodec (real JDK decode)"),
+      (Array(0x52, 0x49, 0x46, 0x46), "RIFF (WAV/AVI)", "AudioCodec for WAV; video is declared out of scope"),
+      (Array(0x49, 0x44, 0x33), "MP3 (ID3)", "compressed audio decode is declared out of scope"),
+      (Array(0x4F, 0x67, 0x67, 0x53), "OGG", "compressed audio decode is declared out of scope"),
+      (Array(0x1A, 0x45, 0xDF, 0xA3), "Matroska/WebM", "video decode is declared out of scope"),
+      (Array(0x66, 0x6C, 0x61, 0x43), "FLAC", "compressed audio decode is declared out of scope"))
+
+    private def requireStubBytes(bytes: Array[Byte]): Unit = {
+      magics.find { case (m, _, _) =>
+        bytes.length >= m.length + 4 &&
+          m.indices.forall(i => (bytes(i) & 0xff) == m(i))
+      }.orElse {
+        // MP4-family: 'ftyp' at offset 4
+        if (bytes.length >= 12 && bytes(4) == 'f' && bytes(5) == 't' &&
+            bytes(6) == 'y' && bytes(7) == 'p')
+          Some((Array.empty[Int], "MP4/MOV", "video decode is declared out of scope"))
+        else None
+      }.foreach { case (_, fmt, redirect) =>
+        throw new UnsupportedOperationException(
+          s"FakeCodec is a deterministic STUB for synthetic fixture bytes; " +
+          s"these bytes are real $fmt media — $redirect")
+      }
+    }
+
     private val hexUpper = "0123456789ABCDEF".toCharArray
     // One digest per thread, reset per call — the per-partition amortization
     // the mapPartitions shape exists for (no per-row provider lookup).
@@ -69,18 +103,24 @@ object Multimodal {
       v >>> 4
     }
     def decodeDims(bytes: Array[Byte]): (Int, Int) = {
+      requireStubBytes(bytes)
       val h = h60(bytes)
       ((h % 1920).toInt + 1, ((h / 1920) % 1080).toInt + 1)
     }
     /** 8-float "embedding" of the media content. */
     def features(bytes: Array[Byte]): Array[Float] = {
+      requireStubBytes(bytes)
       val hm = h60(bytes) % 1000000007L
       Array.tabulate(8)(i => (((hm * (i * 2 + 1) + i) % 1000).toFloat) / 1000f)
     }
-    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] =
-      (s"resized:${w}x$h:".getBytes ++ bytes.take(16))
-    def sampleFrames(bytes: Array[Byte], everyN: Int): Seq[Array[Byte]] =
+    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      requireStubBytes(bytes)
+      s"resized:${w}x$h:".getBytes ++ bytes.take(16)
+    }
+    def sampleFrames(bytes: Array[Byte], everyN: Int): Seq[Array[Byte]] = {
+      requireStubBytes(bytes)
       bytes.grouped(math.max(bytes.length / math.max(everyN, 1), 1)).take(everyN).toSeq
+    }
   }
 
   /** Decode stage: fills `meta` from the raw bytes. Runs per-partition so a

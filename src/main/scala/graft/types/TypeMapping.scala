@@ -52,8 +52,36 @@ object TypeMapping {
       new Field(name, new FieldType(nullable, toArrowType(other), null), Nil.asJava)
   }
 
+  /** Arrow extension-type passthrough — the GeoArrow declared-parity shim.
+    * The reference preloads DuckDB's spatial extension and exports GEOMETRY
+    * columns as GeoArrow (`/root/reference/src/common/gizmosql_library.cpp:
+    * 820-827`, `tests/test_geoarrow.py`). Spark has no geometry type, so
+    * geometry travels as WKB in a BINARY column whose Spark column metadata
+    * carries the Arrow extension keys; export copies every
+    * `ARROW:extension:*` key onto the Arrow field and import preserves them
+    * back, so a WKB-tagged column round-trips with
+    * `ARROW:extension:name = geoarrow.wkb` (+ its CRS metadata) intact and
+    * any GeoArrow-aware client reads the stream as geometry. ST_* function
+    * evaluation is declared out of scope (ARCHITECTURE.md).
+    */
+  private val ExtensionKeys =
+    Seq("ARROW:extension:name", "ARROW:extension:metadata")
+
+  private def extensionMeta(f: StructField): Map[String, String] =
+    ExtensionKeys.flatMap(k =>
+      if (f.metadata.contains(k)) Some(k -> f.metadata.getString(k)) else None).toMap
+
+  private def withFieldMeta(f: StructField, extra: Map[String, String]): Field = {
+    val base = toArrowField(f.name, f.dataType, f.nullable)
+    val meta = extensionMeta(f) ++ extra
+    if (meta.isEmpty) base
+    else new Field(f.name,
+      new FieldType(base.isNullable, base.getType, null, meta.asJava),
+      base.getChildren)
+  }
+
   def toArrowSchema(schema: StructType): Schema =
-    new Schema(schema.fields.map(f => toArrowField(f.name, f.dataType, f.nullable)).toList.asJava)
+    new Schema(schema.fields.map(f => withFieldMeta(f, Map.empty)).toList.asJava)
 
   /** Schema export with the Flight SQL column-metadata contract
     * (`/root/reference/tests/test_v1_22_1_features.py:102` — GetTables
@@ -65,17 +93,10 @@ object TypeMapping {
     */
   def toArrowSchemaWithRemarks(schema: StructType): Schema =
     new Schema(schema.fields.map { f =>
-      val base = toArrowField(f.name, f.dataType, f.nullable)
       val comment = if (f.metadata.contains("comment"))
         Option(f.metadata.getString("comment")).filter(_.nonEmpty) else None
-      comment match {
-        case Some(c) =>
-          new Field(f.name,
-            new FieldType(base.isNullable, base.getType, null,
-              Map("ARROW:FLIGHT:SQL:REMARKS" -> c).asJava),
-            base.getChildren)
-        case None => base
-      }
+      withFieldMeta(f,
+        comment.map("ARROW:FLIGHT:SQL:REMARKS" -> _).toMap)
     }.toList.asJava)
 
   /** Arrow → Spark (the ingest direction). Mirrors the reference's widenings:
@@ -107,7 +128,19 @@ object TypeMapping {
     case other => throw new IllegalArgumentException(s"No Spark mapping for Arrow $other")
   }
 
-  def fromArrowField(f: Field): StructField = f.getType match {
+  def fromArrowField(f: Field): StructField = {
+    val base = fromArrowFieldBase(f)
+    // preserve Arrow extension metadata (GeoArrow WKB tags) into the Spark
+    // column metadata so export⇄import round-trips the extension type
+    val ext = Option(f.getMetadata).map(_.asScala.toMap).getOrElse(Map.empty)
+      .filter { case (k, _) => k.startsWith("ARROW:extension:") }
+    if (ext.isEmpty) base
+    else base.copy(metadata = ext.foldLeft(new MetadataBuilder()) {
+      case (b, (k, v)) => b.putString(k, v)
+    }.build())
+  }
+
+  private def fromArrowFieldBase(f: Field): StructField = f.getType match {
     case _: ArrowType.List =>
       val elem = fromArrowField(f.getChildren.get(0))
       StructField(f.getName, ArrayType(elem.dataType, elem.nullable), f.isNullable)

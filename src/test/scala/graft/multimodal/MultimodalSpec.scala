@@ -23,6 +23,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("the stub codec REFUSES real media bytes with an explicit redirect") {
+    // nobody may mistake FakeCodec for a codec: real container magics fail
+    // loudly, pointing at the real JDK codec or the declared gap
+    def realPng: Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val mp3 = "ID3".getBytes ++ Array.fill[Byte](32)(0x7)
+    val mp4 = Array[Byte](0, 0, 0, 24) ++ "ftypisom".getBytes ++ Array.fill[Byte](16)(0)
+    val png = realPng
+    def err(f: => Any): String =
+      intercept[UnsupportedOperationException](f).getMessage
+    assert(err(Multimodal.FakeCodec.decodeDims(png)).contains("ImageCodec"))
+    assert(err(Multimodal.FakeCodec.features(mp3)).contains("out of scope"))
+    assert(err(Multimodal.FakeCodec.sampleFrames(mp4, 4)).contains("video"))
+    assert(err(Multimodal.FakeCodec.resize(png, 2, 2)).contains("STUB"))
+    // the distributed stage surfaces the same error (wrapped by Spark)
+    import scala.jdk.CollectionConverters._
+    val realMedia = spark.createDataFrame(
+      List(org.apache.spark.sql.Row(1L, "image", png, null)).asJava,
+      Multimodal.mediaSchema)
+    val e = intercept[Exception](Multimodal.decode(realMedia).collect())
+    assert(e.toString.contains("STUB") ||
+      Option(e.getCause).exists(_.toString.contains("STUB")))
+    // synthetic fixture bytes still pass (no magic)
+    assert(Multimodal.FakeCodec.decodeDims(Array.tabulate[Byte](64)(_.toByte))._1 > 0)
+  }
+
   test("feature extraction yields fixed-width vectors compatible with similarity ops") {
     val feats = Multimodal.extractFeatures(media)
     assert(feats.schema.fieldNames.toSeq == Seq("media_id", "features"))

@@ -89,6 +89,41 @@ class ArrowIOSpec extends AnyFunSuite {
     assert((0 until 9).forall(rt(1).isNullAt))
   }
 
+  test("GeoArrow WKB extension metadata round-trips through the Arrow stream") {
+    // declared-parity shim for the reference's GeoArrow export
+    // (gizmosql_library.cpp:820-827): geometry = WKB bytes in a BINARY
+    // column tagged with the Arrow extension keys. POINT(1 2) as WKB:
+    val wkbPoint = Array[Byte](1, 1, 0, 0, 0,
+      0, 0, 0, 0, 0, 0, -16, 63, // 1.0 LE
+      0, 0, 0, 0, 0, 0, 0, 64) // 2.0 LE
+    val geoMeta = new MetadataBuilder()
+      .putString("ARROW:extension:name", "geoarrow.wkb")
+      .putString("ARROW:extension:metadata", """{"crs": "OGC:CRS84"}""")
+      .build()
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("geom", BinaryType, nullable = true, metadata = geoMeta)))
+    val df = spark.createDataFrame(
+      List(Row(1L, wkbPoint), Row(2L, null)).asJava, schema)
+    // the Arrow field must carry the extension tags (what a GeoArrow-aware
+    // client keys on) ...
+    val arrowField = graft.types.TypeMapping.toArrowSchema(schema).getFields.get(1)
+    assert(arrowField.getMetadata.get("ARROW:extension:name") == "geoarrow.wkb")
+    assert(arrowField.getMetadata.get("ARROW:extension:metadata").contains("OGC:CRS84"))
+    // ... untagged columns must NOT grow metadata keys
+    assert(graft.types.TypeMapping.toArrowSchema(schema)
+      .getFields.get(0).getMetadata.isEmpty)
+    // full stream round-trip preserves tags AND bytes
+    val back = ArrowIO.fromArrowStream(spark, ArrowIO.toArrowStream(df))
+    val f = back.schema.fields(1)
+    assert(f.dataType == BinaryType)
+    assert(f.metadata.getString("ARROW:extension:name") == "geoarrow.wkb")
+    assert(f.metadata.getString("ARROW:extension:metadata").contains("OGC:CRS84"))
+    val rows = back.orderBy("id").collect()
+    assert(rows(0).getAs[Array[Byte]](1).toSeq == wkbPoint.toSeq)
+    assert(rows(1).isNullAt(1))
+  }
+
   test("array columns and real table data round-trip") {
     graft.Tables.ensure(spark, SparkTestHarness.sfDir)
     val emb = spark.table("embeddings").limit(5)
