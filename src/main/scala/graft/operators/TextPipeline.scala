@@ -95,7 +95,30 @@ object TextPipeline {
     * sf0.1. The df>=2 restriction below is the part of that idea that pays
     * for itself at any threshold.
     */
-  def jaccardPairs(d: DataFrame, threshold: Double): DataFrame = {
+  def jaccardPairs(d: DataFrame, threshold: Double): DataFrame =
+    jaccardPairs(d, threshold, hotDfCap = 1 << 12, salts = 16)
+
+  /** As [[jaccardPairs]] with the skew controls exposed. `hotDfCap` is the
+    * per-gram document frequency above which the self-join SALTS: a gram in
+    * k docs contributes C(k,2) pairs, and without salting every one of them
+    * materializes in the single shuffle bucket that gram hashes to — a
+    * pathological gram in 20% of the corpus serializes the whole join on
+    * one task. AQE's skew-join CANNOT rescue this plan: the df window sits
+    * between the shuffle and the join, so there is no raw shuffle read for
+    * it to split (verified against the final adaptive plan — the pin is
+    * `OperatorSpec`'s constructed-skew test). Instead, hot grams use the
+    * standard triangle-block decomposition: each hot row gets a
+    * deterministic salt s in [0,S); the left replica fans to blocks
+    * (s, j>=s), the right to (i<=s, s), and every within-gram pair meets in
+    * EXACTLY one (i, j) block — quadratic work spreads over S(S+1)/2
+    * shuffle keys at replication cost S on hot rows only. Cold grams
+    * (df <= cap) take salt 0 on both sides — block (0,0), one replica each,
+    * byte-identical work to the unsalted join — so the benign-corpus plan
+    * pays one extra int join key and a `sequence(0,0)` explode, nothing
+    * else.
+    */
+  def jaccardPairs(d: DataFrame, threshold: Double, hotDfCap: Int,
+      salts: Int): DataFrame = {
     val g = shingleHashes(d)
     // Only grams appearing in >=2 docs can contribute to any intersection;
     // df=1 grams — the bulk of a mostly-unique corpus — are dropped from
@@ -106,21 +129,44 @@ object TextPipeline {
     // aggregate branch's copy of the exchange subtree gets column-pruned
     // differently (no `n`), which defeats ReusedExchange and re-runs the
     // whole scan+explode+hash pipeline (measured: two parallel 3+ s stages
-    // computing identical grams).
+    // computing identical grams). Residual declared straggler: the window
+    // COUNT itself still processes a hot gram's group in one task — linear,
+    // unlike the join's quadratic, and the documented corpus-scale answer
+    // for pathological grams is MinHash banding upstream.
     val g2 = g
       .withColumn("df", count(lit(1)).over(Window.partitionBy("gram")))
       .filter(col("df") >= 2)
+      .withColumn("hot", col("df") > hotDfCap)
+      .withColumn("salt", when(col("hot"),
+        pmod(xxhash64(col("doc_id")), lit(salts)).cast("int")).otherwise(lit(0)))
       .drop("df")
+    val lhs = g2
+      .withColumn("j", explode(sequence(col("salt"),
+        when(col("hot"), lit(salts - 1)).otherwise(col("salt")))))
+      .select(col("gram"), col("doc_id").as("ld"), col("n").as("ln"),
+        col("salt").as("i"), col("j"))
+    val rhs = g2
+      .withColumn("i", explode(sequence(
+        when(col("hot"), lit(0)).otherwise(col("salt")), col("salt"))))
+      .select(col("gram"), col("doc_id").as("rd"), col("n").as("rn"),
+        col("i"), col("salt").as("j"))
     // shuffle_hash: the gram index is ~docs*grams rows — broadcasting it
     // serializes a 1M-row hashed relation on the driver; a shuffled hash
     // join builds per-partition in parallel and is the only viable shape
     // once the corpus outgrows any single executor. The carried sizes land
     // in the pair aggregate's keys (constant within a pair), so no size
     // joins follow — the aggregate output is already filterable.
-    val pairs = g2.as("a").hint("shuffle_hash").join(g2.as("b"),
-        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.n").as("na"), col("b.n").as("nb"))
+    val joined = lhs.hint("shuffle_hash").join(rhs, Seq("gram", "i", "j"))
+      // same-block pairs orient by id (each unordered pair appears in both
+      // role orders — keep one); cross-block pairs meet exactly once in
+      // either order, so no order constraint applies
+      .filter(col("i") =!= col("j") || col("ld") < col("rd"))
+    val pairs = joined
+      .groupBy(
+        least(col("ld"), col("rd")).as("id_a"),
+        greatest(col("ld"), col("rd")).as("id_b"),
+        when(col("ld") < col("rd"), col("ln")).otherwise(col("rn")).as("na"),
+        when(col("ld") < col("rd"), col("rn")).otherwise(col("ln")).as("nb"))
       .agg(count(lit(1)).as("inter"))
     val jac = col("inter").cast("double") / (col("na") + col("nb") - col("inter"))
     pairs

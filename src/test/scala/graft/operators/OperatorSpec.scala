@@ -85,6 +85,53 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("constructed gram skew: a gram in 20% of docs salt-splits the join and pairs stay exact") {
+    // Pathological-skew pin for the inverted-index self-join: one hot gram
+    // concentrates 20% of the corpus in a single join partition. The
+    // equi-join must (a) stay EXACT and (b) split that partition's
+    // quadratic pair work rather than serializing it on one task.
+    import spark.implicits._
+    val hot = "hot1 hot2 hot3"
+    val n = 400
+    val docsDf = (0 until n).map { i =>
+      val uniq = s"u${i}a u${i}b u${i}c u${i}d"
+      (i.toLong, if (i % 5 == 0) s"$uniq $hot" else uniq)
+    }.toDF("doc_id", "text")
+    // brute-force truth
+    def grams(s: String): Set[String] =
+      s.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    val sets = (0 until n).map { i =>
+      val uniq = s"u${i}a u${i}b u${i}c u${i}d"
+      i.toLong -> grams(if (i % 5 == 0) s"$uniq $hot" else uniq)
+    }
+    val expected = (for {
+      (ia, ga) <- sets; (ib, gb) <- sets if ia < ib
+      inter = (ga & gb).size if inter > 0
+      jac = inter.toDouble / (ga.size + gb.size - inter)
+      if jac >= 0.1
+    } yield (ia, ib)).toSet
+    assert(expected.size == 80 * 79 / 2, "fixture sanity: every hot pair qualifies")
+    // AQE skew-join cannot split this join (the df window sits between the
+    // shuffle and the join — no raw shuffle read to slice), so the engine
+    // salts df-heavy grams instead: triangle-block decomposition on
+    // (gram, i, j). Salted run: the hot gram's C(80,2) pairs spread over
+    // salts*(salts+1)/2 = 10 join blocks, and the result stays EXACT.
+    val salted = TextPipeline.jaccardPairs(docsDf, 0.1, hotDfCap = 16, salts = 4)
+    val gotSalted = salted.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotSalted == expected, "salting changed the pair result")
+    // the block ids are real join keys — that IS the skew split: the hot
+    // gram now hashes to up to 10 distinct shuffle keys instead of 1
+    val plan = salted.queryExecution.executedPlan.toString
+    val joinLine = plan.linesIterator.find(_.contains("ShuffledHashJoin")).getOrElse(
+      fail(s"expected a ShuffledHashJoin in:\n$plan"))
+    assert(joinLine.contains("gram") && joinLine.contains("i#") && joinLine.contains("j#"),
+      s"expected the salted (gram, i, j) join key, got: $joinLine")
+    // default cap (benign corpus): identical result through the salt-0 path
+    val gotDefault = TextPipeline.jaccardPairs(docsDf, 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotDefault == expected)
+  }
+
   test("MinHash LSH candidates are a superset of true Jaccard pairs") {
     Tables.ensure(spark, dir)
     val docs = spark.table("documents")
