@@ -384,11 +384,14 @@ object Statement {
         guardOrThrow(session)(qa)
         val df = session.spark.sql(qa)
         // Execute on the executors WITHOUT materializing the result on the
-        // driver: profiling a wide query must not OOM the server. The
-        // iterator is drained so every operator runs and its SQL metrics
-        // (rows, spill, timing) populate; no row crosses to the driver.
-        df.foreachPartition((it: Iterator[org.apache.spark.sql.Row]) =>
-          it.foreach(_ => ()))
+        // driver: profiling a wide query must not OOM the server. This
+        // drives THIS Dataset's own executedPlan (AQE runs to its final
+        // plan and the SQL metrics accumulators populate) — not
+        // foreachPartition, which executes a separate rddQueryExecution
+        // and would leave the rendered plan cold. No row crosses to the
+        // driver; the foreach closure drops rows on the executors.
+        df.queryExecution.executedPlan.execute()
+          .foreach((_: org.apache.spark.sql.catalyst.InternalRow) => ())
         val plan = df.queryExecution.executedPlan.toString
         val schema = StructType(Seq(StructField("explain_analyze", StringType, nullable = false)))
         session.spark.createDataFrame(

@@ -52,6 +52,12 @@ final class GraftHttpServer(
     // and an external JWT as the password routes through TokenAuth
     // (`gizmosql_security.cpp:533-557`).
     oidc: Option[TokenAuth.Config] = None,
+    // JWKS-backed variant (preferred when both are set): keys located by
+    // the token's kid from a TTL-refreshed key set, so IdP rotation works
+    // without restarting the server (`jwks_manager.cpp` parity; the JWKS
+    // document loads from a pluggable supplier — local file in this
+    // zero-egress environment).
+    oidcJwks: Option[TokenAuth.JwksConfig] = None,
     // Optional TLS material; when set the server speaks HTTPS only.
     tls: Option[GraftHttpServer.Tls] = None,
     // username -> catalog_access grant minted into that user's tokens (the
@@ -289,8 +295,13 @@ final class GraftHttpServer(
             case Array(user, pass) if user == username && Auth.checkBasic(secret, pass, storedPasswordHash) =>
               minted(Auth.mintToken(secret, user, "admin", instanceId,
                 catalogAccess = catalogGrants.get(user)))
-            case Array(TokenAuth.TokenUsername, externalJwt) if oidc.isDefined =>
-              TokenAuth.bootstrap(oidc.get, secret, externalJwt, instanceId) match {
+            case Array(TokenAuth.TokenUsername, externalJwt)
+                if oidcJwks.isDefined || oidc.isDefined =>
+              val r = oidcJwks match {
+                case Some(jc) => TokenAuth.bootstrapJwks(jc, secret, externalJwt, instanceId)
+                case None => TokenAuth.bootstrap(oidc.get, secret, externalJwt, instanceId)
+              }
+              r match {
                 case Left(err) => (401, "application/json", jsonError(err))
                 case Right((_, token)) => minted(token)
               }

@@ -1,0 +1,56 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.functions._
+
+/** A/B probe for the r8 salted gram join at corpus scale: take the sf0.1
+  * documents table (50k docs) and append one shared "boilerplate" phrase to
+  * 20% of them, so a single gram has df = 10k and the exact-Jaccard pair
+  * join owes C(10k,2) = 50M intermediate pairs for that gram alone. Measure
+  * the unsalted shape (hot cap = MaxValue: all pairs of the hot gram land
+  * in ONE shuffle task) against the salted default (cap 4096, S=16: the
+  * same work spread over 136 (gram,i,j) blocks), reporting wall time and
+  * the MAX single-task duration of the pair stage — the straggler number
+  * that decides whether a cluster waits on one core.
+  *
+  * Usage: sbt "runMain graft.tools.SkewJoinProbe [sfDir]"
+  */
+object SkewJoinProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = graft.GraftSession.local()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.Tables.ensure(spark, sfDir)
+    val docs = spark.table("documents").select(col("doc_id"),
+      when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" zzhot1 zzhot2 zzhot3"))).otherwise(col("text"))
+        .as("text"))
+
+    @volatile var maxTaskMs = 0L
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        if (t.taskInfo != null) {
+          val d = t.taskInfo.duration
+          if (d > maxTaskMs) maxTaskMs = d
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+
+    def measure(label: String, cap: Int): Long = {
+      maxTaskMs = 0L
+      val t0 = System.nanoTime()
+      val n = graft.operators.TextPipeline.jaccardPairs(docs, 0.5, cap, 16).count()
+      Thread.sleep(500)
+      println(f"[skew] $label%-10s pairs=$n%d wall=${(System.nanoTime() - t0) / 1e9}%7.2f s  maxTask=${maxTaskMs / 1000.0}%7.2f s")
+      n
+    }
+
+    // warm the shared prefix (scan, shingle, window) once
+    graft.operators.TextPipeline.jaccardPairs(docs, 0.5, Int.MaxValue, 16).count()
+    val a = measure("unsalted", Int.MaxValue)
+    val b = measure("salted", 4096)
+    assert(a == b, s"salting changed the result: $a vs $b")
+    println("[skew] results identical")
+    spark.stop()
+  }
+}

@@ -231,6 +231,23 @@ class QualifyRewriteSpec extends AnyFunSuite {
     assert(lines.mkString("\n").contains("AdaptiveSparkPlan isFinalPlan=true"))
   }
 
+  test("EXPLAIN ANALYZE of a wide result never materializes rows on the driver") {
+    import graft.engine._
+    val sessions = new SessionManager(spark, new GlobalSettings)
+    val session = sessions.getOrCreate("ea-wide", "alice", "user")
+    Tables.ensure(session.spark, SparkTestHarness.sfDir)
+    val admission = new AdmissionController(4, 8, 30)
+    // ~150k-row cross join at the test SF (row count scales with the
+    // fixture, unbounded at real SF); execution drains on the executors,
+    // and the returned payload is PLAN LINES, bounded by plan size, not
+    // result size
+    val lines = Statement.run(sessions, session, new GlobalSettings, admission,
+      "EXPLAIN ANALYZE SELECT a.l_orderkey FROM lineitem a CROSS JOIN nation")
+      .map(_.getString(0))
+    assert(lines.length < 200, s"payload must be the plan, got ${lines.length} rows")
+    assert(lines.mkString("\n").contains("isFinalPlan=true"))
+  }
+
   test("prepared statements speak the dialect too") {
     import graft.engine._
     val sessions = new SessionManager(spark, new GlobalSettings)

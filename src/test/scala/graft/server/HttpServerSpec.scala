@@ -240,6 +240,51 @@ class HttpServerSpec extends AnyFunSuite {
     assert(rows(0).getMap[String, Int](3).contains("NATION_0"))
   }
 
+  test("JWKS-backed OIDC over the wire: key rotation takes effect without restart") {
+    def b64(bi: java.math.BigInteger): String = {
+      val raw = bi.toByteArray
+      val u = if (raw.length > 1 && raw(0) == 0) raw.drop(1) else raw
+      Base64.getUrlEncoder.withoutPadding.encodeToString(u)
+    }
+    def jwksJson(entries: (String, java.security.interfaces.RSAPublicKey)*): String =
+      entries.map { case (kid, k) =>
+        s"""{"kty":"RSA","use":"sig","alg":"RS256","kid":"$kid",""" +
+          s""""n":"${b64(k.getModulus)}","e":"${b64(k.getPublicExponent)}"}"""
+      }.mkString("""{"keys":[""", ",", "]}")
+    def kidToken(kp: java.security.KeyPair, kid: String): String =
+      io.jsonwebtoken.Jwts.builder()
+        .header().keyId(kid).and()
+        .issuer("https://idp.example.com").audience().add("graft").and()
+        .subject("alice@example.com").claim("email", "alice@example.com")
+        .expiration(java.util.Date.from(java.time.Instant.now().plusSeconds(600)))
+        .signWith(kp.getPrivate).compact()
+    val newKeys = { val g = java.security.KeyPairGenerator.getInstance("RSA"); g.initialize(2048); g.generateKeyPair() }
+    val jwksFile = java.nio.file.Files.createTempFile("graft-wire-jwks", ".json")
+    java.nio.file.Files.write(jwksFile,
+      jwksJson("rot1" -> idpKeys.getPublic.asInstanceOf[java.security.interfaces.RSAPublicKey]).getBytes(StandardCharsets.UTF_8))
+    // refreshMs = 0: re-read on every auth, so the rotation is immediate
+    val mgr = graft.engine.JwksManager.fromFile(jwksFile.toString, refreshMs = 0L)
+    val s2 = new GraftHttpServer(spark, secret, Auth.hashPassword(secret, password),
+      onSessionCreate = Tables.ensure(_, SparkTestHarness.sfDir),
+      oidcJwks = Some(graft.engine.TokenAuth.JwksConfig(
+        issuer = "https://idp.example.com", audience = "graft", jwks = mgr)))
+    val p2 = s2.start()
+    try {
+      def auth(jwt: String): Int = {
+        val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p2/auth"))
+          .POST(HttpRequest.BodyPublishers.ofString(""))
+          .header("Authorization", basic("token", jwt))
+        client.send(b.build(), HttpResponse.BodyHandlers.ofByteArray()).statusCode()
+      }
+      assert(auth(kidToken(idpKeys, "rot1")) == 200)
+      // IdP rotates: same server process, new document on disk
+      java.nio.file.Files.write(jwksFile,
+        jwksJson("rot2" -> newKeys.getPublic.asInstanceOf[java.security.interfaces.RSAPublicKey]).getBytes(StandardCharsets.UTF_8))
+      assert(auth(kidToken(idpKeys, "rot1")) == 401, "retired key must stop verifying")
+      assert(auth(kidToken(newKeys, "rot2")) == 200, "rotated-in key must verify without restart")
+    } finally s2.close()
+  }
+
   test("OIDC bootstrap: username 'token' with an external JWT authenticates; forgeries fail") {
     val resp = post("/auth", "", "Authorization" -> basic("token", externalToken("alice@example.com")))
     assert(resp.statusCode() == 200)
