@@ -18,13 +18,23 @@ import org.apache.spark.sql.functions._
 object SkewJoinProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val scale = args.drop(1).headOption.flatMap(_.toIntOption).getOrElse(10)
     val spark = graft.GraftSession.local()
     spark.sparkContext.setLogLevel("WARN")
     graft.Tables.ensure(spark, sfDir)
-    val docs = spark.table("documents").select(col("doc_id"),
-      when(col("doc_id") % 5 === 0,
-        concat(col("text"), lit(" zzhot1 zzhot2 zzhot3"))).otherwise(col("text"))
-        .as("text"))
+    // replicate the corpus `scale`x with distinct ids (copies contribute
+    // ordinary near-dup pairs, identical on both sides of the A/B), then
+    // append the shared phrase to 20% — at scale=10 over sf0.1 that is one
+    // gram with df=10k, i.e. C(10k,2) ~ 50M pair rows owed by a single gram
+    val base = spark.table("documents").select("doc_id", "text")
+    val n = base.count()
+    val docs = base
+      .withColumn("copy", explode(sequence(lit(0), lit(scale - 1))))
+      .select((col("doc_id") + col("copy") * n).as("doc_id"),
+        concat(col("text"),
+          when((col("doc_id") + col("copy") * n) % 5 === 0,
+            lit(" zzhot1 zzhot2 zzhot3")).otherwise(lit("")))
+          .as("text"))
 
     @volatile var maxTaskMs = 0L
     val listener = new SparkListener {
@@ -45,10 +55,10 @@ object SkewJoinProbe {
       n
     }
 
-    // warm the shared prefix (scan, shingle, window) once
-    graft.operators.TextPipeline.jaccardPairs(docs, 0.5, Int.MaxValue, 16).count()
+    // salted first (also warms the shared scan/shingle/window prefix —
+    // cheap), then the unsalted single-bucket shape
+    val b = measure("salted", 1000)
     val a = measure("unsalted", Int.MaxValue)
-    val b = measure("salted", 4096)
     assert(a == b, s"salting changed the result: $a vs $b")
     println("[skew] results identical")
     spark.stop()
