@@ -66,6 +66,7 @@ object ScaleCheck {
     val queries = SparkEntry.queries
     val names = Seq("agg_h01", "agg_global_h06", "join_inner_h03", "join_left_hist",
       "join_theta", "tpch_h18", "win_rownum", "topk",
+      "dedup_exact", "dedup_exact_norm",
       "dedup_minhash_lsh", "dedup_simhash", "dedup_jaccard", "dedup_clusters",
       "text_stats", "text_repetition", "corpus_mixture", "text_boilerplate",
       "pipeline_pack_sequences", "dedup_keep_best",
