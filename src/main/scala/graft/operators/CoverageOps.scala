@@ -384,6 +384,39 @@ object CoverageOps {
       }
     },
 
+    // DuckDB's SELECT DISTINCT ON (exprs): one row per distinct key, pick
+    // governed by ORDER BY — DuckDB executes it natively, Spark through
+    // `plans.DistinctOnRewrite`'s windowed-subquery desugar. The ORDER BY
+    // carries a unique tie-break so the pick is cross-engine deterministic.
+    {
+      val sameText =
+        "SELECT DISTINCT ON (source) doc_id, source, n_chars " +
+        "FROM documents ORDER BY source, n_chars DESC, doc_id"
+      Op("compat_distinct_on", sameText) { (s, d) =>
+        Tables.ensure(s, d)
+        s.sql(graft.plans.Dialect.rewrite(sameText))
+      }
+    },
+
+    // The SQL-standard named WINDOW clause: both engines parse it natively,
+    // so ONE text runs verbatim on both — reference users' window-heavy
+    // queries port unchanged.
+    {
+      val sameText =
+        "SELECT doc_id, source, CAST(ROW_NUMBER() OVER w AS INTEGER) AS rn, " +
+        "CAST(SUM(n_chars) OVER w AS BIGINT) AS run_chars, " +
+        "CAST(COUNT(*) OVER w2 AS BIGINT) AS src_docs " +
+        "FROM documents WHERE doc_id < 50 " +
+        "WINDOW w AS (PARTITION BY source ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), " +
+        "w2 AS (PARTITION BY source) " +
+        "ORDER BY source, doc_id"
+      Op("win_named_window", sameText) { (s, d) =>
+        Tables.ensure(s, d)
+        s.sql(sameText)
+      }
+    },
+
     // DuckDB's COLUMNS() star expression: one text, DuckDB native, Spark
     // via `plans.ColumnsRewrite` (per-column expansion named after the
     // column, matching DuckDB's own auto-naming).

@@ -9,9 +9,9 @@ package graft.plans
   */
 object Dialect {
   def rewrite(sql: String): String =
-    QualifyRewrite.rewrite(StarReplace.rewrite(StarExclude.rewrite(
+    QualifyRewrite.rewrite(DistinctOnRewrite.rewrite(StarReplace.rewrite(StarExclude.rewrite(
       SampleRewrite.rewrite(ListSyntax.rewrite(TableFunctions.rewrite(FromFirstRewrite.rewrite(
-        UnpivotRewrite.rewrite(sql))))))))
+        UnpivotRewrite.rewrite(sql)))))))))
 
   /** Session-aware chain: adds the ASOF JOIN desugar, which needs the two
     * operand schemas (analysis only — nothing executes, nothing registers).
@@ -28,9 +28,9 @@ object Dialect {
     // queries run through spark.sql) sees desugared relation text — e.g.
     // PIVOT over read_parquet(...) needs the path-scan spelling before its
     // distinct-values scan can analyze
-    val t = StarReplace.rewrite(StarExclude.rewrite(
+    val t = DistinctOnRewrite.rewrite(StarReplace.rewrite(StarExclude.rewrite(
       SampleRewrite.rewrite(ListSyntax.rewrite(TableFunctions.rewrite(FromFirstRewrite.rewrite(
-        UnpivotRewrite.rewrite(sql)))))))
+        UnpivotRewrite.rewrite(sql))))))))
     val p = PivotRewrite.rewrite(t, spark, preAnalyze)
     QualifyRewrite.rewrite(ColumnsRewrite.rewrite(InsertByName.rewrite(
       AsofJoinRewrite.rewrite(p, spark, preAnalyze), spark, preAnalyze), spark, preAnalyze))

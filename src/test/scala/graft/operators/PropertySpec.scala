@@ -100,6 +100,29 @@ class PropertySpec extends AnyFunSuite {
     }, n = 100)
   }
 
+  test("salted Jaccard pair join is equivalent to the unsalted join for arbitrary corpora") {
+    // the triangle-block decomposition must be invisible in the RESULT for
+    // any corpus, cap, and salt count — each Spark job is expensive, so
+    // fewer, larger random cases (each corpus exercises many grams/groups)
+    import spark.implicits._
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff")
+    val doc = Gen.chooseNum(3, 8).flatMap(k => Gen.listOfN(k, word).map(_.mkString(" ")))
+    val corpus = Gen.chooseNum(8, 24).flatMap(n => Gen.listOfN(n, doc))
+    val genCase = for {
+      docs <- corpus
+      cap <- Gen.oneOf(1, 2, 3, 1000)
+      salts <- Gen.oneOf(2, 3, 5)
+      thr <- Gen.oneOf(0.1, 0.4, 0.8)
+    } yield (docs, cap, salts, thr)
+    check(Prop.forAll(genCase) { case (docs, cap, salts, thr) =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      def pairs(c: Int, s: Int) =
+        TextPipeline.jaccardPairs(df, thr, c, s)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      pairs(cap, salts) == pairs(Int.MaxValue, 16)
+    }, n = 12)
+  }
+
   test("misraGries: presence + error bound hold for arbitrary skewed streams") {
     // Small alphabet so heavy hitters actually occur; random partitioning so
     // the mergeable-summaries combOp path is exercised, not just seqOp.
