@@ -17,7 +17,8 @@ object SparkEntry {
     Relational.ops ++ Aggregates.ops ++ Windows.ops ++ SetsSortsCtes.ops ++
       ScalarFns.ops ++ TpchSuite.ops ++ SourceOps.ops ++ ExtensibilityOps.ops ++
       TextPipeline.ops ++ TextGovernance.ops ++ Embeddings.ops ++ Events.ops ++
-      TemporalJoins.ops ++ CoverageOps.ops ++ CorpusPrep.ops ++ Maintenance.ops
+      TemporalJoins.ops ++ CoverageOps.ops ++ CorpusPrep.ops ++ Maintenance.ops ++
+      Skyline.ops
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H h03 shape: broadcast + shuffle join, aggregate, top-k.
