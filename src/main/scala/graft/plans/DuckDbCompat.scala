@@ -146,6 +146,57 @@ object DuckDbCompat {
         }
         case _ => throw new IllegalArgumentException(
           "list_aggregate requires a literal function name")
+      }),
+    (FunctionIdentifier("unnest"),
+      info("unnest", "unnest(l) - DuckDB's list unnest, as Spark's explode generator"),
+      (c: Seq[Expression]) => Explode(c(0))),
+    (FunctionIdentifier("list_reverse_sort"),
+      info("list_reverse_sort", "list_reverse_sort(l) - descending sort"),
+      (c: Seq[Expression]) => SortArray(c(0), Literal(false))),
+    (FunctionIdentifier("list_has_any"),
+      info("list_has_any", "list_has_any(a, b) - DuckDB alias of arrays_overlap"),
+      (c: Seq[Expression]) => ArraysOverlap(c(0), c(1))),
+    (FunctionIdentifier("list_has_all"),
+      info("list_has_all", "list_has_all(l, sub) - every element of sub present in l"),
+      (c: Seq[Expression]) => EqualTo(Size(ArrayExcept(c(1), c(0))), Literal(0))),
+    (FunctionIdentifier("list_position"),
+      info("list_position",
+        "list_position(l, v) - 1-based index, NULL when absent (DuckDB; Spark's array_position returns 0)"),
+      (c: Seq[Expression]) => {
+        val pos = ArrayPosition(c(0), c(1))
+        If(EqualTo(pos, Literal(0L)), Literal.create(null,
+          org.apache.spark.sql.types.LongType), pos)
+      }),
+    (FunctionIdentifier("list_extract"),
+      info("list_extract", "list_extract(l, i) - 1-based element access (element_at)"),
+      (c: Seq[Expression]) => ElementAt(c(0), c(1))),
+    (FunctionIdentifier("array_length"),
+      info("array_length", "array_length(l) - DuckDB alias of cardinality"),
+      (c: Seq[Expression]) => Size(c(0))),
+    // DuckDB's regexp_replace takes an OPTIONS string as the 4th argument
+    // ('g' = global, 'i' = case-insensitive); Spark's 4th argument is a
+    // start POSITION. Disambiguate by the literal's type: a string literal
+    // is DuckDB options (global is Spark's default; 'i'/'m'/'s' fold into
+    // the pattern), anything else keeps Spark's position semantics.
+    // Declared narrowing: the 3-arg form keeps Spark's replace-ALL
+    // semantics (DuckDB's default is first-only; Spark has no builtin
+    // replaceFirst) — append 'g' for the portable spelling.
+    (FunctionIdentifier("regexp_replace"),
+      info("regexp_replace",
+        "regexp_replace(s, p, r[, options|position]) - DuckDB options string or Spark position"),
+      (c: Seq[Expression]) => c match {
+        case Seq(s, p, r) => RegExpReplace(s, p, r)
+        case Seq(s, p, r, Literal(flags, org.apache.spark.sql.types.StringType)) =>
+          val f = String.valueOf(flags)
+          val unknown = f.filterNot("gims".contains(_))
+          if (unknown.nonEmpty) throw new IllegalArgumentException(
+            s"regexp_replace: unsupported option(s) '$unknown' (g/i/m/s)")
+          val inline = f.filter(_ != 'g')
+          val pat = if (inline.isEmpty) p else Concat(Seq(lit(s"(?$inline)"), p))
+          RegExpReplace(s, pat, r)
+        case Seq(s, p, r, pos) => RegExpReplace(s, p, r, pos)
+        case _ => throw new IllegalArgumentException(
+          "regexp_replace expects 3 or 4 arguments")
       }))
 }
 

@@ -36,6 +36,33 @@ class DuckDbCompatSpec extends AnyFunSuite {
     assert(r.getSeq[String](7) == Seq("1", "22"))
   }
 
+  test("r8 aliases: unnest, list_has_*, list_position, list_extract, regexp_replace options") {
+    val r = spark.sql(
+      "SELECT list_reverse_sort(array(1,3,2)) AS lrs, " +
+      "list_has_any(array(1,2), array(2,9)) AS ha, " +
+      "list_has_any(array(1,2), array(8,9)) AS ha0, " +
+      "list_has_all(array(1,2,3), array(3,1)) AS hall, " +
+      "list_has_all(array(1,2), array(3,1)) AS hall0, " +
+      "list_position(array(10,20), 20) AS lp, " +
+      "list_position(array(10,20), 99) AS lp0, " +
+      "list_extract(array('a','b'), 2) AS le, " +
+      "array_length(array(1,2,3)) AS al, " +
+      "regexp_replace('aAbA', 'a', 'x', 'gi') AS rrgi, " +
+      "regexp_replace('aAbA', 'a', 'x', 'g') AS rrg").collect()(0)
+    assert(r.getSeq[Int](0) == Seq(3, 2, 1))
+    assert(r.getBoolean(1) && !r.getBoolean(2))
+    assert(r.getBoolean(3) && !r.getBoolean(4))
+    assert(r.getLong(5) == 2L && r.isNullAt(6))
+    assert(r.getString(7) == "b" && r.getInt(8) == 3)
+    assert(r.getString(9) == "xxbx" && r.getString(10) == "xAbA")
+    // unnest = explode generator in select position (DuckDB's common form)
+    val u = spark.sql("SELECT unnest(array(1,2,3)) AS v").collect().map(_.getInt(0))
+    assert(u.toSeq == Seq(1, 2, 3))
+    // unsupported regex option fails loudly, not silently
+    val e = intercept[Exception](spark.sql("SELECT regexp_replace('a','a','x','z')").collect())
+    assert(e.getMessage.contains("unsupported option"))
+  }
+
   test("epoch aliases and list_aggregate reducers") {
     val r = spark.sql(
       "SELECT epoch_us(TIMESTAMP_NTZ '2024-01-01 00:00:00') AS us, " +
