@@ -544,13 +544,17 @@ object Statement {
         // Row-level UPDATE/DELETE/MERGE: Spark's file sources have no native
         // execution for these, so after the same guard/catalog checks as any
         // write, the engine's copy-on-write path runs them and returns the
-        // affected count (reference: duckdb_statement.cpp:2365-2379). Inside
-        // an open transaction the same computation lands in a staged
+        // affected count (reference: duckdb_statement.cpp:2365-2379) — or,
+        // with DuckDB's RETURNING tail, the affected rows themselves. The
+        // guard parses Spark SQL, so it checks the RETURNING-stripped core
+        // (the tail is a projection over rows the core already authorizes).
+        // Inside an open transaction the same computation lands in a staged
         // snapshot + shadow view instead of the table (TxnDml).
-        StatementGuard.check(session.spark, sql, session.isAdmin, session.isReadOnly) match {
+        val (dmlCore, _) = graft.sources.RowDml.splitReturning(sql)
+        StatementGuard.check(session.spark, dmlCore, session.isAdmin, session.isReadOnly) match {
           case StatementGuard.Blocked(reason) => throw new SecurityException(reason)
           case StatementGuard.Allowed =>
-            CatalogAccess.enforce(session, session.spark, sql, sessions.attachments.names)
+            CatalogAccess.enforce(session, session.spark, dmlCore, sessions.attachments.names)
             val res = session.activeTxn match {
               case Some(txnId) => graft.sources.RowDml.execute(session.spark, sql,
                 sink = TxnDml.stagedSink(sessions.transactions, txnId),
@@ -559,6 +563,68 @@ object Statement {
             }
             PlanCache.invalidate(session.spark)
             res
+        }
+
+      case _ if sql.trim.toUpperCase.startsWith("INSERT") &&
+          graft.sources.RowDml.splitReturning(sql)._2.isDefined =>
+        // DuckDB's INSERT ... RETURNING: run the insert, return the
+        // inserted rows (aligned to the table schema, unspecified columns
+        // NULL). The RETURNING projection is materialized from the SOURCE
+        // before the insert executes — a self-referencing source
+        // (INSERT INTO t SELECT FROM t) sees the pre-insert snapshot,
+        // DuckDB's semantics.
+        if (session.activeTxn.nonEmpty)
+          throw new IllegalArgumentException(
+            "INSERT ... RETURNING inside a transaction is not supported " +
+            "(only row-level UPDATE/DELETE/MERGE are transactional)")
+        val (core0, Some(retItems)) = graft.sources.RowDml.splitReturning(sql): @unchecked
+        val core = graft.plans.Dialect.rewrite(
+          Macros.expand(core0, session.macros), session.spark, guardOrThrow(session))
+        StatementGuard.check(session.spark, core, session.isAdmin, session.isReadOnly) match {
+          case StatementGuard.Blocked(reason) => throw new SecurityException(reason)
+          case StatementGuard.Allowed =>
+            CatalogAccess.enforce(session, session.spark, core, sessions.attachments.names)
+            val HeadRe =
+              """(?is)^\s*INSERT\s+INTO\s+(?:TABLE\s+)?((?:[\w.]+)|`[^`]+`)\s*(?:\(([^)]*)\))?\s*(.*)$""".r
+            core match {
+              case HeadRe(table, colListRaw, srcRaw)
+                  if !srcRaw.trim.toUpperCase.startsWith("PARTITION") =>
+                val schema = session.spark.table(table).schema
+                // "(x)" after the table is a COLUMN LIST only when it holds
+                // plain identifiers; otherwise it is a parenthesized source
+                // query — reassemble it (the regex split is exact, so
+                // concatenation restores the original text)
+                val isColList = Option(colListRaw).exists(
+                  _.split(",").forall(_.trim.matches("`?[A-Za-z_][\\w]*`?")))
+                val (colList, src) =
+                  if (isColList) (Option(colListRaw), srcRaw)
+                  else (None,
+                    Option(colListRaw).map(c => s"($c)$srcRaw").getOrElse(srcRaw))
+                val specified = colList
+                  .map(_.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
+                    .filter(_.nonEmpty).toSeq)
+                  .getOrElse(schema.fields.map(_.name).toSeq)
+                val srcDf = session.spark.sql(src)
+                if (srcDf.columns.length != specified.length)
+                  throw new IllegalArgumentException(
+                    s"INSERT source has ${srcDf.columns.length} columns, " +
+                    s"target list has ${specified.length}")
+                val renamed = srcDf.toDF(specified: _*)
+                val lower = specified.map(_.toLowerCase)
+                val full = renamed.select(schema.fields.map { f =>
+                  if (lower.contains(f.name.toLowerCase))
+                    org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)
+                  else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
+                }.toIndexedSeq: _*)
+                // pin the returned rows before the table mutates
+                val ret = full.selectExpr(retItems: _*).localCheckpoint(true)
+                session.spark.sql(core)
+                PlanCache.invalidate(session.spark)
+                ret
+              case _ => throw new IllegalArgumentException(
+                "RETURNING is supported on INSERT INTO <table> [(cols)] " +
+                "<VALUES|query> (no PARTITION spec, no OVERWRITE)")
+            }
         }
 
       case _ =>

@@ -38,6 +38,24 @@ object RowDml {
 
   def handles(sql: String): Boolean = Prefix.matches(sql)
 
+  /** DuckDB's `RETURNING <items>` DML tail: split it off (top level only —
+    * literals and subqueries never scanned). Returns (core statement,
+    * returning items or None).
+    */
+  def splitReturning(sql: String): (String, Option[Seq[String]]) = {
+    val trimmed = sql.trim.stripSuffix(";")
+    graft.plans.SqlScan.topLevel(trimmed, "RETURNING").lastOption match {
+      case None => (trimmed, None)
+      case Some(i) =>
+        val items = graft.plans.SqlScan.splitTopLevel(
+          trimmed.substring(i + "RETURNING".length).trim, ",")
+          .map(_.trim).filter(_.nonEmpty)
+        if (items.isEmpty) throw new IllegalArgumentException(
+          "RETURNING requires at least one expression")
+        (trimmed.substring(0, i).trim, Some(items))
+    }
+  }
+
   /** Where a DML statement's result rows land: (table, full-or-partition
     * frame, partitionScoped). The default sink is the live copy-on-write
     * [[rewrite]]; a transaction substitutes a staging sink that shadows the
@@ -54,20 +72,33 @@ object RowDml {
     */
   def execute(spark: SparkSession, sql: String,
       sink: Sink = rewrite, allowPartitionScope: Boolean = true): DataFrame = {
-    spark.sessionState.sqlParser.parsePlan(sql) match {
+    val (core, returning) = splitReturning(sql)
+    spark.sessionState.sqlParser.parsePlan(core) match {
       case u: UpdateTable =>
         val (name, alias) = relationOf(u.table)
-        update(spark, name, alias, u.assignments, u.condition, sink, allowPartitionScope)
+        update(spark, name, alias, u.assignments, u.condition, sink,
+          allowPartitionScope, returning)
       case d: DeleteFromTable =>
         val (name, alias) = relationOf(d.table)
-        delete(spark, name, alias, Option(d.condition), sink, allowPartitionScope)
+        delete(spark, name, alias, Option(d.condition), sink,
+          allowPartitionScope, returning)
       case m: MergeIntoTable =>
+        if (returning.nonEmpty) throw new UnsupportedOperationException(
+          "RETURNING is not supported on MERGE (DuckDB parity)")
         merge(spark, m, sink)
       case other =>
         throw new IllegalArgumentException(
           s"not a row-level DML statement: ${other.getClass.getSimpleName}")
     }
   }
+
+  /** Materialize the RETURNING projection BEFORE the sink rewrites the
+    * table's files: `localCheckpoint(eager)` pins the rows to storage
+    * blocks and cuts lineage, so the returned DataFrame can never lazily
+    * re-read post-write files.
+    */
+  private def returningResult(df: DataFrame, items: Seq[String]): DataFrame =
+    df.selectExpr(items: _*).localCheckpoint(true)
 
   // ---- plumbing ----------------------------------------------------------
 
@@ -131,7 +162,8 @@ object RowDml {
 
   private def update(spark: SparkSession, name: String, alias: String,
       assignments: Seq[Assignment], condition: Option[Expression],
-      sink: Sink, allowPartitionScope: Boolean): DataFrame = {
+      sink: Sink, allowPartitionScope: Boolean,
+      returning: Option[Seq[String]] = None): DataFrame = {
     val df = spark.table(name).alias(alias)
     val cond = coalesce(condition.map(exprCol).getOrElse(lit(true)).cast("boolean"), lit(false))
     val affected = df.filter(cond).count()
@@ -144,6 +176,19 @@ object RowDml {
         case None => col(f.name)
       }
     }.toIndexedSeq: _*)
+    // RETURNING sees the POST-update image of the affected rows (DuckDB
+    // semantics): filter on the PRE-image condition first (an assignment
+    // may falsify its own WHERE), then apply the assignments, materialized
+    // before any file is rewritten
+    val ret = returning.map { items =>
+      val postImage = df.filter(cond).select(schema.fields.map { f =>
+        assign.get(f.name) match {
+          case Some(v) => v.cast(f.dataType).as(f.name)
+          case None => col(f.name)
+        }
+      }.toIndexedSeq: _*)
+      returningResult(postImage, items)
+    }
     val parts = partitionCols(spark, name)
     if (parts.nonEmpty && allowPartitionScope) {
       // Updates keep every row, so an affected partition can never empty out:
@@ -157,17 +202,21 @@ object RowDml {
         sink(spark, name, scoped, true)
       }
     } else sink(spark, name, updated, false)
-    affectedResult(spark, affected)
+    ret.getOrElse(affectedResult(spark, affected))
   }
 
   // ---- DELETE ------------------------------------------------------------
 
   private def delete(spark: SparkSession, name: String, alias: String,
       condition: Option[Expression],
-      sink: Sink, allowPartitionScope: Boolean): DataFrame = {
+      sink: Sink, allowPartitionScope: Boolean,
+      returning: Option[Seq[String]] = None): DataFrame = {
     val df = spark.table(name).alias(alias)
     val cond = coalesce(condition.map(exprCol).getOrElse(lit(true)).cast("boolean"), lit(false))
     val affected = df.filter(cond).count()
+    // RETURNING on DELETE = the deleted rows (pre-image), pinned before
+    // the rewrite removes their files
+    val ret = returning.map(items => returningResult(df.filter(cond), items))
     val kept = df.filter(!cond)
     val parts = partitionCols(spark, name)
     if (parts.nonEmpty && allowPartitionScope) {
@@ -182,7 +231,7 @@ object RowDml {
       else
         sink(spark, name, keptInAffected, true)
     } else sink(spark, name, kept, false)
-    affectedResult(spark, affected)
+    ret.getOrElse(affectedResult(spark, affected))
   }
 
   // ---- MERGE -------------------------------------------------------------

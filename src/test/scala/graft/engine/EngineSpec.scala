@@ -450,6 +450,38 @@ class FlightSurfaceSpec extends AnyFunSuite {
     s.spark.sql("DROP TABLE cor_keep")
   }
 
+  test("INSERT ... RETURNING yields the inserted rows; UPDATE/DELETE RETURNING flow through the pipeline") {
+    val s = sessions.getOrCreate("ret-s", "alice", "admin")
+    val global = new GlobalSettings
+    def run(sql: String) = Statement.create(sessions, s, global, sql)
+    s.spark.sql("DROP TABLE IF EXISTS ret_t")
+    run("CREATE OR REPLACE TABLE ret_t AS SELECT 1 AS id, 'x' AS tag, CAST(1.5 AS DOUBLE) AS v")
+    // VALUES source, full column list implied
+    val ins = run("INSERT INTO ret_t VALUES (2, 'y', 2.5), (3, 'z', 3.5) RETURNING id, tag")
+      .collect().map(r => (r.getInt(0), r.getString(1))).sortBy(_._1)
+    assert(ins.toSeq == Seq((2, "y"), (3, "z")))
+    assert(s.spark.table("ret_t").count() == 3)
+    // partial column list: unspecified columns NULL in the returned rows
+    val part = run("INSERT INTO ret_t (id) VALUES (9) RETURNING id, tag, v")
+      .collect().head
+    assert(part.getInt(0) == 9 && part.isNullAt(1) && part.isNullAt(2))
+    // query source referencing the target: RETURNING sees the pre-insert snapshot
+    val self = run("INSERT INTO ret_t SELECT id + 100, tag, v FROM ret_t WHERE id <= 3 RETURNING id")
+      .collect().map(_.getInt(0)).sorted
+    assert(self.toSeq == Seq(101, 102, 103))
+    // UPDATE/DELETE RETURNING through the statement pipeline (guard sees the
+    // stripped core)
+    val upd = run("UPDATE ret_t SET v = 0 WHERE id = 9 RETURNING id, v").collect()
+    assert(upd.length == 1 && upd.head.getInt(0) == 9 && upd.head.getDouble(1) == 0.0)
+    val del = run("DELETE FROM ret_t WHERE id > 100 RETURNING id").collect().map(_.getInt(0)).sorted
+    assert(del.toSeq == Seq(101, 102, 103))
+    // read-only role still blocked on the stripped core
+    val ro = sessions.getOrCreate("ret-ro", "bob", "readonly")
+    intercept[SecurityException](Statement.create(sessions, ro, global,
+      "DELETE FROM ret_t WHERE id = 1 RETURNING *"))
+    s.spark.sql("DROP TABLE ret_t")
+  }
+
   test("mutations via COPY FROM and CREATE OR REPLACE invalidate cached SELECT plans") {
     val s = sessions.getOrCreate("cor-cache", "alice", "admin")
     val global = new GlobalSettings

@@ -80,6 +80,43 @@ class DmlSpec extends AnyFunSuite {
     assert(spark.table("dml_p2").select("id").as[Int].collect().toSeq == Seq(1))
   }
 
+  test("RETURNING: UPDATE yields the post-image, DELETE the deleted rows, pinned pre-rewrite") {
+    import spark.implicits._
+    freshTable("dml_r1")
+    Seq((1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0))
+      .toDF("id", "grp", "v").write.saveAsTable("dml_r1")
+    // UPDATE ... RETURNING: post-update values of the affected rows only;
+    // the WHERE is evaluated on the PRE-image even when the assignment
+    // falsifies it
+    val upd = RowDml.execute(spark,
+      "UPDATE dml_r1 SET v = 0 WHERE v > 15 RETURNING id, v, grp")
+      .orderBy("id").collect().map(r => (r.getInt(0), r.getDouble(1), r.getString(2)))
+    assert(upd.toSeq == Seq((2, 0.0, "b"), (3, 0.0, "a")))
+    assert(spark.table("dml_r1").filter(col("v") === 0).count() == 2)
+    // DELETE ... RETURNING *: the deleted rows, readable AFTER their files
+    // are gone (localCheckpoint pins them)
+    val del = RowDml.execute(spark, "DELETE FROM dml_r1 WHERE grp = 'a' RETURNING *")
+    assert(spark.table("dml_r1").count() == 1) // rewrite already happened
+    val delRows = del.orderBy("id").collect().map(_.getInt(0))
+    assert(delRows.toSeq == Seq(1, 3))
+    // RETURNING supports expressions and aliases
+    freshTable("dml_r2")
+    Seq((1, 5.0)).toDF("id", "v").write.saveAsTable("dml_r2")
+    val expr = RowDml.execute(spark,
+      "UPDATE dml_r2 SET v = v + 1 RETURNING id * 10 AS id10, v")
+      .collect().map(r => (r.getInt(0), r.getDouble(1)))
+    assert(expr.toSeq == Seq((10, 6.0)))
+    // a RETURNING inside a string literal is NOT a clause
+    val lit = RowDml.execute(spark,
+      "UPDATE dml_r2 SET v = 9 WHERE 'RETURNING x' = 'RETURNING x'")
+      .collect().head.getLong(0)
+    assert(lit == 1)
+    // MERGE ... RETURNING is declared unsupported
+    intercept[UnsupportedOperationException](RowDml.execute(spark,
+      "MERGE INTO dml_r2 t USING dml_r2 s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET v = 1 RETURNING *"))
+  }
+
   test("MERGE applies conditional update, delete, and insert actions in order") {
     import spark.implicits._
     freshTable("dml_m1")
