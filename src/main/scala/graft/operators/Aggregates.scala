@@ -240,6 +240,19 @@ object Aggregates {
         .orderBy("n_regionkey")
     },
 
+    // The SQL-standard ordered spelling: Spark's native
+    // LISTAGG ... WITHIN GROUP (ORDER BY ...) vs DuckDB's in-call
+    // STRING_AGG(x, sep ORDER BY ...) — same semantics, dialect-specific
+    // syntax on each side (descending order to also pin the direction).
+    Op("agg_listagg_within",
+      "SELECT n_regionkey, STRING_AGG(n_name, '|' ORDER BY n_name DESC) AS names_desc " +
+      "FROM nation GROUP BY n_regionkey ORDER BY n_regionkey") { (s, d) =>
+      Tables.ensure(s, d)
+      s.sql("SELECT n_regionkey, " +
+        "LISTAGG(n_name, '|') WITHIN GROUP (ORDER BY n_name DESC) AS names_desc " +
+        "FROM nation GROUP BY n_regionkey ORDER BY n_regionkey")
+    },
+
     // Aggregate FILTER clause — per-aggregate predicates in one pass.
     Op("agg_filter_clause",
       "SELECT l_returnflag, CAST(COUNT(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_big, " +

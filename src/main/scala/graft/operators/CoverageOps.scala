@@ -427,6 +427,42 @@ object CoverageOps {
         Tables.ensure(s, d)
         s.sql(graft.plans.Dialect.rewrite(sameText, s))
       }
+    },
+
+    // DuckDB's aggregate spellings — arg_max/arg_min, string_agg,
+    // quantile_cont/quantile_disc — registered as native Catalyst aggregate
+    // aliases (DuckDbCompat), so ONE text runs verbatim on both engines.
+    // Determinism by construction: arg_max/arg_min order on o_orderkey
+    // (globally unique, so the picked arg is well-defined); string_agg runs
+    // on single-row groups (region key is unique — element order never
+    // matters); quantile_disc semantics probed against DuckDB (both engines
+    // use the SQL-standard smallest-value-with-cume_dist>=q rule, verified
+    // on the q=0.9/n=4 case that separates it from the floor(q*(n-1))
+    // rule).
+    {
+      val sameText =
+        "SELECT o_custkey % 10 AS bucket, " +
+        "arg_max(o_orderdate, o_orderkey) AS last_by_key, " +
+        "arg_min(o_orderdate, o_orderkey) AS first_by_key, " +
+        "ROUND(quantile_cont(o_totalprice, 0.5), 2) AS med_price, " +
+        "CAST(quantile_disc(o_orderkey, 0.25) AS BIGINT) AS qd_key " +
+        "FROM orders GROUP BY 1 ORDER BY 1"
+      Op("compat_agg_aliases", sameText) { (s, d) =>
+        Tables.ensure(s, d)
+        s.sql(sameText)
+      }
+    },
+
+    // string_agg alias wiring on single-element groups (one text, verbatim
+    // both engines — deterministic because each group has exactly one row).
+    {
+      val sameText =
+        "SELECT r_regionkey, string_agg(r_name, ';') AS nm " +
+        "FROM region GROUP BY r_regionkey ORDER BY r_regionkey"
+      Op("compat_string_agg", sameText) { (s, d) =>
+        Tables.ensure(s, d)
+        s.sql(sameText)
+      }
     }
   )
 }

@@ -173,6 +173,35 @@ object DuckDbCompat {
     (FunctionIdentifier("array_length"),
       info("array_length", "array_length(l) - DuckDB alias of cardinality"),
       (c: Seq[Expression]) => Size(c(0))),
+    // Aggregate aliases: the registry builder returns the bare
+    // AggregateFunction — the analyzer wraps it into an AggregateExpression,
+    // exactly as it does for the built-in spellings.
+    (FunctionIdentifier("arg_max"),
+      info("arg_max", "arg_max(arg, val) - arg at the maximum val (DuckDB alias of max_by)"),
+      (c: Seq[Expression]) => aggregate.MaxBy(c(0), c(1))),
+    (FunctionIdentifier("arg_min"),
+      info("arg_min", "arg_min(arg, val) - arg at the minimum val (DuckDB alias of min_by)"),
+      (c: Seq[Expression]) => aggregate.MinBy(c(0), c(1))),
+    // DuckDB's string_agg/group_concat: separator defaults to ','; element
+    // order is unspecified in both engines unless an ordering is given
+    // (DuckDB: `ORDER BY` inside the call; here: LISTAGG ... WITHIN GROUP,
+    // which Spark's parser accepts natively).
+    (FunctionIdentifier("string_agg"),
+      info("string_agg", "string_agg(s[, sep]) - concatenate group values (DuckDB dialect)"),
+      (c: Seq[Expression]) => aggregate.ListAgg(c(0),
+        if (c.length > 1) c(1) else lit(","))),
+    (FunctionIdentifier("group_concat"),
+      info("group_concat", "group_concat(s[, sep]) - DuckDB alias of string_agg"),
+      (c: Seq[Expression]) => aggregate.ListAgg(c(0),
+        if (c.length > 1) c(1) else lit(","))),
+    (FunctionIdentifier("quantile_cont"),
+      info("quantile_cont",
+        "quantile_cont(x, q) - linearly interpolated quantile (DuckDB alias of percentile)"),
+      (c: Seq[Expression]) => new aggregate.Percentile(c(0), c(1))),
+    (FunctionIdentifier("quantile_disc"),
+      info("quantile_disc",
+        "quantile_disc(x, q) - discrete quantile: smallest element with cume_dist >= q"),
+      (c: Seq[Expression]) => aggregate.PercentileDisc(c(0), c(1), false, 0, 0, false)),
     // DuckDB's regexp_replace takes an OPTIONS string as the 4th argument
     // ('g' = global, 'i' = case-insensitive); Spark's 4th argument is a
     // start POSITION. Disambiguate by the literal's type: a string literal
