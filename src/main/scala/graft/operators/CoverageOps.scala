@@ -463,6 +463,26 @@ object CoverageOps {
         Tables.ensure(s, d)
         s.sql(sameText)
       }
+    },
+
+    // DuckDB's C-style datetime formatting and printf: strftime/strptime
+    // run through the bind-time %-code → Java-pattern translation
+    // (DuckDbCompat.StrfTime), printf maps onto format_string (both engines
+    // consume C %-codes). ONE text, verbatim on both engines.
+    {
+      val sameText =
+        "SELECT o_orderkey, " +
+        "strftime(CAST(o_orderdate AS TIMESTAMP), '%Y/%m/%d') AS ymd, " +
+        "strftime(CAST(o_orderdate AS TIMESTAMP), '%d %b %Y') AS dmy, " +
+        // STRING: the one varchar spelling BOTH parsers accept (Spark
+        // rejects bare VARCHAR; DuckDB aliases STRING to VARCHAR)
+        "CAST(strptime('2024-03-05 14:30:09', '%Y-%m-%d %H:%M:%S') AS STRING) AS parsed, " +
+        "printf('%s/%d', o_orderstatus, o_orderkey % 7) AS tagged " +
+        "FROM orders WHERE o_orderkey < 60 ORDER BY o_orderkey"
+      Op("compat_strftime", sameText) { (s, d) =>
+        Tables.ensure(s, d)
+        s.sql(sameText)
+      }
     }
   )
 }

@@ -28,6 +28,12 @@ object DuckDbCompat {
 
   private def lit(s: String) = Literal.create(s, org.apache.spark.sql.types.StringType)
 
+  private def literalText(e: Expression, fn: String): String = e match {
+    case Literal(s, org.apache.spark.sql.types.StringType) if s != null => s.toString
+    case _ => throw new IllegalArgumentException(
+      s"$fn requires a literal format string")
+  }
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("string_split"),
       info("string_split", "string_split(s, sep) - split on a literal separator (DuckDB dialect)"),
@@ -202,6 +208,23 @@ object DuckDbCompat {
       info("quantile_disc",
         "quantile_disc(x, q) - discrete quantile: smallest element with cume_dist >= q"),
       (c: Seq[Expression]) => aggregate.PercentileDisc(c(0), c(1), false, 0, 0, false)),
+    // DuckDB strftime/strptime use C-style codes (%Y-%m-%d); Spark's
+    // date_format/to_timestamp use Java patterns. The format is translated
+    // at bind time (literal formats only — a computed format would need a
+    // per-row translator, which no reference query uses), then execution is
+    // the plain codegen'd built-in.
+    (FunctionIdentifier("strftime"),
+      info("strftime", "strftime(ts, '%Y-%m-%d') - C-style timestamp formatting (DuckDB dialect)"),
+      (c: Seq[Expression]) => DateFormatClass(
+        Cast(c(0), org.apache.spark.sql.types.TimestampType),
+        lit(StrfTime.toJavaPattern(literalText(c(1), "strftime"))))),
+    (FunctionIdentifier("strptime"),
+      info("strptime", "strptime(s, '%Y-%m-%d') - C-style timestamp parsing (DuckDB dialect)"),
+      (c: Seq[Expression]) => new ParseToTimestamp(c(0),
+        lit(StrfTime.toJavaPattern(literalText(c(1), "strptime"))))),
+    (FunctionIdentifier("printf"),
+      info("printf", "printf(fmt, ...) - C-style formatting (both engines use %-codes)"),
+      (c: Seq[Expression]) => FormatString(c: _*)),
     // DuckDB's regexp_replace takes an OPTIONS string as the 4th argument
     // ('g' = global, 'i' = case-insensitive); Spark's 4th argument is a
     // start POSITION. Disambiguate by the literal's type: a string literal
@@ -227,6 +250,48 @@ object DuckDbCompat {
         case _ => throw new IllegalArgumentException(
           "regexp_replace expects 3 or 4 arguments")
       }))
+}
+
+/** C-style (strftime) → Spark datetime pattern translation. Literal text
+  * between codes is single-quoted so pattern letters in it (e.g. "Day")
+  * cannot be interpreted; unknown codes are rejected loudly rather than
+  * silently mis-formatting.
+  */
+object StrfTime {
+  private val codes: Map[Char, String] = Map(
+    'Y' -> "yyyy", 'y' -> "yy", 'm' -> "MM", 'd' -> "dd",
+    'H' -> "HH", 'I' -> "hh", 'M' -> "mm", 'S' -> "ss",
+    'f' -> "SSSSSS", 'g' -> "SSS",
+    'j' -> "DDD", 'a' -> "EEE", 'b' -> "MMM", 'p' -> "a",
+    'Z' -> "zzz")
+
+  def toJavaPattern(fmt: String): String = {
+    val out = new StringBuilder
+    val literalRun = new StringBuilder
+    def flush(): Unit = if (literalRun.nonEmpty) {
+      val run = literalRun.toString
+      // Quote any run containing a letter (potential pattern char); quotes
+      // inside the run are doubled per java.time quoting rules.
+      if (run.exists(_.isLetter) || run.contains("'"))
+        out.append("'").append(run.replace("'", "''")).append("'")
+      else out.append(run)
+      literalRun.clear()
+    }
+    var i = 0
+    while (i < fmt.length) {
+      if (fmt.charAt(i) == '%' && i + 1 < fmt.length) {
+        val c = fmt.charAt(i + 1)
+        if (c == '%') { literalRun.append('%'); i += 2 }
+        else codes.get(c) match {
+          case Some(p) => flush(); out.append(p); i += 2
+          case None => throw new IllegalArgumentException(
+            s"strftime/strptime: unsupported format code '%$c' in '$fmt'")
+        }
+      } else { literalRun.append(fmt.charAt(i)); i += 1 }
+    }
+    flush()
+    out.toString
+  }
 }
 
 /** DuckDB `len`: string length on strings, cardinality on lists — the

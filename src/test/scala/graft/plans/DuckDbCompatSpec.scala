@@ -76,4 +76,49 @@ class DuckDbCompatSpec extends AnyFunSuite {
     assert(r.getDouble(2) == 6.0)
     assert(r.getInt(3) == 1 && r.getInt(4) == 3 && r.getInt(5) == 2)
   }
+
+  test("aggregate aliases: arg_max/arg_min, string_agg, quantiles match DuckDB values") {
+    val r = spark.sql(
+      "SELECT arg_max(a, v) AS amax, arg_min(a, v) AS amin, " +
+      "string_agg(a) AS sa_default, string_agg(a, ';') AS sa_semi, " +
+      "group_concat(a) AS gc, " +
+      "quantile_cont(v, 0.25) AS qc, " +
+      "quantile_disc(v, 0.9) AS qd " +
+      "FROM VALUES ('x', 1), ('y', 9), ('z', 5), ('w', 3) AS t(a, v)").collect()(0)
+    assert(r.getString(0) == "y" && r.getString(1) == "x")
+    // string_agg default separator is DuckDB's ','; element order follows
+    // input order in a single partition — sort-insensitive check
+    assert(r.getString(2).split(",").sorted.toSeq == Seq("w", "x", "y", "z"))
+    assert(r.getString(3).split(";").sorted.toSeq == Seq("w", "x", "y", "z"))
+    assert(r.getString(4).split(",").sorted.toSeq == Seq("w", "x", "y", "z"))
+    // quantile_cont(0.25) over {1,3,5,9}: idx 0.75 -> 1 + 0.75*(3-1) = 2.5
+    assert(r.getDouble(5) == 2.5)
+    // quantile_disc(0.9): smallest element with cume_dist >= 0.9 -> 9
+    // (the case that separates the SQL-standard rule from floor(q*(n-1)),
+    // probed against DuckDB 1.0 while authoring). Declared narrowing:
+    // Spark's PercentileDisc yields DOUBLE where DuckDB keeps the element
+    // type — cast when an exact cross-engine dtype is needed.
+    assert(r.getDouble(6) == 9.0)
+  }
+
+  test("strftime/strptime translate C codes; printf is format_string") {
+    val r = spark.sql(
+      "SELECT strftime(TIMESTAMP_NTZ '1997-03-05 14:07:09', '%Y/%m/%d') AS ymd, " +
+      "strftime(TIMESTAMP_NTZ '1997-03-05 14:07:09', '%d %b %Y') AS dmy, " +
+      "strftime(TIMESTAMP_NTZ '1997-03-05 14:07:09', '%H:%M:%S %p') AS hms, " +
+      "strftime(TIMESTAMP_NTZ '1997-03-05 14:07:09', 'Day %j of %Y') AS doy, " +
+      "CAST(strptime('2024-03-05 14:30:09', '%Y-%m-%d %H:%M:%S') AS STRING) AS parsed, " +
+      "printf('%s/%d and %.2f', 'O', 11, 2.5d) AS pf").collect()(0)
+    // expected strings are DuckDB 1.0's own output for the same text
+    assert(r.getString(0) == "1997/03/05")
+    assert(r.getString(1) == "05 Mar 1997")
+    assert(r.getString(2) == "14:07:09 PM")
+    assert(r.getString(3) == "Day 064 of 1997")
+    assert(r.getString(4) == "2024-03-05 14:30:09")
+    assert(r.getString(5) == "O/11 and 2.50")
+    // unknown % codes fail loudly, never silently mis-format
+    val e = intercept[Exception](
+      spark.sql("SELECT strftime(TIMESTAMP_NTZ '1997-03-05 00:00:00', '%Q')").collect())
+    assert(e.getMessage.contains("unsupported format code"))
+  }
 }
