@@ -113,13 +113,26 @@ object CoverageOps {
         "FROM nation GROUP BY ROLLUP(n_regionkey, n_name) ORDER BY gid, rk, nm")
     },
 
-    // Explicit SEMI JOIN syntax (Spark: LEFT SEMI JOIN; DuckDB: SEMI JOIN).
-    Op("join_semi_sql",
-      "SELECT r_regionkey, r_name FROM region SEMI JOIN nation " +
-      "ON n_regionkey = r_regionkey AND n_nationkey >= 20 ORDER BY r_regionkey") { (s, d) =>
-      Tables.ensure(s, d)
-      s.sql("SELECT r_regionkey, r_name FROM region LEFT SEMI JOIN nation " +
-        "ON n_regionkey = r_regionkey AND n_nationkey >= 20 ORDER BY r_regionkey")
+    // DuckDB's LEFT-less SEMI JOIN / ANTI JOIN spellings: ONE text runs
+    // natively on DuckDB and through `plans.JoinKeywords` here, which adds
+    // the LEFT qualifier Spark's parser requires.
+    {
+      val sameText =
+        "SELECT r_regionkey, r_name FROM region SEMI JOIN nation " +
+        "ON n_regionkey = r_regionkey AND n_nationkey >= 20 ORDER BY r_regionkey"
+      Op("join_semi_sql", sameText) { (s, d) =>
+        Tables.ensure(s, d)
+        s.sql(graft.plans.Dialect.rewrite(sameText))
+      }
+    },
+    {
+      val sameText =
+        "SELECT r_regionkey, r_name FROM region ANTI JOIN nation " +
+        "ON n_regionkey = r_regionkey AND n_nationkey >= 23 ORDER BY r_regionkey"
+      Op("join_anti_sql", sameText) { (s, d) =>
+        Tables.ensure(s, d)
+        s.sql(graft.plans.Dialect.rewrite(sameText))
+      }
     },
 
     // PIVOT with multiple aggregates per pivot value.
@@ -482,6 +495,23 @@ object CoverageOps {
       Op("compat_strftime", sameText) { (s, d) =>
         Tables.ensure(s, d)
         s.sql(sameText)
+      }
+    },
+
+    // Hash/hex/log aliases, ONE text verbatim on both engines.
+    // log(x) is base-10 here exactly as in DuckDB (the 1-arg builtin was
+    // re-pointed per the migration contract). list_zip is value-checked in
+    // DuckDbCompatSpec instead: DuckDB 1.0 zips into UNNAMED structs its
+    // own binder can't field-access, so no one text reads a zip on both.
+    {
+      val sameText =
+        "SELECT doc_id, sha256(source) AS sh, to_hex(doc_id) AS hx, " +
+        "ROUND(log(n_chars), 3) AS lg10, ROUND(log(2, n_chars), 3) AS lg2, " +
+        "array_to_string(string_to_array(source, '_'), '/') AS src_parts " +
+        "FROM documents WHERE doc_id < 40 AND n_chars > 0 ORDER BY doc_id"
+      Op("compat_hash_log", sameText) { (s, d) =>
+        Tables.ensure(s, d)
+        s.sql(graft.plans.Dialect.rewrite(sameText))
       }
     }
   )

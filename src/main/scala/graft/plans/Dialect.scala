@@ -11,7 +11,7 @@ object Dialect {
   def rewrite(sql: String): String =
     QualifyRewrite.rewrite(DistinctOnRewrite.rewrite(StarReplace.rewrite(StarExclude.rewrite(
       SampleRewrite.rewrite(ListSyntax.rewrite(TableFunctions.rewrite(FromFirstRewrite.rewrite(
-        UnpivotRewrite.rewrite(sql)))))))))
+        JoinKeywords.rewrite(UnpivotRewrite.rewrite(sql))))))))))
 
   /** Session-aware chain: adds the ASOF JOIN desugar, which needs the two
     * operand schemas (analysis only — nothing executes, nothing registers).
@@ -30,7 +30,7 @@ object Dialect {
     // distinct-values scan can analyze
     val t = DistinctOnRewrite.rewrite(StarReplace.rewrite(StarExclude.rewrite(
       SampleRewrite.rewrite(ListSyntax.rewrite(TableFunctions.rewrite(FromFirstRewrite.rewrite(
-        UnpivotRewrite.rewrite(sql))))))))
+        JoinKeywords.rewrite(UnpivotRewrite.rewrite(sql)))))))))
     val p = PivotRewrite.rewrite(t, spark, preAnalyze)
     QualifyRewrite.rewrite(ColumnsRewrite.rewrite(InsertByName.rewrite(
       AsofJoinRewrite.rewrite(p, spark, preAnalyze), spark, preAnalyze), spark, preAnalyze))

@@ -208,6 +208,45 @@ object DuckDbCompat {
       info("quantile_disc",
         "quantile_disc(x, q) - discrete quantile: smallest element with cume_dist >= q"),
       (c: Seq[Expression]) => aggregate.PercentileDisc(c(0), c(1), false, 0, 0, false)),
+    (FunctionIdentifier("sha256"),
+      info("sha256", "sha256(s) - lowercase hex digest (DuckDB alias of sha2(s, 256))"),
+      (c: Seq[Expression]) => Sha2(c(0), Literal(256))),
+    (FunctionIdentifier("to_hex"),
+      info("to_hex", "to_hex(n) - uppercase hex (DuckDB alias of hex)"),
+      (c: Seq[Expression]) => Hex(c(0))),
+    (FunctionIdentifier("from_hex"),
+      info("from_hex", "from_hex(s) - hex decode to binary (DuckDB alias of unhex)"),
+      (c: Seq[Expression]) => Unhex(c(0))),
+    (FunctionIdentifier("gen_random_uuid"),
+      info("gen_random_uuid",
+        "gen_random_uuid() - random v4 uuid (DuckDB dialect; STRING here, UUID type there)"),
+      (c: Seq[Expression]) => Uuid()),
+    (FunctionIdentifier("string_to_array"),
+      info("string_to_array", "string_to_array(s, sep) - DuckDB alias of string_split"),
+      (c: Seq[Expression]) => StringSplit(c(0), Concat(Seq(lit("\\Q"), c(1), lit("\\E"))), Literal(-1))),
+    // DuckDB's log(x) is BASE-10 (ln is natural); Spark's builtin log(x) is
+    // natural. The migration contract says reference queries win: 1-arg log
+    // is re-pointed at log10, the 2-arg log(base, x) form is identical in
+    // both engines. (Spark-dialect users keep ln/log10/log2, which agree.)
+    (FunctionIdentifier("log"),
+      info("log", "log(x) - base-10 (DuckDB dialect); log(b, x) - arbitrary base"),
+      (c: Seq[Expression]) => c match {
+        case Seq(x) => Log10(x)
+        case Seq(b, x) => Logarithm(b, x)
+        case _ => throw new IllegalArgumentException("log expects 1 or 2 arguments")
+      }),
+    // list_zip: pairwise struct fields named list_1/list_2 exactly as
+    // DuckDB names them; both engines pad to the longer list with NULLs.
+    (FunctionIdentifier("list_zip"),
+      info("list_zip", "list_zip(a, b) - zip to structs {list_1, list_2} (DuckDB dialect)"),
+      (c: Seq[Expression]) => {
+        // unresolved lambda variables, exactly as the parser builds them —
+        // ResolveLambdaVariables assigns the element types during analysis
+        val x = UnresolvedNamedLambdaVariable(Seq("zip_l"))
+        val y = UnresolvedNamedLambdaVariable(Seq("zip_r"))
+        ZipWith(c(0), c(1), LambdaFunction(
+          CreateNamedStruct(Seq(lit("list_1"), x, lit("list_2"), y)), Seq(x, y)))
+      }),
     // DuckDB strftime/strptime use C-style codes (%Y-%m-%d); Spark's
     // date_format/to_timestamp use Java patterns. The format is translated
     // at bind time (literal formats only — a computed format would need a

@@ -101,6 +101,31 @@ class DuckDbCompatSpec extends AnyFunSuite {
     assert(r.getDouble(6) == 9.0)
   }
 
+  test("hash/hex/uuid/log/zip aliases match DuckDB values") {
+    val r = spark.sql(
+      "SELECT sha256('abc') AS sh, to_hex(255) AS hx, to_hex(4096) AS hx2, " +
+      "CAST(from_hex('414243') AS STRING) AS fh, " +
+      "log(100.0d) AS lg, log(2.0d, 8.0d) AS lgb, " +
+      "list_zip(array(1,2), array(10,20,30)) AS z, " +
+      "string_to_array('a,b,c', ',') AS sta, " +
+      "gen_random_uuid() AS u").collect()(0)
+    // expected values are DuckDB 1.0's own output for the same calls
+    assert(r.getString(0) == "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
+    assert(r.getString(1) == "FF" && r.getString(2) == "1000")
+    assert(r.getString(3) == "ABC")
+    assert(r.getDouble(4) == 2.0 && r.getDouble(5) == 3.0)
+    val z = r.getSeq[org.apache.spark.sql.Row](6)
+    assert(z.map(p => (Option(p.get(0)), Option(p.get(1)))) ==
+      Seq((Some(1), Some(10)), (Some(2), Some(20)), (None, Some(30))))
+    assert(z.head.schema == null || z.head.schema.fieldNames.toSeq == Seq("list_1", "list_2"))
+    assert(r.getSeq[String](7) == Seq("a", "b", "c"))
+    assert(r.getString(8).matches("[0-9a-f-]{36}"))
+    // the struct field names are addressable exactly as DuckDB names them
+    val f = spark.sql(
+      "SELECT list_extract(list_zip(array(1,2), array(30,40)), 2).list_2 AS v").collect()(0)
+    assert(f.getInt(0) == 40)
+  }
+
   test("strftime/strptime translate C codes; printf is format_string") {
     val r = spark.sql(
       "SELECT strftime(TIMESTAMP_NTZ '1997-03-05 14:07:09', '%Y/%m/%d') AS ymd, " +
