@@ -77,14 +77,14 @@ object Statement {
   // the whole-catalog face). Greedy query group: the LAST ") TO '" wins, so
   // nested parens inside the query survive.
   private val CopyQueryToRe =
-    """(?is)^\s*COPY\s+\((.+)\)\s+TO\s+'([^']+)'\s*(?:\(([^)]*)\))?\s*;?\s*$""".r
+    """(?is)^\s*COPY\s+\((.+)\)\s+TO\s+'([^']+)'\s*(?:\((.*)\))?\s*;?\s*$""".r
   private val CopyTableToRe =
-    """(?is)^\s*COPY\s+([A-Za-z_][A-Za-z0-9_.]*)\s+TO\s+'([^']+)'\s*(?:\(([^)]*)\))?\s*;?\s*$""".r
+    """(?is)^\s*COPY\s+([A-Za-z_][A-Za-z0-9_.]*)\s+TO\s+'([^']+)'\s*(?:\((.*)\))?\s*;?\s*$""".r
   // DuckDB COPY ... FROM: the load direction (admin-gated like COPY TO —
   // it reads a local path). The TABLE's schema drives the file parse, as
   // in DuckDB; rows append positionally.
   private val CopyTableFromRe =
-    """(?is)^\s*COPY\s+([A-Za-z_][A-Za-z0-9_.]*)\s+FROM\s+'([^']+)'\s*(?:\(([^)]*)\))?\s*;?\s*$""".r
+    """(?is)^\s*COPY\s+([A-Za-z_][A-Za-z0-9_.]*)\s+FROM\s+'([^']+)'\s*(?:\((.*)\))?\s*;?\s*$""".r
   // CREATE OR REPLACE TABLE: Spark's v1 catalog rejects REPLACE TABLE, so
   // the engine desugars to DROP IF EXISTS + CREATE. NOT atomic (a reader
   // between the two statements sees no table) — the atomic path needs a
@@ -144,22 +144,41 @@ object Statement {
   /** DuckDB `COPY ... TO 'path' (FORMAT ..)`: local-path write — engine
     * management, admin-only like EXPORT DATABASE. Returns the copied row
     * count (DuckDB's Count column). Formats: PARQUET (default), CSV
-    * (+HEADER), JSON.
+    * (+HEADER), JSON; PARTITION_BY (cols) maps onto Spark's native
+    * hive-partitioned write (the layout that makes the export
+    * partition-prunable on read — THE option that matters at 100 TB) and
+    * COMPRESSION onto the codec option.
     */
+  private val PartitionByRe =
+    """(?i)PARTITION_BY\s*(?:\(([^)]*)\)|([A-Za-z_][A-Za-z0-9_]*))""".r
+  private val CompressionRe =
+    """(?i)COMPRESSION\s+'?([A-Za-z0-9]+)'?""".r
+
   private def copyTo(session: SessionState,
       df: => org.apache.spark.sql.DataFrame, path: String, opts: String): DataFrame = {
     // admin check BEFORE the by-name df evaluates: resolution errors must
     // not preempt the authorization error
     if (!session.isAdmin)
       throw new SecurityException("COPY TO requires the admin role")
-    val o = Option(opts).getOrElse("").toUpperCase
+    val rawOpts = Option(opts).getOrElse("")
+    val o = rawOpts.toUpperCase
     val fmt =
       if (o.contains("CSV")) "csv"
       else if (o.contains("JSON")) "json"
       else "parquet"
+    val partCols: Seq[String] = PartitionByRe.findFirstMatchIn(rawOpts) match {
+      case Some(m) =>
+        Option(m.group(1)).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Seq(m.group(2)))
+      case None => Seq.empty
+    }
+    val codec = CompressionRe.findFirstMatchIn(rawOpts).map(_.group(1).toLowerCase)
     val data = df
     val n = data.count()
-    val w = data.write.mode("overwrite")
+    var w = data.write.mode("overwrite")
+    if (partCols.nonEmpty) w = w.partitionBy(partCols: _*)
+    codec.foreach(c => w = w.option("compression",
+      if (c == "uncompressed") "none" else c))
     fmt match {
       case "csv" => w.option("header", o.contains("HEADER").toString).csv(path)
       case "json" => w.json(path)

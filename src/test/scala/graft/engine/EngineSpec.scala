@@ -403,6 +403,25 @@ class FlightSurfaceSpec extends AnyFunSuite {
     spark.sql("DROP TABLE meta_remarks_t")
   }
 
+  test("COPY TO PARTITION_BY writes a hive layout; COMPRESSION picks the codec") {
+    val s = sessions.getOrCreate("copy-part-s", "alice", "admin")
+    val global = new GlobalSettings
+    def run(sql: String) = Statement.create(sessions, s, global, sql)
+    val dir = java.nio.file.Files.createTempDirectory("graft-copypart").toString
+    val n = run("COPY (SELECT * FROM VALUES (1,'a'),(2,'b'),(3,'a') AS t(id, k)) " +
+      s"TO '$dir/part' (FORMAT PARQUET, PARTITION_BY (k), COMPRESSION ZSTD)")
+      .collect().head.getLong(0)
+    assert(n == 3)
+    // hive directory layout, partition-prunable on read
+    val sub = new java.io.File(s"$dir/part").listFiles().map(_.getName).filter(_.startsWith("k="))
+    assert(sub.sorted.toSeq == Seq("k=a", "k=b"))
+    // the codec landed in the file names (spark suffixes part files)
+    val files = new java.io.File(s"$dir/part/k=a").listFiles().map(_.getName)
+    assert(files.exists(_.contains("zstd")), files.mkString(","))
+    // reading back sees all rows with the partition column restored
+    assert(s.spark.read.parquet(s"$dir/part").count() == 3)
+  }
+
   test("CREATE OR REPLACE TABLE desugars to drop+create; COPY FROM loads back") {
     val s = sessions.getOrCreate("cor-s", "alice", "admin")
     val global = new GlobalSettings
