@@ -690,6 +690,81 @@ object Embeddings {
       val query = e.filter(col("vec_id") === 0)
         .select(asDouble(col("embedding"))).first().getSeq[Double](0)
       ivfSearch(e.filter(col("vec_id") =!= 0), e.filter(col("vec_id") < 8), query, 10)
+    },
+
+    // Maximal-marginal-relevance rerank — the diversity-aware selection a
+    // retrieval-augmented curation pipeline runs AFTER candidate
+    // generation: greedily pick k items maximizing
+    // λ·rel(q,d) − (1−λ)·max_{s∈selected} sim(d,s). Scale shape: the
+    // distributed part is candidate generation (here the linear cosine
+    // top-C; at scale the IVF/LSH path feeds the same rerank), the greedy
+    // loop runs on the BOUNDED candidate set (C=50 rows collected —
+    // standard rerank-stage architecture, like PQ/SQ8's rerank step).
+    // Cross-engine determinism: rel and pair sims rounded to 6dp before
+    // the λ-mix (identical double arithmetic both engines), ties by
+    // vec_id. The DuckDB oracle computes the SAME greedy recursion as a
+    // recursive CTE with a correlated argmax per step.
+    Op.eager("embed_mmr_rerank",
+      "WITH RECURSIVE cand AS (" +
+      "SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, " +
+      "ROUND(LIST_COSINE_SIMILARITY(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS rel " +
+      "FROM embeddings e, (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0) q " +
+      "WHERE e.vec_id <> 0 ORDER BY rel DESC, e.vec_id LIMIT 50), " +
+      "sel(step, ids) AS (" +
+      "SELECT 1, [ (SELECT vec_id FROM cand ORDER BY rel DESC, vec_id LIMIT 1) ] " +
+      "UNION ALL " +
+      "SELECT step + 1, list_append(ids, (" +
+      "SELECT c.vec_id FROM cand c WHERE NOT list_contains(sel.ids, c.vec_id) " +
+      "ORDER BY 0.7 * c.rel - 0.3 * (" +
+      "SELECT MAX(ROUND(LIST_COSINE_SIMILARITY(c.v, s.v), 6)) " +
+      "FROM cand s WHERE list_contains(sel.ids, s.vec_id)) DESC, c.vec_id LIMIT 1)) " +
+      "FROM sel WHERE step < 10) " +
+      "SELECT CAST(u.ord AS INTEGER) AS rank, CAST(u.vec_id AS BIGINT) AS vec_id, c.rel " +
+      "FROM (SELECT UNNEST(ids) AS vec_id, generate_subscripts(ids, 1) AS ord " +
+      "FROM sel WHERE step = 10) u JOIN cand c ON c.vec_id = u.vec_id ORDER BY rank") { (s, d) =>
+      val e = emb(s, d)
+      val query = e.filter(col("vec_id") === 0)
+        .select(asDouble(col("embedding"))).first().getSeq[Double](0)
+      val cand = e.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"),
+          round(cosine(asDouble(col("embedding")), typedLit(query)), 6).as("rel"))
+        .orderBy(col("rel").desc, col("vec_id")).limit(50)
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      val picked = mmrSelect(cand.toSeq, k = 10, lambda = 0.7)
+      val rows = picked.zipWithIndex.map { case ((id, rel), i) => (i + 1, id, rel) }
+      s.createDataFrame(rows).toDF("rank", "vec_id", "rel")
     }
   )
+
+  /** Greedy MMR over a bounded candidate set: (vec_id, vector, rel) →
+    * ordered (vec_id, rel) picks. Pair similarities use the same
+    * left-to-right accumulation as the codegen cosine expression and round
+    * to 6dp before the λ-mix, so DuckDB's recursive-CTE replay of the same
+    * greedy recursion lands on identical picks.
+    */
+  private[operators] def mmrSelect(cand: Seq[(Long, Array[Double], Double)],
+      k: Int, lambda: Double): Seq[(Long, Double)] = {
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def cos6(a: Array[Double], b: Array[Double]): Double =
+      BigDecimal(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double], Double)]
+    val remaining = scala.collection.mutable.ArrayBuffer(cand: _*)
+    while (selected.size < k && remaining.nonEmpty) {
+      val best =
+        if (selected.isEmpty) remaining.minBy(c => (-c._3, c._1))
+        else remaining.minBy { c =>
+          val maxSim = selected.map(s => cos6(c._2, s._2)).max
+          (-(lambda * c._3 - (1 - lambda) * maxSim), c._1)
+        }
+      selected += best
+      remaining -= best
+    }
+    selected.map(c => (c._1, c._3)).toSeq
+  }
 }

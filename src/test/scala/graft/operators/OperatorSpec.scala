@@ -262,6 +262,33 @@ class OperatorSpec extends AnyFunSuite {
     assert(scores.sameElements(scores.sortBy(-_.asInstanceOf[Double])))
   }
 
+  test("MMR rerank: first pick is the relevance argmax, and picks diversify") {
+    Tables.ensure(spark, dir)
+    val res = SparkEntry.queries("embed_mmr_rerank")(spark, dir).collect()
+    assert(res.length == 10)
+    assert(res.map(_.getAs[Int]("rank")).toSeq == (1 to 10))
+    // greedy invariant: rank 1 is the plain cosine argmax
+    val top1 = SparkEntry.queries("embed_cosine_topk")(spark, dir)
+      .collect().head.getAs[Long]("vec_id")
+    assert(res.head.getAs[Long]("vec_id") == top1)
+    // diversity: the MMR set's mean pairwise cosine is strictly below the
+    // plain top-10's (the whole point of the λ-mix)
+    def meanPairSim(ids: Set[Long]): Double = {
+      val vs = spark.table("embeddings").filter(col("vec_id").isin(ids.toSeq: _*))
+        .select(col("embedding").cast("array<double>")).collect()
+        .map(_.getSeq[Double](0).toArray)
+      val sims = for (i <- vs.indices; j <- vs.indices if i < j) yield {
+        def d(a: Array[Double], b: Array[Double]) = a.zip(b).map(p => p._1 * p._2).sum
+        d(vs(i), vs(j)) / (math.sqrt(d(vs(i), vs(i))) * math.sqrt(d(vs(j), vs(j))))
+      }
+      sims.sum / sims.size
+    }
+    val mmrIds = res.map(_.getAs[Long]("vec_id")).toSet
+    val topIds = SparkEntry.queries("embed_cosine_topk")(spark, dir)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(meanPairSim(mmrIds) < meanPairSim(topIds))
+  }
+
   test("codegen cosine/dot expressions match the composable formulation bit-for-bit") {
     import graft.functions.VectorFunctions._
     Tables.ensure(spark, dir)
