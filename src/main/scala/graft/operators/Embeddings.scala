@@ -734,8 +734,52 @@ object Embeddings {
       val picked = mmrSelect(cand.toSeq, k = 10, lambda = 0.7)
       val rows = picked.zipWithIndex.map { case ((id, rel), i) => (i + 1, id, rel) }
       s.createDataFrame(rows).toDF("rank", "vec_id", "rel")
+    },
+
+    Op.eager("pipeline_coreset",
+      "WITH RECURSIVE pts AS (" +
+      "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      "sel(step, ids) AS (" +
+      "SELECT 1, [CAST(0 AS BIGINT)] " +
+      "UNION ALL " +
+      "SELECT step + 1, list_append(ids, (" +
+      "SELECT p.vec_id FROM pts p WHERE NOT list_contains(sel.ids, p.vec_id) " +
+      "ORDER BY (SELECT MIN(ROUND(1 - LIST_COSINE_SIMILARITY(p.v, s.v), 6)) " +
+      "FROM pts s WHERE list_contains(sel.ids, s.vec_id)) DESC, p.vec_id LIMIT 1)) " +
+      "FROM sel WHERE step < 8) " +
+      "SELECT CAST(u.ord AS INTEGER) AS rank, CAST(u.vec_id AS BIGINT) AS vec_id " +
+      "FROM (SELECT UNNEST(ids) AS vec_id, generate_subscripts(ids, 1) AS ord " +
+      "FROM sel WHERE step = 8) u ORDER BY rank") { (s, d) =>
+      s.createDataFrame(kCenterGreedy(emb(s, d), seedId = 0L, k = 8))
+        .toDF("rank", "vec_id")
     }
   )
+
+  /** Distributed k-center greedy (farthest-point) coreset selection — the
+    * geometric-diversity sampler for training-data subset selection: start
+    * from a seed, repeatedly add the point farthest (max min-cosine-
+    * distance) from the selected set. Each of the k−1 steps is ONE
+    * distributed scan with the ≤k selected vectors broadcast as literals
+    * into the codegen'd distance expression and a TakeOrdered argmax — no
+    * pairwise corpus work, no corpus shuffle, linear per step at any
+    * corpus size. Driver state is k vectors (bounded). The oracle replays
+    * the same recursion as a recursive CTE.
+    */
+  def kCenterGreedy(e0: DataFrame, seedId: Long, k: Int): Seq[(Int, Long)] = {
+    val e = e0.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    var selected = Vector(
+      (seedId, e.filter(col("vec_id") === seedId).select("v").first().getSeq[Double](0)))
+    while (selected.size < k) {
+      val dists = selected.map(p =>
+        round(lit(1.0) - cosine(col("v"), typedLit(p._2)), 6))
+      val minDist = dists.reduce((a, b) => least(a, b))
+      val next = e.filter(!col("vec_id").isin(selected.map(_._1): _*))
+        .select(col("vec_id"), col("v"), minDist.as("md"))
+        .orderBy(col("md").desc, col("vec_id")).limit(1).first()
+      selected = selected :+ ((next.getLong(0), next.getSeq[Double](1)))
+    }
+    selected.zipWithIndex.map { case ((id, _), i) => (i + 1, id) }
+  }
 
   /** Greedy MMR over a bounded candidate set: (vec_id, vector, rel) →
     * ordered (vec_id, rel) picks. Pair similarities use the same

@@ -289,6 +289,29 @@ class OperatorSpec extends AnyFunSuite {
     assert(meanPairSim(mmrIds) < meanPairSim(topIds))
   }
 
+  test("k-center greedy matches driver-side brute force and covers the corpus") {
+    Tables.ensure(spark, dir)
+    val e = spark.table("embeddings")
+    val picks = Embeddings.kCenterGreedy(e, seedId = 0L, k = 6)
+    assert(picks.map(_._1) == (1 to 6) && picks.head._2 == 0L)
+    // brute-force replay of the same greedy recursion on collected vectors
+    val vs = e.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def d(a: Array[Double], b: Array[Double]) = {
+      def dot(x: Array[Double], y: Array[Double]) = x.zip(y).map(p => p._1 * p._2).sum
+      BigDecimal(1 - dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    var sel = Vector(0L)
+    while (sel.size < 6) {
+      val next = vs.keys.filterNot(sel.contains).minBy { id =>
+        (-sel.map(s => d(vs(id), vs(s))).min, id)
+      }
+      sel = sel :+ next
+    }
+    assert(picks.map(_._2) == sel, s"greedy mismatch: ${picks.map(_._2)} vs $sel")
+  }
+
   test("codegen cosine/dot expressions match the composable formulation bit-for-bit") {
     import graft.functions.VectorFunctions._
     Tables.ensure(spark, dir)
