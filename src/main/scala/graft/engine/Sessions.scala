@@ -76,6 +76,36 @@ final class SessionState(
   def closePrepared(handle: String): Boolean = prepared.remove(handle) != null
   def preparedCount: Int = prepared.size()
 
+  // ---- SQL-level PREPARE / EXECUTE / DEALLOCATE (DuckDB statement forms;
+  // the wire RPCs above are the Flight face of the same machinery) ----
+
+  private val namedStatements = new ConcurrentHashMap[String, Prepared]()
+
+  /** `PREPARE name AS stmt`: DuckDB's `?` and `$N` placeholders are
+    * converted to Spark named parameters (`:pN`) quote-aware — `?` numbers
+    * by order of appearance, `$N` keeps its own index — then the statement
+    * goes through the normal prepare path (dialect rewrite, guard, macro
+    * expansion, analysis-only schema). Re-PREPARE of a name replaces it,
+    * as in DuckDB.
+    */
+  def prepareNamed(name: String, sql: String): Prepared = {
+    val p = prepare(Sessions.convertPlaceholders(sql))
+    namedStatements.put(name.toLowerCase, p)
+    p
+  }
+
+  /** `EXECUTE name(args...)`: positional args bind to `:p1..:pN`. */
+  def executeNamed(name: String, args: Seq[Any]) = {
+    val p = Option(namedStatements.get(name.toLowerCase)).getOrElse(
+      throw new IllegalArgumentException(s"no prepared statement named '$name'"))
+    if (args.isEmpty) spark.sql(p.sql)
+    else spark.sql(p.sql,
+      args.zipWithIndex.map { case (v, i) => s"p${i + 1}" -> v }.toMap)
+  }
+
+  def deallocateNamed(name: String): Boolean =
+    namedStatements.remove(name.toLowerCase) != null
+
   def isAdmin: Boolean = role == "admin"
   def isReadOnly: Boolean = role == "readonly"
 }
@@ -132,4 +162,87 @@ final class SessionManager(root: SparkSession, global: GlobalSettings) {
 
   def isKilled(sessionId: String): Boolean = killedTombstones.contains(sessionId)
   def active: Seq[String] = sessions.keySet().asScala.toSeq
+}
+
+object Sessions {
+  /** DuckDB placeholder spellings → Spark named parameters, outside string
+    * literals and quoted identifiers: `?` becomes `:p1..:pN` in order of
+    * appearance, `$N` becomes `:pN` (its own index). Mixing both styles in
+    * one statement is rejected, as DuckDB rejects it.
+    */
+  private[engine] def convertPlaceholders(sql: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    var qCount = 0
+    var dollar = false
+    val n = sql.length
+    while (i < n) {
+      sql.charAt(i) match {
+        case '\'' =>
+          val j = sql.indexOf('\'', i + 1)
+          val end = if (j < 0) n else j + 1
+          sb.append(sql.substring(i, end)); i = end
+        case '"' =>
+          val j = sql.indexOf('"', i + 1)
+          val end = if (j < 0) n else j + 1
+          sb.append(sql.substring(i, end)); i = end
+        case '?' =>
+          qCount += 1
+          sb.append(s":p$qCount"); i += 1
+        case '$' if i + 1 < n && sql.charAt(i + 1).isDigit =>
+          dollar = true
+          var e = i + 1
+          while (e < n && sql.charAt(e).isDigit) e += 1
+          sb.append(":p").append(sql.substring(i + 1, e)); i = e
+        case c =>
+          sb.append(c); i += 1
+      }
+    }
+    if (qCount > 0 && dollar) throw new IllegalArgumentException(
+      "cannot mix ? and $N placeholders in one statement")
+    sb.toString
+  }
+
+  /** EXECUTE argument list → typed values: quoted strings ('' unescapes),
+    * integers, decimals, TRUE/FALSE, NULL, DATE '...' / TIMESTAMP '...'.
+    * Top-level commas split quote-aware; anything else is rejected loudly
+    * rather than stringified.
+    */
+  private[engine] def parseArgs(argList: String): Seq[Any] = {
+    val src = Option(argList).getOrElse("").trim
+    if (src.isEmpty) return Seq.empty
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var i = 0
+    while (i < src.length) {
+      src.charAt(i) match {
+        case '\'' =>
+          val j = src.indexOf('\'', i + 1)
+          val end = if (j < 0) src.length else j + 1
+          cur.append(src.substring(i, end)); i = end
+        case ',' => parts += cur.toString; cur.clear(); i += 1
+        case c => cur.append(c); i += 1
+      }
+    }
+    parts += cur.toString
+    parts.map(_.trim).map { t =>
+      val up = t.toUpperCase
+      if (t.startsWith("'") && t.endsWith("'") && t.length >= 2)
+        t.substring(1, t.length - 1).replace("''", "'")
+      else if (up.startsWith("DATE '") && t.endsWith("'"))
+        java.sql.Date.valueOf(t.substring(6, t.length - 1))
+      else if (up.startsWith("TIMESTAMP '") && t.endsWith("'"))
+        java.sql.Timestamp.valueOf(t.substring(11, t.length - 1))
+      else if (up == "TRUE") true
+      else if (up == "FALSE") false
+      else if (up == "NULL") null
+      else if (t.matches("[+-]?[0-9]+")) {
+        val l = t.toLong
+        if (l >= Int.MinValue && l <= Int.MaxValue) l.toInt else l
+      }
+      else if (t.matches("""[+-]?[0-9]*\.[0-9]+([eE][+-]?[0-9]+)?""")) t.toDouble
+      else throw new IllegalArgumentException(
+        s"unsupported EXECUTE argument literal: $t")
+    }.toSeq
+  }
 }

@@ -85,6 +85,15 @@ object Statement {
   // in DuckDB; rows append positionally.
   private val CopyTableFromRe =
     """(?is)^\s*COPY\s+([A-Za-z_][A-Za-z0-9_.]*)\s+FROM\s+'([^']+)'\s*(?:\((.*)\))?\s*;?\s*$""".r
+  // DuckDB's SQL-level prepared statements: PREPARE name AS stmt (with ?
+  // or $N placeholders), EXECUTE name(args), DEALLOCATE [PREPARE] name —
+  // the statement-form face of the wire's prepared-statement RPCs.
+  private val PrepareNamedRe =
+    """(?is)^\s*PREPARE\s+([A-Za-z_][\w]*)\s+AS\s+(.+?);?\s*$""".r
+  private val ExecuteNamedRe =
+    """(?is)^\s*EXECUTE\s+([A-Za-z_][\w]*)\s*(?:\((.*)\))?\s*;?\s*$""".r
+  private val DeallocateRe =
+    """(?is)^\s*DEALLOCATE\s+(?:PREPARE\s+)?([A-Za-z_][\w]*)\s*;?\s*$""".r
   // CREATE OR REPLACE TABLE: Spark's v1 catalog rejects REPLACE TABLE, so
   // the engine desugars to DROP IF EXISTS + CREATE. NOT atomic (a reader
   // between the two statements sees no table) — the atomic path needs a
@@ -491,6 +500,21 @@ object Statement {
             PlanCache.invalidate(session.spark)
             oneRowResult(session.spark, "result", s"$name = $value")
         }
+
+      case PrepareNamedRe(name, stmt) =>
+        // session.prepareNamed runs the full prepare path: dialect rewrite,
+        // macro expansion, guard (blocked statements rejected HERE, before
+        // any EXECUTE), analysis-only schema
+        session.prepareNamed(name, stmt)
+        oneRowResult(session.spark, "result", s"prepared statement '$name'")
+
+      case ExecuteNamedRe(name, argList) =>
+        session.executeNamed(name, Sessions.parseArgs(argList))
+
+      case DeallocateRe(name) =>
+        if (!session.deallocateNamed(name))
+          throw new IllegalArgumentException(s"no prepared statement named '$name'")
+        oneRowResult(session.spark, "result", s"deallocated '$name'")
 
       case BeginTxnRe() =>
         if (session.activeTxn.nonEmpty)

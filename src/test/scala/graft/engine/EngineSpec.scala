@@ -138,6 +138,33 @@ class SessionAndStatementSpec extends AnyFunSuite {
     assert(!s2.spark.catalog.tableExists("mine"))
   }
 
+  test("SQL-level PREPARE/EXECUTE/DEALLOCATE with ? and $N placeholders") {
+    val s = sessions.getOrCreate("prep-sql", "alice", "admin")
+    def run(sql: String) = Statement.create(sessions, s, global, sql)
+    s.spark.sql("SELECT * FROM VALUES (1,'a'),(2,'b'),(3,'c') AS t(id, v)")
+      .createOrReplaceTempView("prep_t")
+    run("PREPARE q1 AS SELECT v FROM prep_t WHERE id > ? ORDER BY id")
+    assert(run("EXECUTE q1(1)").collect().map(_.getString(0)).toSeq == Seq("b", "c"))
+    // re-execution with different args reuses the prepared text
+    assert(run("EXECUTE q1(2)").collect().map(_.getString(0)).toSeq == Seq("c"))
+    // $N placeholders, string + int args, $1 used before $2
+    run("PREPARE q2 AS SELECT id FROM prep_t WHERE v = $2 OR id = $1 ORDER BY id")
+    assert(run("EXECUTE q2(3, 'a')").collect().map(_.getInt(0)).toSeq == Seq(1, 3))
+    // re-PREPARE replaces; DEALLOCATE removes; unknown EXECUTE fails loudly
+    run("PREPARE q1 AS SELECT COUNT(*) AS n FROM prep_t WHERE id <> ?")
+    assert(run("EXECUTE q1(1)").collect().head.getLong(0) == 2)
+    run("DEALLOCATE q1")
+    intercept[IllegalArgumentException](run("EXECUTE q1(1)"))
+    intercept[IllegalArgumentException](run("DEALLOCATE PREPARE q1"))
+    // mixing placeholder styles is rejected at PREPARE time, like DuckDB
+    intercept[IllegalArgumentException](
+      run("PREPARE bad AS SELECT * FROM prep_t WHERE id = ? OR id = $2"))
+    // the guard runs at PREPARE time: a blocked statement never registers
+    val user = sessions.getOrCreate("prep-user", "carol", "user")
+    intercept[SecurityException](Statement.create(sessions, user, global,
+      "PREPARE p AS SELECT * FROM parquet.`/etc/passwd`"))
+  }
+
   test("KILL SESSION is intercepted and idempotent") {
     val killer = sessions.getOrCreate("killer", "alice", "admin")
     sessions.getOrCreate("victim", "bob", "user")
