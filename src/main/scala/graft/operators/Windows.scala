@@ -158,6 +158,33 @@ object Windows {
         .orderBy("o_custkey", "o_orderkey").limit(200)
     },
 
+    // Holistic aggregate over a moving frame: rolling MEDIAN (the
+    // monitoring-query profile). DuckDB runs MEDIAN OVER natively; Spark
+    // rejects order-sensitive aggregates in ordered frames
+    // (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC), so the frame is
+    // collected (≤6 rows/frame — bounded by the ROWS clause, never the
+    // partition), sorted, and the midpoint interpolated — exactly
+    // MEDIAN's even/odd rule.
+    // Prices quantized to integer CENTS first (the agg_histogram rule):
+    // the middle-pair average is then exactly representable (x.0/x.5) on
+    // both engines, where raw-double (a+b)/2 vs DuckDB's interpolation
+    // differed in the last ulp and flipped ROUND at cent boundaries
+    // (measured: 7/200 one-cent diffs).
+    Op("win_median",
+      "SELECT o_orderkey, MEDIAN(CAST(ROUND(o_totalprice*100) AS BIGINT)) OVER (" +
+      "PARTITION BY o_custkey % 10 ORDER BY o_orderkey " +
+      "ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS med_cents " +
+      "FROM orders ORDER BY o_orderkey LIMIT 200") { (s, d) =>
+      Tables.ensure(s, d)
+      s.sql(
+        "SELECT o_orderkey, (element_at(a, CAST((size(a)+1) div 2 AS INT)) + " +
+        "element_at(a, CAST(size(a) div 2 AS INT) + 1)) / 2 AS med_cents FROM (" +
+        "SELECT o_orderkey, sort_array(collect_list(CAST(ROUND(o_totalprice*100) AS BIGINT)) OVER (" +
+        "PARTITION BY o_custkey % 10 ORDER BY o_orderkey " +
+        "ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)) AS a FROM orders) " +
+        "ORDER BY o_orderkey LIMIT 200")
+    },
+
     Op("win_ntile",
       "SELECT o_orderkey, CAST(NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS tile " +
       "FROM orders ORDER BY o_orderkey LIMIT 200") { (s, d) =>
