@@ -513,6 +513,21 @@ object CoverageOps {
         Tables.ensure(s, d)
         s.sql(graft.plans.Dialect.rewrite(sameText))
       }
+    },
+
+    // DuckDB's ALL shorthands — GROUP BY ALL groups on every non-aggregate
+    // select item, ORDER BY ALL sorts by all columns left-to-right. Both
+    // engines parse both natively (Spark 4 added them), so ONE text runs
+    // verbatim.
+    {
+      val sameText =
+        "SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "ROUND(SUM(o_totalprice), 2) AS total " +
+        "FROM orders GROUP BY ALL ORDER BY ALL"
+      Op("compat_order_by_all", sameText) { (s, d) =>
+        Tables.ensure(s, d)
+        s.sql(sameText)
+      }
     }
   )
 }
