@@ -301,8 +301,8 @@ object StrfTime {
     'Y' -> "yyyy", 'y' -> "yy", 'm' -> "MM", 'd' -> "dd",
     'H' -> "HH", 'I' -> "hh", 'M' -> "mm", 'S' -> "ss",
     'f' -> "SSSSSS", 'g' -> "SSS",
-    'j' -> "DDD", 'a' -> "EEE", 'b' -> "MMM", 'p' -> "a",
-    'Z' -> "zzz")
+    'j' -> "DDD", 'a' -> "EEE", 'A' -> "EEEE", 'b' -> "MMM", 'B' -> "MMMM",
+    'p' -> "a", 'Z' -> "zzz")
 
   def toJavaPattern(fmt: String): String = {
     val out = new StringBuilder
