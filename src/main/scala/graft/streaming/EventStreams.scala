@@ -67,6 +67,45 @@ object EventStreams {
       .toDF("user_id", "n", "total")
   }
 
+  /** Streaming Misra-Gries heavy hitters — the streaming face of the batch
+    * `text_heavy_hitters` sketch. Event types shard by hash so each type's
+    * counters live wholly in ONE group's state (per-shard MG is then exact
+    * for every type whose true count exceeds shardTotal/capacity — the
+    * standard MG guarantee, now per shard). State per shard is the bounded
+    * counter map (≤ capacity entries) plus the shard total; each update
+    * emits the shard's current survivors with their lower-bound counts, so
+    * downstream picks global top-k by count. Deterministic: decrement-all
+    * evictions depend only on multiset counts, not arrival order within a
+    * batch? — NO: MG survivor identity IS order-sensitive in general, so
+    * the operator reports each survivor's (count_min, shard_total) and the
+    * spec asserts the MG guarantee (every type above threshold present,
+    * counts within decrement slack), not an exact survivor set.
+    */
+  def heavyHitters(events: DataFrame, capacity: Int = 8, shards: Int = 4): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.selectExpr("event_type").as[String]
+      .groupByKey(t => math.floorMod(t.hashCode, shards))
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (shard: Int, rows: Iterator[String],
+            state: GroupState[(Map[String, Long], Long)]) =>
+          var (counters, total) = state.getOption.getOrElse((Map.empty[String, Long], 0L))
+          rows.foreach { t =>
+            total += 1
+            counters.get(t) match {
+              case Some(n) => counters = counters.updated(t, n + 1)
+              case None if counters.size < capacity => counters = counters.updated(t, 1L)
+              case None =>
+                // decrement-all: every counter loses one, zeros evict
+                counters = counters.map { case (k, n) => k -> (n - 1) }.filter(_._2 > 0)
+            }
+          }
+          state.update((counters, total))
+          counters.iterator.map { case (t, n) => (shard, t, n, total) }
+      }
+      .toDF("shard", "event_type", "count_min", "shard_total")
+  }
+
   /** Streaming funnel: per-user signup → click → purchase thresholds,
     * finalized by EVENT-TIME TIMEOUT. Stage-2/3 thresholds depend on the
     * group's full multiset (a late click can lower t2 and thereby change

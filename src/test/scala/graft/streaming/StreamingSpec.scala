@@ -103,6 +103,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(byBatch.contains((2L, 1L, 5.0)))
   }
 
+  test("streaming heavy hitters honor the Misra-Gries guarantee across batches") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    def ev(id: Long, tpe: String) =
+      Ev(id, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, tpe, 0.0)
+    // skewed multiset: 'hot' 40, 'warm' 20, 12 cold singletons
+    val rows = (1 to 40).map(i => ev(i, "hot")) ++
+      (41 to 60).map(i => ev(i, "warm")) ++
+      (61 to 72).map(i => ev(i, s"cold_$i"))
+    val q = EventStreams.heavyHitters(ms.toDF(), capacity = 4, shards = 2).writeStream
+      .format("memory").queryName("t_hh").outputMode("update").start()
+    // two batches so state must carry over
+    ms.addData(rows.take(30)); q.processAllAvailable()
+    ms.addData(rows.drop(30)); q.processAllAvailable()
+    q.stop()
+    // keep each shard's LAST report (update mode re-emits per batch)
+    val finalRows = spark.table("t_hh").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val latestTotal = finalRows.groupBy(_._1).view.mapValues(_.map(_._4).max).toMap
+    val survivors = finalRows.filter { case (s, _, _, tot) => tot == latestTotal(s) }
+    // MG guarantee per shard: any type with true count > shard_total/capacity
+    // survives with count_min <= true <= count_min + decremented slack
+    val hot = survivors.filter(_._2 == "hot")
+    val warm = survivors.filter(_._2 == "warm")
+    assert(hot.nonEmpty && warm.nonEmpty,
+      s"hot/warm missing from survivors: ${survivors.mkString(",")}")
+    assert(hot.head._3 <= 40 && hot.head._3 >= 40 - latestTotal(hot.head._1) / 4)
+    assert(warm.head._3 <= 20 && warm.head._3 >= 20 - latestTotal(warm.head._1) / 4)
+  }
+
   test("stateful funnel: streaming thresholds equal a brute-force batch reference") {
     import spark.implicits._
     val rows = fixtureEvents.as[Ev].collect().toSeq
