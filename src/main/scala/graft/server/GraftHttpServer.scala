@@ -62,7 +62,13 @@ final class GraftHttpServer(
     tls: Option[GraftHttpServer.Tls] = None,
     // username -> catalog_access grant minted into that user's tokens (the
     // enterprise catalog_permissions config; absent = unrestricted).
-    catalogGrants: Map[String, Seq[String]] = Map.empty) extends AutoCloseable {
+    catalogGrants: Map[String, Seq[String]] = Map.empty,
+    // Reference `max_metadata_size` (gRPC SETTINGS_MAX_HEADER_LIST_SIZE,
+    // default 8 KiB — `gizmosql_library.h` option + GIZMOSQL_MAX_METADATA_SIZE
+    // env): here the cap on total request-header bytes; oversized requests
+    // (huge bearer tokens, proxy-injected trace headers) get 431 instead of
+    // a connection-level failure.
+    maxMetadataSize: Int = 8192) extends AutoCloseable {
 
   import GraftHttpServer.{Full, Resp, Streamed}
 
@@ -188,10 +194,23 @@ final class GraftHttpServer(
       var status = 0
       var bytes = 0L
       try {
+        val headerBytes = {
+          var n = 0L
+          ex.getRequestHeaders.forEach { (k, vs) =>
+            vs.forEach(v => n += k.length + v.length + 4)
+          }
+          n
+        }
         var headersSent = false
         def alreadySent: Boolean = headersSent || ex.getAttribute(HeadersSentKey) != null
         try {
-          f(ex) match {
+          val resp: Resp =
+            if (headerBytes > maxMetadataSize)
+              Full(431, "text/plain",
+                s"request metadata exceeds max_metadata_size ($maxMetadataSize bytes)"
+                  .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            else f(ex)
+          resp match {
             case Full(code, contentType, body) =>
               ex.getResponseHeaders.set("Content-Type", contentType)
               headersSent = true

@@ -60,6 +60,19 @@ class HttpServerSpec extends AnyFunSuite {
     tokenOf(resp)
   }
 
+  test("oversized request metadata is rejected with 431 (max_metadata_size)") {
+    // default cap 8 KiB, matching the reference's SETTINGS_MAX_HEADER_LIST_SIZE
+    val big = "x" * 9000
+    val resp = post("/sql", "SELECT 1",
+      "Authorization" -> s"Bearer $token", "X-Trace-Baggage" -> big)
+    assert(resp.statusCode() == 431)
+    assert(new String(resp.body(), StandardCharsets.UTF_8).contains("max_metadata_size"))
+    // same request under the cap still works
+    val ok = post("/sql", "SELECT 1 AS one",
+      "Authorization" -> s"Bearer $token", "X-Trace-Baggage" -> ("x" * 100))
+    assert(ok.statusCode() == 200)
+  }
+
   test("auth rejects bad credentials and missing header") {
     assert(post("/auth", "", "Authorization" -> basic("gizmosql_username", "wrong")).statusCode() == 401)
     assert(post("/auth", "").statusCode() == 401)
