@@ -138,6 +138,20 @@ class SessionAndStatementSpec extends AnyFunSuite {
     assert(!s2.spark.catalog.tableExists("mine"))
   }
 
+  test("placeholder conversion is quote-aware and arg literals parse typed") {
+    import graft.engine.{Sessions => S}
+    assert(S.convertPlaceholders("SELECT ? WHERE x = ? AND y = '?'") ==
+      "SELECT :p1 WHERE x = :p2 AND y = '?'")
+    assert(S.convertPlaceholders("SELECT $2, $1, \"a$1\"") ==
+      "SELECT :p2, :p1, \"a$1\"")
+    // $ not followed by a digit stays literal
+    assert(S.convertPlaceholders("SELECT '$x', c$ FROM t") == "SELECT '$x', c$ FROM t")
+    intercept[IllegalArgumentException](S.convertPlaceholders("SELECT ?, $1"))
+    assert(S.parseArgs("1, 'a''b', 2.5, TRUE, NULL, DATE '2024-01-02', 9999999999") ==
+      Seq(1, "a'b", 2.5, true, null, java.sql.Date.valueOf("2024-01-02"), 9999999999L))
+    intercept[IllegalArgumentException](S.parseArgs("now()"))
+  }
+
   test("SQL-level PREPARE/EXECUTE/DEALLOCATE with ? and $N placeholders") {
     val s = sessions.getOrCreate("prep-sql", "alice", "admin")
     def run(sql: String) = Statement.create(sessions, s, global, sql)
