@@ -21,7 +21,8 @@ final class SessionState(
     // None = unrestricted; Some(set) = catalog_access claim from the token.
     val catalogAccess: Option[Set[String]] = None) {
 
-  final case class Prepared(handle: String, sql: String, schema: Option[StructType])
+  final case class Prepared(handle: String, sql: String, schema: Option[StructType],
+      isCommand: Boolean = false)
 
   private val prepared = new ConcurrentHashMap[String, Prepared]()
   /** Session-scoped SQL macros (DuckDB CREATE MACRO), expanded by inlining. */
@@ -53,11 +54,19 @@ final class SessionState(
       }
     val sql = graft.plans.Dialect.rewrite(Macros.expand(sql0, macros), spark, guard)
     guard(sql)
-    val schema = try Some(spark.sql(sql).schema) catch {
-      case e: org.apache.spark.sql.AnalysisException
-          if e.getCondition != null && e.getCondition.contains("UNBOUND_SQL_PARAMETER") => None
-    }
-    val p = Prepared(UUID.randomUUID().toString, sql, schema)
+    // Commands/DML must NOT reach the spark.sql schema probe — Spark
+    // executes commands eagerly inside spark.sql, so a parameter-less
+    // prepared INSERT would run at PREPARE time (parameterized ones were
+    // already safe: the probe throws UNBOUND_SQL_PARAMETER first). They
+    // report the affected-rows shape, like the deferred flightInfo path.
+    val isCommand = StatementGuard.isCommandLike(spark.sessionState.sqlParser.parsePlan(sql))
+    val schema =
+      if (isCommand) Some(SessionState.updateSchema)
+      else try Some(spark.sql(sql).schema) catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition != null && e.getCondition.contains("UNBOUND_SQL_PARAMETER") => None
+      }
+    val p = Prepared(UUID.randomUUID().toString, sql, schema, isCommand)
     prepared.put(p.handle, p)
     p
   }
@@ -69,8 +78,18 @@ final class SessionState(
   def executePrepared(handle: String, params: Map[String, Any] = Map.empty) =
     lookupPrepared(handle) match {
       case None => throw new IllegalArgumentException(s"unknown prepared statement $handle")
-      case Some(p) => spark.sql(p.sql, params)
+      case Some(p) => runPrepared(p, params)
     }
+
+  /** Prepared DML executes eagerly inside spark.sql — a mutation outside
+    * PlanCache.sql, so it must invalidate explicitly (the PlanCache
+    * contract; same rule as COPY FROM / RowDml).
+    */
+  private def runPrepared(p: Prepared, params: Map[String, Any]) = {
+    val df = if (params.isEmpty) spark.sql(p.sql) else spark.sql(p.sql, params)
+    if (p.isCommand) PlanCache.invalidate(spark)
+    df
+  }
 
   def lookupPrepared(handle: String): Option[Prepared] = Option(prepared.get(handle))
   def closePrepared(handle: String): Boolean = prepared.remove(handle) != null
@@ -98,9 +117,7 @@ final class SessionState(
   def executeNamed(name: String, args: Seq[Any]) = {
     val p = Option(namedStatements.get(name.toLowerCase)).getOrElse(
       throw new IllegalArgumentException(s"no prepared statement named '$name'"))
-    if (args.isEmpty) spark.sql(p.sql)
-    else spark.sql(p.sql,
-      args.zipWithIndex.map { case (v, i) => s"p${i + 1}" -> v }.toMap)
+    runPrepared(p, args.zipWithIndex.map { case (v, i) => s"p${i + 1}" -> v }.toMap)
   }
 
   def deallocateNamed(name: String): Boolean =
@@ -108,6 +125,15 @@ final class SessionState(
 
   def isAdmin: Boolean = role == "admin"
   def isReadOnly: Boolean = role == "readonly"
+}
+
+object SessionState {
+  /** Affected-rows result shape for deferred commands (the same shape the
+    * two-phase flight path reports for DML).
+    */
+  val updateSchema: StructType =
+    new StructType().add("affected_rows", org.apache.spark.sql.types.LongType,
+      nullable = false)
 }
 
 /** Session registry with killed-session tombstones — `KILL SESSION` stays

@@ -179,6 +179,26 @@ class SessionAndStatementSpec extends AnyFunSuite {
       "PREPARE p AS SELECT * FROM parquet.`/etc/passwd`"))
   }
 
+  test("prepared DML defers to EXECUTE and invalidates the plan cache") {
+    val s = sessions.getOrCreate("prep-dml", "alice", "admin")
+    def run(sql: String) = Statement.create(sessions, s, global, sql)
+    s.spark.sql("DROP TABLE IF EXISTS prep_dml_t")
+    s.spark.sql("CREATE TABLE prep_dml_t AS SELECT 1 AS id")
+    // parameter-less DML must NOT run at PREPARE time (spark.sql executes
+    // commands eagerly — the schema probe has to be skipped for commands)
+    run("PREPARE ins AS INSERT INTO prep_dml_t VALUES (2)")
+    assert(s.spark.table("prep_dml_t").count() == 1, "PREPARE executed the INSERT")
+    // warm the plan cache with a SELECT on the table
+    val before = PlanCache.count(s.spark, "prep-dml-probe")(s.spark.table("prep_dml_t"))
+    assert(before == 1)
+    run("EXECUTE ins")
+    assert(s.spark.table("prep_dml_t").count() == 2)
+    // the cached SELECT must see the new row (EXECUTE invalidated the cache)
+    val after = PlanCache.count(s.spark, "prep-dml-probe")(s.spark.table("prep_dml_t"))
+    assert(after == 2, s"stale plan-cache read after prepared DML: $after")
+    s.spark.sql("DROP TABLE prep_dml_t")
+  }
+
   test("KILL SESSION is intercepted and idempotent") {
     val killer = sessions.getOrCreate("killer", "alice", "admin")
     sessions.getOrCreate("victim", "bob", "user")
