@@ -85,6 +85,15 @@ object Statement {
   // in DuckDB; rows append positionally.
   private val CopyTableFromRe =
     """(?is)^\s*COPY\s+([A-Za-z_][A-Za-z0-9_.]*)\s+FROM\s+'([^']+)'\s*(?:\((.*)\))?\s*;?\s*$""".r
+  // DuckDB session variables (embedded DuckDB 1.5.5 in the reference):
+  // SET VARIABLE declares implicitly; Spark needs a declaration, so the
+  // intercept runs DECLARE OR REPLACE ... DEFAULT (expr) — declare, infer
+  // type, and assign in one statement. Reads (`getvariable`) rewrite to
+  // the native reference in plans.GetVariableRewrite.
+  private val SetVariableRe =
+    """(?is)^\s*SET\s+VARIABLE\s+([A-Za-z_][\w]*)\s*=\s*(.+?);?\s*$""".r
+  private val ResetVariableRe =
+    """(?is)^\s*RESET\s+VARIABLE\s+([A-Za-z_][\w]*)\s*;?\s*$""".r
   // DuckDB's SQL-level prepared statements: PREPARE name AS stmt (with ?
   // or $N placeholders), EXECUTE name(args), DEALLOCATE [PREPARE] name —
   // the statement-form face of the wire's prepared-statement RPCs.
@@ -500,6 +509,29 @@ object Statement {
             PlanCache.invalidate(session.spark)
             oneRowResult(session.spark, "result", s"$name = $value")
         }
+
+      case SetVariableRe(name, valueExpr) =>
+        // the expr may itself read variables; resolve reads first. The expr
+        // can embed subqueries, so it faces the guard like any SELECT — a
+        // non-admin must not smuggle a blocked scan into a variable default.
+        val resolved = graft.plans.GetVariableRewrite.rewrite(valueExpr, session.spark)
+        guardOrThrow(session)(s"SELECT ($resolved)")
+        // DECLARE's DEFAULT clause rejects subqueries, so: infer the type
+        // from an analysis-only pass, declare typed, then assign (Spark's
+        // SET VARIABLE accepts arbitrary expressions including subqueries).
+        val dtype = session.spark.sql(s"SELECT ($resolved) AS v").schema.fields(0).dataType.sql
+        session.spark.sql(s"DECLARE OR REPLACE VARIABLE $name $dtype")
+        session.spark.sql(s"SET VARIABLE $name = ($resolved)")
+        // variable references fold into analyzed plans — a cached SELECT
+        // would keep reading the old value (PlanCache contract: session
+        // mutations outside PlanCache.sql invalidate explicitly)
+        PlanCache.invalidate(session.spark)
+        oneRowResult(session.spark, "result", s"variable $name set")
+
+      case ResetVariableRe(name) =>
+        session.spark.sql(s"DROP TEMPORARY VARIABLE IF EXISTS $name")
+        PlanCache.invalidate(session.spark)
+        oneRowResult(session.spark, "result", s"variable $name reset")
 
       case PrepareNamedRe(name, stmt) =>
         // session.prepareNamed runs the full prepare path: dialect rewrite,

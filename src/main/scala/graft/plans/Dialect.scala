@@ -31,7 +31,8 @@ object Dialect {
     val t = DistinctOnRewrite.rewrite(StarReplace.rewrite(StarExclude.rewrite(
       SampleRewrite.rewrite(ListSyntax.rewrite(TableFunctions.rewrite(FromFirstRewrite.rewrite(
         JoinKeywords.rewrite(UnpivotRewrite.rewrite(sql)))))))))
-    val p = PivotRewrite.rewrite(t, spark, preAnalyze)
+    val v = GetVariableRewrite.rewrite(t, spark)
+    val p = PivotRewrite.rewrite(v, spark, preAnalyze)
     QualifyRewrite.rewrite(ColumnsRewrite.rewrite(InsertByName.rewrite(
       AsofJoinRewrite.rewrite(p, spark, preAnalyze), spark, preAnalyze), spark, preAnalyze))
   }

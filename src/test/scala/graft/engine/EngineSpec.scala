@@ -179,6 +179,32 @@ class SessionAndStatementSpec extends AnyFunSuite {
       "PREPARE p AS SELECT * FROM parquet.`/etc/passwd`"))
   }
 
+  test("SET VARIABLE / getvariable map onto Spark session variables") {
+    val s = sessions.getOrCreate("var-s", "alice", "admin")
+    graft.Tables.ensure(s.spark, graft.SparkTestHarness.sfDir)
+    def run(sql: String) = Statement.create(sessions, s, global, sql)
+    run("SET VARIABLE vi = 41 + 1")
+    assert(run("SELECT getvariable('vi') AS v").collect().head.getInt(0) == 42)
+    // typed: a string, and a scalar subquery default
+    run("SET VARIABLE vs = 'a''b'")
+    assert(run("SELECT getvariable('vs') AS v").collect().head.getString(0) == "a'b")
+    run("SET VARIABLE vmax = (SELECT MAX(r_regionkey) FROM region)")
+    assert(run("SELECT getvariable('vmax') AS v").collect().head.getInt(0) == 4)
+    // variables compose in expressions and re-SET retypes (DuckDB rule)
+    assert(run("SELECT getvariable('vi') + getvariable('vmax') AS v")
+      .collect().head.getInt(0) == 46)
+    run("SET VARIABLE vi = 'now a string'")
+    assert(run("SELECT getvariable('vi') AS v").collect().head.getString(0) == "now a string")
+    // unset reads as NULL (DuckDB's rule); RESET unsets
+    assert(run("SELECT getvariable('never_set') AS v").collect().head.isNullAt(0))
+    run("RESET VARIABLE vi")
+    assert(run("SELECT getvariable('vi') AS v").collect().head.isNullAt(0))
+    // a non-admin cannot smuggle a blocked scan into a variable default
+    val user = sessions.getOrCreate("var-u", "carol", "user")
+    intercept[SecurityException](Statement.create(sessions, user, global,
+      "SET VARIABLE leak = (SELECT COUNT(*) FROM parquet.`/etc`)"))
+  }
+
   test("prepared DML defers to EXECUTE and invalidates the plan cache") {
     val s = sessions.getOrCreate("prep-dml", "alice", "admin")
     def run(sql: String) = Statement.create(sessions, s, global, sql)
