@@ -615,6 +615,14 @@ object Statement {
           if (session.macros.drop(name)) s"macro $name dropped"
           else s"macro $name did not exist")
 
+      case _ if graft.plans.OnConflictRewrite.matches(sql) =>
+        // DuckDB upsert syntax desugars to MERGE (source aliased `excluded`
+        // so excluded.col works verbatim) and re-dispatches through the
+        // row-DML path below — same guard, transaction, and plan-cache
+        // semantics as a hand-written MERGE.
+        create(sessions, session, global,
+          graft.plans.OnConflictRewrite.rewrite(sql, session.spark))
+
       case _ if graft.sources.RowDml.handles(sql) =>
         // Row-level UPDATE/DELETE/MERGE: Spark's file sources have no native
         // execution for these, so after the same guard/catalog checks as any

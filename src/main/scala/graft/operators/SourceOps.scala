@@ -177,6 +177,26 @@ object SourceOps {
         "WHEN NOT MATCHED THEN INSERT (n_nationkey, n_name, n_regionkey) " +
         "VALUES (s.n_nationkey, s.n_name, s.n_regionkey)")
       s.table("graft_cow_tgt").orderBy("n_nationkey")
+    },
+
+    // DuckDB upsert: INSERT ... ON CONFLICT (k) DO UPDATE, desugared to
+    // MERGE by plans.OnConflictRewrite and executed by the copy-on-write
+    // path. Oracle = the expected post-upsert state as a SELECT (the
+    // dml_merge pattern: DuckDB describes the result, Spark produces it).
+    Op.effectful("dml_upsert",
+      "SELECT n_nationkey, CASE WHEN n_nationkey = 3 THEN 'N_UPSERT' ELSE n_name END AS n_name, " +
+      "CASE WHEN n_nationkey = 3 THEN 77 ELSE n_regionkey END AS n_regionkey FROM nation " +
+      "UNION ALL SELECT 88, 'N_FRESH', 1 ORDER BY n_nationkey") { (s, d) =>
+      Tables.ensure(s, d)
+      deleteManagedTable(s, "graft_ups_tgt")
+      s.table("nation").write.saveAsTable("graft_ups_tgt")
+      val merged = graft.plans.OnConflictRewrite.rewrite(
+        "INSERT INTO graft_ups_tgt (n_nationkey, n_name, n_regionkey) " +
+        "VALUES (3, 'N_UPSERT', 77), (88, 'N_FRESH', 1) " +
+        "ON CONFLICT (n_nationkey) DO UPDATE SET n_name = excluded.n_name, " +
+        "n_regionkey = excluded.n_regionkey", s)
+      graft.sources.RowDml.execute(s, merged)
+      s.table("graft_ups_tgt").orderBy("n_nationkey")
     }
   )
 }

@@ -109,6 +109,22 @@ object RowDml {
       s"DML target must be a named table, got ${other.getClass.getSimpleName}")
   }
 
+  /** MERGE source: a named table/view like the target, or any aliased
+    * subquery (the ON CONFLICT desugar feeds `USING (SELECT ...) AS
+    * excluded`) — built directly over the parsed plan, no re-render.
+    */
+  private def sourceOf(spark: SparkSession, plan: LogicalPlan): (org.apache.spark.sql.DataFrame, String) =
+    plan match {
+      case SubqueryAlias(id, r: UnresolvedRelation) =>
+        (spark.table(r.multipartIdentifier.mkString(".")), id.name)
+      case SubqueryAlias(id, child) =>
+        (org.apache.spark.sql.GraftDatasetShim.ofRows(spark, child), id.name)
+      case r: UnresolvedRelation =>
+        (spark.table(r.multipartIdentifier.mkString(".")), r.multipartIdentifier.last)
+      case other => throw new IllegalArgumentException(
+        s"MERGE source must be a named table or an aliased subquery, got ${other.getClass.getSimpleName}")
+    }
+
   // The parsed Expression becomes the Column directly — no `e.sql` text
   // round-trip (which mangled quoted identifiers and literals containing
   // quotes; VERDICT r6 "What's wrong" #4).
@@ -244,11 +260,11 @@ object RowDml {
       throw new UnsupportedOperationException(
         "MERGE ... WHEN NOT MATCHED BY SOURCE is not supported on Parquet tables")
     val (tName, tAlias) = relationOf(m.targetTable)
-    val (sName, sAlias) = relationOf(m.sourceTable)
+    val (sDf, sAlias) = sourceOf(spark, m.sourceTable)
     val schema = spark.table(tName).schema
 
     val t = spark.table(tName).alias(tAlias).withColumn(TMark, lit(1))
-    val s = spark.table(sName).alias(sAlias).withColumn(SMark, lit(1))
+    val s = sDf.alias(sAlias).withColumn(SMark, lit(1))
     val j = t.join(s, exprCol(m.mergeCondition), "full_outer").cache()
     try {
       val matched = col(TMark) === 1 && col(SMark) === 1

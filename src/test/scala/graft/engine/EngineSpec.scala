@@ -179,6 +179,35 @@ class SessionAndStatementSpec extends AnyFunSuite {
       "PREPARE p AS SELECT * FROM parquet.`/etc/passwd`"))
   }
 
+  test("INSERT ... ON CONFLICT desugars to MERGE (upsert on plain parquet)") {
+    val s = sessions.getOrCreate("upsert-s", "alice", "admin")
+    def run(sql: String) = Statement.create(sessions, s, global, sql)
+    s.spark.sql("DROP TABLE IF EXISTS ups_t")
+    s.spark.sql("CREATE TABLE ups_t AS SELECT * FROM VALUES (1, 'a', 10), (2, 'b', 20) AS t(id, name, score)")
+    // DO UPDATE with excluded.* references, one conflicting + one new row
+    run("INSERT INTO ups_t (id, name, score) VALUES (2, 'B2', 99), (3, 'c', 30) " +
+      "ON CONFLICT (id) DO UPDATE SET name = excluded.name, score = excluded.score")
+    val rows = s.spark.table("ups_t").orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSeq
+    assert(rows == Seq((1, "a", 10), (2, "B2", 99), (3, "c", 30)))
+    // DO NOTHING: the conflicting row is skipped, the new one inserts
+    run("INSERT INTO ups_t (id, name, score) VALUES (3, 'zzz', 0), (4, 'd', 40) " +
+      "ON CONFLICT (id) DO NOTHING")
+    val rows2 = s.spark.table("ups_t").orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSeq
+    assert(rows2 == Seq((1, "a", 10), (2, "B2", 99), (3, "c", 30), (4, "d", 40)))
+    // conditional upsert: the WHERE tail becomes WHEN MATCHED AND
+    run("INSERT INTO ups_t (id, name, score) VALUES (4, 'D!', 5) " +
+      "ON CONFLICT (id) DO UPDATE SET name = excluded.name WHERE excluded.score > 100")
+    assert(s.spark.table("ups_t").filter("id = 4").collect().head.getString(1) == "d")
+    // key-less and OR REPLACE forms fail loudly (no PRIMARY KEY metadata)
+    intercept[IllegalArgumentException](
+      run("INSERT INTO ups_t VALUES (9, 'x', 1) ON CONFLICT DO NOTHING"))
+    intercept[IllegalArgumentException](
+      run("INSERT OR REPLACE INTO ups_t VALUES (9, 'x', 1)"))
+    s.spark.sql("DROP TABLE ups_t")
+  }
+
   test("SET VARIABLE / getvariable map onto Spark session variables") {
     val s = sessions.getOrCreate("var-s", "alice", "admin")
     graft.Tables.ensure(s.spark, graft.SparkTestHarness.sfDir)

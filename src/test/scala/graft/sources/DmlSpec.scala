@@ -136,7 +136,7 @@ class DmlSpec extends AnyFunSuite {
     assert(out == Seq((1, "keep", 10), (2, "updated", 200), (9, "new", 900)))
   }
 
-  test("MERGE WHEN NOT MATCHED BY SOURCE is rejected, as is a subquery source") {
+  test("MERGE WHEN NOT MATCHED BY SOURCE is rejected; a subquery source works") {
     import spark.implicits._
     freshTable("dml_m2")
     Seq((1, 1)).toDF("id", "v").write.saveAsTable("dml_m2")
@@ -145,9 +145,12 @@ class DmlSpec extends AnyFunSuite {
       "MERGE INTO dml_m2 t USING dml_m2_src s ON t.id = s.id " +
       "WHEN MATCHED THEN UPDATE SET v = s.v " +
       "WHEN NOT MATCHED BY SOURCE THEN DELETE"))
-    assertThrows[IllegalArgumentException](RowDml.execute(spark,
+    // aliased subquery sources are legal (the ON CONFLICT desugar feeds
+    // `USING (SELECT ...) AS excluded`)
+    RowDml.execute(spark,
       "MERGE INTO dml_m2 t USING (SELECT 1 AS id, 2 AS v) s ON t.id = s.id " +
-      "WHEN MATCHED THEN UPDATE SET v = s.v"))
+      "WHEN MATCHED THEN UPDATE SET v = s.v")
+    assert(spark.table("dml_m2").collect().head.getInt(1) == 2)
   }
 
   test("expressions survive without a SQL-text round-trip: quoted identifiers, quotes in literals") {
