@@ -615,6 +615,18 @@ object Statement {
           if (session.macros.drop(name)) s"macro $name dropped"
           else s"macro $name did not exist")
 
+      case _ if AlterTable.handles(sql) =>
+        // DuckDB column-level ALTER TABLE (DROP/RENAME/retype/ADD+DEFAULT):
+        // Spark's v1 parquet catalog can't, so AlterTable rewrites the
+        // table copy-on-write with a safe swap. A write like any other:
+        // read-only blocked, plan cache flushed.
+        if (session.isReadOnly)
+          throw new SecurityException("read-only role cannot alter tables")
+        CatalogAccess.enforce(session, session.spark, sql, sessions.attachments.names)
+        val res = AlterTable.execute(session.spark, sql)
+        PlanCache.invalidate(session.spark)
+        res
+
       case _ if graft.plans.OnConflictRewrite.matches(sql) =>
         // DuckDB upsert syntax desugars to MERGE (source aliased `excluded`
         // so excluded.col works verbatim) and re-dispatches through the

@@ -179,6 +179,34 @@ class SessionAndStatementSpec extends AnyFunSuite {
       "PREPARE p AS SELECT * FROM parquet.`/etc/passwd`"))
   }
 
+  test("column-level ALTER TABLE rewrites parquet tables copy-on-write") {
+    val s = sessions.getOrCreate("alter-s", "alice", "admin")
+    def run(sql: String) = Statement.create(sessions, s, global, sql)
+    s.spark.sql("DROP TABLE IF EXISTS alt_t")
+    s.spark.sql("CREATE TABLE alt_t AS SELECT * FROM VALUES (1, 'a', 1.5), (2, 'b', 2.5) AS t(id, name, v)")
+    run("ALTER TABLE alt_t DROP COLUMN v")
+    assert(s.spark.table("alt_t").columns.toSeq == Seq("id", "name"))
+    run("ALTER TABLE alt_t RENAME COLUMN name TO label")
+    assert(s.spark.table("alt_t").columns.toSeq == Seq("id", "label"))
+    run("ALTER TABLE alt_t ALTER COLUMN id TYPE BIGINT")
+    assert(s.spark.table("alt_t").schema("id").dataType.sql == "BIGINT")
+    run("ALTER TABLE alt_t ADD COLUMN score INT DEFAULT 7")
+    assert(s.spark.table("alt_t").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq ==
+      Seq((1L, "a", 7), (2L, "b", 7)))
+    // data survived every rewrite; IF EXISTS no-ops; errors are loud
+    run("ALTER TABLE alt_t DROP COLUMN IF EXISTS ghost")
+    intercept[IllegalArgumentException](run("ALTER TABLE alt_t DROP COLUMN ghost"))
+    intercept[IllegalArgumentException](run("ALTER TABLE alt_t RENAME COLUMN id TO label"))
+    // read-only blocked; temp views refused
+    val ro = sessions.getOrCreate("alter-ro", "bob", "readonly")
+    intercept[SecurityException](Statement.create(sessions, ro, global,
+      "ALTER TABLE alt_t DROP COLUMN label"))
+    s.spark.sql("SELECT 1 AS x").createOrReplaceTempView("alt_view")
+    intercept[IllegalArgumentException](run("ALTER TABLE alt_view DROP COLUMN x"))
+    s.spark.sql("DROP TABLE alt_t")
+  }
+
   test("INSERT ... ON CONFLICT desugars to MERGE (upsert on plain parquet)") {
     val s = sessions.getOrCreate("upsert-s", "alice", "admin")
     def run(sql: String) = Statement.create(sessions, s, global, sql)
