@@ -73,6 +73,9 @@ object Statement {
   // DuckDB's profiling statement: SUMMARIZE <table>.
   private val SummarizeRe =
     """(?is)^\s*SUMMARIZE\s+([A-Za-z_][A-Za-z0-9_.]*)\s*;?\s*$""".r
+  // DuckDB also summarizes arbitrary queries: SUMMARIZE SELECT ...
+  private val SummarizeQueryRe =
+    """(?is)^\s*SUMMARIZE\s+((?:SELECT|WITH|VALUES|FROM)\b.+?)\s*;?\s*$""".r
   // DuckDB COPY ... TO: the per-query export statement (EXPORT DATABASE is
   // the whole-catalog face). Greedy query group: the LAST ") TO '" wins, so
   // nested parens inside the query survive.
@@ -437,6 +440,13 @@ object Statement {
       case SummarizeRe(table) =>
         // One wide aggregation pass; DuckDB's exact report columns.
         Summarize.summarize(session.spark, table)
+
+      case SummarizeQueryRe(query) =>
+        // the inner query speaks the full dialect and faces the guard
+        val q = graft.plans.Dialect.rewrite(
+          Macros.expand(query, session.macros), session.spark, guardOrThrow(session))
+        guardOrThrow(session)(q)
+        Summarize.summarizeDf(session.spark, session.spark.sql(q))
 
       case CopyQueryToRe(query, path, opts) =>
         copyTo(session, session.spark.sql(graft.plans.Dialect.rewrite(query, session.spark)),

@@ -18,8 +18,13 @@ import scala.jdk.CollectionConverters._
   */
 object Summarize {
 
-  def summarize(spark: SparkSession, table: String): DataFrame = {
-    val df = spark.table(table)
+  def summarize(spark: SparkSession, table: String): DataFrame =
+    summarizeDf(spark, spark.table(table))
+
+  /** SUMMARIZE over an arbitrary query's result (DuckDB's
+    * `SUMMARIZE SELECT ...` form).
+    */
+  def summarizeDf(spark: SparkSession, df: DataFrame): DataFrame = {
     val fields = df.schema.fields
 
     def isNumeric(dt: DataType): Boolean = dt match {

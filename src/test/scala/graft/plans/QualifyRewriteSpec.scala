@@ -284,5 +284,14 @@ class QualifyRewriteSpec extends AnyFunSuite {
       "SUMMARIZE embeddings").map(r => r.getString(0) -> r).toMap
     assert(emb.contains("embedding"))
     assert(emb("embedding").getString(2) == null && emb("embedding").getLong(10) > 0)
+    // DuckDB's query form: SUMMARIZE SELECT ... (inner query speaks the
+    // dialect and faces the guard)
+    val q = Statement.run(sessions, session, new GlobalSettings, admission,
+      "SUMMARIZE SELECT n_chars, source FROM documents WHERE doc_id < 100")
+      .map(r => r.getString(0) -> r).toMap
+    assert(q.keySet == Set("n_chars", "source"))
+    assert(q("n_chars").getLong(10) == 100)
+    intercept[SecurityException](Statement.run(sessions, session, new GlobalSettings,
+      admission, "SUMMARIZE SELECT * FROM parquet.`/etc`"))
   }
 }
