@@ -10,8 +10,8 @@ package graft.plans
 object Dialect {
   def rewrite(sql: String): String =
     QualifyRewrite.rewrite(DistinctOnRewrite.rewrite(StarReplace.rewrite(StarExclude.rewrite(
-      SampleRewrite.rewrite(ListSyntax.rewrite(TableFunctions.rewrite(FromFirstRewrite.rewrite(
-        JoinKeywords.rewrite(UnpivotRewrite.rewrite(sql))))))))))
+      SampleRewrite.rewrite(ListSyntax.rewrite(StructSyntax.rewrite(TableFunctions.rewrite(
+        FromFirstRewrite.rewrite(JoinKeywords.rewrite(UnpivotRewrite.rewrite(sql)))))))))))
 
   /** Session-aware chain: adds the ASOF JOIN desugar, which needs the two
     * operand schemas (analysis only — nothing executes, nothing registers).
@@ -29,8 +29,8 @@ object Dialect {
     // PIVOT over read_parquet(...) needs the path-scan spelling before its
     // distinct-values scan can analyze
     val t = DistinctOnRewrite.rewrite(StarReplace.rewrite(StarExclude.rewrite(
-      SampleRewrite.rewrite(ListSyntax.rewrite(TableFunctions.rewrite(FromFirstRewrite.rewrite(
-        JoinKeywords.rewrite(UnpivotRewrite.rewrite(sql)))))))))
+      SampleRewrite.rewrite(ListSyntax.rewrite(StructSyntax.rewrite(TableFunctions.rewrite(
+        FromFirstRewrite.rewrite(JoinKeywords.rewrite(UnpivotRewrite.rewrite(sql))))))))))
     val v = GetVariableRewrite.rewrite(t, spark)
     val p = PivotRewrite.rewrite(v, spark, preAnalyze)
     QualifyRewrite.rewrite(ColumnsRewrite.rewrite(InsertByName.rewrite(
