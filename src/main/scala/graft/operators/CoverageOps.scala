@@ -528,6 +528,78 @@ object CoverageOps {
         Tables.ensure(s, d)
         s.sql(sameText)
       }
+    },
+
+    // DuckDB's string-similarity family — levenshtein/editdist3 map onto
+    // Spark's builtin; damerau_levenshtein (TRUE DL), hamming, jaccard,
+    // jaro(-winkler) are native codegen expressions
+    // (plans/StringDistances.scala) registered under the DuckDB names, so
+    // ONE text runs verbatim on both engines. Doubles are ROUNDed: the
+    // formulas are identical, rounding only absorbs last-ulp noise.
+    {
+      val sameText =
+        "SELECT p_partkey, " +
+        "CAST(levenshtein(p_type, 'PROMO BURNISHED COPPER') AS INTEGER) AS lev, " +
+        "CAST(editdist3(p_brand, 'Brand#13') AS INTEGER) AS ed3, " +
+        "CAST(damerau_levenshtein(p_brand, 'Brand#31') AS INTEGER) AS dl, " +
+        "CAST(hamming(substring(p_brand, 1, 7), 'Brand#2') AS INTEGER) AS ham, " +
+        "ROUND(jaccard(p_name, p_type), 6) AS jac, " +
+        "ROUND(jaro_similarity(p_name, p_type), 6) AS js, " +
+        "ROUND(jaro_winkler_similarity(p_brand, 'Brand#11'), 6) AS jw " +
+        "FROM part ORDER BY p_partkey LIMIT 200"
+      Op("fn_strdist", sameText) { (s, d) =>
+        Tables.ensure(s, d)
+        s.sql(sameText)
+      }
+    },
+
+    // DuckDB's date_diff (BOUNDARIES-crossed, not complete intervals —
+    // date_diff('month', Jan 31, Feb 1) = 1), dayname/monthname full
+    // names, and time_bucket on the 2000-01-03 origin grid. The quoted
+    // date_diff spelling is parser-shadowed in Spark, so the text goes
+    // through the dialect chain (plans/FunctionRenames.scala).
+    {
+      val sameText =
+        "SELECT o_orderkey, " +
+        "date_diff('day', DATE '1995-01-01', o_orderdate) AS dd_day, " +
+        "date_diff('month', DATE '1995-01-01', o_orderdate) AS dd_mon, " +
+        "date_diff('week', DATE '1995-01-01', o_orderdate) AS dd_wk, " +
+        "date_diff('quarter', DATE '1995-01-01', o_orderdate) AS dd_q, " +
+        "date_diff('hour', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS dd_hr, " +
+        "dayname(o_orderdate) AS dn, monthname(o_orderdate) AS mn, " +
+        "CAST(time_bucket(INTERVAL '1 week', o_orderdate) AS DATE) AS wk_b, " +
+        "CAST(time_bucket(INTERVAL '3 months', o_orderdate) AS DATE) AS q_b " +
+        "FROM orders ORDER BY o_orderkey LIMIT 200"
+      Op("fn_datetime4", sameText) { (s, d) =>
+        Tables.ensure(s, d)
+        s.sql(graft.plans.Dialect.rewrite(sameText))
+      }
+    },
+
+    // Misc DuckDB spellings: fmt-style format(), to_base, gcd/lcm,
+    // ord/unicode, prefix/suffix, base64 round-trip,
+    // regexp_split_to_array — each a registry alias onto a codegen'd
+    // builtin or a small native expression (plans/DateCompat.scala).
+    {
+      val sameText =
+        "SELECT n_nationkey, " +
+        "format('{}-{}', n_name, n_regionkey) AS fmt, " +
+        "to_base(n_nationkey + 1, 2) AS b2, " +
+        "CAST(gcd(n_nationkey, 12) AS BIGINT) AS g, " +
+        "CAST(lcm(n_nationkey + 1, 6) AS BIGINT) AS l, " +
+        "CAST(ord(n_name) AS INTEGER) AS o, " +
+        "CAST(unicode(n_name) AS INTEGER) AS u, " +
+        "prefix(n_name, 'A') AS pre, suffix(n_name, 'A') AS suf, " +
+        // to_base64 is spec-covered only: DuckDB 1.0 won't implicit-cast a
+        // VARCHAR COLUMN to BLOB (literals yes), and the explicit cast
+        // spellings differ per engine (BLOB vs BINARY) — no one text runs
+        // on both.
+        "array_to_string(regexp_split_to_array(n_name, 'A'), '|') AS sp " +
+        "FROM nation ORDER BY n_nationkey"
+      Op("fn_dialect_misc", sameText) { (s, d) =>
+        Tables.ensure(s, d)
+        s.sql(graft.plans.Dialect.rewrite(sameText))
+      }
     }
   )
 }

@@ -913,6 +913,38 @@ object TextPipeline {
       simhash(docs(s, d)).orderBy("doc_id")
     },
 
+    // Edit-distance near-dup: block on an exact 20-char prefix (equi-join,
+    // never all-pairs — the 100 TB shape is the same bucketed join as the
+    // MinHash band path), then verify candidates with TRUE
+    // Damerau-Levenshtein over an 80-char head. The threshold sits on the
+    // INTEGER distance, which is bit-exact cross-engine; jaro-winkler
+    // rides along rounded as a similarity score. Both distances are the
+    // native codegen expressions (plans/StringDistances.scala) resolved
+    // through the DuckDB-named registry aliases, so the oracle is the
+    // same computation in DuckDB's own builtins.
+    Op("dedup_editdist",
+      "WITH b AS (SELECT doc_id, substring(text, 1, 20) AS blk, " +
+      "substring(text, 1, 80) AS head FROM documents) " +
+      "SELECT a.doc_id AS id_a, b2.doc_id AS id_b, " +
+      "CAST(damerau_levenshtein(a.head, b2.head) AS INTEGER) AS dl, " +
+      "ROUND(jaro_winkler_similarity(a.head, b2.head), 4) AS jw " +
+      "FROM b a JOIN b b2 ON a.blk = b2.blk AND a.doc_id < b2.doc_id " +
+      "WHERE damerau_levenshtein(a.head, b2.head) <= 20 " +
+      "ORDER BY id_a, id_b") { (s, d) =>
+      val base = docs(s, d).select(col("doc_id"),
+        substring(col("text"), 1, 20).as("blk"),
+        substring(col("text"), 1, 80).as("head"))
+      val left = base.select(col("doc_id").as("id_a"), col("blk"), col("head").as("head_a"))
+      val right = base.select(col("doc_id").as("id_b"), col("blk"), col("head").as("head_b"))
+      left.join(right, "blk")
+        .where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          expr("damerau_levenshtein(head_a, head_b)").as("dl"),
+          round(expr("jaro_winkler_similarity(head_a, head_b)"), 4).as("jw"))
+        .where(col("dl") <= 20)
+        .orderBy("id_a", "id_b")
+    },
+
     Op("text_stats",
       "SELECT doc_id, CAST(LENGTH(text) AS INTEGER) AS n_char, CAST(LEN(STRING_SPLIT(text,' ')) AS INTEGER) AS n_tok, " +
       "ROUND(CAST(LEN(LIST_FILTER(STRING_SPLIT(text,' '), w -> w IN ('the','a','of','and','in'))) AS DOUBLE)/LEN(STRING_SPLIT(text,' ')),4) AS stop_ratio, " +

@@ -11,7 +11,8 @@ object Dialect {
   def rewrite(sql: String): String =
     QualifyRewrite.rewrite(DistinctOnRewrite.rewrite(StarReplace.rewrite(StarExclude.rewrite(
       SampleRewrite.rewrite(ListSyntax.rewrite(StructSyntax.rewrite(TableFunctions.rewrite(
-        FromFirstRewrite.rewrite(JoinKeywords.rewrite(UnpivotRewrite.rewrite(sql)))))))))))
+        FromFirstRewrite.rewrite(JoinKeywords.rewrite(UnpivotRewrite.rewrite(
+          FunctionRenames.rewrite(sql))))))))))))
 
   /** Session-aware chain: adds the ASOF JOIN desugar, which needs the two
     * operand schemas (analysis only — nothing executes, nothing registers).
@@ -30,7 +31,8 @@ object Dialect {
     // distinct-values scan can analyze
     val t = DistinctOnRewrite.rewrite(StarReplace.rewrite(StarExclude.rewrite(
       SampleRewrite.rewrite(ListSyntax.rewrite(StructSyntax.rewrite(TableFunctions.rewrite(
-        FromFirstRewrite.rewrite(JoinKeywords.rewrite(UnpivotRewrite.rewrite(sql))))))))))
+        FromFirstRewrite.rewrite(JoinKeywords.rewrite(UnpivotRewrite.rewrite(
+          FunctionRenames.rewrite(sql)))))))))))
     val v = GetVariableRewrite.rewrite(t, spark)
     val p = PivotRewrite.rewrite(v, spark, preAnalyze)
     QualifyRewrite.rewrite(ColumnsRewrite.rewrite(InsertByName.rewrite(

@@ -288,6 +288,135 @@ object DuckDbCompat {
         case Seq(s, p, r, pos) => RegExpReplace(s, p, r, pos)
         case _ => throw new IllegalArgumentException(
           "regexp_replace expects 3 or 4 arguments")
+      }),
+    // --- string-similarity family (see plans/StringDistances.scala) ---
+    (FunctionIdentifier("editdist3"),
+      info("editdist3", "editdist3(a, b) - DuckDB alias of levenshtein"),
+      (c: Seq[Expression]) => Levenshtein(c(0), c(1))),
+    (FunctionIdentifier("damerau_levenshtein"),
+      info("damerau_levenshtein",
+        "damerau_levenshtein(a, b) - true DL distance (adjacent transpositions)"),
+      (c: Seq[Expression]) => DamerauLevenshtein(c(0), c(1))),
+    (FunctionIdentifier("hamming"),
+      info("hamming", "hamming(a, b) - differing positions; equal lengths required"),
+      (c: Seq[Expression]) => HammingDistance(c(0), c(1))),
+    (FunctionIdentifier("mismatches"),
+      info("mismatches", "mismatches(a, b) - DuckDB alias of hamming"),
+      (c: Seq[Expression]) => HammingDistance(c(0), c(1))),
+    (FunctionIdentifier("jaccard"),
+      info("jaccard", "jaccard(a, b) - character-set Jaccard similarity"),
+      (c: Seq[Expression]) => CharSetJaccard(c(0), c(1))),
+    (FunctionIdentifier("jaro_similarity"),
+      info("jaro_similarity", "jaro_similarity(a, b) - Jaro similarity in [0, 1]"),
+      (c: Seq[Expression]) => JaroSimilarity(c(0), c(1))),
+    (FunctionIdentifier("jaro_winkler_similarity"),
+      info("jaro_winkler_similarity",
+        "jaro_winkler_similarity(a, b) - Jaro with prefix boost above 0.7"),
+      (c: Seq[Expression]) => JaroWinklerSimilarity(c(0), c(1))),
+    // --- date/time dialect (see plans/DateCompat.scala) ---
+    // date_diff/datediff with a QUOTED part are parser-shadowed spellings;
+    // FunctionRenames redirects them here (see plans/FunctionRenames.scala).
+    (FunctionIdentifier("graft_date_diff"),
+      info("graft_date_diff",
+        "date_diff('part', a, b) - part boundaries crossed, signed (DuckDB dialect)"),
+      (c: Seq[Expression]) => c match {
+        case Seq(p, a, b) => DateCompat.dateDiff(literalText(p, "date_diff"), a, b)
+        case _ => throw new IllegalArgumentException(
+          "date_diff expects ('part', start, end)")
+      }),
+    (FunctionIdentifier("time_bucket"),
+      info("time_bucket",
+        "time_bucket(INTERVAL w, ts) - fixed-width bucket, origin 2000-01-03 / 2000-01"),
+      (c: Seq[Expression]) => {
+        if (c.length != 2) throw new IllegalArgumentException(
+          "time_bucket(width, ts): only the 2-argument form is supported")
+        TimeBucket(c(0), c(1))
+      }),
+    (FunctionIdentifier("dayname"),
+      info("dayname", "dayname(d) - full weekday name (DuckDB dialect)"),
+      (c: Seq[Expression]) => DateFormatClass(
+        Cast(c(0), org.apache.spark.sql.types.TimestampType), lit("EEEE"))),
+    (FunctionIdentifier("monthname"),
+      info("monthname", "monthname(d) - full month name (DuckDB dialect)"),
+      (c: Seq[Expression]) => DateFormatClass(
+        Cast(c(0), org.apache.spark.sql.types.TimestampType), lit("MMMM"))),
+    // --- misc renames onto builtins ---
+    (FunctionIdentifier("ord"),
+      info("ord", "ord(s) - code point of the first character"),
+      (c: Seq[Expression]) => Ascii(c(0))),
+    (FunctionIdentifier("unicode"),
+      info("unicode", "unicode(s) - code point of the first character"),
+      (c: Seq[Expression]) => Ascii(c(0))),
+    (FunctionIdentifier("regexp_split_to_array"),
+      info("regexp_split_to_array",
+        "regexp_split_to_array(s, pattern) - regex split (both engines)"),
+      (c: Seq[Expression]) => StringSplit(c(0), c(1), Literal(-1))),
+    (FunctionIdentifier("to_base64"),
+      info("to_base64", "to_base64(b) - DuckDB alias of base64"),
+      (c: Seq[Expression]) => Base64(Cast(c(0), org.apache.spark.sql.types.BinaryType))),
+    (FunctionIdentifier("from_base64"),
+      info("from_base64", "from_base64(s) - DuckDB alias of unbase64"),
+      (c: Seq[Expression]) => UnBase64(c(0))),
+    (FunctionIdentifier("uuid"),
+      info("uuid", "uuid() - DuckDB alias of gen_random_uuid"),
+      (c: Seq[Expression]) => Uuid()),
+    (FunctionIdentifier("prefix"),
+      info("prefix", "prefix(s, p) - DuckDB alias of starts_with"),
+      (c: Seq[Expression]) => StartsWith(c(0), c(1))),
+    (FunctionIdentifier("suffix"),
+      info("suffix", "suffix(s, p) - DuckDB alias of ends_with"),
+      (c: Seq[Expression]) => EndsWith(c(0), c(1))),
+    (FunctionIdentifier("to_base"),
+      info("to_base",
+        "to_base(n, radix[, min_len]) - uppercase digits, zero-padded to min_len"),
+      (c: Seq[Expression]) => {
+        val conv = Conv(Cast(c(0), org.apache.spark.sql.types.StringType),
+          Literal(10), c(1))
+        if (c.length > 2) StringLPad(conv, c(2), lit("0")) else conv
+      }),
+    (FunctionIdentifier("gcd"),
+      info("gcd", "gcd(a, b) - greatest common divisor over BIGINT"),
+      (c: Seq[Expression]) => GcdExpression(
+        Cast(c(0), org.apache.spark.sql.types.LongType),
+        Cast(c(1), org.apache.spark.sql.types.LongType))),
+    (FunctionIdentifier("lcm"),
+      info("lcm", "lcm(a, b) - least common multiple over BIGINT"),
+      (c: Seq[Expression]) => LcmExpression(
+        Cast(c(0), org.apache.spark.sql.types.LongType),
+        Cast(c(1), org.apache.spark.sql.types.LongType))),
+    // DuckDB's fmt-style format(): bare {} placeholders expand to
+    // stringified args at bind time (Concat of casts, fully codegen'd).
+    // Format SPECS ({:.2f}-style) are rejected loudly — DuckDB's fmt
+    // engine is a superset nothing in the fixtures needs.
+    (FunctionIdentifier("format"),
+      info("format", "format('{} ...', args) - fmt-style formatting, bare {} only"),
+      (c: Seq[Expression]) => {
+        val fmt = literalText(c(0), "format")
+        val args = c.drop(1)
+        val parts = scala.collection.mutable.ArrayBuffer.empty[Expression]
+        var rest = fmt
+        var argIdx = 0
+        while (rest.nonEmpty) {
+          val open = rest.indexOf('{')
+          if (open < 0) { parts += lit(rest); rest = "" }
+          else {
+            if (open > 0) parts += lit(rest.substring(0, open))
+            val close = rest.indexOf('}', open)
+            if (close < 0) throw new IllegalArgumentException(
+              s"format: unbalanced '{' in '$fmt'")
+            val spec = rest.substring(open + 1, close)
+            if (!(spec.isEmpty || spec == ":d" || spec == ":s"))
+              throw new IllegalArgumentException(
+                s"format: unsupported spec '{$spec}' (bare {} only)")
+            if (argIdx >= args.length) throw new IllegalArgumentException(
+              s"format: more placeholders than arguments in '$fmt'")
+            parts += Cast(args(argIdx), org.apache.spark.sql.types.StringType)
+            argIdx += 1
+            rest = rest.substring(close + 1)
+          }
+        }
+        if (parts.isEmpty) lit("") else if (parts.length == 1) parts.head
+        else Concat(parts.toSeq)
       }))
 }
 
