@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import Relational.ts
@@ -296,6 +297,48 @@ object Aggregates {
         .groupBy("l_returnflag")
         .agg(mode(col("l_linenumber")).as("common_line"))
         .orderBy("l_returnflag")
+    },
+
+    // DuckDB's entropy() aggregate: Shannon entropy (log2) over the value
+    // DISTRIBUTION of a column. Spark has no such aggregate; the
+    // distributed shape is the canonical two-phase aggregation — count per
+    // (group, value), then -Σ p·log2 p per group. Both phases are plain
+    // hash aggregates with map-side partials; nothing is collected. The
+    // same shape at 100 TB: the first groupBy carries (key, value) pairs,
+    // bounded by distinct-value count, not row count.
+    Op("agg_entropy",
+      "SELECT o_orderpriority, ROUND(entropy(o_orderstatus), 6) AS ent, " +
+      "CAST(COUNT(*) AS BIGINT) AS n FROM orders " +
+      "GROUP BY o_orderpriority ORDER BY o_orderpriority") { (s, d) =>
+      val counts = t(s, d, "orders")
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("c"))
+      val totals = Window.partitionBy("o_orderpriority")
+      counts
+        .withColumn("tot", sum(col("c")).over(totals))
+        .groupBy("o_orderpriority")
+        .agg(
+          round(-sum((col("c") / col("tot")) * log(2.0, col("c") / col("tot"))), 6)
+            .as("ent"),
+          sum(col("c")).as("n"))
+        .orderBy("o_orderpriority")
+    },
+
+    // DuckDB's product() aggregate: Spark has no multiplicative aggregate,
+    // but on a positive column it is exactly exp(Σ ln x) — one codegen'd
+    // pass, map-side partials, and the oracle's ROUND absorbs the
+    // last-ulp difference between the log-sum and DuckDB's running
+    // multiply. Declared narrowing: zero/negative inputs need the real
+    // multiplicative path (sign tracking), which no reference query uses.
+    Op("agg_product",
+      "SELECT l_linenumber, ROUND(product(1.0 + l_discount / 10), 6) AS prod " +
+      "FROM lineitem WHERE l_orderkey < 100 " +
+      "GROUP BY l_linenumber ORDER BY l_linenumber") { (s, d) =>
+      t(s, d, "lineitem")
+        .where(col("l_orderkey") < 100)
+        .groupBy("l_linenumber")
+        .agg(round(exp(sum(log(lit(1.0) + col("l_discount") / 10))), 6).as("prod"))
+        .orderBy("l_linenumber")
     }
   )
 }

@@ -600,6 +600,22 @@ object CoverageOps {
         Tables.ensure(s, d)
         s.sql(graft.plans.Dialect.rewrite(sameText))
       }
+    },
+
+    // Predicate spellings both engines parse natively — ILIKE / NOT ILIKE
+    // (case-insensitive LIKE) and IS [NOT] DISTINCT FROM (null-safe
+    // equality) — ONE text, verbatim on both.
+    {
+      val sameText =
+        "SELECT n_nationkey, n_name ILIKE '%an%' AS il, " +
+        "n_name NOT ILIKE 'a%' AS nil, " +
+        "n_regionkey IS DISTINCT FROM 1 AS idf, " +
+        "NULLIF(n_regionkey, 2) IS NOT DISTINCT FROM NULL AS indf " +
+        "FROM nation ORDER BY n_nationkey"
+      Op("compat_predicates", sameText) { (s, d) =>
+        Tables.ensure(s, d)
+        s.sql(sameText)
+      }
     }
   )
 }
