@@ -616,6 +616,26 @@ object CoverageOps {
         Tables.ensure(s, d)
         s.sql(sameText)
       }
+    },
+
+    // DuckDB's SIMILAR TO (anchored plain regex — % is LITERAL, probed) and
+    // GLOB (*/?/[class], anchored) onto Spark's infix RLIKE with explicit
+    // anchors and a glob→regex translation (plans/SimilarToRewrite.scala).
+    // ONE text: DuckDB executes the operators natively.
+    {
+      val sameText =
+        "SELECT p_partkey, " +
+        "p_type SIMILAR TO '.*BRUSHED.*' AS sim, " +
+        "p_type NOT SIMILAR TO 'PROMO.*' AS nsim, " +
+        "p_brand SIMILAR TO 'Brand#[14].' AS simc, " +
+        "p_brand GLOB 'Brand#1*' AS g1, " +
+        "p_name GLOB '*o[rl]d*' AS g2, " +
+        "p_type GLOB '?TANDARD*' AS g3 " +
+        "FROM part ORDER BY p_partkey LIMIT 200"
+      Op("compat_similar_glob", sameText) { (s, d) =>
+        Tables.ensure(s, d)
+        s.sql(graft.plans.Dialect.rewrite(sameText))
+      }
     }
   )
 }
