@@ -18,11 +18,14 @@ import scala.jdk.CollectionConverters._
   *
   * Guarantees, stated honestly: per-table atomicity (one INSERT OVERWRITE
   * per table at commit), session-local read-your-writes isolation, full
-  * rollback. Cross-TABLE commit is ordered, not atomic (a crash between two
-  * table overwrites leaves the first applied) — the reference gets
-  * cross-table atomicity from DuckDB's single-file WAL, which has no
-  * analogue over a directory of Parquet files; a Delta/Iceberg catalog
-  * would slot in here for that. Non-DML writes (INSERT, DDL, ingest) are
+  * rollback, and CRASH atomicity across tables — COMMIT writes a
+  * write-ahead journal ([[TxnJournal]]) before touching any table, and
+  * bootstrap redoes an interrupted commit from it, so a crash mid-commit
+  * can never leave some tables applied and others not once the engine is
+  * back up. What remains non-atomic is in-flight VISIBILITY: a concurrent
+  * reader during the apply window can see table A new next to table B old
+  * (closing that needs a versioned catalog — Delta/Iceberg territory; see
+  * TxnJournal's scaladoc). Non-DML writes (INSERT, DDL, ingest) are
   * rejected inside a transaction rather than silently applied eagerly.
   */
 object TxnDml {
@@ -34,8 +37,10 @@ object TxnDml {
     */
   def stagedSink(txns: Transactions, txnId: String): graft.sources.RowDml.Sink =
     (spark, name, newRows, _) => {
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-txn-stage/" +
-        java.util.UUID.randomUUID().toString
+      // Staged under the WAREHOUSE, not tmpdir: the commit journal's redo
+      // path must still find these post-images after a process restart.
+      val dir = TxnJournal.stageRoot(spark)
+        .resolve(java.util.UUID.randomUUID().toString).toString
       newRows.write.parquet(dir)
       spark.read.parquet(dir).createOrReplaceTempView(name)
       txns.stage(txnId, name, dir)
@@ -43,16 +48,26 @@ object TxnDml {
 
   /** Apply every touched table's final snapshot and drop the shadows.
     * Returns the applied table names (first-touch order).
+    *
+    * Order of operations is the crash-atomicity protocol: journal first
+    * (fsync + atomic rename = the commit point), then the per-table
+    * overwrites, then journal deletion. A crash anywhere in the apply loop
+    * leaves the journal in place and [[TxnJournal.recover]] redoes the
+    * whole entry list at next bootstrap.
     */
   def commitApply(spark: SparkSession, txn: Transactions#Txn): Seq[String] = {
     val entries = txn.staged.synchronized { txn.staged.asScala.toSeq }
-    entries.map { case (name, dir) =>
-      // Drop the shadow FIRST so insertInto resolves the catalog table, not
-      // the temp view (inserting into a view is an error).
-      spark.catalog.dropTempView(name)
+    if (entries.isEmpty) return Seq.empty
+    // Drop the shadows FIRST so insertInto resolves the catalog tables, not
+    // the temp views (inserting into a view is an error).
+    entries.foreach { case (name, _) => spark.catalog.dropTempView(name) }
+    val journal = TxnJournal.write(spark, txn.id, entries)
+    val applied = entries.map { case (name, dir) =>
       spark.read.parquet(dir).write.mode("overwrite").insertInto(name)
       name
     }
+    TxnJournal.clear(journal)
+    applied
   }
 
   /** Discard the transaction's shadows; the catalog tables were never

@@ -1,0 +1,132 @@
+package graft.engine
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
+import org.apache.spark.sql.SparkSession
+import scala.jdk.CollectionConverters._
+
+/** Write-ahead commit journal for multi-table transactions.
+  *
+  * The reference gets cross-table atomicity from DuckDB's single-file WAL
+  * (`/root/reference/src/duckdb/duckdb_server.cpp:1987-2014` rides the
+  * database's own transaction layer, and a crashed process replays the WAL
+  * on next open). A directory of plain Parquet tables has no shared WAL, so
+  * [[TxnDml.commitApply]] re-creates the recoverable half of that contract
+  * explicitly:
+  *
+  *   1. every touched table's FULL post-image is already sitting in a
+  *      durable staging dir (written during the transaction, under the
+  *      warehouse so it survives a process restart);
+  *   2. COMMIT first writes ONE journal file listing (table -> staging dir),
+  *      fsync + atomic rename — the commit point;
+  *   3. then applies each table's overwrite and deletes the journal.
+  *
+  * Crash before (2): no journal, no table touched — the transaction never
+  * happened. Crash after (2), anywhere in (3): the journal survives, and
+  * [[recover]] (run at server bootstrap) REDOES every listed overwrite —
+  * idempotent, because each entry is a full post-image — then clears the
+  * journal. Either way the commit is all-or-nothing across tables.
+  *
+  * What this does NOT buy (stated honestly, as TxnDml's scaladoc always
+  * has): in-flight visibility atomicity. A concurrent reader during window
+  * (3) can still see table A's new state next to table B's old one; closing
+  * that needs a versioned catalog that swaps all table pointers in one
+  * manifest rename (Delta/Iceberg territory — their commit protocol is this
+  * same journal with the read path routed through it). On object storage
+  * the atomic-rename step becomes a conditional PUT of the journal object;
+  * the protocol is otherwise unchanged at any scale, since the journal is
+  * O(touched tables) small regardless of data volume.
+  */
+object TxnJournal {
+
+  private val Header = "graft-txn-journal v1"
+
+  private def warehousePath(spark: SparkSession): Path = {
+    val raw = spark.conf.get("spark.sql.warehouse.dir",
+      sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-warehouse")
+    Paths.get(raw.stripPrefix("file:"))
+  }
+
+  /** Journal directory — underscore-prefixed so no table resolution ever
+    * mistakes it for data.
+    */
+  def journalDir(spark: SparkSession): Path =
+    warehousePath(spark).resolve("_graft_txn_journal")
+
+  /** Durable staging root for transaction post-images. Lives beside the
+    * tables (same filesystem / same store), so a post-restart redo can
+    * still read what it needs to apply — tmpdir staging would not survive
+    * the crash the journal exists for.
+    */
+  def stageRoot(spark: SparkSession): Path =
+    warehousePath(spark).resolve("_graft_txn_stage")
+
+  /** Write the commit journal for `txnId`: tmp file, fsync, atomic rename.
+    * The rename is the commit point — a reader never observes a partial
+    * journal file.
+    */
+  def write(spark: SparkSession, txnId: String, entries: Seq[(String, String)]): Path = {
+    val dir = journalDir(spark)
+    Files.createDirectories(dir)
+    val body = (Header +: txnId +: entries.map { case (t, d) => s"$t\t$d" })
+      .mkString("", "\n", "\n")
+    val tmp = dir.resolve(s"$txnId.tmp")
+    val out = java.nio.channels.FileChannel.open(tmp,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
+      StandardOpenOption.WRITE)
+    try {
+      out.write(java.nio.ByteBuffer.wrap(body.getBytes(StandardCharsets.UTF_8)))
+      out.force(true)
+    } finally out.close()
+    val fin = dir.resolve(s"$txnId.journal")
+    Files.move(tmp, fin, StandardCopyOption.ATOMIC_MOVE)
+    fin
+  }
+
+  /** Commit completed: the journal is obsolete. */
+  def clear(journal: Path): Unit = { Files.deleteIfExists(journal); () }
+
+  /** Redo every in-flight commit found in the journal dir (bootstrap path).
+    *
+    * Each journal lists full post-images, so redo is a plain re-apply of
+    * every entry — idempotent whether the crashed process had applied none,
+    * some, or all of them. Journals apply in name order (txn UUIDs; at most
+    * one can be in flight per crashed single-process server, so order only
+    * matters for hand-written test fixtures). A journal whose staged data
+    * is gone is unrecoverable corruption — fail bootstrap loudly, exactly
+    * like the reference's engine refuses a database with a broken WAL.
+    *
+    * Returns "txnId:table" labels of applied overwrites.
+    */
+  def recover(spark: SparkSession): Seq[String] = {
+    val dir = journalDir(spark)
+    if (!Files.isDirectory(dir)) return Seq.empty
+    val journals = Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".journal")).toSeq.sortBy(_.toString)
+    journals.flatMap { j =>
+      val lines = Files.readAllLines(j, StandardCharsets.UTF_8).asScala.toSeq
+      if (lines.isEmpty || lines.head != Header)
+        throw new IllegalStateException(s"unreadable transaction journal $j")
+      val txnId = lines(1)
+      val entries = lines.drop(2).filter(_.nonEmpty).map { l =>
+        l.split("\t", 2) match {
+          case Array(t, d) => (t, d)
+          case _ => throw new IllegalStateException(s"malformed journal line in $j: $l")
+        }
+      }
+      entries.foreach { case (table, staged) =>
+        if (!Files.isDirectory(Paths.get(staged)))
+          throw new IllegalStateException(
+            s"transaction journal $j references missing staging dir $staged — " +
+              "cannot redo the interrupted commit; refusing to serve a " +
+              "partially-committed catalog")
+      }
+      val applied = entries.map { case (table, staged) =>
+        spark.read.parquet(staged).write.mode("overwrite").insertInto(table)
+        s"$txnId:$table"
+      }
+      clear(j)
+      applied
+    }
+  }
+}

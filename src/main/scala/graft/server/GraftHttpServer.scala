@@ -133,6 +133,14 @@ final class GraftHttpServer(
 
   /** Start on `port` (0 = ephemeral); returns the bound port. */
   def start(port: Int = 0): Int = {
+    // Crash recovery before the first statement can run: redo any commit a
+    // previous process died in the middle of (TxnJournal's WAL-replay
+    // analogue — the reference gets the same from DuckDB opening its WAL).
+    // An unrecoverable journal (missing staged data) throws and refuses
+    // startup rather than serving a partially-committed catalog.
+    val redone = graft.engine.TxnJournal.recover(spark)
+    if (redone.nonEmpty)
+      System.err.println(s"[graft] redone interrupted commit(s): ${redone.mkString(", ")}")
     server = tls match {
       case Some(t) =>
         val s = HttpsServer.create(new InetSocketAddress("127.0.0.1", port), 0)

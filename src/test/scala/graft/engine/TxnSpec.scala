@@ -96,4 +96,59 @@ class TxnSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](run(s, "BEGIN"))
     run(s, "ROLLBACK")
   }
+
+  test("multi-table commit applies every touched table and clears its journal") {
+    val s = sessions.getOrCreate("txn-s6", "alice", "admin")
+    fresh(s, "txn_t6a"); fresh(s, "txn_t6b")
+    run(s, "BEGIN")
+    run(s, "UPDATE txn_t6a SET v = v * 10")
+    run(s, "DELETE FROM txn_t6b WHERE id > 1")
+    val res = run(s, "COMMIT").collect().head.getString(0)
+    assert(res.contains("committed (2 tables)"))
+    assert(vs(s, "txn_t6a") == Seq(100.0, 200.0, 300.0))
+    assert(vs(s, "txn_t6b") == Seq(10.0))
+    // Completed commit leaves no journal behind.
+    val dir = TxnJournal.journalDir(s.spark)
+    assert(!java.nio.file.Files.isDirectory(dir) ||
+      !java.nio.file.Files.list(dir).iterator().hasNext)
+  }
+
+  test("journal redo completes an interrupted multi-table commit") {
+    val s = sessions.getOrCreate("txn-s7", "alice", "admin")
+    fresh(s, "txn_t7a"); fresh(s, "txn_t7b")
+    // Post-images as a crashed commit would have staged them.
+    val root = TxnJournal.stageRoot(s.spark)
+    def stagePostImage(table: String, sql: String): String = {
+      val dir = root.resolve(java.util.UUID.randomUUID().toString).toString
+      s.spark.sql(sql).write.parquet(dir)
+      dir
+    }
+    val d7a = stagePostImage("txn_t7a", "SELECT id, v * 2 AS v FROM txn_t7a")
+    val d7b = stagePostImage("txn_t7b", "SELECT id, v + 5 AS v FROM txn_t7b")
+    val j = TxnJournal.write(s.spark, "txn-crash-7", Seq("txn_t7a" -> d7a, "txn_t7b" -> d7b))
+    // Simulate a crash after the FIRST table applied: redo must finish the
+    // second AND harmlessly re-apply the first (entries are full post-images).
+    s.spark.read.parquet(d7a).write.mode("overwrite").insertInto("txn_t7a")
+    assert(java.nio.file.Files.exists(j))
+    val redone = TxnJournal.recover(s.spark)
+    assert(redone == Seq("txn-crash-7:txn_t7a", "txn-crash-7:txn_t7b"))
+    assert(vs(s, "txn_t7a") == Seq(20.0, 40.0, 60.0))
+    assert(vs(s, "txn_t7b") == Seq(15.0, 25.0, 35.0))
+    assert(!java.nio.file.Files.exists(j))
+    // Second recover: nothing in flight, nothing re-applied.
+    assert(TxnJournal.recover(s.spark).isEmpty)
+  }
+
+  test("a journal whose staged data is gone refuses recovery") {
+    val s = sessions.getOrCreate("txn-s8", "alice", "admin")
+    fresh(s, "txn_t8")
+    val missing = TxnJournal.stageRoot(s.spark).resolve("never-written").toString
+    val j = TxnJournal.write(s.spark, "txn-crash-8", Seq("txn_t8" -> missing))
+    val e = intercept[IllegalStateException](TxnJournal.recover(s.spark))
+    assert(e.getMessage.contains("missing staging dir"))
+    // Table untouched, journal preserved for forensics.
+    assert(vs(s, "txn_t8") == Seq(10.0, 20.0, 30.0))
+    assert(java.nio.file.Files.exists(j))
+    TxnJournal.clear(j)
+  }
 }
