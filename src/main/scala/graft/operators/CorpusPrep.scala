@@ -394,6 +394,54 @@ object CorpusPrep {
         .orderBy("doc_id")
     },
 
+    // PMI collocation mining — the statistical phrase detector (word2vec's
+    // phrase pass, NLTK's collocation finder): score every adjacent word
+    // pair by log10(p(w1,w2) / (p(w1)p(w2))) and keep the top-30 with
+    // count >= 5. High-PMI pairs are the multiword units a tokenizer or
+    // phrase-merging pass should treat as one symbol. Scale shape mirrors
+    // text_lm_bigram: bigram counts group on the bigram key (map-side
+    // combined, never broadcast — the table is O(vocab²)); the bounded
+    // unigram vocab and the two scalar totals broadcast. Float policy:
+    // PMI quantizes to integer milli-units from all-integer inputs in the
+    // same written order both engines (the lm_score pattern), so the top-k
+    // boundary cannot flip on a last-ulp difference.
+    Op("text_pmi_topk",
+      "WITH s AS (SELECT doc_id, STRING_SPLIT(text,' ') AS ws FROM documents), " +
+      "w AS (SELECT UNNEST(ws) AS wd FROM s), " +
+      "c1 AS (SELECT wd, CAST(COUNT(*) AS BIGINT) AS c FROM w GROUP BY 1), " +
+      "nu AS (SELECT CAST(SUM(c) AS BIGINT) AS nut FROM c1), " +
+      "b AS (SELECT UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, CAST(LEN(ws) AS INTEGER)-1), " +
+      "i -> ws[i] || ' ' || ws[i+1])) AS bg FROM s), " +
+      "c2 AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c12 FROM b GROUP BY 1), " +
+      "nb AS (SELECT CAST(SUM(c12) AS BIGINT) AS nbt FROM c2) " +
+      "SELECT SPLIT_PART(bg,' ',1) AS w1, SPLIT_PART(bg,' ',2) AS w2, c12, " +
+      "CAST(ROUND(LOG10(CAST(c12 AS DOUBLE) * nu.nut * nu.nut / " +
+      "(CAST(nb.nbt AS DOUBLE) * u1.c * u2.c)) * 1000) AS BIGINT) AS pmi_milli " +
+      "FROM c2 JOIN c1 u1 ON u1.wd = SPLIT_PART(bg,' ',1) " +
+      "JOIN c1 u2 ON u2.wd = SPLIT_PART(bg,' ',2), nu, nb " +
+      "WHERE c12 >= 5 ORDER BY pmi_milli DESC, w1, w2 LIMIT 30") { (s, d) =>
+      val sdf = docs(s, d).select(col("doc_id"), tokens(col("text")).as("ws"))
+      val c1 = sdf.select(explode(col("ws")).as("wd"))
+        .groupBy("wd").agg(count(lit(1)).as("c"))
+      val nu = c1.agg(sum("c").cast("long").as("nut"))
+      val c2 = sdf.filter(size(col("ws")) >= 2)
+        .select(explode(arrays_zip(
+          slice(col("ws"), lit(1), size(col("ws")) - 1).as("w0"),
+          slice(col("ws"), lit(2), size(col("ws")) - 1).as("s1"))).as("t"))
+        .select(col("t.w0").as("w1"), col("t.s1").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val nb = c2.agg(sum("c12").cast("long").as("nbt"))
+      c2.filter(col("c12") >= 5)
+        .join(broadcast(c1.select(col("wd").as("w1"), col("c").as("cu1"))), "w1")
+        .join(broadcast(c1.select(col("wd").as("w2"), col("c").as("cu2"))), "w2")
+        .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+        .select(col("w1"), col("w2"), col("c12"),
+          round(log10(col("c12").cast("double") * col("nut") * col("nut") /
+            (col("nbt").cast("double") * col("cu1") * col("cu2"))) * 1000)
+            .cast("long").as("pmi_milli"))
+        .orderBy(col("pmi_milli").desc, col("w1"), col("w2")).limit(30)
+    },
+
     // Misra-Gries heavy hitters: the sketch side of frequent-terms (exact
     // top-k by df is `text_vocab`; this is the one-pass bounded-memory path
     // that needs NO token shuffle at any corpus size). Error-bound oracle

@@ -692,6 +692,88 @@ object Embeddings {
       ivfSearch(e.filter(col("vec_id") =!= 0), e.filter(col("vec_id") < 8), query, 10)
     },
 
+    // IVF-PQ composed search — the standard billion-scale ANN layout
+    // (FAISS's IVFPQ): a coarse quantizer prunes the scan to the probed
+    // cells, product-quantized codes make the in-cell scan a table-lookup
+    // sum, and only the coarse top-C pays the exact re-rank. This composes
+    // the two index ops above exactly as a production index would: cells
+    // from `ivfAssign`'s broadcast argmax (centroids = first 8 vectors),
+    // nprobe=2 (multi-probe recovers the cell-boundary recall a single
+    // probe loses), PQ codebooks/ADC identical to `embed_pq_rerank`
+    // (m=8 subspaces x 32 codes, BIGINT micro-quantized ADC sums). Shape
+    // at scale: every join against centroids/codebooks/probe-list is a
+    // broadcast of an O(k) relation; ADC touches only the probed cells'
+    // rows; coarse top-32 is a distributed TakeOrdered; 32 candidates pay
+    // exact cosine. Per-query cost is cells/k-th of the corpus — the
+    // property that keeps ANN serving linear-per-query as the corpus
+    // grows 1000x.
+    Op("embed_ivfpq_topk",
+      "WITH js AS (SELECT UNNEST(RANGE(0,8)) AS j), " +
+      "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      "cent AS (SELECT vec_id AS cent_id, v AS cent FROM v WHERE vec_id < 8), " +
+      "q AS (SELECT v AS qv FROM v WHERE vec_id = 0), " +
+      "corpus AS (SELECT vec_id, v FROM v WHERE vec_id <> 0), " +
+      "assigned AS (SELECT vec_id, v, cent_id FROM (" +
+      "SELECT c.vec_id, c.v, ct.cent_id, ROW_NUMBER() OVER (PARTITION BY c.vec_id " +
+      "ORDER BY ROUND(LIST_COSINE_SIMILARITY(c.v, ct.cent),6) DESC, ct.cent_id) AS rn " +
+      "FROM corpus c CROSS JOIN cent ct) t WHERE rn = 1), " +
+      "probe AS (SELECT cent_id FROM cent, q ORDER BY ROUND(LIST_COSINE_SIMILARITY(cent, qv),6) DESC, cent_id LIMIT 2), " +
+      "cb AS (SELECT CAST(vec_id AS INTEGER) AS c, j, LIST_SLICE(v, j*8+1, j*8+8) AS entry FROM v, js WHERE vec_id < 32), " +
+      "sl AS (SELECT a.vec_id, j, LIST_SLICE(a.v, j*8+1, j*8+8) AS sv FROM assigned a JOIN probe p ON a.cent_id = p.cent_id, js), " +
+      "d AS (SELECT sl.vec_id, sl.j, cb.c, ROUND(((LIST_INNER_PRODUCT(sv,sv) - (2 * LIST_INNER_PRODUCT(sv,entry))) + LIST_INNER_PRODUCT(entry,entry)), 6) AS dist " +
+      "FROM sl JOIN cb USING (j)), " +
+      "enc AS (SELECT vec_id, j, c FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dist, c) AS rk FROM d) WHERE rk = 1), " +
+      "qs AS (SELECT j, LIST_SLICE(qv, j*8+1, j*8+8) AS qsv FROM q, js), " +
+      "dt AS (SELECT cb.j, cb.c, CAST(ROUND(((LIST_INNER_PRODUCT(qsv,qsv) - (2 * LIST_INNER_PRODUCT(qsv,entry))) + LIST_INNER_PRODUCT(entry,entry)) * 1000000) AS BIGINT) AS qdq " +
+      "FROM cb JOIN qs USING (j)), " +
+      "approx AS (SELECT enc.vec_id, CAST(SUM(dt.qdq) AS BIGINT) AS approx FROM enc JOIN dt ON enc.j=dt.j AND enc.c=dt.c GROUP BY 1), " +
+      "cand AS (SELECT a.vec_id, a.cent_id, ap.approx FROM assigned a JOIN approx ap ON ap.vec_id = a.vec_id " +
+      "JOIN probe p ON a.cent_id = p.cent_id ORDER BY ap.approx, a.vec_id LIMIT 32) " +
+      "SELECT c.vec_id, CAST(c.cent_id AS BIGINT) AS cell, c.approx, ROUND(LIST_COSINE_SIMILARITY(b.v, q.qv),6) AS cos " +
+      "FROM cand c JOIN v b ON b.vec_id = c.vec_id, q " +
+      "ORDER BY cos DESC, c.vec_id LIMIT 10") { (s, d) =>
+      val e = emb(s, d)
+      val corpus = e.filter(col("vec_id") =!= 0)
+      val assigned = ivfAssign(corpus, e.filter(col("vec_id") < 8))
+      val query = e.filter(col("vec_id") === 0)
+        .select(asDouble(col("embedding"))).first().getSeq[Double](0)
+      val probe = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cent_id"),
+          round(cosine(asDouble(col("embedding")), typedLit(query)), 6).as("qsim"))
+        .orderBy(col("qsim").desc, col("cent_id")).limit(2).select("cent_id")
+      // Probed-cell rows only: the whole PQ/ADC pipeline below touches
+      // cells/k-th of the corpus (codes are per-vector, so restricting the
+      // encode to the probed cells yields byte-identical codes to a
+      // build-time full encode — it just skips work this query never reads).
+      val inCells = assigned.join(broadcast(probe), "cent_id")
+      def slices(df: DataFrame, vcol: String): DataFrame = df
+        .select(col("vec_id"), col(vcol).as("v"), explode(sequence(lit(0), lit(7))).as("j"))
+        .select(col("vec_id"), col("j"), slice(col("v"), col("j") * 8 + 1, lit(8)).as("sv"))
+      def sqL2(a: Column, b: Column): Column =
+        (dot(a, a) - (lit(2.0) * dot(a, b))) + dot(b, b)
+      val cb = slices(e.filter(col("vec_id") < 32)
+          .select(col("vec_id"), asDouble(col("embedding")).as("v")), "v")
+        .select(col("vec_id").cast("int").as("c"), col("j"), col("sv").as("entry"))
+      val enc = slices(inCells, "v")
+        .join(broadcast(cb), "j")
+        .select(col("vec_id"), col("j"), col("c"),
+          round(sqL2(col("sv"), col("entry")), 6).as("dist"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("vec_id", "j").orderBy(col("dist"), col("c"))))
+        .filter(col("rk") === 1)
+      val dt = cb.select(col("j"), col("c"),
+        round(sqL2(slice(typedLit(query), col("j") * 8 + 1, lit(8)),
+          col("entry")) * 1000000).cast("long").as("qdq"))
+      val approx = enc.join(broadcast(dt), Seq("j", "c"))
+        .groupBy("vec_id").agg(sum("qdq").as("approx"))
+      val cand = inCells.select(col("vec_id"), col("cent_id"), col("v"))
+        .join(approx, "vec_id")
+        .orderBy(col("approx"), col("vec_id")).limit(32)
+      cand.select(col("vec_id"), col("cent_id").cast("long").as("cell"), col("approx"),
+          round(cosine(col("v"), typedLit(query)), 6).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id")).limit(10)
+    },
+
     // Maximal-marginal-relevance rerank — the diversity-aware selection a
     // retrieval-augmented curation pipeline runs AFTER candidate
     // generation: greedily pick k items maximizing

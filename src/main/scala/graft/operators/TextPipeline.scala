@@ -995,6 +995,51 @@ object TextPipeline {
       docs(s, d).select(col("doc_id"), fingerprint(col("text")).as("fp")).orderBy("doc_id")
     },
 
+    // Winnowing fingerprint selection (Schleimer-Wilkerson-Aiken, the MOSS
+    // algorithm): hash every k-gram (k=4 tokens), then in each window of
+    // w=4 consecutive hashes keep the minimum — rightmost on ties. The
+    // guarantee: any shared run of w+k-1 tokens between two documents
+    // shares at least one selected fingerprint, at ~2/(w+1) the density of
+    // the full hash stream — the local-guarantee sketch that plagiarism /
+    // overlap detectors build their inverted index from (dedup_substring
+    // keeps EVERY window hash; this is its bounded-density counterpart).
+    // Shape at scale: one gram explode (linear in tokens), ONE window pass
+    // on the doc_id clustering, and the DISTINCT rides the same clustering
+    // — no joins, no per-pair work. Cross-engine determinism: the 40-bit
+    // md5-prefix hash and the position pack into one BIGINT key
+    // (h*2^20 + (2^20 - i)), so a single MIN() implements min-hash WITH
+    // the rightmost tie-break identically in both engines.
+    Op("text_winnow", {
+      val h40 = (1 to 10).map { k =>
+        s"(strpos('0123456789abcdef', substr(md5(gram), $k, 1)) - 1) * ${1L << (4 * (10 - k))}"
+      }.mkString("(", " + ", ")")
+      "WITH w AS (SELECT doc_id, STRING_SPLIT(text,' ') AS ws FROM documents), " +
+      "g AS (SELECT doc_id, UNNEST(GENERATE_SERIES(1, CAST(LEN(ws) AS INTEGER)-3)) AS i, " +
+      "UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, CAST(LEN(ws) AS INTEGER)-3), " +
+      "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS gram " +
+      "FROM w WHERE LEN(ws) >= 7), " +
+      s"k AS (SELECT doc_id, i, CAST($h40 AS BIGINT) * 1048576 + (1048576 - i) AS key FROM g), " +
+      "m AS (SELECT doc_id, i, MIN(key) OVER (PARTITION BY doc_id ORDER BY i " +
+      "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wk FROM k) " +
+      "SELECT DISTINCT doc_id, CAST(1048576 - (wk % 1048576) AS INTEGER) AS pos, " +
+      "CAST(wk // 1048576 AS BIGINT) AS fp FROM m WHERE i >= 4 ORDER BY doc_id, pos"
+    }) { (s, d) =>
+      val g = docs(s, d).select(col("doc_id"), tokens(col("text")).as("ws"))
+        .filter(size(col("ws")) >= 7)
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(1, size(ws)-3), i -> concat_ws(' ', slice(ws, i, 4)))")))
+        .select(col("doc_id"), (col("pos") + 1).as("i"),
+          conv(substring(md5(col("col")), 1, 10), 16, 10).cast("long").as("h"))
+      val key = col("h") * lit(1048576L) + (lit(1048576L) - col("i"))
+      val win = Window.partitionBy("doc_id").orderBy("i").rowsBetween(-3, 0)
+      g.select(col("doc_id"), col("i"), min(key).over(win).as("wk"))
+        .filter(col("i") >= 4)
+        .select(col("doc_id"),
+          (lit(1048576L) - (col("wk") % 1048576L)).cast("int").as("pos"),
+          expr("wk div 1048576L").cast("long").as("fp"))
+        .distinct().orderBy("doc_id", "pos")
+    },
+
     // Corpus mixture table: per (source, lang) document/token/char totals —
     // the weighting a training-data mixture is balanced from. Pure two-key
     // aggregation with map-side partial combine; all outputs are integer
