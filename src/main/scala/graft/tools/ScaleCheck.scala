@@ -90,7 +90,8 @@ object ScaleCheck {
       "embed_centroid_stats", "embed_kmeans_iter", "embed_kmeans_train",
       "pipeline_dsir_weights", "compat_asof_sql", "win_frame_exclude",
       "pipeline_vocab_coverage", "corpus_growth_curve", "pipeline_cluster_sample",
-      "embed_mmr_rerank", "pipeline_coreset", "dedup_editdist") ++
+      "embed_mmr_rerank", "pipeline_coreset", "dedup_editdist",
+      "text_winnow", "text_pmi_topk", "embed_ivfpq_topk") ++
       // The ORACLE op pins the fixture's 8x16 band shape, whose candidate
       // set grows ~n^2/2^8 — at 30x (60k vectors, ~2e8 candidate pairs) it
       // OOMs the JVM by design. Past 10x only the auto-sized library path
