@@ -265,6 +265,67 @@ object CorpusPrep {
       bpePairs(docs(s, d)).orderBy(col("cnt").desc, col("w1"), col("w2")).limit(20)
     },
 
+    // Three full BPE training iterations — the merge TABLE, not just one
+    // candidate scan (pipeline_bpe_pairs is the inner loop; this drives
+    // it): each round counts adjacent symbol pairs over the CURRENT corpus,
+    // merges the most frequent pair (ties lexicographic) everywhere, and
+    // recounts over the merged corpus, so later rounds can select pairs
+    // containing earlier merges — the actual BPE recursion. The corpus
+    // rides a double-space encoding (' a  b  c ') so one sequential
+    // REPLACE of ' w1  w2 ' with ' w1_w2 ' implements greedy left-to-right
+    // non-overlapping merge with IDENTICAL semantics in both engines
+    // (' a  a  a ' merges once — the classic overlap case), while the
+    // doubled separators keep adjacent matches from consuming each other's
+    // boundary space. Scale: each iteration is one pair-count aggregation
+    // (map-side combined, only (pair, count) rows shuffle) plus a
+    // broadcast of the 1-row selection into a codegen REPLACE projection —
+    // no corpus shuffle anywhere; production trainers amortize further by
+    // batching many non-interacting merges per scan.
+    Op("pipeline_bpe_train", {
+      def pairsSql(c: String, p: String) =
+        s"$p AS (SELECT SPLIT_PART(bg,' ',1) AS w1, SPLIT_PART(bg,' ',2) AS w2, " +
+        "CAST(COUNT(*) AS BIGINT) AS cnt FROM (SELECT UNNEST(LIST_TRANSFORM(" +
+        "GENERATE_SERIES(1, CAST(LEN(ws) AS INTEGER)-1), i -> ws[i] || ' ' || ws[i+1])) AS bg " +
+        s"FROM (SELECT STRING_SPLIT(TRIM(s),'  ') AS ws FROM $c) tt) b GROUP BY 1, 2)"
+      def selSql(p: String, sel: String) =
+        s"$sel AS (SELECT w1, w2, cnt FROM $p ORDER BY cnt DESC, w1, w2 LIMIT 1)"
+      def mergeSql(c: String, sel: String, next: String) =
+        s"$next AS (SELECT doc_id, REPLACE(s, ' '||$sel.w1||'  '||$sel.w2||' ', " +
+        s"' '||$sel.w1||'_'||$sel.w2||' ') AS s FROM $c, $sel)"
+      "WITH c0 AS (SELECT doc_id, ' ' || REPLACE(text,' ','  ') || ' ' AS s FROM documents), " +
+      pairsSql("c0", "p1") + ", " + selSql("p1", "s1") + ", " + mergeSql("c0", "s1", "c1") + ", " +
+      pairsSql("c1", "p2") + ", " + selSql("p2", "s2") + ", " + mergeSql("c1", "s2", "c2") + ", " +
+      pairsSql("c2", "p3") + ", " + selSql("p3", "s3") + " " +
+      "SELECT 1 AS iteration, w1, w2, cnt FROM s1 " +
+      "UNION ALL SELECT 2, w1, w2, cnt FROM s2 " +
+      "UNION ALL SELECT 3, w1, w2, cnt FROM s3 ORDER BY iteration"
+    }) { (s, d) =>
+      def pairCounts(c: DataFrame): DataFrame = c
+        .select(split(trim(col("s")), "  ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(explode(arrays_zip(
+          slice(col("ws"), lit(1), size(col("ws")) - 1).as("w0"),
+          slice(col("ws"), lit(2), size(col("ws")) - 1).as("s1"))).as("t"))
+        .select(col("t.w0").as("w1"), col("t.s1").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+      def select1(p: DataFrame): DataFrame =
+        p.orderBy(col("cnt").desc, col("w1"), col("w2")).limit(1)
+      def applyMerge(c: DataFrame, sel: DataFrame): DataFrame =
+        c.crossJoin(broadcast(sel))
+          .select(col("doc_id"), expr(
+            "replace(s, concat(' ', w1, '  ', w2, ' '), concat(' ', w1, '_', w2, ' '))").as("s"))
+      val c0 = docs(s, d).select(col("doc_id"),
+        expr("concat(' ', replace(text, ' ', '  '), ' ')").as("s"))
+      val s1 = select1(pairCounts(c0)); val c1 = applyMerge(c0, s1)
+      val s2 = select1(pairCounts(c1)); val c2 = applyMerge(c1, s2)
+      val s3 = select1(pairCounts(c2))
+      s1.withColumn("iteration", lit(1))
+        .unionByName(s2.withColumn("iteration", lit(2)))
+        .unionByName(s3.withColumn("iteration", lit(3)))
+        .select(col("iteration"), col("w1"), col("w2"), col("cnt"))
+        .orderBy("iteration")
+    },
+
     // CCNet-style perplexity bucketing: documents split into head/middle/
     // tail terciles of unigram LM score WITHIN each language — the
     // filtering signal CCNet feeds from its LM. Exact per-language NTILE at
