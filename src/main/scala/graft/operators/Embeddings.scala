@@ -657,6 +657,93 @@ object Embeddings {
         .orderBy(col("cos").desc, col("vec_id")).limit(10)
     },
 
+    // Binary quantization + Hamming rerank — the 1-bit compression tier
+    // below SQ8 (32x smaller than float32; the form modern vector stores
+    // ship as "BQ"): each vector's 64 coordinate signs pack into two
+    // BIGINT words, the coarse scan ranks by Hamming distance (two XORs +
+    // two popcounts per vector — no float math at all), and the top-64
+    // pay the exact cosine rerank. Differs from dedup_embed_lsh's
+    // fingerprints: those are signs of random-HYPERPLANE projections for
+    // banded candidate generation; these are raw coordinate signs ranked
+    // by full-width Hamming — the asymmetric-scan search layout. Exact
+    // zero never flips cross-engine (signs come from x > 0 on the same
+    // doubles). Scale: fingerprints are 16 bytes/vector computed in one
+    // codegen projection; the coarse top-64 is a distributed TakeOrdered.
+    Op("embed_bq_rerank", {
+      def packSql(v: String, lo: Int) =
+        s"CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 32), " +
+        s"i -> CASE WHEN $v[i + $lo] > 0 THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END)) AS BIGINT)"
+      "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      s"f AS (SELECT vec_id, v, ${packSql("v", 0)} AS b0, ${packSql("v", 32)} AS b1 FROM v), " +
+      "q AS (SELECT v AS qv, b0 AS q0, b1 AS q1 FROM f WHERE vec_id = 0), " +
+      "cand AS (SELECT f.vec_id, f.v, CAST(BIT_COUNT(XOR(f.b0, q.q0)) + BIT_COUNT(XOR(f.b1, q.q1)) AS INTEGER) AS hamming " +
+      "FROM f, q WHERE f.vec_id <> 0 ORDER BY hamming, f.vec_id LIMIT 64) " +
+      "SELECT c.vec_id, c.hamming, ROUND(LIST_COSINE_SIMILARITY(c.v, q.qv), 6) AS cos " +
+      "FROM cand c, q ORDER BY cos DESC, c.vec_id LIMIT 10"
+    }) { (s, d) =>
+      val e = emb(s, d)
+      def pack(lo: Int) = expr(
+        s"aggregate(sequence(1, 32), 0L, (acc, i) -> acc + " +
+        s"IF(element_at(v, i + $lo) > 0D, shiftleft(1L, i - 1), 0L))")
+      val f = e.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .select(col("vec_id"), col("v"), pack(0).as("b0"), pack(32).as("b1"))
+      val qRow = f.filter(col("vec_id") === 0).select(col("v"), col("b0"), col("b1")).first()
+      val (qv, q0, q1) = (qRow.getSeq[Double](0), qRow.getLong(1), qRow.getLong(2))
+      val cand = f.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("v"),
+          (bit_count(col("b0").bitwiseXOR(lit(q0))) +
+            bit_count(col("b1").bitwiseXOR(lit(q1)))).cast("int").as("hamming"))
+        .orderBy(col("hamming"), col("vec_id")).limit(64)
+      cand.select(col("vec_id"), col("hamming"),
+          round(cosine(col("v"), typedLit(qv)), 6).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id")).limit(10)
+    },
+
+    // Matryoshka truncation evaluation — the fidelity report behind
+    // shipping truncated (MRL) embeddings: rank the corpus by the 16-dim
+    // PREFIX cosine, and annotate that prefix top-10 with the full 64-dim
+    // cosine and full rank. The overlap between prefix and full rankings
+    // is the quality/4x-cost dial an embedding-serving tier tunes. One
+    // corpus scan computes both similarities (the slice is a codegen
+    // projection, no second pass); both rankings are distributed
+    // TakeOrdered / one window over the 10-row result.
+    Op("embed_matryoshka",
+      "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      "q AS (SELECT v AS qv, LIST_SLICE(v, 1, 16) AS qp FROM v WHERE vec_id = 0), " +
+      "sc AS (SELECT c.vec_id, ROUND(LIST_COSINE_SIMILARITY(LIST_SLICE(c.v, 1, 16), q.qp), 6) AS cos16, " +
+      "ROUND(LIST_COSINE_SIMILARITY(c.v, q.qv), 6) AS cos64 FROM v c, q WHERE c.vec_id <> 0), " +
+      "fr AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY cos64 DESC, vec_id) AS rank_full FROM sc) " +
+      "SELECT t.rank_prefix, t.vec_id, t.cos16, t.cos64, CAST(fr.rank_full AS INTEGER) AS rank_full FROM " +
+      "(SELECT vec_id, cos16, cos64, CAST(ROW_NUMBER() OVER (ORDER BY cos16 DESC, vec_id) AS INTEGER) AS rank_prefix " +
+      "FROM sc ORDER BY cos16 DESC, vec_id LIMIT 10) t JOIN fr USING (vec_id) ORDER BY t.rank_prefix") { (s, d) =>
+      val e = emb(s, d)
+      val qRow = e.filter(col("vec_id") === 0)
+        .select(asDouble(col("embedding"))).first().getSeq[Double](0)
+      val (qv, qp) = (qRow, qRow.take(16))
+      val sc = e.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          round(cosine(slice(asDouble(col("embedding")), 1, 16), typedLit(qp)), 6).as("cos16"),
+          round(cosine(asDouble(col("embedding")), typedLit(qv)), 6).as("cos64"))
+      // Prefix top-10 via TakeOrdered; rank_prefix is a window over the
+      // 10-row result only.
+      val cand10 = sc.orderBy(col("cos16").desc, col("vec_id")).limit(10)
+        .withColumn("rank_prefix", row_number().over(
+          Window.orderBy(col("cos16").desc, col("vec_id"))).cast("int"))
+      // rank_full WITHOUT a global single-task window: rank = 1 + number of
+      // predecessors under the (cos64 DESC, vec_id) total order, counted by
+      // streaming the corpus once against the broadcast 10-row candidate
+      // set (ties impossible — vec_id is unique). Value-identical to the
+      // oracle's ROW_NUMBER, but every stage stays distributed.
+      val cnts = sc.join(broadcast(cand10.select(col("vec_id").as("cid"), col("cos64").as("ccos64"))),
+          col("cos64") > col("ccos64") ||
+            (col("cos64") === col("ccos64") && col("vec_id") < col("cid")))
+        .groupBy("cid").agg(count(lit(1)).as("npred"))
+      cand10.join(cnts, cand10("vec_id") === cnts("cid"), "left")
+        .select(col("rank_prefix"), col("vec_id"), col("cos16"), col("cos64"),
+          (coalesce(col("npred"), lit(0L)) + 1).cast("int").as("rank_full"))
+        .orderBy("rank_prefix")
+    },
+
     // SemDeDup-style semantic deduplication: partition the corpus into IVF
     // cells (nearest-centroid assignment, broadcast argmax — shared with
     // embed_ivf_topk), then prune within each cell only — every vector with
