@@ -1078,6 +1078,55 @@ object TextPipeline {
         .orderBy(col("df").desc, col("tf").desc, col("gram")).limit(20)
     },
 
+    // RAKE keyphrase extraction (Rapid Automatic Keyword Extraction): split
+    // each document on stopwords into maximal content-word runs (length
+    // <= 3), score every word by degree/frequency over the candidate set
+    // (degree = summed length of the phrases it appears in), and rank
+    // distinct phrases by their words' summed scores — the classic
+    // unsupervised keyphrase baseline. Scale: phrase runs come from the
+    // gaps-and-islands trick (i - ROW_NUMBER() over the doc_id clustering
+    // — one window pass, no self-join); word stats aggregate over the
+    // bounded phrase vocabulary and broadcast back onto the distinct
+    // phrases. Float policy: word scores quantize to integer milli-units
+    // (ROUND(1000*deg/freq)) before the per-phrase sum.
+    Op("text_rake_topk",
+      "WITH t AS (SELECT doc_id, STRING_SPLIT(text,' ') AS ws FROM documents), " +
+      "w AS (SELECT doc_id, UNNEST(GENERATE_SERIES(1, CAST(LEN(ws) AS INTEGER))) AS i, UNNEST(ws) AS word FROM t), " +
+      "nw AS (SELECT doc_id, i, word, i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS run_id " +
+      "FROM w WHERE word NOT IN ('the','a','and','of','in','to','is')), " +
+      "ph AS (SELECT doc_id, run_id, STRING_AGG(word, ' ' ORDER BY i) AS phrase, CAST(COUNT(*) AS BIGINT) AS plen " +
+      "FROM nw GROUP BY 1, 2), " +
+      "ph3 AS (SELECT phrase, plen FROM ph WHERE plen <= 3), " +
+      "ws2 AS (SELECT word, CAST(ROUND(1000.0 * SUM(plen) / COUNT(*)) AS BIGINT) AS wscore " +
+      "FROM (SELECT UNNEST(STRING_SPLIT(phrase,' ')) AS word, plen FROM ph3) u GROUP BY 1), " +
+      "dp AS (SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occur FROM ph3 GROUP BY 1), " +
+      "pw AS (SELECT dp.phrase, dp.n_occur, UNNEST(STRING_SPLIT(dp.phrase,' ')) AS word FROM dp) " +
+      "SELECT pw.phrase, pw.n_occur, CAST(SUM(ws2.wscore) AS BIGINT) AS score_milli " +
+      "FROM pw JOIN ws2 USING (word) GROUP BY 1, 2 " +
+      "ORDER BY score_milli DESC, phrase LIMIT 20") { (s, d) =>
+      val stops = Seq("the", "a", "and", "of", "in", "to", "is")
+      val w = docs(s, d)
+        .select(col("doc_id"), posexplode(tokens(col("text"))))
+        .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("word"))
+        .filter(!col("word").isin(stops: _*))
+      val rn = row_number().over(Window.partitionBy("doc_id").orderBy("i"))
+      val ph = w.withColumn("run_id", col("i") - rn)
+        .groupBy("doc_id", "run_id")
+        .agg(array_join(transform(array_sort(collect_list(struct(col("i"), col("word")))),
+          x => x.getField("word")), " ").as("phrase"),
+          count(lit(1)).as("plen"))
+        .filter(col("plen") <= 3)
+        .select("phrase", "plen")
+      val wordStats = ph.select(explode(split(col("phrase"), " ")).as("word"), col("plen"))
+        .groupBy("word")
+        .agg(round(lit(1000.0) * sum("plen") / count(lit(1))).cast("long").as("wscore"))
+      val dp = ph.groupBy("phrase").agg(count(lit(1)).as("n_occur"))
+      dp.select(col("phrase"), col("n_occur"), explode(split(col("phrase"), " ")).as("word"))
+        .join(broadcast(wordStats), "word")
+        .groupBy("phrase", "n_occur").agg(sum("wscore").as("score_milli"))
+        .orderBy(col("score_milli").desc, col("phrase")).limit(20)
+    },
+
     // Sequence packing: assign documents to fixed token-budget training
     // chunks greedily in doc_id order WITHIN each source — chunk_id is the
     // exclusive prefix-sum of token counts divided by the budget. The window
