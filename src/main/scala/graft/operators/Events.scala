@@ -180,6 +180,58 @@ object Events {
         .orderBy("from_type", "to_type")
     },
 
+    // Most common 3-step user journeys: every consecutive event-type triple
+    // per user (two LEADs over the same user_id window — ONE exchange),
+    // counted corpus-wide. The product-analytics "top paths" table; paths
+    // that cross users never pair because the window partitions on
+    // user_id. Scale: the triple explode is window-local, the count
+    // map-side-combines, and only (path, partial-count) rows shuffle.
+    Op("events_top_paths",
+      "WITH p AS (SELECT event_type AS e1, " +
+      "LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2, " +
+      "LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3 FROM events) " +
+      "SELECT e1 || ' > ' || e2 || ' > ' || e3 AS path, CAST(COUNT(*) AS BIGINT) AS n " +
+      "FROM p WHERE e2 IS NOT NULL AND e3 IS NOT NULL GROUP BY 1 ORDER BY n DESC, path LIMIT 15") { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      ev(s, d).select(col("event_type").as("e1"),
+          lead(col("event_type"), 1).over(w).as("e2"),
+          lead(col("event_type"), 2).over(w).as("e3"))
+        .filter(col("e2").isNotNull && col("e3").isNotNull)
+        .select(concat_ws(" > ", col("e1"), col("e2"), col("e3")).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path")).limit(15)
+    },
+
+    // Activity concentration (power-user / Pareto curve): users ranked into
+    // 10 activity deciles, with each decile's user count, event volume, and
+    // the cumulative share of all events in integer per-mille — the "top
+    // 10% of users generate X% of traffic" table capacity planning and
+    // abuse review read. Scale: per-user counts are one aggregation; the
+    // decile assignment is the distributed `globalNtile` (range-partitioned
+    // — no single-task global sort); the cumulative window runs over the
+    // 10-row decile table. Integer arithmetic end-to-end (`div`, per-mille)
+    // keeps the oracle value-exact.
+    Op("events_power_curve",
+      "WITH u AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1), " +
+      "n AS (SELECT user_id, cnt, CAST(NTILE(10) OVER (ORDER BY cnt DESC, user_id) AS INTEGER) AS decile FROM u), " +
+      "t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM u), " +
+      "d AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_users, CAST(SUM(cnt) AS BIGINT) AS n_events FROM n GROUP BY 1) " +
+      "SELECT decile, n_users, n_events, " +
+      "CAST((SUM(n_events) OVER (ORDER BY decile) * 1000) // t.total AS BIGINT) AS cum_permille " +
+      "FROM d, t ORDER BY decile") { (s, d) =>
+      val u = ev(s, d).groupBy("user_id").agg(count(lit(1)).as("cnt"))
+      val deciled = Windows.globalNtile(u, 10, Seq(col("cnt").desc, col("user_id")), "decile")
+      val t = u.agg(sum("cnt").cast("long").as("total"))
+      val byDecile = deciled.groupBy("decile")
+        .agg(count(lit(1)).as("n_users"), sum("cnt").as("n_events"))
+      val wCum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byDecile.crossJoin(broadcast(t))
+        .withColumn("cum", sum("n_events").over(wCum))
+        .select(col("decile"), col("n_users"), col("n_events"),
+          expr("CAST((cum * 1000) div total AS BIGINT)").as("cum_permille"))
+        .orderBy("decile")
+    },
+
     // Time-series gap filling / densification: each user's sparse daily
     // event counts expanded to EVERY day in their [first, last] activity
     // range — zero-filled holes plus a running cumulative — the regular
