@@ -232,6 +232,35 @@ object Events {
         .orderBy("decile")
     },
 
+    // Inter-arrival-time distribution: per-user gaps between consecutive
+    // events (one LAG over the user_id clustering), summarized corpus-wide
+    // as count / integer-mean / exact discrete quantiles / max in micros —
+    // the latency-profile table behind session-timeout tuning
+    // (events_sessions' 30-min threshold) and traffic modeling. Exact
+    // BIGINT micros end-to-end: the mean is SUM div COUNT and the
+    // quantiles are QUANTILE_DISC (both engines pick the same
+    // smallest-value-with-cume_dist>=q element — the agg_percentiles
+    // semantics), so no float ever enters the compare.
+    Op("events_inter_arrival",
+      "WITH g AS (SELECT CAST(EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER " +
+      "(PARTITION BY user_id ORDER BY ts, event_id)) AS BIGINT) AS gap_us FROM events) " +
+      "SELECT CAST(COUNT(gap_us) AS BIGINT) AS n_gaps, " +
+      "CAST(SUM(gap_us) // COUNT(gap_us) AS BIGINT) AS mean_us, " +
+      "CAST(QUANTILE_DISC(gap_us, 0.5) AS BIGINT) AS p50_us, " +
+      "CAST(QUANTILE_DISC(gap_us, 0.9) AS BIGINT) AS p90_us, " +
+      "CAST(MAX(gap_us) AS BIGINT) AS max_us FROM g WHERE gap_us IS NOT NULL") { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      ev(s, d)
+        .select((unix_micros(col("ts").cast("timestamp")) -
+          unix_micros(lag(col("ts"), 1).over(w).cast("timestamp"))).as("gap_us"))
+        .filter(col("gap_us").isNotNull)
+        .agg(count(lit(1)).as("n_gaps"),
+          expr("CAST(SUM(gap_us) div COUNT(gap_us) AS BIGINT)").as("mean_us"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_us)").cast("long").as("p50_us"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY gap_us)").cast("long").as("p90_us"),
+          max("gap_us").cast("long").as("max_us"))
+    },
+
     // Time-series gap filling / densification: each user's sparse daily
     // event counts expanded to EVERY day in their [first, last] activity
     // range — zero-filled holes plus a running cumulative — the regular

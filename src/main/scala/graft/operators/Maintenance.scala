@@ -77,6 +77,47 @@ object Maintenance {
           expr("max_cnt * 1000L * n_keys div total").as("skew_milli"))
     },
 
+    // Partition-layout advisor: for each candidate partition key of the
+    // fact table, the distinct-partition count, integer-average and max
+    // partition sizes, a skew ratio in milli-units, and a CASE verdict —
+    // the table a lakehouse layout review reads before choosing
+    // PARTITIONED BY (too few partitions = no pruning; too many small ones
+    // = file explosion + listing cost; skewed = stragglers). Scale: one
+    // group-count per candidate (map-side combined) collapsed to a 1-row
+    // summary; the union is 3 rows. The thresholds are deliberate
+    // rules-of-thumb constants — the point is the measured inputs.
+    Op("pipeline_partition_advice", {
+      def cand(label: String, key: String) =
+        s"(SELECT '$label' AS candidate, CAST(COUNT(*) AS BIGINT) AS n_parts, " +
+        "CAST(SUM(cnt) // COUNT(*) AS BIGINT) AS rows_avg, CAST(MAX(cnt) AS BIGINT) AS rows_max " +
+        s"FROM (SELECT $key AS k, COUNT(*) AS cnt FROM lineitem GROUP BY 1) g)"
+      "WITH u AS (" + Seq(
+        cand("l_returnflag", "l_returnflag"),
+        cand("l_shipdate_month", "CAST(DATE_TRUNC('month', l_shipdate) AS DATE)"),
+        cand("l_suppkey", "l_suppkey")).mkString(" UNION ALL ") + ") " +
+      "SELECT candidate, n_parts, rows_avg, rows_max, " +
+      "CAST((rows_max * 1000) // rows_avg AS BIGINT) AS skew_milli, " +
+      "CASE WHEN n_parts < 8 THEN 'too-few' WHEN rows_avg < 1000 THEN 'too-small' " +
+      "WHEN (rows_max * 1000) // rows_avg > 3000 THEN 'skewed' ELSE 'ok' END AS verdict " +
+      "FROM u ORDER BY candidate"
+    }) { (s, d) =>
+      Tables.ensure(s, d)
+      def cand(label: String, key: org.apache.spark.sql.Column): DataFrame =
+        s.table("lineitem").groupBy(key.as("k")).agg(count(lit(1)).as("cnt"))
+          .agg(count(lit(1)).as("n_parts"),
+            expr("CAST(SUM(cnt) div COUNT(*) AS BIGINT)").as("rows_avg"),
+            max("cnt").as("rows_max"))
+          .select(lit(label).as("candidate"), col("n_parts"), col("rows_avg"), col("rows_max"))
+      cand("l_returnflag", col("l_returnflag"))
+        .unionByName(cand("l_shipdate_month", date_trunc("month", col("l_shipdate")).cast("date")))
+        .unionByName(cand("l_suppkey", col("l_suppkey")))
+        .select(col("candidate"), col("n_parts"), col("rows_avg"), col("rows_max"),
+          expr("CAST((rows_max * 1000) div rows_avg AS BIGINT)").as("skew_milli"),
+          expr("CASE WHEN n_parts < 8 THEN 'too-few' WHEN rows_avg < 1000 THEN 'too-small' " +
+            "WHEN (rows_max * 1000) div rows_avg > 3000 THEN 'skewed' ELSE 'ok' END").as("verdict"))
+        .orderBy("candidate")
+    },
+
     // Corpus snapshot diff: what changed between two dataset versions, by
     // content hash — the audit table a crawl-over-crawl pipeline publishes
     // with every release (and the input to incremental reprocessing: only
