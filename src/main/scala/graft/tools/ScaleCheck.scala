@@ -91,7 +91,10 @@ object ScaleCheck {
       "pipeline_dsir_weights", "compat_asof_sql", "win_frame_exclude",
       "pipeline_vocab_coverage", "corpus_growth_curve", "pipeline_cluster_sample",
       "embed_mmr_rerank", "pipeline_coreset", "dedup_editdist",
-      "text_winnow", "text_pmi_topk", "embed_ivfpq_topk") ++
+      "text_winnow", "text_pmi_topk", "embed_ivfpq_topk",
+      "pipeline_bpe_train", "text_rake_topk", "embed_bq_rerank",
+      "embed_matryoshka", "events_top_paths", "events_power_curve",
+      "events_inter_arrival", "pipeline_partition_advice") ++
       // The ORACLE op pins the fixture's 8x16 band shape, whose candidate
       // set grows ~n^2/2^8 — at 30x (60k vectors, ~2e8 candidate pairs) it
       // OOMs the JVM by design. Past 10x only the auto-sized library path
