@@ -959,6 +959,40 @@ object TextPipeline {
       ).orderBy("doc_id")
     },
 
+    // Language-ID confusion matrix: the n-gram heuristic's predictions
+    // (text_langid's exact scoring) against the labeled `lang` column, as
+    // (label, prediction, count, row-share in integer milli) — the
+    // evaluation table that decides whether a langid gate's precision is
+    // good enough to filter on, and per-language where it bleeds. One
+    // classification projection + one (lang, pred) aggregate; the per-label
+    // totals join back from a grouped re-aggregate of the (tiny) matrix.
+    Op("corpus_lang_confusion",
+      "WITH t AS (SELECT doc_id, lang, STRING_SPLIT(LOWER(text),' ') AS w FROM documents), " +
+      "s AS (SELECT lang, CAST(LEN(LIST_FILTER(w, x -> x IN ('the','a','and','of'))) AS INTEGER) AS en, " +
+      "CAST(LEN(LIST_FILTER(w, x -> x IN ('el','la','de','y'))) AS INTEGER) AS es, " +
+      "CAST(LEN(LIST_FILTER(w, x -> x IN ('der','und','die','das'))) AS INTEGER) AS de FROM t), " +
+      "p AS (SELECT lang, CASE WHEN en >= es AND en >= de THEN 'en' WHEN es >= de THEN 'es' ELSE 'de' END AS pred FROM s), " +
+      "c AS (SELECT lang, pred, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY 1, 2), " +
+      "r AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS row_total FROM c GROUP BY 1) " +
+      "SELECT c.lang, c.pred, c.n, CAST((c.n * 1000) // r.row_total AS BIGINT) AS share_milli " +
+      "FROM c JOIN r USING (lang) ORDER BY lang, pred") { (s, d) =>
+      val w = tokens(lower(col("text")))
+      val scored = docs(s, d).select(
+        col("lang"),
+        wordHits(w, langMarkers(0)._2).as("en"),
+        wordHits(w, langMarkers(1)._2).as("es"),
+        wordHits(w, langMarkers(2)._2).as("de"))
+      val c = scored.select(col("lang"),
+          when(col("en") >= col("es") && col("en") >= col("de"), "en")
+            .when(col("es") >= col("de"), "es").otherwise("de").as("pred"))
+        .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+      val r = c.groupBy("lang").agg(sum("n").as("row_total"))
+      c.join(broadcast(r), "lang")
+        .select(col("lang"), col("pred"), col("n"),
+          expr("CAST((n * 1000) div row_total AS BIGINT)").as("share_milli"))
+        .orderBy("lang", "pred")
+    },
+
     Op("text_langid",
       "WITH t AS (SELECT doc_id, STRING_SPLIT(LOWER(text),' ') AS w FROM documents), " +
       "s AS (SELECT doc_id, CAST(LEN(LIST_FILTER(w, x -> x IN ('the','a','and','of'))) AS INTEGER) AS en, " +
