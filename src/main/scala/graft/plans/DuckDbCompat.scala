@@ -120,6 +120,11 @@ object DuckDbCompat {
         "generate_series(a, b[, step]) - INCLUSIVE range, same as Spark sequence"),
       (c: Seq[Expression]) => new Sequence(c(0), c(1),
         if (c.length > 2) Some(c(2)) else None)),
+    (FunctionIdentifier("graft_slice"),
+      info("graft_slice",
+        "graft_slice(x, lo, hi) - DuckDB 1-based inclusive slice on strings " +
+          "and lists (NULL bound = open end, negatives count from the end)"),
+      (c: Seq[Expression]) => GraftSlice(c(0), c(1), c(2))),
     (FunctionIdentifier("list_aggregate"),
       info("list_aggregate",
         "list_aggregate(l, 'sum'|'min'|'max'|'count') - the common reducers"),
@@ -460,6 +465,42 @@ object StrfTime {
     flush()
     out.toString
   }
+}
+
+/** DuckDB bracket-slice semantics `x[a:b]` as one type-dispatching
+  * expression: 1-based INCLUSIVE bounds on strings and lists, negative
+  * indices count from the end (-1 = the last element), NULL bound = open
+  * end, out-of-range bounds clamp (DuckDB `'abcdef'[2:100]` = 'bcdef').
+  * The `ListSyntax` rewrite emits this for slice syntax — which Spark's
+  * parser rejects outright, so claiming it flips no host query — and for
+  * subscripted STRING LITERALS (also invalid host syntax). Plain
+  * `arr[i]` subscripts keep Spark's 0-based host semantics, per the
+  * documented ListSyntax decision.
+  */
+case class GraftSlice(input: Expression, lo: Expression, hi: Expression)
+    extends RuntimeReplaceable
+    with org.apache.spark.sql.catalyst.trees.TernaryLike[Expression] {
+  import org.apache.spark.sql.types.IntegerType
+  override def first: Expression = input
+  override def second: Expression = lo
+  override def third: Expression = hi
+  private def ix(e: Expression): Expression = Cast(e, IntegerType)
+  // NULL -> default (open end); negative -> n + i + 1; then clamp below.
+  private def norm(e: Expression, dflt: Expression, n: Expression): Expression =
+    If(IsNull(e), dflt,
+      If(LessThan(ix(e), Literal(0)), Add(Add(n, ix(e)), Literal(1)), ix(e)))
+  override lazy val replacement: Expression = {
+    val isArray = input.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]
+    val n: Expression = if (isArray) Size(input) else Length(input)
+    val loC = Greatest(Seq(Literal(1), norm(lo, Literal(1), n)))
+    val hiC = Least(Seq(n, norm(hi, n, n)))
+    val len = Greatest(Seq(Literal(0), Add(Subtract(hiC, loC), Literal(1))))
+    if (isArray) Slice(input, loC, len) else Substring(input, loC, len)
+  }
+  override def prettyName: String = "graft_slice"
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): GraftSlice =
+    copy(input = f, lo = s, hi = t)
 }
 
 /** DuckDB `len`: string length on strings, cardinality on lists — the

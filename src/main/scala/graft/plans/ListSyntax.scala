@@ -8,11 +8,15 @@ package graft.plans
   *
   * A '[' is a list constructor only in EXPRESSION position (preceded by an
   * operator, comma, '(' or statement start); after an identifier, ')' or
-  * ']' it is subscript/slice syntax and stays untouched (deliberately:
-  * DuckDB subscripts are 1-based and Spark's are 0-based — a silent
-  * rewrite would flip valid Spark queries, so subscripts keep host
-  * semantics and the `list_*` function aliases carry the 1-based forms).
-  * Nested comprehensions recurse; strings and quoted identifiers are never
+  * ']' it is subscript/slice syntax. Plain subscripts stay untouched
+  * (deliberately: DuckDB subscripts are 1-based and Spark's are 0-based —
+  * a silent rewrite would flip valid Spark queries, so subscripts keep
+  * host semantics and the `list_*` function aliases carry the 1-based
+  * forms). Two subscript forms that are INVALID host syntax do get DuckDB
+  * semantics, via the type-dispatching `graft_slice` expression: slice
+  * syntax `x[a:b]` (1-based inclusive, negatives from the end, open ends)
+  * and single subscripts on string LITERALS (`'abc'[2]`). Nested
+  * comprehensions recurse; strings and quoted identifiers are never
   * scanned.
   */
 object ListSyntax {
@@ -43,8 +47,31 @@ object ListSyntax {
           val subscript = i > 0 &&
             (Character.isLetterOrDigit(p) || p == '_' || p == ')' || p == ']' ||
              p == '\'' || p == '"' || p == '`')
-          if (subscript) sb.append('[').append(rec(inner)).append(']')
-          else sb.append(construct(inner))
+          if (subscript) {
+            // Two DuckDB subscript forms that are INVALID host syntax get
+            // DuckDB semantics via graft_slice (1-based inclusive, negative
+            // from the end, open ends): slice syntax x[a:b] on any operand,
+            // and single subscripts on STRING LITERALS ('abc'[2] — Spark
+            // cannot subscript strings at all). Plain arr[i] stays host
+            // 0-based, per the header note.
+            val colon = topLevelColon(inner)
+            val lp = if (colon.isDefined || p == '\'') SqlText.trailingPrimaryStart(sb) else sb.length
+            if ((colon.isDefined || p == '\'') && lp < sb.length) {
+              val operand = sb.substring(lp).trim
+              sb.delete(lp, sb.length)
+              colon match {
+                case Some(ci) =>
+                  val a = inner.substring(0, ci).trim
+                  val b = inner.substring(ci + 1).trim
+                  val aE = if (a.isEmpty) "CAST(NULL AS INT)" else rec(a)
+                  val bE = if (b.isEmpty) "CAST(NULL AS INT)" else rec(b)
+                  sb.append(s"graft_slice($operand, $aE, $bE)")
+                case None =>
+                  val iE = rec(inner)
+                  sb.append(s"graft_slice($operand, $iE, $iE)")
+              }
+            } else sb.append('[').append(rec(inner)).append(']')
+          } else sb.append(construct(inner))
           i = close + 1
         case _ =>
           sb.append(c); i += 1
@@ -79,6 +106,27 @@ object ListSyntax {
       case None =>
         if (inner.trim.isEmpty) "array()" else s"array(${rec(inner)})"
     }
+  }
+
+  /** Index of a single ':' (not '::') at depth 0, outside literals. */
+  private def topLevelColon(s: String): Option[Int] = {
+    var depth = 0
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      s.charAt(i) match {
+        case c @ ('\'' | '"' | '`') =>
+          val j = s.indexOf(c, i + 1)
+          i = if (j < 0) n else j + 1
+        case '(' | '[' => depth += 1; i += 1
+        case ')' | ']' => depth -= 1; i += 1
+        case ':' if depth == 0 =>
+          if (i + 1 < n && s.charAt(i + 1) == ':') i += 2 // '::' cast
+          else return Some(i)
+        case _ => i += 1
+      }
+    }
+    None
   }
 
   /** Index of a keyword at paren/bracket depth 0, outside literals. */

@@ -1,0 +1,175 @@
+package graft.plans
+
+/** Quote-aware SQL-text scanning shared by the operator-level rewrites:
+  * locating the trailing primary expression of an emitted prefix (the left
+  * operand of an infix rewrite) and the end of the primary that FOLLOWS a
+  * position (the right operand). A "primary chain" is a word / quoted
+  * literal / parenthesized group plus any DIRECTLY-attached continuations
+  * (`.field`, call parens, subscripts) — the same no-whitespace adjacency
+  * rule ListSyntax uses to recognize subscripts, so both rewrites agree on
+  * what an operand is. Group skipping is quote-aware in both directions of
+  * use (always scanned forward), so parens inside string literals never
+  * miscount.
+  */
+private[plans] object SqlText {
+
+  private def quoteEnd(s: CharSequence, from: Int, q: Char): Int = {
+    var j = from + 1
+    val n = s.length
+    while (j < n && s.charAt(j) != q) j += 1
+    math.min(j + 1, n)
+  }
+
+  /** End index (exclusive) of the balanced ()/[] group opening at `from`. */
+  private def groupEnd(s: CharSequence, from: Int): Int = {
+    var depth = 0
+    var j = from
+    val n = s.length
+    while (j < n) {
+      val c = s.charAt(j)
+      if (c == '\'' || c == '"' || c == '`') j = quoteEnd(s, j, c) - 1
+      else if (c == '(' || c == '[') depth += 1
+      else if (c == ')' || c == ']') { depth -= 1; if (depth == 0) return j + 1 }
+      j += 1
+    }
+    n
+  }
+
+  private def isWordChar(c: Char): Boolean = Character.isLetterOrDigit(c) || c == '_'
+
+  /** Start index of the trailing primary chain of `s` (== s.length when the
+    * text ends in an operator / is empty).
+    */
+  def trailingPrimaryStart(s: CharSequence): Int = {
+    val n = s.length
+    var i = 0
+    var ps = n
+    var prev: Char = 0 // 'w' word/quote, ')' group, '.', or the operator char
+    var prevEnd = -1   // index just after the previous token (adjacency check)
+    while (i < n) {
+      val c = s.charAt(i)
+      if (Character.isWhitespace(c)) i += 1
+      else if (c == '\'' || c == '"' || c == '`') {
+        ps = i
+        val e = quoteEnd(s, i, c); i = e; prev = 'w'; prevEnd = e
+      } else if (isWordChar(c)) {
+        if (!(prev == '.' && prevEnd == i)) ps = i
+        var e = i + 1
+        while (e < n && isWordChar(s.charAt(e))) e += 1
+        i = e; prev = 'w'; prevEnd = e
+      } else if (c == '(' || c == '[') {
+        if (!((prev == 'w' || prev == ')') && prevEnd == i)) ps = i
+        val e = groupEnd(s, i); i = e; prev = ')'; prevEnd = e
+      } else if (c == '.') {
+        // numeric / qualified-name continuation only when directly attached
+        if (!(prev == 'w' && prevEnd == i)) ps = i
+        i += 1; prev = '.'; prevEnd = i
+      } else {
+        i += 1; prev = c; prevEnd = i
+      }
+    }
+    ps
+  }
+
+  /** End index (exclusive) of the primary chain starting at/after `from`
+    * (skips leading whitespace and unary +/-).
+    */
+  def primaryEnd(s: String, from: Int): Int = {
+    val n = s.length
+    var i = from
+    def skipWs(): Unit = while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+    skipWs()
+    while (i < n && (s.charAt(i) == '-' || s.charAt(i) == '+')) { i += 1; skipWs() }
+    if (i >= n) return i
+    val c = s.charAt(i)
+    if (c == '\'' || c == '"' || c == '`') i = quoteEnd(s, i, c)
+    else if (c == '(') i = groupEnd(s, i)
+    else if (isWordChar(c)) { while (i < n && isWordChar(s.charAt(i))) i += 1 }
+    else return i
+    var cont = true
+    while (cont && i < n) {
+      s.charAt(i) match {
+        case '.' =>
+          i += 1
+          while (i < n && isWordChar(s.charAt(i))) i += 1
+        case '(' | '[' => i = groupEnd(s, i)
+        case _ => cont = false
+      }
+    }
+    i
+  }
+}
+
+/** DuckDB operator spellings Spark's parser rejects, as quote-aware text
+  * rewrites (each target is INVALID host syntax, so no valid Spark query
+  * changes meaning):
+  *
+  *   a // b        -> a div b        (integer division; DuckDB floors
+  *                                    doubles to a double — declared
+  *                                    narrowing: div yields a long)
+  *   a ** b        -> power(a, b)    (left-associative, like Postgres `^`;
+  *                                    operands are primary chains — the
+  *                                    same adjacency rule as subscripts)
+  *   VARCHAR       -> STRING         (bare, not followed by '(': Spark
+  *                                    accepts only parameterized VARCHAR(n),
+  *                                    so `x::VARCHAR` / CAST(x AS VARCHAR)
+  *                                    — DuckDB's most common cast — parses)
+  *
+  * DuckDB's `^` (power there, XOR here) deliberately keeps host semantics:
+  * rewriting it would flip valid Spark queries — same policy as 1-based
+  * subscripts in ListSyntax.
+  */
+object OperatorSyntax {
+
+  def rewrite(sql: String): String = {
+    if (!sql.contains("//") && !sql.contains("**") &&
+      !containsIgnoreCase(sql, "varchar")) return sql
+    val s = sql
+    val n = s.length
+    val sb = new StringBuilder
+    var i = 0
+    def isWordChar(c: Char): Boolean = Character.isLetterOrDigit(c) || c == '_'
+    while (i < n) {
+      val c = s.charAt(i)
+      c match {
+        case '\'' | '"' | '`' =>
+          val j = s.indexOf(c, i + 1)
+          val end = if (j < 0) n else j + 1
+          sb.append(s.substring(i, end)); i = end
+        case '/' if i + 1 < n && s.charAt(i + 1) == '/' =>
+          sb.append(" div "); i += 2
+        case '*' if i + 1 < n && s.charAt(i + 1) == '*' =>
+          val lp = SqlText.trailingPrimaryStart(sb)
+          val left = if (lp < sb.length) sb.substring(lp).trim else ""
+          val re = SqlText.primaryEnd(s, i + 2)
+          val right = s.substring(i + 2, re).trim
+          if (left.isEmpty || right.isEmpty) { sb.append("**"); i += 2 }
+          else {
+            sb.delete(lp, sb.length)
+            sb.append(s"power($left, $right)")
+            i = re
+          }
+        case 'v' | 'V' if i + 7 <= n && s.substring(i, i + 7).equalsIgnoreCase("varchar") &&
+            (i == 0 || !isWordChar(s.charAt(i - 1))) &&
+            (i + 7 == n || !isWordChar(s.charAt(i + 7))) && {
+              var k = i + 7
+              while (k < n && Character.isWhitespace(s.charAt(k))) k += 1
+              k >= n || s.charAt(k) != '('
+            } =>
+          sb.append("STRING"); i += 7
+        case _ =>
+          sb.append(c); i += 1
+      }
+    }
+    sb.toString
+  }
+
+  private def containsIgnoreCase(s: String, w: String): Boolean = {
+    var i = 0
+    while (i + w.length <= s.length) {
+      if (s.substring(i, i + w.length).equalsIgnoreCase(w)) return true
+      i += 1
+    }
+    false
+  }
+}

@@ -16,7 +16,24 @@ object TableFunctions {
 
   private val Fn = raw"(?i)\b(read_parquet|read_csv_auto|read_csv|read_json_auto|read_json)\s*\(\s*'([^']+)'\s*\)".r
 
+  // DuckDB `FROM generate_series(a, b[, step])` — inclusive series as a
+  // table. Spark has no such TVF; the scalar `generate_series` (an
+  // inclusive Sequence, registered in DuckDbCompat) exploded in a subquery
+  // is semantically identical. Simple-argument form only (no nested
+  // parens) — anything fancier fails loudly in the parser.
+  private val Series = raw"(?i)\b(FROM|JOIN)\s+generate_series\s*\(([^()]*)\)".r
+
   def rewrite(sql: String): String = {
+    val s0 = Series.replaceAllIn(sql, m => {
+      val quotesBefore = sql.substring(0, m.start).count(_ == '\'')
+      if (quotesBefore % 2 == 1) java.util.regex.Matcher.quoteReplacement(m.matched)
+      else java.util.regex.Matcher.quoteReplacement(
+        s"${m.group(1)} (SELECT explode(generate_series(${m.group(2)})) AS generate_series)")
+    })
+    rewriteReads(s0)
+  }
+
+  private def rewriteReads(sql: String): String = {
     // The function call's own argument IS a quoted literal, so a plain
     // whole-string regex is safe for it — but a free-standing string literal
     // that merely CONTAINS the text (e.g. logged SQL passed as a value) must

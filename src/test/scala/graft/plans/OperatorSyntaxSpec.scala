@@ -1,0 +1,76 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestHarness
+
+/** DuckDB operator spellings and bracket-slice semantics: value-level
+  * checks of the whole rewrite chain through spark.sql. Expected values
+  * are DuckDB's own results for the same expressions (verified against
+  * DuckDB 1.0 semantics: 1-based inclusive slices, negatives from the
+  * end, open ends, clamping).
+  */
+class OperatorSyntaxSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+
+  private def one(sql: String): Any =
+    spark.sql(Dialect.rewrite(sql)).collect().head.get(0)
+
+  test("// rewrites to integer div") {
+    assert(one("SELECT 7 // 2 AS d") == 3L)
+    assert(one("SELECT (1 + 6) // 2 AS d") == 3L)
+  }
+
+  test("** rewrites to power, left-associative, chain operands") {
+    assert(one("SELECT 2 ** 3 AS p") == 8.0)
+    assert(one("SELECT 2 ** 3 ** 2 AS p") == 64.0) // (2**3)**2
+    assert(one("SELECT 1 + 2 ** 3 AS p") == 9.0)
+    assert(one("SELECT abs(-2) ** 2 AS p") == 4.0)
+    // inside a string: untouched
+    assert(one("SELECT 'a ** b' AS s") == "a ** b")
+  }
+
+  test("bare VARCHAR becomes STRING; parameterized VARCHAR(n) untouched") {
+    assert(one("SELECT 1::VARCHAR AS s") == "1")
+    assert(one("SELECT CAST(2 AS VARCHAR) AS s") == "2")
+    // parameterized form reaches Spark's parser untouched (Spark casts to
+    // varchar(n) without truncating — host semantics)
+    assert(one("SELECT CAST('abc' AS VARCHAR(2)) AS s") == "abc")
+    assert(one("SELECT 'VARCHAR' AS s") == "VARCHAR")
+  }
+
+  test("string-literal subscript is DuckDB 1-based") {
+    assert(one("SELECT 'abc'[2] AS c") == "b")
+    assert(one("SELECT 'abc'[-1] AS c") == "c")
+  }
+
+  test("slice syntax on strings: inclusive, open ends, negatives, clamping") {
+    assert(one("SELECT 'abcdef'[2:4] AS s") == "bcd")
+    assert(one("SELECT 'abcdef'[3:] AS s") == "cdef")
+    assert(one("SELECT 'abcdef'[:3] AS s") == "abc")
+    assert(one("SELECT 'abcdef'[-3:] AS s") == "def")
+    assert(one("SELECT 'abcdef'[2:100] AS s") == "bcdef")
+    assert(one("SELECT 'abcdef'[5:2] AS s") == "")
+  }
+
+  test("slice syntax on lists: inclusive, negatives, open ends") {
+    assert(one("SELECT [1,2,3,4][2:3] AS l") == Seq(2, 3))
+    assert(one("SELECT [1,2,3,4][-1:] AS l") == Seq(4))
+    assert(one("SELECT [1,2,3,4][:2] AS l") == Seq(1, 2))
+    // column operands work too (type dispatch at analysis)
+    assert(spark.sql(Dialect.rewrite(
+      "SELECT xs[2:3] AS l FROM (SELECT [10,20,30,40] AS xs)")).collect().head.getSeq[Int](0) == Seq(20, 30))
+  }
+
+  test("plain array subscripts keep host 0-based semantics") {
+    assert(one("SELECT array(10, 20, 30)[1] AS x") == 20)
+  }
+
+  test("generate_series as a table function (inclusive)") {
+    val rows = spark.sql(Dialect.rewrite(
+      "SELECT * FROM generate_series(1, 3)")).collect().map(_.get(0))
+    assert(rows.toSeq == Seq(1, 2, 3))
+    val stepped = spark.sql(Dialect.rewrite(
+      "SELECT generate_series FROM generate_series(0, 10, 5)")).collect().map(_.get(0))
+    assert(stepped.toSeq == Seq(0, 5, 10))
+  }
+}
