@@ -636,6 +636,29 @@ object CoverageOps {
         Tables.ensure(s, d)
         s.sql(graft.plans.Dialect.rewrite(sameText))
       }
+    },
+
+    // DuckDB operator spellings — integer division //, power **, bare
+    // VARCHAR casts, bracket slices on strings and lists (1-based
+    // inclusive, negatives from the end, open ends), string-literal
+    // subscripts, and generate_series as a table function. ONE text:
+    // DuckDB executes all of it natively; Spark gets `plans.OperatorSyntax`
+    // + `graft_slice` + the TVF rewrite. The list slice digests through
+    // md5(array_to_string(...)) per the harness's no-raw-array rule.
+    {
+      val sameText =
+        "SELECT CAST(7 // 2 AS BIGINT) AS idiv, " +
+        "1 + 2 ** 3 AS pw, " +
+        "'abcdef'[2:4] AS sl, " +
+        "'abcdef'[-3:] AS sneg, " +
+        "'abc'[2] AS ch, " +
+        "123::VARCHAR AS vc, " +
+        "md5(array_to_string([10,20,30,40][2:3], ',')) AS ls_md5, " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM generate_series(1, 5)) AS gs_n"
+      Op("compat_operator_syntax", sameText) { (s, d) =>
+        Tables.ensure(s, d)
+        s.sql(graft.plans.Dialect.rewrite(sameText))
+      }
     }
   )
 }

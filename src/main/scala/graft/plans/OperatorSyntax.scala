@@ -38,11 +38,27 @@ private[plans] object SqlText {
   private def isWordChar(c: Char): Boolean = Character.isLetterOrDigit(c) || c == '_'
 
   /** Start index of the trailing primary chain of `s` (== s.length when the
-    * text ends in an operator / is empty).
+    * text ends in an operator / is empty). The scan is bounded to the
+    * INNERMOST UNCLOSED group: in `f(a, b` the trailing primary is `b`,
+    * never the unbalanced `f(...` prefix — the prefix being scanned is
+    * usually the partially-emitted text before a subscript/operator.
     */
   def trailingPrimaryStart(s: CharSequence): Int = {
     val n = s.length
-    var i = 0
+    // Find the innermost unclosed '(' / '[' (quote-aware) and start after it.
+    val base: Int = {
+      var j = 0
+      var stack = List.empty[Int]
+      while (j < n) {
+        val c = s.charAt(j)
+        if (c == '\'' || c == '"' || c == '`') j = quoteEnd(s, j, c) - 1
+        else if (c == '(' || c == '[') stack = j :: stack
+        else if (c == ')' || c == ']') stack = if (stack.isEmpty) stack else stack.tail
+        j += 1
+      }
+      stack.headOption.map(_ + 1).getOrElse(0)
+    }
+    var i = base
     var ps = n
     var prev: Char = 0 // 'w' word/quote, ')' group, '.', or the operator char
     var prevEnd = -1   // index just after the previous token (adjacency check)
