@@ -261,6 +261,37 @@ object Events {
           max("gap_us").cast("long").as("max_us"))
     },
 
+    // Funnel time-to-convert: the latency distribution from a user's first
+    // 'view' to their first 'purchase' (converted users only, purchase at
+    // or after the view) — the companion number to events_funnel's
+    // conversion COUNTS: how long conversion takes, not just whether it
+    // happens. Two user-keyed MIN aggregates and one user-keyed join;
+    // exact BIGINT micros with QUANTILE_DISC, per the inter-arrival
+    // float policy.
+    Op("events_funnel_time",
+      "WITH v AS (SELECT user_id, MIN(ts) AS first_view FROM events WHERE event_type = 'view' GROUP BY 1), " +
+      "p AS (SELECT user_id, MIN(ts) AS first_purchase FROM events WHERE event_type = 'purchase' GROUP BY 1), " +
+      "g AS (SELECT CAST(EPOCH_US(first_purchase) - EPOCH_US(first_view) AS BIGINT) AS gap_us " +
+      "FROM v JOIN p USING (user_id) WHERE first_purchase >= first_view) " +
+      "SELECT CAST(COUNT(*) AS BIGINT) AS n_converted, " +
+      "CAST(SUM(gap_us) // COUNT(*) AS BIGINT) AS mean_us, " +
+      "CAST(QUANTILE_DISC(gap_us, 0.5) AS BIGINT) AS p50_us, " +
+      "CAST(QUANTILE_DISC(gap_us, 0.9) AS BIGINT) AS p90_us FROM g") { (s, d) =>
+      val e = ev(s, d)
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("first_view"))
+      val p = e.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min("ts").as("first_purchase"))
+      v.join(p, "user_id")
+        .filter(col("first_purchase") >= col("first_view"))
+        .select((unix_micros(col("first_purchase").cast("timestamp")) -
+          unix_micros(col("first_view").cast("timestamp"))).as("gap_us"))
+        .agg(count(lit(1)).as("n_converted"),
+          expr("CAST(SUM(gap_us) div COUNT(*) AS BIGINT)").as("mean_us"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_us)").cast("long").as("p50_us"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY gap_us)").cast("long").as("p90_us"))
+    },
+
     // Time-series gap filling / densification: each user's sparse daily
     // event counts expanded to EVERY day in their [first, last] activity
     // range — zero-filled holes plus a running cumulative — the regular

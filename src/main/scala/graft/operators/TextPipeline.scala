@@ -1112,6 +1112,72 @@ object TextPipeline {
         .orderBy(col("df").desc, col("tf").desc, col("gram")).limit(20)
     },
 
+    // N-gram novelty curve: per document (in ingestion order), the share of
+    // its distinct trigrams appearing for the FIRST time in the corpus —
+    // the freshness signal that distinguishes new material from recombined
+    // boilerplate as a crawl grows (novelty trending to zero = the crawl
+    // is saturating). First-occurrence attribution is a MIN aggregate on
+    // the gram clustering, joined back on the same key — two exchanges,
+    // both on gram, no window over the whole corpus. Integer per-mille.
+    Op("corpus_ngram_novelty",
+      "WITH w AS (SELECT doc_id, STRING_SPLIT(text,' ') AS words FROM documents), " +
+      "g AS (SELECT DISTINCT doc_id, UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, CAST(LEN(words) AS INTEGER)-2), " +
+      "i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS gram FROM w), " +
+      "f AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY 1) " +
+      "SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams, " +
+      "CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel, " +
+      "CAST((SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) * 1000) // COUNT(*) AS BIGINT) AS novelty_permille " +
+      "FROM g JOIN f USING (gram) GROUP BY g.doc_id ORDER BY g.doc_id") { (s, d) =>
+      val g = triRows(docs(s, d))
+        .select(col("doc_id"), concat_ws(" ", col("w"), col("w1"), col("w2")).as("gram"))
+        .distinct()
+      val f = g.groupBy("gram").agg(min("doc_id").as("first_doc"))
+      g.join(f, "gram")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1).otherwise(0)).cast("long").as("n_novel"))
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+          expr("CAST((n_novel * 1000) div n_grams AS BIGINT)").as("novelty_permille"))
+        .orderBy("doc_id")
+    },
+
+    // Zipf-law fit over the top-100 term frequencies: least-squares slope
+    // and R² of log10(freq) against log10(rank) — the corpus-health check
+    // that catches template-dominated or synthetic text (natural language
+    // sits near slope -1). Scale: term counts are one map-side-combined
+    // aggregation; only the top-100 terms are globally ordered (distributed
+    // TakeOrdered), and the regression runs over those 100 rows with both
+    // logs quantized to integer micro-units FIRST, so every sum is exact
+    // BIGINT arithmetic and the closed-form slope/R² are bit-identical
+    // cross-engine (REGR_SLOPE's float accumulation order would not be).
+    Op("corpus_zipf_fit",
+      "WITH w AS (SELECT UNNEST(STRING_SPLIT(text,' ')) AS wd FROM documents), " +
+      "c AS (SELECT wd, CAST(COUNT(*) AS BIGINT) AS freq FROM w GROUP BY 1), " +
+      "r AS (SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, wd) AS rk FROM c ORDER BY freq DESC, wd LIMIT 100), " +
+      "q AS (SELECT CAST(ROUND(LOG10(CAST(rk AS DOUBLE)) * 1000000) AS BIGINT) AS lx, " +
+      "CAST(ROUND(LOG10(CAST(freq AS DOUBLE)) * 1000000) AS BIGINT) AS ly FROM r), " +
+      "s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(lx) AS BIGINT) AS sx, CAST(SUM(ly) AS BIGINT) AS sy, " +
+      "CAST(SUM(lx*lx) AS BIGINT) AS sxx, CAST(SUM(ly*ly) AS BIGINT) AS syy, CAST(SUM(lx*ly) AS BIGINT) AS sxy FROM q) " +
+      "SELECT n AS n_terms, " +
+      "CAST(ROUND(CAST(n*sxy - sx*sy AS DOUBLE) / (n*sxx - sx*sx) * 1000) AS BIGINT) AS zipf_slope_milli, " +
+      "CAST(ROUND(CAST(n*sxy - sx*sy AS DOUBLE) * (n*sxy - sx*sy) / ((n*sxx - sx*sx) * CAST(n*syy - sy*sy AS DOUBLE)) * 1000) AS BIGINT) AS r2_milli " +
+      "FROM s") { (s, d) =>
+      val c = docs(s, d).select(explode(tokens(col("text"))).as("wd"))
+        .groupBy("wd").agg(count(lit(1)).as("freq"))
+      val top = c.orderBy(col("freq").desc, col("wd")).limit(100)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("freq").desc, col("wd"))))
+      val q = top.select(
+        round(log10(col("rk").cast("double")) * 1000000).cast("long").as("lx"),
+        round(log10(col("freq").cast("double")) * 1000000).cast("long").as("ly"))
+      q.agg(count(lit(1)).as("n"), sum("lx").as("sx"), sum("ly").as("sy"),
+          sum(col("lx") * col("lx")).as("sxx"), sum(col("ly") * col("ly")).as("syy"),
+          sum(col("lx") * col("ly")).as("sxy"))
+        .select(col("n").as("n_terms"),
+          expr("CAST(ROUND(CAST(n*sxy - sx*sy AS DOUBLE) / (n*sxx - sx*sx) * 1000) AS BIGINT)").as("zipf_slope_milli"),
+          expr("CAST(ROUND(CAST(n*sxy - sx*sy AS DOUBLE) * (n*sxy - sx*sy) / ((n*sxx - sx*sx) * CAST(n*syy - sy*sy AS DOUBLE)) * 1000) AS BIGINT)").as("r2_milli"))
+    },
+
     // RAKE keyphrase extraction (Rapid Automatic Keyword Extraction): split
     // each document on stopwords into maximal content-word runs (length
     // <= 3), score every word by degree/frequency over the candidate set
