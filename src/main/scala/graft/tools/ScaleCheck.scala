@@ -94,7 +94,9 @@ object ScaleCheck {
       "text_winnow", "text_pmi_topk", "embed_ivfpq_topk",
       "pipeline_bpe_train", "text_rake_topk", "embed_bq_rerank",
       "embed_matryoshka", "events_top_paths", "events_power_curve",
-      "events_inter_arrival", "pipeline_partition_advice") ++
+      "events_inter_arrival", "pipeline_partition_advice",
+      "corpus_ngram_novelty", "corpus_zipf_fit", "events_funnel_time",
+      "corpus_lang_confusion") ++
       // The ORACLE op pins the fixture's 8x16 band shape, whose candidate
       // set grows ~n^2/2^8 — at 30x (60k vectors, ~2e8 candidate pairs) it
       // OOMs the JVM by design. Past 10x only the auto-sized library path
