@@ -70,6 +70,15 @@ object Statement {
   // DuckDB's EXPLAIN ANALYZE: execute, then return the physical plan WITH
   // runtime metrics (plain EXPLAIN stays native Spark).
   private val ExplainAnalyzeRe = """(?is)^\s*EXPLAIN\s+ANALYZE\s+(.+)$""".r
+  // DuckDB maintenance statements. CHECKPOINT/VACUUM are WAL/storage
+  // operations with no analogue on an immutable Parquet store (every
+  // commit is already durable); they acknowledge as no-ops so DuckDB
+  // clients' maintenance scripts run unchanged. ANALYZE does real work:
+  // it recomputes catalog-table statistics through Spark's own ANALYZE
+  // TABLE, feeding the cost-based optimizer.
+  private val CheckpointRe = """(?is)^\s*(?:FORCE\s+)?CHECKPOINT(?:\s+[A-Za-z_][\w]*)?\s*;?\s*$""".r
+  private val VacuumRe = """(?is)^\s*VACUUM(?:\s+ANALYZE)?\s*;?\s*$""".r
+  private val AnalyzeRe = """(?is)^\s*ANALYZE\s*;?\s*$""".r
   // DuckDB's profiling statement: SUMMARIZE <table>.
   private val SummarizeRe =
     """(?is)^\s*SUMMARIZE\s+([A-Za-z_][A-Za-z0-9_.]*)\s*;?\s*$""".r
@@ -436,6 +445,27 @@ object Statement {
         val schema = StructType(Seq(StructField("explain_analyze", StringType, nullable = false)))
         session.spark.createDataFrame(
           plan.linesIterator.map(Row(_)).toList.asJava, schema)
+
+      case CheckpointRe() =>
+        oneRowResult(session.spark, "result",
+          "checkpoint: no-op (Parquet store commits durably; no WAL to flush)")
+
+      case VacuumRe() =>
+        oneRowResult(session.spark, "result",
+          "vacuum: no-op (immutable Parquet storage reclaims via compaction — " +
+            "see pipeline_compact_plan)")
+
+      case AnalyzeRe() =>
+        // Real stats work, and a catalog write — the read-only role is out.
+        if (session.isReadOnly)
+          throw new SecurityException("read-only role cannot ANALYZE")
+        val tables = session.spark.catalog.listTables().collect()
+          .filter(t => !t.isTemporary && t.tableType != "VIEW")
+        tables.foreach(t => session.spark.sql(
+          s"ANALYZE TABLE `${t.name}` COMPUTE STATISTICS"))
+        PlanCache.invalidate(session.spark)
+        oneRowResult(session.spark, "result",
+          s"analyzed ${tables.length} tables (statistics recomputed)")
 
       case SummarizeRe(table) =>
         // One wide aggregation pass; DuckDB's exact report columns.

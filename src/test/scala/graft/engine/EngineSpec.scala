@@ -856,4 +856,27 @@ class SystemCatalogSpec extends AnyFunSuite {
     assert(SystemCatalog.primaryKeys(spark).count() == 0)
     assert(SystemCatalog.indexInfo(spark).columns.contains("is_unique"))
   }
+
+  test("CHECKPOINT / VACUUM acknowledge as no-ops; ANALYZE recomputes stats") {
+    val sessions = new SessionManager(spark, new GlobalSettings)
+    val s = sessions.getOrCreate("maint-s", "alice", "admin")
+    val admission = new AdmissionController(4, 8, 30)
+    def run(sql: String) = Statement.run(sessions, s, new GlobalSettings, admission, sql)
+    assert(run("CHECKPOINT").head.getString(0).contains("no-op"))
+    assert(run("FORCE CHECKPOINT").head.getString(0).contains("no-op"))
+    assert(run("VACUUM").head.getString(0).contains("no-op"))
+    assert(run("VACUUM ANALYZE").head.getString(0).contains("no-op"))
+    s.spark.sql("DROP TABLE IF EXISTS maint_t1")
+    s.spark.sql("CREATE TABLE maint_t1 USING parquet AS SELECT 1 AS x")
+    val res = run("ANALYZE").head.getString(0)
+    assert(res.startsWith("analyzed") && !res.startsWith("analyzed 0"))
+    // stats actually landed in the catalog
+    val described = s.spark.sql("DESCRIBE TABLE EXTENDED maint_t1")
+      .collect().map(r => r.getString(0) + " " + r.getString(1)).mkString("\n")
+    assert(described.contains("Statistics"))
+    // read-only role: ANALYZE is a catalog write
+    val ro = sessions.getOrCreate("maint-ro", "bob", "readonly")
+    intercept[SecurityException](
+      Statement.run(sessions, ro, new GlobalSettings, admission, "ANALYZE"))
+  }
 }
