@@ -28,6 +28,14 @@ object DuckDbCompat {
 
   private def lit(s: String) = Literal.create(s, org.apache.spark.sql.types.StringType)
 
+  // DuckDB list_position/list_indexof: 1-based, NULL when absent (Spark's
+  // array_position returns 0 there).
+  private def duckListPosition(l: Expression, v: Expression): Expression = {
+    val pos = ArrayPosition(l, v)
+    If(EqualTo(pos, Literal(0L)),
+      Literal.create(null, org.apache.spark.sql.types.LongType), pos)
+  }
+
   private def literalText(e: Expression, fn: String): String = e match {
     case Literal(s, org.apache.spark.sql.types.StringType) if s != null => s.toString
     case _ => throw new IllegalArgumentException(
@@ -57,8 +65,39 @@ object DuckDbCompat {
       info("list_unique", "list_unique(l) - number of distinct elements"),
       (c: Seq[Expression]) => Size(ArrayDistinct(c(0)))),
     (FunctionIdentifier("list_sort"),
-      info("list_sort", "list_sort(l) - ascending sort (DuckDB default)"),
-      (c: Seq[Expression]) => SortArray(c(0), Literal(true))),
+      info("list_sort", "list_sort(l[, 'ASC'|'DESC']) - sort (DuckDB default ASC)"),
+      (c: Seq[Expression]) =>
+        if (c.length < 2) SortArray(c(0), Literal(true))
+        else c(1) match {
+          // A silently-ignored order argument would return ASC for a DESC
+          // request — the literal is decoded or the call fails loudly.
+          case Literal(o, _) if o != null && o.toString.equalsIgnoreCase("desc") =>
+            SortArray(c(0), Literal(false))
+          case Literal(o, _) if o != null && o.toString.equalsIgnoreCase("asc") =>
+            SortArray(c(0), Literal(true))
+          case _ => throw new IllegalArgumentException(
+            "list_sort: order must be the literal 'ASC' or 'DESC'")
+        }),
+    (FunctionIdentifier("list_reduce"),
+      info("list_reduce",
+        "list_reduce(l, (acc, x) -> e) - DuckDB fold: first element seeds the accumulator"),
+      (c: Seq[Expression]) => {
+        val r = NamedLambdaVariable("r",
+          org.apache.spark.sql.types.DoubleType, nullable = true)
+        ArrayAggregate(
+          Slice(c(0), Literal(2), Add(Size(c(0)), Literal(-1))),
+          ElementAt(c(0), Literal(1)),
+          c(1) match {
+            case lf: LambdaFunction => lf
+            case other => throw new IllegalArgumentException(
+              s"list_reduce requires a 2-arg lambda, got $other")
+          },
+          LambdaFunction(r, Seq(r)))
+      }),
+    (FunctionIdentifier("list_indexof"),
+      info("list_indexof",
+        "list_indexof(l, v) - DuckDB alias of list_position (1-based, NULL when absent)"),
+      (c: Seq[Expression]) => duckListPosition(c(0), c(1))),
     (FunctionIdentifier("list_value"),
       info("list_value", "list_value(x1, ...) - DuckDB alias of array(...)"),
       (c: Seq[Expression]) => CreateArray(c)),
@@ -173,11 +212,7 @@ object DuckDbCompat {
     (FunctionIdentifier("list_position"),
       info("list_position",
         "list_position(l, v) - 1-based index, NULL when absent (DuckDB; Spark's array_position returns 0)"),
-      (c: Seq[Expression]) => {
-        val pos = ArrayPosition(c(0), c(1))
-        If(EqualTo(pos, Literal(0L)), Literal.create(null,
-          org.apache.spark.sql.types.LongType), pos)
-      }),
+      (c: Seq[Expression]) => duckListPosition(c(0), c(1))),
     (FunctionIdentifier("list_extract"),
       info("list_extract", "list_extract(l, i) - 1-based element access (element_at)"),
       (c: Seq[Expression]) => ElementAt(c(0), c(1))),

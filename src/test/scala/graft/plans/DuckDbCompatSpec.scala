@@ -146,4 +146,24 @@ class DuckDbCompatSpec extends AnyFunSuite {
       spark.sql("SELECT strftime(TIMESTAMP_NTZ '1997-03-05 00:00:00', '%Q')").collect())
     assert(e.getMessage.contains("unsupported format code"))
   }
+
+  test("list_sort order arg, list_reduce fold, list_indexof") {
+    val r = spark.sql(
+      "SELECT list_sort(array(3, 1, 2)) AS asc1, " +
+      "list_sort(array(3, 1, 2), 'DESC') AS desc1, " +
+      "list_sort(array(3, 1, 2), 'asc') AS asc2, " +
+      "list_reduce(array(1.0d, 2.0d, 3.0d), (acc, x) -> acc + x) AS red, " +
+      "list_indexof(array(10, 20), 20) AS idx, " +
+      "list_indexof(array(10, 20), 99) AS missing").collect()(0)
+    assert(r.getSeq[Int](0) == Seq(1, 2, 3))
+    assert(r.getSeq[Int](1) == Seq(3, 2, 1))
+    assert(r.getSeq[Int](2) == Seq(1, 2, 3))
+    assert(r.getDouble(3) == 6.0)
+    assert(r.getLong(4) == 2L)
+    assert(r.isNullAt(5))
+    // a non-literal / unknown order argument fails loudly, never silently ASC
+    val e2 = intercept[Exception](
+      spark.sql("SELECT list_sort(array(1), 'sideways')").collect())
+    assert(e2.getMessage.contains("ASC") || e2.getMessage.contains("order"))
+  }
 }
