@@ -261,6 +261,29 @@ object Events {
           max("gap_us").cast("long").as("max_us"))
     },
 
+    // Per-type value economics in exact integer cents (the fixture's
+    // `value` column carries 2dp amounts): count, total, integer-mean,
+    // exact discrete median, max — the revenue summary of the event
+    // stream, with the money-as-cents policy that keeps cross-engine
+    // comparison exact where raw-double sums would drift.
+    Op("events_value_stats",
+      "WITH v AS (SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events WHERE value IS NOT NULL) " +
+      "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, " +
+      "CAST(SUM(cents) AS BIGINT) AS sum_cents, " +
+      "CAST(SUM(cents) // COUNT(*) AS BIGINT) AS mean_cents, " +
+      "CAST(QUANTILE_DISC(cents, 0.5) AS BIGINT) AS p50_cents, " +
+      "CAST(MAX(cents) AS BIGINT) AS max_cents " +
+      "FROM v GROUP BY event_type ORDER BY event_type") { (s, d) =>
+      ev(s, d).filter(col("value").isNotNull)
+        .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("cents").cast("long").as("sum_cents"),
+          expr("CAST(SUM(cents) div COUNT(*) AS BIGINT)").as("mean_cents"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)").cast("long").as("p50_cents"),
+          max("cents").cast("long").as("max_cents"))
+        .orderBy("event_type")
+    },
+
     // Funnel time-to-convert: the latency distribution from a user's first
     // 'view' to their first 'purchase' (converted users only, purchase at
     // or after the view) — the companion number to events_funnel's

@@ -1141,6 +1141,82 @@ object TextPipeline {
         .orderBy("doc_id")
     },
 
+    // Per-source Jensen-Shannon divergence from the corpus unigram
+    // distribution — the distribution-shift metric a mixture monitor
+    // tracks (a source drifting from the blend shows up here before it
+    // shows up in loss curves). JSD = ½KL(P‖M) + ½KL(Q‖M), M=(P+Q)/2,
+    // over term distributions; absent terms contribute only the corpus
+    // side (0·log0 = 0). Scale: everything runs on COUNTS tables — the
+    // (source × vocab) grid is bounded by vocabulary, never by corpus
+    // bytes (an unbounded-vocab corpus would cap to top-K terms + a
+    // remainder bucket, same shape). Per-term contributions quantize to
+    // integer nano-bits before the per-source sum, so the reduction is
+    // order-free BIGINT arithmetic.
+    Op("corpus_js_divergence",
+      "WITH w AS (SELECT source, UNNEST(STRING_SPLIT(text,' ')) AS wd FROM documents), " +
+      "cs AS (SELECT source, wd, CAST(COUNT(*) AS BIGINT) AS csn FROM w GROUP BY 1, 2), " +
+      "ns AS (SELECT source, CAST(SUM(csn) AS BIGINT) AS nst FROM cs GROUP BY 1), " +
+      "c AS (SELECT wd, CAST(COUNT(*) AS BIGINT) AS cn FROM w GROUP BY 1), " +
+      "n AS (SELECT CAST(SUM(cn) AS BIGINT) AS nt FROM c), " +
+      "grid AS (SELECT s.source, c.wd, c.cn FROM (SELECT DISTINCT source FROM documents) s CROSS JOIN c), " +
+      "j AS (SELECT g.source, g.wd, COALESCE(cs.csn, 0) AS csn, g.cn FROM grid g " +
+      "LEFT JOIN cs ON cs.source = g.source AND cs.wd = g.wd), " +
+      "t AS (SELECT j.source, " +
+      "CAST(j.csn AS DOUBLE) / ns.nst AS p, CAST(j.cn AS DOUBLE) / n.nt AS q " +
+      "FROM j JOIN ns USING (source), n) " +
+      "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_terms, " +
+      "CAST(SUM(CAST(ROUND((0.5 * (CASE WHEN p > 0 THEN p * LOG2(p / ((p + q) / 2)) ELSE 0 END) " +
+      "+ 0.5 * (q * LOG2(q / ((p + q) / 2)))) * 1000000000) AS BIGINT)) AS BIGINT) AS jsd_nanobits " +
+      "FROM t GROUP BY source ORDER BY source") { (s, d) =>
+      val w = docs(s, d).select(col("source"), explode(tokens(col("text"))).as("wd"))
+      val cs = w.groupBy("source", "wd").agg(count(lit(1)).as("csn"))
+      val ns = cs.groupBy("source").agg(sum("csn").cast("long").as("nst"))
+      val c = w.groupBy("wd").agg(count(lit(1)).as("cn"))
+      val n = c.agg(sum("cn").cast("long").as("nt"))
+      val grid = docs(s, d).select("source").distinct().crossJoin(c)
+      val j = grid.join(cs, Seq("source", "wd"), "left")
+        .select(col("source"), col("wd"), coalesce(col("csn"), lit(0L)).as("csn"), col("cn"))
+      val t = j.join(broadcast(ns), "source").crossJoin(broadcast(n))
+        .select(col("source"),
+          (col("csn").cast("double") / col("nst")).as("p"),
+          (col("cn").cast("double") / col("nt")).as("q"))
+      t.select(col("source"),
+          round((lit(0.5) * when(col("p") > 0,
+            col("p") * log2(col("p") / ((col("p") + col("q")) / 2))).otherwise(0.0)
+            + lit(0.5) * (col("q") * log2(col("q") / ((col("p") + col("q")) / 2))))
+            * 1000000000L).cast("long").as("tb"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_terms"), sum("tb").cast("long").as("jsd_nanobits"))
+        .orderBy("source")
+    },
+
+    // Document-length outlier flags by robust statistics: deviation from
+    // the corpus MEDIAN token count in units of the MAD (median absolute
+    // deviation) — the outlier rule that survives the heavy tails that
+    // break mean/stddev z-scores on crawl data. Two QUANTILE_DISC
+    // aggregates (each a 1-row broadcast back onto the scan) and pure
+    // integer comparisons; |len − med| > 3·MAD flags.
+    Op("corpus_length_outliers",
+      "WITH l AS (SELECT doc_id, CAST(LEN(STRING_SPLIT(text,' ')) AS INTEGER) AS n_tok FROM documents), " +
+      "m AS (SELECT CAST(QUANTILE_DISC(n_tok, 0.5) AS INTEGER) AS med FROM l), " +
+      "dv AS (SELECT doc_id, n_tok, ABS(n_tok - m.med) AS dev FROM l, m), " +
+      "md AS (SELECT CAST(QUANTILE_DISC(dev, 0.5) AS INTEGER) AS mad FROM dv) " +
+      "SELECT dv.doc_id, dv.n_tok, dv.dev, " +
+      "CASE WHEN dv.dev > 3 * md.mad THEN 1 ELSE 0 END AS is_outlier " +
+      "FROM dv, md ORDER BY dv.doc_id") { (s, d) =>
+      val l = docs(s, d).select(col("doc_id"), size(tokens(col("text"))).as("n_tok"))
+      val m = l.agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_tok)")
+        .cast("int").as("med"))
+      val dv = l.crossJoin(broadcast(m))
+        .select(col("doc_id"), col("n_tok"), abs(col("n_tok") - col("med")).as("dev"))
+      val md = dv.agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dev)")
+        .cast("int").as("mad"))
+      dv.crossJoin(broadcast(md))
+        .select(col("doc_id"), col("n_tok"), col("dev"),
+          when(col("dev") > lit(3) * col("mad"), 1).otherwise(0).as("is_outlier"))
+        .orderBy("doc_id")
+    },
+
     // Zipf-law fit over the top-100 term frequencies: least-squares slope
     // and R² of log10(freq) against log10(rank) — the corpus-health check
     // that catches template-dominated or synthetic text (natural language
