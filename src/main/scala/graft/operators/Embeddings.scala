@@ -353,6 +353,73 @@ object Embeddings {
     // per-cell pair work (the k ~ sqrt(n) rule's inputs); a dominant cell
     // means the centroids don't span the corpus. One aggregation after the
     // shared broadcast-argmax assignment.
+    // Embedding-norm health report: the L2-norm distribution plus a
+    // near-zero count — the first check on a fresh embedding run (norm
+    // collapse and dead/zero vectors are the two classic failure modes;
+    // RAG stacks also key normalization bugs off exactly this table).
+    // One codegen projection (graft_dot's left-to-right accumulation is
+    // bit-identical to DuckDB's list_inner_product) + one aggregate;
+    // norms quantize to integer micros (IEEE sqrt is correctly rounded,
+    // so the quantized values match cross-engine exactly).
+    Op("embed_norm_stats",
+      "WITH v AS (SELECT CAST(ROUND(SQRT(LIST_INNER_PRODUCT(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) * 1000000) AS BIGINT) AS norm_micro FROM embeddings) " +
+      "SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs, " +
+      "CAST(MIN(norm_micro) AS BIGINT) AS min_micro, " +
+      "CAST(MAX(norm_micro) AS BIGINT) AS max_micro, " +
+      "CAST(SUM(norm_micro) // COUNT(*) AS BIGINT) AS mean_micro, " +
+      "CAST(QUANTILE_DISC(norm_micro, 0.5) AS BIGINT) AS p50_micro, " +
+      "CAST(SUM(CASE WHEN norm_micro < 10000 THEN 1 ELSE 0 END) AS BIGINT) AS near_zero " +
+      "FROM v") { (s, d) =>
+      val v = asDouble(col("embedding"))
+      emb(s, d)
+        .select(round(sqrt(dot(v, v)) * 1000000).cast("long").as("norm_micro"))
+        .agg(count(lit(1)).as("n_vecs"),
+          min("norm_micro").cast("long").as("min_micro"),
+          max("norm_micro").cast("long").as("max_micro"),
+          expr("CAST(SUM(norm_micro) div COUNT(*) AS BIGINT)").as("mean_micro"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY norm_micro)").cast("long").as("p50_micro"),
+          sum(when(col("norm_micro") < 10000, 1).otherwise(0)).cast("long").as("near_zero"))
+    },
+
+    // Embedding-space anisotropy: the MEAN PAIRWISE COSINE over the whole
+    // corpus — the standard collapse metric (isotropic embeddings sit near
+    // 0; representation collapse pushes it toward 1) — WITHOUT any
+    // pairwise work: for unit vectors, Σ_{i≠j} cos(i,j) = |Σu|² − n, so
+    // one per-dimension sum of the normalized corpus answers the O(n²)
+    // question in one aggregation pass. Components quantize to an integer
+    // milli grid BEFORE the sums (the kmeans policy), keeping every
+    // accumulation order-free BIGINT arithmetic: milli components bound
+    // |sd| ≤ n·1000 and Σ sd² ≤ dims·(n·1000)², inside BIGINT at any
+    // realistic corpus.
+    Op("embed_anisotropy",
+      "WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      "u AS (SELECT LIST_TRANSFORM(v, x -> CAST(ROUND(x / SQRT(LIST_INNER_PRODUCT(v, v)) * 1000) AS BIGINT)) AS u FROM v " +
+      "WHERE LIST_INNER_PRODUCT(v, v) > 0), " +
+      "e AS (SELECT UNNEST(GENERATE_SERIES(1, LEN(u))) AS idx, UNNEST(u) AS ux FROM u), " +
+      "dimsum AS (SELECT idx, CAST(SUM(ux) AS BIGINT) AS sd FROM e GROUP BY 1), " +
+      "s2 AS (SELECT CAST(SUM(sd * sd) AS BIGINT) AS s2 FROM dimsum), " +
+      "sn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(LIST_INNER_PRODUCT(" +
+      "LIST_TRANSFORM(u, x -> CAST(x AS DOUBLE)), LIST_TRANSFORM(u, x -> CAST(x AS DOUBLE)))) AS BIGINT) AS snorm FROM u) " +
+      "SELECT sn.n AS n_vecs, " +
+      "CAST(ROUND(CAST(s2.s2 - sn.snorm AS DOUBLE) / (sn.n * (sn.n - 1)) / 1000000 * 1000000) AS BIGINT) AS mean_cos_micro " +
+      "FROM s2, sn") { (s, d) =>
+      val v = asDouble(col("embedding"))
+      val u = emb(s, d)
+        .select(v.as("v"), dot(v, v).as("n2"))
+        .filter(col("n2") > 0)
+        .select(expr("transform(v, x -> CAST(ROUND(x / SQRT(n2) * 1000) AS BIGINT))").as("u"))
+      val dimsum = u.select(posexplode(col("u")))
+        .groupBy(col("pos")).agg(sum("col").cast("long").as("sd"))
+      val s2 = dimsum.agg(sum(col("sd") * col("sd")).cast("long").as("s2"))
+      val sn = u.select(dot(expr("transform(u, x -> CAST(x AS DOUBLE))"),
+          expr("transform(u, x -> CAST(x AS DOUBLE))")).as("un"))
+        .agg(count(lit(1)).as("n"), sum("un").cast("long").as("snorm"))
+      s2.crossJoin(sn)
+        .select(col("n").as("n_vecs"),
+          round(((col("s2") - col("snorm")).cast("double") /
+            (col("n") * (col("n") - 1)) / 1000000) * 1000000).cast("long").as("mean_cos_micro"))
+    },
+
     Op("embed_centroid_stats",
       "WITH cent AS (SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cent FROM embeddings WHERE vec_id < 8), " +
       "corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +

@@ -1141,6 +1141,30 @@ object TextPipeline {
         .orderBy("doc_id")
     },
 
+    // Mixture rebalance plan: the per-source down-sampling rates that move
+    // the corpus to a UNIFORM blend (the driver table for re-weighting a
+    // skewed crawl before training): target = total/n_sources docs per
+    // source; over-represented sources get rate = target/cnt (per-mille),
+    // under-represented ones keep everything (rate capped at 1000 — the
+    // plan reports the shortfall instead of inventing upsampling).
+    // Integer arithmetic on the mixture table only.
+    Op("pipeline_mixture_rebalance",
+      "WITH m AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS cnt FROM documents GROUP BY 1), " +
+      "t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS n_sources FROM m) " +
+      "SELECT m.source, m.cnt, CAST(t.total // t.n_sources AS BIGINT) AS target, " +
+      "CAST(LEAST(1000, (t.total // t.n_sources) * 1000 // m.cnt) AS BIGINT) AS rate_permille, " +
+      "CAST(m.cnt * LEAST(1000, (t.total // t.n_sources) * 1000 // m.cnt) // 1000 AS BIGINT) AS expected " +
+      "FROM m, t ORDER BY m.source") { (s, d) =>
+      val m = docs(s, d).groupBy("source").agg(count(lit(1)).as("cnt"))
+      val t = m.agg(sum("cnt").cast("long").as("total"), count(lit(1)).as("n_sources"))
+      m.crossJoin(broadcast(t))
+        .select(col("source"), col("cnt"),
+          expr("CAST(total div n_sources AS BIGINT)").as("target"),
+          expr("CAST(LEAST(1000, (total div n_sources) * 1000 div cnt) AS BIGINT)").as("rate_permille"),
+          expr("CAST(cnt * LEAST(1000, (total div n_sources) * 1000 div cnt) div 1000 AS BIGINT)").as("expected"))
+        .orderBy("source")
+    },
+
     // Per-source Jensen-Shannon divergence from the corpus unigram
     // distribution — the distribution-shift metric a mixture monitor
     // tracks (a source drifting from the blend shows up here before it
