@@ -403,18 +403,27 @@ object Embeddings {
       "SELECT sn.n AS n_vecs, " +
       "CAST(ROUND(CAST(s2.s2 - sn.snorm AS DOUBLE) / (sn.n * (sn.n - 1)) / 1000000 * 1000000) AS BIGINT) AS mean_cos_micro " +
       "FROM s2, sn") { (s, d) =>
+      // No HOF lambdas on the hot path (the CollapseProject recompute trap,
+      // see ARCHITECTURE "Measured pitfall"): explode FIRST, then the
+      // normalize/quantize arithmetic runs on scalar columns inside
+      // WholeStageCodegen, and ONE (dim)-keyed aggregation carries both
+      // Σux (for |Σu|²) and Σux² (for the self-term) — measured 21 s → sub
+      // -second at 10x vs the lambda formulation.
       val v = asDouble(col("embedding"))
-      val u = emb(s, d)
+      val base = emb(s, d)
         .select(v.as("v"), dot(v, v).as("n2"))
         .filter(col("n2") > 0)
-        .select(expr("transform(v, x -> CAST(ROUND(x / SQRT(n2) * 1000) AS BIGINT))").as("u"))
-      val dimsum = u.select(posexplode(col("u")))
-        .groupBy(col("pos")).agg(sum("col").cast("long").as("sd"))
-      val s2 = dimsum.agg(sum(col("sd") * col("sd")).cast("long").as("s2"))
-      val sn = u.select(dot(expr("transform(u, x -> CAST(x AS DOUBLE))"),
-          expr("transform(u, x -> CAST(x AS DOUBLE))")).as("un"))
-        .agg(count(lit(1)).as("n"), sum("un").cast("long").as("snorm"))
-      s2.crossJoin(sn)
+      val exploded = base
+        .select(col("n2"), posexplode(col("v")))
+        .select(col("pos"),
+          round(col("col") / sqrt(col("n2")) * 1000).cast("long").as("ux"))
+      val perDim = exploded.groupBy("pos")
+        .agg(sum("ux").cast("long").as("sd"),
+          sum(col("ux") * col("ux")).cast("long").as("sq"))
+      val tot = perDim.agg(sum(col("sd") * col("sd")).cast("long").as("s2"),
+        sum("sq").cast("long").as("snorm"))
+      val nv = base.agg(count(lit(1)).as("n"))
+      tot.crossJoin(broadcast(nv))
         .select(col("n").as("n_vecs"),
           round(((col("s2") - col("snorm")).cast("double") /
             (col("n") * (col("n") - 1)) / 1000000) * 1000000).cast("long").as("mean_cos_micro"))
