@@ -203,6 +203,52 @@ object TextPipeline {
         round(contA, 4).as("cont_a"), round(contB, 4).as("cont_b"))
   }
 
+  /** Winnowing fingerprint selection (Schleimer-Wilkerson-Aiken / MOSS),
+    * shared by `text_winnow` and `dedup_winnow_pairs`: hash every k=4-token
+    * gram (40-bit md5 prefix), pack (hash, position) into one BIGINT key
+    * (h·2^20 + (2^20 − i)) so a single MIN() over each w=4 window selects
+    * the minimum hash WITH the rightmost tie-break identically in both
+    * engines. Guarantee: any shared run of w+k−1 tokens shares a selected
+    * fingerprint at ~2/(w+1) the density of the full hash stream. Shape:
+    * one gram explode, ONE window pass on the doc_id clustering, DISTINCT
+    * on the same clustering — no joins.
+    */
+  def winnowFps(d: DataFrame): DataFrame = {
+    val g = d.select(col("doc_id"), tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 7)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(1, size(ws)-3), i -> concat_ws(' ', slice(ws, i, 4)))")))
+      .select(col("doc_id"), (col("pos") + 1).as("i"),
+        conv(substring(md5(col("col")), 1, 10), 16, 10).cast("long").as("h"))
+    val key = col("h") * lit(1048576L) + (lit(1048576L) - col("i"))
+    val win = Window.partitionBy("doc_id").orderBy("i").rowsBetween(-3, 0)
+    g.select(col("doc_id"), col("i"), min(key).over(win).as("wk"))
+      .filter(col("i") >= 4)
+      .select(col("doc_id"),
+        (lit(1048576L) - (col("wk") % 1048576L)).cast("int").as("pos"),
+        expr("wk div 1048576L").cast("long").as("fp"))
+      .distinct()
+  }
+
+  /** The same winnowing chain in DuckDB 1.0 SQL, ending in CTE `wfp`
+    * (doc_id, pos, fp).
+    */
+  private def winnowSqlCte: String = {
+    val h40 = (1 to 10).map { k =>
+      s"(strpos('0123456789abcdef', substr(md5(gram), $k, 1)) - 1) * ${1L << (4 * (10 - k))}"
+    }.mkString("(", " + ", ")")
+    "w AS (SELECT doc_id, STRING_SPLIT(text,' ') AS ws FROM documents), " +
+    "g AS (SELECT doc_id, UNNEST(GENERATE_SERIES(1, CAST(LEN(ws) AS INTEGER)-3)) AS i, " +
+    "UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, CAST(LEN(ws) AS INTEGER)-3), " +
+    "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS gram " +
+    "FROM w WHERE LEN(ws) >= 7), " +
+    s"k AS (SELECT doc_id, i, CAST($h40 AS BIGINT) * 1048576 + (1048576 - i) AS key FROM g), " +
+    "m AS (SELECT doc_id, i, MIN(key) OVER (PARTITION BY doc_id ORDER BY i " +
+    "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wk FROM k), " +
+    "wfp AS (SELECT DISTINCT doc_id, CAST(1048576 - (wk % 1048576) AS INTEGER) AS pos, " +
+    "CAST(wk // 1048576 AS BIGINT) AS fp FROM m WHERE i >= 4)"
+  }
+
   /** Cross-engine deterministic 60-bit text hash: the first 15 hex digits of
     * md5 as an integer. Any SQL engine can reproduce it (DuckDB: per-digit
     * strpos arithmetic; Spark: codegen'd `conv`), which makes MinHash and
@@ -1043,35 +1089,43 @@ object TextPipeline {
     // md5-prefix hash and the position pack into one BIGINT key
     // (h*2^20 + (2^20 - i)), so a single MIN() implements min-hash WITH
     // the rightmost tie-break identically in both engines.
-    Op("text_winnow", {
-      val h40 = (1 to 10).map { k =>
-        s"(strpos('0123456789abcdef', substr(md5(gram), $k, 1)) - 1) * ${1L << (4 * (10 - k))}"
-      }.mkString("(", " + ", ")")
-      "WITH w AS (SELECT doc_id, STRING_SPLIT(text,' ') AS ws FROM documents), " +
-      "g AS (SELECT doc_id, UNNEST(GENERATE_SERIES(1, CAST(LEN(ws) AS INTEGER)-3)) AS i, " +
-      "UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, CAST(LEN(ws) AS INTEGER)-3), " +
-      "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS gram " +
-      "FROM w WHERE LEN(ws) >= 7), " +
-      s"k AS (SELECT doc_id, i, CAST($h40 AS BIGINT) * 1048576 + (1048576 - i) AS key FROM g), " +
-      "m AS (SELECT doc_id, i, MIN(key) OVER (PARTITION BY doc_id ORDER BY i " +
-      "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wk FROM k) " +
-      "SELECT DISTINCT doc_id, CAST(1048576 - (wk % 1048576) AS INTEGER) AS pos, " +
-      "CAST(wk // 1048576 AS BIGINT) AS fp FROM m WHERE i >= 4 ORDER BY doc_id, pos"
-    }) { (s, d) =>
-      val g = docs(s, d).select(col("doc_id"), tokens(col("text")).as("ws"))
-        .filter(size(col("ws")) >= 7)
-        .select(col("doc_id"), posexplode(expr(
-          "transform(sequence(1, size(ws)-3), i -> concat_ws(' ', slice(ws, i, 4)))")))
-        .select(col("doc_id"), (col("pos") + 1).as("i"),
-          conv(substring(md5(col("col")), 1, 10), 16, 10).cast("long").as("h"))
-      val key = col("h") * lit(1048576L) + (lit(1048576L) - col("i"))
-      val win = Window.partitionBy("doc_id").orderBy("i").rowsBetween(-3, 0)
-      g.select(col("doc_id"), col("i"), min(key).over(win).as("wk"))
-        .filter(col("i") >= 4)
-        .select(col("doc_id"),
-          (lit(1048576L) - (col("wk") % 1048576L)).cast("int").as("pos"),
-          expr("wk div 1048576L").cast("long").as("fp"))
-        .distinct().orderBy("doc_id", "pos")
+    Op("text_winnow",
+      s"WITH $winnowSqlCte SELECT doc_id, pos, fp FROM wfp ORDER BY doc_id, pos") { (s, d) =>
+      winnowFps(docs(s, d)).orderBy("doc_id", "pos")
+    },
+
+    // Winnowing put to work: document-overlap candidate pairs from the
+    // selected fingerprints — the MOSS pipeline's second half. An inverted
+    // index on the (sparse) fingerprint set, df-bounded exactly like
+    // dedup_jaccard's gram index (df < 2 can't pair; df > 50 is
+    // boilerplate that would explode pairs quadratically — dropped, the
+    // standard MOSS noise filter), then a fingerprint equi-join counts
+    // shared fingerprints per pair (>= 2 to suppress chance collisions).
+    // Because winnowing already thinned the stream to ~2/(w+1) density,
+    // this index is ~3x smaller than the all-grams index for the same
+    // guarantee window.
+    Op("dedup_winnow_pairs",
+      s"WITH $winnowSqlCte, " +
+      "u AS (SELECT DISTINCT doc_id, fp FROM wfp), " +
+      "dfc AS (SELECT fp, CAST(COUNT(*) AS BIGINT) AS df FROM u GROUP BY 1), " +
+      "inv AS (SELECT u.doc_id, u.fp FROM u JOIN dfc USING (fp) WHERE dfc.df BETWEEN 2 AND 50) " +
+      "SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS shared " +
+      "FROM inv a JOIN inv b ON a.fp = b.fp AND a.doc_id < b.doc_id " +
+      "GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY id_a, id_b") { (s, d) =>
+      val u = winnowFps(docs(s, d)).select("doc_id", "fp").distinct()
+      val dfc = u.groupBy("fp").agg(count(lit(1)).as("df"))
+      val inv = u.join(dfc.filter(col("df").between(2, 50)), "fp")
+        .select("doc_id", "fp")
+      val a = inv.select(col("fp"), col("doc_id").as("id_a"))
+      val b = inv.select(col("fp").as("fp_b"), col("doc_id").as("id_b"))
+      // shuffle-hash on the fp clustering: both sides are the same derived
+      // index subtree (the semanticDedup self-join rule — broadcasting a
+      // derived build would hash-build it on the driver).
+      a.hint("shuffle_hash")
+        .join(b, col("fp") === col("fp_b") && col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 2)
+        .orderBy("id_a", "id_b")
     },
 
     // Corpus mixture table: per (source, lang) document/token/char totals —

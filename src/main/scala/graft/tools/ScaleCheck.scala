@@ -98,7 +98,8 @@ object ScaleCheck {
       "corpus_ngram_novelty", "corpus_zipf_fit", "events_funnel_time",
       "corpus_lang_confusion", "corpus_js_divergence",
       "corpus_length_outliers", "events_value_stats",
-      "embed_norm_stats", "embed_anisotropy", "pipeline_mixture_rebalance") ++
+      "embed_norm_stats", "embed_anisotropy", "pipeline_mixture_rebalance",
+      "dedup_winnow_pairs") ++
       // The ORACLE op pins the fixture's 8x16 band shape, whose candidate
       // set grows ~n^2/2^8 — at 30x (60k vectors, ~2e8 candidate pairs) it
       // OOMs the JVM by design. Past 10x only the auto-sized library path
