@@ -261,6 +261,53 @@ object Events {
           max("gap_us").cast("long").as("max_us"))
     },
 
+    // Growth accounting (the new / retained / resurrected / churned
+    // decomposition of daily actives — the canonical product-growth
+    // table): per (user, active-day), LAG classifies the day as new
+    // (first ever), retained (active yesterday too) or resurrected
+    // (returning after a gap), and LEAD attributes a churn event to the
+    // day AFTER a user's last consecutive active day. One distinct
+    // (user, day) projection, ONE user-keyed window pass carrying both
+    // LAG and LEAD, and a day-keyed aggregate over the union — the churn
+    // rows ride the same frame, just shifted one day. All counts integer.
+    Op("events_user_lifecycle",
+      "WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), " +
+      "w AS (SELECT user_id, day, " +
+      "LAG(day) OVER (PARTITION BY user_id ORDER BY day) AS prev_day, " +
+      "LEAD(day) OVER (PARTITION BY user_id ORDER BY day) AS next_day FROM d), " +
+      "cls AS (SELECT day, CASE WHEN prev_day IS NULL THEN 'new' " +
+      "WHEN day - prev_day = 1 THEN 'retained' ELSE 'resurrected' END AS cls FROM w), " +
+      "churn AS (SELECT day + 1 AS day, 'churned' AS cls FROM w " +
+      "WHERE next_day IS NULL OR next_day - day > 1), " +
+      "u AS (SELECT * FROM cls UNION ALL SELECT * FROM churn) " +
+      "SELECT day, " +
+      "CAST(SUM(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new, " +
+      "CAST(SUM(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained, " +
+      "CAST(SUM(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected, " +
+      "CAST(SUM(CASE WHEN cls = 'churned' THEN 1 ELSE 0 END) AS BIGINT) AS n_churned " +
+      "FROM u GROUP BY day ORDER BY day") { (s, d) =>
+      val days = ev(s, d)
+        .select(col("user_id"), col("ts").cast("date").as("day")).distinct()
+      val w = Window.partitionBy("user_id").orderBy("day")
+      val marked = days.select(col("user_id"), col("day"),
+        lag(col("day"), 1).over(w).as("prev_day"),
+        lead(col("day"), 1).over(w).as("next_day"))
+      val cls = marked.select(col("day"),
+        when(col("prev_day").isNull, "new")
+          .when(datediff(col("day"), col("prev_day")) === 1, "retained")
+          .otherwise("resurrected").as("cls"))
+      val churn = marked
+        .filter(col("next_day").isNull || datediff(col("next_day"), col("day")) > 1)
+        .select(date_add(col("day"), 1).as("day"), lit("churned").as("cls"))
+      cls.unionByName(churn)
+        .groupBy("day")
+        .agg(sum(when(col("cls") === "new", 1).otherwise(0)).cast("long").as("n_new"),
+          sum(when(col("cls") === "retained", 1).otherwise(0)).cast("long").as("n_retained"),
+          sum(when(col("cls") === "resurrected", 1).otherwise(0)).cast("long").as("n_resurrected"),
+          sum(when(col("cls") === "churned", 1).otherwise(0)).cast("long").as("n_churned"))
+        .orderBy("day")
+    },
+
     // Per-type value economics in exact integer cents (the fixture's
     // `value` column carries 2dp amounts): count, total, integer-mean,
     // exact discrete median, max — the revenue summary of the event
