@@ -381,6 +381,35 @@ object Embeddings {
           sum(when(col("norm_micro") < 10000, 1).otherwise(0)).cast("long").as("near_zero"))
     },
 
+    // Per-dimension variance profile: which embedding dimensions carry
+    // signal and which are dead — the diagnostic behind dimension pruning
+    // / matryoshka truncation decisions (a dim with near-zero variance
+    // contributes nothing to any distance). Explode-first (the
+    // anisotropy lesson: no HOF lambdas on the hot path), components
+    // micro-quantized so the per-dim Σx and Σx² reductions are order-free
+    // BIGINT arithmetic; variance in closed form from the exact sums.
+    Op("embed_dim_variance",
+      "WITH e AS (SELECT UNNEST(GENERATE_SERIES(0, LEN(embedding) - 1)) AS dim, " +
+      "CAST(ROUND(UNNEST(CAST(embedding AS DOUBLE[])) * 1000000) AS BIGINT) AS xu FROM embeddings), " +
+      "a AS (SELECT dim, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(xu) AS BIGINT) AS sx, " +
+      "CAST(SUM(xu*xu) AS BIGINT) AS sx2 FROM e GROUP BY 1) " +
+      "SELECT CAST(dim AS INTEGER) AS dim, " +
+      "CAST(ROUND(CAST(n * sx2 - sx * sx AS DOUBLE) / (CAST(n AS DOUBLE) * n) / 1000000) AS BIGINT) AS var_micro, " +
+      "CAST(ROUND(CAST(sx AS DOUBLE) / n) AS BIGINT) AS mean_micro " +
+      "FROM a ORDER BY dim") { (s, d) =>
+      val e = emb(s, d)
+        .select(posexplode(asDouble(col("embedding"))))
+        .select(col("pos").as("dim"), round(col("col") * 1000000).cast("long").as("xu"))
+      e.groupBy("dim")
+        .agg(count(lit(1)).as("n"), sum("xu").cast("long").as("sx"),
+          sum(col("xu") * col("xu")).cast("long").as("sx2"))
+        .select(col("dim").cast("int").as("dim"),
+          round((col("n") * col("sx2") - col("sx") * col("sx")).cast("double") /
+            (col("n").cast("double") * col("n")) / 1000000).cast("long").as("var_micro"),
+          round(col("sx").cast("double") / col("n")).cast("long").as("mean_micro"))
+        .orderBy("dim")
+    },
+
     // Embedding-space anisotropy: the MEAN PAIRWISE COSINE over the whole
     // corpus — the standard collapse metric (isotropic embeddings sit near
     // 0; representation collapse pushes it toward 1) — WITHOUT any

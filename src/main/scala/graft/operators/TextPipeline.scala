@@ -1295,6 +1295,36 @@ object TextPipeline {
         .orderBy("doc_id")
     },
 
+    // Term burstiness (index of dispersion): variance-to-mean ratio of
+    // per-document counts for the top-20 terms — the statistic that
+    // separates topical terms (bursty, D >> 1) from function words
+    // (Poisson-like, D ≈ 1), the signal behind burst-aware tf weighting.
+    // Closed form D = (N·Σx² − (Σx)²)/(N·Σx) over INTEGER per-doc counts
+    // (zero-count docs enter through N = corpus size, never materialized),
+    // so the value is exact cross-engine; milli-quantized output.
+    Op("text_burstiness",
+      "WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents), " +
+      "x AS (SELECT doc_id, wd, CAST(COUNT(*) AS BIGINT) AS c FROM " +
+      "(SELECT doc_id, UNNEST(STRING_SPLIT(text,' ')) AS wd FROM documents) u GROUP BY 1, 2), " +
+      "t AS (SELECT wd, CAST(SUM(c) AS BIGINT) AS tf, CAST(COUNT(*) AS BIGINT) AS df, " +
+      "CAST(SUM(c*c) AS BIGINT) AS sx2 FROM x GROUP BY 1) " +
+      "SELECT wd, tf, df, " +
+      "CAST(ROUND(CAST(n.nd * t.sx2 - t.tf * t.tf AS DOUBLE) / (n.nd * t.tf) * 1000) AS BIGINT) AS dispersion_milli " +
+      "FROM t, n ORDER BY tf DESC, wd LIMIT 20") { (s, d) =>
+      val nd = docs(s, d).agg(count(lit(1)).as("nd"))
+      val x = docs(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("wd"))
+        .groupBy("doc_id", "wd").agg(count(lit(1)).as("c"))
+      x.groupBy("wd")
+        .agg(sum("c").cast("long").as("tf"), count(lit(1)).as("df"),
+          sum(col("c") * col("c")).cast("long").as("sx2"))
+        .crossJoin(broadcast(nd))
+        .select(col("wd"), col("tf"), col("df"),
+          round((col("nd") * col("sx2") - col("tf") * col("tf")).cast("double") /
+            (col("nd") * col("tf")) * 1000).cast("long").as("dispersion_milli"))
+        .orderBy(col("tf").desc, col("wd")).limit(20)
+    },
+
     // Zipf-law fit over the top-100 term frequencies: least-squares slope
     // and R² of log10(freq) against log10(rank) — the corpus-health check
     // that catches template-dominated or synthetic text (natural language
