@@ -1295,6 +1295,36 @@ object TextPipeline {
         .orderBy("doc_id")
     },
 
+    // Template-domination detection: per document, the share of its
+    // trigram INSTANCES that are corpus-wide boilerplate (document
+    // frequency >= 20) — the gate that drops scraper-template pages whose
+    // every sentence appears in dozens of other documents, which
+    // per-document repetition (text_repetition) cannot see. One gram
+    // explode, the df aggregate on the gram clustering joined back by the
+    // same key, one doc_id collapse; flag at > 50% boilerplate mass.
+    Op("corpus_template_detect",
+      "WITH w AS (SELECT doc_id, STRING_SPLIT(text,' ') AS words FROM documents), " +
+      "g AS (SELECT doc_id, UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, CAST(LEN(words) AS INTEGER)-2), " +
+      "i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS gram FROM w), " +
+      "dfc AS (SELECT gram, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM g GROUP BY 1) " +
+      "SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams, " +
+      "CAST(SUM(CASE WHEN dfc.df >= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler, " +
+      "CAST((SUM(CASE WHEN dfc.df >= 20 THEN 1 ELSE 0 END) * 1000) // COUNT(*) AS BIGINT) AS boiler_permille, " +
+      "CASE WHEN (SUM(CASE WHEN dfc.df >= 20 THEN 1 ELSE 0 END) * 1000) // COUNT(*) > 500 THEN 1 ELSE 0 END AS is_template " +
+      "FROM g JOIN dfc USING (gram) GROUP BY g.doc_id ORDER BY g.doc_id") { (s, d) =>
+      val g = triRows(docs(s, d))
+        .select(col("doc_id"), concat_ws(" ", col("w"), col("w1"), col("w2")).as("gram"))
+      val dfc = g.groupBy("gram").agg(countDistinct("doc_id").as("df"))
+      g.join(dfc, "gram")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("df") >= 20, 1).otherwise(0)).cast("long").as("n_boiler"))
+        .select(col("doc_id"), col("n_grams"), col("n_boiler"),
+          expr("CAST((n_boiler * 1000) div n_grams AS BIGINT)").as("boiler_permille"),
+          expr("CASE WHEN (n_boiler * 1000) div n_grams > 500 THEN 1 ELSE 0 END").as("is_template"))
+        .orderBy("doc_id")
+    },
+
     // Term burstiness (index of dispersion): variance-to-mean ratio of
     // per-document counts for the top-20 terms — the statistic that
     // separates topical terms (bursty, D >> 1) from function words
