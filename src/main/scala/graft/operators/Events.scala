@@ -261,6 +261,51 @@ object Events {
           max("gap_us").cast("long").as("max_us"))
     },
 
+    // Session shape distribution: events-per-session and wall duration of
+    // every gap-based (30 min) session — the companion to events_sessions'
+    // per-user COUNTS: how long and how deep sessions run, the numbers
+    // engagement dashboards and timeout tuning actually read. Same
+    // sessionization as events_sessions (LAG gap > 30 min starts a
+    // session), session ids from a running SUM over the SAME user_id
+    // clustering (one exchange total), per-session collapse on that
+    // clustering, exact BIGINT micros + QUANTILE_DISC at the top.
+    Op("events_session_stats",
+      "WITH o AS (SELECT user_id, ts, event_id, " +
+      "CASE WHEN prev IS NULL OR EPOCH_US(ts) - EPOCH_US(prev) > 1800000000 THEN 1 ELSE 0 END AS is_new " +
+      "FROM (SELECT user_id, ts, event_id, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events) t), " +
+      "sd AS (SELECT user_id, ts, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+      "ROWS UNBOUNDED PRECEDING) AS sess_no FROM o), " +
+      "per AS (SELECT user_id, sess_no, CAST(COUNT(*) AS BIGINT) AS n_events, " +
+      "CAST(EPOCH_US(MAX(ts)) - EPOCH_US(MIN(ts)) AS BIGINT) AS dur_us FROM sd GROUP BY 1, 2) " +
+      "SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions, " +
+      "CAST(SUM(n_events) // COUNT(*) AS BIGINT) AS mean_events, " +
+      "CAST(QUANTILE_DISC(n_events, 0.9) AS BIGINT) AS p90_events, " +
+      "CAST(QUANTILE_DISC(dur_us, 0.5) AS BIGINT) AS p50_dur_us, " +
+      "CAST(QUANTILE_DISC(dur_us, 0.9) AS BIGINT) AS p90_dur_us, " +
+      "CAST(MAX(dur_us) AS BIGINT) AS max_dur_us FROM per") { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val o = ev(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          lag(col("ts"), 1).over(w).as("prev"))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          when(col("prev").isNull ||
+            unix_micros(col("ts").cast("timestamp")) -
+              unix_micros(col("prev").cast("timestamp")) > 1800000000L, 1)
+            .otherwise(0).as("is_new"))
+      val sd = o.select(col("user_id"), col("ts"),
+        sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("sess_no"))
+      val per = sd.groupBy("user_id", "sess_no")
+        .agg(count(lit(1)).as("n_events"),
+          (unix_micros(max(col("ts")).cast("timestamp")) -
+            unix_micros(min(col("ts")).cast("timestamp"))).as("dur_us"))
+      per.agg(count(lit(1)).as("n_sessions"),
+        expr("CAST(SUM(n_events) div COUNT(*) AS BIGINT)").as("mean_events"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY n_events)").cast("long").as("p90_events"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dur_us)").cast("long").as("p50_dur_us"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY dur_us)").cast("long").as("p90_dur_us"),
+        max("dur_us").cast("long").as("max_dur_us"))
+    },
+
     // Growth accounting (the new / retained / resurrected / churned
     // decomposition of daily actives — the canonical product-growth
     // table): per (user, active-day), LAG classifies the day as new

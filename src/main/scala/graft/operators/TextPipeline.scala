@@ -947,6 +947,28 @@ object TextPipeline {
       dedupClusters(docs(s, d), 0.5).orderBy("doc_id")
     },
 
+    // Duplicate-cluster size histogram: how much of the corpus sits in
+    // dup clusters of each size — THE summary a dedup review reads first
+    // (a fat tail of big clusters means template spam; all-singletons
+    // means the threshold is too strict). Two aggregations over the
+    // clustering's (doc_id, rep_id) output — cluster sizes on the rep_id
+    // clustering, then the tiny size histogram; doc mass per size bucket
+    // rides along so "99% singletons, 1% in 50+-doc clusters" reads off
+    // one table.
+    Op.eager("dedup_cluster_sizes",
+      clusterCte +
+      ", cs AS (SELECT rep_id, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM cl GROUP BY 1) " +
+      "SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters, " +
+      "CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs " +
+      "FROM cs GROUP BY cluster_size ORDER BY cluster_size") { (s, d) =>
+      dedupClusters(docs(s, d), 0.5)
+        .groupBy("rep_id").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .select(col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).cast("long").as("n_docs"))
+        .orderBy("cluster_size")
+    },
+
     Op("pipeline_incremental_dedup", incrementalDedupOracle) { (s, d) =>
       incrementalDedup(docs(s, d), 0.5).orderBy("doc_id")
     },

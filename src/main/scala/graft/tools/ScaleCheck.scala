@@ -100,7 +100,8 @@ object ScaleCheck {
       "corpus_length_outliers", "events_value_stats",
       "embed_norm_stats", "embed_anisotropy", "pipeline_mixture_rebalance",
       "dedup_winnow_pairs", "events_user_lifecycle",
-      "text_burstiness", "embed_dim_variance", "corpus_template_detect") ++
+      "text_burstiness", "embed_dim_variance", "corpus_template_detect",
+      "events_session_stats", "dedup_cluster_sizes") ++
       // The ORACLE op pins the fixture's 8x16 band shape, whose candidate
       // set grows ~n^2/2^8 — at 30x (60k vectors, ~2e8 candidate pairs) it
       // OOMs the JVM by design. Past 10x only the auto-sized library path
