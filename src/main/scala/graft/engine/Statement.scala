@@ -751,9 +751,14 @@ object Statement {
                     org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)
                   else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
                 }.toIndexedSeq: _*)
-                // pin the returned rows before the table mutates
-                val ret = full.selectExpr(retItems: _*).localCheckpoint(true)
-                session.spark.sql(core)
+                // Materialize the aligned source ONCE and both insert and
+                // return from it: re-running the SQL for the insert would
+                // evaluate the source twice — non-deterministic sources
+                // (rand(), uuid()) would insert different rows than the
+                // ones returned, and expensive sources would pay double.
+                val pinned = full.localCheckpoint(true)
+                val ret = pinned.selectExpr(retItems: _*)
+                pinned.write.mode("append").insertInto(table)
                 PlanCache.invalidate(session.spark)
                 ret
               case _ => throw new IllegalArgumentException(

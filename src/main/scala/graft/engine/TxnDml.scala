@@ -67,12 +67,19 @@ object TxnDml {
       name
     }
     TxnJournal.clear(journal)
+    // The post-images are applied and the journal is gone — nothing can
+    // ever need these staging dirs again. They live under the WAREHOUSE
+    // (so crash redo can find them), which means no tmpdir reaper will
+    // ever collect them: delete here or leak one full table copy per
+    // transaction for the life of the server.
+    entries.foreach { case (_, dir) => TxnJournal.deleteStaged(spark, dir) }
     applied
   }
 
   /** Discard the transaction's shadows; the catalog tables were never
-    * touched. Staging dirs are left for the tmpdir reaper (deleting them
-    * eagerly would race any still-running scan of the shadow).
+    * touched. Staging dirs are NOT deleted here (a still-running scan of
+    * the shadow may hold them open) — [[TxnJournal.recover]]'s orphan sweep
+    * collects them at next bootstrap, when no scan can be live.
     */
   def rollbackDiscard(spark: SparkSession, txn: Transactions#Txn): Unit = {
     val names = txn.staged.synchronized { txn.staged.asScala.keys.toSeq }

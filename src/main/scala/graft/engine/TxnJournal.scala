@@ -126,7 +126,50 @@ object TxnJournal {
         s"$txnId:$table"
       }
       clear(j)
+      entries.foreach { case (_, staged) => deleteStaged(spark, staged) }
       applied
+    } ++ { sweepOrphanedStaging(spark); Nil }
+  }
+
+  /** Delete one staging dir (post-commit cleanup). Best-effort: a failed
+    * delete is a leak, not a correctness problem — the bootstrap sweep gets
+    * another chance.
+    */
+  def deleteStaged(spark: SparkSession, dir: String): Unit = {
+    val p = Paths.get(dir.stripPrefix("file:"))
+    // only ever delete under our own staging root — never follow a journal
+    // entry outside it
+    if (p.startsWith(stageRoot(spark))) deleteTree(p)
+  }
+
+  /** Bootstrap-time orphan sweep: any dir under the staging root not
+    * referenced by a live journal belongs to a rolled-back or crashed
+    * transaction (rollback defers deletion to here — an in-flight scan of a
+    * shadow view may outlive ROLLBACK, but nothing outlives a restart).
+    */
+  private def sweepOrphanedStaging(spark: SparkSession): Unit = {
+    val root = stageRoot(spark)
+    if (!Files.isDirectory(root)) return
+    val live: Set[String] = {
+      val dir = journalDir(spark)
+      if (!Files.isDirectory(dir)) Set.empty
+      else Files.list(dir).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".journal"))
+        .flatMap(j => Files.readAllLines(j, StandardCharsets.UTF_8).asScala
+          .drop(2).filter(_.contains("\t")).map(_.split("\t", 2)(1)))
+        .map(d => Paths.get(d.stripPrefix("file:")).toAbsolutePath.toString)
+        .toSet
     }
+    Files.list(root).iterator().asScala
+      .filter(d => !live.contains(d.toAbsolutePath.toString))
+      .foreach(deleteTree)
+  }
+
+  private def deleteTree(p: Path): Unit = {
+    if (!Files.exists(p)) return
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala.foreach(deleteTree)
+    Files.deleteIfExists(p)
+    ()
   }
 }

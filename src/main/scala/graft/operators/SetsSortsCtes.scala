@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import Relational.ts
@@ -67,6 +68,15 @@ object SetsSortsCtes {
     },
 
     // TPC-H h15: CTE reused both as join input and inside a scalar subquery.
+    // Spark inlines a CTE into each consumer, so the naive agg-then-rejoin
+    // formulation re-expanded `revenue` into three lineitem scans / nine
+    // shuffles (PLANS.md r8). Instead the scalar MAX rides a global window
+    // over the aggregate OUTPUT: one lineitem scan, one suppkey shuffle,
+    // then a single-partition pass over one-row-per-active-supplier — the
+    // same row set DuckDB's CTE materialization holds single-node. At
+    // cluster scale the window input is |suppliers| rows, not the fact
+    // table; that stays a deliberate single task because re-deriving the
+    // max any other way re-expands the CTE subtree in Spark's DAG model.
     Op("cte_h15",
       "WITH revenue AS (SELECT l_suppkey AS supplier_no, ROUND(SUM(l_extendedprice*(1-l_discount)),2) AS total_revenue " +
       "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY l_suppkey) " +
@@ -76,10 +86,11 @@ object SetsSortsCtes {
         .filter(col("l_shipdate") >= ts("1996-01-01T00:00") && col("l_shipdate") < ts("1996-04-01T00:00"))
         .groupBy(col("l_suppkey").as("supplier_no"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("total_revenue"))
-      val maxRev = revenue.agg(max("total_revenue").as("m"))
+      val best = revenue
+        .withColumn("m", max(col("total_revenue")).over(Window.partitionBy()))
+        .filter(col("total_revenue") === col("m"))
       t(s, d, "supplier")
-        .join(revenue, col("s_suppkey") === col("supplier_no"))
-        .join(broadcast(maxRev), col("total_revenue") === col("m"))
+        .join(best, col("s_suppkey") === col("supplier_no"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     },

@@ -73,7 +73,7 @@ object TextPipeline {
     * separate size aggregate paid (r3 bench: 3 extra exchanges of which one
     * moved the whole inverted index).
     */
-  private def shingleHashes(d: DataFrame): DataFrame =
+  private[graft] def shingleHashes(d: DataFrame): DataFrame =
     triRows(d)
       .select(col("doc_id"), xxhash64(col("w"), col("w1"), col("w2")).as("gram"))
       .dropDuplicates("doc_id", "gram")
@@ -111,11 +111,19 @@ object TextPipeline {
     * deterministic salt s in [0,S); the left replica fans to blocks
     * (s, j>=s), the right to (i<=s, s), and every within-gram pair meets in
     * EXACTLY one (i, j) block — quadratic work spreads over S(S+1)/2
-    * shuffle keys at replication cost S on hot rows only. Cold grams
-    * (df <= cap) take salt 0 on both sides — block (0,0), one replica each,
-    * byte-identical work to the unsalted join — so the benign-corpus plan
-    * pays one extra int join key and a `sequence(0,0)` explode, nothing
-    * else.
+    * shuffle keys at replication cost S on hot rows only.
+    *
+    * The plan is a STATIC cold/hot union, so benign corpora pay nothing:
+    * cold grams (df <= cap) self-join on `gram` alone, which the window's
+    * gram clustering already satisfies — EnsureRequirements inserts no
+    * exchange and the second side is a ReusedExchange of the first. Only
+    * rows of hot grams enter the salted (gram, i, j) join, whose two
+    * exchanges shuffle ZERO rows when no gram exceeds the cap (r8 salted
+    * everything unconditionally and the two exploded-index exchanges cost a
+    * measured ~0.25 s flat tax per run at sf0.1). No driver-side probe
+    * decides the shape — both branches live in one plan and the data routes
+    * itself, which is also the only form that stays correct when a stream
+    * or a downstream reuse replays the plan on different data.
     */
   def jaccardPairs(d: DataFrame, threshold: Double, hotDfCap: Int,
       salts: Int): DataFrame = {
@@ -133,35 +141,55 @@ object TextPipeline {
     // COUNT itself still processes a hot gram's group in one task — linear,
     // unlike the join's quadratic, and the documented corpus-scale answer
     // for pathological grams is MinHash banding upstream.
+    // The trailing repartition(gram) is a MATERIALIZATION point, not a data
+    // movement (rows are already gram-clustered): four consumers hang off
+    // g2 (both cold join sides, both hot join sides), and without an
+    // exchange boundary ABOVE the window each of them would re-run the
+    // sort+window CPU over the full gram index (measured: the 4-pass shape
+    // times the same as r8's salted-everything shape — the saved exchanges
+    // came back as repeated window passes). With it, the window runs once
+    // inside the exchange's map stage and all four branches are
+    // ReusedExchange reads of its OUTPUT; the exchange also provides
+    // exactly the gram clustering the cold self-join needs, so
+    // EnsureRequirements adds nothing there.
     val g2 = g
       .withColumn("df", count(lit(1)).over(Window.partitionBy("gram")))
       .filter(col("df") >= 2)
-      .withColumn("hot", col("df") > hotDfCap)
-      .withColumn("salt", when(col("hot"),
-        pmod(xxhash64(col("doc_id")), lit(salts)).cast("int")).otherwise(lit(0)))
-      .drop("df")
-    val lhs = g2
-      .withColumn("j", explode(sequence(col("salt"),
-        when(col("hot"), lit(salts - 1)).otherwise(col("salt")))))
-      .select(col("gram"), col("doc_id").as("ld"), col("n").as("ln"),
-        col("salt").as("i"), col("j"))
-    val rhs = g2
-      .withColumn("i", explode(sequence(
-        when(col("hot"), lit(0)).otherwise(col("salt")), col("salt"))))
-      .select(col("gram"), col("doc_id").as("rd"), col("n").as("rn"),
-        col("i"), col("salt").as("j"))
+      .repartition(col("gram"))
+    val cold = g2.filter(col("df") <= hotDfCap).drop("df")
+    val hot = g2.filter(col("df") > hotDfCap).drop("df")
+      .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(salts)).cast("int"))
     // shuffle_hash: the gram index is ~docs*grams rows — broadcasting it
     // serializes a 1M-row hashed relation on the driver; a shuffled hash
     // join builds per-partition in parallel and is the only viable shape
     // once the corpus outgrows any single executor. The carried sizes land
     // in the pair aggregate's keys (constant within a pair), so no size
     // joins follow — the aggregate output is already filterable.
-    val joined = lhs.hint("shuffle_hash").join(rhs, Seq("gram", "i", "j"))
+    val coldPairs = cold
+      .select(col("gram"), col("doc_id").as("ld"), col("n").as("ln"))
+      .hint("shuffle_hash")
+      .join(cold.select(col("gram"), col("doc_id").as("rd"), col("n").as("rn")),
+        Seq("gram"))
+      .filter(col("ld") < col("rd"))
+      .select("ld", "rd", "ln", "rn")
+    val lhs = hot
+      .withColumn("j", explode(sequence(col("salt"), lit(salts - 1))))
+      .select(col("gram"), col("doc_id").as("ld"), col("n").as("ln"),
+        col("salt").as("i"), col("j"))
+    val rhs = hot
+      .withColumn("i", explode(sequence(lit(0), col("salt"))))
+      .select(col("gram"), col("doc_id").as("rd"), col("n").as("rn"),
+        col("i"), col("salt").as("j"))
+    val hotPairs = lhs.hint("shuffle_hash").join(rhs, Seq("gram", "i", "j"))
       // same-block pairs orient by id (each unordered pair appears in both
       // role orders — keep one); cross-block pairs meet exactly once in
       // either order, so no order constraint applies
       .filter(col("i") =!= col("j") || col("ld") < col("rd"))
-    val pairs = joined
+      .select("ld", "rd", "ln", "rn")
+    // Each shared gram yields exactly one row from exactly one branch (a
+    // gram is either cold or hot, never both), so the union's pair counts
+    // are the true intersection sizes.
+    val pairs = coldPairs.unionByName(hotPairs)
       .groupBy(
         least(col("ld"), col("rd")).as("id_a"),
         greatest(col("ld"), col("rd")).as("id_b"),

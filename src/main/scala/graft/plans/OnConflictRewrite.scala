@@ -16,7 +16,8 @@ import org.apache.spark.sql.SparkSession
   *     Parquet tables have none;
   *   - multi-row VALUES / SELECT sources must not contain duplicate keys
   *     themselves (MERGE's one-source-row-per-target-row rule; DuckDB 1.0
-  *     rejects that case too).
+  *     rejects that case too) — ENFORCED: the desugared source carries a
+  *     window-count guard that raises at execution when any key repeats.
   */
 object OnConflictRewrite {
 
@@ -52,7 +53,20 @@ object OnConflictRewrite {
       val bad = keys.filterNot(k => cols.exists(_.equalsIgnoreCase(k)))
       if (bad.nonEmpty) throw new IllegalArgumentException(
         s"ON CONFLICT key(s) ${bad.mkString(", ")} not in the insert column list")
-      val src = s"(SELECT * FROM ($source) AS _v(${cols.mkString(", ")})) AS excluded"
+      // Enforce the declared one-source-row-per-conflict-key rule IN the
+      // desugared plan (DuckDB 1.0 errors on duplicate source keys; a
+      // full-outer MERGE would instead silently emit the matched target row
+      // once per duplicate — data corruption). A window count over the keys
+      // raises lazily, only when a duplicate actually exists; CASE keeps the
+      // raise un-reorderable.
+      val dupGuard =
+        s"CASE WHEN COUNT(*) OVER (PARTITION BY ${keys.mkString(", ")}) > 1 " +
+        "THEN CAST(raise_error('ON CONFLICT source contains duplicate conflict key(s); " +
+        "at most one source row may target each key (DuckDB rejects this too)') AS BOOLEAN) " +
+        "ELSE TRUE END AS _graft_dup_ok"
+      val src =
+        s"(SELECT ${cols.mkString(", ")} FROM (SELECT _v.*, $dupGuard " +
+        s"FROM ($source) AS _v(${cols.mkString(", ")})) WHERE _graft_dup_ok) AS excluded"
       val on = keys.map(k => s"_t.$k = excluded.$k").mkString(" AND ")
       val insertTail =
         s"WHEN NOT MATCHED THEN INSERT (${cols.mkString(", ")}) " +

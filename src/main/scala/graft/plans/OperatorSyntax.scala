@@ -126,10 +126,14 @@ private[plans] object SqlText {
   *   a ** b        -> power(a, b)    (left-associative, like Postgres `^`;
   *                                    operands are primary chains — the
   *                                    same adjacency rule as subscripts)
-  *   VARCHAR       -> STRING         (bare, not followed by '(': Spark
-  *                                    accepts only parameterized VARCHAR(n),
-  *                                    so `x::VARCHAR` / CAST(x AS VARCHAR)
-  *                                    — DuckDB's most common cast — parses)
+  *   VARCHAR       -> STRING         (CAST POSITIONS ONLY — after `::` or
+  *                                    as `AS VARCHAR` inside CAST/TRY_CAST:
+  *                                    Spark accepts only parameterized
+  *                                    VARCHAR(n) there. Identifier positions
+  *                                    stay untouched: `varchar` is a legal
+  *                                    Spark column/alias name, so a blanket
+  *                                    rewrite would corrupt
+  *                                    `SELECT varchar FROM t`)
   *
   * DuckDB's `^` (power there, XOR here) deliberately keeps host semantics:
   * rewriting it would flip valid Spark queries — same policy as 1-based
@@ -144,7 +148,26 @@ object OperatorSyntax {
     val n = s.length
     val sb = new StringBuilder
     var i = 0
+    // cast-context stack for SOURCE parens: true = opened right after
+    // CAST/TRY_CAST (parens emitted by the ** -> power() rewrite never pass
+    // through here, and any source parens inside a ** operand are balanced,
+    // so the stack stays in sync with nesting depth)
+    var castStack: List[Boolean] = Nil
     def isWordChar(c: Char): Boolean = Character.isLetterOrDigit(c) || c == '_'
+    // last word already emitted to sb (skipping trailing whitespace)
+    def prevWord: String = {
+      var e = sb.length
+      while (e > 0 && Character.isWhitespace(sb.charAt(e - 1))) e -= 1
+      var b = e
+      while (b > 0 && isWordChar(sb.charAt(b - 1))) b -= 1
+      sb.substring(b, e)
+    }
+    // do the already-emitted non-ws chars end with `::`?
+    def afterCastOp: Boolean = {
+      var e = sb.length
+      while (e > 0 && Character.isWhitespace(sb.charAt(e - 1))) e -= 1
+      e >= 2 && sb.charAt(e - 1) == ':' && sb.charAt(e - 2) == ':'
+    }
     while (i < n) {
       val c = s.charAt(i)
       c match {
@@ -165,13 +188,21 @@ object OperatorSyntax {
             sb.append(s"power($left, $right)")
             i = re
           }
+        case '(' =>
+          val w = prevWord.toUpperCase
+          castStack = (w == "CAST" || w == "TRY_CAST") :: castStack
+          sb.append(c); i += 1
+        case ')' =>
+          if (castStack.nonEmpty) castStack = castStack.tail
+          sb.append(c); i += 1
         case 'v' | 'V' if i + 7 <= n && s.substring(i, i + 7).equalsIgnoreCase("varchar") &&
             (i == 0 || !isWordChar(s.charAt(i - 1))) &&
             (i + 7 == n || !isWordChar(s.charAt(i + 7))) && {
               var k = i + 7
               while (k < n && Character.isWhitespace(s.charAt(k))) k += 1
               k >= n || s.charAt(k) != '('
-            } =>
+            } && (afterCastOp ||
+              (prevWord.equalsIgnoreCase("AS") && castStack.headOption.contains(true))) =>
           sb.append("STRING"); i += 7
         case _ =>
           sb.append(c); i += 1

@@ -67,7 +67,11 @@ object SimilarToRewrite {
             case null => throw new IllegalArgumentException(
               "SIMILAR TO requires a literal pattern (computed patterns are not supported)")
             case (pat, after) =>
-              sb.append("RLIKE '^(?:").append(pat).append(")$'")
+              // the pattern re-embeds into a Spark single-quoted literal,
+              // whose parser consumes backslash escapes — double them so
+              // regex classes like \d survive (the GLOB path below already
+              // does this inside globToRegex)
+              sb.append("RLIKE '^(?:").append(pat.replace("\\", "\\\\")).append(")$'")
               i = after
           }
         case _ if wordAt(i, "GLOB") && literalAt(skipWs(i + 4)) != null =>

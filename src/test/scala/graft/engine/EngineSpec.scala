@@ -233,6 +233,19 @@ class SessionAndStatementSpec extends AnyFunSuite {
       run("INSERT INTO ups_t VALUES (9, 'x', 1) ON CONFLICT DO NOTHING"))
     intercept[IllegalArgumentException](
       run("INSERT OR REPLACE INTO ups_t VALUES (9, 'x', 1)"))
+    // duplicate conflict keys in the SOURCE raise (DuckDB errors here too;
+    // a silent full-outer MERGE would duplicate the matched target row) —
+    // for DO UPDATE and even DO NOTHING, and the table must be unchanged
+    val before = s.spark.table("ups_t").orderBy("id").collect().toSeq
+    val e1 = intercept[Exception](
+      run("INSERT INTO ups_t (id, name, score) VALUES (7, 'x', 1), (7, 'y', 2) " +
+        "ON CONFLICT (id) DO UPDATE SET name = excluded.name"))
+    assert(e1.getMessage != null && e1.getMessage.contains("duplicate conflict key"))
+    val e2 = intercept[Exception](
+      run("INSERT INTO ups_t (id, name, score) VALUES (8, 'x', 1), (8, 'y', 2) " +
+        "ON CONFLICT (id) DO NOTHING"))
+    assert(e2.getMessage != null && e2.getMessage.contains("duplicate conflict key"))
+    assert(s.spark.table("ups_t").orderBy("id").collect().toSeq == before)
     s.spark.sql("DROP TABLE ups_t")
   }
 
@@ -632,6 +645,15 @@ class FlightSurfaceSpec extends AnyFunSuite {
     val self = run("INSERT INTO ret_t SELECT id + 100, tag, v FROM ret_t WHERE id <= 3 RETURNING id")
       .collect().map(_.getInt(0)).sorted
     assert(self.toSeq == Seq(101, 102, 103))
+    // non-deterministic source evaluates ONCE: the rows RETURNING reports
+    // must be byte-identical to the rows that landed in the table (a
+    // re-evaluated uuid() source would diverge)
+    val ret = run("INSERT INTO ret_t SELECT 500, uuid(), 0.0 RETURNING id, tag")
+      .collect().head
+    val landed = s.spark.table("ret_t").filter("id = 500").collect().head
+    assert(ret.getString(1) == landed.getString(1),
+      "RETURNING must report the exact rows inserted, not a re-evaluation")
+    run("DELETE FROM ret_t WHERE id = 500")
     // UPDATE/DELETE RETURNING through the statement pipeline (guard sees the
     // stripped core)
     val upd = run("UPDATE ret_t SET v = 0 WHERE id = 9 RETURNING id, v").collect()

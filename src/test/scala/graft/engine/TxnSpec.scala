@@ -100,6 +100,15 @@ class TxnSpec extends AnyFunSuite {
   test("multi-table commit applies every touched table and clears its journal") {
     val s = sessions.getOrCreate("txn-s6", "alice", "admin")
     fresh(s, "txn_t6a"); fresh(s, "txn_t6b")
+    def stagedDirs: Set[String] = {
+      val stage = TxnJournal.stageRoot(s.spark)
+      if (!java.nio.file.Files.isDirectory(stage)) Set.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(stage).iterator().asScala.map(_.toString).toSet
+      }
+    }
+    val preexisting = stagedDirs // earlier rollback tests defer their sweep
     run(s, "BEGIN")
     run(s, "UPDATE txn_t6a SET v = v * 10")
     run(s, "DELETE FROM txn_t6b WHERE id > 1")
@@ -111,6 +120,30 @@ class TxnSpec extends AnyFunSuite {
     val dir = TxnJournal.journalDir(s.spark)
     assert(!java.nio.file.Files.isDirectory(dir) ||
       !java.nio.file.Files.list(dir).iterator().hasNext)
+    // ... and no staging dirs either: they live under the warehouse (no
+    // tmpdir reaper), so an un-deleted post-image is a permanent per-txn
+    // disk leak on a long-running server. (Dirs left by EARLIER tests'
+    // deliberate rollback-defer are excluded — only this commit's dirs
+    // must be gone.)
+    assert((stagedDirs -- preexisting).isEmpty,
+      "commit must delete its staging dirs")
+  }
+
+  test("rolled-back staging dirs are swept at the next bootstrap recover") {
+    val s = sessions.getOrCreate("txn-s6c", "alice", "admin")
+    fresh(s, "txn_t6c")
+    run(s, "BEGIN")
+    run(s, "UPDATE txn_t6c SET v = v * 10")
+    val stage = TxnJournal.stageRoot(s.spark)
+    assert(java.nio.file.Files.list(stage).iterator().hasNext,
+      "staged post-image expected while the txn is open")
+    run(s, "ROLLBACK")
+    // rollback defers deletion (an in-flight scan may hold the shadow);
+    // bootstrap recovery sweeps every dir no live journal references
+    TxnJournal.recover(s.spark)
+    assert(!java.nio.file.Files.isDirectory(stage) ||
+      !java.nio.file.Files.list(stage).iterator().hasNext,
+      "recover must sweep orphaned staging dirs")
   }
 
   test("journal redo completes an interrupted multi-table commit") {

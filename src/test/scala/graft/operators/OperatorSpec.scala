@@ -120,12 +120,20 @@ class OperatorSpec extends AnyFunSuite {
     val gotSalted = salted.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(gotSalted == expected, "salting changed the pair result")
     // the block ids are real join keys — that IS the skew split: the hot
-    // gram now hashes to up to 10 distinct shuffle keys instead of 1
+    // gram now hashes to up to 10 distinct shuffle keys instead of 1. The
+    // plan is a static cold/hot union, so there are TWO hash joins: the
+    // cold one on [gram] alone (no extra exchange on benign corpora) and
+    // the salted one on [gram, i, j] that the hot rows route through.
     val plan = salted.queryExecution.executedPlan.toString
-    val joinLine = plan.linesIterator.find(_.contains("ShuffledHashJoin")).getOrElse(
-      fail(s"expected a ShuffledHashJoin in:\n$plan"))
-    assert(joinLine.contains("gram") && joinLine.contains("i#") && joinLine.contains("j#"),
-      s"expected the salted (gram, i, j) join key, got: $joinLine")
+    // (executedPlan.toString under AQE prints Final + Initial sections, so
+    // each join line can appear twice — assert on presence, not count)
+    val joinLines = plan.linesIterator.filter(_.contains("ShuffledHashJoin")).toSeq
+    assert(joinLines.exists(l =>
+        l.contains("gram") && l.contains("i#") && l.contains("j#")),
+      s"expected a salted (gram, i, j) join key, got: ${joinLines.mkString("\n")}")
+    assert(joinLines.exists(l =>
+        l.contains("gram") && !l.contains("i#") && !l.contains("j#")),
+      s"expected an unsalted cold join on [gram], got: ${joinLines.mkString("\n")}")
     // default cap (benign corpus): identical result through the salt-0 path
     val gotDefault = TextPipeline.jaccardPairs(docsDf, 0.1)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -38,6 +38,25 @@ class OperatorSyntaxSpec extends AnyFunSuite {
     assert(one("SELECT 'VARCHAR' AS s") == "VARCHAR")
   }
 
+  test("VARCHAR in identifier positions is untouched (legal Spark name)") {
+    // a column literally named varchar: rewriting it to STRING would break
+    // resolution — only cast positions (:: or AS inside CAST) rewrite
+    assert(OperatorSyntax.rewrite("SELECT varchar FROM t") == "SELECT varchar FROM t")
+    assert(OperatorSyntax.rewrite("SELECT x AS varchar FROM t") == "SELECT x AS varchar FROM t")
+    assert(OperatorSyntax.rewrite("SELECT f(varchar) FROM t") == "SELECT f(varchar) FROM t")
+    // cast positions still rewrite, including whitespace around ::
+    assert(OperatorSyntax.rewrite("SELECT x :: VARCHAR FROM t") == "SELECT x :: STRING FROM t")
+    assert(OperatorSyntax.rewrite("SELECT TRY_CAST(x AS VARCHAR) FROM t") ==
+      "SELECT TRY_CAST(x AS STRING) FROM t")
+    // nested: a non-cast paren between CAST( and AS does not confuse the stack
+    assert(OperatorSyntax.rewrite("SELECT CAST(f(a, b) AS VARCHAR) FROM t") ==
+      "SELECT CAST(f(a, b) AS STRING) FROM t")
+    // value-level: the identifier survives end-to-end
+    val df = spark.range(1).selectExpr("'v' AS varchar")
+    df.createOrReplaceTempView("vch_t")
+    assert(one("SELECT varchar FROM vch_t") == "v")
+  }
+
   test("string-literal subscript is DuckDB 1-based") {
     assert(one("SELECT 'abc'[2] AS c") == "b")
     assert(one("SELECT 'abc'[-1] AS c") == "c")

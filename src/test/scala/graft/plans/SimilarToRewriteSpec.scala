@@ -26,6 +26,12 @@ class SimilarToRewriteSpec extends AnyFunSuite {
     assert(r.getBoolean(4) && !r.getBoolean(5) && r.getBoolean(6))
   }
 
+  test("regex escape classes survive the literal re-embed (backslash doubling)") {
+    val r = one("""SELECT '123' SIMILAR TO '\d+' AS a, 'abc' SIMILAR TO '\d+' AS b, """ +
+      """'a b' SIMILAR TO 'a\sb' AS c, 'word' SIMILAR TO '\w+' AS d""")
+    assert(r.getBoolean(0) && !r.getBoolean(1) && r.getBoolean(2) && r.getBoolean(3))
+  }
+
   test("strings are untouched; identifiers named similar survive; errors loud") {
     val s = "SELECT 'x SIMILAR TO y' AS t, similar FROM v"
     assert(SimilarToRewrite.rewrite(s) == s)
