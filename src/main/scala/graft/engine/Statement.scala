@@ -289,6 +289,17 @@ object Statement {
       session: SessionState,
       global: GlobalSettings,
       sql: String): DataFrame = {
+    // Route this session's reads through the current table manifest
+    // (cross-table commit visibility, [[ManifestCatalog]]): a one-getAttr
+    // version check per statement; re-registers views and invalidates the
+    // plan cache only when a commit actually moved the manifest. Tables the
+    // session's own open transaction shadows are skipped — read-your-writes
+    // outranks the committed view.
+    ManifestCatalog.refresh(session.spark,
+      session.activeTxn.flatMap(id => sessions.transactions.lookup(id))
+        .map(t => t.staged.synchronized {
+          scala.jdk.CollectionConverters.MapHasAsScala(t.staged).asScala.keys.toSet
+        }).getOrElse(Set.empty))
     sql match {
       case KillSessionRe(target) =>
         // duckdb_statement.cpp:178-193 / :933-986; admin-only + no self-kill

@@ -62,17 +62,29 @@ object TxnDml {
     // the temp views (inserting into a view is an error).
     entries.foreach { case (name, _) => spark.catalog.dropTempView(name) }
     val journal = TxnJournal.write(spark, txn.id, entries)
+    // VISIBILITY point: one atomic manifest rename maps every touched table
+    // to its post-image BEFORE any base table is overwritten. Reader
+    // sessions resolve through the manifest (Statement path refresh), so
+    // they observe all of this commit or none of it — never table A new
+    // next to table B old ([[ManifestCatalog]]).
+    ManifestCatalog.publish(spark, entries)
     val applied = entries.map { case (name, dir) =>
       spark.read.parquet(dir).write.mode("overwrite").insertInto(name)
       name
     }
     TxnJournal.clear(journal)
-    // The post-images are applied and the journal is gone — nothing can
-    // ever need these staging dirs again. They live under the WAREHOUSE
-    // (so crash redo can find them), which means no tmpdir reaper will
-    // ever collect them: delete here or leak one full table copy per
-    // transaction for the life of the server.
-    entries.foreach { case (_, dir) => TxnJournal.deleteStaged(spark, dir) }
+    // Bases now equal snapshots — dropping the entries never changes what a
+    // fresh reader sees.
+    ManifestCatalog.drop(spark, entries)
+    // The staging dirs live under the WAREHOUSE (so crash redo can find
+    // them) — no tmpdir reaper will ever collect them, so an un-deleted
+    // post-image is a permanent per-transaction disk leak. Deletion is
+    // DEFERRED through tombstones rather than immediate: a reader that
+    // resolved a snapshot through the manifest just before the drop may
+    // still be scanning it. Each commit reaps tombstones older than the
+    // grace period, bounding the leak to grace-window churn.
+    ManifestCatalog.tombstone(spark, entries.map(_._2))
+    ManifestCatalog.reapTombstones(spark)
     applied
   }
 

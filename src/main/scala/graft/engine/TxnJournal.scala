@@ -126,9 +126,36 @@ object TxnJournal {
         s"$txnId:$table"
       }
       clear(j)
+      // the redo republished nothing: make sure no manifest entry from the
+      // crashed commit outlives its journal (base == snapshot after redo,
+      // so dropping is always safe)
+      ManifestCatalog.drop(spark, entries.map { case (t, d) => (t, d) })
       entries.foreach { case (_, staged) => deleteStaged(spark, staged) }
       applied
-    } ++ { sweepOrphanedStaging(spark); Nil }
+    } ++ {
+      reconcileManifest(spark)
+      sweepOrphanedStaging(spark)
+      Nil
+    }
+  }
+
+  /** Bootstrap reconciliation for manifest entries with NO journal — a
+    * crash between journal clear and manifest drop. Protocol order says the
+    * folds completed, but re-applying a full post-image is idempotent, so
+    * fold defensively, then drop the entry. Bootstrap has no live readers,
+    * so the snapshot dirs go straight to the orphan sweep.
+    */
+  private def reconcileManifest(spark: SparkSession): Unit = {
+    val (_, entries) = ManifestCatalog.read(spark)
+    if (entries.isEmpty) return
+    entries.foreach { case (table, staged) =>
+      if (!Files.isDirectory(Paths.get(staged.stripPrefix("file:"))))
+        throw new IllegalStateException(
+          s"table manifest references missing snapshot dir $staged for $table — " +
+            "refusing to serve a partially-visible catalog")
+      spark.read.parquet(staged).write.mode("overwrite").insertInto(table)
+    }
+    ManifestCatalog.drop(spark, entries.toSeq)
   }
 
   /** Delete one staging dir (post-commit cleanup). Best-effort: a failed
@@ -142,23 +169,26 @@ object TxnJournal {
     if (p.startsWith(stageRoot(spark))) deleteTree(p)
   }
 
-  /** Bootstrap-time orphan sweep: any dir under the staging root not
-    * referenced by a live journal belongs to a rolled-back or crashed
-    * transaction (rollback defers deletion to here — an in-flight scan of a
-    * shadow view may outlive ROLLBACK, but nothing outlives a restart).
+  /** Bootstrap-time orphan sweep: any dir under the staging root referenced
+    * by neither a live journal nor a manifest entry belongs to a
+    * rolled-back or fully-folded transaction (rollback defers deletion to
+    * here — an in-flight scan of a shadow view may outlive ROLLBACK, but
+    * nothing outlives a restart).
     */
   private def sweepOrphanedStaging(spark: SparkSession): Unit = {
     val root = stageRoot(spark)
     if (!Files.isDirectory(root)) return
     val live: Set[String] = {
       val dir = journalDir(spark)
-      if (!Files.isDirectory(dir)) Set.empty
-      else Files.list(dir).iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".journal"))
-        .flatMap(j => Files.readAllLines(j, StandardCharsets.UTF_8).asScala
-          .drop(2).filter(_.contains("\t")).map(_.split("\t", 2)(1)))
-        .map(d => Paths.get(d.stripPrefix("file:")).toAbsolutePath.toString)
-        .toSet
+      val fromJournals =
+        if (!Files.isDirectory(dir)) Set.empty[String]
+        else Files.list(dir).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".journal"))
+          .flatMap(j => Files.readAllLines(j, StandardCharsets.UTF_8).asScala
+            .drop(2).filter(_.contains("\t")).map(_.split("\t", 2)(1)))
+          .map(d => Paths.get(d.stripPrefix("file:")).toAbsolutePath.toString)
+          .toSet
+      fromJournals ++ ManifestCatalog.referencedDirs(spark)
     }
     Files.list(root).iterator().asScala
       .filter(d => !live.contains(d.toAbsolutePath.toString))

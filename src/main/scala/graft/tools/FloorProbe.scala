@@ -47,10 +47,19 @@ object FloorProbe {
     }
     spark.sparkContext.addSparkListener(listener)
 
+    // absolute per-job floor in this JVM: a 1-row, 1-task local job
+    (1 to 30).foreach(_ => spark.range(1).count())
+    val f0 = System.nanoTime()
+    (1 to 20).foreach(_ => spark.range(1).count())
+    println(f"[floor] range(1).count absolute floor = ${(System.nanoTime() - f0) / 20 / 1e6}%.1f ms/job")
+
     names.foreach { name =>
       val key = s"floor:$name"
       def build = SparkEntry.queries(name)(spark, sfDir)
       (1 to 30).foreach(_ => PlanCache.count(spark, key)(build)) // steady state incl. JIT
+      val c0 = System.nanoTime()
+      (1 to 10).foreach(_ => PlanCache.count(spark, key)(build))
+      println(f"[floor] $name%-18s PlanCache.count real path = ${(System.nanoTime() - c0) / 10 / 1e6}%.1f ms/call")
       // replicate count()'s cached branch with a phase split: root+plan vs run
       val wrapped = build.groupBy().count()
       val optimized = wrapped.queryExecution.optimizedPlan

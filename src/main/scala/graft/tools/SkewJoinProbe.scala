@@ -61,6 +61,16 @@ object SkewJoinProbe {
     val a = measure("unsalted", Int.MaxValue)
     assert(a == b, s"salting changed the result: $a vs $b")
     println("[skew] results identical")
+
+    // df ~= cap crossover: the constructed hot gram has df = scale*n/5.
+    // Pin that the cold (df <= cap) and salted (df > cap) routes agree at
+    // the boundary by straddling it one doc apart — the exact regime where
+    // a row must take exactly one branch of the static cold/hot union.
+    val hotDf = (n * scale / 5).toInt
+    val atCap = measure(s"cap=df", hotDf) // hot gram goes COLD (df <= cap)
+    val below = measure(s"cap=df-1", hotDf - 1) // hot gram stays SALTED
+    assert(atCap == below, s"cap boundary changed the result: $atCap vs $below")
+    println(s"[skew] cap-boundary crossover identical at df=$hotDf")
     spark.stop()
   }
 }
