@@ -172,7 +172,7 @@ object PlanCache {
       spark: SparkSession,
       optimized: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): (DataFrame, Boolean, Int) = {
     def snapped: DataFrame =
-      org.apache.spark.sql.GraftDatasetShim.ofRows(spark, optimized)
+      org.apache.spark.sql.GraftDatasetShim.ofRowsPreOptimized(spark, optimized)
     if (spark.conf.get("spark.sql.adaptive.enabled", "true") != "true") return (snapped, false, 0)
     // Plan the candidate on the adaptive-off clone: forcing executedPlan
     // there pins the STATIC plan on that QueryExecution (plans are cached
@@ -181,7 +181,7 @@ object PlanCache {
     // the clone shares the SparkContext, executors, and cached blocks; only
     // its session conf differs, and only in the adaptive flag (plus, for
     // small-input pins, a size-scaled shuffle partition count).
-    val df = org.apache.spark.sql.GraftDatasetShim.ofRows(probeSession(spark, 0), optimized)
+    val df = org.apache.spark.sql.GraftDatasetShim.ofRowsPreOptimized(probeSession(spark, 0), optimized)
     val (eligible, staticParts) = try {
       def fragments(p: SparkPlan): Seq[SparkPlan] = p +: p.subqueries.flatMap(fragments)
       val all = fragments(df.queryExecution.executedPlan)
@@ -291,7 +291,7 @@ object PlanCache {
     else if (staticParts > 0) {
       // Re-plan under the size-scaled clone and force: pins the static
       // plan with right-sized exchanges.
-      val d = org.apache.spark.sql.GraftDatasetShim.ofRows(
+      val d = org.apache.spark.sql.GraftDatasetShim.ofRowsPreOptimized(
         probeSession(spark, staticParts), optimized)
       d.queryExecution.executedPlan
       (d, true, staticParts)
@@ -344,11 +344,11 @@ object PlanCache {
       // Re-probe-session per call: forcing executedPlan under the
       // adaptive-off clone pins the static plan on this fresh instance,
       // at the same partition override the first probe chose.
-      val d = org.apache.spark.sql.GraftDatasetShim.ofRows(
+      val d = org.apache.spark.sql.GraftDatasetShim.ofRowsPreOptimized(
         probeSession(spark, cp.parts), cp.optimized)
       d.queryExecution.executedPlan
       d
-    } else org.apache.spark.sql.GraftDatasetShim.ofRows(spark, cp.optimized)
+    } else org.apache.spark.sql.GraftDatasetShim.ofRowsPreOptimized(spark, cp.optimized)
     df.collect()(0).getLong(0)
   }
 

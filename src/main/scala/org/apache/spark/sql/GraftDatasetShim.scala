@@ -16,6 +16,30 @@ object GraftDatasetShim {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** As [[ofRows]], but for a plan that IS already the optimizer's output:
+    * the QueryExecution pins every logical phase to the given tree, so each
+    * re-execution pays only physical planning + execution instead of
+    * re-walking the full analyzer/optimizer rule batches over an
+    * already-converged tree (measured 5-20 ms/call on the TPC-H shapes —
+    * pure fixed cost on the repeated-statement path, where the same
+    * optimized plan executes thousands of times on a server). Safe exactly
+    * because the prepared-plan cache only ever stores PURE queries: no
+    * commands to eagerly execute, no `Dataset.cache()` substitution to
+    * re-resolve (both phases are no-ops for these trees by construction).
+    */
+  def ofRowsPreOptimized(spark: SparkSession, plan: LogicalPlan): DataFrame = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    val qe = new execution.QueryExecution(cs, plan) {
+      override def analyzed: LogicalPlan = plan
+      override def commandExecuted: LogicalPlan = plan
+      override def normalized: LogicalPlan = plan
+      override def withCachedData: LogicalPlan = plan
+      override def optimizedPlan: LogicalPlan = plan
+    }
+    new classic.Dataset[Row](qe,
+      org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(plan.schema))
+  }
+
   /** Fork an isolated session over the same SparkContext: copied conf +
     * session state, shared executors/caches. The prepared-plan cache probes
     * plan shapes under a clone with adaptive off, so the probe can never be
