@@ -303,7 +303,23 @@ object PlanCache {
   private case class CountPlan(
       optimized: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       static: Boolean,
-      parts: Int)
+      parts: Int,
+      // Physical-plan reuse is ONLY elision-free when re-execution cannot
+      // find any memoized intermediate: no shuffle (map outputs persist on
+      // the exchange instance), no broadcast (the relation future is
+      // computed once), no subquery (SubqueryExec caches its result). For
+      // such plans — single-stage scans like topk — every collect re-runs
+      // the full scan, so reusing the Dataset skips the per-call physical
+      // planning + codegen-source regeneration without skipping any work.
+      reusable: Option[DataFrame] = None)
+
+  private def exchangeFree(plan: SparkPlan): Boolean = {
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p +: p.children.flatMap(nodes)
+    plan.subqueries.isEmpty && nodes(plan).forall {
+      case _: ShuffleExchangeExec | _: BroadcastExchangeExec => false
+      case p => p.subqueries.isEmpty
+    }
+  }
 
   private val countBySession = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession, java.util.Map[String, CountPlan]]())
@@ -338,8 +354,16 @@ object PlanCache {
       val wrapped = get(spark, key)(build).groupBy().count()
       val optimized = wrapped.queryExecution.optimizedPlan
       val (probed, static, parts) = prepareOptimized(spark, optimized)
-      m.put(key, CountPlan(optimized, static, parts))
+      val reusable =
+        if (static && exchangeFree(probed.queryExecution.executedPlan)) Some(probed)
+        else None
+      m.put(key, CountPlan(optimized, static, parts, reusable))
       probed
+    } else if (cp.reusable.isDefined) {
+      // exchange/broadcast/subquery-free static plan: re-executing the same
+      // physical plan re-runs the whole scan (nothing memoizable exists),
+      // so skip per-call physical planning entirely
+      cp.reusable.get
     } else if (cp.static) {
       // Re-probe-session per call: forcing executedPlan under the
       // adaptive-off clone pins the static plan on this fresh instance,

@@ -172,14 +172,27 @@ object TextPipeline {
         Seq("gram"))
       .filter(col("ld") < col("rd"))
       .select("ld", "rd", "ln", "rn")
+    // The hot-side exchanges are PINNED to the configured partition count
+    // (repartition with an explicit N = REPARTITION_BY_NUM, which AQE's
+    // coalescer must honor). Left coalescible, AQE sees only the BYTES of
+    // the exploded hot index — a few MB for a df-10k gram — and merges the
+    // salted join into one partition, putting the C(df,2) pair expansion
+    // (which happens after the shuffle read, invisible to size stats) back
+    // into a single task: measured 350 s max-task vs the unsalted shape's
+    // 195 s on the constructed-skew probe. The same trap is why AQE's
+    // skew-join can't rescue the unsalted shape. On benign corpora the
+    // pinned partitions carry zero rows and cost scheduling noise only.
+    val hotParts = d.sparkSession.sessionState.conf.numShufflePartitions
     val lhs = hot
       .withColumn("j", explode(sequence(col("salt"), lit(salts - 1))))
       .select(col("gram"), col("doc_id").as("ld"), col("n").as("ln"),
         col("salt").as("i"), col("j"))
+      .repartition(hotParts, col("gram"), col("i"), col("j"))
     val rhs = hot
       .withColumn("i", explode(sequence(lit(0), col("salt"))))
       .select(col("gram"), col("doc_id").as("rd"), col("n").as("rn"),
         col("i"), col("salt").as("j"))
+      .repartition(hotParts, col("gram"), col("i"), col("j"))
     val hotPairs = lhs.hint("shuffle_hash").join(rhs, Seq("gram", "i", "j"))
       // same-block pairs orient by id (each unordered pair appears in both
       // role orders — keep one); cross-block pairs meet exactly once in
