@@ -19,6 +19,44 @@ import graft.functions.VectorFunctions._
   */
 object CorpusPrep {
 
+  // ---- BPE building blocks shared by pipeline_bpe_train / _apply ----------
+  // Corpus rides a double-space encoding (' a  b  c ') so one sequential
+  // REPLACE of ' w1  w2 ' implements greedy left-to-right non-overlapping
+  // merge with identical semantics in both engines (see bpe_train's op doc).
+
+  private def bpePairsSql(c: String, p: String) =
+    s"$p AS (SELECT SPLIT_PART(bg,' ',1) AS w1, SPLIT_PART(bg,' ',2) AS w2, " +
+    "CAST(COUNT(*) AS BIGINT) AS cnt FROM (SELECT UNNEST(LIST_TRANSFORM(" +
+    "GENERATE_SERIES(1, CAST(LEN(ws) AS INTEGER)-1), i -> ws[i] || ' ' || ws[i+1])) AS bg " +
+    s"FROM (SELECT STRING_SPLIT(TRIM(s),'  ') AS ws FROM $c) tt) b GROUP BY 1, 2)"
+
+  private def bpeSelSql(p: String, sel: String) =
+    s"$sel AS (SELECT w1, w2, cnt FROM $p ORDER BY cnt DESC, w1, w2 LIMIT 1)"
+
+  // `c.* REPLACE (...)` keeps whatever columns the chain carries (doc_id
+  // alone for train; doc_id/source/nb for apply).
+  private def bpeMergeSql(c: String, sel: String, next: String) =
+    s"$next AS (SELECT $c.* REPLACE (REPLACE(s, ' '||$sel.w1||'  '||$sel.w2||' ', " +
+    s"' '||$sel.w1||'_'||$sel.w2||' ') AS s) FROM $c, $sel)"
+
+  private def bpePairCounts(c: DataFrame): DataFrame = c
+    .select(split(trim(col("s")), "  ").as("ws"))
+    .filter(size(col("ws")) >= 2)
+    .select(explode(arrays_zip(
+      slice(col("ws"), lit(1), size(col("ws")) - 1).as("w0"),
+      slice(col("ws"), lit(2), size(col("ws")) - 1).as("s1"))).as("t"))
+    .select(col("t.w0").as("w1"), col("t.s1").as("w2"))
+    .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+
+  private def bpeSelect1(p: DataFrame): DataFrame =
+    p.orderBy(col("cnt").desc, col("w1"), col("w2")).limit(1)
+
+  private def bpeApplyMerge(c: DataFrame, sel: DataFrame): DataFrame =
+    c.crossJoin(broadcast(sel))
+      .withColumn("s", expr(
+        "replace(s, concat(' ', w1, '  ', w2, ' '), concat(' ', w1, '_', w2, ' '))"))
+      .drop("w1", "w2", "cnt")
+
   private def docs(spark: SparkSession, dir: String): DataFrame = {
     Tables.ensure(spark, dir)
     spark.table("documents")
@@ -282,48 +320,63 @@ object CorpusPrep {
     // no corpus shuffle anywhere; production trainers amortize further by
     // batching many non-interacting merges per scan.
     Op("pipeline_bpe_train", {
-      def pairsSql(c: String, p: String) =
-        s"$p AS (SELECT SPLIT_PART(bg,' ',1) AS w1, SPLIT_PART(bg,' ',2) AS w2, " +
-        "CAST(COUNT(*) AS BIGINT) AS cnt FROM (SELECT UNNEST(LIST_TRANSFORM(" +
-        "GENERATE_SERIES(1, CAST(LEN(ws) AS INTEGER)-1), i -> ws[i] || ' ' || ws[i+1])) AS bg " +
-        s"FROM (SELECT STRING_SPLIT(TRIM(s),'  ') AS ws FROM $c) tt) b GROUP BY 1, 2)"
-      def selSql(p: String, sel: String) =
-        s"$sel AS (SELECT w1, w2, cnt FROM $p ORDER BY cnt DESC, w1, w2 LIMIT 1)"
-      def mergeSql(c: String, sel: String, next: String) =
-        s"$next AS (SELECT doc_id, REPLACE(s, ' '||$sel.w1||'  '||$sel.w2||' ', " +
-        s"' '||$sel.w1||'_'||$sel.w2||' ') AS s FROM $c, $sel)"
       "WITH c0 AS (SELECT doc_id, ' ' || REPLACE(text,' ','  ') || ' ' AS s FROM documents), " +
-      pairsSql("c0", "p1") + ", " + selSql("p1", "s1") + ", " + mergeSql("c0", "s1", "c1") + ", " +
-      pairsSql("c1", "p2") + ", " + selSql("p2", "s2") + ", " + mergeSql("c1", "s2", "c2") + ", " +
-      pairsSql("c2", "p3") + ", " + selSql("p3", "s3") + " " +
+      bpePairsSql("c0", "p1") + ", " + bpeSelSql("p1", "s1") + ", " + bpeMergeSql("c0", "s1", "c1") + ", " +
+      bpePairsSql("c1", "p2") + ", " + bpeSelSql("p2", "s2") + ", " + bpeMergeSql("c1", "s2", "c2") + ", " +
+      bpePairsSql("c2", "p3") + ", " + bpeSelSql("p3", "s3") + " " +
       "SELECT 1 AS iteration, w1, w2, cnt FROM s1 " +
       "UNION ALL SELECT 2, w1, w2, cnt FROM s2 " +
       "UNION ALL SELECT 3, w1, w2, cnt FROM s3 ORDER BY iteration"
     }) { (s, d) =>
-      def pairCounts(c: DataFrame): DataFrame = c
-        .select(split(trim(col("s")), "  ").as("ws"))
-        .filter(size(col("ws")) >= 2)
-        .select(explode(arrays_zip(
-          slice(col("ws"), lit(1), size(col("ws")) - 1).as("w0"),
-          slice(col("ws"), lit(2), size(col("ws")) - 1).as("s1"))).as("t"))
-        .select(col("t.w0").as("w1"), col("t.s1").as("w2"))
-        .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
-      def select1(p: DataFrame): DataFrame =
-        p.orderBy(col("cnt").desc, col("w1"), col("w2")).limit(1)
-      def applyMerge(c: DataFrame, sel: DataFrame): DataFrame =
-        c.crossJoin(broadcast(sel))
-          .select(col("doc_id"), expr(
-            "replace(s, concat(' ', w1, '  ', w2, ' '), concat(' ', w1, '_', w2, ' '))").as("s"))
       val c0 = docs(s, d).select(col("doc_id"),
         expr("concat(' ', replace(text, ' ', '  '), ' ')").as("s"))
-      val s1 = select1(pairCounts(c0)); val c1 = applyMerge(c0, s1)
-      val s2 = select1(pairCounts(c1)); val c2 = applyMerge(c1, s2)
-      val s3 = select1(pairCounts(c2))
+      val s1 = bpeSelect1(bpePairCounts(c0)); val c1 = bpeApplyMerge(c0, s1)
+      val s2 = bpeSelect1(bpePairCounts(c1)); val c2 = bpeApplyMerge(c1, s2)
+      val s3 = bpeSelect1(bpePairCounts(c2))
       s1.withColumn("iteration", lit(1))
         .unionByName(s2.withColumn("iteration", lit(2)))
         .unionByName(s3.withColumn("iteration", lit(3)))
         .select(col("iteration"), col("w1"), col("w2"), col("cnt"))
         .orderBy("iteration")
+    },
+
+    // BPE ENCODE with the trained merge table — the other half of the
+    // tokenizer story (pipeline_bpe_train learns the merges; this measures
+    // what they buy on the corpus): apply the three learned merges in
+    // training order to every document and report per-source token counts
+    // before/after, merged-pair count, and the compression ratio — the
+    // number a tokenizer owner tracks per data source to see where a
+    // vocabulary actually compresses. Scale: each merge application is a
+    // broadcast of the 1-row selection into a codegen REPLACE projection
+    // (no corpus shuffle); the per-source rollup is one aggregation.
+    // Exactness: token counts are integers; ratio floor-divides to micros.
+    Op("pipeline_bpe_apply", {
+      "WITH c0 AS (SELECT doc_id, source, LEN(STRING_SPLIT(text,' ')) AS nb, " +
+      "' ' || REPLACE(text,' ','  ') || ' ' AS s FROM documents), " +
+      bpePairsSql("c0", "p1") + ", " + bpeSelSql("p1", "s1") + ", " + bpeMergeSql("c0", "s1", "c1") + ", " +
+      bpePairsSql("c1", "p2") + ", " + bpeSelSql("p2", "s2") + ", " + bpeMergeSql("c1", "s2", "c2") + ", " +
+      bpePairsSql("c2", "p3") + ", " + bpeSelSql("p3", "s3") + ", " + bpeMergeSql("c2", "s3", "c3") + " " +
+      "SELECT source, CAST(SUM(nb) AS BIGINT) AS toks_before, " +
+      "CAST(SUM(LEN(STRING_SPLIT(TRIM(s),'  '))) AS BIGINT) AS toks_after, " +
+      "CAST(SUM(nb) - SUM(LEN(STRING_SPLIT(TRIM(s),'  '))) AS BIGINT) AS merged, " +
+      "CAST(FLOOR(1000000.0 * SUM(LEN(STRING_SPLIT(TRIM(s),'  '))) / SUM(nb)) AS BIGINT) AS ratio_micro " +
+      "FROM c3 GROUP BY source ORDER BY source"
+    }) { (s, d) =>
+      // nb rides the chain from c0 (REPLACE keeps extra columns), so the
+      // before-count needs no join back against the corpus.
+      val c0 = docs(s, d).select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("nb"),
+        expr("concat(' ', replace(text, ' ', '  '), ' ')").as("s"))
+      val s1 = bpeSelect1(bpePairCounts(c0)); val c1 = bpeApplyMerge(c0, s1)
+      val s2 = bpeSelect1(bpePairCounts(c1)); val c2 = bpeApplyMerge(c1, s2)
+      val s3 = bpeSelect1(bpePairCounts(c2)); val c3 = bpeApplyMerge(c2, s3)
+      c3.select(col("source"), col("nb"),
+          size(split(trim(col("s")), "  ")).cast("long").as("na"))
+        .groupBy("source")
+        .agg(sum("nb").as("toks_before"), sum("na").as("toks_after"),
+          (sum("nb") - sum("na")).as("merged"),
+          floor(lit(1000000.0) * sum("na") / sum("nb")).cast("long").as("ratio_micro"))
+        .orderBy("source")
     },
 
     // CCNet-style perplexity bucketing: documents split into head/middle/

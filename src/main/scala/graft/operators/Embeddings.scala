@@ -1026,6 +1026,94 @@ object Embeddings {
       "FROM sel WHERE step = 8) u ORDER BY rank") { (s, d) =>
       s.createDataFrame(kCenterGreedy(emb(s, d), seedId = 0L, k = 8))
         .toDF("rank", "vec_id")
+    },
+
+    // Label-quality health check: nearest-centroid classification over the
+    // labeled corpus — the cheap linear probe a curation pipeline runs to
+    // ask "do these labels carve the embedding space at all?" before
+    // trusting them for stratified sampling or distillation targets.
+    // Per-label accuracy from assigning every vector to its nearest label
+    // centroid (L2). Distributed shape: centroids are a (label, dim)
+    // two-phase aggregation (k·d rows — broadcastable at any corpus size),
+    // distances flow as one partial-agg'd shuffle keyed (vec_id, cand) —
+    // linear in n·d·k, no vector ever collects to the driver. Cross-engine
+    // exactness: components quantize to an integer milli grid, centroids
+    // floor-divide (identical doubles below 2^52), so every distance is an
+    // order-free BIGINT and the argmin (ties → lowest label) is exact.
+    Op("embed_label_quality",
+      "WITH q AS (SELECT vec_id, label, " +
+      "UNNEST(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]), x -> CAST(ROUND(x * 1000) AS BIGINT))) AS qx, " +
+      "UNNEST(GENERATE_SERIES(1, CAST(LEN(embedding) AS INTEGER))) AS dim FROM embeddings), " +
+      "cent AS (SELECT label AS cand, dim, " +
+      "CAST(FLOOR(CAST(SUM(qx) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cx FROM q GROUP BY 1, 2), " +
+      "dist AS (SELECT q.vec_id, q.label, c.cand, " +
+      "CAST(SUM((q.qx - c.cx) * (q.qx - c.cx)) AS BIGINT) AS d2 " +
+      "FROM q JOIN cent c ON q.dim = c.dim GROUP BY 1, 2, 3), " +
+      "pred AS (SELECT vec_id, label, cand FROM (SELECT vec_id, label, cand, " +
+      "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cand) AS rn FROM dist) t WHERE rn = 1) " +
+      "SELECT CAST(label AS INTEGER) AS label, COUNT(*) AS n, " +
+      "CAST(SUM(CASE WHEN cand = label THEN 1 ELSE 0 END) AS BIGINT) AS correct, " +
+      "CAST(FLOOR(1000000.0 * SUM(CASE WHEN cand = label THEN 1 ELSE 0 END) / COUNT(*)) AS BIGINT) AS acc_micro " +
+      "FROM pred GROUP BY label ORDER BY label") { (s, d) =>
+      val q = emb(s, d)
+        .select(col("vec_id"), col("label"), posexplode(asDouble(col("embedding"))))
+        .select(col("vec_id"), col("label"), (col("pos") + 1).as("dim"),
+          round(col("col") * 1000).cast("long").as("qx"))
+      val cent = q.groupBy(col("label").as("cand"), col("dim"))
+        .agg(floor(sum("qx").cast("double") / count(lit(1))).cast("long").as("cx"))
+      val dist = q.join(broadcast(cent), Seq("dim"))
+        .groupBy("vec_id", "label", "cand")
+        .agg(sum((col("qx") - col("cx")) * (col("qx") - col("cx"))).as("d2"))
+      val pred = dist.groupBy("vec_id", "label")
+        .agg(min(struct(col("d2"), col("cand"))).as("m"))
+        .select(col("label"), col("m.cand").as("cand"))
+      pred.groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("cand") === col("label"), 1L).otherwise(0L)).as("correct"))
+        .select(col("label"), col("n"), col("correct"),
+          floor(lit(1000000.0) * col("correct") / col("n")).cast("long").as("acc_micro"))
+        .orderBy("label")
+    },
+
+    // Mislabel candidates: per label, how many points sit anomalously far
+    // from their OWN label centroid (d2 > 4x the label's median d2 — the
+    // robust multiple-of-median gate; with squared distances 4x median ~=
+    // 2x median radius). The cheap first pass a labeling-QA pipeline runs
+    // before paying for human re-review or cross-encoder scoring. Same
+    // quantized-centroid machinery as embed_label_quality, restricted to
+    // the own-label distance, so it stays one explode + one broadcast join
+    // + two aggregations; QUANTILE_DISC keeps the median cross-engine
+    // exact on BIGINT distances.
+    Op("embed_label_outliers",
+      "WITH q AS (SELECT vec_id, label, " +
+      "UNNEST(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]), x -> CAST(ROUND(x * 1000) AS BIGINT))) AS qx, " +
+      "UNNEST(GENERATE_SERIES(1, CAST(LEN(embedding) AS INTEGER))) AS dim FROM embeddings), " +
+      "cent AS (SELECT label, dim, " +
+      "CAST(FLOOR(CAST(SUM(qx) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cx FROM q GROUP BY 1, 2), " +
+      "dist AS (SELECT q.vec_id, q.label, " +
+      "CAST(SUM((q.qx - c.cx) * (q.qx - c.cx)) AS BIGINT) AS d2 " +
+      "FROM q JOIN cent c ON q.dim = c.dim AND q.label = c.label GROUP BY 1, 2), " +
+      "med AS (SELECT label, CAST(QUANTILE_DISC(d2, 0.5) AS BIGINT) AS p50_d2 FROM dist GROUP BY 1) " +
+      "SELECT CAST(d.label AS INTEGER) AS label, CAST(COUNT(*) AS BIGINT) AS n, m.p50_d2, " +
+      "CAST(SUM(CASE WHEN d.d2 > 4 * m.p50_d2 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers " +
+      "FROM dist d JOIN med m USING (label) GROUP BY 1, 3 ORDER BY label") { (s, d) =>
+      val q = emb(s, d)
+        .select(col("vec_id"), col("label"), posexplode(asDouble(col("embedding"))))
+        .select(col("vec_id"), col("label"), (col("pos") + 1).as("dim"),
+          round(col("col") * 1000).cast("long").as("qx"))
+      val cent = q.groupBy("label", "dim")
+        .agg(floor(sum("qx").cast("double") / count(lit(1))).cast("long").as("cx"))
+      val dist = q.join(broadcast(cent), Seq("label", "dim"))
+        .groupBy("vec_id", "label")
+        .agg(sum((col("qx") - col("cx")) * (col("qx") - col("cx"))).as("d2"))
+      val med = dist.groupBy("label")
+        .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY d2)").cast("long").as("p50_d2"))
+      dist.join(broadcast(med), "label")
+        .groupBy("label", "p50_d2")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("d2") > lit(4) * col("p50_d2"), 1L).otherwise(0L)).as("n_outliers"))
+        .select(col("label"), col("n"), col("p50_d2"), col("n_outliers"))
+        .orderBy("label")
     }
   )
 

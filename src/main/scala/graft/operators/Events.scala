@@ -439,6 +439,54 @@ object Events {
           coalesce(col("c"), lit(0L)).as("cnt"),
           sum(coalesce(col("c"), lit(0L))).over(w).as("cum_cnt"))
         .orderBy("user_id", "day")
+    },
+
+    // Last-touch revenue attribution: each purchase's value credits the
+    // most recent PRECEDING non-purchase event by the same user (the
+    // marketing-analytics staple); purchases with no prior touch credit
+    // 'direct'. One user-keyed window pass — last(ignoreNulls) over a
+    // CASE that nulls out purchases, so the carry skips other purchases —
+    // then a per-channel rollup in exact integer cents.
+    Op("events_attribution",
+      "WITH a AS (SELECT event_type, value, LAST_VALUE(CASE WHEN event_type <> 'purchase' " +
+      "THEN event_type END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS touch FROM events) " +
+      "SELECT COALESCE(touch, 'direct') AS channel, CAST(COUNT(*) AS BIGINT) AS n_purchases, " +
+      "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS revenue_cents " +
+      "FROM a WHERE event_type = 'purchase' GROUP BY 1 ORDER BY channel") { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev(s, d)
+        .select(col("event_type"), col("value"),
+          last(when(col("event_type") =!= "purchase", col("event_type")), ignoreNulls = true)
+            .over(w).as("touch"))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("touch"), lit("direct")).as("channel"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(round(col("value") * 100).cast("long")).cast("long").as("revenue_cents"))
+        .orderBy("channel")
+    },
+
+    // Typed property extraction from the JSON props column, per event
+    // type: the schema-on-read step every event pipeline runs before
+    // analytics (props are stringly-typed at ingest; analysis needs the
+    // numbers). Integer-exact stats; one map-side-combined aggregation.
+    Op("events_props_stats",
+      "WITH p AS (SELECT event_type, CAST(JSON_EXTRACT_STRING(props,'$.k') AS BIGINT) AS k " +
+      "FROM events WHERE props IS NOT NULL) " +
+      "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, " +
+      "CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct, " +
+      "CAST(SUM(k) AS BIGINT) AS sum_k, CAST(MIN(k) AS BIGINT) AS min_k, " +
+      "CAST(MAX(k) AS BIGINT) AS max_k " +
+      "FROM p GROUP BY event_type ORDER BY event_type") { (s, d) =>
+      ev(s, d).filter(col("props").isNotNull)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), countDistinct("k").as("n_distinct"),
+          sum("k").cast("long").as("sum_k"),
+          min("k").cast("long").as("min_k"), max("k").cast("long").as("max_k"))
+        .orderBy("event_type")
     }
   )
 }

@@ -101,7 +101,9 @@ object ScaleCheck {
       "embed_norm_stats", "embed_anisotropy", "pipeline_mixture_rebalance",
       "dedup_winnow_pairs", "events_user_lifecycle",
       "text_burstiness", "embed_dim_variance", "corpus_template_detect",
-      "events_session_stats", "dedup_cluster_sizes") ++
+      "events_session_stats", "dedup_cluster_sizes",
+      "embed_label_quality", "embed_label_outliers", "pipeline_bpe_apply",
+      "events_attribution", "events_props_stats") ++
       // The ORACLE op pins the fixture's 8x16 band shape, whose candidate
       // set grows ~n^2/2^8 — at 30x (60k vectors, ~2e8 candidate pairs) it
       // OOMs the JVM by design. Past 10x only the auto-sized library path
