@@ -311,12 +311,30 @@ object PlanCache {
       // such plans — single-stage scans like topk — every collect re-runs
       // the full scan, so reusing the Dataset skips the per-call physical
       // planning + codegen-source regeneration without skipping any work.
-      reusable: Option[DataFrame] = None)
+      reusable: Option[DataFrame] = None,
+      // Clone-template reuse for the remaining static plans: TreeNode.clone
+      // deep-copies every CHILD node, so cloned Shuffle/BroadcastExchange
+      // instances get fresh lazy shuffle dependencies / relation futures
+      // and re-execute fully — skipping only the per-call physical planning
+      // walk. The two constructs clone does NOT refresh are excluded by
+      // [[cloneSafe]]: a ReusedExchangeExec holds its target exchange as a
+      // constructor ARG (copied by reference — the clone would read the
+      // first call's map outputs), and expression-held subquery plans are
+      // likewise shared (SubqueryExec memoizes its result per instance).
+      template: Option[SparkPlan] = None)
 
   private def exchangeFree(plan: SparkPlan): Boolean = {
     def nodes(p: SparkPlan): Seq[SparkPlan] = p +: p.children.flatMap(nodes)
     plan.subqueries.isEmpty && nodes(plan).forall {
       case _: ShuffleExchangeExec | _: BroadcastExchangeExec => false
+      case p => p.subqueries.isEmpty
+    }
+  }
+
+  private def cloneSafe(plan: SparkPlan): Boolean = {
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p +: p.children.flatMap(nodes)
+    plan.subqueries.isEmpty && nodes(plan).forall {
+      case _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => false
       case p => p.subqueries.isEmpty
     }
   }
@@ -354,16 +372,23 @@ object PlanCache {
       val wrapped = get(spark, key)(build).groupBy().count()
       val optimized = wrapped.queryExecution.optimizedPlan
       val (probed, static, parts) = prepareOptimized(spark, optimized)
+      val executed = if (static) Some(probed.queryExecution.executedPlan) else None
       val reusable =
-        if (static && exchangeFree(probed.queryExecution.executedPlan)) Some(probed)
-        else None
-      m.put(key, CountPlan(optimized, static, parts, reusable))
+        if (executed.exists(exchangeFree)) Some(probed) else None
+      val template =
+        if (reusable.isEmpty && executed.exists(cloneSafe)) executed else None
+      m.put(key, CountPlan(optimized, static, parts, reusable, template))
       probed
     } else if (cp.reusable.isDefined) {
       // exchange/broadcast/subquery-free static plan: re-executing the same
       // physical plan re-runs the whole scan (nothing memoizable exists),
       // so skip per-call physical planning entirely
       cp.reusable.get
+    } else if (cp.template.isDefined) {
+      // clone-template static plan: fresh exchange instances (full
+      // re-execution), no planner/preparation walk
+      val cloned = cp.template.get.clone()
+      return cloned.executeCollect()(0).getLong(0)
     } else if (cp.static) {
       // Re-probe-session per call: forcing executedPlan under the
       // adaptive-off clone pins the static plan on this fresh instance,

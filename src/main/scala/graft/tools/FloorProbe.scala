@@ -57,9 +57,14 @@ object FloorProbe {
       val key = s"floor:$name"
       def build = SparkEntry.queries(name)(spark, sfDir)
       (1 to 30).foreach(_ => PlanCache.count(spark, key)(build)) // steady state incl. JIT
+      Thread.sleep(300)
+      jobs = 0; stages = 0; tasks = 0; taskMs = 0; deserMs = 0; gapFirstLaunchMs = 0
       val c0 = System.nanoTime()
       (1 to 10).foreach(_ => PlanCache.count(spark, key)(build))
-      println(f"[floor] $name%-18s PlanCache.count real path = ${(System.nanoTime() - c0) / 10 / 1e6}%.1f ms/call")
+      val realMs = (System.nanoTime() - c0) / 10 / 1e6
+      Thread.sleep(300)
+      println(f"[floor] $name%-18s PlanCache.count real path = $realMs%.1f ms/call  " +
+        f"(jobs=${jobs / 10} stages=${stages / 10} tasks=${tasks / 10} taskSum=${taskMs / 10} ms)")
       // replicate count()'s cached branch with a phase split: root+plan vs run
       val wrapped = build.groupBy().count()
       val optimized = wrapped.queryExecution.optimizedPlan
