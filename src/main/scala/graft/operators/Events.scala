@@ -467,6 +467,40 @@ object Events {
         .orderBy("channel")
     },
 
+    // Cohort lifetime value: users grouped by first-activity week, each
+    // cohort's purchase revenue accumulated per week-offset — the LTV
+    // curve a growth team reads cohort-over-cohort. Two user-keyed
+    // aggregations (first day, then per-(cohort, offset) revenue) and one
+    // cumulative window over the tiny cohort×offset grid; money stays in
+    // exact integer cents end to end.
+    Op("events_cohort_ltv",
+      "WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY 1), " +
+      "r AS (SELECT f.user_id, CAST((CAST(e.ts AS DATE) - f.d0) // 7 AS BIGINT) AS week_offset, " +
+      "CAST(ROUND(e.value * 100) AS BIGINT) AS cents FROM events e JOIN f USING (user_id) " +
+      "WHERE e.event_type = 'purchase' AND e.value IS NOT NULL), " +
+      "g AS (SELECT CAST(DATE_TRUNC('week', f.d0) AS DATE) AS cohort_week, r.week_offset, " +
+      "CAST(SUM(r.cents) AS BIGINT) AS rev FROM r JOIN f USING (user_id) GROUP BY 1, 2) " +
+      "SELECT cohort_week, week_offset, rev AS revenue_cents, " +
+      "CAST(SUM(rev) OVER (PARTITION BY cohort_week ORDER BY week_offset) AS BIGINT) AS cum_revenue_cents " +
+      "FROM g ORDER BY cohort_week, week_offset") { (s, d) =>
+      val e = ev(s, d)
+      val f = e.groupBy("user_id").agg(min(col("ts").cast("date")).as("d0"))
+      val r = e.filter(col("event_type") === "purchase" && col("value").isNotNull)
+        .join(f, "user_id")
+        .select(col("user_id"),
+          floor(datediff(col("ts").cast("date"), col("d0")) / 7).cast("long").as("week_offset"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val g = r.join(f, "user_id")
+        .groupBy(date_trunc("week", col("d0")).cast("date").as("cohort_week"),
+          col("week_offset"))
+        .agg(sum("cents").cast("long").as("rev"))
+      val w = Window.partitionBy("cohort_week").orderBy("week_offset")
+      g.select(col("cohort_week"), col("week_offset"),
+          col("rev").as("revenue_cents"),
+          sum("rev").over(w).cast("long").as("cum_revenue_cents"))
+        .orderBy("cohort_week", "week_offset")
+    },
+
     // Typed property extraction from the JSON props column, per event
     // type: the schema-on-read step every event pipeline runs before
     // analytics (props are stringly-typed at ingest; analysis needs the

@@ -1358,6 +1358,39 @@ object TextPipeline {
         .orderBy("doc_id")
     },
 
+    // Winsorization plan: per source, the p05/p95 token-length clip bounds
+    // (QUANTILE_DISC — exact on integer counts) with how many docs each
+    // side would clip and the integer mean before/after clamping — the
+    // robust-trimming preview a curation run signs off before truncating
+    // or dropping tails. One per-source aggregate for the bounds broadcast
+    // back onto the lengths, then one rollup; all-integer arithmetic.
+    Op("corpus_winsorize",
+      "WITH l AS (SELECT source, CAST(LEN(STRING_SPLIT(text,' ')) AS BIGINT) AS n_tok FROM documents), " +
+      "b AS (SELECT source, CAST(QUANTILE_DISC(n_tok, 0.05) AS BIGINT) AS lo, " +
+      "CAST(QUANTILE_DISC(n_tok, 0.95) AS BIGINT) AS hi FROM l GROUP BY 1) " +
+      "SELECT l.source, b.lo, b.hi, CAST(COUNT(*) AS BIGINT) AS n, " +
+      "CAST(SUM(CASE WHEN l.n_tok < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_low, " +
+      "CAST(SUM(CASE WHEN l.n_tok > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_high, " +
+      "CAST(SUM(l.n_tok) // COUNT(*) AS BIGINT) AS mean_tok, " +
+      "CAST(SUM(LEAST(GREATEST(l.n_tok, b.lo), b.hi)) // COUNT(*) AS BIGINT) AS mean_tok_clipped " +
+      "FROM l JOIN b USING (source) GROUP BY 1, 2, 3 ORDER BY source") { (s, d) =>
+      val l = docs(s, d).select(col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      val b = l.groupBy("source").agg(
+        expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY n_tok)").cast("long").as("lo"),
+        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY n_tok)").cast("long").as("hi"))
+      l.join(broadcast(b), "source")
+        .groupBy("source", "lo", "hi")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("n_tok") < col("lo"), 1L).otherwise(0L)).as("n_clip_low"),
+          sum(when(col("n_tok") > col("hi"), 1L).otherwise(0L)).as("n_clip_high"),
+          expr("CAST(SUM(n_tok) div COUNT(*) AS BIGINT)").as("mean_tok"),
+          expr("CAST(SUM(LEAST(GREATEST(n_tok, lo), hi)) div COUNT(*) AS BIGINT)").as("mean_tok_clipped"))
+        .select(col("source"), col("lo"), col("hi"), col("n"),
+          col("n_clip_low"), col("n_clip_high"), col("mean_tok"), col("mean_tok_clipped"))
+        .orderBy("source")
+    },
+
     // Template-domination detection: per document, the share of its
     // trigram INSTANCES that are corpus-wide boilerplate (document
     // frequency >= 20) — the gate that drops scraper-template pages whose
