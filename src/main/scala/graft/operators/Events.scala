@@ -132,6 +132,31 @@ object Events {
         .orderBy("day")
     },
 
+    // DAU/MAU stickiness per day — the engagement-quality ratio product
+    // teams track (what share of the monthly audience shows up daily).
+    // Same interval-join shape as events_wau with a 30-day trailing
+    // window; the ratio stays exact as integer per-mille.
+    Op("events_stickiness",
+      "WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), " +
+      "spine AS (SELECT DISTINCT day FROM act), " +
+      "dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM act GROUP BY 1), " +
+      "mau AS (SELECT s.day, CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS mau " +
+      "FROM spine s JOIN act a ON a.day BETWEEN s.day - 29 AND s.day GROUP BY s.day) " +
+      "SELECT d.day, d.dau, m.mau, CAST((d.dau * 1000) // m.mau AS BIGINT) AS stickiness_permille " +
+      "FROM dau d JOIN mau m USING (day) ORDER BY d.day") { (s, d) =>
+      val act = ev(s, d).select(col("user_id"), col("ts").cast("date").as("day")).distinct()
+      val spine = act.select(col("day").as("anchor")).distinct()
+      val dau = act.groupBy("day").agg(count(lit(1)).as("dau"))
+      val mau = act.join(broadcast(spine),
+          col("day").between(date_sub(col("anchor"), 29), col("anchor")))
+        .groupBy(col("anchor").as("day"))
+        .agg(countDistinct("user_id").as("mau"))
+      dau.join(mau, "day")
+        .select(col("day"), col("dau"), col("mau"),
+          expr("CAST(dau * 1000 div mau AS BIGINT)").as("stickiness_permille"))
+        .orderBy("day")
+    },
+
     // Hourly volume anomaly flag: |count - mean| > 2·stddev over the hourly
     // series, evaluated entirely in BIGINT so it is bit-exact cross-engine —
     // z² > 4 rearranges to (n·cnt − total)² > 4·(n·sumsq − total²), no

@@ -104,7 +104,7 @@ object ScaleCheck {
       "events_session_stats", "dedup_cluster_sizes",
       "embed_label_quality", "embed_label_outliers", "pipeline_bpe_apply",
       "events_attribution", "events_props_stats",
-      "events_cohort_ltv", "corpus_winsorize") ++
+      "events_cohort_ltv", "corpus_winsorize", "events_stickiness") ++
       // The ORACLE op pins the fixture's 8x16 band shape, whose candidate
       // set grows ~n^2/2^8 — at 30x (60k vectors, ~2e8 candidate pairs) it
       // OOMs the JVM by design. Past 10x only the auto-sized library path
