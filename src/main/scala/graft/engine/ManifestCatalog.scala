@@ -114,7 +114,7 @@ object ManifestCatalog {
 
   // ---- per-session read-path refresh --------------------------------------
 
-  private case class SessionView(version: Long, managed: Set[String])
+  private case class SessionView(version: Long, managed: Set[String], skipped: Set[String])
 
   private val bySession = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession, SessionView]())
@@ -133,7 +133,11 @@ object ManifestCatalog {
     val exists = Files.isRegularFile(p)
     if (!exists && (cached == null || cached.managed.isEmpty)) return false
     val (version, entries) = if (exists) read(spark) else (0L, Map.empty[String, String])
-    if (cached != null && cached.version == version) return false
+    // The skip set is part of the view's identity: ROLLBACK drops a session's
+    // shadow temp view WITHOUT bumping the manifest version, so a version-only
+    // fast path would leave the previously-skipped table resolving to the base
+    // catalog table while another session's commit is still mid-fold.
+    if (cached != null && cached.version == version && cached.skipped == skip) return false
     val prevManaged = if (cached == null) Set.empty[String] else cached.managed
     val nowManaged = entries.keySet -- skip
     (prevManaged -- nowManaged).foreach(spark.catalog.dropTempView)
@@ -148,9 +152,26 @@ object ManifestCatalog {
     // either managed set (a commit publishes AND folds away between two of
     // this session's statements), so per-name refresh cannot be complete.
     spark.sessionState.catalog.invalidateAllCachedTables()
-    bySession.put(spark, SessionView(version, nowManaged))
+    bySession.put(spark, SessionView(version, nowManaged, skip))
     PlanCache.invalidate(spark)
     true
+  }
+
+  /** Drop this session's manifest temp view for `table`, if one is
+    * registered. Non-transactional write paths (`insertInto`) must call this
+    * first: during a commit's publish-to-drop window the refresh shadows the
+    * unqualified table name with a temp view in every reader session, and
+    * `insertInto` would resolve the VIEW and fail with "inserting into a
+    * view". The base overwrite the writer is about to perform makes the
+    * shadow moot for this session anyway.
+    */
+  def unshadow(spark: SparkSession, table: String): Unit = {
+    val cached = bySession.get(spark)
+    val name = table.split("\\.").last
+    if (cached != null && cached.managed.contains(name)) {
+      spark.catalog.dropTempView(name)
+      bySession.put(spark, cached.copy(managed = cached.managed - name))
+    }
   }
 
   // ---- deferred snapshot deletion ------------------------------------------

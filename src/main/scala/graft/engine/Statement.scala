@@ -508,6 +508,7 @@ object Statement {
           else if (o.contains("JSON")) reader.json(path)
           else reader.parquet(path)
         val n = df.count()
+        ManifestCatalog.unshadow(session.spark, table)
         df.write.insertInto(table)
         // Mutation outside PlanCache.sql: cached SELECT plans over this
         // table would otherwise serve pre-COPY data in the same session.
@@ -769,6 +770,7 @@ object Statement {
                 // ones returned, and expensive sources would pay double.
                 val pinned = full.localCheckpoint(true)
                 val ret = pinned.selectExpr(retItems: _*)
+                ManifestCatalog.unshadow(session.spark, table)
                 pinned.write.mode("append").insertInto(table)
                 PlanCache.invalidate(session.spark)
                 ret

@@ -112,8 +112,7 @@ object AsofJoinRewrite {
       val c = text.charAt(i)
       c match {
         case '\'' | '"' | '`' =>
-          val j = text.indexOf(c, i + 1)
-          val end = if (j < 0) n else j + 1
+          val end = SqlText.quotedEnd(text, i)
           sb.append(text.substring(i, end)); i = end
         case ch if Character.isLetter(ch) || ch == '_' =>
           var j = i
@@ -168,8 +167,7 @@ object AsofJoinRewrite {
     while (i < n) {
       sql.charAt(i) match {
         case c @ ('\'' | '"' | '`') =>
-          val j = sql.indexOf(c, i + 1)
-          val end = if (j < 0) n else j + 1
+          val end = SqlText.quotedEnd(sql, i)
           sb.append(sql.substring(i, end)); i = end
         case '(' =>
           val close =

@@ -78,8 +78,7 @@ object ColumnsRewrite {
       val c = item.charAt(i)
       c match {
         case '\'' | '"' | '`' =>
-          val j = item.indexOf(c, i + 1)
-          i = if (j < 0) n else j + 1
+          i = SqlText.quotedEnd(item, i)
         case ch if (Character.toUpperCase(ch) == 'C') &&
             i + 7 <= n && item.substring(i, i + 7).equalsIgnoreCase("COLUMNS") &&
             (i == 0 || (!Character.isLetterOrDigit(item.charAt(i - 1)) && item.charAt(i - 1) != '_')) =>

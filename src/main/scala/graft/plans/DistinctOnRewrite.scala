@@ -48,8 +48,7 @@ object DistinctOnRewrite {
     while (i < n) {
       sql.charAt(i) match {
         case c @ ('\'' | '"' | '`') =>
-          val j = sql.indexOf(c, i + 1)
-          val end = if (j < 0) n else j + 1
+          val end = SqlText.quotedEnd(sql, i)
           sb.append(sql.substring(i, end)); i = end
         case '(' =>
           val close = try matchingParen(sql, i) catch { case _: Exception => -1 }

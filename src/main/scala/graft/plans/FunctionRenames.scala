@@ -33,8 +33,7 @@ object FunctionRenames {
     while (i < n) {
       sql.charAt(i) match {
         case c @ ('\'' | '"' | '`') =>
-          val j = sql.indexOf(c, i + 1)
-          val end = if (j < 0) n else j + 1
+          val end = SqlText.quotedEnd(sql, i)
           sb.append(sql.substring(i, end)); i = end
         case _ =>
           val hit = renames.find { case (from, _) =>

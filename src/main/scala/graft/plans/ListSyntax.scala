@@ -34,8 +34,7 @@ object ListSyntax {
       val c = s.charAt(i)
       c match {
         case '\'' | '"' | '`' =>
-          val j = s.indexOf(c, i + 1)
-          val end = if (j < 0) n else j + 1
+          val end = SqlText.quotedEnd(s, i)
           sb.append(s.substring(i, end)); i = end
         case '[' =>
           val close = matchingBracket(s, i)
@@ -116,8 +115,7 @@ object ListSyntax {
     while (i < n) {
       s.charAt(i) match {
         case c @ ('\'' | '"' | '`') =>
-          val j = s.indexOf(c, i + 1)
-          i = if (j < 0) n else j + 1
+          i = SqlText.quotedEnd(s, i)
         case '(' | '[' => depth += 1; i += 1
         case ')' | ']' => depth -= 1; i += 1
         case ':' if depth == 0 =>
@@ -137,8 +135,7 @@ object ListSyntax {
     while (i < n) {
       s.charAt(i) match {
         case c @ ('\'' | '"' | '`') =>
-          val j = s.indexOf(c, i + 1)
-          i = if (j < 0) n else j + 1
+          i = SqlText.quotedEnd(s, i)
         case '(' | '[' => depth += 1; i += 1
         case ')' | ']' => depth -= 1; i += 1
         case c if depth == 0 && Character.toUpperCase(c) == w.charAt(0) =>
@@ -161,8 +158,7 @@ object ListSyntax {
     while (i < n) {
       s.charAt(i) match {
         case c @ ('\'' | '"' | '`') =>
-          val j = s.indexOf(c, i + 1)
-          i = if (j < 0) n else j
+          i = SqlText.quotedEnd(s, i) - 1
         case '[' => depth += 1
         case ']' =>
           depth -= 1

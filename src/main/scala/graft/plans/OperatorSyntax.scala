@@ -13,12 +13,28 @@ package graft.plans
   */
 private[plans] object SqlText {
 
+  /** End (exclusive) of the quoted literal opening at `from`. Honors the
+    * host parser's escaping rules — backslash escapes inside '…'/"…" and
+    * doubled quotes in all three styles — so a literal like 'a\'b(' cannot
+    * end early and desync a caller's paren/cast stack (ADVICE r9).
+    */
   private def quoteEnd(s: CharSequence, from: Int, q: Char): Int = {
     var j = from + 1
     val n = s.length
-    while (j < n && s.charAt(j) != q) j += 1
-    math.min(j + 1, n)
+    while (j < n) {
+      val c = s.charAt(j)
+      if (c == '\\' && q != '`' && j + 1 < n) j += 2
+      else if (c == q) {
+        if (j + 1 < n && s.charAt(j + 1) == q) j += 2
+        else return j + 1
+      } else j += 1
+    }
+    n
   }
+
+  /** Public form: `s.charAt(from)` must be the opening quote char. */
+  def quotedEnd(s: CharSequence, from: Int): Int =
+    quoteEnd(s, from, s.charAt(from))
 
   /** End index (exclusive) of the balanced ()/[] group opening at `from`. */
   private def groupEnd(s: CharSequence, from: Int): Int = {
@@ -172,8 +188,7 @@ object OperatorSyntax {
       val c = s.charAt(i)
       c match {
         case '\'' | '"' | '`' =>
-          val j = s.indexOf(c, i + 1)
-          val end = if (j < 0) n else j + 1
+          val end = SqlText.quotedEnd(s, i)
           sb.append(s.substring(i, end)); i = end
         case '/' if i + 1 < n && s.charAt(i + 1) == '/' =>
           sb.append(" div "); i += 2

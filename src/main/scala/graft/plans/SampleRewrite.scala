@@ -38,8 +38,7 @@ object SampleRewrite {
       val c = sql.charAt(i)
       c match {
         case '\'' | '"' | '`' =>
-          val j = sql.indexOf(c, i + 1)
-          val end = if (j < 0) n else j + 1
+          val end = SqlText.quotedEnd(sql, i)
           sb.append(sql.substring(i, end)); i = end
         case 'u' | 'U' =>
           ClauseRe.findPrefixMatchOf(sql.subSequence(i, n)) match {

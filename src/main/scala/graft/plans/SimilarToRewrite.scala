@@ -56,8 +56,7 @@ object SimilarToRewrite {
     while (i < n) {
       sql.charAt(i) match {
         case c @ ('\'' | '"' | '`') =>
-          val j = sql.indexOf(c, i + 1)
-          val end = if (j < 0) n else j + 1
+          val end = SqlText.quotedEnd(sql, i)
           sb.append(sql.substring(i, end)); i = end
         case _ if wordAt(i, "SIMILAR") && {
             val k = skipWs(i + 7); wordAt(k, "TO")

@@ -47,9 +47,7 @@ object StarReplace {
     while (i < n) {
       sql.charAt(i) match {
         case '\'' | '"' | '`' =>
-          val q = sql.charAt(i)
-          val j = sql.indexOf(q, i + 1)
-          i = if (j < 0) n else j + 1
+          i = SqlText.quotedEnd(sql, i)
         case c if Character.toUpperCase(c) == 'R' &&
             i + 7 <= n && sql.substring(i, i + 7).equalsIgnoreCase("REPLACE") &&
             (i == 0 || !isWord(sql.charAt(i - 1))) &&

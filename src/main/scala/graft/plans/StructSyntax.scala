@@ -27,8 +27,7 @@ object StructSyntax {
       val c = s.charAt(i)
       c match {
         case '\'' | '"' | '`' =>
-          val j = s.indexOf(c, i + 1)
-          val end = if (j < 0) n else j + 1
+          val end = SqlText.quotedEnd(s, i)
           sb.append(s.substring(i, end)); i = end
         case '{' =>
           val close = matchingBrace(s, i)
@@ -81,8 +80,7 @@ object StructSyntax {
     while (i < n) {
       p.charAt(i) match {
         case c @ ('\'' | '"' | '`') =>
-          val j = p.indexOf(c, i + 1)
-          i = if (j < 0) n else j + 1
+          i = SqlText.quotedEnd(p, i)
         case '(' | '[' | '{' => depth += 1; i += 1
         case ')' | ']' | '}' => depth -= 1; i += 1
         case ':' if depth == 0 =>
@@ -104,8 +102,7 @@ object StructSyntax {
     while (i < n) {
       s.charAt(i) match {
         case c @ ('\'' | '"' | '`') =>
-          val j = s.indexOf(c, i + 1)
-          val end = if (j < 0) n else j + 1
+          val end = SqlText.quotedEnd(s, i)
           cur.append(s.substring(i, end)); i = end
         case '(' | '[' | '{' => depth += 1; cur.append(s.charAt(i)); i += 1
         case ')' | ']' | '}' => depth -= 1; cur.append(s.charAt(i)); i += 1
@@ -124,8 +121,7 @@ object StructSyntax {
     while (i < n) {
       s.charAt(i) match {
         case c @ ('\'' | '"' | '`') =>
-          val j = s.indexOf(c, i + 1)
-          i = if (j < 0) n else j
+          i = SqlText.quotedEnd(s, i) - 1
         case '{' => depth += 1
         case '}' =>
           depth -= 1

@@ -160,6 +160,7 @@ object RowDml {
     try {
       if (partitionScoped)
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      graft.engine.ManifestCatalog.unshadow(spark, name)
       staged.write.mode("overwrite").insertInto(name)
     } finally {
       prev match {

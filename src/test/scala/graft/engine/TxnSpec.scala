@@ -254,6 +254,33 @@ class TxnSpec extends AnyFunSuite {
       "reconciliation must drop the folded manifest entry")
   }
 
+  test("refresh honors a skip-set change at the same manifest version (post-rollback staleness)") {
+    // ADVICE r9: ROLLBACK drops a session's shadow temp view without
+    // bumping the manifest version. If refresh() fast-paths on version
+    // alone, the previously-skipped table falls back to the BASE catalog
+    // table while another session's commit is mid-fold. The skip set must
+    // be part of the cached view's identity.
+    val s = sessions.getOrCreate("txn-s12", "alice", "admin")
+    fresh(s, "txn_t12")
+    val root = TxnJournal.stageRoot(s.spark)
+    val dir = root.resolve(java.util.UUID.randomUUID().toString).toString
+    s.spark.sql("SELECT id, v * 5 AS v FROM txn_t12").write.parquet(dir)
+    ManifestCatalog.publish(s.spark, Seq("txn_t12" -> dir))
+    try {
+      // Own-txn view: skip the table (read-your-writes outranks manifest).
+      ManifestCatalog.refresh(s.spark, skip = Set("txn_t12"))
+      assert(vs(s, "txn_t12") == Seq(10.0, 20.0, 30.0))
+      // Post-rollback: same version, empty skip — must re-register the
+      // manifest view, not no-op.
+      ManifestCatalog.refresh(s.spark)
+      assert(vs(s, "txn_t12") == Seq(50.0, 100.0, 150.0),
+        "skip-set change at an unmoved manifest version must re-resolve through the manifest")
+    } finally {
+      ManifestCatalog.drop(s.spark, Seq("txn_t12" -> dir))
+      ManifestCatalog.refresh(s.spark)
+    }
+  }
+
   test("a journal whose staged data is gone refuses recovery") {
     val s = sessions.getOrCreate("txn-s8", "alice", "admin")
     fresh(s, "txn_t8")

@@ -84,6 +84,19 @@ class OperatorSyntaxSpec extends AnyFunSuite {
     assert(one("SELECT array(10, 20, 30)[1] AS x") == 20)
   }
 
+  test("escaped quotes inside literals do not desync the cast stack") {
+    // ADVICE r9: a backslash-escaped quote ('a\'b(') ended the literal
+    // scan early; the trailing paren inside the literal then desynced the
+    // cast stack and could flip the VARCHAR rewrite later in the statement.
+    assert(one("SELECT 'a\\'b(' AS s, CAST(7 AS VARCHAR) AS c") == "a'b(")
+    assert(spark.sql(Dialect.rewrite(
+      "SELECT 'a\\'b(' AS s, CAST(7 AS VARCHAR) AS c")).collect().head.get(1) == "7")
+    // doubled-quote escape form, same hazard
+    assert(one("SELECT 'a''b)(' AS s, 8::VARCHAR AS c") == "a'b)(")
+    // backquoted identifier with doubled backquote
+    assert(one("SELECT 1 AS `we``ird(`") == 1)
+  }
+
   test("generate_series as a table function (inclusive)") {
     val rows = spark.sql(Dialect.rewrite(
       "SELECT * FROM generate_series(1, 3)")).collect().map(_.get(0))

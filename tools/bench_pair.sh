@@ -86,10 +86,18 @@ B_TOTAL=$(python3 -c "import json;print(json.load(open('tools/bench_last.json'))
 # deliberately NOT a criterion: both engines slow proportionally under
 # host capping, so a better ratio from a slower host is a conservative
 # claim (the r7 host-speed keep-best pinned a stale 2.16x pair forever).
-if python3 - "$A_TOTAL" "$A2_TOTAL" "$B_TOTAL" "$SF_NAME" <<'EOF'
+# Code fingerprint: keep-best only compares pairs measured on the SAME code
+# (ADVICE r9: an all-time-best sidecar that survives code changes would
+# silently discard a pair that regressed BECAUSE of a code change and pin
+# bench_last to a stale measurement of older code). HEAD sha + dirty diff
+# of the bench classpath inputs.
+CODE_SHA=$( (git rev-parse HEAD 2>/dev/null; git diff HEAD -- src/main build.sbt 2>/dev/null) | md5sum | cut -d' ' -f1)
+
+if python3 - "$A_TOTAL" "$A2_TOTAL" "$B_TOTAL" "$SF_NAME" "$CODE_SHA" <<'EOF'
 import json, shutil, sys
 a, a2, b = map(float, sys.argv[1:4])
 sf = sys.argv[4]
+code_sha = sys.argv[5]
 drift = abs(a - a2) / min(a, a2)
 ratio = b / max(a, a2)
 print(f"duckdb A={a:.3f}s A'={a2:.3f}s (drift {drift*100:.1f}%)  spark B={b:.3f}s  ratio(vs max)={ratio:.2f}x")
@@ -101,12 +109,16 @@ try:
     bb = json.load(open(best_p))
     best_ratio = bb["value"] / max(bb["comparator"]["total"],
         json.load(open(cbest_p))["total"])
+    if bb.get("code_sha") != code_sha:
+        best_ratio = None  # stale: measured on different code — must not gate HEAD
 except Exception:
     best_ratio = None
 if best_ratio is None or ratio < best_ratio:
-    shutil.copy("tools/bench_last.json", best_p)
+    cur = json.load(open("tools/bench_last.json"))
+    cur["code_sha"] = code_sha
+    json.dump(cur, open(best_p, "w"))
     shutil.copy(f"tools/comparator_{sf}.json", cbest_p)
-    print(f"NEW BEST ratio {ratio:.2f}x banked (was {best_ratio and f'{best_ratio:.2f}x' or 'none'})")
+    print(f"NEW BEST ratio {ratio:.2f}x banked (was {best_ratio and f'{best_ratio:.2f}x' or 'none/stale'})")
 else:
     # restore the best pair into the banked slot; keep this window aside
     shutil.copy("tools/bench_last.json", "tools/bench_last_noisy.json")
