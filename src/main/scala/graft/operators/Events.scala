@@ -113,10 +113,14 @@ object Events {
 
     // Rolling weekly-active-users per day (the DAU/WAU/MAU staple). COUNT
     // (DISTINCT) over a RANGE frame isn't a window Spark (or most engines)
-    // supports, so the rolling set is an interval join: distinct (user, day)
-    // activity against the (small) day spine, re-counted per anchor day.
-    // Shuffles on the activity day; the spine broadcasts. Exact integers —
-    // deterministic cross-engine.
+    // supports. The scale-safe shape is a bounded EXPLODE, not an interval
+    // join: each (user, day) covers exactly the 7 anchor days day..day+6,
+    // so generating them (sequence+explode, codegen) and equi-joining the
+    // day spine is O(7×act) rows through a hash join — vs the r8/r9
+    // broadcast-nested-loop BETWEEN whose O(act×days) predicate evaluations
+    // dominate at years-of-events scale. Spine broadcasts (hash, not BNL);
+    // expansion happens BEFORE the shuffle so AQE sees the real bytes.
+    // Exact integers — deterministic cross-engine.
     Op("events_wau",
       "WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), " +
       "spine AS (SELECT DISTINCT day FROM act) " +
@@ -125,8 +129,9 @@ object Events {
       "GROUP BY s.day ORDER BY s.day") { (s, d) =>
       val act = ev(s, d).select(col("user_id"), col("ts").cast("date").as("day")).distinct()
       val spine = act.select(col("day").as("anchor")).distinct()
-      act.join(broadcast(spine),
-          col("day").between(date_sub(col("anchor"), 6), col("anchor")))
+      act.select(col("user_id"),
+          explode(sequence(col("day"), date_add(col("day"), 6))).as("anchor"))
+        .join(broadcast(spine), "anchor")
         .groupBy(col("anchor").as("day"))
         .agg(countDistinct("user_id").as("wau"))
         .orderBy("day")
@@ -134,8 +139,10 @@ object Events {
 
     // DAU/MAU stickiness per day — the engagement-quality ratio product
     // teams track (what share of the monthly audience shows up daily).
-    // Same interval-join shape as events_wau with a 30-day trailing
-    // window; the ratio stays exact as integer per-mille.
+    // Same bounded-explode shape as events_wau with a 30-day trailing
+    // window (30× row expansion, equi-join on day — no nested-loop scan
+    // of the spine per activity row); the ratio stays exact as integer
+    // per-mille.
     Op("events_stickiness",
       "WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), " +
       "spine AS (SELECT DISTINCT day FROM act), " +
@@ -147,8 +154,9 @@ object Events {
       val act = ev(s, d).select(col("user_id"), col("ts").cast("date").as("day")).distinct()
       val spine = act.select(col("day").as("anchor")).distinct()
       val dau = act.groupBy("day").agg(count(lit(1)).as("dau"))
-      val mau = act.join(broadcast(spine),
-          col("day").between(date_sub(col("anchor"), 29), col("anchor")))
+      val mau = act.select(col("user_id"),
+          explode(sequence(col("day"), date_add(col("day"), 29))).as("anchor"))
+        .join(broadcast(spine), "anchor")
         .groupBy(col("anchor").as("day"))
         .agg(countDistinct("user_id").as("mau"))
       dau.join(mau, "day")
