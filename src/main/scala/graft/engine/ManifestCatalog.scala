@@ -142,7 +142,21 @@ object ManifestCatalog {
     val nowManaged = entries.keySet -- skip
     (prevManaged -- nowManaged).foreach(spark.catalog.dropTempView)
     entries.foreach { case (t, d) =>
-      if (!skip.contains(t)) spark.read.parquet(d).createOrReplaceTempView(t)
+      if (!skip.contains(t)) {
+        // Partition-structured snapshots (the autocommit DML path writes
+        // those) read back with partition columns LAST; re-select into the
+        // catalog table's declared order so SELECT * through the manifest
+        // view matches the base table exactly.
+        val raw = spark.read.parquet(d)
+        val ordered = try {
+          val cols = spark.sessionState.catalog.getTableMetadata(
+            spark.sessionState.sqlParser.parseTableIdentifier(t)).schema.fieldNames
+          if (cols.sorted.sameElements(raw.columns.sorted))
+            raw.select(cols.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+          else raw
+        } catch { case _: Exception => raw }
+        ordered.createOrReplaceTempView(t)
+      }
     }
     // A moved manifest means base tables were (or are being) folded by a
     // commit: purge this session's cached relations wholesale, or a

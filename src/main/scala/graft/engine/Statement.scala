@@ -508,8 +508,12 @@ object Statement {
           else if (o.contains("JSON")) reader.json(path)
           else reader.parquet(path)
         val n = df.count()
-        ManifestCatalog.unshadow(session.spark, table)
-        df.write.insertInto(table)
+        // Commit lock: a concurrent transaction COMMIT folding this table
+        // finishes first, so the append lands on the post-commit base and
+        // can never be clobbered by an in-flight fold (r10 review, medium).
+        CommitLock.withExclusiveWrite(session.spark, table) {
+          df.write.insertInto(table)
+        }
         // Mutation outside PlanCache.sql: cached SELECT plans over this
         // table would otherwise serve pre-COPY data in the same session.
         PlanCache.invalidate(session.spark)
@@ -770,8 +774,10 @@ object Statement {
                 // ones returned, and expensive sources would pay double.
                 val pinned = full.localCheckpoint(true)
                 val ret = pinned.selectExpr(retItems: _*)
-                ManifestCatalog.unshadow(session.spark, table)
-                pinned.write.mode("append").insertInto(table)
+                // see COPY FROM: serialize against in-flight commit folds
+                CommitLock.withExclusiveWrite(session.spark, table) {
+                  pinned.write.mode("append").insertInto(table)
+                }
                 PlanCache.invalidate(session.spark)
                 ret
               case _ => throw new IllegalArgumentException(
@@ -807,9 +813,33 @@ object Statement {
                   "only row-level UPDATE/DELETE/MERGE are transactional inside " +
                   "BEGIN ... COMMIT; COMMIT or ROLLBACK first")
             }
-            // Repeated pure statements reuse their analyzed plan; commands
-            // bypass and flush the cache (PlanCache's contract).
-            PlanCache.sql(session.spark, sql2)
+            // Plain INSERT INTO <table> is a non-transactional write like
+            // COPY FROM: take the target's commit lock so it waits out any
+            // in-flight transaction fold on the table (and sheds a stale
+            // manifest shadow) instead of racing it or failing with
+            // "inserting into a view" during the publish window.
+            val insertTarget: Option[String] =
+              if (sql2.trim.regionMatches(true, 0, "INSERT", 0, 6))
+                session.spark.sessionState.sqlParser.parsePlan(sql2) match {
+                  case i: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement =>
+                    i.table match {
+                      case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+                        Some(r.multipartIdentifier.mkString("."))
+                      case _ => None
+                    }
+                  case _ => None
+                }
+              else None
+            insertTarget match {
+              case Some(t) =>
+                CommitLock.withExclusiveWrite(session.spark, t) {
+                  PlanCache.sql(session.spark, sql2)
+                }
+              case None =>
+                // Repeated pure statements reuse their analyzed plan; commands
+                // bypass and flush the cache (PlanCache's contract).
+                PlanCache.sql(session.spark, sql2)
+            }
         }
     }
   }

@@ -61,6 +61,10 @@ object TxnDml {
     // Drop the shadows FIRST so insertInto resolves the catalog tables, not
     // the temp views (inserting into a view is an error).
     entries.foreach { case (name, _) => spark.catalog.dropTempView(name) }
+    // Per-table commit locks for the whole journal→fold→drop window: a
+    // concurrent writer on any touched table waits out the fold instead of
+    // racing it ([[CommitLock]]).
+    CommitLock.withTables(entries.map(_._1)) {
     val journal = TxnJournal.write(spark, txn.id, entries)
     // VISIBILITY point: one atomic manifest rename maps every touched table
     // to its post-image BEFORE any base table is overwritten. Reader
@@ -69,7 +73,7 @@ object TxnDml {
     // next to table B old ([[ManifestCatalog]]).
     ManifestCatalog.publish(spark, entries)
     val applied = entries.map { case (name, dir) =>
-      spark.read.parquet(dir).write.mode("overwrite").insertInto(name)
+      TxnJournal.foldFull(spark, name, dir)
       name
     }
     TxnJournal.clear(journal)
@@ -86,6 +90,7 @@ object TxnDml {
     ManifestCatalog.tombstone(spark, entries.map(_._2))
     ManifestCatalog.reapTombstones(spark)
     applied
+    }
   }
 
   /** Discard the transaction's shadows; the catalog tables were never

@@ -86,6 +86,20 @@ object TxnJournal {
   /** Commit completed: the journal is obsolete. */
   def clear(journal: Path): Unit = { Files.deleteIfExists(journal); () }
 
+  /** Fold a staged FULL post-image into its base table (static overwrite).
+    * Columns are re-selected into the CATALOG table's order by name first:
+    * `insertInto` is positional, and a partition-structured snapshot (the
+    * autocommit DML path writes those) reads back with its partition
+    * columns LAST regardless of the table's declared order.
+    */
+  def foldFull(spark: SparkSession, table: String, staged: String): Unit = {
+    val cols = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table)).schema.fieldNames
+    spark.read.parquet(staged)
+      .select(cols.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+      .write.mode("overwrite").insertInto(table)
+  }
+
   /** Redo every in-flight commit found in the journal dir (bootstrap path).
     *
     * Each journal lists full post-images, so redo is a plain re-apply of
@@ -122,7 +136,7 @@ object TxnJournal {
               "partially-committed catalog")
       }
       val applied = entries.map { case (table, staged) =>
-        spark.read.parquet(staged).write.mode("overwrite").insertInto(table)
+        foldFull(spark, table, staged)
         s"$txnId:$table"
       }
       clear(j)
@@ -153,7 +167,7 @@ object TxnJournal {
         throw new IllegalStateException(
           s"table manifest references missing snapshot dir $staged for $table — " +
             "refusing to serve a partially-visible catalog")
-      spark.read.parquet(staged).write.mode("overwrite").insertInto(table)
+      foldFull(spark, table, staged)
     }
     ManifestCatalog.drop(spark, entries.toSeq)
   }

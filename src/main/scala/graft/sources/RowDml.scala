@@ -17,6 +17,13 @@ import org.apache.spark.sql.functions._
   *   rewrite ONLY the affected partitions (dynamic partition overwrite);
   *   unpartitioned tables rewrite fully.
   *
+  * A bare (non-BEGIN) statement is an IMPLICIT ONE-STATEMENT TRANSACTION:
+  * the default [[rewrite]] sink stages the post-image durably, journals,
+  * publishes a manifest entry, then folds — kill -9 at any point leaves the
+  * table readable at exactly the pre- or post-image (reference autocommit:
+  * `/root/reference/src/duckdb/duckdb_server.cpp:1987-2014`), and the whole
+  * statement holds the table's commit lock so concurrent writers serialize.
+  *
   * Scale posture: the rewrite is a distributed scan+write of the affected
   * partitions only — the same cost model every copy-on-write lakehouse
   * format pays. Statements are PARSED BY SPARK'S OWN PARSER (UpdateTable /
@@ -73,19 +80,31 @@ object RowDml {
   def execute(spark: SparkSession, sql: String,
       sink: Sink = rewrite, allowPartitionScope: Boolean = true): DataFrame = {
     val (core, returning) = splitReturning(sql)
+    // The whole statement — pre-image read, post-image computation, and the
+    // sink's fold — runs under the target table's commit lock: two
+    // concurrent autocommitted DMLs on one table serialize instead of both
+    // reading the same pre-image and last-writer-wins dropping one of them,
+    // and a bare DML can never interleave with a transaction COMMIT's fold
+    // window on the same table ([[graft.engine.CommitLock]]).
     spark.sessionState.sqlParser.parsePlan(core) match {
       case u: UpdateTable =>
         val (name, alias) = relationOf(u.table)
-        update(spark, name, alias, u.assignments, u.condition, sink,
-          allowPartitionScope, returning)
+        graft.engine.CommitLock.withTables(Seq(name)) {
+          update(spark, name, alias, u.assignments, u.condition, sink,
+            allowPartitionScope, returning)
+        }
       case d: DeleteFromTable =>
         val (name, alias) = relationOf(d.table)
-        delete(spark, name, alias, Option(d.condition), sink,
-          allowPartitionScope, returning)
+        graft.engine.CommitLock.withTables(Seq(name)) {
+          delete(spark, name, alias, Option(d.condition), sink,
+            allowPartitionScope, returning)
+        }
       case m: MergeIntoTable =>
         if (returning.nonEmpty) throw new UnsupportedOperationException(
           "RETURNING is not supported on MERGE (DuckDB parity)")
-        merge(spark, m, sink)
+        graft.engine.CommitLock.withTables(Seq(relationOf(m.targetTable)._1)) {
+          merge(spark, m, sink)
+        }
       case other =>
         throw new IllegalArgumentException(
           s"not a row-level DML statement: ${other.getClass.getSimpleName}")
@@ -144,30 +163,143 @@ object RowDml {
       spark.sessionState.catalog.getTableMetadata(id).partitionColumnNames
     } catch { case _: Exception => Seq.empty }
 
-  /** Copy-on-write rewrite: stage the new rows (a table cannot be read and
-    * overwritten in one plan), then INSERT OVERWRITE. With `parts` nonEmpty
-    * the staged frame holds only the affected partitions' rows and dynamic
-    * partition overwrite leaves every other partition's files untouched.
+  /** Autocommitted copy-on-write rewrite — an implicit one-statement
+    * transaction riding the same journal + manifest protocol as
+    * BEGIN…COMMIT ([[graft.engine.TxnDml.commitApply]]):
+    *
+    *   1. stage a durable FULL post-image snapshot under the warehouse
+    *      (a table cannot be read and overwritten in one plan anyway, so
+    *      the statement was always paying this write);
+    *   2. write the commit journal (fsync + atomic rename — the redo
+    *      point: kill -9 anywhere after this and bootstrap recovery folds
+    *      the post-image; before it, the base was never touched — the
+    *      table is always readable at pre- OR post-image, never partial);
+    *   3. publish the manifest entry (the visibility point for readers);
+    *   4. fold into the base, clear the journal, drop the entry, tombstone
+    *      the snapshot. Reference autocommit semantics:
+    *      `/root/reference/src/duckdb/duckdb_server.cpp:1987-2014`.
+    *
+    * Partition-scoped statements stay partition-scoped at every data-sized
+    * step: the snapshot WRITES only the affected partitions and composes
+    * the full post-image by HARDLINKING the unaffected base partition dirs
+    * (O(partitions) metadata, zero data movement — the same trick a
+    * lakehouse manifest plays with file pointers), and the fold reads back
+    * only the written partitions under dynamic partition overwrite, leaving
+    * every other partition's files byte-identical. Only the crash-redo path
+    * pays a full fold, and only after an actual crash.
     */
   private def rewrite(spark: SparkSession, name: String, newRows: DataFrame,
       partitionScoped: Boolean): Unit = {
-    val cols = spark.table(name).columns
-    val stage = s"${System.getProperty("java.io.tmpdir")}/graft-dml-stage/" +
-      java.util.UUID.randomUUID().toString
-    newRows.select(cols.map(col).toIndexedSeq: _*).write.parquet(stage)
-    val staged = spark.read.parquet(stage)
+    import graft.engine.{ManifestCatalog, TxnJournal}
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(name))
+    val cols = meta.schema.fieldNames
+    val parts = meta.partitionColumnNames
+    val scoped = partitionScoped && parts.nonEmpty
+    val stage = TxnJournal.stageRoot(spark)
+      .resolve(java.util.UUID.randomUUID().toString)
+    val aligned = newRows.select(cols.map(col).toIndexedSeq: _*)
+    if (scoped) aligned.write.partitionBy(parts: _*).parquet(stage.toString)
+    else aligned.write.parquet(stage.toString)
+    val affectedLeaves = if (scoped) leafPartitionDirs(stage, parts.length) else Nil
+    if (scoped && affectedLeaves.isEmpty) {
+      // zero affected partitions — post-image == pre-image, nothing to fold
+      deleteTree(stage)
+      return
+    }
+    if (scoped)
+      linkUnaffectedPartitions(
+        java.nio.file.Paths.get(meta.location), stage, parts.length, affectedLeaves.toSet)
+    val entries = Seq(name -> stage.toString)
+    val journal = TxnJournal.write(spark,
+      s"auto-${java.util.UUID.randomUUID()}", entries)
+    ManifestCatalog.publish(spark, entries)
+    // Inside our commit lock a leftover shadow can only be a stale manifest
+    // view from an already-folded commit — drop it so insertInto resolves
+    // the base table.
+    ManifestCatalog.unshadow(spark, name)
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     try {
-      if (partitionScoped)
+      if (scoped) {
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      graft.engine.ManifestCatalog.unshadow(spark, name)
-      staged.write.mode("overwrite").insertInto(name)
+        spark.read.option("basePath", stage.toString)
+          .parquet(affectedLeaves.map(l => stage.resolve(l).toString): _*)
+          .select(cols.map(col).toIndexedSeq: _*)
+          .write.mode("overwrite").insertInto(name)
+      } else {
+        spark.read.parquet(stage.toString)
+          .select(cols.map(col).toIndexedSeq: _*)
+          .write.mode("overwrite").insertInto(name)
+      }
     } finally {
       prev match {
         case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
         case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
       }
     }
+    TxnJournal.clear(journal)
+    ManifestCatalog.drop(spark, entries)
+    ManifestCatalog.tombstone(spark, Seq(stage.toString))
+    ManifestCatalog.reapTombstones(spark)
+  }
+
+  /** Relative paths of the leaf partition dirs (depth = partition columns)
+    * under `root` — the partitions the snapshot write actually produced.
+    */
+  private def leafPartitionDirs(root: java.nio.file.Path, depth: Int): Seq[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    def walk(p: java.nio.file.Path, d: Int): Seq[java.nio.file.Path] =
+      if (d == 0) Seq(p)
+      else {
+        val s = java.nio.file.Files.list(p)
+        try s.iterator().asScala.filter(q =>
+          java.nio.file.Files.isDirectory(q) && q.getFileName.toString.contains("="))
+          .toSeq.flatMap(walk(_, d - 1))
+        finally s.close()
+      }
+    if (!java.nio.file.Files.isDirectory(root)) Nil
+    else walk(root, depth).map(root.relativize)
+  }
+
+  /** Compose the full post-image: for every base leaf partition NOT among
+    * the snapshot's written leaves, hardlink its data files into the
+    * snapshot at the same relative path. Hardlinks share inodes, so the
+    * snapshot stays valid even after a later fold replaces the base names;
+    * a filesystem that refuses the link gets a plain copy. Hidden files
+    * (.crc sidecars, _SUCCESS) are skipped — a linked parquet file without
+    * its checksum sidecar reads fine, a mismatched one would not.
+    */
+  private def linkUnaffectedPartitions(base: java.nio.file.Path,
+      snapshot: java.nio.file.Path, depth: Int,
+      written: Set[java.nio.file.Path]): Unit = {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    leafPartitionDirs(base, depth).filterNot(written.contains).foreach { rel =>
+      val dst = snapshot.resolve(rel)
+      Files.createDirectories(dst)
+      val s = Files.list(base.resolve(rel))
+      try s.iterator().asScala
+        .filter(f => Files.isRegularFile(f) && {
+          val n = f.getFileName.toString
+          !n.startsWith("_") && !n.startsWith(".")
+        })
+        .foreach { f =>
+          try Files.createLink(dst.resolve(f.getFileName), f)
+          catch { case _: Exception => Files.copy(f, dst.resolve(f.getFileName)); () }
+        }
+      finally s.close()
+    }
+  }
+
+  private def deleteTree(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (!java.nio.file.Files.exists(p)) return
+    if (java.nio.file.Files.isDirectory(p)) {
+      val s = java.nio.file.Files.list(p)
+      try s.iterator().asScala.toSeq.foreach(deleteTree) finally s.close()
+    }
+    java.nio.file.Files.deleteIfExists(p)
+    ()
   }
 
   private def affectedResult(spark: SparkSession, n: Long): DataFrame = {
@@ -207,7 +339,10 @@ object RowDml {
       returningResult(postImage, items)
     }
     val parts = partitionCols(spark, name)
-    if (parts.nonEmpty && allowPartitionScope) {
+    if (affected == 0) {
+      // No row matched: post-image == pre-image — skip the rewrite entirely
+      // (a no-op UPDATE costs one count scan, not a table fold).
+    } else if (parts.nonEmpty && allowPartitionScope) {
       // Updates keep every row, so an affected partition can never empty out:
       // rewriting just those partitions is always sound. (An update to a
       // partition COLUMN moves rows across partitions — rewrite both sides.)
@@ -236,7 +371,9 @@ object RowDml {
     val ret = returning.map(items => returningResult(df.filter(cond), items))
     val kept = df.filter(!cond)
     val parts = partitionCols(spark, name)
-    if (parts.nonEmpty && allowPartitionScope) {
+    if (affected == 0) {
+      // nothing deleted: skip the rewrite (see update)
+    } else if (parts.nonEmpty && allowPartitionScope) {
       val affectedParts = df.filter(cond).select(parts.map(col).toIndexedSeq: _*).distinct()
       val keptInAffected = kept.join(broadcast(affectedParts), parts, "left_semi")
       // Dynamic overwrite only rewrites partitions PRESENT in the written
@@ -335,7 +472,8 @@ object RowDml {
         j.withColumn("__iidx", iIdx).filter(col("__iidx") >= 0).count()
 
       // MERGE can insert into any partition, so the rewrite is table-scoped.
-      sink(spark, tName, survivors.unionByName(inserts), false)
+      // Zero matched actions and zero inserts leave the table untouched.
+      if (affected > 0) sink(spark, tName, survivors.unionByName(inserts), false)
       affectedResult(spark, affected)
     } finally j.unpersist()
   }

@@ -180,6 +180,113 @@ class DmlSpec extends AnyFunSuite {
     assert(after == Seq("it's a — isn't it", "wasn't", "new'un"))
   }
 
+  test("bare DML is an implicit transaction: journal cleared, manifest dropped on completion") {
+    import spark.implicits._
+    import graft.engine.{ManifestCatalog, TxnJournal}
+    freshTable("dml_a1")
+    Seq((1, 1.0), (2, 2.0)).toDF("id", "v").write.saveAsTable("dml_a1")
+    RowDml.execute(spark, "UPDATE dml_a1 SET v = v * 2 WHERE id = 1")
+    assert(spark.table("dml_a1").orderBy("id").select("v").as[Double].collect().toSeq
+      == Seq(2.0, 2.0))
+    val jdir = TxnJournal.journalDir(spark)
+    assert(!java.nio.file.Files.isDirectory(jdir) ||
+      !java.nio.file.Files.list(jdir).iterator().hasNext,
+      "completed autocommit must clear its journal")
+    assert(!ManifestCatalog.read(spark)._2.contains("dml_a1"),
+      "completed autocommit must drop its manifest entry")
+  }
+
+  test("autocommit snapshot of a partition-scoped UPDATE is a FULL post-image (hardlink composition)") {
+    import spark.implicits._
+    import graft.engine.TxnJournal
+    freshTable("dml_a2")
+    // keep this test's snapshot alive past its tombstone
+    spark.conf.set("spark.graft.txn.snapshotGraceMs", (60L * 60 * 1000).toString)
+    Seq((1, "p0", 1.0), (2, "p1", 2.0), (3, "p2", 3.0))
+      .toDF("id", "part", "v").write.partitionBy("part").saveAsTable("dml_a2")
+    val root = TxnJournal.stageRoot(spark)
+    def stagedDirs: Set[java.nio.file.Path] = {
+      import scala.jdk.CollectionConverters._
+      if (!java.nio.file.Files.isDirectory(root)) Set.empty
+      else java.nio.file.Files.list(root).iterator().asScala.toSet
+    }
+    val before = stagedDirs
+    RowDml.execute(spark, "UPDATE dml_a2 SET v = v * 10 WHERE part = 'p1'")
+    val snap = (stagedDirs -- before).head
+    // The snapshot wrote only partition p1 but must READ as the whole
+    // table's post-image — the unaffected partitions are hardlinked in.
+    val snapRows = spark.read.parquet(snap.toString)
+      .select("id", "part", "v").orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(snapRows == Seq((1, "p0", 1.0), (2, "p1", 20.0), (3, "p2", 3.0)))
+
+    // Crash-redo drill on the partition-structured snapshot: corrupt the
+    // base, journal the snapshot, recover — foldFull must restore the full
+    // post-image with the catalog column order (partition col reads LAST
+    // from the snapshot but sits mid-schema in the table).
+    spark.sql("INSERT OVERWRITE TABLE dml_a2 SELECT 99 AS id, CAST(0 AS DOUBLE) AS v, 'px' AS part")
+    assert(spark.table("dml_a2").count() == 1)
+    TxnJournal.write(spark, "auto-crash-a2", Seq("dml_a2" -> snap.toString))
+    TxnJournal.recover(spark)
+    val after = spark.table("dml_a2").select("id", "part", "v").orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(after == Seq((1, "p0", 1.0), (2, "p1", 20.0), (3, "p2", 3.0)),
+      "journal redo must fold the composed snapshot back, column-order-safe")
+  }
+
+  test("zero-affected DML never rewrites a file") {
+    import spark.implicits._
+    freshTable("dml_a3")
+    Seq((1, 1.0)).toDF("id", "v").write.saveAsTable("dml_a3")
+    val before = dataFiles("dml_a3")
+    assert(RowDml.execute(spark, "UPDATE dml_a3 SET v = 9 WHERE id = 42")
+      .collect().head.getLong(0) == 0)
+    assert(RowDml.execute(spark, "DELETE FROM dml_a3 WHERE id = 42")
+      .collect().head.getLong(0) == 0)
+    assert(dataFiles("dml_a3") == before,
+      "a DML statement matching no rows must not touch the table's files")
+  }
+
+  test("concurrent bare UPDATEs on one table serialize (no lost update)") {
+    import spark.implicits._
+    freshTable("dml_a4")
+    Seq((1, 0.0)).toDF("id", "v").write.saveAsTable("dml_a4")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val futs = (1 to 2).map { _ =>
+      scala.concurrent.Future {
+        (1 to 3).foreach { _ =>
+          RowDml.execute(spark, "UPDATE dml_a4 SET v = v + 1")
+        }
+      }
+    }
+    scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(futs), scala.concurrent.duration.Duration(120, "s"))
+    pool.shutdown()
+    assert(spark.table("dml_a4").select("v").as[Double].collect().toSeq == Seq(6.0),
+      "6 serialized increments must all land — the commit lock forbids lost updates")
+  }
+
+  test("a non-transactional write refuses to race a foreign unfolded manifest entry") {
+    import spark.implicits._
+    import graft.engine.{CommitLock, ManifestCatalog}
+    freshTable("dml_a5")
+    Seq((1, 1.0)).toDF("id", "v").write.saveAsTable("dml_a5")
+    val dir = graft.engine.TxnJournal.stageRoot(spark)
+      .resolve(java.util.UUID.randomUUID().toString).toString
+    spark.sql("SELECT id, v * 2 AS v FROM dml_a5").write.parquet(dir)
+    ManifestCatalog.publish(spark, Seq("dml_a5" -> dir))
+    try {
+      val e = intercept[IllegalStateException](
+        CommitLock.withExclusiveWrite(spark, "dml_a5") { fail("must not run") })
+      assert(e.getMessage.contains("being committed"))
+    } finally {
+      ManifestCatalog.drop(spark, Seq("dml_a5" -> dir))
+      ManifestCatalog.refresh(spark)
+    }
+  }
+
   test("the statement guard classifies row-level DML as writes (read-only blocked)") {
     import graft.engine.StatementGuard
     Seq("UPDATE dml_u1 SET v = 1",
