@@ -46,5 +46,58 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // DuckDB-dialect aliases (string_split, list_*, regexp_matches) so
     // reference-dialect SQL runs verbatim — see DuckDbCompat.
     DuckDbCompat.functions.foreach(ext.injectFunction)
+    // ST_* spatial core over WKB (the reference preloads DuckDB spatial;
+    // see plans.Wkb for the declared scope). Each function is a codegen'd
+    // static call (StaticInvoke) into the Wkb kernel.
+    spatialFunctions.foreach(ext.injectFunction)
   }
+
+  import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+  import org.apache.spark.sql.types._
+
+  private val B = BinaryType
+  private val D = DoubleType
+
+  private def st(name: String, method: String, ret: DataType, args: Seq[DataType],
+      usage: String): (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier(name),
+    new ExpressionInfo(Wkb.getClass.getName, null, name, usage, ""),
+    (children: Seq[Expression]) => {
+      if (children.length != args.length)
+        throw new IllegalArgumentException(s"$name takes ${args.length} argument(s)")
+      StaticInvoke(Wkb.getClass, ret, method, children, inputTypes = args)
+    })
+
+  /** DuckDB-spatial-named surface; geometry values are WKB binary columns
+    * (the same encoding [[graft.types.TypeMapping]] tags as GeoArrow on the
+    * wire).
+    */
+  private def spatialFunctions = Seq(
+    st("st_point", "point", B, Seq(D, D), "st_point(x, y) - WKB point"),
+    st("st_makeenvelope", "makeEnvelope", B, Seq(D, D, D, D),
+      "st_makeenvelope(xmin, ymin, xmax, ymax) - axis-aligned WKB polygon"),
+    st("st_geomfromtext", "fromText", B, Seq(StringType),
+      "st_geomfromtext(wkt) - parse POINT/LINESTRING/POLYGON WKT to WKB"),
+    st("st_astext", "asText", StringType, Seq(B), "st_astext(geom) - WKT text"),
+    st("st_geometrytype", "geometryType", StringType, Seq(B),
+      "st_geometrytype(geom) - POINT | LINESTRING | POLYGON"),
+    st("st_x", "x", D, Seq(B), "st_x(point) - x coordinate"),
+    st("st_y", "y", D, Seq(B), "st_y(point) - y coordinate"),
+    st("st_xmin", "xmin", D, Seq(B), "st_xmin(geom) - minimum x"),
+    st("st_xmax", "xmax", D, Seq(B), "st_xmax(geom) - maximum x"),
+    st("st_ymin", "ymin", D, Seq(B), "st_ymin(geom) - minimum y"),
+    st("st_ymax", "ymax", D, Seq(B), "st_ymax(geom) - maximum y"),
+    st("st_npoints", "npoints", IntegerType, Seq(B), "st_npoints(geom) - vertex count"),
+    st("st_area", "area", D, Seq(B), "st_area(geom) - shoelace area (holes subtracted)"),
+    st("st_length", "length", D, Seq(B), "st_length(geom) - linestring length"),
+    st("st_perimeter", "perimeter", D, Seq(B), "st_perimeter(geom) - polygon ring length"),
+    st("st_distance", "distance", D, Seq(B, B),
+      "st_distance(a, b) - planar minimum distance (0 when intersecting)"),
+    st("st_dwithin", "dwithin", BooleanType, Seq(B, B, D),
+      "st_dwithin(a, b, d) - st_distance(a, b) <= d"),
+    st("st_intersects", "intersects", BooleanType, Seq(B, B),
+      "st_intersects(a, b) - geometries share at least one point"),
+    st("st_contains", "contains", BooleanType, Seq(B, B),
+      "st_contains(a, b) - OGC contains (boundary points not contained)"),
+    st("st_within", "within", BooleanType, Seq(B, B), "st_within(a, b) - st_contains(b, a)"))
 }

@@ -1,0 +1,442 @@
+package graft.plans
+
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Minimal ST_* spatial core over OGC well-known binary (WKB).
+  *
+  * The reference preloads DuckDB's spatial extension and registers GeoArrow
+  * extension types on the wire (`/root/reference/src/common/
+  * gizmosql_library.cpp:820-827`, `tests/test_geoarrow.py`); the engine
+  * already round-trips GeoArrow WKB column metadata
+  * ([[graft.types.TypeMapping]]). This module adds EVALUATION for the core
+  * of that surface, pure-Scala (no geometry jars exist in the environment):
+  * 2-D POINT / LINESTRING / POLYGON (with holes), little- or big-endian
+  * WKB, EWKB SRID headers tolerated and skipped.
+  *
+  * Functions (DuckDB spatial names, registered via
+  * [[GraftExtensions]] as codegen `StaticInvoke` calls — one static method
+  * per row, same WholeStageCodegen posture as [[StrDist]]):
+  * st_point, st_x, st_y, st_xmin/st_xmax/st_ymin/st_ymax, st_makeenvelope,
+  * st_geomfromtext, st_astext, st_geometrytype, st_npoints, st_area,
+  * st_length, st_perimeter, st_distance, st_dwithin, st_intersects,
+  * st_contains, st_within.
+  *
+  * Declared scope, stated honestly: planar (Euclidean) geometry only — no
+  * geodesic math, no multi-geometries, no curves. st_contains follows OGC
+  * semantics for polygon⊃point (boundary points are NOT contained);
+  * polygon⊃polygon/linestring is decided by vertices-inside + no
+  * edge-crossings, exact for simple (non-self-intersecting) inputs, which
+  * WKB polygons are required to be. Geometry predicates between two
+  * non-area geometries use exact segment tests. Scale posture: every
+  * function is a per-row O(vertices²) worst-case kernel with no state — it
+  * rides whatever partitioning the surrounding plan has, like any scalar.
+  */
+object Wkb {
+
+  // ---- decoded form ---------------------------------------------------------
+
+  /** kind: 1=point, 2=linestring, 3=polygon. rings: flat (x,y) pairs; for
+    * polygons ring 0 is the shell, the rest are holes.
+    */
+  final case class Geom(kind: Int, rings: Array[Array[Double]]) {
+    def vertices: Iterator[(Double, Double)] =
+      rings.iterator.flatMap(r => (0 until r.length / 2).iterator.map(i => (r(2 * i), r(2 * i + 1))))
+  }
+
+  private def fail(msg: String): Nothing = throw new IllegalArgumentException(s"st_*: $msg")
+
+  def parse(wkb: Array[Byte]): Geom = {
+    val in = new Cursor(wkb)
+    readGeom(in)
+  }
+
+  private final class Cursor(val b: Array[Byte]) {
+    var pos = 0
+    var little = true
+    def u8(): Int = { val v = b(pos) & 0xff; pos += 1; v }
+    def u32(): Long = {
+      if (pos + 4 > b.length) fail("truncated WKB")
+      val v =
+        if (little)
+          (b(pos) & 0xffL) | ((b(pos + 1) & 0xffL) << 8) | ((b(pos + 2) & 0xffL) << 16) | ((b(pos + 3) & 0xffL) << 24)
+        else
+          (b(pos + 3) & 0xffL) | ((b(pos + 2) & 0xffL) << 8) | ((b(pos + 1) & 0xffL) << 16) | ((b(pos) & 0xffL) << 24)
+      pos += 4
+      v
+    }
+    def f64(): Double = {
+      if (pos + 8 > b.length) fail("truncated WKB")
+      var bits = 0L
+      var i = 0
+      while (i < 8) {
+        val idx = if (little) pos + i else pos + 7 - i
+        bits |= (b(idx) & 0xffL) << (8 * i)
+        i += 1
+      }
+      pos += 8
+      java.lang.Double.longBitsToDouble(bits)
+    }
+  }
+
+  private def readGeom(in: Cursor): Geom = {
+    in.little = in.u8() match {
+      case 0 => false
+      case 1 => true
+      case o => fail(s"bad WKB byte-order flag $o")
+    }
+    var t = in.u32()
+    if ((t & 0x20000000L) != 0) { t &= ~0x20000000L; in.u32() } // EWKB SRID: skip
+    // extra per-vertex doubles beyond x,y: EWKB flags Z/M in the high bits,
+    // ISO WKB adds 1000 (Z), 2000 (M), 3000 (ZM) to the type code
+    var extra = 0
+    if ((t & 0x80000000L) != 0) { extra += 1; t &= ~0x80000000L } // EWKB Z
+    if ((t & 0x40000000L) != 0) { extra += 1; t &= ~0x40000000L } // EWKB M
+    extra += ((t / 1000).toInt match {
+      case 0 => 0
+      case 1 | 2 => 1
+      case 3 => 2
+      case o => fail(s"unsupported WKB dimension code ${o}000")
+    })
+    val kind = (t % 1000).toInt
+    val dims = 2 + extra
+    def coords(n: Int): Array[Double] = {
+      val out = new Array[Double](2 * n)
+      var i = 0
+      while (i < n) {
+        out(2 * i) = in.f64(); out(2 * i + 1) = in.f64()
+        var d = 2
+        while (d < dims) { in.f64(); d += 1 } // drop Z/M
+        i += 1
+      }
+      out
+    }
+    kind match {
+      case 1 => Geom(1, Array(coords(1)))
+      case 2 => Geom(2, Array(coords(in.u32().toInt)))
+      case 3 =>
+        val nRings = in.u32().toInt
+        Geom(3, Array.tabulate(nRings)(_ => coords(in.u32().toInt)))
+      case o => fail(s"unsupported WKB geometry type $o (POINT/LINESTRING/POLYGON only)")
+    }
+  }
+
+  private def writeGeom(g: Geom): Array[Byte] = {
+    val n = g.rings.iterator.map(_.length / 2).sum
+    val size = g.kind match {
+      case 1 => 5 + 16
+      case 2 => 9 + 16 * n
+      case 3 => 9 + 4 * g.rings.length + 16 * n
+    }
+    val buf = java.nio.ByteBuffer.allocate(size).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put(1.toByte).putInt(g.kind)
+    g.kind match {
+      case 1 => buf.putDouble(g.rings(0)(0)).putDouble(g.rings(0)(1))
+      case 2 =>
+        buf.putInt(n)
+        g.rings(0).foreach(buf.putDouble)
+      case 3 =>
+        buf.putInt(g.rings.length)
+        g.rings.foreach { r => buf.putInt(r.length / 2); r.foreach(buf.putDouble) }
+    }
+    buf.array()
+  }
+
+  // ---- constructors ---------------------------------------------------------
+
+  def point(x: Double, y: Double): Array[Byte] =
+    writeGeom(Geom(1, Array(Array(x, y))))
+
+  def makeEnvelope(xmin: Double, ymin: Double, xmax: Double, ymax: Double): Array[Byte] =
+    writeGeom(Geom(3, Array(Array(
+      xmin, ymin, xmax, ymin, xmax, ymax, xmin, ymax, xmin, ymin))))
+
+  def fromText(wkt: UTF8String): Array[Byte] = {
+    val s = wkt.toString.trim
+    val paren = s.indexOf('(')
+    if (paren < 0) fail(s"unparseable WKT '$s' (EMPTY and multi-geometries unsupported)")
+    val head = s.substring(0, paren).trim.toUpperCase
+    val body = s.substring(paren).trim
+    def nums(t: String): Array[Double] = t.trim
+      .split("[\\s,]+").filter(_.nonEmpty).map(_.toDouble)
+    def ring(t: String): Array[Double] = {
+      val v = nums(t)
+      if (v.length % 2 != 0) fail(s"odd coordinate count in WKT '$s' (2-D only)")
+      v
+    }
+    head match {
+      case "POINT" =>
+        val v = ring(body.stripPrefix("(").stripSuffix(")"))
+        if (v.length != 2) fail(s"POINT needs exactly one x y pair: '$s'")
+        point(v(0), v(1))
+      case "LINESTRING" =>
+        writeGeom(Geom(2, Array(ring(body.stripPrefix("(").stripSuffix(")")))))
+      case "POLYGON" =>
+        val inner = body.stripPrefix("(").stripSuffix(")")
+        val rings = inner.split("\\)\\s*,\\s*\\(").map(r =>
+          ring(r.stripPrefix("(").stripSuffix(")")))
+        writeGeom(Geom(3, rings))
+      case o => fail(s"unsupported WKT geometry '$o' (POINT/LINESTRING/POLYGON only)")
+    }
+  }
+
+  // ---- accessors ------------------------------------------------------------
+
+  def x(wkb: Array[Byte]): Double = {
+    val g = parse(wkb)
+    if (g.kind != 1) fail("st_x expects a POINT")
+    g.rings(0)(0)
+  }
+
+  def y(wkb: Array[Byte]): Double = {
+    val g = parse(wkb)
+    if (g.kind != 1) fail("st_y expects a POINT")
+    g.rings(0)(1)
+  }
+
+  def xmin(wkb: Array[Byte]): Double = parse(wkb).vertices.map(_._1).min
+  def xmax(wkb: Array[Byte]): Double = parse(wkb).vertices.map(_._1).max
+  def ymin(wkb: Array[Byte]): Double = parse(wkb).vertices.map(_._2).min
+  def ymax(wkb: Array[Byte]): Double = parse(wkb).vertices.map(_._2).max
+
+  def npoints(wkb: Array[Byte]): Int = parse(wkb).vertices.size
+
+  def geometryType(wkb: Array[Byte]): UTF8String = UTF8String.fromString(
+    parse(wkb).kind match { case 1 => "POINT"; case 2 => "LINESTRING"; case _ => "POLYGON" })
+
+  private def fmt(v: Double): String =
+    if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString else v.toString
+
+  def asText(wkb: Array[Byte]): UTF8String = {
+    val g = parse(wkb)
+    def ringText(r: Array[Double]): String =
+      (0 until r.length / 2).map(i => s"${fmt(r(2 * i))} ${fmt(r(2 * i + 1))}").mkString(", ")
+    val body = g.kind match {
+      case 1 => s"POINT (${ringText(g.rings(0))})"
+      case 2 => s"LINESTRING (${ringText(g.rings(0))})"
+      case _ => s"POLYGON (${g.rings.map(r => s"(${ringText(r)})").mkString(", ")})"
+    }
+    UTF8String.fromString(body)
+  }
+
+  // ---- measures -------------------------------------------------------------
+
+  /** Shoelace area of the shell minus the holes; 0 for points/linestrings
+    * (DuckDB spatial semantics).
+    */
+  def area(wkb: Array[Byte]): Double = {
+    val g = parse(wkb)
+    if (g.kind != 3) return 0.0
+    var total = 0.0
+    var ri = 0
+    while (ri < g.rings.length) {
+      val a = math.abs(shoelace(g.rings(ri)))
+      total += (if (ri == 0) a else -a)
+      ri += 1
+    }
+    total
+  }
+
+  private def shoelace(r: Array[Double]): Double = {
+    val n = r.length / 2
+    if (n < 3) return 0.0
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val j = (i + 1) % n
+      s += r(2 * i) * r(2 * j + 1) - r(2 * j) * r(2 * i + 1)
+      i += 1
+    }
+    s / 2.0
+  }
+
+  /** Linestring length; 0 for points and polygons (DuckDB: perimeter is a
+    * separate function).
+    */
+  def length(wkb: Array[Byte]): Double = {
+    val g = parse(wkb)
+    if (g.kind != 2) return 0.0
+    ringLength(g.rings(0), closed = false)
+  }
+
+  def perimeter(wkb: Array[Byte]): Double = {
+    val g = parse(wkb)
+    if (g.kind != 3) return 0.0
+    g.rings.map(ringLength(_, closed = true)).sum
+  }
+
+  private def ringLength(r: Array[Double], closed: Boolean): Double = {
+    val n = r.length / 2
+    var s = 0.0
+    var i = 0
+    val last = if (closed) n else n - 1
+    while (i < last) {
+      val j = (i + 1) % n
+      s += math.hypot(r(2 * j) - r(2 * i), r(2 * j + 1) - r(2 * i + 1))
+      i += 1
+    }
+    s
+  }
+
+  // ---- predicates & distance -------------------------------------------------
+
+  /** Even-odd ray cast over every ring (holes flip parity back out). */
+  private def inside(g: Geom, px: Double, py: Double): Boolean = {
+    var in = false
+    var ri = 0
+    while (ri < g.rings.length) {
+      val r = g.rings(ri)
+      val n = r.length / 2
+      var i = 0
+      var j = n - 1
+      while (i < n) {
+        val xi = r(2 * i); val yi = r(2 * i + 1)
+        val xj = r(2 * j); val yj = r(2 * j + 1)
+        if ((yi > py) != (yj > py) &&
+            px < (xj - xi) * (py - yi) / (yj - yi) + xi) in = !in
+        j = i
+        i += 1
+      }
+      ri += 1
+    }
+    in
+  }
+
+  private def onBoundary(g: Geom, px: Double, py: Double): Boolean =
+    segments(g).exists { case (x1, y1, x2, y2) => pointSegDist(px, py, x1, y1, x2, y2) == 0.0 }
+
+  /** All segments of a geometry (rings closed for polygons; none for points). */
+  private def segments(g: Geom): Seq[(Double, Double, Double, Double)] = g.kind match {
+    case 1 => Nil
+    case 2 =>
+      val r = g.rings(0); val n = r.length / 2
+      (0 until n - 1).map(i => (r(2 * i), r(2 * i + 1), r(2 * i + 2), r(2 * i + 3)))
+    case _ =>
+      g.rings.toSeq.flatMap { r =>
+        val n = r.length / 2
+        (0 until n).map { i =>
+          val j = (i + 1) % n
+          (r(2 * i), r(2 * i + 1), r(2 * j), r(2 * j + 1))
+        }
+      }
+  }
+
+  private def pointSegDist(px: Double, py: Double,
+      x1: Double, y1: Double, x2: Double, y2: Double): Double = {
+    val dx = x2 - x1; val dy = y2 - y1
+    val len2 = dx * dx + dy * dy
+    val t = if (len2 == 0.0) 0.0
+      else math.max(0.0, math.min(1.0, ((px - x1) * dx + (py - y1) * dy) / len2))
+    math.hypot(px - (x1 + t * dx), py - (y1 + t * dy))
+  }
+
+  private def segsCross(a: (Double, Double, Double, Double),
+      b: (Double, Double, Double, Double)): Boolean = {
+    def orient(ax: Double, ay: Double, bx: Double, by: Double, cx: Double, cy: Double): Double =
+      (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+    val (p1x, p1y, p2x, p2y) = a
+    val (q1x, q1y, q2x, q2y) = b
+    val d1 = orient(q1x, q1y, q2x, q2y, p1x, p1y)
+    val d2 = orient(q1x, q1y, q2x, q2y, p2x, p2y)
+    val d3 = orient(p1x, p1y, p2x, p2y, q1x, q1y)
+    val d4 = orient(p1x, p1y, p2x, p2y, q2x, q2y)
+    if (((d1 > 0 && d2 < 0) || (d1 < 0 && d2 > 0)) &&
+        ((d3 > 0 && d4 < 0) || (d3 < 0 && d4 > 0))) return true
+    // collinear touch counts as intersecting
+    def onSeg(ax: Double, ay: Double, bx: Double, by: Double, cx: Double, cy: Double) =
+      math.min(ax, bx) <= cx && cx <= math.max(ax, bx) &&
+        math.min(ay, by) <= cy && cy <= math.max(ay, by)
+    (d1 == 0 && onSeg(q1x, q1y, q2x, q2y, p1x, p1y)) ||
+      (d2 == 0 && onSeg(q1x, q1y, q2x, q2y, p2x, p2y)) ||
+      (d3 == 0 && onSeg(p1x, p1y, p2x, p2y, q1x, q1y)) ||
+      (d4 == 0 && onSeg(p1x, p1y, p2x, p2y, q2x, q2y))
+  }
+
+  def intersects(wa: Array[Byte], wb: Array[Byte]): Boolean = {
+    val a = parse(wa); val b = parse(wb)
+    intersectsG(a, b)
+  }
+
+  private def intersectsG(a: Geom, b: Geom): Boolean = {
+    if (a.kind == 3 && b.vertices.exists { case (px, py) =>
+      inside(a, px, py) || onBoundary(a, px, py) }) return true
+    if (b.kind == 3 && a.vertices.exists { case (px, py) =>
+      inside(b, px, py) || onBoundary(b, px, py) }) return true
+    val sa = segments(a); val sb = segments(b)
+    if (sa.exists(s1 => sb.exists(s2 => segsCross(s1, s2)))) return true
+    // degenerate sides (points): vertex-to-vertex / vertex-to-segment contact
+    minVertexDist(a, b) == 0.0
+  }
+
+  private def minVertexDist(a: Geom, b: Geom): Double = {
+    var m = Double.PositiveInfinity
+    val sa = segments(a); val sb = segments(b)
+    a.vertices.foreach { case (px, py) =>
+      if (sb.isEmpty) b.vertices.foreach { case (qx, qy) =>
+        m = math.min(m, math.hypot(px - qx, py - qy)) }
+      else sb.foreach { case (x1, y1, x2, y2) =>
+        m = math.min(m, pointSegDist(px, py, x1, y1, x2, y2)) }
+    }
+    b.vertices.foreach { case (px, py) =>
+      if (sa.nonEmpty) sa.foreach { case (x1, y1, x2, y2) =>
+        m = math.min(m, pointSegDist(px, py, x1, y1, x2, y2)) }
+    }
+    m
+  }
+
+  /** Planar minimum distance; 0 when the geometries intersect (including a
+    * point interior to a polygon).
+    */
+  def distance(wa: Array[Byte], wb: Array[Byte]): Double = {
+    val a = parse(wa); val b = parse(wb)
+    if (intersectsG(a, b)) 0.0 else minVertexDist(a, b)
+  }
+
+  def dwithin(wa: Array[Byte], wb: Array[Byte], d: Double): Boolean =
+    distance(wa, wb) <= d
+
+  /** OGC Contains. polygon⊃point: strict interior (boundary → false).
+    * point⊃point: equality. polygon⊃linestring/polygon: every vertex
+    * inside-or-on, no edge crossing, at least one interior point — exact
+    * for simple inputs.
+    */
+  def contains(wa: Array[Byte], wb: Array[Byte]): Boolean = {
+    val a = parse(wa); val b = parse(wb)
+    (a.kind, b.kind) match {
+      case (1, 1) =>
+        a.rings(0)(0) == b.rings(0)(0) && a.rings(0)(1) == b.rings(0)(1)
+      case (3, 1) =>
+        val px = b.rings(0)(0); val py = b.rings(0)(1)
+        inside(a, px, py) && !onBoundary(a, px, py)
+      case (3, _) =>
+        val verts = b.vertices.toSeq
+        val allInOrOn = verts.forall { case (px, py) =>
+          inside(a, px, py) || onBoundary(a, px, py) }
+        lazy val anyInterior = verts.exists { case (px, py) =>
+          inside(a, px, py) && !onBoundary(a, px, py) }
+        lazy val noCross = {
+          val sa = segments(a); val sb = segments(b)
+          // shared-boundary touches are allowed by Contains; a PROPER
+          // crossing (strict sign change on both sides) is not
+          !sa.exists(s1 => sb.exists(s2 => properCross(s1, s2)))
+        }
+        allInOrOn && anyInterior && noCross
+      case _ => false
+    }
+  }
+
+  private def properCross(a: (Double, Double, Double, Double),
+      b: (Double, Double, Double, Double)): Boolean = {
+    def orient(ax: Double, ay: Double, bx: Double, by: Double, cx: Double, cy: Double): Double =
+      (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+    val (p1x, p1y, p2x, p2y) = a
+    val (q1x, q1y, q2x, q2y) = b
+    val d1 = orient(q1x, q1y, q2x, q2y, p1x, p1y)
+    val d2 = orient(q1x, q1y, q2x, q2y, p2x, p2y)
+    val d3 = orient(p1x, p1y, p2x, p2y, q1x, q1y)
+    val d4 = orient(p1x, p1y, p2x, p2y, q2x, q2y)
+    ((d1 > 0 && d2 < 0) || (d1 < 0 && d2 > 0)) &&
+      ((d3 > 0 && d4 < 0) || (d3 < 0 && d4 > 0))
+  }
+
+  def within(wa: Array[Byte], wb: Array[Byte]): Boolean = contains(wb, wa)
+}

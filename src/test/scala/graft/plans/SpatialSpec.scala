@@ -1,0 +1,89 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.unsafe.types.UTF8String
+
+/** WKB kernel edge cases the grid oracles can't reach: holes, boundary
+  * semantics, big-endian and EWKB input, WKT errors, degenerate geometry.
+  */
+class SpatialSpec extends AnyFunSuite {
+
+  private def wkt(s: String): Array[Byte] = Wkb.fromText(UTF8String.fromString(s))
+  private def text(b: Array[Byte]): String = Wkb.asText(b).toString
+
+  test("point round-trips through WKB and WKT") {
+    val p = Wkb.point(1.5, -2.0)
+    assert(Wkb.x(p) == 1.5 && Wkb.y(p) == -2.0)
+    assert(text(p) == "POINT (1.5 -2)")
+    assert(text(wkt("point(3 4)")) == "POINT (3 4)")
+    assert(Wkb.geometryType(p).toString == "POINT")
+    intercept[IllegalArgumentException](Wkb.x(wkt("LINESTRING (0 0, 1 1)")))
+  }
+
+  test("polygon with a hole: area subtracts, containment respects the hole") {
+    val g = wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))")
+    assert(Wkb.area(g) == 96.0)
+    assert(Wkb.perimeter(g) == 48.0)
+    assert(Wkb.contains(g, Wkb.point(2, 2)))
+    assert(!Wkb.contains(g, Wkb.point(5, 5)), "a point in the hole is not contained")
+    assert(!Wkb.contains(g, Wkb.point(0, 5)), "boundary points are not contained (OGC)")
+    assert(Wkb.intersects(g, Wkb.point(0, 5)), "...but they do intersect")
+  }
+
+  test("distance: point/segment/box cases, zero when intersecting") {
+    assert(Wkb.distance(Wkb.point(0, 0), Wkb.point(3, 4)) == 5.0)
+    assert(Wkb.distance(wkt("LINESTRING (0 0, 10 0)"), Wkb.point(5, 2)) == 2.0)
+    // crossing linestrings -> 0 even though no vertex touches
+    assert(Wkb.distance(wkt("LINESTRING (0 0, 2 2)"), wkt("LINESTRING (0 2, 2 0)")) == 0.0)
+    // point interior to a polygon -> 0
+    val env = Wkb.makeEnvelope(0, 0, 4, 4)
+    assert(Wkb.distance(env, Wkb.point(2, 2)) == 0.0)
+    assert(Wkb.dwithin(env, Wkb.point(7, 4), 3.0))
+    assert(!Wkb.dwithin(env, Wkb.point(7, 4), 2.9))
+  }
+
+  test("contains/within for polygon-polygon incl. shared boundary; crossing rejected") {
+    val outer = Wkb.makeEnvelope(0, 0, 10, 10)
+    assert(Wkb.contains(outer, Wkb.makeEnvelope(0, 0, 5, 5)),
+      "shared boundary with interior overlap IS contained")
+    assert(Wkb.within(Wkb.makeEnvelope(0, 0, 5, 5), outer))
+    assert(!Wkb.contains(outer, Wkb.makeEnvelope(5, 5, 12, 12)), "crossing is not containment")
+    assert(Wkb.intersects(outer, Wkb.makeEnvelope(5, 5, 12, 12)))
+    assert(!Wkb.intersects(outer, Wkb.makeEnvelope(11, 11, 12, 12)))
+  }
+
+  test("big-endian WKB and EWKB SRID headers parse") {
+    // big-endian point (1 2): flag 0, type 00000001, doubles big-endian
+    val be = java.nio.ByteBuffer.allocate(21).order(java.nio.ByteOrder.BIG_ENDIAN)
+    be.put(0.toByte).putInt(1).putDouble(1.0).putDouble(2.0)
+    assert(Wkb.x(be.array()) == 1.0 && Wkb.y(be.array()) == 2.0)
+    // EWKB little-endian point with SRID flag + srid 4326
+    val ew = java.nio.ByteBuffer.allocate(25).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    ew.put(1.toByte).putInt(0x20000001).putInt(4326).putDouble(3.0).putDouble(4.0)
+    assert(Wkb.x(ew.array()) == 3.0 && Wkb.y(ew.array()) == 4.0)
+    // ISO WKB PointZ (1001): Z coordinate dropped
+    val z = java.nio.ByteBuffer.allocate(29).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    z.put(1.toByte).putInt(1001).putDouble(5.0).putDouble(6.0).putDouble(7.0)
+    assert(Wkb.x(z.array()) == 5.0 && Wkb.y(z.array()) == 6.0)
+  }
+
+  test("WKT errors are loud and scoped") {
+    intercept[IllegalArgumentException](wkt("MULTIPOINT ((1 2))"))
+    intercept[IllegalArgumentException](wkt("POINT EMPTY"))
+    intercept[IllegalArgumentException](wkt("POINT (1 2 3 4 5)"))
+  }
+
+  test("SQL surface: st_* functions resolve and codegen end-to-end") {
+    val spark = graft.GraftSession.local()
+    val row = spark.sql(
+      "SELECT st_astext(st_point(1.0D, 2.0D)) AS t, " +
+      "ROUND(st_distance(st_geomfromtext('POINT (0 0)'), st_point(3.0D, 4.0D)), 6) AS d, " +
+      "st_contains(st_makeenvelope(0.0D, 0.0D, 2.0D, 2.0D), st_point(1.0D, 1.0D)) AS c, " +
+      "st_npoints(st_geomfromtext('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))')) AS n")
+      .collect().head
+    assert(row.getString(0) == "POINT (1 2)")
+    assert(row.getDouble(1) == 5.0)
+    assert(row.getBoolean(2))
+    assert(row.getInt(3) == 5)
+  }
+}
