@@ -83,6 +83,21 @@ object Embeddings {
     * (the ScaleCheck rule); at extreme scale assignment itself goes through
     * a coarse quantizer (hierarchical IVF) instead of one flat broadcast.
     */
+  /** Library default: centroid count derived from the corpus — k ~ sqrt(n)
+    * sampled evenly across the id space, so assignment (n*k cosines) and
+    * in-cell pairing (~n^2/k) both stay ~n^1.5 WITHOUT retuning as the
+    * corpus grows (the rule ScaleCheck measured at 100x: 288.8 s, k=447,
+    * linear-in-practice). The explicit-centroids overload below remains for
+    * callers that bring their own quantizer (and for the oracle op, which
+    * pins centroids for cross-engine determinism).
+    */
+  def semanticDedup(e: DataFrame, tau: Double): DataFrame = {
+    val n = e.count()
+    val k = math.max(8L, math.sqrt(n.toDouble).toLong)
+    val step = math.max(1L, n / k)
+    semanticDedup(e, e.filter(pmod(col("vec_id"), lit(step)) === 0), tau)
+  }
+
   def semanticDedup(e: DataFrame, centroids: DataFrame, tau: Double): DataFrame = {
     val assigned = ivfAssign(e, centroids)
     val a = assigned.select(col("cent_id"), col("vec_id").as("id_a"), col("v").as("va"))

@@ -14,16 +14,20 @@ package graft.plans
 private[plans] object SqlText {
 
   /** End (exclusive) of the quoted literal opening at `from`. Honors the
-    * host parser's escaping rules — backslash escapes inside '…'/"…" and
-    * doubled quotes in all three styles — so a literal like 'a\'b(' cannot
-    * end early and desync a caller's paren/cast stack (ADVICE r9).
+    * input dialect's escaping rules — backslash escapes inside '…' string
+    * literals (so 'a\'b(' cannot end early and desync a caller's
+    * paren/cast stack, ADVICE r9) and doubled quotes in all three styles.
+    * Double quotes delimit IDENTIFIERS in the DuckDB/Postgres input dialect,
+    * where backslash is an ordinary character — treating it as an escape
+    * made an identifier with a trailing backslash scan past its closing
+    * quote (ADVICE r10) — so "…" and `…` get doubled-quote handling only.
     */
   private def quoteEnd(s: CharSequence, from: Int, q: Char): Int = {
     var j = from + 1
     val n = s.length
     while (j < n) {
       val c = s.charAt(j)
-      if (c == '\\' && q != '`' && j + 1 < n) j += 2
+      if (c == '\\' && q == '\'' && j + 1 < n) j += 2
       else if (c == q) {
         if (j + 1 < n && s.charAt(j + 1) == q) j += 2
         else return j + 1

@@ -175,17 +175,15 @@ object ScaleCheck {
         f"${(System.nanoTime() - t0) / 1e9}%.2f s ($rows pairs)")
     }
 
-    // Semantic dedup's scale path: the ORACLE op pins 8 centroids (cells
-    // grow with the corpus => in-cell pair work ~n^2/8); the library rule is
-    // k ~ sqrt(n) centroids sampled evenly across the id space, which makes
-    // assignment (n*k) and in-cell pairing (n^2/k) BOTH ~n^1.5. Measure it.
+    // Semantic dedup's scale path: the ORACLE op pins 8 centroids for
+    // cross-engine determinism; the LIBRARY default (r11: moved into
+    // Embeddings.semanticDedup itself) derives k ~ sqrt(n) centroids
+    // sampled evenly across the id space, making assignment (n*k) and
+    // in-cell pairing (n^2/k) BOTH ~n^1.5. Measure the library default.
     {
       val e = spark.table("embeddings")
-      val cnt = e.count()
-      val k = math.max(8, math.sqrt(cnt.toDouble).toInt)
-      val step = math.max(1, cnt / k)
-      val cent = e.filter(pmod(col("vec_id"), lit(step)) === 0)
-      val sd = graft.operators.Embeddings.semanticDedup(e, cent, 0.4)
+      val k = math.max(8L, math.sqrt(e.count().toDouble).toLong)
+      val sd = graft.operators.Embeddings.semanticDedup(e, 0.4)
       sd.count() // warm codegen
       val t0 = System.nanoTime()
       val removed = sd.count()

@@ -685,6 +685,24 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("semanticDedup library default derives k~sqrt(n) centroids (auto == explicit sampling)") {
+    // VERDICT r10 #3: the k~sqrt(n) rule lived only in ScaleCheck while the
+    // op pinned 8 centroids — the library entry now derives k itself. The
+    // auto path must equal an explicit call with the same even sampling,
+    // and must be a strict sample (step > 1) on the fixture.
+    graft.Tables.ensure(spark, dir)
+    val e = spark.table("embeddings")
+    val n = e.count()
+    val step = math.max(1L, n / math.max(8L, math.sqrt(n.toDouble).toLong))
+    assert(step > 1, s"fixture too small for a strict auto-k sample (n=$n)")
+    val auto = Embeddings.semanticDedup(e, 0.4)
+      .orderBy("removed_id").collect().toSeq
+    val explicitCent = Embeddings.semanticDedup(e,
+      e.filter(pmod(col("vec_id"), lit(step)) === 0), 0.4)
+      .orderBy("removed_id").collect().toSeq
+    assert(auto == explicitCent)
+  }
+
   test("source overlap: shared trigrams count once per source pair") {
     import spark.implicits._
     // Sources A and B share exactly the trigram "x y z" (A has it in two

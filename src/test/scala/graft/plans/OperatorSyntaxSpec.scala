@@ -97,6 +97,20 @@ class OperatorSyntaxSpec extends AnyFunSuite {
     assert(one("SELECT 1 AS `we``ird(`") == 1)
   }
 
+  test("double-quoted identifiers treat backslash literally (ADVICE r10)") {
+    // In the DuckDB/Postgres input dialect "…" quotes an IDENTIFIER and
+    // backslash is an ordinary character: an identifier ENDING in a
+    // backslash must not swallow its closing quote and desync the scan —
+    // the trailing `(` inside would then flip a later :: rewrite.
+    assert(SqlText.quotedEnd("\"odd\\\" || ('(' )", 0) == 6)
+    // rewrite level: the :: cast AFTER such an identifier still rewrites
+    // (pre-fix the stray literal paren inside the runaway "literal" broke it)
+    val rewritten = Dialect.rewrite("SELECT \"odd\\\" FROM t WHERE x = 9::VARCHAR")
+    assert(rewritten.contains("9::STRING"), rewritten)
+    // single-quoted literals KEEP backslash-escape handling (ADVICE r9)
+    assert(SqlText.quotedEnd("'a\\'b(' + 1", 0) == 7)
+  }
+
   test("generate_series as a table function (inclusive)") {
     val rows = spark.sql(Dialect.rewrite(
       "SELECT * FROM generate_series(1, 3)")).collect().map(_.get(0))

@@ -89,9 +89,12 @@ B_TOTAL=$(python3 -c "import json;print(json.load(open('tools/bench_last.json'))
 # Code fingerprint: keep-best only compares pairs measured on the SAME code
 # (ADVICE r9: an all-time-best sidecar that survives code changes would
 # silently discard a pair that regressed BECAUSE of a code change and pin
-# bench_last to a stale measurement of older code). HEAD sha + dirty diff
-# of the bench classpath inputs.
-CODE_SHA=$( (git rev-parse HEAD 2>/dev/null; git diff HEAD -- src/main build.sbt 2>/dev/null) | md5sum | cut -d' ' -f1)
+# bench_last to a stale measurement of older code). Hashed from the COMPILED
+# CLASSES the java -cp invocation above actually executed — not the git
+# sources (ADVICE r10: with stale target/ classes, two runs could share a
+# source fingerprint while measuring different binaries).
+CODE_SHA=$(find target/scala-2.13/classes -name '*.class' -print0 2>/dev/null \
+  | sort -z | xargs -0 md5sum 2>/dev/null | md5sum | cut -d' ' -f1)
 
 if python3 - "$A_TOTAL" "$A2_TOTAL" "$B_TOTAL" "$SF_NAME" "$CODE_SHA" <<'EOF'
 import json, shutil, sys
