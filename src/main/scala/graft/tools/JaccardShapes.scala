@@ -92,11 +92,95 @@ object JaccardShapes {
       finish(coldPairs.unionByName(hotPairs))
     }
 
+    // (e) cold-only: what the plan would cost if a df-sketch gate removed
+    // the (empty) hot branch entirely on this benign corpus — the upper
+    // bound on what VERDICT r10 #6's gating could save.
+    def coldOnly: DataFrame = {
+      val g2 = g2base.repartition(col("gram")).drop("df")
+      finish(g2.select(col("gram"), col("doc_id").as("ld"), col("n").as("ln"))
+        .hint("shuffle_hash")
+        .join(g2.select(col("gram"), col("doc_id").as("rd"), col("n").as("rn")), Seq("gram"))
+        .filter(col("ld") < col("rd")))
+    }
+
+    // (f) df-sketch gate over an eagerly pinned index: materialize the gram
+    // index ONCE (localCheckpoint preserves the repartition's gram
+    // clustering), probe max-df from the pinned blocks (~ms), and only
+    // build the salted branch when a hot gram exists.
+    def gated(cap: Int, salts: Int): DataFrame = {
+      val g2 = g2base.repartition(col("gram")).localCheckpoint(true)
+      val anyHot = !g2.filter(col("df") > cap).isEmpty
+      if (!anyHot) {
+        val cold = g2.drop("df")
+        finish(cold.select(col("gram"), col("doc_id").as("ld"), col("n").as("ln"))
+          .hint("shuffle_hash")
+          .join(cold.select(col("gram"), col("doc_id").as("rd"), col("n").as("rn")), Seq("gram"))
+          .filter(col("ld") < col("rd")))
+      } else {
+        val cold = g2.filter(col("df") <= cap).drop("df")
+        val hot = g2.filter(col("df") > cap).drop("df")
+          .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(salts)).cast("int"))
+        val coldPairs = cold.select(col("gram"), col("doc_id").as("ld"), col("n").as("ln"))
+          .hint("shuffle_hash")
+          .join(cold.select(col("gram"), col("doc_id").as("rd"), col("n").as("rn")), Seq("gram"))
+          .filter(col("ld") < col("rd"))
+          .select("ld", "rd", "ln", "rn")
+        val lhs = hot.withColumn("j", explode(sequence(col("salt"), lit(salts - 1))))
+          .select(col("gram"), col("doc_id").as("ld"), col("n").as("ln"),
+            col("salt").as("i"), col("j"))
+        val rhs = hot.withColumn("i", explode(sequence(lit(0), col("salt"))))
+          .select(col("gram"), col("doc_id").as("rd"), col("n").as("rn"),
+            col("i"), col("salt").as("j"))
+        val hotPairs = lhs.hint("shuffle_hash").join(rhs, Seq("gram", "i", "j"))
+          .filter(col("i") =!= col("j") || col("ld") < col("rd"))
+          .select("ld", "rd", "ln", "rn")
+        finish(coldPairs.unionByName(hotPairs))
+      }
+    }
+
+    // (g) pin the WINDOW OUTPUT itself (localCheckpoint preserves its
+    // hash(gram) clustering — no separate repartition materialization
+    // point needed), probe max-df from the pinned blocks, gate the hot
+    // branch on the probe.
+    def gatedPin(cap: Int, salts: Int): DataFrame = {
+      val g2 = g2base.localCheckpoint(true)
+      val anyHot = !g2.filter(col("df") > cap).isEmpty
+      if (!anyHot) {
+        val cold = g2.drop("df")
+        finish(cold.select(col("gram"), col("doc_id").as("ld"), col("n").as("ln"))
+          .hint("shuffle_hash")
+          .join(cold.select(col("gram"), col("doc_id").as("rd"), col("n").as("rn")), Seq("gram"))
+          .filter(col("ld") < col("rd")))
+      } else {
+        val cold = g2.filter(col("df") <= cap).drop("df")
+        val hot = g2.filter(col("df") > cap).drop("df")
+          .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(salts)).cast("int"))
+        val coldPairs = cold.select(col("gram"), col("doc_id").as("ld"), col("n").as("ln"))
+          .hint("shuffle_hash")
+          .join(cold.select(col("gram"), col("doc_id").as("rd"), col("n").as("rn")), Seq("gram"))
+          .filter(col("ld") < col("rd"))
+          .select("ld", "rd", "ln", "rn")
+        val lhs = hot.withColumn("j", explode(sequence(col("salt"), lit(salts - 1))))
+          .select(col("gram"), col("doc_id").as("ld"), col("n").as("ln"),
+            col("salt").as("i"), col("j"))
+        val rhs = hot.withColumn("i", explode(sequence(lit(0), col("salt"))))
+          .select(col("gram"), col("doc_id").as("rd"), col("n").as("rn"),
+            col("i"), col("salt").as("j"))
+        val hotPairs = lhs.hint("shuffle_hash").join(rhs, Seq("gram", "i", "j"))
+          .filter(col("i") =!= col("j") || col("ld") < col("rd"))
+          .select("ld", "rd", "ln", "rn")
+        finish(coldPairs.unionByName(hotPairs))
+      }
+    }
+
     val shapes: Seq[(String, () => DataFrame)] = Seq(
       "a_unsalted" -> (() => unsalted),
       "b_salted_all" -> (() => saltedAll(1 << 12, 16)),
       "c_split_mat" -> (() => split(materialize = true, 1 << 12, 16)),
-      "d_split_nomat" -> (() => split(materialize = false, 1 << 12, 16)))
+      "d_split_nomat" -> (() => split(materialize = false, 1 << 12, 16)),
+      "e_cold_only" -> (() => coldOnly),
+      "f_gated" -> (() => gated(1 << 12, 16)),
+      "g_gated_pin" -> (() => gatedPin(1 << 12, 16)))
 
     // interleave rounds so host drift hits all shapes equally
     shapes.foreach { case (_, f) => f().count(); f().count() } // warm

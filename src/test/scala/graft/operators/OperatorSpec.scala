@@ -138,6 +138,20 @@ class OperatorSpec extends AnyFunSuite {
     val gotDefault = TextPipeline.jaccardPairs(docsDf, 0.1)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(gotDefault == expected)
+    // gated batch form, hot path: the hot gram (df=80 > cap=16) trips the
+    // pinned-index df probe, so the full cold/hot union is built over the
+    // checkpointed index — values must stay EXACT
+    val gotGatedHot = TextPipeline.jaccardPairsGated(docsDf, 0.1, hotDfCap = 16, salts = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotGatedHot == expected, "gated hot-merge path changed the pair result")
+    // gated benign path (default cap): the salted branch is never BUILT —
+    // only the unsalted cold join over the pinned index runs
+    val gatedBenign = TextPipeline.jaccardPairsGated(docsDf, 0.1, 1 << 12, 16)
+    assert(gatedBenign.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == expected)
+    val benignJoins = gatedBenign.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("ShuffledHashJoin")).toSeq
+    assert(benignJoins.nonEmpty && benignJoins.forall(l => !l.contains("i#")),
+      s"benign gated plan must contain only the unsalted cold join, got: ${benignJoins.mkString("\n")}")
   }
 
   test("MinHash LSH candidates are a superset of true Jaccard pairs") {
