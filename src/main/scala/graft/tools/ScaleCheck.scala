@@ -104,7 +104,8 @@ object ScaleCheck {
       "events_session_stats", "dedup_cluster_sizes",
       "embed_label_quality", "embed_label_outliers", "pipeline_bpe_apply",
       "events_attribution", "events_props_stats",
-      "events_cohort_ltv", "corpus_winsorize", "events_stickiness") ++
+      "events_cohort_ltv", "corpus_winsorize", "events_stickiness",
+      "events_wau") ++
       // The ORACLE op pins the fixture's 8x16 band shape, whose candidate
       // set grows ~n^2/2^8 — at 30x (60k vectors, ~2e8 candidate pairs) it
       // OOMs the JVM by design. Past 10x only the auto-sized library path
@@ -140,6 +141,9 @@ object ScaleCheck {
     // pays it twice, while dedupFunnel's text-clustering window materializes
     // the view into one reused exchange. On stored data both shapes pay one
     // cheap scan; the signature+verify work itself is the ~0.5-1.5 s part.
+    // The library-path blocks below run only on a FULL sweep — a named-op
+    // re-check (args after N) stays focused on the named ops.
+    if (only.isEmpty) {
     {
       val stops = for (w <- Seq("the", "a", "of", "and", "in"); c <- 0 until n)
         yield s"${w}c$c"
@@ -212,6 +216,7 @@ object ScaleCheck {
     val cnt = bucketed.count()
     val shuffleFree = !bucketed.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
     println(f"[scale] bucketed ${n}x fact-fact join: $cnt%d rows in ${(System.nanoTime() - t0) / 1e9}%.2f s, shuffle-free=$shuffleFree")
+    }
     spark.stop()
   }
 }
