@@ -214,6 +214,12 @@ object RowDml {
     val journal = TxnJournal.write(spark,
       s"auto-${java.util.UUID.randomUUID()}", entries)
     ManifestCatalog.publish(spark, entries)
+    // Crash-window widener for the kill -9 drill (DmlCrashSpec): holds the
+    // statement between the journal's redo point and the fold so an
+    // external kill lands INSIDE the window recovery must cover. Unset in
+    // production — a plain conf read, no behavior change.
+    spark.conf.getOption("spark.graft.dml.crashTestDelayMs")
+      .foreach(ms => Thread.sleep(ms.toLong))
     // Inside our commit lock a leftover shadow can only be a stale manifest
     // view from an already-folded commit — drop it so insertInto resolves
     // the base table.
