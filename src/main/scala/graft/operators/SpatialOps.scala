@@ -81,6 +81,48 @@ object SpatialOps {
         "FROM g ORDER BY n_nationkey")
     },
 
+    // Tranche-2 surface: centroid, envelope, line accessors, affine
+    // transforms, covers/disjoint (boundary-inclusive vs negated), haversine
+    // sphere distance — each with a closed grid form. The L-line is
+    // (0,0)-(x,0)-(x,y); the envelope is (0,0)-(x+1,y+1).
+    Op("spatial_extras",
+      duckPtsInt +
+      "SELECT n_nationkey, " +
+      "CAST((x+1) AS DOUBLE)/2 AS cx, CAST((y+1) AS DOUBLE)/2 AS cy, " +
+      "ROUND(CAST(x*y AS DOUBLE), 6) AS env_area, " +
+      "CAST(0 AS DOUBLE) AS spx, CAST(y AS DOUBLE) AS epy, CAST(x AS DOUBLE) AS p2x, " +
+      "(NOT (x >= 1 AND x <= 3 AND y >= 1 AND y <= 3)) AS disj, " +
+      "(x >= 1 AND x <= 3 AND y >= 1 AND y <= 3) AS cov, " +
+      "(x >= 1 AND x <= 3 AND y >= 1 AND y <= 3) AS covby, " +
+      "CAST(x AS DOUBLE) + 1.5 AS tx, CAST(x AS DOUBLE) AS fy, " +
+      "ROUND(CAST(2*(x+y+2) AS DOUBLE), 6) AS ring_len, 0 AS nholes, " +
+      "ROUND(sqrt(CAST(x*x + y*y AS DOUBLE)), 6) AS ml_len, " +
+      "ROUND(2*6371008.8*asin(sqrt(pow(sin(radians(CAST(y AS DOUBLE))/2),2) + " +
+      "cos(0)*cos(radians(CAST(y AS DOUBLE)))*pow(sin(radians(CAST(x AS DOUBLE))/2),2)))/1000, 4) AS dsph_km " +
+      "FROM pts ORDER BY n_nationkey") { (s, d) =>
+      Tables.ensure(s, d)
+      s.sql(sparkPtsInt +
+        ", g AS (SELECT n_nationkey, x, y, " +
+        "st_point(CAST(x AS DOUBLE), CAST(y AS DOUBLE)) AS pt, " +
+        "st_geomfromtext(CONCAT('LINESTRING (0 0, ', x, ' 0, ', x, ' ', y, ')')) AS line, " +
+        "st_makeenvelope(0.0D, 0.0D, CAST(x+1 AS DOUBLE), CAST(y+1 AS DOUBLE)) AS env, " +
+        "st_makeenvelope(1.0D, 1.0D, 3.0D, 3.0D) AS box FROM pts) " +
+        "SELECT n_nationkey, " +
+        "st_x(st_centroid(env)) AS cx, st_y(st_centroid(env)) AS cy, " +
+        "ROUND(st_area(st_envelope(line)), 6) AS env_area, " +
+        "st_x(st_startpoint(line)) AS spx, st_y(st_endpoint(line)) AS epy, " +
+        "st_x(st_pointn(line, 2)) AS p2x, " +
+        "st_disjoint(box, pt) AS disj, " +
+        "st_covers(box, pt) AS cov, st_coveredby(pt, box) AS covby, " +
+        "st_x(st_translate(pt, 1.5D, -0.5D)) AS tx, " +
+        "st_y(st_flipcoordinates(pt)) AS fy, " +
+        "ROUND(st_length(st_exteriorring(env)), 6) AS ring_len, " +
+        "st_numinteriorrings(env) AS nholes, " +
+        "ROUND(st_length(st_makeline(st_point(0.0D, 0.0D), pt)), 6) AS ml_len, " +
+        "ROUND(st_distance_sphere(st_point(0.0D, 0.0D), pt)/1000, 4) AS dsph_km " +
+        "FROM g ORDER BY n_nationkey")
+    },
+
     // Polygon-vs-polygon relations: containment (boundary contact allowed
     // when an interior point exists), box overlap, and min distance between
     // disjoint boxes (closed form via per-axis gap).

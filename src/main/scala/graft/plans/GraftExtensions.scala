@@ -99,5 +99,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "st_intersects(a, b) - geometries share at least one point"),
     st("st_contains", "contains", BooleanType, Seq(B, B),
       "st_contains(a, b) - OGC contains (boundary points not contained)"),
-    st("st_within", "within", BooleanType, Seq(B, B), "st_within(a, b) - st_contains(b, a)"))
+    st("st_within", "within", BooleanType, Seq(B, B), "st_within(a, b) - st_contains(b, a)"),
+    st("st_disjoint", "disjoint", BooleanType, Seq(B, B),
+      "st_disjoint(a, b) - NOT st_intersects(a, b)"),
+    st("st_covers", "covers", BooleanType, Seq(B, B),
+      "st_covers(a, b) - OGC covers (boundary-inclusive contains)"),
+    st("st_coveredby", "coveredBy", BooleanType, Seq(B, B),
+      "st_coveredby(a, b) - st_covers(b, a)"),
+    st("st_centroid", "centroid", B, Seq(B),
+      "st_centroid(geom) - area/length-weighted centroid point"),
+    st("st_envelope", "envelopeOf", B, Seq(B),
+      "st_envelope(geom) - axis-aligned bounding-box polygon"),
+    st("st_makeline", "makeLine", B, Seq(B, B),
+      "st_makeline(a, b) - two-point linestring"),
+    st("st_translate", "translate", B, Seq(B, D, D),
+      "st_translate(geom, dx, dy) - shifted geometry"),
+    st("st_flipcoordinates", "flipCoordinates", B, Seq(B),
+      "st_flipcoordinates(geom) - swap x and y of every vertex"),
+    st("st_startpoint", "startPoint", B, Seq(B), "st_startpoint(line) - first vertex"),
+    st("st_endpoint", "endPoint", B, Seq(B), "st_endpoint(line) - last vertex"),
+    st("st_pointn", "pointN", B, Seq(B, IntegerType),
+      "st_pointn(line, n) - 1-based nth vertex"),
+    st("st_numpoints", "npoints", IntegerType, Seq(B),
+      "st_numpoints(geom) - vertex count (alias of st_npoints)"),
+    st("st_exteriorring", "exteriorRing", B, Seq(B),
+      "st_exteriorring(polygon) - shell ring as a linestring"),
+    st("st_numinteriorrings", "numInteriorRings", IntegerType, Seq(B),
+      "st_numinteriorrings(polygon) - hole count"),
+    st("st_distance_sphere", "distanceSphere", D, Seq(B, B),
+      "st_distance_sphere(a, b) - haversine meters on the IUGG mean sphere, (lon, lat) degrees"))
 }

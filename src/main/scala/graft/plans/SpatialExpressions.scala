@@ -439,4 +439,165 @@ object Wkb {
   }
 
   def within(wa: Array[Byte], wb: Array[Byte]): Boolean = contains(wb, wa)
+
+  def disjoint(wa: Array[Byte], wb: Array[Byte]): Boolean = !intersects(wa, wb)
+
+  /** OGC Covers: like contains but boundary-INCLUSIVE (a point on a's
+    * boundary IS covered). polygon covers point/linestring/polygon: every
+    * vertex inside-or-on and no proper edge crossing; point covers point:
+    * equality.
+    */
+  def covers(wa: Array[Byte], wb: Array[Byte]): Boolean = {
+    val a = parse(wa); val b = parse(wb)
+    (a.kind, b.kind) match {
+      case (1, 1) =>
+        a.rings(0)(0) == b.rings(0)(0) && a.rings(0)(1) == b.rings(0)(1)
+      case (3, _) =>
+        val allInOrOn = b.vertices.forall { case (px, py) =>
+          inside(a, px, py) || onBoundary(a, px, py) }
+        lazy val noCross = {
+          val sa = segments(a); val sb = segments(b)
+          !sa.exists(s1 => sb.exists(s2 => properCross(s1, s2)))
+        }
+        allInOrOn && noCross
+      case _ => false
+    }
+  }
+
+  def coveredBy(wa: Array[Byte], wb: Array[Byte]): Boolean = covers(wb, wa)
+
+  // ---- constructors & transforms (tranche 2) --------------------------------
+
+  def makeLine(wa: Array[Byte], wb: Array[Byte]): Array[Byte] = {
+    val a = parse(wa); val b = parse(wb)
+    if (a.kind != 1 || b.kind != 1) fail("st_makeline expects two POINTs")
+    writeGeom(Geom(2, Array(Array(a.rings(0)(0), a.rings(0)(1), b.rings(0)(0), b.rings(0)(1)))))
+  }
+
+  def translate(wkb: Array[Byte], dx: Double, dy: Double): Array[Byte] = {
+    val g = parse(wkb)
+    writeGeom(Geom(g.kind, g.rings.map { r =>
+      val out = r.clone()
+      var i = 0
+      while (i < out.length) { out(i) += dx; out(i + 1) += dy; i += 2 }
+      out
+    }))
+  }
+
+  def flipCoordinates(wkb: Array[Byte]): Array[Byte] = {
+    val g = parse(wkb)
+    writeGeom(Geom(g.kind, g.rings.map { r =>
+      val out = new Array[Double](r.length)
+      var i = 0
+      while (i < r.length) { out(i) = r(i + 1); out(i + 1) = r(i); i += 2 }
+      out
+    }))
+  }
+
+  /** Axis-aligned bounding box of any geometry, as a polygon. */
+  def envelopeOf(wkb: Array[Byte]): Array[Byte] = {
+    val g = parse(wkb)
+    val xs = g.vertices.map(_._1).toSeq; val ys = g.vertices.map(_._2).toSeq
+    makeEnvelope(xs.min, ys.min, xs.max, ys.max)
+  }
+
+  /** Area centroid for polygons (holes subtracted, shoelace moments),
+    * length-weighted midpoint for linestrings, identity for points.
+    * Degenerate (zero-area polygon / zero-length line) falls back to the
+    * vertex mean.
+    */
+  def centroid(wkb: Array[Byte]): Array[Byte] = {
+    val g = parse(wkb)
+    g.kind match {
+      case 1 => wkb.clone()
+      case 2 =>
+        val r = g.rings(0); val n = r.length / 2
+        var len = 0.0; var cx = 0.0; var cy = 0.0
+        var i = 0
+        while (i < n - 1) {
+          val l = math.hypot(r(2 * i + 2) - r(2 * i), r(2 * i + 3) - r(2 * i + 1))
+          cx += l * (r(2 * i) + r(2 * i + 2)) / 2
+          cy += l * (r(2 * i + 1) + r(2 * i + 3)) / 2
+          len += l
+          i += 1
+        }
+        if (len == 0.0) vertexMean(g) else point(cx / len, cy / len)
+      case _ =>
+        var a = 0.0; var cx = 0.0; var cy = 0.0
+        var ri = 0
+        while (ri < g.rings.length) {
+          val r = g.rings(ri); val n = r.length / 2
+          val sign = if (ri == 0) 1.0 else -1.0
+          val ringArea = shoelace(r)
+          // orient every ring's contribution consistently: shell adds its
+          // |area| moments, holes subtract theirs
+          val s = sign * (if (ringArea < 0) -1.0 else 1.0)
+          var i = 0
+          while (i < n) {
+            val j = (i + 1) % n
+            val cross = r(2 * i) * r(2 * j + 1) - r(2 * j) * r(2 * i + 1)
+            cx += s * (r(2 * i) + r(2 * j)) * cross
+            cy += s * (r(2 * i + 1) + r(2 * j + 1)) * cross
+            i += 1
+          }
+          a += sign * math.abs(ringArea)
+          ri += 1
+        }
+        if (a == 0.0) vertexMean(g) else point(cx / (6 * a), cy / (6 * a))
+    }
+  }
+
+  private def vertexMean(g: Geom): Array[Byte] = {
+    val vs = g.vertices.toSeq
+    point(vs.map(_._1).sum / vs.size, vs.map(_._2).sum / vs.size)
+  }
+
+  // ---- ring / line accessors --------------------------------------------------
+
+  def startPoint(wkb: Array[Byte]): Array[Byte] = pointN(wkb, 1)
+
+  def endPoint(wkb: Array[Byte]): Array[Byte] = {
+    val g = parse(wkb)
+    if (g.kind != 2) fail("st_endpoint expects a LINESTRING")
+    pointN(wkb, g.rings(0).length / 2)
+  }
+
+  /** 1-based vertex of a linestring (OGC ST_PointN). */
+  def pointN(wkb: Array[Byte], n: Int): Array[Byte] = {
+    val g = parse(wkb)
+    if (g.kind != 2) fail("st_pointn expects a LINESTRING")
+    val count = g.rings(0).length / 2
+    if (n < 1 || n > count) fail(s"st_pointn index $n out of range 1..$count")
+    point(g.rings(0)(2 * (n - 1)), g.rings(0)(2 * (n - 1) + 1))
+  }
+
+  def exteriorRing(wkb: Array[Byte]): Array[Byte] = {
+    val g = parse(wkb)
+    if (g.kind != 3) fail("st_exteriorring expects a POLYGON")
+    writeGeom(Geom(2, Array(g.rings(0))))
+  }
+
+  def numInteriorRings(wkb: Array[Byte]): Int = {
+    val g = parse(wkb)
+    if (g.kind != 3) fail("st_numinteriorrings expects a POLYGON")
+    g.rings.length - 1
+  }
+
+  // ---- spherical distance ------------------------------------------------------
+
+  /** Haversine great-circle distance in meters between two POINTs whose
+    * coordinates are (longitude, latitude) degrees, on the IUGG mean-radius
+    * sphere R = 6371008.8 m (declared constant — the oracle recomputes the
+    * same formula).
+    */
+  def distanceSphere(wa: Array[Byte], wb: Array[Byte]): Double = {
+    val a = parse(wa); val b = parse(wb)
+    if (a.kind != 1 || b.kind != 1) fail("st_distance_sphere expects two POINTs")
+    val lon1 = math.toRadians(a.rings(0)(0)); val lat1 = math.toRadians(a.rings(0)(1))
+    val lon2 = math.toRadians(b.rings(0)(0)); val lat2 = math.toRadians(b.rings(0)(1))
+    val sdLat = math.sin((lat2 - lat1) / 2)
+    val sdLon = math.sin((lon2 - lon1) / 2)
+    val h = sdLat * sdLat + math.cos(lat1) * math.cos(lat2) * sdLon * sdLon
+    2 * 6371008.8 * math.asin(math.min(1.0, math.sqrt(h)))
+  }
 }

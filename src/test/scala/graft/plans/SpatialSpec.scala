@@ -73,6 +73,34 @@ class SpatialSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](wkt("POINT (1 2 3 4 5)"))
   }
 
+  test("tranche 2: centroid (holes shift it), covers vs contains, accessors, transforms") {
+    // centroid of a box is its center; a hole pulls it away from the hole
+    val box = Wkb.makeEnvelope(0, 0, 4, 2)
+    assert(Wkb.x(Wkb.centroid(box)) == 2.0 && Wkb.y(Wkb.centroid(box)) == 1.0)
+    val holed = wkt("POLYGON ((0 0, 4 0, 4 2, 0 2, 0 0), (3 0, 4 0, 4 1, 3 1, 3 0))")
+    assert(Wkb.x(Wkb.centroid(holed)) < 2.0, "hole on the right pulls the centroid left")
+    // linestring centroid is length-weighted, not the vertex mean
+    assert(Wkb.y(Wkb.centroid(wkt("LINESTRING (0 0, 10 0, 10 1)"))) < 0.1)
+    // covers is boundary-inclusive where contains is not
+    val env = Wkb.makeEnvelope(0, 0, 2, 2)
+    val edge = Wkb.point(0, 1)
+    assert(!Wkb.contains(env, edge) && Wkb.covers(env, edge) && Wkb.coveredBy(edge, env))
+    assert(Wkb.disjoint(env, Wkb.point(5, 5)) && !Wkb.disjoint(env, edge))
+    // line accessors + transforms round-trip
+    val line = wkt("LINESTRING (1 2, 3 4, 5 6)")
+    assert(Wkb.x(Wkb.startPoint(line)) == 1.0 && Wkb.y(Wkb.endPoint(line)) == 6.0)
+    assert(Wkb.x(Wkb.pointN(line, 2)) == 3.0)
+    intercept[IllegalArgumentException](Wkb.pointN(line, 4))
+    assert(Wkb.y(Wkb.flipCoordinates(Wkb.point(7, 8))) == 7.0)
+    assert(Wkb.x(Wkb.translate(Wkb.point(1, 1), 0.5, -0.5)) == 1.5)
+    assert(text(Wkb.envelopeOf(line)) == "POLYGON ((1 2, 5 2, 5 6, 1 6, 1 2))")
+    assert(Wkb.numInteriorRings(holed) == 1)
+    assert(Wkb.length(Wkb.exteriorRing(box)) == 12.0)
+    // haversine: one degree of latitude on the IUGG sphere ~ 111.195 km
+    val d = Wkb.distanceSphere(Wkb.point(0, 0), Wkb.point(0, 1))
+    assert(math.abs(d - 111195.0) < 10.0, s"got $d")
+  }
+
   test("SQL surface: st_* functions resolve and codegen end-to-end") {
     val spark = graft.GraftSession.local()
     val row = spark.sql(
