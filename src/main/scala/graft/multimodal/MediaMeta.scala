@@ -1,0 +1,258 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.types._
+
+/** REAL container-metadata parsing for the compressed formats whose decode
+  * is environment-stubbed (no codec libraries exist here; the reference
+  * serves media columns as opaque blobs the same way): an MP3 frame-header
+  * walker and an MP4/ISO-BMFF box walker. A training-data pipeline needs
+  * duration/bitrate/track facts long before it needs samples — this is the
+  * part of audio/video handling that is pure byte arithmetic, so it is
+  * implemented for real, distributed with the same mapPartitions shape as
+  * the image codec stages. Decode itself stays behind the loud stub
+  * ([[Multimodal.FakeCodec]]), declared.
+  */
+object MediaMeta {
+
+  // ---- MP3 (MPEG-1/2/2.5 Layer III frame headers) ---------------------------
+
+  /** Parsed from a frame-header walk: frame count and duration come from
+    * iterating every frame (header-declared sizes), not from the first
+    * header alone — VBR streams report their true duration this way.
+    */
+  final case class Mp3Meta(mpegVersion: String, bitrateKbps: Int,
+      sampleRate: Int, channels: Int, frames: Int, durationMs: Long)
+
+  // bitrate table (kbps), Layer III: index 1..14; row 0 = MPEG-1, row 1 = MPEG-2/2.5
+  private val L3Bitrates: Array[Array[Int]] = Array(
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160))
+
+  private val SampleRates: Map[Int, Array[Int]] = Map(
+    3 -> Array(44100, 48000, 32000), // MPEG-1
+    2 -> Array(22050, 24000, 16000), // MPEG-2
+    0 -> Array(11025, 12000, 8000)) // MPEG-2.5
+
+  /** ID3v2 tag length at the head of the stream (0 when absent). */
+  private def id3v2Length(b: Array[Byte]): Int =
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      // syncsafe 28-bit size, excludes the 10-byte header
+      10 + (((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+        ((b(8) & 0x7f) << 7) | (b(9) & 0x7f))
+    } else 0
+
+  def parseMp3(bytes: Array[Byte]): Option[Mp3Meta] = {
+    if (bytes == null || bytes.length < 4) return None
+    var p = id3v2Length(bytes)
+    var frames = 0
+    var durationUs = 0.0
+    var first: Option[(Int, Int, Int, Int)] = None // versionId, bitrate, sr, channels
+    while (p + 4 <= bytes.length) {
+      val b1 = bytes(p) & 0xff; val b2 = bytes(p + 1) & 0xff
+      val sync = b1 == 0xff && (b2 & 0xe0) == 0xe0
+      if (!sync) {
+        // tolerate trailing junk/ID3v1 only AFTER at least one valid frame
+        return first.map { case (v, br, sr, ch) =>
+          Mp3Meta(versionName(v), br, sr, ch, frames, math.round(durationUs / 1000.0)) }
+      }
+      val versionId = (b2 >> 3) & 0x3 // 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+      val layer = (b2 >> 1) & 0x3 // 1 = Layer III
+      if (layer != 1 || versionId == 1) return None
+      val b3 = bytes(p + 2) & 0xff
+      val bitrateIdx = (b3 >> 4) & 0xf
+      val srIdx = (b3 >> 2) & 0x3
+      if (bitrateIdx == 0 || bitrateIdx == 15 || srIdx == 3) return None
+      val bitrate = L3Bitrates(if (versionId == 3) 0 else 1)(bitrateIdx)
+      val sr = SampleRates(versionId)(srIdx)
+      val padding = (b3 >> 1) & 0x1
+      val channelMode = ((bytes(p + 3) & 0xff) >> 6) & 0x3
+      val samplesPerFrame = if (versionId == 3) 1152 else 576
+      val frameLen = samplesPerFrame / 8 * bitrate * 1000 / sr + padding
+      if (frameLen <= 4) return None
+      if (first.isEmpty)
+        first = Some((versionId, bitrate, sr, if (channelMode == 3) 1 else 2))
+      frames += 1
+      durationUs += samplesPerFrame * 1e6 / sr
+      p += frameLen
+    }
+    first.map { case (v, br, sr, ch) =>
+      Mp3Meta(versionName(v), br, sr, ch, frames, math.round(durationUs / 1000.0)) }
+  }
+
+  private def versionName(id: Int): String =
+    id match { case 3 => "MPEG-1"; case 2 => "MPEG-2"; case _ => "MPEG-2.5" }
+
+  // ---- MP4 / ISO-BMFF ---------------------------------------------------------
+
+  final case class Mp4Meta(brand: String, timescale: Long, durationMs: Long,
+      tracks: Int, hasVideo: Boolean, hasAudio: Boolean)
+
+  private def u32(b: Array[Byte], p: Int): Long =
+    ((b(p) & 0xffL) << 24) | ((b(p + 1) & 0xffL) << 16) |
+      ((b(p + 2) & 0xffL) << 8) | (b(p + 3) & 0xffL)
+
+  private def u64(b: Array[Byte], p: Int): Long = (u32(b, p) << 32) | u32(b, p + 4)
+
+  private def fourcc(b: Array[Byte], p: Int): String =
+    new String(b, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Walk the boxes in [from, to), invoking f(type, payloadStart, payloadEnd). */
+  private def walkBoxes(b: Array[Byte], from: Int, to: Int)
+      (f: (String, Int, Int) => Unit): Unit = {
+    var p = from
+    while (p + 8 <= to) {
+      var size = u32(b, p)
+      val typ = fourcc(b, p + 4)
+      var payload = p + 8
+      if (size == 1 && p + 16 <= to) { size = u64(b, p + 8); payload = p + 16 }
+      if (size == 0) size = (to - p).toLong // box extends to end
+      if (size < 8 || p + size > to) return // malformed: stop, keep what we have
+      f(typ, payload, p + size.toInt)
+      p += size.toInt
+    }
+  }
+
+  def parseMp4(bytes: Array[Byte]): Option[Mp4Meta] = {
+    if (bytes == null || bytes.length < 12) return None
+    var brand: Option[String] = None
+    var timescale = 0L
+    var duration = 0L
+    var tracks = 0
+    var hasVideo = false
+    var hasAudio = false
+    walkBoxes(bytes, 0, bytes.length) { (typ, s, e) =>
+      typ match {
+        case "ftyp" => if (e - s >= 4) brand = Some(fourcc(bytes, s))
+        case "moov" =>
+          walkBoxes(bytes, s, e) { (t2, s2, e2) =>
+            t2 match {
+              case "mvhd" if e2 - s2 >= 20 =>
+                val version = bytes(s2) & 0xff
+                if (version == 1 && e2 - s2 >= 28) {
+                  timescale = u32(bytes, s2 + 20)
+                  duration = u64(bytes, s2 + 24)
+                } else {
+                  timescale = u32(bytes, s2 + 12)
+                  duration = u32(bytes, s2 + 16)
+                }
+              case "trak" =>
+                tracks += 1
+                walkBoxes(bytes, s2, e2) { (t3, s3, e3) =>
+                  if (t3 == "mdia") walkBoxes(bytes, s3, e3) { (t4, s4, e4) =>
+                    if (t4 == "hdlr" && e4 - s4 >= 12) fourcc(bytes, s4 + 8) match {
+                      case "vide" => hasVideo = true
+                      case "soun" => hasAudio = true
+                      case _ => ()
+                    }
+                  }
+                }
+              case _ => ()
+            }
+          }
+        case _ => ()
+      }
+    }
+    if (brand.isEmpty && timescale == 0) None
+    else Some(Mp4Meta(brand.getOrElse(""), timescale,
+      if (timescale == 0) 0L else duration * 1000 / timescale,
+      tracks, hasVideo, hasAudio))
+  }
+
+  // ---- distributed stage --------------------------------------------------------
+
+  private val metaSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("container", StringType, nullable = true),
+    StructField("bitrate_kbps", IntegerType, nullable = true),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("frames", IntegerType, nullable = true),
+    StructField("tracks", IntegerType, nullable = true),
+    StructField("has_video", BooleanType, nullable = true),
+    StructField("has_audio", BooleanType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true)))
+
+  /** Container metadata per media row (real parsing, one pass per blob;
+    * unrecognized bytes yield a null-metadata row rather than an error —
+    * crawl corpora are full of junk). Same mapPartitions posture as the
+    * image stages: stateless per-row byte work rides the scan partitioning.
+    */
+  def containerMeta(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(metaSchema)
+    media.select("media_id", "bytes").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]]("bytes")
+        parseMp3(bytes) match {
+          case Some(m) =>
+            Row(id, "mp3", m.bitrateKbps, m.sampleRate, m.frames,
+              null, null, null, m.durationMs)
+          case None => parseMp4(bytes) match {
+            case Some(m) =>
+              Row(id, "mp4", null, null, null,
+                m.tracks, m.hasVideo, m.hasAudio, m.durationMs)
+            case None => Row(id, null, null, null, null, null, null, null, null)
+          }
+        }
+      }
+    }(enc)
+  }
+
+  // ---- deterministic synthetic fixtures ----------------------------------------
+
+  /** Valid MPEG-1 Layer III stream: sr=32000 (36 ms/frame exactly), bitrate
+    * 32+8*(id%5) kbps, 5+id%7 frames, ID3v2 tag prepended on id%2==1.
+    * Every derived fact is integer arithmetic on `id` — the oracle
+    * recomputes them without parsing.
+    */
+  def syntheticMp3(id: Long): Array[Byte] = {
+    val bitrateIdx = 1 + (id % 5).toInt // 32,40,48,56,64 kbps
+    val bitrate = L3Bitrates(0)(bitrateIdx)
+    val frames = 5 + (id % 7).toInt
+    val frameLen = 144 * bitrate * 1000 / 32000 // integral for these rates
+    val id3 = if (id % 2 == 1) {
+      val tag = new Array[Byte](10 + 7)
+      tag(0) = 'I'; tag(1) = 'D'; tag(2) = '3'; tag(3) = 4; tag(9) = 7
+      tag
+    } else Array.empty[Byte]
+    val out = new Array[Byte](id3.length + frames * frameLen)
+    System.arraycopy(id3, 0, out, 0, id3.length)
+    var p = id3.length
+    (0 until frames).foreach { f =>
+      out(p) = 0xff.toByte
+      out(p + 1) = 0xfb.toByte // MPEG-1, Layer III, no CRC
+      out(p + 2) = ((bitrateIdx << 4) | (2 << 2)).toByte // srIdx=2 -> 32000
+      out(p + 3) = 0x00 // stereo
+      var j = 4
+      while (j < frameLen) { out(p + j) = ((id * 31 + f * 7 + j) % 127).toByte; j += 1 }
+      p += frameLen
+    }
+    out
+  }
+
+  /** Minimal ISO-BMFF: ftyp(isom) + moov{mvhd(ts=1000, dur=(id+1)*500) +
+    * 1+((id/2)%2) traks (vide, then soun)}.
+    */
+  def syntheticMp4(id: Long): Array[Byte] = {
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(8 + payload.length)
+      out.putInt(8 + payload.length).put(typ.getBytes("US-ASCII")).put(payload)
+      out.array()
+    }
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ new Array[Byte](4))
+    val mvhdPayload = java.nio.ByteBuffer.allocate(100)
+    mvhdPayload.position(12) // version/flags + ctime + mtime = 0
+    mvhdPayload.putInt(1000).putInt(((id + 1) * 500).toInt)
+    val mvhd = box("mvhd", mvhdPayload.array())
+    def trak(handler: String): Array[Byte] = {
+      val h = java.nio.ByteBuffer.allocate(25)
+      h.position(8)
+      h.put(handler.getBytes("US-ASCII"))
+      box("trak", box("mdia", box("hdlr", h.array())))
+    }
+    val nTracks = 1 + ((id / 2) % 2).toInt
+    val traks = trak("vide") ++ (if (nTracks == 2) trak("soun") else Array.empty[Byte])
+    ftyp ++ box("moov", mvhd ++ traks)
+  }
+}

@@ -279,6 +279,47 @@ object CoverageOps {
         .orderBy("media_id", "frame_no")
     },
 
+    // REAL compressed-container metadata (multimodal.MediaMeta): an MP3
+    // frame-header walker and an MP4/ISO-BMFF box walker — the byte-
+    // arithmetic half of audio/video handling, implemented for real while
+    // decode stays environment-stubbed. Fixture bytes are VALID containers
+    // synthesized deterministically from media_id, so every parsed fact
+    // (bitrate, frame count, per-frame-exact duration, track layout) has a
+    // closed integer form the oracle recomputes without parsing — the
+    // differential test is parser-vs-construction. Even ids: MPEG-1 L3 at
+    // 32 kHz (36 ms/frame exactly), ID3v2-tagged on alternating streams;
+    // odd ids: ftyp+moov{mvhd,trak...} with 1-2 tracks.
+    Op.effectful("multimodal_container_meta",
+      s"WITH m AS (SELECT media_id FROM read_parquet('${SourceOps.ioDir}/media_meta/*.parquet')) " +
+      "SELECT media_id, " +
+      "CASE WHEN media_id % 2 = 0 THEN 'mp3' ELSE 'mp4' END AS container, " +
+      "CASE WHEN media_id % 2 = 0 THEN CAST(32 + 8*((media_id//2) % 5) AS INTEGER) END AS bitrate_kbps, " +
+      "CASE WHEN media_id % 2 = 0 THEN CAST(32000 AS INTEGER) END AS sample_rate, " +
+      "CASE WHEN media_id % 2 = 0 THEN CAST(5 + (media_id//2) % 7 AS INTEGER) END AS frames, " +
+      "CASE WHEN media_id % 2 = 1 THEN CAST(1 + (media_id//2) % 2 AS INTEGER) END AS tracks, " +
+      "CASE WHEN media_id % 2 = 1 THEN TRUE END AS has_video, " +
+      "CASE WHEN media_id % 2 = 1 THEN ((media_id//2) % 2 = 1) END AS has_audio, " +
+      "CASE WHEN media_id % 2 = 0 THEN CAST((5 + (media_id//2) % 7) * 36 AS BIGINT) " +
+      "ELSE CAST((media_id+1) * 500 AS BIGINT) END AS duration_ms " +
+      "FROM m ORDER BY media_id") { (s, d) =>
+      val mediaDir = s"${SourceOps.ioDir}/media_meta"
+      import scala.jdk.CollectionConverters._
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("bytes",
+          org.apache.spark.sql.types.BinaryType, nullable = true)))
+      val rows = (0L until 60L).map { id =>
+        val bytes =
+          if (id % 2 == 0) graft.multimodal.MediaMeta.syntheticMp3(id / 2)
+          else graft.multimodal.MediaMeta.syntheticMp4(id)
+        org.apache.spark.sql.Row(id, bytes)
+      }
+      s.createDataFrame(rows.asJava, schema).write.mode("overwrite").parquet(mediaDir)
+      graft.multimodal.MediaMeta.containerMeta(s.read.parquet(mediaDir))
+        .orderBy("media_id")
+    },
+
     // Dialect-compat proof: ONE SQL text, spelled in the reference engine's
     // DuckDB dialect (string_split / list_* / regexp_matches), runs verbatim
     // on BOTH engines — Spark resolves the spellings through the

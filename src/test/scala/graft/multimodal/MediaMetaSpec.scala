@@ -1,0 +1,54 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Container-metadata parsers: frame-walking (not first-header) duration,
+  * ID3v2 skip, junk rejection, ISO-BMFF traversal incl. 64-bit largesize.
+  */
+class MediaMetaSpec extends AnyFunSuite {
+
+  test("mp3: frame walk counts frames and sums duration; ID3v2 skipped") {
+    val plain = MediaMeta.syntheticMp3(0) // 32 kbps, 5 frames, no ID3
+    val m = MediaMeta.parseMp3(plain).get
+    assert(m.mpegVersion == "MPEG-1" && m.bitrateKbps == 32 && m.sampleRate == 32000)
+    assert(m.frames == 5 && m.durationMs == 5 * 36)
+    val tagged = MediaMeta.syntheticMp3(1) // ID3v2 present
+    val t = MediaMeta.parseMp3(tagged).get
+    assert(t.bitrateKbps == 40 && t.frames == 6 && t.durationMs == 6 * 36)
+  }
+
+  test("mp3: VBR stream reports true duration from the walk") {
+    // splice a 32 kbps stream and a 64 kbps stream: frame count and
+    // duration must come from walking both, not from the first header
+    val vbr = MediaMeta.syntheticMp3(0) ++ MediaMeta.syntheticMp3(4).drop(0)
+    val m = MediaMeta.parseMp3(vbr).get
+    assert(m.bitrateKbps == 32, "reported bitrate is the first frame's")
+    assert(m.frames == 5 + 9 && m.durationMs == (5 + 9) * 36)
+  }
+
+  test("mp3: junk and image bytes are rejected, trailing junk tolerated") {
+    assert(MediaMeta.parseMp3(Array[Byte](1, 2, 3, 4, 5)).isEmpty)
+    assert(MediaMeta.parseMp3(
+      Array.tabulate[Byte](64)(j => ((31 + j) % 127).toByte)).isEmpty)
+    val withTrailer = MediaMeta.syntheticMp3(2) ++ "TAGjunkjunk".getBytes
+    assert(MediaMeta.parseMp3(withTrailer).get.frames == 7)
+  }
+
+  test("mp4: ftyp/mvhd/trak walk, 64-bit largesize moov") {
+    val m = MediaMeta.parseMp4(MediaMeta.syntheticMp4(1)).get
+    assert(m.brand == "isom" && m.timescale == 1000)
+    assert(m.durationMs == 1000 && m.tracks == 1 && m.hasVideo && !m.hasAudio)
+    val two = MediaMeta.parseMp4(MediaMeta.syntheticMp4(3)).get
+    assert(two.tracks == 2 && two.hasVideo && two.hasAudio)
+    // rebuild the moov as a largesize (size=1 + 64-bit) box
+    val orig = MediaMeta.syntheticMp4(1)
+    val ftypLen = 16
+    val moov = orig.drop(ftypLen)
+    val big = java.nio.ByteBuffer.allocate(moov.length + 8)
+    big.putInt(1).put("moov".getBytes("US-ASCII"))
+      .putLong(moov.length + 8L).put(moov.drop(8))
+    val reparsed = MediaMeta.parseMp4(orig.take(ftypLen) ++ big.array()).get
+    assert(reparsed.durationMs == 1000 && reparsed.tracks == 1)
+    assert(MediaMeta.parseMp4("not a container at all".getBytes).isEmpty)
+  }
+}
