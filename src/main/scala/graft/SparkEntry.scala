@@ -18,7 +18,7 @@ object SparkEntry {
       ScalarFns.ops ++ TpchSuite.ops ++ SourceOps.ops ++ ExtensibilityOps.ops ++
       TextPipeline.ops ++ TextGovernance.ops ++ Embeddings.ops ++ Events.ops ++
       TemporalJoins.ops ++ CoverageOps.ops ++ CorpusPrep.ops ++ Maintenance.ops ++
-      Skyline.ops ++ SpatialOps.ops
+      Skyline.ops ++ SpatialOps.ops ++ SpatialJoin.ops
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H h03 shape: broadcast + shuffle join, aggregate, top-k.

@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Distributed spatial join — the whole-operator spatial capability Spark
+  * lacks natively (its join planner sees an opaque predicate and falls back
+  * to a nested-loop cartesian). The scale shape is GRID BLOCKING, the same
+  * decomposition every distributed geo engine uses: quantize space into
+  * cells of a chosen size, assign each point to the ONE cell containing it
+  * (a codegen floor), explode each polygon to the (bounded) set of cells
+  * its bounding box covers, then hash-equi-join on the cell key and verify
+  * the exact geometry predicate only on co-celled candidates. Each
+  * point-polygon pair meets in EXACTLY one cell — the point's — so the
+  * join needs no post-dedup, and the cost model is
+  * O(points + polygons x cells_per_bbox + candidates): quadratic only
+  * within a cell, bounded by the cell size knob exactly like the IVF cell
+  * bound in [[Embeddings.semanticDedup]]. AQE's skew handling applies to
+  * the cell key like any other equi-join key; a pathological cell (all
+  * points in one city block) is handled by shrinking `cellSize`, the same
+  * retuning story as any blocking join.
+  *
+  * The exact verify runs [[graft.plans.Wkb]] kernels as codegen scalar
+  * calls on the joined rows — no UDF, no driver round-trip.
+  */
+object SpatialJoin {
+
+  /** points: (pointCols..., px, py) — coordinates as doubles.
+    * polygons: (polyCols..., geom) — WKB polygon column.
+    * Returns every (point row, polygon row) pair where the polygon's
+    * geometry INTERSECTS the point (boundary-inclusive; pass
+    * `boundaryExclusive = true` for OGC Contains semantics).
+    */
+  def pointInPolygon(points: DataFrame, polygons: DataFrame,
+      px: Column, py: Column, geom: Column, cellSize: Double,
+      boundaryExclusive: Boolean = false): DataFrame = {
+    val cellX = floor(px / cellSize).cast("long")
+    val cellY = floor(py / cellSize).cast("long")
+    val p = points
+      .withColumn("__cx", cellX)
+      .withColumn("__cy", cellY)
+    // polygon -> covered cell range from its bbox (st_xmin etc. are the
+    // codegen kernel accessors); sequence+explode is bounded by
+    // bbox_area / cellSize^2 per polygon
+    val g = polygons
+      .withColumn("__gxmin", floor(callUDFFree("st_xmin", geom) / cellSize).cast("long"))
+      .withColumn("__gxmax", floor(callUDFFree("st_xmax", geom) / cellSize).cast("long"))
+      .withColumn("__gymin", floor(callUDFFree("st_ymin", geom) / cellSize).cast("long"))
+      .withColumn("__gymax", floor(callUDFFree("st_ymax", geom) / cellSize).cast("long"))
+      .withColumn("__cx", explode(sequence(col("__gxmin"), col("__gxmax"))))
+      .withColumn("__cy", explode(sequence(col("__gymin"), col("__gymax"))))
+      .drop("__gxmin", "__gxmax", "__gymin", "__gymax")
+    val predicate = if (boundaryExclusive) "st_contains" else "st_intersects"
+    p.join(g, Seq("__cx", "__cy"))
+      .filter(callUDFFree(predicate, geom, callUDFFree("st_point", px, py)))
+      .drop("__cx", "__cy")
+  }
+
+  /** Radius join: every (point, point) pair within `radius` (Euclidean),
+    * left id < right id. Same grid blocking; each left point probes its own
+    * cell plus the 8 neighbors (radius must be <= cellSize for the 3x3
+    * neighborhood to be complete — enforced).
+    */
+  def pointsWithin(points: DataFrame, px: Column, py: Column, id: Column,
+      radius: Double, cellSize: Double): DataFrame = {
+    require(radius <= cellSize, s"radius $radius must be <= cellSize $cellSize")
+    val l = points.select(id.as("id_a"), px.as("ax"), py.as("ay"))
+      .withColumn("__cx", floor(col("ax") / cellSize).cast("long"))
+      .withColumn("__cy", floor(col("ay") / cellSize).cast("long"))
+      .withColumn("__nx", explode(sequence(col("__cx") - 1, col("__cx") + 1)))
+      .withColumn("__ny", explode(sequence(col("__cy") - 1, col("__cy") + 1)))
+      .select(col("id_a"), col("ax"), col("ay"),
+        col("__nx").as("__cx"), col("__ny").as("__cy"))
+    val r = points.select(id.as("id_b"), px.as("bx"), py.as("by"))
+      .withColumn("__cx", floor(col("bx") / cellSize).cast("long"))
+      .withColumn("__cy", floor(col("by") / cellSize).cast("long"))
+    l.hint("shuffle_hash").join(r, Seq("__cx", "__cy"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(pow(col("ax") - col("bx"), 2) + pow(col("ay") - col("by"), 2)
+        <= lit(radius * radius))
+      .select(col("id_a"), col("id_b"),
+        round(sqrt(pow(col("ax") - col("bx"), 2) + pow(col("ay") - col("by"), 2)), 6)
+          .as("dist"))
+  }
+
+  // call a registered function by name without the UDF registry (these are
+  // the codegen StaticInvoke spatial expressions from GraftExtensions)
+  private def callUDFFree(name: String, args: Column*): Column =
+    call_function(name, args: _*)
+
+  val ops: Seq[Op] = Seq(
+
+    // Grid-blocked point-in-polygon join: nation grid points against
+    // per-region envelope polygons ((r, r) to (r+2, r+2)). The oracle is
+    // the closed-form box test over the cross product — small here, but the
+    // Spark plan is the blocked equi-join that scales.
+    Op("spatial_join_pip",
+      "WITH pts AS (SELECT n_nationkey, CAST(n_nationkey % 5 AS DOUBLE) AS x, " +
+      "CAST(n_nationkey // 5 AS DOUBLE) AS y FROM nation), " +
+      "polys AS (SELECT r_regionkey, CAST(r_regionkey AS DOUBLE) AS gx, " +
+      "CAST(r_regionkey AS DOUBLE) + 2 AS gx2 FROM region) " +
+      "SELECT n_nationkey, r_regionkey FROM pts JOIN polys ON " +
+      "x >= gx AND x <= gx2 AND y >= gx AND y <= gx2 " +
+      "ORDER BY n_nationkey, r_regionkey") { (s, d) =>
+      Tables.ensure(s, d)
+      val pts = s.sql(
+        "SELECT n_nationkey, CAST(n_nationkey % 5 AS DOUBLE) AS x, " +
+          "CAST(n_nationkey DIV 5 AS DOUBLE) AS y FROM nation")
+      val polys = s.sql(
+        "SELECT r_regionkey, st_makeenvelope(CAST(r_regionkey AS DOUBLE), " +
+          "CAST(r_regionkey AS DOUBLE), CAST(r_regionkey AS DOUBLE) + 2, " +
+          "CAST(r_regionkey AS DOUBLE) + 2) AS geom FROM region")
+      pointInPolygon(pts, polys, col("x"), col("y"), col("geom"), cellSize = 2.0)
+        .select("n_nationkey", "r_regionkey")
+        .orderBy("n_nationkey", "r_regionkey")
+    },
+
+    // Grid-blocked radius self-join on the nation grid: all point pairs
+    // within Euclidean distance 1.5 (axis and diagonal neighbors).
+    Op("spatial_join_radius",
+      "WITH pts AS (SELECT n_nationkey AS id, CAST(n_nationkey % 5 AS DOUBLE) AS x, " +
+      "CAST(n_nationkey // 5 AS DOUBLE) AS y FROM nation) " +
+      "SELECT a.id AS id_a, b.id AS id_b, " +
+      "ROUND(sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)), 6) AS dist " +
+      "FROM pts a JOIN pts b ON a.id < b.id AND " +
+      "(a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 2.25 " +
+      "ORDER BY id_a, id_b") { (s, d) =>
+      Tables.ensure(s, d)
+      val pts = s.sql(
+        "SELECT n_nationkey AS id, CAST(n_nationkey % 5 AS DOUBLE) AS x, " +
+          "CAST(n_nationkey DIV 5 AS DOUBLE) AS y FROM nation")
+      pointsWithin(pts, col("x"), col("y"), col("id"), radius = 1.5, cellSize = 2.0)
+        .orderBy("id_a", "id_b")
+    })
+}
