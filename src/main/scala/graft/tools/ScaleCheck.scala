@@ -141,6 +141,32 @@ object ScaleCheck {
     // pays it twice, while dedupFunnel's text-clustering window materializes
     // the view into one reused exchange. On stored data both shapes pay one
     // cheap scan; the signature+verify work itself is the ~0.5-1.5 s part.
+    // Grid-blocked spatial join at synthetic scale: 50k*N deterministic
+    // points against 500 5x5-degree envelopes over a 100x100 space with
+    // cellSize=5 (each polygon covers <=4 cells; candidates per point =
+    // polys sharing its cell). The cost driver at scale is the per-
+    // candidate exact predicate (one WKB parse per test — a real geo
+    // engine caches decoded geometries per partition; documented trade).
+    if (only.isEmpty || only.contains("spatial_join")) {
+      val nPts = 50000L * n
+      val pts = spark.range(nPts).select(col("id"),
+        (pmod(col("id") * 7919, lit(100000)) / lit(1000.0)).as("x"),
+        (pmod(col("id") * 104729, lit(100000)) / lit(1000.0)).as("y"))
+      val polys = spark.range(500).select(col("id").as("gid"),
+        call_function("st_makeenvelope",
+          pmod(col("id") * 31, lit(95)).cast("double"),
+          pmod(col("id") * 17, lit(95)).cast("double"),
+          pmod(col("id") * 31, lit(95)).cast("double") + 5.0,
+          pmod(col("id") * 17, lit(95)).cast("double") + 5.0).as("geom"))
+      val j = graft.operators.SpatialJoin.pointInPolygon(
+        pts, polys, col("x"), col("y"), col("geom"), cellSize = 5.0)
+      j.count() // warm codegen
+      val t0 = System.nanoTime()
+      val pairs = j.count()
+      println(f"[scale] spatial_join_pip at ${n}x: " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s ($pairs pairs from $nPts pts x 500 polys)")
+    }
+
     // The library-path blocks below run only on a FULL sweep — a named-op
     // re-check (args after N) stays focused on the named ops.
     if (only.isEmpty) {

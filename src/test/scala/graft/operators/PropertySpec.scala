@@ -123,6 +123,40 @@ class PropertySpec extends AnyFunSuite {
     }, n = 12)
   }
 
+  test("WKB round-trips: parse(print(g)) == g for arbitrary points/lines/polygons") {
+    import graft.plans.Wkb
+    val coord = Gen.chooseNum(-1000000, 1000000).map(_ / 128.0) // dyadic: exact in FP and WKT
+    val pointGen = Gen.zip(coord, coord).map { case (x, y) => Wkb.point(x, y) }
+    val lineGen = Gen.chooseNum(2, 12).flatMap(n =>
+      Gen.listOfN(2 * n, coord)).map { cs =>
+      Wkb.fromText(org.apache.spark.unsafe.types.UTF8String.fromString(
+        "LINESTRING (" + cs.grouped(2).map(p => s"${fmtD(p.head)} ${fmtD(p(1))}").mkString(", ") + ")"))
+    }
+    val envGen = Gen.zip(coord, coord, Gen.chooseNum(1, 1000), Gen.chooseNum(1, 1000))
+      .map { case (x, y, w, h) => Wkb.makeEnvelope(x, y, x + w, y + h) }
+    val geomGen = Gen.oneOf(pointGen, lineGen, envGen)
+    // WKT print -> parse -> print is a fixpoint, and the binary round-trip
+    // preserves every accessor the engine computes from
+    check(Prop.forAll(geomGen) { g =>
+      val wkt1 = Wkb.asText(g)
+      val g2 = Wkb.fromText(wkt1)
+      Wkb.asText(g2).toString == wkt1.toString &&
+        Wkb.npoints(g2) == Wkb.npoints(g) &&
+        Wkb.xmin(g2) == Wkb.xmin(g) && Wkb.ymax(g2) == Wkb.ymax(g) &&
+        Wkb.area(g2) == Wkb.area(g)
+    }, n = 200)
+    // symmetry + triangle-ish sanity of distance on random point triples
+    check(Prop.forAll(Gen.zip(coord, coord, coord, coord)) { case (ax, ay, bx, by) =>
+      val d1 = Wkb.distance(Wkb.point(ax, ay), Wkb.point(bx, by))
+      val d2 = Wkb.distance(Wkb.point(bx, by), Wkb.point(ax, ay))
+      d1 == d2 && d1 >= 0 &&
+        Wkb.contains(Wkb.point(ax, ay), Wkb.point(ax, ay))
+    }, n = 200)
+  }
+
+  private def fmtD(v: Double): String =
+    if (v == math.rint(v)) v.toLong.toString else v.toString
+
   test("misraGries: presence + error bound hold for arbitrary skewed streams") {
     // Small alphabet so heavy hitters actually occur; random partitioning so
     // the mergeable-summaries combOp path is exercised, not just seqOp.
