@@ -156,6 +156,30 @@ object RowDml {
     case other => other.sql.split("\\.").last.stripPrefix("`").stripSuffix("`")
   }
 
+  /** Literal predicate over the AFFECTED partitions of `cond` — the values
+    * are materialized on the driver (bounded by the table's partition
+    * count: metadata scale, the same order as the partition listing every
+    * scan already reads) so Catalyst PRUNES the post-image scan to the
+    * affected partitions. The previous broadcast-semi-join shape kept the
+    * plan fully lazy but could not prune the scan: the post-image read paid
+    * a full-table pass however few partitions the statement touched
+    * (DmlScaleProbe: a 1-of-64-partition UPDATE read all 64).
+    */
+  private def affectedPartitionsPredicate(spark: SparkSession, df: DataFrame,
+      cond: Column, parts: Seq[String]): Column =
+    affectedPartitionsWithCount(spark, df, cond, parts)._1
+
+  private def affectedPartitionsWithCount(spark: SparkSession, df: DataFrame,
+      cond: Column, parts: Seq[String]): (Column, Long) = {
+    val vals = df.filter(cond).select(parts.map(col).toIndexedSeq: _*).distinct().collect()
+    val pred = vals.map { row =>
+      parts.zipWithIndex.map { case (p, i) =>
+        if (row.isNullAt(i)) col(p).isNull else col(p) === lit(row.get(i))
+      }.reduce(_ && _)
+    }.reduceOption(_ || _).getOrElse(lit(false))
+    (pred, vals.length.toLong)
+  }
+
   /** Partition columns if `name` is a partitioned catalog table. */
   private def partitionCols(spark: SparkSession, name: String): Seq[String] =
     try {
@@ -355,8 +379,7 @@ object RowDml {
       val partitionsTouched = assign.keySet.intersect(parts.toSet).nonEmpty
       if (partitionsTouched) sink(spark, name, updated, false)
       else {
-        val affectedParts = df.filter(cond).select(parts.map(col).toIndexedSeq: _*).distinct()
-        val scoped = updated.join(broadcast(affectedParts), parts, "left_semi")
+        val scoped = updated.filter(affectedPartitionsPredicate(spark, df, cond, parts))
         sink(spark, name, scoped, true)
       }
     } else sink(spark, name, updated, false)
@@ -380,13 +403,13 @@ object RowDml {
     if (affected == 0) {
       // nothing deleted: skip the rewrite (see update)
     } else if (parts.nonEmpty && allowPartitionScope) {
-      val affectedParts = df.filter(cond).select(parts.map(col).toIndexedSeq: _*).distinct()
-      val keptInAffected = kept.join(broadcast(affectedParts), parts, "left_semi")
+      val (pruned, nAffectedParts) = affectedPartitionsWithCount(spark, df, cond, parts)
+      val keptInAffected = kept.filter(pruned)
       // Dynamic overwrite only rewrites partitions PRESENT in the written
       // data: a fully-deleted partition would survive untouched. Fall back
       // to a full rewrite when any affected partition ends up empty.
       val survivors = keptInAffected.select(parts.map(col).toIndexedSeq: _*).distinct().count()
-      if (survivors < affectedParts.count())
+      if (survivors < nAffectedParts)
         sink(spark, name, kept, false)
       else
         sink(spark, name, keptInAffected, true)
