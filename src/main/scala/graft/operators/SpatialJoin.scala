@@ -32,6 +32,23 @@ object SpatialJoin {
     * geometry INTERSECTS the point (boundary-inclusive; pass
     * `boundaryExclusive = true` for OGC Contains semantics).
     */
+  /** Auto cell size: the mean polygon bbox edge (computed from the
+    * polygon side — usually the small side of a spatial join, one cheap
+    * aggregate). A cell ~ the typical polygon keeps each polygon's explode
+    * at ~4 cells while co-celled candidate counts track real overlap —
+    * the same derive-the-knob-from-the-data posture as
+    * [[Embeddings.semanticDedup]]'s auto-k.
+    */
+  def pointInPolygon(points: DataFrame, polygons: DataFrame,
+      px: Column, py: Column, geom: Column): DataFrame = {
+    val row = polygons.select(
+      avg(call_function("st_xmax", geom) - call_function("st_xmin", geom)).as("w"),
+      avg(call_function("st_ymax", geom) - call_function("st_ymin", geom)).as("h"))
+      .collect().head
+    val cell = math.max(1e-9, math.max(row.getDouble(0), row.getDouble(1)))
+    pointInPolygon(points, polygons, px, py, geom, cell)
+  }
+
   def pointInPolygon(points: DataFrame, polygons: DataFrame,
       px: Column, py: Column, geom: Column, cellSize: Double,
       boundaryExclusive: Boolean = false): DataFrame = {

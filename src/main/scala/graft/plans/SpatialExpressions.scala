@@ -46,9 +46,36 @@ object Wkb {
   private def fail(msg: String): Nothing = throw new IllegalArgumentException(s"st_*: $msg")
 
   def parse(wkb: Array[Byte]): Geom = {
-    val in = new Cursor(wkb)
-    readGeom(in)
+    // Per-thread decoded-geometry memo: a blocked spatial join verifies the
+    // SAME few polygons against many co-celled points, re-parsing the
+    // polygon WKB per candidate row (each row hands the expression a fresh
+    // byte array with identical content). A tiny content-keyed LRU turns
+    // that into one parse per distinct geometry per task thread. Points
+    // (21 bytes) skip the memo — hashing them costs as much as parsing.
+    if (wkb.length <= 21) return readGeom(new Cursor(wkb))
+    val cache = parseCache.get()
+    val key = new BytesKey(wkb)
+    val hit = cache.get(key)
+    if (hit != null) return hit
+    val g = readGeom(new Cursor(wkb))
+    cache.put(key, g)
+    g
   }
+
+  private final class BytesKey(val b: Array[Byte]) {
+    override val hashCode: Int = java.util.Arrays.hashCode(b)
+    override def equals(o: Any): Boolean = o match {
+      case k: BytesKey => java.util.Arrays.equals(b, k.b)
+      case _ => false
+    }
+  }
+
+  private val parseCache: ThreadLocal[java.util.LinkedHashMap[BytesKey, Geom]] =
+    ThreadLocal.withInitial(() =>
+      new java.util.LinkedHashMap[BytesKey, Geom](128, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[BytesKey, Geom]): Boolean =
+          size() > 64
+      })
 
   private final class Cursor(val b: Array[Byte]) {
     var pos = 0

@@ -40,6 +40,21 @@ class SpatialJoinSpec extends AnyFunSuite {
       s"spatial join must stay a cell equi-join, got:\n$plan")
   }
 
+  test("auto cell size derives from mean polygon bbox and matches the explicit result") {
+    import spark.implicits._
+    val pts = Seq((1L, 0.5, 0.5), (2L, 3.0, 3.0), (3L, 9.0, 9.0)).toDF("pid", "x", "y")
+    val polys = Seq((10L, 0.0, 0.0, 2.0, 2.0), (20L, 2.5, 2.5, 4.5, 4.5))
+      .toDF("gid", "a", "b", "c", "dd")
+      .withColumn("geom", call_function("st_makeenvelope",
+        col("a"), col("b"), col("c"), col("dd")))
+    val auto = SpatialJoin.pointInPolygon(pts, polys, col("x"), col("y"), col("geom"))
+      .select("pid", "gid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val explicitC = SpatialJoin.pointInPolygon(pts, polys,
+      col("x"), col("y"), col("geom"), cellSize = 2.0)
+      .select("pid", "gid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == Set((1L, 10L), (2L, 20L)) && auto == explicitC)
+  }
+
   test("radius join: symmetric pairs once, radius > cellSize rejected") {
     import spark.implicits._
     val pts = Seq((1L, 0.0, 0.0), (2L, 1.0, 0.0), (3L, 0.9, 0.9), (4L, 10.0, 10.0))
