@@ -49,36 +49,38 @@ object MediaMeta {
     var frames = 0
     var durationUs = 0.0
     var first: Option[(Int, Int, Int, Int)] = None // versionId, bitrate, sr, channels
+    // After at least one valid frame, ANY malformed header — lost sync OR
+    // sync bits with an invalid layer/bitrate/sample-rate field — ends the
+    // walk and returns the accumulated frames (r11 ADVICE: trailing junk can
+    // coincidentally start with 0xFFEx; discarding a parsed stream over it
+    // was inconsistent with the lost-sync tolerance).
+    def done: Option[Mp3Meta] = first.map { case (v, br, sr, ch) =>
+      Mp3Meta(versionName(v), br, sr, ch, frames, math.round(durationUs / 1000.0)) }
     while (p + 4 <= bytes.length) {
       val b1 = bytes(p) & 0xff; val b2 = bytes(p + 1) & 0xff
       val sync = b1 == 0xff && (b2 & 0xe0) == 0xe0
-      if (!sync) {
-        // tolerate trailing junk/ID3v1 only AFTER at least one valid frame
-        return first.map { case (v, br, sr, ch) =>
-          Mp3Meta(versionName(v), br, sr, ch, frames, math.round(durationUs / 1000.0)) }
-      }
+      if (!sync) return done
       val versionId = (b2 >> 3) & 0x3 // 3=MPEG1, 2=MPEG2, 0=MPEG2.5
       val layer = (b2 >> 1) & 0x3 // 1 = Layer III
-      if (layer != 1 || versionId == 1) return None
+      if (layer != 1 || versionId == 1) return done
       val b3 = bytes(p + 2) & 0xff
       val bitrateIdx = (b3 >> 4) & 0xf
       val srIdx = (b3 >> 2) & 0x3
-      if (bitrateIdx == 0 || bitrateIdx == 15 || srIdx == 3) return None
+      if (bitrateIdx == 0 || bitrateIdx == 15 || srIdx == 3) return done
       val bitrate = L3Bitrates(if (versionId == 3) 0 else 1)(bitrateIdx)
       val sr = SampleRates(versionId)(srIdx)
       val padding = (b3 >> 1) & 0x1
       val channelMode = ((bytes(p + 3) & 0xff) >> 6) & 0x3
       val samplesPerFrame = if (versionId == 3) 1152 else 576
       val frameLen = samplesPerFrame / 8 * bitrate * 1000 / sr + padding
-      if (frameLen <= 4) return None
+      if (frameLen <= 4) return done
       if (first.isEmpty)
         first = Some((versionId, bitrate, sr, if (channelMode == 3) 1 else 2))
       frames += 1
       durationUs += samplesPerFrame * 1e6 / sr
       p += frameLen
     }
-    first.map { case (v, br, sr, ch) =>
-      Mp3Meta(versionName(v), br, sr, ch, frames, math.round(durationUs / 1000.0)) }
+    done
   }
 
   private def versionName(id: Int): String =

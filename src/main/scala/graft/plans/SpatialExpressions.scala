@@ -446,10 +446,24 @@ object Wkb {
           // crossing (strict sign change on both sides) is not
           !sa.exists(s1 => sb.exists(s2 => properCross(s1, s2)))
         }
-        allInOrOn && anyInterior && noCross
+        allInOrOn && anyInterior && noCross && noHoleStrictlyInside(a, b)
       case _ => false
     }
   }
+
+  /** A hole of `a` lying strictly inside polygon `b` removes part of b's
+    * interior from a even when every b vertex is in a and no edges properly
+    * cross (r11 ADVICE): reject when any interior-ring vertex of a is
+    * strictly inside b. A hole only PARTIALLY overlapping b's interior has
+    * either a vertex strictly inside b (caught here) or a proper
+    * ring-crossing (caught by noCross); the residual approximation is a
+    * hole touching b's boundary exclusively at shared vertices while its
+    * interior dips into b — a non-simple contact configuration.
+    */
+  private def noHoleStrictlyInside(a: Geom, b: Geom): Boolean =
+    b.kind != 3 || a.rings.iterator.drop(1).forall { ring =>
+      !ring.grouped(2).exists(p => inside(b, p(0), p(1)) && !onBoundary(b, p(0), p(1)))
+    }
 
   private def properCross(a: (Double, Double, Double, Double),
       b: (Double, Double, Double, Double)): Boolean = {
@@ -486,7 +500,7 @@ object Wkb {
           val sa = segments(a); val sb = segments(b)
           !sa.exists(s1 => sb.exists(s2 => properCross(s1, s2)))
         }
-        allInOrOn && noCross
+        allInOrOn && noCross && noHoleStrictlyInside(a, b)
       case _ => false
     }
   }

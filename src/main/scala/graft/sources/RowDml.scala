@@ -248,24 +248,32 @@ object RowDml {
     // view from an already-folded commit — drop it so insertInto resolves
     // the base table.
     ManifestCatalog.unshadow(spark, name)
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    try {
-      if (scoped) {
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        spark.read.option("basePath", stage.toString)
-          .parquet(affectedLeaves.map(l => stage.resolve(l).toString): _*)
-          .select(cols.map(col).toIndexedSeq: _*)
-          .write.mode("overwrite").insertInto(name)
-      } else {
-        spark.read.parquet(stage.toString)
-          .select(cols.map(col).toIndexedSeq: _*)
-          .write.mode("overwrite").insertInto(name)
-      }
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
+    // The scoped fold needs partitionOverwriteMode=dynamic, but toggling the
+    // SESSION conf races: the per-table CommitLock does not serialize DMLs
+    // on DIFFERENT tables, so another table's finally-restore could unset
+    // the conf between this fold's set and its execution — the fold would
+    // then run as a STATIC overwrite and delete every unaffected partition
+    // (r11 ADVICE, medium). A writer .option() does not help either:
+    // InsertIntoStatement carries no options on the v1 path (verified
+    // against the Spark 4.1.2 jars). Instead the fold runs in a CLONED
+    // session — newSession() shares the catalog and the executors but has
+    // an isolated SQLConf, so the dynamic mode is visible to exactly this
+    // one write. (DML targets are always catalog tables — insertInto
+    // rejects temp views — so the clone resolves `name` identically.)
+    if (scoped) {
+      val fold = spark.newSession()
+      fold.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      fold.read.option("basePath", stage.toString)
+        .parquet(affectedLeaves.map(l => stage.resolve(l).toString): _*)
+        .select(cols.map(col).toIndexedSeq: _*)
+        .write.mode("overwrite").insertInto(name)
+      // the clone's insert refreshed ITS relation cache; drop the caller
+      // session's stale FileIndex too
+      spark.catalog.refreshTable(name)
+    } else {
+      spark.read.parquet(stage.toString)
+        .select(cols.map(col).toIndexedSeq: _*)
+        .write.mode("overwrite").insertInto(name)
     }
     TxnJournal.clear(journal)
     ManifestCatalog.drop(spark, entries)

@@ -145,13 +145,25 @@ class OperatorSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(gotGatedHot == expected, "gated hot-merge path changed the pair result")
     // gated benign path (default cap): the salted branch is never BUILT —
-    // only the unsalted cold join over the pinned index runs
-    val gatedBenign = TextPipeline.jaccardPairsGated(docsDf, 0.1, 1 << 12, 16)
+    // only the unsalted cold join over the pinned index runs. Assert on the
+    // PRE-materialization plan (the public form checkpoints the result, so
+    // its executed plan is just the LogicalRDD leaf).
+    val (gatedBenign, _) = TextPipeline.jaccardPairsGatedPlan(docsDf, 0.1, 1 << 12, 16)
     assert(gatedBenign.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == expected)
     val benignJoins = gatedBenign.queryExecution.executedPlan.toString
       .linesIterator.filter(_.contains("ShuffledHashJoin")).toSeq
     assert(benignJoins.nonEmpty && benignJoins.forall(l => !l.contains("i#")),
       s"benign gated plan must contain only the unsalted cold join, got: ${benignJoins.mkString("\n")}")
+    // public gated form: same values, and the pinned index blocks are FREED
+    // after the call (r11 verdict: long-lived servers must not accumulate
+    // checkpoint blocks)
+    val beforeIds = spark.sparkContext.getPersistentRDDs.keySet
+    val gotGatedBenign = TextPipeline.jaccardPairsGated(docsDf, 0.1, 1 << 12, 16)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- beforeIds
+    assert(gotGatedBenign.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == expected)
+    // exactly one new pinned RDD may remain: the result checkpoint itself
+    assert(leaked.size <= 1,
+      s"gated form leaked pinned RDDs beyond its result checkpoint: $leaked")
   }
 
   test("MinHash LSH candidates are a superset of true Jaccard pairs") {
