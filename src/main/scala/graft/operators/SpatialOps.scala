@@ -146,5 +146,88 @@ object SpatialOps {
         "st_intersects(st_makeenvelope(1.0D, 1.0D, 3.0D, 3.0D), b) AS isect, " +
         "ROUND(st_distance(st_makeenvelope(1.0D, 1.0D, 3.0D, 3.0D), b), 6) AS pdist " +
         "FROM g ORDER BY n_nationkey")
+    },
+
+    // Multi-geometries (r12): MULTIPOLYGON of two unit squares at (x,0) and
+    // (x+2,0), MULTIPOINT/MULTILINESTRING, nested GEOMETRYCOLLECTION —
+    // measures sum over members, centroid is the area-weighted member mean,
+    // predicates distribute per member (the midpoint between the squares
+    // intersects neither), and WKT round-trips to the same text. Every
+    // value has the grid closed form the oracle recomputes.
+    Op("spatial_multi",
+      duckPtsInt +
+      "SELECT n_nationkey, " +
+      "'MULTIPOLYGON (((' || x || ' 0, ' || (x+1) || ' 0, ' || (x+1) || ' 1, ' || x || ' 1, ' || x || ' 0)), " +
+      "((' || (x+2) || ' 0, ' || (x+3) || ' 0, ' || (x+3) || ' 1, ' || (x+2) || ' 1, ' || (x+2) || ' 0)))' AS mp_wkt, " +
+      "'MULTIPOLYGON' AS mp_type, " +
+      "ROUND(CAST(2 AS DOUBLE), 6) AS mp_area, ROUND(CAST(8 AS DOUBLE), 6) AS mp_perim, " +
+      "10 AS mp_np, 2 AS mp_ngeom, " +
+      "CAST(x AS DOUBLE) AS mp_xmin, CAST(x+3 AS DOUBLE) AS mp_xmax, " +
+      "CAST(x AS DOUBLE) + 1.5 AS mp_cx, CAST(0.5 AS DOUBLE) AS mp_cy, " +
+      "'POLYGON ((' || (x+2) || ' 0, ' || (x+3) || ' 0, ' || (x+3) || ' 1, ' || (x+2) || ' 1, ' || (x+2) || ' 0))' AS mp_g2, " +
+      "FALSE AS gap_hit, TRUE AS m2_in, " +
+      "3 AS mpt_n, ROUND(CAST(x + y AS DOUBLE), 6) AS mls_len, " +
+      "ROUND(CAST(2 AS DOUBLE), 6) AS gc_area, 1 AS gc_pts " +
+      "FROM pts ORDER BY n_nationkey") { (s, d) =>
+      Tables.ensure(s, d)
+      s.sql(sparkPtsInt +
+        ", g AS (SELECT n_nationkey, x, y, " +
+        "st_geomfromtext(CONCAT('MULTIPOLYGON (((', x, ' 0, ', x+1, ' 0, ', x+1, ' 1, ', x, ' 1, ', x, ' 0)), " +
+        "((', x+2, ' 0, ', x+3, ' 0, ', x+3, ' 1, ', x+2, ' 1, ', x+2, ' 0)))')) AS mp, " +
+        "st_geomfromtext(CONCAT('MULTIPOINT (', x, ' ', y, ', ', x+1, ' ', y, ', ', x, ' ', y+1, ')')) AS mpt, " +
+        "st_geomfromtext(CONCAT('MULTILINESTRING ((0 0, ', x, ' 0), (0 1, ', y, ' 1))')) AS mls, " +
+        "st_geomfromtext(CONCAT('GEOMETRYCOLLECTION (POINT (9 9), MULTIPOLYGON (((', x, ' 0, ', x+1, ' 0, ', x+1, ' 1, ', x, ' 1, ', x, ' 0)), " +
+        "((', x+2, ' 0, ', x+3, ' 0, ', x+3, ' 1, ', x+2, ' 1, ', x+2, ' 0))))')) AS gc " +
+        "FROM pts) " +
+        "SELECT n_nationkey, " +
+        "st_astext(mp) AS mp_wkt, st_geometrytype(mp) AS mp_type, " +
+        "ROUND(st_area(mp), 6) AS mp_area, ROUND(st_perimeter(mp), 6) AS mp_perim, " +
+        "st_npoints(mp) AS mp_np, st_numgeometries(mp) AS mp_ngeom, " +
+        "st_xmin(mp) AS mp_xmin, st_xmax(mp) AS mp_xmax, " +
+        "st_x(st_centroid(mp)) AS mp_cx, st_y(st_centroid(mp)) AS mp_cy, " +
+        "st_astext(st_geometryn(mp, 2)) AS mp_g2, " +
+        "st_intersects(mp, st_point(CAST(x AS DOUBLE) + 1.5, 0.5D)) AS gap_hit, " +
+        "st_contains(mp, st_point(CAST(x AS DOUBLE) + 2.5, 0.5D)) AS m2_in, " +
+        "st_numgeometries(mpt) AS mpt_n, " +
+        "ROUND(st_length(mls), 6) AS mls_len, " +
+        "ROUND(st_area(gc), 6) AS gc_area, " +
+        "st_numgeometries(st_collectionextract(gc, 1)) AS gc_pts " +
+        "FROM g ORDER BY n_nationkey")
+    },
+
+    // Overlay, axis-aligned scope (r12): rectangle intersection against the
+    // fixed box (1,1)-(3,3) — NULL when disjoint, degenerate zero-area strip
+    // on edge contact — plus the inclusion-exclusion union area and the two
+    // in-scope st_union shapes (covering rectangle, disjoint multipolygon).
+    // The oracle recomputes the clip arithmetic per axis.
+    Op("spatial_overlay",
+      duckPtsInt +
+      "SELECT n_nationkey, " +
+      "ROUND(CAST(GREATEST(0, LEAST(x+2, 3) - GREATEST(x, 1)) * " +
+      "GREATEST(0, LEAST(y+2, 3) - GREATEST(y, 1)) AS DOUBLE), 6) AS inter_area, " +
+      "(LEAST(x+2, 3) < GREATEST(x, 1) OR LEAST(y+2, 3) < GREATEST(y, 1)) AS inter_null, " +
+      "ROUND(CAST(8 - GREATEST(0, LEAST(x+2, 3) - GREATEST(x, 1)) * " +
+      "GREATEST(0, LEAST(y+2, 3) - GREATEST(y, 1)) AS DOUBLE), 6) AS union_area, " +
+      "'MULTIPOLYGON' AS far_type, ROUND(CAST(5 AS DOUBLE), 6) AS far_area, " +
+      "ROUND(CAST(4 AS DOUBLE), 6) AS sub_area " +
+      "FROM pts ORDER BY n_nationkey") { (s, d) =>
+      Tables.ensure(s, d)
+      s.sql(sparkPtsInt +
+        ", g AS (SELECT n_nationkey, x, y, " +
+        "st_makeenvelope(CAST(x AS DOUBLE), CAST(y AS DOUBLE), " +
+        "CAST(x+2 AS DOUBLE), CAST(y+2 AS DOUBLE)) AS a, " +
+        "st_makeenvelope(1.0D, 1.0D, 3.0D, 3.0D) AS box, " +
+        "st_makeenvelope(CAST(x+10 AS DOUBLE), CAST(y+10 AS DOUBLE), " +
+        "CAST(x+11 AS DOUBLE), CAST(y+11 AS DOUBLE)) AS far, " +
+        "st_makeenvelope(CAST(x AS DOUBLE), CAST(y AS DOUBLE), " +
+        "CAST(x+1 AS DOUBLE), CAST(y+1 AS DOUBLE)) AS sub FROM pts) " +
+        "SELECT n_nationkey, " +
+        "ROUND(COALESCE(st_area(st_intersection(a, box)), 0.0D), 6) AS inter_area, " +
+        "(st_intersection(a, box) IS NULL) AS inter_null, " +
+        "ROUND(st_area(a) + st_area(box) - COALESCE(st_area(st_intersection(a, box)), 0.0D), 6) AS union_area, " +
+        "st_geometrytype(st_union(a, far)) AS far_type, " +
+        "ROUND(st_area(st_union(a, far)), 6) AS far_area, " +
+        "ROUND(st_area(st_union(a, sub)), 6) AS sub_area " +
+        "FROM g ORDER BY n_nationkey")
     })
 }

@@ -127,5 +127,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     st("st_numinteriorrings", "numInteriorRings", IntegerType, Seq(B),
       "st_numinteriorrings(polygon) - hole count"),
     st("st_distance_sphere", "distanceSphere", D, Seq(B, B),
-      "st_distance_sphere(a, b) - haversine meters on the IUGG mean sphere, (lon, lat) degrees"))
+      "st_distance_sphere(a, b) - haversine meters on the IUGG mean sphere, (lon, lat) degrees"),
+    st("st_numgeometries", "numGeometries", IntegerType, Seq(B),
+      "st_numgeometries(geom) - member count (1 for simple geometries)"),
+    st("st_geometryn", "geometryN", B, Seq(B, IntegerType),
+      "st_geometryn(geom, n) - 1-based member of a multi-geometry"),
+    st("st_collectionextract", "collectionExtract", B, Seq(B, IntegerType),
+      "st_collectionextract(geom, kind) - members of kind 1/2/3 as a multi-geometry"),
+    st("st_intersection", "intersection", B, Seq(B, B),
+      "st_intersection(a, b) - rectangle clip (axis-aligned scope; NULL when disjoint)"),
+    st("st_union", "union", B, Seq(B, B),
+      "st_union(a, b) - covering rectangle / disjoint multipolygon (axis-aligned scope)"))
 }

@@ -22,7 +22,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * st_contains, st_within.
   *
   * Declared scope, stated honestly: planar (Euclidean) geometry only — no
-  * geodesic math, no multi-geometries, no curves. st_contains follows OGC
+  * geodesic math, no curves, no EMPTY geometries. Multi-geometries
+  * (MULTIPOINT / MULTILINESTRING / MULTIPOLYGON / nested
+  * GEOMETRYCOLLECTION) parse, print, and evaluate across the whole surface
+  * (r12): measures sum over members, predicates distribute per member
+  * (containment per-part — exact for OGC-valid inputs whose members have
+  * disjoint interiors), centroid weighs highest-dimension members only
+  * (GEOS semantics). Overlay (st_intersection / st_union) is implemented
+  * for the axis-aligned rectangle scope; general polygon clipping is
+  * declared out. st_contains follows OGC
   * semantics for polygon⊃point (boundary points are NOT contained);
   * polygon⊃polygon/linestring is decided by vertices-inside + no
   * edge-crossings, exact for simple (non-self-intersecting) inputs, which
@@ -35,13 +43,23 @@ object Wkb {
 
   // ---- decoded form ---------------------------------------------------------
 
-  /** kind: 1=point, 2=linestring, 3=polygon. rings: flat (x,y) pairs; for
-    * polygons ring 0 is the shell, the rest are holes.
+  /** kind: 1=point, 2=linestring, 3=polygon, 4=multipoint,
+    * 5=multilinestring, 6=multipolygon, 7=geometrycollection. rings: flat
+    * (x,y) pairs; for polygons ring 0 is the shell, the rest are holes.
+    * Multi-geometries (kind >= 4) carry their members in `parts` (rings
+    * empty); members of 4/5/6 are homogeneous, 7 is mixed and may nest.
     */
-  final case class Geom(kind: Int, rings: Array[Array[Double]]) {
+  final case class Geom(kind: Int, rings: Array[Array[Double]],
+      parts: Array[Geom] = Array.empty) {
     def vertices: Iterator[(Double, Double)] =
-      rings.iterator.flatMap(r => (0 until r.length / 2).iterator.map(i => (r(2 * i), r(2 * i + 1))))
+      if (kind >= 4) parts.iterator.flatMap(_.vertices)
+      else rings.iterator.flatMap(r =>
+        (0 until r.length / 2).iterator.map(i => (r(2 * i), r(2 * i + 1))))
   }
+
+  /** Flatten to simple (kind 1-3) members; identity for simple geometries. */
+  private def simples(g: Geom): Seq[Geom] =
+    if (g.kind <= 3) Seq(g) else g.parts.toSeq.flatMap(simples)
 
   private def fail(msg: String): Nothing = throw new IllegalArgumentException(s"st_*: $msg")
 
@@ -143,28 +161,50 @@ object Wkb {
       case 3 =>
         val nRings = in.u32().toInt
         Geom(3, Array.tabulate(nRings)(_ => coords(in.u32().toInt)))
-      case o => fail(s"unsupported WKB geometry type $o (POINT/LINESTRING/POLYGON only)")
+      case 4 | 5 | 6 | 7 =>
+        // each member is a complete WKB geometry with its own byte-order
+        // flag; readGeom resets the cursor's endianness per member
+        val n = in.u32().toInt
+        val parts = Array.tabulate(n) { _ =>
+          val p = readGeom(in)
+          if (kind != 7 && p.kind != kind - 3)
+            fail(s"WKB multi-geometry type $kind contains a member of type ${p.kind}")
+          p
+        }
+        Geom(kind, Array.empty, parts)
+      case o => fail(s"unsupported WKB geometry type $o")
     }
   }
 
-  private def writeGeom(g: Geom): Array[Byte] = {
+  private def sizeOf(g: Geom): Int = {
     val n = g.rings.iterator.map(_.length / 2).sum
-    val size = g.kind match {
+    g.kind match {
       case 1 => 5 + 16
       case 2 => 9 + 16 * n
       case 3 => 9 + 4 * g.rings.length + 16 * n
+      case _ => 9 + g.parts.iterator.map(sizeOf).sum
     }
-    val buf = java.nio.ByteBuffer.allocate(size).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+  }
+
+  private def writeInto(g: Geom, buf: java.nio.ByteBuffer): Unit = {
     buf.put(1.toByte).putInt(g.kind)
     g.kind match {
-      case 1 => buf.putDouble(g.rings(0)(0)).putDouble(g.rings(0)(1))
+      case 1 => buf.putDouble(g.rings(0)(0)).putDouble(g.rings(0)(1)); ()
       case 2 =>
-        buf.putInt(n)
+        buf.putInt(g.rings(0).length / 2)
         g.rings(0).foreach(buf.putDouble)
       case 3 =>
         buf.putInt(g.rings.length)
         g.rings.foreach { r => buf.putInt(r.length / 2); r.foreach(buf.putDouble) }
+      case _ =>
+        buf.putInt(g.parts.length)
+        g.parts.foreach(writeInto(_, buf))
     }
+  }
+
+  private def writeGeom(g: Geom): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(sizeOf(g)).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    writeInto(g, buf)
     buf.array()
   }
 
@@ -177,33 +217,79 @@ object Wkb {
     writeGeom(Geom(3, Array(Array(
       xmin, ymin, xmax, ymin, xmax, ymax, xmin, ymax, xmin, ymin))))
 
-  def fromText(wkt: UTF8String): Array[Byte] = {
-    val s = wkt.toString.trim
-    val paren = s.indexOf('(')
-    if (paren < 0) fail(s"unparseable WKT '$s' (EMPTY and multi-geometries unsupported)")
-    val head = s.substring(0, paren).trim.toUpperCase
-    val body = s.substring(paren).trim
-    def nums(t: String): Array[Double] = t.trim
-      .split("[\\s,]+").filter(_.nonEmpty).map(_.toDouble)
-    def ring(t: String): Array[Double] = {
-      val v = nums(t)
-      if (v.length % 2 != 0) fail(s"odd coordinate count in WKT '$s' (2-D only)")
-      v
+  def fromText(wkt: UTF8String): Array[Byte] = writeGeom(parseWkt(wkt.toString))
+
+  /** Recursive-descent WKT parser: POINT/LINESTRING/POLYGON plus the multi
+    * forms and (nested) GEOMETRYCOLLECTION. MULTIPOINT accepts both the
+    * wrapped `((1 2), (3 4))` and the bare `(1 2, 3 4)` spelling. EMPTY
+    * geometries remain unsupported (declared — the engine has no empty-set
+    * WKB representation).
+    */
+  private def parseWkt(s: String): Geom = {
+    var pos = 0
+    def skipWs(): Unit = while (pos < s.length && s.charAt(pos).isWhitespace) pos += 1
+    def peek(): Char = { skipWs(); if (pos >= s.length) ' ' else s.charAt(pos) }
+    def expect(c: Char): Unit = {
+      if (peek() != c) fail(s"WKT: expected '$c' at offset $pos in '$s'")
+      pos += 1
     }
-    head match {
+    def word(): String = {
+      skipWs(); val st = pos
+      while (pos < s.length && s.charAt(pos).isLetter) pos += 1
+      if (st == pos) fail(s"WKT: expected a geometry keyword at offset $pos in '$s'")
+      s.substring(st, pos).toUpperCase
+    }
+    def number(): Double = {
+      skipWs(); val st = pos
+      while (pos < s.length && !s.charAt(pos).isWhitespace &&
+        s.charAt(pos) != ',' && s.charAt(pos) != ')' && s.charAt(pos) != '(') pos += 1
+      if (st == pos) fail(s"WKT: expected a number at offset $pos in '$s'")
+      try s.substring(st, pos).toDouble
+      catch { case _: NumberFormatException =>
+        fail(s"WKT: bad number '${s.substring(st, pos)}' in '$s'") }
+    }
+    def commaList[T](item: () => T): Seq[T] = {
+      expect('(')
+      val out = scala.collection.mutable.ArrayBuffer[T]()
+      var done = false
+      while (!done) {
+        out += item()
+        if (peek() == ',') pos += 1 else { expect(')'); done = true }
+      }
+      out.toSeq
+    }
+    def coordSeq(): Array[Double] =
+      commaList(() => { val x = number(); val y = number(); (x, y) })
+        .flatMap { case (x, y) => Seq(x, y) }.toArray
+    def ringList(): Array[Array[Double]] = commaList(() => coordSeq()).toArray
+    def geom(): Geom = word() match {
       case "POINT" =>
-        val v = ring(body.stripPrefix("(").stripSuffix(")"))
-        if (v.length != 2) fail(s"POINT needs exactly one x y pair: '$s'")
-        point(v(0), v(1))
-      case "LINESTRING" =>
-        writeGeom(Geom(2, Array(ring(body.stripPrefix("(").stripSuffix(")")))))
-      case "POLYGON" =>
-        val inner = body.stripPrefix("(").stripSuffix(")")
-        val rings = inner.split("\\)\\s*,\\s*\\(").map(r =>
-          ring(r.stripPrefix("(").stripSuffix(")")))
-        writeGeom(Geom(3, rings))
-      case o => fail(s"unsupported WKT geometry '$o' (POINT/LINESTRING/POLYGON only)")
+        val c = coordSeq()
+        if (c.length != 2) fail(s"POINT needs exactly one x y pair: '$s'")
+        Geom(1, Array(c))
+      case "LINESTRING" => Geom(2, Array(coordSeq()))
+      case "POLYGON" => Geom(3, ringList())
+      case "MULTIPOINT" =>
+        val pts = commaList { () =>
+          val wrapped = peek() == '('
+          if (wrapped) pos += 1
+          val x = number(); val y = number()
+          if (wrapped) expect(')')
+          Geom(1, Array(Array(x, y)))
+        }
+        Geom(4, Array.empty, pts.toArray)
+      case "MULTILINESTRING" =>
+        Geom(5, Array.empty, ringList().map(r => Geom(2, Array(r))))
+      case "MULTIPOLYGON" =>
+        Geom(6, Array.empty, commaList(() => Geom(3, ringList())).toArray)
+      case "GEOMETRYCOLLECTION" =>
+        Geom(7, Array.empty, commaList(() => geom()).toArray)
+      case o => fail(s"unsupported WKT geometry '$o'")
     }
+    val g = geom()
+    skipWs()
+    if (pos != s.length) fail(s"WKT: trailing characters after offset $pos in '$s'")
+    g
   }
 
   // ---- accessors ------------------------------------------------------------
@@ -228,21 +314,32 @@ object Wkb {
   def npoints(wkb: Array[Byte]): Int = parse(wkb).vertices.size
 
   def geometryType(wkb: Array[Byte]): UTF8String = UTF8String.fromString(
-    parse(wkb).kind match { case 1 => "POINT"; case 2 => "LINESTRING"; case _ => "POLYGON" })
+    parse(wkb).kind match {
+      case 1 => "POINT"; case 2 => "LINESTRING"; case 3 => "POLYGON"
+      case 4 => "MULTIPOINT"; case 5 => "MULTILINESTRING"; case 6 => "MULTIPOLYGON"
+      case _ => "GEOMETRYCOLLECTION"
+    })
 
   private def fmt(v: Double): String =
     if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString else v.toString
 
-  def asText(wkb: Array[Byte]): UTF8String = {
-    val g = parse(wkb)
+  def asText(wkb: Array[Byte]): UTF8String =
+    UTF8String.fromString(wktOf(parse(wkb)))
+
+  private def wktOf(g: Geom): String = {
     def ringText(r: Array[Double]): String =
       (0 until r.length / 2).map(i => s"${fmt(r(2 * i))} ${fmt(r(2 * i + 1))}").mkString(", ")
-    val body = g.kind match {
+    def polyBody(p: Geom): String =
+      s"(${p.rings.map(r => s"(${ringText(r)})").mkString(", ")})"
+    g.kind match {
       case 1 => s"POINT (${ringText(g.rings(0))})"
       case 2 => s"LINESTRING (${ringText(g.rings(0))})"
-      case _ => s"POLYGON (${g.rings.map(r => s"(${ringText(r)})").mkString(", ")})"
+      case 3 => s"POLYGON ${polyBody(g)}"
+      case 4 => s"MULTIPOINT (${g.parts.map(p => s"(${ringText(p.rings(0))})").mkString(", ")})"
+      case 5 => s"MULTILINESTRING (${g.parts.map(p => s"(${ringText(p.rings(0))})").mkString(", ")})"
+      case 6 => s"MULTIPOLYGON (${g.parts.map(polyBody).mkString(", ")})"
+      case _ => s"GEOMETRYCOLLECTION (${g.parts.map(wktOf).mkString(", ")})"
     }
-    UTF8String.fromString(body)
   }
 
   // ---- measures -------------------------------------------------------------
@@ -250,8 +347,10 @@ object Wkb {
   /** Shoelace area of the shell minus the holes; 0 for points/linestrings
     * (DuckDB spatial semantics).
     */
-  def area(wkb: Array[Byte]): Double = {
-    val g = parse(wkb)
+  def area(wkb: Array[Byte]): Double = areaG(parse(wkb))
+
+  private def areaG(g: Geom): Double = {
+    if (g.kind >= 4) return g.parts.iterator.map(areaG).sum
     if (g.kind != 3) return 0.0
     var total = 0.0
     var ri = 0
@@ -279,16 +378,20 @@ object Wkb {
   /** Linestring length; 0 for points and polygons (DuckDB: perimeter is a
     * separate function).
     */
-  def length(wkb: Array[Byte]): Double = {
-    val g = parse(wkb)
-    if (g.kind != 2) return 0.0
-    ringLength(g.rings(0), closed = false)
+  def length(wkb: Array[Byte]): Double = lengthG(parse(wkb))
+
+  private def lengthG(g: Geom): Double = g.kind match {
+    case 2 => ringLength(g.rings(0), closed = false)
+    case k if k >= 4 => g.parts.iterator.map(lengthG).sum
+    case _ => 0.0
   }
 
-  def perimeter(wkb: Array[Byte]): Double = {
-    val g = parse(wkb)
-    if (g.kind != 3) return 0.0
-    g.rings.map(ringLength(_, closed = true)).sum
+  def perimeter(wkb: Array[Byte]): Double = perimeterG(parse(wkb))
+
+  private def perimeterG(g: Geom): Double = g.kind match {
+    case 3 => g.rings.map(ringLength(_, closed = true)).sum
+    case k if k >= 4 => g.parts.iterator.map(perimeterG).sum
+    case _ => 0.0
   }
 
   private def ringLength(r: Array[Double], closed: Boolean): Double = {
@@ -308,6 +411,7 @@ object Wkb {
 
   /** Even-odd ray cast over every ring (holes flip parity back out). */
   private def inside(g: Geom, px: Double, py: Double): Boolean = {
+    if (g.kind >= 4) return g.parts.exists(inside(_, px, py))
     var in = false
     var ri = 0
     while (ri < g.rings.length) {
@@ -334,6 +438,7 @@ object Wkb {
   /** All segments of a geometry (rings closed for polygons; none for points). */
   private def segments(g: Geom): Seq[(Double, Double, Double, Double)] = g.kind match {
     case 1 => Nil
+    case k if k >= 4 => g.parts.toSeq.flatMap(segments)
     case 2 =>
       val r = g.rings(0); val n = r.length / 2
       (0 until n - 1).map(i => (r(2 * i), r(2 * i + 1), r(2 * i + 2), r(2 * i + 3)))
@@ -383,16 +488,19 @@ object Wkb {
     intersectsG(a, b)
   }
 
-  private def intersectsG(a: Geom, b: Geom): Boolean = {
-    if (a.kind == 3 && b.vertices.exists { case (px, py) =>
-      inside(a, px, py) || onBoundary(a, px, py) }) return true
-    if (b.kind == 3 && a.vertices.exists { case (px, py) =>
-      inside(b, px, py) || onBoundary(b, px, py) }) return true
-    val sa = segments(a); val sb = segments(b)
-    if (sa.exists(s1 => sb.exists(s2 => segsCross(s1, s2)))) return true
-    // degenerate sides (points): vertex-to-vertex / vertex-to-segment contact
-    minVertexDist(a, b) == 0.0
-  }
+  private def intersectsG(a: Geom, b: Geom): Boolean =
+    if (a.kind >= 4 || b.kind >= 4)
+      simples(a).exists(pa => simples(b).exists(pb => intersectsG(pa, pb)))
+    else {
+      if (a.kind == 3 && b.vertices.exists { case (px, py) =>
+        inside(a, px, py) || onBoundary(a, px, py) }) return true
+      if (b.kind == 3 && a.vertices.exists { case (px, py) =>
+        inside(b, px, py) || onBoundary(b, px, py) }) return true
+      val sa = segments(a); val sb = segments(b)
+      if (sa.exists(s1 => sb.exists(s2 => segsCross(s1, s2)))) return true
+      // degenerate sides (points): vertex-to-vertex / vertex-to-segment contact
+      minVertexDist(a, b) == 0.0
+    }
 
   private def minVertexDist(a: Geom, b: Geom): Double = {
     var m = Double.PositiveInfinity
@@ -426,8 +534,19 @@ object Wkb {
     * inside-or-on, no edge crossing, at least one interior point — exact
     * for simple inputs.
     */
-  def contains(wa: Array[Byte], wb: Array[Byte]): Boolean = {
-    val a = parse(wa); val b = parse(wb)
+  def contains(wa: Array[Byte], wb: Array[Byte]): Boolean =
+    containsG(parse(wa), parse(wb))
+
+  /** Multi-geometry containment is decided PER PART: every simple member of
+    * b must be contained in some simple member of a. Declared
+    * approximation: two adjacent members of a multipolygon are not unioned,
+    * so a candidate spanning their shared boundary tests false — exact for
+    * disjoint members, which OGC-valid multipolygons are (interiors may not
+    * overlap).
+    */
+  private def containsG(a: Geom, b: Geom): Boolean = {
+    if (a.kind >= 4 || b.kind >= 4)
+      return simples(b).forall(pb => simples(a).exists(pa => containsG(pa, pb)))
     (a.kind, b.kind) match {
       case (1, 1) =>
         a.rings(0)(0) == b.rings(0)(0) && a.rings(0)(1) == b.rings(0)(1)
@@ -488,8 +607,12 @@ object Wkb {
     * vertex inside-or-on and no proper edge crossing; point covers point:
     * equality.
     */
-  def covers(wa: Array[Byte], wb: Array[Byte]): Boolean = {
-    val a = parse(wa); val b = parse(wb)
+  def covers(wa: Array[Byte], wb: Array[Byte]): Boolean =
+    coversG(parse(wa), parse(wb))
+
+  private def coversG(a: Geom, b: Geom): Boolean = {
+    if (a.kind >= 4 || b.kind >= 4)
+      return simples(b).forall(pb => simples(a).exists(pa => coversG(pa, pb)))
     (a.kind, b.kind) match {
       case (1, 1) =>
         a.rings(0)(0) == b.rings(0)(0) && a.rings(0)(1) == b.rings(0)(1)
@@ -515,25 +638,25 @@ object Wkb {
     writeGeom(Geom(2, Array(Array(a.rings(0)(0), a.rings(0)(1), b.rings(0)(0), b.rings(0)(1)))))
   }
 
-  def translate(wkb: Array[Byte], dx: Double, dy: Double): Array[Byte] = {
-    val g = parse(wkb)
-    writeGeom(Geom(g.kind, g.rings.map { r =>
-      val out = r.clone()
-      var i = 0
-      while (i < out.length) { out(i) += dx; out(i + 1) += dy; i += 2 }
-      out
-    }))
-  }
+  def translate(wkb: Array[Byte], dx: Double, dy: Double): Array[Byte] =
+    writeGeom(mapCoords(parse(wkb))((x, y) => (x + dx, y + dy)))
 
-  def flipCoordinates(wkb: Array[Byte]): Array[Byte] = {
-    val g = parse(wkb)
-    writeGeom(Geom(g.kind, g.rings.map { r =>
+  /** Apply a coordinate transform to every vertex, recursing into parts. */
+  private def mapCoords(g: Geom)(f: (Double, Double) => (Double, Double)): Geom =
+    if (g.kind >= 4) Geom(g.kind, g.rings, g.parts.map(mapCoords(_)(f)))
+    else Geom(g.kind, g.rings.map { r =>
       val out = new Array[Double](r.length)
       var i = 0
-      while (i < r.length) { out(i) = r(i + 1); out(i + 1) = r(i); i += 2 }
+      while (i < r.length) {
+        val (nx, ny) = f(r(i), r(i + 1))
+        out(i) = nx; out(i + 1) = ny
+        i += 2
+      }
       out
-    }))
-  }
+    })
+
+  def flipCoordinates(wkb: Array[Byte]): Array[Byte] =
+    writeGeom(mapCoords(parse(wkb))((x, y) => (y, x)))
 
   /** Axis-aligned bounding box of any geometry, as a polygon. */
   def envelopeOf(wkb: Array[Byte]): Array[Byte] = {
@@ -547,10 +670,32 @@ object Wkb {
     * Degenerate (zero-area polygon / zero-length line) falls back to the
     * vertex mean.
     */
-  def centroid(wkb: Array[Byte]): Array[Byte] = {
-    val g = parse(wkb)
+  def centroid(wkb: Array[Byte]): Array[Byte] = centroidG(parse(wkb))
+
+  private def centroidG(g: Geom): Array[Byte] = {
     g.kind match {
-      case 1 => wkb.clone()
+      case k if k >= 4 =>
+        // GEOS semantics: only the highest-dimension members contribute
+        // (a point member does not shift a multipolygon's centroid)
+        val ss = simples(g)
+        if (ss.isEmpty) fail("st_centroid: empty geometry collection")
+        val dim = ss.map(_.kind).max
+        val rel = ss.filter(_.kind == dim)
+        val weighted = rel.map { p =>
+          val c = parse(centroidG(p))
+          val w = dim match {
+            case 3 => areaG(p)
+            case 2 => lengthG(p)
+            case _ => 1.0
+          }
+          (c.rings(0)(0), c.rings(0)(1), w)
+        }
+        val total = weighted.map(_._3).sum
+        if (total == 0.0) vertexMean(g)
+        else point(
+          weighted.map(t => t._1 * t._3).sum / total,
+          weighted.map(t => t._2 * t._3).sum / total)
+      case 1 => point(g.rings(0)(0), g.rings(0)(1))
       case 2 =>
         val r = g.rings(0); val n = r.length / 2
         var len = 0.0; var cx = 0.0; var cy = 0.0
@@ -622,6 +767,100 @@ object Wkb {
     val g = parse(wkb)
     if (g.kind != 3) fail("st_numinteriorrings expects a POLYGON")
     g.rings.length - 1
+  }
+
+  // ---- multi-geometry accessors -------------------------------------------------
+
+  /** Member count: 1 for simple geometries (PostGIS semantics). */
+  def numGeometries(wkb: Array[Byte]): Int = {
+    val g = parse(wkb)
+    if (g.kind <= 3) 1 else g.parts.length
+  }
+
+  /** 1-based member of a multi-geometry; the geometry itself for n=1 on a
+    * simple geometry (PostGIS ST_GeometryN).
+    */
+  def geometryN(wkb: Array[Byte], n: Int): Array[Byte] = {
+    val g = parse(wkb)
+    if (g.kind <= 3) {
+      if (n != 1) fail(s"st_geometryn index $n out of range on a simple geometry")
+      wkb.clone()
+    } else {
+      if (n < 1 || n > g.parts.length)
+        fail(s"st_geometryn index $n out of range 1..${g.parts.length}")
+      writeGeom(g.parts(n - 1))
+    }
+  }
+
+  /** Members of the requested kind (1=point, 2=line, 3=polygon), collected
+    * into the matching multi-geometry (PostGIS ST_CollectionExtract).
+    */
+  def collectionExtract(wkb: Array[Byte], kind: Int): Array[Byte] = {
+    if (kind < 1 || kind > 3) fail(s"st_collectionextract kind $kind must be 1, 2, or 3")
+    val matched = simples(parse(wkb)).filter(_.kind == kind)
+    writeGeom(Geom(kind + 3, Array.empty, matched.toArray))
+  }
+
+  // ---- overlay (axis-aligned scope) ---------------------------------------------
+
+  /** True when g is a hole-free polygon whose single ring traces an
+    * axis-aligned rectangle (4 corners, closed or open ring).
+    */
+  private def asAxisRect(g: Geom): Option[(Double, Double, Double, Double)] = {
+    if (g.kind != 3 || g.rings.length != 1) return None
+    val r = g.rings(0)
+    val n = r.length / 2
+    val m = if (n >= 2 && r(0) == r(2 * (n - 1)) && r(1) == r(2 * (n - 1) + 1)) n - 1 else n
+    if (m != 4) return None
+    val xs = (0 until m).map(i => r(2 * i)).distinct.sorted
+    val ys = (0 until m).map(i => r(2 * i + 1)).distinct.sorted
+    if (xs.length != 2 || ys.length != 2) return None
+    // every corner of the rectangle spanned by (xs, ys) appears exactly once
+    val corners = (0 until m).map(i => (r(2 * i), r(2 * i + 1))).toSet
+    if (corners != Set((xs(0), ys(0)), (xs(0), ys(1)), (xs(1), ys(0)), (xs(1), ys(1))))
+      return None
+    Some((xs(0), ys(0), xs(1), ys(1)))
+  }
+
+  private def rect(g: Geom, fn: String): (Double, Double, Double, Double) =
+    asAxisRect(g).getOrElse(fail(
+      s"$fn supports axis-aligned rectangles only (declared scope: general " +
+        "polygon clipping is out of scope; use st_envelope to coarsen first)"))
+
+  /** Rectangle intersection of two axis-aligned rectangle polygons; NULL
+    * when they are disjoint (the engine has no EMPTY geometry — declared;
+    * PostGIS returns POLYGON EMPTY). Edge/corner contact yields the
+    * degenerate shared rectangle (zero area), matching boundary-inclusive
+    * st_intersects.
+    */
+  def intersection(wa: Array[Byte], wb: Array[Byte]): Array[Byte] = {
+    val (ax1, ay1, ax2, ay2) = rect(parse(wa), "st_intersection")
+    val (bx1, by1, bx2, by2) = rect(parse(wb), "st_intersection")
+    val x1 = math.max(ax1, bx1); val y1 = math.max(ay1, by1)
+    val x2 = math.min(ax2, bx2); val y2 = math.min(ay2, by2)
+    if (x1 > x2 || y1 > y2) null else makeEnvelope(x1, y1, x2, y2)
+  }
+
+  /** Union of two axis-aligned rectangle polygons: the covering rectangle
+    * when one contains the other, a MULTIPOLYGON when they are disjoint,
+    * and the exact rectilinear union area is always available as
+    * st_area(a) + st_area(b) - st_area(st_intersection(a, b)). A partial
+    * overlap (an L/T/plus-shaped union outline) fails loudly — tracing
+    * rectilinear outlines is declared out of scope.
+    */
+  def union(wa: Array[Byte], wb: Array[Byte]): Array[Byte] = {
+    val a = parse(wa); val b = parse(wb)
+    val (ax1, ay1, ax2, ay2) = rect(a, "st_union")
+    val (bx1, by1, bx2, by2) = rect(b, "st_union")
+    val aCoversB = ax1 <= bx1 && ay1 <= by1 && ax2 >= bx2 && ay2 >= by2
+    val bCoversA = bx1 <= ax1 && by1 <= ay1 && bx2 >= ax2 && by2 >= ay2
+    val disjointRects = ax2 < bx1 || bx2 < ax1 || ay2 < by1 || by2 < ay1
+    if (aCoversB) makeEnvelope(ax1, ay1, ax2, ay2)
+    else if (bCoversA) makeEnvelope(bx1, by1, bx2, by2)
+    else if (disjointRects) writeGeom(Geom(6, Array.empty, Array(a, b)))
+    else fail("st_union: partially overlapping rectangles produce a " +
+      "non-rectangular outline (declared scope); compute the union AREA as " +
+      "st_area(a) + st_area(b) - st_area(st_intersection(a, b))")
   }
 
   // ---- spherical distance ------------------------------------------------------

@@ -134,7 +134,20 @@ class PropertySpec extends AnyFunSuite {
     }
     val envGen = Gen.zip(coord, coord, Gen.chooseNum(1, 1000), Gen.chooseNum(1, 1000))
       .map { case (x, y, w, h) => Wkb.makeEnvelope(x, y, x + w, y + h) }
-    val geomGen = Gen.oneOf(pointGen, lineGen, envGen)
+    val simpleGen = Gen.oneOf(pointGen, lineGen, envGen)
+    // multi forms (r12): homogeneous multis built from the simple members,
+    // plus a one-level GEOMETRYCOLLECTION of arbitrary members
+    val multiGen: Gen[Array[Byte]] = Gen.oneOf(
+      Gen.chooseNum(1, 4).flatMap(n => Gen.listOfN(n, pointGen)).map(ps =>
+        collectWkts("MULTIPOINT", ps.map(p => stripHead(Wkb.asText(p).toString)))),
+      Gen.chooseNum(1, 3).flatMap(n => Gen.listOfN(n, lineGen)).map(ls =>
+        collectWkts("MULTILINESTRING", ls.map(l => stripHead(Wkb.asText(l).toString)))),
+      Gen.chooseNum(1, 3).flatMap(n => Gen.listOfN(n, envGen)).map(es =>
+        collectWkts("MULTIPOLYGON", es.map(e => stripHead(Wkb.asText(e).toString)))),
+      Gen.chooseNum(1, 3).flatMap(n => Gen.listOfN(n, simpleGen)).map(gs =>
+        Wkb.fromText(org.apache.spark.unsafe.types.UTF8String.fromString(
+          "GEOMETRYCOLLECTION (" + gs.map(g => Wkb.asText(g).toString).mkString(", ") + ")"))))
+    val geomGen = Gen.oneOf(simpleGen, multiGen)
     // WKT print -> parse -> print is a fixpoint, and the binary round-trip
     // preserves every accessor the engine computes from
     check(Prop.forAll(geomGen) { g =>
@@ -156,6 +169,13 @@ class PropertySpec extends AnyFunSuite {
 
   private def fmtD(v: Double): String =
     if (v == math.rint(v)) v.toLong.toString else v.toString
+
+  // "POLYGON ((...))" -> "((...))": member body for building multi WKT
+  private def stripHead(wkt: String): String = wkt.substring(wkt.indexOf('('))
+
+  private def collectWkts(head: String, bodies: Seq[String]): Array[Byte] =
+    graft.plans.Wkb.fromText(org.apache.spark.unsafe.types.UTF8String.fromString(
+      s"$head (${bodies.mkString(", ")})"))
 
   test("misraGries: presence + error bound hold for arbitrary skewed streams") {
     // Small alphabet so heavy hitters actually occur; random partitioning so

@@ -68,9 +68,87 @@ class SpatialSpec extends AnyFunSuite {
   }
 
   test("WKT errors are loud and scoped") {
-    intercept[IllegalArgumentException](wkt("MULTIPOINT ((1 2))"))
     intercept[IllegalArgumentException](wkt("POINT EMPTY"))
     intercept[IllegalArgumentException](wkt("POINT (1 2 3 4 5)"))
+    intercept[IllegalArgumentException](wkt("CIRCULARSTRING (0 0, 1 1, 2 0)"))
+    intercept[IllegalArgumentException](wkt("POLYGON ((0 0, 1 0, 1 1)) junk"))
+  }
+
+  test("multi-geometries: parse, print, measures sum, accessors (r12)") {
+    // MULTIPOLYGON of two unit squares: measures sum over members
+    val mp = wkt("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((2 0, 3 0, 3 1, 2 1, 2 0)))")
+    assert(Wkb.area(mp) == 2.0 && Wkb.perimeter(mp) == 8.0)
+    assert(Wkb.npoints(mp) == 10 && Wkb.numGeometries(mp) == 2)
+    assert(Wkb.xmin(mp) == 0.0 && Wkb.xmax(mp) == 3.0)
+    assert(Wkb.geometryType(mp).toString == "MULTIPOLYGON")
+    assert(text(mp) ==
+      "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((2 0, 3 0, 3 1, 2 1, 2 0)))")
+    // WKB round-trip: print -> parse -> print is a fixpoint
+    assert(text(wkt(text(mp))) == text(mp))
+    // centroid: area-weighted mean of the two squares' centers
+    assert(Wkb.x(Wkb.centroid(mp)) == 1.5 && Wkb.y(Wkb.centroid(mp)) == 0.5)
+    // member access
+    assert(text(Wkb.geometryN(mp, 2)) == "POLYGON ((2 0, 3 0, 3 1, 2 1, 2 0))")
+    intercept[IllegalArgumentException](Wkb.geometryN(mp, 3))
+    // MULTIPOINT, both spellings; MULTILINESTRING length sums
+    val mpt = wkt("MULTIPOINT (0 0, 2 0, 2 2)")
+    assert(Wkb.numGeometries(mpt) == 3 && Wkb.npoints(mpt) == 3)
+    assert(text(mpt) == "MULTIPOINT ((0 0), (2 0), (2 2))")
+    assert(text(wkt(text(mpt))) == text(mpt))
+    val mls = wkt("MULTILINESTRING ((0 0, 3 0), (0 1, 0 5))")
+    assert(Wkb.length(mls) == 7.0 && Wkb.geometryType(mls).toString == "MULTILINESTRING")
+    // nested GEOMETRYCOLLECTION: type-filtered extraction, centroid uses
+    // highest-dimension members only (the point does not shift it)
+    val gc = wkt("GEOMETRYCOLLECTION (POINT (9 9), MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0))))")
+    assert(Wkb.area(gc) == 4.0 && Wkb.numGeometries(gc) == 2)
+    assert(Wkb.x(Wkb.centroid(gc)) == 1.0 && Wkb.y(Wkb.centroid(gc)) == 1.0)
+    assert(text(Wkb.collectionExtract(gc, 1)) == "MULTIPOINT ((9 9))")
+    assert(text(Wkb.collectionExtract(gc, 3)) == "MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)))")
+    assert(text(wkt(text(gc))) == text(gc))
+  }
+
+  test("multi-geometries: predicates distribute over members (r12)") {
+    val mp = wkt("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((2 0, 3 0, 3 1, 2 1, 2 0)))")
+    // intersects/contains hit the correct member; the gap between them is neither
+    assert(Wkb.intersects(mp, Wkb.point(0.5, 0.5)))
+    assert(Wkb.intersects(mp, Wkb.point(2.5, 0.5)))
+    assert(!Wkb.intersects(mp, Wkb.point(1.5, 0.5)), "the gap between members")
+    assert(Wkb.contains(mp, Wkb.point(2.5, 0.5)))
+    assert(!Wkb.contains(mp, Wkb.point(1, 0.5)), "member boundary is not contained (OGC)")
+    assert(Wkb.covers(mp, Wkb.point(1, 0.5)))
+    // multipoint within a polygon: ALL members must be covered
+    val env = Wkb.makeEnvelope(0, 0, 3, 3)
+    assert(Wkb.covers(env, wkt("MULTIPOINT (1 1, 2 2)")))
+    assert(!Wkb.covers(env, wkt("MULTIPOINT (1 1, 9 9)")))
+    // distance is the min over member pairs; zero when any member touches
+    assert(Wkb.distance(mp, Wkb.point(5, 0.5)) == 2.0)
+    assert(Wkb.distance(mp, wkt("MULTIPOINT (9 9, 1.5 0.5)")) == 0.5)
+    assert(Wkb.distance(mp, Wkb.point(2, 0.5)) == 0.0)
+    // a multipolygon within a larger envelope
+    assert(Wkb.within(mp, env) && Wkb.contains(env, mp))
+  }
+
+  test("overlay: axis-aligned st_intersection / st_union, loud out-of-scope (r12)") {
+    val a = Wkb.makeEnvelope(0, 0, 4, 4)
+    val b = Wkb.makeEnvelope(2, 2, 6, 6)
+    assert(text(Wkb.intersection(a, b)) == "POLYGON ((2 2, 4 2, 4 4, 2 4, 2 2))")
+    assert(Wkb.area(Wkb.intersection(a, b)) == 4.0)
+    // union area via inclusion-exclusion (the documented recipe)
+    assert(Wkb.area(a) + Wkb.area(b) - Wkb.area(Wkb.intersection(a, b)) == 28.0)
+    // disjoint -> NULL intersection, multipolygon union
+    val far = Wkb.makeEnvelope(10, 10, 11, 11)
+    assert(Wkb.intersection(a, far) == null)
+    val u = Wkb.union(a, far)
+    assert(Wkb.geometryType(u).toString == "MULTIPOLYGON" && Wkb.area(u) == 17.0)
+    // containment -> the covering rectangle
+    assert(text(Wkb.union(a, Wkb.makeEnvelope(1, 1, 2, 2))) ==
+      "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    // edge contact: degenerate zero-area strip, not NULL
+    assert(Wkb.area(Wkb.intersection(a, Wkb.makeEnvelope(4, 0, 8, 4))) == 0.0)
+    // partial overlap union and non-rectangle inputs fail loudly
+    intercept[IllegalArgumentException](Wkb.union(a, b))
+    intercept[IllegalArgumentException](
+      Wkb.intersection(a, wkt("POLYGON ((0 0, 2 0, 1 2, 0 0))")))
   }
 
   test("tranche 2: centroid (holes shift it), covers vs contains, accessors, transforms") {
