@@ -64,7 +64,7 @@ object TxnDml {
     // Per-table commit locks for the whole journal→fold→drop window: a
     // concurrent writer on any touched table waits out the fold instead of
     // racing it ([[CommitLock]]).
-    CommitLock.withTables(entries.map(_._1)) {
+    CommitLock.withTables(spark, entries.map(_._1)) {
     val journal = TxnJournal.write(spark, txn.id, entries)
     // VISIBILITY point: one atomic manifest rename maps every touched table
     // to its post-image BEFORE any base table is overwritten. Reader

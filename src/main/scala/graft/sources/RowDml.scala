@@ -89,20 +89,20 @@ object RowDml {
     spark.sessionState.sqlParser.parsePlan(core) match {
       case u: UpdateTable =>
         val (name, alias) = relationOf(u.table)
-        graft.engine.CommitLock.withTables(Seq(name)) {
+        graft.engine.CommitLock.withTables(spark, Seq(name)) {
           update(spark, name, alias, u.assignments, u.condition, sink,
             allowPartitionScope, returning)
         }
       case d: DeleteFromTable =>
         val (name, alias) = relationOf(d.table)
-        graft.engine.CommitLock.withTables(Seq(name)) {
+        graft.engine.CommitLock.withTables(spark, Seq(name)) {
           delete(spark, name, alias, Option(d.condition), sink,
             allowPartitionScope, returning)
         }
       case m: MergeIntoTable =>
         if (returning.nonEmpty) throw new UnsupportedOperationException(
           "RETURNING is not supported on MERGE (DuckDB parity)")
-        graft.engine.CommitLock.withTables(Seq(relationOf(m.targetTable)._1)) {
+        graft.engine.CommitLock.withTables(spark, Seq(relationOf(m.targetTable)._1)) {
           merge(spark, m, sink)
         }
       case other =>

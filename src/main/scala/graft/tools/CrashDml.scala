@@ -46,6 +46,16 @@ object CrashDml {
           val rows = spark.table("crash_t").orderBy("id")
             .collect().map(_.getDouble(1)).mkString(",")
           println(s"[crashdml] REDONE:${redone.size} ROWS:$rows")
+        case "inc" =>
+          // concurrent-writer drill (two of these run at once): the widened
+          // publish-to-fold window makes an unfenced lost-update near-certain
+          // — without the cross-process CommitLock fence both processes read
+          // the same pre-image and one increment vanishes
+          spark.conf.set("spark.graft.dml.crashTestDelayMs", "2000")
+          graft.sources.RowDml.execute(spark, "UPDATE crash_t SET v = v + 1")
+          val rows = spark.table("crash_t").orderBy("id")
+            .collect().map(_.getDouble(1)).mkString(",")
+          println(s"[crashdml] INCED ROWS:$rows")
         case other => sys.error(s"unknown mode $other")
       }
     } finally spark.stop()

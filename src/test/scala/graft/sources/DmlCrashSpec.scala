@@ -84,4 +84,33 @@ class DmlCrashSpec extends AnyFunSuite {
       .orderBy("id").collect().map(_.getDouble(1)).toSeq
     assert(postImage == Seq(100.0, 200.0, 300.0))
   }
+
+  test("two concurrent writer PROCESSES on one warehouse serialize (cross-process fence)") {
+    // r11 verdict #3: the in-process CommitLock cannot order two live engine
+    // PROCESSES. Two JVMs run `UPDATE ... SET v = v + 1` concurrently with
+    // the publish-to-fold window widened to 2 s — without the OS-file-lock
+    // fence both read the same pre-image inside the overlap and one
+    // increment is silently lost (final +1); with it the statements
+    // serialize and BOTH effects survive (final +2).
+    val wh = Files.createTempDirectory("graft-conc-wh")
+    val spark = graft.GraftSession.local()
+
+    assert(runToEnd(child(wh, "setup")).contains("READY"))
+    val a = child(wh, "inc").start()
+    val b = child(wh, "inc").start()
+    val outA = new String(a.getInputStream.readAllBytes())
+    val outB = new String(b.getInputStream.readAllBytes())
+    assert(a.waitFor(180, java.util.concurrent.TimeUnit.SECONDS), s"writer A timed out:\n$outA")
+    assert(b.waitFor(180, java.util.concurrent.TimeUnit.SECONDS), s"writer B timed out:\n$outB")
+    assert(a.exitValue() == 0, s"writer A failed:\n$outA")
+    assert(b.exitValue() == 0, s"writer B failed:\n$outB")
+
+    val finalRows = spark.read.parquet(s"$wh/crash_t")
+      .orderBy("id").collect().map(_.getDouble(1)).toSeq
+    assert(finalRows == Seq(12.0, 22.0, 32.0),
+      s"both increments must survive in some serial order; got $finalRows\nA:\n$outA\nB:\n$outB")
+    // the second-to-finish writer must have observed the first's post-image
+    assert(Seq(outA, outB).exists(_.contains("ROWS:12.0,22.0,32.0")),
+      s"one writer must observe both increments:\nA:\n$outA\nB:\n$outB")
+  }
 }
