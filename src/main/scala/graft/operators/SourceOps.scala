@@ -179,6 +179,49 @@ object SourceOps {
       s.table("graft_cow_tgt").orderBy("n_nationkey")
     },
 
+    // MERGE with WHEN NOT MATCHED BY SOURCE (r12): matched rows (region 2)
+    // update from the source, unmatched region-0 rows are deleted by the
+    // first NMBS action, every other unmatched row takes the second NMBS
+    // action's target-only update. Oracle = the post-state as a SELECT.
+    Op.effectful("dml_merge_by_source",
+      "SELECT n_nationkey, CASE WHEN n_regionkey = 2 THEN 'IN_SRC' " +
+      "ELSE n_name || '_STALE' END AS n_name, n_regionkey FROM nation " +
+      "WHERE n_regionkey <> 0 ORDER BY n_nationkey") { (s, d) =>
+      Tables.ensure(s, d)
+      deleteManagedTable(s, "graft_nmbs_tgt")
+      s.table("nation").write.saveAsTable("graft_nmbs_tgt")
+      s.sql("SELECT n_nationkey FROM nation WHERE n_regionkey = 2")
+        .createOrReplaceTempView("graft_nmbs_src")
+      graft.sources.RowDml.execute(s,
+        "MERGE INTO graft_nmbs_tgt t USING graft_nmbs_src s ON t.n_nationkey = s.n_nationkey " +
+        "WHEN MATCHED THEN UPDATE SET n_name = 'IN_SRC' " +
+        "WHEN NOT MATCHED BY SOURCE AND t.n_regionkey = 0 THEN DELETE " +
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET n_name = CONCAT(n_name, '_STALE')")
+      s.table("graft_nmbs_tgt").orderBy("n_nationkey")
+    },
+
+    // MERGE ... RETURNING (r12): the affected-row stream itself is the op
+    // result — post-image for updates, pre-image for deletes, discriminated
+    // by merge_action. The oracle recomputes all three classes per row.
+    Op.effectful("dml_merge_returning",
+      "SELECT n_nationkey, CASE WHEN n_regionkey = 2 THEN 'IN_SRC' " +
+      "WHEN n_regionkey = 0 THEN n_name ELSE n_name || '_STALE' END AS n_name, " +
+      "CASE WHEN n_regionkey = 0 THEN 'DELETE' ELSE 'UPDATE' END AS merge_action " +
+      "FROM nation ORDER BY n_nationkey") { (s, d) =>
+      Tables.ensure(s, d)
+      deleteManagedTable(s, "graft_mret_tgt")
+      s.table("nation").write.saveAsTable("graft_mret_tgt")
+      s.sql("SELECT n_nationkey FROM nation WHERE n_regionkey = 2")
+        .createOrReplaceTempView("graft_mret_src")
+      graft.sources.RowDml.execute(s,
+        "MERGE INTO graft_mret_tgt t USING graft_mret_src s ON t.n_nationkey = s.n_nationkey " +
+        "WHEN MATCHED THEN UPDATE SET n_name = 'IN_SRC' " +
+        "WHEN NOT MATCHED BY SOURCE AND t.n_regionkey = 0 THEN DELETE " +
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET n_name = CONCAT(n_name, '_STALE') " +
+        "RETURNING n_nationkey, n_name, merge_action")
+        .orderBy("n_nationkey")
+    },
+
     // DuckDB upsert: INSERT ... ON CONFLICT (k) DO UPDATE, desugared to
     // MERGE by plans.OnConflictRewrite and executed by the copy-on-write
     // path. Oracle = the expected post-upsert state as a SELECT (the

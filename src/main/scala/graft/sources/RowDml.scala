@@ -32,12 +32,17 @@ import org.apache.spark.sql.functions._
   * lacks. The parser's unresolved expressions are wrapped directly as
   * Columns against the same relations (no SQL-text round-trip).
   *
-  * MERGE supports WHEN MATCHED [AND c] THEN UPDATE SET/DELETE and WHEN NOT
-  * MATCHED [AND c] THEN INSERT, first-matching-action-wins; the source must
-  * be a named table/view (materialize a subquery into a temp view first).
-  * WHEN NOT MATCHED BY SOURCE is not supported. A source row matching
-  * multiple target rows follows join semantics (all matches update) rather
-  * than raising the standard's cardinality error.
+  * MERGE supports WHEN MATCHED [AND c] THEN UPDATE SET/DELETE, WHEN NOT
+  * MATCHED [AND c] THEN INSERT, and WHEN NOT MATCHED BY SOURCE [AND c]
+  * THEN UPDATE SET/DELETE (r12), first-matching-action-wins per family; the
+  * source is a named table/view or an aliased subquery. A target row that
+  * several source rows would update/delete raises the SQL standard's
+  * cardinality error (DuckDB 1.4+ MERGE semantics); target rows whose
+  * duplicate matches select NO action collapse back to one output copy.
+  * RETURNING on MERGE (r12) yields the post-image of updated/inserted rows
+  * and the pre-image of deleted rows, with a `merge_action` column
+  * ('UPDATE' | 'DELETE' | 'INSERT') appended after the table columns —
+  * DuckDB's MERGE RETURNING exposes the same discriminator.
   */
 object RowDml {
 
@@ -100,10 +105,8 @@ object RowDml {
             allowPartitionScope, returning)
         }
       case m: MergeIntoTable =>
-        if (returning.nonEmpty) throw new UnsupportedOperationException(
-          "RETURNING is not supported on MERGE (DuckDB parity)")
         graft.engine.CommitLock.withTables(spark, Seq(relationOf(m.targetTable)._1)) {
-          merge(spark, m, sink)
+          merge(spark, m, sink, returning)
         }
       case other =>
         throw new IllegalArgumentException(
@@ -429,55 +432,101 @@ object RowDml {
 
   private val TMark = "__graft_merge_t"
   private val SMark = "__graft_merge_s"
+  private val Tid = "__graft_merge_tid"
 
-  private def merge(spark: SparkSession, m: MergeIntoTable, sink: Sink): DataFrame = {
-    if (m.notMatchedBySourceActions.nonEmpty)
-      throw new UnsupportedOperationException(
-        "MERGE ... WHEN NOT MATCHED BY SOURCE is not supported on Parquet tables")
+  private def merge(spark: SparkSession, m: MergeIntoTable, sink: Sink,
+      returning: Option[Seq[String]] = None): DataFrame = {
     val (tName, tAlias) = relationOf(m.targetTable)
     val (sDf, sAlias) = sourceOf(spark, m.sourceTable)
     val schema = spark.table(tName).schema
 
+    // Tid identifies a PHYSICAL target row across its join copies (the
+    // joined frame is cached, so the nondeterministic id is assigned once);
+    // it carries the cardinality check and the duplicate-copy collapse.
     val t = spark.table(tName).alias(tAlias).withColumn(TMark, lit(1))
+      .withColumn(Tid, monotonically_increasing_id())
     val s = sDf.alias(sAlias).withColumn(SMark, lit(1))
     val j = t.join(s, exprCol(m.mergeCondition), "full_outer").cache()
     try {
       val matched = col(TMark) === 1 && col(SMark) === 1
+      val notMatchedBySource = col(TMark) === 1 && col(SMark).isNull
 
       def actionCond(c: Option[Expression]): Column =
         coalesce(c.map(exprCol).getOrElse(lit(true)).cast("boolean"), lit(false))
 
-      // First matching WHEN MATCHED action wins: a per-row action index.
-      val mIdx = m.matchedActions.zipWithIndex
-        .foldLeft(when(lit(false), lit(-1))) { case (acc, (a, i)) =>
-          val c = a match {
-            case UpdateAction(cond, _, _) => actionCond(cond)
-            case DeleteAction(cond) => actionCond(cond)
-            case other => throw new UnsupportedOperationException(
-              s"unsupported WHEN MATCHED action: ${other.getClass.getSimpleName}")
+      // First matching action wins within each WHEN family: a per-row index.
+      def actionIdx(actions: Seq[MergeAction], rowCond: Column, family: String): Column =
+        actions.zipWithIndex
+          .foldLeft(when(lit(false), lit(-1))) { case (acc, (a, i)) =>
+            val c = a match {
+              case UpdateAction(cond, _, _) => actionCond(cond)
+              case DeleteAction(cond) => actionCond(cond)
+              case other => throw new UnsupportedOperationException(
+                s"unsupported $family action: ${other.getClass.getSimpleName}")
+            }
+            acc.when(rowCond && c, lit(i))
+          }.otherwise(lit(-1))
+      def deletesOf(actions: Seq[MergeAction]): Seq[Int] =
+        actions.zipWithIndex.collect { case (_: DeleteAction, i) => i }
+      def updatesOf(actions: Seq[MergeAction]): Seq[(Int, Map[String, Column])] =
+        actions.zipWithIndex.collect {
+          case (UpdateAction(_, assigns, _), i) =>
+            i -> assigns.map(a => lastName(a.key) -> exprCol(a.value)).toMap
+        }
+
+      val mIdx = actionIdx(m.matchedActions, matched, "WHEN MATCHED")
+      val deleteIdx = deletesOf(m.matchedActions)
+      val updates = updatesOf(m.matchedActions)
+      // WHEN NOT MATCHED BY SOURCE (r12): target rows with no source match;
+      // conditions/assignments may reference the target only (a source
+      // reference fails resolution with the analyzer's missing-column error)
+      val sIdx = actionIdx(m.notMatchedBySourceActions, notMatchedBySource,
+        "WHEN NOT MATCHED BY SOURCE")
+      val sDeleteIdx = deletesOf(m.notMatchedBySourceActions)
+      val sUpdates = updatesOf(m.notMatchedBySourceActions)
+
+      val withIdx = j.filter(col(TMark) === 1)
+        .withColumn("__midx", mIdx).withColumn("__sidx", sIdx)
+
+      // SQL-standard cardinality rule (DuckDB 1.4+ MERGE): a target row that
+      // MORE THAN ONE source row would update/delete is an error, and a
+      // target row whose duplicate matches select NO action must still come
+      // out exactly once. One window over the physical-row id provides both;
+      // it shuffles the joined frame once, on top of the cache the counts
+      // below already materialize.
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col(Tid))
+      val flagged = withIdx
+        .withColumn("__nact", sum(when(col("__midx") >= 0, 1).otherwise(0)).over(w))
+        .withColumn("__rn", row_number().over(w.orderBy(col("__midx").desc)))
+      if (!flagged.filter(col("__nact") > 1).isEmpty)
+        throw new IllegalStateException(
+          "MERGE: a target row matched multiple source rows with an applicable " +
+            "WHEN MATCHED action (SQL cardinality violation)")
+      val canonical = flagged.filter(
+        (col("__nact") === 0 && col("__rn") === 1) ||
+          (col("__nact") === 1 && col("__midx") >= 0))
+
+      def newValue(f: org.apache.spark.sql.types.StructField): Column = {
+        val base = col(s"$tAlias.${f.name}")
+        val afterMatched = updates.foldLeft(when(lit(false), base)) { case (acc, (i, assigns)) =>
+          assigns.get(f.name) match {
+            case Some(value) => acc.when(col("__midx") === i, value.cast(f.dataType))
+            case None => acc
           }
-          acc.when(matched && c, lit(i))
-        }.otherwise(lit(-1))
-      val deleteIdx = m.matchedActions.zipWithIndex.collect { case (_: DeleteAction, i) => i }
-      val updates: Seq[(Int, Map[String, Column])] = m.matchedActions.zipWithIndex.collect {
-        case (UpdateAction(_, assigns, _), i) =>
-          i -> assigns.map(a => lastName(a.key) -> exprCol(a.value)).toMap
+        }
+        sUpdates.foldLeft(afterMatched) { case (acc, (i, assigns)) =>
+          assigns.get(f.name) match {
+            case Some(value) => acc.when(col("__sidx") === i, value.cast(f.dataType))
+            case None => acc
+          }
+        }.otherwise(base).as(f.name)
       }
 
-      // Surviving target rows: apply update assignments, drop deleted rows.
-      val withIdx = j.filter(col(TMark) === 1).withColumn("__midx", mIdx)
-      val survivors = withIdx
-        .filter(deleteIdx.foldLeft(lit(true))((acc, i) => acc && col("__midx") =!= i))
-        .select(schema.fields.map { f =>
-          val base = col(s"$tAlias.${f.name}")
-          val v = updates.foldLeft(when(lit(false), base)) { case (acc, (i, assigns)) =>
-            assigns.get(f.name) match {
-              case Some(value) => acc.when(col("__midx") === i, value.cast(f.dataType))
-              case None => acc
-            }
-          }.otherwise(base)
-          v.as(f.name)
-        }.toIndexedSeq: _*)
+      val isDeleted =
+        deleteIdx.map(i => col("__midx") === i).foldLeft(lit(false))(_ || _) ||
+          sDeleteIdx.map(i => col("__sidx") === i).foldLeft(lit(false))(_ || _)
+      val survivors = canonical.filter(!isDeleted)
+        .select(schema.fields.map(newValue).toIndexedSeq: _*)
 
       // First matching WHEN NOT MATCHED action wins, on source-only rows.
       val notMatched = col(TMark).isNull && col(SMark) === 1
@@ -505,13 +554,29 @@ object RowDml {
           }.otherwise(lit(null).cast(f.dataType)).as(f.name)
         }.toIndexedSeq: _*)
 
-      val affected = withIdx.filter(col("__midx") >= 0).count() +
+      val affected = withIdx.filter(col("__midx") >= 0 || col("__sidx") >= 0).count() +
         j.withColumn("__iidx", iIdx).filter(col("__iidx") >= 0).count()
 
+      // RETURNING (DuckDB MERGE RETURNING parity): post-image of updated and
+      // inserted rows, pre-image of deleted rows, discriminated by a
+      // trailing merge_action column; pinned before any file is rewritten.
+      val ret = returning.map { items =>
+        val actioned = canonical.filter(col("__midx") >= 0 || col("__sidx") >= 0)
+        val updatedRows = actioned.filter(!isDeleted)
+          .select(schema.fields.map(newValue).toIndexedSeq: _*)
+          .withColumn("merge_action", lit("UPDATE"))
+        val deletedRows = actioned.filter(isDeleted)
+          .select(schema.fields.map(f => col(s"$tAlias.${f.name}").as(f.name)).toIndexedSeq: _*)
+          .withColumn("merge_action", lit("DELETE"))
+        val insertedRows = inserts.withColumn("merge_action", lit("INSERT"))
+        returningResult(
+          updatedRows.unionByName(deletedRows).unionByName(insertedRows), items)
+      }
+
       // MERGE can insert into any partition, so the rewrite is table-scoped.
-      // Zero matched actions and zero inserts leave the table untouched.
+      // Zero applicable actions leave the table untouched.
       if (affected > 0) sink(spark, tName, survivors.unionByName(inserts), false)
-      affectedResult(spark, affected)
+      ret.getOrElse(affectedResult(spark, affected))
     } finally j.unpersist()
   }
 }

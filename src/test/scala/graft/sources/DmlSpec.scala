@@ -111,10 +111,12 @@ class DmlSpec extends AnyFunSuite {
       "UPDATE dml_r2 SET v = 9 WHERE 'RETURNING x' = 'RETURNING x'")
       .collect().head.getLong(0)
     assert(lit == 1)
-    // MERGE ... RETURNING is declared unsupported
-    intercept[UnsupportedOperationException](RowDml.execute(spark,
+    // MERGE ... RETURNING (r12): post-image + merge_action discriminator
+    val mret = RowDml.execute(spark,
       "MERGE INTO dml_r2 t USING dml_r2 s ON t.id = s.id " +
-      "WHEN MATCHED THEN UPDATE SET v = 1 RETURNING *"))
+      "WHEN MATCHED THEN UPDATE SET v = 1 RETURNING id, v, merge_action")
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getString(2)))
+    assert(mret.toSeq == Seq((1, 1.0, "UPDATE")))
   }
 
   test("MERGE applies conditional update, delete, and insert actions in order") {
@@ -136,21 +138,81 @@ class DmlSpec extends AnyFunSuite {
     assert(out == Seq((1, "keep", 10), (2, "updated", 200), (9, "new", 900)))
   }
 
-  test("MERGE WHEN NOT MATCHED BY SOURCE is rejected; a subquery source works") {
+  test("MERGE WHEN NOT MATCHED BY SOURCE updates/deletes unmatched target rows; subquery source works") {
     import spark.implicits._
     freshTable("dml_m2")
-    Seq((1, 1)).toDF("id", "v").write.saveAsTable("dml_m2")
-    Seq((1, 1)).toDF("id", "v").createOrReplaceTempView("dml_m2_src")
-    assertThrows[UnsupportedOperationException](RowDml.execute(spark,
+    Seq((1, 1), (2, 2), (3, 3), (4, 4)).toDF("id", "v").write.saveAsTable("dml_m2")
+    Seq((1, 10)).toDF("id", "v").createOrReplaceTempView("dml_m2_src")
+    // matched row updates from source; unmatched-by-source rows route
+    // through their own action family (conditional delete, then update)
+    val affected = RowDml.execute(spark,
       "MERGE INTO dml_m2 t USING dml_m2_src s ON t.id = s.id " +
       "WHEN MATCHED THEN UPDATE SET v = s.v " +
-      "WHEN NOT MATCHED BY SOURCE THEN DELETE"))
+      "WHEN NOT MATCHED BY SOURCE AND t.id = 4 THEN DELETE " +
+      "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = t.v * 100")
+      .collect().head.getLong(0)
+    assert(affected == 4, "one matched update + one NMBS delete + two NMBS updates")
+    val out = spark.table("dml_m2").orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(out == Seq((1, 10), (2, 200), (3, 300)))
     // aliased subquery sources are legal (the ON CONFLICT desugar feeds
     // `USING (SELECT ...) AS excluded`)
     RowDml.execute(spark,
       "MERGE INTO dml_m2 t USING (SELECT 1 AS id, 2 AS v) s ON t.id = s.id " +
       "WHEN MATCHED THEN UPDATE SET v = s.v")
-    assert(spark.table("dml_m2").collect().head.getInt(1) == 2)
+    assert(spark.table("dml_m2").orderBy("id").collect().head.getInt(1) == 2)
+  }
+
+  test("MERGE cardinality: multi-source match on one target row errors; no-action dup matches collapse") {
+    import spark.implicits._
+    freshTable("dml_m3")
+    Seq((1, 1), (2, 2)).toDF("id", "v").write.saveAsTable("dml_m3")
+    // two source rows hit target id=1 with an applicable update -> SQL error
+    Seq((1, 10), (1, 11), (2, 20)).toDF("id", "v").createOrReplaceTempView("dml_m3_src")
+    val e = intercept[IllegalStateException](RowDml.execute(spark,
+      "MERGE INTO dml_m3 t USING dml_m3_src s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET v = s.v"))
+    assert(e.getMessage.contains("cardinality"))
+    assert(spark.table("dml_m3").orderBy("id").collect().map(_.getInt(1)).toSeq ==
+      Seq(1, 2), "a failed MERGE must leave the table untouched")
+    // duplicate matches whose action condition selects NEITHER copy: the
+    // target row must come out exactly once, unchanged
+    val affected = RowDml.execute(spark,
+      "MERGE INTO dml_m3 t USING dml_m3_src s ON t.id = s.id " +
+      "WHEN MATCHED AND s.v > 50 THEN UPDATE SET v = s.v")
+      .collect().head.getLong(0)
+    assert(affected == 0)
+    assert(spark.table("dml_m3").orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq == Seq((1, 1), (2, 2)),
+      "no-action duplicate join copies must collapse to one output row")
+    // exactly ONE of several matches selecting the action is legal
+    val one = RowDml.execute(spark,
+      "MERGE INTO dml_m3 t USING dml_m3_src s ON t.id = s.id " +
+      "WHEN MATCHED AND s.v = 11 THEN UPDATE SET v = s.v")
+      .collect().head.getLong(0)
+    assert(one == 1)
+    assert(spark.table("dml_m3").orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq == Seq((1, 11), (2, 2)))
+  }
+
+  test("MERGE RETURNING: all three actions discriminated, pinned pre-rewrite") {
+    import spark.implicits._
+    freshTable("dml_m4")
+    Seq((1, "u", 10), (2, "d", 20), (3, "untouched", 30))
+      .toDF("id", "tag", "v").write.saveAsTable("dml_m4")
+    Seq((1, "upd", 100), (2, "x", 0), (9, "new", 900))
+      .toDF("id", "tag", "v").createOrReplaceTempView("dml_m4_src")
+    val ret = RowDml.execute(spark,
+      "MERGE INTO dml_m4 t USING dml_m4_src s ON t.id = s.id " +
+      "WHEN MATCHED AND t.tag = 'd' THEN DELETE " +
+      "WHEN MATCHED THEN UPDATE SET tag = s.tag, v = s.v " +
+      "WHEN NOT MATCHED THEN INSERT (id, tag, v) VALUES (s.id, s.tag, s.v) " +
+      "RETURNING id, v, merge_action")
+      .orderBy("id").collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2)))
+    assert(ret.toSeq == Seq((1, 100, "UPDATE"), (2, 20, "DELETE"), (9, 900, "INSERT")),
+      "update post-image, delete pre-image, insert values")
+    assert(spark.table("dml_m4").orderBy("id").collect().map(_.getInt(0)).toSeq ==
+      Seq(1, 3, 9))
   }
 
   test("expressions survive without a SQL-text round-trip: quoted identifiers, quotes in literals") {
