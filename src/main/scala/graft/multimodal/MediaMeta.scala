@@ -86,6 +86,92 @@ object MediaMeta {
   private def versionName(id: Int): String =
     id match { case 3 => "MPEG-1"; case 2 => "MPEG-2"; case _ => "MPEG-2.5" }
 
+  // ---- AAC (ADTS frame headers) ----------------------------------------------
+
+  final case class AacMeta(sampleRate: Int, channels: Int, frames: Int,
+      durationMs: Long)
+
+  private val AdtsSampleRates = Array(96000, 88200, 64000, 48000, 44100,
+    32000, 24000, 22050, 16000, 12000, 11025, 8000, 7350)
+
+  /** ADTS frame-header walk (r12, same posture as [[parseMp3]]): the 12-bit
+    * 0xFFF syncword plus layer bits 00 distinguishes ADTS from an MP3
+    * header (layer 01 = MPEG Layer III), so the two walkers are disjoint on
+    * valid input. 1024 samples per AAC frame; duration sums per frame.
+    * After one valid frame, any malformed header ends the walk and returns
+    * the accumulated metadata (trailing-junk tolerance).
+    */
+  def parseAac(bytes: Array[Byte]): Option[AacMeta] = {
+    if (bytes == null || bytes.length < 7) return None
+    var p = 0
+    var frames = 0
+    var durationUs = 0.0
+    var first: Option[(Int, Int)] = None // sampleRate, channels
+    def done: Option[AacMeta] = first.map { case (sr, ch) =>
+      AacMeta(sr, ch, frames, math.round(durationUs / 1000.0)) }
+    while (p + 7 <= bytes.length) {
+      val b1 = bytes(p) & 0xff; val b2 = bytes(p + 1) & 0xff
+      // syncword FFF + layer 00 (an MP3 Layer III header has layer bits 01)
+      if (b1 != 0xff || (b2 & 0xf0) != 0xf0 || ((b2 >> 1) & 0x3) != 0) return done
+      val b3 = bytes(p + 2) & 0xff
+      val srIdx = (b3 >> 2) & 0xf
+      if (srIdx >= AdtsSampleRates.length) return done
+      val channels = (((b3 & 0x1) << 2) | ((bytes(p + 3) & 0xff) >> 6)) & 0x7
+      val frameLen = ((bytes(p + 3) & 0x03) << 11) |
+        ((bytes(p + 4) & 0xff) << 3) | ((bytes(p + 5) & 0xff) >> 5)
+      if (frameLen < 7 || channels == 0) return done
+      val sr = AdtsSampleRates(srIdx)
+      if (first.isEmpty) first = Some((sr, channels))
+      frames += 1
+      durationUs += 1024.0 * 1e6 / sr
+      p += frameLen
+    }
+    done
+  }
+
+  // ---- FLAC (STREAMINFO metadata block) ----------------------------------------
+
+  final case class FlacMeta(sampleRate: Int, channels: Int, bitsPerSample: Int,
+      totalSamples: Long, durationMs: Long)
+
+  /** FLAC metadata-block walk (r12): "fLaC" magic, then length-prefixed
+    * blocks until the last-block flag; STREAMINFO (type 0, first by spec)
+    * carries sample rate (20 bits), channels-1 (3), bits-per-sample-1 (5),
+    * and the 36-bit total sample count — duration in closed form without
+    * touching audio frames.
+    */
+  def parseFlac(bytes: Array[Byte]): Option[FlacMeta] = {
+    if (bytes == null || bytes.length < 4 + 4 + 34) return None
+    if (bytes(0) != 'f' || bytes(1) != 'L' || bytes(2) != 'a' || bytes(3) != 'C') return None
+    var p = 4
+    while (p + 4 <= bytes.length) {
+      val head = bytes(p) & 0xff
+      val last = (head & 0x80) != 0
+      val typ = head & 0x7f
+      val len = ((bytes(p + 1) & 0xff) << 16) | ((bytes(p + 2) & 0xff) << 8) |
+        (bytes(p + 3) & 0xff)
+      val s = p + 4
+      if (s + len > bytes.length) return None
+      if (typ == 0) {
+        if (len < 34) return None
+        val b10 = bytes(s + 10) & 0xff; val b11 = bytes(s + 11) & 0xff
+        val b12 = bytes(s + 12) & 0xff; val b13 = bytes(s + 13) & 0xff
+        val sr = (b10 << 12) | (b11 << 4) | (b12 >> 4)
+        val channels = ((b12 >> 1) & 0x7) + 1
+        val bps = (((b12 & 0x1) << 4) | (b13 >> 4)) + 1
+        var total = (b13 & 0x0fL) << 32
+        total |= ((bytes(s + 14) & 0xffL) << 24) | ((bytes(s + 15) & 0xffL) << 16) |
+          ((bytes(s + 16) & 0xffL) << 8) | (bytes(s + 17) & 0xffL)
+        if (sr == 0) return None
+        return Some(FlacMeta(sr, channels, bps, total,
+          total * 1000 / sr))
+      }
+      if (last) return None // STREAMINFO absent before the last block
+      p = s + len
+    }
+    None
+  }
+
   // ---- MP4 / ISO-BMFF ---------------------------------------------------------
 
   final case class Mp4Meta(brand: String, timescale: Long, durationMs: Long,
@@ -169,6 +255,8 @@ object MediaMeta {
     StructField("container", StringType, nullable = true),
     StructField("bitrate_kbps", IntegerType, nullable = true),
     StructField("sample_rate", IntegerType, nullable = true),
+    StructField("channels", IntegerType, nullable = true),
+    StructField("bits_per_sample", IntegerType, nullable = true),
     StructField("frames", IntegerType, nullable = true),
     StructField("tracks", IntegerType, nullable = true),
     StructField("has_video", BooleanType, nullable = true),
@@ -179,6 +267,9 @@ object MediaMeta {
     * unrecognized bytes yield a null-metadata row rather than an error —
     * crawl corpora are full of junk). Same mapPartitions posture as the
     * image stages: stateless per-row byte work rides the scan partitioning.
+    * Dispatch order: magic-prefixed formats first (FLAC, MP4), then the
+    * sync-word walkers (MP3 Layer III vs ADTS AAC — disjoint on the layer
+    * bits).
     */
   def containerMeta(media: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(metaSchema)
@@ -186,17 +277,20 @@ object MediaMeta {
       rows.map { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]]("bytes")
-        parseMp3(bytes) match {
-          case Some(m) =>
-            Row(id, "mp3", m.bitrateKbps, m.sampleRate, m.frames,
-              null, null, null, m.durationMs)
-          case None => parseMp4(bytes) match {
-            case Some(m) =>
-              Row(id, "mp4", null, null, null,
-                m.tracks, m.hasVideo, m.hasAudio, m.durationMs)
-            case None => Row(id, null, null, null, null, null, null, null, null)
-          }
-        }
+        parseFlac(bytes).map(m =>
+          Row(id, "flac", null, m.sampleRate, m.channels, m.bitsPerSample,
+            null, null, null, null, m.durationMs))
+          .orElse(parseMp4(bytes).map(m =>
+            Row(id, "mp4", null, null, null, null, null,
+              m.tracks, m.hasVideo, m.hasAudio, m.durationMs)))
+          .orElse(parseMp3(bytes).map(m =>
+            Row(id, "mp3", m.bitrateKbps, m.sampleRate, m.channels, null,
+              m.frames, null, null, null, m.durationMs)))
+          .orElse(parseAac(bytes).map(m =>
+            Row(id, "aac", null, m.sampleRate, m.channels, null,
+              m.frames, null, null, null, m.durationMs)))
+          .getOrElse(Row(id, null, null, null, null, null, null, null, null,
+            null, null))
       }
     }(enc)
   }
@@ -256,5 +350,58 @@ object MediaMeta {
     val nTracks = 1 + ((id / 2) % 2).toInt
     val traks = trak("vide") ++ (if (nTracks == 2) trak("soun") else Array.empty[Byte])
     ftyp ++ box("moov", mvhd ++ traks)
+  }
+
+  /** Valid ADTS stream: sr=32000 (32 ms/frame exactly), 1+id%2 channels,
+    * 4+id%6 frames of 7+(7+id%9) bytes — all integer arithmetic on `id`.
+    */
+  def syntheticAac(id: Long): Array[Byte] = {
+    val frames = 4 + (id % 6).toInt
+    val channels = 1 + (id % 2).toInt
+    val frameLen = 7 + 7 + (id % 9).toInt
+    val out = new Array[Byte](frames * frameLen)
+    var p = 0
+    (0 until frames).foreach { f =>
+      out(p) = 0xff.toByte
+      out(p + 1) = 0xf1.toByte // MPEG-4, layer 00, no CRC
+      out(p + 2) = ((1 << 6) | (5 << 2) | (channels >> 2)).toByte // LC, srIdx=5 -> 32000
+      out(p + 3) = (((channels & 0x3) << 6) | (frameLen >> 11)).toByte
+      out(p + 4) = ((frameLen >> 3) & 0xff).toByte
+      out(p + 5) = (((frameLen & 0x7) << 5) | 0x1f).toByte
+      out(p + 6) = 0xfc.toByte
+      var j = 7
+      while (j < frameLen) { out(p + j) = ((id * 17 + f * 5 + j) % 127).toByte; j += 1 }
+      p += frameLen
+    }
+    out
+  }
+
+  /** Valid FLAC header: fLaC magic, STREAMINFO (first, per spec), then a
+    * last-flagged PADDING block so the walker exercises the block chain.
+    * sr=32000, 1+id%2 channels, 16-bit, (id+1)*8000 total samples ->
+    * duration (id+1)*250 ms exactly.
+    */
+  def syntheticFlac(id: Long): Array[Byte] = {
+    val channels = 1 + (id % 2).toInt
+    val total = (id + 1) * 8000
+    val si = new Array[Byte](34)
+    // min/max blocksize + frame sizes: arbitrary valid values
+    si(0) = 0x10; si(1) = 0x00; si(2) = 0x10; si(3) = 0x00
+    val sr = 32000
+    si(10) = ((sr >> 12) & 0xff).toByte
+    si(11) = ((sr >> 4) & 0xff).toByte
+    si(12) = (((sr & 0xf) << 4) | ((channels - 1) << 1) | ((16 - 1) >> 4)).toByte
+    si(13) = ((((16 - 1) & 0xf) << 4) | ((total >> 32) & 0xf).toInt).toByte
+    si(14) = ((total >> 24) & 0xff).toByte
+    si(15) = ((total >> 16) & 0xff).toByte
+    si(16) = ((total >> 8) & 0xff).toByte
+    si(17) = (total & 0xff).toByte
+    val pad = new Array[Byte](6)
+    val out = java.nio.ByteBuffer.allocate(4 + 4 + 34 + 4 + pad.length)
+    out.put("fLaC".getBytes("US-ASCII"))
+    out.put(0x00.toByte).put(0x00.toByte).put(0x00.toByte).put(34.toByte).put(si)
+    out.put((0x80 | 0x01).toByte).put(0x00.toByte).put(0x00.toByte) // last PADDING
+      .put(pad.length.toByte).put(pad)
+    out.array()
   }
 }

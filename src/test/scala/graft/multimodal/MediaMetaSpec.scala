@@ -51,4 +51,35 @@ class MediaMetaSpec extends AnyFunSuite {
     assert(reparsed.durationMs == 1000 && reparsed.tracks == 1)
     assert(MediaMeta.parseMp4("not a container at all".getBytes).isEmpty)
   }
+
+  test("mp3: mid-stream header with sync bits but invalid fields ends the walk (r11 advice)") {
+    val base = MediaMeta.syntheticMp3(2) // 7 frames
+    // trailing bytes that PASS the sync check but carry bitrateIdx=0
+    val fakeSync = Array[Byte](0xff.toByte, 0xfb.toByte, 0x08.toByte, 0x00.toByte)
+    val m = MediaMeta.parseMp3(base ++ fakeSync).get
+    assert(m.frames == 7, "accumulated frames must survive a junk quasi-header")
+  }
+
+  test("aac: ADTS frame walk, disjoint from MP3 on the layer bits (r12)") {
+    val m = MediaMeta.parseAac(MediaMeta.syntheticAac(3)).get
+    assert(m.sampleRate == 32000 && m.channels == 2 && m.frames == 7)
+    assert(m.durationMs == 7 * 32)
+    // an MP3 stream is NOT an ADTS stream and vice versa
+    assert(MediaMeta.parseAac(MediaMeta.syntheticMp3(2)).isEmpty)
+    assert(MediaMeta.parseMp3(MediaMeta.syntheticAac(3)).isEmpty)
+    assert(MediaMeta.parseAac("random junk bytes".getBytes).isEmpty)
+    // trailing junk after valid frames is tolerated
+    val t = MediaMeta.parseAac(MediaMeta.syntheticAac(0) ++ "junk".getBytes).get
+    assert(t.frames == 4)
+  }
+
+  test("flac: STREAMINFO block walk (r12)") {
+    val m = MediaMeta.parseFlac(MediaMeta.syntheticFlac(5)).get
+    assert(m.sampleRate == 32000 && m.channels == 2 && m.bitsPerSample == 16)
+    assert(m.totalSamples == 48000 && m.durationMs == 1500)
+    val mono = MediaMeta.parseFlac(MediaMeta.syntheticFlac(2)).get
+    assert(mono.channels == 1 && mono.durationMs == 750)
+    assert(MediaMeta.parseFlac("fLaX not flac".getBytes).isEmpty)
+    assert(MediaMeta.parseFlac(MediaMeta.syntheticMp4(1)).isEmpty)
+  }
 }
