@@ -100,9 +100,10 @@ object TextPipeline {
     * not an execution. The gated shape runs Spark jobs eagerly at
     * DataFrame-CONSTRUCTION time (localCheckpoint + max-df probe) and pins
     * a snapshot that will not reflect later source mutations — it is
-    * opt-in under its explicit name [[jaccardPairsGated]] (r11 ADVICE: the
-    * eager default silently changed public-overload semantics; r12 bench
-    * A/B also found no cross-round win to justify it).
+    * opt-in under its explicit name [[jaccardPairsGated]] (r11 ADVICE: an
+    * eager default silently changed public-overload semantics). Batch
+    * callers that want the measured ~9% benign-corpus win (r12 interleaved
+    * A/B: 0.754 vs 0.826 s median at sf0.1) opt in explicitly.
     */
   def jaccardPairs(d: DataFrame, threshold: Double): DataFrame =
     jaccardPairs(d, threshold, hotDfCap = 1 << 12, salts = 16)
@@ -972,10 +973,15 @@ object TextPipeline {
         .orderBy("source", "doc_id")
     },
 
-    // default = the lazy static cold/hot union (r12: the gated shape moved
-    // back to opt-in — its eager checkpoint regressed the cross-round bench
-    // in both regimes while the static form stays replayable and cacheable)
-    Op("dedup_jaccard",
+    // The PUBLIC default is the lazy static union (r11 ADVICE: no eager
+    // jobs from a default overload); this op EXPLICITLY opts into the gated
+    // shape — the r12 same-window interleaved A/B (JaccardShapes, 5 rounds)
+    // read gated 0.754 s vs static 0.826 s median, confirming r11's
+    // in-window direction; the cross-round official regression was window
+    // noise (the banked protocol's known host asymmetry). Op.eager: the
+    // gated probe runs jobs at build time, so the instance must not be
+    // plan-cached.
+    Op.eager("dedup_jaccard",
       "WITH w AS (SELECT doc_id, STRING_SPLIT(text,' ') AS words FROM documents), " +
       "g AS (SELECT DISTINCT doc_id, UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, CAST(LEN(words) AS INTEGER)-2), i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS gram FROM w), " +
       "sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id), " +
@@ -983,7 +989,8 @@ object TextPipeline {
       "SELECT id_a, id_b, ROUND(CAST(inter AS DOUBLE)/(sa.n+sb.n-inter),4) AS jaccard FROM pairs " +
       "JOIN sz sa ON sa.doc_id=id_a JOIN sz sb ON sb.doc_id=id_b " +
       "WHERE CAST(inter AS DOUBLE)/(sa.n+sb.n-inter) >= 0.12 ORDER BY id_a, id_b") { (s, d) =>
-      jaccardPairs(docs(s, d), 0.12).orderBy("id_a", "id_b")
+      jaccardPairsGated(docs(s, d), 0.12, hotDfCap = 1 << 12, salts = 16)
+        .orderBy("id_a", "id_b")
     },
 
     // Bloom-filter ingest gate: the cheap membership pre-filter in front of
