@@ -229,5 +229,50 @@ object SpatialOps {
         "ROUND(st_area(st_union(a, far)), 6) AS far_area, " +
         "ROUND(st_area(st_union(a, sub)), 6) AS sub_area " +
         "FROM g ORDER BY n_nationkey")
+    },
+
+    // Convex hull (monotone chain) + WGS84 ellipsoidal distance (r12). Hull
+    // input = the 4 corners of (0,0)-(x+1,y+1) plus a strictly-interior
+    // center and a collinear bottom-edge midpoint — the hull must be exactly
+    // the corner rectangle (area/perimeter/vertex-count/WKT all closed
+    // form); a fully collinear set degrades to the extreme-point
+    // LINESTRING. The spheroid oracle reproduces Lambert's formula in SQL
+    // (reduced latitude, auxiliary-sphere haversine, X/Y flattening
+    // correction) and compares at 0.1 m granularity — the same trig-rounding
+    // rule as st_distance_sphere.
+    Op("spatial_hull_spheroid",
+      duckPtsInt +
+      ", s AS (SELECT n_nationkey, x, y, " +
+      "atan((1 - 1/298.257223563) * tan(radians(CAST(y AS DOUBLE)))) AS b2, " +
+      "radians(CAST(x AS DOUBLE)) AS dlon FROM pts), " +
+      "t AS (SELECT n_nationkey, x, y, b2, " +
+      "2*asin(sqrt(pow(sin(b2/2), 2) + cos(b2)*pow(sin(dlon/2), 2))) AS sg FROM s) " +
+      "SELECT n_nationkey, " +
+      "'POLYGON ((0 0, ' || (x+1) || ' 0, ' || (x+1) || ' ' || (y+1) || ', 0 ' || (y+1) || ', 0 0))' AS hull_wkt, " +
+      "ROUND(CAST((x+1)*(y+1) AS DOUBLE), 6) AS hull_area, " +
+      "ROUND(CAST(2*(x+y+2) AS DOUBLE), 6) AS hull_perim, " +
+      "5 AS hull_np, 'POLYGON' AS hull_type, " +
+      "'LINESTRING (0 0, ' || (2*x+2) || ' 0)' AS lin_wkt, " +
+      "ROUND(CAST(2*x+2 AS DOUBLE), 6) AS lin_len, " +
+      "ROUND(CASE WHEN sg = 0 THEN 0 ELSE " +
+      "6378137.0*(sg - (1/298.257223563)/2*(" +
+      "(sg - sin(sg))*pow(sin(b2/2)*cos(b2/2)/cos(sg/2), 2) + " +
+      "(sg + sin(sg))*pow(cos(b2/2)*sin(b2/2)/sin(sg/2), 2))) END / 1000, 4) AS dsph_km " +
+      "FROM t ORDER BY n_nationkey") { (s, d) =>
+      Tables.ensure(s, d)
+      s.sql(sparkPtsInt +
+        ", g AS (SELECT n_nationkey, x, y, " +
+        "st_convexhull(st_geomfromtext(CONCAT('MULTIPOINT (0 0, ', x+1, ' 0, ', x+1, ' ', y+1, ', 0 ', y+1, ', ', " +
+        "(x+1)/2.0D, ' ', (y+1)/2.0D, ', ', (x+1)/2.0D, ' 0)'))) AS hull, " +
+        "st_convexhull(st_geomfromtext(CONCAT('MULTIPOINT (0 0, ', x+1, ' 0, ', 2*x+2, ' 0)'))) AS lin, " +
+        "st_point(CAST(x AS DOUBLE), CAST(y AS DOUBLE)) AS pt FROM pts) " +
+        "SELECT n_nationkey, " +
+        "st_astext(hull) AS hull_wkt, " +
+        "ROUND(st_area(hull), 6) AS hull_area, " +
+        "ROUND(st_perimeter(hull), 6) AS hull_perim, " +
+        "st_npoints(hull) AS hull_np, st_geometrytype(hull) AS hull_type, " +
+        "st_astext(lin) AS lin_wkt, ROUND(st_length(lin), 6) AS lin_len, " +
+        "ROUND(st_distance_spheroid(st_point(0.0D, 0.0D), pt) / 1000, 4) AS dsph_km " +
+        "FROM g ORDER BY n_nationkey")
     })
 }

@@ -137,5 +137,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     st("st_intersection", "intersection", B, Seq(B, B),
       "st_intersection(a, b) - rectangle clip (axis-aligned scope; NULL when disjoint)"),
     st("st_union", "union", B, Seq(B, B),
-      "st_union(a, b) - covering rectangle / disjoint multipolygon (axis-aligned scope)"))
+      "st_union(a, b) - covering rectangle / disjoint multipolygon (axis-aligned scope)"),
+    st("st_convexhull", "convexHull", B, Seq(B),
+      "st_convexhull(geom) - monotone-chain convex hull (polygon/line/point by rank)"),
+    st("st_distance_spheroid", "distanceSpheroid", D, Seq(B, B),
+      "st_distance_spheroid(a, b) - WGS84 Lambert ellipsoidal meters, (lon, lat) degrees"))
 }

@@ -863,6 +863,36 @@ object Wkb {
       "st_area(a) + st_area(b) - st_area(st_intersection(a, b))")
   }
 
+  /** Convex hull (Andrew's monotone chain, O(n log n)): a POLYGON for >= 3
+    * non-collinear input vertices, the 2-point LINESTRING for a collinear
+    * set, the POINT itself for a single point. Works over every geometry
+    * kind (vertices of all members for multis).
+    */
+  def convexHull(wkb: Array[Byte]): Array[Byte] = {
+    val vs = parse(wkb).vertices.toArray.distinct.sortBy(p => (p._1, p._2))
+    if (vs.isEmpty) fail("st_convexhull: no vertices")
+    if (vs.length == 1) return point(vs(0)._1, vs(0)._2)
+    def cross(o: (Double, Double), a: (Double, Double), b: (Double, Double)): Double =
+      (a._1 - o._1) * (b._2 - o._2) - (a._2 - o._2) * (b._1 - o._1)
+    def chain(pts: Array[(Double, Double)]): List[(Double, Double)] =
+      pts.foldLeft(List.empty[(Double, Double)]) { (acc, p) =>
+        var h = acc
+        while (h.length >= 2 && cross(h(1), h.head, p) <= 0) h = h.tail
+        p :: h
+      }
+    val lower = chain(vs).reverse
+    val upper = chain(vs.reverse).reverse
+    val hull = (lower.dropRight(1) ++ upper.dropRight(1)).toArray
+    if (hull.length == 2)
+      return writeGeom(Geom(2, Array(Array(
+        hull(0)._1, hull(0)._2, hull(1)._1, hull(1)._2))))
+    // closed CCW shell ring
+    val ring = new Array[Double](2 * (hull.length + 1))
+    hull.zipWithIndex.foreach { case ((x, y), i) => ring(2 * i) = x; ring(2 * i + 1) = y }
+    ring(2 * hull.length) = hull(0)._1; ring(2 * hull.length + 1) = hull(0)._2
+    writeGeom(Geom(3, Array(ring)))
+  }
+
   // ---- spherical distance ------------------------------------------------------
 
   /** Haversine great-circle distance in meters between two POINTs whose
@@ -879,5 +909,38 @@ object Wkb {
     val sdLon = math.sin((lon2 - lon1) / 2)
     val h = sdLat * sdLat + math.cos(lat1) * math.cos(lat2) * sdLon * sdLon
     2 * 6371008.8 * math.asin(math.min(1.0, math.sqrt(h)))
+  }
+
+  /** WGS84 ellipsoidal distance in meters between two (lon, lat)-degree
+    * POINTs via Lambert's formula on reduced latitudes — first-order in the
+    * flattening (~10 m accuracy over thousands of km, vs ~0.5% for the
+    * sphere). Chosen over Vincenty because every step is closed-form
+    * elementary trig, so the DuckDB oracle reproduces the identical
+    * computation in SQL (results compared at 0.1 m granularity per the
+    * float-oracle rule — libm trig is not bit-stable cross-engine).
+    */
+  def distanceSpheroid(wa: Array[Byte], wb: Array[Byte]): Double = {
+    val a = parse(wa); val b = parse(wb)
+    if (a.kind != 1 || b.kind != 1) fail("st_distance_spheroid expects two POINTs")
+    val A = 6378137.0
+    val F = 1.0 / 298.257223563
+    val lon1 = math.toRadians(a.rings(0)(0)); val lat1 = math.toRadians(a.rings(0)(1))
+    val lon2 = math.toRadians(b.rings(0)(0)); val lat2 = math.toRadians(b.rings(0)(1))
+    val b1 = math.atan((1 - F) * math.tan(lat1))
+    val b2 = math.atan((1 - F) * math.tan(lat2))
+    // central angle on the auxiliary sphere (haversine on reduced latitudes)
+    val sdLat = math.sin((b2 - b1) / 2)
+    val sdLon = math.sin((lon2 - lon1) / 2)
+    val h = sdLat * sdLat + math.cos(b1) * math.cos(b2) * sdLon * sdLon
+    val sigma = 2 * math.asin(math.min(1.0, math.sqrt(h)))
+    if (sigma == 0.0) return 0.0
+    val p = (b1 + b2) / 2
+    val q = (b2 - b1) / 2
+    val cosHalf = math.cos(sigma / 2); val sinHalf = math.sin(sigma / 2)
+    val x = (sigma - math.sin(sigma)) *
+      math.pow(math.sin(p) * math.cos(q) / cosHalf, 2)
+    val y = (sigma + math.sin(sigma)) *
+      math.pow(math.cos(p) * math.sin(q) / sinHalf, 2)
+    A * (sigma - F / 2 * (x + y))
   }
 }

@@ -192,4 +192,37 @@ class SpatialSpec extends AnyFunSuite {
     assert(row.getBoolean(2))
     assert(row.getInt(3) == 5)
   }
+
+  test("convex hull: rectangle from noisy points, collinear degrades, point identity (r12)") {
+    val hull = Wkb.convexHull(wkt(
+      "MULTIPOINT (0 0, 4 0, 4 3, 0 3, 2 1.5, 2 0, 0 1, 3.9 2.9)"))
+    assert(text(hull) == "POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))")
+    assert(Wkb.area(hull) == 12.0 && Wkb.npoints(hull) == 5)
+    // collinear set -> the extreme-point linestring
+    assert(text(Wkb.convexHull(wkt("MULTIPOINT (1 1, 3 3, 2 2, 5 5)"))) ==
+      "LINESTRING (1 1, 5 5)")
+    // single point -> itself; works over any geometry's vertices
+    assert(text(Wkb.convexHull(Wkb.point(7, 8))) == "POINT (7 8)")
+    assert(text(Wkb.convexHull(wkt("LINESTRING (0 0, 1 1, 2 0)"))) ==
+      "POLYGON ((0 0, 2 0, 1 1, 0 0))")
+    // duplicate points collapse
+    assert(text(Wkb.convexHull(wkt("MULTIPOINT (1 1, 1 1, 1 1)"))) == "POINT (1 1)")
+  }
+
+  test("spheroid distance: Lambert vs sphere sanity (r12)") {
+    val d0 = Wkb.distanceSpheroid(Wkb.point(0, 0), Wkb.point(0, 0))
+    assert(d0 == 0.0)
+    // one degree of latitude at the equator on WGS84 ~ 110.57 km (vs the
+    // sphere's 111.19 km) — the flattening correction must pull it DOWN
+    val dLat = Wkb.distanceSpheroid(Wkb.point(0, 0), Wkb.point(0, 1))
+    assert(math.abs(dLat - 110574.0) < 100.0, s"got $dLat")
+    // one degree of longitude at the equator ~ 111.32 km (equatorial radius)
+    val dLon = Wkb.distanceSpheroid(Wkb.point(0, 0), Wkb.point(1, 0))
+    assert(math.abs(dLon - 111319.0) < 100.0, s"got $dLon")
+    // symmetric, and within 0.5% of the sphere at mid-latitudes
+    val a = Wkb.point(10, 40); val b = Wkb.point(11, 41)
+    assert(Wkb.distanceSpheroid(a, b) == Wkb.distanceSpheroid(b, a))
+    val sph = Wkb.distanceSphere(a, b)
+    assert(math.abs(Wkb.distanceSpheroid(a, b) - sph) / sph < 0.005)
+  }
 }
