@@ -274,5 +274,37 @@ object SpatialOps {
         "st_astext(lin) AS lin_wkt, ROUND(st_length(lin), 6) AS lin_len, " +
         "ROUND(st_distance_spheroid(st_point(0.0D, 0.0D), pt) / 1000, 4) AS dsph_km " +
         "FROM g ORDER BY n_nationkey")
+    },
+
+    // Point buffer (r12): a radius-(x+1) 32-gon around each grid point. The
+    // regular-polygon closed forms — area 16 r^2 sin(pi/16), perimeter
+    // 64 r sin(pi/32), vertex at angle 0 exactly r from the center — are
+    // recomputed by the oracle; the angle-0 vertex makes the
+    // distance-to-(x+2r, y) check EXACTLY r, integer-valued.
+    Op("spatial_buffer",
+      duckPtsInt +
+      "SELECT n_nationkey, " +
+      "ROUND(16 * CAST((x+1)*(x+1) AS DOUBLE) * sin(pi()/16), 6) AS buf_area, " +
+      "ROUND(64 * CAST(x+1 AS DOUBLE) * sin(pi()/32), 6) AS buf_perim, " +
+      "33 AS buf_np, " +
+      "CAST(x AS DOUBLE) AS buf_cx, CAST(y AS DOUBLE) AS buf_cy, " +
+      "CAST(x - (x+1) AS DOUBLE) AS buf_xmin, " +
+      "TRUE AS center_in, " +
+      "ROUND(CAST(x+1 AS DOUBLE), 6) AS edge_dist " +
+      "FROM pts ORDER BY n_nationkey") { (s, d) =>
+      Tables.ensure(s, d)
+      s.sql(sparkPtsInt +
+        ", g AS (SELECT n_nationkey, x, y, " +
+        "st_buffer(st_point(CAST(x AS DOUBLE), CAST(y AS DOUBLE)), CAST(x+1 AS DOUBLE)) AS buf " +
+        "FROM pts) " +
+        "SELECT n_nationkey, " +
+        "ROUND(st_area(buf), 6) AS buf_area, " +
+        "ROUND(st_perimeter(buf), 6) AS buf_perim, " +
+        "st_npoints(buf) AS buf_np, " +
+        "ROUND(st_x(st_centroid(buf)), 6) AS buf_cx, ROUND(st_y(st_centroid(buf)), 6) AS buf_cy, " +
+        "ROUND(st_xmin(buf), 6) AS buf_xmin, " +
+        "st_contains(buf, st_point(CAST(x AS DOUBLE), CAST(y AS DOUBLE))) AS center_in, " +
+        "ROUND(st_distance(buf, st_point(CAST(x AS DOUBLE) + 2*(x+1), CAST(y AS DOUBLE))), 6) AS edge_dist " +
+        "FROM g ORDER BY n_nationkey")
     })
 }

@@ -893,6 +893,33 @@ object Wkb {
     writeGeom(Geom(3, Array(ring)))
   }
 
+  /** POINT buffer: the regular 4*quadSegs-gon with vertices ON the circle
+    * of radius r (CCW from angle 0) — the same inscribed-polygon
+    * approximation GEOS uses (PostGIS quad_segs, default 8 -> 32-gon).
+    * Declared scope: points only — line/polygon buffers need offset-curve
+    * construction (out of scope with general clipping).
+    */
+  def buffer(wkb: Array[Byte], r: Double, quadSegs: Int): Array[Byte] = {
+    val g = parse(wkb)
+    if (g.kind != 1) fail("st_buffer supports POINT geometries only (declared scope)")
+    if (r <= 0) fail(s"st_buffer radius must be positive, got $r")
+    if (quadSegs < 1) fail(s"st_buffer quad_segs must be >= 1, got $quadSegs")
+    val cx = g.rings(0)(0); val cy = g.rings(0)(1)
+    val n = 4 * quadSegs
+    val ring = new Array[Double](2 * (n + 1))
+    var i = 0
+    while (i < n) {
+      val a = 2 * math.Pi * i / n
+      ring(2 * i) = cx + r * math.cos(a)
+      ring(2 * i + 1) = cy + r * math.sin(a)
+      i += 1
+    }
+    ring(2 * n) = ring(0); ring(2 * n + 1) = ring(1)
+    writeGeom(Geom(3, Array(ring)))
+  }
+
+  def buffer(wkb: Array[Byte], r: Double): Array[Byte] = buffer(wkb, r, 8)
+
   // ---- spherical distance ------------------------------------------------------
 
   /** Haversine great-circle distance in meters between two POINTs whose

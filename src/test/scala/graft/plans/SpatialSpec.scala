@@ -225,4 +225,17 @@ class SpatialSpec extends AnyFunSuite {
     val sph = Wkb.distanceSphere(a, b)
     assert(math.abs(Wkb.distanceSpheroid(a, b) - sph) / sph < 0.005)
   }
+
+  test("point buffer: 32-gon approximation, loud out-of-scope (r12)") {
+    val buf = Wkb.buffer(Wkb.point(2, 3), 1.0)
+    assert(Wkb.npoints(buf) == 33 && Wkb.geometryType(buf).toString == "POLYGON")
+    assert(math.abs(Wkb.area(buf) - 16 * math.sin(math.Pi / 16)) < 1e-12)
+    assert(Wkb.contains(buf, Wkb.point(2, 3)))
+    assert(Wkb.xmin(buf) == 1.0 && Wkb.xmax(buf) == 3.0)
+    // quad_segs scales the fidelity: more segments -> area closer to pi r^2
+    val fine = Wkb.buffer(Wkb.point(0, 0), 1.0, 64)
+    assert(math.abs(Wkb.area(fine) - math.Pi) < 1e-3)
+    intercept[IllegalArgumentException](Wkb.buffer(wkt("LINESTRING (0 0, 1 1)"), 1.0))
+    intercept[IllegalArgumentException](Wkb.buffer(Wkb.point(0, 0), -1.0))
+  }
 }
