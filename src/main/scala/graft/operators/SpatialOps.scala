@@ -254,6 +254,10 @@ object SpatialOps {
       "5 AS hull_np, 'POLYGON' AS hull_type, " +
       "'LINESTRING (0 0, ' || (2*x+2) || ' 0)' AS lin_wkt, " +
       "ROUND(CAST(2*x+2 AS DOUBLE), 6) AS lin_len, " +
+      // Douglas-Peucker on the unit-deviation tent (0 0, x+1 1, 2x+2 0):
+      // tol 2 drops the apex (straight 2-point chord), tol 0.5 keeps it
+      "2 AS simp_coarse_np, 'LINESTRING (0 0, ' || (2*x+2) || ' 0)' AS simp_coarse_wkt, " +
+      "3 AS simp_fine_np, " +
       "ROUND(CASE WHEN sg = 0 THEN 0 ELSE " +
       "6378137.0*(sg - (1/298.257223563)/2*(" +
       "(sg - sin(sg))*pow(sin(b2/2)*cos(b2/2)/cos(sg/2), 2) + " +
@@ -265,6 +269,7 @@ object SpatialOps {
         "st_convexhull(st_geomfromtext(CONCAT('MULTIPOINT (0 0, ', x+1, ' 0, ', x+1, ' ', y+1, ', 0 ', y+1, ', ', " +
         "(x+1)/2.0D, ' ', (y+1)/2.0D, ', ', (x+1)/2.0D, ' 0)'))) AS hull, " +
         "st_convexhull(st_geomfromtext(CONCAT('MULTIPOINT (0 0, ', x+1, ' 0, ', 2*x+2, ' 0)'))) AS lin, " +
+        "st_geomfromtext(CONCAT('LINESTRING (0 0, ', x+1, ' 1, ', 2*x+2, ' 0)')) AS tent, " +
         "st_point(CAST(x AS DOUBLE), CAST(y AS DOUBLE)) AS pt FROM pts) " +
         "SELECT n_nationkey, " +
         "st_astext(hull) AS hull_wkt, " +
@@ -272,6 +277,9 @@ object SpatialOps {
         "ROUND(st_perimeter(hull), 6) AS hull_perim, " +
         "st_npoints(hull) AS hull_np, st_geometrytype(hull) AS hull_type, " +
         "st_astext(lin) AS lin_wkt, ROUND(st_length(lin), 6) AS lin_len, " +
+        "st_npoints(st_simplify(tent, 2.0D)) AS simp_coarse_np, " +
+        "st_astext(st_simplify(tent, 2.0D)) AS simp_coarse_wkt, " +
+        "st_npoints(st_simplify(tent, 0.5D)) AS simp_fine_np, " +
         "ROUND(st_distance_spheroid(st_point(0.0D, 0.0D), pt) / 1000, 4) AS dsph_km " +
         "FROM g ORDER BY n_nationkey")
     },

@@ -143,5 +143,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     st("st_distance_spheroid", "distanceSpheroid", D, Seq(B, B),
       "st_distance_spheroid(a, b) - WGS84 Lambert ellipsoidal meters, (lon, lat) degrees"),
     st("st_buffer", "buffer", B, Seq(B, D),
-      "st_buffer(point, r) - 32-gon circle approximation (GEOS quad_segs=8; point scope)"))
+      "st_buffer(point, r) - 32-gon circle approximation (GEOS quad_segs=8; point scope)"),
+    st("st_simplify", "simplify", B, Seq(B, D),
+      "st_simplify(line, tol) - Douglas-Peucker (linestring scope)"))
 }

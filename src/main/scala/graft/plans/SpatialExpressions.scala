@@ -920,6 +920,49 @@ object Wkb {
 
   def buffer(wkb: Array[Byte], r: Double): Array[Byte] = buffer(wkb, r, 8)
 
+  /** Douglas-Peucker simplification with perpendicular-distance tolerance
+    * `tol`. Declared scope: LINESTRING / MULTILINESTRING (points pass
+    * through; polygon rings need the split-at-farthest-vertex closed-ring
+    * variant — out of scope). Endpoints always survive.
+    */
+  def simplify(wkb: Array[Byte], tol: Double): Array[Byte] = {
+    if (tol < 0) fail(s"st_simplify tolerance must be >= 0, got $tol")
+    def simp(g: Geom): Geom = g.kind match {
+      case 1 => g
+      case 2 => Geom(2, Array(dp(g.rings(0), tol)))
+      case 5 | 7 => Geom(g.kind, g.rings, g.parts.map(simp))
+      case _ => fail("st_simplify supports LINESTRING geometries only (declared scope)")
+    }
+    writeGeom(simp(parse(wkb)))
+  }
+
+  private def dp(r: Array[Double], tol: Double): Array[Double] = {
+    val n = r.length / 2
+    if (n <= 2) return r.clone()
+    val keep = new Array[Boolean](n)
+    keep(0) = true; keep(n - 1) = true
+    def rec(i: Int, j: Int): Unit = {
+      if (j <= i + 1) return
+      var best = -1.0; var bi = -1
+      var k = i + 1
+      while (k < j) {
+        val d = pointSegDist(r(2 * k), r(2 * k + 1),
+          r(2 * i), r(2 * i + 1), r(2 * j), r(2 * j + 1))
+        if (d > best) { best = d; bi = k }
+        k += 1
+      }
+      if (best > tol) { keep(bi) = true; rec(i, bi); rec(bi, j) }
+    }
+    rec(0, n - 1)
+    val out = new Array[Double](2 * keep.count(identity))
+    var k = 0; var i = 0
+    while (i < n) {
+      if (keep(i)) { out(2 * k) = r(2 * i); out(2 * k + 1) = r(2 * i + 1); k += 1 }
+      i += 1
+    }
+    out
+  }
+
   // ---- spherical distance ------------------------------------------------------
 
   /** Haversine great-circle distance in meters between two POINTs whose

@@ -238,4 +238,20 @@ class SpatialSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Wkb.buffer(wkt("LINESTRING (0 0, 1 1)"), 1.0))
     intercept[IllegalArgumentException](Wkb.buffer(Wkb.point(0, 0), -1.0))
   }
+
+  test("simplify: Douglas-Peucker keeps structure above tolerance (r12)") {
+    val zig = wkt("LINESTRING (0 0, 1 0.1, 2 0, 3 5, 4 0, 5 0.1, 6 0)")
+    // tol 1: the 0.1 wiggles collapse; the spike survives AND re-anchors
+    // the recursion, so its shoulder points (1.7 from the sub-chords) stay
+    assert(text(Wkb.simplify(zig, 1.0)) == "LINESTRING (0 0, 2 0, 3 5, 4 0, 6 0)")
+    // tol 10: everything between the endpoints collapses
+    assert(text(Wkb.simplify(zig, 10.0)) == "LINESTRING (0 0, 6 0)")
+    // tol 0: every vertex survives (nothing is within 0 of a chord)
+    assert(Wkb.npoints(Wkb.simplify(zig, 0.0)) == 7)
+    // multilinestring recurses; points pass through; polygons are out of scope
+    assert(Wkb.npoints(Wkb.simplify(
+      wkt("MULTILINESTRING ((0 0, 1 0.1, 2 0), (0 0, 9 9))"), 1.0)) == 4)
+    assert(text(Wkb.simplify(Wkb.point(1, 2), 1.0)) == "POINT (1 2)")
+    intercept[IllegalArgumentException](Wkb.simplify(Wkb.makeEnvelope(0, 0, 1, 1), 0.5))
+  }
 }
