@@ -328,7 +328,11 @@ object MediaMeta {
   }
 
   /** Minimal ISO-BMFF: ftyp(isom) + moov{mvhd(ts=1000, dur=(id+1)*500) +
-    * 1+((id/2)%2) traks (vide, then soun)}.
+    * 1+((id/4)%2) traks (vide, then soun)}. The track count keys on
+    * id/4 = the per-format stream index k under the media_id%4 fixture
+    * dispatch (mp4 ids are all ≡1 mod 4, so an id/2-keyed layout would
+    * pin every fixture to 1 track and silently stop exercising the
+    * 2-track/audio branch of parseMp4 — r12 ADVICE).
     */
   def syntheticMp4(id: Long): Array[Byte] = {
     def box(typ: String, payload: Array[Byte]): Array[Byte] = {
@@ -347,7 +351,7 @@ object MediaMeta {
       h.put(handler.getBytes("US-ASCII"))
       box("trak", box("mdia", box("hdlr", h.array())))
     }
-    val nTracks = 1 + ((id / 2) % 2).toInt
+    val nTracks = 1 + ((id / 4) % 2).toInt
     val traks = trak("vide") ++ (if (nTracks == 2) trak("soun") else Array.empty[Byte])
     ftyp ++ box("moov", mvhd ++ traks)
   }

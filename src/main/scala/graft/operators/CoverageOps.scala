@@ -301,9 +301,9 @@ object CoverageOps {
       "CASE WHEN f = 0 THEN CAST(2 AS INTEGER) WHEN f IN (2, 3) THEN CAST(1 + k % 2 AS INTEGER) END AS channels, " +
       "CASE WHEN f = 3 THEN CAST(16 AS INTEGER) END AS bits_per_sample, " +
       "CASE WHEN f = 0 THEN CAST(5 + k % 7 AS INTEGER) WHEN f = 2 THEN CAST(4 + k % 6 AS INTEGER) END AS frames, " +
-      "CASE WHEN f = 1 THEN CAST(1 + (media_id//2) % 2 AS INTEGER) END AS tracks, " +
+      "CASE WHEN f = 1 THEN CAST(1 + k % 2 AS INTEGER) END AS tracks, " +
       "CASE WHEN f = 1 THEN TRUE END AS has_video, " +
-      "CASE WHEN f = 1 THEN ((media_id//2) % 2 = 1) END AS has_audio, " +
+      "CASE WHEN f = 1 THEN (k % 2 = 1) END AS has_audio, " +
       "CASE WHEN f = 0 THEN CAST((5 + k % 7) * 36 AS BIGINT) " +
       "WHEN f = 1 THEN CAST((media_id+1) * 500 AS BIGINT) " +
       "WHEN f = 2 THEN CAST((4 + k % 6) * 32 AS BIGINT) " +

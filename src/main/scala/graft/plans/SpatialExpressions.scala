@@ -798,7 +798,12 @@ object Wkb {
   def collectionExtract(wkb: Array[Byte], kind: Int): Array[Byte] = {
     if (kind < 1 || kind > 3) fail(s"st_collectionextract kind $kind must be 1, 2, or 3")
     val matched = simples(parse(wkb)).filter(_.kind == kind)
-    writeGeom(Geom(kind + 3, Array.empty, matched.toArray))
+    // No member of the requested kind -> NULL, consistent with the engine's
+    // declared no-EMPTY-geometry scope (st_intersection does the same on
+    // disjoint input). A zero-member multi would print as 'MULTIPOINT ()',
+    // which fromText itself rejects and the accessors throw on.
+    if (matched.isEmpty) null
+    else writeGeom(Geom(kind + 3, Array.empty, matched.toArray))
   }
 
   // ---- overlay (axis-aligned scope) ---------------------------------------------
@@ -854,10 +859,21 @@ object Wkb {
     val (bx1, by1, bx2, by2) = rect(b, "st_union")
     val aCoversB = ax1 <= bx1 && ay1 <= by1 && ax2 >= bx2 && ay2 >= by2
     val bCoversA = bx1 <= ax1 && by1 <= ay1 && bx2 >= ax2 && by2 >= ay2
-    val disjointRects = ax2 < bx1 || bx2 < ax1 || ay2 < by1 || by2 < ay1
+    // Interiors disjoint (non-strict: edge/corner contact included) — the
+    // union is exactly representable. Two rects that TILE one (shared full
+    // edge, aligned extents) collapse to the covering rectangle; any other
+    // contact keeps both members (a corner touch is OGC-valid MULTIPOLYGON;
+    // a partial shared edge technically is not, but the area/extent algebra
+    // over it is exact, which is what this scope serves).
+    val interiorsDisjoint = ax2 <= bx1 || bx2 <= ax1 || ay2 <= by1 || by2 <= ay1
+    val tiles =
+      ((ax2 == bx1 || bx2 == ax1) && ay1 == by1 && ay2 == by2) ||
+        ((ay2 == by1 || by2 == ay1) && ax1 == bx1 && ax2 == bx2)
     if (aCoversB) makeEnvelope(ax1, ay1, ax2, ay2)
     else if (bCoversA) makeEnvelope(bx1, by1, bx2, by2)
-    else if (disjointRects) writeGeom(Geom(6, Array.empty, Array(a, b)))
+    else if (tiles) makeEnvelope(math.min(ax1, bx1), math.min(ay1, by1),
+      math.max(ax2, bx2), math.max(ay2, by2))
+    else if (interiorsDisjoint) writeGeom(Geom(6, Array.empty, Array(a, b)))
     else fail("st_union: partially overlapping rectangles produce a " +
       "non-rectangular outline (declared scope); compute the union AREA as " +
       "st_area(a) + st_area(b) - st_area(st_intersection(a, b))")

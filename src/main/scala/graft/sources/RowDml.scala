@@ -477,9 +477,31 @@ object RowDml {
       val mIdx = actionIdx(m.matchedActions, matched, "WHEN MATCHED")
       val deleteIdx = deletesOf(m.matchedActions)
       val updates = updatesOf(m.matchedActions)
-      // WHEN NOT MATCHED BY SOURCE (r12): target rows with no source match;
-      // conditions/assignments may reference the target only (a source
-      // reference fails resolution with the analyzer's missing-column error)
+      // WHEN NOT MATCHED BY SOURCE: no source row exists for these target
+      // rows, so the standard (and DuckDB) reject a source reference at bind
+      // time. The check must be EXPLICIT: the action expressions evaluate
+      // over the full_outer frame, which still carries the source alias
+      // columns as NULLs on NMBS rows — without this walk `SET v = s.v`
+      // silently writes NULL and `AND s.k > 0` silently never fires.
+      def rejectSourceRefs(where: String)(e: Expression): Unit = e.foreach {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          val qualifiedBySource =
+            a.nameParts.length > 1 && a.nameParts.head.equalsIgnoreCase(sAlias)
+          val unknownInTarget = a.nameParts.length == 1 &&
+            !schema.fieldNames.exists(_.equalsIgnoreCase(a.nameParts.head))
+          if (qualifiedBySource || unknownInTarget)
+            throw new IllegalArgumentException(
+              s"MERGE: WHEN NOT MATCHED BY SOURCE $where references `${a.name}`, " +
+                "which is not a target column — no source row exists for these rows")
+        case _ => ()
+      }
+      m.notMatchedBySourceActions.foreach {
+        case UpdateAction(cond, assigns, _) =>
+          cond.foreach(rejectSourceRefs("condition"))
+          assigns.foreach(a => rejectSourceRefs("assignment")(a.value))
+        case DeleteAction(cond) => cond.foreach(rejectSourceRefs("condition"))
+        case _ => ()
+      }
       val sIdx = actionIdx(m.notMatchedBySourceActions, notMatchedBySource,
         "WHEN NOT MATCHED BY SOURCE")
       val sDeleteIdx = deletesOf(m.notMatchedBySourceActions)

@@ -38,7 +38,10 @@ class MediaMetaSpec extends AnyFunSuite {
     val m = MediaMeta.parseMp4(MediaMeta.syntheticMp4(1)).get
     assert(m.brand == "isom" && m.timescale == 1000)
     assert(m.durationMs == 1000 && m.tracks == 1 && m.hasVideo && !m.hasAudio)
-    val two = MediaMeta.parseMp4(MediaMeta.syntheticMp4(3)).get
+    // id=5 -> k = id/4 = 1 -> the 2-track (vide+soun) layout; under the
+    // media_id%4 fixture dispatch mp4 ids are 1,5,9,... so k alternates
+    // 0,1,0,... and both layouts stay covered (r12 ADVICE).
+    val two = MediaMeta.parseMp4(MediaMeta.syntheticMp4(5)).get
     assert(two.tracks == 2 && two.hasVideo && two.hasAudio)
     // rebuild the moov as a largesize (size=1 + 64-bit) box
     val orig = MediaMeta.syntheticMp4(1)

@@ -104,6 +104,9 @@ class SpatialSpec extends AnyFunSuite {
     assert(Wkb.x(Wkb.centroid(gc)) == 1.0 && Wkb.y(Wkb.centroid(gc)) == 1.0)
     assert(text(Wkb.collectionExtract(gc, 1)) == "MULTIPOINT ((9 9))")
     assert(text(Wkb.collectionExtract(gc, 3)) == "MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)))")
+    // no member of the requested kind -> NULL, never an empty multi whose
+    // WKT the engine's own fromText would reject (r12 ADVICE)
+    assert(Wkb.collectionExtract(gc, 2) == null)
     assert(text(wkt(text(gc))) == text(gc))
   }
 
@@ -145,6 +148,18 @@ class SpatialSpec extends AnyFunSuite {
       "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
     // edge contact: degenerate zero-area strip, not NULL
     assert(Wkb.area(Wkb.intersection(a, Wkb.makeEnvelope(4, 0, 8, 4))) == 0.0)
+    // tiling contact: shared full edge + aligned extents -> the exact
+    // covering rectangle, both axes (r12 ADVICE: this used to fail loud)
+    assert(text(Wkb.union(a, Wkb.makeEnvelope(4, 0, 8, 4))) ==
+      "POLYGON ((0 0, 8 0, 8 4, 0 4, 0 0))")
+    assert(text(Wkb.union(Wkb.makeEnvelope(0, 4, 4, 9), a)) ==
+      "POLYGON ((0 0, 4 0, 4 9, 0 9, 0 0))")
+    // corner / partial-edge contact: interiors disjoint but no tiling ->
+    // the two-member MULTIPOLYGON, area exact
+    val corner = Wkb.union(a, Wkb.makeEnvelope(4, 4, 6, 6))
+    assert(Wkb.geometryType(corner).toString == "MULTIPOLYGON" && Wkb.area(corner) == 20.0)
+    val partialEdge = Wkb.union(a, Wkb.makeEnvelope(4, 1, 6, 3))
+    assert(Wkb.geometryType(partialEdge).toString == "MULTIPOLYGON" && Wkb.area(partialEdge) == 20.0)
     // partial overlap union and non-rectangle inputs fail loudly
     intercept[IllegalArgumentException](Wkb.union(a, b))
     intercept[IllegalArgumentException](

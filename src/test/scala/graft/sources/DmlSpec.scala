@@ -163,6 +163,37 @@ class DmlSpec extends AnyFunSuite {
     assert(spark.table("dml_m2").orderBy("id").collect().head.getInt(1) == 2)
   }
 
+  test("MERGE NMBS: a source-column reference fails at bind time, not silently as NULL (r12 advice)") {
+    import spark.implicits._
+    freshTable("dml_m2b")
+    Seq((1, 1), (2, 2)).toDF("id", "v").write.saveAsTable("dml_m2b")
+    Seq((1, 10)).toDF("id", "v").createOrReplaceTempView("dml_m2b_src")
+    // The joined frame carries the source alias columns (NULL on NMBS rows),
+    // so without the explicit walk `SET v = s.v` would silently write NULL
+    // and `AND s.v > 0` would silently never fire — DuckDB and the standard
+    // reject both at bind time.
+    val e1 = intercept[IllegalArgumentException](RowDml.execute(spark,
+      "MERGE INTO dml_m2b t USING dml_m2b_src s ON t.id = s.id " +
+      "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = s.v"))
+    assert(e1.getMessage.contains("NOT MATCHED BY SOURCE"))
+    val e2 = intercept[IllegalArgumentException](RowDml.execute(spark,
+      "MERGE INTO dml_m2b t USING dml_m2b_src s ON t.id = s.id " +
+      "WHEN NOT MATCHED BY SOURCE AND s.v > 0 THEN DELETE"))
+    assert(e2.getMessage.contains("`s.v`"))
+    // an unqualified column that exists only in the source is the same bug
+    spark.sql("SELECT 1 AS id, 7 AS src_only").createOrReplaceTempView("dml_m2b_src2")
+    intercept[IllegalArgumentException](RowDml.execute(spark,
+      "MERGE INTO dml_m2b t USING dml_m2b_src2 s ON t.id = s.id " +
+      "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = src_only"))
+    // target-only references still work, table untouched by the failures
+    assert(spark.table("dml_m2b").count() == 2)
+    RowDml.execute(spark,
+      "MERGE INTO dml_m2b t USING dml_m2b_src s ON t.id = s.id " +
+      "WHEN NOT MATCHED BY SOURCE AND t.v > 0 THEN UPDATE SET v = t.v + 1")
+    assert(spark.table("dml_m2b").orderBy("id")
+      .collect().map(_.getInt(1)).toSeq == Seq(1, 3))
+  }
+
   test("MERGE cardinality: multi-source match on one target row errors; no-action dup matches collapse") {
     import spark.implicits._
     freshTable("dml_m3")
