@@ -314,5 +314,86 @@ object SpatialOps {
         "st_contains(buf, st_point(CAST(x AS DOUBLE), CAST(y AS DOUBLE))) AS center_in, " +
         "ROUND(st_distance(buf, st_point(CAST(x AS DOUBLE) + 2*(x+1), CAST(y AS DOUBLE))), 6) AS edge_dist " +
         "FROM g ORDER BY n_nationkey")
+    },
+
+    // General clipping (r13): unit squares against the convex triangle
+    // x>=0, y>=0, x+y<=6 via Sutherland-Hodgman, plus st_difference's
+    // half-plane decomposition and a concave-subject case (L-shape clipped
+    // by a box). With s = x+y the square is fully inside for s<=4,
+    // straddles the hypotenuse exactly at the corner for s=5 (half-square
+    // triangles, ring order deterministic from the clip-edge walk), and is
+    // disjoint for s>=6 — the oracle spells every output WKT and area in
+    // closed form, including the additivity identity inter+diff == 1.
+    Op("spatial_clip",
+      duckPtsInt +
+      ", c AS (SELECT n_nationkey, x, y, x + y AS s FROM pts) " +
+      "SELECT n_nationkey, " +
+      "CASE WHEN s <= 4 THEN 'POLYGON ((' || x || ' ' || y || ', ' || (x+1) || ' ' || y || ', ' || (x+1) || ' ' || (y+1) || ', ' || x || ' ' || (y+1) || ', ' || x || ' ' || y || '))' " +
+      "WHEN s = 5 THEN 'POLYGON ((' || x || ' ' || y || ', ' || (x+1) || ' ' || y || ', ' || x || ' ' || (y+1) || ', ' || x || ' ' || y || '))' END AS inter_wkt, " +
+      "ROUND(CAST(CASE WHEN s <= 4 THEN 1 WHEN s = 5 THEN 0.5 ELSE 0 END AS DOUBLE), 6) AS inter_area, " +
+      "(s >= 6) AS inter_null, " +
+      "CASE WHEN s = 5 THEN 'POLYGON ((' || (x+1) || ' ' || y || ', ' || (x+1) || ' ' || (y+1) || ', ' || x || ' ' || (y+1) || ', ' || (x+1) || ' ' || y || '))' " +
+      "WHEN s >= 6 THEN 'POLYGON ((' || x || ' ' || y || ', ' || (x+1) || ' ' || y || ', ' || (x+1) || ' ' || (y+1) || ', ' || x || ' ' || (y+1) || ', ' || x || ' ' || y || '))' END AS diff_wkt, " +
+      "ROUND(CAST(CASE WHEN s <= 4 THEN 0 WHEN s = 5 THEN 0.5 ELSE 1 END AS DOUBLE), 6) AS diff_area, " +
+      "(s <= 4) AS diff_null, " +
+      "ROUND(CAST(1 AS DOUBLE), 6) AS additivity, " +
+      "'POLYGON ((3 2, 2 2, 2 3, 1 3, 1 1, 3 1, 3 2))' AS l_wkt, " +
+      "ROUND(CAST(3 AS DOUBLE), 6) AS l_area, " +
+      "'MULTIPOLYGON' AS ld_type, ROUND(CAST(9 AS DOUBLE), 6) AS ld_area, 4 AS ld_n " +
+      "FROM c ORDER BY n_nationkey") { (s, d) =>
+      Tables.ensure(s, d)
+      s.sql(sparkPtsInt +
+        ", g AS (SELECT n_nationkey, x, y, " +
+        "st_makeenvelope(CAST(x AS DOUBLE), CAST(y AS DOUBLE), " +
+        "CAST(x+1 AS DOUBLE), CAST(y+1 AS DOUBLE)) AS sq, " +
+        "st_geomfromtext('POLYGON ((0 0, 6 0, 0 6, 0 0))') AS tri, " +
+        "st_geomfromtext('POLYGON ((0 0, 4 0, 4 2, 2 2, 2 4, 0 4, 0 0))') AS ell, " +
+        "st_makeenvelope(1.0D, 1.0D, 3.0D, 3.0D) AS box FROM pts) " +
+        "SELECT n_nationkey, " +
+        "st_astext(st_intersection(sq, tri)) AS inter_wkt, " +
+        "ROUND(COALESCE(st_area(st_intersection(sq, tri)), 0.0D), 6) AS inter_area, " +
+        "(st_intersection(sq, tri) IS NULL) AS inter_null, " +
+        "st_astext(st_difference(sq, tri)) AS diff_wkt, " +
+        "ROUND(COALESCE(st_area(st_difference(sq, tri)), 0.0D), 6) AS diff_area, " +
+        "(st_difference(sq, tri) IS NULL) AS diff_null, " +
+        "ROUND(COALESCE(st_area(st_intersection(sq, tri)), 0.0D) + " +
+        "COALESCE(st_area(st_difference(sq, tri)), 0.0D), 6) AS additivity, " +
+        "st_astext(st_intersection(ell, box)) AS l_wkt, " +
+        "ROUND(st_area(st_intersection(ell, box)), 6) AS l_area, " +
+        "st_geometrytype(st_difference(ell, box)) AS ld_type, " +
+        "ROUND(st_area(st_difference(ell, box)), 6) AS ld_area, " +
+        "st_numgeometries(st_difference(ell, box)) AS ld_n " +
+        "FROM g ORDER BY n_nationkey")
+    },
+
+    // Spatial aggregates (r13): st_extent_agg folds each group to 4 doubles
+    // (codegen Least/Greatest, map-side partial — the shuffle carries one
+    // 32-byte buffer per group per partition), st_collect_agg assembles the
+    // members in canonical (lexicographic-WKT) order so the result is
+    // deterministic under unordered aggregation. Oracle recomputes both
+    // from MIN/MAX and an ORDER BY'd string_agg.
+    Op("spatial_agg",
+      duckPtsInt +
+      ", c AS (SELECT n_nationkey % 3 AS g, x, y FROM pts) " +
+      "SELECT g, " +
+      "'POLYGON ((' || min(x) || ' ' || min(y) || ', ' || max(x) || ' ' || min(y) || ', ' || " +
+      "max(x) || ' ' || max(y) || ', ' || min(x) || ' ' || max(y) || ', ' || min(x) || ' ' || min(y) || '))' AS ext_wkt, " +
+      "ROUND(CAST((max(x) - min(x)) * (max(y) - min(y)) AS DOUBLE), 6) AS ext_area, " +
+      "CAST(min(x) AS DOUBLE) AS ext_xmin, CAST(max(y) AS DOUBLE) AS ext_ymax, " +
+      "'MULTIPOINT (' || string_agg('(' || x || ' ' || y || ')', ', ' ORDER BY x, y) || ')' AS col_wkt, " +
+      "'MULTIPOINT' AS col_type, CAST(COUNT(*) AS INTEGER) AS col_n " +
+      "FROM c GROUP BY g ORDER BY g") { (s, d) =>
+      Tables.ensure(s, d)
+      s.sql(sparkPtsInt +
+        ", c AS (SELECT n_nationkey % 3 AS g, " +
+        "st_point(CAST(x AS DOUBLE), CAST(y AS DOUBLE)) AS pt FROM pts) " +
+        "SELECT g, " +
+        "st_astext(st_extent_agg(pt)) AS ext_wkt, " +
+        "ROUND(st_area(st_extent_agg(pt)), 6) AS ext_area, " +
+        "st_xmin(st_extent_agg(pt)) AS ext_xmin, st_ymax(st_extent_agg(pt)) AS ext_ymax, " +
+        "st_astext(st_collect_agg(pt)) AS col_wkt, " +
+        "st_geometrytype(st_collect_agg(pt)) AS col_type, " +
+        "st_numgeometries(st_collect_agg(pt)) AS col_n " +
+        "FROM c GROUP BY g ORDER BY g")
     })
 }

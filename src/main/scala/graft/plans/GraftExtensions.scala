@@ -50,6 +50,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // see plans.Wkb for the declared scope). Each function is a codegen'd
     // static call (StaticInvoke) into the Wkb kernel.
     spatialFunctions.foreach(ext.injectFunction)
+    // Spatial AGGREGATES (r13): the analyzer wraps a bare AggregateFunction
+    // from a function builder in AggregateExpression, same as built-ins.
+    ext.injectFunction((
+      FunctionIdentifier("st_extent_agg"),
+      new ExpressionInfo(classOf[StExtentAgg].getName, null, "st_extent_agg",
+        "st_extent_agg(geom) - envelope of a group (constant-space min/max fold)", ""),
+      (children: Seq[Expression]) => StExtentAgg(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("st_collect_agg"),
+      new ExpressionInfo(classOf[StCollectAgg].getName, null, "st_collect_agg",
+        "st_collect_agg(geom) - group members as MULTI*/GEOMETRYCOLLECTION, canonical order", ""),
+      (children: Seq[Expression]) => StCollectAgg(children.head)))
   }
 
   import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
@@ -135,9 +147,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     st("st_collectionextract", "collectionExtract", B, Seq(B, IntegerType),
       "st_collectionextract(geom, kind) - members of kind 1/2/3 as a multi-geometry"),
     st("st_intersection", "intersection", B, Seq(B, B),
-      "st_intersection(a, b) - rectangle clip (axis-aligned scope; NULL when disjoint)"),
+      "st_intersection(a, b) - polygon clip (exact interval path for rectangles, " +
+        "Sutherland-Hodgman for general pairs with a convex side; NULL when disjoint)"),
     st("st_union", "union", B, Seq(B, B),
       "st_union(a, b) - covering rectangle / disjoint multipolygon (axis-aligned scope)"),
+    st("st_difference", "difference", B, Seq(B, B),
+      "st_difference(a, b) - a minus a CONVEX b (half-plane decomposition; " +
+        "NULL when fully covered)"),
     st("st_convexhull", "convexHull", B, Seq(B),
       "st_convexhull(geom) - monotone-chain convex hull (polygon/line/point by rank)"),
     st("st_distance_spheroid", "distanceSpheroid", D, Seq(B, B),

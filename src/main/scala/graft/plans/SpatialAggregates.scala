@@ -1,0 +1,134 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{DeclarativeAggregate, TypedImperativeAggregate}
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.types._
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Spatial aggregate functions (r13) over the [[Wkb]] kernel — the
+  * group-wise half of the DuckDB-spatial surface the reference preloads
+  * (ST_Extent_Agg / ST_Collect-style aggregation in
+  * `/root/reference/src/common/gizmosql_library.cpp:820-827`).
+  *
+  * st_extent_agg is a [[DeclarativeAggregate]]: the buffer is four doubles
+  * (xmin/ymin/xmax/ymax) folded with Least/Greatest over codegen
+  * StaticInvoke calls into the Wkb accessors, so the whole aggregation
+  * stays inside WholeStageCodegen with map-side partial merge — at scale
+  * each task reduces its partition to 4 doubles and the shuffle carries
+  * one 32-byte buffer per (group, partition). The envelope polygon is
+  * materialized once per group at evaluate.
+  */
+case class StExtentAgg(child: Expression)
+  extends DeclarativeAggregate with UnaryLike[Expression] {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_extent_agg"
+
+  private lazy val bXmin = AttributeReference("xmin", DoubleType)()
+  private lazy val bYmin = AttributeReference("ymin", DoubleType)()
+  private lazy val bXmax = AttributeReference("xmax", DoubleType)()
+  private lazy val bYmax = AttributeReference("ymax", DoubleType)()
+
+  override lazy val aggBufferAttributes: Seq[AttributeReference] =
+    Seq(bXmin, bYmin, bXmax, bYmax)
+
+  override lazy val initialValues: Seq[Expression] = Seq(
+    Literal(Double.PositiveInfinity), Literal(Double.PositiveInfinity),
+    Literal(Double.NegativeInfinity), Literal(Double.NegativeInfinity))
+
+  private def acc(method: String): Expression =
+    StaticInvoke(Wkb.getClass, DoubleType, method, Seq(child),
+      inputTypes = Seq(BinaryType), returnNullable = false)
+
+  // Least/Greatest skip nulls, so a null geometry row (acc propagates the
+  // null) leaves the buffer untouched — no branch needed.
+  override lazy val updateExpressions: Seq[Expression] = Seq(
+    Least(Seq(bXmin, acc("xmin"))), Least(Seq(bYmin, acc("ymin"))),
+    Greatest(Seq(bXmax, acc("xmax"))), Greatest(Seq(bYmax, acc("ymax"))))
+
+  override lazy val mergeExpressions: Seq[Expression] = Seq(
+    Least(Seq(bXmin.left, bXmin.right)), Least(Seq(bYmin.left, bYmin.right)),
+    Greatest(Seq(bXmax.left, bXmax.right)), Greatest(Seq(bYmax.left, bYmax.right)))
+
+  // An untouched buffer (no non-null input) still holds +inf -> NULL, the
+  // same contract as min/max. A single point yields the degenerate
+  // zero-extent envelope, like DuckDB's ST_Extent_Agg.
+  override lazy val evaluateExpression: Expression = If(
+    EqualTo(bXmin, Literal(Double.PositiveInfinity)),
+    Literal(null, BinaryType),
+    StaticInvoke(Wkb.getClass, BinaryType, "makeEnvelope",
+      Seq(bXmin, bYmin, bXmax, bYmax), inputTypes = Seq.fill(4)(DoubleType),
+      returnNullable = false))
+
+  override protected def withNewChildInternal(newChild: Expression): StExtentAgg =
+    copy(child = newChild)
+}
+
+/** st_collect_agg(geom): the group's geometries as one MULTI geometry
+  * (homogeneous simple members) or GEOMETRYCOLLECTION (mixed), NULL for an
+  * all-null group. Members are ordered canonically (lexicographic WKT), so
+  * the result is deterministic under Spark's unordered aggregation — the
+  * property the oracle comparison and any downstream hashing rely on.
+  *
+  * Scale posture: like collect_list, the buffer is the group's rows — this
+  * is per-entity geometry assembly (trip points -> path, parcel parts ->
+  * multipolygon), bounded by the entity's size, NOT a whole-table fold;
+  * st_extent_agg is the constant-space alternative when only the bound is
+  * needed.
+  */
+case class StCollectAgg(child: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[ArrayBuffer[Array[Byte]]] with UnaryLike[Expression] {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_collect_agg"
+
+  override def createAggregationBuffer(): ArrayBuffer[Array[Byte]] = ArrayBuffer.empty
+
+  override def update(buf: ArrayBuffer[Array[Byte]], input: InternalRow): ArrayBuffer[Array[Byte]] = {
+    val v = child.eval(input)
+    if (v != null) buf += v.asInstanceOf[Array[Byte]]
+    buf
+  }
+
+  override def merge(b1: ArrayBuffer[Array[Byte]], b2: ArrayBuffer[Array[Byte]]): ArrayBuffer[Array[Byte]] = {
+    b1 ++= b2; b1
+  }
+
+  override def eval(buf: ArrayBuffer[Array[Byte]]): Any =
+    if (buf.isEmpty) null else Wkb.collect(buf.toArray)
+
+  override def serialize(buf: ArrayBuffer[Array[Byte]]): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(4 + buf.iterator.map(4 + _.length).sum)
+    out.putInt(buf.length)
+    buf.foreach { b => out.putInt(b.length); out.put(b) }
+    out.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): ArrayBuffer[Array[Byte]] = {
+    val in = java.nio.ByteBuffer.wrap(bytes)
+    val n = in.getInt
+    val buf = new ArrayBuffer[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      val b = new Array[Byte](in.getInt)
+      in.get(b)
+      buf += b
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): StCollectAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): StCollectAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): StCollectAgg =
+    copy(child = newChild)
+}

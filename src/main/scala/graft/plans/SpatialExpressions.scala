@@ -806,6 +806,19 @@ object Wkb {
     else writeGeom(Geom(kind + 3, Array.empty, matched.toArray))
   }
 
+  /** Combine members into one geometry (backing st_collect_agg):
+    * homogeneous simple members -> the matching MULTI, anything else ->
+    * GEOMETRYCOLLECTION. Members are sorted by their WKT (lexicographic) so
+    * the result is canonical regardless of aggregation order.
+    */
+  def collect(members: Array[Array[Byte]]): Array[Byte] = {
+    val parsed = members.map(parse).sortBy(wktOf)
+    val kinds = parsed.map(_.kind).distinct
+    if (kinds.length == 1 && kinds(0) <= 3)
+      writeGeom(Geom(kinds(0) + 3, Array.empty, parsed))
+    else writeGeom(Geom(7, Array.empty, parsed))
+  }
+
   // ---- overlay (axis-aligned scope) ---------------------------------------------
 
   /** True when g is a hole-free polygon whose single ring traces an
@@ -832,18 +845,192 @@ object Wkb {
       s"$fn supports axis-aligned rectangles only (declared scope: general " +
         "polygon clipping is out of scope; use st_envelope to coarsen first)"))
 
-  /** Rectangle intersection of two axis-aligned rectangle polygons; NULL
-    * when they are disjoint (the engine has no EMPTY geometry — declared;
-    * PostGIS returns POLYGON EMPTY). Edge/corner contact yields the
-    * degenerate shared rectangle (zero area), matching boundary-inclusive
-    * st_intersects.
+  /** Polygon intersection. Axis-aligned rectangle pairs take the exact
+    * interval-arithmetic path (edge/corner contact yields the degenerate
+    * shared rectangle, matching boundary-inclusive st_intersects); any
+    * other polygon pair is clipped with Sutherland–Hodgman (r13), which is
+    * exact when the CLIP side is convex — the subject may be concave (a
+    * disconnected result comes back as one polygon with zero-width
+    * connector edges, whose area/centroid algebra is still exact because
+    * the connectors cancel; documented). NULL when disjoint or touching
+    * boundary-only (the engine has no EMPTY geometry — declared; PostGIS
+    * returns POLYGON EMPTY / a lower-dimensional geometry).
     */
   def intersection(wa: Array[Byte], wb: Array[Byte]): Array[Byte] = {
-    val (ax1, ay1, ax2, ay2) = rect(parse(wa), "st_intersection")
-    val (bx1, by1, bx2, by2) = rect(parse(wb), "st_intersection")
-    val x1 = math.max(ax1, bx1); val y1 = math.max(ay1, by1)
-    val x2 = math.min(ax2, bx2); val y2 = math.min(ay2, by2)
-    if (x1 > x2 || y1 > y2) null else makeEnvelope(x1, y1, x2, y2)
+    val a = parse(wa); val b = parse(wb)
+    (asAxisRect(a), asAxisRect(b)) match {
+      case (Some((ax1, ay1, ax2, ay2)), Some((bx1, by1, bx2, by2))) =>
+        val x1 = math.max(ax1, bx1); val y1 = math.max(ay1, by1)
+        val x2 = math.min(ax2, bx2); val y2 = math.min(ay2, by2)
+        if (x1 > x2 || y1 > y2) null else makeEnvelope(x1, y1, x2, y2)
+      case _ =>
+        val (subj, clip) = clipPair(a, b, "st_intersection")
+        ringPolygon(clipConvex(subj, clip))
+    }
+  }
+
+  // ---- general convex clipping (Sutherland–Hodgman, r13) -------------------------
+
+  /** Shell of a hole-free polygon as an OPEN CCW ring (closing duplicate
+    * dropped, orientation normalized) — the form the clipping kernel works
+    * in.
+    */
+  private def openShellCcw(g: Geom, fn: String): Array[Double] = {
+    if (g.kind != 3) fail(s"$fn expects POLYGON arguments")
+    if (g.rings.length != 1)
+      fail(s"$fn supports hole-free polygons (declared scope)")
+    val r = g.rings(0)
+    val n = r.length / 2
+    val closed = n >= 2 && r(0) == r(2 * (n - 1)) && r(1) == r(2 * (n - 1) + 1)
+    val m = if (closed) n - 1 else n
+    if (m < 3) fail(s"$fn: degenerate polygon (${m} distinct vertices)")
+    val open = java.util.Arrays.copyOf(r, 2 * m)
+    if (shoelace(open) >= 0) open
+    else {
+      val rev = new Array[Double](2 * m)
+      var i = 0
+      while (i < m) {
+        rev(2 * i) = open(2 * (m - 1 - i)); rev(2 * i + 1) = open(2 * (m - 1 - i) + 1)
+        i += 1
+      }
+      rev
+    }
+  }
+
+  /** Convexity of an open CCW ring: every turn is left-or-straight. */
+  private def isConvexRing(r: Array[Double]): Boolean = {
+    val n = r.length / 2
+    var i = 0
+    while (i < n) {
+      val j = (i + 1) % n; val k = (i + 2) % n
+      val cross = (r(2 * j) - r(2 * i)) * (r(2 * k + 1) - r(2 * j + 1)) -
+        (r(2 * j + 1) - r(2 * i + 1)) * (r(2 * k) - r(2 * j))
+      if (cross < 0) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Resolve (subject, convex clip) for the general overlay path: the convex
+    * argument becomes the clip; with two convex inputs either works. Loud
+    * when neither is convex — clipping a concave region is out of scope.
+    */
+  private def clipPair(a: Geom, b: Geom, fn: String): (Array[Double], Array[Double]) = {
+    val ra = openShellCcw(a, fn); val rb = openShellCcw(b, fn)
+    if (isConvexRing(rb)) (ra, rb)
+    else if (isConvexRing(ra)) (rb, ra)
+    else fail(s"$fn: at least one argument must be a CONVEX polygon " +
+      "(declared scope: general concave-concave overlay needs full " +
+      "polygon-clipping machinery; st_envelope or st_convexhull can coarsen)")
+  }
+
+  /** One Sutherland–Hodgman step: keep the part of `subj` on the left of
+    * (closed, boundary-inclusive) the directed line a->b.
+    */
+  private def clipHalfPlane(subj: Array[Double], ax: Double, ay: Double,
+      bx: Double, by: Double): Array[Double] = {
+    val n = subj.length / 2
+    if (n == 0) return subj
+    val out = new scala.collection.mutable.ArrayBuffer[Double](2 * n + 4)
+    def side(x: Double, y: Double): Double = (bx - ax) * (y - ay) - (by - ay) * (x - ax)
+    var i = 0
+    while (i < n) {
+      val j = (i + 1) % n
+      val cx = subj(2 * i); val cy = subj(2 * i + 1)
+      val dx = subj(2 * j); val dy = subj(2 * j + 1)
+      val sc = side(cx, cy); val sd = side(dx, dy)
+      if (sc >= 0) { out += cx; out += cy }
+      if ((sc > 0 && sd < 0) || (sc < 0 && sd > 0)) {
+        val t = sc / (sc - sd)
+        out += cx + t * (dx - cx); out += cy + t * (dy - cy)
+      }
+      i += 1
+    }
+    dedupRing(out.toArray)
+  }
+
+  /** Drop consecutive duplicate vertices (clip lines through a vertex emit
+    * it twice); keeps the ring open.
+    */
+  private def dedupRing(r: Array[Double]): Array[Double] = {
+    val n = r.length / 2
+    if (n == 0) return r
+    val out = new scala.collection.mutable.ArrayBuffer[Double](r.length)
+    var i = 0
+    while (i < n) {
+      val j = (i + 1) % n
+      if (r(2 * i) != r(2 * j) || r(2 * i + 1) != r(2 * j + 1)) {
+        out += r(2 * i); out += r(2 * i + 1)
+      }
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** Clip `subj` against every edge of the convex CCW `clip` ring. */
+  private def clipConvex(subj: Array[Double], clip: Array[Double]): Array[Double] = {
+    val n = clip.length / 2
+    var cur = subj
+    var i = 0
+    while (i < n && cur.length >= 6) {
+      val j = (i + 1) % n
+      cur = clipHalfPlane(cur, clip(2 * i), clip(2 * i + 1), clip(2 * j), clip(2 * j + 1))
+      i += 1
+    }
+    cur
+  }
+
+  /** Open ring -> closed-shell POLYGON wkb; NULL for empty / zero-area
+    * output (boundary-only contact — no EMPTY geometry, declared).
+    */
+  private def ringPolygon(r: Array[Double]): Array[Byte] = {
+    val n = r.length / 2
+    if (n < 3 || math.abs(shoelace(r)) == 0.0) return null
+    val closed = java.util.Arrays.copyOf(r, 2 * n + 2)
+    closed(2 * n) = r(0); closed(2 * n + 1) = r(1)
+    writeGeom(Geom(3, Array(closed)))
+  }
+
+  /** Polygon difference subject − clip, clip CONVEX (r13): the complement
+    * of a convex region decomposes into the half-planes outside each edge,
+    * so the difference is the disjoint pieces
+    *   piece_i = subject ∩ outside(edge_i) ∩ inside(edge_0..i-1),
+    * each computed by the same Sutherland–Hodgman kernel — exact, no
+    * general clipping needed. Returns the subject when disjoint, one
+    * POLYGON or a MULTIPOLYGON of the pieces otherwise (pieces can share
+    * edges — interiors are disjoint, which is what the area/extent algebra
+    * needs), and NULL when the subject is fully covered (no EMPTY
+    * geometry — declared).
+    */
+  def difference(wa: Array[Byte], wb: Array[Byte]): Array[Byte] = {
+    val a = parse(wa); val b = parse(wb)
+    val subj = openShellCcw(a, "st_difference")
+    val clip = openShellCcw(b, "st_difference")
+    if (!isConvexRing(clip))
+      fail("st_difference: the second argument must be a CONVEX polygon " +
+        "(declared scope; st_envelope or st_convexhull can coarsen)")
+    val pieces = scala.collection.mutable.ArrayBuffer.empty[Geom]
+    var inside = subj
+    val n = clip.length / 2
+    var i = 0
+    while (i < n && inside.length >= 6) {
+      val j = (i + 1) % n
+      val ax = clip(2 * i); val ay = clip(2 * i + 1)
+      val bx = clip(2 * j); val by = clip(2 * j + 1)
+      // outside of a CCW edge = right side = left of the REVERSED edge
+      val piece = clipHalfPlane(inside, bx, by, ax, ay)
+      if (piece.length >= 6 && math.abs(shoelace(piece)) > 0.0) {
+        val m = piece.length / 2
+        val closed = java.util.Arrays.copyOf(piece, 2 * m + 2)
+        closed(2 * m) = piece(0); closed(2 * m + 1) = piece(1)
+        pieces += Geom(3, Array(closed))
+      }
+      inside = clipHalfPlane(inside, ax, ay, bx, by)
+      i += 1
+    }
+    if (pieces.isEmpty) null
+    else if (pieces.length == 1) writeGeom(pieces(0))
+    else writeGeom(Geom(6, Array.empty, pieces.toArray))
   }
 
   /** Union of two axis-aligned rectangle polygons: the covering rectangle

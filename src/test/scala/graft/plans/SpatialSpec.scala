@@ -160,10 +160,54 @@ class SpatialSpec extends AnyFunSuite {
     assert(Wkb.geometryType(corner).toString == "MULTIPOLYGON" && Wkb.area(corner) == 20.0)
     val partialEdge = Wkb.union(a, Wkb.makeEnvelope(4, 1, 6, 3))
     assert(Wkb.geometryType(partialEdge).toString == "MULTIPOLYGON" && Wkb.area(partialEdge) == 20.0)
-    // partial overlap union and non-rectangle inputs fail loudly
+    // partial overlap union and non-rectangle union inputs fail loudly
     intercept[IllegalArgumentException](Wkb.union(a, b))
     intercept[IllegalArgumentException](
-      Wkb.intersection(a, wkt("POLYGON ((0 0, 2 0, 1 2, 0 0))")))
+      Wkb.union(a, wkt("POLYGON ((0 0, 2 0, 1 2, 0 0))")))
+  }
+
+  test("general clipping: Sutherland-Hodgman intersection / difference with a convex side (r13)") {
+    def sq(x: Double, y: Double) = Wkb.makeEnvelope(x, y, x + 1, y + 1)
+    val tri = wkt("POLYGON ((0 0, 6 0, 0 6, 0 0))") // x>=0, y>=0, x+y<=6
+    // fully inside: the subject comes back unchanged
+    assert(text(Wkb.intersection(sq(1, 2), tri)) == "POLYGON ((1 2, 2 2, 2 3, 1 3, 1 2))")
+    assert(Wkb.difference(sq(1, 2), tri) == null, "fully covered -> NULL (no EMPTY geometry)")
+    // straddling the hypotenuse (x+y=5 corner): exact half-square triangles
+    assert(text(Wkb.intersection(sq(2, 3), tri)) == "POLYGON ((2 3, 3 3, 2 4, 2 3))")
+    assert(text(Wkb.difference(sq(2, 3), tri)) == "POLYGON ((3 3, 3 4, 2 4, 3 3))")
+    assert(Wkb.area(Wkb.intersection(sq(2, 3), tri)) == 0.5)
+    // beyond the hypotenuse: disjoint -> NULL intersection, identity difference
+    assert(Wkb.intersection(sq(3, 3), tri) == null)
+    assert(text(Wkb.difference(sq(3, 3), tri)) == "POLYGON ((3 3, 4 3, 4 4, 3 4, 3 3))")
+    // corner touch only (x+y=6 at one vertex): boundary-only -> NULL
+    assert(Wkb.intersection(wkt("POLYGON ((6 0, 7 0, 7 1, 6 1, 6 0))"), tri) == null)
+    // argument order: the convex side is found on either side
+    assert(Wkb.area(Wkb.intersection(tri, sq(2, 3))) == 0.5)
+    // a CW-wound subject is normalized before clipping
+    assert(Wkb.area(Wkb.intersection(
+      wkt("POLYGON ((2 3, 2 4, 3 4, 3 3, 2 3))"), tri)) == 0.5)
+    // concave SUBJECT x convex clip is exact when the result is connected:
+    // L-shape (area 12) clipped to the box (1,1)-(3,3) keeps exactly 3
+    val ell = wkt("POLYGON ((0 0, 4 0, 4 2, 2 2, 2 4, 0 4, 0 0))")
+    val box = Wkb.makeEnvelope(1, 1, 3, 3)
+    assert(text(Wkb.intersection(ell, box)) ==
+      "POLYGON ((3 2, 2 2, 2 3, 1 3, 1 1, 3 1, 3 2))")
+    assert(Wkb.area(Wkb.intersection(ell, box)) == 3.0)
+    // difference decomposes into per-edge pieces: L minus the box
+    val dl = Wkb.difference(ell, box)
+    assert(Wkb.geometryType(dl).toString == "MULTIPOLYGON" && Wkb.area(dl) == 9.0)
+    // exact additivity over the whole fixture grid: inter + diff == subject
+    for (x <- 0 to 4; y <- 0 to 4) {
+      val i = Option(Wkb.intersection(sq(x, y), tri)).map(Wkb.area).getOrElse(0.0)
+      val d = Option(Wkb.difference(sq(x, y), tri)).map(Wkb.area).getOrElse(0.0)
+      assert(i + d == 1.0, s"additivity at ($x,$y): $i + $d")
+    }
+    // neither side convex -> loud; concave clip in difference -> loud
+    intercept[IllegalArgumentException](Wkb.intersection(ell, ell))
+    intercept[IllegalArgumentException](Wkb.difference(sq(1, 1), ell))
+    // holes stay out of scope, loudly
+    intercept[IllegalArgumentException](Wkb.intersection(
+      wkt("POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0), (4 4, 5 4, 5 5, 4 5, 4 4))"), tri))
   }
 
   test("tranche 2: centroid (holes shift it), covers vs contains, accessors, transforms") {
@@ -206,6 +250,36 @@ class SpatialSpec extends AnyFunSuite {
     assert(row.getDouble(1) == 5.0)
     assert(row.getBoolean(2))
     assert(row.getInt(3) == 5)
+  }
+
+  test("spatial aggregates: st_extent_agg / st_collect_agg group-wise, order-insensitive (r13)") {
+    val spark = graft.GraftSession.local()
+    import spark.implicits._
+    // two groups, deliberately unsorted input; one row with a NULL geometry
+    Seq((1, "POINT (3 1)"), (1, "POINT (0 0)"), (1, "POINT (1 4)"),
+        (2, "LINESTRING (0 0, 2 0)"), (2, "POINT (5 5)"), (2, null))
+      .toDF("g", "wkt").createOrReplaceTempView("sagg")
+    val rows = spark.sql(
+      "SELECT g, st_astext(st_extent_agg(st_geomfromtext(wkt))) AS ext, " +
+      "st_astext(st_collect_agg(st_geomfromtext(wkt))) AS col, " +
+      "st_numgeometries(st_collect_agg(st_geomfromtext(wkt))) AS n " +
+      "FROM sagg GROUP BY g ORDER BY g").collect()
+    assert(rows(0).getString(1) == "POLYGON ((0 0, 3 0, 3 4, 0 4, 0 0))")
+    // homogeneous points -> MULTIPOINT in canonical (lexicographic-WKT) order
+    assert(rows(0).getString(2) == "MULTIPOINT ((0 0), (1 4), (3 1))")
+    assert(rows(0).getInt(3) == 3)
+    // mixed kinds -> GEOMETRYCOLLECTION; the NULL row is skipped
+    assert(rows(1).getString(2) == "GEOMETRYCOLLECTION (LINESTRING (0 0, 2 0), POINT (5 5))")
+    assert(rows(1).getString(1) == "POLYGON ((0 0, 5 0, 5 5, 0 5, 0 0))")
+    assert(rows(1).getInt(3) == 2)
+    // an all-NULL group aggregates to NULL, like min/max
+    val nulls = spark.sql(
+      "SELECT st_extent_agg(g2) AS e, st_collect_agg(g2) AS c FROM " +
+      "(SELECT CAST(NULL AS BINARY) AS g2 FROM range(3))").collect().head
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+    // a lone point folds to the degenerate zero-extent envelope
+    assert(spark.sql("SELECT st_area(st_extent_agg(st_point(1.0D, 1.0D))) AS a " +
+      "FROM range(1)").collect().head.getDouble(0) == 0.0)
   }
 
   test("convex hull: rectangle from noisy points, collinear degrades, point identity (r12)") {
