@@ -132,6 +132,113 @@ object SpatialJoin {
           .as("dist"))
   }
 
+  /** k-nearest-neighbor join (r13): for every left point, its `k` nearest
+    * right points (Euclidean, ties broken by right id — deterministic).
+    * Output: (id_a, id_b, dist, rnk).
+    *
+    * Scale shape — EXPANDING-RADIUS GRID PROBES, the standard distributed
+    * kNN decomposition (no per-row index lookups, no cross join):
+    *
+    *   1. One metadata aggregate over each side derives the starting
+    *      radius from the right side's density (r0 ~ 1.5 * sqrt(k*A/n),
+    *      the expected side of a square holding k uniform points) and the
+    *      termination bound (the combined-extent diagonal: at that radius
+    *      the 3x3 cell neighborhood provably covers every pair).
+    *   2. Each round is a radius join at the current radius: left points
+    *      probe their 3x3 cell neighborhood (cell = radius, so the
+    *      neighborhood is complete), hash equi-join on the cell key,
+    *      exact distance filter. A left point with >= k candidates inside
+    *      the radius is EXACTLY solved — everything outside is farther
+    *      than its k within-radius candidates — and leaves the loop; the
+    *      starved remainder retries at 2x the radius.
+    *   3. The final round (radius >= diagonal) accepts rank <= k however
+    *      few candidates exist, so a right side smaller than k still
+    *      yields its full list.
+    *
+    * The driver loop is O(log(diagonal / r0)) rounds — bounded, data never
+    * touches the driver. Per round: one shuffle on the cell key (AQE
+    * skew-split applies; a hot cell is the cellSize retuning story above)
+    * and one on id_a for the rank window. Under the uniform-density
+    * heuristic round 1 solves most points, so the expected cost is one
+    * radius join at the density-correct radius — candidates ~ 9 * k per
+    * point, independent of table size.
+    */
+  def knnJoin(left: DataFrame, lid: Column, lx: Column, ly: Column,
+      right: DataFrame, rid: Column, rx: Column, ry: Column,
+      k: Int, initRadius: Option[Double] = None, maxRounds: Int = 12): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val l0 = left.select(lid.as("id_a"),
+      lx.cast("double").as("ax"), ly.cast("double").as("ay"))
+    val rdf = right.select(rid.as("id_b"),
+      rx.cast("double").as("bx"), ry.cast("double").as("by"))
+    val emptyOut = l0.crossJoin(rdf).where(lit(false))
+      .select(col("id_a"), col("id_b"), lit(0.0).as("dist"), lit(1).as("rnk"))
+    val st = rdf.agg(count(lit(1)).as("n"),
+      min("bx").as("x1"), max("bx").as("x2"),
+      min("by").as("y1"), max("by").as("y2")).collect().head
+    if (st.getLong(0) == 0L) return emptyOut
+    val lt = l0.agg(min("ax").as("x1"), max("ax").as("x2"),
+      min("ay").as("y1"), max("ay").as("y2")).collect().head
+    if (lt.isNullAt(0)) return emptyOut
+    val n = st.getLong(0)
+    val w = math.max(st.getDouble(2), lt.getDouble(1)) - math.min(st.getDouble(1), lt.getDouble(0))
+    val h = math.max(st.getDouble(4), lt.getDouble(3)) - math.min(st.getDouble(3), lt.getDouble(2))
+    val diag = math.sqrt(w * w + h * h)
+    val area = math.max((st.getDouble(2) - st.getDouble(1)) * (st.getDouble(4) - st.getDouble(3)), 1e-12)
+    val r0 = initRadius.getOrElse(
+      math.min(math.max(1.5 * math.sqrt(k * area / n), 1e-9), math.max(diag, 1e-9)))
+    val maxR = math.max(diag, 1e-9)
+
+    def candidates(lf: DataFrame, rad: Double): DataFrame = {
+      val lc = lf
+        .withColumn("__cx0", floor(col("ax") / rad).cast("long"))
+        .withColumn("__cy0", floor(col("ay") / rad).cast("long"))
+        .withColumn("__cx", explode(sequence(col("__cx0") - 1, col("__cx0") + 1)))
+        .withColumn("__cy", explode(sequence(col("__cy0") - 1, col("__cy0") + 1)))
+        .drop("__cx0", "__cy0")
+      val rc = rdf
+        .withColumn("__cx", floor(col("bx") / rad).cast("long"))
+        .withColumn("__cy", floor(col("by") / rad).cast("long"))
+      // explicit multiplication, not pow(x, 2): Math.pow is only 1-ulp
+      // accurate, and the oracle ranks by the same product expression
+      val d2 = (col("ax") - col("bx")) * (col("ax") - col("bx")) +
+        (col("ay") - col("by")) * (col("ay") - col("by"))
+      lc.join(rc, Seq("__cx", "__cy"))
+        .withColumn("__d2", d2)
+        .filter(col("__d2") <= lit(rad * rad))
+        .select(col("id_a"), col("id_b"), col("__d2"))
+    }
+
+    val rankWin = org.apache.spark.sql.expressions.Window.partitionBy("id_a")
+    var radius = r0
+    var remaining = l0
+    var out: Option[DataFrame] = None
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      val last = radius >= maxR || round == maxRounds - 1
+      val ranked = candidates(remaining, radius)
+        .withColumn("rnk", row_number().over(rankWin.orderBy(col("__d2"), col("id_b"))))
+        .withColumn("__cnt", count(lit(1)).over(rankWin))
+      val solved = if (last) ranked else ranked.filter(col("__cnt") >= k)
+      val piece = solved.filter(col("rnk") <= k)
+        .select(col("id_a"), col("id_b"),
+          round_(sqrt(col("__d2")), 6).as("dist"), col("rnk"))
+      out = Some(out.map(_.unionByName(piece)).getOrElse(piece))
+      if (last) done = true
+      else {
+        remaining = remaining.join(
+          solved.select("id_a").distinct(), Seq("id_a"), "left_anti")
+        if (remaining.isEmpty) done = true else radius *= 2
+      }
+      round += 1
+    }
+    out.getOrElse(emptyOut)
+  }
+
+  // org.apache.spark.sql.functions.round shadowed by the loop variable name
+  private def round_(c: Column, scale: Int): Column = round(c, scale)
+
   // call a registered function by name without the UDF registry (these are
   // the codegen StaticInvoke spatial expressions from GraftExtensions)
   private def callUDFFree(name: String, args: Column*): Column =
@@ -180,5 +287,29 @@ object SpatialJoin {
           "CAST(n_nationkey DIV 5 AS DOUBLE) AS y FROM nation")
       pointsWithin(pts, col("x"), col("y"), col("id"), radius = 1.5, cellSize = 2.0)
         .orderBy("id_a", "id_b")
+    },
+
+    // kNN join (r13): each nation grid point's 3 nearest customer points
+    // (customers land on a half-integer lattice, so distance TIES are real
+    // and the id_b tie-break is exercised). The oracle is the brute-force
+    // cross join + rank — exact at fixture scale, while the Spark side is
+    // the expanding-radius grid join that scales.
+    Op("spatial_knn",
+      "WITH l AS (SELECT n_nationkey AS id_a, CAST(n_nationkey % 5 AS DOUBLE) AS ax, " +
+      "CAST(n_nationkey // 5 AS DOUBLE) AS ay FROM nation), " +
+      "r AS (SELECT c_custkey AS id_b, CAST(c_custkey % 11 AS DOUBLE)/2 AS bx, " +
+      "CAST(c_custkey % 13 AS DOUBLE)/2 AS by FROM customer) " +
+      "SELECT id_a, id_b, ROUND(sqrt((ax-bx)*(ax-bx) + (ay-by)*(ay-by)), 6) AS dist, rnk FROM (" +
+      "SELECT id_a, id_b, ax, ay, bx, by, CAST(row_number() OVER (PARTITION BY id_a " +
+      "ORDER BY (ax-bx)*(ax-bx) + (ay-by)*(ay-by), id_b) AS INTEGER) AS rnk " +
+      "FROM l CROSS JOIN r) t WHERE rnk <= 3 ORDER BY id_a, rnk") { (s, d) =>
+      Tables.ensure(s, d)
+      val l = s.sql("SELECT n_nationkey, CAST(n_nationkey % 5 AS DOUBLE) AS x, " +
+        "CAST(n_nationkey DIV 5 AS DOUBLE) AS y FROM nation")
+      val r = s.sql("SELECT c_custkey, CAST(c_custkey % 11 AS DOUBLE)/2 AS x, " +
+        "CAST(c_custkey % 13 AS DOUBLE)/2 AS y FROM customer")
+      knnJoin(l, col("n_nationkey"), col("x"), col("y"),
+        r, col("c_custkey"), col("x"), col("y"), k = 3)
+        .orderBy("id_a", "rnk")
     })
 }

@@ -66,4 +66,38 @@ class SpatialJoinSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       SpatialJoin.pointsWithin(pts, col("x"), col("y"), col("id"), 3.0, 2.0))
   }
+
+  test("knn join: exact k nearest with ties and a starved far point; plan is a cell equi-join (r13)") {
+    import spark.implicits._
+    // right side: a dense cluster near the origin plus two distant points;
+    // ids 2 and 3 are EQUIDISTANT from (0,0) — the id tie-break decides
+    val r = Seq((1L, 0.0, 1.0), (2L, 1.0, 0.0), (3L, 0.0, -1.0), (4L, 2.0, 0.0),
+      (5L, 50.0, 50.0), (6L, 51.0, 50.0)).toDF("rid", "x", "y")
+    // left: origin (solved in round 1 by the density heuristic) and a FAR
+    // point whose neighbors only appear after radius doubling
+    val l = Seq((100L, 0.0, 0.0), (200L, 49.0, 50.0)).toDF("lid", "x", "y")
+    val out = SpatialJoin.knnJoin(l, col("lid"), col("x"), col("y"),
+      r, col("rid"), col("x"), col("y"), k = 3)
+    val got = out.collect().map(x => (x.getLong(0), x.getInt(3), x.getLong(1), x.getDouble(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    // (49,50) -> (2,0): 47^2 + 50^2 = 4709
+    val d3 = BigDecimal(math.sqrt(4709.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq(
+      (100L, 1, 1L, 1.0), (100L, 2, 2L, 1.0), (100L, 3, 3L, 1.0),
+      (200L, 1, 5L, 1.0), (200L, 2, 6L, 2.0), (200L, 3, 4L, d3)),
+      s"ties at dist 1 resolve by id (1 < 2 < 3); far point needs expanded rounds: $got")
+    // k larger than the right side: every right point comes back, ranked
+    val all = SpatialJoin.knnJoin(l.limit(1), col("lid"), col("x"), col("y"),
+      r, col("rid"), col("x"), col("y"), k = 10)
+    assert(all.count() == 6 && all.agg(max("rnk")).collect().head.getInt(0) == 6)
+    // empty right side -> empty result, schema intact
+    val none = SpatialJoin.knnJoin(l, col("lid"), col("x"), col("y"),
+      r.where(lit(false)), col("rid"), col("x"), col("y"), k = 2)
+    assert(none.columns.toSeq == Seq("id_a", "id_b", "dist", "rnk") && none.isEmpty)
+    // scale shape: every round is a cell equi-join, never a nested loop
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"knn join must stay a cell equi-join, got:\n$plan")
+  }
 }
