@@ -185,8 +185,13 @@ object SpatialJoin {
     val h = math.max(st.getDouble(4), lt.getDouble(3)) - math.min(st.getDouble(3), lt.getDouble(2))
     val diag = math.sqrt(w * w + h * h)
     val area = math.max((st.getDouble(2) - st.getDouble(1)) * (st.getDouble(4) - st.getDouble(3)), 1e-12)
+    // Safety factor 1.2: the expected within-radius candidate count is
+    // pi * 1.2^2 * k ~ 4.5k (Poisson tail below k is ~1e-8 at k=8), while
+    // the 3x3-cell join processes 9 * 1.44 * k ~ 13k rows per point —
+    // raising the factor to 1.5 measured 2.25x more shuffle for starvation
+    // probability that was already negligible (KnnScaleProbe).
     val r0 = initRadius.getOrElse(
-      math.min(math.max(1.5 * math.sqrt(k * area / n), 1e-9), math.max(diag, 1e-9)))
+      math.min(math.max(1.2 * math.sqrt(k * area / n), 1e-9), math.max(diag, 1e-9)))
     val maxR = math.max(diag, 1e-9)
 
     def candidates(lf: DataFrame, rad: Double): DataFrame = {
@@ -217,18 +222,36 @@ object SpatialJoin {
     var done = false
     while (!done && round < maxRounds) {
       val last = radius >= maxR || round == maxRounds - 1
-      val ranked = candidates(remaining, radius)
+      // Top-k candidates per remaining left point, MATERIALIZED once
+      // (localCheckpoint): the loop's next-remainder anti-join AND the
+      // final result both read these blocks. Without the cut, round N's
+      // lineage re-executes every earlier round's radius join — measured
+      // superlinear at 30x (KnnScaleProbe: 93 s vs 70 s linear) before the
+      // checkpoint landed. Total pinned bytes across rounds are bounded by
+      // |left| * k result rows (solved id_a sets are disjoint) plus the
+      // geometrically shrinking remainders, which are freed eagerly below.
+      val kept = candidates(remaining, radius)
         .withColumn("rnk", row_number().over(rankWin.orderBy(col("__d2"), col("id_b"))))
         .withColumn("__cnt", count(lit(1)).over(rankWin))
-      val solved = if (last) ranked else ranked.filter(col("__cnt") >= k)
-      val piece = solved.filter(col("rnk") <= k)
-        .select(col("id_a"), col("id_b"),
-          round_(sqrt(col("__d2")), 6).as("dist"), col("rnk"))
+        .filter(col("rnk") <= k)
+        .localCheckpoint(true)
+      val solved = if (last) kept else kept.filter(col("__cnt") >= k)
+      val piece = solved.select(col("id_a"), col("id_b"),
+        round_(sqrt(col("__d2")), 6).as("dist"), col("rnk"))
       out = Some(out.map(_.unionByName(piece)).getOrElse(piece))
       if (last) done = true
       else {
-        remaining = remaining.join(
+        val next = remaining.join(
           solved.select("id_a").distinct(), Seq("id_a"), "left_anti")
+          .localCheckpoint(true)
+        // free the PREVIOUS remainder's blocks (round 0 reads the caller's
+        // frame — nothing pinned). Dataset.unpersist is a no-op on
+        // localCheckpoint blocks; unpersist the RDD under the LogicalRDD
+        // leaf (the jaccardPairsGated lesson, TextPipeline.scala:140).
+        if (round > 0) remaining.queryExecution.analyzed.collectFirst {
+          case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+        }
+        remaining = next
         if (remaining.isEmpty) done = true else radius *= 2
       }
       round += 1
