@@ -395,5 +395,35 @@ object SpatialOps {
         "st_geometrytype(st_collect_agg(pt)) AS col_type, " +
         "st_numgeometries(st_collect_agg(pt)) AS col_n " +
         "FROM c GROUP BY g ORDER BY g")
+    },
+
+    // Validity (r13): per-row geometries cycle valid square / self-crossing
+    // bowtie / square-with-escaped-hole by n % 3, so st_isvalid's verdict
+    // has the closed form (n % 3 = 0); fixed columns pin the donut,
+    // overlapping-hole, spike, and per-member-multi cases.
+    Op("spatial_validity",
+      duckPtsInt +
+      "SELECT n_nationkey, (n_nationkey % 3 = 0) AS ok, " +
+      "TRUE AS donut_ok, FALSE AS holes_overlap_ok, FALSE AS spike_ok, " +
+      "TRUE AS line_ok, FALSE AS multi_bad_ok " +
+      "FROM pts ORDER BY n_nationkey") { (s, d) =>
+      Tables.ensure(s, d)
+      s.sql(sparkPtsInt +
+        ", g AS (SELECT n_nationkey, " +
+        "CASE WHEN n_nationkey % 3 = 0 THEN " +
+        "CONCAT('POLYGON ((', x, ' ', y, ', ', x+2, ' ', y, ', ', x+2, ' ', y+2, ', ', x, ' ', y+2, ', ', x, ' ', y, '))') " +
+        "WHEN n_nationkey % 3 = 1 THEN " +
+        "CONCAT('POLYGON ((', x, ' ', y, ', ', x+2, ' ', y+2, ', ', x+2, ' ', y, ', ', x, ' ', y+2, ', ', x, ' ', y, '))') " +
+        "ELSE " +
+        "CONCAT('POLYGON ((', x, ' ', y, ', ', x+2, ' ', y, ', ', x+2, ' ', y+2, ', ', x, ' ', y+2, ', ', x, ' ', y, '), " +
+        "(', x+10, ' ', y+10, ', ', x+11, ' ', y+10, ', ', x+11, ' ', y+11, ', ', x+10, ' ', y+11, ', ', x+10, ' ', y+10, '))') " +
+        "END AS wkt FROM pts) " +
+        "SELECT n_nationkey, st_isvalid(st_geomfromtext(wkt)) AS ok, " +
+        "st_isvalid(st_geomfromtext('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))')) AS donut_ok, " +
+        "st_isvalid(st_geomfromtext('POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0), (1 1, 4 1, 4 4, 1 4, 1 1), (3 3, 6 3, 6 6, 3 6, 3 3))')) AS holes_overlap_ok, " +
+        "st_isvalid(st_geomfromtext('POLYGON ((0 0, 4 0, 2 0, 2 2, 0 0))')) AS spike_ok, " +
+        "st_isvalid(st_geomfromtext('LINESTRING (0 0, 1 1)')) AS line_ok, " +
+        "st_isvalid(st_geomfromtext('MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((0 0, 2 2, 2 0, 0 2, 0 0)))')) AS multi_bad_ok " +
+        "FROM g ORDER BY n_nationkey")
     })
 }

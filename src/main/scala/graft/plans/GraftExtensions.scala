@@ -161,5 +161,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     st("st_buffer", "buffer", B, Seq(B, D),
       "st_buffer(point, r) - 32-gon circle approximation (GEOS quad_segs=8; point scope)"),
     st("st_simplify", "simplify", B, Seq(B, D),
-      "st_simplify(line, tol) - Douglas-Peucker (linestring scope)"))
+      "st_simplify(line, tol) - Douglas-Peucker (linestring scope)"),
+    st("st_isvalid", "isValid", BooleanType, Seq(B),
+      "st_isvalid(geom) - OGC validity (simple rings, holes strictly inside, " +
+        "holes disjoint; per-member for multis)"))
 }

@@ -806,6 +806,102 @@ object Wkb {
     else writeGeom(Geom(kind + 3, Array.empty, matched.toArray))
   }
 
+  // ---- validity (r13) -------------------------------------------------------
+
+  /** OGC validity, practical subset (documented): POINT always valid;
+    * LINESTRING valid with >= 2 vertices; POLYGON requires every ring
+    * SIMPLE (no self-crossing or self-touch, no duplicate consecutive
+    * vertices, no spikes, nonzero area), every hole STRICTLY inside the
+    * shell (a point-touch against the shell — OGC-legal but MakeValid
+    * territory — reads invalid here, declared stricter-than-OGC), holes
+    * pairwise disjoint. Multi-geometries validate per member;
+    * member-interior disjointness (the MULTIPOLYGON overlap rule) is NOT
+    * checked — that is the overlay machinery this engine scopes out.
+    */
+  def isValid(wkb: Array[Byte]): Boolean = isValidG(parse(wkb))
+
+  private def isValidG(g: Geom): Boolean = g.kind match {
+    case 1 => true
+    case 2 => g.rings(0).length / 2 >= 2
+    case 3 => polygonValid(g)
+    case _ => g.parts.nonEmpty && g.parts.forall(isValidG)
+  }
+
+  /** Drop the closing duplicate vertex if present. */
+  private def openRing(r: Array[Double]): Array[Double] = {
+    val n = r.length / 2
+    val closed = n >= 2 && r(0) == r(2 * (n - 1)) && r(1) == r(2 * (n - 1) + 1)
+    if (closed) java.util.Arrays.copyOf(r, 2 * (n - 1)) else r
+  }
+
+  private def ringSegs(open: Array[Double]): Array[(Double, Double, Double, Double)] = {
+    val n = open.length / 2
+    Array.tabulate(n) { i =>
+      val j = (i + 1) % n
+      (open(2 * i), open(2 * i + 1), open(2 * j), open(2 * j + 1))
+    }
+  }
+
+  private def ringSimple(r: Array[Double]): Boolean = {
+    val o = openRing(r)
+    val n = o.length / 2
+    if (n < 3) return false
+    var i = 0
+    while (i < n) {
+      val j = (i + 1) % n; val l = (i + 2) % n
+      // duplicate consecutive vertices (zero-length segment)
+      if (o(2 * i) == o(2 * j) && o(2 * i + 1) == o(2 * j + 1)) return false
+      // spike: three consecutive collinear vertices doubling back
+      val cross = (o(2 * j) - o(2 * i)) * (o(2 * l + 1) - o(2 * j + 1)) -
+        (o(2 * j + 1) - o(2 * i + 1)) * (o(2 * l) - o(2 * j))
+      val dot = (o(2 * j) - o(2 * i)) * (o(2 * l) - o(2 * j)) +
+        (o(2 * j + 1) - o(2 * i + 1)) * (o(2 * l + 1) - o(2 * j + 1))
+      if (cross == 0.0 && dot < 0.0) return false
+      i += 1
+    }
+    if (math.abs(shoelace(o)) == 0.0) return false
+    // non-adjacent segment pairs may neither cross nor touch (a
+    // figure-eight self-touch makes the ring non-simple). O(n^2) per ring,
+    // the same per-row kernel bound as every other predicate here.
+    val segs = ringSegs(o)
+    i = 0
+    while (i < n) {
+      var j = i + 2
+      val jMax = if (i == 0) n - 1 else n
+      while (j < jMax) {
+        if (segsCross(segs(i), segs(j))) return false
+        j += 1
+      }
+      i += 1
+    }
+    true
+  }
+
+  private def polygonValid(g: Geom): Boolean = {
+    if (!g.rings.forall(ringSimple)) return false
+    val shell = Geom(3, Array(g.rings(0)))
+    val shellSegs = ringSegs(openRing(g.rings(0)))
+    val holes = g.rings.drop(1)
+    val holeOk = holes.forall { h =>
+      val o = openRing(h)
+      val inShell = (0 until o.length / 2).forall(i => inside(shell, o(2 * i), o(2 * i + 1)))
+      inShell && !ringSegs(o).exists(hs => shellSegs.exists(ss => segsCross(hs, ss)))
+    }
+    if (!holeOk) return false
+    // holes pairwise disjoint: no vertex of one inside another, no crossing
+    holes.indices.forall { i =>
+      val hi = Geom(3, Array(holes(i)))
+      val si = ringSegs(openRing(holes(i)))
+      (i + 1 until holes.length).forall { j =>
+        val hj = Geom(3, Array(holes(j)))
+        val oj = openRing(holes(j)); val oi = openRing(holes(i))
+        val vIn = (0 until oj.length / 2).exists(k => inside(hi, oj(2 * k), oj(2 * k + 1))) ||
+          (0 until oi.length / 2).exists(k => inside(hj, oi(2 * k), oi(2 * k + 1)))
+        !vIn && !ringSegs(oj).exists(hs => si.exists(ss => segsCross(hs, ss)))
+      }
+    }
+  }
+
   /** Combine members into one geometry (backing st_collect_agg):
     * homogeneous simple members -> the matching MULTI, anything else ->
     * GEOMETRYCOLLECTION. Members are sorted by their WKT (lexicographic) so

@@ -252,6 +252,44 @@ class SpatialSpec extends AnyFunSuite {
     assert(row.getInt(3) == 5)
   }
 
+  test("st_isvalid: ring simplicity, spikes, holes strictly inside and disjoint (r13)") {
+    assert(Wkb.isValid(Wkb.makeEnvelope(0, 0, 4, 4)))
+    assert(Wkb.isValid(wkt(
+      "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))")), "proper donut")
+    // bowtie: the two diagonals cross
+    assert(!Wkb.isValid(wkt("POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))")))
+    // duplicate consecutive vertex
+    assert(!Wkb.isValid(wkt("POLYGON ((0 0, 2 0, 2 0, 2 2, 0 2, 0 0))")))
+    // spike doubling back along an edge
+    assert(!Wkb.isValid(wkt("POLYGON ((0 0, 4 0, 2 0, 2 2, 0 0))")))
+    // collinear zero-area ring
+    assert(!Wkb.isValid(wkt("POLYGON ((0 0, 1 0, 2 0, 0 0))")))
+    // self-touch at a vertex (figure-eight)
+    assert(!Wkb.isValid(wkt(
+      "POLYGON ((0 0, 1 1, 2 0, 1 -1, 0 0, -1 1, -2 0, -1 -1, 0 0))")))
+    // hole outside / poking out / touching the shell (strictly-inside rule)
+    assert(!Wkb.isValid(wkt(
+      "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (10 10, 11 10, 11 11, 10 11, 10 10))")))
+    assert(!Wkb.isValid(wkt(
+      "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (2 2, 6 2, 6 3, 2 3, 2 2))")))
+    assert(!Wkb.isValid(wkt(
+      "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (0 1, 1 1, 1 2, 0 2, 0 1))")),
+      "hole touching the shell edge reads invalid (declared stricter than OGC)")
+    // overlapping holes
+    assert(!Wkb.isValid(wkt(
+      "POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0), (1 1, 4 1, 4 4, 1 4, 1 1), (3 3, 6 3, 6 6, 3 6, 3 3))")))
+    // disjoint holes stay valid
+    assert(Wkb.isValid(wkt(
+      "POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1), (5 5, 6 5, 6 6, 5 6, 5 5))")))
+    // non-area kinds; multis validate per member
+    assert(Wkb.isValid(Wkb.point(1, 2)))
+    assert(Wkb.isValid(wkt("LINESTRING (0 0, 1 1)")))
+    assert(Wkb.isValid(wkt("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((2 0, 3 0, 3 1, 2 1, 2 0)))")))
+    assert(!Wkb.isValid(wkt(
+      "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((0 0, 2 2, 2 0, 0 2, 0 0)))")),
+      "one bowtie member poisons the multi")
+  }
+
   test("spatial aggregates: st_extent_agg / st_collect_agg group-wise, order-insensitive (r13)") {
     val spark = graft.GraftSession.local()
     import spark.implicits._
