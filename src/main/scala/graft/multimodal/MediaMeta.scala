@@ -177,6 +177,43 @@ object MediaMeta {
   final case class Mp4Meta(brand: String, timescale: Long, durationMs: Long,
       tracks: Int, hasVideo: Boolean, hasAudio: Boolean)
 
+  final case class WavMeta(sampleRate: Int, channels: Int, bitsPerSample: Int,
+      durationMs: Long)
+
+  /** RIFF/WAVE chunk walk (r13): 'RIFF' + u32le riffSize + 'WAVE', then
+    * even-padded chunks of id(4) + u32le size. `fmt ` carries the PCM
+    * layout (format/channels/rate/blockAlign/bits), `data`'s byte size
+    * over blockAlign gives the exact sample count -> duration. Unknown
+    * chunks (LIST, fact, cue) are skipped by size, like the MP4 box walk.
+    */
+  def parseWav(bytes: Array[Byte]): Option[WavMeta] = {
+    if (bytes.length < 12 || fourcc(bytes, 0) != "RIFF" || fourcc(bytes, 8) != "WAVE")
+      return None
+    def u32le(p: Int): Long =
+      (bytes(p) & 0xffL) | ((bytes(p + 1) & 0xffL) << 8) |
+        ((bytes(p + 2) & 0xffL) << 16) | ((bytes(p + 3) & 0xffL) << 24)
+    def u16le(p: Int): Int = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+    var sampleRate = 0; var channels = 0; var bits = 0; var blockAlign = 0
+    var dataBytes = -1L
+    var p = 12
+    while (p + 8 <= bytes.length) {
+      val id = fourcc(bytes, p)
+      val size = u32le(p + 4)
+      val payload = p + 8
+      if (payload + size > bytes.length) return None // truncated chunk
+      if (id == "fmt " && size >= 16) {
+        channels = u16le(payload + 2)
+        sampleRate = u32le(payload + 4).toInt
+        blockAlign = u16le(payload + 12)
+        bits = u16le(payload + 14)
+      } else if (id == "data") dataBytes = size
+      p = payload + size.toInt + (size.toInt & 1) // chunks are even-padded
+    }
+    if (sampleRate <= 0 || blockAlign <= 0 || dataBytes < 0) None
+    else Some(WavMeta(sampleRate, channels, bits,
+      (dataBytes / blockAlign) * 1000L / sampleRate))
+  }
+
   private def u32(b: Array[Byte], p: Int): Long =
     ((b(p) & 0xffL) << 24) | ((b(p + 1) & 0xffL) << 16) |
       ((b(p + 2) & 0xffL) << 8) | (b(p + 3) & 0xffL)
@@ -267,9 +304,9 @@ object MediaMeta {
     * unrecognized bytes yield a null-metadata row rather than an error —
     * crawl corpora are full of junk). Same mapPartitions posture as the
     * image stages: stateless per-row byte work rides the scan partitioning.
-    * Dispatch order: magic-prefixed formats first (FLAC, MP4), then the
-    * sync-word walkers (MP3 Layer III vs ADTS AAC — disjoint on the layer
-    * bits).
+    * Dispatch order: magic-prefixed formats first (FLAC, RIFF/WAVE, MP4),
+    * then the sync-word walkers (MP3 Layer III vs ADTS AAC — disjoint on
+    * the layer bits).
     */
   def containerMeta(media: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(metaSchema)
@@ -280,6 +317,9 @@ object MediaMeta {
         parseFlac(bytes).map(m =>
           Row(id, "flac", null, m.sampleRate, m.channels, m.bitsPerSample,
             null, null, null, null, m.durationMs))
+          .orElse(parseWav(bytes).map(m =>
+            Row(id, "wav", null, m.sampleRate, m.channels, m.bitsPerSample,
+              null, null, null, null, m.durationMs)))
           .orElse(parseMp4(bytes).map(m =>
             Row(id, "mp4", null, null, null, null, null,
               m.tracks, m.hasVideo, m.hasAudio, m.durationMs)))
@@ -327,14 +367,15 @@ object MediaMeta {
     out
   }
 
-  /** Minimal ISO-BMFF: ftyp(isom) + moov{mvhd(ts=1000, dur=(id+1)*500) +
-    * 1+((id/4)%2) traks (vide, then soun)}. The track count keys on
-    * id/4 = the per-format stream index k under the media_id%4 fixture
-    * dispatch (mp4 ids are all ≡1 mod 4, so an id/2-keyed layout would
-    * pin every fixture to 1 track and silently stop exercising the
-    * 2-track/audio branch of parseMp4 — r12 ADVICE).
+  /** Minimal ISO-BMFF: ftyp(isom) + moov{mvhd(ts=1000, dur=(k+1)*500) +
+    * 1+(k%2) traks (vide, then soun)}. Takes the PER-FORMAT stream index k
+    * (media_id / nFormats under the fixture dispatch) directly, so both
+    * track layouts alternate whatever the dispatch modulus — the r12
+    * ADVICE bug was exactly a layout keyed on the raw media_id going
+    * constant under the dispatch.
     */
-  def syntheticMp4(id: Long): Array[Byte] = {
+  def syntheticMp4(k: Long): Array[Byte] = {
+    val id = k
     def box(typ: String, payload: Array[Byte]): Array[Byte] = {
       val out = java.nio.ByteBuffer.allocate(8 + payload.length)
       out.putInt(8 + payload.length).put(typ.getBytes("US-ASCII")).put(payload)
@@ -351,7 +392,7 @@ object MediaMeta {
       h.put(handler.getBytes("US-ASCII"))
       box("trak", box("mdia", box("hdlr", h.array())))
     }
-    val nTracks = 1 + ((id / 4) % 2).toInt
+    val nTracks = 1 + (id % 2).toInt
     val traks = trak("vide") ++ (if (nTracks == 2) trak("soun") else Array.empty[Byte])
     ftyp ++ box("moov", mvhd ++ traks)
   }
@@ -406,6 +447,31 @@ object MediaMeta {
     out.put(0x00.toByte).put(0x00.toByte).put(0x00.toByte).put(34.toByte).put(si)
     out.put((0x80 | 0x01).toByte).put(0x00.toByte).put(0x00.toByte) // last PADDING
       .put(pad.length.toByte).put(pad)
+    out.array()
+  }
+
+  /** Valid PCM WAV: sr=16000, 1+k%2 channels, 16-bit, (k+1)*4000 samples
+    * -> exact (k+1)*250 ms; a LIST chunk with an ODD size sits between
+    * fmt and data to exercise the even-padding rule.
+    */
+  def syntheticWav(k: Long): Array[Byte] = {
+    val channels = 1 + (k % 2).toInt
+    val blockAlign = channels * 2
+    val dataBytes = ((k + 1) * 4000).toInt * blockAlign
+    val listBytes = 3 // odd on purpose
+    val out = java.nio.ByteBuffer.allocate(
+      12 + (8 + 16) + (8 + listBytes + 1) + 8 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(out.capacity() - 8)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(16000)
+      .putInt(16000 * blockAlign).putShort(blockAlign.toShort).putShort(16)
+    out.put("LIST".getBytes("US-ASCII")).putInt(listBytes)
+      .put(Array.tabulate[Byte](listBytes + 1)(i => i.toByte)) // +1 = pad byte
+    out.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    var i = 0
+    while (i < dataBytes) { out.put(((k * 31 + i) % 127).toByte); i += 1 }
     out.array()
   }
 }

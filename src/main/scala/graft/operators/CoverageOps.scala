@@ -280,32 +280,37 @@ object CoverageOps {
     },
 
     // REAL compressed-container metadata (multimodal.MediaMeta): MP3 and
-    // ADTS-AAC frame-header walkers, an MP4/ISO-BMFF box walker, and a FLAC
-    // STREAMINFO block walker (r12) — the byte-arithmetic half of
-    // audio/video handling, implemented for real while decode stays
-    // environment-stubbed. Fixture bytes are VALID containers synthesized
-    // deterministically from media_id, so every parsed fact (bitrate, frame
-    // count, per-frame-exact duration, track layout, channel/bps fields)
-    // has a closed integer form the oracle recomputes without parsing — the
-    // differential test is parser-vs-construction. media_id % 4 picks the
-    // format: 0 = MPEG-1 L3 @32 kHz (36 ms/frame, ID3v2 on alternating
-    // streams), 1 = ftyp+moov with 1-2 traks, 2 = ADTS AAC-LC @32 kHz
-    // (32 ms/frame), 3 = FLAC (total samples -> exact 250 ms steps).
+    // ADTS-AAC frame-header walkers, an MP4/ISO-BMFF box walker, a FLAC
+    // STREAMINFO block walker (r12), and a RIFF/WAVE chunk walker (r13) —
+    // the byte-arithmetic half of audio/video handling, implemented for
+    // real while decode stays environment-stubbed. Fixture bytes are VALID
+    // containers synthesized deterministically, so every parsed fact
+    // (bitrate, frame count, per-frame-exact duration, track layout,
+    // channel/bps fields) has a closed integer form the oracle recomputes
+    // without parsing — the differential test is parser-vs-construction.
+    // media_id % 5 picks the format (k = media_id // 5 is the per-format
+    // stream index every layout keys on): 0 = MPEG-1 L3 @32 kHz (36
+    // ms/frame, ID3v2 on alternating streams), 1 = ftyp+moov with 1-2
+    // traks, 2 = ADTS AAC-LC @32 kHz (32 ms/frame), 3 = FLAC (total
+    // samples -> exact 250 ms steps), 4 = PCM WAV @16 kHz (odd-size LIST
+    // chunk exercises even-padding).
     Op.effectful("multimodal_container_meta",
-      s"WITH m AS (SELECT media_id, media_id % 4 AS f, media_id // 4 AS k " +
+      s"WITH m AS (SELECT media_id, media_id % 5 AS f, media_id // 5 AS k " +
       s"FROM read_parquet('${SourceOps.ioDir}/media_meta/*.parquet')) " +
       "SELECT media_id, " +
-      "CASE WHEN f = 0 THEN 'mp3' WHEN f = 1 THEN 'mp4' WHEN f = 2 THEN 'aac' ELSE 'flac' END AS container, " +
+      "CASE WHEN f = 0 THEN 'mp3' WHEN f = 1 THEN 'mp4' WHEN f = 2 THEN 'aac' " +
+      "WHEN f = 3 THEN 'flac' ELSE 'wav' END AS container, " +
       "CASE WHEN f = 0 THEN CAST(32 + 8*(k % 5) AS INTEGER) END AS bitrate_kbps, " +
-      "CASE WHEN f IN (0, 2, 3) THEN CAST(32000 AS INTEGER) END AS sample_rate, " +
-      "CASE WHEN f = 0 THEN CAST(2 AS INTEGER) WHEN f IN (2, 3) THEN CAST(1 + k % 2 AS INTEGER) END AS channels, " +
-      "CASE WHEN f = 3 THEN CAST(16 AS INTEGER) END AS bits_per_sample, " +
+      "CASE WHEN f IN (0, 2, 3) THEN CAST(32000 AS INTEGER) " +
+      "WHEN f = 4 THEN CAST(16000 AS INTEGER) END AS sample_rate, " +
+      "CASE WHEN f = 0 THEN CAST(2 AS INTEGER) WHEN f IN (2, 3, 4) THEN CAST(1 + k % 2 AS INTEGER) END AS channels, " +
+      "CASE WHEN f IN (3, 4) THEN CAST(16 AS INTEGER) END AS bits_per_sample, " +
       "CASE WHEN f = 0 THEN CAST(5 + k % 7 AS INTEGER) WHEN f = 2 THEN CAST(4 + k % 6 AS INTEGER) END AS frames, " +
       "CASE WHEN f = 1 THEN CAST(1 + k % 2 AS INTEGER) END AS tracks, " +
       "CASE WHEN f = 1 THEN TRUE END AS has_video, " +
       "CASE WHEN f = 1 THEN (k % 2 = 1) END AS has_audio, " +
       "CASE WHEN f = 0 THEN CAST((5 + k % 7) * 36 AS BIGINT) " +
-      "WHEN f = 1 THEN CAST((media_id+1) * 500 AS BIGINT) " +
+      "WHEN f = 1 THEN CAST((k+1) * 500 AS BIGINT) " +
       "WHEN f = 2 THEN CAST((4 + k % 6) * 32 AS BIGINT) " +
       "ELSE CAST((k+1) * 250 AS BIGINT) END AS duration_ms " +
       "FROM m ORDER BY media_id") { (s, d) =>
@@ -317,11 +322,12 @@ object CoverageOps {
         org.apache.spark.sql.types.StructField("bytes",
           org.apache.spark.sql.types.BinaryType, nullable = true)))
       val rows = (0L until 80L).map { id =>
-        val bytes = (id % 4) match {
-          case 0 => graft.multimodal.MediaMeta.syntheticMp3(id / 4)
-          case 1 => graft.multimodal.MediaMeta.syntheticMp4(id)
-          case 2 => graft.multimodal.MediaMeta.syntheticAac(id / 4)
-          case _ => graft.multimodal.MediaMeta.syntheticFlac(id / 4)
+        val bytes = (id % 5) match {
+          case 0 => graft.multimodal.MediaMeta.syntheticMp3(id / 5)
+          case 1 => graft.multimodal.MediaMeta.syntheticMp4(id / 5)
+          case 2 => graft.multimodal.MediaMeta.syntheticAac(id / 5)
+          case 3 => graft.multimodal.MediaMeta.syntheticFlac(id / 5)
+          case _ => graft.multimodal.MediaMeta.syntheticWav(id / 5)
         }
         org.apache.spark.sql.Row(id, bytes)
       }

@@ -35,24 +35,37 @@ class MediaMetaSpec extends AnyFunSuite {
   }
 
   test("mp4: ftyp/mvhd/trak walk, 64-bit largesize moov") {
-    val m = MediaMeta.parseMp4(MediaMeta.syntheticMp4(1)).get
+    // syntheticMp4 takes the per-format index k directly (r13): even k ->
+    // 1 track, odd k -> 2 tracks (vide+soun), duration (k+1)*500 ms —
+    // both layouts alternate whatever the fixture dispatch modulus.
+    val m = MediaMeta.parseMp4(MediaMeta.syntheticMp4(0)).get
     assert(m.brand == "isom" && m.timescale == 1000)
-    assert(m.durationMs == 1000 && m.tracks == 1 && m.hasVideo && !m.hasAudio)
-    // id=5 -> k = id/4 = 1 -> the 2-track (vide+soun) layout; under the
-    // media_id%4 fixture dispatch mp4 ids are 1,5,9,... so k alternates
-    // 0,1,0,... and both layouts stay covered (r12 ADVICE).
-    val two = MediaMeta.parseMp4(MediaMeta.syntheticMp4(5)).get
-    assert(two.tracks == 2 && two.hasVideo && two.hasAudio)
+    assert(m.durationMs == 500 && m.tracks == 1 && m.hasVideo && !m.hasAudio)
+    val two = MediaMeta.parseMp4(MediaMeta.syntheticMp4(1)).get
+    assert(two.durationMs == 1000 && two.tracks == 2 && two.hasVideo && two.hasAudio)
     // rebuild the moov as a largesize (size=1 + 64-bit) box
-    val orig = MediaMeta.syntheticMp4(1)
+    val orig = MediaMeta.syntheticMp4(0)
     val ftypLen = 16
     val moov = orig.drop(ftypLen)
     val big = java.nio.ByteBuffer.allocate(moov.length + 8)
     big.putInt(1).put("moov".getBytes("US-ASCII"))
       .putLong(moov.length + 8L).put(moov.drop(8))
     val reparsed = MediaMeta.parseMp4(orig.take(ftypLen) ++ big.array()).get
-    assert(reparsed.durationMs == 1000 && reparsed.tracks == 1)
+    assert(reparsed.durationMs == 500 && reparsed.tracks == 1)
     assert(MediaMeta.parseMp4("not a container at all".getBytes).isEmpty)
+  }
+
+  test("wav: RIFF/WAVE chunk walk with odd-size LIST padding (r13)") {
+    val m = MediaMeta.parseWav(MediaMeta.syntheticWav(0)).get
+    assert(m.sampleRate == 16000 && m.channels == 1 && m.bitsPerSample == 16)
+    assert(m.durationMs == 250, "4000 samples at 16 kHz")
+    val st = MediaMeta.parseWav(MediaMeta.syntheticWav(3)).get
+    assert(st.channels == 2 && st.durationMs == 1000)
+    // truncated data chunk, wrong magic, other containers -> None
+    assert(MediaMeta.parseWav(MediaMeta.syntheticWav(0).dropRight(100)).isEmpty)
+    assert(MediaMeta.parseWav("RIFFxxxxWAVX".getBytes).isEmpty)
+    assert(MediaMeta.parseWav(MediaMeta.syntheticFlac(1)).isEmpty)
+    assert(MediaMeta.parseFlac(MediaMeta.syntheticWav(1)).isEmpty)
   }
 
   test("mp3: mid-stream header with sync bits but invalid fields ends the walk (r11 advice)") {
