@@ -339,7 +339,17 @@ object SpatialOps {
       "ROUND(CAST(1 AS DOUBLE), 6) AS additivity, " +
       "'POLYGON ((3 2, 2 2, 2 3, 1 3, 1 1, 3 1, 3 2))' AS l_wkt, " +
       "ROUND(CAST(3 AS DOUBLE), 6) AS l_area, " +
-      "'MULTIPOLYGON' AS ld_type, ROUND(CAST(9 AS DOUBLE), 6) AS ld_area, 4 AS ld_n " +
+      "'MULTIPOLYGON' AS ld_type, ROUND(CAST(9 AS DOUBLE), 6) AS ld_area, 4 AS ld_n, " +
+      // concave clips (r13 triangulated path): the unit square against the
+      // L-shape [0,4]x[0,2] + [0,2]x[2,4] — per-arm interval accounting
+      "ROUND(CAST(GREATEST(0, LEAST(x+1, 4) - x) * GREATEST(0, LEAST(y+1, 2) - y) + " +
+      "GREATEST(0, LEAST(x+1, 2) - x) * GREATEST(0, LEAST(y+1, 4) - GREATEST(y, 2)) AS DOUBLE), 6) AS ell_inter, " +
+      "ROUND(CAST(1 - (GREATEST(0, LEAST(x+1, 4) - x) * GREATEST(0, LEAST(y+1, 2) - y) + " +
+      "GREATEST(0, LEAST(x+1, 2) - x) * GREATEST(0, LEAST(y+1, 4) - GREATEST(y, 2))) AS DOUBLE), 6) AS ell_diff, " +
+      "ROUND(CAST(13 - (GREATEST(0, LEAST(x+1, 4) - x) * GREATEST(0, LEAST(y+1, 2) - y) + " +
+      "GREATEST(0, LEAST(x+1, 2) - x) * GREATEST(0, LEAST(y+1, 4) - GREATEST(y, 2))) AS DOUBLE), 6) AS ell_union, " +
+      "ROUND(CAST(5 AS DOUBLE), 6) AS ll_inter, ROUND(CAST(7 AS DOUBLE), 6) AS ll_diff, " +
+      "ROUND(CAST(19 AS DOUBLE), 6) AS ll_union, ROUND(CAST(4 AS DOUBLE), 6) AS env_diff " +
       "FROM c ORDER BY n_nationkey") { (s, d) =>
       Tables.ensure(s, d)
       s.sql(sparkPtsInt +
@@ -362,7 +372,14 @@ object SpatialOps {
         "ROUND(st_area(st_intersection(ell, box)), 6) AS l_area, " +
         "st_geometrytype(st_difference(ell, box)) AS ld_type, " +
         "ROUND(st_area(st_difference(ell, box)), 6) AS ld_area, " +
-        "st_numgeometries(st_difference(ell, box)) AS ld_n " +
+        "st_numgeometries(st_difference(ell, box)) AS ld_n, " +
+        "ROUND(COALESCE(st_area(st_intersection(sq, ell)), 0.0D), 6) AS ell_inter, " +
+        "ROUND(COALESCE(st_area(st_difference(sq, ell)), 0.0D), 6) AS ell_diff, " +
+        "ROUND(st_area(st_union(sq, ell)), 6) AS ell_union, " +
+        "ROUND(st_area(st_intersection(ell, st_translate(ell, 1.0D, 1.0D))), 6) AS ll_inter, " +
+        "ROUND(st_area(st_difference(ell, st_translate(ell, 1.0D, 1.0D))), 6) AS ll_diff, " +
+        "ROUND(st_area(st_union(ell, st_translate(ell, 1.0D, 1.0D))), 6) AS ll_union, " +
+        "ROUND(st_area(st_difference(st_makeenvelope(0.0D, 0.0D, 4.0D, 4.0D), ell)), 6) AS env_diff " +
         "FROM g ORDER BY n_nationkey")
     },
 

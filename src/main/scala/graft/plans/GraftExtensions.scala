@@ -147,12 +147,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     st("st_collectionextract", "collectionExtract", B, Seq(B, IntegerType),
       "st_collectionextract(geom, kind) - members of kind 1/2/3 as a multi-geometry"),
     st("st_intersection", "intersection", B, Seq(B, B),
-      "st_intersection(a, b) - polygon clip (exact interval path for rectangles, " +
-        "Sutherland-Hodgman for general pairs with a convex side; NULL when disjoint)"),
+      "st_intersection(a, b) - polygon clip, total on simple hole-free pairs " +
+        "(interval path for rectangles, Sutherland-Hodgman with ear-triangulated " +
+        "concave clips; NULL when disjoint)"),
     st("st_union", "union", B, Seq(B, B),
-      "st_union(a, b) - covering rectangle / disjoint multipolygon (axis-aligned scope)"),
+      "st_union(a, b) - covering rectangle for nested/tiling rectangles, else the " +
+        "exact-area piece decomposition (a-b pieces) + b"),
     st("st_difference", "difference", B, Seq(B, B),
-      "st_difference(a, b) - a minus a CONVEX b (half-plane decomposition; " +
+      "st_difference(a, b) - a minus b (half-plane decomposition per convex piece; " +
         "NULL when fully covered)"),
     st("st_convexhull", "convexHull", B, Seq(B),
       "st_convexhull(geom) - monotone-chain convex hull (polygon/line/point by rank)"),

@@ -28,9 +28,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * (r12): measures sum over members, predicates distribute per member
   * (containment per-part — exact for OGC-valid inputs whose members have
   * disjoint interiors), centroid weighs highest-dimension members only
-  * (GEOS semantics). Overlay (st_intersection / st_union) is implemented
-  * for the axis-aligned rectangle scope; general polygon clipping is
-  * declared out. st_contains follows OGC
+  * (GEOS semantics). Overlay (st_intersection / st_difference / st_union)
+  * is TOTAL on simple hole-free polygon pairs (r13): exact interval
+  * arithmetic for rectangle pairs, Sutherland–Hodgman for a convex side,
+  * ear-clipping triangulation of a concave clip — results are exact in
+  * area/extent but may be piece decompositions (edge-sharing MULTIPOLYGON
+  * members) rather than minimal outlines; polygons with holes stay out of
+  * the overlay scope, loudly. st_contains follows OGC
   * semantics for polygon⊃point (boundary points are NOT contained);
   * polygon⊃polygon/linestring is decided by vertices-inside + no
   * edge-crossings, exact for simple (non-self-intersecting) inputs, which
@@ -936,21 +940,20 @@ object Wkb {
     Some((xs(0), ys(0), xs(1), ys(1)))
   }
 
-  private def rect(g: Geom, fn: String): (Double, Double, Double, Double) =
-    asAxisRect(g).getOrElse(fail(
-      s"$fn supports axis-aligned rectangles only (declared scope: general " +
-        "polygon clipping is out of scope; use st_envelope to coarsen first)"))
-
-  /** Polygon intersection. Axis-aligned rectangle pairs take the exact
-    * interval-arithmetic path (edge/corner contact yields the degenerate
-    * shared rectangle, matching boundary-inclusive st_intersects); any
-    * other polygon pair is clipped with Sutherland–Hodgman (r13), which is
-    * exact when the CLIP side is convex — the subject may be concave (a
-    * disconnected result comes back as one polygon with zero-width
-    * connector edges, whose area/centroid algebra is still exact because
-    * the connectors cancel; documented). NULL when disjoint or touching
-    * boundary-only (the engine has no EMPTY geometry — declared; PostGIS
-    * returns POLYGON EMPTY / a lower-dimensional geometry).
+  /** Polygon intersection, total on simple hole-free pairs (r13).
+    * Axis-aligned rectangle pairs take the exact interval-arithmetic path
+    * (edge/corner contact yields the degenerate shared rectangle, matching
+    * boundary-inclusive st_intersects); a pair with a convex side clips
+    * with Sutherland–Hodgman in one piece; a concave-concave pair clips
+    * per ear triangle of the clip side, returning a MULTIPOLYGON of
+    * disjoint-interior pieces (members share triangulation edges — the
+    * area/extent/centroid algebra is exact; the minimal outline is not
+    * traced, documented). A concave SUBJECT against one convex piece can
+    * return a disconnected result as one polygon with zero-width connector
+    * edges, whose area algebra is still exact because connectors cancel.
+    * NULL when disjoint or touching boundary-only (no EMPTY geometry —
+    * declared; PostGIS returns POLYGON EMPTY / a lower-dimensional
+    * geometry).
     */
   def intersection(wa: Array[Byte], wb: Array[Byte]): Array[Byte] = {
     val a = parse(wa); val b = parse(wb)
@@ -961,9 +964,28 @@ object Wkb {
         if (x1 > x2 || y1 > y2) null else makeEnvelope(x1, y1, x2, y2)
       case _ =>
         val (subj, clip) = clipPair(a, b, "st_intersection")
-        ringPolygon(clipConvex(subj, clip))
+        piecesToWkb(clipRings(clip).flatMap { t =>
+          val p = clipConvex(subj, t)
+          if (p.length >= 6 && math.abs(shoelace(p)) > 0.0) Some(p) else None
+        })
     }
   }
+
+  private def closeRing(r: Array[Double]): Array[Double] = {
+    val n = r.length / 2
+    val closed = java.util.Arrays.copyOf(r, 2 * n + 2)
+    closed(2 * n) = r(0); closed(2 * n + 1) = r(1)
+    closed
+  }
+
+  /** Piece rings -> NULL / POLYGON / MULTIPOLYGON (members may share
+    * edges — interiors are disjoint, which the area/extent algebra needs).
+    */
+  private def piecesToWkb(pieces: Seq[Array[Double]]): Array[Byte] =
+    if (pieces.isEmpty) null
+    else if (pieces.length == 1) writeGeom(Geom(3, Array(closeRing(pieces.head))))
+    else writeGeom(Geom(6, Array.empty,
+      pieces.map(p => Geom(3, Array(closeRing(p)))).toArray))
 
   // ---- general convex clipping (Sutherland–Hodgman, r13) -------------------------
 
@@ -1007,17 +1029,78 @@ object Wkb {
     true
   }
 
-  /** Resolve (subject, convex clip) for the general overlay path: the convex
-    * argument becomes the clip; with two convex inputs either works. Loud
-    * when neither is convex — clipping a concave region is out of scope.
+  /** Ear-clipping triangulation of a simple open CCW ring (r13): repeatedly
+    * remove a convex vertex whose ear triangle contains no other remaining
+    * vertex. O(n^2) per ring — a per-row kernel like every predicate here.
+    * Triangulating the CLIP side turns concave-concave overlay into a fold
+    * of the convex Sutherland-Hodgman kernel (piece interiors disjoint
+    * because the triangles are), so intersection/difference/union stay
+    * EXACT in area/extent for any simple hole-free pair; the price is a
+    * non-minimal output (edge-sharing MULTIPOLYGON members), documented.
+    */
+  private def triangulate(ring: Array[Double]): Seq[Array[Double]] = {
+    val n0 = ring.length / 2
+    if (n0 < 3) return Nil
+    if (n0 == 3) return Seq(ring)
+    val idx = scala.collection.mutable.ArrayBuffer.tabulate(n0)(identity)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    def x(i: Int) = ring(2 * i); def y(i: Int) = ring(2 * i + 1)
+    def cross(a: Int, b: Int, c: Int): Double =
+      (x(b) - x(a)) * (y(c) - y(a)) - (y(b) - y(a)) * (x(c) - x(a))
+    def inTri(a: Int, b: Int, c: Int, p: Int): Boolean = {
+      val d1 = cross(a, b, p); val d2 = cross(b, c, p); val d3 = cross(c, a, p)
+      d1 >= 0 && d2 >= 0 && d3 >= 0 // boundary-inclusive for a CCW ear
+    }
+    while (idx.length > 3) {
+      val m = idx.length
+      var earAt = -1
+      var i = 0
+      while (earAt < 0 && i < m) {
+        val a = idx((i + m - 1) % m); val b = idx(i); val c = idx((i + 1) % m)
+        if (cross(a, b, c) > 0) {
+          var blocked = false
+          var j = 0
+          while (!blocked && j < m) {
+            val p = idx(j)
+            if (p != a && p != b && p != c && inTri(a, b, c, p)) blocked = true
+            j += 1
+          }
+          if (!blocked) earAt = i
+        }
+        i += 1
+      }
+      if (earAt < 0) {
+        // numeric tie on a degenerate (collinear) vertex: drop one zero-area
+        // corner to make progress; a simple ring always has an ear otherwise
+        val flat = (0 until m).find { i2 =>
+          cross(idx((i2 + m - 1) % m), idx(i2), idx((i2 + 1) % m)) == 0
+        }.getOrElse(fail("triangulate: no ear found (self-intersecting ring?)"))
+        idx.remove(flat)
+      } else {
+        val a = idx((earAt + m - 1) % m); val b = idx(earAt); val c = idx((earAt + 1) % m)
+        out += Array(x(a), y(a), x(b), y(b), x(c), y(c))
+        idx.remove(earAt)
+      }
+    }
+    val Seq(a, b, c) = idx.toSeq
+    if (cross(a, b, c) != 0) out += Array(x(a), y(a), x(b), y(b), x(c), y(c))
+    out.toSeq
+  }
+
+  /** Convex-or-triangulated clip rings for the overlay path: a convex
+    * argument clips in one piece; a concave one clips per ear triangle.
+    */
+  private def clipRings(r: Array[Double]): Seq[Array[Double]] =
+    if (isConvexRing(r)) Seq(r) else triangulate(r)
+
+  /** Resolve (subject, clip) for the general overlay path; the convex
+    * argument (if any) becomes the clip to keep the common case one piece.
     */
   private def clipPair(a: Geom, b: Geom, fn: String): (Array[Double], Array[Double]) = {
     val ra = openShellCcw(a, fn); val rb = openShellCcw(b, fn)
     if (isConvexRing(rb)) (ra, rb)
     else if (isConvexRing(ra)) (rb, ra)
-    else fail(s"$fn: at least one argument must be a CONVEX polygon " +
-      "(declared scope: general concave-concave overlay needs full " +
-      "polygon-clipping machinery; st_envelope or st_convexhull can coarsen)")
+    else (ra, rb)
   }
 
   /** One Sutherland–Hodgman step: keep the part of `subj` on the left of
@@ -1076,36 +1159,14 @@ object Wkb {
     cur
   }
 
-  /** Open ring -> closed-shell POLYGON wkb; NULL for empty / zero-area
-    * output (boundary-only contact — no EMPTY geometry, declared).
-    */
-  private def ringPolygon(r: Array[Double]): Array[Byte] = {
-    val n = r.length / 2
-    if (n < 3 || math.abs(shoelace(r)) == 0.0) return null
-    val closed = java.util.Arrays.copyOf(r, 2 * n + 2)
-    closed(2 * n) = r(0); closed(2 * n + 1) = r(1)
-    writeGeom(Geom(3, Array(closed)))
-  }
-
-  /** Polygon difference subject − clip, clip CONVEX (r13): the complement
-    * of a convex region decomposes into the half-planes outside each edge,
-    * so the difference is the disjoint pieces
+  /** subject − one CONVEX clip ring: the complement of a convex region
+    * decomposes into the half-planes outside each edge, so the difference
+    * is the disjoint pieces
     *   piece_i = subject ∩ outside(edge_i) ∩ inside(edge_0..i-1),
-    * each computed by the same Sutherland–Hodgman kernel — exact, no
-    * general clipping needed. Returns the subject when disjoint, one
-    * POLYGON or a MULTIPOLYGON of the pieces otherwise (pieces can share
-    * edges — interiors are disjoint, which is what the area/extent algebra
-    * needs), and NULL when the subject is fully covered (no EMPTY
-    * geometry — declared).
+    * each computed by the same Sutherland–Hodgman kernel — exact.
     */
-  def difference(wa: Array[Byte], wb: Array[Byte]): Array[Byte] = {
-    val a = parse(wa); val b = parse(wb)
-    val subj = openShellCcw(a, "st_difference")
-    val clip = openShellCcw(b, "st_difference")
-    if (!isConvexRing(clip))
-      fail("st_difference: the second argument must be a CONVEX polygon " +
-        "(declared scope; st_envelope or st_convexhull can coarsen)")
-    val pieces = scala.collection.mutable.ArrayBuffer.empty[Geom]
+  private def diffConvexRing(subj: Array[Double], clip: Array[Double]): Seq[Array[Double]] = {
+    val pieces = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
     var inside = subj
     val n = clip.length / 2
     var i = 0
@@ -1115,51 +1176,76 @@ object Wkb {
       val bx = clip(2 * j); val by = clip(2 * j + 1)
       // outside of a CCW edge = right side = left of the REVERSED edge
       val piece = clipHalfPlane(inside, bx, by, ax, ay)
-      if (piece.length >= 6 && math.abs(shoelace(piece)) > 0.0) {
-        val m = piece.length / 2
-        val closed = java.util.Arrays.copyOf(piece, 2 * m + 2)
-        closed(2 * m) = piece(0); closed(2 * m + 1) = piece(1)
-        pieces += Geom(3, Array(closed))
-      }
+      if (piece.length >= 6 && math.abs(shoelace(piece)) > 0.0) pieces += piece
       inside = clipHalfPlane(inside, ax, ay, bx, by)
       i += 1
     }
-    if (pieces.isEmpty) null
-    else if (pieces.length == 1) writeGeom(pieces(0))
-    else writeGeom(Geom(6, Array.empty, pieces.toArray))
+    pieces.toSeq
   }
 
-  /** Union of two axis-aligned rectangle polygons: the covering rectangle
-    * when one contains the other, a MULTIPOLYGON when they are disjoint,
-    * and the exact rectilinear union area is always available as
-    * st_area(a) + st_area(b) - st_area(st_intersection(a, b)). A partial
-    * overlap (an L/T/plus-shaped union outline) fails loudly — tracing
-    * rectilinear outlines is declared out of scope.
+  /** subject − clip piece rings; a concave clip subtracts per ear triangle
+    * (A − (T1 ∪ … ∪ Tn) = (…(A − T1) − …) − Tn, order-independent).
+    */
+  private def diffRings(a: Geom, b: Geom, fn: String): Seq[Array[Double]] = {
+    val subj = openShellCcw(a, fn)
+    val clip = openShellCcw(b, fn)
+    var pieces: Seq[Array[Double]] = Seq(subj)
+    clipRings(clip).foreach { t =>
+      pieces = pieces.flatMap(p => diffConvexRing(p, t))
+      if (pieces.length > 4096)
+        fail(s"$fn: piece explosion (> 4096) — inputs too complex for the " +
+          "triangulated overlay scope; st_simplify or st_convexhull can coarsen")
+    }
+    pieces
+  }
+
+  /** Polygon difference subject − clip (r13): exact for any simple
+    * hole-free pair — a convex clip subtracts via half-plane
+    * decomposition, a concave clip per ear triangle. Returns the subject
+    * when disjoint, one POLYGON or a MULTIPOLYGON of disjoint-interior
+    * pieces otherwise, and NULL when the subject is fully covered (no
+    * EMPTY geometry — declared).
+    */
+  def difference(wa: Array[Byte], wb: Array[Byte]): Array[Byte] =
+    piecesToWkb(diffRings(parse(wa), parse(wb), "st_difference"))
+
+  /** Union of two simple hole-free polygons (r13: total). Axis-aligned
+    * rectangle pairs keep their exact closed forms — covering rectangle
+    * under containment or full-edge tiling, a two-member MULTIPOLYGON when
+    * interiors are disjoint (a corner touch is OGC-valid; a partial shared
+    * edge technically is not, but the area/extent algebra over it is
+    * exact, which is what this scope serves). Every other pair — including
+    * partially overlapping rectangles and concave-concave — returns the
+    * exact-area decomposition (a − b pieces) + b: interiors disjoint, so
+    * st_area/st_xmin/etc. over the result are exact; the outline is NOT
+    * traced (members share edges, documented).
     */
   def union(wa: Array[Byte], wb: Array[Byte]): Array[Byte] = {
     val a = parse(wa); val b = parse(wb)
-    val (ax1, ay1, ax2, ay2) = rect(a, "st_union")
-    val (bx1, by1, bx2, by2) = rect(b, "st_union")
-    val aCoversB = ax1 <= bx1 && ay1 <= by1 && ax2 >= bx2 && ay2 >= by2
-    val bCoversA = bx1 <= ax1 && by1 <= ay1 && bx2 >= ax2 && by2 >= ay2
-    // Interiors disjoint (non-strict: edge/corner contact included) — the
-    // union is exactly representable. Two rects that TILE one (shared full
-    // edge, aligned extents) collapse to the covering rectangle; any other
-    // contact keeps both members (a corner touch is OGC-valid MULTIPOLYGON;
-    // a partial shared edge technically is not, but the area/extent algebra
-    // over it is exact, which is what this scope serves).
-    val interiorsDisjoint = ax2 <= bx1 || bx2 <= ax1 || ay2 <= by1 || by2 <= ay1
-    val tiles =
-      ((ax2 == bx1 || bx2 == ax1) && ay1 == by1 && ay2 == by2) ||
-        ((ay2 == by1 || by2 == ay1) && ax1 == bx1 && ax2 == bx2)
-    if (aCoversB) makeEnvelope(ax1, ay1, ax2, ay2)
-    else if (bCoversA) makeEnvelope(bx1, by1, bx2, by2)
-    else if (tiles) makeEnvelope(math.min(ax1, bx1), math.min(ay1, by1),
-      math.max(ax2, bx2), math.max(ay2, by2))
-    else if (interiorsDisjoint) writeGeom(Geom(6, Array.empty, Array(a, b)))
-    else fail("st_union: partially overlapping rectangles produce a " +
-      "non-rectangular outline (declared scope); compute the union AREA as " +
-      "st_area(a) + st_area(b) - st_area(st_intersection(a, b))")
+    (asAxisRect(a), asAxisRect(b)) match {
+      case (Some((ax1, ay1, ax2, ay2)), Some((bx1, by1, bx2, by2))) =>
+        val aCoversB = ax1 <= bx1 && ay1 <= by1 && ax2 >= bx2 && ay2 >= by2
+        val bCoversA = bx1 <= ax1 && by1 <= ay1 && bx2 >= ax2 && by2 >= ay2
+        val interiorsDisjoint = ax2 <= bx1 || bx2 <= ax1 || ay2 <= by1 || by2 <= ay1
+        val tiles =
+          ((ax2 == bx1 || bx2 == ax1) && ay1 == by1 && ay2 == by2) ||
+            ((ay2 == by1 || by2 == ay1) && ax1 == bx1 && ax2 == bx2)
+        if (aCoversB) makeEnvelope(ax1, ay1, ax2, ay2)
+        else if (bCoversA) makeEnvelope(bx1, by1, bx2, by2)
+        else if (tiles) makeEnvelope(math.min(ax1, bx1), math.min(ay1, by1),
+          math.max(ax2, bx2), math.max(ay2, by2))
+        else if (interiorsDisjoint) writeGeom(Geom(6, Array.empty, Array(a, b)))
+        else generalUnion(a, b)
+      case _ => generalUnion(a, b)
+    }
+  }
+
+  private def generalUnion(a: Geom, b: Geom): Array[Byte] = {
+    val clip = openShellCcw(b, "st_union")
+    val pieces = diffRings(a, b, "st_union")
+    if (pieces.isEmpty) writeGeom(Geom(3, Array(closeRing(clip)))) // a ⊆ b
+    else writeGeom(Geom(6, Array.empty,
+      (pieces :+ clip).map(p => Geom(3, Array(closeRing(p)))).toArray))
   }
 
   /** Convex hull (Andrew's monotone chain, O(n log n)): a POLYGON for >= 3

@@ -160,10 +160,13 @@ class SpatialSpec extends AnyFunSuite {
     assert(Wkb.geometryType(corner).toString == "MULTIPOLYGON" && Wkb.area(corner) == 20.0)
     val partialEdge = Wkb.union(a, Wkb.makeEnvelope(4, 1, 6, 3))
     assert(Wkb.geometryType(partialEdge).toString == "MULTIPOLYGON" && Wkb.area(partialEdge) == 20.0)
-    // partial overlap union and non-rectangle union inputs fail loudly
-    intercept[IllegalArgumentException](Wkb.union(a, b))
-    intercept[IllegalArgumentException](
-      Wkb.union(a, wkt("POLYGON ((0 0, 2 0, 1 2, 0 0))")))
+    // partial rectangle overlap: total since r13 — the exact-area piece
+    // decomposition (a-b pieces) + b, inclusion-exclusion area 16+16-4
+    val pu = Wkb.union(a, b)
+    assert(Wkb.geometryType(pu).toString == "MULTIPOLYGON" && Wkb.area(pu) == 28.0)
+    assert(Wkb.xmin(pu) == 0.0 && Wkb.xmax(pu) == 6.0)
+    // rect x triangle union: 16 + 1 - 1 (triangle inside a)
+    assert(Wkb.area(Wkb.union(a, wkt("POLYGON ((0 0, 2 0, 1 2, 0 0))"))) == 16.0)
   }
 
   test("general clipping: Sutherland-Hodgman intersection / difference with a convex side (r13)") {
@@ -202,12 +205,38 @@ class SpatialSpec extends AnyFunSuite {
       val d = Option(Wkb.difference(sq(x, y), tri)).map(Wkb.area).getOrElse(0.0)
       assert(i + d == 1.0, s"additivity at ($x,$y): $i + $d")
     }
-    // neither side convex -> loud; concave clip in difference -> loud
-    intercept[IllegalArgumentException](Wkb.intersection(ell, ell))
-    intercept[IllegalArgumentException](Wkb.difference(sq(1, 1), ell))
     // holes stay out of scope, loudly
     intercept[IllegalArgumentException](Wkb.intersection(
       wkt("POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0), (4 4, 5 4, 5 5, 4 5, 4 4))"), tri))
+  }
+
+  test("concave-concave overlay via ear-triangulated clips: exact area algebra (r13)") {
+    // L-shapes: ell covers [0,4]x[0,2] + [0,2]x[2,4] (area 12); ell2 is
+    // ell shifted by (1,1). Overlap = 3 + 1 + 1 = 5 by direct accounting.
+    val ell = wkt("POLYGON ((0 0, 4 0, 4 2, 2 2, 2 4, 0 4, 0 0))")
+    val ell2 = wkt("POLYGON ((1 1, 5 1, 5 3, 3 3, 3 5, 1 5, 1 1))")
+    assert(Wkb.area(Wkb.intersection(ell, ell2)) == 5.0)
+    // identity: X ∩ X tiles X
+    assert(Wkb.area(Wkb.intersection(ell, ell)) == 12.0)
+    // difference both ways + inclusion-exclusion union, all exact
+    assert(Wkb.area(Wkb.difference(ell, ell2)) == 7.0)
+    assert(Wkb.area(Wkb.difference(ell2, ell)) == 7.0)
+    val u = Wkb.union(ell, ell2)
+    assert(Wkb.geometryType(u).toString == "MULTIPOLYGON" && Wkb.area(u) == 19.0)
+    assert(Wkb.xmin(u) == 0.0 && Wkb.xmax(u) == 5.0 && Wkb.ymax(u) == 5.0)
+    // concave clip against a convex subject: box minus L leaves the notch
+    val env = Wkb.makeEnvelope(0, 0, 4, 4)
+    assert(Wkb.area(Wkb.difference(env, ell)) == 4.0, "the [2,4]x[2,4] notch")
+    assert(Wkb.difference(ell, env) == null, "L fully covered by its bounding box")
+    // subject fully inside a concave clip arm -> covered
+    assert(Wkb.difference(Wkb.makeEnvelope(0.5, 0.5, 1.5, 1.5), ell) == null)
+    // additivity over a grid of unit squares against the L-shape
+    for (x <- 0 to 4; y <- 0 to 4) {
+      val s = Wkb.makeEnvelope(x, y, x + 1, y + 1)
+      val i = Option(Wkb.intersection(s, ell)).map(Wkb.area).getOrElse(0.0)
+      val d = Option(Wkb.difference(s, ell)).map(Wkb.area).getOrElse(0.0)
+      assert(i + d == 1.0, s"additivity at ($x,$y): $i + $d")
+    }
   }
 
   test("tranche 2: centroid (holes shift it), covers vs contains, accessors, transforms") {
