@@ -442,5 +442,52 @@ object SpatialOps {
         "st_isvalid(st_geomfromtext('LINESTRING (0 0, 1 1)')) AS line_ok, " +
         "st_isvalid(st_geomfromtext('MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((0 0, 2 2, 2 0, 0 2, 0 0)))')) AS multi_bad_ok " +
         "FROM g ORDER BY n_nationkey")
+    },
+
+    // Point/line utilities (r13 tranche 2): reverse, repeated-point
+    // removal, grid snap, azimuth, length interpolation, closest point /
+    // shortest line (clamped rectangle projection), point-on-surface
+    // (ear-triangle centroid). All closed forms over the integer grid.
+    Op("spatial_fns2",
+      duckPtsInt +
+      "SELECT n_nationkey, " +
+      "'LINESTRING (' || (x+1) || ' ' || (y+1) || ', ' || (x+1) || ' 0, 0 0)' AS rev_wkt, " +
+      "3 AS rrp_np, " +
+      "'POINT (' || x || ' ' || (y+1) || ')' AS snap_wkt, " +
+      "ROUND(atan2(CAST(x+1 AS DOUBLE), CAST(y+1 AS DOUBLE)), 6) AS az, " +
+      "ROUND(CAST(x+1 AS DOUBLE) / 2, 6) AS lip_x, ROUND(CAST(0 AS DOUBLE), 6) AS lip_y, " +
+      "'POINT (' || (x+1) || ' ' || y || ')' AS cp_wkt, " +
+      "ROUND(CAST(4 AS DOUBLE), 6) AS sl_len, " +
+      "TRUE AS pos_ell_in, TRUE AS pos_donut_in, " +
+      "ROUND(CAST(x+1 AS DOUBLE) / 3, 6) AS pos_tri_x, " +
+      "ROUND(CAST(y+1 AS DOUBLE) / 3, 6) AS pos_tri_y " +
+      "FROM pts ORDER BY n_nationkey") { (s, d) =>
+      Tables.ensure(s, d)
+      s.sql(sparkPtsInt +
+        ", g AS (SELECT n_nationkey, x, y, " +
+        "st_geomfromtext(CONCAT('LINESTRING (0 0, ', x+1, ' 0, ', x+1, ' ', y+1, ')')) AS line, " +
+        "st_geomfromtext(CONCAT('LINESTRING (0 0, 0 0, ', x+1, ' 0, ', x+1, ' 0, ', x+1, ' ', y+1, ')')) AS dupline, " +
+        "st_point(CAST(x AS DOUBLE) + 0.3, CAST(y AS DOUBLE) + 0.7) AS offpt, " +
+        "st_geomfromtext(CONCAT('LINESTRING (0 0, ', x+1, ' 0)')) AS flat, " +
+        "st_makeenvelope(0.0D, 0.0D, CAST(x+1 AS DOUBLE), CAST(y+1 AS DOUBLE)) AS env, " +
+        "st_point(CAST(x+5 AS DOUBLE), CAST(y AS DOUBLE)) AS far, " +
+        "st_geomfromtext('POLYGON ((0 0, 4 0, 4 2, 2 2, 2 4, 0 4, 0 0))') AS ell, " +
+        "st_geomfromtext('POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0), (3 3, 6 3, 6 6, 3 6, 3 3))') AS donut, " +
+        "st_geomfromtext(CONCAT('POLYGON ((0 0, ', x+1, ' 0, 0 ', y+1, ', 0 0))')) AS tri " +
+        "FROM pts) " +
+        "SELECT n_nationkey, " +
+        "st_astext(st_reverse(line)) AS rev_wkt, " +
+        "st_npoints(st_removerepeatedpoints(dupline)) AS rrp_np, " +
+        "st_astext(st_snaptogrid(offpt, 1.0D)) AS snap_wkt, " +
+        "ROUND(st_azimuth(st_point(0.0D, 0.0D), st_point(CAST(x+1 AS DOUBLE), CAST(y+1 AS DOUBLE))), 6) AS az, " +
+        "ROUND(st_x(st_lineinterpolatepoint(flat, 0.5D)), 6) AS lip_x, " +
+        "ROUND(st_y(st_lineinterpolatepoint(flat, 0.5D)), 6) AS lip_y, " +
+        "st_astext(st_closestpoint(env, far)) AS cp_wkt, " +
+        "ROUND(st_length(st_shortestline(env, far)), 6) AS sl_len, " +
+        "st_contains(ell, st_pointonsurface(ell)) AS pos_ell_in, " +
+        "st_contains(donut, st_pointonsurface(donut)) AS pos_donut_in, " +
+        "ROUND(st_x(st_pointonsurface(tri)), 6) AS pos_tri_x, " +
+        "ROUND(st_y(st_pointonsurface(tri)), 6) AS pos_tri_y " +
+        "FROM g ORDER BY n_nationkey")
     })
 }

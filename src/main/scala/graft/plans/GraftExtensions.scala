@@ -166,5 +166,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "st_simplify(line, tol) - Douglas-Peucker (linestring scope)"),
     st("st_isvalid", "isValid", BooleanType, Seq(B),
       "st_isvalid(geom) - OGC validity (simple rings, holes strictly inside, " +
-        "holes disjoint; per-member for multis)"))
+        "holes disjoint; per-member for multis)"),
+    st("st_reverse", "reverse", B, Seq(B),
+      "st_reverse(geom) - vertex order reversed per ring/line"),
+    st("st_removerepeatedpoints", "removeRepeatedPoints", B, Seq(B),
+      "st_removerepeatedpoints(geom) - consecutive duplicate vertices collapsed"),
+    st("st_snaptogrid", "snapToGrid", B, Seq(B, D),
+      "st_snaptogrid(geom, size) - coordinates snapped to the nearest grid multiple"),
+    st("st_azimuth", "azimuth", D, Seq(B, B),
+      "st_azimuth(a, b) - north-based clockwise bearing in [0, 2*pi) radians"),
+    st("st_lineinterpolatepoint", "lineInterpolatePoint", B, Seq(B, D),
+      "st_lineinterpolatepoint(line, frac) - point at the length fraction [0, 1]"),
+    st("st_closestpoint", "closestPoint", B, Seq(B, B),
+      "st_closestpoint(a, b) - the point on a nearest to b"),
+    st("st_shortestline", "shortestLine", B, Seq(B, B),
+      "st_shortestline(a, b) - two-point linestring joining the closest points"),
+    st("st_pointonsurface", "pointOnSurface", B, Seq(B),
+      "st_pointonsurface(geom) - a point guaranteed interior (largest ear-triangle centroid)"))
 }

@@ -810,6 +810,184 @@ object Wkb {
     else writeGeom(Geom(kind + 3, Array.empty, matched.toArray))
   }
 
+  // ---- point/line utilities (r13 tranche 2) ---------------------------------
+
+  /** Reverse the vertex order of every ring/line (PostGIS ST_Reverse). */
+  def reverse(wkb: Array[Byte]): Array[Byte] = writeGeom(reverseG(parse(wkb)))
+
+  private def reverseG(g: Geom): Geom =
+    if (g.kind >= 4) Geom(g.kind, g.rings, g.parts.map(reverseG))
+    else Geom(g.kind, g.rings.map { r =>
+      val n = r.length / 2
+      val out = new Array[Double](r.length)
+      var i = 0
+      while (i < n) {
+        out(2 * i) = r(2 * (n - 1 - i)); out(2 * i + 1) = r(2 * (n - 1 - i) + 1)
+        i += 1
+      }
+      out
+    })
+
+  /** Collapse consecutive duplicate vertices (PostGIS
+    * ST_RemoveRepeatedPoints with tolerance 0; rings keep their closing
+    * vertex).
+    */
+  def removeRepeatedPoints(wkb: Array[Byte]): Array[Byte] = {
+    def clean(g: Geom): Geom =
+      if (g.kind >= 4) Geom(g.kind, g.rings, g.parts.map(clean))
+      else Geom(g.kind, g.rings.map { r =>
+        val out = new scala.collection.mutable.ArrayBuffer[Double](r.length)
+        var i = 0
+        while (i < r.length) {
+          if (i == 0 || r(i) != out(out.length - 2) || r(i + 1) != out(out.length - 1)) {
+            out += r(i); out += r(i + 1)
+          }
+          i += 2
+        }
+        out.toArray
+      })
+    writeGeom(clean(parse(wkb)))
+  }
+
+  /** Snap every coordinate to the nearest multiple of `size` (half away
+    * from the origin rounds up, PostGIS ST_SnapToGrid's practical core).
+    */
+  def snapToGrid(wkb: Array[Byte], size: Double): Array[Byte] = {
+    if (size <= 0) fail("st_snaptogrid: size must be > 0")
+    writeGeom(mapCoords(parse(wkb))((x, y) =>
+      (math.floor(x / size + 0.5) * size, math.floor(y / size + 0.5) * size)))
+  }
+
+  /** North-based clockwise azimuth from point a to point b in [0, 2*pi)
+    * (PostGIS ST_Azimuth); fails loudly on coincident points.
+    */
+  def azimuth(wa: Array[Byte], wb: Array[Byte]): Double = {
+    val a = parse(wa); val b = parse(wb)
+    if (a.kind != 1 || b.kind != 1) fail("st_azimuth expects two POINTs")
+    val dx = b.rings(0)(0) - a.rings(0)(0)
+    val dy = b.rings(0)(1) - a.rings(0)(1)
+    if (dx == 0 && dy == 0) fail("st_azimuth: coincident points")
+    val az = math.atan2(dx, dy)
+    if (az < 0) az + 2 * math.Pi else az
+  }
+
+  /** Point at `frac` (0..1) of the linestring's length (PostGIS
+    * ST_LineInterpolatePoint).
+    */
+  def lineInterpolatePoint(wkb: Array[Byte], frac: Double): Array[Byte] = {
+    val g = parse(wkb)
+    if (g.kind != 2) fail("st_lineinterpolatepoint expects a LINESTRING")
+    if (frac < 0 || frac > 1) fail(s"st_lineinterpolatepoint: fraction $frac outside [0, 1]")
+    val r = g.rings(0)
+    val n = r.length / 2
+    val total = lengthG(g)
+    if (total == 0) return point(r(0), r(1))
+    var target = frac * total
+    var i = 0
+    while (i < n - 1) {
+      val segLen = math.hypot(r(2 * i + 2) - r(2 * i), r(2 * i + 3) - r(2 * i + 1))
+      if (target <= segLen && segLen > 0) {
+        val t = target / segLen
+        return point(r(2 * i) + t * (r(2 * i + 2) - r(2 * i)),
+          r(2 * i + 1) + t * (r(2 * i + 3) - r(2 * i + 1)))
+      }
+      target -= segLen
+      i += 1
+    }
+    point(r(2 * (n - 1)), r(2 * (n - 1) + 1))
+  }
+
+  /** The point ON `a` nearest to `b` (PostGIS ST_ClosestPoint). When the
+    * geometries intersect the contact is taken from b's side that meets a
+    * (a vertex of b inside area-a, or a crossing vertex projection) —
+    * exact for the non-intersecting case, which is the analytic use.
+    */
+  def closestPoint(wa: Array[Byte], wb: Array[Byte]): Array[Byte] = {
+    val a = parse(wa); val b = parse(wb)
+    // b (or one of its vertices) inside area-a: that vertex is on/in a
+    if (a.kind == 3 || a.kind >= 4) {
+      val hit = simples(a).filter(_.kind == 3).iterator.flatMap { pa =>
+        b.vertices.find { case (px, py) => inside(pa, px, py) || onBoundary(pa, px, py) }
+      }.iterator
+      if (hit.hasNext) { val (px, py) = hit.next(); return point(px, py) }
+    }
+    val sa = segments(a)
+    var best = Double.PositiveInfinity
+    var bx = 0.0; var by = 0.0
+    if (sa.isEmpty) {
+      // a is a point (or multipoint): nearest vertex of a to b
+      a.vertices.foreach { case (px, py) =>
+        val d = distance(point(px, py), wb)
+        if (d < best) { best = d; bx = px; by = py }
+      }
+    } else {
+      // project every vertex of b on every segment of a...
+      b.vertices.foreach { case (px, py) =>
+        sa.foreach { case (x1, y1, x2, y2) =>
+          val dx = x2 - x1; val dy = y2 - y1
+          val len2 = dx * dx + dy * dy
+          val t = if (len2 == 0) 0.0
+            else math.max(0.0, math.min(1.0, ((px - x1) * dx + (py - y1) * dy) / len2))
+          val cx = x1 + t * dx; val cy = y1 + t * dy
+          val d = math.hypot(px - cx, py - cy)
+          if (d < best) { best = d; bx = cx; by = cy }
+        }
+      }
+      // ...and every vertex of a against b (the nearest point of a pair of
+      // segments is always a vertex projection on one side or the other)
+      a.vertices.foreach { case (px, py) =>
+        val d = distance(point(px, py), wb)
+        if (d < best) { best = d; bx = px; by = py }
+      }
+    }
+    point(bx, by)
+  }
+
+  /** Two-point LINESTRING joining the closest points of a and b (PostGIS
+    * ST_ShortestLine); degenerate (zero-length) when they intersect.
+    */
+  def shortestLine(wa: Array[Byte], wb: Array[Byte]): Array[Byte] = {
+    val pa = closestPoint(wa, wb)
+    val pb = closestPoint(wb, pa)
+    val a = parse(pa); val b = parse(pb)
+    writeGeom(Geom(2, Array(Array(
+      a.rings(0)(0), a.rings(0)(1), b.rings(0)(0), b.rings(0)(1)))))
+  }
+
+  /** A point guaranteed in the polygon's interior (PostGIS
+    * ST_PointOnSurface): subtract the holes with the triangulated-overlay
+    * kernel (pieces are hole-free with interiors inside shell-minus-holes
+    * by construction), then take the largest ear triangle's centroid of
+    * the largest piece — a triangle interior point, so strictly interior
+    * with no scanline epsilon games. Linestrings interpolate their
+    * midpoint; points return themselves; multis use the largest member of
+    * the highest dimension present.
+    */
+  def pointOnSurface(wkb: Array[Byte]): Array[Byte] = posG(parse(wkb))
+
+  private def posG(g: Geom): Array[Byte] = g.kind match {
+    case 1 => point(g.rings(0)(0), g.rings(0)(1))
+    case 2 => lineInterpolatePoint(writeGeom(g), 0.5)
+    case 3 =>
+      var pieces: Seq[Array[Double]] =
+        Seq(openShellCcw(Geom(3, Array(g.rings(0))), "st_pointonsurface"))
+      g.rings.drop(1).foreach { h =>
+        val hr = openShellCcw(Geom(3, Array(h)), "st_pointonsurface")
+        clipRings(hr).foreach { t => pieces = pieces.flatMap(p => diffConvexRing(p, t)) }
+      }
+      if (pieces.isEmpty)
+        fail("st_pointonsurface: holes cover the whole shell (invalid polygon)")
+      val big = pieces.maxBy(p => math.abs(shoelace(p)))
+      val tri = triangulate(big).maxBy(t => math.abs(shoelace(t)))
+      point((tri(0) + tri(2) + tri(4)) / 3.0, (tri(1) + tri(3) + tri(5)) / 3.0)
+    case _ =>
+      val members = simples(g)
+      val dim = members.map(_.kind).max
+      val pick = members.filter(_.kind == dim).maxBy(m =>
+        if (dim == 3) areaG(m) else if (dim == 2) lengthG(m) else 0.0)
+      posG(pick)
+  }
+
   // ---- validity (r13) -------------------------------------------------------
 
   /** OGC validity, practical subset (documented): POINT always valid;

@@ -281,6 +281,49 @@ class SpatialSpec extends AnyFunSuite {
     assert(row.getInt(3) == 5)
   }
 
+  test("point/line utilities: reverse, dedupe, snap, azimuth, interpolate, closest, surface point (r13)") {
+    // reverse + removerepeatedpoints round out the line toolkit
+    assert(text(Wkb.reverse(wkt("LINESTRING (0 0, 1 0, 1 1)"))) == "LINESTRING (1 1, 1 0, 0 0)")
+    assert(text(Wkb.reverse(Wkb.makeEnvelope(0, 0, 1, 1))) ==
+      "POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0))")
+    assert(text(Wkb.removeRepeatedPoints(wkt("LINESTRING (0 0, 0 0, 1 0, 1 0, 1 1)"))) ==
+      "LINESTRING (0 0, 1 0, 1 1)")
+    assert(text(Wkb.snapToGrid(wkt("POINT (1.3 2.7)"), 1.0)) == "POINT (1 3)")
+    assert(text(Wkb.snapToGrid(wkt("LINESTRING (0.26 0, 0.74 0.5)"), 0.5)) ==
+      "LINESTRING (0.5 0, 0.5 0.5)")
+    // azimuth: clockwise from north
+    assert(Wkb.azimuth(Wkb.point(0, 0), Wkb.point(0, 5)) == 0.0)
+    assert(Wkb.azimuth(Wkb.point(0, 0), Wkb.point(5, 0)) == math.Pi / 2)
+    assert(Wkb.azimuth(Wkb.point(0, 0), Wkb.point(0, -1)) == math.Pi)
+    assert(Wkb.azimuth(Wkb.point(0, 0), Wkb.point(-1, 0)) == 3 * math.Pi / 2)
+    intercept[IllegalArgumentException](Wkb.azimuth(Wkb.point(1, 1), Wkb.point(1, 1)))
+    // interpolation along a multi-segment line
+    val line = wkt("LINESTRING (0 0, 4 0, 4 4)")
+    assert(text(Wkb.lineInterpolatePoint(line, 0.0)) == "POINT (0 0)")
+    assert(text(Wkb.lineInterpolatePoint(line, 0.25)) == "POINT (2 0)")
+    assert(text(Wkb.lineInterpolatePoint(line, 0.75)) == "POINT (4 2)")
+    assert(text(Wkb.lineInterpolatePoint(line, 1.0)) == "POINT (4 4)")
+    intercept[IllegalArgumentException](Wkb.lineInterpolatePoint(line, 1.5))
+    // closest point / shortest line between disjoint geometries
+    val env = Wkb.makeEnvelope(0, 0, 2, 2)
+    assert(text(Wkb.closestPoint(env, Wkb.point(5, 1))) == "POINT (2 1)")
+    assert(text(Wkb.closestPoint(Wkb.point(5, 1), env)) == "POINT (5 1)")
+    assert(text(Wkb.shortestLine(env, Wkb.point(5, 1))) == "LINESTRING (2 1, 5 1)")
+    assert(Wkb.length(Wkb.shortestLine(env, Wkb.point(5, 1))) == 3.0)
+    // segment-to-segment nearest is a vertex projection on one side
+    assert(text(Wkb.shortestLine(wkt("LINESTRING (0 0, 0 4)"),
+      wkt("LINESTRING (3 1, 6 1)"))) == "LINESTRING (0 1, 3 1)")
+    // a point inside the polygon is its own closest point
+    assert(text(Wkb.closestPoint(env, Wkb.point(1, 1))) == "POINT (1 1)")
+    // point on surface: always interior, even for concave and holed shapes
+    val ell = wkt("POLYGON ((0 0, 4 0, 4 2, 2 2, 2 4, 0 4, 0 0))")
+    assert(Wkb.contains(ell, Wkb.pointOnSurface(ell)))
+    val donut = wkt("POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0), (3 3, 6 3, 6 6, 3 6, 3 3))")
+    assert(Wkb.contains(donut, Wkb.pointOnSurface(donut)))
+    assert(text(Wkb.pointOnSurface(Wkb.point(7, 8))) == "POINT (7 8)")
+    assert(text(Wkb.pointOnSurface(wkt("LINESTRING (0 0, 4 0)"))) == "POINT (2 0)")
+  }
+
   test("st_isvalid: ring simplicity, spikes, holes strictly inside and disjoint (r13)") {
     assert(Wkb.isValid(Wkb.makeEnvelope(0, 0, 4, 4)))
     assert(Wkb.isValid(wkt(
