@@ -489,5 +489,30 @@ object SpatialOps {
         "ROUND(st_x(st_pointonsurface(tri)), 6) AS pos_tri_x, " +
         "ROUND(st_y(st_pointonsurface(tri)), 6) AS pos_tri_y " +
         "FROM g ORDER BY n_nationkey")
+    },
+
+    // Spherical polygon area (r13): Girard's excess on the IUGG mean
+    // sphere. The polar triangle (0 0, dLon 0, 0 90) has excess EXACTLY
+    // dLon radians (two right angles at the equator + dLon at the pole),
+    // so the oracle is pure closed-form arithmetic — no spherical trig to
+    // mismatch; the hemisphere (2*pi*R^2) and octant (pi*R^2/2) constants
+    // pin the absolute scale. Compared in km^2 at 3 dp (fp slack ~1e-7).
+    Op("spatial_area_sphere",
+      duckPtsInt +
+      "SELECT n_nationkey, " +
+      "ROUND(radians(CAST(x+1 AS DOUBLE)) * 6371008.8 * 6371008.8 / 1e6, 3) AS polar_km2, " +
+      "ROUND(2 * pi() * 6371008.8 * 6371008.8 / 1e6, 3) AS hemi_km2, " +
+      "ROUND(pi() * 6371008.8 * 6371008.8 / 2e6, 3) AS octant_km2 " +
+      "FROM pts ORDER BY n_nationkey") { (s, d) =>
+      Tables.ensure(s, d)
+      s.sql(sparkPtsInt +
+        ", g AS (SELECT n_nationkey, " +
+        "st_geomfromtext(CONCAT('POLYGON ((0 0, ', x+1, ' 0, 0 90, 0 0))')) AS polar " +
+        "FROM pts) " +
+        "SELECT n_nationkey, " +
+        "ROUND(st_area_sphere(polar) / 1e6, 3) AS polar_km2, " +
+        "ROUND(st_area_sphere(st_geomfromtext('POLYGON ((0 0, 90 0, 180 0, 270 0, 0 0))')) / 1e6, 3) AS hemi_km2, " +
+        "ROUND(st_area_sphere(st_geomfromtext('POLYGON ((0 0, 90 0, 0 90, 0 0))')) / 1e6, 3) AS octant_km2 " +
+        "FROM g ORDER BY n_nationkey")
     })
 }

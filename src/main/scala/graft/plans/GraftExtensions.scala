@@ -182,5 +182,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     st("st_shortestline", "shortestLine", B, Seq(B, B),
       "st_shortestline(a, b) - two-point linestring joining the closest points"),
     st("st_pointonsurface", "pointOnSurface", B, Seq(B),
-      "st_pointonsurface(geom) - a point guaranteed interior (largest ear-triangle centroid)"))
+      "st_pointonsurface(geom) - a point guaranteed interior (largest ear-triangle centroid)"),
+    st("st_area_sphere", "areaSphere", D, Seq(B),
+      "st_area_sphere(geom) - Girard spherical-excess area in m^2 on the IUGG mean " +
+        "sphere, (lon, lat) degrees"))
 }

@@ -1544,6 +1544,75 @@ object Wkb {
     2 * 6371008.8 * math.asin(math.min(1.0, math.sqrt(h)))
   }
 
+  /** Spherical polygon area in m² on the same IUGG mean sphere as
+    * st_distance_sphere (R = 6371008.8 m), vertices (lon, lat) degrees:
+    * Girard's theorem, area = (Σ interior angles − (n−2)π) · R². Interior
+    * angles come from the tangent-plane directions of the two incident
+    * great-circle edges at each vertex (atan2 of the perpendicular/parallel
+    * components — exact spherical trig, no small-polygon approximation).
+    * Scope: simple hole-free polygons smaller than a hemisphere, vertices
+    * not at the poles on consecutive duplicate meridians; multis sum over
+    * members. The sphere (not the WGS84 ellipsoid) is the declared datum —
+    * DuckDB's ST_Area_Spheroid differs by up to ~0.5%, so the oracle
+    * recomputes closed forms on the SAME sphere rather than comparing
+    * engines' datums.
+    */
+  def areaSphere(wkb: Array[Byte]): Double = {
+    val g = parse(wkb)
+    if (g.kind >= 4) return simples(g).map(m => areaSphere(writeGeom(m))).sum
+    if (g.kind != 3) return 0.0
+    if (g.rings.length != 1) fail("st_area_sphere supports hole-free polygons")
+    // open the ring and normalize to CCW in the lon/lat chart (valid away
+    // from the antimeridian — declared scope), so reflex vertices are
+    // detectable by sign below
+    val open0 = openRing(g.rings(0))
+    val open = if (shoelace(open0) >= 0) open0 else {
+      val m = open0.length / 2
+      Array.tabulate(2 * m)(j =>
+        if (j % 2 == 0) open0(2 * (m - 1 - j / 2)) else open0(2 * (m - 1 - j / 2) + 1))
+    }
+    val n = open.length / 2
+    if (n < 3) fail("st_area_sphere: degenerate polygon")
+    // unit vectors
+    val vx = new Array[Double](n); val vy = new Array[Double](n); val vz = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val lon = math.toRadians(open(2 * i)); val lat = math.toRadians(open(2 * i + 1))
+      vx(i) = math.cos(lat) * math.cos(lon)
+      vy(i) = math.cos(lat) * math.sin(lon)
+      vz(i) = math.sin(lat)
+      i += 1
+    }
+    // interior angle at B between great circles B->A and B->C: project A
+    // and C onto the tangent plane at B; the unsigned angle flips to
+    // 2π − angle at a REFLEX vertex, detected by (tC × tA)·vB < 0 on the
+    // CCW-normalized ring
+    def angleAt(b: Int, a: Int, c: Int): Double = {
+      def tangent(t: Int): (Double, Double, Double) = {
+        val dot = vx(b) * vx(t) + vy(b) * vy(t) + vz(b) * vz(t)
+        (vx(t) - dot * vx(b), vy(t) - dot * vy(b), vz(t) - dot * vz(b))
+      }
+      val (ax, ay, az) = tangent(a)
+      val (cx, cy, cz) = tangent(c)
+      val dot = ax * cx + ay * cy + az * cz
+      val crx = cy * az - cz * ay; val cry = cz * ax - cx * az; val crz = cx * ay - cy * ax
+      val unsignedA = math.atan2(math.sqrt(crx * crx + cry * cry + crz * crz), dot)
+      val sign = crx * vx(b) + cry * vy(b) + crz * vz(b)
+      if (sign >= 0) unsignedA else 2 * math.Pi - unsignedA
+    }
+    var sum = 0.0
+    i = 0
+    while (i < n) {
+      sum += angleAt(i, (i + n - 1) % n, (i + 1) % n)
+      i += 1
+    }
+    val excess = sum - (n - 2) * math.Pi
+    if (excess <= 0)
+      fail("st_area_sphere: non-positive spherical excess (self-intersecting " +
+        "or larger-than-hemisphere input is out of scope)")
+    excess * 6371008.8 * 6371008.8
+  }
+
   /** WGS84 ellipsoidal distance in meters between two (lon, lat)-degree
     * POINTs via Lambert's formula on reduced latitudes — first-order in the
     * flattening (~10 m accuracy over thousands of km, vs ~0.5% for the

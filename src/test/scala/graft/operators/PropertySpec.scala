@@ -167,6 +167,47 @@ class PropertySpec extends AnyFunSuite {
     }, n = 200)
   }
 
+  test("overlay algebra: additivity, inclusion-exclusion, commutativity for random polygon pairs") {
+    import graft.plans.Wkb
+    def poly(pts: Seq[(Int, Int)]): Array[Byte] =
+      Wkb.fromText(org.apache.spark.unsafe.types.UTF8String.fromString(
+        "POLYGON ((" + (pts :+ pts.head).map(p => s"${p._1} ${p._2}").mkString(", ") + "))"))
+    val c = Gen.chooseNum(-20, 20)
+    val side = Gen.chooseNum(1, 10)
+    val rectGen = Gen.zip(c, c, side, side).map { case (x, y, w, h) =>
+      poly(Seq((x, y), (x + w, y), (x + w, y + h), (x, y + h))) }
+    val triGen = Gen.zip(c, c, c, c, c, c)
+      .suchThat { case (ax, ay, bx, by, cx, cy) =>
+        (bx - ax).toLong * (cy - ay) - (by - ay).toLong * (cx - ax) != 0 }
+      .map { case (ax, ay, bx, by, cx, cy) => poly(Seq((ax, ay), (bx, by), (cx, cy))) }
+    val ellGen = Gen.zip(c, c, Gen.chooseNum(2, 10), Gen.chooseNum(2, 10),
+      Gen.chooseNum(1, 9), Gen.chooseNum(1, 9))
+      .suchThat { case (_, _, w, h, w2, h1) => w2 < w && h1 < h }
+      .map { case (x, y, w, h, w2, h1) =>
+        poly(Seq((x, y), (x + w, y), (x + w, y + h1), (x + w2, y + h1),
+          (x + w2, y + h), (x, y + h))) }
+    val anyPoly = Gen.oneOf(rectGen, triGen, ellGen)
+    def areaOf(g: Array[Byte]): Double = if (g == null) 0.0 else Wkb.area(g)
+    // intersection points on diagonal edges are rationals (t = c1/(c1-c2)),
+    // so the algebra holds to FP accumulation, not bit-exactly
+    def near(a: Double, b: Double, scale: Double): Boolean =
+      math.abs(a - b) <= 1e-9 * math.max(1.0, scale)
+    check(Prop.forAll(Gen.zip(anyPoly, anyPoly)) { case (s, cgeom) =>
+      val aS = Wkb.area(s); val aC = Wkb.area(cgeom)
+      val inter = areaOf(Wkb.intersection(s, cgeom))
+      val interRev = areaOf(Wkb.intersection(cgeom, s))
+      val diff = areaOf(Wkb.difference(s, cgeom))
+      val uni = Wkb.union(s, cgeom)
+      val uniArea = Wkb.area(uni)
+      near(inter, interRev, aS + aC) &&                  // commutative area
+        near(inter + diff, aS, aS + aC) &&               // additivity
+        near(uniArea, aS + aC - inter, aS + aC) &&       // inclusion-exclusion
+        inter <= math.min(aS, aC) + 1e-9 &&
+        Wkb.xmin(uni) == math.min(Wkb.xmin(s), Wkb.xmin(cgeom)) &&  // exact extents
+        Wkb.ymax(uni) == math.max(Wkb.ymax(s), Wkb.ymax(cgeom))
+    }, n = 300)
+  }
+
   private def fmtD(v: Double): String =
     if (v == math.rint(v)) v.toLong.toString else v.toString
 

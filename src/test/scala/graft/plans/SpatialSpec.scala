@@ -408,6 +408,33 @@ class SpatialSpec extends AnyFunSuite {
     assert(text(Wkb.convexHull(wkt("MULTIPOINT (1 1, 1 1, 1 1)"))) == "POINT (1 1)")
   }
 
+  test("spherical area: Girard excess nails the textbook identities (r13)") {
+    val R = 6371008.8
+    def rel(a: Double, b: Double) = math.abs(a - b) / b
+    // hemisphere bounded by the equator: exactly 2*pi*R^2
+    val hemi = Wkb.areaSphere(wkt("POLYGON ((0 0, 90 0, 180 0, 270 0, 0 0))"))
+    assert(rel(hemi, 2 * math.Pi * R * R) < 1e-12)
+    // octant: pi*R^2/2
+    val oct = Wkb.areaSphere(wkt("POLYGON ((0 0, 90 0, 0 90, 0 0))"))
+    assert(rel(oct, math.Pi * R * R / 2) < 1e-12)
+    // polar triangle with equatorial base dLon: excess = dLon exactly
+    val pol = Wkb.areaSphere(wkt("POLYGON ((0 0, 30 0, 0 90, 0 0))"))
+    assert(rel(pol, math.toRadians(30) * R * R) < 1e-12)
+    // a small polygon converges to its planar area; a CONCAVE small L-shape
+    // exercises the reflex-vertex branch (unsigned Girard would overshoot)
+    val mPerDeg = math.Pi * R / 180
+    val sq = Wkb.areaSphere(wkt("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"))
+    assert(rel(sq, mPerDeg * mPerDeg) < 1e-3)
+    val ell = Wkb.areaSphere(wkt("POLYGON ((0 0, 2 0, 2 1, 1 1, 1 2, 0 2, 0 0))"))
+    assert(rel(ell, 3 * mPerDeg * mPerDeg) < 1e-3, s"concave L: $ell")
+    // orientation-insensitive; non-polygons are 0; loud on degenerate
+    assert(Wkb.areaSphere(wkt("POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0))")) ==
+      Wkb.areaSphere(wkt("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")))
+    assert(Wkb.areaSphere(wkt("LINESTRING (0 0, 1 1)")) == 0.0)
+    intercept[IllegalArgumentException](
+      Wkb.areaSphere(wkt("POLYGON ((0 0, 1 0, 2 0, 0 0))")))
+  }
+
   test("spheroid distance: Lambert vs sphere sanity (r12)") {
     val d0 = Wkb.distanceSpheroid(Wkb.point(0, 0), Wkb.point(0, 0))
     assert(d0 == 0.0)
