@@ -514,5 +514,45 @@ object SpatialOps {
         "ROUND(st_area_sphere(st_geomfromtext('POLYGON ((0 0, 90 0, 180 0, 270 0, 0 0))')) / 1e6, 3) AS hemi_km2, " +
         "ROUND(st_area_sphere(st_geomfromtext('POLYGON ((0 0, 90 0, 0 90, 0 0))')) / 1e6, 3) AS octant_km2 " +
         "FROM g ORDER BY n_nationkey")
+    },
+
+    // Conversions (r13): Web Mercator closed form (the oracle re-derives
+    // the same R*ln(tan(pi/4 + phi/2)) expression), GeoJSON emit + parse
+    // round-trip as strings, topological st_equals (rotated ring), and
+    // OGC boundary — all over the integer grid.
+    Op("spatial_convert",
+      duckPtsInt +
+      "SELECT n_nationkey, " +
+      "ROUND(6378137 * radians(CAST(x AS DOUBLE)) / 1000, 3) AS merc_x, " +
+      "ROUND(6378137 * ln(tan(pi()/4 + radians(CAST(y AS DOUBLE))/2)) / 1000, 3) AS merc_y, " +
+      "'{\"type\":\"Point\",\"coordinates\":[' || x || ',' || y || ']}' AS gj, " +
+      "'POLYGON ((' || x || ' ' || y || ', ' || (x+2) || ' ' || y || ', ' || (x+2) || ' ' || (y+2) || ', ' || x || ' ' || (y+2) || ', ' || x || ' ' || y || '))' AS gj_rt, " +
+      "TRUE AS eq_rotated, FALSE AS eq_other, " +
+      "'LINESTRING (' || x || ' ' || y || ', ' || (x+2) || ' ' || y || ', ' || (x+2) || ' ' || (y+2) || ', ' || x || ' ' || (y+2) || ', ' || x || ' ' || y || ')' AS bnd_wkt, " +
+      "'MULTIPOINT ((0 0), (' || (x+1) || ' ' || (y+1) || '))' AS bnd_pts " +
+      "FROM pts ORDER BY n_nationkey") { (s, d) =>
+      Tables.ensure(s, d)
+      s.sql(sparkPtsInt +
+        ", g AS (SELECT n_nationkey, x, y, " +
+        "st_makeenvelope(CAST(x AS DOUBLE), CAST(y AS DOUBLE), " +
+        "CAST(x+2 AS DOUBLE), CAST(y+2 AS DOUBLE)) AS env, " +
+        "st_geomfromtext(CONCAT('POLYGON ((', x+2, ' ', y+2, ', ', x, ' ', y+2, ', ', " +
+        "x, ' ', y, ', ', x+2, ' ', y, ', ', x+2, ' ', y+2, '))')) AS rot, " +
+        "CONCAT('{\"type\":\"Polygon\",\"coordinates\":[[[', x, ',', y, '],[', x+2, ',', y, '],[', " +
+        "x+2, ',', y+2, '],[', x, ',', y+2, '],[', x, ',', y, ']]]}') AS gjpoly " +
+        "FROM pts) " +
+        "SELECT n_nationkey, " +
+        "ROUND(st_x(st_transform(st_point(CAST(x AS DOUBLE), CAST(y AS DOUBLE)), " +
+        "'EPSG:4326', 'EPSG:3857')) / 1000, 3) AS merc_x, " +
+        "ROUND(st_y(st_transform(st_point(CAST(x AS DOUBLE), CAST(y AS DOUBLE)), " +
+        "'EPSG:4326', 'EPSG:3857')) / 1000, 3) AS merc_y, " +
+        "st_asgeojson(st_point(CAST(x AS DOUBLE), CAST(y AS DOUBLE))) AS gj, " +
+        "st_astext(st_geomfromgeojson(gjpoly)) AS gj_rt, " +
+        "st_equals(env, rot) AS eq_rotated, " +
+        "st_equals(env, st_makeenvelope(CAST(x AS DOUBLE), CAST(y AS DOUBLE), " +
+        "CAST(x+2 AS DOUBLE), CAST(y+3 AS DOUBLE))) AS eq_other, " +
+        "st_astext(st_boundary(env)) AS bnd_wkt, " +
+        "st_astext(st_boundary(st_geomfromtext(CONCAT('LINESTRING (0 0, ', x+1, ' ', y+1, ')')))) AS bnd_pts " +
+        "FROM g ORDER BY n_nationkey")
     })
 }

@@ -185,5 +185,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "st_pointonsurface(geom) - a point guaranteed interior (largest ear-triangle centroid)"),
     st("st_area_sphere", "areaSphere", D, Seq(B),
       "st_area_sphere(geom) - Girard spherical-excess area in m^2 on the IUGG mean " +
-        "sphere, (lon, lat) degrees"))
+        "sphere, (lon, lat) degrees"),
+    st("st_transform", "transform", B, Seq(B, StringType, StringType),
+      "st_transform(geom, from, to) - EPSG:4326 <-> EPSG:3857 reprojection (closed form)"),
+    st("st_asgeojson", "asGeoJson", StringType, Seq(B),
+      "st_asgeojson(geom) - RFC 7946 GeoJSON geometry object"),
+    st("st_geomfromgeojson", "fromGeoJson", B, Seq(StringType),
+      "st_geomfromgeojson(json) - parse a GeoJSON geometry object (2-D, no Feature wrappers)"),
+    st("st_equals", "geomEquals", BooleanType, Seq(B, B),
+      "st_equals(a, b) - topological equality (mutual covers)"),
+    st("st_boundary", "boundary", B, Seq(B),
+      "st_boundary(geom) - ring(s) of a polygon / endpoints of a line (NULL for points)"))
 }

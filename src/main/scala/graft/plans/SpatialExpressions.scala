@@ -810,6 +810,198 @@ object Wkb {
     else writeGeom(Geom(kind + 3, Array.empty, matched.toArray))
   }
 
+  // ---- CRS transform / GeoJSON / equality / boundary (r13 tranche 3) --------
+
+  /** Reproject between the two CRSs that cover the vast majority of
+    * analytic data: EPSG:4326 (lon/lat degrees) and EPSG:3857 (Web
+    * Mercator meters, spherical, the web-tile standard). A full proj
+    * pipeline needs the EPSG database (no jars in this environment —
+    * declared); these two are closed-form:
+    *   x = R·λ,  y = R·ln(tan(π/4 + φ/2)),  R = 6378137 (WGS84 semi-major,
+    * the sphere 3857 is DEFINED on). Latitudes beyond ±85.06° fail loudly
+    * like PROJ does (y diverges).
+    */
+  def transform(wkb: Array[Byte], from: UTF8String, to: UTF8String): Array[Byte] = {
+    val f = from.toString.toUpperCase.trim
+    val t = to.toString.toUpperCase.trim
+    val R = 6378137.0
+    (f, t) match {
+      case ("EPSG:4326", "EPSG:3857") =>
+        writeGeom(mapCoords(parse(wkb)) { (lon, lat) =>
+          if (math.abs(lat) > 85.06113)
+            fail(s"st_transform: latitude $lat outside the Web Mercator domain (±85.06)")
+          (R * math.toRadians(lon),
+            R * math.log(math.tan(math.Pi / 4 + math.toRadians(lat) / 2)))
+        })
+      case ("EPSG:3857", "EPSG:4326") =>
+        writeGeom(mapCoords(parse(wkb)) { (x, y) =>
+          (math.toDegrees(x / R),
+            math.toDegrees(2 * math.atan(math.exp(y / R)) - math.Pi / 2))
+        })
+      case (a, b) if a == b => wkb.clone()
+      case _ => fail(s"st_transform: only EPSG:4326 <-> EPSG:3857 are supported " +
+        s"(no proj database in this environment — declared), got $f -> $t")
+    }
+  }
+
+  /** GeoJSON geometry object for the geometry (RFC 7946); numbers print
+    * like WKT (integral values without a decimal point).
+    */
+  def asGeoJson(wkb: Array[Byte]): UTF8String = UTF8String.fromString(geoJsonOf(parse(wkb)))
+
+  private def geoJsonOf(g: Geom): String = {
+    def num(v: Double): String =
+      if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString else v.toString
+    def pos(x: Double, y: Double) = s"[${num(x)},${num(y)}]"
+    def ringArr(r: Array[Double]): String =
+      (0 until r.length / 2).map(i => pos(r(2 * i), r(2 * i + 1))).mkString("[", ",", "]")
+    g.kind match {
+      case 1 => s"""{"type":"Point","coordinates":${pos(g.rings(0)(0), g.rings(0)(1))}}"""
+      case 2 => s"""{"type":"LineString","coordinates":${ringArr(g.rings(0))}}"""
+      case 3 =>
+        s"""{"type":"Polygon","coordinates":${g.rings.map(ringArr).mkString("[", ",", "]")}}"""
+      case 4 => s"""{"type":"MultiPoint","coordinates":${
+        g.parts.map(p => pos(p.rings(0)(0), p.rings(0)(1))).mkString("[", ",", "]")}}"""
+      case 5 => s"""{"type":"MultiLineString","coordinates":${
+        g.parts.map(p => ringArr(p.rings(0))).mkString("[", ",", "]")}}"""
+      case 6 => s"""{"type":"MultiPolygon","coordinates":${
+        g.parts.map(p => p.rings.map(ringArr).mkString("[", ",", "]")).mkString("[", ",", "]")}}"""
+      case _ => s"""{"type":"GeometryCollection","geometries":${
+        g.parts.map(geoJsonOf).mkString("[", ",", "]")}}"""
+    }
+  }
+
+  /** Parse a GeoJSON geometry object (RFC 7946 subset: the seven geometry
+    * types, 2-D positions; Feature/FeatureCollection wrappers and foreign
+    * members are out of scope, loudly).
+    */
+  def fromGeoJson(json: UTF8String): Array[Byte] = {
+    val s = json.toString
+    var pos = 0
+    def ws(): Unit = while (pos < s.length && s.charAt(pos).isWhitespace) pos += 1
+    def expect(c: Char): Unit = {
+      ws()
+      if (pos >= s.length || s.charAt(pos) != c)
+        fail(s"st_geomfromgeojson: expected '$c' at $pos in $s")
+      pos += 1
+    }
+    def string(): String = {
+      expect('"')
+      val sb = new StringBuilder
+      while (pos < s.length && s.charAt(pos) != '"') { sb.append(s.charAt(pos)); pos += 1 }
+      expect('"')
+      sb.toString
+    }
+    def number(): Double = {
+      ws()
+      val start = pos
+      while (pos < s.length && "+-0123456789.eE".indexOf(s.charAt(pos)) >= 0) pos += 1
+      if (pos == start) fail(s"st_geomfromgeojson: expected a number at $start")
+      s.substring(start, pos).toDouble
+    }
+    def position(): (Double, Double) = {
+      expect('['); val x = number(); expect(','); val y = number()
+      ws()
+      // tolerate (and drop) an altitude third element
+      if (pos < s.length && s.charAt(pos) == ',') { pos += 1; number() }
+      expect(']')
+      (x, y)
+    }
+    def array[T](elem: () => T): Seq[T] = {
+      expect('[')
+      val out = scala.collection.mutable.ArrayBuffer.empty[T]
+      ws()
+      if (pos < s.length && s.charAt(pos) == ']') { pos += 1; return out.toSeq }
+      out += elem()
+      ws()
+      while (pos < s.length && s.charAt(pos) == ',') { pos += 1; out += elem(); ws() }
+      expect(']')
+      out.toSeq
+    }
+    def ringOf(ps: Seq[(Double, Double)]): Array[Double] = {
+      val r = new Array[Double](2 * ps.length)
+      ps.zipWithIndex.foreach { case ((x, y), i) => r(2 * i) = x; r(2 * i + 1) = y }
+      r
+    }
+    def obj(): Geom = {
+      expect('{')
+      var typ: String = null
+      var geom: Geom = null
+      var done = false
+      while (!done) {
+        ws()
+        val key = string()
+        expect(':')
+        key match {
+          case "type" => typ = string()
+          case "coordinates" =>
+            // `type` before `coordinates` (the universal emitter order;
+            // the reverse is declared out of scope)
+            if (typ == null) fail("st_geomfromgeojson: coordinates before type unsupported")
+            geom = typ match {
+              case "Point" => val (x, y) = position(); Geom(1, Array(Array(x, y)))
+              case "LineString" => Geom(2, Array(ringOf(array(() => position()))))
+              case "Polygon" =>
+                Geom(3, array(() => ringOf(array(() => position()))).toArray)
+              case "MultiPoint" => Geom(4, Array.empty,
+                array(() => position()).map { case (x, y) => Geom(1, Array(Array(x, y))) }.toArray)
+              case "MultiLineString" => Geom(5, Array.empty,
+                array(() => ringOf(array(() => position()))).map(r => Geom(2, Array(r))).toArray)
+              case "MultiPolygon" => Geom(6, Array.empty,
+                array(() => array(() => ringOf(array(() => position()))).toArray)
+                  .map(rs => Geom(3, rs)).toArray)
+              case other => fail(s"st_geomfromgeojson: '$other' takes no coordinates")
+            }
+          case "geometries" =>
+            geom = Geom(7, Array.empty, array(() => obj()).toArray)
+          case other => fail(s"st_geomfromgeojson: unsupported member '$other' " +
+            "(Feature wrappers and foreign members are out of scope)")
+        }
+        ws()
+        if (pos < s.length && s.charAt(pos) == ',') pos += 1
+        else { expect('}'); done = true }
+      }
+      if (geom == null) fail("st_geomfromgeojson: no coordinates/geometries member")
+      geom
+    }
+    val g = obj()
+    writeGeom(g)
+  }
+
+  /** Topological equality: each covers the other (same point set), so
+    * ring rotation, orientation, and redundant collinear vertices don't
+    * matter (PostGIS ST_Equals semantics over this engine's covers scope).
+    */
+  def geomEquals(wa: Array[Byte], wb: Array[Byte]): Boolean =
+    covers(wa, wb) && covers(wb, wa)
+
+  /** OGC boundary: polygon -> its ring(s) as (MULTI)LINESTRING, linestring
+    * -> MULTIPOINT of its endpoints (NULL when closed — no EMPTY geometry,
+    * declared), point -> NULL.
+    */
+  def boundary(wkb: Array[Byte]): Array[Byte] = {
+    val g = parse(wkb)
+    g.kind match {
+      case 1 => null
+      case 2 =>
+        val r = g.rings(0)
+        val n = r.length / 2
+        if (r(0) == r(2 * (n - 1)) && r(1) == r(2 * (n - 1) + 1)) null
+        else writeGeom(Geom(4, Array.empty, Array(
+          Geom(1, Array(Array(r(0), r(1)))),
+          Geom(1, Array(Array(r(2 * (n - 1)), r(2 * (n - 1) + 1)))))))
+      case 3 =>
+        if (g.rings.length == 1) writeGeom(Geom(2, Array(g.rings(0).clone())))
+        else writeGeom(Geom(5, Array.empty,
+          g.rings.map(r => Geom(2, Array(r.clone())))))
+      case _ =>
+        val parts = g.parts.flatMap(p => Option(boundary(writeGeom(p))).map(parse))
+        if (parts.isEmpty) null
+        else if (parts.length == 1) writeGeom(parts(0))
+        else writeGeom(Geom(7, Array.empty, parts))
+    }
+  }
+
   // ---- point/line utilities (r13 tranche 2) ---------------------------------
 
   /** Reverse the vertex order of every ring/line (PostGIS ST_Reverse). */

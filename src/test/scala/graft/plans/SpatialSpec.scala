@@ -408,6 +408,61 @@ class SpatialSpec extends AnyFunSuite {
     assert(text(Wkb.convexHull(wkt("MULTIPOINT (1 1, 1 1, 1 1)"))) == "POINT (1 1)")
   }
 
+  test("transform, GeoJSON, equals, boundary (r13)") {
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u8}
+    // 4326 -> 3857: equator/prime-meridian fixpoints and a round-trip
+    val R = 6378137.0
+    val m = Wkb.transform(Wkb.point(90, 0), u8("EPSG:4326"), u8("EPSG:3857"))
+    // y(equator) is ln(tan(pi/4)) ~ -1 ulp of 0, not exactly 0
+    assert(Wkb.x(m) == R * math.Pi / 2 && math.abs(Wkb.y(m)) < 1e-8)
+    val back = Wkb.transform(
+      Wkb.transform(Wkb.point(12.5, 47.25), u8("EPSG:4326"), u8("EPSG:3857")),
+      u8("EPSG:3857"), u8("EPSG:4326"))
+    assert(math.abs(Wkb.x(back) - 12.5) < 1e-9 && math.abs(Wkb.y(back) - 47.25) < 1e-9)
+    intercept[IllegalArgumentException](
+      Wkb.transform(Wkb.point(0, 89), u8("EPSG:4326"), u8("EPSG:3857")))
+    intercept[IllegalArgumentException](
+      Wkb.transform(Wkb.point(0, 0), u8("EPSG:4326"), u8("EPSG:2154")))
+    // GeoJSON: emit + parse round-trips through the same WKT
+    val shapes = Seq(
+      "POINT (1 2)", "LINESTRING (0 0, 1.5 2, 3 0)",
+      "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))",
+      "MULTIPOINT ((0 0), (2 3))", "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))",
+      "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((2 0, 3 0, 3 1, 2 1, 2 0)))",
+      "GEOMETRYCOLLECTION (POINT (9 9), LINESTRING (0 0, 1 0))")
+    shapes.foreach { w =>
+      val g = wkt(w)
+      val json = Wkb.asGeoJson(g)
+      assert(text(Wkb.fromGeoJson(json)) == w, s"round-trip of $w via $json")
+    }
+    assert(Wkb.asGeoJson(Wkb.point(1, 2)).toString ==
+      """{"type":"Point","coordinates":[1,2]}""")
+    // altitude elements are tolerated and dropped; junk is loud
+    assert(text(Wkb.fromGeoJson(u8(
+      """{"type":"Point","coordinates":[3, 4, 99]}"""))) == "POINT (3 4)")
+    intercept[IllegalArgumentException](
+      Wkb.fromGeoJson(u8("""{"type":"Feature","geometry":null}""")))
+    // st_equals: rotation/orientation/collinear-vertex insensitive
+    assert(Wkb.geomEquals(
+      wkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"),
+      wkt("POLYGON ((4 4, 0 4, 0 0, 4 0, 4 4))")))
+    assert(Wkb.geomEquals(
+      wkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"),
+      wkt("POLYGON ((0 0, 2 0, 4 0, 4 4, 0 4, 0 0))")), "collinear vertex added")
+    assert(!Wkb.geomEquals(
+      wkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"),
+      wkt("POLYGON ((0 0, 4 0, 4 4, 0 4.5, 0 0))")))
+    // boundary: rings, hole rings, line endpoints, closed line, point
+    assert(text(Wkb.boundary(Wkb.makeEnvelope(0, 0, 2, 2))) ==
+      "LINESTRING (0 0, 2 0, 2 2, 0 2, 0 0)")
+    assert(Wkb.geometryType(Wkb.boundary(wkt(
+      "POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0), (3 3, 4 3, 4 4, 3 4, 3 3))"))).toString ==
+      "MULTILINESTRING")
+    assert(text(Wkb.boundary(wkt("LINESTRING (0 0, 5 5)"))) == "MULTIPOINT ((0 0), (5 5))")
+    assert(Wkb.boundary(wkt("LINESTRING (0 0, 1 0, 0 0)")) == null, "closed line")
+    assert(Wkb.boundary(Wkb.point(1, 1)) == null)
+  }
+
   test("spherical area: Girard excess nails the textbook identities (r13)") {
     val R = 6371008.8
     def rel(a: Double, b: Double) = math.abs(a - b) / b
