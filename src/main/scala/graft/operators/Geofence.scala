@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** A zone-tagged event (top-level so Spark derives the encoder). */
+final case class GeoTagged(user_id: Long, ts: java.sql.Timestamp,
+    event_id: Long, zone: String)
+
+/** A zone change for one user: the first event observed in a different
+  * zone than the user's previous event.
+  */
+final case class ZoneTransition(user_id: Long, ts: java.sql.Timestamp,
+    event_id: Long, from_zone: String, to_zone: String)
+
+/** Geofencing over event streams (r13) — the spatial x events x streaming
+  * cross-cut: tag each event's coordinates with its containing zone via
+  * the grid-blocked spatial join, then detect per-user zone TRANSITIONS
+  * (enter/exit edges), in batch (one window pass) or as a Structured
+  * Streaming stateful operator.
+  *
+  * Scale shape: zone sets are metadata-sized (they broadcast in the
+  * blocked join, so events never shuffle for tagging — the SpatialSkewProbe
+  * result); transition detection shuffles once on user_id for the lag
+  * window (batch) or rides the streaming state store keyed by user_id with
+  * ONE string of state per user (streaming).
+  */
+object Geofence {
+
+  /** Tag each event row with the zone containing (px, py), or 'outside'.
+    * `zones` is (zoneCol, geom WKB polygon) — metadata-sized. Containment
+    * is boundary-exclusive (OGC contains), so tile-adjacent zones never
+    * double-tag an edge point; rows on a shared boundary are 'outside' by
+    * that definition (declared — lay zones out half-open like the fixture).
+    */
+  def tagZones(events: DataFrame, idCol: String, px: Column, py: Column,
+      zones: DataFrame, zoneCol: String, geom: Column, cellSize: Double): DataFrame = {
+    val pts = events.select(col(idCol), px.cast("double").as("__px"), py.cast("double").as("__py"))
+    val matched = SpatialJoin.pointInPolygon(
+      pts, zones.select(col(zoneCol), geom.as("__geom")),
+      col("__px"), col("__py"), col("__geom"), cellSize, boundaryExclusive = true)
+      .select(col(idCol), col(zoneCol))
+    events.join(matched, Seq(idCol), "left")
+      .withColumn(zoneCol, coalesce(col(zoneCol), lit("outside")))
+  }
+
+  /** Per-user zone transitions from a tagged frame (user_id, ts, event_id,
+    * zone): rows where the zone differs from the user's previous event
+    * (ordered by ts, tie-broken by event_id — deterministic).
+    */
+  def zoneTransitions(tagged: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    tagged
+      .withColumn("__prev", lag(col("zone"), 1).over(w))
+      .filter(col("__prev").isNotNull && col("__prev") =!= col("zone"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("__prev").as("from_zone"), col("zone").as("to_zone"))
+  }
+
+  /** Streaming transition detection: flatMapGroupsWithState keyed by
+    * user_id, state = the user's last zone (one string). Events within a
+    * micro-batch are sorted by (ts, event_id) per user; the state carries
+    * the last zone ACROSS batches, so a user whose move spans two batches
+    * still emits exactly one transition.
+    */
+  def transitionsStream(tagged: Dataset[GeoTagged]): Dataset[ZoneTransition] = {
+    import tagged.sparkSession.implicits._
+    tagged.groupByKey(_.user_id)
+      .flatMapGroupsWithState[String, ZoneTransition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[GeoTagged], state: GroupState[String]) =>
+          val sorted = it.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+          var last = state.getOption.orNull
+          val out = Seq.newBuilder[ZoneTransition]
+          sorted.foreach { e =>
+            if (last != null && last != e.zone)
+              out += ZoneTransition(uid, e.ts, e.event_id, last, e.zone)
+            last = e.zone
+          }
+          if (last != null) state.update(last)
+          out.result().iterator
+      }
+  }
+}

@@ -334,5 +334,40 @@ object SpatialJoin {
       knnJoin(l, col("n_nationkey"), col("x"), col("y"),
         r, col("c_custkey"), col("x"), col("y"), k = 3)
         .orderBy("id_a", "rnk")
+    },
+
+    // Geofencing (r13): events get deterministic coordinates off event_id
+    // (offset 0.05 keeps them off zone boundaries), three 5x5 zones tile
+    // three quadrants (the fourth is 'outside'), and the op emits per-user
+    // zone TRANSITIONS. The oracle replays the same CASE logic + LAG in
+    // SQL; the Spark side tags via the broadcast grid-blocked spatial join
+    // and detects edges with one user_id window pass.
+    Op("spatial_geofence",
+      "WITH e AS (SELECT event_id, user_id, ts, " +
+      "(event_id % 100)/10.0 + 0.05 AS px, ((event_id // 100) % 100)/10.0 + 0.05 AS py " +
+      "FROM events), " +
+      "z AS (SELECT user_id, ts, event_id, " +
+      "CASE WHEN px < 5 AND py < 5 THEN 'A' WHEN px >= 5 AND py < 5 THEN 'B' " +
+      "WHEN px < 5 AND py >= 5 THEN 'C' ELSE 'outside' END AS zone FROM e), " +
+      "t AS (SELECT user_id, ts, event_id, zone, " +
+      "LAG(zone) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM z) " +
+      "SELECT user_id, ts, event_id, prev AS from_zone, zone AS to_zone " +
+      "FROM t WHERE prev IS NOT NULL AND prev <> zone " +
+      "ORDER BY user_id, ts, event_id") { (s, d) =>
+      Tables.ensure(s, d)
+      import s.implicits._
+      val ev = s.table("events")
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .withColumn("px", (col("event_id") % 100) / 10.0 + 0.05)
+        .withColumn("py", (expr("event_id div 100") % 100) / 10.0 + 0.05)
+      val zones = Seq(("A", 0.0, 0.0, 5.0, 5.0), ("B", 5.0, 0.0, 10.0, 5.0),
+        ("C", 0.0, 5.0, 5.0, 10.0)).toDF("zone", "x1", "y1", "x2", "y2")
+        .withColumn("geom", call_function("st_makeenvelope",
+          col("x1"), col("y1"), col("x2"), col("y2")))
+        .select("zone", "geom")
+      val tagged = Geofence.tagZones(ev, "event_id", col("px"), col("py"),
+        zones, "zone", col("geom"), cellSize = 5.0)
+      Geofence.zoneTransitions(tagged.select("user_id", "ts", "event_id", "zone"))
+        .orderBy("user_id", "ts", "event_id")
     })
 }
