@@ -460,7 +460,11 @@ object SpatialOps {
       "ROUND(CAST(4 AS DOUBLE), 6) AS sl_len, " +
       "TRUE AS pos_ell_in, TRUE AS pos_donut_in, " +
       "ROUND(CAST(x+1 AS DOUBLE) / 3, 6) AS pos_tri_x, " +
-      "ROUND(CAST(y+1 AS DOUBLE) / 3, 6) AS pos_tri_y " +
+      "ROUND(CAST(y+1 AS DOUBLE) / 3, 6) AS pos_tri_y, " +
+      // r13: polygon-ring Douglas-Peucker (the 1-unit bump drops at tol 2)
+      // and canonical normalization of a rotated CW ring
+      "5 AS simp_poly_np, " +
+      "'POLYGON ((' || x || ' ' || y || ', ' || (x+2) || ' ' || y || ', ' || (x+2) || ' ' || (y+2) || ', ' || x || ' ' || (y+2) || ', ' || x || ' ' || y || '))' AS norm_wkt " +
       "FROM pts ORDER BY n_nationkey") { (s, d) =>
       Tables.ensure(s, d)
       s.sql(sparkPtsInt +
@@ -487,7 +491,11 @@ object SpatialOps {
         "st_contains(ell, st_pointonsurface(ell)) AS pos_ell_in, " +
         "st_contains(donut, st_pointonsurface(donut)) AS pos_donut_in, " +
         "ROUND(st_x(st_pointonsurface(tri)), 6) AS pos_tri_x, " +
-        "ROUND(st_y(st_pointonsurface(tri)), 6) AS pos_tri_y " +
+        "ROUND(st_y(st_pointonsurface(tri)), 6) AS pos_tri_y, " +
+        "st_npoints(st_simplify(st_geomfromtext(CONCAT('POLYGON ((0 0, ', x+5, " +
+        "' 1, ', 2*x+10, ' 0, ', 2*x+10, ' 20, 0 20, 0 0))')), 2.0D)) AS simp_poly_np, " +
+        "st_astext(st_normalize(st_geomfromtext(CONCAT('POLYGON ((', x+2, ' ', y+2, ', ', " +
+        "x+2, ' ', y, ', ', x, ' ', y, ', ', x, ' ', y+2, ', ', x+2, ' ', y+2, '))')))) AS norm_wkt " +
         "FROM g ORDER BY n_nationkey")
     },
 

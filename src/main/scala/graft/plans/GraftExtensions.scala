@@ -163,7 +163,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     st("st_buffer", "buffer", B, Seq(B, D),
       "st_buffer(point, r) - 32-gon circle approximation (GEOS quad_segs=8; point scope)"),
     st("st_simplify", "simplify", B, Seq(B, D),
-      "st_simplify(line, tol) - Douglas-Peucker (linestring scope)"),
+      "st_simplify(geom, tol) - Douglas-Peucker (linestrings + polygon rings)"),
     st("st_isvalid", "isValid", BooleanType, Seq(B),
       "st_isvalid(geom) - OGC validity (simple rings, holes strictly inside, " +
         "holes disjoint; per-member for multis)"),
@@ -195,5 +195,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     st("st_equals", "geomEquals", BooleanType, Seq(B, B),
       "st_equals(a, b) - topological equality (mutual covers)"),
     st("st_boundary", "boundary", B, Seq(B),
-      "st_boundary(geom) - ring(s) of a polygon / endpoints of a line (NULL for points)"))
+      "st_boundary(geom) - ring(s) of a polygon / endpoints of a line (NULL for points)"),
+    st("st_normalize", "normalize", B, Seq(B),
+      "st_normalize(geom) - canonical form: rings rotated to min vertex, CCW shells / " +
+        "CW holes, sorted members (GROUP BY-stable WKB)"))
 }

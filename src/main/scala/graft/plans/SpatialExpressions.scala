@@ -1685,10 +1685,71 @@ object Wkb {
     def simp(g: Geom): Geom = g.kind match {
       case 1 => g
       case 2 => Geom(2, Array(dp(g.rings(0), tol)))
-      case 5 | 7 => Geom(g.kind, g.rings, g.parts.map(simp))
-      case _ => fail("st_simplify supports LINESTRING geometries only (declared scope)")
+      case 3 =>
+        // Douglas-Peucker per ring (r13): run DP on the CLOSED sequence —
+        // both anchors are the ring's start vertex, so closure is
+        // preserved; the anchor choice is the start vertex, like GEOS. A
+        // ring simplified below 3 distinct vertices fails loudly (PostGIS
+        // silently returns invalid output; loud beats invalid here).
+        Geom(3, g.rings.map { r0 =>
+          val n0 = r0.length / 2
+          val alreadyClosed = n0 >= 2 && r0(0) == r0(2 * (n0 - 1)) &&
+            r0(1) == r0(2 * (n0 - 1) + 1)
+          val out = dp(if (alreadyClosed) r0 else closeRing(r0), tol)
+          if (out.length / 2 < 4)
+            fail(s"st_simplify: tolerance $tol collapses a polygon ring " +
+              "below 3 distinct vertices")
+          out
+        })
+      case 5 | 6 | 7 => Geom(g.kind, g.rings, g.parts.map(simp))
+      case _ => fail("st_simplify supports LINESTRING and POLYGON geometries " +
+        "(declared scope)")
     }
     writeGeom(simp(parse(wkb)))
+  }
+
+  /** Canonical form (PostGIS ST_Normalize flavor): every ring rotated to
+    * start at its lexicographically smallest (x, y) vertex, shells CCW and
+    * holes CW, holes sorted by their start vertex, multi members sorted by
+    * WKT — so semantically identical geometries (rotated/reversed rings,
+    * reordered members) become byte-identical WKB. That is what makes
+    * GROUP BY / join / exact-dedup on a geometry column deterministic.
+    */
+  def normalize(wkb: Array[Byte]): Array[Byte] = writeGeom(normalizeG(parse(wkb)))
+
+  private def normalizeG(g: Geom): Geom = g.kind match {
+    case 1 | 2 => g
+    case 3 =>
+      def canon(r0: Array[Double], ccw: Boolean): Array[Double] = {
+        val o0 = openRing(r0)
+        val o = if ((shoelace(o0) >= 0) == ccw) o0 else {
+          val m = o0.length / 2
+          Array.tabulate(2 * m)(j =>
+            if (j % 2 == 0) o0(2 * (m - 1 - j / 2)) else o0(2 * (m - 1 - j / 2) + 1))
+        }
+        val m = o.length / 2
+        var best = 0
+        var i = 1
+        while (i < m) {
+          if (o(2 * i) < o(2 * best) ||
+            (o(2 * i) == o(2 * best) && o(2 * i + 1) < o(2 * best + 1))) best = i
+          i += 1
+        }
+        val rot = new Array[Double](2 * m + 2)
+        i = 0
+        while (i < m) {
+          rot(2 * i) = o(2 * ((best + i) % m)); rot(2 * i + 1) = o(2 * ((best + i) % m) + 1)
+          i += 1
+        }
+        rot(2 * m) = rot(0); rot(2 * m + 1) = rot(1)
+        rot
+      }
+      val shell = canon(g.rings(0), ccw = true)
+      val holes = g.rings.drop(1).map(canon(_, ccw = false))
+        .sortBy(h => (h(0), h(1)))
+      Geom(3, shell +: holes)
+    case _ =>
+      Geom(g.kind, g.rings, g.parts.map(normalizeG).sortBy(wktOf))
   }
 
   private def dp(r: Array[Double], tol: Double): Array[Double] = {

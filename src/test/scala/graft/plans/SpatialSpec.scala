@@ -463,6 +463,33 @@ class SpatialSpec extends AnyFunSuite {
     assert(Wkb.boundary(Wkb.point(1, 1)) == null)
   }
 
+  test("st_simplify on polygon rings + st_normalize canonical form (r13)") {
+    // a 1-unit bump on the bottom edge disappears at tol 2, closure kept
+    val bumpy = wkt("POLYGON ((0 0, 4 1, 8 0, 8 8, 0 8, 0 0))")
+    assert(text(Wkb.simplify(bumpy, 2.0)) == "POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0))")
+    // tolerance too aggressive for the ring -> loud, never invalid output
+    intercept[IllegalArgumentException](Wkb.simplify(bumpy, 100.0))
+    // holes simplify too
+    val holed = wkt("POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0), (2 2, 4 2.1, 6 2, 6 6, 2 6, 2 2))")
+    assert(Wkb.numInteriorRings(Wkb.simplify(holed, 1.0)) == 1)
+    assert(Wkb.npoints(Wkb.simplify(holed, 1.0)) == 10, "bump vertex dropped from the hole")
+    // normalize: rotated + reversed ring and reordered members converge to
+    // byte-identical WKB — the GROUP BY / exact-dedup determinism property
+    val a = Wkb.normalize(wkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"))
+    val b = Wkb.normalize(wkt("POLYGON ((4 4, 0 4, 0 0, 4 0, 4 4))"))
+    val c = Wkb.normalize(wkt("POLYGON ((0 4, 4 4, 4 0, 0 0, 0 4))")) // CW
+    assert(java.util.Arrays.equals(a, b) && java.util.Arrays.equals(a, c))
+    assert(text(a) == "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    // shells CCW, holes CW, holes sorted by start vertex
+    val d1 = Wkb.normalize(wkt(
+      "POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0), (5 5, 6 5, 6 6, 5 6, 5 5), (1 1, 2 1, 2 2, 1 2, 1 1))"))
+    assert(text(d1) ==
+      "POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0), (1 1, 1 2, 2 2, 2 1, 1 1), (5 5, 5 6, 6 6, 6 5, 5 5))")
+    // multi members sort canonically
+    assert(text(Wkb.normalize(wkt("MULTIPOINT ((5 5), (1 1), (3 3))"))) ==
+      "MULTIPOINT ((1 1), (3 3), (5 5))")
+  }
+
   test("spherical area: Girard excess nails the textbook identities (r13)") {
     val R = 6371008.8
     def rel(a: Double, b: Double) = math.abs(a - b) / b
@@ -529,10 +556,12 @@ class SpatialSpec extends AnyFunSuite {
     assert(text(Wkb.simplify(zig, 10.0)) == "LINESTRING (0 0, 6 0)")
     // tol 0: every vertex survives (nothing is within 0 of a chord)
     assert(Wkb.npoints(Wkb.simplify(zig, 0.0)) == 7)
-    // multilinestring recurses; points pass through; polygons are out of scope
+    // multilinestring recurses; points pass through; a polygon is in scope
+    // since r13 (an envelope has no removable vertex at any tolerance)
     assert(Wkb.npoints(Wkb.simplify(
       wkt("MULTILINESTRING ((0 0, 1 0.1, 2 0), (0 0, 9 9))"), 1.0)) == 4)
     assert(text(Wkb.simplify(Wkb.point(1, 2), 1.0)) == "POINT (1 2)")
-    intercept[IllegalArgumentException](Wkb.simplify(Wkb.makeEnvelope(0, 0, 1, 1), 0.5))
+    assert(text(Wkb.simplify(Wkb.makeEnvelope(0, 0, 1, 1), 0.5)) ==
+      text(Wkb.makeEnvelope(0, 0, 1, 1)))
   }
 }
