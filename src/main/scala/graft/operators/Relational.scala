@@ -15,6 +15,29 @@ import graft.Tables
   */
 object Relational {
 
+  /** DuckDB's POSITIONAL JOIN: the i-th row of `a` pairs with the i-th row
+    * of `b`; the shorter side is NULL-padded (full-positional semantics).
+    * "Position" is the partition-order row index (RDD zipWithIndex — one
+    * extra count job per side, no data to the driver), which is
+    * deterministic when the inputs are sorted or single-source scans —
+    * pass ordered frames, as DuckDB users do with ORDER BY subqueries.
+    * Scale shape: two linear index passes + one shuffle on the position
+    * key; the join itself is a plain equi-join AQE can size.
+    */
+  def positionalJoin(a: DataFrame, b: DataFrame): DataFrame = {
+    def indexed(df: DataFrame, pos: String): DataFrame = {
+      val schema = org.apache.spark.sql.types.StructType(
+        df.schema.fields :+ org.apache.spark.sql.types.StructField(
+          pos, org.apache.spark.sql.types.LongType, nullable = false))
+      df.sparkSession.createDataFrame(
+        df.rdd.zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+        }, schema)
+    }
+    indexed(a, "__pos").join(indexed(b, "__pos"), Seq("__pos"), "full_outer")
+      .drop("__pos")
+  }
+
   /** Timestamp-NTZ literal — the test data's timestamps are parquet
     * isAdjustedToUTC=false, which Spark reads as TIMESTAMP_NTZ.
     */
@@ -138,6 +161,22 @@ object Relational {
       "SELECT r1.r_name AS a, r2.r_name AS b FROM region r1 CROSS JOIN region r2 ORDER BY a, b") { (s, d) =>
       val r = t(s, d, "region")
       r.select(col("r_name").as("a")).crossJoin(r.select(col("r_name").as("b"))).orderBy("a", "b")
+    },
+
+    // DuckDB POSITIONAL JOIN (r13): i-th row pairs with i-th row, shorter
+    // side NULL-padded (DuckDB full-positional semantics). Both engines
+    // order the inputs explicitly, so "position" is well-defined; the
+    // DuckDB oracle runs its NATIVE positional join over the same ordered
+    // subqueries.
+    Op("join_positional",
+      "SELECT a.n_name, a.rnk, b.r_name FROM " +
+      "(SELECT n_name, n_nationkey AS rnk FROM nation ORDER BY n_nationkey) a " +
+      "POSITIONAL JOIN (SELECT r_name FROM region ORDER BY r_regionkey) b " +
+      "ORDER BY rnk") { (s, d) =>
+      val a = t(s, d, "nation")
+        .select(col("n_name"), col("n_nationkey").as("rnk")).orderBy("rnk")
+      val b = t(s, d, "region").orderBy("r_regionkey").select("r_name")
+      positionalJoin(a, b).orderBy("rnk")
     },
 
     // EXISTS -> left semi join (h04 shape).

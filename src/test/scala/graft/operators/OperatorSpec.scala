@@ -12,6 +12,19 @@ class OperatorSpec extends AnyFunSuite {
   private lazy val spark = SparkTestHarness.spark
   private val dir = SparkTestHarness.sfDir
 
+  test("positional join: i-th row pairs with i-th row, shorter side NULL-padded either way") {
+    import spark.implicits._
+    val a = Seq(("x", 1), ("y", 2), ("z", 3)).toDF("s", "i")
+    val b = Seq(10L, 20L).toDF("v")
+    val ab = Relational.positionalJoin(a, b).orderBy("i").collect()
+      .map(r => (r.getString(0), if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(ab == Seq(("x", 10L), ("y", 20L), ("z", -1L)), "right side padded")
+    val ba = Relational.positionalJoin(b, a).orderBy("v").collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getString(1))).toSeq
+    // padded left rows have NULL v; sort puts them first
+    assert(ba == Seq((-1L, "z"), (10L, "x"), (20L, "y")), "left side padded")
+  }
+
   test("flagship entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
