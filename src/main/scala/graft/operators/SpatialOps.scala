@@ -391,8 +391,9 @@ object SpatialOps {
     // from MIN/MAX and an ORDER BY'd string_agg.
     Op("spatial_agg",
       duckPtsInt +
-      ", c AS (SELECT n_nationkey % 3 AS g, x, y FROM pts) " +
+      ", c AS (SELECT n_nationkey, n_nationkey % 3 AS g, x, y FROM pts) " +
       "SELECT g, " +
+      "'LINESTRING (' || string_agg(x || ' ' || y, ', ' ORDER BY n_nationkey) || ')' AS trip_wkt, " +
       "'POLYGON ((' || min(x) || ' ' || min(y) || ', ' || max(x) || ' ' || min(y) || ', ' || " +
       "max(x) || ' ' || max(y) || ', ' || min(x) || ' ' || max(y) || ', ' || min(x) || ' ' || min(y) || '))' AS ext_wkt, " +
       "ROUND(CAST((max(x) - min(x)) * (max(y) - min(y)) AS DOUBLE), 6) AS ext_area, " +
@@ -402,9 +403,10 @@ object SpatialOps {
       "FROM c GROUP BY g ORDER BY g") { (s, d) =>
       Tables.ensure(s, d)
       s.sql(sparkPtsInt +
-        ", c AS (SELECT n_nationkey % 3 AS g, " +
+        ", c AS (SELECT n_nationkey, n_nationkey % 3 AS g, " +
         "st_point(CAST(x AS DOUBLE), CAST(y AS DOUBLE)) AS pt FROM pts) " +
         "SELECT g, " +
+        "st_astext(st_makeline_agg(pt, n_nationkey)) AS trip_wkt, " +
         "st_astext(st_extent_agg(pt)) AS ext_wkt, " +
         "ROUND(st_area(st_extent_agg(pt)), 6) AS ext_area, " +
         "st_xmin(st_extent_agg(pt)) AS ext_xmin, st_ymax(st_extent_agg(pt)) AS ext_ymax, " +

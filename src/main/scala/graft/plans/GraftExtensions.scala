@@ -62,6 +62,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[StCollectAgg].getName, null, "st_collect_agg",
         "st_collect_agg(geom) - group members as MULTI*/GEOMETRYCOLLECTION, canonical order", ""),
       (children: Seq[Expression]) => StCollectAgg(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("st_makeline_agg"),
+      new ExpressionInfo(classOf[StMakeLineAgg].getName, null, "st_makeline_agg",
+        "st_makeline_agg(point, seq) - the group's points as a LINESTRING in seq order " +
+          "(trip assembly); NULL below 2 points", ""),
+      (children: Seq[Expression]) => StMakeLineAgg(children(0), children(1))))
   }
 
   import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke

@@ -81,6 +81,82 @@ case class StExtentAgg(child: Expression)
   * st_extent_agg is the constant-space alternative when only the bound is
   * needed.
   */
+/** st_makeline_agg(point, seq): the group's points as one LINESTRING in
+  * ascending `seq` order (ties broken by arrival — make seq unique for
+  * full determinism) — the trip-assembly primitive (GPS pings ordered by
+  * timestamp -> path), PostGIS's `ST_MakeLine(geom ORDER BY ts)`.
+  * Buffer = the group's (seq, x, y) triples: 24 bytes a point, bounded by
+  * the entity's ping count like any per-entity assembly.
+  */
+case class StMakeLineAgg(point: Expression, seq: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[ArrayBuffer[(Double, Double, Double)]] {
+
+  override def children: Seq[Expression] = Seq(point, seq)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_makeline_agg"
+
+  override def createAggregationBuffer(): ArrayBuffer[(Double, Double, Double)] =
+    ArrayBuffer.empty
+
+  override def update(buf: ArrayBuffer[(Double, Double, Double)],
+      input: InternalRow): ArrayBuffer[(Double, Double, Double)] = {
+    val p = point.eval(input)
+    val s = seq.eval(input)
+    if (p != null && s != null) {
+      val wkb = p.asInstanceOf[Array[Byte]]
+      val ord = s match {
+        case n: java.lang.Number => n.doubleValue()
+        case other => fail("st_makeline_agg: seq must be numeric, got " + other.getClass)
+      }
+      buf += ((ord, Wkb.x(wkb), Wkb.y(wkb)))
+    }
+    buf
+  }
+
+  private def fail(msg: String): Nothing = throw new IllegalArgumentException(msg)
+
+  override def merge(b1: ArrayBuffer[(Double, Double, Double)],
+      b2: ArrayBuffer[(Double, Double, Double)]): ArrayBuffer[(Double, Double, Double)] = {
+    b1 ++= b2; b1
+  }
+
+  override def eval(buf: ArrayBuffer[(Double, Double, Double)]): Any =
+    if (buf.length < 2) null // a line needs 2 points; 0/1-ping groups -> NULL
+    else {
+      val sorted = buf.sortBy(_._1)
+      val ring = new Array[Double](2 * sorted.length)
+      var i = 0
+      sorted.foreach { case (_, x, y) => ring(2 * i) = x; ring(2 * i + 1) = y; i += 1 }
+      Wkb.lineOf(ring)
+    }
+
+  override def serialize(buf: ArrayBuffer[(Double, Double, Double)]): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(4 + 24 * buf.length)
+    out.putInt(buf.length)
+    buf.foreach { case (s, x, y) => out.putDouble(s); out.putDouble(x); out.putDouble(y) }
+    out.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): ArrayBuffer[(Double, Double, Double)] = {
+    val in = java.nio.ByteBuffer.wrap(bytes)
+    val n = in.getInt
+    val buf = new ArrayBuffer[(Double, Double, Double)](n)
+    var i = 0
+    while (i < n) { buf += ((in.getDouble, in.getDouble, in.getDouble)); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): StMakeLineAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): StMakeLineAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): StMakeLineAgg =
+    copy(point = newChildren(0), seq = newChildren(1))
+}
+
 case class StCollectAgg(child: Expression,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[ArrayBuffer[Array[Byte]]] with UnaryLike[Expression] {

@@ -217,6 +217,10 @@ object Wkb {
   def point(x: Double, y: Double): Array[Byte] =
     writeGeom(Geom(1, Array(Array(x, y))))
 
+  /** LINESTRING from flat (x, y) pairs (backing st_makeline_agg). */
+  def lineOf(coords: Array[Double]): Array[Byte] =
+    writeGeom(Geom(2, Array(coords)))
+
   def makeEnvelope(xmin: Double, ymin: Double, xmax: Double, ymax: Double): Array[Byte] =
     writeGeom(Geom(3, Array(Array(
       xmin, ymin, xmax, ymin, xmax, ymax, xmin, ymax, xmin, ymin))))

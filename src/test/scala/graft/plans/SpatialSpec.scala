@@ -390,6 +390,15 @@ class SpatialSpec extends AnyFunSuite {
     // a lone point folds to the degenerate zero-extent envelope
     assert(spark.sql("SELECT st_area(st_extent_agg(st_point(1.0D, 1.0D))) AS a " +
       "FROM range(1)").collect().head.getDouble(0) == 0.0)
+    // st_makeline_agg: trip assembly ordered by seq, not arrival
+    val trip = spark.sql(
+      "SELECT st_astext(st_makeline_agg(st_point(x, y), s)) AS l FROM VALUES " +
+      "(3.0D, 0.5D, 3), (1.0D, 1.0D, 1), (2.0D, 2.0D, 2) AS t(x, y, s)")
+      .collect().head.getString(0)
+    assert(trip == "LINESTRING (1 1, 2 2, 3 0.5)")
+    // below 2 points there is no line -> NULL
+    assert(spark.sql("SELECT st_makeline_agg(st_point(1.0D, 1.0D), 1) AS l " +
+      "FROM range(1)").collect().head.isNullAt(0))
   }
 
   test("convex hull: rectangle from noisy points, collinear degrades, point identity (r12)") {
