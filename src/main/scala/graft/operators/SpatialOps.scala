@@ -539,7 +539,13 @@ object SpatialOps {
       "'POLYGON ((' || x || ' ' || y || ', ' || (x+2) || ' ' || y || ', ' || (x+2) || ' ' || (y+2) || ', ' || x || ' ' || (y+2) || ', ' || x || ' ' || y || '))' AS gj_rt, " +
       "TRUE AS eq_rotated, FALSE AS eq_other, " +
       "'LINESTRING (' || x || ' ' || y || ', ' || (x+2) || ' ' || y || ', ' || (x+2) || ' ' || (y+2) || ', ' || x || ' ' || (y+2) || ', ' || x || ' ' || y || ')' AS bnd_wkt, " +
-      "'MULTIPOINT ((0 0), (' || (x+1) || ' ' || (y+1) || '))' AS bnd_pts " +
+      "'MULTIPOINT ((0 0), (' || (x+1) || ' ' || (y+1) || '))' AS bnd_pts, " +
+      // r13 tail: hole accessor, equator+meridian geodesic length, affine
+      "'LINESTRING (' || (x+1) || ' ' || (y+1) || ', ' || (x+2) || ' ' || (y+1) || ', ' || (x+2) || ' ' || (y+2) || ', ' || (x+1) || ' ' || (y+2) || ', ' || (x+1) || ' ' || (y+1) || ')' AS irn_wkt, " +
+      "TRUE AS irn_null, " +
+      "ROUND(6371008.8 * (radians(CAST(x AS DOUBLE)) + radians(CAST(y AS DOUBLE))) / 1000, 3) AS len_sph_km, " +
+      "ROUND(CAST(6 * (x+1) * (y+1) AS DOUBLE), 6) AS scale_area, " +
+      "ROUND(CAST(-(x+1) AS DOUBLE), 6) AS rot_x, ROUND(CAST(0 AS DOUBLE), 6) AS rot_y " +
       "FROM pts ORDER BY n_nationkey") { (s, d) =>
       Tables.ensure(s, d)
       s.sql(sparkPtsInt +
@@ -562,7 +568,14 @@ object SpatialOps {
         "st_equals(env, st_makeenvelope(CAST(x AS DOUBLE), CAST(y AS DOUBLE), " +
         "CAST(x+2 AS DOUBLE), CAST(y+3 AS DOUBLE))) AS eq_other, " +
         "st_astext(st_boundary(env)) AS bnd_wkt, " +
-        "st_astext(st_boundary(st_geomfromtext(CONCAT('LINESTRING (0 0, ', x+1, ' ', y+1, ')')))) AS bnd_pts " +
+        "st_astext(st_boundary(st_geomfromtext(CONCAT('LINESTRING (0 0, ', x+1, ' ', y+1, ')')))) AS bnd_pts, " +
+        "st_astext(st_interiorringn(st_geomfromtext(CONCAT('POLYGON ((0 0, 20 0, 20 20, 0 20, 0 0), (', " +
+        "x+1, ' ', y+1, ', ', x+2, ' ', y+1, ', ', x+2, ' ', y+2, ', ', x+1, ' ', y+2, ', ', x+1, ' ', y+1, '))')), 1)) AS irn_wkt, " +
+        "(st_interiorringn(env, 1) IS NULL) AS irn_null, " +
+        "ROUND(st_length_sphere(st_geomfromtext(CONCAT('LINESTRING (0 0, ', x, ' 0, ', x, ' ', y, ')'))) / 1000, 3) AS len_sph_km, " +
+        "ROUND(st_area(st_scale(st_makeenvelope(0.0D, 0.0D, CAST(x+1 AS DOUBLE), CAST(y+1 AS DOUBLE)), 2.0D, 3.0D)), 6) AS scale_area, " +
+        "ROUND(st_x(st_rotate(st_point(CAST(x+1 AS DOUBLE), 0.0D), pi())), 6) AS rot_x, " +
+        "ROUND(st_y(st_rotate(st_point(CAST(x+1 AS DOUBLE), 0.0D), pi())), 6) AS rot_y " +
         "FROM g ORDER BY n_nationkey")
     })
 }

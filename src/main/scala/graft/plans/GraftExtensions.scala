@@ -204,5 +204,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "st_boundary(geom) - ring(s) of a polygon / endpoints of a line (NULL for points)"),
     st("st_normalize", "normalize", B, Seq(B),
       "st_normalize(geom) - canonical form: rings rotated to min vertex, CCW shells / " +
-        "CW holes, sorted members (GROUP BY-stable WKB)"))
+        "CW holes, sorted members (GROUP BY-stable WKB)"),
+    st("st_interiorringn", "interiorRingN", B, Seq(B, IntegerType),
+      "st_interiorringn(polygon, n) - 1-based nth hole as a linestring (NULL past count)"),
+    st("st_length_sphere", "lengthSphere", D, Seq(B),
+      "st_length_sphere(geom) - haversine meters summed over segments, (lon, lat) degrees"),
+    st("st_scale", "scale", B, Seq(B, D, D),
+      "st_scale(geom, sx, sy) - scale about the origin"),
+    st("st_rotate", "rotate", B, Seq(B, D),
+      "st_rotate(geom, radians) - counterclockwise rotation about the origin"))
 }

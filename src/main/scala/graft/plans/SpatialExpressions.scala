@@ -777,6 +777,43 @@ object Wkb {
     g.rings.length - 1
   }
 
+  /** 1-based nth hole as a LINESTRING (PostGIS ST_InteriorRingN); NULL
+    * past the hole count, like PostGIS.
+    */
+  def interiorRingN(wkb: Array[Byte], n: Int): Array[Byte] = {
+    val g = parse(wkb)
+    if (g.kind != 3) fail("st_interiorringn expects a POLYGON")
+    if (n < 1 || n > g.rings.length - 1) null
+    else writeGeom(Geom(2, Array(g.rings(n).clone())))
+  }
+
+  /** Geodesic length in meters on the IUGG mean sphere: haversine summed
+    * over the segments of a (MULTI)LINESTRING of (lon, lat)-degree
+    * vertices; polygons measure their ring perimeters.
+    */
+  def lengthSphere(wkb: Array[Byte]): Double = {
+    def segLen(lon1d: Double, lat1d: Double, lon2d: Double, lat2d: Double): Double = {
+      val lat1 = math.toRadians(lat1d); val lat2 = math.toRadians(lat2d)
+      val sdLat = math.sin((lat2 - lat1) / 2)
+      val sdLon = math.sin(math.toRadians(lon2d - lon1d) / 2)
+      val h = sdLat * sdLat + math.cos(lat1) * math.cos(lat2) * sdLon * sdLon
+      2 * 6371008.8 * math.asin(math.min(1.0, math.sqrt(h)))
+    }
+    segments(parse(wkb)).iterator.map { case (x1, y1, x2, y2) =>
+      segLen(x1, y1, x2, y2)
+    }.sum
+  }
+
+  /** Scale about the origin (PostGIS ST_Scale two-factor form). */
+  def scale(wkb: Array[Byte], sx: Double, sy: Double): Array[Byte] =
+    writeGeom(mapCoords(parse(wkb))((x, y) => (x * sx, y * sy)))
+
+  /** Rotate counterclockwise by `rad` about the origin (PostGIS ST_Rotate). */
+  def rotate(wkb: Array[Byte], rad: Double): Array[Byte] = {
+    val c = math.cos(rad); val s = math.sin(rad)
+    writeGeom(mapCoords(parse(wkb))((x, y) => (c * x - s * y, s * x + c * y)))
+  }
+
   // ---- multi-geometry accessors -------------------------------------------------
 
   /** Member count: 1 for simple geometries (PostGIS semantics). */

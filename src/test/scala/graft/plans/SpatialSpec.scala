@@ -324,6 +324,27 @@ class SpatialSpec extends AnyFunSuite {
     assert(text(Wkb.pointOnSurface(wkt("LINESTRING (0 0, 4 0)"))) == "POINT (2 0)")
   }
 
+  test("interior rings, geodesic length, scale/rotate (r13)") {
+    val donut = wkt("POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0), (3 3, 6 3, 6 6, 3 6, 3 3))")
+    assert(text(Wkb.interiorRingN(donut, 1)) == "LINESTRING (3 3, 6 3, 6 6, 3 6, 3 3)")
+    assert(Wkb.interiorRingN(donut, 2) == null, "past the hole count -> NULL (PostGIS)")
+    assert(Wkb.interiorRingN(Wkb.makeEnvelope(0, 0, 1, 1), 1) == null)
+    // geodesic length: a quarter of the equator and a quarter meridian
+    val R = 6371008.8
+    assert(math.abs(Wkb.lengthSphere(wkt("LINESTRING (0 0, 90 0)")) - R * math.Pi / 2) < 1e-6)
+    assert(math.abs(Wkb.lengthSphere(wkt("LINESTRING (0 0, 0 90)")) - R * math.Pi / 2) < 1e-6)
+    // segments sum; 2-point lines agree with st_distance_sphere exactly
+    val two = wkt("LINESTRING (10 20, 30 -15)")
+    assert(Wkb.lengthSphere(two) ==
+      Wkb.distanceSphere(Wkb.point(10, 20), Wkb.point(30, -15)))
+    // affine: area scales by sx*sy; rotation preserves lengths
+    assert(Wkb.area(Wkb.scale(Wkb.makeEnvelope(0, 0, 2, 3), 2.0, 3.0)) == 36.0,
+      "area scales by sx*sy")
+    val rot = Wkb.rotate(Wkb.point(1, 0), math.Pi / 2)
+    assert(math.abs(Wkb.x(rot)) < 1e-15 && math.abs(Wkb.y(rot) - 1.0) < 1e-15)
+    assert(math.abs(Wkb.length(Wkb.rotate(wkt("LINESTRING (0 0, 3 4)"), 1.234)) - 5.0) < 1e-12)
+  }
+
   test("st_isvalid: ring simplicity, spikes, holes strictly inside and disjoint (r13)") {
     assert(Wkb.isValid(Wkb.makeEnvelope(0, 0, 4, 4)))
     assert(Wkb.isValid(wkt(
