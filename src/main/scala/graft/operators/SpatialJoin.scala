@@ -252,7 +252,13 @@ object SpatialJoin {
           case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
         }
         remaining = next
-        if (remaining.isEmpty) done = true else radius *= 2
+        if (remaining.isEmpty) done = true
+        // grow geometrically, but the round before the cap JUMPS to the
+        // terminal radius: the final round must run at >= the coverage
+        // bound, or an extreme outlier (needing > 2^maxRounds growth from
+        // the density-derived start) would silently get incomplete
+        // neighbors instead of exact ones
+        else radius = if (round >= maxRounds - 3) maxR else radius * 2
       }
       round += 1
     }

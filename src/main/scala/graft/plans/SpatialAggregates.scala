@@ -23,8 +23,9 @@ import scala.collection.mutable.ArrayBuffer
   * materialized once per group at evaluate.
   */
 case class StExtentAgg(child: Expression)
-  extends DeclarativeAggregate with UnaryLike[Expression] {
+  extends DeclarativeAggregate with UnaryLike[Expression] with ExpectsInputTypes {
 
+  override def inputTypes = Seq(BinaryType)
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
   override def prettyName: String = "st_extent_agg"
@@ -69,18 +70,6 @@ case class StExtentAgg(child: Expression)
     copy(child = newChild)
 }
 
-/** st_collect_agg(geom): the group's geometries as one MULTI geometry
-  * (homogeneous simple members) or GEOMETRYCOLLECTION (mixed), NULL for an
-  * all-null group. Members are ordered canonically (lexicographic WKT), so
-  * the result is deterministic under Spark's unordered aggregation — the
-  * property the oracle comparison and any downstream hashing rely on.
-  *
-  * Scale posture: like collect_list, the buffer is the group's rows — this
-  * is per-entity geometry assembly (trip points -> path, parcel parts ->
-  * multipolygon), bounded by the entity's size, NOT a whole-table fold;
-  * st_extent_agg is the constant-space alternative when only the bound is
-  * needed.
-  */
 /** st_makeline_agg(point, seq): the group's points as one LINESTRING in
   * ascending `seq` order (ties broken by arrival — make seq unique for
   * full determinism) — the trip-assembly primitive (GPS pings ordered by
@@ -90,8 +79,11 @@ case class StExtentAgg(child: Expression)
   */
 case class StMakeLineAgg(point: Expression, seq: Expression,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[ArrayBuffer[(Double, Double, Double)]] {
+  extends TypedImperativeAggregate[ArrayBuffer[(Double, Double, Double)]]
+  with ImplicitCastInputTypes {
 
+  // ImplicitCastInputTypes: integer/long seq arguments cast to double
+  override def inputTypes = Seq(BinaryType, DoubleType)
   override def children: Seq[Expression] = Seq(point, seq)
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
@@ -157,10 +149,24 @@ case class StMakeLineAgg(point: Expression, seq: Expression,
     copy(point = newChildren(0), seq = newChildren(1))
 }
 
+/** st_collect_agg(geom): the group's geometries as one MULTI geometry
+  * (homogeneous simple members) or GEOMETRYCOLLECTION (mixed), NULL for an
+  * all-null group. Members are ordered canonically (lexicographic WKT), so
+  * the result is deterministic under Spark's unordered aggregation — the
+  * property the oracle comparison and any downstream hashing rely on.
+  *
+  * Scale posture: like collect_list, the buffer is the group's rows — this
+  * is per-entity geometry assembly (trip points -> path, parcel parts ->
+  * multipolygon), bounded by the entity's size, NOT a whole-table fold;
+  * st_extent_agg is the constant-space alternative when only the bound is
+  * needed.
+  */
 case class StCollectAgg(child: Expression,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[ArrayBuffer[Array[Byte]]] with UnaryLike[Expression] {
+  extends TypedImperativeAggregate[ArrayBuffer[Array[Byte]]]
+  with UnaryLike[Expression] with ExpectsInputTypes {
 
+  override def inputTypes = Seq(BinaryType)
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
   override def prettyName: String = "st_collect_agg"
