@@ -38,10 +38,14 @@ object Geofence {
   def tagZones(events: DataFrame, idCol: String, px: Column, py: Column,
       zones: DataFrame, zoneCol: String, geom: Column, cellSize: Double): DataFrame = {
     val pts = events.select(col(idCol), px.cast("double").as("__px"), py.cast("double").as("__py"))
+    // min(zone) per event: with properly half-open (disjoint-interior)
+    // zones this is the unique match; with OVERLAPPING zones the smallest
+    // zone name wins deterministically instead of silently DUPLICATING the
+    // event through the left join (which would fabricate transitions).
     val matched = SpatialJoin.pointInPolygon(
       pts, zones.select(col(zoneCol), geom.as("__geom")),
       col("__px"), col("__py"), col("__geom"), cellSize, boundaryExclusive = true)
-      .select(col(idCol), col(zoneCol))
+      .groupBy(col(idCol)).agg(min(col(zoneCol)).as(zoneCol))
     events.join(matched, Seq(idCol), "left")
       .withColumn(zoneCol, coalesce(col(zoneCol), lit("outside")))
   }
