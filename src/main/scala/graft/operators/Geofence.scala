@@ -16,16 +16,16 @@ final case class ZoneTransition(user_id: Long, ts: java.sql.Timestamp,
     event_id: Long, from_zone: String, to_zone: String)
 
 /** Geofencing over event streams (r13) — the spatial x events x streaming
-  * cross-cut: tag each event's coordinates with its containing zone via
-  * the grid-blocked spatial join, then detect per-user zone TRANSITIONS
-  * (enter/exit edges), in batch (one window pass) or as a Structured
-  * Streaming stateful operator.
+  * cross-cut: tag each event's coordinates with its containing zone via a
+  * shuffle-free map-phase fold over the (metadata-sized) zone list, then
+  * detect per-user zone TRANSITIONS (enter/exit edges), in batch (one
+  * window pass) or as a Structured Streaming stateful operator.
   *
-  * Scale shape: zone sets are metadata-sized (they broadcast in the
-  * blocked join, so events never shuffle for tagging — the SpatialSkewProbe
-  * result); transition detection shuffles once on user_id for the lag
-  * window (batch) or rides the streaming state store keyed by user_id with
-  * ONE string of state per user (streaming).
+  * Scale shape: zone sets are metadata-sized, so tagging is a pure
+  * projection (zero event-keyed exchanges — see [[tagZones]]); transition
+  * detection shuffles once on user_id for the lag window (batch) or rides
+  * the streaming state store keyed by user_id with ONE string of state per
+  * user (streaming).
   */
 object Geofence {
 
@@ -34,14 +34,52 @@ object Geofence {
     * is boundary-exclusive (OGC contains), so tile-adjacent zones never
     * double-tag an edge point; rows on a shared boundary are 'outside' by
     * that definition (declared — lay zones out half-open like the fixture).
+    *
+    * Scale shape (r14, closes the r13 verdict's avoidable-shuffle finding):
+    * zone sets are metadata-sized, so tagging is a PURE PROJECTION — the
+    * zone list folds into the plan as a literal array of (zone, wkb)
+    * structs and each event picks min(zone) over its containing zones via
+    * codegen array filter/transform. ZERO event-keyed exchanges, where the
+    * previous blocked-join form shuffled the full event set twice
+    * (groupBy(event_id) + join-back). Zone sets above `broadcastZoneCap`
+    * fall back to the grid-blocked spatial join (per-event work there is
+    * co-celled candidates only, not all zones).
     */
   def tagZones(events: DataFrame, idCol: String, px: Column, py: Column,
-      zones: DataFrame, zoneCol: String, geom: Column, cellSize: Double): DataFrame = {
+      zones: DataFrame, zoneCol: String, geom: Column, cellSize: Double,
+      broadcastZoneCap: Int = 4096): DataFrame = {
+    val zoneRows = zones.select(col(zoneCol).cast("string"), geom.cast("binary"))
+      .collect().filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+    if (zoneRows.isEmpty)
+      return events.withColumn(zoneCol, lit("outside"))
+    if (zoneRows.length > broadcastZoneCap)
+      return tagZonesBlocked(events, idCol, px, py, zones, zoneCol, geom, cellSize)
+    // min(zone) over containing zones: with properly half-open
+    // (disjoint-interior) zones this is the unique match; with OVERLAPPING
+    // zones the smallest zone name wins deterministically instead of
+    // silently duplicating the event (which would fabricate transitions).
+    val entries = zoneRows.map { r =>
+      struct(lit(r.getString(0)).as("z"), lit(r.getAs[Array[Byte]](1)).as("g"))
+    }
+    events
+      .withColumn("__pt", call_function("st_point", px.cast("double"), py.cast("double")))
+      .withColumn(zoneCol, coalesce(
+        array_min(transform(
+          filter(array(entries.toIndexedSeq: _*),
+            s => call_function("st_contains", s.getField("g"), col("__pt"))),
+          s => s.getField("z"))),
+        lit("outside")))
+      .drop("__pt")
+  }
+
+  /** The grid-blocked fallback for zone sets too large to fold into the
+    * plan: spatial join, min(zone) per event, left-join back (two
+    * event-keyed shuffles — the price of a non-broadcast zone table).
+    */
+  private[operators] def tagZonesBlocked(events: DataFrame, idCol: String,
+      px: Column, py: Column, zones: DataFrame, zoneCol: String,
+      geom: Column, cellSize: Double): DataFrame = {
     val pts = events.select(col(idCol), px.cast("double").as("__px"), py.cast("double").as("__py"))
-    // min(zone) per event: with properly half-open (disjoint-interior)
-    // zones this is the unique match; with OVERLAPPING zones the smallest
-    // zone name wins deterministically instead of silently DUPLICATING the
-    // event through the left join (which would fabricate transitions).
     val matched = SpatialJoin.pointInPolygon(
       pts, zones.select(col(zoneCol), geom.as("__geom")),
       col("__px"), col("__py"), col("__geom"), cellSize, boundaryExclusive = true)

@@ -23,6 +23,12 @@ object Relational {
     * pass ordered frames, as DuckDB users do with ORDER BY subqueries.
     * Scale shape: two linear index passes + one shuffle on the position
     * key; the join itself is a plain equi-join AQE can size.
+    *
+    * EACH INPUT IS READ TWICE: zipWithIndex runs a per-partition count job
+    * before the data pass, and both recompute the input's lineage unless it
+    * is cached. At scale, cache()/localCheckpoint the ordered inputs first
+    * (the declared `join_positional` query below does exactly that); this
+    * function doesn't cache internally so callers keep block ownership.
     */
   def positionalJoin(a: DataFrame, b: DataFrame): DataFrame = {
     def indexed(df: DataFrame, pos: String): DataFrame = {
@@ -173,9 +179,11 @@ object Relational {
       "(SELECT n_name, n_nationkey AS rnk FROM nation ORDER BY n_nationkey) a " +
       "POSITIONAL JOIN (SELECT r_name FROM region ORDER BY r_regionkey) b " +
       "ORDER BY rnk") { (s, d) =>
+      // cache the ordered inputs: zipWithIndex's count job + data pass
+      // would otherwise execute each ORDER BY subquery twice (r13 verdict)
       val a = t(s, d, "nation")
-        .select(col("n_name"), col("n_nationkey").as("rnk")).orderBy("rnk")
-      val b = t(s, d, "region").orderBy("r_regionkey").select("r_name")
+        .select(col("n_name"), col("n_nationkey").as("rnk")).orderBy("rnk").cache()
+      val b = t(s, d, "region").orderBy("r_regionkey").select("r_name").cache()
       positionalJoin(a, b).orderBy("rnk")
     },
 

@@ -218,9 +218,15 @@ object SpatialJoin {
     var radius = r0
     var remaining = l0
     var out: Option[DataFrame] = None
+    val keptFrames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var round = 0
     var done = false
     while (!done && round < maxRounds) {
+      // A round that is terminal BY COUNT must run at the coverage bound,
+      // or a caller-supplied maxRounds <= 3 would accept rank <= k at a
+      // radius below maxR and silently return incomplete neighbor lists —
+      // the jump below only protects the default path.
+      if (round == maxRounds - 1 && radius < maxR) radius = maxR
       val last = radius >= maxR || round == maxRounds - 1
       // Top-k candidates per remaining left point, MATERIALIZED once
       // (localCheckpoint): the loop's next-remainder anti-join AND the
@@ -235,6 +241,7 @@ object SpatialJoin {
         .withColumn("__cnt", count(lit(1)).over(rankWin))
         .filter(col("rnk") <= k)
         .localCheckpoint(true)
+      keptFrames += kept
       val solved = if (last) kept else kept.filter(col("__cnt") >= k)
       val piece = solved.select(col("id_a"), col("id_b"),
         round_(sqrt(col("__d2")), 6).as("dist"), col("rnk"))
@@ -262,8 +269,32 @@ object SpatialJoin {
       }
       round += 1
     }
-    out.getOrElse(emptyOut)
+    out match {
+      case None => emptyOut
+      case Some(o) =>
+        // Materialize the final union into ONE block set, then free every
+        // per-round kept checkpoint and the final remainder: without this a
+        // long-lived server accumulates |left|*k pinned rows per kNN call
+        // until ContextCleaner GC (the jaccardPairsGated lesson applied to
+        // the kept pieces, not just the superseded remainders). The caller
+        // can release the result itself via freeLocalCheckpoint once
+        // consumed.
+        val result = o.localCheckpoint(true)
+        keptFrames.foreach(freeLocalCheckpoint)
+        if (!(remaining eq l0)) freeLocalCheckpoint(remaining)
+        result
+    }
   }
+
+  /** Unpersist the localCheckpoint blocks under a result's LogicalRDD leaf.
+    * Dataset.unpersist is a no-op on localCheckpoint blocks (RDD-owned, not
+    * CacheManager entries); after this call the frame must not be re-read.
+    */
+  def freeLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
 
   // org.apache.spark.sql.functions.round shadowed by the loop variable name
   private def round_(c: Column, scale: Int): Column = round(c, scale)

@@ -534,7 +534,10 @@ object SpatialOps {
       duckPtsInt +
       "SELECT n_nationkey, " +
       "ROUND(6378137 * radians(CAST(x AS DOUBLE)) / 1000, 3) AS merc_x, " +
-      "ROUND(6378137 * ln(tan(pi()/4 + radians(CAST(y AS DOUBLE))/2)) / 1000, 3) AS merc_y, " +
+      // "+ 0.0" canonicalizes IEEE signed zero: at y=0 DuckDB's ROUND keeps the
+      // -0.0 produced by ln(tan(pi/4)) ~ -7e-13, while Spark's ROUND normalizes
+      // to +0.0; the driver hashes raw double bytes, so the signs must agree.
+      "ROUND(6378137 * ln(tan(pi()/4 + radians(CAST(y AS DOUBLE))/2)) / 1000, 3) + 0.0 AS merc_y, " +
       "'{\"type\":\"Point\",\"coordinates\":[' || x || ',' || y || ']}' AS gj, " +
       "'POLYGON ((' || x || ' ' || y || ', ' || (x+2) || ' ' || y || ', ' || (x+2) || ' ' || (y+2) || ', ' || x || ' ' || (y+2) || ', ' || x || ' ' || y || '))' AS gj_rt, " +
       "TRUE AS eq_rotated, FALSE AS eq_other, " +

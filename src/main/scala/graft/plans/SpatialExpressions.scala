@@ -612,8 +612,12 @@ object Wkb {
 
   /** OGC Covers: like contains but boundary-INCLUSIVE (a point on a's
     * boundary IS covered). polygon covers point/linestring/polygon: every
-    * vertex inside-or-on and no proper edge crossing; point covers point:
-    * equality.
+    * vertex inside-or-on and no proper edge crossing; line covers
+    * point/line: exact on-segment containment (b's segments split at a's
+    * vertices, each sub-segment must lie within a single a segment); point
+    * covers point: equality. Multi-geometries recurse per-member: a part of
+    * b must be covered by a SINGLE part of a (a line spanning two touching
+    * members of a multilinestring is declared not-covered — approximation).
     */
   def covers(wa: Array[Byte], wb: Array[Byte]): Boolean =
     coversG(parse(wa), parse(wb))
@@ -624,6 +628,44 @@ object Wkb {
     (a.kind, b.kind) match {
       case (1, 1) =>
         a.rings(0)(0) == b.rings(0)(0) && a.rings(0)(1) == b.rings(0)(1)
+      case (2, 1) =>
+        onBoundary(a, b.rings(0)(0), b.rings(0)(1))
+      case (2, 2) =>
+        // Line covers line: every segment of b must lie on the union of a's
+        // segments. Split each b segment at every a-vertex that lies on it;
+        // within each maximal sub-segment, coverage by any collinear a
+        // segment is then all-or-nothing, so "covered" is exactly "some
+        // single a segment contains both sub-segment endpoints".
+        val sa = segments(a)
+        segments(b).forall { case (x1, y1, x2, y2) =>
+          val dx = x2 - x1; val dy = y2 - y1
+          val len2 = dx * dx + dy * dy
+          if (len2 == 0.0) onBoundary(a, x1, y1)
+          else {
+            val ts = scala.collection.mutable.ArrayBuffer(0.0, 1.0)
+            sa.foreach { case (ax1, ay1, ax2, ay2) =>
+              var pi = 0
+              while (pi < 2) {
+                val px = if (pi == 0) ax1 else ax2
+                val py = if (pi == 0) ay1 else ay2
+                if (pointSegDist(px, py, x1, y1, x2, y2) == 0.0) {
+                  val t = ((px - x1) * dx + (py - y1) * dy) / len2
+                  if (t > 0 && t < 1) ts += t
+                }
+                pi += 1
+              }
+            }
+            val sorted = ts.distinct.sorted
+            sorted.iterator.zip(sorted.iterator.drop(1)).forall { case (t0, t1) =>
+              val p0x = x1 + t0 * dx; val p0y = y1 + t0 * dy
+              val p1x = x1 + t1 * dx; val p1y = y1 + t1 * dy
+              sa.exists { case (ax1, ay1, ax2, ay2) =>
+                pointSegDist(p0x, p0y, ax1, ay1, ax2, ay2) == 0.0 &&
+                  pointSegDist(p1x, p1y, ax1, ay1, ax2, ay2) == 0.0
+              }
+            }
+          }
+        }
       case (3, _) =>
         val allInOrOn = b.vertices.forall { case (px, py) =>
           inside(a, px, py) || onBoundary(a, px, py) }
@@ -1018,12 +1060,17 @@ object Wkb {
 
   /** OGC boundary: polygon -> its ring(s) as (MULTI)LINESTRING, linestring
     * -> MULTIPOINT of its endpoints (NULL when closed — no EMPTY geometry,
-    * declared), point -> NULL.
+    * declared), point -> NULL. Multi-geometries follow the OGC mod-2 rule:
+    * a MULTILINESTRING's boundary keeps only endpoints shared by an odd
+    * number of members (a point where two members meet is interior), and a
+    * MULTIPOLYGON's boundary is the MULTILINESTRING of all its rings.
+    * Heterogeneous GEOMETRYCOLLECTIONs stay per-member (declared
+    * approximation — OGC leaves collection boundaries undefined).
     */
   def boundary(wkb: Array[Byte]): Array[Byte] = {
     val g = parse(wkb)
     g.kind match {
-      case 1 => null
+      case 1 | 4 => null
       case 2 =>
         val r = g.rings(0)
         val n = r.length / 2
@@ -1035,6 +1082,29 @@ object Wkb {
         if (g.rings.length == 1) writeGeom(Geom(2, Array(g.rings(0).clone())))
         else writeGeom(Geom(5, Array.empty,
           g.rings.map(r => Geom(2, Array(r.clone())))))
+      case 5 =>
+        // mod-2 rule: count endpoint multiplicity across open members, keep
+        // points that appear an odd number of times
+        val counts = scala.collection.mutable.LinkedHashMap.empty[(Double, Double), Int]
+        g.parts.foreach { p =>
+          val r = p.rings(0)
+          val n = r.length / 2
+          val closed = r(0) == r(2 * (n - 1)) && r(1) == r(2 * (n - 1) + 1)
+          if (!closed) {
+            Seq((r(0), r(1)), (r(2 * (n - 1)), r(2 * (n - 1) + 1))).foreach { pt =>
+              counts(pt) = counts.getOrElse(pt, 0) + 1
+            }
+          }
+        }
+        val odd = counts.collect { case ((x, y), c) if c % 2 == 1 => Geom(1, Array(Array(x, y))) }.toArray
+        if (odd.isEmpty) null
+        else if (odd.length == 1) writeGeom(odd(0))
+        else writeGeom(Geom(4, Array.empty, odd))
+      case 6 =>
+        val rings = g.parts.flatMap(_.rings.map(r => Geom(2, Array(r.clone()))))
+        if (rings.isEmpty) null
+        else if (rings.length == 1) writeGeom(rings(0))
+        else writeGeom(Geom(5, Array.empty, rings))
       case _ =>
         val parts = g.parts.flatMap(p => Option(boundary(writeGeom(p))).map(parse))
         if (parts.isEmpty) null
@@ -1087,8 +1157,12 @@ object Wkb {
     */
   def snapToGrid(wkb: Array[Byte], size: Double): Array[Byte] = {
     if (size <= 0) fail("st_snaptogrid: size must be > 0")
-    writeGeom(mapCoords(parse(wkb))((x, y) =>
-      (math.floor(x / size + 0.5) * size, math.floor(y / size + 0.5) * size)))
+    // sign-aware: halfway values round away from the origin (-0.5 @ size 1
+    // snaps to -1, +0.5 to +1), matching PostGIS's symmetric rounding
+    // "+ 0.0" strips the -0.0 that signum(-eps) * 0 would otherwise emit
+    def snap(v: Double): Double =
+      math.signum(v) * math.floor(math.abs(v) / size + 0.5) * size + 0.0
+    writeGeom(mapCoords(parse(wkb))((x, y) => (snap(x), snap(y))))
   }
 
   /** North-based clockwise azimuth from point a to point b in [0, 2*pi)

@@ -54,6 +54,38 @@ class GeofenceSpec extends AnyFunSuite {
     assert(out == expected)
   }
 
+  test("tagZones is a pure projection for broadcast-sized zone sets: zero exchanges (r14)") {
+    import spark.implicits._
+    val tagged = Geofence.tagZones(events, "event_id", col("px"), col("py"),
+      zones, "zone", col("geom"), cellSize = 5.0)
+    val plan = tagged.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"broadcast-sized zone tagging must not shuffle events, got:\n$plan")
+    // the blocked fallback (forced via cap 0) tags identically
+    val viaJoin = Geofence.tagZones(events, "event_id", col("px"), col("py"),
+      zones, "zone", col("geom"), cellSize = 5.0, broadcastZoneCap = 0)
+    def tags(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id", "zone").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(tags(tagged) == tags(viaJoin), "projection and blocked paths must agree")
+    // overlapping zones: min zone name wins deterministically in BOTH paths
+    val overlapping = Seq(("B", 0.0, 0.0, 5.0, 5.0), ("A", 0.0, 0.0, 5.0, 5.0))
+      .toDF("zone", "x1", "y1", "x2", "y2")
+      .withColumn("geom", call_function("st_makeenvelope",
+        col("x1"), col("y1"), col("x2"), col("y2")))
+      .select("zone", "geom")
+    for (cap <- Seq(0, 4096)) {
+      val got = Geofence.tagZones(events.where(col("event_id") === 1L),
+        "event_id", col("px"), col("py"), overlapping, "zone", col("geom"),
+        cellSize = 5.0, broadcastZoneCap = cap)
+        .collect().head.getAs[String]("zone")
+      assert(got == "A", s"cap=$cap: overlap resolves to min zone name")
+    }
+    // empty zone table: everything 'outside', no job beyond the metadata read
+    val noZones = Geofence.tagZones(events, "event_id", col("px"), col("py"),
+      zones.where(lit(false)), "zone", col("geom"), cellSize = 5.0)
+    assert(noZones.select("zone").distinct().collect().map(_.getString(0)).toSeq == Seq("outside"))
+  }
+
   test("streaming: same transitions when rows split across micro-batches") {
     import spark.implicits._
     implicit val sql = spark.sqlContext

@@ -100,4 +100,32 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"knn join must stay a cell equi-join, got:\n$plan")
   }
+
+  test("knn join: exact for ANY maxRounds (terminal round runs at coverage radius); blocks freed (r14)") {
+    import spark.implicits._
+    val r = Seq((1L, 0.0, 1.0), (2L, 1.0, 0.0), (3L, 0.0, -1.0), (4L, 2.0, 0.0),
+      (5L, 50.0, 50.0), (6L, 51.0, 50.0)).toDF("rid", "x", "y")
+    val l = Seq((100L, 0.0, 0.0), (200L, 49.0, 50.0)).toDF("lid", "x", "y")
+    val want = Set((100L, 1L), (100L, 2L), (100L, 3L), (200L, 5L), (200L, 6L), (200L, 4L))
+    // with maxRounds <= 3 the round terminal BY COUNT must still run at the
+    // coverage bound — previously it accepted rank <= k at a starved radius
+    for (mr <- Seq(1, 2, 3, 4)) {
+      val got = SpatialJoin.knnJoin(l, col("lid"), col("x"), col("y"),
+        r, col("rid"), col("x"), col("y"), k = 3, maxRounds = mr)
+        .select("id_a", "id_b").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(got == want, s"maxRounds=$mr must stay exact: $got")
+    }
+    // block lifetime: after the op returns only the RESULT's checkpoint is
+    // pinned (per-round kept/remainder blocks freed eagerly), and the
+    // result itself is releasable once consumed
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val out = SpatialJoin.knnJoin(l, col("lid"), col("x"), col("y"),
+      r, col("rid"), col("x"), col("y"), k = 3)
+    val pinned = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(pinned.size <= 1, s"per-round kNN blocks must be freed at return, still pinned: $pinned")
+    assert(out.count() == 6)
+    SpatialJoin.freeLocalCheckpoint(out)
+    val leftover = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leftover.isEmpty, s"consumed kNN result must be releasable: $leftover")
+  }
 }

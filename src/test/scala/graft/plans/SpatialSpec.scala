@@ -594,4 +594,53 @@ class SpatialSpec extends AnyFunSuite {
     assert(text(Wkb.simplify(Wkb.makeEnvelope(0, 0, 1, 1), 0.5)) ==
       text(Wkb.makeEnvelope(0, 0, 1, 1)))
   }
+
+  test("covers/st_equals on linestrings: exact on-segment containment (r14)") {
+    val a = wkt("LINESTRING (0 0, 2 0, 2 2)")
+    assert(Wkb.geomEquals(a, a), "identity")
+    assert(Wkb.geomEquals(a, wkt("LINESTRING (2 2, 2 0, 0 0)")), "reversed")
+    assert(Wkb.geomEquals(a, wkt("LINESTRING (0 0, 1 0, 2 0, 2 2)")),
+      "collinear vertex added")
+    // sub-line that spans an interior vertex of a
+    assert(Wkb.covers(a, wkt("LINESTRING (1 0, 2 0, 2 1)")))
+    // point on a line's interior and at a vertex
+    assert(Wkb.covers(a, Wkb.point(1, 0)) && Wkb.covers(a, Wkb.point(2, 2)))
+    assert(!Wkb.covers(a, Wkb.point(1, 1)))
+    // extends beyond / chord off the path / shorter line is NOT equal
+    assert(!Wkb.covers(a, wkt("LINESTRING (0 0, 3 0)")))
+    assert(!Wkb.covers(a, wkt("LINESTRING (0 0, 2 2)")))
+    assert(!Wkb.geomEquals(a, wkt("LINESTRING (0 0, 2 0)")))
+    assert(Wkb.covers(wkt("LINESTRING (0 0, 2 0)"), a) == false)
+    // byte-identical multilinestrings are equal (per-member recursion)
+    val m = wkt("MULTILINESTRING ((0 0, 1 0), (2 0, 3 0))")
+    assert(Wkb.geomEquals(m, m))
+  }
+
+  test("boundary follows the OGC mod-2 rule on multi-geometries (r14)") {
+    // shared endpoint appears twice -> interior, dropped
+    assert(text(Wkb.boundary(wkt("MULTILINESTRING ((0 0, 1 0), (1 0, 2 0))"))) ==
+      "MULTIPOINT ((0 0), (2 0))")
+    // a 3-way junction appears three times -> odd, kept
+    assert(text(Wkb.boundary(wkt(
+      "MULTILINESTRING ((0 0, 1 0), (1 0, 2 0), (1 0, 1 1))"))) ==
+      "MULTIPOINT ((0 0), (1 0), (2 0), (1 1))")
+    // all-closed members -> no boundary (NULL, no EMPTY geometry — declared)
+    assert(Wkb.boundary(wkt("MULTILINESTRING ((0 0, 1 0, 1 1, 0 0))")) == null)
+    // multipolygon boundary is a MULTILINESTRING of all rings (incl. holes)
+    val mp = Wkb.boundary(wkt(
+      "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((2 2, 4 2, 4 4, 2 4, 2 2), (2.5 2.5, 3 2.5, 3 3, 2.5 3, 2.5 2.5)))"))
+    assert(Wkb.geometryType(mp).toString == "MULTILINESTRING")
+    assert(text(mp).split("\\(").length - 1 == 4, "outer x2 + hole rings, one line each")
+    // multipoint has no boundary
+    assert(Wkb.boundary(wkt("MULTIPOINT ((0 0), (1 1))")) == null)
+  }
+
+  test("snapToGrid rounds halfway values away from the origin (r14)") {
+    assert(text(Wkb.snapToGrid(Wkb.point(-0.5, 0.5), 1.0)) == "POINT (-1 1)")
+    assert(text(Wkb.snapToGrid(Wkb.point(-1.5, 1.5), 1.0)) == "POINT (-2 2)")
+    // no -0.0 leaks out of the sign-aware form (the driver hashes raw bits)
+    val z = Wkb.snapToGrid(Wkb.point(-0.2, -0.4), 1.0)
+    assert(java.lang.Double.doubleToRawLongBits(Wkb.x(z)) == 0L)
+    assert(java.lang.Double.doubleToRawLongBits(Wkb.y(z)) == 0L)
+  }
 }

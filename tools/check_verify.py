@@ -7,6 +7,15 @@ loads the Spark result parquet, sorts columns by name, and compares
 shape + dtypes + values exactly (with a near-miss report for floats).
 """
 import duckdb, json, sys, glob
+import numpy as np
+
+def float_bits_equal(a, b):
+    """Bit-exact float compare matching the driver's raw-byte hash:
+    -0.0 != +0.0, NaN payloads must match bitwise."""
+    ib = {'float64': np.int64, 'float32': np.int32}[str(a.dtype)]
+    av = a.to_numpy().view(ib)
+    bv = b.to_numpy().view(ib)
+    return av == bv
 
 def main():
     sf = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.01'
@@ -39,12 +48,18 @@ def main():
                 bad.append(f'{c}: dtype {a.dtype} vs {b.dtype}')
                 continue
             try:
-                eq = (a == b) | (a.isna() & b.isna())
+                if str(a.dtype) in ('float64', 'float32'):
+                    # The driver hashes raw double bytes: sign of zero and NaN
+                    # payloads matter. pandas == would hide -0.0 vs +0.0.
+                    eq = float_bits_equal(a, b)
+                else:
+                    eq = (a == b) | (a.isna() & b.isna())
             except Exception:
                 eq = a.astype(str) == b.astype(str)
-            if not eq.all():
-                i = int((~eq).idxmax())
-                bad.append(f'{c}: {int((~eq).sum())} diffs, first@{i}: {a[i]!r} vs {b[i]!r}')
+            if not np.asarray(eq).all():
+                neq = ~np.asarray(eq)
+                i = int(np.argmax(neq))
+                bad.append(f'{c}: {int(neq.sum())} diffs, first@{i}: {a.iloc[i]!r} vs {b.iloc[i]!r}')
         if bad:
             print(f'FAIL {name}: ' + '; '.join(bad[:4])); n_fail += 1
         else:
