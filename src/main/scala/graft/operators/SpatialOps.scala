@@ -349,7 +349,17 @@ object SpatialOps {
       "ROUND(CAST(13 - (GREATEST(0, LEAST(x+1, 4) - x) * GREATEST(0, LEAST(y+1, 2) - y) + " +
       "GREATEST(0, LEAST(x+1, 2) - x) * GREATEST(0, LEAST(y+1, 4) - GREATEST(y, 2))) AS DOUBLE), 6) AS ell_union, " +
       "ROUND(CAST(5 AS DOUBLE), 6) AS ll_inter, ROUND(CAST(7 AS DOUBLE), 6) AS ll_diff, " +
-      "ROUND(CAST(19 AS DOUBLE), 6) AS ll_union, ROUND(CAST(4 AS DOUBLE), 6) AS env_diff " +
+      "ROUND(CAST(19 AS DOUBLE), 6) AS ll_union, ROUND(CAST(4 AS DOUBLE), 6) AS env_diff, " +
+      // r14 donut cases: shell [0,5]^2 with hole [2,3]^2 (area 24). The unit
+      // grid square coincides with the hole exactly at (2,2); the donut
+      // pair is the donut vs its (1,1) translate: 16 - 1 - 1 = 14 overlap.
+      "ROUND(CAST(CASE WHEN x = 2 AND y = 2 THEN 0 ELSE 1 END AS DOUBLE), 6) AS donut_inter, " +
+      "ROUND(CAST(CASE WHEN x = 2 AND y = 2 THEN 1 ELSE 0 END AS DOUBLE), 6) AS donut_diff, " +
+      "ROUND(CAST(CASE WHEN x = 2 AND y = 2 THEN 25 ELSE 24 END AS DOUBLE), 6) AS donut_union, " +
+      "ROUND(CAST(8 AS DOUBLE), 6) AS donut_box_inter, " +
+      "ROUND(CAST(1 AS DOUBLE), 6) AS donut_hole_area, " +
+      "ROUND(CAST(14 AS DOUBLE), 6) AS dd_inter, " +
+      "ROUND(CAST(34 AS DOUBLE), 6) AS dd_union " +
       "FROM c ORDER BY n_nationkey") { (s, d) =>
       Tables.ensure(s, d)
       s.sql(sparkPtsInt +
@@ -358,7 +368,9 @@ object SpatialOps {
         "CAST(x+1 AS DOUBLE), CAST(y+1 AS DOUBLE)) AS sq, " +
         "st_geomfromtext('POLYGON ((0 0, 6 0, 0 6, 0 0))') AS tri, " +
         "st_geomfromtext('POLYGON ((0 0, 4 0, 4 2, 2 2, 2 4, 0 4, 0 0))') AS ell, " +
-        "st_makeenvelope(1.0D, 1.0D, 3.0D, 3.0D) AS box FROM pts) " +
+        "st_makeenvelope(1.0D, 1.0D, 3.0D, 3.0D) AS box, " +
+        "st_geomfromtext('POLYGON ((0 0, 5 0, 5 5, 0 5, 0 0), (2 2, 3 2, 3 3, 2 3, 2 2))') AS donut, " +
+        "st_makeenvelope(1.0D, 1.0D, 4.0D, 4.0D) AS dbox FROM pts) " +
         "SELECT n_nationkey, " +
         "st_astext(st_intersection(sq, tri)) AS inter_wkt, " +
         "ROUND(COALESCE(st_area(st_intersection(sq, tri)), 0.0D), 6) AS inter_area, " +
@@ -379,7 +391,14 @@ object SpatialOps {
         "ROUND(st_area(st_intersection(ell, st_translate(ell, 1.0D, 1.0D))), 6) AS ll_inter, " +
         "ROUND(st_area(st_difference(ell, st_translate(ell, 1.0D, 1.0D))), 6) AS ll_diff, " +
         "ROUND(st_area(st_union(ell, st_translate(ell, 1.0D, 1.0D))), 6) AS ll_union, " +
-        "ROUND(st_area(st_difference(st_makeenvelope(0.0D, 0.0D, 4.0D, 4.0D), ell)), 6) AS env_diff " +
+        "ROUND(st_area(st_difference(st_makeenvelope(0.0D, 0.0D, 4.0D, 4.0D), ell)), 6) AS env_diff, " +
+        "ROUND(COALESCE(st_area(st_intersection(sq, donut)), 0.0D), 6) AS donut_inter, " +
+        "ROUND(COALESCE(st_area(st_difference(sq, donut)), 0.0D), 6) AS donut_diff, " +
+        "ROUND(st_area(st_union(sq, donut)), 6) AS donut_union, " +
+        "ROUND(st_area(st_intersection(donut, dbox)), 6) AS donut_box_inter, " +
+        "ROUND(st_area(st_difference(st_makeenvelope(0.0D, 0.0D, 5.0D, 5.0D), donut)), 6) AS donut_hole_area, " +
+        "ROUND(st_area(st_intersection(donut, st_translate(donut, 1.0D, 1.0D))), 6) AS dd_inter, " +
+        "ROUND(st_area(st_union(donut, st_translate(donut, 1.0D, 1.0D))), 6) AS dd_union " +
         "FROM g ORDER BY n_nationkey")
     },
 

@@ -1425,7 +1425,9 @@ object Wkb {
     Some((xs(0), ys(0), xs(1), ys(1)))
   }
 
-  /** Polygon intersection, total on simple hole-free pairs (r13).
+  /** Polygon intersection, total on simple pairs — holes included (r14:
+    * each side decomposes to hole-free disjoint pieces first, so donut
+    * parcels clip exactly).
     * Axis-aligned rectangle pairs take the exact interval-arithmetic path
     * (edge/corner contact yields the degenerate shared rectangle, matching
     * boundary-inclusive st_intersects); a pair with a convex side clips
@@ -1447,12 +1449,17 @@ object Wkb {
         val x1 = math.max(ax1, bx1); val y1 = math.max(ay1, by1)
         val x2 = math.min(ax2, bx2); val y2 = math.min(ay2, by2)
         if (x1 > x2 || y1 > y2) null else makeEnvelope(x1, y1, x2, y2)
-      case _ =>
+      case _ if a.rings.length == 1 && b.rings.length == 1 =>
         val (subj, clip) = clipPair(a, b, "st_intersection")
         piecesToWkb(clipRings(clip).flatMap { t =>
           val p = clipConvex(subj, t)
           if (p.length >= 6 && math.abs(shoelace(p)) > 0.0) Some(p) else None
         })
+      case _ =>
+        // holed pair (r14): A ∩ B over the hole-free piece decompositions —
+        // (∪ pa) ∩ (∪ pb) = ∪ (pa ∩ pb), interiors disjoint on both sides
+        piecesToWkb(intersectPieces(
+          polygonPieces(a, "st_intersection"), b, "st_intersection"))
     }
   }
 
@@ -1578,6 +1585,55 @@ object Wkb {
   private def clipRings(r: Array[Double]): Seq[Array[Double]] =
     if (isConvexRing(r)) Seq(r) else triangulate(r)
 
+  /** pieces − one simple ring, via the triangulated convex-diff kernel;
+    * shared explosion guard for every overlay fold.
+    */
+  private def subtractRing(pieces: Seq[Array[Double]], ring: Array[Double],
+      fn: String): Seq[Array[Double]] = {
+    var cur = pieces
+    clipRings(ring).foreach { t =>
+      cur = cur.flatMap(p => diffConvexRing(p, t))
+      if (cur.length > 4096)
+        fail(s"$fn: piece explosion (> 4096) — inputs too complex for the " +
+          "triangulated overlay scope; st_simplify or st_convexhull can coarsen")
+    }
+    cur
+  }
+
+  /** Decompose a (possibly holed) polygon into disjoint-interior hole-free
+    * piece rings: shell minus each hole ring, the same fold
+    * st_pointonsurface ships (r13), promoted to the overlay entry points —
+    * r14 brings POLYGONS WITH HOLES into the total overlay scope.
+    */
+  private def polygonPieces(g: Geom, fn: String): Seq[Array[Double]] = {
+    if (g.kind != 3) fail(s"$fn expects POLYGON arguments")
+    var pieces: Seq[Array[Double]] =
+      Seq(openShellCcw(Geom(3, Array(g.rings(0))), fn))
+    g.rings.drop(1).foreach { h =>
+      pieces = subtractRing(pieces, openShellCcw(Geom(3, Array(h)), fn), fn)
+    }
+    pieces
+  }
+
+  /** pieces ∩ one (possibly holed) polygon: fold each piece through the
+    * clip side's hole-free decomposition. Interiors stay disjoint (clip
+    * pieces are disjoint; subject pieces are disjoint).
+    */
+  private def intersectPieces(pieces: Seq[Array[Double]], clip: Geom,
+      fn: String): Seq[Array[Double]] = {
+    val out = for {
+      pc <- polygonPieces(clip, fn)
+      t <- clipRings(pc)
+      pa <- pieces
+      p = clipConvex(pa, t)
+      if p.length >= 6 && math.abs(shoelace(p)) > 0.0
+    } yield p
+    if (out.length > 4096)
+      fail(s"$fn: piece explosion (> 4096) — inputs too complex for the " +
+        "triangulated overlay scope; st_simplify or st_convexhull can coarsen")
+    out
+  }
+
   /** Resolve (subject, clip) for the general overlay path; the convex
     * argument (if any) becomes the clip to keep the common case one piece.
     */
@@ -1670,23 +1726,27 @@ object Wkb {
 
   /** subject − clip piece rings; a concave clip subtracts per ear triangle
     * (A − (T1 ∪ … ∪ Tn) = (…(A − T1) − …) − Tn, order-independent).
+    * Holed inputs (r14): with A = Sa − Ha and B = Sb − Hb,
+    *   A − B = (A − Sb) ∪ (A ∩ Hb_1) ∪ … ∪ (A ∩ Hb_m)
+    * — what B's holes exclude from B, A keeps. The unions are disjoint
+    * (outside Sb vs inside distinct holes of Sb), so the piece interiors
+    * stay disjoint and the area/extent algebra stays exact.
     */
   private def diffRings(a: Geom, b: Geom, fn: String): Seq[Array[Double]] = {
-    val subj = openShellCcw(a, fn)
-    val clip = openShellCcw(b, fn)
-    var pieces: Seq[Array[Double]] = Seq(subj)
-    clipRings(clip).foreach { t =>
-      pieces = pieces.flatMap(p => diffConvexRing(p, t))
-      if (pieces.length > 4096)
-        fail(s"$fn: piece explosion (> 4096) — inputs too complex for the " +
-          "triangulated overlay scope; st_simplify or st_convexhull can coarsen")
+    val aPieces = polygonPieces(a, fn)
+    if (b.kind != 3) fail(s"$fn expects POLYGON arguments")
+    val outsideShell = subtractRing(aPieces,
+      openShellCcw(Geom(3, Array(b.rings(0))), fn), fn)
+    val inHoles = b.rings.drop(1).toSeq.flatMap { h =>
+      intersectPieces(aPieces, Geom(3, Array(h)), fn)
     }
-    pieces
+    outsideShell ++ inHoles
   }
 
-  /** Polygon difference subject − clip (r13): exact for any simple
-    * hole-free pair — a convex clip subtracts via half-plane
-    * decomposition, a concave clip per ear triangle. Returns the subject
+  /** Polygon difference subject − clip (r13; r14: holes in scope on both
+    * sides): exact for any simple pair — a convex clip subtracts via
+    * half-plane decomposition, a concave clip per ear triangle, holes
+    * decompose per [[diffRings]]. Returns the subject's piece decomposition
     * when disjoint, one POLYGON or a MULTIPOLYGON of disjoint-interior
     * pieces otherwise, and NULL when the subject is fully covered (no
     * EMPTY geometry — declared).
@@ -1694,7 +1754,8 @@ object Wkb {
   def difference(wa: Array[Byte], wb: Array[Byte]): Array[Byte] =
     piecesToWkb(diffRings(parse(wa), parse(wb), "st_difference"))
 
-  /** Union of two simple hole-free polygons (r13: total). Axis-aligned
+  /** Union of two simple polygons, holes included (r13: total on
+    * hole-free; r14: holed). Axis-aligned
     * rectangle pairs keep their exact closed forms — covering rectangle
     * under containment or full-edge tiling, a two-member MULTIPOLYGON when
     * interiors are disjoint (a corner touch is OGC-valid; a partial shared
@@ -1726,11 +1787,16 @@ object Wkb {
   }
 
   private def generalUnion(a: Geom, b: Geom): Array[Byte] = {
-    val clip = openShellCcw(b, "st_union")
+    // A ∪ B = (A − B) ⊎ B: the diff pieces are disjoint from B by
+    // construction, and B rides along AS-IS — its holes stay holes in the
+    // output member, so the area/extent algebra stays exact for holed
+    // inputs too (r14).
     val pieces = diffRings(a, b, "st_union")
-    if (pieces.isEmpty) writeGeom(Geom(3, Array(closeRing(clip)))) // a ⊆ b
+    if (b.kind != 3) fail("st_union expects POLYGON arguments")
+    val bMember = Geom(3, b.rings)
+    if (pieces.isEmpty) writeGeom(bMember) // a ⊆ b
     else writeGeom(Geom(6, Array.empty,
-      (pieces :+ clip).map(p => Geom(3, Array(closeRing(p)))).toArray))
+      pieces.map(p => Geom(3, Array(closeRing(p)))).toArray :+ bMember))
   }
 
   /** Convex hull (Andrew's monotone chain, O(n log n)): a POLYGON for >= 3

@@ -186,7 +186,17 @@ class PropertySpec extends AnyFunSuite {
       .map { case (x, y, w, h, w2, h1) =>
         poly(Seq((x, y), (x + w, y), (x + w, y + h1), (x + w2, y + h1),
           (x + w2, y + h), (x, y + h))) }
-    val anyPoly = Gen.oneOf(rectGen, triGen, ellGen)
+    // r14: donut subjects — a rect shell with a 1x1 hole strictly inside,
+    // exercising the holed overlay decomposition in the same algebra
+    val donutGen = Gen.zip(c, c, Gen.chooseNum(4, 10), Gen.chooseNum(4, 10),
+      Gen.chooseNum(1, 2), Gen.chooseNum(1, 2))
+      .map { case (x, y, w, h, dx, dy) =>
+        Wkb.fromText(org.apache.spark.unsafe.types.UTF8String.fromString(
+          s"POLYGON (($x $y, ${x + w} $y, ${x + w} ${y + h}, $x ${y + h}, $x $y), " +
+          s"(${x + dx} ${y + dy}, ${x + dx + 1} ${y + dy}, ${x + dx + 1} ${y + dy + 1}, " +
+          s"${x + dx} ${y + dy + 1}, ${x + dx} ${y + dy}))"))
+      }
+    val anyPoly = Gen.oneOf(rectGen, triGen, ellGen, donutGen)
     def areaOf(g: Array[Byte]): Double = if (g == null) 0.0 else Wkb.area(g)
     // intersection points on diagonal edges are rationals (t = c1/(c1-c2)),
     // so the algebra holds to FP accumulation, not bit-exactly

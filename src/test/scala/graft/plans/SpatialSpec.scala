@@ -205,9 +205,11 @@ class SpatialSpec extends AnyFunSuite {
       val d = Option(Wkb.difference(sq(x, y), tri)).map(Wkb.area).getOrElse(0.0)
       assert(i + d == 1.0, s"additivity at ($x,$y): $i + $d")
     }
-    // holes stay out of scope, loudly
-    intercept[IllegalArgumentException](Wkb.intersection(
-      wkt("POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0), (4 4, 5 4, 5 5, 4 5, 4 4))"), tri))
+    // r14: holes are IN scope — additivity holds for a donut subject too
+    val donut9 = wkt("POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0), (4 4, 5 4, 5 5, 4 5, 4 4))")
+    val di = Option(Wkb.intersection(donut9, tri)).map(Wkb.area).getOrElse(0.0)
+    val dd = Option(Wkb.difference(donut9, tri)).map(Wkb.area).getOrElse(0.0)
+    assert(di + dd == Wkb.area(donut9), s"holed additivity: $di + $dd")
   }
 
   test("concave-concave overlay via ear-triangulated clips: exact area algebra (r13)") {
@@ -633,6 +635,41 @@ class SpatialSpec extends AnyFunSuite {
     assert(text(mp).split("\\(").length - 1 == 4, "outer x2 + hole rings, one line each")
     // multipoint has no boundary
     assert(Wkb.boundary(wkt("MULTIPOINT ((0 0), (1 1))")) == null)
+  }
+
+  test("overlay on polygons with holes: donut clip/diff/union, exact area algebra (r14)") {
+    val donut = wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))")
+    assert(Wkb.area(donut) == 96.0)
+    val r37 = Wkb.makeEnvelope(3, 3, 7, 7)
+    // intersection loses the hole's part: 16 - 4
+    assert(Wkb.area(Wkb.intersection(donut, r37)) == 12.0)
+    assert(Wkb.area(Wkb.intersection(r37, donut)) == 12.0, "commutative with a holed side")
+    // a rect fully inside the hole intersects nothing
+    assert(Wkb.intersection(donut, Wkb.makeEnvelope(4.5, 4.5, 5.5, 5.5)) == null)
+    // difference both ways: donut loses the non-hole overlap; the rect
+    // KEEPS what sits in the donut's hole
+    assert(Wkb.area(Wkb.difference(donut, r37)) == 84.0)
+    assert(Wkb.area(Wkb.difference(r37, donut)) == 4.0)
+    // subtracting the donut from its own shell leaves exactly the hole
+    val hole = Wkb.difference(Wkb.makeEnvelope(0, 0, 10, 10), donut)
+    assert(Wkb.area(hole) == 4.0)
+    assert(Wkb.xmin(hole) == 4.0 && Wkb.xmax(hole) == 6.0)
+    // union: inclusion-exclusion + exact extents
+    val uni = Wkb.union(donut, r37)
+    assert(Wkb.area(uni) == 96.0 + 16.0 - 12.0)
+    assert(Wkb.xmin(uni) == 0.0 && Wkb.xmax(uni) == 10.0)
+    // donut x donut, B's hole outside A: (Sa ∩ Sb) − Ha = 64 - 4
+    val donutB = wkt(
+      "POLYGON ((2 2, 12 2, 12 12, 2 12, 2 2), (10.5 10.5, 11.5 10.5, 11.5 11.5, 10.5 11.5, 10.5 10.5))")
+    assert(Wkb.area(donutB) == 99.0)
+    assert(Wkb.area(Wkb.intersection(donut, donutB)) == 60.0)
+    assert(Wkb.area(Wkb.difference(donut, donutB)) == 96.0 - 60.0)
+    val uniBB = Wkb.union(donut, donutB)
+    assert(Wkb.area(uniBB) == 96.0 + 99.0 - 60.0)
+    // union keeps B's hole a hole (it lies outside A, so nothing fills it)
+    assert(!Wkb.contains(uniBB, Wkb.point(11.0, 11.0)))
+    assert(Wkb.contains(uniBB, Wkb.point(5.0, 5.0)),
+      "donut A's hole is covered by B in the union")
   }
 
   test("snapToGrid rounds halfway values away from the origin (r14)") {
