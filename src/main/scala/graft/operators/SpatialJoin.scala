@@ -105,6 +105,86 @@ object SpatialJoin {
       .drop("__cx", "__cy")
   }
 
+  /** Polygon-polygon spatial join on st_intersects (r14) — closes the last
+    * blocked-join family gap: joining two polygon sets previously fell to
+    * Spark's nested-loop fallback. Same grid decomposition as
+    * [[pointInPolygon]], generalized to two exploding sides:
+    *
+    *   1. Each side explodes its bbox to the covered cell range (bounded by
+    *      `maxCellsPerPolygon`, loud on blow-up).
+    *   2. Hash equi-join on the cell key.
+    *   3. A pair sharing k cells would emit k copies — instead of a
+    *      post-join dedup (an extra shuffle on the pair key), each pair is
+    *      kept ONLY in its canonical cell: the minimum cell of the two cell
+    *      ranges' intersection, a codegen filter on already-present bounds.
+    *   4. Exact verify: bbox overlap (sharing a cell does NOT imply it),
+    *      then the st_intersects kernel on the real geometries.
+    *
+    * Cost: O(|A| + |B| cells exploded + co-celled candidates); AQE
+    * skew-split applies to the cell key; a hot cell is the cellSize
+    * retuning story shared by the whole family.
+    */
+  def polygonJoin(left: DataFrame, lgeom: Column, right: DataFrame,
+      rgeom: Column, cellSize: Double,
+      maxCellsPerPolygon: Long = 1L << 16): DataFrame = {
+    def cells(df: DataFrame, geom: Column, p: String): DataFrame = {
+      val nCells = (col(s"__${p}x2") - col(s"__${p}x1") + 1) *
+        (col(s"__${p}y2") - col(s"__${p}y1") + 1)
+      val guard = when(nCells > lit(maxCellsPerPolygon),
+        raise_error(concat(
+          lit(s"polygon join: a polygon's bbox covers more than $maxCellsPerPolygon " +
+            s"grid cells at cellSize=$cellSize ("),
+          nCells.cast("string"),
+          lit(" cells); increase cellSize or raise maxCellsPerPolygon"))).cast("long"))
+        .otherwise(col(s"__${p}x2"))
+      df
+        .withColumn(s"__${p}g", geom)
+        .withColumn(s"__${p}bx1", callUDFFree("st_xmin", col(s"__${p}g")))
+        .withColumn(s"__${p}by1", callUDFFree("st_ymin", col(s"__${p}g")))
+        .withColumn(s"__${p}bx2", callUDFFree("st_xmax", col(s"__${p}g")))
+        .withColumn(s"__${p}by2", callUDFFree("st_ymax", col(s"__${p}g")))
+        .withColumn(s"__${p}x1", floor(col(s"__${p}bx1") / cellSize).cast("long"))
+        .withColumn(s"__${p}x2", floor(col(s"__${p}bx2") / cellSize).cast("long"))
+        .withColumn(s"__${p}y1", floor(col(s"__${p}by1") / cellSize).cast("long"))
+        .withColumn(s"__${p}y2", floor(col(s"__${p}by2") / cellSize).cast("long"))
+        .withColumn(s"__${p}x2", guard)
+        .withColumn("__cx", explode(sequence(col(s"__${p}x1"), col(s"__${p}x2"))))
+        .withColumn("__cy", explode(sequence(col(s"__${p}y1"), col(s"__${p}y2"))))
+    }
+    val internals = Seq("bx1", "by1", "bx2", "by2", "x1", "x2", "y1", "y2", "g")
+    cells(left, lgeom, "l").join(cells(right, rgeom, "r"), Seq("__cx", "__cy"))
+      // canonical cell: exactly-once survival per pair, no dedup shuffle
+      .filter(col("__cx") === greatest(col("__lx1"), col("__rx1")) &&
+        col("__cy") === greatest(col("__ly1"), col("__ry1")))
+      // exact bbox overlap, boundary-inclusive like st_intersects
+      .filter(col("__lbx1") <= col("__rbx2") && col("__rbx1") <= col("__lbx2") &&
+        col("__lby1") <= col("__rby2") && col("__rby1") <= col("__lby2"))
+      .filter(callUDFFree("st_intersects", col("__lg"), col("__rg")))
+      .drop("__cx" +: "__cy" +:
+        internals.flatMap(c => Seq(s"__l$c", s"__r$c")): _*)
+  }
+
+  /** Auto cell size for [[polygonJoin]]: the mean bbox edge over BOTH
+    * sides, floored so no polygon explodes past ~65x65 cells — the same
+    * derive-the-knob-from-the-data posture as the point-in-polygon form.
+    */
+  def polygonJoin(left: DataFrame, lgeom: Column, right: DataFrame,
+      rgeom: Column): DataFrame = {
+    def stats(df: DataFrame, geom: Column) = df.select(
+      avg(callUDFFree("st_xmax", geom) - callUDFFree("st_xmin", geom)).as("w"),
+      avg(callUDFFree("st_ymax", geom) - callUDFFree("st_ymin", geom)).as("h"),
+      max(callUDFFree("st_xmax", geom) - callUDFFree("st_xmin", geom)).as("mw"),
+      max(callUDFFree("st_ymax", geom) - callUDFFree("st_ymin", geom)).as("mh"))
+      .collect().head
+    val ls = stats(left, lgeom); val rs = stats(right, rgeom)
+    if (ls.isNullAt(0) || rs.isNullAt(0))
+      return polygonJoin(left, lgeom, right, rgeom, cellSize = 1.0)
+    val cell = math.max(1e-9, math.max(
+      Seq(ls.getDouble(0), ls.getDouble(1), rs.getDouble(0), rs.getDouble(1)).max,
+      Seq(ls.getDouble(2), ls.getDouble(3), rs.getDouble(2), rs.getDouble(3)).max / 64.0))
+    polygonJoin(left, lgeom, right, rgeom, cell)
+  }
+
   /** Radius join: every (point, point) pair within `radius` (Euclidean),
     * left id < right id. Same grid blocking; each left point probes its own
     * cell plus the 8 neighbors (radius must be <= cellSize for the 3x3
@@ -329,6 +409,35 @@ object SpatialJoin {
       pointInPolygon(pts, polys, col("x"), col("y"), col("geom"), cellSize = 2.0)
         .select("n_nationkey", "r_regionkey")
         .orderBy("n_nationkey", "r_regionkey")
+    },
+
+    // Polygon-polygon blocked join (r14): 25 nation envelopes (3x3 at a
+    // 2-spaced grid, so horizontal/vertical/diagonal neighbors overlap)
+    // against 5 region envelopes on the diagonal. The oracle is the
+    // closed-form interval-overlap test (st_intersects of axis rectangles),
+    // boundary-inclusive; the Spark plan is the canonical-cell equi-join.
+    Op("spatial_join_poly",
+      "WITH a AS (SELECT n_nationkey AS aid, " +
+      "CAST(2 * (n_nationkey % 5) AS DOUBLE) AS ax, " +
+      "CAST(2 * (n_nationkey // 5) AS DOUBLE) AS ay FROM nation), " +
+      "b AS (SELECT r_regionkey AS bid, CAST(1.5 * r_regionkey AS DOUBLE) AS bx, " +
+      "CAST(1.5 * r_regionkey AS DOUBLE) AS by FROM region) " +
+      "SELECT aid, bid FROM a JOIN b ON " +
+      "ax <= bx + 3 AND bx <= ax + 3 AND ay <= by + 3 AND by <= ay + 3 " +
+      "ORDER BY aid, bid") { (s, d) =>
+      Tables.ensure(s, d)
+      val a = s.sql(
+        "SELECT n_nationkey AS aid, st_makeenvelope(" +
+          "CAST(2 * (n_nationkey % 5) AS DOUBLE), CAST(2 * (n_nationkey DIV 5) AS DOUBLE), " +
+          "CAST(2 * (n_nationkey % 5) + 3 AS DOUBLE), CAST(2 * (n_nationkey DIV 5) + 3 AS DOUBLE)) AS ageom " +
+          "FROM nation")
+      val b = s.sql(
+        "SELECT r_regionkey AS bid, st_makeenvelope(" +
+          "CAST(1.5 * r_regionkey AS DOUBLE), CAST(1.5 * r_regionkey AS DOUBLE), " +
+          "CAST(1.5 * r_regionkey + 3 AS DOUBLE), CAST(1.5 * r_regionkey + 3 AS DOUBLE)) AS bgeom " +
+          "FROM region")
+      polygonJoin(a, col("ageom"), b, col("bgeom"), cellSize = 3.0)
+        .select("aid", "bid").orderBy("aid", "bid")
     },
 
     // Grid-blocked radius self-join on the nation grid: all point pairs

@@ -167,6 +167,32 @@ object ScaleCheck {
         f"${(System.nanoTime() - t0) / 1e9}%.2f s ($pairs pairs from $nPts pts x 500 polys)")
     }
 
+    // Polygon-polygon blocked join (r14): 20k*N 0.6-degree envelopes per
+    // side over a space that grows with sqrt(N) per axis — CONSTANT
+    // density, so the true pair count (and the right cost) is linear in N;
+    // growth above linear would mean the canonical-cell plan, not the
+    // data, is superlinear.
+    if (only.isEmpty || only.contains("spatial_join_poly")) {
+      val nPolys = 20000L * n
+      val spanMilli = math.round(100000.0 * math.sqrt(n.toDouble))
+      def side(mx: Long, my: Long, ox: Long, oy: Long, id: String, g: String) =
+        spark.range(nPolys).select(col("id").as(id),
+          call_function("st_makeenvelope",
+            (pmod(col("id") * mx + ox, lit(spanMilli)) / lit(1000.0)),
+            (pmod(col("id") * my + oy, lit(spanMilli)) / lit(1000.0)),
+            (pmod(col("id") * mx + ox, lit(spanMilli)) / lit(1000.0)) + 0.6,
+            (pmod(col("id") * my + oy, lit(spanMilli)) / lit(1000.0)) + 0.6).as(g))
+      val a = side(7919L, 104729L, 0L, 0L, "aid", "ageom")
+      val b = side(104729L, 7919L, 13L, 7L, "bid", "bgeom")
+      val j = graft.operators.SpatialJoin.polygonJoin(
+        a, col("ageom"), b, col("bgeom"), cellSize = 1.0)
+      j.count() // warm codegen
+      val t0 = System.nanoTime()
+      val pairs = j.count()
+      println(f"[scale] spatial_join_poly at ${n}x: " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s ($pairs pairs from $nPolys x $nPolys envelopes)")
+    }
+
     // The library-path blocks below run only on a FULL sweep — a named-op
     // re-check (args after N) stays focused on the named ops.
     if (only.isEmpty) {

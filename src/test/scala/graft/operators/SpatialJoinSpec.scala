@@ -101,6 +101,38 @@ class SpatialJoinSpec extends AnyFunSuite {
       s"knn join must stay a cell equi-join, got:\n$plan")
   }
 
+  test("polygon join: overlap/containment/corner-touch exact, each pair once, cell equi-join plan (r14)") {
+    import spark.implicits._
+    val a = Seq(
+      (1L, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"), // big box
+      (2L, "POLYGON ((10 10, 12 10, 12 12, 10 12, 10 10))"), // far box
+      (3L, "POLYGON ((0 6, 4 6, 4 8, 2 8, 2 10, 0 10, 0 6))")) // concave L
+      .toDF("aid", "awkt")
+      .withColumn("ageom", call_function("st_geomfromtext", col("awkt")))
+    val b = Seq(
+      (10L, "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))"), // strictly inside a1 (no edge cross)
+      (20L, "POLYGON ((3 3, 5 3, 5 5, 3 5, 3 3))"), // overlaps a1 across 4 shared cells
+      (30L, "POLYGON ((3 8, 5 8, 5 9, 3 9, 3 8))"), // edge-touches the L's arm at y=8
+      (40L, "POLYGON ((12 12, 13 12, 13 13, 12 13, 12 12))")) // corner-touches a2
+      .toDF("bid", "bwkt")
+      .withColumn("bgeom", call_function("st_geomfromtext", col("bwkt")))
+    val out = SpatialJoin.polygonJoin(a, col("ageom"), b, col("bgeom"), cellSize = 2.0)
+      .select("aid", "bid")
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1))).toList.sorted
+    // sorted LIST, not set: a pair surviving in more than one shared cell
+    // would appear twice and fail here
+    assert(got == List((1L, 10L), (1L, 20L), (2L, 40L), (3L, 30L)),
+      s"containment without edge crossing, boundary touches, exactly-once: $got")
+    // auto cell size agrees
+    val auto = SpatialJoin.polygonJoin(a, col("ageom"), b, col("bgeom"))
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).toList.sorted
+    assert(auto == got)
+    // scale shape: a blocked equi-join, never a nested loop
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"polygon join must stay a cell equi-join, got:\n$plan")
+  }
+
   test("knn join: exact for ANY maxRounds (terminal round runs at coverage radius); blocks freed (r14)") {
     import spark.implicits._
     val r = Seq((1L, 0.0, 1.0), (2L, 1.0, 0.0), (3L, 0.0, -1.0), (4L, 2.0, 0.0),
