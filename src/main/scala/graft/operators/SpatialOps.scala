@@ -599,5 +599,62 @@ object SpatialOps {
         "ROUND(st_x(st_rotate(st_point(CAST(x+1 AS DOUBLE), 0.0D), pi())), 6) AS rot_x, " +
         "ROUND(st_y(st_rotate(st_point(CAST(x+1 AS DOUBLE), 0.0D), pi())), 6) AS rot_y " +
         "FROM g ORDER BY n_nationkey")
+    },
+
+    // EMPTY geometries (r14): alternate rows carry POLYGON EMPTY vs a real
+    // 2x2 box — round-trip text, emptiness, measures, predicate and overlay
+    // identity/annihilator laws, all against a closed-form oracle.
+    Op("spatial_empty",
+      "WITH pts AS (SELECT n_nationkey, n_nationkey % 2 AS m FROM nation) " +
+      "SELECT n_nationkey, " +
+      "CASE WHEN m = 0 THEN 'POLYGON EMPTY' ELSE 'POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))' END AS g_wkt, " +
+      "(m = 0) AS g_isempty, " +
+      "ROUND(CAST(CASE WHEN m = 0 THEN 0 ELSE 4 END AS DOUBLE), 6) AS g_area, " +
+      "(m = 1) AS g_intersects, " +
+      "CAST(CASE WHEN m = 0 THEN 0 ELSE 5 END AS INTEGER) AS g_npoints, " +
+      "TRUE AS g_valid, " +
+      "ROUND(CAST(CASE WHEN m = 0 THEN 1 ELSE 4 END AS DOUBLE), 6) AS u_area, " +
+      "(m = 0) AS i_null " +
+      "FROM pts ORDER BY n_nationkey") { (s, d) =>
+      Tables.ensure(s, d)
+      s.sql(
+        "WITH pts AS (SELECT n_nationkey, n_nationkey % 2 AS m FROM nation), " +
+        "g AS (SELECT n_nationkey, CASE WHEN m = 0 THEN st_geomfromtext('POLYGON EMPTY') " +
+        "ELSE st_geomfromtext('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))') END AS geo, " +
+        "st_makeenvelope(0.0D, 0.0D, 1.0D, 1.0D) AS unitbox FROM pts) " +
+        "SELECT n_nationkey, st_astext(geo) AS g_wkt, st_isempty(geo) AS g_isempty, " +
+        "ROUND(st_area(geo), 6) AS g_area, st_intersects(geo, unitbox) AS g_intersects, " +
+        "st_npoints(geo) AS g_npoints, st_isvalid(geo) AS g_valid, " +
+        "ROUND(st_area(st_union(geo, unitbox)), 6) AS u_area, " +
+        "(st_intersection(geo, unitbox) IS NULL) AS i_null " +
+        "FROM g ORDER BY n_nationkey")
+    },
+
+    // st_union_agg (r14): per-region dissolve of overlapping 1.5x1.5
+    // envelopes on the nation grid. The oracle computes the union area in
+    // closed form by counting covered 0.5-cells (the envelopes are
+    // 0.5-aligned, so the half-cell cover is exact); extent is min/max
+    // arithmetic. The Spark side is the cascaded piece-fold aggregate.
+    Op("spatial_union_agg",
+      "WITH pts AS (SELECT n_regionkey AS r, CAST(n_nationkey % 5 AS DOUBLE) AS x, " +
+      "CAST(n_nationkey // 5 AS DOUBLE) AS y FROM nation), " +
+      "cells AS (SELECT i % 20 AS cx, i // 20 AS cy FROM range(400) t(i)), " +
+      "covered AS (SELECT r, cx, cy FROM pts, cells " +
+      "WHERE cx * 0.5 >= x AND (cx + 1) * 0.5 <= x + 1.5 " +
+      "AND cy * 0.5 >= y AND (cy + 1) * 0.5 <= y + 1.5 GROUP BY r, cx, cy) " +
+      "SELECT c.r, ROUND(CAST(c.cnt * 0.25 AS DOUBLE), 6) AS union_area, e.ux1, e.uy2 " +
+      "FROM (SELECT r, COUNT(*) AS cnt FROM covered GROUP BY r) c JOIN " +
+      "(SELECT r, ROUND(CAST(MIN(x) AS DOUBLE), 6) AS ux1, " +
+      "ROUND(CAST(MAX(y) + 1.5 AS DOUBLE), 6) AS uy2 FROM pts GROUP BY r) e " +
+      "USING (r) ORDER BY r") { (s, d) =>
+      Tables.ensure(s, d)
+      s.sql(
+        "WITH pts AS (SELECT n_regionkey AS r, CAST(n_nationkey % 5 AS DOUBLE) AS x, " +
+        "CAST(n_nationkey DIV 5 AS DOUBLE) AS y FROM nation), " +
+        "g AS (SELECT r, st_makeenvelope(x, y, x + 1.5D, y + 1.5D) AS env FROM pts) " +
+        "SELECT r, ROUND(st_area(st_union_agg(env)), 6) AS union_area, " +
+        "ROUND(st_xmin(st_union_agg(env)), 6) AS ux1, " +
+        "ROUND(st_ymax(st_union_agg(env)), 6) AS uy2 " +
+        "FROM g GROUP BY r ORDER BY r")
     })
 }

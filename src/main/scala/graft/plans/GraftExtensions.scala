@@ -68,6 +68,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "st_makeline_agg(point, seq) - the group's points as a LINESTRING in seq order " +
           "(trip assembly); NULL below 2 points", ""),
       (children: Seq[Expression]) => StMakeLineAgg(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("st_union_agg"),
+      new ExpressionInfo(classOf[StUnionAgg].getName, null, "st_union_agg",
+        "st_union_agg(geom) - cascaded polygon union (dissolve); exact in " +
+          "area/extent, piece decomposition not outline-traced", ""),
+      (children: Seq[Expression]) => StUnionAgg(children.head)))
   }
 
   import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
@@ -173,6 +179,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     st("st_isvalid", "isValid", BooleanType, Seq(B),
       "st_isvalid(geom) - OGC validity (simple rings, holes strictly inside, " +
         "holes disjoint; per-member for multis)"),
+    st("st_isempty", "isEmpty", BooleanType, Seq(B),
+      "st_isempty(geom) - TRUE for the empty point set (TYPE EMPTY)"),
     st("st_reverse", "reverse", B, Seq(B),
       "st_reverse(geom) - vertex order reversed per ring/line"),
     st("st_removerepeatedpoints", "removeRepeatedPoints", B, Seq(B),

@@ -214,3 +214,90 @@ case class StCollectAgg(child: Expression,
   override protected def withNewChildInternal(newChild: Expression): StCollectAgg =
     copy(child = newChild)
 }
+
+/** st_union_agg(geom): the cascaded union of a group's polygons (r14) —
+  * DuckDB-spatial's dissolve primitive. The buffer is the running union as
+  * a DISJOINT-INTERIOR piece list of hole-free rings; each input polygon P
+  * folds in as U ∪ P = (U − P) ⊎ pieces(P) via the triangulated overlay
+  * kernel, so area/extent over the result are exact. Holed inputs
+  * decompose first (r14 overlay scope); non-polygons fail loudly; all-null
+  * groups yield NULL.
+  *
+  * Determinism contract: the result's POINT SET (hence st_area, st_extent,
+  * containment) is order-independent, but the piece decomposition itself
+  * depends on Spark's unordered fold — compare unions by measures, not by
+  * WKT (the declared st_union piece-decomposition contract, aggregated).
+  *
+  * Scale posture: per-group state is O(vertices of the group's union
+  * decomposition) — per-entity dissolve (parcel rows -> one parcel), NOT a
+  * whole-table fold; the subtractRing explosion guard (4096 pieces) bounds
+  * pathological groups loudly. st_extent_agg is the constant-space
+  * alternative when only the bound is needed.
+  */
+case class StUnionAgg(child: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[ArrayBuffer[Array[Double]]]
+  with UnaryLike[Expression] with ExpectsInputTypes {
+
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_union_agg"
+
+  override def createAggregationBuffer(): ArrayBuffer[Array[Double]] = ArrayBuffer.empty
+
+  override def update(buf: ArrayBuffer[Array[Double]],
+      input: InternalRow): ArrayBuffer[Array[Double]] = {
+    val v = child.eval(input)
+    if (v == null) buf
+    else {
+      val out = Wkb.unionPieces(buf.toSeq, v.asInstanceOf[Array[Byte]])
+      buf.clear(); buf ++= out; buf
+    }
+  }
+
+  override def merge(b1: ArrayBuffer[Array[Double]],
+      b2: ArrayBuffer[Array[Double]]): ArrayBuffer[Array[Double]] = {
+    // b2's pieces are pairwise disjoint: subtract each from b1's side once,
+    // then adopt them — (U1 − U2) ⊎ U2
+    if (b2.isEmpty) return b1
+    if (b1.isEmpty) return b2
+    val reduced = b2.foldLeft(b1.toSeq)((acc, r) => Wkb.subtractPieceRing(acc, r))
+    val out = ArrayBuffer.empty[Array[Double]]
+    out ++= reduced ++= b2
+    out
+  }
+
+  override def eval(buf: ArrayBuffer[Array[Double]]): Any =
+    Wkb.pieceUnionWkb(buf.toSeq)
+
+  override def serialize(buf: ArrayBuffer[Array[Double]]): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(
+      4 + buf.iterator.map(4 + 8 * _.length).sum)
+    out.putInt(buf.length)
+    buf.foreach { r => out.putInt(r.length); r.foreach(out.putDouble) }
+    out.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): ArrayBuffer[Array[Double]] = {
+    val in = java.nio.ByteBuffer.wrap(bytes)
+    val n = in.getInt
+    val buf = new ArrayBuffer[Array[Double]](n)
+    var i = 0
+    while (i < n) {
+      val r = new Array[Double](in.getInt)
+      var j = 0
+      while (j < r.length) { r(j) = in.getDouble; j += 1 }
+      buf += r
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): StUnionAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): StUnionAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): StUnionAgg =
+    copy(child = newChild)
+}

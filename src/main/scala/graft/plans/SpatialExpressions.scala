@@ -21,8 +21,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * st_length, st_perimeter, st_distance, st_dwithin, st_intersects,
   * st_contains, st_within.
   *
-  * Declared scope, stated honestly: planar (Euclidean) geometry only — no
-  * geodesic math, no curves, no EMPTY geometries. Multi-geometries
+  * Declared scope, stated honestly: planar (Euclidean) geometry only (plus
+  * the spherical st_*_sphere family) — no curves. EMPTY geometries (r14)
+  * parse/print/round-trip (`TYPE EMPTY`, zero-count WKB, NaN point);
+  * predicates treat them as the empty set, measures are 0, overlay applies
+  * identity/annihilator laws, coordinate accessors fail loudly.
+  * Multi-geometries
   * (MULTIPOINT / MULTILINESTRING / MULTIPOLYGON / nested
   * GEOMETRYCOLLECTION) parse, print, and evaluate across the whole surface
   * (r12): measures sum over members, predicates distribute per member
@@ -33,8 +37,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * arithmetic for rectangle pairs, Sutherland–Hodgman for a convex side,
   * ear-clipping triangulation of a concave clip — results are exact in
   * area/extent but may be piece decompositions (edge-sharing MULTIPOLYGON
-  * members) rather than minimal outlines; polygons with holes stay out of
-  * the overlay scope, loudly. st_contains follows OGC
+  * members) rather than minimal outlines; polygons with holes are in the
+  * overlay scope since r14 (hole-free piece decomposition per side).
+  * st_contains follows OGC
   * semantics for polygon⊃point (boundary points are NOT contained);
   * polygon⊃polygon/linestring is decided by vertices-inside + no
   * edge-crossings, exact for simple (non-self-intersecting) inputs, which
@@ -64,6 +69,15 @@ object Wkb {
   /** Flatten to simple (kind 1-3) members; identity for simple geometries. */
   private def simples(g: Geom): Seq[Geom] =
     if (g.kind <= 3) Seq(g) else g.parts.toSeq.flatMap(simples)
+
+  /** EMPTY (r14: in scope): a geometry with no vertices — `TYPE EMPTY` in
+    * WKT, zero-count (or NaN-point) WKB. Predicates treat empties as the
+    * empty point set; accessors that need coordinates fail loudly.
+    */
+  private def isEmptyG(g: Geom): Boolean =
+    if (g.kind >= 4) g.parts.forall(isEmptyG) else g.rings.isEmpty
+
+  def isEmpty(wkb: Array[Byte]): Boolean = isEmptyG(parse(wkb))
 
   private def fail(msg: String): Nothing = throw new IllegalArgumentException(s"st_*: $msg")
 
@@ -160,8 +174,13 @@ object Wkb {
       out
     }
     kind match {
-      case 1 => Geom(1, Array(coords(1)))
-      case 2 => Geom(2, Array(coords(in.u32().toInt)))
+      case 1 =>
+        val c = coords(1)
+        // POINT EMPTY is conventionally WKB-encoded as (NaN, NaN)
+        if (c(0).isNaN && c(1).isNaN) Geom(1, Array.empty) else Geom(1, Array(c))
+      case 2 =>
+        val n = in.u32().toInt
+        if (n == 0) Geom(2, Array.empty) else Geom(2, Array(coords(n)))
       case 3 =>
         val nRings = in.u32().toInt
         Geom(3, Array.tabulate(nRings)(_ => coords(in.u32().toInt)))
@@ -193,10 +212,16 @@ object Wkb {
   private def writeInto(g: Geom, buf: java.nio.ByteBuffer): Unit = {
     buf.put(1.toByte).putInt(g.kind)
     g.kind match {
-      case 1 => buf.putDouble(g.rings(0)(0)).putDouble(g.rings(0)(1)); ()
+      case 1 =>
+        if (g.rings.isEmpty) buf.putDouble(Double.NaN).putDouble(Double.NaN)
+        else buf.putDouble(g.rings(0)(0)).putDouble(g.rings(0)(1))
+        ()
       case 2 =>
-        buf.putInt(g.rings(0).length / 2)
-        g.rings(0).foreach(buf.putDouble)
+        if (g.rings.isEmpty) buf.putInt(0)
+        else {
+          buf.putInt(g.rings(0).length / 2)
+          g.rings(0).foreach(buf.putDouble)
+        }
       case 3 =>
         buf.putInt(g.rings.length)
         g.rings.foreach { r => buf.putInt(r.length / 2); r.foreach(buf.putDouble) }
@@ -229,9 +254,8 @@ object Wkb {
 
   /** Recursive-descent WKT parser: POINT/LINESTRING/POLYGON plus the multi
     * forms and (nested) GEOMETRYCOLLECTION. MULTIPOINT accepts both the
-    * wrapped `((1 2), (3 4))` and the bare `(1 2, 3 4)` spelling. EMPTY
-    * geometries remain unsupported (declared — the engine has no empty-set
-    * WKB representation).
+    * wrapped `((1 2), (3 4))` and the bare `(1 2, 3 4)` spelling.
+    * `TYPE EMPTY` parses to the empty point set of that type (r14).
     */
   private def parseWkt(s: String): Geom = {
     var pos = 0
@@ -270,28 +294,44 @@ object Wkb {
       commaList(() => { val x = number(); val y = number(); (x, y) })
         .flatMap { case (x, y) => Seq(x, y) }.toArray
     def ringList(): Array[Array[Double]] = commaList(() => coordSeq()).toArray
+    // `TYPE EMPTY` (r14): the empty point set of that type
+    def tryEmpty(): Boolean = {
+      skipWs()
+      if (s.regionMatches(true, pos, "EMPTY", 0, 5)) { pos += 5; true } else false
+    }
     def geom(): Geom = word() match {
       case "POINT" =>
-        val c = coordSeq()
-        if (c.length != 2) fail(s"POINT needs exactly one x y pair: '$s'")
-        Geom(1, Array(c))
-      case "LINESTRING" => Geom(2, Array(coordSeq()))
-      case "POLYGON" => Geom(3, ringList())
-      case "MULTIPOINT" =>
-        val pts = commaList { () =>
-          val wrapped = peek() == '('
-          if (wrapped) pos += 1
-          val x = number(); val y = number()
-          if (wrapped) expect(')')
-          Geom(1, Array(Array(x, y)))
+        if (tryEmpty()) Geom(1, Array.empty)
+        else {
+          val c = coordSeq()
+          if (c.length != 2) fail(s"POINT needs exactly one x y pair: '$s'")
+          Geom(1, Array(c))
         }
-        Geom(4, Array.empty, pts.toArray)
+      case "LINESTRING" =>
+        if (tryEmpty()) Geom(2, Array.empty) else Geom(2, Array(coordSeq()))
+      case "POLYGON" =>
+        if (tryEmpty()) Geom(3, Array.empty) else Geom(3, ringList())
+      case "MULTIPOINT" =>
+        if (tryEmpty()) Geom(4, Array.empty)
+        else {
+          val pts = commaList { () =>
+            val wrapped = peek() == '('
+            if (wrapped) pos += 1
+            val x = number(); val y = number()
+            if (wrapped) expect(')')
+            Geom(1, Array(Array(x, y)))
+          }
+          Geom(4, Array.empty, pts.toArray)
+        }
       case "MULTILINESTRING" =>
-        Geom(5, Array.empty, ringList().map(r => Geom(2, Array(r))))
+        if (tryEmpty()) Geom(5, Array.empty)
+        else Geom(5, Array.empty, ringList().map(r => Geom(2, Array(r))))
       case "MULTIPOLYGON" =>
-        Geom(6, Array.empty, commaList(() => Geom(3, ringList())).toArray)
+        if (tryEmpty()) Geom(6, Array.empty)
+        else Geom(6, Array.empty, commaList(() => Geom(3, ringList())).toArray)
       case "GEOMETRYCOLLECTION" =>
-        Geom(7, Array.empty, commaList(() => geom()).toArray)
+        if (tryEmpty()) Geom(7, Array.empty)
+        else Geom(7, Array.empty, commaList(() => geom()).toArray)
       case o => fail(s"unsupported WKT geometry '$o'")
     }
     val g = geom()
@@ -305,19 +345,27 @@ object Wkb {
   def x(wkb: Array[Byte]): Double = {
     val g = parse(wkb)
     if (g.kind != 1) fail("st_x expects a POINT")
+    if (g.rings.isEmpty) fail("st_x: POINT EMPTY has no coordinates")
     g.rings(0)(0)
   }
 
   def y(wkb: Array[Byte]): Double = {
     val g = parse(wkb)
     if (g.kind != 1) fail("st_y expects a POINT")
+    if (g.rings.isEmpty) fail("st_y: POINT EMPTY has no coordinates")
     g.rings(0)(1)
   }
 
-  def xmin(wkb: Array[Byte]): Double = parse(wkb).vertices.map(_._1).min
-  def xmax(wkb: Array[Byte]): Double = parse(wkb).vertices.map(_._1).max
-  def ymin(wkb: Array[Byte]): Double = parse(wkb).vertices.map(_._2).min
-  def ymax(wkb: Array[Byte]): Double = parse(wkb).vertices.map(_._2).max
+  private def extentOf(wkb: Array[Byte], fn: String): Geom = {
+    val g = parse(wkb)
+    if (isEmptyG(g)) fail(s"$fn: EMPTY geometry has no extent")
+    g
+  }
+
+  def xmin(wkb: Array[Byte]): Double = extentOf(wkb, "st_xmin").vertices.map(_._1).min
+  def xmax(wkb: Array[Byte]): Double = extentOf(wkb, "st_xmax").vertices.map(_._1).max
+  def ymin(wkb: Array[Byte]): Double = extentOf(wkb, "st_ymin").vertices.map(_._2).min
+  def ymax(wkb: Array[Byte]): Double = extentOf(wkb, "st_ymax").vertices.map(_._2).max
 
   def npoints(wkb: Array[Byte]): Int = parse(wkb).vertices.size
 
@@ -339,6 +387,12 @@ object Wkb {
       (0 until r.length / 2).map(i => s"${fmt(r(2 * i))} ${fmt(r(2 * i + 1))}").mkString(", ")
     def polyBody(p: Geom): String =
       s"(${p.rings.map(r => s"(${ringText(r)})").mkString(", ")})"
+    if (isEmptyG(g) && (g.kind <= 3 || g.parts.isEmpty))
+      return (g.kind match {
+        case 1 => "POINT"; case 2 => "LINESTRING"; case 3 => "POLYGON"
+        case 4 => "MULTIPOINT"; case 5 => "MULTILINESTRING"
+        case 6 => "MULTIPOLYGON"; case _ => "GEOMETRYCOLLECTION"
+      }) + " EMPTY"
     g.kind match {
       case 1 => s"POINT (${ringText(g.rings(0))})"
       case 2 => s"LINESTRING (${ringText(g.rings(0))})"
@@ -389,7 +443,7 @@ object Wkb {
   def length(wkb: Array[Byte]): Double = lengthG(parse(wkb))
 
   private def lengthG(g: Geom): Double = g.kind match {
-    case 2 => ringLength(g.rings(0), closed = false)
+    case 2 => if (g.rings.isEmpty) 0.0 else ringLength(g.rings(0), closed = false)
     case k if k >= 4 => g.parts.iterator.map(lengthG).sum
     case _ => 0.0
   }
@@ -497,7 +551,8 @@ object Wkb {
   }
 
   private def intersectsG(a: Geom, b: Geom): Boolean =
-    if (a.kind >= 4 || b.kind >= 4)
+    if (isEmptyG(a) || isEmptyG(b)) false
+    else if (a.kind >= 4 || b.kind >= 4)
       simples(a).exists(pa => simples(b).exists(pb => intersectsG(pa, pb)))
     else {
       if (a.kind == 3 && b.vertices.exists { case (px, py) =>
@@ -553,6 +608,7 @@ object Wkb {
     * overlap).
     */
   private def containsG(a: Geom, b: Geom): Boolean = {
+    if (isEmptyG(a) || isEmptyG(b)) return false
     if (a.kind >= 4 || b.kind >= 4)
       return simples(b).forall(pb => simples(a).exists(pa => containsG(pa, pb)))
     (a.kind, b.kind) match {
@@ -623,6 +679,7 @@ object Wkb {
     coversG(parse(wa), parse(wb))
 
   private def coversG(a: Geom, b: Geom): Boolean = {
+    if (isEmptyG(a) || isEmptyG(b)) return false
     if (a.kind >= 4 || b.kind >= 4)
       return simples(b).forall(pb => simples(a).exists(pa => coversG(pa, pb)))
     (a.kind, b.kind) match {
@@ -1055,8 +1112,12 @@ object Wkb {
     * ring rotation, orientation, and redundant collinear vertices don't
     * matter (PostGIS ST_Equals semantics over this engine's covers scope).
     */
-  def geomEquals(wa: Array[Byte], wb: Array[Byte]): Boolean =
-    covers(wa, wb) && covers(wb, wa)
+  def geomEquals(wa: Array[Byte], wb: Array[Byte]): Boolean = {
+    val a = parse(wa); val b = parse(wb)
+    // two empties are the same (empty) point set regardless of type tag
+    if (isEmptyG(a) || isEmptyG(b)) return isEmptyG(a) && isEmptyG(b)
+    coversG(a, b) && coversG(b, a)
+  }
 
   /** OGC boundary: polygon -> its ring(s) as (MULTI)LINESTRING, linestring
     * -> MULTIPOINT of its endpoints (NULL when closed — no EMPTY geometry,
@@ -1069,6 +1130,7 @@ object Wkb {
     */
   def boundary(wkb: Array[Byte]): Array[Byte] = {
     val g = parse(wkb)
+    if (isEmptyG(g)) return null
     g.kind match {
       case 1 | 4 => null
       case 2 =>
@@ -1309,12 +1371,14 @@ object Wkb {
     */
   def isValid(wkb: Array[Byte]): Boolean = isValidG(parse(wkb))
 
-  private def isValidG(g: Geom): Boolean = g.kind match {
-    case 1 => true
-    case 2 => g.rings(0).length / 2 >= 2
-    case 3 => polygonValid(g)
-    case _ => g.parts.nonEmpty && g.parts.forall(isValidG)
-  }
+  private def isValidG(g: Geom): Boolean =
+    if (isEmptyG(g)) true // OGC: empty geometries are valid
+    else g.kind match {
+      case 1 => true
+      case 2 => g.rings(0).length / 2 >= 2
+      case 3 => polygonValid(g)
+      case _ => g.parts.nonEmpty && g.parts.forall(isValidG)
+    }
 
   /** Drop the closing duplicate vertex if present. */
   private def openRing(r: Array[Double]): Array[Double] = {
@@ -1444,6 +1508,9 @@ object Wkb {
     */
   def intersection(wa: Array[Byte], wb: Array[Byte]): Array[Byte] = {
     val a = parse(wa); val b = parse(wb)
+    // EMPTY inputs (r14): X ∩ ∅ = ∅ -> NULL (the engine's empty-result
+    // convention, declared)
+    if (isEmptyG(a) || isEmptyG(b)) return null
     (asAxisRect(a), asAxisRect(b)) match {
       case (Some((ax1, ay1, ax2, ay2)), Some((bx1, by1, bx2, by2))) =>
         val x1 = math.max(ax1, bx1); val y1 = math.max(ay1, by1)
@@ -1751,8 +1818,13 @@ object Wkb {
     * pieces otherwise, and NULL when the subject is fully covered (no
     * EMPTY geometry — declared).
     */
-  def difference(wa: Array[Byte], wb: Array[Byte]): Array[Byte] =
-    piecesToWkb(diffRings(parse(wa), parse(wb), "st_difference"))
+  def difference(wa: Array[Byte], wb: Array[Byte]): Array[Byte] = {
+    val a = parse(wa); val b = parse(wb)
+    // EMPTY inputs (r14): ∅ − X = ∅ -> NULL; X − ∅ = X unchanged
+    if (isEmptyG(a)) return null
+    if (isEmptyG(b)) return wa
+    piecesToWkb(diffRings(a, b, "st_difference"))
+  }
 
   /** Union of two simple polygons, holes included (r13: total on
     * hole-free; r14: holed). Axis-aligned
@@ -1768,6 +1840,10 @@ object Wkb {
     */
   def union(wa: Array[Byte], wb: Array[Byte]): Array[Byte] = {
     val a = parse(wa); val b = parse(wb)
+    // EMPTY inputs (r14): the other side unchanged; both empty -> NULL
+    if (isEmptyG(a) && isEmptyG(b)) return null
+    if (isEmptyG(a)) return wb
+    if (isEmptyG(b)) return wa
     (asAxisRect(a), asAxisRect(b)) match {
       case (Some((ax1, ay1, ax2, ay2)), Some((bx1, by1, bx2, by2))) =>
         val aCoversB = ax1 <= bx1 && ay1 <= by1 && ax2 >= bx2 && ay2 >= by2
@@ -1785,6 +1861,32 @@ object Wkb {
       case _ => generalUnion(a, b)
     }
   }
+
+  /** Fold one polygon (or multipolygon) into a disjoint-interior piece list
+    * — the incremental union step backing st_union_agg (r14):
+    * U ∪ P = (U − P) ⊎ pieces(P). Non-polygon input fails loudly.
+    */
+  def unionPieces(pieces: Seq[Array[Double]], poly: Array[Byte]): Seq[Array[Double]] = {
+    val g = parse(poly)
+    if (isEmptyG(g)) return pieces
+    val members = simples(g)
+    if (members.exists(_.kind != 3))
+      fail("st_union_agg expects POLYGON/MULTIPOLYGON inputs")
+    members.foldLeft(pieces) { (acc, p) =>
+      val pp = polygonPieces(p, "st_union_agg")
+      pp.foldLeft(acc)((a, r) => subtractRing(a, r, "st_union_agg")) ++ pp
+    }
+  }
+
+  /** Disjoint piece list -> NULL / POLYGON / MULTIPOLYGON (st_union_agg
+    * evaluate; the same edge-sharing decomposition contract as st_union).
+    */
+  def pieceUnionWkb(pieces: Seq[Array[Double]]): Array[Byte] = piecesToWkb(pieces)
+
+  /** pieces − one hole-free CCW piece ring (st_union_agg merge step). */
+  def subtractPieceRing(pieces: Seq[Array[Double]],
+      ring: Array[Double]): Seq[Array[Double]] =
+    subtractRing(pieces, ring, "st_union_agg")
 
   private def generalUnion(a: Geom, b: Geom): Array[Byte] = {
     // A ∪ B = (A − B) ⊎ B: the diff pieces are disjoint from B by

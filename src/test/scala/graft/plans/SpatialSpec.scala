@@ -68,7 +68,7 @@ class SpatialSpec extends AnyFunSuite {
   }
 
   test("WKT errors are loud and scoped") {
-    intercept[IllegalArgumentException](wkt("POINT EMPTY"))
+    // (POINT EMPTY parses since r14 — see the EMPTY geometries test)
     intercept[IllegalArgumentException](wkt("POINT (1 2 3 4 5)"))
     intercept[IllegalArgumentException](wkt("CIRCULARSTRING (0 0, 1 1, 2 0)"))
     intercept[IllegalArgumentException](wkt("POLYGON ((0 0, 1 0, 1 1)) junk"))
@@ -670,6 +670,74 @@ class SpatialSpec extends AnyFunSuite {
     assert(!Wkb.contains(uniBB, Wkb.point(11.0, 11.0)))
     assert(Wkb.contains(uniBB, Wkb.point(5.0, 5.0)),
       "donut A's hole is covered by B in the union")
+  }
+
+  test("st_union_agg: cascaded dissolve — exact area/extent, hole plugging, NULLs (r14)") {
+    val spark = graft.GraftSession.local()
+    import spark.implicits._
+    // group 1: two overlapping rects (union 6) + a disjoint unit rect = 7
+    // group 2: a donut + the exact rect plugging its hole = solid 10x10
+    Seq((1, "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"),
+        (1, "POLYGON ((1 0, 3 0, 3 2, 1 2, 1 0))"),
+        (1, "POLYGON ((5 0, 6 0, 6 1, 5 1, 5 0))"),
+        (2, "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))"),
+        (2, "POLYGON ((4 4, 6 4, 6 6, 4 6, 4 4))"),
+        (2, null))
+      .toDF("g", "wkt").createOrReplaceTempView("sunion")
+    val rows = spark.sql(
+      "SELECT g, ROUND(st_area(st_union_agg(st_geomfromtext(wkt))), 6) AS a, " +
+      "st_xmin(st_union_agg(st_geomfromtext(wkt))) AS x1, " +
+      "st_xmax(st_union_agg(st_geomfromtext(wkt))) AS x2, " +
+      "st_contains(st_union_agg(st_geomfromtext(wkt)), st_point(5.0D, 5.0D)) AS mid " +
+      "FROM sunion GROUP BY g ORDER BY g").collect()
+    assert(rows(0).getDouble(1) == 7.0 && rows(0).getDouble(2) == 0.0 &&
+      rows(0).getDouble(3) == 6.0)
+    assert(rows(1).getDouble(1) == 100.0, "plugged donut dissolves to the full square")
+    assert(rows(1).getBoolean(4), "the plugged hole's midpoint is inside the dissolve")
+    assert(!rows(0).getBoolean(4))
+    // all-NULL group -> NULL, like the other aggregates
+    val n = spark.sql("SELECT st_union_agg(g2) AS u FROM " +
+      "(SELECT CAST(NULL AS BINARY) AS g2 FROM range(3))").collect().head
+    assert(n.isNullAt(0))
+    // non-polygon input fails loudly
+    intercept[Exception](spark.sql(
+      "SELECT st_union_agg(st_point(1.0D, 1.0D)) FROM range(1)").collect())
+  }
+
+  test("EMPTY geometries: parse/print round-trip, empty-set semantics (r14)") {
+    val types = Seq("POINT", "LINESTRING", "POLYGON", "MULTIPOINT",
+      "MULTILINESTRING", "MULTIPOLYGON", "GEOMETRYCOLLECTION")
+    for (t <- types) {
+      val e = wkt(s"$t EMPTY")
+      assert(text(e) == s"$t EMPTY", s"$t WKT round-trip")
+      // WKB round-trip (parse of the written bytes)
+      assert(text(Wkb.fromText(Wkb.asText(e))) == s"$t EMPTY")
+      assert(Wkb.isEmpty(e) && Wkb.geometryType(e).toString == t)
+      assert(Wkb.area(e) == 0.0 && Wkb.npoints(e) == 0)
+      assert(Wkb.isValid(e), "OGC: empty geometries are valid")
+    }
+    val e = wkt("POLYGON EMPTY")
+    val box = Wkb.makeEnvelope(0, 0, 2, 2)
+    assert(!Wkb.isEmpty(box))
+    // predicates: the empty set intersects/contains/covers nothing
+    assert(!Wkb.intersects(e, box) && !Wkb.intersects(box, e))
+    assert(!Wkb.contains(box, e) && !Wkb.covers(box, e) && !Wkb.contains(e, box))
+    assert(Wkb.disjoint(e, box))
+    // equality: two empties are the same (empty) point set
+    assert(Wkb.geomEquals(e, wkt("LINESTRING EMPTY")))
+    assert(!Wkb.geomEquals(e, box) && !Wkb.geomEquals(box, e))
+    // overlay identity/annihilator laws
+    assert(Wkb.intersection(box, e) == null && Wkb.intersection(e, box) == null)
+    assert(Wkb.area(Wkb.difference(box, e)) == 4.0)
+    assert(Wkb.difference(e, box) == null)
+    assert(Wkb.area(Wkb.union(box, e)) == 4.0 && Wkb.area(Wkb.union(e, box)) == 4.0)
+    assert(Wkb.union(e, wkt("POINT EMPTY")) == null)
+    // boundary of nothing is nothing; length 0
+    assert(Wkb.boundary(wkt("LINESTRING EMPTY")) == null)
+    assert(Wkb.length(wkt("LINESTRING EMPTY")) == 0.0)
+    // coordinate accessors fail LOUDLY instead of crashing obscurely
+    intercept[IllegalArgumentException](Wkb.x(wkt("POINT EMPTY")))
+    intercept[IllegalArgumentException](Wkb.xmin(e))
   }
 
   test("snapToGrid rounds halfway values away from the origin (r14)") {
