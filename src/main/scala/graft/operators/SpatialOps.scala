@@ -298,12 +298,22 @@ object SpatialOps {
       "CAST(x AS DOUBLE) AS buf_cx, CAST(y AS DOUBLE) AS buf_cy, " +
       "CAST(x - (x+1) AS DOUBLE) AS buf_xmin, " +
       "TRUE AS center_in, " +
-      "ROUND(CAST(x+1 AS DOUBLE), 6) AS edge_dist " +
+      "ROUND(CAST(x+1 AS DOUBLE), 6) AS edge_dist, " +
+      // r14 dilation closed forms: straight line r=0.5 -> 2rL rect + one
+      // full inscribed 32-gon (A32 = 16 r^2 sin(pi/16)); unit square ->
+      // square + 4 edge rects + 4 corner quarter-fans = 1 + 2 + A32
+      "ROUND(3 + 4 * sin(pi()/16), 6) AS lb_area, " +
+      "ROUND(CAST(x AS DOUBLE) - 0.5, 6) AS lb_xmin, " +
+      "ROUND(1 + 2 + 4 * sin(pi()/16), 6) AS sb_area, " +
+      "ROUND(CAST(y AS DOUBLE) + 1.5, 6) AS sb_ymax " +
       "FROM pts ORDER BY n_nationkey") { (s, d) =>
       Tables.ensure(s, d)
       s.sql(sparkPtsInt +
         ", g AS (SELECT n_nationkey, x, y, " +
-        "st_buffer(st_point(CAST(x AS DOUBLE), CAST(y AS DOUBLE)), CAST(x+1 AS DOUBLE)) AS buf " +
+        "st_buffer(st_point(CAST(x AS DOUBLE), CAST(y AS DOUBLE)), CAST(x+1 AS DOUBLE)) AS buf, " +
+        "st_buffer(st_geomfromtext(CONCAT('LINESTRING (', x, ' ', y, ', ', x+3, ' ', y, ')')), 0.5D) AS lbuf, " +
+        "st_buffer(st_makeenvelope(CAST(x AS DOUBLE), CAST(y AS DOUBLE), " +
+        "CAST(x+1 AS DOUBLE), CAST(y+1 AS DOUBLE)), 0.5D) AS sbuf " +
         "FROM pts) " +
         "SELECT n_nationkey, " +
         "ROUND(st_area(buf), 6) AS buf_area, " +
@@ -312,7 +322,11 @@ object SpatialOps {
         "ROUND(st_x(st_centroid(buf)), 6) AS buf_cx, ROUND(st_y(st_centroid(buf)), 6) AS buf_cy, " +
         "ROUND(st_xmin(buf), 6) AS buf_xmin, " +
         "st_contains(buf, st_point(CAST(x AS DOUBLE), CAST(y AS DOUBLE))) AS center_in, " +
-        "ROUND(st_distance(buf, st_point(CAST(x AS DOUBLE) + 2*(x+1), CAST(y AS DOUBLE))), 6) AS edge_dist " +
+        "ROUND(st_distance(buf, st_point(CAST(x AS DOUBLE) + 2*(x+1), CAST(y AS DOUBLE))), 6) AS edge_dist, " +
+        "ROUND(st_area(lbuf), 6) AS lb_area, " +
+        "ROUND(st_xmin(lbuf), 6) AS lb_xmin, " +
+        "ROUND(st_area(sbuf), 6) AS sb_area, " +
+        "ROUND(st_ymax(sbuf), 6) AS sb_ymax " +
         "FROM g ORDER BY n_nationkey")
     },
 

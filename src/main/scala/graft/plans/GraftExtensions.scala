@@ -173,7 +173,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     st("st_distance_spheroid", "distanceSpheroid", D, Seq(B, B),
       "st_distance_spheroid(a, b) - WGS84 Lambert ellipsoidal meters, (lon, lat) degrees"),
     st("st_buffer", "buffer", B, Seq(B, D),
-      "st_buffer(point, r) - 32-gon circle approximation (GEOS quad_segs=8; point scope)"),
+      "st_buffer(geom, r) - Minkowski dilation by an inscribed 32-gon disc " +
+        "(GEOS quad_segs=8; points/lines/polygons incl. holes; r > 0)"),
     st("st_simplify", "simplify", B, Seq(B, D),
       "st_simplify(geom, tol) - Douglas-Peucker (linestrings + polygon rings)"),
     st("st_isvalid", "isValid", BooleanType, Seq(B),

@@ -1939,21 +1939,60 @@ object Wkb {
     */
   def buffer(wkb: Array[Byte], r: Double, quadSegs: Int): Array[Byte] = {
     val g = parse(wkb)
-    if (g.kind != 1) fail("st_buffer supports POINT geometries only (declared scope)")
     if (r <= 0) fail(s"st_buffer radius must be positive, got $r")
     if (quadSegs < 1) fail(s"st_buffer quad_segs must be >= 1, got $quadSegs")
-    val cx = g.rings(0)(0); val cy = g.rings(0)(1)
     val n = 4 * quadSegs
-    val ring = new Array[Double](2 * (n + 1))
-    var i = 0
-    while (i < n) {
-      val a = 2 * math.Pi * i / n
-      ring(2 * i) = cx + r * math.cos(a)
-      ring(2 * i + 1) = cy + r * math.sin(a)
-      i += 1
+    // inscribed n-gon direction; multiples of 90 degrees are EXACT so the
+    // union cuts along axis-aligned edges stay closed-form (cos(pi/2) in
+    // FP is 6e-17, which would smear an exact oracle area)
+    def dirAt(k: Int): (Double, Double) =
+      if (4 * k % n == 0) (4 * k / n) match {
+        case 0 => (1.0, 0.0); case 1 => (0.0, 1.0)
+        case 2 => (-1.0, 0.0); case _ => (0.0, -1.0)
+      }
+      else { val a = 2 * math.Pi * k / n; (math.cos(a), math.sin(a)) }
+    def ngon(cx: Double, cy: Double): Array[Double] = {
+      val ring = new Array[Double](2 * n)
+      var i = 0
+      while (i < n) {
+        val (dx, dy) = dirAt(i)
+        ring(2 * i) = cx + r * dx; ring(2 * i + 1) = cy + r * dy
+        i += 1
+      }
+      ring
     }
-    ring(2 * n) = ring(0); ring(2 * n + 1) = ring(1)
-    writeGeom(Geom(3, Array(ring)))
+    if (g.kind == 1 && g.rings.nonEmpty) {
+      // fast path: the historical point form, one closed n-gon polygon
+      val ring = ngon(g.rings(0)(0), g.rings(0)(1))
+      return writeGeom(Geom(3, Array(closeRing(ring))))
+    }
+    if (isEmptyG(g)) return writeGeom(Geom(3, Array.empty)) // buffer(∅) = ∅
+    // General dilation (r14): Minkowski sum with the inscribed n-gon disc
+    // = union of per-vertex n-gons + per-segment oriented rectangles +
+    // (for polygons) the subject's own pieces — rectangles on HOLE edges
+    // grow inward, eroding the hole, which is exactly Minkowski semantics.
+    // The result is the engine's exact-area piece decomposition (union
+    // contract); negative radii (erosion) stay out of scope, loudly via
+    // the r <= 0 check above.
+    var pieces: Seq[Array[Double]] = Seq.empty
+    def add(ring: Array[Double]): Unit =
+      pieces = subtractRing(pieces, ring, "st_buffer") :+ ring
+    simples(g).foreach { m =>
+      if (!isEmptyG(m)) {
+        m.vertices.foreach { case (vx, vy) => add(ngon(vx, vy)) }
+        segments(m).foreach { case (x1, y1, x2, y2) =>
+          val len = math.hypot(x2 - x1, y2 - y1)
+          if (len > 0) {
+            val nx = -(y2 - y1) / len * r; val ny = (x2 - x1) / len * r
+            add(Array(x1 + nx, y1 + ny, x1 - nx, y1 - ny,
+              x2 - nx, y2 - ny, x2 + nx, y2 + ny))
+          }
+        }
+        if (m.kind == 3)
+          polygonPieces(m, "st_buffer").foreach(add)
+      }
+    }
+    piecesToWkb(pieces)
   }
 
   def buffer(wkb: Array[Byte], r: Double): Array[Byte] = buffer(wkb, r, 8)

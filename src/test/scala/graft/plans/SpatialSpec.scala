@@ -575,8 +575,36 @@ class SpatialSpec extends AnyFunSuite {
     // quad_segs scales the fidelity: more segments -> area closer to pi r^2
     val fine = Wkb.buffer(Wkb.point(0, 0), 1.0, 64)
     assert(math.abs(Wkb.area(fine) - math.Pi) < 1e-3)
-    intercept[IllegalArgumentException](Wkb.buffer(wkt("LINESTRING (0 0, 1 1)"), 1.0))
     intercept[IllegalArgumentException](Wkb.buffer(Wkb.point(0, 0), -1.0))
+  }
+
+  test("line/polygon buffer: Minkowski dilation, exact closed-form areas (r14)") {
+    // straight line: 2rL rectangle + one full inscribed 32-gon from the
+    // two end half-discs (n-gon vertices sit EXACTLY on the axes, so the
+    // union cuts are closed-form)
+    val lb = Wkb.buffer(wkt("LINESTRING (1 1, 4 1)"), 0.5)
+    val a32 = 16 * 0.25 * math.sin(math.Pi / 16)
+    assert(math.abs(Wkb.area(lb) - (3.0 + a32)) < 1e-12, s"got ${Wkb.area(lb)}")
+    assert(Wkb.xmin(lb) == 0.5 && Wkb.xmax(lb) == 4.5 && Wkb.ymax(lb) == 1.5)
+    assert(Wkb.contains(lb, Wkb.point(2.5, 1.0)))
+    assert(!Wkb.intersects(lb, Wkb.point(6.0, 1.0)))
+    // L-shaped line: rects overlap at the corner; area stays within the
+    // capsule bounds (2rL + full disc <= area <= + corner fan)
+    val el = Wkb.buffer(wkt("LINESTRING (0 0, 2 0, 2 2)"), 0.5)
+    assert(Wkb.area(el) > 2 * 0.5 * 4 && Wkb.area(el) < 2 * 0.5 * 4 + 2 * a32)
+    // polygon dilation: unit square + 4 edge rects + corner quarter-fans
+    val pb = Wkb.buffer(wkt("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"), 0.5)
+    assert(math.abs(Wkb.area(pb) - (1.0 + 2.0 + a32)) < 1e-12, s"got ${Wkb.area(pb)}")
+    assert(Wkb.xmin(pb) == -0.5 && Wkb.ymax(pb) == 1.5)
+    // donut dilation: the hole ERODES by r — its midpoint is covered once
+    // the remaining hole is smaller than the 2r shrink... here hole 2x2,
+    // r = 0.5 leaves a 1x1 open center
+    val db = Wkb.buffer(
+      wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))"), 0.5)
+    assert(Wkb.contains(db, Wkb.point(4.2, 4.2)), "hole shrank by r")
+    assert(!Wkb.contains(db, Wkb.point(5.0, 5.0)), "hole center still open")
+    // EMPTY buffers to EMPTY
+    assert(Wkb.isEmpty(Wkb.buffer(wkt("POLYGON EMPTY"), 1.0)))
   }
 
   test("simplify: Douglas-Peucker keeps structure above tolerance (r12)") {
