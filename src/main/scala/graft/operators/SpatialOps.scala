@@ -644,6 +644,36 @@ object SpatialOps {
         "FROM g ORDER BY n_nationkey")
     },
 
+    // st_outline (r14): minimal boundary tracing over piece
+    // decompositions — the partial-overlap union of two 2x2 squares
+    // becomes the true corner octagon (closed-form WKT per row), and a
+    // 4-rect frame dissolve traces shell + CW hole.
+    Op("spatial_outline",
+      duckPtsInt +
+      "SELECT n_nationkey, " +
+      "'POLYGON ((' || x || ' ' || y || ', ' || (x+2) || ' ' || y || ', ' || (x+2) || ' ' || (y+1) || ', ' || " +
+      "(x+3) || ' ' || (y+1) || ', ' || (x+3) || ' ' || (y+3) || ', ' || (x+1) || ' ' || (y+3) || ', ' || " +
+      "(x+1) || ' ' || (y+2) || ', ' || x || ' ' || (y+2) || ', ' || x || ' ' || y || '))' AS oct_wkt, " +
+      "ROUND(CAST(7 AS DOUBLE), 6) AS oct_area, " +
+      "'POLYGON ((0 0, 3 0, 3 3, 0 3, 0 0), (1 1, 1 2, 2 2, 2 1, 1 1))' AS frame_wkt " +
+      "FROM pts ORDER BY n_nationkey") { (s, d) =>
+      Tables.ensure(s, d)
+      s.sql(sparkPtsInt +
+        ", g AS (SELECT n_nationkey, " +
+        "st_union(st_makeenvelope(CAST(x AS DOUBLE), CAST(y AS DOUBLE), " +
+        "CAST(x+2 AS DOUBLE), CAST(y+2 AS DOUBLE)), " +
+        "st_makeenvelope(CAST(x+1 AS DOUBLE), CAST(y+1 AS DOUBLE), " +
+        "CAST(x+3 AS DOUBLE), CAST(y+3 AS DOUBLE))) AS u FROM pts) " +
+        "SELECT n_nationkey, st_astext(st_outline(u)) AS oct_wkt, " +
+        "ROUND(st_area(st_outline(u)), 6) AS oct_area, " +
+        "(SELECT st_astext(st_outline(st_union_agg(env))) FROM (" +
+        "SELECT st_makeenvelope(0.0D, 0.0D, 1.0D, 3.0D) AS env UNION ALL " +
+        "SELECT st_makeenvelope(2.0D, 0.0D, 3.0D, 3.0D) UNION ALL " +
+        "SELECT st_makeenvelope(1.0D, 0.0D, 2.0D, 1.0D) UNION ALL " +
+        "SELECT st_makeenvelope(1.0D, 2.0D, 2.0D, 3.0D))) AS frame_wkt " +
+        "FROM g ORDER BY n_nationkey")
+    },
+
     // st_union_agg (r14): per-region dissolve of overlapping 1.5x1.5
     // envelopes on the nation grid. The oracle computes the union area in
     // closed form by counting covered 0.5-cells (the envelopes are

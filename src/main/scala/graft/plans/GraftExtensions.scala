@@ -182,6 +182,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "holes disjoint; per-member for multis)"),
     st("st_isempty", "isEmpty", BooleanType, Seq(B),
       "st_isempty(geom) - TRUE for the empty point set (TYPE EMPTY)"),
+    st("st_outline", "outlineOf", B, Seq(B),
+      "st_outline(geom) - minimal boundary polygons of an edge-sharing " +
+        "piece decomposition (st_union/st_union_agg output); loud on " +
+        "non-tiling input"),
     st("st_reverse", "reverse", B, Seq(B),
       "st_reverse(geom) - vertex order reversed per ring/line"),
     st("st_removerepeatedpoints", "removeRepeatedPoints", B, Seq(B),

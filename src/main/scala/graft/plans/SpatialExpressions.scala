@@ -1871,7 +1871,7 @@ object Wkb {
     if (isEmptyG(g)) return pieces
     val members = simples(g)
     if (members.exists(_.kind != 3))
-      fail("st_union_agg expects POLYGON/MULTIPOLYGON inputs")
+      fail("st_union/st_union_agg expects POLYGON/MULTIPOLYGON inputs")
     members.foldLeft(pieces) { (acc, p) =>
       val pp = polygonPieces(p, "st_union_agg")
       pp.foldLeft(acc)((a, r) => subtractRing(a, r, "st_union_agg")) ++ pp
@@ -1889,16 +1889,197 @@ object Wkb {
     subtractRing(pieces, ring, "st_union_agg")
 
   private def generalUnion(a: Geom, b: Geom): Array[Byte] = {
-    // A ∪ B = (A − B) ⊎ B: the diff pieces are disjoint from B by
-    // construction, and B rides along AS-IS — its holes stay holes in the
-    // output member, so the area/extent algebra stays exact for holed
-    // inputs too (r14).
-    val pieces = diffRings(a, b, "st_union")
-    if (b.kind != 3) fail("st_union expects POLYGON arguments")
-    val bMember = Geom(3, b.rings)
-    if (pieces.isEmpty) writeGeom(bMember) // a ⊆ b
-    else writeGeom(Geom(6, Array.empty,
-      pieces.map(p => Geom(3, Array(closeRing(p)))).toArray :+ bMember))
+    // A ∪ B = (A − B) ⊎ B when B is one holed polygon (B rides along
+    // AS-IS, its holes stay holes — fewest pieces); MULTIPOLYGON operands
+    // (r14, e.g. chained unions) fold both sides through the
+    // disjoint-piece union instead. Area/extent stay exact either way.
+    if (a.kind == 3 && b.kind == 3) {
+      val pieces = diffRings(a, b, "st_union")
+      val bMember = Geom(3, b.rings)
+      if (pieces.isEmpty) writeGeom(bMember) // a ⊆ b
+      else writeGeom(Geom(6, Array.empty,
+        pieces.map(p => Geom(3, Array(closeRing(p)))).toArray :+ bMember))
+    } else
+      piecesToWkb(unionPieces(unionPieces(Seq.empty, writeGeom(a)), writeGeom(b)))
+  }
+
+  /** Minimal-outline tracing (r14, `st_outline`): turn an edge-sharing
+    * piece decomposition (the st_union / st_union_agg output contract)
+    * into the true boundary polygons — shells with holes, no interior
+    * edges. Method:
+    *
+    *   1. Normalize every ring (member shells CCW, holes CW = interior of
+    *      the union on the LEFT of every directed edge).
+    *   2. Split each edge at every other vertex lying on it (T-junctions
+    *      from triangulation cuts), so shared boundary is edge-by-edge
+    *      identical.
+    *   3. Cancel opposite-direction duplicates: interior (shared) edges
+    *      vanish, boundary edges survive exactly once.
+    *   4. Stitch survivors into rings, taking the most-counterclockwise
+    *      turn at junctions (keeps the interior on the left, so two shells
+    *      touching at a corner come out as two simple rings, not a
+    *      figure-eight).
+    *   5. Signed area classifies shells (CCW) vs holes (CW); each hole
+    *      attaches to the smallest shell containing it. Rings start at
+    *      their lexicographically smallest vertex and members are ordered
+    *      by (xmin, ymin) — canonical, GROUP BY-stable output.
+    *
+    * Exactness contract (honest): cancellation matches edges BIT-exactly.
+    * Pieces produced by this engine's overlay over well-conditioned
+    * coordinates share identical cut vertices; inputs whose pieces abut
+    * only approximately leave unpaired edges, and the trace fails LOUDLY
+    * instead of emitting a broken ring.
+    */
+  def outlineOf(wkb: Array[Byte]): Array[Byte] = {
+    val g = parse(wkb)
+    if (isEmptyG(g)) return wkb
+    val members = simples(g)
+    if (members.exists(_.kind != 3))
+      fail("st_outline expects POLYGON/MULTIPOLYGON input")
+    // loud guard: tracing assumes DISJOINT-INTERIOR members (the union
+    // piece contract). Crossing or nested members would trace a wrong
+    // outline silently — reject them instead (full-overlay flattening of
+    // arbitrary overlaps is st_union's job, per pair).
+    for (i <- members.indices; j <- members.indices if i < j) {
+      val si = segments(members(i)); val sj = segments(members(j))
+      if (si.exists(s1 => sj.exists(s2 => properCross(s1, s2))))
+        fail("st_outline: members cross — not a disjoint-interior decomposition")
+      def strictlyInsideOther(a: Geom, b: Geom): Boolean =
+        b.vertices.exists { case (px, py) =>
+          inside(a, px, py) && !onBoundary(a, px, py) }
+      if (strictlyInsideOther(members(i), members(j)) ||
+          strictlyInsideOther(members(j), members(i)))
+        fail("st_outline: members nest/overlap — not a disjoint-interior decomposition")
+    }
+    type Pt = (Double, Double)
+    val dirEdges = scala.collection.mutable.ArrayBuffer.empty[(Pt, Pt)]
+    members.foreach { m =>
+      val shell = openShellCcw(Geom(3, Array(m.rings(0))), "st_outline")
+      def ringEdges(r: Array[Double], reverse: Boolean): Unit = {
+        val n = r.length / 2
+        var i = 0
+        while (i < n) {
+          val j = (i + 1) % n
+          val a = (r(2 * i), r(2 * i + 1)); val b = (r(2 * j), r(2 * j + 1))
+          if (a != b) dirEdges += (if (reverse) (b, a) else (a, b))
+          i += 1
+        }
+      }
+      ringEdges(shell, reverse = false)
+      m.rings.drop(1).foreach { h =>
+        ringEdges(openShellCcw(Geom(3, Array(h)), "st_outline"), reverse = true)
+      }
+    }
+    // T-junction split at every vertex lying on an edge's interior
+    val verts: Array[Pt] = dirEdges.iterator.flatMap(e => Iterator(e._1, e._2)).toArray.distinct
+    val split = dirEdges.iterator.flatMap { case (a, b) =>
+      val dx = b._1 - a._1; val dy = b._2 - a._2
+      val len2 = dx * dx + dy * dy
+      val ts = scala.collection.mutable.ArrayBuffer(0.0, 1.0)
+      verts.foreach { v =>
+        if (v != a && v != b && pointSegDist(v._1, v._2, a._1, a._2, b._1, b._2) == 0.0) {
+          val t = ((v._1 - a._1) * dx + (v._2 - a._2) * dy) / len2
+          if (t > 0 && t < 1) ts += t
+        }
+      }
+      val sorted = ts.distinct.sorted
+      sorted.iterator.zip(sorted.iterator.drop(1)).map { case (t0, t1) =>
+        // endpoints snap to the EXACT splitting vertex (not interpolation)
+        def at(t: Double): Pt =
+          if (t == 0.0) a else if (t == 1.0) b
+          else verts.find(v => v != a && v != b &&
+            pointSegDist(v._1, v._2, a._1, a._2, b._1, b._2) == 0.0 &&
+            ((v._1 - a._1) * dx + (v._2 - a._2) * dy) / len2 == t).getOrElse(
+            (a._1 + t * dx, a._2 + t * dy))
+        (at(t0), at(t1))
+      }
+    }.toSeq
+    // cancel opposite-direction pairs via a net count per undirected key
+    val net = scala.collection.mutable.LinkedHashMap.empty[(Pt, Pt), Int]
+    val ord = implicitly[Ordering[Pt]]
+    split.foreach { case (a, b) =>
+      val (key, d) = if (ord.lt(a, b)) ((a, b), 1) else ((b, a), -1)
+      val n = net.getOrElse(key, 0) + d
+      if (n == 0) net.remove(key) else net(key) = n
+    }
+    val survivors = scala.collection.mutable.LinkedHashMap.empty[Pt, scala.collection.mutable.ArrayBuffer[Pt]]
+    net.foreach { case ((a, b), n) =>
+      if (math.abs(n) > 1)
+        fail("st_outline: a boundary edge appears more than once (members " +
+          "overlap rather than tile — outline requires a disjoint-interior " +
+          "piece decomposition)")
+      val (from, to) = if (n > 0) (a, b) else (b, a)
+      survivors.getOrElseUpdate(from, scala.collection.mutable.ArrayBuffer.empty) += to
+    }
+    if (survivors.isEmpty)
+      fail("st_outline: no boundary edges survived (degenerate input)")
+    // stitch rings, most-counterclockwise turn at junctions
+    def turnAngle(ux: Double, uy: Double, wx: Double, wy: Double): Double =
+      math.atan2(ux * wy - uy * wx, ux * wx + uy * wy) // signed CCW turn
+    val rings = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    var guard = 0
+    val guardMax = 4 * split.length + 16
+    while (survivors.nonEmpty) {
+      val start = survivors.keysIterator.min(ord)
+      val first = survivors(start).min(ord)
+      val ring = scala.collection.mutable.ArrayBuffer[Pt](start)
+      var prev = start
+      var cur = first
+      def consume(from: Pt, to: Pt): Unit = {
+        val outs = survivors(from)
+        outs.remove(outs.indexOf(to))
+        if (outs.isEmpty) survivors.remove(from)
+        ()
+      }
+      consume(start, first)
+      while (cur != start) {
+        guard += 1
+        if (guard > guardMax) fail("st_outline: boundary walk did not close " +
+          "(unpaired edges — pieces do not share bit-exact boundaries)")
+        ring += cur
+        val outs = survivors.getOrElse(cur,
+          fail("st_outline: boundary walk hit a dead end (unpaired edges — " +
+            "pieces do not share bit-exact boundaries)"))
+        val ux = cur._1 - prev._1; val uy = cur._2 - prev._2
+        val next =
+          if (outs.length == 1) outs.head
+          else outs.maxBy(w => turnAngle(ux, uy, w._1 - cur._1, w._2 - cur._2))
+        consume(cur, next)
+        prev = cur
+        cur = next
+      }
+      // drop collinear pass-through vertices left by the T-junction split
+      val m = ring.length
+      val keep = (0 until m).filter { i =>
+        val a = ring((i + m - 1) % m); val b = ring(i); val c = ring((i + 1) % m)
+        (b._1 - a._1) * (c._2 - b._2) - (b._2 - a._2) * (c._1 - b._1) != 0.0
+      }.map(ring(_))
+      if (keep.length >= 3) {
+        // canonical start: lexicographically smallest vertex
+        val s = keep.indices.minBy(i => keep(i))
+        val rot = (keep.drop(s) ++ keep.take(s)).toArray
+        val flat = new Array[Double](2 * rot.length)
+        rot.indices.foreach { i => flat(2 * i) = rot(i)._1; flat(2 * i + 1) = rot(i)._2 }
+        rings += flat
+      }
+    }
+    // classify + attach holes to the smallest containing shell
+    val shells = rings.filter(shoelace(_) > 0)
+    val holes = rings.filter(shoelace(_) < 0)
+    if (shells.isEmpty) fail("st_outline: no shell ring traced")
+    val shellGeoms = shells.map(s => (s, scala.collection.mutable.ArrayBuffer.empty[Array[Double]]))
+    holes.foreach { h =>
+      val inside_ = shellGeoms.filter { case (s, _) =>
+        inside(Geom(3, Array(s)), h(0), h(1)) || onBoundary(Geom(3, Array(s)), h(0), h(1))
+      }
+      if (inside_.isEmpty) fail("st_outline: a hole ring lies in no shell")
+      inside_.minBy { case (s, _) => math.abs(shoelace(s)) }._2 += h
+    }
+    val polys = shellGeoms.sortBy { case (s, _) => (s(0), s(1)) }.map { case (s, hs) =>
+      Geom(3, (closeRing(s) +: hs.map(closeRing).toSeq).toArray)
+    }
+    if (polys.length == 1) writeGeom(polys.head)
+    else writeGeom(Geom(6, Array.empty, polys.toArray))
   }
 
   /** Convex hull (Andrew's monotone chain, O(n log n)): a POLYGON for >= 3

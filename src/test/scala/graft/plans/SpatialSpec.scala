@@ -732,6 +732,45 @@ class SpatialSpec extends AnyFunSuite {
       "SELECT st_union_agg(st_point(1.0D, 1.0D)) FROM range(1)").collect())
   }
 
+  test("st_outline: minimal boundary from piece decompositions (r14)") {
+    // partial-overlap union -> the true L-corner octagon, canonical start
+    val u = Wkb.union(Wkb.makeEnvelope(0, 0, 4, 4), Wkb.makeEnvelope(2, 2, 6, 6))
+    assert(text(Wkb.outlineOf(u)) ==
+      "POLYGON ((0 0, 4 0, 4 2, 6 2, 6 6, 2 6, 2 4, 0 4, 0 0))")
+    assert(Wkb.area(Wkb.outlineOf(u)) == Wkb.area(u), "outline preserves area")
+    // concave x concave union (L-shapes): area preserved, single shell
+    val ell = wkt("POLYGON ((0 0, 4 0, 4 2, 2 2, 2 4, 0 4, 0 0))")
+    val ell2 = Wkb.translate(ell, 1.0, 1.0)
+    val uo = Wkb.outlineOf(Wkb.union(ell, ell2))
+    assert(Wkb.area(uo) == 19.0 && Wkb.geometryType(uo).toString == "POLYGON")
+    // disjoint members stay two shells, ordered by (xmin, ymin)
+    val two = Wkb.outlineOf(Wkb.union(
+      Wkb.makeEnvelope(10, 10, 11, 11), Wkb.makeEnvelope(0, 0, 1, 1)))
+    assert(text(two) ==
+      "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((10 10, 11 10, 11 11, 10 11, 10 10)))")
+    // corner touch -> two simple rings, not a figure-eight
+    val touch = Wkb.outlineOf(Wkb.union(
+      Wkb.makeEnvelope(0, 0, 1, 1), Wkb.makeEnvelope(1, 1, 2, 2)))
+    assert(Wkb.geometryType(touch).toString == "MULTIPOLYGON")
+    assert(Wkb.area(touch) == 2.0)
+    // four rects tiling a frame -> shell + CW hole
+    val frame = Seq(
+      Wkb.makeEnvelope(0, 0, 1, 3), Wkb.makeEnvelope(2, 0, 3, 3),
+      Wkb.makeEnvelope(1, 0, 2, 1), Wkb.makeEnvelope(1, 2, 2, 3))
+      .reduce((a, b) => Wkb.union(a, b))
+    assert(text(Wkb.outlineOf(frame)) ==
+      "POLYGON ((0 0, 3 0, 3 3, 0 3, 0 0), (1 1, 1 2, 2 2, 2 1, 1 1))")
+    // plugging a donut's hole dissolves to the solid square
+    val donut = wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))")
+    val plugged = Wkb.union(donut, wkt("POLYGON ((4 4, 6 4, 6 6, 4 6, 4 4))"))
+    assert(text(Wkb.outlineOf(plugged)) == "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    // identity on an already-minimal polygon; loud on non-tiling members
+    assert(text(Wkb.outlineOf(Wkb.makeEnvelope(0, 0, 2, 2))) ==
+      "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")
+    intercept[IllegalArgumentException](Wkb.outlineOf(wkt(
+      "MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)), ((1 1, 3 1, 3 3, 1 3, 1 1)))")))
+  }
+
   test("EMPTY geometries: parse/print round-trip, empty-set semantics (r14)") {
     val types = Seq("POINT", "LINESTRING", "POLYGON", "MULTIPOINT",
       "MULTILINESTRING", "MULTIPOLYGON", "GEOMETRYCOLLECTION")
