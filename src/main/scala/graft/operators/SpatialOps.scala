@@ -674,6 +674,38 @@ object SpatialOps {
         "FROM g ORDER BY n_nationkey")
     },
 
+    // Curve geometries (r14): per-row semicircle CIRCULARSTRINGs round-trip
+    // through WKT and linearize with closed-form chord sums — 16 chords of
+    // 2 sin(pi/32) each for the half circle, half/full inscribed-32-gon
+    // areas for the curve polygons.
+    Op("spatial_curve",
+      duckPtsInt +
+      "SELECT n_nationkey, " +
+      "'CIRCULARSTRING (' || x || ' ' || y || ', ' || (x+1) || ' ' || (y+1) || ', ' || (x+2) || ' ' || y || ')' AS cs_wkt, " +
+      "'CIRCULARSTRING' AS cs_type, FALSE AS cs_empty, " +
+      "CAST(17 AS INTEGER) AS line_np, " +
+      "ROUND(32 * sin(pi()/32), 6) AS line_len, " +
+      "ROUND(CAST(x AS DOUBLE), 6) AS line_xmin, " +
+      "ROUND(8 * sin(pi()/16), 6) AS half_area, " +
+      "ROUND(16 * sin(pi()/16), 6) AS circle_area " +
+      "FROM pts ORDER BY n_nationkey") { (s, d) =>
+      Tables.ensure(s, d)
+      s.sql(sparkPtsInt +
+        ", g AS (SELECT n_nationkey, x, y, " +
+        "st_geomfromtext(CONCAT('CIRCULARSTRING (', x, ' ', y, ', ', x+1, ' ', y+1, ', ', x+2, ' ', y, ')')) AS cs, " +
+        "st_geomfromtext(CONCAT('CURVEPOLYGON (COMPOUNDCURVE (CIRCULARSTRING (', x, ' ', y, ', ', x+1, ' ', y+1, ', ', x+2, ' ', y, '), (', x+2, ' ', y, ', ', x, ' ', y, ')))')) AS hd, " +
+        "st_geomfromtext(CONCAT('CURVEPOLYGON (CIRCULARSTRING (', x, ' ', y, ', ', x+2, ' ', y, ', ', x, ' ', y, '))')) AS fc " +
+        "FROM pts) " +
+        "SELECT n_nationkey, st_astext(cs) AS cs_wkt, " +
+        "st_geometrytype(cs) AS cs_type, st_isempty(cs) AS cs_empty, " +
+        "st_npoints(st_curvetoline(cs)) AS line_np, " +
+        "ROUND(st_length(st_curvetoline(cs)), 6) AS line_len, " +
+        "ROUND(st_xmin(st_curvetoline(cs)), 6) AS line_xmin, " +
+        "ROUND(st_area(st_curvetoline(hd)), 6) AS half_area, " +
+        "ROUND(st_area(st_curvetoline(fc)), 6) AS circle_area " +
+        "FROM g ORDER BY n_nationkey")
+    },
+
     // st_union_agg (r14): per-region dissolve of overlapping 1.5x1.5
     // envelopes on the nation grid. The oracle computes the union area in
     // closed form by counting covered 0.5-cells (the envelopes are

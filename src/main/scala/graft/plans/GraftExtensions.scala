@@ -186,6 +186,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "st_outline(geom) - minimal boundary polygons of an edge-sharing " +
         "piece decomposition (st_union/st_union_agg output); loud on " +
         "non-tiling input"),
+    (FunctionIdentifier("st_curvetoline"),
+      new ExpressionInfo(Wkb.getClass.getName, null, "st_curvetoline",
+        "st_curvetoline(geom[, quad_segs]) - linearize CIRCULARSTRING/" +
+          "COMPOUNDCURVE/CURVEPOLYGON/MULTICURVE/MULTISURFACE arcs " +
+          "(quad_segs chords per quarter circle, default 8)", ""),
+      (children: Seq[Expression]) => children match {
+        case Seq(g) =>
+          StaticInvoke(Wkb.getClass, B, "curveToLine", Seq(g), inputTypes = Seq(B))
+        case Seq(g, q) =>
+          StaticInvoke(Wkb.getClass, B, "curveToLine", Seq(g, q),
+            inputTypes = Seq(B, IntegerType))
+        case _ =>
+          throw new IllegalArgumentException("st_curvetoline takes 1 or 2 arguments")
+      }),
     st("st_reverse", "reverse", B, Seq(B),
       "st_reverse(geom) - vertex order reversed per ring/line"),
     st("st_removerepeatedpoints", "removeRepeatedPoints", B, Seq(B),

@@ -57,11 +57,20 @@ object Wkb {
     * (x,y) pairs; for polygons ring 0 is the shell, the rest are holes.
     * Multi-geometries (kind >= 4) carry their members in `parts` (rings
     * empty); members of 4/5/6 are homogeneous, 7 is mixed and may nest.
+    *
+    * CURVE kinds (r14): 8=circularstring (rings(0) = 2n+1 control points,
+    * consecutive point triples are arcs), 9=compoundcurve (parts = kind-2
+    * line pieces and kind-8 arcs), 10=curvepolygon (parts = rings, each a
+    * kind-2/8/9 closed curve), 11=multicurve, 12=multisurface. Curve kinds
+    * live ONLY between st_geomfromtext/st_astext/st_curvetoline — the
+    * computational kernel ([[parse]]) rejects them loudly so no predicate
+    * or measure silently approximates an arc; st_curvetoline is the
+    * explicit bridge to the linear kernel.
     */
   final case class Geom(kind: Int, rings: Array[Array[Double]],
       parts: Array[Geom] = Array.empty) {
     def vertices: Iterator[(Double, Double)] =
-      if (kind >= 4) parts.iterator.flatMap(_.vertices)
+      if (kind >= 4 && kind != 8) parts.iterator.flatMap(_.vertices)
       else rings.iterator.flatMap(r =>
         (0 until r.length / 2).iterator.map(i => (r(2 * i), r(2 * i + 1))))
   }
@@ -75,13 +84,30 @@ object Wkb {
     * empty point set; accessors that need coordinates fail loudly.
     */
   private def isEmptyG(g: Geom): Boolean =
-    if (g.kind >= 4) g.parts.forall(isEmptyG) else g.rings.isEmpty
+    if (g.kind >= 4 && g.kind != 8) g.parts.forall(isEmptyG) else g.rings.isEmpty
 
-  def isEmpty(wkb: Array[Byte]): Boolean = isEmptyG(parse(wkb))
+  def isEmpty(wkb: Array[Byte]): Boolean = isEmptyG(parseCurved(wkb))
+
+  private def hasCurve(g: Geom): Boolean =
+    g.kind >= 8 || g.parts.exists(hasCurve)
 
   private def fail(msg: String): Nothing = throw new IllegalArgumentException(s"st_*: $msg")
 
   def parse(wkb: Array[Byte]): Geom = {
+    val g = parseCurved(wkb)
+    // the computational kernel is LINEAR-only: reject curve kinds loudly
+    // instead of silently approximating an arc (st_curvetoline is the
+    // explicit, parameterized bridge)
+    if (hasCurve(g))
+      fail("curved geometry (CIRCULARSTRING/COMPOUNDCURVE/CURVEPOLYGON/" +
+        "MULTICURVE/MULTISURFACE) — apply st_curvetoline first")
+    g
+  }
+
+  /** Like [[parse]] but admits curve kinds (st_astext / st_geometrytype /
+    * st_isempty / st_curvetoline only).
+    */
+  def parseCurved(wkb: Array[Byte]): Geom = {
     // Per-thread decoded-geometry memo: a blocked spatial join verifies the
     // SAME few polygons against many co-celled points, re-parsing the
     // polygon WKB per candidate row (each row hands the expression a fresh
@@ -184,13 +210,24 @@ object Wkb {
       case 3 =>
         val nRings = in.u32().toInt
         Geom(3, Array.tabulate(nRings)(_ => coords(in.u32().toInt)))
-      case 4 | 5 | 6 | 7 =>
+      case 8 =>
+        val n = in.u32().toInt
+        if (n == 0) Geom(8, Array.empty) else Geom(8, Array(coords(n)))
+      case 4 | 5 | 6 | 7 | 9 | 10 | 11 | 12 =>
         // each member is a complete WKB geometry with its own byte-order
         // flag; readGeom resets the cursor's endianness per member
         val n = in.u32().toInt
         val parts = Array.tabulate(n) { _ =>
           val p = readGeom(in)
-          if (kind != 7 && p.kind != kind - 3)
+          val legal = kind match {
+            case 4 | 5 | 6 => p.kind == kind - 3
+            case 9 => p.kind == 2 || p.kind == 8 // compound: lines + arcs
+            case 10 => p.kind == 2 || p.kind == 8 || p.kind == 9 // rings
+            case 11 => p.kind == 2 || p.kind == 8 || p.kind == 9
+            case 12 => p.kind == 3 || p.kind == 10
+            case _ => true
+          }
+          if (!legal)
             fail(s"WKB multi-geometry type $kind contains a member of type ${p.kind}")
           p
         }
@@ -203,7 +240,7 @@ object Wkb {
     val n = g.rings.iterator.map(_.length / 2).sum
     g.kind match {
       case 1 => 5 + 16
-      case 2 => 9 + 16 * n
+      case 2 | 8 => 9 + 16 * n
       case 3 => 9 + 4 * g.rings.length + 16 * n
       case _ => 9 + g.parts.iterator.map(sizeOf).sum
     }
@@ -216,7 +253,7 @@ object Wkb {
         if (g.rings.isEmpty) buf.putDouble(Double.NaN).putDouble(Double.NaN)
         else buf.putDouble(g.rings(0)(0)).putDouble(g.rings(0)(1))
         ()
-      case 2 =>
+      case 2 | 8 =>
         if (g.rings.isEmpty) buf.putInt(0)
         else {
           buf.putInt(g.rings(0).length / 2)
@@ -332,6 +369,56 @@ object Wkb {
       case "GEOMETRYCOLLECTION" =>
         if (tryEmpty()) Geom(7, Array.empty)
         else Geom(7, Array.empty, commaList(() => geom()).toArray)
+      case "CIRCULARSTRING" =>
+        if (tryEmpty()) Geom(8, Array.empty)
+        else {
+          val c = coordSeq()
+          val np = c.length / 2
+          if (np < 3 || np % 2 == 0)
+            fail(s"CIRCULARSTRING needs an odd number of points >= 3, got $np")
+          Geom(8, Array(c))
+        }
+      case "COMPOUNDCURVE" =>
+        // members: CIRCULARSTRING (...) arcs or bare (x y, ...) line pieces
+        def piece(): Geom = {
+          if (peek() == '(') Geom(2, Array(coordSeq()))
+          else geom() match {
+            case p if p.kind == 8 || p.kind == 2 => p
+            case p => fail(s"COMPOUNDCURVE member must be an arc or line, got kind ${p.kind}")
+          }
+        }
+        if (tryEmpty()) Geom(9, Array.empty)
+        else Geom(9, Array.empty, commaList(() => piece()).toArray)
+      case "CURVEPOLYGON" =>
+        def ring(): Geom = {
+          if (peek() == '(') Geom(2, Array(coordSeq()))
+          else geom() match {
+            case p if p.kind == 2 || p.kind == 8 || p.kind == 9 => p
+            case p => fail(s"CURVEPOLYGON ring must be a curve, got kind ${p.kind}")
+          }
+        }
+        if (tryEmpty()) Geom(10, Array.empty)
+        else Geom(10, Array.empty, commaList(() => ring()).toArray)
+      case "MULTICURVE" =>
+        def member(): Geom = {
+          if (peek() == '(') Geom(2, Array(coordSeq()))
+          else geom() match {
+            case p if p.kind == 2 || p.kind == 8 || p.kind == 9 => p
+            case p => fail(s"MULTICURVE member must be a curve, got kind ${p.kind}")
+          }
+        }
+        if (tryEmpty()) Geom(11, Array.empty)
+        else Geom(11, Array.empty, commaList(() => member()).toArray)
+      case "MULTISURFACE" =>
+        def member(): Geom = {
+          if (peek() == '(') Geom(3, ringList())
+          else geom() match {
+            case p if p.kind == 3 || p.kind == 10 => p
+            case p => fail(s"MULTISURFACE member must be a surface, got kind ${p.kind}")
+          }
+        }
+        if (tryEmpty()) Geom(12, Array.empty)
+        else Geom(12, Array.empty, commaList(() => member()).toArray)
       case o => fail(s"unsupported WKT geometry '$o'")
     }
     val g = geom()
@@ -367,32 +454,24 @@ object Wkb {
   def ymin(wkb: Array[Byte]): Double = extentOf(wkb, "st_ymin").vertices.map(_._2).min
   def ymax(wkb: Array[Byte]): Double = extentOf(wkb, "st_ymax").vertices.map(_._2).max
 
-  def npoints(wkb: Array[Byte]): Int = parse(wkb).vertices.size
+  def npoints(wkb: Array[Byte]): Int = parseCurved(wkb).vertices.size
 
-  def geometryType(wkb: Array[Byte]): UTF8String = UTF8String.fromString(
-    parse(wkb).kind match {
-      case 1 => "POINT"; case 2 => "LINESTRING"; case 3 => "POLYGON"
-      case 4 => "MULTIPOINT"; case 5 => "MULTILINESTRING"; case 6 => "MULTIPOLYGON"
-      case _ => "GEOMETRYCOLLECTION"
-    })
+  def geometryType(wkb: Array[Byte]): UTF8String =
+    UTF8String.fromString(kindName(parseCurved(wkb).kind))
 
   private def fmt(v: Double): String =
     if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString else v.toString
 
   def asText(wkb: Array[Byte]): UTF8String =
-    UTF8String.fromString(wktOf(parse(wkb)))
+    UTF8String.fromString(wktOf(parseCurved(wkb)))
 
   private def wktOf(g: Geom): String = {
     def ringText(r: Array[Double]): String =
       (0 until r.length / 2).map(i => s"${fmt(r(2 * i))} ${fmt(r(2 * i + 1))}").mkString(", ")
     def polyBody(p: Geom): String =
       s"(${p.rings.map(r => s"(${ringText(r)})").mkString(", ")})"
-    if (isEmptyG(g) && (g.kind <= 3 || g.parts.isEmpty))
-      return (g.kind match {
-        case 1 => "POINT"; case 2 => "LINESTRING"; case 3 => "POLYGON"
-        case 4 => "MULTIPOINT"; case 5 => "MULTILINESTRING"
-        case 6 => "MULTIPOLYGON"; case _ => "GEOMETRYCOLLECTION"
-      }) + " EMPTY"
+    if (isEmptyG(g) && (g.kind <= 3 || g.kind == 8 || g.parts.isEmpty))
+      return kindName(g.kind) + " EMPTY"
     g.kind match {
       case 1 => s"POINT (${ringText(g.rings(0))})"
       case 2 => s"LINESTRING (${ringText(g.rings(0))})"
@@ -400,8 +479,25 @@ object Wkb {
       case 4 => s"MULTIPOINT (${g.parts.map(p => s"(${ringText(p.rings(0))})").mkString(", ")})"
       case 5 => s"MULTILINESTRING (${g.parts.map(p => s"(${ringText(p.rings(0))})").mkString(", ")})"
       case 6 => s"MULTIPOLYGON (${g.parts.map(polyBody).mkString(", ")})"
+      case 8 => s"CIRCULARSTRING (${ringText(g.rings(0))})"
+      case 9 => s"COMPOUNDCURVE (${g.parts.map(p =>
+        if (p.kind == 2) s"(${ringText(p.rings(0))})" else wktOf(p)).mkString(", ")})"
+      case 10 => s"CURVEPOLYGON (${g.parts.map(p =>
+        if (p.kind == 2) s"(${ringText(p.rings(0))})" else wktOf(p)).mkString(", ")})"
+      case 11 => s"MULTICURVE (${g.parts.map(p =>
+        if (p.kind == 2) s"(${ringText(p.rings(0))})" else wktOf(p)).mkString(", ")})"
+      case 12 => s"MULTISURFACE (${g.parts.map(p =>
+        if (p.kind == 3) polyBody(p) else wktOf(p)).mkString(", ")})"
       case _ => s"GEOMETRYCOLLECTION (${g.parts.map(wktOf).mkString(", ")})"
     }
+  }
+
+  private def kindName(kind: Int): String = kind match {
+    case 1 => "POINT"; case 2 => "LINESTRING"; case 3 => "POLYGON"
+    case 4 => "MULTIPOINT"; case 5 => "MULTILINESTRING"; case 6 => "MULTIPOLYGON"
+    case 8 => "CIRCULARSTRING"; case 9 => "COMPOUNDCURVE"
+    case 10 => "CURVEPOLYGON"; case 11 => "MULTICURVE"; case 12 => "MULTISURFACE"
+    case _ => "GEOMETRYCOLLECTION"
   }
 
   // ---- measures -------------------------------------------------------------
@@ -1901,6 +1997,114 @@ object Wkb {
         pieces.map(p => Geom(3, Array(closeRing(p)))).toArray :+ bMember))
     } else
       piecesToWkb(unionPieces(unionPieces(Seq.empty, writeGeom(a)), writeGeom(b)))
+  }
+
+  /** st_curvetoline (r14): linearize curve kinds into the linear kernel's
+    * types — CIRCULARSTRING -> LINESTRING, COMPOUNDCURVE -> LINESTRING,
+    * CURVEPOLYGON -> POLYGON, MULTICURVE -> MULTILINESTRING, MULTISURFACE
+    * -> MULTIPOLYGON; linear kinds pass through unchanged. Each arc triple
+    * (p0, p1, p2) sweeps its circumcircle from p0 through p1 to p2 with
+    * `quadSegs` chords per quarter circle (PostGIS ST_CurveToLine
+    * semantics; default 8); collinear triples emit straight segments;
+    * p0 == p2 sweeps the full circle. Arc endpoints are the ORIGINAL
+    * control points bit-exactly, so compound joints stay watertight.
+    */
+  def curveToLine(wkb: Array[Byte], quadSegs: Int): Array[Byte] = {
+    if (quadSegs < 1) fail(s"st_curvetoline quad_segs must be >= 1, got $quadSegs")
+    writeGeom(linearize(parseCurved(wkb), quadSegs))
+  }
+
+  def curveToLine(wkb: Array[Byte]): Array[Byte] = curveToLine(wkb, 8)
+
+  private def linearize(g: Geom, quadSegs: Int): Geom = g.kind match {
+    case 8 =>
+      if (g.rings.isEmpty) Geom(2, Array.empty)
+      else Geom(2, Array(arcPoints(g.rings(0), quadSegs)))
+    case 9 =>
+      if (g.parts.isEmpty) Geom(2, Array.empty)
+      else {
+        val out = scala.collection.mutable.ArrayBuffer.empty[Double]
+        g.parts.foreach { p =>
+          val pts = linearize(p, quadSegs).rings.headOption.getOrElse(Array.empty[Double])
+          // drop the duplicated joint vertex between consecutive pieces
+          val from = if (out.length >= 2 && pts.length >= 2 &&
+            out(out.length - 2) == pts(0) && out(out.length - 1) == pts(1)) 2 else 0
+          var i = from
+          while (i < pts.length) { out += pts(i); i += 1 }
+        }
+        Geom(2, Array(out.toArray))
+      }
+    case 10 =>
+      if (g.parts.isEmpty) Geom(3, Array.empty)
+      else Geom(3, g.parts.map { r =>
+        val l = linearize(r, quadSegs)
+        if (l.rings.isEmpty) fail("st_curvetoline: empty CURVEPOLYGON ring")
+        l.rings(0)
+      })
+    case 11 => Geom(5, Array.empty, g.parts.map(linearize(_, quadSegs)))
+    case 12 => Geom(6, Array.empty, g.parts.map(linearize(_, quadSegs)))
+    case k if k >= 4 => Geom(k, g.rings, g.parts.map(linearize(_, quadSegs)))
+    case _ => g
+  }
+
+  private def arcPoints(c: Array[Double], quadSegs: Int): Array[Double] = {
+    val np = c.length / 2
+    if (np < 3 || np % 2 == 0)
+      fail(s"CIRCULARSTRING needs an odd number of points >= 3, got $np")
+    val out = scala.collection.mutable.ArrayBuffer[Double](c(0), c(1))
+    var i = 0
+    while (i + 2 < np) {
+      val ax = c(2 * i); val ay = c(2 * i + 1)
+      val bx = c(2 * i + 2); val by = c(2 * i + 3)
+      val cx = c(2 * i + 4); val cy = c(2 * i + 5)
+      val d = 2 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+      if (ax == cx && ay == cy && (ax != bx || ay != by)) {
+        // closed arc (p0 == p2): a FULL circle with p1 diametrically
+        // opposite p0 (PostGIS convention), swept CCW
+        val ux = (ax + bx) / 2; val uy = (ay + by) / 2
+        val r = math.hypot(ax - ux, ay - uy)
+        val a0 = math.atan2(ay - uy, ax - ux)
+        val nSeg = math.max(4, 4 * quadSegs)
+        var k = 1
+        while (k < nSeg) {
+          val a = a0 + 2 * math.Pi * k / nSeg
+          out += ux + r * math.cos(a); out += uy + r * math.sin(a)
+          k += 1
+        }
+        out += cx; out += cy
+      } else if (d == 0.0) {
+        // collinear arc degenerates to straight segments through the middle
+        out += bx; out += by; out += cx; out += cy
+      } else {
+        val ux = ((ax * ax + ay * ay) * (by - cy) + (bx * bx + by * by) * (cy - ay) +
+          (cx * cx + cy * cy) * (ay - by)) / d
+        val uy = ((ax * ax + ay * ay) * (cx - bx) + (bx * bx + by * by) * (ax - cx) +
+          (cx * cx + cy * cy) * (bx - ax)) / d
+        val r = math.hypot(ax - ux, ay - uy)
+        val a0 = math.atan2(ay - uy, ax - ux)
+        var a1 = math.atan2(by - uy, bx - ux)
+        var a2 = math.atan2(cy - uy, cx - ux)
+        val ccw = d > 0 // circumcenter denominator sign = orientation of (p0, p1, p2)
+        if (ccw) {
+          while (a1 <= a0) a1 += 2 * math.Pi
+          while (a2 <= a1) a2 += 2 * math.Pi
+        } else {
+          while (a1 >= a0) a1 -= 2 * math.Pi
+          while (a2 >= a1) a2 -= 2 * math.Pi
+        }
+        val sweep = a2 - a0
+        val nSeg = math.max(2, math.ceil(math.abs(sweep) / (math.Pi / 2) * quadSegs).toInt)
+        var k = 1
+        while (k < nSeg) {
+          val a = a0 + sweep * k / nSeg
+          out += ux + r * math.cos(a); out += uy + r * math.sin(a)
+          k += 1
+        }
+        out += cx; out += cy // the original control point, bit-exact
+      }
+      i += 2
+    }
+    out.toArray
   }
 
   /** Minimal-outline tracing (r14, `st_outline`): turn an edge-sharing

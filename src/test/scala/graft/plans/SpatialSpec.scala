@@ -68,9 +68,9 @@ class SpatialSpec extends AnyFunSuite {
   }
 
   test("WKT errors are loud and scoped") {
-    // (POINT EMPTY parses since r14 — see the EMPTY geometries test)
+    // (POINT EMPTY and curve types parse since r14 — see their tests)
     intercept[IllegalArgumentException](wkt("POINT (1 2 3 4 5)"))
-    intercept[IllegalArgumentException](wkt("CIRCULARSTRING (0 0, 1 1, 2 0)"))
+    intercept[IllegalArgumentException](wkt("POLYHEDRALSURFACE (((0 0, 1 0, 1 1, 0 0)))"))
     intercept[IllegalArgumentException](wkt("POLYGON ((0 0, 1 0, 1 1)) junk"))
   }
 
@@ -730,6 +730,61 @@ class SpatialSpec extends AnyFunSuite {
     // non-polygon input fails loudly
     intercept[Exception](spark.sql(
       "SELECT st_union_agg(st_point(1.0D, 1.0D)) FROM range(1)").collect())
+  }
+
+  test("curve geometries: parse/print round-trip, st_curvetoline linearization (r14)") {
+    // WKT round-trips for every curve kind (and their EMPTY forms)
+    val texts = Seq(
+      "CIRCULARSTRING (0 0, 1 1, 2 0)",
+      "CIRCULARSTRING (0 0, 1 1, 2 0, 3 -1, 4 0)",
+      "COMPOUNDCURVE (CIRCULARSTRING (0 0, 1 1, 2 0), (2 0, 4 0))",
+      "CURVEPOLYGON (COMPOUNDCURVE (CIRCULARSTRING (0 0, 1 1, 2 0), (2 0, 0 0)))",
+      "CURVEPOLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), CIRCULARSTRING (1 1, 2 2, 3 1, 2 0.5, 1 1))",
+      "MULTICURVE ((0 0, 1 0), CIRCULARSTRING (0 0, 1 1, 2 0))",
+      "MULTISURFACE (((0 0, 1 0, 1 1, 0 1, 0 0)), CURVEPOLYGON (CIRCULARSTRING (4 0, 5 1, 6 0, 5 -1, 4 0)))",
+      "CIRCULARSTRING EMPTY", "COMPOUNDCURVE EMPTY", "CURVEPOLYGON EMPTY",
+      "MULTICURVE EMPTY", "MULTISURFACE EMPTY")
+    texts.foreach { t =>
+      assert(text(wkt(t)) == t, s"WKT round-trip of '$t'")
+      // WKB round-trip too (write + re-read)
+      assert(Wkb.asText(Wkb.fromText(Wkb.asText(wkt(t)))).toString == t)
+    }
+    assert(Wkb.geometryType(wkt("CIRCULARSTRING (0 0, 1 1, 2 0)")).toString == "CIRCULARSTRING")
+    assert(Wkb.npoints(wkt("CIRCULARSTRING (0 0, 1 1, 2 0)")) == 3)
+    assert(Wkb.isEmpty(wkt("CURVEPOLYGON EMPTY")))
+    // the linear kernel refuses curves LOUDLY (no silent approximation)
+    intercept[IllegalArgumentException](Wkb.area(wkt("CURVEPOLYGON (CIRCULARSTRING (0 0, 1 1, 2 0, 1 -1, 0 0))")))
+    intercept[IllegalArgumentException](Wkb.intersects(
+      wkt("CIRCULARSTRING (0 0, 1 1, 2 0)"), Wkb.point(1, 1)))
+    // semicircle linearization: 16 chords at quad_segs 8, exact endpoints,
+    // closed-form chord-sum length 32 sin(pi/32)
+    val semi = Wkb.curveToLine(wkt("CIRCULARSTRING (0 0, 1 1, 2 0)"))
+    assert(Wkb.geometryType(semi).toString == "LINESTRING" && Wkb.npoints(semi) == 17)
+    assert(math.abs(Wkb.length(semi) - 32 * math.sin(math.Pi / 32)) < 1e-12)
+    assert(Wkb.xmin(semi) == 0.0 && Wkb.xmax(semi) == 2.0, "control endpoints bit-exact")
+    assert(math.abs(Wkb.ymax(semi) - 1.0) < 1e-15)
+    // half-disc CURVEPOLYGON -> polygon, area = half the inscribed 32-gon
+    val half = Wkb.curveToLine(wkt(
+      "CURVEPOLYGON (COMPOUNDCURVE (CIRCULARSTRING (0 0, 1 1, 2 0), (2 0, 0 0)))"))
+    assert(Wkb.geometryType(half).toString == "POLYGON")
+    assert(math.abs(Wkb.area(half) - 8 * math.sin(math.Pi / 16)) < 1e-12)
+    // full circle via p0 == p2: one closed ring, area of the inscribed 32-gon
+    val circle = Wkb.curveToLine(wkt("CURVEPOLYGON (CIRCULARSTRING (0 0, 2 0, 0 0))"))
+    assert(math.abs(Wkb.area(circle) - 16 * math.sin(math.Pi / 16)) < 1e-12)
+    // quad_segs scales fidelity toward pi r^2
+    val fine = Wkb.curveToLine(wkt("CURVEPOLYGON (CIRCULARSTRING (0 0, 2 0, 0 0))"), 64)
+    assert(math.abs(Wkb.area(fine) - math.Pi) < 1e-3)
+    // collinear arc degenerates to the straight segments
+    assert(text(Wkb.curveToLine(wkt("CIRCULARSTRING (0 0, 1 0, 2 0)"))) ==
+      "LINESTRING (0 0, 1 0, 2 0)")
+    // multisurface -> multipolygon; multicurve -> multilinestring
+    assert(Wkb.geometryType(Wkb.curveToLine(wkt(
+      "MULTISURFACE (((0 0, 1 0, 1 1, 0 1, 0 0)), CURVEPOLYGON (CIRCULARSTRING (4 0, 6 0, 4 0)))"))).toString == "MULTIPOLYGON")
+    assert(Wkb.geometryType(Wkb.curveToLine(wkt(
+      "MULTICURVE ((0 0, 1 0), CIRCULARSTRING (0 0, 1 1, 2 0))"))).toString == "MULTILINESTRING")
+    // linear kinds pass through unchanged
+    assert(text(Wkb.curveToLine(Wkb.makeEnvelope(0, 0, 1, 1))) ==
+      text(Wkb.makeEnvelope(0, 0, 1, 1)))
   }
 
   test("st_outline: minimal boundary from piece decompositions (r14)") {
