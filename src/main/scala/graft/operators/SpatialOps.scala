@@ -674,6 +674,52 @@ object SpatialOps {
         "FROM g ORDER BY n_nationkey")
     },
 
+    // Remaining OGC predicates + structure accessors (r14): touches /
+    // crosses / overlaps / containsproperly on grid envelopes with
+    // closed-form truth, plus dimension/isclosed/isring/makepolygon/
+    // multi/dump/hex-WKB round-trip.
+    Op("spatial_relations",
+      duckPtsInt +
+      "SELECT n_nationkey, " +
+      "TRUE AS t_edge, FALSE AS t_overlap, FALSE AS t_self, " +
+      "TRUE AS o_partial, FALSE AS o_contain, FALSE AS o_touch, " +
+      "TRUE AS c_through, FALSE AS c_inside, " +
+      "TRUE AS cp_strict, FALSE AS cp_corner, " +
+      "CAST(2 AS INTEGER) AS dim_mix, " +
+      "TRUE AS ring_ok, FALSE AS ring_bowtie, " +
+      "ROUND(CAST(4 AS DOUBLE), 6) AS mp_area, " +
+      "'MULTIPOLYGON' AS multi_type, CAST(2 AS INTEGER) AS dump_n, " +
+      "'POINT (' || x || ' ' || y || ')' AS hex_rt " +
+      "FROM pts ORDER BY n_nationkey") { (s, d) =>
+      Tables.ensure(s, d)
+      s.sql(sparkPtsInt +
+        ", g AS (SELECT n_nationkey, x, y, " +
+        "st_makeenvelope(CAST(x AS DOUBLE), CAST(y AS DOUBLE), CAST(x+2 AS DOUBLE), CAST(y+2 AS DOUBLE)) AS a, " +
+        "st_makeenvelope(CAST(x+2 AS DOUBLE), CAST(y AS DOUBLE), CAST(x+4 AS DOUBLE), CAST(y+2 AS DOUBLE)) AS edge_b, " +
+        "st_makeenvelope(CAST(x+1 AS DOUBLE), CAST(y+1 AS DOUBLE), CAST(x+3 AS DOUBLE), CAST(y+3 AS DOUBLE)) AS over_b, " +
+        "st_geomfromtext(CONCAT('LINESTRING (', x-1, ' ', y+1, ', ', x+3, ' ', y+1, ')')) AS thru, " +
+        "st_geomfromtext(CONCAT('LINESTRING (', x, ' ', y, ', ', x+2, ' ', y, ', ', x+2, ' ', y+2, ', ', x, ' ', y+2, ', ', x, ' ', y, ')')) AS ring, " +
+        "st_geomfromtext('LINESTRING (0 0, 2 2, 2 0, 0 2, 0 0)') AS bowtie " +
+        "FROM pts) " +
+        "SELECT n_nationkey, " +
+        "st_touches(a, edge_b) AS t_edge, st_touches(a, over_b) AS t_overlap, " +
+        "st_touches(a, a) AS t_self, " +
+        "st_overlaps(a, over_b) AS o_partial, " +
+        "st_overlaps(a, st_makeenvelope(CAST(x AS DOUBLE) + 0.5D, CAST(y AS DOUBLE) + 0.5D, CAST(x AS DOUBLE) + 1.0D, CAST(y AS DOUBLE) + 1.0D)) AS o_contain, " +
+        "st_overlaps(a, edge_b) AS o_touch, " +
+        "st_crosses(thru, a) AS c_through, " +
+        "st_crosses(st_geomfromtext(CONCAT('LINESTRING (', x, ' ', y, ', ', x+1, ' ', y+1, ')')), a) AS c_inside, " +
+        "st_containsproperly(a, st_makeenvelope(CAST(x AS DOUBLE) + 0.5D, CAST(y AS DOUBLE) + 0.5D, CAST(x AS DOUBLE) + 1.0D, CAST(y AS DOUBLE) + 1.0D)) AS cp_strict, " +
+        "st_containsproperly(a, st_makeenvelope(CAST(x AS DOUBLE), CAST(y AS DOUBLE), CAST(x AS DOUBLE) + 1.0D, CAST(y AS DOUBLE) + 1.0D)) AS cp_corner, " +
+        "st_dimension(st_geomfromtext(CONCAT('GEOMETRYCOLLECTION (POINT (', x, ' ', y, '), POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0)))'))) AS dim_mix, " +
+        "st_isring(ring) AS ring_ok, st_isring(bowtie) AS ring_bowtie, " +
+        "ROUND(st_area(st_makepolygon(ring)), 6) AS mp_area, " +
+        "st_geometrytype(st_multi(a)) AS multi_type, " +
+        "CAST(size(st_dump(st_multi(st_union(a, st_makeenvelope(CAST(x AS DOUBLE) + 10.0D, CAST(y AS DOUBLE), CAST(x AS DOUBLE) + 11.0D, CAST(y AS DOUBLE) + 1.0D))))) AS INT) AS dump_n, " +
+        "st_astext(st_geomfromhexwkb(st_ashexwkb(st_point(CAST(x AS DOUBLE), CAST(y AS DOUBLE))))) AS hex_rt " +
+        "FROM g ORDER BY n_nationkey")
+    },
+
     // Curve geometries (r14): per-row semicircle CIRCULARSTRINGs round-trip
     // through WKT and linearize with closed-form chord sums — 16 chords of
     // 2 sin(pi/32) each for the half circle, half/full inscribed-32-gon

@@ -182,6 +182,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "holes disjoint; per-member for multis)"),
     st("st_isempty", "isEmpty", BooleanType, Seq(B),
       "st_isempty(geom) - TRUE for the empty point set (TYPE EMPTY)"),
+    st("st_touches", "touches", BooleanType, Seq(B, B),
+      "st_touches(a, b) - intersect on boundaries only (DE-9IM II empty)"),
+    st("st_crosses", "crosses", BooleanType, Seq(B, B),
+      "st_crosses(a, b) - interiors meet in a lower dimension (line/line points, line through area)"),
+    st("st_overlaps", "overlaps", BooleanType, Seq(B, B),
+      "st_overlaps(a, b) - same dimension, interiors intersect, neither covers the other"),
+    st("st_containsproperly", "containsProperly", BooleanType, Seq(B, B),
+      "st_containsproperly(a, b) - b intersects only a's interior (no boundary contact)"),
+    st("st_aswkb", "asWkb", B, Seq(B), "st_aswkb(geom) - the WKB bytes (identity encoding)"),
+    st("st_geomfromwkb", "fromWkb", B, Seq(B),
+      "st_geomfromwkb(blob) - validate + canonicalize WKB (big-endian/EWKB accepted)"),
+    st("st_ashexwkb", "asHexWkb", StringType, Seq(B), "st_ashexwkb(geom) - uppercase hex WKB"),
+    st("st_geomfromhexwkb", "fromHexWkb", B, Seq(StringType),
+      "st_geomfromhexwkb(text) - parse hex WKB"),
+    st("st_dimension", "dimension", IntegerType, Seq(B),
+      "st_dimension(geom) - topological dimension 0/1/2"),
+    st("st_isclosed", "isClosed", BooleanType, Seq(B),
+      "st_isclosed(geom) - first vertex equals last (per member)"),
+    st("st_isring", "isRing", BooleanType, Seq(B),
+      "st_isring(line) - closed and simple"),
+    st("st_makepolygon", "makePolygon", B, Seq(B),
+      "st_makepolygon(line) - closed linestring shell -> polygon"),
+    st("st_multi", "multi", B, Seq(B),
+      "st_multi(geom) - wrap a simple geometry in its MULTI form"),
+    st("st_dump", "dump", ArrayType(BinaryType), Seq(B),
+      "st_dump(geom) - array of the simple members (explode for rows)"),
     st("st_outline", "outlineOf", B, Seq(B),
       "st_outline(geom) - minimal boundary polygons of an edge-sharing " +
         "piece decomposition (st_union/st_union_agg output); loud on " +

@@ -833,6 +833,182 @@ object Wkb {
 
   def coveredBy(wa: Array[Byte], wb: Array[Byte]): Boolean = covers(wb, wa)
 
+  // ---- interior-interior intersection + the remaining OGC predicates (r14) --
+
+  /** Is `p` a point of the INTERIOR of g? Polygon: strictly inside; line:
+    * on the line but not a (mod-2) endpoint; point: equality (a point's
+    * boundary is empty, so the point IS its interior).
+    */
+  private def pointInInterior(g: Geom, px: Double, py: Double): Boolean = g.kind match {
+    case 1 => g.rings.nonEmpty && g.rings(0)(0) == px && g.rings(0)(1) == py
+    case 2 | 5 =>
+      onBoundary(g, px, py) && !lineEndpoints(g).contains((px, py))
+    case 3 | 6 => inside(g, px, py) && !onBoundary(g, px, py)
+    case _ => g.parts.exists(pointInInterior(_, px, py))
+  }
+
+  /** The (multi)linestring's boundary points under the OGC mod-2 rule. */
+  private def lineEndpoints(g: Geom): Set[(Double, Double)] = {
+    val counts = scala.collection.mutable.HashMap.empty[(Double, Double), Int]
+    simples(g).filter(m => m.kind == 2 && m.rings.nonEmpty).foreach { m =>
+      val r = m.rings(0)
+      val n = r.length / 2
+      val closed = r(0) == r(2 * (n - 1)) && r(1) == r(2 * (n - 1) + 1)
+      if (!closed) Seq((r(0), r(1)), (r(2 * (n - 1)), r(2 * (n - 1) + 1))).foreach { p =>
+        counts(p) = counts.getOrElse(p, 0) + 1
+      }
+    }
+    // NOTE: .collect over a Map with a tuple-valued function would rebuild
+    // a MAP keyed on the tuple's first element (endpoints sharing an x
+    // overwrite each other) — iterate explicitly
+    counts.iterator.collect { case (p, c) if c % 2 == 1 => p }.toSet
+  }
+
+  /** Do the INTERIORS of a and b share a point (the DE-9IM II entry)?
+    * Decided from the kernels this engine already has: proper edge
+    * crossings, vertices in the other's interior, positive-length
+    * collinear line overlap, segment midpoints, and (for area pairs) a
+    * guaranteed-interior pointOnSurface probe — exact for simple inputs;
+    * the residual blind spot is an area-overlap region avoiding every
+    * vertex, midpoint, and pointOnSurface probe with no proper crossing,
+    * which cannot occur for simple polygons (any positive-area overlap of
+    * simple polygons has a proper crossing or a vertex/probe inside).
+    */
+  private def interiorsIntersect(a: Geom, b: Geom): Boolean = {
+    if (isEmptyG(a) || isEmptyG(b)) return false
+    if (a.kind >= 4 || b.kind >= 4)
+      return simples(a).exists(pa => simples(b).exists(pb => interiorsIntersect(pa, pb)))
+    (a.kind, b.kind) match {
+      case (1, _) => pointInInterior(b, a.rings(0)(0), a.rings(0)(1))
+      case (_, 1) => pointInInterior(a, b.rings(0)(0), b.rings(0)(1))
+      case (2, 2) =>
+        val sa = segments(a); val sb = segments(b)
+        if (sa.exists(s1 => sb.exists(s2 => properCross(s1, s2)))) return true
+        // positive-length collinear overlap: interiors share a segment
+        if (sa.exists { case (x1, y1, x2, y2) =>
+          sb.exists { case (x3, y3, x4, y4) =>
+            collinearOverlap(x1, y1, x2, y2, x3, y3, x4, y4) } }) return true
+        // isolated contact points: vertices of one lying on the other
+        val contacts = a.vertices.filter { case (px, py) => onBoundary(b, px, py) } ++
+          b.vertices.filter { case (px, py) => onBoundary(a, px, py) }
+        contacts.exists { case (px, py) =>
+          pointInInterior(a, px, py) && pointInInterior(b, px, py) }
+      case (2, 3) => lineAreaInteriors(a, b)
+      case (3, 2) => lineAreaInteriors(b, a)
+      case (3, 3) =>
+        val sa = segments(a); val sb = segments(b)
+        sa.exists(s1 => sb.exists(s2 => properCross(s1, s2))) ||
+          a.vertices.exists { case (px, py) => inside(b, px, py) && !onBoundary(b, px, py) } ||
+          b.vertices.exists { case (px, py) => inside(a, px, py) && !onBoundary(a, px, py) } || {
+            val pa = parse(pointOnSurface(writeGeom(a)))
+            val pb = parse(pointOnSurface(writeGeom(b)))
+            (inside(b, pa.rings(0)(0), pa.rings(0)(1)) && !onBoundary(b, pa.rings(0)(0), pa.rings(0)(1))) ||
+              (inside(a, pb.rings(0)(0), pb.rings(0)(1)) && !onBoundary(a, pb.rings(0)(0), pb.rings(0)(1)))
+          }
+      case _ => false
+    }
+  }
+
+  /** line interior x polygon interior: a line vertex or segment midpoint
+    * strictly inside, or a proper boundary crossing (which forces the line
+    * interior into the polygon's interior on one side).
+    */
+  private def lineAreaInteriors(line: Geom, poly: Geom): Boolean = {
+    val sl = segments(line); val sp = segments(poly)
+    sl.exists(s1 => sp.exists(s2 => properCross(s1, s2))) ||
+      line.vertices.exists { case (px, py) =>
+        inside(poly, px, py) && !onBoundary(poly, px, py) } ||
+      sl.exists { case (x1, y1, x2, y2) =>
+        val mx = (x1 + x2) / 2; val my = (y1 + y2) / 2
+        inside(poly, mx, my) && !onBoundary(poly, mx, my)
+      }
+  }
+
+  /** Positive-length overlap of two collinear segments. */
+  private def collinearOverlap(x1: Double, y1: Double, x2: Double, y2: Double,
+      x3: Double, y3: Double, x4: Double, y4: Double): Boolean = {
+    def orient(ax: Double, ay: Double, bx: Double, by: Double, cx: Double, cy: Double) =
+      (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+    if (orient(x1, y1, x2, y2, x3, y3) != 0 || orient(x1, y1, x2, y2, x4, y4) != 0)
+      return false
+    val dx = x2 - x1; val dy = y2 - y1
+    val len2 = dx * dx + dy * dy
+    if (len2 == 0) return false
+    val t3 = ((x3 - x1) * dx + (y3 - y1) * dy) / len2
+    val t4 = ((x4 - x1) * dx + (y4 - y1) * dy) / len2
+    math.min(math.max(t3, t4), 1.0) - math.max(math.min(t3, t4), 0.0) > 0
+  }
+
+  /** OGC Touches: the geometries intersect, but only on their boundaries
+    * (DE-9IM II empty, intersection nonempty).
+    */
+  def touches(wa: Array[Byte], wb: Array[Byte]): Boolean = {
+    val a = parse(wa); val b = parse(wb)
+    intersectsG(a, b) && !interiorsIntersect(a, b)
+  }
+
+  /** OGC Crosses: interiors intersect in a lower dimension than the
+    * higher-dimensional input — line/line meeting at points, line passing
+    * through a polygon's interior AND outside it. Area/area and
+    * point-involved pairs are false per the OGC matrix.
+    */
+  def crosses(wa: Array[Byte], wb: Array[Byte]): Boolean = {
+    val a = parse(wa); val b = parse(wb)
+    def dimOf(g: Geom): Int = g.kind match {
+      case 1 | 4 => 0; case 2 | 5 => 1; case 3 | 6 => 2
+      case _ => if (g.parts.isEmpty) 0 else g.parts.map(dimOf).max
+    }
+    (dimOf(a), dimOf(b)) match {
+      case (1, 1) =>
+        // interiors meet at isolated points only: any II contact without a
+        // positive-length collinear overlap
+        interiorsIntersect(a, b) && !simples(a).exists(pa => simples(b).exists(pb =>
+          segments(pa).exists { case (x1, y1, x2, y2) =>
+            segments(pb).exists { case (x3, y3, x4, y4) =>
+              collinearOverlap(x1, y1, x2, y2, x3, y3, x4, y4) } }))
+      case (1, 2) => interiorsIntersect(a, b) && !covers(wb, wa)
+      case (2, 1) => interiorsIntersect(a, b) && !covers(wa, wb)
+      case _ => false
+    }
+  }
+
+  /** OGC Overlaps: same dimension, interiors intersect, and neither covers
+    * the other.
+    */
+  def overlaps(wa: Array[Byte], wb: Array[Byte]): Boolean = {
+    val a = parse(wa); val b = parse(wb)
+    def dimOf(g: Geom): Int = g.kind match {
+      case 1 | 4 => 0; case 2 | 5 => 1; case 3 | 6 => 2
+      case _ => if (g.parts.isEmpty) 0 else g.parts.map(dimOf).max
+    }
+    dimOf(a) == dimOf(b) && interiorsIntersect(a, b) &&
+      !covers(wa, wb) && !covers(wb, wa)
+  }
+
+  /** PostGIS ST_ContainsProperly: b intersects a's interior ONLY — no
+    * contact with a's boundary (stricter than contains).
+    */
+  def containsProperly(wa: Array[Byte], wb: Array[Byte]): Boolean = {
+    val a = parse(wa); val b = parse(wb)
+    if (isEmptyG(a) || isEmptyG(b)) return false
+    // every b vertex strictly inside a, and a's boundary never reaches b:
+    // no proper crossing, no a-vertex on or inside b, no collinear edge
+    // contact (a concave a-vertex dipping onto/into b violates 'properly')
+    val strictVerts = b.vertices.forall { case (px, py) =>
+      inside(a, px, py) && !onBoundary(a, px, py) }
+    lazy val noBoundaryContact = {
+      val sa = segments(a); val sb = segments(b)
+      !sa.exists(s1 => sb.exists(s2 => properCross(s1, s2))) &&
+        !a.vertices.exists { case (px, py) =>
+          (b.kind != 1 && onBoundary(b, px, py)) ||
+            (inside(b, px, py) && !onBoundary(b, px, py)) } &&
+        !sa.exists { case (x1, y1, x2, y2) =>
+          sb.exists { case (x3, y3, x4, y4) =>
+            collinearOverlap(x1, y1, x2, y2, x3, y3, x4, y4) } }
+    }
+    strictVerts && noBoundaryContact
+  }
+
   // ---- constructors & transforms (tranche 2) --------------------------------
 
   def makeLine(wa: Array[Byte], wb: Array[Byte]): Array[Byte] = {
@@ -1998,6 +2174,117 @@ object Wkb {
     } else
       piecesToWkb(unionPieces(unionPieces(Seq.empty, writeGeom(a)), writeGeom(b)))
   }
+
+  // ---- conversions & structure accessors (r14 tranche 2) --------------------
+
+  /** Geometry values ARE standard little-endian WKB in this engine, so the
+    * WKB conversions are identity / hex codecs (DuckDB ST_AsWKB /
+    * ST_GeomFromWKB / the HEXWKB pair).
+    */
+  def asWkb(wkb: Array[Byte]): Array[Byte] = { parseCurved(wkb); wkb }
+
+  def fromWkb(bytes: Array[Byte]): Array[Byte] = {
+    // re-encode (validates, normalizes endianness/EWKB headers to the
+    // engine's canonical little-endian form)
+    writeGeom(parseCurved(bytes))
+  }
+
+  def asHexWkb(wkb: Array[Byte]): UTF8String = {
+    parseCurved(wkb)
+    val sb = new java.lang.StringBuilder(wkb.length * 2)
+    wkb.foreach(b => sb.append(f"${b & 0xff}%02X"))
+    UTF8String.fromString(sb.toString)
+  }
+
+  def fromHexWkb(hex: UTF8String): Array[Byte] = {
+    val s = hex.toString
+    if (s.length % 2 != 0) fail("st_geomfromhexwkb: odd-length hex string")
+    val out = new Array[Byte](s.length / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = Integer.parseInt(s.substring(2 * i, 2 * i + 2), 16).toByte
+      i += 1
+    }
+    fromWkb(out)
+  }
+
+  /** Topological dimension: point 0, line 1, polygon 2; multis take the
+    * max over members (PostGIS ST_Dimension). EMPTY fails loudly.
+    */
+  def dimension(wkb: Array[Byte]): Int = {
+    val g = parse(wkb)
+    if (isEmptyG(g)) fail("st_dimension: EMPTY geometry")
+    def dim(g0: Geom): Int = g0.kind match {
+      case 1 | 4 => 0
+      case 2 | 5 => 1
+      case 3 | 6 => 2
+      case _ => g0.parts.map(dim).max
+    }
+    dim(g)
+  }
+
+  /** Closed: first vertex equals last (linestrings; per-member for
+    * multilinestrings; points and polygons are closed by definition,
+    * PostGIS ST_IsClosed).
+    */
+  def isClosed(wkb: Array[Byte]): Boolean = {
+    def cl(g: Geom): Boolean = g.kind match {
+      case 1 | 3 => true
+      case 2 =>
+        if (g.rings.isEmpty) fail("st_isclosed: EMPTY geometry")
+        val r = g.rings(0)
+        val n = r.length / 2
+        n >= 2 && r(0) == r(2 * (n - 1)) && r(1) == r(2 * (n - 1) + 1)
+      case _ =>
+        if (g.parts.isEmpty) fail("st_isclosed: EMPTY geometry")
+        g.parts.forall(cl)
+    }
+    cl(parse(wkb))
+  }
+
+  /** Ring: a closed linestring whose segments are simple (no
+    * self-intersection beyond the closing vertex) — PostGIS ST_IsRing.
+    */
+  def isRing(wkb: Array[Byte]): Boolean = {
+    val g = parse(wkb)
+    if (g.kind != 2) fail("st_isring expects a LINESTRING")
+    if (!isClosed(wkb)) return false
+    // simplicity: treat the closed line as a polygon ring and reuse the
+    // polygon-ring validity walk (proper self-crossings reject)
+    val r = g.rings(0)
+    val n = r.length / 2
+    if (n < 4) return false // a ring needs >= 3 distinct vertices + closure
+    isValid(writeGeom(Geom(3, Array(r))))
+  }
+
+  /** LINESTRING ring (closed) -> POLYGON; optional hole rings (PostGIS
+    * ST_MakePolygon single-arg form).
+    */
+  def makePolygon(wkb: Array[Byte]): Array[Byte] = {
+    val g = parse(wkb)
+    if (g.kind != 2) fail("st_makepolygon expects a LINESTRING shell")
+    if (!isClosed(wkb)) fail("st_makepolygon: shell must be closed")
+    if (g.rings(0).length / 2 < 4) fail("st_makepolygon: shell needs >= 3 distinct vertices")
+    writeGeom(Geom(3, Array(g.rings(0).clone())))
+  }
+
+  /** Wrap a simple geometry in its MULTI form (PostGIS ST_Multi); multis
+    * and collections pass through unchanged.
+    */
+  def multi(wkb: Array[Byte]): Array[Byte] = {
+    val g = parse(wkb)
+    g.kind match {
+      case 1 | 2 | 3 => writeGeom(Geom(g.kind + 3, Array.empty, Array(g)))
+      case _ => wkb
+    }
+  }
+
+  /** The simple members of a geometry, in order (PostGIS ST_Dump without
+    * the path column) — explode the result for per-member rows.
+    */
+  def dump(wkb: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      simples(parse(wkb)).map(writeGeom).toArray[Any])
 
   /** st_curvetoline (r14): linearize curve kinds into the linear kernel's
     * types — CIRCULARSTRING -> LINESTRING, COMPOUNDCURVE -> LINESTRING,

@@ -732,6 +732,78 @@ class SpatialSpec extends AnyFunSuite {
       "SELECT st_union_agg(st_point(1.0D, 1.0D)) FROM range(1)").collect())
   }
 
+  test("touches/crosses/overlaps/containsproperly: the remaining OGC predicates (r14)") {
+    val sq = Wkb.makeEnvelope(0, 0, 4, 4)
+    // touches: edge contact, corner contact; overlap and containment do NOT touch
+    assert(Wkb.touches(sq, Wkb.makeEnvelope(4, 0, 8, 4)), "shared edge")
+    assert(Wkb.touches(sq, Wkb.makeEnvelope(4, 4, 6, 6)), "corner contact")
+    assert(!Wkb.touches(sq, Wkb.makeEnvelope(2, 2, 6, 6)), "overlap is not touch")
+    assert(!Wkb.touches(sq, Wkb.makeEnvelope(1, 1, 2, 2)), "containment is not touch")
+    assert(!Wkb.touches(sq, sq), "self is not touch")
+    assert(!Wkb.touches(sq, Wkb.makeEnvelope(10, 10, 11, 11)), "disjoint")
+    // line touches polygon along the edge; line ENDING on the edge touches;
+    // line passing through does not
+    assert(Wkb.touches(wkt("LINESTRING (0 4, 4 4)"), sq))
+    assert(Wkb.touches(wkt("LINESTRING (8 2, 4 2)"), sq), "line ends on the boundary")
+    assert(!Wkb.touches(wkt("LINESTRING (-1 2, 5 2)"), sq), "line passes through")
+    // line-line: endpoint meeting touches, T-contact touches (the shared
+    // point is an ENDPOINT of one side, so II is empty), crossing doesn't
+    val l1 = wkt("LINESTRING (0 0, 2 0)")
+    assert(Wkb.touches(l1, wkt("LINESTRING (2 0, 4 1)")), "endpoint to endpoint")
+    assert(Wkb.touches(l1, wkt("LINESTRING (1 0, 1 5)")), "T-contact")
+    assert(Wkb.touches(wkt("LINESTRING (1 0, 1 5)"), l1), "symmetric")
+    assert(!Wkb.touches(l1, wkt("LINESTRING (1 -1, 1 1)")), "proper crossing")
+    assert(!Wkb.touches(l1, wkt("LINESTRING (1 0, 3 0)")), "collinear overlap")
+    // crosses
+    assert(Wkb.crosses(wkt("LINESTRING (1 -1, 1 1)"), l1), "line x line at a point")
+    assert(!Wkb.crosses(wkt("LINESTRING (1 0, 3 0)"), l1), "collinear overlap is not a cross")
+    assert(Wkb.crosses(wkt("LINESTRING (-1 2, 5 2)"), sq), "line through the area")
+    assert(!Wkb.crosses(wkt("LINESTRING (1 1, 3 3)"), sq), "line fully inside does not cross")
+    assert(!Wkb.crosses(sq, Wkb.makeEnvelope(2, 2, 6, 6)), "area x area never crosses")
+    // overlaps
+    assert(Wkb.overlaps(sq, Wkb.makeEnvelope(2, 2, 6, 6)))
+    assert(!Wkb.overlaps(sq, Wkb.makeEnvelope(1, 1, 2, 2)), "containment is not overlap")
+    assert(!Wkb.overlaps(sq, sq), "equal is not overlap")
+    assert(!Wkb.overlaps(sq, Wkb.makeEnvelope(4, 0, 8, 4)), "touch is not overlap")
+    assert(Wkb.overlaps(l1, wkt("LINESTRING (1 0, 3 0)")), "partial collinear lines overlap")
+    assert(!Wkb.overlaps(sq, l1), "mixed dimensions never overlap")
+    // containsproperly
+    assert(Wkb.containsProperly(sq, Wkb.makeEnvelope(1, 1, 2, 2)))
+    assert(!Wkb.containsProperly(sq, Wkb.makeEnvelope(0, 0, 2, 2)),
+      "boundary contact disqualifies")
+    assert(!Wkb.containsProperly(sq, sq))
+    assert(Wkb.containsProperly(sq, Wkb.point(2, 2)))
+    assert(!Wkb.containsProperly(sq, Wkb.point(0, 2)), "point on boundary")
+  }
+
+  test("structure accessors: wkb/hex codecs, dump, isclosed/isring, makepolygon, multi (r14)") {
+    val sq = Wkb.makeEnvelope(0, 0, 2, 2)
+    // hex round-trip and canonicalizing wkb round-trip
+    assert(java.util.Arrays.equals(Wkb.fromHexWkb(Wkb.asHexWkb(sq)), sq))
+    assert(java.util.Arrays.equals(Wkb.asWkb(sq), sq))
+    assert(java.util.Arrays.equals(Wkb.fromWkb(sq), sq))
+    // big-endian input canonicalizes to little-endian
+    val be = java.nio.ByteBuffer.allocate(21)
+    be.put(0.toByte).putInt(1).putDouble(3.0).putDouble(4.0)
+    assert(text(Wkb.fromWkb(be.array())) == "POINT (3 4)")
+    assert(Wkb.dimension(sq) == 2 && Wkb.dimension(Wkb.point(0, 0)) == 0 &&
+      Wkb.dimension(wkt("LINESTRING (0 0, 1 1)")) == 1)
+    assert(Wkb.dimension(wkt("GEOMETRYCOLLECTION (POINT (0 0), LINESTRING (0 0, 1 1))")) == 1)
+    // isclosed / isring / makepolygon
+    val ring = wkt("LINESTRING (0 0, 2 0, 2 2, 0 2, 0 0)")
+    assert(Wkb.isClosed(ring) && !Wkb.isClosed(wkt("LINESTRING (0 0, 1 1)")))
+    assert(Wkb.isRing(ring))
+    assert(!Wkb.isRing(wkt("LINESTRING (0 0, 2 2, 2 0, 0 2, 0 0)")), "bowtie is closed but not simple")
+    assert(Wkb.area(Wkb.makePolygon(ring)) == 4.0)
+    intercept[IllegalArgumentException](Wkb.makePolygon(wkt("LINESTRING (0 0, 1 1)")))
+    // multi / dump
+    assert(text(Wkb.multi(Wkb.point(1, 2))) == "MULTIPOINT ((1 2))")
+    assert(text(Wkb.multi(sq)).startsWith("MULTIPOLYGON"))
+    val parts = Wkb.dump(wkt("MULTIPOINT ((0 0), (1 1))"))
+    assert(parts.numElements() == 2)
+    assert(text(parts.getBinary(0)) == "POINT (0 0)")
+  }
+
   test("curve geometries: parse/print round-trip, st_curvetoline linearization (r14)") {
     // WKT round-trips for every curve kind (and their EMPTY forms)
     val texts = Seq(
