@@ -689,7 +689,16 @@ object SpatialOps {
       "TRUE AS ring_ok, FALSE AS ring_bowtie, " +
       "ROUND(CAST(4 AS DOUBLE), 6) AS mp_area, " +
       "'MULTIPOLYGON' AS multi_type, CAST(2 AS INTEGER) AS dump_n, " +
-      "'POINT (' || x || ' ' || y || ')' AS hex_rt " +
+      "'POINT (' || x || ' ' || y || ')' AS hex_rt, " +
+      // r14 tail: linemerge chain, quadkey closed form (tile walk at level
+      // 2 over the small-positive-lon/lat grid), reduceprecision
+      // round-half-even, bbox-only intersects, list-collect, hilbert origin
+      "'LINESTRING (' || x || ' ' || y || ', ' || (x+1) || ' ' || y || ', ' || (x+2) || ' ' || y || ')' AS lm_wkt, " +
+      "CASE WHEN y = 0 THEN '30' ELSE '12' END AS qk, " +
+      "'POINT (' || x || '.5 ' || y || ')' AS rp_wkt, " +
+      "TRUE AS ie_near, FALSE AS ie_far, " +
+      "'MULTIPOINT ((' || x || ' ' || y || '), (' || (x+1) || ' ' || y || '))' AS cl_wkt, " +
+      "CAST(0 AS BIGINT) AS hil_zero " +
       "FROM pts ORDER BY n_nationkey") { (s, d) =>
       Tables.ensure(s, d)
       s.sql(sparkPtsInt +
@@ -716,7 +725,15 @@ object SpatialOps {
         "ROUND(st_area(st_makepolygon(ring)), 6) AS mp_area, " +
         "st_geometrytype(st_multi(a)) AS multi_type, " +
         "CAST(size(st_dump(st_multi(st_union(a, st_makeenvelope(CAST(x AS DOUBLE) + 10.0D, CAST(y AS DOUBLE), CAST(x AS DOUBLE) + 11.0D, CAST(y AS DOUBLE) + 1.0D))))) AS INT) AS dump_n, " +
-        "st_astext(st_geomfromhexwkb(st_ashexwkb(st_point(CAST(x AS DOUBLE), CAST(y AS DOUBLE))))) AS hex_rt " +
+        "st_astext(st_geomfromhexwkb(st_ashexwkb(st_point(CAST(x AS DOUBLE), CAST(y AS DOUBLE))))) AS hex_rt, " +
+        "st_astext(st_linemerge(st_geomfromtext(CONCAT('MULTILINESTRING ((', x, ' ', y, ', ', x+1, ' ', y, '), (', x+1, ' ', y, ', ', x+2, ' ', y, '))')))) AS lm_wkt, " +
+        "st_quadkey(st_point(CAST(x AS DOUBLE), CAST(y AS DOUBLE)), 2) AS qk, " +
+        "st_astext(st_reduceprecision(st_point(CAST(x AS DOUBLE) + 0.26D, CAST(y AS DOUBLE)), 0.5D)) AS rp_wkt, " +
+        "st_intersects_extent(st_geomfromtext(CONCAT('POLYGON ((', x, ' ', y, ', ', x+4, ' ', y, ', ', x, ' ', y+4, ', ', x, ' ', y, '))')), " +
+        "st_geomfromtext(CONCAT('POLYGON ((', x+4, ' ', y+4, ', ', x+3, ' ', y+4, ', ', x+4, ' ', y+3, ', ', x+4, ' ', y+4, '))'))) AS ie_near, " +
+        "st_intersects_extent(a, st_makeenvelope(CAST(x AS DOUBLE) + 10.0D, CAST(y AS DOUBLE), CAST(x AS DOUBLE) + 11.0D, CAST(y AS DOUBLE) + 1.0D)) AS ie_far, " +
+        "st_astext(st_collect(array(st_point(CAST(x AS DOUBLE), CAST(y AS DOUBLE)), st_point(CAST(x+1 AS DOUBLE), CAST(y AS DOUBLE))))) AS cl_wkt, " +
+        "st_hilbert(st_point(0.0D, 0.0D), st_makeenvelope(0.0D, 0.0D, 100.0D, 100.0D)) AS hil_zero " +
         "FROM g ORDER BY n_nationkey")
     },
 

@@ -208,6 +208,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "st_multi(geom) - wrap a simple geometry in its MULTI form"),
     st("st_dump", "dump", ArrayType(BinaryType), Seq(B),
       "st_dump(geom) - array of the simple members (explode for rows)"),
+    st("st_collect", "collectList", B, Seq(ArrayType(BinaryType)),
+      "st_collect(list) - combine a geometry list into MULTI*/GEOMETRYCOLLECTION"),
+    st("st_intersects_extent", "intersectsExtent", BooleanType, Seq(B, B),
+      "st_intersects_extent(a, b) - bounding boxes overlap (cheap pre-filter)"),
+    st("st_reduceprecision", "reducePrecision", B, Seq(B, D),
+      "st_reduceprecision(geom, grid) - snap coordinates to the grid (round-half-even)"),
+    st("st_quadkey", "quadKey", StringType, Seq(B, IntegerType),
+      "st_quadkey(point, level) - Bing quadkey of a lon/lat point"),
+    st("st_hilbert", "hilbert", LongType, Seq(B, B),
+      "st_hilbert(geom, box) - 16-bit-per-axis Hilbert index of the bbox center within box"),
+    st("st_linemerge", "lineMerge", B, Seq(B),
+      "st_linemerge(lines) - stitch shared-endpoint members into maximal lines"),
     st("st_outline", "outlineOf", B, Seq(B),
       "st_outline(geom) - minimal boundary polygons of an edge-sharing " +
         "piece decomposition (st_union/st_union_agg output); loud on " +

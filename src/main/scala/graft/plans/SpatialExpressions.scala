@@ -2286,6 +2286,185 @@ object Wkb {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       simples(parse(wkb)).map(writeGeom).toArray[Any])
 
+  /** Scalar ST_Collect over a LIST of geometries (DuckDB's list form) —
+    * same combine as the aggregate, null elements skipped, NULL for an
+    * all-null/empty list.
+    */
+  def collectList(arr: org.apache.spark.sql.catalyst.util.ArrayData): Array[Byte] = {
+    val members = (0 until arr.numElements())
+      .filterNot(arr.isNullAt)
+      .map(arr.getBinary)
+      .toArray
+    if (members.isEmpty) null else collect(members)
+  }
+
+  /** Bounding-box-only intersects (DuckDB ST_Intersects_Extent): the cheap
+    * pre-filter — true whenever the envelopes overlap, regardless of the
+    * exact geometries.
+    */
+  def intersectsExtent(wa: Array[Byte], wb: Array[Byte]): Boolean = {
+    val a = parse(wa); val b = parse(wb)
+    if (isEmptyG(a) || isEmptyG(b)) return false
+    val (ax1, ax2) = { val xs = a.vertices.map(_._1).toSeq; (xs.min, xs.max) }
+    val (ay1, ay2) = { val ys = a.vertices.map(_._2).toSeq; (ys.min, ys.max) }
+    val (bx1, bx2) = { val xs = b.vertices.map(_._1).toSeq; (xs.min, xs.max) }
+    val (by1, by2) = { val ys = b.vertices.map(_._2).toSeq; (ys.min, ys.max) }
+    ax1 <= bx2 && bx1 <= ax2 && ay1 <= by2 && by1 <= ay2
+  }
+
+  /** Snap coordinates to a precision grid with round-half-even (GEOS
+    * ReducePrecision's deterministic core; "+ 0.0" strips -0.0 so the
+    * driver's byte-hash never sees a signed zero).
+    */
+  def reducePrecision(wkb: Array[Byte], grid: Double): Array[Byte] = {
+    if (grid <= 0) fail("st_reduceprecision: grid size must be > 0")
+    writeGeom(mapCoords(parse(wkb))((x, y) =>
+      (math.rint(x / grid) * grid + 0.0, math.rint(y / grid) * grid + 0.0)))
+  }
+
+  /** Bing-maps quadkey of a lon/lat POINT at `level` (DuckDB ST_QuadKey):
+    * Web Mercator tile walk, one base-4 digit per level.
+    */
+  def quadKey(wkb: Array[Byte], level: Int): UTF8String = {
+    if (level < 1 || level > 23) fail(s"st_quadkey: level must be in [1, 23], got $level")
+    val g = parse(wkb)
+    if (g.kind != 1 || g.rings.isEmpty) fail("st_quadkey expects a POINT")
+    val lon = g.rings(0)(0); val lat = g.rings(0)(1)
+    if (lon < -180 || lon > 180 || lat < -85.05112878 || lat > 85.05112878)
+      fail(s"st_quadkey: ($lon, $lat) outside Web Mercator bounds")
+    val sinLat = math.sin(lat * math.Pi / 180)
+    val n = 1L << level
+    val tx = math.min(n - 1, math.max(0L, ((lon + 180) / 360 * n).toLong))
+    val ty = math.min(n - 1, math.max(0L,
+      ((0.5 - math.log((1 + sinLat) / (1 - sinLat)) / (4 * math.Pi)) * n).toLong))
+    val sb = new java.lang.StringBuilder(level)
+    var i = level - 1
+    while (i >= 0) {
+      var digit = 0
+      if (((tx >> i) & 1) != 0) digit += 1
+      if (((ty >> i) & 1) != 0) digit += 2
+      sb.append(digit)
+      i -= 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** Hilbert-curve index of a geometry's bbox center within `box`, 16 bits
+    * per axis (DuckDB ST_Hilbert(geom, box) shape): spatially-close inputs
+    * get close indices — the ORDER BY key for locality clustering, a
+    * curve with better locality than the Morton/Z-order in
+    * [[graft.plans.ZOrder]].
+    */
+  def hilbert(wkb: Array[Byte], box: Array[Byte]): Long = {
+    val g = parse(wkb)
+    if (isEmptyG(g)) fail("st_hilbert: EMPTY geometry")
+    val bxs = parse(box).vertices.map(_._1).toSeq
+    val bys = parse(box).vertices.map(_._2).toSeq
+    val (x1, x2) = (bxs.min, bxs.max); val (y1, y2) = (bys.min, bys.max)
+    if (x2 <= x1 || y2 <= y1) fail("st_hilbert: degenerate bounds box")
+    val xs = g.vertices.map(_._1).toSeq; val ys = g.vertices.map(_._2).toSeq
+    val cx = (xs.min + xs.max) / 2; val cy = (ys.min + ys.max) / 2
+    val order = 16
+    val n = 1L << order
+    def clampCell(v: Double, lo: Double, hi: Double): Long =
+      math.min(n - 1, math.max(0L, ((v - lo) / (hi - lo) * n).toLong))
+    var x = clampCell(cx, x1, x2)
+    var y = clampCell(cy, y1, y2)
+    // standard xy -> d walk with quadrant rotation
+    var rx = 0L; var ry = 0L; var d = 0L
+    var s = n / 2
+    while (s > 0) {
+      rx = if ((x & s) > 0) 1 else 0
+      ry = if ((y & s) > 0) 1 else 0
+      d += s * s * ((3 * rx) ^ ry)
+      // rotate
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s /= 2
+    }
+    d
+  }
+
+  /** Merge a (multi)linestring's members into maximal lines by stitching
+    * shared endpoints (PostGIS ST_LineMerge): chains join only where
+    * exactly two member-ends meet (junction vertices stay split, like
+    * GEOS). Returns LINESTRING when one chain remains, else
+    * MULTILINESTRING in canonical order.
+    */
+  def lineMerge(wkb: Array[Byte]): Array[Byte] = {
+    val g = parse(wkb)
+    val lines = simples(g).filter(m => m.kind == 2 && m.rings.nonEmpty)
+    if (lines.isEmpty) fail("st_linemerge expects (MULTI)LINESTRING input")
+    type Pt = (Double, Double)
+    // endpoint degree: how many member-ends meet at each vertex
+    val degree = scala.collection.mutable.HashMap.empty[Pt, Int]
+    def ends(r: Array[Double]): (Pt, Pt) = {
+      val n = r.length / 2
+      ((r(0), r(1)), (r(2 * (n - 1)), r(2 * (n - 1) + 1)))
+    }
+    lines.foreach { m =>
+      val (a, b) = ends(m.rings(0))
+      degree(a) = degree.getOrElse(a, 0) + 1
+      degree(b) = degree.getOrElse(b, 0) + 1
+    }
+    val unused = scala.collection.mutable.ArrayBuffer.from(lines.map(_.rings(0)))
+    def rev(r: Array[Double]): Array[Double] = {
+      val n = r.length / 2
+      val out = new Array[Double](r.length)
+      var i = 0
+      while (i < n) {
+        out(2 * i) = r(2 * (n - 1 - i)); out(2 * i + 1) = r(2 * (n - 1 - i) + 1)
+        i += 1
+      }
+      out
+    }
+    val chains = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    while (unused.nonEmpty) {
+      var chain = unused.remove(0)
+      var grew = true
+      while (grew) {
+        grew = false
+        val (_, tail) = ends(chain)
+        // extend forward through a degree-2 joint
+        if (degree(tail) == 2) {
+          val i = unused.indexWhere { r =>
+            val (a, b) = ends(r); a == tail || b == tail
+          }
+          if (i >= 0) {
+            val nxt = unused.remove(i)
+            val (a, _) = ends(nxt)
+            val seg = if (a == tail) nxt else rev(nxt)
+            chain = chain ++ seg.drop(2)
+            grew = true
+          }
+        }
+        if (!grew) {
+          val (head, _) = ends(chain)
+          if (degree(head) == 2) {
+            val i = unused.indexWhere { r =>
+              val (a, b) = ends(r); a == head || b == head
+            }
+            if (i >= 0) {
+              val nxt = unused.remove(i)
+              val (_, b) = ends(nxt)
+              val seg = if (b == head) nxt else rev(nxt)
+              chain = seg ++ chain.drop(2)
+              grew = true
+            }
+          }
+        }
+      }
+      chains += chain
+    }
+    if (chains.length == 1) writeGeom(Geom(2, Array(chains.head)))
+    else {
+      val ordered = chains.sortBy(r => (r(0), r(1))).toArray
+      writeGeom(Geom(5, Array.empty, ordered.map(r => Geom(2, Array(r)))))
+    }
+  }
+
   /** st_curvetoline (r14): linearize curve kinds into the linear kernel's
     * types — CIRCULARSTRING -> LINESTRING, COMPOUNDCURVE -> LINESTRING,
     * CURVEPOLYGON -> POLYGON, MULTICURVE -> MULTILINESTRING, MULTISURFACE

@@ -804,6 +804,45 @@ class SpatialSpec extends AnyFunSuite {
     assert(text(parts.getBinary(0)) == "POINT (0 0)")
   }
 
+  test("linemerge/hilbert/quadkey/reduceprecision/intersects_extent/collect-list (r14)") {
+    // linemerge: two chains join through a degree-2 joint; a 3-way
+    // junction stays split (GEOS semantics)
+    val merged = Wkb.lineMerge(wkt(
+      "MULTILINESTRING ((0 0, 1 0), (1 0, 2 0), (2 0, 3 1))"))
+    assert(text(merged) == "LINESTRING (0 0, 1 0, 2 0, 3 1)")
+    val junction = Wkb.lineMerge(wkt(
+      "MULTILINESTRING ((0 0, 1 0), (1 0, 2 0), (1 0, 1 1))"))
+    assert(Wkb.geometryType(junction).toString == "MULTILINESTRING",
+      "3-way junction must not merge")
+    assert(Wkb.npoints(junction) == 6)
+    // reversed orientation still merges
+    assert(text(Wkb.lineMerge(wkt("MULTILINESTRING ((1 0, 0 0), (1 0, 2 0))"))) ==
+      "LINESTRING (0 0, 1 0, 2 0)" ||
+      text(Wkb.lineMerge(wkt("MULTILINESTRING ((1 0, 0 0), (1 0, 2 0))"))) ==
+      "LINESTRING (2 0, 1 0, 0 0)")
+    // hilbert: locality — neighbors closer than far points, bounded range
+    val box = Wkb.makeEnvelope(0, 0, 100, 100)
+    val h1 = Wkb.hilbert(Wkb.point(10, 10), box)
+    val h2 = Wkb.hilbert(Wkb.point(10.01, 10.01), box)
+    val h3 = Wkb.hilbert(Wkb.point(90, 90), box)
+    assert(math.abs(h1 - h2) < math.abs(h1 - h3), "hilbert preserves locality")
+    assert(h1 >= 0 && h1 < (1L << 32))
+    // quadkey: known Bing example — (-122.349693, 47.620171) level 3 = "021"
+    assert(Wkb.quadKey(Wkb.point(-122.349693, 47.620171), 3).toString == "021")
+    assert(Wkb.quadKey(Wkb.point(0.1, 0.1), 1).toString == "1")
+    intercept[IllegalArgumentException](Wkb.quadKey(Wkb.point(200, 0), 3))
+    // reduceprecision: half-even, no -0.0 leak
+    assert(text(Wkb.reducePrecision(Wkb.point(1.26, -0.04), 0.1)) == "POINT (1.3 0)")
+    assert(java.lang.Double.doubleToRawLongBits(
+      Wkb.x(Wkb.reducePrecision(Wkb.point(-0.04, 0), 0.1))) == 0L)
+    // intersects_extent: bbox-only (true even when exact geometries miss)
+    val tri1 = wkt("POLYGON ((0 0, 4 0, 0 4, 0 0))")
+    val tri2 = wkt("POLYGON ((4 4, 3 4, 4 3, 4 4))")
+    assert(Wkb.intersectsExtent(tri1, tri2), "bboxes overlap")
+    assert(!Wkb.intersects(tri1, tri2), "...but the triangles do not")
+    assert(!Wkb.intersectsExtent(tri1, Wkb.makeEnvelope(10, 10, 11, 11)))
+  }
+
   test("curve geometries: parse/print round-trip, st_curvetoline linearization (r14)") {
     // WKT round-trips for every curve kind (and their EMPTY forms)
     val texts = Seq(
