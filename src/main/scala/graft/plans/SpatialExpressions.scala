@@ -717,8 +717,23 @@ object Wkb {
         val verts = b.vertices.toSeq
         val allInOrOn = verts.forall { case (px, py) =>
           inside(a, px, py) || onBoundary(a, px, py) }
-        lazy val anyInterior = verts.exists { case (px, py) =>
-          inside(a, px, py) && !onBoundary(a, px, py) }
+        def strictIn(px: Double, py: Double): Boolean =
+          inside(a, px, py) && !onBoundary(a, px, py)
+        // "some b interior point in a's interior": vertices alone miss a
+        // thin b whose EVERY vertex sits on a's boundary (r14 property
+        // finding) — probe a guaranteed-interior point for polygons and
+        // segment midpoints for lines (a chord through a's interior
+        // contains even when both its endpoints are boundary points)
+        lazy val anyInterior = verts.exists { case (px, py) => strictIn(px, py) } ||
+          (b.kind match {
+            case 3 =>
+              val p = parse(pointOnSurface(writeGeom(b)))
+              strictIn(p.rings(0)(0), p.rings(0)(1))
+            case 2 =>
+              segments(b).exists { case (x1, y1, x2, y2) =>
+                strictIn((x1 + x2) / 2, (y1 + y2) / 2) }
+            case _ => false
+          })
         lazy val noCross = {
           val sa = segments(a); val sb = segments(b)
           // shared-boundary touches are allowed by Contains; a PROPER

@@ -228,6 +228,43 @@ class PropertySpec extends AnyFunSuite {
     graft.plans.Wkb.fromText(org.apache.spark.unsafe.types.UTF8String.fromString(
       s"$head (${bodies.mkString(", ")})"))
 
+  test("OGC relation matrix: every predicate matches interval closed forms on random rect pairs (r14)") {
+    import graft.plans.Wkb
+    val c = Gen.chooseNum(-10, 10)
+    val side = Gen.chooseNum(1, 6)
+    val rectGen = Gen.zip(c, c, side, side).map { case (x, y, w, h) =>
+      (x, y, x + w, y + h) }
+    // forAllNoShrink: tuple shrinking would fabricate inverted rects
+    // (x2 < x1) that no generator produced
+    check(Prop.forAllNoShrink(Gen.zip(rectGen, rectGen)) {
+      case ((ax1, ay1, ax2, ay2), (bx1, by1, bx2, by2)) =>
+        val a = Wkb.makeEnvelope(ax1, ay1, ax2, ay2)
+        val b = Wkb.makeEnvelope(bx1, by1, bx2, by2)
+        // interval closed forms
+        val ix = ax1 <= bx2 && bx1 <= ax2 && ay1 <= by2 && by1 <= ay2
+        val strict = ax1 < bx2 && bx1 < ax2 && ay1 < by2 && by1 < ay2 // interiors meet
+        val bInA = bx1 >= ax1 && bx2 <= ax2 && by1 >= ay1 && by2 <= ay2
+        val aInB = ax1 >= bx1 && ax2 <= bx2 && ay1 >= by1 && ay2 <= by2
+        val bStrictInA = bx1 > ax1 && bx2 < ax2 && by1 > ay1 && by2 < ay2
+        val eq = ax1 == bx1 && ay1 == by1 && ax2 == bx2 && ay2 == by2
+        val checks = Seq(
+          "intersects" -> (Wkb.intersects(a, b) == ix),
+          "touches" -> (Wkb.touches(a, b) == (ix && !strict)),
+          "overlaps" -> (Wkb.overlaps(a, b) == (strict && !bInA && !aInB)),
+          "contains" -> (Wkb.contains(a, b) == bInA),
+          "covers" -> (Wkb.covers(a, b) == bInA),
+          "containsProperly" -> (Wkb.containsProperly(a, b) == bStrictInA),
+          "equals" -> (Wkb.geomEquals(a, b) == eq),
+          "crosses(area,area)" -> !Wkb.crosses(a, b),
+          "disjoint" -> (Wkb.disjoint(a, b) == !ix),
+          "intersects_extent" -> (Wkb.intersectsExtent(a, b) == ix))
+        val bad = checks.collect { case (name, ok) if !ok => name }
+        if (bad.nonEmpty)
+          println(s"RELATION MISMATCH $bad for a=($ax1,$ay1,$ax2,$ay2) b=($bx1,$by1,$bx2,$by2)")
+        bad.isEmpty
+    }, n = 300)
+  }
+
   test("misraGries: presence + error bound hold for arbitrary skewed streams") {
     // Small alphabet so heavy hitters actually occur; random partitioning so
     // the mergeable-summaries combOp path is exercised, not just seqOp.
