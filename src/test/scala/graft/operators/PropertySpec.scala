@@ -265,6 +265,46 @@ class PropertySpec extends AnyFunSuite {
     }, n = 300)
   }
 
+  test("OGC relation matrix, mixed dimensions: axis line x rect against closed forms (r14)") {
+    import graft.plans.Wkb
+    val c = Gen.chooseNum(-8, 8)
+    val side = Gen.chooseNum(1, 6)
+    val rectGen = Gen.zip(c, c, side, side).map { case (x, y, w, h) =>
+      (x, y, x + w, y + h) }
+    val lineGen = Gen.zip(c, c, side, Gen.oneOf(true, false)).map {
+      case (x, y, len, horiz) => (x, y, len, horiz) }
+    check(Prop.forAllNoShrink(Gen.zip(lineGen, rectGen)) {
+      case ((lx, ly, len, horiz), (rx1, ry1, rx2, ry2)) =>
+        // the line runs along one axis; closed forms are interval algebra
+        // in (main axis span) x (cross-axis position)
+        val (a1, a2, cross) = (if (horiz) lx else ly, (if (horiz) lx else ly) + len,
+          if (horiz) ly else lx)
+        val (m1, m2, c1, c2) =
+          if (horiz) (rx1, rx2, ry1, ry2) else (ry1, ry2, rx1, rx2)
+        val line = graft.plans.Wkb.fromText(org.apache.spark.unsafe.types.UTF8String.fromString(
+          if (horiz) s"LINESTRING ($lx $ly, ${lx + len} $ly)"
+          else s"LINESTRING ($lx $ly, $lx ${ly + len})"))
+        val rect = Wkb.makeEnvelope(rx1, ry1, rx2, ry2)
+        val ix = cross >= c1 && cross <= c2 && a1 <= m2 && m1 <= a2
+        val interiorsMeet = cross > c1 && cross < c2 && math.max(a1, m1) < math.min(a2, m2)
+        val lineInClosed = cross >= c1 && cross <= c2 && a1 >= m1 && a2 <= m2
+        val checks = Seq(
+          "intersects" -> (Wkb.intersects(line, rect) == ix),
+          "touches" -> (Wkb.touches(line, rect) == (ix && !interiorsMeet)),
+          "touchesSym" -> (Wkb.touches(rect, line) == (ix && !interiorsMeet)),
+          "crosses" -> (Wkb.crosses(line, rect) == (interiorsMeet && !lineInClosed)),
+          "contains" -> (Wkb.contains(rect, line) == (lineInClosed && interiorsMeet)),
+          "covers" -> (Wkb.covers(rect, line) == lineInClosed),
+          "within" -> (Wkb.within(line, rect) == (lineInClosed && interiorsMeet)),
+          "overlaps" -> !Wkb.overlaps(line, rect),
+          "containsRev" -> !Wkb.contains(line, rect))
+        val bad = checks.collect { case (name, ok) if !ok => name }
+        if (bad.nonEmpty)
+          println(s"MIXED MISMATCH $bad line=($lx,$ly,len=$len,h=$horiz) rect=($rx1,$ry1,$rx2,$ry2)")
+        bad.isEmpty
+    }, n = 300)
+  }
+
   test("misraGries: presence + error bound hold for arbitrary skewed streams") {
     // Small alphabet so heavy hitters actually occur; random partitioning so
     // the mergeable-summaries combOp path is exercised, not just seqOp.
