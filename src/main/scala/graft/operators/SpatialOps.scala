@@ -698,7 +698,13 @@ object SpatialOps {
       "'POINT (' || x || '.5 ' || y || ')' AS rp_wkt, " +
       "TRUE AS ie_near, FALSE AS ie_far, " +
       "'MULTIPOINT ((' || x || ' ' || y || '), (' || (x+1) || ' ' || y || '))' AS cl_wkt, " +
-      "CAST(0 AS BIGINT) AS hil_zero " +
+      "CAST(0 AS BIGINT) AS hil_zero, " +
+      // makevalid: the per-row bowtie nodes into two unit triangles;
+      // simplifypreservetopology keeps the thin ring plain simplify would
+      // collapse (area preserved)
+      "ROUND(CAST(2 AS DOUBLE), 6) AS mv_area, TRUE AS mv_valid, " +
+      "'MULTIPOLYGON' AS mv_type, " +
+      "ROUND(CAST(0.8 AS DOUBLE), 6) AS spt_area " +
       "FROM pts ORDER BY n_nationkey") { (s, d) =>
       Tables.ensure(s, d)
       s.sql(sparkPtsInt +
@@ -733,7 +739,11 @@ object SpatialOps {
         "st_geomfromtext(CONCAT('POLYGON ((', x+4, ' ', y+4, ', ', x+3, ' ', y+4, ', ', x+4, ' ', y+3, ', ', x+4, ' ', y+4, '))'))) AS ie_near, " +
         "st_intersects_extent(a, st_makeenvelope(CAST(x AS DOUBLE) + 10.0D, CAST(y AS DOUBLE), CAST(x AS DOUBLE) + 11.0D, CAST(y AS DOUBLE) + 1.0D)) AS ie_far, " +
         "st_astext(st_collect(array(st_point(CAST(x AS DOUBLE), CAST(y AS DOUBLE)), st_point(CAST(x+1 AS DOUBLE), CAST(y AS DOUBLE))))) AS cl_wkt, " +
-        "st_hilbert(st_point(0.0D, 0.0D), st_makeenvelope(0.0D, 0.0D, 100.0D, 100.0D)) AS hil_zero " +
+        "st_hilbert(st_point(0.0D, 0.0D), st_makeenvelope(0.0D, 0.0D, 100.0D, 100.0D)) AS hil_zero, " +
+        "ROUND(st_area(st_makevalid(st_geomfromtext(CONCAT('POLYGON ((', x, ' ', y, ', ', x+2, ' ', y+2, ', ', x+2, ' ', y, ', ', x, ' ', y+2, ', ', x, ' ', y, '))')))), 6) AS mv_area, " +
+        "st_isvalid(st_makevalid(st_geomfromtext(CONCAT('POLYGON ((', x, ' ', y, ', ', x+2, ' ', y+2, ', ', x+2, ' ', y, ', ', x, ' ', y+2, ', ', x, ' ', y, '))')))) AS mv_valid, " +
+        "st_geometrytype(st_makevalid(st_geomfromtext(CONCAT('POLYGON ((', x, ' ', y, ', ', x+2, ' ', y+2, ', ', x+2, ' ', y, ', ', x, ' ', y+2, ', ', x, ' ', y, '))')))) AS mv_type, " +
+        "ROUND(st_area(st_simplifypreservetopology(st_makeenvelope(CAST(x AS DOUBLE), CAST(y AS DOUBLE), CAST(x+4 AS DOUBLE), CAST(y AS DOUBLE) + 0.2D), 10.0D)), 6) AS spt_area " +
         "FROM g ORDER BY n_nationkey")
     },
 

@@ -220,6 +220,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "st_hilbert(geom, box) - 16-bit-per-axis Hilbert index of the bbox center within box"),
     st("st_linemerge", "lineMerge", B, Seq(B),
       "st_linemerge(lines) - stitch shared-endpoint members into maximal lines"),
+    st("st_makevalid", "makeValid", B, Seq(B),
+      "st_makevalid(geom) - node self-intersecting rings into valid polygons; " +
+        "valid input unchanged; loud when snapping would be needed"),
+    st("st_simplifypreservetopology", "simplifyPreserveTopology", B, Seq(B, D),
+      "st_simplifypreservetopology(geom, tol) - Douglas-Peucker that keeps any " +
+        "ring whose simplified form would self-intersect or collapse"),
     st("st_outline", "outlineOf", B, Seq(B),
       "st_outline(geom) - minimal boundary polygons of an edge-sharing " +
         "piece decomposition (st_union/st_union_agg output); loud on " +

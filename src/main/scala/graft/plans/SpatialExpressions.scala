@@ -1658,6 +1658,133 @@ object Wkb {
     */
   def isValid(wkb: Array[Byte]): Boolean = isValidG(parse(wkb))
 
+  /** Repair self-intersecting rings (PostGIS ST_MakeValid's common case,
+    * r14): node each ring at its proper self-intersection points, then
+    * walk it extracting a loop whenever a noded vertex repeats — a bowtie
+    * becomes its two triangles, a figure-eight its two loops. Zero-area
+    * loops drop; the result is the valid POLYGON/MULTIPOLYGON with the
+    * same filled point set (even-odd semantics). Valid input passes
+    * through unchanged (bit-identical). Holes are re-attached to the shell
+    * piece that contains them after both are repaired; multi inputs repair
+    * per member. Out of scope, loudly: rings whose self-contact needs
+    * snapping (nearly-but-not-exactly-equal coordinates).
+    */
+  def makeValid(wkb: Array[Byte]): Array[Byte] = {
+    val g = parse(wkb)
+    if (isValidG(g)) return wkb
+    def repairRing(r: Array[Double]): Seq[Array[Double]] = {
+      val open = openRing(r)
+      val n = open.length / 2
+      if (n < 3) return Nil
+      // node: for each directed edge, collect proper intersection points
+      // with every non-adjacent edge, sorted along the edge
+      def seg(i: Int) = (open(2 * i), open(2 * i + 1),
+        open(2 * ((i + 1) % n)), open(2 * ((i + 1) % n) + 1))
+      val noded = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+      var i = 0
+      while (i < n) {
+        val (x1, y1, x2, y2) = seg(i)
+        noded += ((x1, y1))
+        val cuts = scala.collection.mutable.ArrayBuffer.empty[(Double, (Double, Double))]
+        var j = 0
+        while (j < n) {
+          val adjacent = j == i || (j + 1) % n == i || (i + 1) % n == j
+          if (!adjacent) {
+            val (x3, y3, x4, y4) = seg(j)
+            if (properCross((x1, y1, x2, y2), (x3, y3, x4, y4))) {
+              // exact line-line intersection via the parametric form
+              val d = (x2 - x1) * (y4 - y3) - (y2 - y1) * (x4 - x3)
+              val t = ((x3 - x1) * (y4 - y3) - (y3 - y1) * (x4 - x3)) / d
+              cuts += ((t, (x1 + t * (x2 - x1), y1 + t * (y2 - y1))))
+            }
+          }
+          j += 1
+        }
+        cuts.sortBy(_._1).foreach { case (_, p) => noded += p }
+        i += 1
+      }
+      // walk, popping a loop whenever a vertex repeats
+      val stack = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+      val index = scala.collection.mutable.HashMap.empty[(Double, Double), Int]
+      val loops = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+      def emit(from: Int): Unit = {
+        val loop = stack.slice(from, stack.length)
+        if (loop.length >= 3) {
+          val flat = new Array[Double](2 * loop.length)
+          loop.indices.foreach { k => flat(2 * k) = loop(k)._1; flat(2 * k + 1) = loop(k)._2 }
+          if (math.abs(shoelace(flat)) > 0.0) loops += flat
+        }
+        stack.remove(from, stack.length - from)
+        index.clear()
+        stack.indices.foreach(k => index(stack(k)) = k) // rebuild positions
+      }
+      (noded :+ noded.head).foreach { p =>
+        index.get(p) match {
+          case Some(at) =>
+            emit(at)
+            stack += p; index(p) = stack.length - 1
+          case None =>
+            stack += p; index(p) = stack.length - 1
+        }
+      }
+      // the closing vertex re-visits the start: emit(0) captured the outer
+      // loop; anything left on the stack (shouldn't happen) is dropped
+      loops.toSeq
+    }
+    def repair(m: Geom): Seq[Geom] = m.kind match {
+      case 3 =>
+        val shells = repairRing(m.rings(0))
+        val holePieces = m.rings.drop(1).toSeq.flatMap(repairRing)
+        shells.map { s =>
+          val mine = holePieces.filter(h => inside(Geom(3, Array(s)), h(0), h(1)) ||
+            onBoundary(Geom(3, Array(s)), h(0), h(1)))
+          Geom(3, (closeRing(s) +: mine.map(closeRing)).toArray)
+        }
+      case k if k >= 4 => m.parts.toSeq.flatMap(repair)
+      case _ => Seq(m) // points/lines: validity issues out of this scope
+    }
+    val pieces = repair(g)
+    if (pieces.isEmpty) fail("st_makevalid: repair produced no positive-area rings")
+    val out =
+      if (pieces.length == 1) writeGeom(pieces.head)
+      else writeGeom(Geom(6, Array.empty, pieces.toArray))
+    // loud-beats-wrong: noding only handles PROPER crossings and exact
+    // vertex re-visits; anything still invalid (collinear self-overlap,
+    // near-coincident coordinates needing snapping) is declared, not fudged
+    if (!isValid(out))
+      fail("st_makevalid: could not repair (self-contact needs snapping or " +
+        "collinear-overlap resolution — out of the noding scope)")
+    out
+  }
+
+  /** Douglas-Peucker simplification that never invalidates: each polygon
+    * ring simplifies independently, but a ring whose simplified form would
+    * self-intersect or collapse below 3 distinct vertices KEEPS its
+    * original vertices (PostGIS ST_SimplifyPreserveTopology's single-
+    * geometry core; cross-ring/cross-member collisions are not introduced
+    * because every original ring is a valid fallback).
+    */
+  def simplifyPreserveTopology(wkb: Array[Byte], tol: Double): Array[Byte] = {
+    val g = parse(wkb)
+    def walk(m: Geom): Geom = m.kind match {
+      case 3 =>
+        Geom(3, m.rings.map { r =>
+          // plain simplify fails LOUDLY on ring collapse — here collapse
+          // means "keep the original ring", the preserve-topology contract
+          try {
+            val simple = parse(simplify(writeGeom(Geom(3, Array(r))), tol)).rings(0)
+            val open = openRing(simple)
+            if (open.length / 2 >= 3 && polygonValid(Geom(3, Array(simple)))) simple
+            else r
+          } catch { case _: IllegalArgumentException => r }
+        })
+      case 2 => parse(simplify(writeGeom(m), tol))
+      case k if k >= 4 => Geom(k, m.rings, m.parts.map(walk))
+      case _ => m
+    }
+    writeGeom(walk(g))
+  }
+
   private def isValidG(g: Geom): Boolean =
     if (isEmptyG(g)) true // OGC: empty geometries are valid
     else g.kind match {

@@ -804,6 +804,35 @@ class SpatialSpec extends AnyFunSuite {
     assert(text(parts.getBinary(0)) == "POINT (0 0)")
   }
 
+  test("st_makevalid nodes self-crossings; simplifypreservetopology never invalidates (r14)") {
+    // bowtie -> two triangles, same filled area (even-odd), now valid
+    val bowtie = wkt("POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))")
+    assert(!Wkb.isValid(bowtie))
+    val fixed = Wkb.makeValid(bowtie)
+    assert(Wkb.isValid(fixed))
+    assert(Wkb.geometryType(fixed).toString == "MULTIPOLYGON")
+    assert(Wkb.area(fixed) == 2.0, "two unit triangles")
+    assert(Wkb.npoints(fixed) == 8)
+    // vertex-revisit figure-eight splits at the shared vertex
+    val eight = wkt("POLYGON ((0 0, 1 1, 2 0, 1 -1, 1 1, 0 2, -1 1, 1 1, 0 0))")
+    val fixed8 = Wkb.makeValid(eight)
+    assert(Wkb.isValid(fixed8))
+    // valid input passes through bit-identical
+    val ok = Wkb.makeEnvelope(0, 0, 3, 3)
+    assert(java.util.Arrays.equals(Wkb.makeValid(ok), ok))
+    // simplifypreservetopology: aggressive tolerance would collapse this
+    // thin zigzag ring — the ring keeps its original vertices instead
+    val thin = wkt("POLYGON ((0 0, 4 0, 4 0.2, 0 0.2, 0 0))")
+    val spt = Wkb.simplifyPreserveTopology(thin, 10.0)
+    assert(Wkb.isValid(spt) && Wkb.area(spt) == Wkb.area(thin))
+    // where plain simplify stays valid, both agree
+    val poly = wkt("POLYGON ((0 0, 2 0.05, 4 0, 4 4, 0 4, 0 0))")
+    assert(text(Wkb.simplifyPreserveTopology(poly, 0.1)) == text(Wkb.simplify(poly, 0.1)))
+    // lines simplify as usual
+    assert(Wkb.npoints(Wkb.simplifyPreserveTopology(
+      wkt("LINESTRING (0 0, 1 0.01, 2 0)"), 0.5)) == 2)
+  }
+
   test("linemerge/hilbert/quadkey/reduceprecision/intersects_extent/collect-list (r14)") {
     // linemerge: two chains join through a degree-2 joint; a 3-way
     // junction stays split (GEOS semantics)
