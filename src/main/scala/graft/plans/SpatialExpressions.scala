@@ -781,16 +781,30 @@ object Wkb {
     * boundary IS covered). polygon covers point/linestring/polygon: every
     * vertex inside-or-on and no proper edge crossing; line covers
     * point/line: exact on-segment containment (b's segments split at a's
-    * vertices, each sub-segment must lie within a single a segment); point
-    * covers point: equality. Multi-geometries recurse per-member: a part of
-    * b must be covered by a SINGLE part of a (a line spanning two touching
-    * members of a multilinestring is declared not-covered — approximation).
+    * vertices, each sub-segment must lie within a single a segment —
+    * MULTILINESTRING members flatten into one segment soup, so a line
+    * spanning two touching members IS covered, r14); point covers point:
+    * equality. Other multi-geometries recurse per-member: a part of b must
+    * be covered by a single part of a (exact for disjoint-interior
+    * members, which OGC-valid multipolygons are).
     */
   def covers(wa: Array[Byte], wb: Array[Byte]): Boolean =
     coversG(parse(wa), parse(wb))
 
   private def coversG(a: Geom, b: Geom): Boolean = {
     if (isEmptyG(a) || isEmptyG(b)) return false
+    // (multi)line covers (multi)point/line: the segment-containment kernel
+    // flattens a's members into one segment soup (segments/onBoundary
+    // already recurse), so a line spanning two touching members of a
+    // MULTILINESTRING is covered — the per-member recursion below would
+    // declare it not-covered (r14: the approximation removed)
+    if ((a.kind == 2 || a.kind == 5) &&
+        (b.kind == 1 || b.kind == 2 || b.kind == 4 || b.kind == 5))
+      return simples(b).forall { pb =>
+        if (isEmptyG(pb)) true
+        else if (pb.kind == 1) onBoundary(a, pb.rings(0)(0), pb.rings(0)(1))
+        else lineCoversLine(a, pb)
+      }
     if (a.kind >= 4 || b.kind >= 4)
       return simples(b).forall(pb => simples(a).exists(pa => coversG(pa, pb)))
     (a.kind, b.kind) match {
@@ -798,42 +812,7 @@ object Wkb {
         a.rings(0)(0) == b.rings(0)(0) && a.rings(0)(1) == b.rings(0)(1)
       case (2, 1) =>
         onBoundary(a, b.rings(0)(0), b.rings(0)(1))
-      case (2, 2) =>
-        // Line covers line: every segment of b must lie on the union of a's
-        // segments. Split each b segment at every a-vertex that lies on it;
-        // within each maximal sub-segment, coverage by any collinear a
-        // segment is then all-or-nothing, so "covered" is exactly "some
-        // single a segment contains both sub-segment endpoints".
-        val sa = segments(a)
-        segments(b).forall { case (x1, y1, x2, y2) =>
-          val dx = x2 - x1; val dy = y2 - y1
-          val len2 = dx * dx + dy * dy
-          if (len2 == 0.0) onBoundary(a, x1, y1)
-          else {
-            val ts = scala.collection.mutable.ArrayBuffer(0.0, 1.0)
-            sa.foreach { case (ax1, ay1, ax2, ay2) =>
-              var pi = 0
-              while (pi < 2) {
-                val px = if (pi == 0) ax1 else ax2
-                val py = if (pi == 0) ay1 else ay2
-                if (pointSegDist(px, py, x1, y1, x2, y2) == 0.0) {
-                  val t = ((px - x1) * dx + (py - y1) * dy) / len2
-                  if (t > 0 && t < 1) ts += t
-                }
-                pi += 1
-              }
-            }
-            val sorted = ts.distinct.sorted
-            sorted.iterator.zip(sorted.iterator.drop(1)).forall { case (t0, t1) =>
-              val p0x = x1 + t0 * dx; val p0y = y1 + t0 * dy
-              val p1x = x1 + t1 * dx; val p1y = y1 + t1 * dy
-              sa.exists { case (ax1, ay1, ax2, ay2) =>
-                pointSegDist(p0x, p0y, ax1, ay1, ax2, ay2) == 0.0 &&
-                  pointSegDist(p1x, p1y, ax1, ay1, ax2, ay2) == 0.0
-              }
-            }
-          }
-        }
+      case (2, 2) => lineCoversLine(a, b)
       case (3, _) =>
         val allInOrOn = b.vertices.forall { case (px, py) =>
           inside(a, px, py) || onBoundary(a, px, py) }
@@ -847,6 +826,46 @@ object Wkb {
   }
 
   def coveredBy(wa: Array[Byte], wb: Array[Byte]): Boolean = covers(wb, wa)
+
+  /** Line(-soup) covers line: every segment of b must lie on the union of
+    * a's segments (a may be a LINESTRING or a MULTILINESTRING — `segments`
+    * flattens). Split each b segment at every a-vertex that lies on it;
+    * within each maximal sub-segment, coverage by any collinear a segment
+    * is then all-or-nothing, so "covered" is exactly "some single a
+    * segment contains both sub-segment endpoints".
+    */
+  private def lineCoversLine(a: Geom, b: Geom): Boolean = {
+    val sa = segments(a)
+    segments(b).forall { case (x1, y1, x2, y2) =>
+      val dx = x2 - x1; val dy = y2 - y1
+      val len2 = dx * dx + dy * dy
+      if (len2 == 0.0) onBoundary(a, x1, y1)
+      else {
+        val ts = scala.collection.mutable.ArrayBuffer(0.0, 1.0)
+        sa.foreach { case (ax1, ay1, ax2, ay2) =>
+          var pi = 0
+          while (pi < 2) {
+            val px = if (pi == 0) ax1 else ax2
+            val py = if (pi == 0) ay1 else ay2
+            if (pointSegDist(px, py, x1, y1, x2, y2) == 0.0) {
+              val t = ((px - x1) * dx + (py - y1) * dy) / len2
+              if (t > 0 && t < 1) ts += t
+            }
+            pi += 1
+          }
+        }
+        val sorted = ts.distinct.sorted
+        sorted.iterator.zip(sorted.iterator.drop(1)).forall { case (t0, t1) =>
+          val p0x = x1 + t0 * dx; val p0y = y1 + t0 * dy
+          val p1x = x1 + t1 * dx; val p1y = y1 + t1 * dy
+          sa.exists { case (ax1, ay1, ax2, ay2) =>
+            pointSegDist(p0x, p0y, ax1, ay1, ax2, ay2) == 0.0 &&
+              pointSegDist(p1x, p1y, ax1, ay1, ax2, ay2) == 0.0
+          }
+        }
+      }
+    }
+  }
 
   // ---- interior-interior intersection + the remaining OGC predicates (r14) --
 
@@ -911,15 +930,13 @@ object Wkb {
       case (2, 3) => lineAreaInteriors(a, b)
       case (3, 2) => lineAreaInteriors(b, a)
       case (3, 3) =>
-        val sa = segments(a); val sb = segments(b)
-        sa.exists(s1 => sb.exists(s2 => properCross(s1, s2))) ||
-          a.vertices.exists { case (px, py) => inside(b, px, py) && !onBoundary(b, px, py) } ||
-          b.vertices.exists { case (px, py) => inside(a, px, py) && !onBoundary(a, px, py) } || {
-            val pa = parse(pointOnSurface(writeGeom(a)))
-            val pb = parse(pointOnSurface(writeGeom(b)))
-            (inside(b, pa.rings(0)(0), pa.rings(0)(1)) && !onBoundary(b, pa.rings(0)(0), pa.rings(0)(1))) ||
-              (inside(a, pb.rings(0)(0), pb.rings(0)(1)) && !onBoundary(a, pb.rings(0)(0), pb.rings(0)(1)))
-          }
+        // EXACT via the overlay kernel: interiors of two simple polygons
+        // meet iff their intersection has positive area. (An earlier
+        // vertex/probe heuristic missed stacked rectangles sharing both
+        // side edges — every vertex and both pointOnSurface probes landed
+        // on boundaries; the property test caught it.)
+        val inter = intersection(writeGeom(a), writeGeom(b))
+        inter != null && areaG(parse(inter)) > 0.0
       case _ => false
     }
   }

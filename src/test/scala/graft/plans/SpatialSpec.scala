@@ -644,6 +644,14 @@ class SpatialSpec extends AnyFunSuite {
     // byte-identical multilinestrings are equal (per-member recursion)
     val m = wkt("MULTILINESTRING ((0 0, 1 0), (2 0, 3 0))")
     assert(Wkb.geomEquals(m, m))
+    // a line spanning two TOUCHING members of a multilinestring is covered
+    // (segment-soup flattening, r14 — previously a declared approximation)
+    val touching = wkt("MULTILINESTRING ((0 0, 1 0), (1 0, 3 0))")
+    assert(Wkb.covers(touching, wkt("LINESTRING (0 0, 2 0)")))
+    assert(Wkb.geomEquals(touching, wkt("LINESTRING (0 0, 3 0)")),
+      "a split line equals its merged form")
+    assert(!Wkb.covers(m, wkt("LINESTRING (0 0, 3 0)")),
+      "a GAP between members still breaks coverage")
   }
 
   test("boundary follows the OGC mod-2 rule on multi-geometries (r14)") {
