@@ -57,9 +57,16 @@ object FlightSurface {
     val base = SystemCatalog.tables(spark, tablePattern = tablePattern).collect()
     val rows = base.toSeq.map { r =>
       val name = r.getAs[String]("table_name")
+      // Loud-beats-wrong: only a genuinely-unresolvable view (dropped
+      // dependency, stale temp view) degrades to an empty schema string —
+      // and it logs; any other failure is a real bug and must surface.
       val arrowSchema =
         try TypeMapping.toArrowSchemaWithRemarks(spark.table(name).limit(0).schema).toJson
-        catch { case _: Exception => "" }
+        catch {
+          case e: org.apache.spark.sql.AnalysisException =>
+            System.err.println(s"[graft] tablesWithSchema: unreadable table '$name': ${e.getMessage}")
+            ""
+        }
       (r.getAs[String]("catalog_name"), r.getAs[String]("db_schema_name"),
         name, r.getAs[String]("table_type"), arrowSchema)
     }

@@ -866,6 +866,12 @@ object Statement {
 
   /** Convenience: run a statement end-to-end under admission control with the
     * session's configured timeout.
+    *
+    * BOUNDED RESULTS ONLY: this materializes the full result on the driver
+    * via `collect()` — it exists for the CLI/tests/demo. The serving path
+    * streams batches without driver materialization
+    * ([[graft.server.GraftHttpServer]] + `ArrowIO.write` over
+    * `toLocalIterator`); never put this method on a wire path.
     */
   def run(
       sessions: SessionManager,

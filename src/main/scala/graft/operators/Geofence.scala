@@ -48,8 +48,15 @@ object Geofence {
   def tagZones(events: DataFrame, idCol: String, px: Column, py: Column,
       zones: DataFrame, zoneCol: String, geom: Column, cellSize: Double,
       broadcastZoneCap: Int = 4096): DataFrame = {
-    val zoneRows = zones.select(col(zoneCol).cast("string"), geom.cast("binary"))
-      .collect().filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+    // Null-filter in the QUERY and collect at most cap+1 rows: a zone set
+    // far above the cap must never be pulled to the driver just to discover
+    // it's over the cap (the OOM the cap exists to prevent) — one extra row
+    // is enough to know we're over and go straight to the blocked join.
+    val zoneRows = zones
+      .select(col(zoneCol).cast("string").as("__z"), geom.cast("binary").as("__g"))
+      .where(col("__z").isNotNull && col("__g").isNotNull)
+      .limit(broadcastZoneCap + 1)
+      .collect()
     if (zoneRows.isEmpty)
       return events.withColumn(zoneCol, lit("outside"))
     if (zoneRows.length > broadcastZoneCap)

@@ -476,18 +476,24 @@ object Wkb {
       case 1 => s"POINT (${ringText(g.rings(0))})"
       case 2 => s"LINESTRING (${ringText(g.rings(0))})"
       case 3 => s"POLYGON ${polyBody(g)}"
-      case 4 => s"MULTIPOINT (${g.parts.map(p => s"(${ringText(p.rings(0))})").mkString(", ")})"
-      case 5 => s"MULTILINESTRING (${g.parts.map(p => s"(${ringText(p.rings(0))})").mkString(", ")})"
-      case 6 => s"MULTIPOLYGON (${g.parts.map(polyBody).mkString(", ")})"
+      // an EMPTY member mixed with non-empty ones passes the isEmptyG gate
+      // above; print it as EMPTY (PostGIS style) instead of crashing on
+      // rings(0)
+      case 4 => s"MULTIPOINT (${g.parts.map(p =>
+        if (p.rings.isEmpty) "EMPTY" else s"(${ringText(p.rings(0))})").mkString(", ")})"
+      case 5 => s"MULTILINESTRING (${g.parts.map(p =>
+        if (p.rings.isEmpty) "EMPTY" else s"(${ringText(p.rings(0))})").mkString(", ")})"
+      case 6 => s"MULTIPOLYGON (${g.parts.map(p =>
+        if (p.rings.isEmpty) "EMPTY" else polyBody(p)).mkString(", ")})"
       case 8 => s"CIRCULARSTRING (${ringText(g.rings(0))})"
       case 9 => s"COMPOUNDCURVE (${g.parts.map(p =>
-        if (p.kind == 2) s"(${ringText(p.rings(0))})" else wktOf(p)).mkString(", ")})"
+        if (p.kind == 2 && p.rings.nonEmpty) s"(${ringText(p.rings(0))})" else wktOf(p)).mkString(", ")})"
       case 10 => s"CURVEPOLYGON (${g.parts.map(p =>
-        if (p.kind == 2) s"(${ringText(p.rings(0))})" else wktOf(p)).mkString(", ")})"
+        if (p.kind == 2 && p.rings.nonEmpty) s"(${ringText(p.rings(0))})" else wktOf(p)).mkString(", ")})"
       case 11 => s"MULTICURVE (${g.parts.map(p =>
-        if (p.kind == 2) s"(${ringText(p.rings(0))})" else wktOf(p)).mkString(", ")})"
+        if (p.kind == 2 && p.rings.nonEmpty) s"(${ringText(p.rings(0))})" else wktOf(p)).mkString(", ")})"
       case 12 => s"MULTISURFACE (${g.parts.map(p =>
-        if (p.kind == 3) polyBody(p) else wktOf(p)).mkString(", ")})"
+        if (p.kind == 3 && p.rings.nonEmpty) polyBody(p) else wktOf(p)).mkString(", ")})"
       case _ => s"GEOMETRYCOLLECTION (${g.parts.map(wktOf).mkString(", ")})"
     }
   }
@@ -598,6 +604,7 @@ object Wkb {
     case 1 => Nil
     case k if k >= 4 => g.parts.toSeq.flatMap(segments)
     case 2 =>
+      if (g.rings.isEmpty) return Nil // LINESTRING EMPTY member of a multi
       val r = g.rings(0); val n = r.length / 2
       (0 until n - 1).map(i => (r(2 * i), r(2 * i + 1), r(2 * i + 2), r(2 * i + 3)))
     case _ =>
@@ -910,23 +917,31 @@ object Wkb {
     */
   private def interiorsIntersect(a: Geom, b: Geom): Boolean = {
     if (isEmptyG(a) || isEmptyG(b)) return false
+    // Lineal x lineal BEFORE multi decomposition: the mod-2 rule is a
+    // property of the WHOLE geometry (a contact point that is a
+    // member-endpoint on both sides but with even multiplicity is interior
+    // of both multis); per-member recursion would call it boundary and
+    // wrongly report touches=true / crosses=false (r14 ADVICE).
+    // segments/vertices/pointInInterior all operate on multis directly.
+    if ((a.kind == 2 || a.kind == 5) && (b.kind == 2 || b.kind == 5)) {
+      val sa = segments(a); val sb = segments(b)
+      if (sa.exists(s1 => sb.exists(s2 => properCross(s1, s2)))) return true
+      // positive-length collinear overlap: interiors share a segment
+      if (sa.exists { case (x1, y1, x2, y2) =>
+        sb.exists { case (x3, y3, x4, y4) =>
+          collinearOverlap(x1, y1, x2, y2, x3, y3, x4, y4) } }) return true
+      // isolated contact points: vertices of one lying on the other,
+      // interiors decided by whole-geometry mod-2 (lineEndpoints)
+      val contacts = a.vertices.filter { case (px, py) => onBoundary(b, px, py) } ++
+        b.vertices.filter { case (px, py) => onBoundary(a, px, py) }
+      return contacts.exists { case (px, py) =>
+        pointInInterior(a, px, py) && pointInInterior(b, px, py) }
+    }
     if (a.kind >= 4 || b.kind >= 4)
       return simples(a).exists(pa => simples(b).exists(pb => interiorsIntersect(pa, pb)))
     (a.kind, b.kind) match {
       case (1, _) => pointInInterior(b, a.rings(0)(0), a.rings(0)(1))
       case (_, 1) => pointInInterior(a, b.rings(0)(0), b.rings(0)(1))
-      case (2, 2) =>
-        val sa = segments(a); val sb = segments(b)
-        if (sa.exists(s1 => sb.exists(s2 => properCross(s1, s2)))) return true
-        // positive-length collinear overlap: interiors share a segment
-        if (sa.exists { case (x1, y1, x2, y2) =>
-          sb.exists { case (x3, y3, x4, y4) =>
-            collinearOverlap(x1, y1, x2, y2, x3, y3, x4, y4) } }) return true
-        // isolated contact points: vertices of one lying on the other
-        val contacts = a.vertices.filter { case (px, py) => onBoundary(b, px, py) } ++
-          b.vertices.filter { case (px, py) => onBoundary(a, px, py) }
-        contacts.exists { case (px, py) =>
-          pointInInterior(a, px, py) && pointInInterior(b, px, py) }
       case (2, 3) => lineAreaInteriors(a, b)
       case (3, 2) => lineAreaInteriors(b, a)
       case (3, 3) =>
@@ -1452,7 +1467,7 @@ object Wkb {
         // mod-2 rule: count endpoint multiplicity across open members, keep
         // points that appear an odd number of times
         val counts = scala.collection.mutable.LinkedHashMap.empty[(Double, Double), Int]
-        g.parts.foreach { p =>
+        g.parts.filter(_.rings.nonEmpty).foreach { p =>
           val r = p.rings(0)
           val n = r.length / 2
           val closed = r(0) == r(2 * (n - 1)) && r(1) == r(2 * (n - 1) + 1)

@@ -541,6 +541,24 @@ class FlightSurfaceSpec extends AnyFunSuite {
     assert(json.contains("r_regionkey") && json.contains("r_name"))
   }
 
+  test("include_schema: a poisoned view degrades loudly to an empty schema, " +
+      "never a silent swallow (r15)") {
+    graft.Tables.ensure(spark, graft.SparkTestHarness.sfDir)
+    // a view over a table that no longer exists: analysis fails at
+    // spark.table() time -> AnalysisException -> logged empty-schema row
+    spark.sql("CREATE OR REPLACE TEMP VIEW poison_base_v AS SELECT 1 AS x")
+    spark.sql("CREATE OR REPLACE TEMP VIEW poisoned_v AS SELECT * FROM poison_base_v")
+    spark.catalog.dropTempView("poison_base_v")
+    val rows = FlightSurface.tablesWithSchema(spark, Some("poisoned_v")).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[String]("table_schema") == "",
+      "unreadable view reports an explicitly-empty schema")
+    // healthy tables in the same listing still carry real schemas
+    val healthy = FlightSurface.tablesWithSchema(spark, Some("region")).collect()
+    assert(healthy.head.getAs[String]("table_schema").contains("r_regionkey"))
+    spark.catalog.dropTempView("poisoned_v")
+  }
+
   test("include_schema column metadata: comments surface as Flight SQL REMARKS") {
     spark.sql("DROP TABLE IF EXISTS meta_remarks_t")
     spark.sql("CREATE TABLE meta_remarks_t (" +

@@ -1018,4 +1018,38 @@ class SpatialSpec extends AnyFunSuite {
     assert(java.lang.Double.doubleToRawLongBits(Wkb.x(z)) == 0L)
     assert(java.lang.Double.doubleToRawLongBits(Wkb.y(z)) == 0L)
   }
+
+  test("EMPTY members inside multis + whole-geometry mod-2 II (r15 ADVICE)") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // hand-built WKB: MULTILINESTRING (EMPTY, (0 0, 1 1)) — zero-count
+    // member mixed with a real one passes the isEmptyG gate; previously
+    // wktOf/boundary crashed on rings(0)
+    val lb = ByteBuffer.allocate(9 + 9 + 9 + 32).order(ByteOrder.LITTLE_ENDIAN)
+    lb.put(1.toByte).putInt(5).putInt(2)
+    lb.put(1.toByte).putInt(2).putInt(0) // LINESTRING EMPTY member
+    lb.put(1.toByte).putInt(2).putInt(2)
+    lb.putDouble(0).putDouble(0).putDouble(1).putDouble(1)
+    val mls = lb.array()
+    assert(text(mls) == "MULTILINESTRING (EMPTY, (0 0, 1 1))")
+    assert(text(Wkb.boundary(mls)) == "MULTIPOINT ((0 0), (1 1))",
+      "boundary's mod-2 fold skips the empty member")
+    // MULTIPOINT mixing a NaN-encoded EMPTY member with a real one
+    val pb = ByteBuffer.allocate(9 + 21 + 21).order(ByteOrder.LITTLE_ENDIAN)
+    pb.put(1.toByte).putInt(4).putInt(2)
+    pb.put(1.toByte).putInt(1).putDouble(Double.NaN).putDouble(Double.NaN)
+    pb.put(1.toByte).putInt(1).putDouble(2).putDouble(3)
+    assert(text(pb.array()) == "MULTIPOINT (EMPTY, (2 3))")
+
+    // mod-2 applies to the WHOLE multi: (1,1) is a member-endpoint on both
+    // sides but with even multiplicity -> interior of BOTH -> the point
+    // contact is II -> crosses, not touches (per-member recursion got this
+    // backwards)
+    val a = wkt("MULTILINESTRING ((0 0, 1 1), (1 1, 2 0))")
+    val b = wkt("MULTILINESTRING ((0 2, 1 1), (1 1, 2 2))")
+    assert(Wkb.crosses(a, b), "even-multiplicity contact is interior-interior")
+    assert(!Wkb.touches(a, b))
+    // odd multiplicity on one side (a true boundary point of c) still touches
+    val c = wkt("MULTILINESTRING ((1 1, 3 3), (3 3, 4 0))")
+    assert(Wkb.touches(a, c) && !Wkb.crosses(a, c))
+  }
 }
