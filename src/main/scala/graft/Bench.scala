@@ -22,8 +22,19 @@ object Bench {
     "text_stats", "text_fingerprint",
     "events_hourly", "events_sessions")
 
+  /** 1-minute load average from /proc/loadavg — recorded at bench start
+    * and end so a host-contention-contaminated window is diagnosable from
+    * the artifact itself (the r14 official window's 2.44x was a noisy
+    * neighbor; reconstructing that took a round).
+    */
+  private def loadAvg: Double =
+    try new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg"))).split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val loadStart = loadAvg
     val spark: SparkSession = GraftSession.local()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -189,6 +200,7 @@ object Bench {
       } else ""
     }
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(medians)},""" +
+      s""""load_avg_start":$loadStart,"load_avg_end":$loadAvg,""" +
       s""""warm_passes":$warmPasses,"settle_rounds":$settleRounds,"settle_jit_ms":$settleJit,""" +
       s""""pass_totals":[${passTotals.mkString(",")}],""" +
       s""""pass_gc_ms":[${passMeters.map(_._1).mkString(",")}],""" +

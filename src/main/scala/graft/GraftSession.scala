@@ -64,6 +64,16 @@ object GraftSession {
         // CPU between "hash relation ready" and "probe stage starts".
         .config("spark.broadcast.compress", "false")
     }
+    if (master.startsWith("local")) {
+      // Parquet row groups are Spark's atomic split unit; Layout.normalize
+      // rewrites pathological single-row-group local fixtures into ~16
+      // small files per table (graft.sources.Layout). Stop the file packer
+      // from re-merging them into one split: 8 MB + the default 4 MB
+      // open-cost padding yields one scan task per normalized file. Local
+      // masters only — a cluster reads real multi-row-group data and keeps
+      // the 128 MB default.
+      b.config("spark.sql.files.maxPartitionBytes", "8m")
+    }
     b
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "32")
@@ -145,8 +155,12 @@ object Tables {
       // Inert on micros/ntz files; lets a TIMESTAMP(NANOS) fixture load as
       // long instead of failing in the reader.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Content-identical multi-row-group local cache (one-time, keyed on
+      // the source fingerprint): single-row-group fixtures otherwise scan
+      // as ONE task per table. See graft.sources.Layout.
+      val effDir = graft.sources.Layout.normalize(spark, dir, all)
       all.foreach { n =>
-        val raw = spark.read.parquet(s"$dir/$n.parquet")
+        val raw = spark.read.parquet(s"$effDir/$n.parquet")
         val df =
           if (n == "events") {
             raw.schema("ts").dataType match {

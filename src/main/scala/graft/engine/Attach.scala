@@ -23,26 +23,46 @@ import scala.jdk.CollectionConverters._
   */
 final class AttachManager {
 
-  private val attachments = new ConcurrentHashMap[String, String]() // name -> path
+  /** One attachment: directory + writability. Writable attachments are the
+    * DuckLake analog (`/root/reference/tests/integration/test_ducklake.cpp`):
+    * a transactional catalog over an external directory — CREATE TABLE /
+    * INSERT / row-DML / BEGIN…COMMIT land in `<path>/<table>` dirs through
+    * the same journal + manifest commit protocol the primary catalog uses.
+    */
+  final case class Attachment(path: String, readOnly: Boolean)
+
+  private val attachments = new ConcurrentHashMap[String, Attachment]()
 
   private val NamePattern = "[A-Za-z_][A-Za-z0-9_]*"
 
-  /** Attach every `*.parquet` under `path` as `name.<table>`; returns the
-    * table count. Idempotent per name (re-attach of the same path refreshes).
+  /** Attach the tables under `path` as `name.<table>`; returns the table
+    * count. Read-only (the default): every `*.parquet` FILE, directory must
+    * be non-empty. Writable: parquet files AND table-shaped subdirectories
+    * are registered, and an empty directory is a valid (empty) catalog —
+    * `CREATE TABLE name.t` then materializes `<path>/t`. Idempotent per
+    * name (re-attach of the same path refreshes — how a restarted server
+    * re-discovers tables a previous process created).
     */
-  def attach(spark: SparkSession, name: String, path: String): Int = {
+  def attach(spark: SparkSession, name: String, path: String,
+      readOnly: Boolean = true): Int = {
     if (!name.matches(NamePattern))
       throw new IllegalArgumentException(s"invalid attachment name '$name'")
     val dir = new java.io.File(path)
     if (!dir.isDirectory)
       throw new IllegalArgumentException(s"attach path '$path' is not a directory")
-    val files = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.endsWith(".parquet")).sortBy(_.getName)
-    if (files.isEmpty)
+    val entries = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter { f =>
+        // *.parquet matches files AND Spark-written dirs (both always did);
+        // writable attachments also discover bare table dirs — the layout
+        // CREATE TABLE writes
+        f.getName.endsWith(".parquet") ||
+          (!readOnly && f.isDirectory && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      }.sortBy(_.getName)
+    if (entries.isEmpty && readOnly)
       throw new IllegalArgumentException(s"attach path '$path' contains no parquet tables")
     val existing = Option(attachments.get(name))
-    if (existing.exists(_ != path))
-      throw new IllegalArgumentException(s"'$name' is already attached to ${existing.get}")
+    if (existing.exists(_.path != path))
+      throw new IllegalArgumentException(s"'$name' is already attached to ${existing.get.path}")
     // Parquet TIMESTAMP(NANOS) columns (e.g. events feeds) are rejected by
     // the schema converter unless read as long — same accommodation as
     // graft.Tables.ensure; the legacy-long schema is then persisted in the
@@ -50,7 +70,7 @@ final class AttachManager {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.sql(s"CREATE DATABASE IF NOT EXISTS `$name`")
     var created = 0
-    files.foreach { f =>
+    entries.foreach { f =>
       val table = f.getName.stripSuffix(".parquet")
       if (table.matches(NamePattern)) {
         try {
@@ -65,14 +85,16 @@ final class AttachManager {
         }
       }
     }
-    if (created == 0)
+    if (created == 0 && readOnly)
       throw new IllegalArgumentException(s"no readable parquet tables under '$path'")
-    attachments.put(name, path)
+    attachments.put(name, Attachment(path, readOnly))
     created
   }
 
   /** Drop the attachment's namespace (metadata only; the parquet files are
-    * untouched). Returns false for an unknown name.
+    * untouched — every table, including writable-created ones, is EXTERNAL,
+    * so CASCADE never deletes data and a later re-attach sees it all).
+    * Returns false for an unknown name.
     */
   def detach(spark: SparkSession, name: String): Boolean =
     Option(attachments.remove(name)) match {
@@ -83,7 +105,21 @@ final class AttachManager {
     }
 
   def names: Set[String] = attachments.keySet().asScala.toSet
-  def list: Seq[(String, String)] = attachments.asScala.toSeq.sortBy(_._1)
+  def list: Seq[(String, String)] = attachments.asScala.toSeq.map { case (n, a) => (n, a.path) }.sortBy(_._1)
+
+  def pathOf(name: String): Option[String] = Option(attachments.get(name)).map(_.path)
+  def isWritable(name: String): Boolean =
+    Option(attachments.get(name)).exists(!_.readOnly)
+
+  /** Throw if `table` (possibly `db.t`-qualified) targets a read-only
+    * attachment — loud instead of a confusing parquet-sink failure.
+    */
+  def assertWritableTarget(table: String): Unit = {
+    val head = table.split("\\.").head
+    if (table.contains(".") && Option(attachments.get(head)).exists(_.readOnly))
+      throw new SecurityException(
+        s"attachment '$head' is read-only; ATTACH ... (READ_WRITE) to enable writes")
+  }
 }
 
 /** Per-session catalog visibility, re-implementing the enterprise

@@ -139,10 +139,17 @@ object ManifestCatalog {
     // catalog table while another session's commit is still mid-fold.
     if (cached != null && cached.version == version && cached.skipped == skip) return false
     val prevManaged = if (cached == null) Set.empty[String] else cached.managed
-    val nowManaged = entries.keySet -- skip
+    // QUALIFIED entries (attached-catalog tables, `att.t`) cannot be
+    // shadowed: temp views have no db-qualified names. Their commits keep
+    // crash atomicity (journal) and per-table atomicity (one fold), but a
+    // reader DURING the fold window reads the base table directly — it sees
+    // pre-state or a transient listing error, never a partial mix presented
+    // as committed. Declared residual, primary-catalog tables keep the full
+    // manifest shadow.
+    val nowManaged = entries.keySet.filterNot(_.contains(".")) -- skip
     (prevManaged -- nowManaged).foreach(spark.catalog.dropTempView)
     entries.foreach { case (t, d) =>
-      if (!skip.contains(t)) {
+      if (!skip.contains(t) && !t.contains(".")) {
         // Partition-structured snapshots (the autocommit DML path writes
         // those) read back with partition columns LAST; re-select into the
         // catalog table's declared order so SELECT * through the manifest

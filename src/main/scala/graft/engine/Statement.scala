@@ -32,8 +32,13 @@ object Statement {
     """(?is)^\s*SET\s+(?:(SESSION|GLOBAL)\s+)?(gizmosql\.[a-z_]+)\s*=\s*(?:'([^']*)'|([^;']+?))\s*;?\s*$""".r
   // Reference multi-catalog statements (`duckdb_server.cpp:700-717`): ATTACH
   // maps to a namespace of external parquet tables, DETACH drops it.
+  // Optional DuckDB-style options tail: (READ_ONLY) — the default here, the
+  // safe mode for fixture dirs — or (READ_WRITE), which makes the
+  // attachment a TRANSACTIONAL catalog (DuckLake analog: CREATE TABLE /
+  // INSERT / row-DML / BEGIN…COMMIT against `name.t`, external dir-backed
+  // tables under the attached path).
   private val AttachRe =
-    """(?is)^\s*ATTACH\s+(?:DATABASE\s+)?'([^']+)'\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
+    """(?is)^\s*ATTACH\s+(?:DATABASE\s+)?'([^']+)'\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)\s*(?:\(\s*(READ_ONLY|READ_WRITE)\s*\))?\s*;?\s*$""".r
   private val DetachRe =
     """(?is)^\s*DETACH\s+(?:DATABASE\s+)?([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
   // DuckDB-shaped whole-database export/import (the reference delegates these
@@ -122,6 +127,13 @@ object Statement {
   // transactions; declared.
   private val CreateOrReplaceTableRe =
     """(?is)^\s*CREATE\s+OR\s+REPLACE\s+TABLE\s+([A-Za-z_][\w.]*)\s+(.+?);?\s*$""".r
+  // CREATE TABLE in a WRITABLE attachment: the table must land under the
+  // attached directory as an EXTERNAL table (DETACH keeps data; re-attach
+  // re-discovers it), so a LOCATION-less CREATE gets
+  // `USING parquet LOCATION '<attachPath>/<table>'` injected and re-enters
+  // the pipeline (the injected text no longer matches the guard below).
+  private val CreateTableRe =
+    """(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s*(.*?);?\s*$""".r
 
   private val pool = ExecutionContext.fromExecutorService(
     Executors.newCachedThreadPool(r => {
@@ -281,6 +293,22 @@ object Statement {
     spark.createDataFrame(rows.asJava, out)
   }
 
+  /** Where a LOCATION-less CREATE TABLE should land when its target (the
+    * explicit `db.` prefix, or the session's current database) is a
+    * WRITABLE attachment: `<attachPath>/<table>`. None otherwise.
+    */
+  private def attachLocationOf(sessions: SessionManager, session: SessionState,
+      table: String): Option[String] = {
+    val parts = table.split("\\.")
+    val (db, tbl) =
+      if (parts.length >= 2) (parts(0), parts.last)
+      else (try session.spark.catalog.currentDatabase
+        catch { case _: Exception => "default" }, table)
+    if (sessions.attachments.isWritable(db))
+      sessions.attachments.pathOf(db).map(p => new java.io.File(p, tbl).getAbsolutePath)
+    else None
+  }
+
   /** Full pipeline: returns the result DataFrame (synthetic one-row results
     * for intercepted commands, mirroring the reference's behavior).
     */
@@ -311,14 +339,16 @@ object Statement {
         sessions.kill(target)
         oneRowResult(session.spark, "result", s"session $target killed")
 
-      case AttachRe(path, name) =>
+      case AttachRe(path, name, mode) =>
         // Local-path attach is engine management: admin-only, like the
         // guard's local-scan rule (admin_command_guard.cpp:68-76).
         if (!session.isAdmin)
           throw new SecurityException("ATTACH requires the admin role")
-        val n = sessions.attachments.attach(session.spark, name, path)
+        val readOnly = mode == null || mode.equalsIgnoreCase("READ_ONLY")
+        val n = sessions.attachments.attach(session.spark, name, path, readOnly)
         PlanCache.invalidate(session.spark)
-        oneRowResult(session.spark, "result", s"attached '$name' ($n tables)")
+        oneRowResult(session.spark, "result",
+          s"attached '$name' ($n tables${if (readOnly) "" else ", read-write"})")
 
       case DetachRe(name) =>
         if (!session.isAdmin)
@@ -521,6 +551,25 @@ object Statement {
           org.apache.spark.sql.types.LongType, nullable = false)))
         session.spark.createDataFrame(List(Row(n)).asJava, schema)
 
+      case CreateOrReplaceTableRe(table, rest)
+          if attachLocationOf(sessions, session, table).isDefined =>
+        // OR REPLACE into a WRITABLE attachment: the temp-name safe-swap
+        // below cannot apply (the replacement must land at the SAME
+        // external location), so this is drop + recreate — the old dir is
+        // cleared so the fresh external table cannot resurrect old files.
+        // Non-atomic visibility window, same declared caveat as the
+        // generic path.
+        guardOrThrow(session)(s"CREATE TABLE $table $rest")
+        session.spark.sql(s"DROP TABLE IF EXISTS $table")
+        val replacedDir = new java.io.File(attachLocationOf(sessions, session, table).get)
+        def rmTree(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+          f.delete(): Unit
+        }
+        rmTree(replacedDir)
+        PlanCache.invalidate(session.spark)
+        create(sessions, session, global, s"CREATE TABLE $table $rest")
+
       case CreateOrReplaceTableRe(table, rest) =>
         guardOrThrow(session)(s"CREATE TABLE $table $rest") // write classification
         if (!session.spark.catalog.tableExists(table)) {
@@ -549,6 +598,28 @@ object Statement {
         // Cached plans may reference the dropped table's old files/schema.
         PlanCache.invalidate(session.spark)
         oneRowResult(session.spark, "result", s"table $table replaced")
+
+      case CreateTableRe(table, rest)
+          if !rest.toUpperCase.contains("LOCATION") &&
+            !rest.trim.toUpperCase.startsWith("LIKE") &&
+            attachLocationOf(sessions, session, table).isDefined =>
+        // CREATE TABLE into a WRITABLE attachment: land the table as an
+        // EXTERNAL parquet dir under the attached path (DuckLake analog —
+        // DETACH keeps the data, re-attach re-discovers it), then re-enter
+        // the pipeline (injected LOCATION stops this case from re-matching;
+        // guard/read-only/txn checks all still apply downstream).
+        val loc = attachLocationOf(sessions, session, table).get
+        val asIdx = graft.plans.SqlScan.topLevel(rest, "AS").headOption
+        val (pre, post) = asIdx match {
+          case Some(i) => (rest.substring(0, i).trim, " " + rest.substring(i).trim)
+          case None => (rest.trim, "")
+        }
+        val withUsing =
+          if (pre.toUpperCase.contains("USING")) pre else s"$pre USING parquet".trim
+        val ifNotExists =
+          if (sql.toUpperCase.contains("IF NOT EXISTS")) "IF NOT EXISTS " else ""
+        create(sessions, session, global,
+          s"CREATE TABLE $ifNotExists$table $withUsing LOCATION '$loc'$post")
 
       case SetSettingRe(scope, name, quoted, bare) =>
         val value = Option(quoted).getOrElse(bare)
@@ -706,10 +777,14 @@ object Statement {
           case StatementGuard.Blocked(reason) => throw new SecurityException(reason)
           case StatementGuard.Allowed =>
             CatalogAccess.enforce(session, session.spark, dmlCore, sessions.attachments.names)
+            // attached targets must be writable (ATTACH ... (READ_WRITE))
+            graft.sources.RowDml.targetOf(session.spark, dmlCore)
+              .foreach(sessions.attachments.assertWritableTarget)
             val res = session.activeTxn match {
               case Some(txnId) => graft.sources.RowDml.execute(session.spark, sql,
                 sink = TxnDml.stagedSink(sessions.transactions, txnId),
-                allowPartitionScope = false)
+                allowPartitionScope = false,
+                resolve = (_, n) => TxnDml.txnResolver(session.spark, sessions.transactions, txnId)(n))
               case None => graft.sources.RowDml.execute(session.spark, sql)
             }
             PlanCache.invalidate(session.spark)
@@ -740,6 +815,7 @@ object Statement {
             core match {
               case HeadRe(table, colListRaw, srcRaw)
                   if !srcRaw.trim.toUpperCase.startsWith("PARTITION") =>
+                sessions.attachments.assertWritableTarget(table)
                 val schema = session.spark.table(table).schema
                 // "(x)" after the table is a COLUMN LIST only when it holds
                 // plain identifiers; otherwise it is a parenthesized source
@@ -830,11 +906,28 @@ object Statement {
                   case _ => None
                 }
               else None
+            // Read-your-writes for QUALIFIED staged tables (attached
+            // catalogs): temp views cannot shadow db-qualified names, so a
+            // statement inside a txn that staged `att.t` remaps those
+            // relations to the txn's shadow views before execution
+            // (PlanCache skipped — txn-local resolution must not be cached).
+            val stagedQualified: Map[String, String] = session.activeTxn
+              .flatMap(id => sessions.transactions.lookup(id))
+              .map(t => t.staged.synchronized {
+                scala.jdk.CollectionConverters.MapHasAsScala(t.staged).asScala.keys
+                  .filter(_.contains("."))
+                  .map(n => n.toLowerCase -> TxnDml.shadowName(n)).toMap
+              }).getOrElse(Map.empty)
             insertTarget match {
               case Some(t) =>
+                sessions.attachments.assertWritableTarget(t)
                 CommitLock.withExclusiveWrite(session.spark, t) {
                   PlanCache.sql(session.spark, sql2)
                 }
+              case None if stagedQualified.nonEmpty =>
+                val parsed = session.spark.sessionState.sqlParser.parsePlan(sql2)
+                org.apache.spark.sql.GraftDatasetShim.ofRows(session.spark,
+                  TxnDml.remapStaged(parsed, stagedQualified))
               case None =>
                 // Repeated pure statements reuse their analyzed plan; commands
                 // bypass and flush the cache (PlanCache's contract).

@@ -30,6 +30,16 @@ import scala.jdk.CollectionConverters._
   */
 object TxnDml {
 
+  /** Session view name that shadows `table` during a transaction. Temp
+    * views cannot carry a db-qualified name, so an attached-catalog target
+    * (`att.t`) shadows under a mangled name; statements inside the txn are
+    * remapped to it ([[remapStaged]] / [[txnResolver]]). Unqualified tables
+    * keep their own name — temp-view resolution shadows those natively.
+    */
+  def shadowName(table: String): String =
+    if (table.contains(".")) "graft_txn_shadow__" + table.replace(".", "__")
+    else table
+
   /** The staging sink for [[graft.sources.RowDml.execute]]: full post-image
     * to a fresh staging dir, shadow view re-pointed, dir recorded on the
     * transaction. Always called with `allowPartitionScope = false`, so the
@@ -42,9 +52,41 @@ object TxnDml {
       val dir = TxnJournal.stageRoot(spark)
         .resolve(java.util.UUID.randomUUID().toString).toString
       newRows.write.parquet(dir)
-      spark.read.parquet(dir).createOrReplaceTempView(name)
+      spark.read.parquet(dir).createOrReplaceTempView(shadowName(name))
       txns.stage(txnId, name, dir)
     }
+
+  /** In-txn table resolution for [[graft.sources.RowDml]]: a staged
+    * QUALIFIED table reads its shadow view (read-your-writes for chained
+    * DML on attached tables); everything else resolves normally —
+    * unqualified staged tables already resolve to their shadow temp view.
+    */
+  def txnResolver(spark: org.apache.spark.sql.SparkSession, txns: Transactions,
+      txnId: String): String => org.apache.spark.sql.DataFrame = { name =>
+    val stagedQualified = name.contains(".") && txns.lookup(txnId).exists(t =>
+      t.staged.synchronized { t.staged.containsKey(name) })
+    spark.table(if (stagedQualified) shadowName(name) else name)
+  }
+
+  /** Remap a parsed (unresolved) plan's relations from staged QUALIFIED
+    * table names to their shadow views, recursing into subquery
+    * expressions. `staged` maps lower-cased qualified names to shadow view
+    * names.
+    */
+  def remapStaged(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      staged: Map[String, String]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+    def go(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+      p.transformDown {
+        case r: UnresolvedRelation
+            if staged.contains(r.multipartIdentifier.mkString(".").toLowerCase) =>
+          UnresolvedRelation(Seq(staged(r.multipartIdentifier.mkString(".").toLowerCase)))
+      }.transformAllExpressions {
+        case s: SubqueryExpression => s.withNewPlan(go(s.plan))
+      }
+    go(plan)
+  }
 
   /** Apply every touched table's final snapshot and drop the shadows.
     * Returns the applied table names (first-touch order).
@@ -60,7 +102,7 @@ object TxnDml {
     if (entries.isEmpty) return Seq.empty
     // Drop the shadows FIRST so insertInto resolves the catalog tables, not
     // the temp views (inserting into a view is an error).
-    entries.foreach { case (name, _) => spark.catalog.dropTempView(name) }
+    entries.foreach { case (name, _) => spark.catalog.dropTempView(shadowName(name)) }
     // Per-table commit locks for the whole journal→fold→drop window: a
     // concurrent writer on any touched table waits out the fold instead of
     // racing it ([[CommitLock]]).
@@ -100,6 +142,6 @@ object TxnDml {
     */
   def rollbackDiscard(spark: SparkSession, txn: Transactions#Txn): Unit = {
     val names = txn.staged.synchronized { txn.staged.asScala.keys.toSeq }
-    names.foreach(spark.catalog.dropTempView)
+    names.foreach(n => spark.catalog.dropTempView(shadowName(n)))
   }
 }

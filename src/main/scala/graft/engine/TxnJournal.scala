@@ -93,11 +93,34 @@ object TxnJournal {
     * columns LAST regardless of the table's declared order.
     */
   def foldFull(spark: SparkSession, table: String, staged: String): Unit = {
-    val cols = spark.sessionState.catalog.getTableMetadata(
-      spark.sessionState.sqlParser.parseTableIdentifier(table)).schema.fieldNames
-    spark.read.parquet(staged)
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+    val cols = meta.schema.fieldNames
+    val aligned = spark.read.parquet(staged)
       .select(cols.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
-      .write.mode("overwrite").insertInto(table)
+    val locFile = new java.io.File(Paths.get(meta.location).toString)
+    if (locFile.isFile) {
+      // FILE-backed external table (a writable attachment over a dir of
+      // single-file tables): `insertInto` cannot overwrite a file location,
+      // so the fold writes the post-image as ONE parquet file and swaps it
+      // in with an atomic rename — readers see the old file or the new one,
+      // never a partial write. REFRESH drops the session's cached listing.
+      val tmpDir = Files.createTempDirectory(locFile.getParentFile.toPath, ".graft-fold-")
+      try {
+        aligned.coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
+        val part = Option(tmpDir.toFile.listFiles()).getOrElse(Array.empty)
+          .find(f => f.getName.endsWith(".parquet") && f.isFile)
+          .getOrElse(throw new IllegalStateException(
+            s"fold of $table produced no parquet file under $tmpDir"))
+        Files.move(part.toPath, locFile.toPath, StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+        spark.sql(s"REFRESH TABLE $table")
+      } finally {
+        Option(tmpDir.toFile.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+        Files.deleteIfExists(tmpDir)
+        ()
+      }
+    } else aligned.write.mode("overwrite").insertInto(table)
   }
 
   /** Redo every in-flight commit found in the journal dir (bootstrap path).

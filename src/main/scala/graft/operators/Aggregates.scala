@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import Relational.ts
+import Money._
 
 /** Aggregation operators (SURVEY.md §2.B "Aggregations"): hash aggregates with
   * automatic partial (map-side) + final phases, COUNT(DISTINCT), HAVING,
@@ -22,22 +23,37 @@ object Aggregates {
 
   val ops: Seq[Op] = Seq(
     // TPC-H h01: the pricing-summary report.
+    // Money sums run in EXACT DECIMAL on both sides (fixture money columns
+    // carry exactly 2 decimals, so the casts are lossless): double summation
+    // is order-dependent, and with parallel multi-row-group scans
+    // (graft.sources.Layout) Spark's partial-sum combine order no longer
+    // matches DuckDB's sequential scan — ROUND(SUM(double),2) near a .005
+    // boundary then flips a cent and fails the byte-exact hash (observed:
+    // sum_disc_price at sf0.001). Decimal sums are associative, so the
+    // oracle is deterministic under ANY partitioning — the same property a
+    // 1000-executor run needs. TPC-H itself types these columns DECIMAL.
     Op("agg_h01",
-      "SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity),2) AS sum_qty, ROUND(SUM(l_extendedprice),2) AS sum_base_price, " +
-      "ROUND(SUM(l_extendedprice*(1-l_discount)),2) AS sum_disc_price, ROUND(SUM(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge, " +
-      "ROUND(AVG(l_quantity),2) AS avg_qty, ROUND(AVG(l_extendedprice),2) AS avg_price, ROUND(AVG(l_discount),2) AS avg_disc, COUNT(*) AS count_order " +
+      "SELECT l_returnflag, l_linestatus, " +
+      "CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))),2) AS DOUBLE) AS sum_qty, " +
+      "CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))),2) AS DOUBLE) AS sum_base_price, " +
+      s"CAST(ROUND(SUM($SqlRev),2) AS DOUBLE) AS sum_disc_price, " +
+      s"CAST(ROUND(SUM($SqlRev * (CAST(1.00 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))),2) AS DOUBLE) AS sum_charge, " +
+      "ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)/COUNT(*),2) AS avg_qty, " +
+      "ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)/COUNT(*),2) AS avg_price, " +
+      "ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE)/COUNT(*),2) AS avg_disc, " +
+      "COUNT(*) AS count_order " +
       "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus") { (s, d) =>
       t(s, d, "lineitem")
         .filter(col("l_shipdate") <= ts("1998-09-02T00:00"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          round(sum("l_quantity"), 2).as("sum_qty"),
-          round(sum("l_extendedprice"), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
-          round(avg("l_quantity"), 2).as("avg_qty"),
-          round(avg("l_extendedprice"), 2).as("avg_price"),
-          round(avg("l_discount"), 2).as("avg_disc"),
+          round(sum(dec2("l_quantity")), 2).cast("double").as("sum_qty"),
+          round(sum(dec2("l_extendedprice")), 2).cast("double").as("sum_base_price"),
+          round(sum(revDec), 2).cast("double").as("sum_disc_price"),
+          round(sum(revDec * (oneDec + rate2("l_tax"))), 2).cast("double").as("sum_charge"),
+          round(sum(dec2("l_quantity")).cast("double") / count(lit(1)), 2).as("avg_qty"),
+          round(sum(dec2("l_extendedprice")).cast("double") / count(lit(1)), 2).as("avg_price"),
+          round(sum(rate2("l_discount")).cast("double") / count(lit(1)), 2).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     },
@@ -59,13 +75,13 @@ object Aggregates {
     // TPC-H h06: global aggregate over a selective filter — at scale the
     // filter and the two read columns push down into the parquet scan.
     Op("agg_global_h06",
-      "SELECT ROUND(SUM(l_extendedprice*l_discount),2) AS revenue FROM lineitem " +
+      "SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(3,2))),2) AS DOUBLE) AS revenue FROM lineitem " +
       "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' " +
       "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24") { (s, d) =>
       t(s, d, "lineitem")
         .filter(col("l_shipdate") >= ts("1996-01-01T00:00") && col("l_shipdate") < ts("1997-01-01T00:00") &&
           col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
-        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+        .agg(round(sum(dec2("l_extendedprice") * rate2("l_discount")), 2).cast("double").as("revenue"))
     },
 
     Op("agg_minmax",
@@ -75,11 +91,11 @@ object Aggregates {
     },
 
     Op("agg_rollup",
-      "SELECT c_nationkey, c_mktsegment, COUNT(*) AS c, ROUND(SUM(c_acctbal),2) AS bal FROM customer " +
+      "SELECT c_nationkey, c_mktsegment, COUNT(*) AS c, CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))),2) AS DOUBLE) AS bal FROM customer " +
       "GROUP BY ROLLUP(c_nationkey, c_mktsegment) ORDER BY c_nationkey NULLS FIRST, c_mktsegment NULLS FIRST") { (s, d) =>
       t(s, d, "customer")
         .rollup("c_nationkey", "c_mktsegment")
-        .agg(count(lit(1)).as("c"), round(sum("c_acctbal"), 2).as("bal"))
+        .agg(count(lit(1)).as("c"), round(sum(dec2("c_acctbal")), 2).cast("double").as("bal"))
         .orderBy(col("c_nationkey").asc_nulls_first, col("c_mktsegment").asc_nulls_first)
     },
 
@@ -257,12 +273,14 @@ object Aggregates {
     // Aggregate FILTER clause — per-aggregate predicates in one pass.
     Op("agg_filter_clause",
       "SELECT l_returnflag, CAST(COUNT(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_big, " +
-      "ROUND(SUM(l_extendedprice) FILTER (WHERE l_discount > 0.05),2) AS disc_rev, " +
+      "CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) FILTER (WHERE l_discount > 0.05),2) AS DOUBLE) AS disc_rev, " +
       "ROUND(AVG(l_quantity) FILTER (WHERE l_tax = 0),2) AS avg_untaxed " +
       "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag") { (s, d) =>
       Tables.ensure(s, d)
+      // avg_untaxed stays double: l_quantity is integral, so its sum is
+      // exact in double and the average is order-insensitive already
       s.sql("SELECT l_returnflag, COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big, " +
-        "ROUND(SUM(l_extendedprice) FILTER (WHERE l_discount > 0.05),2) AS disc_rev, " +
+        "CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) FILTER (WHERE l_discount > 0.05),2) AS DOUBLE) AS disc_rev, " +
         "ROUND(AVG(l_quantity) FILTER (WHERE l_tax = 0),2) AS avg_untaxed " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")
     },

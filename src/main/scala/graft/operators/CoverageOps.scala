@@ -138,14 +138,16 @@ object CoverageOps {
     // PIVOT with multiple aggregates per pivot value.
     Op("pivot_multi",
       "SELECT o_orderpriority, CAST(SUM(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS BIGINT) AS f_c, " +
-      "ROUND(SUM(CASE WHEN o_orderstatus='F' THEN o_totalprice ELSE 0 END),2) AS f_t, " +
+      "CAST(ROUND(SUM(CASE WHEN o_orderstatus='F' THEN CAST(o_totalprice AS DECIMAL(12,2)) ELSE CAST(0.00 AS DECIMAL(12,2)) END),2) AS DOUBLE) AS f_t, " +
       "CAST(SUM(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END) AS BIGINT) AS o_c, " +
-      "ROUND(SUM(CASE WHEN o_orderstatus='O' THEN o_totalprice ELSE 0 END),2) AS o_t " +
+      "CAST(ROUND(SUM(CASE WHEN o_orderstatus='O' THEN CAST(o_totalprice AS DECIMAL(12,2)) ELSE CAST(0.00 AS DECIMAL(12,2)) END),2) AS DOUBLE) AS o_t " +
       "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority") { (s, d) =>
       Tables.ensure(s, d)
-      s.sql("SELECT o_orderpriority, COALESCE(f_c, 0) AS f_c, ROUND(COALESCE(f_t, 0),2) AS f_t, " +
-        "COALESCE(o_c, 0) AS o_c, ROUND(COALESCE(o_t, 0),2) AS o_t " +
-        "FROM (SELECT * FROM (SELECT o_orderpriority, o_orderstatus, o_totalprice FROM orders) " +
+      // the pivoted SUM runs over the decimal-cast column (Money): exact,
+      // so any partitioning of orders yields the same cents
+      s.sql("SELECT o_orderpriority, COALESCE(f_c, 0) AS f_c, CAST(ROUND(COALESCE(f_t, 0),2) AS DOUBLE) AS f_t, " +
+        "COALESCE(o_c, 0) AS o_c, CAST(ROUND(COALESCE(o_t, 0),2) AS DOUBLE) AS o_t " +
+        "FROM (SELECT * FROM (SELECT o_orderpriority, o_orderstatus, CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice FROM orders) " +
         "PIVOT (COUNT(*) AS c, SUM(o_totalprice) AS t FOR o_orderstatus IN ('F' AS f, 'O' AS o))) " +
         "ORDER BY o_orderpriority")
     },
@@ -186,12 +188,14 @@ object CoverageOps {
     // sample. The md5-derived hash makes the very same rows land in the
     // sample in any engine.
     Op("sample_hash",
-      s"SELECT CAST(COUNT(*) AS BIGINT) AS n, ROUND(AVG(o_totalprice),2) AS avg_price FROM orders " +
+      s"SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
+      s"ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)/COUNT(*),2) AS avg_price FROM orders " +
       s"WHERE ${TextPipeline.hex60Sql("CAST(o_orderkey AS VARCHAR)")} % 20 = 0") { (s, d) =>
       Tables.ensure(s, d)
       s.table("orders")
         .filter(TextPipeline.md5Hash60(col("o_orderkey").cast("string")) % 20 === 0)
-        .agg(count(lit(1)).as("n"), round(avg("o_totalprice"), 2).as("avg_price"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(Money.dec2("o_totalprice")).cast("double") / count(lit(1)), 2).as("avg_price"))
     },
 
     // The multimodal FEATURE stage end-to-end: binary media -> fixed-width
@@ -363,6 +367,30 @@ object CoverageOps {
       Op("compat_duckdb_sql", sameText) { (s, d) =>
         Tables.ensure(s, d)
         s.sql(sameText)
+      }
+    },
+
+    // COLLATE: the reference preloads DuckDB's icu extension for all users
+    // (`gizmosql_library.cpp:814-819`); ONE DuckDB-dialect text runs
+    // natively there and through plans.CollateRewrite here (NOCASE →
+    // UTF8_LCASE, NOACCENT → UNICODE_AI, NOCASE.NOACCENT → UNICODE_CI_AI —
+    // Spark 4's native collations). Equality probes cover all three modes
+    // (constants on purpose: order-independent); the rank column pins the
+    // case-insensitive ORDERING with a binary tie-break. Verified NOCASE is
+    // unicode-aware in DuckDB 1.0 (Ärger = ärger), matching UTF8_LCASE.
+    {
+      val duckText =
+        "WITH t(s) AS (VALUES ('apple'),('APPLE'),('Apple'),('banana'),('BANANA'),('cherry'),('Date')) " +
+        "SELECT s, " +
+        "CASE WHEN s COLLATE NOCASE = 'Apple' THEN 1 ELSE 0 END AS eq_ci, " +
+        "CASE WHEN 'Ärger' COLLATE NOCASE = 'ärger' THEN 1 ELSE 0 END AS ci_unicode, " +
+        "CASE WHEN 'Äpfel' COLLATE NOACCENT = 'Apfel' THEN 1 ELSE 0 END AS eq_ai, " +
+        "CASE WHEN 'ÄPFEL' COLLATE NOCASE.NOACCENT = 'äpfel' THEN 1 ELSE 0 END AS eq_ci_ai, " +
+        "CAST(RANK() OVER (ORDER BY s COLLATE NOCASE, s) AS BIGINT) AS r_ci " +
+        "FROM t ORDER BY s"
+      Op("compat_collate", duckText) { (s, d) =>
+        Tables.ensure(s, d)
+        s.sql(graft.plans.Dialect.rewrite(duckText))
       }
     },
 
@@ -579,7 +607,7 @@ object CoverageOps {
     {
       val sameText =
         "SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n, " +
-        "ROUND(SUM(o_totalprice), 2) AS total " +
+        "CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total " +
         "FROM orders GROUP BY ALL ORDER BY ALL"
       Op("compat_order_by_all", sameText) { (s, d) =>
         Tables.ensure(s, d)

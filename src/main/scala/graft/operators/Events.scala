@@ -58,11 +58,15 @@ object Events {
   val ops: Seq[Op] = Seq(
     // Tumbling 1h aggregate (batch face of groupBy(window($"ts", "1 hour"))).
     Op("events_hourly",
-      "SELECT DATE_TRUNC('HOUR', ts) AS h, event_type, COUNT(*) AS c, ROUND(SUM(value),2) AS v " +
+      // exact-decimal sum: order-insensitive under any partitioning (see
+      // graft.operators.Money); value carries exactly 2 decimals
+      "SELECT DATE_TRUNC('HOUR', ts) AS h, event_type, COUNT(*) AS c, " +
+      "CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))),2) AS DOUBLE) AS v " +
       "FROM events GROUP BY 1,2 ORDER BY 1,2") { (s, d) =>
       ev(s, d)
         .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
-        .agg(count(lit(1)).as("c"), round(sum("value"), 2).as("v"))
+        .agg(count(lit(1)).as("c"),
+          round(sum(Money.dec2("value")), 2).cast("double").as("v"))
         .orderBy("h", "event_type")
     },
 

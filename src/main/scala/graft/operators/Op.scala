@@ -42,3 +42,37 @@ object Op {
   def rowsOnly(name: String)(run: (SparkSession, String) => DataFrame): Op =
     Op(name, run, None)
 }
+
+/** Exact-decimal helpers for money-aggregation oracles.
+  *
+  * Double summation is order-dependent; with parallel multi-row-group scans
+  * (graft.sources.Layout) Spark's partial-sum combine order no longer
+  * matches DuckDB's sequential scan, so `ROUND(SUM(double),2)` near a .005
+  * boundary flips a cent and fails the driver's byte-exact hash. Summing in
+  * DECIMAL is associative — deterministic under ANY partitioning, which is
+  * also what a 1000-executor run needs — and the casts are lossless because
+  * the fixture money columns carry exactly 2 decimals (TPC-H types them
+  * DECIMAL in the first place). Widths are kept tight so DuckDB 1.0's
+  * width-additive multiplication never exceeds DECIMAL(38).
+  */
+object Money {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit}
+
+  /** Money column (|v| < 10^10, 2 decimals — lossless). */
+  def dec2(name: String): Column = col(name).cast("decimal(12,2)")
+  def dec2c(c: Column): Column = c.cast("decimal(12,2)")
+
+  /** Rate column (discount/tax: |v| < 10, 2 decimals — lossless). */
+  def rate2(name: String): Column = col(name).cast("decimal(3,2)")
+
+  val oneDec: Column = lit(1).cast("decimal(3,2)")
+
+  /** `l_extendedprice * (1 - l_discount)` in exact decimal (scale 4). */
+  def revDec: Column = dec2("l_extendedprice") * (oneDec - rate2("l_discount"))
+
+  /** The SQL spelling of [[revDec]], shared by oracle texts. */
+  val SqlRev: String =
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+      "(CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
+}

@@ -103,7 +103,7 @@ object Relational {
     // TPC-H h03 shape: 3-way join; customer is small -> Catalyst broadcasts it,
     // lineitem-orders is the only shuffle (on the join key) at scale.
     Op("join_inner_h03",
-      "SELECT o_orderkey, ROUND(SUM(l_extendedprice*(1-l_discount)),2) AS revenue, CAST(o_orderdate AS DATE) AS odate " +
+      s"SELECT o_orderkey, CAST(ROUND(SUM(${Money.SqlRev}),2) AS DOUBLE) AS revenue, CAST(o_orderdate AS DATE) AS odate " +
       "FROM customer JOIN orders ON c_custkey=o_custkey JOIN lineitem ON l_orderkey=o_orderkey " +
       "WHERE c_mktsegment='BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate > TIMESTAMP '1997-01-01' " +
       "GROUP BY o_orderkey, o_orderdate ORDER BY revenue DESC, o_orderkey LIMIT 10") { (s, d) =>
@@ -122,7 +122,7 @@ object Relational {
         .hint("shuffle_hash")
         .join(lineitem, col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderkey", "o_orderdate")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg(round(sum(Money.revDec), 2).cast("double").as("revenue"))
         .select(col("o_orderkey"), col("revenue"), col("o_orderdate").cast("date").as("odate"))
         .orderBy(col("revenue").desc, col("o_orderkey")).limit(10)
     },
@@ -235,7 +235,7 @@ object Relational {
     // h07 shape: 6-way join with aliased nation self-join.
     Op("join_self_nation",
       "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS l_year, " +
-      "ROUND(SUM(l_extendedprice*(1-l_discount)),2) AS revenue " +
+      s"CAST(ROUND(SUM(${Money.SqlRev}),2) AS DOUBLE) AS revenue " +
       "FROM supplier JOIN lineitem ON s_suppkey=l_suppkey JOIN orders ON o_orderkey=l_orderkey " +
       "JOIN customer ON c_custkey=o_custkey JOIN nation n1 ON s_nationkey=n1.n_nationkey " +
       "JOIN nation n2 ON c_nationkey=n2.n_nationkey " +
@@ -260,18 +260,20 @@ object Relational {
         .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
         .filter(col("supp_nation") =!= col("cust_nation"))
         .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg(round(sum(Money.revDec), 2).cast("double").as("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     },
 
     // Correlated scalar subquery (h17 shape) — expressed via spark.sql so
     // Catalyst's decorrelation rewrites it into an aggregate + join.
     Op("subq_scalar",
-      "SELECT ROUND(SUM(l_extendedprice)/7.0,2) AS avg_yearly FROM lineitem JOIN part ON p_partkey=l_partkey " +
+      // outer sum in exact decimal (Money); the inner AVG(l_quantity) stays
+      // double — quantities are integral, so that sum is already exact
+      "SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)/7.0,2) AS avg_yearly FROM lineitem JOIN part ON p_partkey=l_partkey " +
       "WHERE p_brand='Brand#1' AND l_quantity < (SELECT 0.2*AVG(l_quantity) FROM lineitem l2 WHERE l2.l_partkey=p_partkey)") { (s, d) =>
       Tables.ensure(s, d)
       s.sql(
-        """SELECT ROUND(SUM(l_extendedprice)/7.0,2) AS avg_yearly FROM lineitem JOIN part ON p_partkey=l_partkey
+        """SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)/7.0,2) AS avg_yearly FROM lineitem JOIN part ON p_partkey=l_partkey
           |WHERE p_brand='Brand#1' AND l_quantity < (SELECT 0.2*AVG(l_quantity) FROM lineitem l2 WHERE l2.l_partkey=p_partkey)""".stripMargin)
     },
 

@@ -78,14 +78,14 @@ object SetsSortsCtes {
     // table; that stays a deliberate single task because re-deriving the
     // max any other way re-expands the CTE subtree in Spark's DAG model.
     Op("cte_h15",
-      "WITH revenue AS (SELECT l_suppkey AS supplier_no, ROUND(SUM(l_extendedprice*(1-l_discount)),2) AS total_revenue " +
+      s"WITH revenue AS (SELECT l_suppkey AS supplier_no, CAST(ROUND(SUM(${Money.SqlRev}),2) AS DOUBLE) AS total_revenue " +
       "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY l_suppkey) " +
       "SELECT s_suppkey, s_name, total_revenue FROM supplier JOIN revenue ON s_suppkey=supplier_no " +
       "WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue) ORDER BY s_suppkey") { (s, d) =>
       val revenue = t(s, d, "lineitem")
         .filter(col("l_shipdate") >= ts("1996-01-01T00:00") && col("l_shipdate") < ts("1996-04-01T00:00"))
         .groupBy(col("l_suppkey").as("supplier_no"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("total_revenue"))
+        .agg(round(sum(Money.revDec), 2).cast("double").as("total_revenue"))
       val best = revenue
         .withColumn("m", max(col("total_revenue")).over(Window.partitionBy()))
         .filter(col("total_revenue") === col("m"))

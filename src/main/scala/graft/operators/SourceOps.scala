@@ -85,7 +85,8 @@ object SourceOps {
     // carries a 100 TB dataset. DuckDB reads the same files with
     // hive_partitioning.
     Op.effectful("scan_partitioned",
-      s"SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(o_totalprice),2) AS total " +
+      s"SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n, " +
+      s"CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))),2) AS DOUBLE) AS total " +
       s"FROM read_parquet('$ioDir/orders_part/*/*.parquet', hive_partitioning=1) " +
       s"WHERE o_orderstatus='F' GROUP BY o_orderstatus ORDER BY o_orderstatus") { (s, d) =>
       Tables.ensure(s, d)
@@ -94,7 +95,8 @@ object SourceOps {
       s.read.parquet(s"$ioDir/orders_part")
         .filter(col("o_orderstatus") === "F")
         .groupBy("o_orderstatus")
-        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(Money.dec2("o_totalprice")), 2).cast("double").as("total"))
         .orderBy("o_orderstatus")
     },
 

@@ -251,13 +251,14 @@ object TemporalJoins {
     // with a map-side interval probe, no shuffle, no nested-loop explosion.
     Op("join_range",
       "WITH tiers(tier, lo, hi) AS (VALUES ('low', 0.0, 50.0), ('mid', 50.0, 200.0), ('high', 200.0, 1000.0)) " +
-      "SELECT tier, COUNT(*) AS n, ROUND(SUM(value),2) AS total FROM events JOIN tiers " +
+      "SELECT tier, COUNT(*) AS n, CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))),2) AS DOUBLE) AS total FROM events JOIN tiers " +
       "ON value >= lo AND value < hi GROUP BY tier ORDER BY tier") { (s, d) =>
       val tiers = s.createDataFrame(Seq(
         ("low", 0.0, 50.0), ("mid", 50.0, 200.0), ("high", 200.0, 1000.0)))
         .toDF("tier", "lo", "hi")
       ev(s, d).join(broadcast(tiers), col("value") >= col("lo") && col("value") < col("hi"))
-        .groupBy("tier").agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+        .groupBy("tier").agg(count(lit(1)).as("n"),
+          round(sum(Money.dec2("value")), 2).cast("double").as("total"))
         .orderBy("tier")
     },
 

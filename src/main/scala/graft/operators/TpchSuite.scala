@@ -53,8 +53,12 @@ object TpchSuite {
     // the 100 TB-safe strategy regardless of which side is bigger. DuckDB
     // reads the hint as a plain block comment, so one template serves both
     // engines.
+    // Money sums below run in exact DECIMAL on both engines — see
+    // graft.operators.Money: double summation is order-dependent and the
+    // multi-row-group layout (graft.sources.Layout) makes Spark's combine
+    // order differ from DuckDB's sequential scan.
     both("tpch_h05",
-      "SELECT /*+ SHUFFLE_MERGE(lineitem) */ n_name, ROUND(SUM(l_extendedprice*(1-l_discount)),2) AS revenue " +
+      s"SELECT /*+ SHUFFLE_MERGE(lineitem) */ n_name, CAST(ROUND(SUM(${Money.SqlRev}),2) AS DOUBLE) AS revenue " +
       "FROM customer JOIN orders ON c_custkey=o_custkey JOIN lineitem ON l_orderkey=o_orderkey " +
       "JOIN supplier ON l_suppkey=s_suppkey AND c_nationkey=s_nationkey " +
       "JOIN nation ON s_nationkey=n_nationkey JOIN region ON n_regionkey=r_regionkey " +
@@ -63,8 +67,8 @@ object TpchSuite {
 
     both("tpch_h08",
       "SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year, " +
-      "ROUND(SUM(CASE WHEN n2.n_name='NATION_3' THEN l_extendedprice*(1-l_discount) ELSE 0 END)" +
-      "/SUM(l_extendedprice*(1-l_discount)),4) AS mkt_share " +
+      s"ROUND(CAST(SUM(CASE WHEN n2.n_name='NATION_3' THEN ${Money.SqlRev} ELSE CAST(0.0000 AS DECIMAL(6,4)) END) AS DOUBLE)" +
+      s"/CAST(SUM(${Money.SqlRev}) AS DOUBLE),4) AS mkt_share " +
       "FROM part JOIN lineitem ON p_partkey=l_partkey JOIN orders ON l_orderkey=o_orderkey " +
       "JOIN customer ON o_custkey=c_custkey JOIN nation n1 ON c_nationkey=n1.n_nationkey " +
       "JOIN region ON n1.n_regionkey=r_regionkey JOIN supplier ON l_suppkey=s_suppkey " +
@@ -79,13 +83,13 @@ object TpchSuite {
     // static-path A/B); dims (part, supplier, nation) stay broadcast.
     both("tpch_h09",
       "SELECT /*+ SHUFFLE_HASH(orders) */ n_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year, " +
-      "ROUND(SUM(l_extendedprice*(1-l_discount)),2) AS profit " +
+      s"CAST(ROUND(SUM(${Money.SqlRev}),2) AS DOUBLE) AS profit " +
       "FROM part JOIN lineitem ON p_partkey=l_partkey JOIN supplier ON l_suppkey=s_suppkey " +
       "JOIN orders ON o_orderkey=l_orderkey JOIN nation ON s_nationkey=n_nationkey " +
       "WHERE p_name LIKE '%red%' GROUP BY 1,2 ORDER BY 1,2 DESC"),
 
     both("tpch_h10",
-      "SELECT c_custkey, c_name, ROUND(SUM(l_extendedprice*(1-l_discount)),2) AS revenue, n_name " +
+      s"SELECT c_custkey, c_name, CAST(ROUND(SUM(${Money.SqlRev}),2) AS DOUBLE) AS revenue, n_name " +
       "FROM customer JOIN orders ON c_custkey=o_custkey JOIN lineitem ON l_orderkey=o_orderkey " +
       "JOIN nation ON c_nationkey=n_nationkey " +
       "WHERE o_orderdate >= NTZTS '1996-10-01' AND o_orderdate < NTZTS '1997-01-01' AND l_returnflag='R' " +
@@ -100,8 +104,8 @@ object TpchSuite {
       "GROUP BY l_linestatus ORDER BY l_linestatus"),
 
     both("tpch_h14",
-      "SELECT ROUND(100.0 * SUM(CASE WHEN p_type='PROMO' THEN l_extendedprice*(1-l_discount) ELSE 0 END)" +
-      "/SUM(l_extendedprice*(1-l_discount)),4) AS promo_revenue " +
+      s"SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p_type='PROMO' THEN ${Money.SqlRev} ELSE CAST(0.0000 AS DECIMAL(6,4)) END) AS DOUBLE)" +
+      s"/CAST(SUM(${Money.SqlRev}) AS DOUBLE),4) AS promo_revenue " +
       "FROM lineitem JOIN part ON l_partkey=p_partkey " +
       "WHERE l_shipdate >= NTZTS '1997-09-01' AND l_shipdate < NTZTS '1997-10-01'"),
 
@@ -147,7 +151,7 @@ object TpchSuite {
     },
 
     both("tpch_h19",
-      "SELECT ROUND(SUM(l_extendedprice*(1-l_discount)),2) AS revenue FROM lineitem JOIN part ON p_partkey=l_partkey " +
+      s"SELECT CAST(ROUND(SUM(${Money.SqlRev}),2) AS DOUBLE) AS revenue FROM lineitem JOIN part ON p_partkey=l_partkey " +
       "WHERE (p_brand='Brand#1' AND l_quantity BETWEEN 1 AND 11) " +
       "OR (p_brand='Brand#2' AND l_quantity BETWEEN 10 AND 20) " +
       "OR (p_type='PROMO' AND l_quantity >= 20)"),
@@ -207,7 +211,7 @@ object TpchSuite {
     },
 
     both("tpch_h22",
-      "SELECT cntrycode, COUNT(*) AS numcust, ROUND(SUM(c_acctbal),2) AS totacctbal FROM " +
+      "SELECT cntrycode, COUNT(*) AS numcust, CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))),2) AS DOUBLE) AS totacctbal FROM " +
       "(SELECT SUBSTRING(c_name,10,2) AS cntrycode, c_acctbal FROM customer " +
       "WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0) " +
       "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey=c_custkey AND o_orderdate >= NTZTS '2000-01-01')) t " +
@@ -225,9 +229,9 @@ object TpchSuite {
 
     // h07 volume shipping, full shape (all columns exist in the fixtures).
     both("tpch_h07",
-      "SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume),2) AS revenue FROM (" +
+      "SELECT supp_nation, cust_nation, l_year, CAST(ROUND(SUM(volume),2) AS DOUBLE) AS revenue FROM (" +
       "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, " +
-      "CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS l_year, l_extendedprice*(1-l_discount) AS volume " +
+      s"CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS l_year, ${Money.SqlRev} AS volume " +
       "FROM supplier JOIN lineitem ON s_suppkey=l_suppkey JOIN orders ON o_orderkey=l_orderkey " +
       "JOIN customer ON c_custkey=o_custkey JOIN nation n1 ON s_nationkey=n1.n_nationkey " +
       "JOIN nation n2 ON c_nationkey=n2.n_nationkey " +
@@ -238,9 +242,9 @@ object TpchSuite {
     // h11 shape without partsupp: suppliers whose lineitem value exceeds 1.1x
     // the average supplier value (scalar subquery inside HAVING).
     both("tpch_h11",
-      "SELECT l_suppkey, ROUND(SUM(l_extendedprice*l_quantity),2) AS value FROM lineitem " +
-      "GROUP BY l_suppkey HAVING SUM(l_extendedprice*l_quantity) > " +
-      "(SELECT 1.1*SUM(l_extendedprice*l_quantity)/COUNT(DISTINCT l_suppkey) FROM lineitem) " +
+      "SELECT l_suppkey, CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(4,0))),2) AS DOUBLE) AS value FROM lineitem " +
+      "GROUP BY l_suppkey HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(4,0))) AS DOUBLE) > " +
+      "(SELECT 1.1*CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(4,0))) AS DOUBLE)/COUNT(DISTINCT l_suppkey) FROM lineitem) " +
       "ORDER BY value DESC, l_suppkey")
   )
 }

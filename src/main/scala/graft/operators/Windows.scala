@@ -285,7 +285,7 @@ object Windows {
       "WITH cust AS (SELECT o_custkey, " +
       "CAST(DATE_DIFF('day', CAST(MAX(o_orderdate) AS DATE), " +
       "(SELECT CAST(MAX(o_orderdate) AS DATE) FROM orders)) AS BIGINT) AS r_days, " +
-      "COUNT(*) AS freq, ROUND(SUM(o_totalprice),2) AS monetary FROM orders GROUP BY o_custkey) " +
+      "COUNT(*) AS freq, CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))),2) AS DOUBLE) AS monetary FROM orders GROUP BY o_custkey) " +
       "SELECT o_custkey, r_days, freq, monetary, " +
       "CAST(NTILE(4) OVER (ORDER BY r_days, o_custkey) AS INTEGER) AS r_q, " +
       "CAST(NTILE(4) OVER (ORDER BY freq DESC, o_custkey) AS INTEGER) AS f_q, " +
@@ -298,7 +298,7 @@ object Windows {
       val cust = o.groupBy("o_custkey").agg(
         datediff(lit(anchor), max(col("o_orderdate").cast("date"))).cast("long").as("r_days"),
         count(lit(1)).as("freq"),
-        round(sum("o_totalprice"), 2).as("monetary"))
+        round(sum(Money.dec2("o_totalprice")), 2).cast("double").as("monetary"))
       val ranked = globalNtile(
         globalNtile(
           globalNtile(cust, 4, Seq(col("r_days"), col("o_custkey")), "r_q"),

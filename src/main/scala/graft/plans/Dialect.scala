@@ -12,8 +12,8 @@ object Dialect {
     QualifyRewrite.rewrite(DistinctOnRewrite.rewrite(StarReplace.rewrite(StarExclude.rewrite(
       SampleRewrite.rewrite(ListSyntax.rewrite(StructSyntax.rewrite(TableFunctions.rewrite(
         FromFirstRewrite.rewrite(JoinKeywords.rewrite(UnpivotRewrite.rewrite(
-          FunctionRenames.rewrite(SimilarToRewrite.rewrite(
-            OperatorSyntax.rewrite(sql))))))))))))))
+          FunctionRenames.rewrite(SimilarToRewrite.rewrite(CollateRewrite.rewrite(
+            OperatorSyntax.rewrite(sql)))))))))))))))
 
   /** Session-aware chain: adds the ASOF JOIN desugar, which needs the two
     * operand schemas (analysis only — nothing executes, nothing registers).
@@ -33,8 +33,8 @@ object Dialect {
     val t = DistinctOnRewrite.rewrite(StarReplace.rewrite(StarExclude.rewrite(
       SampleRewrite.rewrite(ListSyntax.rewrite(StructSyntax.rewrite(TableFunctions.rewrite(
         FromFirstRewrite.rewrite(JoinKeywords.rewrite(UnpivotRewrite.rewrite(
-          FunctionRenames.rewrite(SimilarToRewrite.rewrite(
-            OperatorSyntax.rewrite(sql)))))))))))))
+          FunctionRenames.rewrite(SimilarToRewrite.rewrite(CollateRewrite.rewrite(
+            OperatorSyntax.rewrite(sql))))))))))))))
     val v = GetVariableRewrite.rewrite(t, spark)
     val p = PivotRewrite.rewrite(v, spark, preAnalyze)
     QualifyRewrite.rewrite(ColumnsRewrite.rewrite(InsertByName.rewrite(

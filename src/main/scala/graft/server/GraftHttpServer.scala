@@ -58,6 +58,13 @@ final class GraftHttpServer(
     // document loads from a pluggable supplier — local file in this
     // zero-egress environment).
     oidcJwks: Option[TokenAuth.JwksConfig] = None,
+    // Optional embedded OAuth2 login flow (the reference's enterprise OAuth
+    // HTTP server, `oauth_http_server.cpp`): serves /oauth/initiate, /start,
+    // /callback, /token/<uuid> on THIS server and advertises itself via the
+    // x-gizmosql-oauth-url discovery header (`gizmosql_security.cpp:297-313`).
+    // The ID token it hands the client then authenticates through the
+    // oidc/oidcJwks path above.
+    oauth: Option[OAuthFlow.Config] = None,
     // Optional TLS material; when set the server speaks HTTPS only.
     tls: Option[GraftHttpServer.Tls] = None,
     // username -> catalog_access grant minted into that user's tokens (the
@@ -125,6 +132,8 @@ final class GraftHttpServer(
   }
 
   private var server: JdkHttpServer = _
+  private var oauthFlow: Option[OAuthFlow] = None
+  private var oauthUrl: String = ""
   private var executor: java.util.concurrent.ExecutorService = _
   // sessions that already ran catalog bootstrap + pseudo-function registration
   private val bootstrapped = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
@@ -163,6 +172,32 @@ final class GraftHttpServer(
     server.createContext("/healthz", exchange(handleHealth))
     server.createContext("/metrics", exchange(handleMetrics))
     server.createContext("/close", exchange(handleClose))
+    oauth.foreach { c =>
+      val boundPort = server.getAddress.getPort
+      val scheme = if (tls.isDefined) "https" else "http"
+      // auto-construct the redirect URI against the bound port, as the
+      // reference does when none is configured (`oauth_http_server.cpp:61-69`)
+      val cfg =
+        if (c.redirectUri.nonEmpty) c
+        else c.copy(redirectUri = s"$scheme://localhost:$boundPort/oauth/callback")
+      oauthUrl = s"$scheme://localhost:$boundPort/oauth"
+      val flow = new OAuthFlow(cfg)
+      oauthFlow = Some(flow)
+      server.createContext("/oauth/initiate", exchange { _ => flow.initiate() })
+      server.createContext("/oauth/start", exchange { ex =>
+        val (code, ct, body, location) = flow.start(queryParams(ex).get("session"))
+        location.foreach(ex.getResponseHeaders.set("Location", _))
+        (code, ct, body)
+      })
+      server.createContext("/oauth/callback", exchange { ex =>
+        flow.callback(queryParams(ex))
+      })
+      server.createContext("/oauth/token", exchange { ex =>
+        val uuid = ex.getRequestURI.getPath.stripPrefix("/oauth/token").stripPrefix("/")
+        if (uuid.matches("[a-f0-9\\-]{36}")) flow.tokenPoll(uuid)
+        else (404, "application/json", """{"status":"not_found"}""".getBytes(StandardCharsets.UTF_8))
+      })
+    }
     executor = java.util.concurrent.Executors.newFixedThreadPool(8)
     server.setExecutor(executor)
     server.start()
@@ -196,12 +231,29 @@ final class GraftHttpServer(
   private val UserKey = "graft.user"
   private val DetailKey = "graft.detail"
 
+  /** Decoded query parameters (last value wins on duplicates). */
+  private def queryParams(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).getOrElse("").split("&").iterator
+      .filter(_.nonEmpty).flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => Some(
+            java.net.URLDecoder.decode(k, StandardCharsets.UTF_8) ->
+              java.net.URLDecoder.decode(v, StandardCharsets.UTF_8))
+          case Array(k) => Some(java.net.URLDecoder.decode(k, StandardCharsets.UTF_8) -> "")
+          case _ => None
+        }
+      }.toMap
+
   private def exchange(f: HttpExchange => Resp): com.sun.net.httpserver.HttpHandler =
     (ex: HttpExchange) => {
       val t0 = System.nanoTime()
       var status = 0
       var bytes = 0L
       try {
+        // OAuth discovery (`gizmosql_security.cpp:297-313` DiscoveryMiddleware):
+        // every response advertises where the login flow lives
+        if (oauthFlow.isDefined)
+          ex.getResponseHeaders.set("x-gizmosql-oauth-url", oauthUrl)
         val headerBytes = {
           var n = 0L
           ex.getRequestHeaders.forEach { (k, vs) =>

@@ -82,8 +82,26 @@ object RowDml {
     * sink — staging sinks need the complete post-image, not just the
     * affected partitions.
     */
+  /** DML target table name (qualified as written), or None when `sql` is
+    * not row-level DML / unparseable — the engine's read-only-attachment
+    * gate needs the target before execution.
+    */
+  def targetOf(spark: SparkSession, sql: String): Option[String] =
+    try spark.sessionState.sqlParser.parsePlan(splitReturning(sql)._1) match {
+      case u: UpdateTable => Some(relationOf(u.table)._1)
+      case d: DeleteFromTable => Some(relationOf(d.table)._1)
+      case m: MergeIntoTable => Some(relationOf(m.targetTable)._1)
+      case _ => None
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   def execute(spark: SparkSession, sql: String,
-      sink: Sink = rewrite, allowPartitionScope: Boolean = true): DataFrame = {
+      sink: Sink = rewrite, allowPartitionScope: Boolean = true,
+      // Pre-image resolution: inside a transaction the engine passes
+      // [[graft.engine.TxnDml.txnResolver]] so chained DML on a staged
+      // QUALIFIED table (attached catalog) reads the txn's shadow view —
+      // unqualified staged tables already resolve through temp-view
+      // shadowing. Default: plain catalog resolution.
+      resolve: (SparkSession, String) => DataFrame = (s, n) => s.table(n)): DataFrame = {
     val (core, returning) = splitReturning(sql)
     // The whole statement — pre-image read, post-image computation, and the
     // sink's fold — runs under the target table's commit lock: two
@@ -96,17 +114,17 @@ object RowDml {
         val (name, alias) = relationOf(u.table)
         graft.engine.CommitLock.withTables(spark, Seq(name)) {
           update(spark, name, alias, u.assignments, u.condition, sink,
-            allowPartitionScope, returning)
+            allowPartitionScope, returning, resolve)
         }
       case d: DeleteFromTable =>
         val (name, alias) = relationOf(d.table)
         graft.engine.CommitLock.withTables(spark, Seq(name)) {
           delete(spark, name, alias, Option(d.condition), sink,
-            allowPartitionScope, returning)
+            allowPartitionScope, returning, resolve)
         }
       case m: MergeIntoTable =>
         graft.engine.CommitLock.withTables(spark, Seq(relationOf(m.targetTable)._1)) {
-          merge(spark, m, sink, returning)
+          merge(spark, m, sink, returning, resolve)
         }
       case other =>
         throw new IllegalArgumentException(
@@ -135,14 +153,15 @@ object RowDml {
     * subquery (the ON CONFLICT desugar feeds `USING (SELECT ...) AS
     * excluded`) — built directly over the parsed plan, no re-render.
     */
-  private def sourceOf(spark: SparkSession, plan: LogicalPlan): (org.apache.spark.sql.DataFrame, String) =
+  private def sourceOf(spark: SparkSession, plan: LogicalPlan,
+      resolve: (SparkSession, String) => DataFrame = (s, n) => s.table(n)): (org.apache.spark.sql.DataFrame, String) =
     plan match {
       case SubqueryAlias(id, r: UnresolvedRelation) =>
-        (spark.table(r.multipartIdentifier.mkString(".")), id.name)
+        (resolve(spark, r.multipartIdentifier.mkString(".")), id.name)
       case SubqueryAlias(id, child) =>
         (org.apache.spark.sql.GraftDatasetShim.ofRows(spark, child), id.name)
       case r: UnresolvedRelation =>
-        (spark.table(r.multipartIdentifier.mkString(".")), r.multipartIdentifier.last)
+        (resolve(spark, r.multipartIdentifier.mkString(".")), r.multipartIdentifier.last)
       case other => throw new IllegalArgumentException(
         s"MERGE source must be a named table or an aliased subquery, got ${other.getClass.getSimpleName}")
     }
@@ -353,8 +372,9 @@ object RowDml {
   private def update(spark: SparkSession, name: String, alias: String,
       assignments: Seq[Assignment], condition: Option[Expression],
       sink: Sink, allowPartitionScope: Boolean,
-      returning: Option[Seq[String]] = None): DataFrame = {
-    val df = spark.table(name).alias(alias)
+      returning: Option[Seq[String]] = None,
+      resolve: (SparkSession, String) => DataFrame = (s, n) => s.table(n)): DataFrame = {
+    val df = resolve(spark, name).alias(alias)
     val cond = coalesce(condition.map(exprCol).getOrElse(lit(true)).cast("boolean"), lit(false))
     val affected = df.filter(cond).count()
     val assign: Map[String, Column] =
@@ -402,8 +422,9 @@ object RowDml {
   private def delete(spark: SparkSession, name: String, alias: String,
       condition: Option[Expression],
       sink: Sink, allowPartitionScope: Boolean,
-      returning: Option[Seq[String]] = None): DataFrame = {
-    val df = spark.table(name).alias(alias)
+      returning: Option[Seq[String]] = None,
+      resolve: (SparkSession, String) => DataFrame = (s, n) => s.table(n)): DataFrame = {
+    val df = resolve(spark, name).alias(alias)
     val cond = coalesce(condition.map(exprCol).getOrElse(lit(true)).cast("boolean"), lit(false))
     val affected = df.filter(cond).count()
     // RETURNING on DELETE = the deleted rows (pre-image), pinned before
@@ -435,15 +456,16 @@ object RowDml {
   private val Tid = "__graft_merge_tid"
 
   private def merge(spark: SparkSession, m: MergeIntoTable, sink: Sink,
-      returning: Option[Seq[String]] = None): DataFrame = {
+      returning: Option[Seq[String]] = None,
+      resolve: (SparkSession, String) => DataFrame = (s, n) => s.table(n)): DataFrame = {
     val (tName, tAlias) = relationOf(m.targetTable)
-    val (sDf, sAlias) = sourceOf(spark, m.sourceTable)
+    val (sDf, sAlias) = sourceOf(spark, m.sourceTable, resolve)
     val schema = spark.table(tName).schema
 
     // Tid identifies a PHYSICAL target row across its join copies (the
     // joined frame is cached, so the nondeterministic id is assigned once);
     // it carries the cardinality check and the duplicate-copy collapse.
-    val t = spark.table(tName).alias(tAlias).withColumn(TMark, lit(1))
+    val t = resolve(spark, tName).alias(tAlias).withColumn(TMark, lit(1))
       .withColumn(Tid, monotonically_increasing_id())
     val s = sDf.alias(sAlias).withColumn(SMark, lit(1))
     val j = t.join(s, exprCol(m.mergeCondition), "full_outer").cache()

@@ -188,4 +188,127 @@ class AttachSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSet
     assert(!cats.contains("attspec_b"))
   }
+
+  // ---- writable attachments (the DuckLake analog,
+  // `/root/reference/tests/integration/test_ducklake.cpp`) -----------------
+
+  private lazy val lakeDir: String =
+    java.nio.file.Files.createTempDirectory("graft-attach-lake").toFile.getAbsolutePath
+
+  private lazy val attachedLake: Unit = {
+    run(admin, s"ATTACH '$lakeDir' AS lake (READ_WRITE)")
+    ()
+  }
+
+  test("writable attach: CREATE TABLE + INSERT + query, data survives " +
+      "DETACH and re-attach (DuckLake shape)") {
+    attachedLake
+    run(admin, "CREATE TABLE lake.test_cities (id INT, name STRING, country STRING, population INT)")
+    run(admin, "INSERT INTO lake.test_cities VALUES " +
+      "(1,'Amsterdam','Netherlands',872000),(2,'Rotterdam','Netherlands',651000)," +
+      "(3,'The Hague','Netherlands',545000),(4,'Utrecht','Netherlands',359000)," +
+      "(5,'Eindhoven','Netherlands',234000)")
+    assert(run(admin, "SELECT COUNT(*) AS n FROM lake.test_cities").collect()(0).getLong(0) == 5)
+    val agg = run(admin, "SELECT country, COUNT(*) AS c, SUM(population) AS p " +
+      "FROM lake.test_cities GROUP BY country").collect()
+    assert(agg.length == 1 && agg(0).getLong(1) == 5 && agg(0).getLong(2) == 2661000L)
+    // the table landed UNDER the attached directory, as an external dir
+    assert(new java.io.File(lakeDir, "test_cities").isDirectory)
+    // detach keeps the data (external tables); re-attach re-discovers it
+    run(admin, "DETACH lake")
+    assert(!sessions.attachments.names.contains("lake"))
+    run(admin, s"ATTACH '$lakeDir' AS lake (READ_WRITE)")
+    assert(run(admin, "SELECT COUNT(*) AS n FROM lake.test_cities").collect()(0).getLong(0) == 5)
+  }
+
+  test("writable attach: USE + unqualified CREATE TABLE lands in the attached dir") {
+    attachedLake
+    run(admin, "USE lake")
+    try {
+      run(admin, "CREATE TABLE bare_t (k INT, v STRING)")
+      run(admin, "INSERT INTO bare_t VALUES (1,'a'),(2,'b')")
+      assert(run(admin, "SELECT COUNT(*) AS n FROM bare_t").collect()(0).getLong(0) == 2)
+      assert(new java.io.File(lakeDir, "bare_t").isDirectory,
+        "unqualified CREATE in a USEd writable attachment lands under its dir")
+    } finally run(admin, "USE default")
+  }
+
+  test("writable attach: autocommit UPDATE and DELETE run copy-on-write") {
+    attachedLake
+    run(admin, "CREATE TABLE lake.upd_t (id INT, v INT)")
+    run(admin, "INSERT INTO lake.upd_t VALUES (1,10),(2,20),(3,30)")
+    run(admin, "UPDATE lake.upd_t SET v = v + 1 WHERE id <= 2")
+    assert(run(admin, "SELECT SUM(v) AS s FROM lake.upd_t").collect()(0).getLong(0) == 62)
+    run(admin, "DELETE FROM lake.upd_t WHERE id = 3")
+    assert(run(admin, "SELECT COUNT(*) AS n FROM lake.upd_t").collect()(0).getLong(0) == 2)
+  }
+
+  test("writable attach: transactional DML — read-your-writes inside the " +
+      "txn, isolation outside, COMMIT publishes, ROLLBACK discards") {
+    attachedLake
+    val admin2 = sessions.getOrCreate("attspec-admin2", "dave", "admin")
+    run(admin, "CREATE TABLE lake.txn_t (id INT, v INT)")
+    run(admin, "INSERT INTO lake.txn_t VALUES (1,100),(2,200)")
+    run(admin, "BEGIN")
+    run(admin, "UPDATE lake.txn_t SET v = v + 5 WHERE id = 1")
+    // read-your-writes through the qualified-relation remap
+    assert(run(admin, "SELECT v FROM lake.txn_t WHERE id = 1").collect()(0).getInt(0) == 105)
+    // chained DML sees the first statement's post-image
+    run(admin, "UPDATE lake.txn_t SET v = v + 1 WHERE id = 1")
+    assert(run(admin, "SELECT v FROM lake.txn_t WHERE id = 1").collect()(0).getInt(0) == 106)
+    // another session keeps reading the committed state
+    assert(run(admin2, "SELECT v FROM lake.txn_t WHERE id = 1").collect()(0).getInt(0) == 100)
+    run(admin, "COMMIT")
+    assert(run(admin, "SELECT v FROM lake.txn_t WHERE id = 1").collect()(0).getInt(0) == 106)
+    assert(run(admin2, "SELECT v FROM lake.txn_t WHERE id = 1").collect()(0).getInt(0) == 106)
+    // ROLLBACK discards staged qualified DML
+    run(admin, "BEGIN")
+    run(admin, "UPDATE lake.txn_t SET v = 0")
+    assert(run(admin, "SELECT SUM(v) AS s FROM lake.txn_t").collect()(0).getLong(0) == 0)
+    run(admin, "ROLLBACK")
+    assert(run(admin, "SELECT v FROM lake.txn_t WHERE id = 1").collect()(0).getInt(0) == 106)
+  }
+
+  test("writable attach: interrupted commit on an attached table redoes " +
+      "from the journal (kill-replay)") {
+    attachedLake
+    run(admin, "CREATE TABLE lake.crash_t (id INT, v INT)")
+    run(admin, "INSERT INTO lake.crash_t VALUES (1,1),(2,2)")
+    // stage a post-image and write the commit journal, then 'crash' before
+    // the fold — exactly the window TxnJournal.recover redoes at bootstrap
+    val staged = TxnJournal.stageRoot(spark)
+      .resolve(java.util.UUID.randomUUID().toString).toString
+    spark.sql("SELECT id, v * 10 AS v FROM lake.crash_t").write.parquet(staged)
+    TxnJournal.write(spark, "txn-lake-crash", Seq("lake.crash_t" -> staged))
+    // bootstrap: the attachment is re-established FIRST (in-memory catalog),
+    // then recovery folds the journaled post-image
+    val redone = TxnJournal.recover(spark)
+    assert(redone.contains("txn-lake-crash:lake.crash_t"))
+    assert(run(admin, "SELECT SUM(v) AS s FROM lake.crash_t").collect()(0).getLong(0) == 30)
+  }
+
+  test("writable attach: CREATE OR REPLACE TABLE recreates at the same " +
+      "location, starting empty") {
+    attachedLake
+    run(admin, "CREATE OR REPLACE TABLE lake.ror_t (a INT)")
+    run(admin, "INSERT INTO lake.ror_t VALUES (1),(2)")
+    run(admin, "CREATE OR REPLACE TABLE lake.ror_t (a INT, b INT)")
+    assert(run(admin, "SELECT COUNT(*) AS n FROM lake.ror_t").collect()(0).getLong(0) == 0,
+      "replace starts empty — the old dir is cleared, not resurrected")
+    run(admin, "INSERT INTO lake.ror_t VALUES (1, 10)")
+    assert(run(admin, "SELECT b FROM lake.ror_t").collect()(0).getInt(0) == 10)
+    assert(new java.io.File(lakeDir, "ror_t").isDirectory)
+  }
+
+  test("read-only attachments reject writes loudly") {
+    // own attachment: an earlier test DETACHes attspec_b
+    run(admin, s"ATTACH '$storeB' AS attspec_ro")
+    val e1 = intercept[SecurityException](
+      run(admin, "UPDATE attspec_ro.tiny_nation SET n_name = 'X' WHERE n_nationkey = 0"))
+    assert(e1.getMessage.contains("read-only"))
+    val e2 = intercept[SecurityException](
+      run(admin, "INSERT INTO attspec_ro.tiny_nation SELECT * FROM attspec_ro.tiny_nation RETURNING n_nationkey"))
+    assert(e2.getMessage.contains("read-only"))
+    run(admin, "DETACH attspec_ro")
+  }
 }

@@ -305,6 +305,102 @@ class PropertySpec extends AnyFunSuite {
     }, n = 300)
   }
 
+  test("curve linearization: st_curvetoline invariants on random arcs (r15)") {
+    import graft.plans.Wkb
+    import org.apache.spark.unsafe.types.UTF8String
+    def fmtD(v: Double): String = java.math.BigDecimal.valueOf(v).toPlainString
+    // random circle (integer center/radius) and a proper CCW arc across a
+    // 16-slot angle grid; the CIRCULARSTRING runs start -> mid -> end
+    val gen = for {
+      cx <- Gen.chooseNum(-5, 5); cy <- Gen.chooseNum(-5, 5)
+      r <- Gen.chooseNum(1, 5)
+      s <- Gen.chooseNum(0, 15)
+      span <- Gen.chooseNum(2, 14)
+      segs <- Gen.oneOf(8, 16, 32)
+    } yield (cx, cy, r, s, span, segs)
+    check(Prop.forAllNoShrink(gen) { case (cx, cy, r, s, span, segs) =>
+      def pt(i: Int): (Double, Double) = {
+        val th = 2 * math.Pi * i / 16.0
+        (cx + r * math.cos(th), cy + r * math.sin(th))
+      }
+      val (x1, y1) = pt(s); val (xm, ym) = pt(s + span / 2); val (x2, y2) = pt(s + span)
+      val arc = Wkb.fromText(UTF8String.fromString(
+        s"CIRCULARSTRING (${fmtD(x1)} ${fmtD(y1)}, ${fmtD(xm)} ${fmtD(ym)}, ${fmtD(x2)} ${fmtD(y2)})"))
+      val line = Wkb.curveToLine(arc, segs)
+      val theta = span * math.Pi / 8.0
+      val vertices = {
+        val g = line
+        // walk via WKT: LINESTRING (x y, x y, ...)
+        val body = Wkb.asText(g).toString
+        body.substring(body.indexOf('(') + 1, body.lastIndexOf(')'))
+          .split(",").map(_.trim.split("\\s+").map(_.toDouble)).map(a => (a(0), a(1)))
+      }
+      val checks = Seq(
+        // linearization output is LINEAR — no curve kind survives
+        "kind" -> (Wkb.geometryType(line).toString == "LINESTRING"),
+        // endpoints are the arc's own anchor points
+        "start" -> (math.hypot(vertices.head._1 - x1, vertices.head._2 - y1) < 1e-9),
+        "end" -> (math.hypot(vertices.last._1 - x2, vertices.last._2 - y2) < 1e-9),
+        // every vertex sits ON the circle (radius preserved within fp noise)
+        "on-circle" -> vertices.forall { case (x, y) =>
+          math.abs(math.hypot(x - cx, y - cy) - r) < 1e-9 },
+        // chordal length converges to r*theta from below; >= 8 segments per
+        // quadrant bounds the relative gap far under 2%
+        "len-upper" -> (Wkb.length(line) <= r * theta + 1e-9),
+        "len-lower" -> (Wkb.length(line) >= r * theta * 0.98),
+        // enough vertices to honor the segmentization request
+        "segments" -> (vertices.length >= 3))
+      val bad = checks.collect { case (name, ok) if !ok => name }
+      if (bad.nonEmpty)
+        println(s"CURVE MISMATCH $bad c=($cx,$cy) r=$r s=$s span=$span segs=$segs " +
+          s"len=${Wkb.length(line)} expected=${r * theta}")
+      bad.isEmpty
+    }, n = 300)
+  }
+
+  test("EMPTY x predicate laws: fixed truth values regardless of the other operand (r15)") {
+    import graft.plans.Wkb
+    import org.apache.spark.unsafe.types.UTF8String
+    def w(s: String): Array[Byte] = Wkb.fromText(UTF8String.fromString(s))
+    val c = Gen.chooseNum(-8, 8); val side = Gen.chooseNum(1, 5)
+    val geomGen: Gen[(String, Array[Byte])] = Gen.oneOf(
+      Gen.zip(c, c).map { case (x, y) => ("point", w(s"POINT ($x $y)")) },
+      Gen.zip(c, c, side).map { case (x, y, l) =>
+        ("line", w(s"LINESTRING ($x $y, ${x + l} $y)")) },
+      Gen.zip(c, c, side, side).map { case (x, y, ww, h) =>
+        ("rect", Wkb.makeEnvelope(x, y, x + ww, y + h)) })
+    val emptyGen = Gen.oneOf("POINT", "LINESTRING", "POLYGON", "MULTIPOINT",
+      "MULTILINESTRING", "MULTIPOLYGON", "GEOMETRYCOLLECTION").map(t => w(s"$t EMPTY"))
+    check(Prop.forAllNoShrink(Gen.zip(geomGen, emptyGen)) { case ((kind, g), e) =>
+      // empty-set semantics (the r14 contract): every positive predicate
+      // with an EMPTY operand is false, disjoint is true, intersection /
+      // difference-from-empty are empty, and union/difference-by-empty are
+      // identity on the non-empty side — INDEPENDENT of g
+      val base = Seq(
+        "intersects" -> (!Wkb.intersects(e, g) && !Wkb.intersects(g, e)),
+        "disjoint" -> (Wkb.disjoint(e, g) && Wkb.disjoint(g, e)),
+        "touches" -> (!Wkb.touches(e, g) && !Wkb.touches(g, e)),
+        "crosses" -> (!Wkb.crosses(e, g) && !Wkb.crosses(g, e)),
+        "overlaps" -> (!Wkb.overlaps(e, g) && !Wkb.overlaps(g, e)),
+        "contains" -> (!Wkb.contains(g, e) && !Wkb.contains(e, g)),
+        "covers" -> (!Wkb.covers(g, e) && !Wkb.covers(e, g)),
+        "within" -> (!Wkb.within(e, g) && !Wkb.within(g, e)),
+        "equals" -> (!Wkb.geomEquals(e, g) && !Wkb.geomEquals(g, e)),
+        "intersection" -> (Wkb.intersection(e, g) == null && Wkb.intersection(g, e) == null))
+      // overlay identities exercised on area inputs (the kernel's overlay
+      // domain); lower-dimension identities are covered by the r14 unit test
+      val overlay = if (kind == "rect") Seq(
+        "union-id" -> (math.abs(Wkb.area(Wkb.union(g, e)) - Wkb.area(g)) < 1e-9 &&
+          math.abs(Wkb.area(Wkb.union(e, g)) - Wkb.area(g)) < 1e-9),
+        "diff-id" -> (math.abs(Wkb.area(Wkb.difference(g, e)) - Wkb.area(g)) < 1e-9),
+        "diff-empty" -> (Wkb.difference(e, g) == null)) else Nil
+      val bad = (base ++ overlay).collect { case (name, ok) if !ok => name }
+      if (bad.nonEmpty)
+        println(s"EMPTY-LAW MISMATCH $bad kind=$kind empty=${Wkb.asText(e)}")
+      bad.isEmpty
+    }, n = 300)
+  }
+
   test("misraGries: presence + error bound hold for arbitrary skewed streams") {
     // Small alphabet so heavy hitters actually occur; random partitioning so
     // the mergeable-summaries combOp path is exercised, not just seqOp.
