@@ -245,19 +245,27 @@ object Relational {
         .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
       val n2 = t(s, d, "nation").filter(col("n_name").isin("NATION_1", "NATION_2"))
         .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
-      // Star shape: the FACT (lineitem) streams and dimension SCANS build —
-      // the previous supplier-first chain put lineitem on the build side of
-      // its join, i.e. a 600k-row single-threaded driver broadcast build
-      // per execution (and an unscalable fact broadcast). Probed in
-      // graft.tools.BuildSideProbe: 0.27 vs 0.39 s at sf0.1, identical
-      // results. orders/customer keep planner-chosen strategies (broadcast
-      // here, shuffle once they outgrow the threshold).
+      // Star shape with DIMENSION PRE-REDUCTION (r15): the nation name
+      // filters select 2 of 25 nations, so joining nation into supplier and
+      // customer BEFORE the fact sees them drops ~92% of lineitem probes at
+      // the FIRST broadcast join instead of carrying every row through the
+      // 5-way chain (the r14 shape joined ALL suppliers first and filtered
+      // by nation two joins later — measured 5.2 s of task CPU per call;
+      // duck's optimizer does this reduction itself). Both reduced dims
+      // stay metadata-sized (≤2 nations' worth), so the broadcasts
+      // self-scale exactly like any dimension. orders keeps the
+      // planner-chosen strategy against the 8%-surviving fact.
+      val suppNation = broadcast(t(s, d, "supplier")
+        .join(n1, col("s_nationkey") === col("n1_key"))
+        .select(col("s_suppkey"), col("supp_nation")))
+      val custNation = broadcast(t(s, d, "customer")
+        .join(n2, col("c_nationkey") === col("n2_key"))
+        .select(col("c_custkey"), col("cust_nation")))
       t(s, d, "lineitem")
-        .join(broadcast(t(s, d, "supplier")), col("s_suppkey") === col("l_suppkey"))
-        .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
-        .join(t(s, d, "orders"), col("o_orderkey") === col("l_orderkey"))
-        .join(t(s, d, "customer"), col("c_custkey") === col("o_custkey"))
-        .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+        .join(suppNation, col("s_suppkey") === col("l_suppkey"))
+        .join(t(s, d, "orders").select("o_orderkey", "o_custkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(custNation, col("c_custkey") === col("o_custkey"))
         .filter(col("supp_nation") =!= col("cust_nation"))
         .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
         .agg(round(sum(Money.revDec), 2).cast("double").as("revenue"))
@@ -272,6 +280,9 @@ object Relational {
       "SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)/7.0,2) AS avg_yearly FROM lineitem JOIN part ON p_partkey=l_partkey " +
       "WHERE p_brand='Brand#1' AND l_quantity < (SELECT 0.2*AVG(l_quantity) FROM lineitem l2 WHERE l2.l_partkey=p_partkey)") { (s, d) =>
       Tables.ensure(s, d)
+      // (r15 note: a pre-filtered two-scan rewrite of the correlation was
+      // A/B'd at 405 vs 369 ms — Catalyst's decorrelation already pays one
+      // scan + one agg here, so the verbatim correlated shape stays.)
       s.sql(
         """SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)/7.0,2) AS avg_yearly FROM lineitem JOIN part ON p_partkey=l_partkey
           |WHERE p_brand='Brand#1' AND l_quantity < (SELECT 0.2*AVG(l_quantity) FROM lineitem l2 WHERE l2.l_partkey=p_partkey)""".stripMargin)
