@@ -60,28 +60,41 @@ object TpchSuite {
     // h05 Spark side restructures with DIMENSION PRE-REDUCTION (r15): the
     // region filter keeps 1 of 5 regions, so folding region+nation into
     // supplier BEFORE the fact join drops ~80% of lineitem probes at the
-    // first (broadcast) join, and the date-filtered orders projection
-    // shrinks the remaining equi-join — duck's optimizer derives the same
-    // shape itself, so the oracle keeps the reference's verbatim h05 text.
-    // The reduced supplier dim is ≤|suppliers in one region| — broadcast
-    // self-scales like any dimension.
-    q("tpch_h05",
-      s"SELECT n_name, CAST(ROUND(SUM(${Money.SqlRev}),2) AS DOUBLE) AS revenue " +
-      "FROM lineitem " +
-      "JOIN (SELECT s_suppkey, s_nationkey, n_name FROM supplier " +
-      "  JOIN nation ON s_nationkey=n_nationkey JOIN region ON n_regionkey=r_regionkey " +
-      "  WHERE r_name='ASIA') sn ON l_suppkey=sn.s_suppkey " +
-      "JOIN (SELECT o_orderkey, o_custkey FROM orders " +
-      "  WHERE o_orderdate >= TIMESTAMP_NTZ '1996-01-01' AND o_orderdate < TIMESTAMP_NTZ '1997-01-01') o " +
-      "  ON l_orderkey=o.o_orderkey " +
-      "JOIN customer ON c_custkey=o.o_custkey AND c_nationkey=sn.s_nationkey " +
-      "GROUP BY n_name ORDER BY revenue DESC, n_name",
+    // first (broadcast) join; the date-filtered orders projection then
+    // SHUFFLE_HASH-builds against the surviving fact (hinted: an unhinted
+    // plan broadcast the under-threshold LINEITEM SCAN itself — the
+    // unscalable fact-broadcast the OperatorSpec guard exists to catch).
+    // duck's optimizer derives this reduction itself, so the oracle keeps
+    // the reference's verbatim h05 text. The reduced supplier dim is
+    // ≤|suppliers in one region| — broadcast self-scales like a dimension.
+    Op("tpch_h05",
       s"SELECT n_name, CAST(ROUND(SUM(${Money.SqlRev}),2) AS DOUBLE) AS revenue " +
       "FROM customer JOIN orders ON c_custkey=o_custkey JOIN lineitem ON l_orderkey=o_orderkey " +
       "JOIN supplier ON l_suppkey=s_suppkey AND c_nationkey=s_nationkey " +
       "JOIN nation ON s_nationkey=n_nationkey JOIN region ON n_regionkey=r_regionkey " +
       "WHERE r_name='ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01' " +
-      "GROUP BY n_name ORDER BY revenue DESC, n_name"),
+      "GROUP BY n_name ORDER BY revenue DESC, n_name") { (s, d) =>
+      Tables.ensure(s, d)
+      import org.apache.spark.sql.functions.{broadcast, col, count => _, round, sum}
+      val sn = broadcast(s.table("supplier").select("s_suppkey", "s_nationkey")
+        .join(s.table("nation").select("n_nationkey", "n_name", "n_regionkey"),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(s.table("region").filter(col("r_name") === "ASIA").select("r_regionkey"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("s_suppkey", "s_nationkey", "n_name"))
+      val o = s.table("orders")
+        .filter(col("o_orderdate") >= Relational.ts("1996-01-01T00:00") &&
+          col("o_orderdate") < Relational.ts("1997-01-01T00:00"))
+        .select("o_orderkey", "o_custkey")
+      s.table("lineitem").select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(sn, col("l_suppkey") === col("s_suppkey"))
+        .join(o.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(s.table("customer").select("c_custkey", "c_nationkey")),
+          col("c_custkey") === col("o_custkey") && col("c_nationkey") === col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum(Money.revDec), 2).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
 
     both("tpch_h08",
       "SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year, " +
