@@ -35,6 +35,15 @@ final class AttachManager {
 
   private val NamePattern = "[A-Za-z_][A-Za-z0-9_]*"
 
+  /** Spark resolves database names case-insensitively — so must every
+    * attachment lookup (`ATT.t` and `att.t` are one store).
+    */
+  private def find(name: String): Option[Attachment] =
+    Option(attachments.get(name)).orElse(
+      attachments.asScala.collectFirst {
+        case (n, a) if n.equalsIgnoreCase(name) => a
+      })
+
   /** Attach the tables under `path` as `name.<table>`; returns the table
     * count. Read-only (the default): every `*.parquet` FILE, directory must
     * be non-empty. Writable: parquet files AND table-shaped subdirectories
@@ -88,6 +97,7 @@ final class AttachManager {
     if (created == 0 && readOnly)
       throw new IllegalArgumentException(s"no readable parquet tables under '$path'")
     attachments.put(name, Attachment(path, readOnly))
+    AttachManager.registerRoot(dir.getAbsolutePath, readOnly)
     created
   }
 
@@ -99,26 +109,60 @@ final class AttachManager {
   def detach(spark: SparkSession, name: String): Boolean =
     Option(attachments.remove(name)) match {
       case None => false
-      case Some(_) =>
+      case Some(a) =>
         spark.sql(s"DROP DATABASE IF EXISTS `$name` CASCADE")
+        AttachManager.unregisterRoot(new java.io.File(a.path).getAbsolutePath)
         true
     }
 
   def names: Set[String] = attachments.keySet().asScala.toSet
   def list: Seq[(String, String)] = attachments.asScala.toSeq.map { case (n, a) => (n, a.path) }.sortBy(_._1)
 
-  def pathOf(name: String): Option[String] = Option(attachments.get(name)).map(_.path)
-  def isWritable(name: String): Boolean =
-    Option(attachments.get(name)).exists(!_.readOnly)
+  def pathOf(name: String): Option[String] = find(name).map(_.path)
+  def isWritable(name: String): Boolean = find(name).exists(!_.readOnly)
 
-  /** Throw if `table` (possibly `db.t`-qualified) targets a read-only
-    * attachment — loud instead of a confusing parquet-sink failure.
+  /** Throw if `table` targets a read-only attachment — loud instead of a
+    * confusing parquet-sink failure.
+    *
+    * The name is resolved the way Spark will resolve it (r15 ADVICE — the
+    * old first-segment check was bypassable): an UNQUALIFIED name lands in
+    * the session's current database (`USE att` then `UPDATE t`), a leading
+    * `spark_catalog` segment is dropped (`spark_catalog.att.t`), and the
+    * attachment lookup is case-insensitive like Spark identifiers.
     */
-  def assertWritableTarget(table: String): Unit = {
-    val head = table.split("\\.").head
-    if (table.contains(".") && Option(attachments.get(head)).exists(_.readOnly))
+  def assertWritableTarget(table: String, currentDb: => String): Unit = {
+    val db = TableNames.databaseOf(table, currentDb)
+    if (find(db).exists(_.readOnly))
       throw new SecurityException(
-        s"attachment '$head' is read-only; ATTACH ... (READ_WRITE) to enable writes")
+        s"attachment '$db' is read-only; ATTACH ... (READ_WRITE) to enable writes")
+  }
+}
+
+/** Process-wide registry of attachment roots by physical path: the
+  * defense-in-depth layer under [[AttachManager.assertWritableTarget]].
+  * The transaction fold ([[TxnJournal.foldFull]]) consults it by the
+  * RESOLVED table LOCATION, so no spelling of a table name — however it
+  * slipped past the name-level gate — can route a write into a read-only
+  * attachment's files.
+  */
+object AttachManager {
+  private val roots = new ConcurrentHashMap[String, Boolean]() // abs path -> readOnly
+
+  private[engine] def registerRoot(absPath: String, readOnly: Boolean): Unit = {
+    roots.put(absPath, readOnly); ()
+  }
+  private[engine] def unregisterRoot(absPath: String): Unit = {
+    roots.remove(absPath); ()
+  }
+
+  /** Is `location` (a table's resolved storage path) inside any currently
+    * read-only attachment root?
+    */
+  def isReadOnlyLocation(location: java.nio.file.Path): Boolean = {
+    val p = location.toAbsolutePath.normalize
+    roots.asScala.exists { case (root, ro) =>
+      ro && p.startsWith(java.nio.file.Paths.get(root))
+    }
   }
 }
 

@@ -169,6 +169,11 @@ final class OAuthFlow(val cfg: OAuthFlow.Config,
   private final class Pending(val createdAt: Long) {
     var idToken: Option[String] = None
     var error: Option[String] = None
+    // set under the flow lock BEFORE the out-of-lock code exchange: a
+    // second callback for the same state must take the 409 path instead of
+    // exchanging the same code twice (r15 ADVICE — the reference marks the
+    // entry under one mutex before exchanging)
+    var inFlight: Boolean = false
   }
   private val pending = new java.util.HashMap[String, Pending]()
 
@@ -239,24 +244,42 @@ final class OAuthFlow(val cfg: OAuthFlow.Config,
     }
     (params.get("code"), params.get("state").map(stripInstancePrefix)) match {
       case (Some(code), Some(hash)) =>
-        val state = synchronized(Option(pending.get(hash)))
+        // check-and-mark is ONE critical section: the in-flight flag is set
+        // before the lock is released, so a concurrent duplicate callback
+        // can never pass the completion check and exchange the same code
+        // twice (the exchange itself still leaves the lock — a slow IdP
+        // must not block polls)
+        val state = synchronized {
+          Option(pending.get(hash)) match {
+            case None => Left((200, "text/html", expiredPage))
+            case Some(p) if p.idToken.isDefined || p.error.isDefined || p.inFlight =>
+              Left((409, "text/html", errorPage("Session already completed")))
+            case Some(p) =>
+              p.inFlight = true
+              Right(p)
+          }
+        }
         state match {
-          case None => (200, "text/html", expiredPage)
-          case Some(p) if p.idToken.isDefined || p.error.isDefined =>
-            (409, "text/html", errorPage("Session already completed"))
-          case Some(p) =>
-            // the exchange leaves the lock: a slow IdP must not block polls
-            exchangeFn(code).flatMap { idToken =>
-              emailOf(idToken).flatMap { email =>
-                if (emailAuthorized(cfg.authorizedEmailPatterns, email)) Right(idToken)
-                else Left(s"User '$email' is not authorized")
+          case Left(resp) => resp
+          case Right(p) =>
+            val outcome =
+              try exchangeFn(code).flatMap { idToken =>
+                emailOf(idToken).flatMap { email =>
+                  if (emailAuthorized(cfg.authorizedEmailPatterns, email)) Right(idToken)
+                  else Left(s"User '$email' is not authorized")
+                }
+              } catch {
+                // an exchange that THROWS must not leave the entry wedged
+                // in-flight forever (poll would read "pending" until expiry)
+                case scala.util.control.NonFatal(e) =>
+                  Left(s"token exchange failed: ${e.getMessage}")
               }
-            } match {
+            outcome match {
               case Left(err) =>
-                synchronized(p.error = Some(err))
+                synchronized { p.error = Some(err); p.inFlight = false }
                 (200, "text/html", errorPage(err))
               case Right(idToken) =>
-                synchronized(p.idToken = Some(idToken))
+                synchronized { p.idToken = Some(idToken); p.inFlight = false }
                 (200, "text/html", successPage)
             }
         }

@@ -293,17 +293,28 @@ object Statement {
     spark.createDataFrame(rows.asJava, out)
   }
 
+  /** Token-aware check for a top-level `word` clause in a CREATE TABLE
+    * tail, scanning only the part BEFORE a top-level AS — a CTAS query, a
+    * column name, or a comment merely mentioning `location` must not
+    * suppress the attachment LOCATION injection (r15 ADVICE: the substring
+    * test created MANAGED tables inside attachments, which DETACH's
+    * CASCADE then deletes).
+    */
+  private def hasTopLevelClause(rest: String, word: String): Boolean = {
+    val upTo = graft.plans.SqlScan.topLevel(rest, "AS").headOption.getOrElse(rest.length)
+    graft.plans.SqlScan.topLevel(rest.substring(0, upTo), word).nonEmpty
+  }
+
   /** Where a LOCATION-less CREATE TABLE should land when its target (the
     * explicit `db.` prefix, or the session's current database) is a
     * WRITABLE attachment: `<attachPath>/<table>`. None otherwise.
     */
   private def attachLocationOf(sessions: SessionManager, session: SessionState,
       table: String): Option[String] = {
-    val parts = table.split("\\.")
-    val (db, tbl) =
-      if (parts.length >= 2) (parts(0), parts.last)
-      else (try session.spark.catalog.currentDatabase
-        catch { case _: Exception => "default" }, table)
+    // same resolution as the read-only gate: strip a spark_catalog prefix,
+    // fall back to the current database, match case-insensitively
+    val db = TableNames.databaseOf(table, TableNames.currentDb(session.spark))
+    val tbl = table.split("\\.").last.stripPrefix("`").stripSuffix("`")
     if (sessions.attachments.isWritable(db))
       sessions.attachments.pathOf(db).map(p => new java.io.File(p, tbl).getAbsolutePath)
     else None
@@ -326,7 +337,10 @@ object Statement {
     ManifestCatalog.refresh(session.spark,
       session.activeTxn.flatMap(id => sessions.transactions.lookup(id))
         .map(t => t.staged.synchronized {
-          scala.jdk.CollectionConverters.MapHasAsScala(t.staged).asScala.keys.toSet
+          // staged keys are canonical (`db.t`); the manifest uses the bare
+          // spelling for default-db tables — translate before comparing
+          scala.jdk.CollectionConverters.MapHasAsScala(t.staged).asScala.keys
+            .map(TableNames.manifestName).toSet
         }).getOrElse(Set.empty))
     sql match {
       case KillSessionRe(target) =>
@@ -600,7 +614,7 @@ object Statement {
         oneRowResult(session.spark, "result", s"table $table replaced")
 
       case CreateTableRe(table, rest)
-          if !rest.toUpperCase.contains("LOCATION") &&
+          if !hasTopLevelClause(rest, "LOCATION") &&
             !rest.trim.toUpperCase.startsWith("LIKE") &&
             attachLocationOf(sessions, session, table).isDefined =>
         // CREATE TABLE into a WRITABLE attachment: land the table as an
@@ -615,7 +629,7 @@ object Statement {
           case None => (rest.trim, "")
         }
         val withUsing =
-          if (pre.toUpperCase.contains("USING")) pre else s"$pre USING parquet".trim
+          if (hasTopLevelClause(pre, "USING")) pre else s"$pre USING parquet".trim
         val ifNotExists =
           if (sql.toUpperCase.contains("IF NOT EXISTS")) "IF NOT EXISTS " else ""
         create(sessions, session, global,
@@ -777,9 +791,12 @@ object Statement {
           case StatementGuard.Blocked(reason) => throw new SecurityException(reason)
           case StatementGuard.Allowed =>
             CatalogAccess.enforce(session, session.spark, dmlCore, sessions.attachments.names)
-            // attached targets must be writable (ATTACH ... (READ_WRITE))
+            // attached targets must be writable (ATTACH ... (READ_WRITE));
+            // resolved against the session's current database so `USE att`
+            // followed by an unqualified DML cannot skip the gate
             graft.sources.RowDml.targetOf(session.spark, dmlCore)
-              .foreach(sessions.attachments.assertWritableTarget)
+              .foreach(sessions.attachments.assertWritableTarget(_,
+                TableNames.currentDb(session.spark)))
             val res = session.activeTxn match {
               case Some(txnId) => graft.sources.RowDml.execute(session.spark, sql,
                 sink = TxnDml.stagedSink(sessions.transactions, txnId),
@@ -815,7 +832,8 @@ object Statement {
             core match {
               case HeadRe(table, colListRaw, srcRaw)
                   if !srcRaw.trim.toUpperCase.startsWith("PARTITION") =>
-                sessions.attachments.assertWritableTarget(table)
+                sessions.attachments.assertWritableTarget(table,
+                  TableNames.currentDb(session.spark))
                 val schema = session.spark.table(table).schema
                 // "(x)" after the table is a COLUMN LIST only when it holds
                 // plain identifiers; otherwise it is a parenthesized source
@@ -906,28 +924,29 @@ object Statement {
                   case _ => None
                 }
               else None
-            // Read-your-writes for QUALIFIED staged tables (attached
-            // catalogs): temp views cannot shadow db-qualified names, so a
-            // statement inside a txn that staged `att.t` remaps those
-            // relations to the txn's shadow views before execution
-            // (PlanCache skipped — txn-local resolution must not be cached).
-            val stagedQualified: Map[String, String] = session.activeTxn
+            // Read-your-writes for staged tables: staged keys are canonical
+            // (`db.t`, TableNames.canonical) and a statement inside a txn
+            // remaps every spelling of a staged relation to the txn's
+            // shadow view before execution (PlanCache skipped — txn-local
+            // resolution must not be cached).
+            val stagedShadows: Map[String, String] = session.activeTxn
               .flatMap(id => sessions.transactions.lookup(id))
               .map(t => t.staged.synchronized {
                 scala.jdk.CollectionConverters.MapHasAsScala(t.staged).asScala.keys
-                  .filter(_.contains("."))
-                  .map(n => n.toLowerCase -> TxnDml.shadowName(n)).toMap
+                  .map(n => n -> TxnDml.shadowName(n)).toMap
               }).getOrElse(Map.empty)
             insertTarget match {
               case Some(t) =>
-                sessions.attachments.assertWritableTarget(t)
+                sessions.attachments.assertWritableTarget(t,
+                  TableNames.currentDb(session.spark))
                 CommitLock.withExclusiveWrite(session.spark, t) {
                   PlanCache.sql(session.spark, sql2)
                 }
-              case None if stagedQualified.nonEmpty =>
+              case None if stagedShadows.nonEmpty =>
                 val parsed = session.spark.sessionState.sqlParser.parsePlan(sql2)
                 org.apache.spark.sql.GraftDatasetShim.ofRows(session.spark,
-                  TxnDml.remapStaged(parsed, stagedQualified))
+                  TxnDml.remapStaged(parsed, stagedShadows,
+                    TableNames.currentDb(session.spark)))
               case None =>
                 // Repeated pure statements reuse their analyzed plan; commands
                 // bypass and flush the cache (PlanCache's contract).

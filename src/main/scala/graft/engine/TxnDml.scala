@@ -30,15 +30,19 @@ import scala.jdk.CollectionConverters._
   */
 object TxnDml {
 
-  /** Session view name that shadows `table` during a transaction. Temp
-    * views cannot carry a db-qualified name, so an attached-catalog target
-    * (`att.t`) shadows under a mangled name; statements inside the txn are
-    * remapped to it ([[remapStaged]] / [[txnResolver]]). Unqualified tables
-    * keep their own name — temp-view resolution shadows those natively.
+  /** Session view name that shadows `table` (a CANONICAL `db.t` key, see
+    * [[TableNames.canonical]]) during a transaction. Temp views cannot
+    * carry a db-qualified name, so an attached-catalog target (`att.t`)
+    * shadows under a mangled name; statements inside the txn are remapped
+    * to it ([[remapStaged]] / [[txnResolver]]). Default-db tables shadow
+    * under their BARE name — temp-view resolution shadows those natively,
+    * so every read path sees them without remapping.
     */
-  def shadowName(table: String): String =
-    if (table.contains(".")) "graft_txn_shadow__" + table.replace(".", "__")
-    else table
+  def shadowName(table: String): String = {
+    val mn = TableNames.manifestName(table)
+    if (mn.contains(".")) "graft_txn_shadow__" + mn.replace(".", "__")
+    else mn
+  }
 
   /** The staging sink for [[graft.sources.RowDml.execute]]: full post-image
     * to a fresh staging dir, shadow view re-pointed, dir recorded on the
@@ -47,41 +51,57 @@ object TxnDml {
     */
   def stagedSink(txns: Transactions, txnId: String): graft.sources.RowDml.Sink =
     (spark, name, newRows, _) => {
-      // Staged under the WAREHOUSE, not tmpdir: the commit journal's redo
-      // path must still find these post-images after a process restart.
+      // Staged under the CANONICAL name (r15 ADVICE: case- or
+      // qualification-aliased spellings of one table must map to ONE staged
+      // entry, or the later fold silently drops the earlier update) and
+      // under the WAREHOUSE, not tmpdir: the commit journal's redo path
+      // must still find these post-images after a process restart.
+      val key = TableNames.canonical(spark, name)
       val dir = TxnJournal.stageRoot(spark)
         .resolve(java.util.UUID.randomUUID().toString).toString
       newRows.write.parquet(dir)
-      spark.read.parquet(dir).createOrReplaceTempView(shadowName(name))
-      txns.stage(txnId, name, dir)
+      spark.read.parquet(dir).createOrReplaceTempView(shadowName(key))
+      txns.stage(txnId, key, dir)
     }
 
-  /** In-txn table resolution for [[graft.sources.RowDml]]: a staged
-    * QUALIFIED table reads its shadow view (read-your-writes for chained
-    * DML on attached tables); everything else resolves normally —
-    * unqualified staged tables already resolve to their shadow temp view.
+  /** In-txn table resolution for [[graft.sources.RowDml]]: a staged table
+    * (any spelling — the lookup canonicalizes) reads its shadow view
+    * (read-your-writes for chained DML); everything else resolves normally.
     */
   def txnResolver(spark: org.apache.spark.sql.SparkSession, txns: Transactions,
       txnId: String): String => org.apache.spark.sql.DataFrame = { name =>
-    val stagedQualified = name.contains(".") && txns.lookup(txnId).exists(t =>
-      t.staged.synchronized { t.staged.containsKey(name) })
-    spark.table(if (stagedQualified) shadowName(name) else name)
+    val key = TableNames.canonical(spark, name)
+    val staged = txns.lookup(txnId).exists(t =>
+      t.staged.synchronized { t.staged.containsKey(key) })
+    spark.table(if (staged) shadowName(key) else name)
   }
 
-  /** Remap a parsed (unresolved) plan's relations from staged QUALIFIED
-    * table names to their shadow views, recursing into subquery
-    * expressions. `staged` maps lower-cased qualified names to shadow view
-    * names.
+  /** Remap a parsed (unresolved) plan's relations from staged table names
+    * to their shadow views, recursing into subquery expressions. `staged`
+    * maps CANONICAL names ([[TableNames.canonical]]) to shadow view names;
+    * identifiers in the plan are canonicalized against `currentDb` before
+    * matching, so every spelling of a staged table (bare after `USE`,
+    * case-aliased, `spark_catalog`-prefixed) hits its shadow. Names bound
+    * by a CTE in the statement are never remapped — CTE resolution outranks
+    * tables, and the definition may legitimately reuse a staged name.
     */
   def remapStaged(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-      staged: Map[String, String]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+      staged: Map[String, String], currentDb: String): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
     import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+    val cteNames: Set[String] = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+        w.cteRelations.map(_._1.toLowerCase)
+    }.flatten.toSet
     def go(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
       p.transformDown {
         case r: UnresolvedRelation
-            if staged.contains(r.multipartIdentifier.mkString(".").toLowerCase) =>
-          UnresolvedRelation(Seq(staged(r.multipartIdentifier.mkString(".").toLowerCase)))
+            if !(r.multipartIdentifier.length == 1 &&
+                 cteNames.contains(r.multipartIdentifier.head.toLowerCase)) &&
+              staged.contains(
+                TableNames.canonicalParts(r.multipartIdentifier, currentDb)) =>
+          UnresolvedRelation(Seq(
+            staged(TableNames.canonicalParts(r.multipartIdentifier, currentDb))))
       }.transformAllExpressions {
         case s: SubqueryExpression => s.withNewPlan(go(s.plan))
       }
@@ -112,8 +132,10 @@ object TxnDml {
     // to its post-image BEFORE any base table is overwritten. Reader
     // sessions resolve through the manifest (Statement path refresh), so
     // they observe all of this commit or none of it — never table A new
-    // next to table B old ([[ManifestCatalog]]).
-    ManifestCatalog.publish(spark, entries)
+    // next to table B old ([[ManifestCatalog]]). Manifest entries use the
+    // bare spelling for default-db tables (shadow views are unqualified).
+    val manifestEntries = entries.map { case (n, d) => (TableNames.manifestName(n), d) }
+    ManifestCatalog.publish(spark, manifestEntries)
     val applied = entries.map { case (name, dir) =>
       TxnJournal.foldFull(spark, name, dir)
       name
@@ -121,7 +143,7 @@ object TxnDml {
     TxnJournal.clear(journal)
     // Bases now equal snapshots — dropping the entries never changes what a
     // fresh reader sees.
-    ManifestCatalog.drop(spark, entries)
+    ManifestCatalog.drop(spark, manifestEntries)
     // The staging dirs live under the WAREHOUSE (so crash redo can find
     // them) — no tmpdir reaper will ever collect them, so an un-deleted
     // post-image is a permanent per-transaction disk leak. Deletion is

@@ -95,6 +95,13 @@ object TxnJournal {
   def foldFull(spark: SparkSession, table: String, staged: String): Unit = {
     val meta = spark.sessionState.catalog.getTableMetadata(
       spark.sessionState.sqlParser.parseTableIdentifier(table))
+    // Defense in depth under the name-level read-only gate: whatever
+    // spelling reached the staging map, the RESOLVED location must not sit
+    // inside a read-only attachment (r15 ADVICE — the file-swap branch
+    // below would otherwise silently rewrite a read-only source file).
+    if (AttachManager.isReadOnlyLocation(Paths.get(meta.location)))
+      throw new SecurityException(
+        s"table $table resolves into a read-only attachment; refusing to fold")
     val cols = meta.schema.fieldNames
     val aligned = spark.read.parquet(staged)
       .select(cols.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
@@ -165,8 +172,9 @@ object TxnJournal {
       clear(j)
       // the redo republished nothing: make sure no manifest entry from the
       // crashed commit outlives its journal (base == snapshot after redo,
-      // so dropping is always safe)
-      ManifestCatalog.drop(spark, entries.map { case (t, d) => (t, d) })
+      // so dropping is always safe); manifest entries carry the bare
+      // default-db spelling ([[TableNames.manifestName]])
+      ManifestCatalog.drop(spark, entries.map { case (t, d) => (TableNames.manifestName(t), d) })
       entries.foreach { case (_, staged) => deleteStaged(spark, staged) }
       applied
     } ++ {

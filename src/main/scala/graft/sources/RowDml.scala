@@ -109,21 +109,30 @@ object RowDml {
     // reading the same pre-image and last-writer-wins dropping one of them,
     // and a bare DML can never interleave with a transaction COMMIT's fold
     // window on the same table ([[graft.engine.CommitLock]]).
+    // The target name is CANONICALIZED once here (qualified + lower-cased,
+    // graft.engine.TableNames) and that spelling flows through the lock,
+    // the pre-image read, and the sink: every alias of one physical table
+    // (`t` after USE, `ATT.T`, `spark_catalog.att.t`) takes one lock, maps
+    // to one staged entry, and folds into one catalog identifier that stays
+    // correct even if the session's current database changes before COMMIT.
     spark.sessionState.sqlParser.parsePlan(core) match {
       case u: UpdateTable =>
-        val (name, alias) = relationOf(u.table)
+        val (raw, alias) = relationOf(u.table)
+        val name = graft.engine.TableNames.canonical(spark, raw)
         graft.engine.CommitLock.withTables(spark, Seq(name)) {
           update(spark, name, alias, u.assignments, u.condition, sink,
             allowPartitionScope, returning, resolve)
         }
       case d: DeleteFromTable =>
-        val (name, alias) = relationOf(d.table)
+        val (raw, alias) = relationOf(d.table)
+        val name = graft.engine.TableNames.canonical(spark, raw)
         graft.engine.CommitLock.withTables(spark, Seq(name)) {
           delete(spark, name, alias, Option(d.condition), sink,
             allowPartitionScope, returning, resolve)
         }
       case m: MergeIntoTable =>
-        graft.engine.CommitLock.withTables(spark, Seq(relationOf(m.targetTable)._1)) {
+        val target = graft.engine.TableNames.canonical(spark, relationOf(m.targetTable)._1)
+        graft.engine.CommitLock.withTables(spark, Seq(target)) {
           merge(spark, m, sink, returning, resolve)
         }
       case other =>
@@ -256,10 +265,14 @@ object RowDml {
     if (scoped)
       linkUnaffectedPartitions(
         java.nio.file.Paths.get(meta.location), stage, parts.length, affectedLeaves.toSet)
+    // Journal entries carry the canonical name (recover folds by catalog
+    // identifier); manifest entries carry the bare default-db spelling
+    // (shadow views are unqualified — TableNames.manifestName).
     val entries = Seq(name -> stage.toString)
+    val manifestEntries = Seq(graft.engine.TableNames.manifestName(name) -> stage.toString)
     val journal = TxnJournal.write(spark,
       s"auto-${java.util.UUID.randomUUID()}", entries)
-    ManifestCatalog.publish(spark, entries)
+    ManifestCatalog.publish(spark, manifestEntries)
     // Crash-window widener for the kill -9 drill (DmlCrashSpec): holds the
     // statement between the journal's redo point and the fold so an
     // external kill lands INSIDE the window recovery must cover. Unset in
@@ -298,7 +311,7 @@ object RowDml {
         .write.mode("overwrite").insertInto(name)
     }
     TxnJournal.clear(journal)
-    ManifestCatalog.drop(spark, entries)
+    ManifestCatalog.drop(spark, manifestEntries)
     ManifestCatalog.tombstone(spark, Seq(stage.toString))
     ManifestCatalog.reapTombstones(spark)
   }
@@ -458,7 +471,8 @@ object RowDml {
   private def merge(spark: SparkSession, m: MergeIntoTable, sink: Sink,
       returning: Option[Seq[String]] = None,
       resolve: (SparkSession, String) => DataFrame = (s, n) => s.table(n)): DataFrame = {
-    val (tName, tAlias) = relationOf(m.targetTable)
+    val (tRaw, tAlias) = relationOf(m.targetTable)
+    val tName = graft.engine.TableNames.canonical(spark, tRaw)
     val (sDf, sAlias) = sourceOf(spark, m.sourceTable, resolve)
     val schema = spark.table(tName).schema
 

@@ -300,6 +300,106 @@ class AttachSpec extends AnyFunSuite {
     assert(new java.io.File(lakeDir, "ror_t").isDirectory)
   }
 
+  // ---- r16: read-only gate bypass closures + staged-key normalization ----
+
+  test("read-only gate survives USE, 3-part names, and case aliasing") {
+    run(admin, s"ATTACH '$storeB' AS attspec_ro2")
+    try {
+      run(admin, "USE attspec_ro2")
+      try {
+        // unqualified DML after USE used to skip the gate entirely
+        val e1 = intercept[SecurityException](
+          run(admin, "UPDATE tiny_nation SET n_name = 'X' WHERE n_nationkey = 0"))
+        assert(e1.getMessage.contains("read-only"))
+        // and inside a transaction (the foldFull file-swap path)
+        run(admin, "BEGIN")
+        val e2 = intercept[SecurityException](
+          run(admin, "UPDATE tiny_nation SET n_name = 'X' WHERE n_nationkey = 0"))
+        assert(e2.getMessage.contains("read-only"))
+        run(admin, "ROLLBACK")
+      } finally run(admin, "USE default")
+      // 3-part spelling skipped the first-segment check
+      val e3 = intercept[SecurityException](
+        run(admin, "DELETE FROM spark_catalog.attspec_ro2.tiny_nation WHERE n_nationkey = 0"))
+      assert(e3.getMessage.contains("read-only"))
+      // case-aliased spelling (Spark resolves identifiers case-insensitively)
+      val e4 = intercept[SecurityException](
+        run(admin, "UPDATE ATTSPEC_RO2.TINY_NATION SET n_name = 'X'"))
+      assert(e4.getMessage.contains("read-only"))
+      assert(run(admin,
+        "SELECT COUNT(*) AS n FROM attspec_ro2.tiny_nation WHERE n_name = 'X'")
+        .collect()(0).getLong(0) == 0, "no spelling may have mutated the data")
+    } finally run(admin, "DETACH attspec_ro2")
+  }
+
+  test("foldFull refuses a post-image aimed at a read-only attachment " +
+      "location (defense in depth under the name gate)") {
+    run(admin, s"ATTACH '$storeB' AS attspec_ro3")
+    try {
+      val staged = TxnJournal.stageRoot(spark)
+        .resolve(java.util.UUID.randomUUID().toString).toString
+      spark.table("attspec_ro3.tiny_nation").write.parquet(staged)
+      val e = intercept[SecurityException](
+        TxnJournal.foldFull(spark, "attspec_ro3.tiny_nation", staged))
+      assert(e.getMessage.contains("read-only"))
+    } finally run(admin, "DETACH attspec_ro3")
+  }
+
+  test("one txn, case-aliased spellings of one table: one staged entry, " +
+      "no lost update") {
+    attachedLake
+    run(admin, "CREATE TABLE lake.case_t (id INT, v INT)")
+    run(admin, "INSERT INTO lake.case_t VALUES (1, 1)")
+    run(admin, "BEGIN")
+    run(admin, "UPDATE lake.case_t SET v = v + 10 WHERE id = 1")
+    // the second spelling must READ the first statement's post-image and
+    // REPLACE its staged entry — not stage a parallel pre-image copy that
+    // the commit fold then applies last (lost update)
+    run(admin, "UPDATE LAKE.CASE_T SET v = v + 100 WHERE id = 1")
+    assert(run(admin, "SELECT v FROM Lake.Case_T WHERE id = 1")
+      .collect()(0).getInt(0) == 111, "read-your-writes across spellings")
+    run(admin, "COMMIT")
+    assert(run(admin, "SELECT v FROM lake.case_t WHERE id = 1")
+      .collect()(0).getInt(0) == 111)
+  }
+
+  test("one txn after USE: unqualified and qualified DML hit one staged entry") {
+    attachedLake
+    run(admin, "CREATE TABLE lake.mix_t (id INT, v INT)")
+    run(admin, "INSERT INTO lake.mix_t VALUES (1, 1)")
+    run(admin, "USE lake")
+    try {
+      run(admin, "BEGIN")
+      run(admin, "UPDATE mix_t SET v = v + 10 WHERE id = 1")
+      run(admin, "UPDATE lake.mix_t SET v = v + 100 WHERE id = 1")
+      assert(run(admin, "SELECT v FROM mix_t WHERE id = 1")
+        .collect()(0).getInt(0) == 111)
+      run(admin, "COMMIT")
+    } finally run(admin, "USE default")
+    assert(run(admin, "SELECT v FROM lake.mix_t WHERE id = 1")
+      .collect()(0).getInt(0) == 111)
+  }
+
+  test("CREATE TABLE in a writable attachment stays EXTERNAL even when a " +
+      "column or CTAS query mentions 'location'") {
+    attachedLake
+    run(admin, "CREATE TABLE lake.loc_t (id INT, location STRING)")
+    run(admin, "INSERT INTO lake.loc_t VALUES (1, 'x')")
+    assert(new java.io.File(lakeDir, "loc_t").isDirectory,
+      "a column named 'location' must not suppress the LOCATION injection " +
+        "(a MANAGED table here would be DELETED by DETACH's CASCADE)")
+    run(admin, "CREATE TABLE lake.loc_t2 AS SELECT id, location FROM lake.loc_t")
+    assert(new java.io.File(lakeDir, "loc_t2").isDirectory)
+    assert(run(admin, "SELECT location FROM lake.loc_t2").collect()(0).getString(0) == "x")
+    // an EXPLICIT top-level LOCATION is still honored, not intercepted
+    val explicit = java.nio.file.Files.createTempDirectory("graft-attach-explicit")
+      .resolve("expl_t").toString
+    run(admin, s"CREATE TABLE lake.expl_t (a INT) USING parquet LOCATION '$explicit'")
+    run(admin, "INSERT INTO lake.expl_t VALUES (7)")
+    assert(new java.io.File(explicit).isDirectory &&
+      !new java.io.File(lakeDir, "expl_t").exists())
+  }
+
   test("read-only attachments reject writes loudly") {
     // own attachment: an earlier test DETACHes attspec_b
     run(admin, s"ATTACH '$storeB' AS attspec_ro")
