@@ -416,7 +416,18 @@ object PlanCache {
         case c: Command => c
         case r: CommandResult => r
       }.isDefined
+      // A log-catalog table is appended CONTINUOUSLY by the catalog log
+      // sink outside the SQL path — a cached optimized plan would pin its
+      // pruned file listing forever. Serve those uncached (volatile-table
+      // rule; nothing else invalidates on the sink's behalf).
+      val touchesLogCatalog = CatalogLogSink.activeCatalogs.nonEmpty &&
+        df.queryExecution.analyzed.collectFirst {
+          case r: org.apache.spark.sql.execution.datasources.LogicalRelation
+              if r.catalogTable.exists(t =>
+                CatalogLogSink.isLogCatalog(t.identifier.database.getOrElse(""))) => r
+        }.isDefined
       if (isCommand) { invalidate(spark); df }
+      else if (touchesLogCatalog) df
       else {
         val prepared = prepare(spark, df)
         m.put(text, prepared)

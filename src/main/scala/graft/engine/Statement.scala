@@ -342,6 +342,16 @@ object Statement {
           scala.jdk.CollectionConverters.MapHasAsScala(t.staged).asScala.keys
             .map(TableNames.manifestName).toSet
         }).getOrElse(Set.empty))
+    // Log-catalog tables are appended continuously by the sink's writer,
+    // OUTSIDE the SQL path, so nothing else drops this session's cached
+    // file listing for them. Refresh before resolving — bounded to
+    // statements that actually name a log catalog (textual check: the
+    // catalog name always appears, qualified or via USE).
+    CatalogLogSink.activeCatalogs.foreach { c =>
+      if (sql.toLowerCase.contains(c))
+        try session.spark.sql(s"REFRESH TABLE `$c`.logs")
+        catch { case scala.util.control.NonFatal(_) => }
+    }
     sql match {
       case KillSessionRe(target) =>
         // duckdb_statement.cpp:178-193 / :933-986; admin-only + no self-kill
@@ -367,6 +377,9 @@ object Statement {
       case DetachRe(name) =>
         if (!session.isAdmin)
           throw new SecurityException("DETACH requires the admin role")
+        if (CatalogLogSink.isLogCatalog(name))
+          throw new SecurityException(
+            s"Cannot DETACH '$name' while catalog logging is active")
         if (!sessions.attachments.detach(session.spark, name))
           throw new IllegalArgumentException(s"no attachment named '$name'")
         PlanCache.invalidate(session.spark)

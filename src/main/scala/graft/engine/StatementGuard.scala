@@ -95,6 +95,11 @@ object StatementGuard {
     }
 
     if (!isAdmin) {
+      // the catalog log sink's store is ADMIN-READ-ONLY, like the
+      // instrumentation catalog (catalog_log_sink.h:38-41); resolve each
+      // relation against the current database so `USE _graft_logs` cannot
+      // route around the gate
+      lazy val curDb = TableNames.currentDb(spark)
       nodes.foreach { p =>
         val name = simpleName(p)
         if (adminCommandNames.exists(name.startsWith))
@@ -102,6 +107,9 @@ object StatementGuard {
         p match {
           case r: UnresolvedRelation if isLocalPathScan(r) =>
             return Blocked(s"local filesystem scan '${r.multipartIdentifier.mkString(".")}' requires the admin role")
+          case r: UnresolvedRelation if CatalogLogSink.isLogCatalog(
+              TableNames.databaseOf(r.multipartIdentifier.mkString("."), curDb)) =>
+            return Blocked("the log catalog is admin-read-only")
           case _ =>
         }
       }
@@ -122,6 +130,16 @@ object StatementGuard {
     }
     if (writeTargets.exists(_.exists(part => systemNames.contains(part.toLowerCase))))
       return Blocked("the system catalog is write-protected")
+
+    // SQL writes into the log catalog are blocked for EVERYONE — only the
+    // sink's own writer appends (reference: clients get read-only errors on
+    // DELETE, test_catalog_logging.cpp:181-193)
+    if (CatalogLogSink.activeCatalogs.nonEmpty) {
+      val curDb = TableNames.currentDb(spark)
+      if (writeTargets.exists(parts => CatalogLogSink.isLogCatalog(
+          TableNames.databaseOf(parts.mkString("."), curDb))))
+        return Blocked("the log catalog is append-only (writes go through the log sink)")
+    }
 
     Allowed
   }

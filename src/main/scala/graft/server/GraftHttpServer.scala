@@ -75,7 +75,12 @@ final class GraftHttpServer(
     // env): here the cap on total request-header bytes; oversized requests
     // (huge bearer tokens, proxy-injected trace headers) get 431 instead of
     // a connection-level failure.
-    maxMetadataSize: Int = 8192) extends AutoCloseable {
+    maxMetadataSize: Int = 8192,
+    // Optional catalog log sink (the reference's enterprise
+    // enable_catalog_logging, `gizmosql_library.cpp:973-995`): the directory
+    // to attach as the `_graft_logs` writable catalog; every structured log
+    // record (access log entries included) forks into `_graft_logs.logs`.
+    catalogLogDir: Option[String] = None) extends AutoCloseable {
 
   import GraftHttpServer.{Full, Resp, Streamed}
 
@@ -117,6 +122,15 @@ final class GraftHttpServer(
     s => Option(sparkToSession.get(s))
       .flatMap(_.settings.get("gizmosql.query_tag")).getOrElse("")).install(spark)
   val accessLog = new AccessLog()
+  // Catalog log sink (reference `gizmosql_library.cpp:973-995`): created
+  // before any request can log, registered as a secondary GraftLog sink.
+  val catalogLog: Option[graft.engine.CatalogLogSink] = catalogLogDir.map { d =>
+    val sink = new graft.engine.CatalogLogSink(spark, sessions.attachments, d)
+    graft.engine.GraftLog.registerSink(sink.enqueue)
+    graft.engine.GraftLog.info("server",
+      s"catalog logging enabled to ${sink.catalog}.logs")
+    sink
+  }
   // OTLP/HTTP export (reference `gizmosql_telemetry.cpp`; disabled unless
   // GIZMOSQL_OTEL_ENABLED) — periodic flush like the SDK's 60 s metric
   // reader, interval overridable for tests.
@@ -218,6 +232,10 @@ final class GraftHttpServer(
     if (executor != null) executor.shutdown()
     otlpTimer.foreach(_.cancel())
     otlp.foreach(_.flush()) // final export, like the SDK's shutdown flush
+    // clear the fork FIRST so nothing dispatches into a draining sink
+    // (reference: ClearLogSinks() before CatalogLogSink::Shutdown())
+    if (catalogLog.nonEmpty) graft.engine.GraftLog.clearSinks()
+    catalogLog.foreach(_.close())
     health.close()
   }
 
@@ -296,11 +314,21 @@ final class GraftHttpServer(
             status = 200
         }
       } finally {
+        val user = Option(ex.getAttribute(UserKey)).fold("-")(_.toString)
+        val detail = Option(ex.getAttribute(DetailKey)).fold("")(_.toString)
         accessLog.record(AccessLog.Entry(
           System.currentTimeMillis(), ex.getRequestMethod, ex.getRequestURI.getPath,
-          Option(ex.getAttribute(UserKey)).fold("-")(_.toString), status,
-          (System.nanoTime() - t0) / 1000000, bytes,
-          Option(ex.getAttribute(DetailKey)).fold("")(_.toString)))
+          user, status, (System.nanoTime() - t0) / 1000000, bytes, detail))
+        // fork the same entry as a structured record (catalog log sink et al.)
+        if (graft.engine.GraftLog.sinkCount > 0)
+          graft.engine.GraftLog.log(graft.engine.GraftLog.LogRecord(
+            System.currentTimeMillis(),
+            if (status >= 500) "ERROR" else "INFO",
+            s"${ex.getRequestMethod} ${ex.getRequestURI.getPath} $status",
+            component = "http", username = if (user == "-") "" else user,
+            peer = Option(ex.getRemoteAddress).fold("")(_.toString),
+            fieldsJson = if (detail.isEmpty) ""
+              else s"""{"detail":${quote(detail)}}"""))
         ex.close()
       }
     }
