@@ -116,7 +116,11 @@ object Relational {
       // .append dominated the repeated-count path; 120 ms/call at sf0.1) —
       // and broadcasting a fact is exactly what cannot scale. The hint on
       // the LEFT makes the smaller, filtered customer*orders side the
-      // per-partition build; dims stay broadcast.
+      // per-partition build; dims stay broadcast. (r16 measured the
+      // SizeGate-broadcast alternative — collect+build of the ~150k-row
+      // customer⋈orders side — at 0.56 s vs 0.30 s for this shape: the
+      // 32-way shuffle beats a driver-built broadcast at that size, so the
+      // shuffle shape stays; see PLANS.md.)
       broadcast(customer)
         .join(orders, col("c_custkey") === col("o_custkey"))
         .hint("shuffle_hash")
@@ -135,7 +139,11 @@ object Relational {
       // shuffle_hash on the customer (dim) side: the planner otherwise
       // broadcasts the ORDERS fact (driver hash build per execution,
       // scale-wrong); the hinted shape shuffles on custkey and builds the
-      // smaller preserved side per partition — the 100 TB plan.
+      // smaller preserved side per partition — the 100 TB plan. (r16
+      // measured the r15-suggested size-gated ORDERS broadcast at 0.37 s
+      // vs 0.24 s for this shape — a ~150k-row driver collect+build loses
+      // to the 32-way shuffle at local SF, so the shuffle shape stays;
+      // see PLANS.md.)
       t(s, d, "customer").hint("shuffle_hash")
         .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
         .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))

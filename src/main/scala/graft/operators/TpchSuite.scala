@@ -86,10 +86,16 @@ object TpchSuite {
         .filter(col("o_orderdate") >= Relational.ts("1996-01-01T00:00") &&
           col("o_orderdate") < Relational.ts("1997-01-01T00:00"))
         .select("o_orderkey", "o_custkey")
+      // Size-GATED broadcasts (r16): at local SF the date-filtered orders
+      // projection and the 2-column customer projection are dimension-sized
+      // and broadcasting them removes BOTH fact exchanges plus the SHJ
+      // stage (the r15 profile put ~0.24 s of h05's 0.7 s in stage gaps);
+      // at 100 TB the estimates blow past the gate and the same code keeps
+      // the shuffle_hash shape — never a planner-guessed fact broadcast.
       s.table("lineitem").select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
         .join(sn, col("l_suppkey") === col("s_suppkey"))
-        .join(o.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(s.table("customer").select("c_custkey", "c_nationkey")),
+        .join(SizeGate.broadcastIfSmall(o), col("l_orderkey") === col("o_orderkey"))
+        .join(SizeGate.broadcastIfSmall(s.table("customer").select("c_custkey", "c_nationkey")),
           col("c_custkey") === col("o_custkey") && col("c_nationkey") === col("s_nationkey"))
         .groupBy("n_name")
         .agg(round(sum(Money.revDec), 2).cast("double").as("revenue"))

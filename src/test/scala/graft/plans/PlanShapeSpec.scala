@@ -46,6 +46,53 @@ class PlanShapeSpec extends AnyFunSuite {
       "no broadcast: a broadcast build of a self-join side re-scans the relation")
   }
 
+  private def scansOf(all: Seq[SparkPlan], table: String) = all.collect {
+    case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.inputFiles.exists(_.contains(table)) => f
+  }
+
+  test("tpch_h05: lineitem streams through broadcast joins — no fact " +
+      "broadcast, no fact shuffle under the local size gate (r16 shape)") {
+    val all = nodes(staticPlan("tpch_h05"))
+    val bc = all.collect { case b: BroadcastExchangeExec => b }
+    // the fact must never sit under a broadcast exchange, whatever the
+    // gate decides
+    assert(!bc.exists(_.exists {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.inputFiles.exists(_.contains("lineitem"))
+      case _ => false
+    }), "lineitem must stream, not broadcast")
+    // at test SF the SizeGate fires: orders + customer broadcast, so the
+    // only shuffles left are the n_name aggregate and the result sort
+    val shuffles = all.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size == 2,
+      s"expected agg + sort exchanges only, got ${shuffles.size}:\n${shuffles.mkString("\n")}")
+    assert(!all.exists(_.isInstanceOf[CartesianProductExec]) &&
+      !all.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]))
+  }
+
+  test("join_left_hist: customer-side shuffled hash join; the ORDERS fact " +
+      "is never broadcast (r15 verdict shape, measured in r16 to beat the " +
+      "gated-broadcast alternative)") {
+    val all = nodes(staticPlan("join_left_hist"))
+    assert(all.exists(_.isInstanceOf[ShuffledHashJoinExec]),
+      "the left join must run as a shuffled hash join")
+    val bc = all.collect { case b: BroadcastExchangeExec => b }
+    assert(!bc.exists(_.exists {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.inputFiles.exists(_.contains("orders"))
+      case _ => false
+    }), "orders must shuffle, not broadcast (driver hash build per execution)")
+  }
+
+  test("cte_h15: the CTE materializes ONE lineitem scan (shared, not " +
+      "re-planned per reference)") {
+    val all = nodes(staticPlan("cte_h15"))
+    val lineitemScans = scansOf(all, "lineitem")
+    assert(lineitemScans.size == 1,
+      s"expected exactly one lineitem scan, got ${lineitemScans.size}")
+  }
+
   test("join_self_nation: dimension pre-reduction keeps both reduced dims " +
       "broadcast and the fact un-broadcast (r15 shape)") {
     val all = nodes(staticPlan("join_self_nation"))
