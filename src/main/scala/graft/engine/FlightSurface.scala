@@ -52,6 +52,18 @@ object FlightSurface {
     * (`duckdb_tables_schema_batch_reader.cpp:41-120`): each table row carries
     * its Arrow-serialized schema, obtained analysis-only (`LIMIT 0` shape).
     */
+  /** Session-aware GetTables: the metadata listing logs as an INTERNAL
+    * query — natural severity DEBUG with `is_internal=true`, so it appears
+    * only when the session's query_log_level is debug
+    * (`test_internal_query_log_level.cpp:175-221`).
+    */
+  def tablesWithSchema(session: SessionState, tablePattern: Option[String]): DataFrame = {
+    QueryLog.statementAttempt(session,
+      s"GetTables${tablePattern.fold("")(p => s" pattern='$p'")}",
+      isInternal = true, flightMethod = "GetTables")
+    tablesWithSchema(session.spark, tablePattern)
+  }
+
   def tablesWithSchema(spark: SparkSession, tablePattern: Option[String] = None): DataFrame = {
     import spark.implicits._
     val base = SystemCatalog.tables(spark, tablePattern = tablePattern).collect()

@@ -40,6 +40,38 @@ object GraftLog {
 
   type LogSink = LogRecord => Unit
 
+  /** Severity ordering, the reference's ArrowLogLevel subset. */
+  object Levels {
+    private val order = Map("DEBUG" -> 0, "INFO" -> 1, "WARNING" -> 2, "ERROR" -> 3)
+    def of(s: String): Int = {
+      val n = Option(s).getOrElse("").trim.toUpperCase match {
+        case "WARN" => "WARNING"
+        case x => x
+      }
+      order.getOrElse(n, 1) // unknown levels read as INFO
+    }
+    def atLeast(natural: String, threshold: String): Boolean = of(natural) >= of(threshold)
+  }
+
+  /** Overall logger threshold (the reference's default-logger severity
+    * gate): records below it are dropped REGARDLESS of component
+    * thresholds — both gates must be satisfied
+    * (`test_log_level_filtering.cpp:286` BothThresholdsMustBeSatisfied).
+    */
+  @volatile var overallThreshold: String =
+    sys.env.getOrElse("GIZMOSQL_LOG_LEVEL", "debug")
+
+  /** Dynamic-at emission (the reference's GIZMOSQL_LOGKV_*_DYNAMIC_AT,
+    * `gizmosql_logging.h:363-372`): emit `record` only when its NATURAL
+    * severity clears `threshold` — a message below the component threshold
+    * is SUPPRESSED, never promoted to the threshold severity (the
+    * regression the reference's issue #136 tests pin).
+    */
+  def logDynamicAt(threshold: String, record: => LogRecord): Unit = {
+    val r = record
+    if (Levels.atLeast(r.level, threshold)) log(r)
+  }
+
   private val sinks = new CopyOnWriteArrayList[LogSink]()
   private val inSinkDelivery: ThreadLocal[java.lang.Boolean] =
     ThreadLocal.withInitial(() => java.lang.Boolean.FALSE)
@@ -63,6 +95,7 @@ object GraftLog {
     * this thread is already inside sink delivery.
     */
   def log(record: LogRecord): Unit = {
+    if (!Levels.atLeast(record.level, overallThreshold)) return
     if (record.level == "WARNING" || record.level == "ERROR")
       System.err.println(s"[graft][${record.level.toLowerCase}] " +
         (if (record.component.nonEmpty) s"${record.component}: " else "") + record.message)

@@ -26,8 +26,7 @@ final class Observability(captureProfile: () => Boolean,
   private val records = new ConcurrentLinkedQueue[QueryRecord]()
 
   /** Redact literals from logged SQL, as the reference's logger does. */
-  def redact(sql: String): String =
-    sql.replaceAll("'[^']*'", "'?'").replaceAll("(?<=[=<>(,\\s])\\d+(\\.\\d+)?", "?")
+  def redact(sql: String): String = Observability.redact(sql)
 
   override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
     val rows = qe.executedPlan.metrics.get("numOutputRows").map(_.value)
@@ -70,4 +69,11 @@ final class Observability(captureProfile: () => Boolean,
 
   def installView(spark: SparkSession): Unit =
     statementsView(spark).createOrReplaceTempView("gizmosql_statements")
+}
+
+object Observability {
+  /** Redact literals from logged SQL, as the reference's logger does —
+    * shared by the listener records and the query log. */
+  def redact(sql: String): String =
+    sql.replaceAll("'[^']*'", "'?'").replaceAll("(?<=[=<>(,\\s])\\d+(\\.\\d+)?", "?")
 }

@@ -36,6 +36,8 @@ object Settings {
   val defs: Seq[SettingDef] = Seq(
     SettingDef("gizmosql.query_timeout", IntSetting, "GIZMOSQL_QUERY_TIMEOUT", "0"),
     SettingDef("gizmosql.query_log_level", StringSetting, "GIZMOSQL_QUERY_LOG_LEVEL", "info"),
+    SettingDef("gizmosql.auth_log_level", StringSetting, "GIZMOSQL_AUTH_LOG_LEVEL", "info",
+      sessionScoped = false),
     SettingDef("gizmosql.capture_query_profile", BoolSetting, "GIZMOSQL_CAPTURE_QUERY_PROFILE", "false"),
     SettingDef("gizmosql.bypass_queue", BoolSetting, "GIZMOSQL_BYPASS_QUEUE", "false"),
     SettingDef("gizmosql.session_tag", StringSetting, "GIZMOSQL_SESSION_TAG", ""),

@@ -352,6 +352,9 @@ object Statement {
         try session.spark.sql(s"REFRESH TABLE `$c`.logs")
         catch { case scala.util.control.NonFatal(_) => }
     }
+    // Statement-attempt query log (reference duckdb_statement.cpp:886-894):
+    // natural INFO, suppressed below the session/global query_log_level.
+    QueryLog.statementAttempt(session, sql)
     sql match {
       case KillSessionRe(target) =>
         // duckdb_statement.cpp:178-193 / :933-986; admin-only + no self-kill

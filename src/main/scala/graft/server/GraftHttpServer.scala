@@ -418,6 +418,33 @@ final class GraftHttpServer(
     }
   }
 
+  // First-seen bearer-token fingerprints (bounded LRU): repeat validations
+  // of the same token log at DEBUG, first-seen at INFO — the reference's
+  // auth_log_level contract (`test_auth_log_level.cpp:116-199`: at the
+  // default info threshold, only the first validation of a token logs).
+  private val seenTokens = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, java.lang.Boolean](256, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, java.lang.Boolean]): Boolean = size() > 4096
+    })
+
+  private def logAuth(token: String, id: Auth.Identity): Unit = {
+    val fp = java.util.Base64.getEncoder.encodeToString(
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(token.getBytes(StandardCharsets.UTF_8))).take(24)
+    val firstSeen = seenTokens.put(fp, java.lang.Boolean.TRUE) == null
+    graft.engine.GraftLog.logDynamicAt(
+      global.get("gizmosql.auth_log_level").getOrElse("info"),
+      graft.engine.GraftLog.LogRecord(
+        System.currentTimeMillis(),
+        level = if (firstSeen) "INFO" else "DEBUG",
+        message = if (firstSeen) "Bearer token validated (first seen)"
+          else "Bearer token validated (repeat)",
+        component = "auth", sessionId = id.sessionId, username = id.username,
+        role = id.role,
+        fieldsJson = s"""{"status":"${if (firstSeen) "first_seen" else "repeat"}"}"""))
+  }
+
   private def bearer(ex: HttpExchange): Either[Resp, Auth.Identity] = {
     val header = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
     if (!header.startsWith("Bearer "))
@@ -428,6 +455,7 @@ final class GraftHttpServer(
         bootstrapped.remove(id.sessionId) // dead session; drop its bootstrap marker
         Left((403, "application/json", jsonError("session has been killed")))
       case Right(id) =>
+        logAuth(header.drop(7).trim, id)
         ex.setAttribute(UserKey, id.username)
         Right(id)
     }
