@@ -74,7 +74,15 @@ object Auth {
   }
 
   /** Validate a bearer token: signature, issuer, expiry, instance binding. */
-  def validate(secret: String, token: String, instanceId: String): Either[String, Identity] =
+  /** Validate a session JWT. `allowCrossInstance` is the reference's
+    * relaxed cluster mode (`gizmosql_security.cpp:848-860`,
+    * `test_cross_instance_tokens.cpp`): a token signed with the SAME
+    * secret but minted by a different instance is accepted (load-balanced
+    * fleet sharing one secret); the signature check always runs first, so
+    * a wrong-secret token is rejected in either mode.
+    */
+  def validate(secret: String, token: String, instanceId: String,
+      allowCrossInstance: Boolean = false): Either[String, Identity] =
     Try {
       val claims: Claims = Jwts.parser()
         .verifyWith(hmacKey(secret))
@@ -85,7 +93,7 @@ object Auth {
       claims
     }.toEither.left.map(e => s"invalid token: ${e.getMessage}").flatMap { c =>
       val tokenInstance = c.get("instance_id", classOf[String])
-      if (tokenInstance != instanceId)
+      if (tokenInstance != instanceId && !allowCrossInstance)
         Left("token was issued by a different server instance")
       else
         Right(Identity(

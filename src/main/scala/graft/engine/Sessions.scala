@@ -149,6 +149,13 @@ final class SessionManager(root: SparkSession, global: GlobalSettings) {
     */
   val attachments = new AttachManager
 
+  /** Edition / license mode ([[License]]): the library default is
+    * Unrestricted; a server constructed with a [[License.Config]] resolves
+    * Core or Licensed and the statement pipeline gates enterprise features
+    * accordingly (`test_enterprise_gating.cpp`).
+    */
+  @volatile var license: License.Mode = License.Unrestricted
+
   /** Transaction handles for both the wire RPC surface and the SQL
     * BEGIN/COMMIT/ROLLBACK intercepts ([[TxnDml]]).
     */
@@ -187,6 +194,12 @@ final class SessionManager(root: SparkSession, global: GlobalSettings) {
   }
 
   def isKilled(sessionId: String): Boolean = killedTombstones.contains(sessionId)
+
+  /** Live session count (the reference server's GetActiveSessionCount,
+    * `test_active_session_count.cpp`) — kill/close remove from the map, so
+    * the count tracks connect/close exactly.
+    */
+  def activeCount: Int = sessions.size()
   def active: Seq[String] = sessions.keySet().asScala.toSeq
 }
 

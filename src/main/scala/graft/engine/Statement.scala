@@ -145,7 +145,8 @@ object Statement {
   /** Register the GIZMOSQL_* pseudo-functions as session-scoped UDFs
     * (reference list at `duckdb_statement.cpp:242-587`).
     */
-  def registerPseudoFunctions(s: SessionState, instanceId: String, clusterId: String): Unit = {
+  def registerPseudoFunctions(s: SessionState, instanceId: String, clusterId: String,
+      edition: String = License.Unrestricted.editionName): Unit = {
     val spark = s.spark
     // Capture plain strings: UDF closures ship to executors and must not drag
     // the (non-serializable) session state along.
@@ -156,7 +157,7 @@ object Statement {
     spark.udf.register("gizmosql_version", () => Version)
     spark.udf.register("gizmosql_user", () => user)
     spark.udf.register("gizmosql_role", () => role)
-    spark.udf.register("gizmosql_edition", () => "community")
+    spark.udf.register("gizmosql_edition", () => edition)
     // Publish the values so the PseudoFunctionFold optimizer rule can
     // constant-fold these UDFs at plan time (the reference substitutes them
     // textually before prepare; we do it inside Catalyst).
@@ -167,7 +168,7 @@ object Statement {
       "gizmosql_version" -> Version,
       "gizmosql_user" -> user,
       "gizmosql_role" -> role,
-      "gizmosql_edition" -> "community"))
+      "gizmosql_edition" -> edition))
   }
 
   /** Refresh the `gizmosql_settings` session view (the reference rewrites the
@@ -358,7 +359,10 @@ object Statement {
     sql match {
       case KillSessionRe(target) =>
         // duckdb_statement.cpp:178-193 / :933-986; admin-only + no self-kill
-        // per the reference handler (kill_session_handler.cpp:66-81)
+        // per the reference handler (kill_session_handler.cpp:66-81);
+        // enterprise-gated (test_enterprise_gating.cpp:89)
+        if (!sessions.license.isAvailable("kill_session"))
+          throw new SecurityException(License.requiredError("kill_session"))
         if (!session.isAdmin)
           throw new SecurityException("Only admin users can execute KILL SESSION")
         if (target == session.id)
@@ -652,6 +656,15 @@ object Statement {
           s"CREATE TABLE $ifNotExists$table $withUsing LOCATION '$loc'$post")
 
       case SetSettingRe(scope, name, quoted, bare) =>
+        // session/query tags are enterprise features in the reference
+        // (test_enterprise_gating.cpp:191-240)
+        val tagFeature = name match {
+          case "gizmosql.session_tag" => Some("session_tag")
+          case "gizmosql.query_tag" => Some("query_tag")
+          case _ => None
+        }
+        tagFeature.filterNot(sessions.license.isAvailable).foreach(f =>
+          throw new SecurityException(License.requiredError(f)))
         val value = Option(quoted).getOrElse(bare)
         val result =
           if (scope != null && scope.equalsIgnoreCase("GLOBAL"))

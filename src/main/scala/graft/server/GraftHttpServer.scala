@@ -80,12 +80,22 @@ final class GraftHttpServer(
     // enable_catalog_logging, `gizmosql_library.cpp:973-995`): the directory
     // to attach as the `_graft_logs` writable catalog; every structured log
     // record (access log entries included) forks into `_graft_logs.logs`.
-    catalogLogDir: Option[String] = None) extends AutoCloseable {
+    catalogLogDir: Option[String] = None,
+    // Relaxed cluster mode (`test_cross_instance_tokens.cpp`): accept
+    // same-secret tokens minted by OTHER instances — a load-balanced fleet
+    // sharing one secret. Default strict: instance-bound tokens only.
+    allowCrossInstanceTokens: Boolean = false,
+    // Optional licensing (`enterprise_features.h`): when supplied, the
+    // server resolves Core/Enterprise from the (inline-wins) license JWT
+    // and gates enterprise features; absent = Unrestricted (library default,
+    // declared divergence from the always-checking reference binary).
+    license: Option[graft.engine.License.Config] = None) extends AutoCloseable {
 
   import GraftHttpServer.{Full, Resp, Streamed}
 
   val global = new GlobalSettings
   val sessions = new SessionManager(spark, global)
+  license.foreach(cfg => sessions.license = graft.engine.License.initialize(cfg))
   // Admission sizing comes from the settings registry (env-var defaults per
   // SettingDef), not constants: `gizmosql.max_concurrent_statements` (0 =
   // unlimited), `max_queued_statements` (<=0 = auto 8x concurrency,
@@ -449,7 +459,8 @@ final class GraftHttpServer(
     val header = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
     if (!header.startsWith("Bearer "))
       Left((401, "application/json", jsonError("Bearer token required")))
-    else Auth.validate(secret, header.drop(7).trim, instanceId) match {
+    else Auth.validate(secret, header.drop(7).trim, instanceId,
+        allowCrossInstance = allowCrossInstanceTokens) match {
       case Left(err) => Left((401, "application/json", jsonError(err)))
       case Right(id) if sessions.isKilled(id.sessionId) =>
         bootstrapped.remove(id.sessionId) // dead session; drop its bootstrap marker
@@ -511,7 +522,8 @@ final class GraftHttpServer(
               val session = sessions.getOrCreate(id.sessionId, id.username, id.role, id.catalogAccess)
               if (bootstrapped.add(id.sessionId)) {
                 onSessionCreate(session.spark)
-                Statement.registerPseudoFunctions(session, instanceId, clusterId)
+                Statement.registerPseudoFunctions(session, instanceId, clusterId,
+                  sessions.license.editionName)
                 // each newSession() has its own listener manager; one shared
                 // Observability instance aggregates across all sessions
                 sparkToSession.put(session.spark, session)
@@ -636,7 +648,8 @@ final class GraftHttpServer(
             s""""status":${quote(r.status)},"output_rows":${r.outputRows.getOrElse(-1L)}}"""
         }.mkString("[", ",", "]")
         (200, "application/json",
-          s"""{"executions":${recent.length},"recent":$items}""".getBytes(StandardCharsets.UTF_8))
+          (s"""{"executions":${recent.length},"active_sessions":${sessions.activeCount},""" +
+            s""""recent":$items}""").getBytes(StandardCharsets.UTF_8))
     }
 
   private def handleClose(ex: HttpExchange): Resp =
