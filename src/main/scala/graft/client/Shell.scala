@@ -229,9 +229,27 @@ object Shell {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("--http")) {
       args.lift(1) match {
-        case None => println("usage: Shell --http <url> [user] [password]")
-        case Some(url) => httpMain(url, args.lift(2).getOrElse("gizmosql_username"),
-          args.lift(3).getOrElse("gizmosql_password"))
+        case None => println("usage: Shell --http <url|gizmosql://host:port?...> [user] [password]")
+        case Some(raw) if raw.startsWith("gizmosql://") =>
+          // reference-style connection URI + env fallbacks (client_config.cpp)
+          ClientConfig.parseUri(raw) match {
+            case Left(err) => println(s"error: $err")
+            case Right(parsed) =>
+              val c = ClientConfig.resolveEnv(parsed)
+              val scheme = if (c.useTls) "https" else "http"
+              httpMain(s"$scheme://${c.host}:${c.port}",
+                args.lift(2).orElse(Option(c.username).filter(_.nonEmpty))
+                  .getOrElse("gizmosql_username"),
+                args.lift(3).orElse(Option(c.password).filter(_ => c.passwordProvided))
+                  .getOrElse("gizmosql_password"))
+          }
+        case Some(url) =>
+          val env = ClientConfig.resolveEnv(ClientConfig())
+          httpMain(url,
+            args.lift(2).orElse(Option(env.username).filter(_.nonEmpty))
+              .getOrElse("gizmosql_username"),
+            args.lift(3).orElse(Option(env.password).filter(_ => env.passwordProvided))
+              .getOrElse("gizmosql_password"))
       }
       return
     }

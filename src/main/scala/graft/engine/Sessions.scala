@@ -124,7 +124,11 @@ final class SessionState(
     namedStatements.remove(name.toLowerCase) != null
 
   def isAdmin: Boolean = role == "admin"
-  def isReadOnly: Boolean = role == "readonly"
+  // server-wide read-only mode (the reference's read_only=true server
+  // option, test_read_only_mode.cpp) makes EVERY session read-only,
+  // whatever its role; set by SessionManager at creation.
+  @volatile var serverReadOnly: Boolean = false
+  def isReadOnly: Boolean = role == "readonly" || serverReadOnly
 }
 
 object SessionState {
@@ -156,6 +160,12 @@ final class SessionManager(root: SparkSession, global: GlobalSettings) {
     */
   @volatile var license: License.Mode = License.Unrestricted
 
+  /** Server-wide read-only mode (`test_read_only_mode.cpp`): every session —
+    * existing and future — becomes read-only; reads and metadata keep
+    * working, writes are refused by the statement guard.
+    */
+  @volatile var readOnlyMode: Boolean = false
+
   /** Transaction handles for both the wire RPC surface and the SQL
     * BEGIN/COMMIT/ROLLBACK intercepts ([[TxnDml]]).
     */
@@ -165,9 +175,11 @@ final class SessionManager(root: SparkSession, global: GlobalSettings) {
       catalogAccess: Option[Set[String]] = None): SessionState = {
     if (killedTombstones.contains(sessionId))
       throw new IllegalStateException(s"session $sessionId was killed")
-    sessions.computeIfAbsent(sessionId, _ =>
+    val s = sessions.computeIfAbsent(sessionId, _ =>
       new SessionState(sessionId, user, role, root.newSession(),
         new SessionSettings(global), catalogAccess))
+    s.serverReadOnly = readOnlyMode
+    s
   }
 
   /** Non-creating lookup (reference `:917-955` — liveness probes must not

@@ -89,13 +89,17 @@ final class GraftHttpServer(
     // server resolves Core/Enterprise from the (inline-wins) license JWT
     // and gates enterprise features; absent = Unrestricted (library default,
     // declared divergence from the always-checking reference binary).
-    license: Option[graft.engine.License.Config] = None) extends AutoCloseable {
+    license: Option[graft.engine.License.Config] = None,
+    // Server-wide read-only mode (the reference's read_only=true server
+    // option): every session is read-only regardless of role.
+    readOnly: Boolean = false) extends AutoCloseable {
 
   import GraftHttpServer.{Full, Resp, Streamed}
 
   val global = new GlobalSettings
   val sessions = new SessionManager(spark, global)
   license.foreach(cfg => sessions.license = graft.engine.License.initialize(cfg))
+  sessions.readOnlyMode = readOnly
   // Admission sizing comes from the settings registry (env-var defaults per
   // SettingDef), not constants: `gizmosql.max_concurrent_statements` (0 =
   // unlimited), `max_queued_statements` (<=0 = auto 8x concurrency,
