@@ -36,9 +36,35 @@ object ArrowIO {
     * transport path for results larger than driver memory: only one
     * `batchSize` batch is resident at a time, written as it fills.
     */
+  /** Output columns whose defining expression produces WKB geometry — a
+    * StaticInvoke into the [[graft.plans.Wkb]] kernel returning BINARY.
+    * Export auto-tags these with `ARROW:extension:name = geoarrow.wkb`, the
+    * reference's GeoArrow contract for GEOMETRY results
+    * (`gizmosql_library.cpp:820-827`, `test_geoarrow.cpp:138-245`): a
+    * GeoArrow-aware client reads `SELECT st_point(...)` as geometry, not
+    * opaque bytes. Pre-tagged columns (ingested GeoArrow) keep their own
+    * metadata; detection failures degrade to untagged binary, never error.
+    */
+  private def geometryOutputs(df: DataFrame): Set[String] = try {
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+    val plan = df.queryExecution.analyzed
+    def isGeom(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = e match {
+      case si: StaticInvoke =>
+        si.dataType == org.apache.spark.sql.types.BinaryType &&
+          si.staticObject == graft.plans.Wkb.getClass
+      case a: Alias => isGeom(a.child)
+      case _ => false
+    }
+    val geomIds = plan.collect { case p => p }.flatMap(_.expressions).flatMap(_.collect {
+      case a: Alias if isGeom(a.child) => a.exprId
+    }).toSet
+    plan.output.filter(at => geomIds.contains(at.exprId)).map(_.name).toSet
+  } catch { case scala.util.control.NonFatal(_) => Set.empty }
+
   def writeArrowStream(df: DataFrame, out: java.io.OutputStream, batchSize: Int = 4096): Unit = {
     val schema = df.schema
-    val arrowSchema = TypeMapping.toArrowSchema(schema)
+    val arrowSchema = TypeMapping.toArrowSchema(schema, geometryOutputs(df))
     val allocator = new RootAllocator()
     val root = VectorSchemaRoot.create(arrowSchema, allocator)
     val writer = new ArrowStreamWriter(root, null, out)

@@ -83,6 +83,20 @@ object TypeMapping {
   def toArrowSchema(schema: StructType): Schema =
     new Schema(schema.fields.map(f => withFieldMeta(f, Map.empty)).toList.asJava)
 
+  /** Export with GeoArrow auto-tagging: `geometryCols` (WKB-producing
+    * ST_* outputs, detected by [[graft.sources.ArrowIO]]) gain
+    * `ARROW:extension:name = geoarrow.wkb` unless the column already
+    * carries its own extension metadata (ingested GeoArrow wins).
+    */
+  def toArrowSchema(schema: StructType, geometryCols: Set[String]): Schema =
+    new Schema(schema.fields.map { f =>
+      val auto =
+        if (geometryCols.contains(f.name) && !f.metadata.contains("ARROW:extension:name"))
+          Map("ARROW:extension:name" -> "geoarrow.wkb")
+        else Map.empty[String, String]
+      withFieldMeta(f, auto)
+    }.toList.asJava)
+
   /** Schema export with the Flight SQL column-metadata contract
     * (`/root/reference/tests/test_v1_22_1_features.py:102` — GetTables
     * include_schema carries real NOT NULL and comments): a Spark column
