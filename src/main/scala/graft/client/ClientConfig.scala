@@ -40,6 +40,10 @@ object ClientConfig {
     if (!out.passwordProvided)
       env("GIZMOSQL_PASSWORD")
         .foreach(p => out = out.copy(password = p, passwordProvided = true))
+    // GIZMOSQL_TLS enables TLS like the reference client (client_config.cpp:120-125);
+    // only applied while the field is still at its default so explicit flags win.
+    if (!out.useTls && env("GIZMOSQL_TLS").exists(parseBool))
+      out = out.copy(useTls = true)
     if (env("GIZMOSQL_TLS_SKIP_VERIFY").exists(v => v == "1" || v.equalsIgnoreCase("true")))
       out = out.copy(tlsSkipVerify = true)
     out

@@ -76,7 +76,13 @@ object GraftLog {
   private val inSinkDelivery: ThreadLocal[java.lang.Boolean] =
     ThreadLocal.withInitial(() => java.lang.Boolean.FALSE)
 
-  def registerSink(sink: LogSink): Unit = { sinks.add(sink); () }
+  /** Register a secondary sink; returns the sink as a handle for
+    * [[removeSink]]. A server must unregister only its OWN sink on close —
+    * `clearSinks()` would silently detach every other server's catalog
+    * logging in the same JVM (common when tests/embedders run two servers).
+    */
+  def registerSink(sink: LogSink): LogSink = { sinks.add(sink); sink }
+  def removeSink(sink: LogSink): Unit = { sinks.remove(sink); () }
   def clearSinks(): Unit = sinks.clear()
   def sinkCount: Int = sinks.size()
 

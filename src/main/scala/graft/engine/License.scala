@@ -64,6 +64,36 @@ object License {
   def requiredError(feature: String): String =
     s"The '$feature' feature requires a GizmoSQL Enterprise license"
 
+  /** Parse an X.509 SubjectPublicKeyInfo PEM (`-----BEGIN PUBLIC KEY-----`)
+    * into an RSA [[PublicKey]] — the shape a deployment exports its license
+    * verification key in.
+    */
+  def parsePublicKeyPem(pem: String): Option[PublicKey] = Try {
+    val b64 = pem.linesIterator
+      .filterNot(l => l.startsWith("-----") || l.trim.isEmpty)
+      .mkString
+    val der = java.util.Base64.getMimeDecoder.decode(b64)
+    java.security.KeyFactory.getInstance("RSA")
+      .generatePublic(new java.security.spec.X509EncodedKeySpec(der))
+  }.toOption
+
+  /** Reference-binary resolution for a SERVER with no explicit
+    * [[Config]]: key material from `GIZMOSQL_LICENSE_KEY` (inline JWT,
+    * wins) / `GIZMOSQL_LICENSE_KEY_FILE` (`gizmosql_library.cpp:2012-2015`)
+    * verified against `GIZMOSQL_LICENSE_VERIFY_KEY` (PEM public key — the
+    * reference bakes its vendor key into the binary,
+    * `license_mgr/license_public_key.h`; a rebuildable library takes it
+    * from the environment instead). No verify key or no license ⇒ Core,
+    * exactly like the reference binary without a license.
+    */
+  def fromEnv(env: String => Option[String] = k => sys.env.get(k).filter(_.nonEmpty)): Mode =
+    env("GIZMOSQL_LICENSE_VERIFY_KEY").flatMap(parsePublicKeyPem) match {
+      case None => Core
+      case Some(key) => initialize(Config(key,
+        licenseKey = env("GIZMOSQL_LICENSE_KEY"),
+        licenseFile = env("GIZMOSQL_LICENSE_KEY_FILE")))
+    }
+
   /** Resolve the mode from config. Inline key wins over the file; any
     * validation failure (bad signature, expiry, malformed) logs and
     * resolves to Core — a bad license must never take the server down.

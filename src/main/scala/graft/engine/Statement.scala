@@ -346,10 +346,12 @@ object Statement {
     // Log-catalog tables are appended continuously by the sink's writer,
     // OUTSIDE the SQL path, so nothing else drops this session's cached
     // file listing for them. Refresh before resolving — bounded to
-    // statements that actually name a log catalog (textual check: the
-    // catalog name always appears, qualified or via USE).
+    // statements that name a log catalog, PLUS the case where `USE
+    // _graft_logs` made it the current database so a bare `SELECT * FROM
+    // logs` never mentions the catalog textually.
     CatalogLogSink.activeCatalogs.foreach { c =>
-      if (sql.toLowerCase.contains(c))
+      if (sql.toLowerCase.contains(c) ||
+          CatalogLogSink.isLogCatalog(TableNames.currentDb(session.spark)))
         try session.spark.sql(s"REFRESH TABLE `$c`.logs")
         catch { case scala.util.control.NonFatal(_) => }
     }
@@ -792,6 +794,10 @@ object Statement {
         // read-only blocked, plan cache flushed.
         if (session.isReadOnly)
           throw new SecurityException("read-only role cannot alter tables")
+        // full guard, not just the read-only bit: the log/system-catalog
+        // write gates must see ALTER targets too (r16 ADVICE — ALTER was
+        // dispatched here without ever facing StatementGuard)
+        guardOrThrow(session)(sql)
         CatalogAccess.enforce(session, session.spark, sql, sessions.attachments.names)
         val res = AlterTable.execute(session.spark, sql)
         PlanCache.invalidate(session.spark)

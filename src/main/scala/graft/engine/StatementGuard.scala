@@ -1,8 +1,8 @@
 package graft.engine
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-import org.apache.spark.sql.catalyst.plans.logical.{Command, LogicalPlan}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedIdentifier, UnresolvedRelation, UnresolvedTable, UnresolvedTableOrView, UnresolvedView}
+import org.apache.spark.sql.catalyst.plans.logical.{AlterTableCommand, Command, LogicalPlan}
 
 /** Statement gating by parse-tree walk, re-implementing the reference's
   * `admin_command_guard.cpp` (`:182-246` walker, `:282-409` classifier) and
@@ -49,6 +49,21 @@ object StatementGuard {
   private def simpleName(p: LogicalPlan): String = {
     val n = p.getClass.getSimpleName
     if (n.endsWith("$")) n.dropRight(1) else n
+  }
+
+  /** Multipart identifier of any unresolved relation-ish node. DROP TABLE /
+    * TRUNCATE TABLE / ALTER TABLE targets parse as UnresolvedTableOrView /
+    * UnresolvedTable / UnresolvedIdentifier — NOT UnresolvedRelation — so a
+    * gate matching only UnresolvedRelation lets `TRUNCATE TABLE
+    * _graft_logs.logs` through (reference rejects it,
+    * test_catalog_logging.cpp:181-199).
+    */
+  private[engine] val relationTarget: PartialFunction[LogicalPlan, Seq[String]] = {
+    case r: UnresolvedRelation   => r.multipartIdentifier
+    case t: UnresolvedTable      => t.multipartIdentifier
+    case t: UnresolvedTableOrView => t.multipartIdentifier
+    case v: UnresolvedView       => v.multipartIdentifier
+    case i: UnresolvedIdentifier => i.nameParts
   }
 
   private def isLocalPathScan(r: UnresolvedRelation): Boolean = {
@@ -107,8 +122,8 @@ object StatementGuard {
         p match {
           case r: UnresolvedRelation if isLocalPathScan(r) =>
             return Blocked(s"local filesystem scan '${r.multipartIdentifier.mkString(".")}' requires the admin role")
-          case r: UnresolvedRelation if CatalogLogSink.isLogCatalog(
-              TableNames.databaseOf(r.multipartIdentifier.mkString("."), curDb)) =>
+          case rel if relationTarget.isDefinedAt(rel) && CatalogLogSink.isLogCatalog(
+              TableNames.databaseOf(relationTarget(rel).mkString("."), curDb)) =>
             return Blocked("the log catalog is admin-read-only")
           case _ =>
         }
@@ -123,9 +138,13 @@ object StatementGuard {
       "gizmosql_view_definition", "gizmosql_settings")
     val writeTargets: Seq[Seq[String]] = nodes.flatMap {
       case i: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement =>
-        i.table.collect { case r: UnresolvedRelation => r.multipartIdentifier }
+        i.table.collect(relationTarget)
+      case a: AlterTableCommand =>
+        a.table.collect(relationTarget)
       case p if writeCommandNames.exists(simpleName(p).startsWith) =>
-        p.children.headOption.toSeq.flatMap(_.collect { case r: UnresolvedRelation => r.multipartIdentifier })
+        // head child only: for CTAS that's the target name, while the tail
+        // child is the source query whose relations are READS, not targets
+        p.children.headOption.toSeq.flatMap(_.collect(relationTarget))
       case _ => Nil
     }
     if (writeTargets.exists(_.exists(part => systemNames.contains(part.toLowerCase))))

@@ -85,11 +85,15 @@ final class GraftHttpServer(
     // same-secret tokens minted by OTHER instances — a load-balanced fleet
     // sharing one secret. Default strict: instance-bound tokens only.
     allowCrossInstanceTokens: Boolean = false,
-    // Optional licensing (`enterprise_features.h`): when supplied, the
-    // server resolves Core/Enterprise from the (inline-wins) license JWT
-    // and gates enterprise features; absent = Unrestricted (library default,
-    // declared divergence from the always-checking reference binary).
+    // Licensing (`enterprise_features.h`): when supplied, the server
+    // resolves Core/Enterprise from the (inline-wins) license JWT and gates
+    // enterprise features. When ABSENT the server behaves like the
+    // reference binary — resolve from the GIZMOSQL_LICENSE_* environment,
+    // Core unless a valid license verifies (r16 verdict #5). Embedders that
+    // want the library's Unrestricted default must opt out explicitly via
+    // `unrestrictedLicense = true`.
     license: Option[graft.engine.License.Config] = None,
+    unrestrictedLicense: Boolean = false,
     // Server-wide read-only mode (the reference's read_only=true server
     // option): every session is read-only regardless of role.
     readOnly: Boolean = false) extends AutoCloseable {
@@ -98,7 +102,11 @@ final class GraftHttpServer(
 
   val global = new GlobalSettings
   val sessions = new SessionManager(spark, global)
-  license.foreach(cfg => sessions.license = graft.engine.License.initialize(cfg))
+  sessions.license = license match {
+    case Some(cfg) => graft.engine.License.initialize(cfg)
+    case None if unrestrictedLicense => graft.engine.License.Unrestricted
+    case None => graft.engine.License.fromEnv()
+  }
   sessions.readOnlyMode = readOnly
   // Admission sizing comes from the settings registry (env-var defaults per
   // SettingDef), not constants: `gizmosql.max_concurrent_statements` (0 =
@@ -140,11 +148,17 @@ final class GraftHttpServer(
   // before any request can log, registered as a secondary GraftLog sink.
   val catalogLog: Option[graft.engine.CatalogLogSink] = catalogLogDir.map { d =>
     val sink = new graft.engine.CatalogLogSink(spark, sessions.attachments, d)
-    graft.engine.GraftLog.registerSink(sink.enqueue)
-    graft.engine.GraftLog.info("server",
-      s"catalog logging enabled to ${sink.catalog}.logs")
     sink
   }
+  // keep the registered fork fn as a handle so close() detaches only OUR
+  // sink — another server in the same JVM keeps its catalog logging
+  private val catalogLogHandle: Option[graft.engine.GraftLog.LogSink] =
+    catalogLog.map { sink =>
+      val h = graft.engine.GraftLog.registerSink(sink.enqueue)
+      graft.engine.GraftLog.info("server",
+        s"catalog logging enabled to ${sink.catalog}.logs")
+      h
+    }
   // OTLP/HTTP export (reference `gizmosql_telemetry.cpp`; disabled unless
   // GIZMOSQL_OTEL_ENABLED) — periodic flush like the SDK's 60 s metric
   // reader, interval overridable for tests.
@@ -246,9 +260,10 @@ final class GraftHttpServer(
     if (executor != null) executor.shutdown()
     otlpTimer.foreach(_.cancel())
     otlp.foreach(_.flush()) // final export, like the SDK's shutdown flush
-    // clear the fork FIRST so nothing dispatches into a draining sink
-    // (reference: ClearLogSinks() before CatalogLogSink::Shutdown())
-    if (catalogLog.nonEmpty) graft.engine.GraftLog.clearSinks()
+    // detach OUR fork FIRST so nothing dispatches into a draining sink
+    // (reference: ClearLogSinks() before CatalogLogSink::Shutdown());
+    // remove only this server's handle — other servers keep their sinks
+    catalogLogHandle.foreach(graft.engine.GraftLog.removeSink)
     catalogLog.foreach(_.close())
     health.close()
   }

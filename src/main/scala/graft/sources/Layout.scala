@@ -138,31 +138,44 @@ object Layout {
     * others, is rejected and the per-user tmpdir fallback is used.
     */
   private def cacheRoot(): File = {
-    val home = sys.props.get("user.home").filter(_.nonEmpty)
-    val base = home.map(h => new File(h, ".cache/graft")).getOrElse(
-      new File(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-        s"graft-${sys.props.getOrElse("user.name", "unknown")}"))
+    val tmpFallback = new File(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      s"graft-${sys.props.getOrElse("user.name", "unknown")}")
+    val primary = sys.props.get("user.home").filter(_.nonEmpty)
+      .map(h => new File(h, ".cache/graft")).getOrElse(tmpFallback)
+    ensureOwnedDir(primary)
+      .orElse(if (primary.getPath != tmpFallback.getPath) ensureOwnedDir(tmpFallback) else None)
+      .getOrElse(throw new IllegalStateException(
+        s"layout cache dirs $primary and $tmpFallback are both foreign-owned — refusing to trust them"))
+  }
+
+  /** Create-or-validate a candidate cache dir: created 0700 if missing;
+    * an existing dir owned by another user yields None (caller falls back
+    * to the per-user tmpdir, per the cacheRoot contract); group/other
+    * write bits on an owned dir are tightened in place.
+    */
+  private def ensureOwnedDir(base: File): Option[File] = {
     val p = base.toPath
     if (!java.nio.file.Files.isDirectory(p)) {
       java.nio.file.Files.createDirectories(p)
       try java.nio.file.Files.setPosixFilePermissions(p,
         java.nio.file.attribute.PosixFilePermissions.fromString("rwx------"))
       catch { case _: UnsupportedOperationException => }
+      Some(base)
     } else {
       val owner = java.nio.file.Files.getOwner(p).getName
       val me = sys.props.getOrElse("user.name", owner)
-      if (owner != me)
-        throw new IllegalStateException(
-          s"layout cache dir $base is owned by '$owner', not '$me' — refusing to trust it")
-      try {
-        val perms = java.nio.file.Files.getPosixFilePermissions(p)
-        import java.nio.file.attribute.PosixFilePermission._
-        if (perms.contains(OTHERS_WRITE) || perms.contains(GROUP_WRITE))
-          java.nio.file.Files.setPosixFilePermissions(p,
-            java.nio.file.attribute.PosixFilePermissions.fromString("rwx------"))
-      } catch { case _: UnsupportedOperationException => }
+      if (owner != me) None
+      else {
+        try {
+          val perms = java.nio.file.Files.getPosixFilePermissions(p)
+          import java.nio.file.attribute.PosixFilePermission._
+          if (perms.contains(OTHERS_WRITE) || perms.contains(GROUP_WRITE))
+            java.nio.file.Files.setPosixFilePermissions(p,
+              java.nio.file.attribute.PosixFilePermissions.fromString("rwx------"))
+        } catch { case _: UnsupportedOperationException => }
+        Some(base)
+      }
     }
-    base
   }
 
   /** (recordCount, rowGroupCount) from the parquet footer — no data read. */

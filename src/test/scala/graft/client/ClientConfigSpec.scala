@@ -33,6 +33,19 @@ class ClientConfigSpec extends AnyFunSuite {
     assert(defaults.host == "other" && defaults.port == 1234)
   }
 
+  test("GIZMOSQL_TLS enables TLS like the reference client " +
+      "(client_config.cpp:120-125); explicit useTls wins") {
+    assert(ClientConfig.resolveEnv(ClientConfig(), env("GIZMOSQL_TLS" -> "1")).useTls)
+    assert(ClientConfig.resolveEnv(ClientConfig(), env("GIZMOSQL_TLS" -> "true")).useTls)
+    assert(!ClientConfig.resolveEnv(ClientConfig(), env("GIZMOSQL_TLS" -> "0")).useTls)
+    assert(!ClientConfig.resolveEnv(ClientConfig(), env()).useTls)
+    // skip-verify alone must not silently downgrade to plaintext reasoning:
+    // TLS comes from GIZMOSQL_TLS, not from the skip-verify flag
+    val skipOnly = ClientConfig.resolveEnv(ClientConfig(),
+      env("GIZMOSQL_TLS_SKIP_VERIFY" -> "1"))
+    assert(skipOnly.tlsSkipVerify && !skipOnly.useTls)
+  }
+
   test("gizmosql:// URI: host:port + JDBC-style query params; bad port errors") {
     val Right(c) = ClientConfig.parseUri(
       "gizmosql://db.example:31338?username=alice&useEncryption=true&disableCertificateVerification=1"): @unchecked

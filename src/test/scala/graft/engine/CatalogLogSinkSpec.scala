@@ -178,6 +178,34 @@ class CatalogLogSinkSpec extends AnyFunSuite {
       val e4 = intercept[SecurityException](
         run(admin, "INSERT INTO logsink_gate.logs SELECT * FROM logsink_gate.logs"))
       assert(e4.getMessage.contains("append-only"))
+      // DROP/TRUNCATE/ALTER targets parse as UnresolvedTableOrView /
+      // UnresolvedTable, not UnresolvedRelation — r16 ADVICE: these
+      // bypassed the gate and could destroy the audit log
+      // (test_catalog_logging.cpp:181-199)
+      for (sql <- Seq(
+          "DROP TABLE logsink_gate.logs",
+          "TRUNCATE TABLE logsink_gate.logs",
+          "ALTER TABLE logsink_gate.logs ADD COLUMN extra STRING")) {
+        val ea = intercept[SecurityException](run(admin, sql))
+        assert(ea.getMessage.contains("append-only"), sql)
+        val eu = intercept[SecurityException](run(user, sql))
+        assert(eu.getMessage.contains("admin-read-only") ||
+          eu.getMessage.contains("append-only"), sql)
+      }
+      // r16 ADVICE: after USE, a bare `SELECT ... FROM logs` must still see
+      // freshly-appended rows (refresh keyed on the current db, not on the
+      // catalog name appearing in the SQL text)
+      run(admin, "USE logsink_gate")
+      try {
+        sink.enqueue(rec("gated-2"))
+        val deadline = System.currentTimeMillis() + 30000
+        var n = -1L
+        while (n != 2 && System.currentTimeMillis() < deadline) {
+          n = run(admin, "SELECT COUNT(*) AS n FROM logs").collect()(0).getLong(0)
+          if (n != 2) Thread.sleep(200)
+        }
+        assert(n == 2, "bare-name read after USE served a stale file listing")
+      } finally run(admin, "USE default")
       // DETACH refused while the sink is live (test_catalog_logging.cpp:195-199)
       val e5 = intercept[SecurityException](run(admin, "DETACH logsink_gate"))
       assert(e5.getMessage.contains("Cannot DETACH"))
@@ -187,6 +215,23 @@ class CatalogLogSinkSpec extends AnyFunSuite {
       assert(run(admin, "DETACH logsink_gate").collect()(0).getString(0)
         .contains("detached"))
     }
+  }
+
+  test("removeSink detaches only the given sink — a second server in the " +
+      "same JVM keeps its catalog logging when the first closes") {
+    val a = new java.util.concurrent.atomic.AtomicInteger(0)
+    val b = new java.util.concurrent.atomic.AtomicInteger(0)
+    val before = GraftLog.sinkCount
+    val ha = GraftLog.registerSink(_ => { a.incrementAndGet(); () })
+    val hb = GraftLog.registerSink(_ => { b.incrementAndGet(); () })
+    try {
+      GraftLog.info("test", "one")
+      GraftLog.removeSink(ha)
+      GraftLog.info("test", "two")
+      assert(a.get == 1, "removed sink must stop receiving")
+      assert(b.get == 2, "the other server's sink must keep receiving")
+      assert(GraftLog.sinkCount == before + 1)
+    } finally GraftLog.removeSink(hb)
   }
 
   test("recursion guard: a sink logging from inside delivery is not " +

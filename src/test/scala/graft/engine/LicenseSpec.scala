@@ -100,4 +100,61 @@ class LicenseSpec extends AnyFunSuite {
     val e = intercept[SecurityException](run("SET gizmosql.session_tag = 'x'"))
     assert(e.getMessage.toLowerCase.contains("license"))
   }
+
+  test("fromEnv: no verify key -> Core; PEM verify key + valid inline " +
+      "license -> Licensed; verify key without license -> Core") {
+    def env(pairs: (String, String)*): String => Option[String] = {
+      val m = pairs.toMap; k => m.get(k)
+    }
+    assert(License.fromEnv(env()) == License.Core)
+    val pem = "-----BEGIN PUBLIC KEY-----\n" +
+      java.util.Base64.getMimeEncoder(64, "\n".getBytes)
+        .encodeToString(keys.getPublic.getEncoded) +
+      "\n-----END PUBLIC KEY-----\n"
+    assert(License.fromEnv(env("GIZMOSQL_LICENSE_VERIFY_KEY" -> pem)) == License.Core)
+    val m = License.fromEnv(env(
+      "GIZMOSQL_LICENSE_VERIFY_KEY" -> pem,
+      "GIZMOSQL_LICENSE_KEY" -> mint("kill_session")))
+    assert(m.isAvailable("kill_session") && !m.isAvailable("session_tag"))
+    // garbage verify key never throws — Core
+    assert(License.fromEnv(env("GIZMOSQL_LICENSE_VERIFY_KEY" -> "not-pem")) == License.Core)
+  }
+
+  test("server default is Core-unless-licensed like the reference binary " +
+      "(r16 verdict #5): over the wire, KILL SESSION yields the license " +
+      "error while SQL works; unrestrictedLicense opts out") {
+    val server = new graft.server.GraftHttpServer(spark, "lic-srv-secret",
+      Auth.hashPassword("lic-srv-secret", "pw"))
+    assert(server.sessions.license == License.Core,
+      "a server constructed without license config must run as Core " +
+        "(container has no GIZMOSQL_LICENSE_* env)")
+    val port = server.start()
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      def post(path: String, body: String, headers: (String, String)*) = {
+        val b = java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://127.0.0.1:$port$path"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+        headers.foreach { case (k, v) => b.header(k, v) }
+        client.send(b.build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+      }
+      val basic = "Basic " + java.util.Base64.getEncoder.encodeToString(
+        "gizmosql_username:pw".getBytes("UTF-8"))
+      val auth = post("/auth", "", "Authorization" -> basic)
+      assert(auth.statusCode() == 200)
+      val token = auth.body().split("\"token\":\"")(1).split("\"")(0)
+      val ok = post("/sql", "SELECT 1 AS one", "Authorization" -> s"Bearer $token",
+        "Accept" -> "application/json")
+      assert(ok.statusCode() == 200, "basic SQL must keep working under Core")
+      val kill = post("/sql", "KILL SESSION '00000000-0000-0000-0000-000000000000'",
+        "Authorization" -> s"Bearer $token", "Accept" -> "application/json")
+      assert(kill.statusCode() != 200, "kill_session must be license-gated")
+      assert(kill.body().toLowerCase.contains("license"), kill.body())
+    } finally server.close()
+    // embedder opt-out restores the library default
+    val open = new graft.server.GraftHttpServer(spark, "lic-srv-secret2",
+      Auth.hashPassword("lic-srv-secret2", "pw"), unrestrictedLicense = true)
+    try assert(open.sessions.license == License.Unrestricted)
+    finally open.close()
+  }
 }

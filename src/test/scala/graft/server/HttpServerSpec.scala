@@ -36,7 +36,10 @@ class HttpServerSpec extends AnyFunSuite {
       onSessionCreate = Tables.ensure(_, SparkTestHarness.sfDir),
       oidc = Some(graft.engine.TokenAuth.Config(
         issuer = "https://idp.example.com", audience = "graft",
-        publicKey = idpKeys.getPublic)))
+        publicKey = idpKeys.getPublic)),
+      // this spec exercises KILL SESSION / query_tag without a license —
+      // explicit opt-out of the server's Core-unless-licensed default
+      unrestrictedLicense = true)
     (s, s.start())
   }
   private lazy val client = HttpClient.newHttpClient()
