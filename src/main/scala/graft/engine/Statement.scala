@@ -352,8 +352,10 @@ object Statement {
     CatalogLogSink.activeCatalogs.foreach { c =>
       if (sql.toLowerCase.contains(c) ||
           CatalogLogSink.isLogCatalog(TableNames.currentDb(session.spark)))
-        try session.spark.sql(s"REFRESH TABLE `$c`.logs")
-        catch { case scala.util.control.NonFatal(_) => }
+        CatalogLogSink.tablesOf(c).foreach { t =>
+          try session.spark.sql(s"REFRESH TABLE `$c`.`$t`")
+          catch { case scala.util.control.NonFatal(_) => }
+        }
     }
     // Statement-attempt query log (reference duckdb_statement.cpp:886-894):
     // natural INFO, suppressed below the session/global query_log_level.

@@ -81,6 +81,12 @@ final class GraftHttpServer(
     // to attach as the `_graft_logs` writable catalog; every structured log
     // record (access log entries included) forks into `_graft_logs.logs`.
     catalogLogDir: Option[String] = None,
+    // Instrumentation store in a writable attached catalog (the reference's
+    // DuckLake-backed instrumentation, `test_instrumentation_ducklake.cpp:
+    // 20-27`, `src/enterprise/instrumentation/`): instance/session/
+    // statement/execution records append through the catalog-sink protocol;
+    // the catalog is admin-read-only like the log catalog.
+    instrumentationDir: Option[String] = None,
     // Relaxed cluster mode (`test_cross_instance_tokens.cpp`): accept
     // same-secret tokens minted by OTHER instances — a load-balanced fleet
     // sharing one secret. Default strict: instance-bound tokens only.
@@ -159,6 +165,11 @@ final class GraftHttpServer(
         s"catalog logging enabled to ${sink.catalog}.logs")
       h
     }
+  // Instrumentation sink (reference `instrumentation_manager.cpp`): the
+  // instance row lands once the port is known (start()).
+  val instrumentation: Option[graft.engine.InstrumentationSink] =
+    instrumentationDir.map(d =>
+      new graft.engine.InstrumentationSink(spark, sessions.attachments, d))
   // OTLP/HTTP export (reference `gizmosql_telemetry.cpp`; disabled unless
   // GIZMOSQL_OTEL_ENABLED) — periodic flush like the SDK's 60 s metric
   // reader, interval overridable for tests.
@@ -243,7 +254,13 @@ final class GraftHttpServer(
     executor = java.util.concurrent.Executors.newFixedThreadPool(8)
     server.setExecutor(executor)
     server.start()
-    server.getAddress.getPort
+    val boundPort = server.getAddress.getPort
+    instrumentation.foreach(_.instanceStart(instanceId, clusterId,
+      edition = sessions.license.editionName, hostname = "127.0.0.1",
+      port = boundPort, tlsEnabled = tls.isDefined,
+      mtlsRequired = tls.exists(_.needClientAuth), readonly = readOnly,
+      instanceTag = global.get("gizmosql.instance_tag").getOrElse("")))
+    boundPort
   }
 
   /** Graceful drain (`duckdb_server.cpp:806-818`): stop admitting, let
@@ -265,6 +282,10 @@ final class GraftHttpServer(
     // remove only this server's handle — other servers keep their sinks
     catalogLogHandle.foreach(graft.engine.GraftLog.removeSink)
     catalogLog.foreach(_.close())
+    instrumentation.foreach { i =>
+      i.instanceStop(instanceId, "graceful")
+      i.close() // close() drains — the stop row lands before shutdown
+    }
     health.close()
   }
 
@@ -277,6 +298,7 @@ final class GraftHttpServer(
   private val BytesKey = "graft.bytes"
   private val UserKey = "graft.user"
   private val DetailKey = "graft.detail"
+  private val RowsKey = "graft.rows"
 
   /** Decoded query parameters (last value wins on duplicates). */
   private def queryParams(ex: HttpExchange): Map[String, String] =
@@ -380,6 +402,7 @@ final class GraftHttpServer(
         out.write(b, off, len); count += len
       }
     }
+    var rows = 0L
     if (wantJson) {
       val w = new java.io.OutputStreamWriter(new java.io.BufferedOutputStream(os, 64 * 1024),
         StandardCharsets.UTF_8)
@@ -388,13 +411,14 @@ final class GraftHttpServer(
       var first = true
       while (it.hasNext) {
         if (!first) w.write(",")
-        w.write(it.next()); first = false
+        w.write(it.next()); first = false; rows += 1
       }
       w.write("]")
       w.flush()
-    } else ArrowIO.writeArrowStream(df, os)
+    } else rows = ArrowIO.writeArrowStream(df, os)
     os.flush()
     ex.setAttribute(BytesKey, count)
+    ex.setAttribute(RowsKey, rows)
     Streamed
   }
 
@@ -499,14 +523,35 @@ final class GraftHttpServer(
       val wantJson =
         Option(ex.getRequestHeaders.getFirst("Accept")).exists(_.contains("application/json"))
       ex.setAttribute(DetailKey, observability.redact(sql))
+      // instrumentation rows mirror the reference's StatementRecord +
+      // ExecutionRecord pair (instrumentation_records.h:102-158): the
+      // redacted SQL at create, the outcome + row count at completion
+      val stmtId = java.util.UUID.randomUUID().toString
+      val startMs = System.currentTimeMillis()
+      def record(status: String, error: String): Unit =
+        instrumentation.foreach { i =>
+          i.statement(stmtId, session.id, observability.redact(sql), "DoGetStatement",
+            isInternal = false, prepareError = if (status == "parse_error") error else "",
+            queryTag = session.settings.get("gizmosql.query_tag").getOrElse(""))
+          i.execution(java.util.UUID.randomUUID().toString, stmtId, status, error,
+            rowsFetched = Option(ex.getAttribute(RowsKey)).fold(-1L)(_.asInstanceOf[Long]),
+            startMs = startMs, endMs = System.currentTimeMillis(), queryProfile = "")
+        }
       statementErrors {
-        val df = Statement.create(sessions, session, global, sql)
-        val bypass = session.isAdmin &&
-          session.settings.get("gizmosql.bypass_queue").contains("true")
-        admission.withSlot(bypass, () => session.killRequested) {
-          Statement.executeWithTimeout(session, sessionTimeout(session)) {
-            streamResult(ex, wantJson, df)
+        try {
+          val df = Statement.create(sessions, session, global, sql)
+          val bypass = session.isAdmin &&
+            session.settings.get("gizmosql.bypass_queue").contains("true")
+          val resp = admission.withSlot(bypass, () => session.killRequested) {
+            Statement.executeWithTimeout(session, sessionTimeout(session)) {
+              streamResult(ex, wantJson, df)
+            }
           }
+          record("success", null)
+          resp
+        } catch {
+          case e: TimeoutException => record("timeout", e.getMessage); throw e
+          case scala.util.control.NonFatal(e) => record("error", e.getMessage); throw e
         }
       }
     }
@@ -547,6 +592,11 @@ final class GraftHttpServer(
                 // Observability instance aggregates across all sessions
                 sparkToSession.put(session.spark, session)
                 observability.install(session.spark)
+                instrumentation.foreach(_.sessionStart(id.sessionId, instanceId,
+                  id.username, id.role, authMethod = "bearer",
+                  peer = Option(ex.getRemoteAddress).map(_.toString).getOrElse(""),
+                  connectionProtocol = "http",
+                  sessionTag = session.settings.get("gizmosql.session_tag").getOrElse("")))
               }
               f(id, session)
             } finally shutdown.finishWork()
@@ -677,6 +727,8 @@ final class GraftHttpServer(
       case Right(id) =>
         sessions.close(id.sessionId)
         bootstrapped.remove(id.sessionId)
+        instrumentation.foreach(_.sessionStop(id.sessionId, instanceId,
+          id.username, id.role, "closed"))
         (200, "application/json", """{"closed":true}""".getBytes(StandardCharsets.UTF_8))
     }
 }

@@ -28,7 +28,7 @@ object ArrowIO {
   /** Export a DataFrame as one Arrow IPC stream (schema + record batches). */
   def toArrowStream(df: DataFrame, batchSize: Int = 4096): Array[Byte] = {
     val out = new ByteArrayOutputStream()
-    writeArrowStream(df, out, batchSize)
+    writeArrowStream(df, out, batchSize): Unit
     out.toByteArray
   }
 
@@ -62,12 +62,14 @@ object ArrowIO {
     plan.output.filter(at => geomIds.contains(at.exprId)).map(_.name).toSet
   } catch { case scala.util.control.NonFatal(_) => Set.empty }
 
-  def writeArrowStream(df: DataFrame, out: java.io.OutputStream, batchSize: Int = 4096): Unit = {
+  /** Returns the number of rows streamed (instrumentation's rows_fetched). */
+  def writeArrowStream(df: DataFrame, out: java.io.OutputStream, batchSize: Int = 4096): Long = {
     val schema = df.schema
     val arrowSchema = TypeMapping.toArrowSchema(schema, geometryOutputs(df))
     val allocator = new RootAllocator()
     val root = VectorSchemaRoot.create(arrowSchema, allocator)
     val writer = new ArrowStreamWriter(root, null, out)
+    var total = 0L
     try {
       writer.start()
       val it = df.toLocalIterator()
@@ -77,6 +79,7 @@ object ArrowIO {
         buffer.zipWithIndex.foreach { case (row, i) => writeRow(root, schema, row, i) }
         root.setRowCount(buffer.size)
         writer.writeBatch()
+        total += buffer.size
         buffer.clear()
       }
       while (it.hasNext) {
@@ -85,6 +88,7 @@ object ArrowIO {
       }
       flush()
       writer.end()
+      total
     } finally {
       writer.close(); root.close(); allocator.close()
     }
