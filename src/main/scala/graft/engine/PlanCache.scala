@@ -206,6 +206,13 @@ object PlanCache {
       val allFileLeaves = leaves.nonEmpty && leaves.forall {
         case _: org.apache.spark.sql.execution.FileSourceScanExec => true
         case _: org.apache.spark.sql.execution.LocalTableScanExec => true
+        // A reused BROADCAST build is a leaf node, but it reads the target
+        // exchange's already-counted subtree — no new input beyond the file
+        // leaves (r17: the shared nation-filter broadcast in the h07 self-
+        // join shape). Reused SHUFFLE exchanges stay blockers: their map
+        // outputs are per-instance state the static clone path must not pin.
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          r.child.isInstanceOf[BroadcastExchangeExec]
         case _ => false
       }
       val totalInputBytes = leaves.collect {
@@ -237,11 +244,22 @@ object PlanCache {
       // 0.41 s static when the planner broadcast a 600k-row pre-shuffled
       // side), and a pre-shuffled build that does NOT shrink through an
       // aggregate hash-builds an input-sized relation on the driver — both
-      // stay blockers always. An AGGREGATE-topped build under the small-
-      // input bound is allowed: group-by output is bounded by its key
-      // count and its input is provably tiny (this is the TPC-H q17
-      // scalar-correlation shape — measured 127 ms faster static). Beyond
-      // the bound the original strict rule applies unchanged.
+      // stay blockers always. Under the small-input bound two derived-build
+      // shapes are additionally allowed (r16/r17, both measured):
+      //   - an AGGREGATE-topped build: group-by output is bounded by its
+      //     key count and its input is provably tiny (the TPC-H q17
+      //     scalar-correlation shape — 127 ms faster static, r16);
+      //   - a build whose subtree is a pure BROADCAST-JOIN chain (no
+      //     shuffle exchange anywhere under the build): AQE only ever
+      //     re-decides SHUFFLED joins at stage boundaries, so the adaptive
+      //     path executes the exact same BHJ chain with the same driver
+      //     builds — the stage rounds buy nothing, and the build volume is
+      //     bounded by the same ≤256 MB leaf bound that gates this branch
+      //     (r17: unblocks the dimension-pre-reduction star shapes —
+      //     join_self_nation/tpch_h05, whose builds are supplier⋈nation /
+      //     nation⋈region chains; measured −17/−29 ms per call and the
+      //     same plan inventory, R17StaticAb).
+      // Beyond the bound the original strict rule applies unchanged.
       val derivedBuild = all.exists(_.exists {
         case b: BroadcastExchangeExec =>
           val joinOrGen = b.child.exists {
@@ -253,13 +271,19 @@ object PlanCache {
             case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
             case _ => false
           }
-          val exchange = b.child.exists {
-            case _: org.apache.spark.sql.execution.exchange.Exchange => true
-            case _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => true
+          val shuffleExchange = b.child.exists {
+            case _: ShuffleExchangeExec => true
+            case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+              r.child.isInstanceOf[ShuffleExchangeExec]
             case _ => false
           }
-          if (smallInput) joinOrGen || (exchange && !agg)
-          else joinOrGen || agg || exchange
+          if (smallInput) shuffleExchange && !agg
+          else joinOrGen || agg || shuffleExchange ||
+            b.child.exists {
+              case _: org.apache.spark.sql.execution.exchange.Exchange => true
+              case _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => true
+              case _ => false
+            }
         case _ => false
       })
       val ok = !derivedBuild && (smallInput || (!shuffledJoin && all.forall(

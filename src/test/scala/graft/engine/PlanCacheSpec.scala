@@ -106,6 +106,42 @@ class PlanCacheSpec extends AnyFunSuite {
     }
   }
 
+  test("broadcast-join-chain builds pin static under the size bound; pre-shuffled builds stay adaptive") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val s = GraftSession.local().newSession()
+    graft.Tables.ensure(s, graft.SparkTestHarness.sfDir)
+    // r17 relaxation: a broadcast build whose subtree is itself a pure
+    // broadcast-join chain (dimension pre-reduction, the h05/h07 star
+    // shapes) has nothing AQE can re-decide — the adaptive path executes
+    // the identical BHJ chain. Under the size bound it must pin static.
+    val chain = PlanCache.sql(s,
+      "SELECT COUNT(*) AS c FROM lineitem JOIN " +
+      "(SELECT s_suppkey, n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey) sn " +
+      "ON l_suppkey = sn.s_suppkey")
+    assert(!chain.queryExecution.executedPlan.isInstanceOf[AdaptiveSparkPlanExec],
+      "broadcast-join-chain build should pin static under the size bound")
+    assert(chain.count() == 1)
+    // The h07 self-join op carries a REUSED broadcast (the shared
+    // nation-filter subtree) as a leaf — reused-broadcast leaves add no
+    // input bytes and must not defeat the size bound.
+    val selfNation = graft.SparkEntry.allOps.find(_.name == "join_self_nation").get
+    val sn = PlanCache.get(s, "spec:join_self_nation")(
+      selfNation.run(s, graft.SparkTestHarness.sfDir))
+    assert(!sn.queryExecution.executedPlan.isInstanceOf[AdaptiveSparkPlanExec],
+      "reused-broadcast dimension chain (h07 shape) should pin static under the size bound")
+    sn.collect() // executes the pinned plan (0 rows at the spec SF — fine)
+    // A broadcast build fed by a SHUFFLE that does not shrink through an
+    // aggregate stays adaptive (the join_theta blocker, unchanged): its
+    // build volume is per-instance map output, not leaf-bounded.
+    val preShuffled = PlanCache.sql(s,
+      "SELECT /*+ BROADCAST(t) */ COUNT(*) AS c FROM lineitem JOIN " +
+      "(SELECT o_orderkey FROM orders DISTRIBUTE BY o_orderkey) t " +
+      "ON l_orderkey = t.o_orderkey")
+    assert(preShuffled.queryExecution.executedPlan.isInstanceOf[AdaptiveSparkPlanExec],
+      "pre-shuffled broadcast build must keep adaptive execution")
+    assert(preShuffled.count() == 1)
+  }
+
   test("row-multiplying plans never take the small-input static pin") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     val s = GraftSession.local().newSession()
