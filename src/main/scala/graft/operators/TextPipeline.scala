@@ -156,11 +156,22 @@ object TextPipeline {
     */
   private[operators] def jaccardPairsGatedPlan(d: DataFrame, threshold: Double,
       hotDfCap: Int, salts: Int): (DataFrame, DataFrame) = {
+    // max(df) rides the checkpoint job as an Observation instead of a
+    // separate `isEmpty` probe job (r17): on benign corpora the old take(1)
+    // probe scanned every pinned block across escalating job waves —
+    // measured 150-275 ms of the per-call wall (R17JaccardPhases) for a
+    // fact the checkpoint's own pass already touches. CollectMetrics is
+    // safe HERE because the eager checkpoint consumes the whole observed
+    // subtree — unlike the r11-rejected join-side Observation, which never
+    // materialized when the hash join short-circuited on an empty side.
+    val obs = org.apache.spark.sql.Observation()
     val g2 = shingleHashes(d)
       .withColumn("df", count(lit(1)).over(Window.partitionBy("gram")))
       .filter(col("df") >= 2)
+      .observe(obs, max(col("df")).as("maxDf"))
       .localCheckpoint(true)
-    val anyHot = !g2.filter(col("df") > hotDfCap).isEmpty
+    val anyHot = Option(obs.get.getOrElse("maxDf", null))
+      .exists(_.asInstanceOf[Number].longValue > hotDfCap)
     val pairRows = if (!anyHot) {
       val cold = g2.drop("df")
       cold.select(col("gram"), col("doc_id").as("ld"), col("n").as("ln"))
