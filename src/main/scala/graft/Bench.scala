@@ -34,6 +34,23 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Load-gate the window (r17 verdict #2): four consecutive rounds shipped
+    // an official window contaminated by concurrent host load (r17: load_avg
+    // 6.7 at start, first three timed passes 75% slower than the last two).
+    // The artifact always RECORDED load; now the bench ACTS on it — wait,
+    // bounded, for the 1-minute load to drop below the gate before doing any
+    // work. The gate runs BEFORE the session exists: once warm-up starts,
+    // loadavg measures the bench's own 32 threads, not the neighbors. Bounded
+    // (default 180 s) so a genuinely busy host still produces an artifact;
+    // the recorded fields prove whether the gate was satisfied or timed out.
+    val loadGate = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "3.0").toDouble
+    val gateBudgetMs = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE_BUDGET_S", "180").toLong * 1000
+    val gateT0 = System.nanoTime()
+    var gateWaitedMs = 0L
+    while (loadAvg > loadGate && gateWaitedMs < gateBudgetMs) {
+      Thread.sleep(5000)
+      gateWaitedMs = (System.nanoTime() - gateT0) / 1000000
+    }
     val loadStart = loadAvg
     val spark: SparkSession = GraftSession.local()
     spark.sparkContext.setLogLevel("WARN")
@@ -134,6 +151,10 @@ object Bench {
       settleRounds += 1
     }
     drainC2()
+    // Load right before the first timed pass. By now it mostly measures the
+    // bench's own warm-up threads (expected: rises toward the core count of
+    // work the warm passes did), so it is recorded for diagnosis, not gated.
+    val loadTimed = loadAvg
 
     def timedPass(): Seq[(String, Double)] = headline.filter(queries.contains).map { name =>
       val t0 = System.nanoTime()
@@ -199,19 +220,35 @@ object Bench {
           (if (stale) ",\"comparator_stale\":true" else "")
       } else ""
     }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(medians)},""" +
-      s""""load_avg_start":$loadStart,"load_avg_end":$loadAvg,""" +
+    // Stdout line vs file artifact (r17 verdict #1): the driver captures a
+    // bounded TAIL of stdout, and since r13 the one-line JSON had grown past
+    // that window (queries_cold + the embedded comparator pushed it to
+    // ~6-8 KB), truncating off its HEAD — which is where the per-query
+    // medians live — so the driver's PERF comparison has been empty for four
+    // rounds. The stdout contract line is now the ESSENTIALS only (~1.5 KB:
+    // medians, totals, load/JIT/GC provenance); queries_cold and the
+    // comparator embed move to the file artifact, which has no size limit.
+    val slim = s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(medians)},""" +
+      s""""load_avg_start":$loadStart,"load_avg_timed":$loadTimed,"load_avg_end":$loadAvg,""" +
+      s""""load_gate_wait_ms":$gateWaitedMs,""" +
       s""""warm_passes":$warmPasses,"settle_rounds":$settleRounds,"settle_jit_ms":$settleJit,""" +
       s""""pass_totals":[${passTotals.mkString(",")}],""" +
       s""""pass_gc_ms":[${passMeters.map(_._1).mkString(",")}],""" +
       s""""pass_jit_ms":[${passMeters.map(_._2).mkString(",")}],""" +
-      s""""queries_cold":${toJson(passes.head)},"sf":"$sfDir"$comparator}"""
-    println(line)
-    // Also persist to a file: round 5's stdout capture truncated the line and
-    // the round lost its bench artifact. The file survives any pipe limit.
-    try java.nio.file.Files.write(java.nio.file.Paths.get("tools/bench_last.json"),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case _: Throwable => } // stdout remains the contract
+      s""""sf":"$sfDir"}"""
+    val full = slim.dropRight(1) +
+      s""","queries_cold":${toJson(passes.head)}$comparator}"""
+    println(slim)
+    // Persist the FULL record to files: round 5's stdout capture truncated
+    // the line and the round lost its bench artifact. bench_last.json is the
+    // canonical slot tools/bench_pair.sh keys on; the cpus-suffixed copy
+    // stops a lower-core rerun from clobbering the 32-core medians (r17: the
+    // c8 run overwrote the only copy of the 32-core per-query numbers).
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    for (path <- Seq("tools/bench_last.json", s"tools/bench_last_c$cpus.json"))
+      try java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case _: Throwable => } // stdout remains the contract
     spark.stop()
   }
 }
