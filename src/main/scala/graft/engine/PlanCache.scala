@@ -245,30 +245,50 @@ object PlanCache {
       // side), and a pre-shuffled build that does NOT shrink through an
       // aggregate hash-builds an input-sized relation on the driver — both
       // stay blockers always. Under the small-input bound two derived-build
-      // shapes are additionally allowed (r16/r17, both measured):
-      //   - an AGGREGATE-topped build: group-by output is bounded by its
-      //     key count and its input is provably tiny (the TPC-H q17
-      //     scalar-correlation shape — 127 ms faster static, r16);
+      // shapes are additionally allowed (r16/r17, tightened r18 ADVICE):
+      //   - a shuffle-fed build whose TOP (modulo project/filter) is an
+      //     AGGREGATE: group-by output is key-bounded after whatever the
+      //     shuffle fed it, and its input is provably tiny (the TPC-H q17
+      //     scalar-correlation shape — 127 ms faster static, r16). An
+      //     aggregate merely SOMEWHERE below — e.g. under a join that can
+      //     re-expand rows above it — no longer qualifies: there a shuffle
+      //     stage boundary exists from which AQE could legitimately
+      //     re-decide the join above the agg (r17 ADVICE).
       //   - a build whose subtree is a pure BROADCAST-JOIN chain (no
-      //     shuffle exchange anywhere under the build): AQE only ever
-      //     re-decides SHUFFLED joins at stage boundaries, so the adaptive
-      //     path executes the exact same BHJ chain with the same driver
-      //     builds — the stage rounds buy nothing, and the build volume is
-      //     bounded by the same ≤256 MB leaf bound that gates this branch
-      //     (r17: unblocks the dimension-pre-reduction star shapes —
-      //     join_self_nation/tpch_h05, whose builds are supplier⋈nation /
-      //     nation⋈region chains; measured −17/−29 ms per call and the
-      //     same plan inventory, R17StaticAb).
+      //     shuffle exchange, no generator anywhere under the build): AQE
+      //     only ever re-decides SHUFFLED joins at stage boundaries, so the
+      //     adaptive path executes the exact same BHJ chain with the same
+      //     driver builds — the stage rounds buy nothing (r17: unblocks the
+      //     dimension-pre-reduction star shapes — join_self_nation/tpch_h05,
+      //     whose builds are supplier⋈nation / nation⋈region chains;
+      //     measured −17/−29 ms per call and the same plan inventory,
+      //     R17StaticAb). This deliberately includes duplicate-key
+      //     (many-to-many) chains whose OUTPUT can exceed the leaf bound:
+      //     adaptive has no runtime escape for those either — no shuffle
+      //     under the build to re-plan from — so the pin changes nothing
+      //     about that hazard, it only skips the stage rounds.
+      //   - generator-topped (explode) builds stay blocked explicitly.
+      //     Today this arm is unreachable belt-and-braces — any GenerateExec
+      //     in the plan already fails the rowMultiplier gate above — but it
+      //     is pinned by PlanCacheSpec so a future rowMultiplier edit cannot
+      //     silently widen this rule (r17 verdict #7).
       // Beyond the bound the original strict rule applies unchanged.
+      def aggTops(p: SparkPlan): Boolean = p match {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec => aggTops(w.child)
+        case i: org.apache.spark.sql.execution.InputAdapter => aggTops(i.child)
+        case pr: org.apache.spark.sql.execution.ProjectExec => aggTops(pr.child)
+        case f: org.apache.spark.sql.execution.FilterExec => aggTops(f.child)
+        case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
+        case _ => false
+      }
       val derivedBuild = all.exists(_.exists {
         case b: BroadcastExchangeExec =>
-          val joinOrGen = b.child.exists {
+          val hasGen = b.child.exists {
             case _: org.apache.spark.sql.execution.GenerateExec => true
-            case _: org.apache.spark.sql.execution.joins.BaseJoinExec => true
             case _ => false
           }
-          val agg = b.child.exists {
-            case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
+          val hasJoin = b.child.exists {
+            case _: org.apache.spark.sql.execution.joins.BaseJoinExec => true
             case _ => false
           }
           val shuffleExchange = b.child.exists {
@@ -277,13 +297,22 @@ object PlanCache {
               r.child.isInstanceOf[ShuffleExchangeExec]
             case _ => false
           }
-          if (smallInput) shuffleExchange && !agg
-          else joinOrGen || agg || shuffleExchange ||
-            b.child.exists {
-              case _: org.apache.spark.sql.execution.exchange.Exchange => true
-              case _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => true
+          if (smallInput) {
+            if (shuffleExchange) !aggTops(b.child) else hasGen
+          } else {
+            val agg = b.child.exists {
+              case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
               case _ => false
             }
+            // (no separate shuffleExchange term: the generic Exchange /
+            // ReusedExchangeExec existence check subsumes it — r17 ADVICE)
+            hasJoin || hasGen || agg ||
+              b.child.exists {
+                case _: org.apache.spark.sql.execution.exchange.Exchange => true
+                case _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => true
+                case _ => false
+              }
+          }
         case _ => false
       })
       val ok = !derivedBuild && (smallInput || (!shuffledJoin && all.forall(

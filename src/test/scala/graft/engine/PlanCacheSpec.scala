@@ -142,6 +142,55 @@ class PlanCacheSpec extends AnyFunSuite {
     assert(preShuffled.count() == 1)
   }
 
+  test("small-input pin boundary: agg must TOP a shuffle-fed build; generator builds stay blocked") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val s = GraftSession.local().newSession()
+    graft.Tables.ensure(s, graft.SparkTestHarness.sfDir)
+    // r17 ADVICE: under the small-input bound the r17 rule admitted any
+    // shuffle-fed build with an aggregate ANYWHERE below — including one
+    // where a join ABOVE the agg can re-expand rows, exactly the case where
+    // a shuffle stage boundary exists for AQE to re-decide from. The build
+    // here is agg(orders) ⋈ customer — aggregate below, join on top — and
+    // must keep adaptive execution.
+    val aggBelowJoin = PlanCache.sql(s,
+      "SELECT /*+ BROADCAST(t) */ COUNT(*) AS c FROM lineitem JOIN " +
+      "(SELECT c_custkey AS k FROM customer JOIN " +
+      "(SELECT o_custkey FROM orders DISTRIBUTE BY o_custkey) g " +
+      "ON g.o_custkey = c_custkey) t ON l_orderkey = t.k")
+    assert(aggBelowJoin.queryExecution.executedPlan.isInstanceOf[AdaptiveSparkPlanExec],
+      "shuffle-fed build with a join above (not topped by an aggregate) must keep adaptive execution")
+    assert(aggBelowJoin.count() == 1)
+    // An aggregate that TOPS the build (modulo project) still pins — the
+    // r16 scalar-correlation shape the allowance exists for.
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val aggTopped = PlanCache.sql(s,
+        "SELECT COUNT(*) AS c FROM nation JOIN " +
+        "(SELECT o_custkey AS k, COUNT(*) AS oc FROM orders GROUP BY o_custkey) t " +
+        "ON n_nationkey = t.k % 25")
+      // (broadcast disabled, so this goes through the small-input shuffled
+      // path — the point is the plan still pins static, agg subtree and all)
+      assert(!aggTopped.queryExecution.executedPlan.isInstanceOf[AdaptiveSparkPlanExec],
+        "agg-topped shapes must still pin static under the size bound")
+      assert(aggTopped.count() == 1)
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+      PlanCache.invalidate(s)
+    }
+    // Generator-bearing (explode) broadcast build: blocked both by the
+    // plan-wide rowMultiplier gate and by the explicit generator arm of the
+    // derived-build rule (r17 verdict #7 — the belt-and-braces arm exists so
+    // a future rowMultiplier edit cannot silently widen the small-input
+    // allowance to exploded builds).
+    val genBuild = PlanCache.sql(s,
+      "SELECT /*+ BROADCAST(t) */ COUNT(*) AS c FROM part JOIN " +
+      "(SELECT explode(split(r_name, ' ')) AS w FROM region) t " +
+      "ON p_name LIKE concat('%', t.w, '%')")
+    assert(genBuild.queryExecution.executedPlan.isInstanceOf[AdaptiveSparkPlanExec],
+      "generator-bearing broadcast build must keep adaptive execution")
+    assert(genBuild.count() == 1)
+  }
+
   test("row-multiplying plans never take the small-input static pin") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     val s = GraftSession.local().newSession()
