@@ -72,6 +72,15 @@ object TextPipeline {
     * sort, not the gram-set re-shuffle + two pair-side joins the previous
     * separate size aggregate paid (r3 bench: 3 extra exchanges of which one
     * moved the whole inverted index).
+    *
+    * r18 measured-and-rejected (guide §1.1): replacing dropDuplicates +
+    * window with ONE collect_set aggregate + explode (`n` = array size, no
+    * sort anywhere) is a wash — R18JaccardAb interleaved medians 0.751 s
+    * (this shape) vs 0.759 s (agg+explode) over the full gated jaccard; the
+    * array build + re-explode costs what the sort saved. Likewise the
+    * gram-side df as groupBy(gram)+collect_list+explode: 0.84 s, an 11%
+    * LOSS, and its per-gram array state cannot spill where the window's
+    * partition buffer can. Both index-build windows stay.
     */
   private[graft] def shingleHashes(d: DataFrame): DataFrame =
     triRows(d)
@@ -164,14 +173,35 @@ object TextPipeline {
     // safe HERE because the eager checkpoint consumes the whole observed
     // subtree — unlike the r11-rejected join-side Observation, which never
     // materialized when the hash join short-circuited on an empty side.
+    //
+    // Document frequency stays a WINDOW count over the gram clustering —
+    // a groupBy(gram) aggregate carrying the doc list as collect_list was
+    // measured SLOWER here (R18JaccardAb, interleaved: df-agg variants
+    // 1.33/1.37 s vs window 1.29/1.20 s medians — the struct collect +
+    // re-explode costs more than the sort it saves) and its per-group array
+    // state cannot spill, where the window's partition buffer can.
     val obs = org.apache.spark.sql.Observation()
     val g2 = shingleHashes(d)
       .withColumn("df", count(lit(1)).over(Window.partitionBy("gram")))
       .filter(col("df") >= 2)
       .observe(obs, max(col("df")).as("maxDf"))
       .localCheckpoint(true)
-    val anyHot = Option(obs.get.getOrElse("maxDf", null))
-      .exists(_.asInstanceOf[Number].longValue > hotDfCap)
+    // Bounded metric wait (r17 ADVICE): Observation completion rides the
+    // async ExecutionListenerBus; a dropped SQLExecutionEnd event (bounded
+    // listener queue under load on a long-lived server) would hang a bare
+    // obs.get forever. The checkpoint is already materialized here, so the
+    // metric normally arrives in ms — poll briefly, then fall back to a
+    // block-scan probe of the pinned index (the pre-r17 gate, extra cost
+    // but no hang mode).
+    val anyHot = {
+      def metrics = org.apache.spark.sql.GraftDatasetShim.observedOrEmpty(obs)
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      var m = metrics
+      while (m.isEmpty && System.nanoTime() < deadline) { Thread.sleep(20); m = metrics }
+      if (m.nonEmpty) Option(m.getOrElse("maxDf", null))
+        .exists(_.asInstanceOf[Number].longValue > hotDfCap)
+      else !g2.filter(col("df") > hotDfCap).isEmpty
+    }
     val pairRows = if (!anyHot) {
       val cold = g2.drop("df")
       cold.select(col("gram"), col("doc_id").as("ld"), col("n").as("ln"))

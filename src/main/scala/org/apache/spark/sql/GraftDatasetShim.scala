@@ -56,4 +56,12 @@ object GraftDatasetShim {
     */
   def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
     classic.ExpressionUtils.column(e)
+
+  /** Non-blocking read of an Observation's metrics (`getOrEmpty` is
+    * `private[sql]`): empty until the observed query's SQLExecutionEnd event
+    * has been delivered on the async listener bus. Callers poll this with a
+    * deadline instead of `obs.get`, whose bare wait would hang forever if
+    * the bounded listener queue dropped the event under load.
+    */
+  def observedOrEmpty(obs: Observation): Map[String, Any] = obs.getOrEmpty
 }
