@@ -524,7 +524,31 @@ object TextPipeline {
     grams.groupBy("doc_id").agg(sigCols.head, sigCols.drop(1): _*)
   }
 
-  /** Band-bucket candidate pairs from a signature frame (m0..m15). */
+  /** Band-bucket candidate pairs from a signature frame (m0..m15).
+    *
+    * Pair generation is a groupBy(band, bucket) collect_list + two chained
+    * generators (posexplode over the sorted member list, then explode of the
+    * strictly-later slice), NOT the r15-r17 bucket self-join. Same rows by
+    * construction: within one (band, bucket) group doc_ids are distinct (a
+    * doc emits exactly one row per band), so the sorted list's strictly-later
+    * pairs are exactly the join's `a.doc_id < b.doc_id` pairs, and the
+    * trailing distinct dedups cross-band repeats identically. Measured r18
+    * (R18MinhashAb, interleaved same-window through PlanCache.count — the
+    * bench path): at ~sf1 this wins EVERY clean round, median 0.843 s vs
+    * 1.045 s shipped (-19%); at sf0.1 a wash (0.420 vs 0.433 s). The
+    * self-join scanned the bucket exchange twice and re-shuffled C(k,2)
+    * output rows into the distinct; here the group's pairs are generated
+    * once, already clustered. Two rejected variants, same rig: singleton
+    * prefilter before the join (window count — pays an extra pass, wash at
+    * sf1, +38% at sf0.1) and single-expression pair array via
+    * flatten(transform) (builds C(k,2) structs in ONE allocation — GC
+    * outliers of 11-12 s at sf1; the chained-generator form streams at O(k)
+    * memory per group). Skew posture at 100 TB: per-group state is the O(k)
+    * member array — strictly dominated by the C(k,2) pair OUTPUT any shape
+    * must emit, so a bucket hot enough to hurt this aggregate was already
+    * infeasible for the join (measured bucket occupancy: max 15-16 docs at
+    * both sf0.1 and the materialized sf1, p99 = 2).
+    */
   private def bandPairs(sig: DataFrame): DataFrame = {
     import MinHashParams._
     val rowsPer = numHashes / bands
@@ -535,10 +559,12 @@ object TextPipeline {
       .select(col("doc_id"), posexplode(
         array((0 until bands).map(b => col(s"band$b")): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    buckets.as("a").join(buckets.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    buckets.groupBy("band", "bucket")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(col("ds"), posexplode(col("ds")))
+      .select(col("col").as("id_a"),
+        explode(slice(col("ds"), col("pos") + lit(2), size(col("ds")))).as("id_b"))
       .distinct()
   }
 

@@ -18,7 +18,7 @@ object R17PlanDump {
     val spark = GraftSession.local()
     spark.sparkContext.setLogLevel("ERROR")
     Tables.ensure(spark, sfDir)
-    val out = Paths.get("plans/r17")
+    val out = Paths.get(sys.env.getOrElse("SPARK_GRAFT_PLANS_DIR", "plans/r17"))
     Files.createDirectories(out)
     val queries = SparkEntry.queries
     names.foreach { name =>

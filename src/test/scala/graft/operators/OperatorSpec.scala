@@ -191,6 +191,49 @@ class OperatorSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"LSH recall $recall too low; missed ${truePairs -- candidates}")
   }
 
+  test("banded pair generation equals the reference bucket self-join exactly") {
+    // r18: bandPairs generates within-bucket pairs from a sorted
+    // collect_list via chained generators instead of a bucket self-join.
+    // Pin the equivalence against an independent reference: the same
+    // trigram -> 16-min signature -> band-bucket rows (rebuilt here from
+    // the public hash pieces), paired by the r15-r17 self-join shape.
+    import TextPipeline.MinHashParams._
+    Tables.ensure(spark, dir)
+    val docs = spark.table("documents")
+    val P0 = TextPipeline.MinHashParams.P
+    val ws = graft.functions.TextFunctions.tokens(col("text"))
+    val grams = docs.filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), ws.as("w0"),
+        slice(ws, lit(2), greatest(size(ws) - 1, lit(0))).as("s1"),
+        slice(ws, lit(3), greatest(size(ws) - 2, lit(0))).as("s2"))
+      .select(col("doc_id"), explode(arrays_zip(col("w0"), col("s1"), col("s2"))).as("t"))
+      .filter(col("t.s2").isNotNull)
+      .select(col("doc_id"),
+        (TextPipeline.md5Hash60(concat_ws(" ", col("t.w0"), col("t.s1"), col("t.s2")))
+          % P0).as("hm"))
+      .distinct()
+    val sigCols = (0 until numHashes).map(j =>
+      min((lit(A(j)) * col("hm") + lit(B(j))) % P0).as(s"m$j"))
+    val sig = grams.groupBy("doc_id").agg(sigCols.head, sigCols.drop(1): _*)
+    val bandCols = (0 until bands).map(b =>
+      (col(s"m${2 * b}") * P0 + col(s"m${2 * b + 1}")).as(s"band$b"))
+    val buckets = sig.select(col("doc_id") +: bandCols: _*)
+      .select(col("doc_id"), posexplode(
+        array((0 until bands).map(b => col(s"band$b")): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val reference = buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = TextPipeline.minhashCandidates(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(reference.nonEmpty, "fixture should produce candidate pairs")
+    assert(got == reference,
+      s"pair sets diverge: only-new=${got -- reference} only-ref=${reference -- got}")
+  }
+
   test("trailing-window actives (wau/stickiness) equi-join the day spine — no nested-loop") {
     // r9 verdict #2: the BETWEEN interval join planned as a
     // BroadcastNestedLoopJoin — O(activity x days) predicate evaluations.
