@@ -499,7 +499,8 @@ object TextPipeline {
   /** LSH candidate pairs: `numHashes` permutation minima computed as parallel
     * min-aggregates in ONE hash aggregation (no row explosion), packed into
     * `bands` band buckets (2 minima per band, bucket = m0*P + m1 — exact, no
-    * re-hash), then an equi-join on (band, bucket).
+    * re-hash), then within-bucket pair generation on the (band, bucket)
+    * grouping (see [[groupedPairs]]).
     * This is the 100 TB path: cost is O(docs x bands) + a shuffle on bucket id,
     * never O(docs^2).
     */
@@ -559,14 +560,28 @@ object TextPipeline {
       .select(col("doc_id"), posexplode(
         array((0 until bands).map(b => col(s"band$b")): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    buckets.groupBy("band", "bucket")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")) >= 2)
-      .select(col("ds"), posexplode(col("ds")))
-      .select(col("col").as("id_a"),
-        explode(slice(col("ds"), col("pos") + lit(2), size(col("ds")))).as("id_b"))
+    groupedPairs(buckets, Seq("band", "bucket"), col("doc_id"))
+      .select(col("a").as("id_a"), col("b").as("id_b"))
       .distinct()
   }
+
+  /** Within-group strictly-ordered member pairs, (a, b) with a < b by the
+    * member ordering: sorted collect_list + chained generators (posexplode,
+    * then explode of the strictly-later slice). For members with distinct
+    * ordering keys this emits exactly the rows of the group self-join
+    * `x.member < y.member` — once, already clustered, without scanning the
+    * group exchange twice or re-shuffling the pair rows. Group state is the
+    * O(k) member list (spillable via the sort-based aggregate fallback),
+    * strictly dominated by the C(k,2) pair output any shape must emit.
+    */
+  private[operators] def groupedPairs(rows: DataFrame, groupCols: Seq[String],
+      member: Column): DataFrame =
+    rows.groupBy(groupCols.map(col): _*)
+      .agg(sort_array(collect_list(member)).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(col("ds"), posexplode(col("ds")))
+      .select(col("col").as("a"),
+        explode(slice(col("ds"), col("pos") + lit(2), size(col("ds")))).as("b"))
 
   /** Exact Jaccard restricted to an explicit candidate pair set — the
     * inverted-index verification shape for LSH candidates. `grams` is
@@ -656,13 +671,13 @@ object TextPipeline {
     * the candidates only → drop the higher doc_id of each confirmed pair →
     * surviving corpus.
     *
-    * Scale shape: the only super-linear step is the LSH bucket equi-join,
-    * O(docs x bands) — the all-pairs exact Jaccard never runs. ONE
-    * aggregation on the doc_id clustering `triRows` established produces
-    * everything the pipeline needs per doc — the distinct gram-id array (for
-    * the exact verify), its size, and all 16 permutation minima (the MinHash
-    * signature) — so no gram-keyed exchange exists at all: the arrays ride
-    * the band-bucket self-join and candidate verification is an inline
+    * Scale shape: the only super-linear step is the within-bucket pair
+    * generation, O(docs x bands) rows in — the all-pairs exact Jaccard never
+    * runs. ONE aggregation on the doc_id clustering `triRows` established
+    * produces everything the pipeline needs per doc — the distinct gram-id
+    * array (for the exact verify), its size, and all 16 permutation minima
+    * (the MinHash signature) — so no gram-keyed exchange exists at all: the
+    * arrays ride the band-bucket grouping and candidate verification is an inline
     * `array_intersect`, not a pair of inverted-index probe joins. (The r3
     * probe-join form re-read its shared shingle exchange four times and
     * chained 11 stages; this shape is 3 exchanges — docs, buckets, dup ids —
@@ -712,14 +727,24 @@ object TextPipeline {
     // Pairs sharing several bands surface several times; every copy computes
     // the same intersection, so the >=threshold filter precedes a plain
     // distinct on the surviving ids — no pair-level dedup stage needed.
-    // shuffle_hash, NOT broadcast: the two sides are the same relation, so a
-    // shuffle join makes the whole gram pipeline a single ReusedExchange;
-    // broadcasting would compute the scan+shingle+signature work twice
-    // (measured: AQE broadcast the 33 MB bucket side and doubled the CPU).
+    // Candidate pairs come from a groupBy(band, bucket) + sorted member list
+    // + chained generators, NOT the r15-r18 bucket self-join (r18, same
+    // lever as the minhash bandPairs rewrite): the bucket exchange carries
+    // bands x gram-array bytes, and the self-join read it twice
+    // (ReusedExchange) then pushed both members' arrays through the join
+    // output, where the grouped form reads it once and emits each group's
+    // strictly-later pairs directly. Measured (R18CleanPairsAb, interleaved
+    // same-window through PlanCache.count, whole pipeline): sf0.1 median
+    // 0.522 s vs 0.630 join / 0.619 shipped (wins 9/9 rounds); materialized
+    // sf1 0.879 s vs 1.104 / 1.057 (wins 7/7). Equivalence: within a bucket
+    // doc_ids are distinct, so sorted strictly-later pairs are exactly the
+    // join's a.doc_id < b.doc_id pairs. Group state is the members' gram
+    // arrays — the same bytes a shuffle-hash join's build map held per
+    // bucket key, but spillable via the sort-based aggregate fallback
+    // (measured occupancy: max 16 docs/bucket at sf0.1 AND sf1, p99 = 2).
     val jac = col("inter").cast("double") / (col("na") + col("nb") - col("inter"))
-    val dups = buckets.as("a").hint("shuffle_hash").join(buckets.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
+    val dups = groupedPairs(buckets, Seq("band", "bucket"),
+        struct(col("doc_id"), col("n"), col("gs")))
       .select(col("b.doc_id").as("doc_id"), col("a.n").as("na"), col("b.n").as("nb"),
         size(array_intersect(col("a.gs"), col("b.gs"))).as("inter"))
       .filter(jac >= dupThreshold)

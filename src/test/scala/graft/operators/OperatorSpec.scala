@@ -191,6 +191,29 @@ class OperatorSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"LSH recall $recall too low; missed ${truePairs -- candidates}")
   }
 
+  test("groupedPairs emits exactly the group self-join's strictly-ordered pairs") {
+    // r18: bandPairs/cleanCorpus generate within-group pairs via a sorted
+    // collect_list + chained generators. Constructed groups of size 1-4
+    // (singletons must vanish; members repeat across groups) against the
+    // reference self-join x.m < y.m within each group.
+    import spark.implicits._
+    val rows = Seq(
+      ("g1", 3L), ("g1", 1L), ("g1", 2L),
+      ("g2", 7L),
+      ("g3", 2L), ("g3", 9L),
+      ("g4", 4L), ("g4", 1L), ("g4", 9L), ("g4", 2L)).toDF("grp", "m")
+    val got = TextPipeline.groupedPairs(rows, Seq("grp"), col("m"))
+      .withColumn("grp", lit("x")) // groupCols are not in the output; pairs only
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val ref = rows.as("x").join(rows.as("y"),
+        col("x.grp") === col("y.grp") && col("x.m") < col("y.m"))
+      .select(col("x.m").as("a"), col("y.m").as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == ref, s"got $got, reference $ref")
+    // every emitted pair is strictly ordered
+    assert(got.forall { case (a, b) => a < b })
+  }
+
   test("banded pair generation equals the reference bucket self-join exactly") {
     // r18: bandPairs generates within-bucket pairs from a sorted
     // collect_list via chained generators instead of a bucket self-join.
